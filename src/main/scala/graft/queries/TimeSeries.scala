@@ -1,0 +1,208 @@
+package graft.queries
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-spine and interval operators — the reference's derive-phase time
+  * semantics (SURVEY §2.5-§2.7) re-expressed with `sequence` + `explode`:
+  *
+  *  - A3/A4 DimDate daily spine with calendar attributes
+  *    (derive/index.ts:378-414)
+  *  - A5 DimPlaybackFrame hourly spine with frame_n ordinal
+  *    (derive/index.ts:416-450)
+  *  - J8+A6 hourly stage occupancy: interval containment (inclusive both
+  *    ends) with COUNT(DISTINCT), zero rows omitted
+  *    (derive/index.ts:452-530, predicate at :507)
+  *  - A9 daily occupancy rollup: peak = max, avg over hourly rows
+  *    (derive/index.ts:594-601)
+  *  - A7/A8/A10+J9 daily throughput: entry/exit counts full-outer merged
+  *    with zero defaults and bucket_n key (derive/index.ts:532-643)
+  *
+  * Events are interpreted as intervals: start = ts, end = ts + `value`
+  * minutes (µs-exact arithmetic on both engines).
+  *
+  * Scale notes: spines are generated on the cluster with
+  * `explode(sequence(...))` — a single-row agg broadcast, no driver loop.
+  * Occupancy explodes each interval into its contained hour instants and
+  * hash-aggregates — shuffle is on (hour, key), partial aggregation
+  * applies, and rows stay proportional to Σ interval-hours, not to
+  * |frames| × |events|. At 100 TB, long-lived intervals would be the skew
+  * risk: cap/split pathological intervals upstream or use an
+  * interval-tree TypedImperativeAggregate (SURVEY §2.9).
+  */
+object TimeSeries extends QueryModule {
+
+  /** µs-exact interval bounds shared by the occupancy/throughput queries. */
+  private def eventIntervals(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("start_us", unix_micros(col("ts")))
+      .withColumn("end_us",
+        col("start_us") + col("value").cast("int").cast("long") * lit(60000000L))
+      .withColumn("start_ts", timestamp_micros(col("start_us")))
+      .withColumn("end_ts", timestamp_micros(col("end_us")))
+
+  /** A3/A4 — daily date spine over orders with DimDate attributes. */
+  def qDateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val mm = Tables.orders(spark, dir)
+      .agg(to_date(min(col("o_orderdate"))).as("d0"),
+           to_date(max(col("o_orderdate"))).as("d1"))
+    mm.select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      .select(
+        col("day"),
+        (year(col("day")) * 10000 + month(col("day")) * 100 +
+          dayofmonth(col("day"))).as("date_key"),
+        year(col("day")).as("year"),
+        month(col("day")).as("month_num"),
+        date_format(col("day"), "MMM").as("month_name"),
+        dayofmonth(col("day")).as("day_of_month"),
+        date_format(col("day"), "EEE").as("day_name"))
+      .orderBy(col("day"))
+  }
+
+  /** A5 — hourly playback-frame spine over the events min/max hour with
+    * 1-based frame_n ordinal (pure arithmetic, no window shuffle). */
+  def qHourSpine(spark: SparkSession, dir: String): DataFrame = {
+    val mm = eventIntervals(spark, dir)
+      .agg(date_trunc("hour", min(col("start_ts"))).as("h0"),
+           date_trunc("hour", max(col("end_ts"))).as("h1"))
+    mm.select(col("h0"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("frame_ts"))
+      .select(col("frame_ts"),
+        ((unix_micros(col("frame_ts")) - unix_micros(col("h0"))) / lit(3600000000L) + 1L)
+          .cast("long").as("frame_n"))
+      .orderBy(col("frame_ts"))
+  }
+
+  /** J8+A6 — hourly occupancy: for each hour instant contained in an
+    * event's [start, end] (inclusive both ends), COUNT(DISTINCT user_id)
+    * per (frame_ts, event_type); zero-count rows naturally omitted. */
+  def qOccupancyHourly(spark: SparkSession, dir: String): DataFrame = {
+    val iv = eventIntervals(spark, dir)
+      .filter(col("end_us") >= col("start_us")) // skip invalid intervals (derive/index.ts:470-478)
+    // first hour instant >= start: ceil to hour
+    val firstHour = timestamp_micros(
+      (ceil(col("start_us") / lit(3600000000.0)) * 3600000000L).cast("long"))
+    val lastHour = timestamp_micros(
+      (floor(col("end_us") / lit(3600000000.0)) * 3600000000L).cast("long"))
+    iv.withColumn("fh", firstHour).withColumn("lh", lastHour)
+      .filter(col("fh") <= col("lh"))
+      .select(col("event_type"), col("user_id"),
+        explode(sequence(col("fh"), col("lh"), expr("interval 1 hour"))).as("frame_ts"))
+      .groupBy(col("frame_ts"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("item_count"))
+      .orderBy(col("frame_ts"), col("event_type"))
+  }
+
+  /** A9 — daily occupancy rollup from the hourly frames: peak + avg. */
+  def qOccupancyDaily(spark: SparkSession, dir: String): DataFrame =
+    qOccupancyHourly(spark, dir)
+      .groupBy(to_date(col("frame_ts")).as("bucket_day"), col("event_type"))
+      .agg(max(col("item_count")).as("occupancy_peak"),
+           round(avg(col("item_count")), 4).as("occupancy_avg"))
+      .orderBy(col("bucket_day"), col("event_type"))
+
+  /** A7/A8/A10+J9 — daily throughput: entries by start-day, exits by
+    * end-day, full-outer key union with zero defaults and bucket_n. */
+  def qThroughputDaily(spark: SparkSession, dir: String): DataFrame = {
+    val iv = eventIntervals(spark, dir)
+    val entries = iv.groupBy(to_date(col("start_ts")).as("bucket_day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("entries"))
+    val exits = iv.groupBy(to_date(col("end_ts")).as("bucket_day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("exits"))
+    entries.join(exits, Seq("bucket_day", "event_type"), "full_outer")
+      .select(col("bucket_day"), col("event_type"),
+        coalesce(col("entries"), lit(0L)).as("entries"),
+        coalesce(col("exits"), lit(0L)).as("exits"),
+        (year(col("bucket_day")) * 10000 + month(col("bucket_day")) * 100 +
+          dayofmonth(col("bucket_day"))).as("bucket_n"))
+      .filter(col("entries") > 0 || col("exits") > 0) // drop all-zero rows (derive/index.ts:640)
+      .orderBy(col("bucket_day"), col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_date_spine"       -> qDateSpine _,
+    "q_hour_spine"       -> qHourSpine _,
+    "q_occupancy_hourly" -> qOccupancyHourly _,
+    "q_occupancy_daily"  -> qOccupancyDaily _,
+    "q_throughput_daily" -> qThroughputDaily _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_date_spine" ->
+      """WITH mm AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+        |                   CAST(MAX(o_orderdate) AS DATE) AS d1 FROM orders),
+        |days AS (SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM mm)
+        |SELECT day,
+        |  CAST(date_part('year', day) * 10000 + date_part('month', day) * 100 +
+        |       date_part('day', day) AS INT) AS date_key,
+        |  CAST(date_part('year', day) AS INT) AS year,
+        |  CAST(date_part('month', day) AS INT) AS month_num,
+        |  strftime(day, '%b') AS month_name,
+        |  CAST(date_part('day', day) AS INT) AS day_of_month,
+        |  strftime(day, '%a') AS day_name
+        |FROM days ORDER BY day""".stripMargin,
+    "q_hour_spine" ->
+      """WITH iv AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) + CAST(FLOOR("value") AS BIGINT) * 60000000 AS end_us
+        |  FROM events),
+        |mm AS (SELECT date_trunc('hour', make_timestamp(MIN(start_us))) AS h0,
+        |              date_trunc('hour', make_timestamp(MAX(end_us))) AS h1 FROM iv)
+        |SELECT CAST(f AS TIMESTAMP) AS frame_ts,
+        |  CAST((epoch_us(CAST(f AS TIMESTAMP)) - epoch_us(h0)) / 3600000000 + 1 AS BIGINT) AS frame_n
+        |FROM (SELECT h0, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS f FROM mm)
+        |ORDER BY frame_ts""".stripMargin,
+    "q_occupancy_hourly" ->
+      """WITH iv AS (SELECT event_type, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + CAST(FLOOR("value") AS BIGINT) * 60000000 AS end_us
+        |  FROM events),
+        |hours AS (SELECT event_type, user_id,
+        |    UNNEST(generate_series(
+        |      make_timestamp(CAST(CEIL(start_us / 3600000000.0) * 3600000000 AS BIGINT)),
+        |      make_timestamp(CAST(FLOOR(end_us / 3600000000.0) * 3600000000 AS BIGINT)),
+        |      INTERVAL 1 HOUR)) AS frame_ts
+        |  FROM iv WHERE end_us >= start_us)
+        |SELECT CAST(frame_ts AS TIMESTAMP) AS frame_ts, event_type,
+        |  COUNT(DISTINCT user_id) AS item_count
+        |FROM hours GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_occupancy_daily" ->
+      """WITH iv AS (SELECT event_type, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + CAST(FLOOR("value") AS BIGINT) * 60000000 AS end_us
+        |  FROM events),
+        |hours AS (SELECT event_type, user_id,
+        |    UNNEST(generate_series(
+        |      make_timestamp(CAST(CEIL(start_us / 3600000000.0) * 3600000000 AS BIGINT)),
+        |      make_timestamp(CAST(FLOOR(end_us / 3600000000.0) * 3600000000 AS BIGINT)),
+        |      INTERVAL 1 HOUR)) AS frame_ts
+        |  FROM iv WHERE end_us >= start_us),
+        |hourly AS (SELECT frame_ts, event_type, COUNT(DISTINCT user_id) AS item_count
+        |  FROM hours GROUP BY 1, 2)
+        |SELECT CAST(frame_ts AS DATE) AS bucket_day, event_type,
+        |  MAX(item_count) AS occupancy_peak,
+        |  ROUND(AVG(item_count), 4) AS occupancy_avg
+        |FROM hourly GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_throughput_daily" ->
+      """WITH iv AS (SELECT event_type,
+        |    make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))) AS start_ts,
+        |    make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) + CAST(FLOOR("value") AS BIGINT) * 60000000) AS end_ts
+        |  FROM events),
+        |en AS (SELECT CAST(start_ts AS DATE) AS bucket_day, event_type, COUNT(*) AS entries
+        |  FROM iv GROUP BY 1, 2),
+        |ex AS (SELECT CAST(end_ts AS DATE) AS bucket_day, event_type, COUNT(*) AS exits
+        |  FROM iv GROUP BY 1, 2)
+        |SELECT COALESCE(en.bucket_day, ex.bucket_day) AS bucket_day,
+        |  COALESCE(en.event_type, ex.event_type) AS event_type,
+        |  COALESCE(en.entries, 0) AS entries,
+        |  COALESCE(ex.exits, 0) AS exits,
+        |  CAST(date_part('year', COALESCE(en.bucket_day, ex.bucket_day)) * 10000 +
+        |       date_part('month', COALESCE(en.bucket_day, ex.bucket_day)) * 100 +
+        |       date_part('day', COALESCE(en.bucket_day, ex.bucket_day)) AS INT) AS bucket_n
+        |FROM en FULL OUTER JOIN ex
+        |  ON en.bucket_day = ex.bucket_day AND en.event_type = ex.event_type
+        |WHERE COALESCE(en.entries, 0) > 0 OR COALESCE(ex.exits, 0) > 0
+        |ORDER BY 1, 2""".stripMargin)
+}
