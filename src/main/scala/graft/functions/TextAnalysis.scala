@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis function library for training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  * All pure Column expressions (codegen'd, distributed, no UDFs) so they
+  * compose with any scan and stay inside WholeStageCodegen at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (empty tokens dropped). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** BPE-ish subword proxy: count of alphanumeric runs + punctuation
+    * marks (a cheap, deterministic stand-in for a real tokenizer's token
+    * count; ~chars/4 heuristics are common for LLM budgeting). */
+  def subwordCountApprox(text: Column): Column =
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => trim(t) =!= ""))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    when(length(text) > 0, punct / length(text).cast("double")).otherwise(lit(0.0))
+  }
+
+  private val enStop = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    val stops = size(filter(tokens(text), t => t.isInCollection(enStop)))
+    when(n > 0, stops / n.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Heuristic quality score in [0,1]: length sufficiency, lexical
+    * diversity, and stopword balance — the standard cheap pre-filters for
+    * pretraining corpora. Deterministic arithmetic (oracle-friendly). */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lenScore = least(lit(1.0), n / 50.0)
+    val diversity = when(n > 0, distinctTokenCount(text) / n).otherwise(lit(0.0))
+    val stopBalance = lit(1.0) - stopwordRatio(text)
+    round(lit(0.4) * lenScore + lit(0.3) * diversity + lit(0.3) * stopBalance, 4)
+  }
+
+  /** Marker-stopword sets per language for n-gram-free language ID.
+    * (Real pipelines use char-n-gram models; marker scoring is the
+    * deterministic, SQL-expressible variant.) */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "in", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "que", "por"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers)))
+
+  /** Predicted language: argmax of marker hits (ties broken by the fixed
+    * language order above); no hits → "unknown". */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, m) => (l, langScore(text, m)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight builds nested CASE WHEN — earlier languages win ties
+    scores.foldRight(lit("unknown")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Canonical content fingerprint: md5 over the sorted distinct token
+    * set — detects reordered/duplicated-token near-copies exactly
+    * (the "exact dedup after normalization" key). */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(text, " "))), " "))
+
+  /** Rolling-hash style 64-bit content hash (first 16 md5 hex digits). */
+  def contentHash64(text: Column): Column =
+    conv(substring(md5(text), 1, 15), 16, 10).cast("long")
+}

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * Every operator is candidate-generation + verification — the only shape
+  * that survives 100 TB: no O(n²) pass ever touches the full corpus; the
+  * quadratic step runs only on blocked/bucketed candidates.
+  *
+  *  - exact: hash-groupBy on a canonical fingerprint (one shuffle).
+  *  - n-gram Jaccard: inverted-index join on shingles (shuffle on
+  *    shingle), intersection counts via groupBy — never materializes
+  *    non-overlapping pairs.
+  *  - MinHash+LSH: k minhashes from one shingle scan (k aggs, one
+  *    shuffle), banded signatures, equi-join on (band, signature) for
+  *    candidates, exact-Jaccard verification on candidates only.
+  *  - SimHash: 32-bit signature via 32 partial-sum aggs (one shuffle),
+  *    byte-block equi-join (pigeonhole: hamming ≤ 3 ⇒ one of 4 bytes
+  *    equal) so candidate pairs are found without a cross join.
+  *  - embedding cosine: exact pair scoring over an optional blocking
+  *    key; order-stable fold for float determinism.
+  *
+  * All arithmetic is integer/md5-based and reproducible in ANSI SQL —
+  * see queries.LlmOps for the DuckDB oracles.
+  */
+object Dedup {
+
+  /** First 8 md5 hex digits of a string column as a non-negative int64
+    * (the deterministic cross-engine "hash function" used everywhere). */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Word-bigram shingles of a whitespace-tokenized text column. */
+  def shingles2(text: Column): Column = {
+    val w = split(text, " ")
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array())
+  }
+
+  /** (doc_id, shingle) distinct pairs — the shared scan for the
+    * Jaccard/MinHash family. */
+  def shingleSet(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(shingles2(col(textCol))).as("sh"))
+      .distinct()
+
+  /** Exact duplicate groups by canonical fingerprint (sorted distinct
+    * token set). Returns one row per group with ≥2 members. */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") >= 2)
+
+  /** Exact n-gram Jaccard similarity pairs ≥ threshold, via an
+    * inverted-index self-join on shingles (intersections only — pairs
+    * sharing no shingle are never formed). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sa = sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+    val sb = sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+    inter.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash parameters — 16 universal-hash functions
+    * h_i(x) = (a_i·x + b_i) mod P over the 32-bit shingle hash. */
+  val MinhashP: Long = 2038074743L
+  val MinhashA: Seq[Long] = (1 to 16).map(i => 2L * i + 1)
+  val MinhashB: Seq[Long] = (1 to 16).map(i => 7919L * i)
+  /** 8 bands × 2 rows. */
+  val Bands = 8
+
+  /** Per-doc 16-value MinHash signature (one scan, 16 min-aggregates). */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val x = hash32(col("sh"))
+    val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * x + lit(b)) % lit(MinhashP)).as(s"m${i + 1}")
+    }
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded LSH signatures: (doc_id, band, sig) with sig = md5 of the
+    * band's minhash values joined by '_'. */
+  def lshBands(sigs: DataFrame): DataFrame = {
+    val bandSigs = (1 to Bands).map { j =>
+      md5(concat_ws("_",
+        col(s"m${2 * j - 1}").cast("string"),
+        col(s"m${2 * j}").cast("string")))
+    }
+    sigs.select(col("doc_id"),
+        posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+  }
+
+  /** MinHash-LSH near-duplicate pairs: candidates share ≥1 LSH band;
+    * candidates are then verified with exact Jaccard ≥ threshold. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol).cache()
+    val bands = lshBands(minhashSignatures(sh))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    // verification: exact Jaccard on candidates only
+    val shA = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val shB = sh.select(col("doc_id").as("doc_b2"), col("sh").as("sh_b"))
+    val inter = cand.join(shA, Seq("doc_a"))
+      .join(shB, col("doc_b") === col("doc_b2") && col("sh") === col("sh_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash per doc over the token multiset: 32 signed partial
+    * sums in ONE aggregation pass, then bit assembly. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val h = hash32(col("tok"))
+    val sums = (0 until 32).map { j =>
+      sum(when(shiftright(h, 31 - j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    val agg = toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val sim = (0 until 32).map { j =>
+      when(col(s"s$j") >= 0, lit(1L << (31 - j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3):
+    * byte-block equi-join — pigeonhole guarantees every qualifying pair
+    * shares at least one of the 4 signature bytes, so no cross join. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-byte blocking is exact only for hamming <= 3")
+    val sigs = simhashSignatures(docs, idCol, textCol).cache()
+    val blocks = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array(
+        shiftright(col("simhash"), 24).bitwiseAND(255),
+        shiftright(col("simhash"), 16).bitwiseAND(255),
+        shiftright(col("simhash"), 8).bitwiseAND(255),
+        col("simhash").bitwiseAND(255))).as(Seq("blk", "byte")))
+    val a = blocks.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+      col("blk"), col("byte"))
+    val b = blocks.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+      col("blk"), col("byte"))
+    a.join(b, Seq("blk", "byte"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Order-stable cosine similarity between two float-array columns
+    * (left-fold in element order → bit-identical across engines). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact scoring;
+    * pass a blocking column (e.g. coarse cluster id) to avoid the full
+    * cross join at scale — at 100 TB an ANN/LSH candidate stage replaces
+    * the cross join entirely (see Similarity). */
+  def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, blockCol: Option[String] = None): DataFrame = {
+    val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va"),
+      blockCol.map(col).getOrElse(lit(0)).as("blk"))
+    val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
+      blockCol.map(col).getOrElse(lit(0)).as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque `binary` payloads + typed metadata.
+  *
+  * The pattern for image/audio/video at 100 TB: payloads travel as
+  * parquet `binary` columns next to typed metadata; decode/feature
+  * steps run batch-wise per partition (here `mapPartitions`; with
+  * Python codecs it would be `mapInPandas` with the same batch shape).
+  * The decode itself is STUBBED deterministically — the media codecs
+  * aren't in this container — but schema, partitioning, batch iteration
+  * and the UDF signature are the real, tested plumbing.
+  */
+object Multimodal {
+
+  /** Wrap a text column as an opaque binary payload with derived
+    * metadata — the ingest-side shape of a multimodal table. Pure
+    * column ops (oracle-verifiable). */
+  def attachPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val blob = col(textCol).cast("binary")
+    val h = sha2(blob, 256)
+    docs.select(
+      col(idCol).as("doc_id"),
+      blob.as("payload"),
+      h.as("payload_sha"),
+      length(blob).as("n_bytes"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col(idCol) % 3 + 1).cast("int")).as("modality"),
+      // fake decoded dimensions, deterministic from the content hash
+      (lit(64) + conv(substring(h, 1, 4), 16, 10).cast("long") % 1856).as("width"),
+      (lit(64) + conv(substring(h, 5, 4), 16, 10).cast("long") % 1016).as("height"))
+  }
+
+  /** Decoded-feature record produced by the (stubbed) decoder. */
+  case class DecodedFeature(doc_id: Long, modality: String, n_bytes: Int,
+                            frames: Int, meanByte: Double)
+
+  /** Batch "decode" over partitions — the real distributed plumbing
+    * with a deterministic fake decoder (mean byte value + frame count
+    * derived from payload size). Swap `decodeOne` for a real codec. */
+  def decodeFeatures(payloads: DataFrame): Dataset[DecodedFeature] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select("doc_id", "modality", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, modality, bytes) => decodeOne(id, modality, bytes) }
+      }
+  }
+
+  /** STUB decoder — a real implementation would dispatch on modality to
+    * an image/audio codec. Deterministic so tests are exact. */
+  private def decodeOne(id: Long, modality: String, bytes: Array[Byte]): DecodedFeature = {
+    val mean = if (bytes.isEmpty) 0.0
+      else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+    val frames = modality match {
+      case "video" => 1 + bytes.length / 64
+      case "audio" => 1 + bytes.length / 256
+      case _ => 1
+    }
+    DecodedFeature(id, modality, bytes.length, frames, mean)
+  }
+}

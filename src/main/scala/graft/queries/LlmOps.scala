@@ -1,0 +1,274 @@
+package graft.queries
+
+import graft.QueryModule
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators bound to the synthetic corpus:
+  * dedup family (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+  * embedding cosine), ANN search (brute-force + IVF), text analysis,
+  * multimodal metadata. Thresholds calibrated on the corpus: word-bigram
+  * Jaccard separates 25 planted near-dup pairs (J ≥ 0.5) from a ≤ 0.12
+  * background; embedding cosine tail starts ≈ 0.45.
+  */
+object LlmOps extends QueryModule {
+
+  val JaccardThreshold = 0.5
+  val CosineThreshold = 0.45
+
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDuplicateGroups(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("rep_doc_id"))
+
+  def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text", JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text", JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      CosineThreshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") % 25 === 0), emb,
+      "vec_id", "embedding", 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(emb.filter(col("vec_id") % 25 === 0), emb,
+      "vec_id", "embedding", "label", 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(t).as("n_tokens"),
+      TextAnalysis.distinctTokenCount(t).as("n_distinct"),
+      round(TextAnalysis.stopwordRatio(t), 4).as("stop_ratio"),
+      TextAnalysis.qualityScore(t).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val scoreCols = TextAnalysis.LangMarkers.map { case (l, m) =>
+      TextAnalysis.langScore(t, m).as(s"n_$l")
+    }
+    Tables.documents(spark, dir).select(
+      (col("doc_id") +: scoreCols :+ TextAnalysis.langId(t).as("lang_pred")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withColumn("n_sharing", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.attachPayload(Tables.documents(spark, dir), "doc_id", "text")
+      .drop("payload")
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"     -> qDedupExact _,
+    "q_dedup_jaccard"   -> qDedupJaccard _,
+    "q_dedup_minhash"   -> qDedupMinhash _,
+    "q_dedup_simhash"   -> qDedupSimhash _,
+    "q_dedup_embedding" -> qDedupEmbedding _,
+    "q_ann_topk"        -> qAnnTopK _,
+    "q_ann_ivf"         -> qAnnIvf _,
+    "q_text_stats"      -> qTextStats _,
+    "q_lang_id"         -> qLangId _,
+    "q_fingerprint"     -> qFingerprint _,
+    "q_multimodal_meta" -> qMultimodalMeta _)
+
+  // ---- oracle SQL generation helpers -------------------------------
+
+  /** DuckDB hex→int64 over `width` hex digits of expression `hx`
+    * starting at 1-based position `from` (no base-conv builtin). */
+  private def duckHex(hx: String, from: Int, width: Int): String = {
+    val terms = (0 until width).map { i =>
+      val w = math.pow(16, width - 1 - i).toLong
+      s"(strpos('0123456789abcdef', substr($hx, ${from + i}, 1)) - 1) * $w"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Shared shingle CTE prefix (word bigrams, distinct per doc). */
+  private val shingleCtes =
+    """docs2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |shl AS (SELECT doc_id,
+      |        unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+      |        FROM docs2),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM shl),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)""".stripMargin
+
+  private val jaccardSelect =
+    s"""SELECT doc_a, doc_b,
+       |  ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+       |           JOIN sizes sb ON sb.doc_id = doc_b""".stripMargin
+
+  /** VALUES rows for the 16 minhash universal-hash functions. */
+  private val minhashHf = Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex
+    .map { case ((a, b), i) => s"(${i + 1}, $a, $b)" }.mkString(", ")
+
+  private val duckDot =
+    "list_reduce(list_transform(list_zip(%s, %s), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)"
+
+  private def dot(a: String, b: String) = duckDot.format(a, b)
+
+  /** 32 signed-sum bit columns + value assembly for SimHash. */
+  private val simhashBitSums = (0 until 32).map { j =>
+    s"SUM(CASE WHEN (h >> ${31 - j}) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+  }.mkString(",\n    ")
+  private val simhashAssemble = (0 until 32).map { j =>
+    s"CASE WHEN s$j >= 0 THEN CAST(${1L << (31 - j)} AS BIGINT) ELSE 0 END"
+  }.mkString(" + ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT fp, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dups
+        |FROM (SELECT doc_id,
+        |        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |      FROM documents) t
+        |GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY rep_doc_id""".stripMargin,
+    "q_dedup_jaccard" ->
+      s"""WITH $shingleCtes,
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT * FROM ($jaccardSelect) j
+         |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH $shingleCtes,
+         |xv AS (SELECT doc_id, sh, ${duckHex("md5(sh)", 1, 8)} AS x FROM sh),
+         |hf(i, a, b) AS (VALUES $minhashHf),
+         |mh AS (SELECT doc_id, i, MIN((a * x + b) % ${Dedup.MinhashP}) AS m
+         |  FROM xv CROSS JOIN hf GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, CAST(CEIL(i / 2.0) AS INT) AS band,
+         |    md5(string_agg(CAST(m AS VARCHAR), '_' ORDER BY i)) AS sig
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+         |              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  GROUP BY 1, 2)
+         |SELECT * FROM ($jaccardSelect) j
+         |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |xv AS (SELECT doc_id, ${duckHex("md5(tok)", 1, 8)} AS h FROM toks),
+         |bits AS (SELECT doc_id,
+         |    $simhashBitSums
+         |  FROM xv GROUP BY 1),
+         |sim AS (SELECT doc_id, ($simhashAssemble) AS simhash FROM bits)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ROUND(${dot("a.v", "b.v")} /
+         |      (sqrt(${dot("a.v", "a.v")}) * sqrt(${dot("b.v", "b.v")})), 6) AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+         |WHERE cos >= $CosineThreshold ORDER BY vec_a, vec_b""".stripMargin,
+    "q_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROUND(${dot("q.v", "c.v")} /
+         |      (sqrt(${dot("q.v", "q.v")}) * sqrt(${dot("c.v", "c.v")})), 6) AS cos
+         |  FROM e q JOIN e c ON q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM (
+         |  SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v, label FROM embeddings),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROUND(${dot("q.v", "c.v")} /
+         |      (sqrt(${dot("q.v", "q.v")}) * sqrt(${dot("c.v", "c.v")})), 6) AS cos
+         |  FROM e q JOIN e c ON q.vec_id % 25 = 0 AND q.label = c.label
+         |    AND q.vec_id <> c.vec_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM (
+         |  SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_text_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(toks) AS INT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+        |    CAST(len(list_filter(toks,
+        |      x -> x IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
+        |      / len(toks) AS sr
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_distinct, ROUND(sr, 4) AS stop_ratio,
+        |  ROUND(0.4 * LEAST(1.0, n_tokens / 50.0)
+        |      + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+        |      + 0.3 * (1.0 - sr), 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_lang_id" -> {
+      val markerSql = TextAnalysis.LangMarkers.map { case (l, m) =>
+        val list = m.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(toks, x -> x IN ($list))) AS INT) AS n_$l"
+      }.mkString(",\n    ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val best = s"GREATEST(${langs.map(l => s"n_$l").mkString(", ")})"
+      val pick = langs.map(l =>
+        s"WHEN n_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |    $markerSql
+         |  FROM t)
+         |SELECT doc_id, n_en, n_de, n_fr, n_es,
+         |  CASE $pick ELSE 'unknown' END AS lang_pred
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "q_fingerprint" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_sharing
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" -> {
+      val w4 = duckHex("h", 1, 4)
+      val h4 = duckHex("h", 5, 4)
+      s"""WITH b AS (SELECT doc_id, text, encode(text) AS blob FROM documents),
+         |m AS (SELECT doc_id, blob, sha256(text) AS h FROM b)
+         |SELECT doc_id, h AS payload_sha,
+         |  CAST(octet_length(blob) AS INT) AS n_bytes,
+         |  (['image', 'audio', 'video'])[doc_id % 3 + 1] AS modality,
+         |  64 + $w4 % 1856 AS width,
+         |  64 + $h4 % 1016 AS height
+         |FROM m ORDER BY doc_id""".stripMargin
+    })
+}

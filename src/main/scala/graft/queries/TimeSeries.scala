@@ -75,13 +75,14 @@ object TimeSeries extends QueryModule {
       .orderBy(col("frame_ts"))
   }
 
-  /** J8+A6 — hourly occupancy: for each hour instant contained in an
-    * event's [start, end] (inclusive both ends), COUNT(DISTINCT user_id)
-    * per (frame_ts, event_type); zero-count rows naturally omitted. */
-  def qOccupancyHourly(spark: SparkSession, dir: String): DataFrame = {
-    val iv = eventIntervals(spark, dir)
-      .filter(col("end_us") >= col("start_us")) // skip invalid intervals (derive/index.ts:470-478)
-    // first hour instant >= start: ceil to hour
+  /** J8+A6 core — hourly occupancy over an interval DataFrame with
+    * columns (event_type, user_id, start_us, end_us): for each hour
+    * instant contained in [start, end] (inclusive both ends),
+    * COUNT(DISTINCT user_id) per (frame_ts, event_type); zero-count rows
+    * naturally omitted; invalid intervals skipped. */
+  def occupancyHourly(iv0: DataFrame): DataFrame = {
+    val iv = iv0.filter(col("end_us") >= col("start_us")) // skip invalid intervals (derive/index.ts:470-478)
+    // first/last hour instants within the closed interval
     val firstHour = timestamp_micros(
       (ceil(col("start_us") / lit(3600000000.0)) * 3600000000L).cast("long"))
     val lastHour = timestamp_micros(
@@ -92,8 +93,11 @@ object TimeSeries extends QueryModule {
         explode(sequence(col("fh"), col("lh"), expr("interval 1 hour"))).as("frame_ts"))
       .groupBy(col("frame_ts"), col("event_type"))
       .agg(countDistinct(col("user_id")).as("item_count"))
-      .orderBy(col("frame_ts"), col("event_type"))
   }
+
+  def qOccupancyHourly(spark: SparkSession, dir: String): DataFrame =
+    occupancyHourly(eventIntervals(spark, dir))
+      .orderBy(col("frame_ts"), col("event_type"))
 
   /** A9 — daily occupancy rollup from the hourly frames: peak + avg. */
   def qOccupancyDaily(spark: SparkSession, dir: String): DataFrame =

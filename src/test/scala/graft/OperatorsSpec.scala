@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture-level specs for operator semantics the driver oracle can't
+  * exercise: inclusive interval boundaries, multilingual language ID,
+  * the stubbed multimodal decode, and LSH recall vs ground truth. */
+class OperatorsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("occupancy counts an interval ending exactly on an hour boundary (inclusive end)") {
+    val hour = 3600000000L // µs
+    // interval [00:30, 02:00] exactly: must appear in hours 01:00 AND 02:00
+    val iv = Seq(("a", 1L, hour / 2, 2 * hour)).toDF("event_type", "user_id", "start_us", "end_us")
+    val got = queries.TimeSeries.occupancyHourly(iv)
+      .select(unix_micros(col("frame_ts")), col("item_count")).as[(Long, Long)]
+      .collect().toMap
+    assert(got == Map(hour -> 1L, 2 * hour -> 1L))
+  }
+
+  test("occupancy skips invalid (negative) intervals") {
+    val iv = Seq(("a", 1L, 7200000000L, 3600000000L)).toDF("event_type", "user_id", "start_us", "end_us")
+    assert(queries.TimeSeries.occupancyHourly(iv).count() == 0)
+  }
+
+  test("occupancy counts distinct users, not rows") {
+    val iv = Seq(
+      ("a", 1L, 0L, 3600000000L), ("a", 1L, 0L, 3600000000L),
+      ("a", 2L, 0L, 3600000000L)).toDF("event_type", "user_id", "start_us", "end_us")
+    val got = queries.TimeSeries.occupancyHourly(iv)
+      .filter(unix_micros(col("frame_ts")) === 0L)
+      .select("item_count").as[Long].head()
+    assert(got == 2L)
+  }
+
+  test("langId classifies crafted multilingual snippets") {
+    val df = Seq(
+      (1, "the cat is in the house and it is fine"),
+      (2, "der hund und die katze das ist nicht ein haus"),
+      (3, "le chat est une merveille que je garde pour toi"),
+      (4, "el perro y los gatos es una maravilla por siempre"),
+      (5, "zzz qqq www")).toDF("id", "text")
+    val got = df.select(col("id"), functions.TextAnalysis.langId(col("text")).as("l"))
+      .as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "en", 2 -> "de", 3 -> "fr", 4 -> "es", 5 -> "unknown"))
+  }
+
+  test("quality score is in [0,1] and favors longer diverse text") {
+    val df = Seq((1, "the the the the"), (2, ("word" +: (1 to 60).map(i => s"tok$i")).mkString(" ")))
+      .toDF("id", "text")
+    val got = df.select(col("id"), functions.TextAnalysis.qualityScore(col("text")))
+      .as[(Int, Double)].collect().toMap
+    assert(got.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(got(2) > got(1))
+  }
+
+  test("minhash LSH pairs are a subset of exact jaccard pairs at same threshold") {
+    val docs = sources.Tables.documents(spark, sf)
+    val exact = operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-duplicate pairs: ${lsh -- exact}")
+    assert(lsh.nonEmpty, "LSH found no pairs — banding broken")
+  }
+
+  test("simhash byte-block join finds exactly the quadratic hamming<=3 pairs") {
+    val docs = sources.Tables.documents(spark, sf).filter(col("doc_id") < 120)
+    val sigs = operators.Dedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSeq
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val blocked = operators.Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(blocked == brute)
+  }
+
+  test("multimodal decode plumbing produces deterministic features per partition batch") {
+    val docs = Seq((0L, "abcd"), (1L, "x" * 256), (2L, "yy")).toDF("doc_id", "text")
+    val withPayload = operators.Multimodal.attachPayload(docs, "doc_id", "text")
+    val feats = operators.Multimodal.decodeFeatures(withPayload)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(0L).modality == "image" && feats(0L).frames == 1)
+    assert(feats(1L).modality == "audio" && feats(1L).frames == 2) // 1 + 256/256
+    assert(feats(2L).modality == "video" && feats(2L).n_bytes == 2)
+    assert(feats(0L).meanByte == ('a' + 'b' + 'c' + 'd') / 4.0)
+  }
+
+  test("ANN brute-force top-k self-consistency: rank 1 has max cosine") {
+    val emb = sources.Tables.embeddings(spark, sf)
+    val topk = operators.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", 5)
+      .select("rank", "cos").as[(Int, Double)].collect().sortBy(_._1)
+    assert(topk.length == 5)
+    assert(topk.map(_._2).toSeq == topk.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+  }
+}
