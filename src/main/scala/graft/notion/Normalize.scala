@@ -1,0 +1,145 @@
+package graft.notion
+
+import graft.functions.Scalars
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Raw→canonical normalization: the three record builders
+  * (SURVEY §2.3 P31) as single `select`s over the raw envelope —
+  * buildTimeslice (canon/timeslice.ts:231-320, 25 fields),
+  * buildWorkflowDefinition (workflowDefinition.ts:38-61, 8 fields),
+  * buildWorkflowStage (workflowStage.ts:93-122, 11 fields).
+  *
+  * One narrow projection per dataset; no shuffles — normalization is
+  * embarrassingly parallel and stays in one codegen stage per scan.
+  */
+object Normalize {
+  import NotionExtract._
+  import NotionSchemas._
+
+  /** P1 — page records only (normalizeDatasets.ts:19-21). */
+  def pageRecords(raw: DataFrame): DataFrame =
+    raw.filter(col("entityType") === "page" &&
+      col("pageId").isNotNull && col("pageId") =!= "")
+
+  private def rawOf(id: String): Column =
+    element_at(col("properties"), id).getField("rawValue")
+
+  private def propOf(id: String): Column = parsed(rawOf(id))
+
+  private def optProp(id: Option[String]): Column =
+    id.map(propOf).getOrElse(lit(null).cast(payloadSchema))
+
+  /** null-preserving stableEntityId (builders keep null when the source
+    * id is absent — rules are applied only to present ids). */
+  private def idOrNull(prefix: String, src: Column): Column =
+    when(src.isNotNull, Scalars.stableEntityId(prefix, src))
+
+  private val metaCreated = element_at(col("metadata"), "created_time")
+  private val metaUrl = element_at(col("metadata"), "url")
+
+  /** JS String(number) rendering: integers print without a decimal
+    * point (String(3) = "3", String(3.5) = "3.5"). */
+  def jsNumberString(n: Column): Column =
+    when(n.isNull, lit(null).cast("string"))
+      .when(n === floor(n) && abs(n) < 1e15, n.cast("long").cast("string"))
+      .otherwise(n.cast("string"))
+
+  /** P15 sortKey with JS number rendering (rules.ts:34-39). */
+  private def sortKeyParts(parts: Column*): Column =
+    lower(concat_ws("|", parts.map(p => coalesce(trim(p), lit(""))): _*))
+
+  /** P17 computeDurationSeconds on ISO strings (timeslice.ts:219-229). */
+  def durationSeconds(startedAt: Column, endedAt: Column): Column = {
+    val s = unix_millis(to_timestamp(startedAt))
+    val e = unix_millis(to_timestamp(endedAt))
+    when(startedAt.isNull || endedAt.isNull || s.isNull || e.isNull,
+      lit(null).cast("long"))
+      .otherwise(greatest(lit(0L), round((e - s) / lit(1000.0)).cast("long")))
+  }
+
+  /** buildTimeslice — 25-field canonical projection. */
+  def timeslices(raw: DataFrame, cfg: NotionConfig): DataFrame = {
+    cfg.validateOrThrow()
+    val t = cfg.timeslices
+    val startedRaw = propOf(t.startedAtDate)
+    val endedRaw = propOf(t.endedAtDate)
+    val startedAt = coalesce(firstRollupDateStart(startedRaw), dateStart(startedRaw))
+    val endedAt = coalesce(firstRollupDateStart(endedRaw), dateStart(endedRaw))
+    val pageTitle = coalesce(
+      title(propOf(cfg.workflowDefinitions.title)),
+      firstNonEmptyTitle(map_values(transform_values(col("properties"),
+        (_, v) => v.getField("rawValue")))))
+    pageRecords(raw).select(
+      Scalars.stableEntityId("timeslice", col("pageId")).as("timeslice_id"),
+      idOrNull("workflow_definition",
+        firstRollupRelationId(propOf(t.workflowDefinitionRel))).as("workflow_definition_id"),
+      idOrNull("workflow_record",
+        firstRelationId(propOf(t.workflowRecordRel))).as("workflow_record_id"),
+      firstRollupRichText(propOf(t.workflowInstancePageName)).as("workflow_instance_page_name"),
+      idOrNull("event", firstRelationId(optProp(t.fromEventRel))).as("from_event_id"),
+      idOrNull("event", firstRelationId(optProp(t.toEventRel))).as("to_event_id"),
+      firstRollupRichText(optProp(t.fromStatus)).as("from_status"),
+      firstRollupRichText(optProp(t.toStatus)).as("to_status"),
+      formulaString(optProp(t.workflowType)).as("workflow_type"),
+      idOrNull("workflow_stage",
+        firstRollupRelationId(propOf(t.fromStageRel))).as("from_step_id"),
+      idOrNull("workflow_stage",
+        firstRollupRelationId(propOf(t.toStageRel))).as("to_step_id"),
+      firstRollupRichText(propOf(t.fromTaskPageId)).as("from_task_page_id"),
+      firstRollupRichText(propOf(t.toTaskPageId)).as("to_task_page_id"),
+      firstRollupRichText(propOf(t.fromTaskName)).as("from_task_name"),
+      firstRollupRichText(propOf(t.toTaskName)).as("to_task_name"),
+      startedAt.as("started_at"),
+      endedAt.as("ended_at"),
+      durationSeconds(startedAt, endedAt).as("duration_seconds"),
+      col("pageId").as("source_page_id"),
+      col("databaseId").as("source_database_id"),
+      metaCreated.as("created_time"),
+      col("lastEditedTime").as("last_edited_time"),
+      metaUrl.as("page_url"),
+      pageTitle.as("page_title"),
+      transform_values(col("properties"), (_, v) => v.getField("rawValue")).as("attributes"))
+  }
+
+  /** buildWorkflowDefinition — 8-field canonical projection. */
+  def workflowDefinitions(raw: DataFrame, cfg: NotionConfig): DataFrame = {
+    val titleId = cfg.workflowDefinitions.title
+    val allRawValues = map_values(transform_values(col("properties"),
+      (_, v) => v.getField("rawValue")))
+    val configured =
+      if (titleId.trim.nonEmpty) titleFromAllProperties(array(rawOf(titleId)))
+      else lit(null).cast("string")
+    pageRecords(raw).select(
+      Scalars.stableEntityId("workflow_definition", col("pageId")).as("workflow_definition_id"),
+      col("pageId").as("source_page_id"),
+      col("databaseId").as("source_database_id"),
+      coalesce(configured, titleFromAllProperties(allRawValues)).as("page_title"),
+      metaCreated.as("created_time"),
+      col("lastEditedTime").as("last_edited_time"),
+      metaUrl.as("page_url"),
+      transform_values(col("properties"), (_, v) => v.getField("rawValue")).as("attributes"))
+  }
+
+  /** buildWorkflowStage — 11-field canonical projection incl. sort_key. */
+  def workflowStages(raw: DataFrame, cfg: NotionConfig): DataFrame = {
+    cfg.validateOrThrow()
+    val s = cfg.workflowStages
+    val wfId = idOrNull("workflow_definition",
+      firstRelationId(propOf(s.workflowDefinitionRel)))
+    val stageNumber = numberValue(propOf(s.stageNumber))
+    val stageLabel = firstDisplayText(propOf(s.stageLabel))
+    pageRecords(raw).select(
+      Scalars.stableEntityId("workflow_stage", col("pageId")).as("workflow_stage_id"),
+      wfId.as("workflow_definition_id"),
+      col("pageId").as("source_page_id"),
+      col("databaseId").as("source_database_id"),
+      stageNumber.as("stage_number"),
+      stageLabel.as("stage_label"),
+      sortKeyParts(wfId, jsNumberString(stageNumber), stageLabel, col("pageId")).as("sort_key"),
+      metaCreated.as("created_time"),
+      col("lastEditedTime").as("last_edited_time"),
+      metaUrl.as("page_url"),
+      transform_values(col("properties"), (_, v) => v.getField("rawValue")).as("attributes"))
+  }
+}

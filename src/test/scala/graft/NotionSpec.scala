@@ -1,0 +1,291 @@
+package graft
+
+import graft.notion._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference-parity fixtures (mirrors /root/reference/src/test/fixtures.ts
+  * and the exact assertions of normalize.test.ts:27-100): distractor
+  * properties must be ignored because extraction is driven solely by
+  * configured property IDs; re-pointing an ID changes the output. */
+object NotionFixtures {
+  import NotionSchemas._
+
+  val cfg: NotionConfig = NotionConfig(
+    timeslices = TimeslicePropertyIds(
+      workflowDefinitionRel = "rel_workflow",
+      workflowRecordRel = "rel_workflow_record",
+      workflowInstancePageName = "rollup_instance_name",
+      fromStageRel = "rel_from_step",
+      toStageRel = "rel_to_step",
+      startedAtDate = "start_date",
+      endedAtDate = "end_date",
+      fromTaskPageId = "rt_from_task_page",
+      toTaskPageId = "rt_to_task_page",
+      fromTaskName = "rt_from_task_name",
+      toTaskName = "rt_to_task_name"),
+    workflowStages = WorkflowStagePropertyIds(
+      workflowDefinitionRel = "wf_rel",
+      stageNumber = "stage_number",
+      stageLabel = "stage_label"),
+    workflowDefinitions = WorkflowDefinitionPropertyIds(title = "title_prop"))
+
+  private def prop(id: String, ptype: String, rawValueJson: String): String =
+    s""""$id": {"propertyId": "$id", "propertyName": "$id", "propertyType": "$ptype",
+       |  "rawValue": ${escape(rawValueJson)}}""".stripMargin
+  private def escape(json: String): String =
+    "\"" + json.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def relation(id: String): String =
+    s"""{"type":"relation","relation":[{"id":"$id"}]}"""
+  private def rollupRelation(id: String): String =
+    s"""{"type":"rollup","rollup":{"type":"array","array":[{"type":"relation","relation":[{"id":"$id"}]}],"function":"show_original"}}"""
+  private def rollupDate(start: String): String =
+    s"""{"type":"rollup","rollup":{"type":"array","array":[{"type":"date","date":{"start":"$start"}}],"function":"show_original"}}"""
+  private def rollupRichText(text: String): String =
+    s"""{"type":"rollup","rollup":{"type":"array","array":[{"type":"rich_text","rich_text":[{"plain_text":"$text"}]}]}}"""
+  private def dateP(start: String): String =
+    s"""{"type":"date","date":{"start":"$start","end":null,"time_zone":null}}"""
+  private def titleP(text: String): String =
+    s"""{"type":"title","title":[{"plain_text":"$text"}]}"""
+
+  /** Timeslice raw record (fixtures.ts:3-89) incl. misleading
+    * relation/date distractors. */
+  val timesliceJson: String =
+    s"""{"source":"notion","entityType":"page",
+       |"databaseId":"db-ts","pageId":"12345678-1234-1234-1234-1234567890ab",
+       |"lastEditedTime":"2026-02-01T12:10:00.000Z",
+       |"properties":{
+       |${prop("title_prop", "title", titleP("Example Slice"))},
+       |${prop("rel_workflow", "rollup", rollupRelation("aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa"))},
+       |${prop("rel_workflow_record", "relation", relation("eeeeeeee-eeee-eeee-eeee-eeeeeeeeeeee"))},
+       |${prop("rollup_instance_name", "rollup", rollupRichText("Instance A"))},
+       |${prop("rel_from_step", "rollup", rollupRelation("bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb"))},
+       |${prop("rel_to_step", "rollup", rollupRelation("cccccccc-cccc-cccc-cccc-cccccccccccc"))},
+       |${prop("start_date", "date", dateP("2026-02-01T12:00:00.000Z"))},
+       |${prop("end_date", "date", dateP("2026-02-01T12:05:00.000Z"))},
+       |${prop("rt_from_task_page", "rollup", rollupRichText("task-page-1"))},
+       |${prop("rt_to_task_page", "rollup", rollupRichText("task-page-2"))},
+       |${prop("rt_from_task_name", "rollup", rollupRichText("Task One"))},
+       |${prop("rt_to_task_name", "rollup", rollupRichText("Task Two"))},
+       |${prop("misleading_relation", "rollup", rollupRelation("dddddddd-dddd-dddd-dddd-dddddddddddd"))},
+       |${prop("misleading_date", "date", dateP("2026-02-01T20:00:00.000Z"))}
+       |},
+       |"metadata":{"created_time":"2026-02-01T12:00:00.000Z","url":"https://notion.so/page"}}"""
+      .stripMargin.replace("\n", " ")
+
+  /** Workflow stage raw record (fixtures.ts:91-150). */
+  val stageJson: String =
+    s"""{"source":"notion","entityType":"page",
+       |"databaseId":"db-st","pageId":"22222222-2222-2222-2222-222222222222",
+       |"lastEditedTime":"2026-02-01T10:00:00.000Z",
+       |"properties":{
+       |${prop("wf_rel", "relation", relation("aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa"))},
+       |${prop("stage_number", "number", """{"type":"number","number":3}""")},
+       |${prop("stage_label", "rich_text", """{"type":"rich_text","rich_text":[{"plain_text":"Approved"}]}""")},
+       |${prop("misleading_rel", "relation", relation("ffffffff-ffff-ffff-ffff-ffffffffffff"))},
+       |${prop("misleading_number", "number", """{"type":"number","number":999}""")}
+       |},
+       |"metadata":{"created_time":"2026-01-01T00:00:00.000Z","url":"https://notion.so/stage"}}"""
+      .stripMargin.replace("\n", " ")
+
+  /** Workflow definition raw record. */
+  val defJson: String =
+    s"""{"source":"notion","entityType":"page",
+       |"databaseId":"db-wf","pageId":"aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa",
+       |"lastEditedTime":"2026-01-15T00:00:00.000Z",
+       |"properties":{
+       |${prop("title_prop", "title", titleP("My Workflow"))}
+       |},
+       |"metadata":{"created_time":"2026-01-01T00:00:00.000Z","url":"https://notion.so/wf"}}"""
+      .stripMargin.replace("\n", " ")
+
+  /** Synthetic database-entity record (must be filtered out, P1). */
+  val dbJson: String =
+    """{"source":"notion","entityType":"database","databaseId":"db-ts","pageId":null,
+      |"lastEditedTime":null,"properties":{},"metadata":{}}""".stripMargin.replace("\n", " ")
+
+  def readRaw(spark: org.apache.spark.sql.SparkSession, lines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.schema(NotionSchemas.rawRecordSchema).json(lines.toDS)
+  }
+}
+
+class NotionSpec extends AnyFunSuite {
+  import TestSpark._
+  import NotionFixtures._
+
+  lazy val rawTs: DataFrame = readRaw(spark, Seq(timesliceJson, dbJson))
+  lazy val rawStage: DataFrame = readRaw(spark, Seq(stageJson))
+  lazy val rawDef: DataFrame = readRaw(spark, Seq(defJson))
+  lazy val ts: DataFrame = Normalize.timeslices(rawTs, cfg)
+  lazy val stages: DataFrame = Normalize.workflowStages(rawStage, cfg)
+  lazy val defs: DataFrame = Normalize.workflowDefinitions(rawDef, cfg)
+
+  test("timeslice extraction matches reference assertions (normalize.test.ts:27-44)") {
+    val rows = ts.collect()
+    assert(rows.length == 1, "database record must be filtered out")
+    val r = rows(0)
+    def s(n: String): String = r.getAs[String](n)
+    assert(s("timeslice_id") == "timeslice_123456781234123412341234567890ab")
+    assert(s("workflow_definition_id") == "workflow_definition_" + "a" * 32)
+    assert(s("workflow_record_id") == "workflow_record_" + "e" * 32)
+    assert(s("from_step_id") == "workflow_stage_" + "b" * 32)
+    assert(s("to_step_id") == "workflow_stage_" + "c" * 32)
+    assert(s("started_at") == "2026-02-01T12:00:00.000Z")
+    assert(s("ended_at") == "2026-02-01T12:05:00.000Z")
+    assert(r.getAs[Long]("duration_seconds") == 300L)
+    assert(s("workflow_instance_page_name") == "Instance A")
+    assert(s("page_title") == "Example Slice")
+    assert(s("from_task_name") == "Task One")
+    assert(s("page_url") == "https://notion.so/page")
+  }
+
+  test("distractor re-pointing changes output (normalize.test.ts:46-67)") {
+    val repointed = cfg.copy(timeslices =
+      cfg.timeslices.copy(workflowDefinitionRel = "misleading_relation"))
+    val r = Normalize.timeslices(rawTs, repointed).collect()(0)
+    assert(r.getAs[String]("workflow_definition_id") == "workflow_definition_" + "d" * 32)
+    // untouched fields stay put
+    assert(r.getAs[String]("started_at") == "2026-02-01T12:00:00.000Z")
+  }
+
+  test("blank configured ID fails fast (normalize.test.ts:69-83)") {
+    val broken = cfg.copy(timeslices = cfg.timeslices.copy(startedAtDate = " "))
+    val e = intercept[IllegalArgumentException] {
+      Normalize.timeslices(rawTs, broken)
+    }
+    assert(e.getMessage.contains("startedAtDate"))
+  }
+
+  test("workflow stage extraction (normalize.test.ts:85-100)") {
+    val r = stages.collect()(0)
+    assert(r.getAs[String]("workflow_stage_id") == "workflow_stage_" + "2" * 32)
+    assert(r.getAs[String]("workflow_definition_id") == "workflow_definition_" + "a" * 32)
+    assert(r.getAs[Double]("stage_number") == 3.0)
+    assert(r.getAs[String]("stage_label") == "Approved")
+    assert(r.getAs[String]("sort_key") ==
+      s"workflow_definition_${"a" * 32}|3|approved|22222222-2222-2222-2222-222222222222")
+  }
+
+  test("workflow definition title binding") {
+    val r = defs.collect()(0)
+    assert(r.getAs[String]("workflow_definition_id") == "workflow_definition_" + "a" * 32)
+    assert(r.getAs[String]("page_title") == "My Workflow")
+  }
+
+  test("timestamp offset form +00:00 parses like Z (timeslice.ts:326-345)") {
+    val js = timesliceJson.replace("2026-02-01T12:05:00.000Z", "2026-02-01T12:05:00.000+00:00")
+    val r = Normalize.timeslices(readRaw(spark, Seq(js)), cfg).collect()(0)
+    assert(r.getAs[Long]("duration_seconds") == 300L)
+  }
+
+  test("quality rules fire and exclusion drops missing-workflow rows") {
+    import spark.implicits._
+    val crafted = Seq(
+      // missing workflow definition → error + excluded
+      ("timeslice_x1", null, "workflow_stage_b", null, null, null),
+      // from step without started_at → warn
+      ("timeslice_x2", "workflow_definition_a", "workflow_stage_b", null, null, "2026-02-01T12:00:00.000Z"),
+      // negative duration → warn
+      ("timeslice_x3", "workflow_definition_a", null, "2026-02-01T12:10:00.000Z", "2026-02-01T12:00:00.000Z", null))
+      .toDF("timeslice_id", "workflow_definition_id", "from_step_id", "started_at", "ended_at", "to_ignore")
+      .withColumn("to_step_id", lit(null).cast("string"))
+      .drop("to_ignore")
+    val issues = Quality.timesliceIssues(crafted, "2026-02-01")
+    val byRule = issues.groupBy("rule").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRule("MISSING_WORKFLOW_DEFINITION") == 1)
+    assert(byRule("FROM_STEP_WITHOUT_STARTED_AT") == 2) // x1 AND x2 (rules don't short-circuit)
+    assert(byRule("NEGATIVE_DURATION") == 1)
+    assert(byRule("WORKFLOW_WITH_NO_STEPS") == 1) // x3 has wf but no steps
+    assert(byRule("STEPS_WITHOUT_ANY_TIMESTAMP") == 2) // x1, x2
+    assert(Quality.excludeTimeslices(crafted).count() == 2)
+    // deterministic issue id = sha256("2026-02-01|timeslices|timeslice_x1|MISSING_WORKFLOW_DEFINITION")
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("2026-02-01|timeslices|timeslice_x1|MISSING_WORKFLOW_DEFINITION".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val got = issues.filter(col("rule") === "MISSING_WORKFLOW_DEFINITION")
+      .select("issue_id").collect()(0).getString(0)
+    assert(got == expected)
+  }
+
+  test("derive produces the 7-table star schema with parity semantics") {
+    val tables = Derive.deriveAll(defs, stages, ts)
+    assert(tables.keySet == Derive.ExpectedTables.toSet)
+
+    val fact = tables("FactTimeslices").collect()
+    assert(fact.length == 1)
+    val f = fact(0)
+    assert(f.getAs[String]("Name") == "Example Slice")
+    assert(f.getAs[String]("Workflow Definition") == "My Workflow")
+    // from_step resolves to the stage page id (J2)
+    assert(f.getAs[String]("from_stage_key") == null) // from_step bbbb… not among stages
+    assert(f.getAs[String]("to_stage_key") == null)
+    assert(f.getAs[Long]("Minutes Diff") == 5L)
+    // OLE serial for 2026-02-01T12:00:00Z
+    val expectedSerial = (java.time.Instant.parse("2026-02-01T12:00:00Z").toEpochMilli
+      - (-2209161600000L)) / 86400000.0
+    assert(math.abs(f.getAs[Double]("From Time") - expectedSerial) < 1e-9)
+    assert(f.getAs[String]("To DateTime") == "2026-02-01T12:05:00.000Z")
+    assert(f.getAs[String]("To Date") == "2026-02-01T00:00:00.000Z") // LA day of 12:05 UTC = Feb 1
+
+    val dimStage = tables("DimStage").collect()
+    assert(dimStage.length == 1)
+    val st = dimStage(0)
+    assert(st.getAs[String]("Stage Label") == "03. Approved")
+    assert(st.getAs[Long]("stage_n") == 3L)
+    // color parity: sha256(stage page id) first-8-hex % 36 into the palette
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("22222222-2222-2222-2222-222222222222".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val idx = (java.lang.Long.parseLong(digest.take(8), 16) % 36).toInt
+    assert(st.getAs[String]("color_hex") == Derive.ColorHexValues(idx))
+
+    val dimWf = tables("DimWorkflow").collect()
+    assert(dimWf.length == 1 &&
+      dimWf(0).getAs[String]("workflow_definition") == "My Workflow")
+
+    val dimDate = tables("DimDate").collect()
+    assert(dimDate.length == 1 && dimDate(0).getAs[Int]("date_key") == 20260201)
+    assert(dimDate(0).getAs[String]("month_name") == "Feb")
+    assert(dimDate(0).getAs[String]("Date") == "2026-02-01T00:00:00.000Z")
+
+    val frames = tables("DimPlaybackFrame").collect()
+    // candidates span 12:00..12:10 → hours 12:00 only
+    assert(frames.length == 1)
+    assert(frames(0).getAs[Long]("frame_n") == 0L)
+    assert(frames(0).getAs[String]("frame_datetime") == "2026-02-01T12:00:00.000Z")
+
+    Derive.assertIntegrity(tables("FactTimeslices"), tables("DimStage"),
+      tables("DimWorkflow"), stages, defs)
+  }
+
+  test("occupancy + throughput derive from resolvable stage intervals") {
+    import spark.implicits._
+    // stage with known number + a timeslice entering it
+    val stage2Json = stageJson
+      .replace("22222222-2222-2222-2222-222222222222", "33333333-3333-3333-3333-333333333333")
+    val stages2 = Normalize.workflowStages(readRaw(spark, Seq(stageJson, stage2Json)), cfg)
+    val tsJson2 = timesliceJson.replace(
+      "bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb", "22222222-2222-2222-2222-222222222222")
+    val ts2 = Normalize.timeslices(readRaw(spark, Seq(tsJson2)), cfg)
+    val tables = Derive.deriveAll(defs, stages2, ts2)
+
+    val occ = tables("StageOccupancy_Hourly").collect()
+    assert(occ.length == 1) // interval [12:00,12:05] contains hour 12:00 only
+    assert(occ(0).getAs[Long]("item_count") == 1L)
+    assert(occ(0).getAs[String]("stage") == "Approved")
+    assert(occ(0).getAs[String]("snapshot_label") == "2026-02-01 04:00") // LA = UTC-8 in Feb
+
+    val thr = tables("StageThroughput_Daily").collect()
+    assert(thr.length == 1)
+    val t = thr(0)
+    assert(t.getAs[Long]("entry_count") == 1L)
+    assert(t.getAs[Long]("exit_count") == 1L)
+    assert(t.getAs[Long]("occupancy_peak") == 1L)
+    assert(t.getAs[Double]("occupancy_avg") == 1.0)
+    assert(t.getAs[Int]("bucket_n") == 20260201)
+  }
+}
