@@ -88,13 +88,15 @@ object Dedup {
   /** 8 bands × 2 rows. */
   val Bands = 8
 
-  /** Per-doc 16-value MinHash signature (one scan, 16 min-aggregates). */
+  /** Per-doc 16-value MinHash signature (one scan, 16 min-aggregates).
+    * The md5-based shingle hash is materialized ONCE per row — 16 agg
+    * expressions then share it instead of re-hashing. */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val x = hash32(col("sh"))
+    val hashed = sh.withColumn("x", hash32(col("sh")))
     val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * x + lit(b)) % lit(MinhashP)).as(s"m${i + 1}")
+      min((lit(a) * col("x") + lit(b)) % lit(MinhashP)).as(s"m${i + 1}")
     }
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** Banded LSH signatures: (doc_id, band, sig) with sig = md5 of the
@@ -143,10 +145,10 @@ object Dedup {
     * sums in ONE aggregation pass, then bit assembly. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("tok"))
-    val h = hash32(col("tok"))
+        explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", hash32(col("tok"))) // hash ONCE, share across 32 aggs
     val sums = (0 until 32).map { j =>
-      sum(when(shiftright(h, 31 - j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      sum(when(shiftright(col("h"), 31 - j).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"s$j")
     }
     val agg = toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
@@ -181,14 +183,14 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Order-stable cosine similarity between two float-array columns
-    * (left-fold in element order → bit-identical across engines). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  /** Order-stable dot product (custom codegen Expression; identical
+    * fold order to `aggregate(zip_with(...))` and the DuckDB oracle). */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotF32(a, b)
+
+  /** Order-stable cosine similarity between two float-array columns. */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact scoring;
     * pass a blocking column (e.g. coarse cluster id) to avoid the full
@@ -196,13 +198,17 @@ object Dedup {
     * the cross join entirely (see Similarity). */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, blockCol: Option[String] = None): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(emb.sparkSession)
+    // norms computed once per vector, not once per pair (3× fewer dots)
     val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va"),
       blockCol.map(col).getOrElse(lit(0)).as("blk"))
+      .withColumn("na", sqrt(dot(col("va"), col("va"))))
     val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
       blockCol.map(col).getOrElse(lit(0)).as("blk"))
+      .withColumn("nb", sqrt(dot(col("vb"), col("vb"))))
     a.join(b, Seq("blk"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }

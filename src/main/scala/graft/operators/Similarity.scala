@@ -24,13 +24,17 @@ object Similarity {
     * Output: (query_id, rank, neighbor_id, cos). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("nq", sqrt(Dedup.dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("nc", sqrt(Dedup.dot(col("cv"), col("cv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(Dedup.cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos",
+        round(Dedup.dot(col("qv"), col("cv")) / (col("nq") * col("nc")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
@@ -41,15 +45,19 @@ object Similarity {
     * LSH bucket). Output shape matches bruteForceTopK. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, cellCol: String, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       col(cellCol).as("cell"))
+      .withColumn("nq", sqrt(Dedup.dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       col(cellCol).as("cell"))
+      .withColumn("nc", sqrt(Dedup.dot(col("cv"), col("cv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     broadcast(q).join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(Dedup.cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos",
+        round(Dedup.dot(col("qv"), col("cv")) / (col("nq") * col("nc")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))

@@ -54,14 +54,24 @@ object LlmOps extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Same formulas as TextAnalysis.{tokenCount,distinctTokenCount,
+    * stopwordRatio,qualityScore}, but the tokenization runs ONCE via a
+    * materialized `toks` column instead of once per output column. */
   def qTextStats(spark: SparkSession, dir: String): DataFrame = {
-    val t = col("text")
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      TextAnalysis.tokenCount(t).as("n_tokens"),
-      TextAnalysis.distinctTokenCount(t).as("n_distinct"),
-      round(TextAnalysis.stopwordRatio(t), 4).as("stop_ratio"),
-      TextAnalysis.qualityScore(t).as("quality"))
+    val enStop = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+    val n = size(col("toks")).cast("double")
+    val sr = when(n > 0,
+      size(filter(col("toks"), t => t.isInCollection(enStop))) / n).otherwise(lit(0.0))
+    val diversity = when(n > 0, size(array_distinct(col("toks"))) / n).otherwise(lit(0.0))
+    Tables.documents(spark, dir)
+      .withColumn("toks", filter(split(col("text"), "\\s+"), t => t =!= ""))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        round(sr, 4).as("stop_ratio"),
+        round(lit(0.4) * least(lit(1.0), n / 50.0) + lit(0.3) * diversity +
+          lit(0.3) * (lit(1.0) - sr), 4).as("quality"))
       .orderBy(col("doc_id"))
   }
 

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming operators driven synchronously through the memory sink:
+  * a parquet directory feeds readStream; results must agree with the
+  * equivalent batch aggregation over the same files. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val streamDir: String = {
+    // stage the (nanosecond-timestamped) events file into a stream dir
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    dir
+  }
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventStream = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("streaming hourly occupancy equals the batch distinct-user count") {
+    val q = streaming.EventStreams.hourlyOccupancy(eventStream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("occ_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("occ_stream")
+        .select("frame_ts", "event_type", "item_count")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = sources.Tables.events(spark, sf)
+        .groupBy(date_trunc("hour", col("ts")).as("frame_ts"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming daily throughput equals the batch tumbling-window aggregate") {
+    val q = streaming.EventStreams.dailyThroughput(eventStream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("thr_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("thr_stream").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val batch = sources.Tables.events(spark, sf)
+        .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
