@@ -1,0 +1,73 @@
+package graft
+
+import graft.notion._
+import graft.sinks.pbi.Refresh
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end CLI flows over a staged raw data dir: normalize →
+  * excel:export → pbi:provision → pbi:refresh, entirely offline
+  * (fixtures + fake client), mirroring `run:end-to-end`. */
+class CliSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def stageRawData(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli").toString
+    def write(ds: String, lines: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(s"$dir/raw/$ds/2026-08-12")
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve("records.jsonl"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    // make the timeslice's from_step resolve to the fixture stage page
+    val tsResolvable = NotionFixtures.timesliceJson.replace(
+      "bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb", "22222222-2222-2222-2222-222222222222")
+    val tsMissingWf = NotionFixtures.timesliceJson
+      .replace("12345678-1234-1234-1234-1234567890ab", "99999999-9999-9999-9999-999999999999")
+      .replace("\"rel_workflow\": {", "\"rel_workflow_zzz\": {")
+    write("timeslices", Seq(tsResolvable, tsMissingWf, NotionFixtures.dbJson))
+    write("workflowStages", Seq(NotionFixtures.stageJson))
+    write("workflowDefinitions", Seq(NotionFixtures.defJson))
+    dir
+  }
+
+  test("normalize -> excel:export -> pbi:provision -> pbi:refresh, offline end-to-end") {
+    val dataDir = stageRawData()
+    val client = new Refresh.FakeClient
+    val env = Cli.Env(spark, NotionFixtures.cfg, client,
+      runDate = "2026-08-12", log = _ => ())
+
+    val counts = Cli.normalize(env, dataDir)
+    assert(counts("timeslices") == 1, "missing-wf timeslice excluded")
+    assert(counts("qualityIssues") == 1)
+
+    val xlsx = s"$dataDir/out.xlsx"
+    val tableCounts = Cli.excelExport(env, dataDir, xlsx)
+    assert(tableCounts.keySet == notion.Derive.ExpectedTables.toSet)
+    assert(tableCounts("FactTimeslices") == 1)
+    assert(tableCounts("StageOccupancy_Hourly") == 1)
+    assert(new java.io.File(xlsx).length() > 0)
+
+    val dsId = Cli.pbiProvision(env, dataDir, "group-1", "TimeTracking")
+    val totals = Cli.pbiRefresh(env, dataDir, "group-1", "TimeTracking")
+    assert(totals.tablesProcessed == 7)
+    assert(totals.totalRowsPosted ==
+      tableCounts.values.sum, "every derived row posted")
+    assert(client.tableRows(s"group-1/$dsId/FactTimeslices").size == 1)
+  }
+
+  test("normalize fails fast when a dataset has no raw partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli2").toString
+    val env = Cli.Env(spark, NotionFixtures.cfg, log = _ => ())
+    val e = intercept[IllegalStateException](Cli.normalize(env, dir))
+    assert(e.getMessage.contains("No raw data found"))
+  }
+
+  test("pbi:refresh without provision fails with a clear message") {
+    val dataDir = stageRawData()
+    val env = Cli.Env(spark, NotionFixtures.cfg, log = _ => ())
+    Cli.normalize(env, dataDir)
+    val e = intercept[IllegalStateException](
+      Cli.pbiRefresh(env, dataDir, "group-1", "TimeTracking"))
+    assert(e.getMessage.contains("pbi:provision"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+class SinksSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("JSONL sink writes the partitioned layout and reads back losslessly") {
+    val base = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val df = Seq((1L, "a", Option("x")), (2L, "b", None)).toDF("id", "name", "opt")
+    sinks.JsonlSink.write(df, base, "canon", "things", "2026-08-12", singleFile = true)
+    sinks.JsonlSink.write(df, base, "canon", "things", "2026-08-11", singleFile = true)
+    // S5 latest-partition discovery: lexicographically last
+    assert(sinks.JsonlSink.latestDate(spark, base, "canon", "things").contains("2026-08-12"))
+    val back = sinks.JsonlSink.read(spark, df.schema, base, "canon", "things", "2026-08-12")
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("Excel sink produces a valid xlsx with sorted styled sheets and null->''") {
+    val path = java.nio.file.Files.createTempDirectory("graft-xlsx").toString + "/out.xlsx"
+    val t1 = Seq((1L, Option("alpha")), (2L, None)).toDF("id", "label")
+    val t2 = Seq((3.5, true)).toDF("score", "flag")
+    sinks.ExcelSink.write(Map("Zeta" -> t2, "Alpha" -> t1), path)
+
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val entries = zf.entries().asScala.map(_.getName).toSet
+      assert(entries.contains("xl/workbook.xml") && entries.contains("xl/styles.xml"))
+      def slurp(n: String): String =
+        new String(zf.getInputStream(zf.getEntry(n)).readAllBytes(), "UTF-8")
+      val wb = slurp("xl/workbook.xml")
+      // sheets sorted: Alpha before Zeta
+      assert(wb.indexOf("name=\"Alpha\"") < wb.indexOf("name=\"Zeta\""))
+      val s1 = slurp("xl/worksheets/sheet1.xml")
+      assert(s1.contains(">id<") && s1.contains(">label<"), "header row from column names")
+      assert(s1.contains("s=\"1\""), "header cells use the styled (bold+grey) xf")
+      assert(s1.contains("<is><t></t></is>"), "null renders as empty string")
+      assert(s1.contains("width=\"15\""), "minimum column width 15")
+      val s2 = slurp("xl/worksheets/sheet2.xml")
+      assert(s2.contains("<v>3.5</v>") && s2.contains("t=\"b\""))
+      val styles = slurp("xl/styles.xml")
+      assert(styles.contains("FFE0E0E0") && styles.contains("<b/>"))
+    } finally zf.close()
+  }
+
+  test("column letters extend past Z") {
+    assert(sinks.ExcelSink.colLetter(0) == "A")
+    assert(sinks.ExcelSink.colLetter(25) == "Z")
+    assert(sinks.ExcelSink.colLetter(26) == "AA")
+    assert(sinks.ExcelSink.colLetter(27 + 26) == "BB")
+  }
+
+  test("Excel sink handles the full derived star schema") {
+    val tables = notion.Derive.deriveAll(
+      notion.Normalize.workflowDefinitions(
+        NotionFixtures.readRaw(spark, Seq(NotionFixtures.defJson)), NotionFixtures.cfg),
+      notion.Normalize.workflowStages(
+        NotionFixtures.readRaw(spark, Seq(NotionFixtures.stageJson)), NotionFixtures.cfg),
+      notion.Normalize.timeslices(
+        NotionFixtures.readRaw(spark, Seq(NotionFixtures.timesliceJson)), NotionFixtures.cfg))
+    val path = java.nio.file.Files.createTempDirectory("graft-xlsx2").toString + "/star.xlsx"
+    sinks.ExcelSink.write(tables.map { case (k, v) => k -> v.drop("attributes") }, path)
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val sheets = zf.entries().asScala.map(_.getName)
+        .count(_.startsWith("xl/worksheets/"))
+      assert(sheets == 7, "one sheet per derived table")
+    } finally zf.close()
+  }
+}
