@@ -1,0 +1,163 @@
+package graft.notion
+
+import graft.util.{Clock, RateLimiter, Retry, SystemClock}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S1-S3 — driver-side Notion ingestion (src/ingress/notionAdapter.ts +
+  * pullNotion.ts) behind an adapter trait: cursor-paginated full scans
+  * (page_size 100) under the global 3 rps limiter and retry policy,
+  * property re-keying by stable property ID, a synthetic database
+  * record, and fail-fast envelope validation.
+  *
+  * HTTP never appears here — a production adapter implements
+  * `NotionAdapter` over whatever client is available; tests and offline
+  * runs use [[FakeNotionAdapter]] with recorded payloads. The pull
+  * itself is driver-side by design (a rate-limited cursor API cannot
+  * fan out); the resulting records parallelize the moment they become
+  * a DataFrame. At real scale the upgrade path is a DataSourceV2
+  * TableProvider with cursor-split readers (SURVEY §2.1 S1).
+  */
+object Ingest {
+
+  /** One Notion property payload on a page or database schema:
+    * (name, id, type, payload-as-JSON). */
+  case class PropertyValue(name: String, id: Option[String], propType: Option[String],
+                           rawValueJson: String)
+
+  case class PageLike(id: String, lastEditedTime: String,
+                      createdTime: Option[String], url: Option[String],
+                      properties: Seq[PropertyValue])
+
+  case class DatabaseLike(id: String, lastEditedTime: Option[String],
+                          url: Option[String], titleJson: Option[String],
+                          properties: Seq[PropertyValue])
+
+  /** S1/S2 — the adapter surface (notionAdapter.ts:36-69). */
+  trait NotionAdapter {
+    def retrieveDatabase(databaseId: String): DatabaseLike
+    /** One cursor page: (results, nextCursor). page_size is 100. */
+    def queryDatabasePage(databaseId: String, startCursor: Option[String],
+                          pageSize: Int): (Seq[PageLike], Option[String])
+  }
+
+  /** Cursor loop over the adapter (queryAllPages, notionAdapter.ts:44-69). */
+  def queryAllPages(adapter: NotionAdapter, databaseId: String): Seq[PageLike] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[PageLike]
+    var cursor: Option[String] = None
+    var first = true
+    while (first || cursor.isDefined) {
+      first = false
+      val (results, next) = adapter.queryDatabasePage(databaseId, cursor, 100)
+      out ++= results
+      cursor = next
+    }
+    out.toSeq
+  }
+
+  /** Wrap any adapter with the reference's throttling: global 3 rps
+    * limiter around every call, each retried (5 retries, base 500 ms,
+    * cap 8 s) — notionAdapter.ts:75-84. */
+  def throttled(inner: NotionAdapter, clock: Clock = SystemClock,
+                jitter: () => Long = () => scala.util.Random.nextInt(201).toLong): NotionAdapter =
+    new NotionAdapter {
+      private val limiter = new RateLimiter(3, clock)
+      private val opts = Retry.RetryOptions(maxRetries = 5, baseDelayMs = 500,
+        maxDelayMs = 8000)
+      private def call[T](op: () => T): T =
+        limiter.schedule(() => Retry.retry(opts, clock, jitter)(op))
+      def retrieveDatabase(id: String): DatabaseLike = call(() => inner.retrieveDatabase(id))
+      def queryDatabasePage(id: String, c: Option[String], n: Int): (Seq[PageLike], Option[String]) =
+        call(() => inner.queryDatabasePage(id, c, n))
+    }
+
+  /** Raw record rows in the rawRecordSchema envelope shape. */
+  case class RawPropertyRow(propertyId: String, propertyName: String,
+                            propertyType: String, rawValue: String)
+  case class RawRecordRow(source: String, entityType: String, databaseId: String,
+                          pageId: Option[String], lastEditedTime: Option[String],
+                          properties: Map[String, RawPropertyRow],
+                          metadata: Map[String, String])
+
+  private def validate(r: RawRecordRow): RawRecordRow = {
+    // rawRecordSchema.parse analog (rawRecord.ts:9-18): fail fast on a
+    // malformed envelope instead of propagating bad rows downstream.
+    require(r.source.nonEmpty, "source must be non-empty")
+    require(r.entityType == "database" || r.entityType == "page",
+      s"entityType must be database|page, got '${r.entityType}'")
+    require(r.databaseId.nonEmpty, "databaseId must be non-empty")
+    r.properties.foreach { case (k, p) =>
+      require(k.nonEmpty && p.propertyId.nonEmpty, "property ids must be non-empty")
+    }
+    r
+  }
+
+  /** S3 — pull one dataset (pullNotion.ts:67-107): DB schema record +
+    * page records, properties RE-KEYED BY PROPERTY ID via the schema's
+    * name→id map (page payloads key by display name). */
+  def pullDataset(adapter: NotionAdapter, dataset: String,
+                  databaseId: String): Seq[RawRecordRow] = {
+    val db = adapter.retrieveDatabase(databaseId)
+    val pages = queryAllPages(adapter, databaseId)
+    val nameToId: Map[String, (String, String)] = db.properties.map { p =>
+      p.name -> (p.id.getOrElse(p.name), p.propType.getOrElse("unknown"))
+    }.toMap
+
+    val databaseRecord = RawRecordRow(
+      source = "notion", entityType = "database", databaseId = databaseId,
+      pageId = None, lastEditedTime = db.lastEditedTime,
+      properties = db.properties.map { p =>
+        val id = p.id.getOrElse(p.name)
+        id -> RawPropertyRow(id, p.name, p.propType.getOrElse("unknown"), p.rawValueJson)
+      }.toMap,
+      metadata = Map("dataset" -> dataset) ++
+        db.titleJson.map("title" -> _) ++ db.url.map("url" -> _))
+
+    val pageRecords = pages.map { page =>
+      RawRecordRow(
+        source = "notion", entityType = "page", databaseId = databaseId,
+        pageId = Some(page.id), lastEditedTime = Some(page.lastEditedTime),
+        properties = page.properties.map { p =>
+          val (id, tpe) = nameToId.getOrElse(p.name,
+            (p.id.getOrElse(p.name), p.propType.getOrElse("unknown")))
+          id -> RawPropertyRow(id, p.name, tpe, p.rawValueJson)
+        }.toMap,
+        metadata = Map("dataset" -> dataset) ++
+          page.createdTime.map("created_time" -> _) ++ page.url.map("url" -> _))
+    }
+
+    (databaseRecord +: pageRecords).map(validate)
+  }
+
+  /** Pulled records → raw DataFrame in the rawRecordSchema envelope. */
+  def toDataFrame(spark: SparkSession, records: Seq[RawRecordRow]): DataFrame = {
+    import org.apache.spark.sql.Row
+    val rows = records.map { r =>
+      Row(r.source, r.entityType, r.databaseId, r.pageId.orNull,
+        r.lastEditedTime.orNull,
+        r.properties.map { case (k, p) =>
+          k -> Row(p.propertyId, p.propertyName, p.propertyType, p.rawValue)
+        },
+        r.metadata)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 5000)),
+      NotionSchemas.rawRecordSchema)
+  }
+
+  /** Recorded-payload adapter for tests/offline runs; counts calls so
+    * pagination and throttling are observable. */
+  final class FakeNotionAdapter(db: DatabaseLike, pages: Seq[PageLike],
+                                pageSize: Int = 100) extends NotionAdapter {
+    var retrieveCalls = 0
+    var queryCalls = 0
+    def retrieveDatabase(databaseId: String): DatabaseLike = { retrieveCalls += 1; db }
+    def queryDatabasePage(databaseId: String, startCursor: Option[String],
+                          requested: Int): (Seq[PageLike], Option[String]) = {
+      queryCalls += 1
+      val start = startCursor.map(_.toInt).getOrElse(0)
+      val slice = pages.slice(start, start + pageSize)
+      val next = if (start + pageSize < pages.size) Some((start + pageSize).toString) else None
+      (slice, next)
+    }
+  }
+}
