@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{LlmOps, Relational, ScalarFuncs, TimeSeries}
+import graft.queries.{LlmOps, NotionParity, Relational, ScalarFuncs, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,7 @@ import graft.queries.{LlmOps, Relational, ScalarFuncs, TimeSeries}
 object SparkEntry {
   /** Registered query modules, in presentation order. */
   def modules: Seq[QueryModule] = Seq(
-    Relational, TimeSeries, ScalarFuncs, LlmOps)
+    Relational, TimeSeries, ScalarFuncs, LlmOps, NotionParity)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
