@@ -51,11 +51,13 @@ object Scalars {
       greatest(lit(0L),
         round((unix_millis(end) - unix_millis(start)) / lit(1000.0)).cast("long")))
 
-  /** P18 — extract hyphenated UUID; else re-hyphenate 32-hex; else null. */
+  /** P18 — extract hyphenated UUID; else re-hyphenate 32-hex; else null.
+    * Patterns are UNANCHORED substring searches, matching the
+    * reference's regex.exec semantics (derive/index.ts:345-364). */
   def toUuidMaybe(c: Column): Column = {
     val hyphenated = regexp_extract(lower(c),
       "([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})", 1)
-    val compact = regexp_extract(lower(c), "^([0-9a-f]{32})$", 1)
+    val compact = regexp_extract(lower(c), "([0-9a-f]{32})", 1)
     val rehyph = concat_ws("-",
       substring(compact, 1, 8), substring(compact, 9, 4),
       substring(compact, 13, 4), substring(compact, 17, 4),
@@ -94,6 +96,17 @@ object Scalars {
 
   /** P28 — zero-pad to width 2. */
   def pad2(c: Column): Column = lpad(c.cast("string"), 2, "0")
+
+  /** P25 — "today" in America/Los_Angeles as YYYY-MM-DD (driver-side;
+    * pass as a job parameter for determinism — quality/timeslices.ts:174). */
+  def laRunDate(clock: graft.util.Clock = graft.util.SystemClock): String =
+    java.time.Instant.ofEpochMilli(clock.nowMs())
+      .atZone(java.time.ZoneId.of(LaTz)).toLocalDate.toString
+
+  /** P26 — UTC YYYY-MM-DD stamp for output partitions (lib/time.ts:1-3). */
+  def utcDateStamp(clock: graft.util.Clock = graft.util.SystemClock): String =
+    java.time.Instant.ofEpochMilli(clock.nowMs())
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
 
   /** 36-entry color palette (our own; the reference uses a fixed 36-color
     * table keyed the same way — derive/index.ts:55-92). */

@@ -83,6 +83,31 @@ object Cli {
     counts
   }
 
+  /** `audit:notion-schema` (cli/index.ts:156-205): fetch each database's
+    * property schema via the adapter, print `name | id | type`, write the
+    * audit JSON. Offline runs use a recorded-payload adapter. */
+  def auditNotionSchema(env: Env, adapter: Ingest.NotionAdapter, dataDir: String,
+                        databaseIds: Map[String, String]): String = {
+    val sb = new StringBuilder("{\n")
+    databaseIds.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((dataset, dbId), i) =>
+      val db = adapter.retrieveDatabase(dbId)
+      env.log(s"[audit] dataset=$dataset database=$dbId")
+      db.properties.sortBy(_.name).foreach { p =>
+        env.log(f"  ${p.name}%-30s | ${p.id.getOrElse(p.name)}%-12s | ${p.propType.getOrElse("unknown")}")
+      }
+      val props = db.properties.sortBy(_.name).map { p =>
+        s"""      {"name": "${p.name}", "id": "${p.id.getOrElse(p.name)}", "type": "${p.propType.getOrElse("unknown")}"}"""
+      }.mkString(",\n")
+      sb.append(s"""  "$dataset": {"databaseId": "$dbId", "properties": [\n$props\n  ]}""")
+      sb.append(if (i < databaseIds.size - 1) ",\n" else "\n")
+    }
+    sb.append("}\n")
+    val out = java.nio.file.Paths.get(s"$dataDir/audit/notion-schema.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, sb.toString.getBytes("UTF-8"))
+    out.toString
+  }
+
   /** `pbi:provision` (cli/index.ts:275-311). */
   def pbiProvision(env: Env, dataDir: String, groupId: String,
                    datasetName: String): String =

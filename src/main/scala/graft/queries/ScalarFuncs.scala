@@ -128,22 +128,22 @@ object ScalarFuncs extends QueryModule {
         |       WHEN p_size > 15 THEN substr(h,1,8) || '-' || substr(h,9,4) || '-' ||
         |            substr(h,13,4) || '-' || substr(h,17,4) || '-' || substr(h,21,12)
         |       ELSE p_name END AS src
-        |  FROM b)
+        |  FROM b),
+        |e AS (SELECT p_partkey, p_size, p_retailprice, src,
+        |  regexp_extract(lower(src),
+        |    '([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})', 1) AS hy,
+        |  regexp_extract(lower(src), '([0-9a-f]{32})', 1) AS cp
+        |  FROM s)
         |SELECT p_partkey, src,
         |  CASE
-        |    WHEN regexp_extract(lower(src),
-        |      '([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})', 1) <> ''
-        |    THEN regexp_extract(lower(src),
-        |      '([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})', 1)
-        |    WHEN regexp_extract(lower(src), '^([0-9a-f]{32})$', 1) <> ''
-        |    THEN substr(lower(src),1,8) || '-' || substr(lower(src),9,4) || '-' ||
-        |         substr(lower(src),13,4) || '-' || substr(lower(src),17,4) || '-' ||
-        |         substr(lower(src),21,12)
+        |    WHEN hy <> '' THEN hy
+        |    WHEN cp <> '' THEN substr(cp,1,8) || '-' || substr(cp,9,4) || '-' ||
+        |         substr(cp,13,4) || '-' || substr(cp,17,4) || '-' || substr(cp,21,12)
         |    ELSE NULL END AS uuid,
         |  GREATEST(CAST(1 AS BIGINT),
         |           CAST(ROUND(p_retailprice / 100) AS BIGINT)) AS stage_num,
         |  lpad(CAST(p_size AS VARCHAR), 2, '0') AS pad
-        |FROM s ORDER BY p_partkey""".stripMargin,
+        |FROM e ORDER BY p_partkey""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k,

@@ -70,4 +70,24 @@ class CliSpec extends AnyFunSuite {
       Cli.pbiRefresh(env, dataDir, "group-1", "TimeTracking"))
     assert(e.getMessage.contains("pbi:provision"))
   }
+
+  test("audit:notion-schema prints name|id|type and writes the audit json") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    val db = notion.Ingest.DatabaseLike("db-1", None, None, None, Seq(
+      notion.Ingest.PropertyValue("Started", Some("w%5Czt"), Some("date"), "{}"),
+      notion.Ingest.PropertyValue("Title", Some("title"), Some("title"), "{}")))
+    val adapter = new notion.Ingest.FakeNotionAdapter(db, Seq.empty)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val env = Cli.Env(spark, NotionFixtures.cfg, log = lines += _)
+    val out = Cli.auditNotionSchema(env, adapter, dir, Map("timeslices" -> "db-1"))
+    assert(lines.exists(_.contains("Started")), "schema rows printed")
+    val json = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8")
+    assert(json.contains("\"id\": \"w%5Czt\"") && json.contains("\"type\": \"date\""))
+  }
+
+  test("run-date helpers render LA vs UTC calendar dates") {
+    val clock = new graft.util.LogicalClock(start = 1704088800000L) // 2024-01-01T06:00Z
+    assert(functions.Scalars.utcDateStamp(clock) == "2024-01-01")
+    assert(functions.Scalars.laRunDate(clock) == "2023-12-31") // LA still on Dec 31
+  }
 }
