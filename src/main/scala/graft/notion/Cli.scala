@@ -83,6 +83,27 @@ object Cli {
     counts
   }
 
+  /** `pull` (cli/index.ts:40-71): pull each dataset through the adapter
+    * (throttled in production; recorded payloads offline) and land raw
+    * JSONL partitions under `raw/<dataset>/<utcDate>/`. */
+  def pull(env: Env, adapter: Ingest.NotionAdapter, dataDir: String,
+           databaseIds: Map[String, String],
+           date: String = graft.functions.Scalars.utcDateStamp()): Map[String, Long] =
+    databaseIds.map { case (dataset, dbId) =>
+      val records = Ingest.pullDataset(adapter, dataset, dbId)
+      val df = Ingest.toDataFrame(env.spark, records)
+      JsonlSink.write(df, dataDir, "raw", dataset, date, singleFile = true)
+      env.log(s"[pull] $dataset records=${records.size}")
+      dataset -> records.size.toLong
+    }
+
+  /** `run` = pull + normalize (cli/index.ts:207-210). */
+  def run(env: Env, adapter: Ingest.NotionAdapter, dataDir: String,
+          databaseIds: Map[String, String]): Map[String, Long] = {
+    pull(env, adapter, dataDir, databaseIds, env.runDate)
+    normalize(env, dataDir)
+  }
+
   /** `audit:notion-schema` (cli/index.ts:156-205): fetch each database's
     * property schema via the adapter, print `name | id | type`, write the
     * audit JSON. Offline runs use a recorded-payload adapter. */

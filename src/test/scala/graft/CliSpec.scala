@@ -90,4 +90,36 @@ class CliSpec extends AnyFunSuite {
     assert(functions.Scalars.utcDateStamp(clock) == "2024-01-01")
     assert(functions.Scalars.laRunDate(clock) == "2023-12-31") // LA still on Dec 31
   }
+
+  test("run = pull + normalize lands raw partitions then canon outputs") {
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-run").toString
+    val mkDb = (props: Seq[notion.Ingest.PropertyValue]) =>
+      notion.Ingest.DatabaseLike("db-x", None, None, None, props)
+    // minimal dataset trio: defs/stages empty, timeslices with one page
+    val tsDb = mkDb(Seq(
+      notion.Ingest.PropertyValue("Start", Some("start_date"), Some("date"), "{}"),
+      notion.Ingest.PropertyValue("End", Some("end_date"), Some("date"), "{}")))
+    val page = notion.Ingest.PageLike("12345678-1234-1234-1234-1234567890ab",
+      "2026-02-01T12:10:00.000Z", None, None, Seq(
+        notion.Ingest.PropertyValue("Start", None, None,
+          """{"type":"date","date":{"start":"2026-02-01T12:00:00.000Z"}}""")))
+    val adapters = Map(
+      "timeslices" -> new notion.Ingest.FakeNotionAdapter(tsDb, Seq(page)),
+      "workflowStages" -> new notion.Ingest.FakeNotionAdapter(mkDb(Seq.empty), Seq.empty),
+      "workflowDefinitions" -> new notion.Ingest.FakeNotionAdapter(mkDb(Seq.empty), Seq.empty))
+    val routing = new notion.Ingest.NotionAdapter {
+      def pick(id: String) = adapters(id.split(":")(0))
+      def retrieveDatabase(id: String) = pick(id).retrieveDatabase(id)
+      def queryDatabasePage(id: String, c: Option[String], n: Int) =
+        pick(id).queryDatabasePage(id, c, n)
+    }
+    val env = Cli.Env(spark, NotionFixtures.cfg, runDate = "2026-08-12", log = _ => ())
+    val counts = Cli.run(env, routing, dataDir, Map(
+      "timeslices" -> "timeslices:db", "workflowStages" -> "workflowStages:db",
+      "workflowDefinitions" -> "workflowDefinitions:db"))
+    // raw landed (db record + page), canon written; missing wf -> excluded
+    assert(new java.io.File(s"$dataDir/raw/timeslices/2026-08-12").exists())
+    assert(counts("timeslices") == 0, "timeslice without workflow definition excluded")
+    assert(counts("qualityIssues") == 1)
+  }
 }
