@@ -99,6 +99,27 @@ object TimeSeries extends QueryModule {
     occupancyHourly(eventIntervals(spark, dir))
       .orderBy(col("frame_ts"), col("event_type"))
 
+  /** A6 at 100 TB: COUNT(DISTINCT) forces an exact shuffle per key; the
+    * HLL sketch (approx_count_distinct, rsd 5%) is one pass with
+    * mergeable partial state — the right trade when frames × keys is
+    * huge. Sketch values are engine-specific, so the driver records a
+    * rows-only check (no DuckDB oracle). */
+  def qOccupancyApprox(spark: SparkSession, dir: String): DataFrame = {
+    val iv = eventIntervals(spark, dir)
+      .filter(col("end_us") >= col("start_us"))
+    val firstHour = timestamp_micros(
+      (ceil(col("start_us") / lit(3600000000.0)) * 3600000000L).cast("long"))
+    val lastHour = timestamp_micros(
+      (floor(col("end_us") / lit(3600000000.0)) * 3600000000L).cast("long"))
+    iv.withColumn("fh", firstHour).withColumn("lh", lastHour)
+      .filter(col("fh") <= col("lh"))
+      .select(col("event_type"), col("user_id"),
+        explode(sequence(col("fh"), col("lh"), expr("interval 1 hour"))).as("frame_ts"))
+      .groupBy(col("frame_ts"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("item_count_approx"))
+      .orderBy(col("frame_ts"), col("event_type"))
+  }
+
   /** A9 — daily occupancy rollup from the hourly frames: peak + avg. */
   def qOccupancyDaily(spark: SparkSession, dir: String): DataFrame =
     qOccupancyHourly(spark, dir)
@@ -131,6 +152,7 @@ object TimeSeries extends QueryModule {
     "q_date_spine"       -> qDateSpine _,
     "q_hour_spine"       -> qHourSpine _,
     "q_occupancy_hourly" -> qOccupancyHourly _,
+    "q_occupancy_approx" -> qOccupancyApprox _,
     "q_occupancy_daily"  -> qOccupancyDaily _,
     "q_throughput_daily" -> qThroughputDaily _)
 

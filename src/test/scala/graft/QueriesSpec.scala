@@ -32,9 +32,26 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  /** Sketch-based queries can't be reproduced in DuckDB; the driver
+    * records a rows-only check for them. Everything else must have an
+    * oracle. */
+  val rowsOnlyQueries = Set("q_occupancy_approx")
+
   test("every query has an oracle or is documented rows-only") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyQueries
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("approx occupancy tracks exact occupancy within HLL error") {
+    val exact = queries.TimeSeries.qOccupancyHourly(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val approx = queries.TimeSeries.qOccupancyApprox(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(2L, math.round(n * 0.15)),
+        s"approx diverged at $k: exact=$n approx=${approx(k)}")
+    }
   }
 
   test("q1_agg groups by returnflag/linestatus with positive sums") {
