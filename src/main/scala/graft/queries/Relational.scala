@@ -189,6 +189,27 @@ object Relational extends QueryModule {
     Tables.events(spark, dir).select(col("user_id")).distinct()
       .orderBy(col("user_id"))
 
+  /** As-of join — for each 'purchase' event, the user's most recent
+    * prior event of any type (operators.AsOf union+window formulation;
+    * oracle is DuckDB's native ASOF JOIN). Self-as-of over the event
+    * stream: the classic point-in-time feature lookup. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("k"), col("ts"))
+    // right side = non-purchase events only, so a purchase never
+    // self-matches (timestamps are ns-unique across the stream)
+    val prior = ev.select(col("user_id").as("k"),
+        col("ts").as("ts_r"), col("event_id").as("prior_id"),
+        col("event_type").as("prior_type"))
+      .filter(col("prior_type") =!= "purchase")
+    graft.operators.AsOf.asofJoinLeft(purchases, prior, "k",
+      "ts", "ts_r", Seq("prior_id", "prior_type"))
+      .select(col("purchase_id"), col("k").as("user_id"),
+        col("asof_prior_id").as("prior_id"), col("asof_prior_type").as("prior_type"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"              -> q1Agg _,
     "q_count_by_key"      -> qCountByKey _,
@@ -202,7 +223,8 @@ object Relational extends QueryModule {
     "q_window_rownum"     -> qWindowRownum _,
     "q_set_ops"           -> qSetOps _,
     "q_dedup_lastwin"     -> qDedupLastWin _,
-    "q_distinct"          -> qDistinct _)
+    "q_distinct"          -> qDistinct _,
+    "q_asof_join"         -> qAsofJoin _)
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -289,5 +311,15 @@ object Relational extends QueryModule {
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_distinct" ->
-      """SELECT DISTINCT user_id FROM events ORDER BY user_id""".stripMargin)
+      """SELECT DISTINCT user_id FROM events ORDER BY user_id""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_r,
+        |    event_id AS prior_id, event_type AS prior_type
+        |  FROM events WHERE event_type <> 'purchase')
+        |SELECT p.purchase_id, p.user_id, r.prior_id, r.prior_type
+        |FROM p ASOF LEFT JOIN r
+        |  ON p.user_id = r.user_id AND r.ts_r <= p.ts
+        |ORDER BY p.purchase_id""".stripMargin)
 }

@@ -98,4 +98,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(topk.length == 5)
     assert(topk.map(_._2).toSeq == topk.map(_._2).sorted(Ordering[Double].reverse).toSeq)
   }
+
+  test("as-of join picks the latest right row at-or-before, null when none") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "o1"),
+                   (1L, ts("2024-01-01 12:00:00"), "o2"),
+                   (2L, ts("2024-01-01 09:00:00"), "o3"))
+      .toDF("k", "lt", "name")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 100L), // exact tie: counts (<=)
+                    (1L, ts("2024-01-01 11:00:00"), 101L),
+                    (2L, ts("2024-01-01 09:30:00"), 102L)) // after o3: no match
+      .toDF("k", "rt", "rid")
+    val got = operators.AsOf.asofJoinLeft(left, right, "k", "lt", "rt", Seq("rid"))
+      .select("name", "asof_rid").as[(String, Option[Long])].collect().toMap
+    assert(got == Map("o1" -> Some(100L), "o2" -> Some(101L), "o3" -> None))
+  }
 }
