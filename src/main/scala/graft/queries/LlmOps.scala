@@ -178,9 +178,14 @@ object LlmOps extends QueryModule {
          |bands AS (SELECT doc_id, CAST(CEIL(i / 2.0) AS INT) AS band,
          |    md5(string_agg(CAST(m AS VARCHAR), '_' ORDER BY i)) AS sig
          |  FROM mh GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |cand0 AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |cand AS (SELECT c.doc_a, c.doc_b
+         |  FROM cand0 c JOIN mh ma ON ma.doc_id = c.doc_a
+         |               JOIN mh mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+         |  GROUP BY 1, 2
+         |  HAVING SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) >= ${graft.operators.Dedup.MinSigMatches}),
          |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
          |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
          |              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
