@@ -22,8 +22,8 @@ object NotionExtract {
     * date start; or FIRST date-typed rollup array item's start (which may
     * itself be null — JS returns it as-is). */
   def dateStart(p: Column): Column = {
-    val firstDateItem = element_at(
-      filter(p.getField("rollup").getField("array"), x => x.getField("type") === "date"), 1)
+    val firstDateItem = try_element_at(
+      filter(p.getField("rollup").getField("array"), x => x.getField("type") === "date"), lit(1))
     when(p.getField("type") === "date", p.getField("date").getField("start"))
       .when(p.getField("type") === "rollup" && p.getField("rollup").getField("type") === "date",
         p.getField("rollup").getField("date").getField("start"))
@@ -35,7 +35,7 @@ object NotionExtract {
   /** P3 extractFirstRelationId (timeslice.ts:74-84): only the FIRST
     * relation element is considered; empty id → null. */
   def firstRelationId(p: Column): Column = {
-    val id = element_at(p.getField("relation"), 1).getField("id")
+    val id = try_element_at(p.getField("relation"), lit(1)).getField("id")
     when(p.getField("type") === "relation" && size(p.getField("relation")) > 0 && nonEmpty(id), id)
       .otherwise(lit(null).cast("string"))
   }
@@ -45,8 +45,8 @@ object NotionExtract {
     * first id is empty are skipped — for-continue semantics). */
   def firstRollupRelationId(p: Column): Column = {
     val ids = transform(p.getField("rollup").getField("array"),
-      x => element_at(x.getField("relation"), 1).getField("id"))
-    val first = element_at(filter(ids, id => id.isNotNull && id =!= ""), 1)
+      x => try_element_at(x.getField("relation"), lit(1)).getField("id"))
+    val first = try_element_at(filter(ids, id => id.isNotNull && id =!= ""), lit(1))
     when(p.getField("type") === "rollup" && p.getField("rollup").getField("type") === "array", first)
       .otherwise(lit(null).cast("string"))
   }
@@ -56,7 +56,7 @@ object NotionExtract {
   def firstRollupDateStart(p: Column): Column = {
     val starts = transform(p.getField("rollup").getField("array"),
       x => when(x.getField("type") === "date", x.getField("date").getField("start")))
-    val first = element_at(filter(starts, s => s.isNotNull && s =!= ""), 1)
+    val first = try_element_at(filter(starts, s => s.isNotNull && s =!= ""), lit(1))
     when(p.getField("type") === "rollup" && p.getField("rollup").getField("type") === "array", first)
       .otherwise(lit(null).cast("string"))
   }
@@ -69,7 +69,7 @@ object NotionExtract {
       x => when(x.getField("type") === "rich_text" && x.getField("rich_text").isNotNull,
         trim(concat_ws("", transform(x.getField("rich_text"),
           t => coalesce(t.getField("plain_text"), lit("")))))))
-    val first = element_at(filter(joined, s => s.isNotNull && s =!= ""), 1)
+    val first = try_element_at(filter(joined, s => s.isNotNull && s =!= ""), lit(1))
     when(p.getField("type") === "rollup" && p.getField("rollup").getField("type") === "array", first)
       .otherwise(lit(null).cast("string"))
   }
@@ -117,8 +117,8 @@ object NotionExtract {
     * property decides (even if its join is empty → null). */
   def titleFromAllProperties(propsRawValues: Column): Column = {
     val parsedAll = transform(propsRawValues, v => parsed(v))
-    val firstTitle = element_at(
-      filter(parsedAll, x => x.getField("type") === "title" && x.getField("title").isNotNull), 1)
+    val firstTitle = try_element_at(
+      filter(parsedAll, x => x.getField("type") === "title" && x.getField("title").isNotNull), lit(1))
     when(firstTitle.isNotNull,
       nullif(concat_ws("", transform(firstTitle.getField("title"),
         t => coalesce(t.getField("plain_text"), lit("")))), lit("")))
@@ -129,6 +129,6 @@ object NotionExtract {
     * first property whose extractTitle yields a NON-EMPTY string. */
   def firstNonEmptyTitle(propsRawValues: Column): Column = {
     val titles = transform(propsRawValues, v => title(parsed(v)))
-    element_at(filter(titles, t => t.isNotNull && t =!= ""), 1)
+    try_element_at(filter(titles, t => t.isNotNull && t =!= ""), lit(1))
   }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import graft.notion.{NotionExtract, NotionSchemas}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests promised by SURVEY §5: extractors never throw on
+  * arbitrary payload nesting and honor first-match semantics;
+  * stableEntityId is idempotent-safe; DST boundaries behave.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Deterministic ScalaCheck sampling (scalatestplus bridge is not in
+    * the offline cache; raw Gen + fixed seeds gives reproducible
+    * property checks). */
+  private def forAll[A](gen: Gen[A], trials: Int = 30)(body: A => Unit): Unit =
+    (0 until trials).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i))
+        .foreach(body)
+    }
+  import TestSpark._
+  import spark.implicits._
+
+  // -- generators for ragged Notion payload JSON ----------------------
+
+  private val genLeaf: Gen[String] = Gen.oneOf(
+    Gen.const("null"), Gen.const("42"), Gen.const("\"str\""),
+    Gen.const("[]"), Gen.const("{}"), Gen.const("true"))
+
+  private def genPayload(depth: Int): Gen[String] =
+    if (depth <= 0) genLeaf
+    else Gen.oneOf(
+      genLeaf,
+      for {
+        t <- Gen.oneOf("date", "relation", "rollup", "title", "rich_text",
+          "formula", "select", "status", "number", "bogus")
+        inner <- genPayload(depth - 1)
+        field <- Gen.oneOf("date", "relation", "rollup", "title", "rich_text",
+          "formula", "select", "status", "number", "junk")
+      } yield s"""{"type":"$t","$field":$inner}""")
+
+  test("extractors never throw on arbitrarily ragged payloads (zod-parse analog)") {
+    forAll(Gen.listOfN(20, genPayload(4))) { payloads =>
+      val df = payloads.toDF("raw")
+      val p = NotionExtract.parsed(col("raw"))
+      // every extractor must evaluate to SOMETHING (null ok), never fail
+      val out = df.select(
+        NotionExtract.dateStart(p), NotionExtract.firstRelationId(p),
+        NotionExtract.firstRollupRelationId(p), NotionExtract.firstRollupDateStart(p),
+        NotionExtract.firstRollupRichText(p), NotionExtract.title(p),
+        NotionExtract.formulaString(p), NotionExtract.firstDisplayText(p),
+        NotionExtract.numberValue(p))
+      assert(out.count() == payloads.size)
+    }
+  }
+
+  test("firstRollupRelationId takes the first NON-EMPTY id (Array.find parity)") {
+    forAll(Gen.listOfN(6, Gen.oneOf("", "aaaa", "bbbb", "cccc"))) { ids =>
+      val arr = ids.map(id =>
+        if (id.isEmpty) """{"type":"relation","relation":[]}"""
+        else s"""{"type":"relation","relation":[{"id":"$id"}]}""").mkString(",")
+      val payload = s"""{"type":"rollup","rollup":{"type":"array","array":[$arr]}}"""
+      val got = Seq(payload).toDF("raw")
+        .select(NotionExtract.firstRollupRelationId(NotionExtract.parsed(col("raw"))))
+        .collect()(0).getString(0)
+      assert(got == ids.find(_.nonEmpty).orNull)
+    }
+  }
+
+  test("stableEntityId strips hyphens, lowercases, and is idempotent on its output") {
+    forAll(Gen.zip(Gen.alphaNumStr.suchThat(_.length < 50),
+        Gen.oneOf("x", "workflow_stage"))) { case (id, prefix) =>
+        val once = Seq(id).toDF("id")
+          .select(functions.Scalars.stableEntityId(prefix, col("id")))
+          .collect()(0).getString(0)
+        assert(once == s"${prefix}_${id.replace("-", "").toLowerCase}")
+        // applying the normalization again changes nothing (no '-' left)
+        assert(once.replace("-", "").toLowerCase == once.toLowerCase)
+    }
+  }
+
+  test("LA day conversion is correct across the 2024-03-10 DST spring-forward") {
+    // 09:59 UTC = 01:59 PST (UTC-8) Mar 10; 10:01 UTC = 03:01 PDT (UTC-7)
+    val cases = Seq(
+      ("2024-03-10T09:59:00.000Z", "2024-03-10", "2024-03-10 01:59"),
+      ("2024-03-10T10:01:00.000Z", "2024-03-10", "2024-03-10 03:01"),
+      ("2024-03-10T06:59:00.000Z", "2024-03-09", "2024-03-09 22:59"), // LA still Mar 9
+      ("2024-11-03T08:30:00.000Z", "2024-11-03", "2024-11-03 01:30"), // fall-back: 1st 01:30 PDT
+      ("2024-11-03T09:30:00.000Z", "2024-11-03", "2024-11-03 01:30")) // 2nd 01:30 PST
+    val df = cases.map(_._1).toDF("iso")
+      .select(col("iso"),
+        notion.Derive.laDayIso(col("iso")).as("day"),
+        notion.Derive.laLabel(col("iso")).as("label"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    cases.foreach { case (iso, day, label) =>
+      assert(df(iso) == (s"${day}T00:00:00.000Z", label), s"at $iso")
+    }
+  }
+}
