@@ -389,6 +389,34 @@ object Derive {
     tables
   }
 
+  /** Stage-3 side-channel counters (derive/index.ts:99-102,290-295):
+    * the skip-and-count policy made queryable. Computed lazily from the
+    * same lineage as the tables (counts are actions — call after or
+    * instead of materializing the DAG). */
+  case class DeriveCounters(
+    occupancySkippedMissingOrInvalidInterval: Long,
+    entryEdgeCounted: Long,
+    entryEdgeSkippedMissingTimestamp: Long,
+    nonStage1EntryEdgeObserved: Long)
+
+  def counters(ts: DataFrame, stages: DataFrame): DeriveCounters = {
+    val (_, skipped) = stageIntervals(ts, stages)
+    val toLk = broadcast(stageLookup(stages, "edge"))
+    val edges = ts.filter(col("from_step_id").isNull && col("to_step_id").isNotNull)
+      .join(toLk, col("to_step_id") === col("edge_canon_id"))
+    val stage1 = edges.filter(col("edge_stage_n") === 1)
+      .withColumn("event_ts", coalesce(
+        normIso(col("ended_at")), normIso(col("started_at")),
+        normIso(col("last_edited_time")), normIso(col("created_time"))))
+      .withColumn("bucket_day", laDayIso(col("event_ts")))
+    DeriveCounters(
+      occupancySkippedMissingOrInvalidInterval = skipped.count(),
+      entryEdgeCounted = stage1.filter(col("bucket_day").isNotNull).count(),
+      entryEdgeSkippedMissingTimestamp = stage1.filter(col("bucket_day").isNull).count(),
+      nonStage1EntryEdgeObserved =
+        edges.filter(col("edge_stage_n").isNull || col("edge_stage_n") =!= 1).count())
+  }
+
   /** J4-J6 integrity checks: throws with ≤10 samples on violation. */
   def assertIntegrity(fact: DataFrame, dimStageDf: DataFrame, dimWorkflowDf: DataFrame,
                       stages: DataFrame, defs: DataFrame): Unit = {

@@ -195,4 +195,26 @@ class NotionSpec extends AnyFunSuite {
     assert(t.getAs[Double]("occupancy_avg") == 1.0)
     assert(t.getAs[Int]("bucket_n") == 20260201)
   }
+
+  test("derive skip counters report invalid intervals and entry edges") {
+    // stage resolvable; timeslice A enters it with a valid interval;
+    // timeslice B enters it with ended < started (skipped+counted);
+    // timeslice C is a stage-1 entry edge candidate but our stage is #3
+    // (non-stage-1 observed)
+    val tsA = timesliceJson.replace(
+      "bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb", "22222222-2222-2222-2222-222222222222")
+    val tsB = tsA
+      .replace("12345678-1234-1234-1234-1234567890ab", "88888888-8888-8888-8888-888888888888")
+      .replace("2026-02-01T12:05:00.000Z", "2026-02-01T11:00:00.000Z") // ended < started
+    val tsC = timesliceJson
+      .replace("12345678-1234-1234-1234-1234567890ab", "77777777-7777-7777-7777-777777777777")
+      .replace("\"rel_from_step\": {", "\"rel_from_step_gone\": {") // no from_step
+      .replace("cccccccc-cccc-cccc-cccc-cccccccccccc", "22222222-2222-2222-2222-222222222222")
+    val ts3 = Normalize.timeslices(readRaw(spark, Seq(tsA, tsB, tsC)), cfg)
+    val stages3 = Normalize.workflowStages(readRaw(spark, Seq(stageJson)), cfg)
+    val c = Derive.counters(ts3, stages3)
+    assert(c.occupancySkippedMissingOrInvalidInterval == 1) // tsB negative interval
+    assert(c.nonStage1EntryEdgeObserved == 1) // tsC enters stage #3, not #1
+    assert(c.entryEdgeCounted == 0 && c.entryEdgeSkippedMissingTimestamp == 0)
+  }
 }
