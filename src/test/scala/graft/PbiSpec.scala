@@ -216,4 +216,23 @@ class PbiSubsystemSpec extends AnyFunSuite {
     assert(!client.calls.exists(_.startsWith("putTable:")),
       "no table upserts when schema already complete")
   }
+
+  // --- K7 token cache -------------------------------------------------
+
+  test("token cache reuses until 60s before expiry, then refreshes; retries through 429") {
+    val clock = new LogicalClock
+    var failNext = false
+    val cache = new graft.sinks.pbi.TokenCache(() => {
+      if (failNext) { failNext = false; throw Retry.HttpError(429, "slow", Map("retry-after" -> "1")) }
+      (s"tok-${clock.nowMs()}", 3600L) // 1h expiry
+    }, clock, jitter = () => 0L)
+    val t1 = cache.accessToken()
+    clock.advance(3600000L - 61000L) // 61s before expiry: still cached
+    assert(cache.accessToken() == t1 && cache.fetchCount == 1)
+    clock.advance(2000L) // now within the 60s early-expiry window
+    failNext = true // refresh must retry through a 429
+    val t2 = cache.accessToken()
+    assert(t2 != t1 && cache.fetchCount == 3, "one failed + one successful fetch")
+    assert(clock.sleeps.contains(1000L), "429 retry-after honored during refresh")
+  }
 }
