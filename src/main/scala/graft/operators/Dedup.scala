@@ -64,8 +64,16 @@ object Dedup {
                    threshold: Double): DataFrame = {
     val sh = shingleSet(docs, idCol, textCol).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    // Document-frequency pruning: a shingle appearing in exactly one doc
+    // can never contribute to an intersection, yet in natural text the
+    // singleton tail dominates the shingle volume. Semi-join to df >= 2
+    // before the pair join — pure optimization (pairs unchanged; sizes
+    // are still computed over ALL shingles, so Jaccard values are exact).
+    val shared = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("sh"))
+    val pruned = sh.join(shared, Seq("sh"), "left_semi")
+    val a = pruned.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = pruned.select(col("doc_id").as("doc_b"), col("sh"))
     val inter = a.join(b, Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -99,16 +107,22 @@ object Dedup {
     hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** Banded LSH signatures: (doc_id, band, sig) with sig = md5 of the
-    * band's minhash values joined by '_'. */
+  /** Banded LSH signatures: (doc_id, band, sig, ms) with sig = md5 of
+    * the band's minhash values joined by '_', and ms = the doc's full
+    * 16-component signature carried along (16 longs ≈ 128 B/row) so the
+    * downstream candidate pre-filter needs NO second join back to the
+    * signature table — the scale-critical property: nothing about the
+    * corpus is ever broadcast. */
   def lshBands(sigs: DataFrame): DataFrame = {
     val bandSigs = (1 to Bands).map { j =>
       md5(concat_ws("_",
         col(s"m${2 * j - 1}").cast("string"),
         col(s"m${2 * j}").cast("string")))
     }
-    sigs.select(col("doc_id"),
+    val ms = array((1 to 16).map(i => col(s"m$i")): _*)
+    sigs.select(col("doc_id"), ms.as("ms"),
         posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+      .select(col("doc_id"), col("band"), col("sig"), col("ms"))
   }
 
   /** Signature-estimate pre-filter: keep candidate pairs whose
@@ -127,24 +141,23 @@ object Dedup {
     val sh = shingleSet(docs, idCol, textCol).cache()
     val sigs = minhashSignatures(sh)
     val bands = lshBands(sigs)
-    val rawCand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
-        Seq("band", "sig"))
+    // Band collision join with the signature-estimate pre-filter applied
+    // IN the join output: lshBands carries each doc's 16-component
+    // signature, so agreement is computed from the collision row itself —
+    // no join back to (let alone broadcast of) the |corpus|-sized
+    // signature table. The filter depends only on the pair, so distinct
+    // after filtering yields the same candidate set.
+    val estMatches = aggregate(
+      zip_with(col("ms_a"), col("ms_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"),
+        col("ms").as("ms_a"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"),
+        col("ms").as("ms_b")), Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    // signature-estimate pre-filter (signatures broadcast: 16 longs/doc)
-    val sigsA = sigs.select(col("doc_id").as("doc_a") +:
-      (1 to 16).map(i => col(s"m$i").as(s"ma$i")): _*)
-    val sigsB = sigs.select(col("doc_id").as("doc_b") +:
-      (1 to 16).map(i => col(s"m$i").as(s"mb$i")): _*)
-    val estMatches = (1 to 16).map(i =>
-      when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0)).reduce(_ + _)
-    val cand = rawCand
-      .join(broadcast(sigsA), Seq("doc_a"))
-      .join(broadcast(sigsB), Seq("doc_b"))
       .filter(estMatches >= MinSigMatches)
       .select(col("doc_a"), col("doc_b"))
+      .distinct()
     // verification: exact Jaccard on candidates only
     val shA = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val shB = sh.select(col("doc_id").as("doc_b2"), col("sh").as("sh_b"))

@@ -35,9 +35,13 @@ object LlmOps extends QueryModule {
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", 3)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Blocked on `label` (the corpus's coarse cluster id): pair scoring
+    * runs within blocks only — an equi-join shuffle, never a corpus-wide
+    * cross join. At 100 TB the block key comes from an ANN/LSH candidate
+    * stage (see Similarity.ivfTopK) instead of a stored column. */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      CosineThreshold)
+      CosineThreshold, blockCol = Some("label"))
       .orderBy(col("vec_a"), col("vec_b"))
 
   def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -205,12 +209,12 @@ object LlmOps extends QueryModule {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_embedding" ->
-      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings)
+      s"""WITH e AS (SELECT vec_id, embedding AS v, label FROM embeddings)
          |SELECT * FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    ROUND(${dot("a.v", "b.v")} /
          |      (sqrt(${dot("a.v", "a.v")}) * sqrt(${dot("b.v", "b.v")})), 6) AS cos
-         |  FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
          |WHERE cos >= $CosineThreshold ORDER BY vec_a, vec_b""".stripMargin,
     "q_ann_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),

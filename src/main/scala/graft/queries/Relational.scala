@@ -78,7 +78,13 @@ object Relational extends QueryModule {
   }
 
   /** Two aliased dimension joins from one fact — J2 semantics (from/to
-    * stage joins): customer-nation × supplier-nation revenue matrix. */
+    * stage joins): customer-nation × supplier-nation revenue matrix.
+    *
+    * Broadcast hints only on `nation` (genuinely fixed-size: 25 rows at
+    * every sf). Orders/customer/supplier grow with the fact, so AQE picks
+    * their join strategy from runtime stats — broadcast while they fit,
+    * shuffle join at scale. Forcing broadcast here would OOM executors at
+    * 100× data. */
   def qJoinDualDim(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o  = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
@@ -88,9 +94,9 @@ object Relational extends QueryModule {
                                               col("n_name").as("cust_nation"))
     val n2 = Tables.nation(spark, dir).select(col("n_nationkey").as("sn_key"),
                                               col("n_name").as("supp_nation"))
-    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
       .join(broadcast(n1), c("c_nationkey") === n1("cn_key"))
       .join(broadcast(n2), s("s_nationkey") === n2("sn_key"))
       .groupBy(col("cust_nation"), col("supp_nation"))

@@ -21,10 +21,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_shipdate"), "scan reads columns the query never uses")
   }
 
-  test("dimension joins broadcast (no shuffle of the fact side)") {
-    val p = plan("q_join_dual_dim")
-    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
-    assert(!p.contains("SortMergeJoin"), "dimension join fell back to sort-merge")
+  /** With auto-broadcast disabled, only the explicit hints survive: the
+    * two nation joins (fixed 25 rows at every sf) must broadcast, while
+    * orders/customer/supplier — which scale with the fact — must be left
+    * to AQE (here: shuffle joins). Forcing those to broadcast is the
+    * 100 TB OOM pattern this test exists to prevent. */
+  test("dual-dim join broadcasts only fixed-size dims; fact-scaling tables shuffle") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q_join_dual_dim")
+      val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+      assert(nBroadcast == 2, s"expected exactly the 2 nation broadcasts, got $nBroadcast in:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"orders/customer/supplier should shuffle-join when too big to broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  /** The MinHash pipeline must never broadcast corpus-sized state: with
+    * auto-broadcast off (and no hints in the operator), the whole plan
+    * contains no broadcast exchange at all. */
+  test("minhash LSH plan has no corpus-sized broadcast") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q_dedup_minhash")
+      assert(!p.contains("BroadcastExchange"),
+        s"signature/band tables must not be broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("anti/semi joins use hash join strategies, not cartesian") {
@@ -58,6 +82,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dot_f32"), s"custom expression missing from plan:\n$p")
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
       "vector math must not fall back to UDF execution")
+  }
+
+  /** Embedding dedup is blocked on label — an equi-join, never an
+    * all-pairs cross join over the corpus. */
+  test("embedding dedup joins on the block key, not a constant") {
+    val df = SparkEntry.queries("q_dedup_embedding")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"embedding dedup must not cross-join:\n$p")
+    assert(p.contains("blk"), s"expected the blk equi-join key in:\n$p")
   }
 
   test("ANN query side broadcasts; corpus never shuffles") {

@@ -28,7 +28,11 @@ class QueriesSpec extends AnyFunSuite {
       val df = fn(spark, sf)
       val n = df.count()
       assert(n >= 0, s"$name returned negative count")
-      withClue(s"$name should be non-empty: ") { assert(n > 0 || name == "q_anti_join") }
+      // q_anti_join: all sf0.001 customers have an 'F' order.
+      // q_dedup_embedding: blocked on label — no same-label pair reaches
+      // the cosine threshold at sf0.001 (2 do at sf0.01, the gate scale).
+      val mayBeEmpty = Set("q_anti_join", "q_dedup_embedding")
+      withClue(s"$name should be non-empty: ") { assert(n > 0 || mayBeEmpty(name)) }
     }
   }
 
