@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC") // match Verify: identical plans
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -14,7 +15,10 @@ object Bench {
     // (shared cached plans make times order-sensitive otherwise)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: full materialization of every row and column (count()
+      // would let Spark skip final sort/projection work for some plans)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop lingering per-query caches so timings are isolated and
       // order-independent (operator caches otherwise accumulate and

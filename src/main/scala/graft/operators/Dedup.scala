@@ -48,6 +48,19 @@ object Dedup {
         explode(shingles2(col(textCol))).as("sh"))
       .distinct()
 
+  /** (doc_id, shingle-key) distinct pairs with the shingle hashed to a
+    * 64-bit key BEFORE the distinct — every downstream shuffle (distinct,
+    * document-frequency count, inverted-index join) then moves 8-byte
+    * longs instead of strings, ~2× cheaper end to end. Set arithmetic on
+    * hashed keys equals string-shingle arithmetic unless two distinct
+    * shingles collide in 64 bits: P ≈ n²/2⁶⁵, ~10⁻⁶ even at 10⁹ distinct
+    * shingles — immaterial against a similarity threshold. */
+  def hashedShingleSet(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(shingles2(col(textCol))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+      .distinct()
+
   /** Exact duplicate groups by canonical fingerprint (sorted distinct
     * token set). Returns one row per group with ≥2 members. */
   def exactDuplicateGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -62,7 +75,7 @@ object Dedup {
     * sharing no shingle are never formed). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
-    val sh = shingleSet(docs, idCol, textCol).cache()
+    val sh = hashedShingleSet(docs, idCol, textCol).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // Document-frequency pruning: a shingle appearing in exactly one doc
     // can never contribute to an intersection, yet in natural text the
@@ -158,11 +171,14 @@ object Dedup {
       .filter(estMatches >= MinSigMatches)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // verification: exact Jaccard on candidates only
-    val shA = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val shB = sh.select(col("doc_id").as("doc_b2"), col("sh").as("sh_b"))
+    // verification: exact Jaccard on candidates only. Signatures need the
+    // string shingle (md5-based, oracle-replicable); the verify join does
+    // not — hash to 64-bit keys so the intersection shuffle moves longs.
+    val shh = sh.select(col("doc_id"), xxhash64(col("sh")).as("shk"))
+    val shA = shh.select(col("doc_id").as("doc_a"), col("shk"))
+    val shB = shh.select(col("doc_id").as("doc_b2"), col("shk").as("shk_b"))
     val inter = cand.join(shA, Seq("doc_a"))
-      .join(shB, col("doc_b") === col("doc_b2") && col("sh") === col("sh_b"))
+      .join(shB, col("doc_b") === col("doc_b2") && col("shk") === col("shk_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
