@@ -20,7 +20,9 @@ object Cli {
 
   case class Env(spark: SparkSession, cfg: NotionSchemas.NotionConfig,
                  client: Refresh.PbiClient = new Refresh.FakeClient,
-                 runDate: String = java.time.LocalDate.now.toString,
+                 // reference run date is the America/Los_Angeles calendar
+                 // date (quality/timeslices.ts:174), not the JVM-tz date
+                 runDate: String = graft.functions.Scalars.laRunDate(),
                  log: String => Unit = println)
 
   private val Datasets = Seq("workflowDefinitions", "workflowStages", "timeslices")

@@ -1,6 +1,7 @@
 package graft.notion
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Star-schema derivation (SURVEY §3.2; derive/index.ts:94-297): seven
@@ -53,23 +54,29 @@ object Derive {
 
   private val OleEpochMs = -2209161600000L
 
+  /** Parse a Notion-sourced ISO string, null on malformed input — the
+    * reference's Date.parse-NaN-check semantics (derive/index.ts:309-376).
+    * Under Spark 4 ANSI mode a plain to_timestamp would THROW on one
+    * corrupt date.start string and kill the whole derive run. */
+  private def tryTs(iso: Column): Column = try_to_timestamp(iso)
+
   /** P19 toPowerBiSerial over an ISO string. */
   def pbiSerial(iso: Column): Column = {
-    val ms = unix_millis(to_timestamp(iso))
+    val ms = unix_millis(tryTs(iso))
     when(iso.isNull || ms.isNull, lit(null).cast("double"))
       .otherwise((ms - lit(OleEpochMs)) / lit(86400000.0))
   }
 
   /** P20 normalizeIsoTimestamp: parse → UTC ISO with ms. */
   def normIso(iso: Column): Column = {
-    val ts = to_timestamp(iso)
+    val ts = tryTs(iso)
     when(iso.isNull || ts.isNull, lit(null).cast("string"))
       .otherwise(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
   }
 
   /** P23 toLosAngelesDateStartIso over an ISO string. */
   def laDayIso(iso: Column): Column = {
-    val ts = to_timestamp(iso)
+    val ts = tryTs(iso)
     when(iso.isNull || ts.isNull, lit(null).cast("string"))
       .otherwise(date_format(from_utc_timestamp(ts, "America/Los_Angeles"),
         "yyyy-MM-dd'T00:00:00.000Z'"))
@@ -77,7 +84,7 @@ object Derive {
 
   /** P24 LA snapshot label `YYYY-MM-DD HH:mm`. */
   def laLabel(iso: Column): Column =
-    date_format(from_utc_timestamp(to_timestamp(iso), "America/Los_Angeles"),
+    date_format(from_utc_timestamp(tryTs(iso), "America/Los_Angeles"),
       "yyyy-MM-dd HH:mm")
 
   /** P21/P22 stage-number normalization. */
@@ -92,17 +99,29 @@ object Derive {
 
   // -- dimension prep -------------------------------------------------
 
+  /** Last-wins per key: the reference's `Map.set` builds keep the LAST
+    * row per key in input order (derive/index.ts:110-116,196); Spark has
+    * no input order, so the deterministic proxy is latest
+    * last_edited_time. Prevents duplicate canonical keys from both
+    * multiplying join probes and yielding an arbitrary surviving row. */
+  private def lastWins(df: DataFrame, key: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("last_edited_time").desc_nulls_last)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Workflow-definition lookup (J1 build side): canonical id →
     * (key = source page id, label chain). */
   private def wfLookup(defs: DataFrame): DataFrame =
-    defs.select(
+    lastWins(defs, "workflow_definition_id").select(
       col("workflow_definition_id").as("wf_canon_id"),
       col("source_page_id").as("wf_key"),
       col("page_title").as("wf_title"))
 
   /** Label-by-key lookup (workflowLabelByKey, derive/index.ts:110-116). */
   private def wfLabelByKey(defs: DataFrame): DataFrame =
-    defs.select(col("source_page_id").as("lbl_key"),
+    lastWins(defs, "source_page_id").select(col("source_page_id").as("lbl_key"),
       coalesce(col("page_title"), col("source_page_id")).as("lbl_label"))
 
   /** Resolve a canonical workflow id to (key, label) with the
@@ -122,7 +141,7 @@ object Derive {
 
   /** Stage lookup (J2 build side): canonical stage id → key + meta. */
   private def stageLookup(stages: DataFrame, prefix: String): DataFrame =
-    stages.select(
+    lastWins(stages, "workflow_stage_id").select(
       col("workflow_stage_id").as(s"${prefix}_canon_id"),
       col("source_page_id").as(s"${prefix}_stage_key"),
       stageNumberOrNull(col("stage_number")).as(s"${prefix}_stage_n"),
@@ -171,8 +190,10 @@ object Derive {
     * sorted by key. */
   def dimStage(stages: DataFrame, defs: DataFrame): DataFrame = {
     val n = stageNumber(col("stage_number"))
-    resolveWorkflow(stages, col("workflow_definition_id"), defs,
-      "workflow_definition_key", "workflow_definition")
+    // last-wins BEFORE the projection (last_edited_time is still in
+    // scope) — dropDuplicates alone keeps an arbitrary row per key
+    lastWins(resolveWorkflow(stages, col("workflow_definition_id"), defs,
+      "workflow_definition_key", "workflow_definition"), "source_page_id")
       .select(
         col("source_page_id").as("stage_key"),
         colorHex(col("source_page_id")).as("color_hex"),
@@ -182,15 +203,14 @@ object Derive {
         n.as("stage_n"),
         concat(lpad(n.cast("string"), 2, "0"), lit(". "),
           coalesce(col("stage_label"), col("source_page_id"))).as("Stage Label"))
-      .dropDuplicates("stage_key")
       .orderBy(col("stage_key"))
   }
 
-  /** DimWorkflow (derive/index.ts:209-214): distinct keys, sorted. */
+  /** DimWorkflow (derive/index.ts:209-214): last-wins per key, sorted. */
   def dimWorkflow(defs: DataFrame): DataFrame =
-    defs.select(col("source_page_id").as("workflow_definition_key"),
+    lastWins(defs, "source_page_id")
+      .select(col("source_page_id").as("workflow_definition_key"),
         coalesce(col("page_title"), col("source_page_id")).as("workflow_definition"))
-      .dropDuplicates("workflow_definition_key")
       .orderBy(col("workflow_definition_key"))
 
   /** DimDate (derive/index.ts:378-414): UTC daily spine over fact
@@ -221,7 +241,7 @@ object Derive {
     val candMs = ts.select(explode(array(
         col("started_at"), col("ended_at"), col("last_edited_time"),
         col("created_time"))).as("c"))
-      .select(unix_millis(to_timestamp(col("c"))).as("ms"))
+      .select(unix_millis(try_to_timestamp(col("c"))).as("ms"))
       .filter(col("ms").isNotNull)
     val mm = candMs.agg(
       (floor(min(col("ms")) / HourMs) * HourMs).cast("long").as("h0"),
@@ -247,8 +267,8 @@ object Derive {
       .join(lk, col("from_step_id") === col("occ_canon_id"))
       .select(col("occ_stage_key").as("stage_key"),
         col("source_page_id").as("workflow_record"),
-        unix_millis(to_timestamp(col("started_at"))).as("start_ms"),
-        unix_millis(to_timestamp(col("ended_at"))).as("end_ms"))
+        unix_millis(try_to_timestamp(col("started_at"))).as("start_ms"),
+        unix_millis(try_to_timestamp(col("ended_at"))).as("end_ms"))
     val valid = withBounds
       .filter(col("start_ms").isNotNull && col("end_ms").isNotNull &&
         col("end_ms") >= col("start_ms"))
@@ -265,8 +285,8 @@ object Derive {
     val (valid, _) = stageIntervals(ts, stages)
     val firstH = (ceil(col("start_ms") / lit(3600000.0)) * HourMs).cast("long")
     val lastH = (floor(col("end_ms") / lit(3600000.0)) * HourMs).cast("long")
-    val spine = frames.agg(min(unix_millis(to_timestamp(col("frame_datetime")))).as("f0"),
-      max(unix_millis(to_timestamp(col("frame_datetime")))).as("f1"))
+    val spine = frames.agg(min(unix_millis(try_to_timestamp(col("frame_datetime")))).as("f0"),
+      max(unix_millis(try_to_timestamp(col("frame_datetime")))).as("f1"))
     val hours = valid
       .withColumn("fh", firstH).withColumn("lh", lastH)
       .crossJoin(broadcast(spine))

@@ -49,10 +49,13 @@ object Normalize {
   private def sortKeyParts(parts: Column*): Column =
     lower(concat_ws("|", parts.map(p => coalesce(trim(p), lit(""))): _*))
 
-  /** P17 computeDurationSeconds on ISO strings (timeslice.ts:219-229). */
+  /** P17 computeDurationSeconds on ISO strings (timeslice.ts:219-229).
+    * try_to_timestamp: the reference's Date.parse returns NaN (→ null
+    * result) on malformed strings; under ANSI mode a plain to_timestamp
+    * would throw instead. */
   def durationSeconds(startedAt: Column, endedAt: Column): Column = {
-    val s = unix_millis(to_timestamp(startedAt))
-    val e = unix_millis(to_timestamp(endedAt))
+    val s = unix_millis(try_to_timestamp(startedAt))
+    val e = unix_millis(try_to_timestamp(endedAt))
     when(startedAt.isNull || endedAt.isNull || s.isNull || e.isNull,
       lit(null).cast("long"))
       .otherwise(greatest(lit(0L), round((e - s) / lit(1000.0)).cast("long")))

@@ -65,8 +65,8 @@ object Quality {
       struct(col("from_step_id"), col("to_step_id")))
     val negDuration = emit(
       col("started_at").isNotNull && col("ended_at").isNotNull &&
-        unix_millis(to_timestamp(col("ended_at"))) <
-          unix_millis(to_timestamp(col("started_at"))),
+        unix_millis(try_to_timestamp(col("ended_at"))) <
+          unix_millis(try_to_timestamp(col("started_at"))),
       "warn", "NEGATIVE_DURATION",
       "Timeslice ended_at is earlier than started_at.",
       struct(col("started_at"), col("ended_at")))

@@ -39,7 +39,10 @@ object AsOf {
       (col(key).as("_k") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
         lit(null).cast(rightStructType).as("_r") +:
         leftCols.map(c => col(c).as(s"_l_$c"))): _*)
-    val r = right.select(
+    // null right times never match under ASOF semantics (r.t <= l.t is
+    // unknown); unfiltered they'd sort first and leak their payload into
+    // every left row lacking an earlier match
+    val r = right.filter(col(rightTime).isNotNull).select(
       (col(key).as("_k") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
         struct(rightCols.map(col): _*).as("_r") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c"))): _*)

@@ -39,7 +39,9 @@ object TimeSeries extends QueryModule {
     Tables.events(spark, dir)
       .withColumn("start_us", unix_micros(col("ts")))
       .withColumn("end_us",
-        col("start_us") + col("value").cast("int").cast("long") * lit(60000000L))
+        // floor, not int-cast: oracles use CAST(FLOOR(value) AS BIGINT),
+        // and truncation-toward-zero diverges on negative values
+        col("start_us") + floor(col("value")).cast("long") * lit(60000000L))
       .withColumn("start_ts", timestamp_micros(col("start_us")))
       .withColumn("end_ts", timestamp_micros(col("end_us")))
 

@@ -81,6 +81,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("malformed date strings yield null everywhere, never throw (ANSI Date.parse-NaN parity)") {
+    // the reference's Date.parse returns NaN on garbage → every derived
+    // value is null; under ANSI a bare to_timestamp would throw instead
+    val genDate: Gen[String] = Gen.oneOf(
+      Gen.const("2024-03-10T09:59:00.000Z"),
+      Gen.const("not-a-date"), Gen.const(""), Gen.const("2024-13-45T99:99:99Z"),
+      Gen.const("garbage 2024"), Gen.const("1699999999999"),
+      Gen.alphaNumStr.map(_.take(24)))
+    forAll(Gen.listOfN(12, Gen.zip(genDate, genDate))) { pairs =>
+      val df = pairs.toDF("started_at", "ended_at")
+      val out = df.select(
+        notion.Normalize.durationSeconds(col("started_at"), col("ended_at")).as("dur"),
+        notion.Derive.pbiSerial(col("started_at")).as("serial"),
+        notion.Derive.normIso(col("started_at")).as("iso"),
+        notion.Derive.laDayIso(col("started_at")).as("day"),
+        notion.Derive.laLabel(col("started_at")).as("label"))
+        .collect() // must not throw
+      assert(out.length == pairs.size)
+      // Spark's cast accepts more shapes than strict ISO (e.g. "2024"),
+      // so assert all-null only for definitely-unparseable inputs
+      val garbage = Set("not-a-date", "", "2024-13-45T99:99:99Z", "garbage 2024")
+      pairs.zip(out).foreach { case ((s, _), row) =>
+        if (garbage(s))
+          // dur/serial/iso/day/label all derive from started_at
+          assert((0 until 5).forall(row.isNullAt),
+            s"expected all-null for started_at='$s', got $row")
+      }
+    }
+    // NEGATIVE_DURATION quality rule survives a corrupt date in the pair
+    val ts = Seq(
+      ("t1", "wf1", null, null, "2024-01-02T00:00:00Z", "2024-01-01T00:00:00Z"),
+      ("t2", "wf1", null, null, "corrupt!!", "2024-01-01T00:00:00Z"))
+      .toDF("timeslice_id", "workflow_definition_id", "from_step_id", "to_step_id",
+        "started_at", "ended_at")
+    val rules = notion.Quality.timesliceIssues(ts, "2024-01-05")
+      .filter(col("rule") === "NEGATIVE_DURATION").collect()
+    assert(rules.map(_.getAs[String]("entity_id")).toSeq == Seq("t1"))
+  }
+
   test("LA day conversion is correct across the 2024-03-10 DST spring-forward") {
     // 09:59 UTC = 01:59 PST (UTC-8) Mar 10; 10:01 UTC = 03:01 PDT (UTC-7)
     val cases = Seq(
