@@ -4,17 +4,23 @@ import graft.sinks.{ExcelSink, JsonlSink}
 import graft.sinks.pbi.{PbiSpec, Refresh, Registry}
 import org.apache.spark.sql.SparkSession
 
-/** M6 — thin command dispatcher mirroring the reference CLI surface
-  * (src/cli/index.ts:410-435). Commands that need live HTTP (Notion
-  * pull, Power BI) run against injectable adapters; offline runs use
-  * recorded JSONL (pull) and the in-memory fake client (pbi:*), which
-  * is also how the reference's tests exercise them.
+/** M6 — command dispatcher with the reference CLI's full 8-command
+  * surface (src/cli/index.ts:410-435):
   *
-  *   normalize <dataDir>            raw → canon + quality issues
-  *   excel:export <dataDir> <xlsx>  canon → 7-table workbook
-  *   pbi:provision <dataDir>        ensure dataset via client
-  *   pbi:refresh <dataDir>          derive → wipe+reload via client
-  *   run <dataDir>                  pull(recorded) + normalize
+  *   pull:notion <dataDir>                   adapter → raw JSONL partitions
+  *   audit:notion-schema <dataDir>           schema audit json + generated constants
+  *   normalize <dataDir>                     raw → canon + quality issues
+  *   run <dataDir>                           pull:notion then normalize
+  *   run:end-to-end <dataDir> <group> <name> pull + normalize + provision + refresh
+  *   excel:export <dataDir> <xlsx>           canon → 7-table workbook
+  *   pbi:provision <dataDir> <group> <name>  ensure dataset via client
+  *   pbi:refresh <dataDir> <group> <name>    derive → wipe+reload via client
+  *
+  * Commands that need live HTTP (Notion pull, Power BI) run against
+  * injectable adapters: with NOTION_TOKEN set, pulls go through the
+  * throttled live adapter; otherwise they replay recorded payloads from
+  * `<dataDir>/recorded/` — the same offline seam the reference's tests
+  * use.
   */
 object Cli {
 
@@ -23,7 +29,13 @@ object Cli {
                  // reference run date is the America/Los_Angeles calendar
                  // date (quality/timeslices.ts:174), not the JVM-tz date
                  runDate: String = graft.functions.Scalars.laRunDate(),
-                 log: String => Unit = println)
+                 log: String => Unit = println,
+                 /** Notion adapter override; None → live if NOTION_TOKEN
+                   * is set, else recorded payloads under the data dir. */
+                 adapter: Option[Ingest.NotionAdapter] = None,
+                 /** dataset → Notion database id; None → NOTION_DB_*
+                   * env vars, else dataset names (recorded mode). */
+                 databaseIds: Option[Map[String, String]] = None)
 
   private val Datasets = Seq("workflowDefinitions", "workflowStages", "timeslices")
 
@@ -106,29 +118,90 @@ object Cli {
     normalize(env, dataDir)
   }
 
+  case class AuditOutput(jsonPath: String, generatedPath: String,
+                         schema: Map[String, Seq[(String, String, String)]])
+
+  private def scalaStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    } + "\""
+
+  /** The generated-constants artifact (S2 parity with the reference's
+    * src/config/notionSchema.generated.ts, cli/index.ts:133-140,199-204):
+    * dataset → (property display name → (id, type)) as compilable Scala. */
+  def generatedScala(schema: Map[String, Seq[(String, String, String)]]): String = {
+    val datasets = schema.toSeq.sortBy(_._1).map { case (dataset, props) =>
+      val entries = props.sortBy(_._1).map { case (name, id, tpe) =>
+        s"      ${scalaStr(name)} -> (${scalaStr(id)}, ${scalaStr(tpe)})"
+      }.mkString(",\n")
+      s"    ${scalaStr(dataset)} -> Map(\n$entries)"
+    }.mkString(",\n")
+    s"""// GENERATED by `audit:notion-schema` — do not edit.
+       |// Scala analog of the reference's src/config/notionSchema.generated.ts.
+       |package graft.notion.generated
+       |
+       |object NotionSchemaGenerated {
+       |  /** dataset -> (property display name -> (property id, type)). */
+       |  val schema: Map[String, Map[String, (String, String)]] = Map(
+       |$datasets)
+       |}
+       |""".stripMargin
+  }
+
+  /** Inverse of [[generatedScala]] — parses the strict generated format
+    * back into the audit schema map (round-trip guarantee). */
+  def parseGeneratedSchema(src: String): Map[String, Seq[(String, String, String)]] = {
+    val dsRe = """^\s*"((?:[^"\\]|\\.)*)" -> Map\($""".r
+    val propRe = """^\s*"((?:[^"\\]|\\.)*)" -> \("((?:[^"\\]|\\.)*)", "((?:[^"\\]|\\.)*)"\).*$""".r
+    def unescape(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+    var current: Option[String] = None
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[(String, String, String)]]
+    src.linesIterator.foreach {
+      case dsRe(ds) =>
+        current = Some(unescape(ds)); out(unescape(ds)) = Vector.empty
+      case propRe(name, id, tpe) => current.foreach { ds =>
+        out(ds) = out(ds) :+ ((unescape(name), unescape(id), unescape(tpe)))
+      }
+      case _ =>
+    }
+    out.toMap
+  }
+
   /** `audit:notion-schema` (cli/index.ts:156-205): fetch each database's
     * property schema via the adapter, print `name | id | type`, write the
-    * audit JSON. Offline runs use a recorded-payload adapter. */
+    * audit JSON AND the generated Scala constants file. Offline runs use
+    * a recorded-payload adapter. */
   def auditNotionSchema(env: Env, adapter: Ingest.NotionAdapter, dataDir: String,
-                        databaseIds: Map[String, String]): String = {
+                        databaseIds: Map[String, String]): AuditOutput = {
     val sb = new StringBuilder("{\n")
+    val schema = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[(String, String, String)]]
     databaseIds.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((dataset, dbId), i) =>
       val db = adapter.retrieveDatabase(dbId)
       env.log(s"[audit] dataset=$dataset database=$dbId")
       db.properties.sortBy(_.name).foreach { p =>
         env.log(f"  ${p.name}%-30s | ${p.id.getOrElse(p.name)}%-12s | ${p.propType.getOrElse("unknown")}")
       }
-      val props = db.properties.sortBy(_.name).map { p =>
-        s"""      {"name": "${p.name}", "id": "${p.id.getOrElse(p.name)}", "type": "${p.propType.getOrElse("unknown")}"}"""
+      schema(dataset) = db.properties.sortBy(_.name).map(p =>
+        (p.name, p.id.getOrElse(p.name), p.propType.getOrElse("unknown")))
+      val props = schema(dataset).map { case (name, id, tpe) =>
+        s"""      {"name": "$name", "id": "$id", "type": "$tpe"}"""
       }.mkString(",\n")
       sb.append(s"""  "$dataset": {"databaseId": "$dbId", "properties": [\n$props\n  ]}""")
       sb.append(if (i < databaseIds.size - 1) ",\n" else "\n")
     }
     sb.append("}\n")
-    val out = java.nio.file.Paths.get(s"$dataDir/audit/notion-schema.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, sb.toString.getBytes("UTF-8"))
-    out.toString
+    val auditDir = java.nio.file.Paths.get(s"$dataDir/audit")
+    java.nio.file.Files.createDirectories(auditDir)
+    val json = auditDir.resolve("notion-schema.json")
+    java.nio.file.Files.write(json, sb.toString.getBytes("UTF-8"))
+    val gen = auditDir.resolve("NotionSchemaGenerated.scala")
+    java.nio.file.Files.write(gen, generatedScala(schema.toMap).getBytes("UTF-8"))
+    env.log(s"[audit] wrote $json and $gen")
+    AuditOutput(json.toString, gen.toString, schema.toMap)
   }
 
   /** `pbi:provision` (cli/index.ts:275-311). */
@@ -156,6 +229,58 @@ object Cli {
       log = env.log)
   }
 
+  /** `run:end-to-end` (cli/index.ts:212-217): pull + normalize +
+    * provision + refresh in one command. */
+  def runEndToEnd(env: Env, adapter: Ingest.NotionAdapter, dataDir: String,
+                  databaseIds: Map[String, String], groupId: String,
+                  datasetName: String): Refresh.RefreshTotals = {
+    run(env, adapter, dataDir, databaseIds)
+    pbiProvision(env, dataDir, groupId, datasetName)
+    pbiRefresh(env, dataDir, groupId, datasetName)
+  }
+
+  /** Live adapter when NOTION_TOKEN is present, else recorded payloads
+    * under `<dataDir>/recorded/` (offline seam). */
+  private def adapterFor(env: Env, dataDir: String): Ingest.NotionAdapter =
+    env.adapter.getOrElse(sys.env.get("NOTION_TOKEN") match {
+      case Some(token) => Ingest.throttled(new NotionApi.NotionHttpAdapter(token))
+      case None => new NotionApi.RecordedNotionAdapter(s"$dataDir/recorded")
+    })
+
+  /** NOTION_DB_WORKFLOW_DEFINITIONS / _WORKFLOW_STAGES / _TIMESLICES env
+    * vars; in recorded mode the dataset name doubles as the id (the
+    * recorded file name). */
+  private def databaseIdsFor(env: Env): Map[String, String] =
+    env.databaseIds.getOrElse(Datasets.map { ds =>
+      val envKey = "NOTION_DB_" + ds.replaceAll("([A-Z])", "_$1").toUpperCase
+      ds -> sys.env.getOrElse(envKey, ds)
+    }.toMap)
+
+  /** Args → command execution; returns a process exit code. Factored
+    * out of main so tests can drive the real dispatch table offline. */
+  def dispatch(env: Env, args: List[String]): Int = args match {
+    case "pull:notion" :: dataDir :: Nil =>
+      pull(env, adapterFor(env, dataDir), dataDir, databaseIdsFor(env)); 0
+    case "audit:notion-schema" :: dataDir :: Nil =>
+      auditNotionSchema(env, adapterFor(env, dataDir), dataDir, databaseIdsFor(env)); 0
+    case "normalize" :: dataDir :: Nil => normalize(env, dataDir); 0
+    case "run" :: dataDir :: Nil =>
+      run(env, adapterFor(env, dataDir), dataDir, databaseIdsFor(env)); 0
+    case "run:end-to-end" :: dataDir :: group :: name :: Nil =>
+      runEndToEnd(env, adapterFor(env, dataDir), dataDir, databaseIdsFor(env),
+        group, name); 0
+    case "excel:export" :: dataDir :: out :: Nil => excelExport(env, dataDir, out); 0
+    case "pbi:provision" :: dataDir :: group :: name :: Nil =>
+      env.log(pbiProvision(env, dataDir, group, name)); 0
+    case "pbi:refresh" :: dataDir :: group :: name :: Nil =>
+      pbiRefresh(env, dataDir, group, name); 0
+    case other =>
+      System.err.println(s"Unknown command: ${other.mkString(" ")}. Commands: " +
+        "pull:notion | audit:notion-schema | normalize | run | run:end-to-end | " +
+        "excel:export | pbi:provision | pbi:refresh")
+      2
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -163,20 +288,9 @@ object Cli {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val env = Env(spark, DefaultConfig.config)
-    args.toList match {
-      case "normalize" :: dataDir :: Nil => normalize(env, dataDir)
-      case "excel:export" :: dataDir :: out :: Nil => excelExport(env, dataDir, out)
-      case "pbi:provision" :: dataDir :: group :: name :: Nil =>
-        println(pbiProvision(env, dataDir, group, name))
-      case "pbi:refresh" :: dataDir :: group :: name :: Nil =>
-        println(pbiRefresh(env, dataDir, group, name))
-      case other =>
-        System.err.println(s"Unknown command: ${other.mkString(" ")}. " +
-          "Commands: normalize | excel:export | pbi:provision | pbi:refresh")
-        sys.exit(2)
-    }
+    val code = dispatch(Env(spark, DefaultConfig.config), args.toList)
     spark.stop()
+    if (code != 0) sys.exit(code)
   }
 }
 
