@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -14,11 +14,127 @@ import org.apache.spark.sql.expressions.Window
   *    (any coarse cluster id column); a query probes only its own cell.
   *    This is the 100 TB path: cell id as partition key → each probe
   *    touches one partition; recall trades off with nprobe.
+  *  - `trainIvf`/`ivfSearchTopK` — a REAL learned coarse quantizer:
+  *    seeded spherical k-means trained on a deterministic capped sample
+  *    (the FAISS recipe — training cost is bounded regardless of corpus
+  *    size), cell assignment as a pure Column expression (one map-side
+  *    pass, no shuffle), and nprobe > 1 multi-cell probing with the
+  *    recall/cost knob. With nprobe = nCells the probe is exhaustive and
+  *    the result equals bruteForceTopK exactly (each corpus vector lives
+  *    in exactly one cell), which is what makes the gated query
+  *    oracle-checkable; recall at nprobe < nCells is spec-verified.
   *
   * Deterministic: cosine is an order-stable left fold (Dedup.cosine),
-  * ranks tie-break on neighbor id.
+  * ranks tie-break on neighbor id, k-means init is hash-ordered.
   */
 object Similarity {
+
+  /** Unit-norm centroids of a spherical k-means coarse quantizer. */
+  case class IvfModel(centroids: Vector[Array[Double]]) {
+    def nCells: Int = centroids.size
+  }
+
+  /** Double-precision dot product for assignment expressions (float
+    * corpus vector × double centroid literal). */
+  private def ddot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def l2norm(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Seeded spherical k-means (Lloyd's) on a deterministic hash-ordered
+    * sample of ≤ sampleCap vectors. The sample collects to the driver —
+    * bounded memory regardless of corpus size — and iterations run
+    * driver-side (nCells × dim × sampleCap flops per iter, trivial next
+    * to one corpus scan). Empty cells keep their previous centroid. */
+  def trainIvf(corpus: DataFrame, vecCol: String, nCells: Int,
+               maxIters: Int = 5, seed: Long = 42L,
+               sampleCap: Int = 65536): IvfModel = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).as("v"))
+      .withColumn("_h", xxhash64(col("v"), lit(seed)))
+      .orderBy(col("_h"))
+      .limit(sampleCap)
+      .select(col("v"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(l2norm)
+    require(sample.nonEmpty, "trainIvf: empty corpus")
+    val dim = sample.head.length
+    // init: the hash order is pseudo-random, so the first k distinct
+    // vectors are a seeded random draw
+    var cents: Vector[Array[Double]] =
+      sample.distinct.take(nCells).toVector.map(_.clone)
+    require(cents.size == nCells,
+      s"trainIvf: need >= $nCells distinct vectors, got ${cents.size}")
+    (0 until maxIters).foreach { _ =>
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Long](nCells)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < nCells) {
+          var s = 0.0; var i = 0
+          while (i < dim) { s += v(i) * cents(c)(i); i += 1 }
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else l2norm(sums(c))
+      }
+    }
+    IvfModel(cents)
+  }
+
+  private def centroidsLit(model: IvfModel): Column =
+    typedlit(model.centroids.map(_.toSeq))
+
+  /** Nearest-centroid cell id (argmax cosine; the vector's own norm is a
+    * positive scalar and cannot change the argmax). Pure expression —
+    * assignment is a map-side pass, no shuffle, no UDF. */
+  def cellExpr(vec: Column, model: IvfModel): Column = {
+    val sims = transform(centroidsLit(model), c => ddot(vec, c))
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** The nprobe nearest cells for a query vector, nearest first (ties on
+    * cell id). */
+  def probeCellsExpr(vec: Column, model: IvfModel, nprobe: Int): Column = {
+    val ranked = transform(centroidsLit(model),
+      (c, i) => struct((-ddot(vec, c)).as("neg_sim"), i.as("cell")))
+    transform(slice(array_sort(ranked), 1, nprobe), s => s.getField("cell"))
+  }
+
+  /** IVF top-k with a learned quantizer: corpus assigned once (map-side),
+    * query side exploded to its nprobe probe cells and broadcast, join
+    * keyed on the cell — the corpus never shuffles and only probed cells
+    * are scored. Output shape matches bruteForceTopK. */
+  def ivfSearchTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, model: IvfModel, k: Int, nprobe: Int): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probeCellsExpr(col("qv"), model, nprobe)))
+      .withColumn("nq", sqrt(Dedup.dot(col("qv"), col("qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", cellExpr(col("cv"), model))
+      .withColumn("nc", sqrt(Dedup.dot(col("cv"), col("cv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(Dedup.dot(col("qv"), col("cv")) / (col("nq") * col("nc")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
 
   /** Exact top-k neighbors for each query row (excluding self-matches).
     * Output: (query_id, rank, neighbor_id, cos). */

@@ -58,6 +58,21 @@ object LlmOps extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Learned-quantizer IVF (seeded k-means, 16 cells) with the probe set
+    * to exhaustive (nprobe = nCells): every corpus vector lives in
+    * exactly one cell, so the exhaustive probe returns exactly the
+    * brute-force top-k and the query is hash-oracle-checkable end to end
+    * (train → assign → multi-probe → rank). The recall-vs-nprobe
+    * trade-off at nprobe < nCells is verified in OperatorsSpec. */
+  def qAnnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = Similarity.trainIvf(emb, "embedding", nCells = 16,
+      maxIters = 5, seed = 42L)
+    Similarity.ivfSearchTopK(emb.filter(col("vec_id") % 25 === 0), emb,
+      "vec_id", "embedding", model, 5, nprobe = model.nCells)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Same formulas as TextAnalysis.{tokenCount,distinctTokenCount,
     * stopwordRatio,qualityScore}, but the tokenization runs ONCE via a
     * materialized `toks` column instead of once per output column. */
@@ -110,6 +125,7 @@ object LlmOps extends QueryModule {
     "q_dedup_embedding" -> qDedupEmbedding _,
     "q_ann_topk"        -> qAnnTopK _,
     "q_ann_ivf"         -> qAnnIvf _,
+    "q_ann_ivf_kmeans"  -> qAnnIvfKmeans _,
     "q_text_stats"      -> qTextStats _,
     "q_lang_id"         -> qLangId _,
     "q_fingerprint"     -> qFingerprint _,
@@ -217,6 +233,17 @@ object LlmOps extends QueryModule {
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
          |WHERE cos >= $CosineThreshold ORDER BY vec_a, vec_b""".stripMargin,
     "q_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROUND(${dot("q.v", "c.v")} /
+         |      (sqrt(${dot("q.v", "q.v")}) * sqrt(${dot("c.v", "c.v")})), 6) AS cos
+         |  FROM e q JOIN e c ON q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM (
+         |  SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // exhaustive probe == exact brute-force top-k (see qAnnIvfKmeans)
+    "q_ann_ivf_kmeans" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    ROUND(${dot("q.v", "c.v")} /

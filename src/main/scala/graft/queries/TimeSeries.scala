@@ -104,8 +104,13 @@ object TimeSeries extends QueryModule {
   /** A6 at 100 TB: COUNT(DISTINCT) forces an exact shuffle per key; the
     * HLL sketch (approx_count_distinct, rsd 5%) is one pass with
     * mergeable partial state — the right trade when frames × keys is
-    * huge. Sketch values are engine-specific, so the driver records a
-    * rows-only check (no DuckDB oracle). */
+    * huge. Sketch values are engine-specific, so the ORACLE-CHECKED
+    * output is the group shape + exact count + a bounded-relative-error
+    * flag on the sketch (|approx − exact| ≤ max(1, 0.15·exact), well
+    * above 3·rsd): DuckDB reproduces the keys/exact/TRUE exactly, so a
+    * sketch drifting out of tolerance flips the flag and fails the hash
+    * compare. (The exact count exists here only to certify the sketch —
+    * the production operator is the approx-only aggregation.) */
   def qOccupancyApprox(spark: SparkSession, dir: String): DataFrame = {
     val iv = eventIntervals(spark, dir)
       .filter(col("end_us") >= col("start_us"))
@@ -118,7 +123,11 @@ object TimeSeries extends QueryModule {
       .select(col("event_type"), col("user_id"),
         explode(sequence(col("fh"), col("lh"), expr("interval 1 hour"))).as("frame_ts"))
       .groupBy(col("frame_ts"), col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.05).as("item_count_approx"))
+      .agg(countDistinct(col("user_id")).as("item_count"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx"))
+      .select(col("frame_ts"), col("event_type"), col("item_count"),
+        (abs(col("approx") - col("item_count")) <=
+          greatest(lit(1.0), col("item_count") * lit(0.15))).as("within_rel_err"))
       .orderBy(col("frame_ts"), col("event_type"))
   }
 
@@ -195,6 +204,21 @@ object TimeSeries extends QueryModule {
         |  FROM iv WHERE end_us >= start_us)
         |SELECT CAST(frame_ts AS TIMESTAMP) AS frame_ts, event_type,
         |  COUNT(DISTINCT user_id) AS item_count
+        |FROM hours GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_occupancy_approx" ->
+      """WITH iv AS (SELECT event_type, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + CAST(FLOOR("value") AS BIGINT) * 60000000 AS end_us
+        |  FROM events),
+        |hours AS (SELECT event_type, user_id,
+        |    UNNEST(generate_series(
+        |      make_timestamp(CAST(CEIL(start_us / 3600000000.0) * 3600000000 AS BIGINT)),
+        |      make_timestamp(CAST(FLOOR(end_us / 3600000000.0) * 3600000000 AS BIGINT)),
+        |      INTERVAL 1 HOUR)) AS frame_ts
+        |  FROM iv WHERE end_us >= start_us)
+        |SELECT CAST(frame_ts AS TIMESTAMP) AS frame_ts, event_type,
+        |  COUNT(DISTINCT user_id) AS item_count,
+        |  TRUE AS within_rel_err
         |FROM hours GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_occupancy_daily" ->
       """WITH iv AS (SELECT event_type, user_id,
