@@ -25,10 +25,23 @@ object Normalize {
   private def rawOf(id: String): Column =
     element_at(col("properties"), id).getField("rawValue")
 
-  private def propOf(id: String): Column = parsed(rawOf(id))
-
-  private def optProp(id: Option[String]): Column =
-    id.map(propOf).getOrElse(lit(null).cast(payloadSchema))
+  /** Parse each configured property's rawValue ONCE into a named struct
+    * column, then let the extractors reference the parsed attribute.
+    * Without this every extractor embeds its own from_json(payloadSchema)
+    * tree — Catalyst's CollapseProject will not re-inline a non-cheap
+    * expression referenced more than once, so multiply-used payloads
+    * (e.g. started/ended dates) parse once per row, and the analyzed
+    * plan shrinks from ~25 payload-schema trees to one per property. */
+  private final class ParsedProps(df: DataFrame, ids: Seq[String]) {
+    private val aliasOf: Map[String, String] =
+      ids.distinct.zipWithIndex.map { case (id, i) => id -> s"_parsed_p$i" }.toMap
+    val frame: DataFrame = df.select(
+      (col("*") +: aliasOf.toSeq.sortBy(_._2).map { case (id, a) =>
+        parsed(rawOf(id)).as(a) }): _*)
+    def apply(id: String): Column = col(aliasOf(id))
+    def opt(id: Option[String]): Column =
+      id.map(apply).getOrElse(lit(null).cast(payloadSchema))
+  }
 
   /** null-preserving stableEntityId (builders keep null when the source
     * id is absent — rules are applied only to present ids). */
@@ -65,34 +78,41 @@ object Normalize {
   def timeslices(raw: DataFrame, cfg: NotionConfig): DataFrame = {
     cfg.validateOrThrow()
     val t = cfg.timeslices
-    val startedRaw = propOf(t.startedAtDate)
-    val endedRaw = propOf(t.endedAtDate)
-    val startedAt = coalesce(firstRollupDateStart(startedRaw), dateStart(startedRaw))
-    val endedAt = coalesce(firstRollupDateStart(endedRaw), dateStart(endedRaw))
+    val p = new ParsedProps(pageRecords(raw),
+      Seq(t.workflowDefinitionRel, t.workflowRecordRel, t.workflowInstancePageName,
+        t.fromStageRel, t.toStageRel, t.startedAtDate, t.endedAtDate,
+        t.fromTaskPageId, t.toTaskPageId, t.fromTaskName, t.toTaskName,
+        cfg.workflowDefinitions.title) ++
+        Seq(t.fromEventRel, t.toEventRel, t.fromStatus, t.toStatus,
+          t.workflowType).flatten)
+    val startedAt = coalesce(
+      firstRollupDateStart(p(t.startedAtDate)), dateStart(p(t.startedAtDate)))
+    val endedAt = coalesce(
+      firstRollupDateStart(p(t.endedAtDate)), dateStart(p(t.endedAtDate)))
     val pageTitle = coalesce(
-      title(propOf(cfg.workflowDefinitions.title)),
+      title(p(cfg.workflowDefinitions.title)),
       firstNonEmptyTitle(map_values(transform_values(col("properties"),
         (_, v) => v.getField("rawValue")))))
-    pageRecords(raw).select(
+    p.frame.select(
       Scalars.stableEntityId("timeslice", col("pageId")).as("timeslice_id"),
       idOrNull("workflow_definition",
-        firstRollupRelationId(propOf(t.workflowDefinitionRel))).as("workflow_definition_id"),
+        firstRollupRelationId(p(t.workflowDefinitionRel))).as("workflow_definition_id"),
       idOrNull("workflow_record",
-        firstRelationId(propOf(t.workflowRecordRel))).as("workflow_record_id"),
-      firstRollupRichText(propOf(t.workflowInstancePageName)).as("workflow_instance_page_name"),
-      idOrNull("event", firstRelationId(optProp(t.fromEventRel))).as("from_event_id"),
-      idOrNull("event", firstRelationId(optProp(t.toEventRel))).as("to_event_id"),
-      firstRollupRichText(optProp(t.fromStatus)).as("from_status"),
-      firstRollupRichText(optProp(t.toStatus)).as("to_status"),
-      formulaString(optProp(t.workflowType)).as("workflow_type"),
+        firstRelationId(p(t.workflowRecordRel))).as("workflow_record_id"),
+      firstRollupRichText(p(t.workflowInstancePageName)).as("workflow_instance_page_name"),
+      idOrNull("event", firstRelationId(p.opt(t.fromEventRel))).as("from_event_id"),
+      idOrNull("event", firstRelationId(p.opt(t.toEventRel))).as("to_event_id"),
+      firstRollupRichText(p.opt(t.fromStatus)).as("from_status"),
+      firstRollupRichText(p.opt(t.toStatus)).as("to_status"),
+      formulaString(p.opt(t.workflowType)).as("workflow_type"),
       idOrNull("workflow_stage",
-        firstRollupRelationId(propOf(t.fromStageRel))).as("from_step_id"),
+        firstRollupRelationId(p(t.fromStageRel))).as("from_step_id"),
       idOrNull("workflow_stage",
-        firstRollupRelationId(propOf(t.toStageRel))).as("to_step_id"),
-      firstRollupRichText(propOf(t.fromTaskPageId)).as("from_task_page_id"),
-      firstRollupRichText(propOf(t.toTaskPageId)).as("to_task_page_id"),
-      firstRollupRichText(propOf(t.fromTaskName)).as("from_task_name"),
-      firstRollupRichText(propOf(t.toTaskName)).as("to_task_name"),
+        firstRollupRelationId(p(t.toStageRel))).as("to_step_id"),
+      firstRollupRichText(p(t.fromTaskPageId)).as("from_task_page_id"),
+      firstRollupRichText(p(t.toTaskPageId)).as("to_task_page_id"),
+      firstRollupRichText(p(t.fromTaskName)).as("from_task_name"),
+      firstRollupRichText(p(t.toTaskName)).as("to_task_name"),
       startedAt.as("started_at"),
       endedAt.as("ended_at"),
       durationSeconds(startedAt, endedAt).as("duration_seconds"),
@@ -128,11 +148,13 @@ object Normalize {
   def workflowStages(raw: DataFrame, cfg: NotionConfig): DataFrame = {
     cfg.validateOrThrow()
     val s = cfg.workflowStages
+    val p = new ParsedProps(pageRecords(raw),
+      Seq(s.workflowDefinitionRel, s.stageNumber, s.stageLabel))
     val wfId = idOrNull("workflow_definition",
-      firstRelationId(propOf(s.workflowDefinitionRel)))
-    val stageNumber = numberValue(propOf(s.stageNumber))
-    val stageLabel = firstDisplayText(propOf(s.stageLabel))
-    pageRecords(raw).select(
+      firstRelationId(p(s.workflowDefinitionRel)))
+    val stageNumber = numberValue(p(s.stageNumber))
+    val stageLabel = firstDisplayText(p(s.stageLabel))
+    p.frame.select(
       Scalars.stableEntityId("workflow_stage", col("pageId")).as("workflow_stage_id"),
       wfId.as("workflow_definition_id"),
       col("pageId").as("source_page_id"),
