@@ -287,14 +287,24 @@ object Derive {
     val lastH = (floor(col("end_ms") / lit(3600000.0)) * HourMs).cast("long")
     val spine = frames.agg(min(unix_millis(try_to_timestamp(col("frame_datetime")))).as("f0"),
       max(unix_millis(try_to_timestamp(col("frame_datetime")))).as("f1"))
+    // interval-skew guard (same as TimeSeries.chunkedIntervals): chunk a
+    // pathological interval's hour range so no single task explodes an
+    // unbounded number of rows; the chunk shuffle moves ~one row per
+    // chunk, not per hour
+    val chunkHours = 8760L
+    val chunkMs = chunkHours * HourMs
     val hours = valid
       .withColumn("fh", firstH).withColumn("lh", lastH)
       .crossJoin(broadcast(spine))
       .withColumn("fh", greatest(col("fh"), col("f0")))
       .withColumn("lh", least(col("lh"), col("f1")))
       .filter(col("fh") <= col("lh"))
+      .select(col("stage_key"), col("workflow_record"), col("f0"), col("lh"),
+        explode(sequence(col("fh"), col("lh"), lit(chunkMs))).as("cfh"))
+      .withColumn("clh", least(col("lh"), col("cfh") + lit(chunkMs - HourMs)))
+      .repartition(col("cfh"))
       .select(col("stage_key"), col("workflow_record"),
-        explode(sequence(timestamp_millis(col("fh")), timestamp_millis(col("lh")),
+        explode(sequence(timestamp_millis(col("cfh")), timestamp_millis(col("clh")),
           expr("interval 1 hour"))).as("frame_ts"),
         col("f0"))
     val counts = hours.groupBy(col("frame_ts"), col("stage_key"), col("f0"))

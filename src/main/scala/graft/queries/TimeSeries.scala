@@ -77,22 +77,41 @@ object TimeSeries extends QueryModule {
       .orderBy(col("frame_ts"))
   }
 
+  private val HourUs = 3600000000L
+
+  /** Interval-skew guard: one pathological (years-long) interval would
+    * otherwise explode millions of hour rows inside a single task (an
+    * explode is narrow — all output of one input row stays in one
+    * partition). Chunk each interval into ≤ maxHoursPerChunk-hour spans
+    * first, shuffle the CHUNKS (cheap: ≈ one row per chunk, not per
+    * hour), then explode hours within a chunk — per-task fan-out is
+    * bounded by the cap. Columns: input + (chunk_fh, chunk_lh) in µs. */
+  def chunkedIntervals(iv: DataFrame, maxHoursPerChunk: Int): DataFrame = {
+    val chunkUs = maxHoursPerChunk.toLong * HourUs
+    iv.select(col("*"),
+        explode(sequence(col("fh_us"), col("lh_us"), lit(chunkUs))).as("chunk_fh"))
+      .withColumn("chunk_lh",
+        least(col("lh_us"), col("chunk_fh") + lit(chunkUs - HourUs)))
+  }
+
   /** J8+A6 core — hourly occupancy over an interval DataFrame with
     * columns (event_type, user_id, start_us, end_us): for each hour
     * instant contained in [start, end] (inclusive both ends),
     * COUNT(DISTINCT user_id) per (frame_ts, event_type); zero-count rows
-    * naturally omitted; invalid intervals skipped. */
-  def occupancyHourly(iv0: DataFrame): DataFrame = {
+    * naturally omitted; invalid intervals skipped. maxHoursPerChunk
+    * bounds per-task explode fan-out (see chunkedIntervals). */
+  def occupancyHourly(iv0: DataFrame, maxHoursPerChunk: Int = 8760): DataFrame = {
     val iv = iv0.filter(col("end_us") >= col("start_us")) // skip invalid intervals (derive/index.ts:470-478)
     // first/last hour instants within the closed interval
-    val firstHour = timestamp_micros(
-      (ceil(col("start_us") / lit(3600000000.0)) * 3600000000L).cast("long"))
-    val lastHour = timestamp_micros(
-      (floor(col("end_us") / lit(3600000000.0)) * 3600000000L).cast("long"))
-    iv.withColumn("fh", firstHour).withColumn("lh", lastHour)
-      .filter(col("fh") <= col("lh"))
+    val withHours = iv
+      .withColumn("fh_us", (ceil(col("start_us") / lit(3600000000.0)) * HourUs).cast("long"))
+      .withColumn("lh_us", (floor(col("end_us") / lit(3600000000.0)) * HourUs).cast("long"))
+      .filter(col("fh_us") <= col("lh_us"))
+    chunkedIntervals(withHours, maxHoursPerChunk)
+      .repartition(col("chunk_fh")) // spread one interval's chunks across tasks
       .select(col("event_type"), col("user_id"),
-        explode(sequence(col("fh"), col("lh"), expr("interval 1 hour"))).as("frame_ts"))
+        explode(sequence(timestamp_micros(col("chunk_fh")),
+          timestamp_micros(col("chunk_lh")), expr("interval 1 hour"))).as("frame_ts"))
       .groupBy(col("frame_ts"), col("event_type"))
       .agg(countDistinct(col("user_id")).as("item_count"))
   }

@@ -58,6 +58,35 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("interval-skew guard: a 10-year interval explodes in bounded chunks, result unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hourUs = 3600000000L
+    val tenYearsHours = 10 * 8760
+    val iv = Seq(
+      ("A", 1L, 0L, tenYearsHours.toLong * hourUs), // pathological
+      ("B", 2L, hourUs, 3L * hourUs))               // normal 3-hour interval
+      .toDF("event_type", "user_id", "start_us", "end_us")
+    // chunk bound: no chunk spans more than the cap, chunks tile exactly
+    val withHours = iv
+      .withColumn("fh_us", (ceil(col("start_us") / lit(3600000000.0)) * hourUs).cast("long"))
+      .withColumn("lh_us", (floor(col("end_us") / lit(3600000000.0)) * hourUs).cast("long"))
+    val chunks = queries.TimeSeries.chunkedIntervals(withHours, 1000)
+      .select(col("user_id"), col("chunk_fh"), col("chunk_lh"))
+      .as[(Long, Long, Long)].collect()
+    val big = chunks.filter(_._1 == 1L)
+    assert(big.length == math.ceil((tenYearsHours + 1) / 1000.0).toInt)
+    assert(big.forall { case (_, f, l) => (l - f) / hourUs < 1000 })
+    assert(big.map { case (_, f, l) => (l - f) / hourUs + 1 }.sum == tenYearsHours + 1)
+    // semantics unchanged vs an effectively-unchunked run
+    val guarded = queries.TimeSeries.occupancyHourly(iv, maxHoursPerChunk = 1000)
+      .orderBy("frame_ts", "event_type").collect()
+    val unchunked = queries.TimeSeries.occupancyHourly(iv, maxHoursPerChunk = 1000000)
+      .orderBy("frame_ts", "event_type").collect()
+    assert(guarded.sameElements(unchunked))
+    assert(guarded.length == tenYearsHours + 1 + 3)
+  }
+
   test("q1_agg groups by returnflag/linestatus with positive sums") {
     val rows = queries.Relational.q1Agg(spark, sf).collect()
     assert(rows.nonEmpty)
