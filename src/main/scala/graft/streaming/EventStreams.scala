@@ -44,6 +44,32 @@ object EventStreams {
       .select(col("w.start").as("bucket_day"), col("event_type"),
         col("entries"), col("total_value"))
 
+  /** Full A7-A10 streaming analog: entry AND exit counts per day per
+    * event type. Exits bucket by interval END (ts + floor(value)
+    * minutes, the batch eventIntervals convention). A two-sided
+    * full-outer join is not needed (nor stream-stream joinable in
+    * general): tagging each event's entry/exit instants and unioning
+    * BEFORE one windowed aggregation is the streaming-native merge — a
+    * day with only exits still surfaces, entries = 0, exactly like the
+    * batch full-outer with zero defaults (J9/A10). */
+  def dailyThroughputMerged(events: DataFrame, watermark: String = "2 days"): DataFrame = {
+    val endTs = timestamp_micros(
+      unix_micros(col("ts")) + floor(col("value")).cast("long") * lit(60000000L))
+    val entries = events.select(col("ts").as("t"), col("event_type"),
+      lit(1L).as("is_entry"))
+    val exits = events.select(endTs.as("t"), col("event_type"),
+      lit(0L).as("is_entry"))
+    entries.unionByName(exits)
+      .withWatermark("t", watermark)
+      .groupBy(window(col("t"), "1 day").as("w"), col("event_type"))
+      .agg(sum(col("is_entry")).as("entries"),
+        sum(lit(1L) - col("is_entry")).as("exits"))
+      .select(to_date(col("w.start")).as("bucket_day"), col("event_type"),
+        col("entries"), col("exits"),
+        (year(col("w.start")) * 10000 + month(col("w.start")) * 100 +
+          dayofmonth(col("w.start"))).as("bucket_n"))
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
   case class UserSession(user_id: Long, session_start: java.sql.Timestamp,

@@ -64,6 +64,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming merged throughput (entries+exits) equals the batch full-outer merge") {
+    val q = streaming.EventStreams.dailyThroughputMerged(eventStream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("thr_merged").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("thr_merged").collect()
+        .map(r => (r.getDate(0).toString, r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+      // batch ground truth: the A7-A10 shape over the same events
+      val iv = sources.Tables.events(spark, sf)
+        .withColumn("end_ts", timestamp_micros(
+          unix_micros(col("ts")) + floor(col("value")).cast("long") * lit(60000000L)))
+      val en = iv.groupBy(to_date(col("ts")).as("bucket_day"), col("event_type"))
+        .agg(count(lit(1)).as("entries"))
+      val ex = iv.groupBy(to_date(col("end_ts")).as("bucket_day"), col("event_type"))
+        .agg(count(lit(1)).as("exits"))
+      val batch = en.join(ex, Seq("bucket_day", "event_type"), "full_outer")
+        .select(col("bucket_day"), col("event_type"),
+          coalesce(col("entries"), lit(0L)).as("entries"),
+          coalesce(col("exits"), lit(0L)).as("exits"),
+          (year(col("bucket_day")) * 10000 + month(col("bucket_day")) * 100 +
+            dayofmonth(col("bucket_day"))).as("bucket_n"))
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+      // entries and exits genuinely differ on some day (intervals shift
+      // events across day boundaries), so both sides are exercised
+      assert(batch.values.exists { case (en0, ex0, _) => en0 != ex0 })
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions at the inactivity gap") {
     import spark.implicits._
     val gap = 30 * 60 * 1000L
