@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale deduplication operators for training-data pipelines.
@@ -10,9 +11,9 @@ import org.apache.spark.sql.functions._
   * quadratic step runs only on blocked/bucketed candidates.
   *
   *  - exact: hash-groupBy on a canonical fingerprint (one shuffle).
-  *  - n-gram Jaccard: inverted-index join on shingles (shuffle on
-  *    shingle), intersection counts via groupBy — never materializes
-  *    non-overlapping pairs.
+  *  - n-gram Jaccard: df-ordered prefix-filtered inverted-index join
+  *    (AllPairs/PPJoin) — hot shingles never generate candidates;
+  *    per-candidate array-intersect verification.
   *  - MinHash+LSH: k minhashes from one shingle scan (k aggs, one
   *    shuffle), banded signatures, equi-join on (band, signature) for
   *    candidates, exact-Jaccard verification on candidates only.
@@ -70,30 +71,78 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_dups"))
       .filter(col("n_dups") >= 2)
 
-  /** Exact n-gram Jaccard similarity pairs ≥ threshold, via an
-    * inverted-index self-join on shingles (intersections only — pairs
-    * sharing no shingle are never formed). */
+  /** Exact n-gram Jaccard similarity pairs ≥ threshold, via a
+    * df-ordered PREFIX-FILTERED inverted-index self-join (AllPairs /
+    * PPJoin candidate generation, Bayardo et al. WWW'07) + exact
+    * verification:
+    *
+    *  1. Drop df=1 shingles (they can never be in an intersection), then
+    *     rank each doc's remaining shingles in the global (df asc, key
+    *     asc) total order; the doc's PREFIX is its first
+    *     n − ⌈t·n⌉ + 1 shingles (n = FULL set size). For any pair with
+    *     J ≥ t, the smallest common shingle provably falls in BOTH
+    *     prefixes (else the intersection fits inside a suffix of size
+    *     ⌈t·n⌉ − 1 < t·n ≤ |a∩b|); ranking after the df=1 drop only
+    *     promotes shared shingles INTO prefixes, so no pair is lost.
+    *  2. The ordering puts RARE shingles in prefixes: hot shingles
+    *     (stop-word bigrams — the quadratic-blowup keys) sit in
+    *     suffixes and never generate candidates, which both shrinks the
+    *     join input ~(1−t)× and removes the skewed reducer.
+    *  3. Candidates also pass PPJoin's length filter
+    *     (t·max(n_a,n_b) ≤ min(n_a,n_b)) and positional filter (the
+    *     1 + min(remaining) overlap upper bound at the colliding
+    *     positions must reach α = ⌈t/(1+t)·(n_a+n_b)⌉) — both implied
+    *     by J ≥ t, so still lossless.
+    *  4. Exact verification intersects the two docs' FULL shingle-key
+    *     arrays — ONE row per candidate pair (no per-candidate
+    *     explode-join) — so results are identical to the naive
+    *     all-co-occurring-pairs plan (the DuckDB oracle).
+    *
+    * The prefix length uses t − 0.5e-4 so pairs that only reach t after
+    * the 4-decimal output rounding are still generated. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
     val sh = hashedShingleSet(docs, idCol, textCol).cache()
+    val tRelaxed = threshold - 0.00005
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // Document-frequency pruning: a shingle appearing in exactly one doc
-    // can never contribute to an intersection, yet in natural text the
-    // singleton tail dominates the shingle volume. Semi-join to df >= 2
-    // before the pair join — pure optimization (pairs unchanged; sizes
-    // are still computed over ALL shingles, so Jaccard values are exact).
-    val shared = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("sh"))
-    val pruned = sh.join(shared, Seq("sh"), "left_semi")
-    val a = pruned.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = pruned.select(col("doc_id").as("doc_b"), col("sh"))
-    val inter = a.join(b, Seq("sh"))
+    val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = sh.join(dfs, Seq("sh"))
+      .withColumn("r", row_number().over(
+        wDoc.orderBy(col("df").asc, col("sh").asc)))
+      .join(sizes, Seq("doc_id"))
+    // cached: both sides of the self-join read it (the window sort and
+    // df join would otherwise run twice); tiny — ~(1−t)·|shingle set|
+    val prefix = ranked
+      .filter(col("r") <= col("n_sh") - ceil(lit(tRelaxed) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("sh"), col("r"), col("n_sh"))
+      .cache()
+    val pa = prefix.select(col("doc_id").as("doc_a"), col("sh"),
+      col("r").as("ra"), col("n_sh").as("n_a"))
+    val pb = prefix.select(col("doc_id").as("doc_b"), col("sh"),
+      col("r").as("rb"), col("n_sh").as("n_b"))
+    val minOverlap =
+      ceil(lit(tRelaxed / (1 + tRelaxed)) * (col("n_a") + col("n_b")))
+    val cand = pa.join(pb, Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(lit(tRelaxed) * greatest(col("n_a"), col("n_b")) <=
+        least(col("n_a"), col("n_b")))
+      // positional filter with the full-set remaining bound (n − r):
+      // overlap ≤ 1 + min(remaining after the colliding position)
+      .filter(lit(1) + least(col("n_a") - col("ra"), col("n_b") - col("rb")) >=
+        minOverlap)
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val sa = sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
-    val sb = sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
-    inter.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+    // exact verification over full shingle-key sets, one row per candidate
+    val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shs"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")),
+        Seq("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")), 4))
@@ -171,20 +220,20 @@ object Dedup {
       .filter(estMatches >= MinSigMatches)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // verification: exact Jaccard on candidates only. Signatures need the
-    // string shingle (md5-based, oracle-replicable); the verify join does
-    // not — hash to 64-bit keys so the intersection shuffle moves longs.
-    val shh = sh.select(col("doc_id"), xxhash64(col("sh")).as("shk"))
-    val shA = shh.select(col("doc_id").as("doc_a"), col("shk"))
-    val shB = shh.select(col("doc_id").as("doc_b2"), col("shk").as("shk_b"))
-    val inter = cand.join(shA, Seq("doc_a"))
-      .join(shB, col("doc_b") === col("doc_b2") && col("shk") === col("shk_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+    // verification: exact Jaccard on candidates only — one row per
+    // candidate pair, intersecting the docs' shingle-KEY arrays (the
+    // signatures need the string shingle for md5/oracle parity; the
+    // verify join does not, so arrays hold 64-bit keys).
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(xxhash64(col("sh"))).as("shs"),
+        count(lit(1)).as("n_sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
+        col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
+        col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")), 4))

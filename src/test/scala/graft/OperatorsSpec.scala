@@ -66,6 +66,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty, "LSH found no pairs — banding broken")
   }
 
+  test("prefix-filtered jaccard equals the naive all-co-occurring-pairs plan") {
+    val docs = sources.Tables.documents(spark, sf)
+    val got = operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // naive: every co-occurring pair, full intersection, same rounding
+    val sh = operators.Dedup.hashedShingleSet(docs, "doc_id", "text").cache()
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val naive = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", round(col("c").cast("double") /
+        (col("na") + col("nb") - col("c")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == naive)
+    assert(got.nonEmpty)
+  }
+
   test("simhash byte-block join finds exactly the quadratic hamming<=3 pairs") {
     val docs = sources.Tables.documents(spark, sf).filter(col("doc_id") < 120)
     val sigs = operators.Dedup.simhashSignatures(docs, "doc_id", "text")
