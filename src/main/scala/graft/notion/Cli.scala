@@ -35,7 +35,10 @@ object Cli {
                  adapter: Option[Ingest.NotionAdapter] = None,
                  /** dataset → Notion database id; None → NOTION_DB_*
                    * env vars, else dataset names (recorded mode). */
-                 databaseIds: Option[Map[String, String]] = None)
+                 databaseIds: Option[Map[String, String]] = None) {
+    /** Leveled view of the log seam (lib/log.ts analog). */
+    def logger: graft.util.Log = new graft.util.Log(log)
+  }
 
   private val Datasets = Seq("workflowDefinitions", "workflowStages", "timeslices")
 
@@ -288,7 +291,13 @@ object Cli {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val code = dispatch(Env(spark, DefaultConfig.config), args.toList)
+    val env = Env(spark, DefaultConfig.config)
+    // cli/index.ts:436-440: top-level failure → log.error + exit 1
+    val code =
+      try dispatch(env, args.toList)
+      catch { case e: Throwable =>
+        env.logger.error("command failed", Some(e.toString)); 1
+      }
     spark.stop()
     if (code != 0) sys.exit(code)
   }

@@ -292,10 +292,84 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Deterministic signed-random-projection hyperplanes for [[embeddingLshPairs]]:
+    * component (j, d) = hash32("j_d") % 2001 − 1000 ∈ [−1000, 1000], where
+    * hash32 is the first-8-md5-hex-digits integer — generated arithmetically,
+    * so the DuckDB oracle reproduces the exact same planes from SQL
+    * (no shipped constants). */
+  def srpHyperplanes(nBits: Int, dim: Int): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nBits).map { j =>
+      (0 until dim).map { d =>
+        val hex = md.digest(s"${j}_${d}".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+      }
+    }
+  }
+
+  /** SRP-LSH (random-hyperplane) embedding near-duplicate pairs — the
+    * 100 TB candidate stage that replaces both the cross join AND the
+    * stored-block-column requirement of [[embeddingPairs]]:
+    *
+    *  1. Quantize each vector to integers (⌊1000·x⌋, exact in both
+    *     engines), then sign nBands·bandBits hyperplane dots — integer
+    *     arithmetic, so the sign bit is reproducible bit-for-bit in the
+    *     ANSI-SQL oracle (no float-sum-order hazard).
+    *  2. Pack bits into per-band signatures; candidates = pairs sharing
+    *     any (band, signature) — an equi-join shuffle keyed by the
+    *     signature, never a corpus-wide cross join.
+    *  3. Verify candidates with exact cosine ≥ threshold on the original
+    *     float vectors.
+    *
+    * Recall is the standard SRP curve 1 − (1 − p^bandBits)^nBands with
+    * p = 1 − θ/π: ≈ 1 for true near-duplicates (cos ≥ 0.9), partial at
+    * borderline angles (cos ≈ 0.45 ⇒ ~0.4 at the 16×8 default) — the
+    * candidate stage is part of the operator's defined, oracle-replicated
+    * semantics, exactly like MinHash banding. */
+  def embeddingLshPairs(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, dim: Int,
+                        nBands: Int = 16, bandBits: Int = 8): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(emb.sparkSession)
+    val nBits = nBands * bandBits
+    val hpLit = typedLit(srpHyperplanes(nBits, dim).map(_.toSeq))
+    val qv = transform(col("v"), x =>
+      floor(x.cast("double") * lit(1000)).cast("long"))
+    val bits = transform(sequence(lit(0), lit(nBits - 1)), j =>
+      when(aggregate(
+        zip_with(col("qv"), element_at(hpLit, j + 1), (q, c) => q * c),
+        lit(0L), (acc, x) => acc + x) >= 0, lit(1L)).otherwise(lit(0L)))
+    val sigs = transform(sequence(lit(0), lit(nBands - 1)), b =>
+      aggregate(sequence(lit(0), lit(bandBits - 1)), lit(0L), (acc, k) =>
+        acc + element_at(col("bits"), b * bandBits + k + 1) *
+          pow(lit(2.0), k).cast("long")))
+    val banded = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("qv", qv)
+      .withColumn("bits", bits)
+      .select(col("vec_id"), posexplode(sigs).as(Seq("band", "sig")))
+    val cand = banded.select(col("vec_id").as("vec_a"), col("band"), col("sig"))
+      .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    cand
+      .join(e.select(col("id").as("vec_a"), col("v").as("va"), col("n").as("na")),
+        Seq("vec_a"))
+      .join(e.select(col("id").as("vec_b"), col("v").as("vb"), col("n").as("nb")),
+        Seq("vec_b"))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold. Exact scoring;
     * pass a blocking column (e.g. coarse cluster id) to avoid the full
-    * cross join at scale — at 100 TB an ANN/LSH candidate stage replaces
-    * the cross join entirely (see Similarity). */
+    * cross join at scale — [[embeddingLshPairs]] is the candidate stage
+    * that needs no stored block column at all. */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, blockCol: Option[String] = None): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(emb.sparkSession)

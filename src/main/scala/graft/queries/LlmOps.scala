@@ -44,6 +44,14 @@ object LlmOps extends QueryModule {
       CosineThreshold, blockCol = Some("label"))
       .orderBy(col("vec_a"), col("vec_b"))
 
+  /** SRP-LSH candidate stage + exact-cosine verify — no stored block
+    * column, no cross join; the deterministic hyperplanes are re-derived
+    * arithmetically inside the oracle SQL. */
+  def qDedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingLshPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      CosineThreshold, dim = 64)
+      .orderBy(col("vec_a"), col("vec_b"))
+
   def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.bruteForceTopK(emb.filter(col("vec_id") % 25 === 0), emb,
@@ -123,6 +131,7 @@ object LlmOps extends QueryModule {
     "q_dedup_minhash"   -> qDedupMinhash _,
     "q_dedup_simhash"   -> qDedupSimhash _,
     "q_dedup_embedding" -> qDedupEmbedding _,
+    "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh _,
     "q_ann_topk"        -> qAnnTopK _,
     "q_ann_ivf"         -> qAnnIvf _,
     "q_ann_ivf_kmeans"  -> qAnnIvfKmeans _,
@@ -232,6 +241,30 @@ object LlmOps extends QueryModule {
          |      (sqrt(${dot("a.v", "a.v")}) * sqrt(${dot("b.v", "b.v")})), 6) AS cos
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
          |WHERE cos >= $CosineThreshold ORDER BY vec_a, vec_b""".stripMargin,
+    "q_dedup_embedding_lsh" -> {
+      val hpc = duckHex("md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR))", 1, 8)
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |hp AS (SELECT j, d, $hpc % 2001 - 1000 AS c
+         |  FROM range(128) s(j), range(64) t(d)),
+         |qv AS (SELECT vec_id,
+         |    list_transform(v, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM e),
+         |vd AS (SELECT vec_id, d, q[d + 1] AS qd FROM qv, range(64) t(d)),
+         |dots AS (SELECT vec_id, j, SUM(qd * c) AS s
+         |  FROM vd JOIN hp USING (d) GROUP BY 1, 2),
+         |sigs AS (SELECT vec_id, CAST(j // 8 AS INT) AS band,
+         |    CAST(SUM(CASE WHEN s >= 0 THEN (1 << (j % 8)) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+         |SELECT * FROM (
+         |  SELECT vec_a, vec_b,
+         |    ROUND(${dot("a.v", "b.v")} /
+         |      (sqrt(${dot("a.v", "a.v")}) * sqrt(${dot("b.v", "b.v")})), 6) AS cos
+         |  FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b) t
+         |WHERE cos >= $CosineThreshold ORDER BY vec_a, vec_b""".stripMargin
+    },
     "q_ann_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -229,6 +229,25 @@ class CliSpec extends AnyFunSuite {
     assert(e.status == 429 && e.headers("retry-after") == "1")
   }
 
+  test("leveled logger renders [level] message with optional meta (log.ts parity)") {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val log = new graft.util.Log(out += _)
+    log.info("pulling timeslices")
+    log.info("wrote raw records", Some("{count: 2}"))
+    log.warn("rate limited")
+    log.error("command failed", Some("boom"))
+    assert(out.toSeq == Seq(
+      "[info] pulling timeslices",
+      "[info] wrote raw records {count: 2}",
+      "[warn] rate limited",
+      "[error] command failed boom"))
+    // Env.logger writes through the same injectable seam
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val env = Cli.Env(spark, DefaultConfig.config, log = seen += _)
+    env.logger.error("command failed", Some("x"))
+    assert(seen.toSeq == Seq("[error] command failed x"))
+  }
+
   test("run-date helpers render LA vs UTC calendar dates") {
     val clock = new graft.util.LogicalClock(start = 1704088800000L) // 2024-01-01T06:00Z
     assert(functions.Scalars.utcDateStamp(clock) == "2024-01-01")

@@ -89,6 +89,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("SRP-LSH recovers all planted high-cosine near-dups; deterministic") {
+    // 40 seeded random vectors + 5 planted near-dups of the first 5
+    // (tiny noise => cos >= 0.95; SRP recall at 16x8 bands ~ 0.9998)
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val planted = (0 until 5).map { i =>
+      (100L + i, base(i)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val got = operators.Dedup
+      .embeddingLshPairs(emb, "vec_id", "embedding", 0.9, dim = 64)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    (0 until 5).foreach { i =>
+      assert(got.contains((i.toLong, 100L + i)), s"planted pair $i missed")
+    }
+    // only true high-cos pairs survive the exact verify
+    val brute = operators.Dedup
+      .embeddingPairs(emb, "vec_id", "embedding", 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(brute), "LSH emitted a pair the exact verify should have dropped")
+    // deterministic: second run identical
+    val again = operators.Dedup
+      .embeddingLshPairs(emb, "vec_id", "embedding", 0.9, dim = 64)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got == again)
+  }
+
   test("simhash byte-block join finds exactly the quadratic hamming<=3 pairs") {
     val docs = sources.Tables.documents(spark, sf).filter(col("doc_id") < 120)
     val sigs = operators.Dedup.simhashSignatures(docs, "doc_id", "text")
