@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Custom Catalyst expression for the embedding hot path (SURVEY §2.9
   * policy: native Expression with doGenCode beats a Scala UDF).
@@ -65,18 +65,132 @@ case class DotProductF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `SrpSigsF32(v, nBands, bandBits, dim)` — per-row signed-random-
+  * projection LSH signatures for a float32 embedding: quantize to
+  * ⌊1000·x⌋ integers, sign nBands·bandBits deterministic hyperplane
+  * dots (see [[VectorExpressions.srpHyperplanes]]), pack bits LSB-first
+  * into one long per band. Integer arithmetic end to end, so values are
+  * bit-identical to the higher-order-function formulation AND the
+  * ANSI-SQL oracle — but codegen emits tight primitive loops (~10×
+  * faster than the interpreted nested-lambda stack it replaces).
+  */
+case class SrpSigsF32(child: Expression, nBands: Int, bandBits: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"srp_sigs_f32 requires array<float> input, got $dt")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_sigs_f32"
+
+  @transient private lazy val hp: Array[Long] =
+    VectorExpressions.srpHyperplanes(nBands * bandBits, dim).flatten.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val q = new Array[Long](dim)
+    var d = 0
+    while (d < n) {
+      q(d) = math.floor(v.getFloat(d).toDouble * 1000.0).toLong
+      d += 1
+    }
+    val nBits = nBands * bandBits
+    val sigs = new Array[Long](nBands)
+    var j = 0
+    while (j < nBits) {
+      var s = 0L
+      val off = j * dim
+      var dd = 0
+      while (dd < dim) { s += q(dd) * hp(off + dd); dd += 1 }
+      if (s >= 0) sigs(j / bandBits) |= 1L << (j % bandBits)
+      j += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hpRef = ctx.addReferenceObj("srpHp", hp, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val q = ctx.freshName("q")
+      val sigs = ctx.freshName("sigs")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val dd = ctx.freshName("dd")
+      val off = ctx.freshName("off")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |long[] $q = new long[$dim];
+         |for (int $d = 0; $d < $n; $d++) {
+         |  $q[$d] = (long) java.lang.Math.floor((double) $v.getFloat($d) * 1000.0);
+         |}
+         |long[] $sigs = new long[$nBands];
+         |for (int $j = 0; $j < ${nBands * bandBits}; $j++) {
+         |  long $s = 0L;
+         |  int $off = $j * $dim;
+         |  for (int $dd = 0; $dd < $dim; $dd++) {
+         |    $s += $q[$dd] * $hpRef[$off + $dd];
+         |  }
+         |  if ($s >= 0) $sigs[$j / $bandBits] |= 1L << ($j % $bandBits);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.functions.call_function
 
-  /** Register dot_f32 in the session's function registry (idempotent).
-    * Spark 4 Columns are plan-node based, so custom Expressions enter
-    * plans through the registry + call_function — the public path. */
-  def ensureRegistered(spark: SparkSession): Unit =
+  /** Deterministic SRP hyperplanes: component (j, d) =
+    * hash32("j_d") % 2001 − 1000 ∈ [−1000, 1000], hash32 = first 8 md5
+    * hex digits as an integer — generated arithmetically so the DuckDB
+    * oracle re-derives the exact same planes from SQL. */
+  def srpHyperplanes(nBits: Int, dim: Int): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nBits).map { j =>
+      (0 until dim).map { d =>
+        val hex = md.digest(s"${j}_${d}".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+      }
+    }
+  }
+
+  private def intArg(e: Expression, name: String): Int = e.eval(null) match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"srp_sigs_f32 $name must be an integer literal, got $other")
+  }
+
+  /** Register dot_f32 / srp_sigs_f32 in the session's function registry
+    * (idempotent). Spark 4 Columns are plan-node based, so custom
+    * Expressions enter plans through the registry + call_function — the
+    * public path. */
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f32", exprs => DotProductF32(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "srp_sigs_f32", exprs => SrpSigsF32(exprs(0),
+        intArg(exprs(1), "nBands"), intArg(exprs(2), "bandBits"),
+        intArg(exprs(3), "dim")), "built-in")
+  }
 
   /** Column wrapper for DotProductF32. The analyzing session must have
     * called [[ensureRegistered]] (operator entry points do). */
   def dotF32(a: Column, b: Column): Column = call_function("dot_f32", a, b)
+
+  /** Column wrapper for SrpSigsF32. */
+  def srpSigsF32(v: Column, nBands: Int, bandBits: Int, dim: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("srp_sigs_f32", v, lit(nBands), lit(bandBits), lit(dim))
+  }
 }

@@ -292,30 +292,15 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Deterministic signed-random-projection hyperplanes for [[embeddingLshPairs]]:
-    * component (j, d) = hash32("j_d") % 2001 − 1000 ∈ [−1000, 1000], where
-    * hash32 is the first-8-md5-hex-digits integer — generated arithmetically,
-    * so the DuckDB oracle reproduces the exact same planes from SQL
-    * (no shipped constants). */
-  def srpHyperplanes(nBits: Int, dim: Int): Seq[Seq[Long]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until nBits).map { j =>
-      (0 until dim).map { d =>
-        val hex = md.digest(s"${j}_${d}".getBytes("UTF-8"))
-          .take(4).map("%02x".format(_)).mkString
-        java.lang.Long.parseLong(hex, 16) % 2001 - 1000
-      }
-    }
-  }
-
   /** SRP-LSH (random-hyperplane) embedding near-duplicate pairs — the
     * 100 TB candidate stage that replaces both the cross join AND the
     * stored-block-column requirement of [[embeddingPairs]]:
     *
     *  1. Quantize each vector to integers (⌊1000·x⌋, exact in both
-    *     engines), then sign nBands·bandBits hyperplane dots — integer
-    *     arithmetic, so the sign bit is reproducible bit-for-bit in the
-    *     ANSI-SQL oracle (no float-sum-order hazard).
+    *     engines), then sign nBands·bandBits deterministic hyperplane
+    *     dots (functions.SrpSigsF32, a codegen Expression; hyperplanes
+    *     are md5-derived so the ANSI-SQL oracle re-derives them) —
+    *     integer arithmetic, no float-sum-order hazard.
     *  2. Pack bits into per-band signatures; candidates = pairs sharing
     *     any (band, signature) — an equi-join shuffle keyed by the
     *     signature, never a corpus-wide cross join.
@@ -331,22 +316,10 @@ object Dedup {
                         threshold: Double, dim: Int,
                         nBands: Int = 16, bandBits: Int = 8): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(emb.sparkSession)
-    val nBits = nBands * bandBits
-    val hpLit = typedLit(srpHyperplanes(nBits, dim).map(_.toSeq))
-    val qv = transform(col("v"), x =>
-      floor(x.cast("double") * lit(1000)).cast("long"))
-    val bits = transform(sequence(lit(0), lit(nBits - 1)), j =>
-      when(aggregate(
-        zip_with(col("qv"), element_at(hpLit, j + 1), (q, c) => q * c),
-        lit(0L), (acc, x) => acc + x) >= 0, lit(1L)).otherwise(lit(0L)))
-    val sigs = transform(sequence(lit(0), lit(nBands - 1)), b =>
-      aggregate(sequence(lit(0), lit(bandBits - 1)), lit(0L), (acc, k) =>
-        acc + element_at(col("bits"), b * bandBits + k + 1) *
-          pow(lit(2.0), k).cast("long")))
-    val banded = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .withColumn("qv", qv)
-      .withColumn("bits", bits)
-      .select(col("vec_id"), posexplode(sigs).as(Seq("band", "sig")))
+    val banded = emb.select(col(idCol).as("vec_id"),
+        graft.functions.VectorExpressions.srpSigsF32(
+          col(vecCol), nBands, bandBits, dim).as("sigs"))
+      .select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
     val cand = banded.select(col("vec_id").as("vec_a"), col("band"), col("sig"))
       .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("sig")),
         Seq("band", "sig"))
