@@ -33,20 +33,23 @@ object Dedup {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Word-bigram shingles of a whitespace-tokenized text column. */
-  def shingles2(text: Column): Column = {
-    val w = split(text, " ")
+  /** Word-bigram shingles over an already-materialized token array. */
+  private def shinglesFromTokens(w: Column): Column =
     when(size(w) >= 2,
       transform(sequence(lit(1), size(w) - 1),
         i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
       .otherwise(array())
-  }
+
+  /** Word-bigram shingles of a whitespace-tokenized text column. */
+  def shingles2(text: Column): Column = shinglesFromTokens(split(text, " "))
 
   /** (doc_id, shingle) distinct pairs — the shared scan for the
-    * Jaccard/MinHash family. */
+    * Jaccard/MinHash family. The token array is materialized in its own
+    * projection so the split runs once per document, not once per
+    * reference inside the explode expression. */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(shingles2(col(textCol))).as("sh"))
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("w"))).as("sh"))
       .distinct()
 
   /** (doc_id, shingle-key) distinct pairs with the shingle hashed to a
@@ -57,8 +60,8 @@ object Dedup {
     * shingles collide in 64 bits: P ≈ n²/2⁶⁵, ~10⁻⁶ even at 10⁹ distinct
     * shingles — immaterial against a similarity threshold. */
   def hashedShingleSet(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(shingles2(col(textCol))).as("s"))
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("w"))).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("sh"))
       .distinct()
 
