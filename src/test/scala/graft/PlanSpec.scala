@@ -98,4 +98,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side should broadcast in:\n$p")
   }
+
+  /** SRP-LSH embedding dedup: candidates come from a (band, sig)
+    * equi-join; the signature computation is the codegen SrpSigsF32
+    * expression, not a UDF; and nothing corpus-sized is broadcast. */
+  test("embedding LSH plan: banded equi-join, codegen signatures, no cross join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q_dedup_embedding_lsh")
+      assert(!p.contains("CartesianProduct"), s"LSH dedup must not cross-join:\n$p")
+      assert(p.contains("srp_sigs_f32"), s"codegen signature expression missing:\n$p")
+      assert(!p.contains("ScalaUDF"), "signatures must not fall back to UDF execution")
+      assert(!p.contains("BroadcastExchange"),
+        s"corpus-sized state must not be broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  /** PPJoin Jaccard: the prefix rank is a per-doc window (shuffle by
+    * doc_id — scale-safe), candidates come from the prefix equi-join,
+    * and there is no cross join anywhere. */
+  test("jaccard PPJoin plan: windowed prefix rank, no cartesian") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q_dedup_jaccard")
+      assert(!p.contains("CartesianProduct"), s"jaccard must not cross-join:\n$p")
+      assert(p.contains("row_number"), s"expected the df-order prefix rank window:\n$p")
+      assert(!p.contains("BroadcastExchange"),
+        s"corpus-sized state must not be broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
