@@ -70,6 +70,54 @@ object EventStreams {
           dayofmonth(col("w.start"))).as("bucket_n"))
   }
 
+  /** Streaming exact deduplication by content fingerprint — the
+    * ingestion-time analog of Dedup.exactDuplicateGroups for a live
+    * training-data feed: emit only the first document per fingerprint,
+    * with state bounded by the watermark (a fingerprint seen again
+    * after the watermark passes is treated as new — the standard
+    * bounded-state trade-off, documented rather than hidden). */
+  def dedupExactStream(docs: DataFrame, fpCol: String = "fp",
+                       watermark: String = "1 day"): DataFrame =
+    docs.withWatermark("ts", watermark).dropDuplicates(fpCol)
+
+  case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, fp: String)
+  case class TaggedDoc(doc_id: Long, fp: String, is_duplicate: Boolean)
+
+  /** Duplicate-TAGGING stream: unlike [[dedupExactStream]] every
+    * document flows through, tagged `is_duplicate` when its fingerprint
+    * was already seen — what an audit/lineage pipeline needs (drop
+    * counts per source, dup-rate monitors) where silent dropping would
+    * hide data loss. Keyed state is one boolean per distinct
+    * fingerprint, expired `stateTtlMs` past the last sighting via
+    * event-time timeout, so state is bounded by the distinct-fingerprint
+    * arrival rate × TTL, not the stream length. */
+  def tagDuplicates(docs: org.apache.spark.sql.Dataset[DocEvent],
+                    watermark: String = "1 day",
+                    stateTtlMs: Long = 24 * 3600 * 1000L): org.apache.spark.sql.Dataset[TaggedDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def update(fp: String, rows: Iterator[DocEvent],
+               state: GroupState[Boolean]): Iterator[TaggedDoc] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+        var seen = state.getOption.getOrElse(false)
+        val out = sorted.map { r =>
+          val t = TaggedDoc(r.doc_id, fp, seen); seen = true; t
+        }
+        state.update(true)
+        val lastTs = sorted.map(_.ts.getTime).max
+        state.setTimeoutTimestamp(
+          math.max(state.getCurrentWatermarkMs() + 1, lastTs) + stateTtlMs)
+        out.iterator
+      }
+    }
+    docs
+      .withWatermark("ts", watermark)
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
   case class UserSession(user_id: Long, session_start: java.sql.Timestamp,

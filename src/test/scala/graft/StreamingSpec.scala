@@ -98,6 +98,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: first-per-fingerprint kept; duplicate tagging equals batch row_number") {
+    import spark.implicits._
+    // coarse fingerprint so duplicates are frequent
+    val fp = concat(col("event_type"), lit("_"), floor(col("value")).cast("string"))
+    // 1) dropDuplicates path: the surviving key set equals batch distinct
+    val q1 = streaming.EventStreams.dedupExactStream(
+      eventStream.withColumn("fp", fp))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_stream").start()
+    try {
+      q1.processAllAvailable()
+      val streamedKeys = spark.table("dedup_stream").select("fp")
+        .as[String].collect().toSet
+      val batchKeys = sources.Tables.events(spark, sf).withColumn("fp", fp)
+        .select("fp").distinct().as[String].collect().toSet
+      assert(streamedKeys == batchKeys)
+      assert(spark.table("dedup_stream").count() == batchKeys.size)
+    } finally q1.stop()
+    // 2) tagging path: per-doc is_duplicate equals the batch first-seen rank
+    val docs = eventStream
+      .select(col("event_id").as("doc_id"), col("ts"), fp.as("fp"))
+      .as[streaming.EventStreams.DocEvent]
+    val q2 = streaming.EventStreams.tagDuplicates(docs)
+      .writeStream.outputMode("append").format("memory").queryName("tag_stream").start()
+    try {
+      q2.processAllAvailable()
+      val streamed = spark.table("tag_stream")
+        .select("doc_id", "is_duplicate")
+        .as[(Long, Boolean)].collect().toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("ts"), col("doc_id"))
+      val batch = sources.Tables.events(spark, sf)
+        .select(col("event_id").as("doc_id"), col("ts"), fp.as("fp"))
+        .withColumn("is_dup", row_number().over(w) > 1)
+        .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+      assert(streamed == batch)
+      assert(streamed.values.exists(identity) && streamed.values.exists(!_),
+        "expect a mix of originals and duplicates")
+    } finally q2.stop()
+  }
+
   test("stateful sessionization closes sessions at the inactivity gap") {
     import spark.implicits._
     val gap = 30 * 60 * 1000L
