@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProductF32, SrpSigsF32, VectorExpressions}
+
+/** Cluster-deployable registration of the engine's custom Catalyst
+  * expressions, the idiomatic Spark extension point:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * Every session built from that config (and every `newSession()`)
+  * resolves `dot_f32` / `srp_sigs_f32` from SQL and the Column API with
+  * no per-session setup. Operator entry points still call
+  * `VectorExpressions.ensureRegistered` so the library also works on a
+  * plain session — the extension makes registration a deploy-time,
+  * cluster-wide property instead of a code-path side effect.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e.eval(null) match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"srp_sigs_f32 $name must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),
+      (exprs: Seq[Expression]) => DotProductF32(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("srp_sigs_f32"),
+      new ExpressionInfo(classOf[SrpSigsF32].getName, "srp_sigs_f32"),
+      (exprs: Seq[Expression]) => SrpSigsF32(exprs(0),
+        intArg(exprs(1), "nBands"), intArg(exprs(2), "bandBits"),
+        intArg(exprs(3), "dim"))))
+  }
+}
+
+object GraftExtensions {
+  /** The config value to pass as `spark.sql.extensions`. */
+  val className: String = classOf[GraftExtensions].getName
+  /** Convenience: VectorExpressions.ensureRegistered for sessions that
+    * were not built with the extension. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    VectorExpressions.ensureRegistered(spark)
+}

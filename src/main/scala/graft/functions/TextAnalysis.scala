@@ -82,4 +82,27 @@ object TextAnalysis {
   /** Rolling-hash style 64-bit content hash (first 16 md5 hex digits). */
   def contentHash64(text: Column): Column =
     conv(substring(md5(text), 1, 15), 16, 10).cast("long")
+
+  // ---- PII detection / redaction ----------------------------------
+  // Patterns restricted to the Java-regex ∩ RE2 common subset (char
+  // classes, bounded repeats, \b ASCII word boundary) so the DuckDB
+  // oracle evaluates the EXACT same language.
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val SsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Number of matches of one PII pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Replace emails, phone numbers and SSNs with typed placeholder
+    * tokens. SSN runs before phone (disjoint shapes, but the order is
+    * part of the defined semantics); email last. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(SsnPattern), lit("[SSN]")),
+        lit(PhonePattern), lit("[PHONE]")),
+      lit(EmailPattern), lit("[EMAIL]"))
 }

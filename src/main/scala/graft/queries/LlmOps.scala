@@ -112,6 +112,33 @@ object LlmOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** PII detection + redaction over the corpus. The synthetic documents
+    * contain no PII, so the query plants deterministic emails/phones/SSNs
+    * derived from doc_id (mirrored verbatim in the oracle) and then
+    * detects and redacts them — exercising the real operator end to end. */
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val phone = concat(
+      lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad(((id * 7) % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad(((id * 13) % 10000).cast("string"), 4, "0"))
+    val ssn = concat(
+      lpad(((id * 3) % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad(((id * 11) % 100).cast("string"), 2, "0"), lit("-"),
+      lpad(((id * 17) % 10000).cast("string"), 4, "0"))
+    val t = concat(col("text"),
+      lit(" contact user"), id.cast("string"), lit("@example.com"),
+      when(id % 3 === 0, concat(lit(" call "), phone)).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" id "), ssn)).otherwise(lit("")))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.piiCount(t, TextAnalysis.EmailPattern).as("n_email"),
+      TextAnalysis.piiCount(t, TextAnalysis.PhonePattern).as("n_phone"),
+      TextAnalysis.piiCount(t, TextAnalysis.SsnPattern).as("n_ssn"),
+      TextAnalysis.redactPii(t).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
   def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     Tables.documents(spark, dir)
@@ -138,6 +165,7 @@ object LlmOps extends QueryModule {
     "q_text_stats"      -> qTextStats _,
     "q_lang_id"         -> qLangId _,
     "q_fingerprint"     -> qFingerprint _,
+    "q_pii_redact"      -> qPiiRedact _,
     "q_multimodal_meta" -> qMultimodalMeta _)
 
   // ---- oracle SQL generation helpers -------------------------------
@@ -338,6 +366,32 @@ object LlmOps extends QueryModule {
         |  FROM documents)
         |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_sharing
         |FROM f ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" -> {
+      val email = TextAnalysis.EmailPattern
+      val phone = TextAnalysis.PhonePattern
+      val ssn = TextAnalysis.SsnPattern
+      s"""WITH t AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' call '
+         |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         |         || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+         |         || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' id '
+         |         || lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0') || '-'
+         |         || lpad(CAST((doc_id * 11) % 100 AS VARCHAR), 2, '0') || '-'
+         |         || lpad(CAST((doc_id * 17) % 10000 AS VARCHAR), 4, '0')
+         |       ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS INT) AS n_phone,
+         |  CAST(len(regexp_extract_all(t, '$ssn')) AS INT) AS n_ssn,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$ssn', '[SSN]', 'g'), '$phone', '[PHONE]', 'g'),
+         |    '$email', '[EMAIL]', 'g') AS clean
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     "q_multimodal_meta" -> {
       val w4 = duckHex("h", 1, 4)
       val h4 = duckHex("h", 5, 4)

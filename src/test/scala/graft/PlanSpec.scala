@@ -115,6 +115,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** The extension injects the custom expressions into every session's
+    * registry at build time: a fresh newSession() — which does NOT
+    * inherit temp functions from ensureRegistered — must still resolve
+    * dot_f32 from SQL. */
+  test("GraftExtensions registers custom expressions session-wide") {
+    val fresh = spark.newSession()
+    val r = fresh.sql(
+      "SELECT dot_f32(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT)))").collect()(0).getDouble(0)
+    assert(r == 4.0)
+    val sigs = fresh.sql(
+      "SELECT srp_sigs_f32(array(CAST(0.3 AS FLOAT)), 2, 4, 1)").collect()(0).getSeq[Long](0)
+    assert(sigs.length == 2)
+  }
+
   /** PPJoin Jaccard: the prefix rank is a per-doc window (shuffle by
     * doc_id — scale-safe), candidates come from the prefix equi-join,
     * and there is no cross join anywhere. */
@@ -122,6 +137,9 @@ class PlanSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // operator-internal caches from earlier suites would hide the
+      // window subtree inside an InMemoryTableScan
+      spark.catalog.clearCache()
       val p = plan("q_dedup_jaccard")
       assert(!p.contains("CartesianProduct"), s"jaccard must not cross-join:\n$p")
       assert(p.contains("row_number"), s"expected the df-order prefix rank window:\n$p")
