@@ -62,4 +62,60 @@ object Multimodal {
     }
     DecodedFeature(id, modality, bytes.length, frames, mean)
   }
+
+  /** Frame-sample a video payload: every `everyN`-th fixed-size byte
+    * block (the stub codec's 64-byte "frame" convention), exploded to
+    * one row per sampled frame. Pure column ops — the slicing runs in
+    * whole-stage codegen with no opaque closure, and the explode
+    * fan-out is bounded by payload size / frameBytes / everyN. A real
+    * codec would swap the substring for a keyframe extractor with the
+    * SAME output schema. */
+  def sampleFrames(payloads: DataFrame, everyN: Int,
+                   frameBytes: Int = 64): DataFrame = {
+    val nFrames = (lit(1) + length(col("payload")).cast("long") / lit(frameBytes))
+      .cast("int")
+    payloads.filter(col("modality") === "video")
+      .select(col("doc_id"), col("payload"), nFrames.as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        posexplode(transform(
+          filter(sequence(lit(0), col("n_frames") - 1), i => i % everyN === 0),
+          i => col("payload").substr(i * frameBytes + 1, lit(frameBytes))))
+          .as(Seq("sample_idx", "frame")))
+      .select(col("doc_id"), col("n_frames"), col("sample_idx"),
+        col("frame").cast("string").as("frame_text"),
+        length(col("frame")).as("frame_bytes"))
+  }
+
+  /** Resized-payload record produced by the (stubbed) resizer. */
+  case class ResizedPayload(doc_id: Long, width: Int, height: Int,
+                            n_bytes_out: Int, sample_sum: Long)
+
+  /** Batch "resize" to target dimensions — the same per-partition batch
+    * shape as [[decodeFeatures]] (with Python codecs: mapInPandas over
+    * arrow batches). The stub deterministically re-samples every
+    * stride-th byte up to targetW·targetH output bytes; a real
+    * implementation swaps `resizeOne` for an image scaler with the SAME
+    * signature and batch iteration. */
+  def resizePayloads(payloads: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedPayload] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => resizeOne(id, bytes, targetW, targetH) }
+      }
+  }
+
+  private def resizeOne(id: Long, bytes: Array[Byte],
+                        targetW: Int, targetH: Int): ResizedPayload = {
+    val target = targetW * targetH
+    val out =
+      if (bytes.isEmpty) Array.empty[Byte]
+      else {
+        val stride = math.max(1, bytes.length / target)
+        bytes.indices.by(stride).take(target).map(bytes(_)).toArray
+      }
+    ResizedPayload(id, targetW, targetH, out.length,
+      out.map(b => (b & 0xff).toLong).sum)
+  }
 }

@@ -152,6 +152,15 @@ object LlmOps extends QueryModule {
       .drop("payload")
       .orderBy(col("doc_id"))
 
+  /** Frame-sample the video-modality payloads (every 4th 64-byte frame
+    * block). The corpus text is ASCII, so the oracle slices the text
+    * with the same arithmetic the engine applies to the binary. */
+  def qFrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.attachPayload(Tables.documents(spark, dir), "doc_id", "text"),
+      everyN = 4)
+      .orderBy(col("doc_id"), col("sample_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"     -> qDedupExact _,
     "q_dedup_jaccard"   -> qDedupJaccard _,
@@ -166,7 +175,8 @@ object LlmOps extends QueryModule {
     "q_lang_id"         -> qLangId _,
     "q_fingerprint"     -> qFingerprint _,
     "q_pii_redact"      -> qPiiRedact _,
-    "q_multimodal_meta" -> qMultimodalMeta _)
+    "q_multimodal_meta" -> qMultimodalMeta _,
+    "q_frame_sample"    -> qFrameSample _)
 
   // ---- oracle SQL generation helpers -------------------------------
 
@@ -392,6 +402,17 @@ object LlmOps extends QueryModule {
          |    '$email', '[EMAIL]', 'g') AS clean
          |FROM t ORDER BY doc_id""".stripMargin
     },
+    "q_frame_sample" ->
+      """WITH v AS (SELECT doc_id, text,
+        |    1 + CAST(strlen(text) AS INT) // 64 AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |u AS (SELECT doc_id, text, n_frames,
+        |    unnest(range(0, n_frames, 4)) AS i FROM v)
+        |SELECT doc_id, n_frames, CAST(i // 4 AS INT) AS sample_idx,
+        |  substring(text, CAST(i * 64 + 1 AS INT), 64) AS frame_text,
+        |  CAST(strlen(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS INT)
+        |    AS frame_bytes
+        |FROM u ORDER BY doc_id, sample_idx""".stripMargin,
     "q_multimodal_meta" -> {
       val w4 = duckHex("h", 1, 4)
       val h4 = duckHex("h", 5, 4)

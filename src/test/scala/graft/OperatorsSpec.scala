@@ -141,6 +141,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(0L).meanByte == ('a' + 'b' + 'c' + 'd') / 4.0)
   }
 
+  test("multimodal resize + frame-sample plumbing: deterministic shapes") {
+    val docs = Seq((2L, "v" * 200), (5L, "w" * 64), (8L, "z" * 10))
+      .toDF("doc_id", "text") // all doc_id % 3 == 2 -> video
+    val payloads = operators.Multimodal.attachPayload(docs, "doc_id", "text")
+    // resize: output bounded by target dims, every-stride sampling
+    val resized = operators.Multimodal.resizePayloads(payloads, 4, 4)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(resized(2L).n_bytes_out == 16) // 200 bytes, stride 12 -> 16 kept
+    assert(resized(8L).n_bytes_out == 10) // smaller than target: all kept
+    assert(resized(2L).sample_sum == 16L * 'v'.toLong)
+    // frame-sample: frames = 1 + len/64; every 4th kept
+    val frames = operators.Multimodal.sampleFrames(payloads, everyN = 4)
+      .select("doc_id", "n_frames", "sample_idx", "frame_bytes")
+      .as[(Long, Int, Int, Int)].collect()
+    val byDoc = frames.groupBy(_._1)
+    assert(byDoc(2L).map(_._2).head == 4) // 1 + 200/64
+    assert(byDoc(2L).map(_._3).toSet == Set(0)) // frames 0..3, sampled {0}
+    assert(byDoc(2L).head._4 == 64)
+    assert(byDoc(5L).head._2 == 2 && byDoc(5L).length == 1)
+  }
+
   test("ANN brute-force top-k self-consistency: rank 1 has max cosine") {
     val emb = sources.Tables.embeddings(spark, sf)
     val topk = operators.Similarity.bruteForceTopK(
