@@ -16,6 +16,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // deterministic name order so per-round timings are comparable
     // (shared cached plans make times order-sensitive otherwise)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -23,7 +24,11 @@ object Bench {
       // noop sink: full materialization of every row and column (count()
       // would let Spark skip final sort/projection work for some plans)
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // record, don't swallow: a failing query must not masquerade as
+        // a fast one in the round's bench artifact
+        errors(name) = e.toString.replaceAll("[\"\\\\\n]", " ").take(200)
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop lingering per-query caches so timings are isolated and
       // order-independent (operator caches otherwise accumulate and
@@ -34,7 +39,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s"\"$k\":\"$v\"" }
+        .mkString(""","errors":{""", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
     spark.stop()
   }
 }

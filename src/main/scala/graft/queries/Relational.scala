@@ -216,6 +216,24 @@ object Relational extends QueryModule {
       .orderBy(col("purchase_id"))
   }
 
+  /** Forward direction: for each purchase, the NEXT non-purchase event —
+    * pandas merge_asof direction='forward'; DuckDB native ASOF with the
+    * inequality flipped. */
+  def qAsofJoinFwd(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("k"), col("ts"))
+    val post = ev.select(col("user_id").as("k"),
+        col("ts").as("ts_r"), col("event_id").as("next_id"),
+        col("event_type").as("next_type"))
+      .filter(col("next_type") =!= "purchase")
+    graft.operators.AsOf.asofJoinLeft(purchases, post, "k",
+      "ts", "ts_r", Seq("next_id", "next_type"), direction = "forward")
+      .select(col("purchase_id"), col("k").as("user_id"),
+        col("asof_next_id").as("next_id"), col("asof_next_type").as("next_type"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"              -> q1Agg _,
     "q_count_by_key"      -> qCountByKey _,
@@ -230,7 +248,8 @@ object Relational extends QueryModule {
     "q_set_ops"           -> qSetOps _,
     "q_dedup_lastwin"     -> qDedupLastWin _,
     "q_distinct"          -> qDistinct _,
-    "q_asof_join"         -> qAsofJoin _)
+    "q_asof_join"         -> qAsofJoin _,
+    "q_asof_join_fwd"     -> qAsofJoinFwd _)
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -327,5 +346,15 @@ object Relational extends QueryModule {
         |SELECT p.purchase_id, p.user_id, r.prior_id, r.prior_type
         |FROM p ASOF LEFT JOIN r
         |  ON p.user_id = r.user_id AND r.ts_r <= p.ts
+        |ORDER BY p.purchase_id""".stripMargin,
+    "q_asof_join_fwd" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_r,
+        |    event_id AS next_id, event_type AS next_type
+        |  FROM events WHERE event_type <> 'purchase')
+        |SELECT p.purchase_id, p.user_id, r.next_id, r.next_type
+        |FROM p ASOF LEFT JOIN r
+        |  ON p.user_id = r.user_id AND r.ts_r >= p.ts
         |ORDER BY p.purchase_id""".stripMargin)
 }

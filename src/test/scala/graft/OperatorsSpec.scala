@@ -235,4 +235,35 @@ class OperatorsSpec extends AnyFunSuite {
       .select("name", "asof_rid").as[(String, Option[Long])].collect().toMap
     assert(got == Map("o1" -> Some(100L), "o2" -> Some(101L), "o3" -> None))
   }
+
+  test("as-of forward direction and tolerance bound the match window") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "o1"),
+                   (1L, ts("2024-01-01 12:00:00"), "o2"),
+                   (2L, ts("2024-01-01 09:00:00"), "o3"))
+      .toDF("k", "lt", "name")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 100L), // tie: matches forward too
+                    (1L, ts("2024-01-01 13:30:00"), 101L),
+                    (2L, ts("2024-01-01 08:00:00"), 102L)) // before o3: no fwd match
+      .toDF("k", "rt", "rid")
+    val fwd = operators.AsOf.asofJoinLeft(left, right, "k", "lt", "rt",
+      Seq("rid"), direction = "forward")
+      .select("name", "asof_rid").as[(String, Option[Long])].collect().toMap
+    assert(fwd == Map("o1" -> Some(100L), "o2" -> Some(101L), "o3" -> None))
+    // 1h tolerance: o2's nearest future right is 1.5h away -> nulled
+    val tol = operators.AsOf.asofJoinLeft(left, right, "k", "lt", "rt",
+      Seq("rid"), direction = "forward", tolerance = Some(3600.0))
+      .select("name", "asof_rid").as[(String, Option[Long])].collect().toMap
+    assert(tol == Map("o1" -> Some(100L), "o2" -> None, "o3" -> None))
+    // backward tolerance on the original fixture: o2 matched 11:00 (1h) - kept
+    // at 1h, dropped at 30min
+    val right0 = Seq((1L, ts("2024-01-01 10:00:00"), 100L),
+                     (1L, ts("2024-01-01 11:00:00"), 101L))
+      .toDF("k", "rt", "rid")
+    val bt = operators.AsOf.asofJoinLeft(left, right0, "k", "lt", "rt",
+      Seq("rid"), tolerance = Some(1800.0))
+      .select("name", "asof_rid").as[(String, Option[Long])].collect().toMap
+    assert(bt == Map("o1" -> Some(100L), "o2" -> None, "o3" -> None))
+  }
 }
