@@ -165,6 +165,28 @@ object Relational extends QueryModule {
       .orderBy(col("user_id"), col("rn"))
   }
 
+  /** Exact percentiles per group (linear interpolation — Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the definition).
+    * At 100 TB swap for approx_percentile (t-digest) — the exact form
+    * is the oracle-checkable baseline. */
+  def qPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(min(col("value")), 2).as("v_min"),
+        round(max(col("value")), 2).as("v_max"))
+      .orderBy(col("event_type"))
+
+  /** ROLLUP hierarchy totals — the OLAP subtotal/grand-total shape;
+    * grouping-set nulls mark subtotal rows identically in both engines. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   /** Set operations — §2.6 intersection/difference diagnostics
     * (scripts/diagnose-stage-relations.ts:145-164). */
   def qSetOps(spark: SparkSession, dir: String): DataFrame = {
@@ -249,9 +271,23 @@ object Relational extends QueryModule {
     "q_dedup_lastwin"     -> qDedupLastWin _,
     "q_distinct"          -> qDistinct _,
     "q_asof_join"         -> qAsofJoin _,
+    "q_percentile"        -> qPercentile _,
+    "q_rollup"            -> qRollup _,
     "q_asof_join_fwd"     -> qAsofJoinFwd _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_percentile" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
+        |  ROUND(MIN(value), 2) AS v_min,
+        |  ROUND(MAX(value), 2) AS v_max
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -178,7 +178,26 @@ object TimeSeries extends QueryModule {
       .orderBy(col("bucket_day"), col("event_type"))
   }
 
+  /** Bucketized point-in-interval range join (operators.RangeJoin):
+    * purchases matched to the 'view' intervals containing them, per
+    * user. 1-hour grain ≈ the median interval length. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("t"))
+    val iv = eventIntervals(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("start_us"), col("end_us"))
+    graft.operators.RangeJoin.pointInInterval(p, iv, "user_id",
+      "t", "start_us", "end_us", grain = 3600000000L)
+      .select(col("purchase_id"), col("user_id"), col("view_id"))
+      .orderBy(col("purchase_id"), col("view_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join"       -> qRangeJoin _,
     "q_date_spine"       -> qDateSpine _,
     "q_hour_spine"       -> qHourSpine _,
     "q_occupancy_hourly" -> qOccupancyHourly _,
@@ -187,6 +206,18 @@ object TimeSeries extends QueryModule {
     "q_throughput_daily" -> qThroughputDaily _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events WHERE event_type = 'purchase'),
+        |iv AS (SELECT event_id AS view_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + CAST(FLOOR(value) AS BIGINT) * 60000000 AS e
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.purchase_id, p.user_id, iv.view_id
+        |FROM p JOIN iv ON p.user_id = iv.user_id AND p.t BETWEEN iv.s AND iv.e
+        |ORDER BY purchase_id, view_id""".stripMargin,
     "q_date_spine" ->
       """WITH mm AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
         |                   CAST(MAX(o_orderdate) AS DATE) AS d1 FROM orders),

@@ -236,6 +236,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map("o1" -> Some(100L), "o2" -> Some(101L), "o3" -> None))
   }
 
+  test("range join: inclusive bounds, bucket-boundary spans, no dup pairs") {
+    val points = Seq((1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 100L, "p3"))
+      .toDF("k", "t", "pname")
+    val ivs = Seq(
+      (1L, 100L, 250L, "a"),  // inclusive both ends: catches p1 AND p2
+      (1L, 90L, 99L, "b"),    // just misses p1
+      (1L, 0L, 1000L, "c"),   // spans many buckets: still one pair each
+      (2L, 300L, 200L, "d"))  // inverted: never matches
+      .toDF("k", "s", "e", "iname")
+    val got = operators.RangeJoin.pointInInterval(points, ivs, "k",
+      "t", "s", "e", grain = 10L)
+      .select("pname", "iname").as[(String, String)].collect()
+    assert(got.length == got.distinct.length, "duplicate pairs emitted")
+    assert(got.toSet == Set(("p1", "a"), ("p2", "a"), ("p1", "c"), ("p2", "c")))
+  }
+
   test("as-of forward direction and tolerance bound the match window") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

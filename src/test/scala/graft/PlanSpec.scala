@@ -130,6 +130,17 @@ class PlanSpec extends AnyFunSuite {
     assert(sigs.length == 2)
   }
 
+  /** Bucketized range join must plan as a hash equi-join on the bucket
+    * key — the naive BETWEEN formulation plans as broadcast-nested-loop,
+    * which is the O(|points|·|intervals|) shape this operator exists to
+    * avoid. */
+  test("range join is a bucketed equi-join, not a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$p")
+    assert(p.contains("_bkt"), s"expected the bucket equi-join key in:\n$p")
+  }
+
   /** PPJoin Jaccard: the prefix rank is a per-doc window (shuffle by
     * doc_id — scale-safe), candidates come from the prefix equi-join,
     * and there is no cross join anywhere. */
