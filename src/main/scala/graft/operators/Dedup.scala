@@ -34,7 +34,7 @@ object Dedup {
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Word-bigram shingles over an already-materialized token array. */
-  private def shinglesFromTokens(w: Column): Column =
+  def shinglesFromTokens(w: Column): Column =
     when(size(w) >= 2,
       transform(sequence(lit(1), size(w) - 1),
         i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))

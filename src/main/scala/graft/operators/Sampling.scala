@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data
+  * pipelines. `df.sample()` is seed-dependent on PARTITIONING (a
+  * repartition changes the rows drawn), which silently breaks
+  * train/test hygiene at scale — these operators hash the row's stable
+  * id instead, so membership is a pure function of the id: reshuffles,
+  * retries and re-runs all agree, rows added later never move existing
+  * rows between splits, and the assignment is reproducible in ANSI SQL
+  * (md5-based, oracle-checkable).
+  */
+object Sampling {
+
+  /** Uniform [0, 1) value from a stable id: first 8 md5 hex digits over
+    * 2^32 (exact in double — the numerator is an integer < 2^32). */
+  def hashUnit(id: Column): Column =
+    Dedup.hash32(id.cast("string")) / lit(4294967296.0)
+
+  /** Deterministic fraction-sample: keep rows with hashUnit(id) < f. */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(hashUnit(col(idCol)) < fraction)
+
+  /** Assign each row to a named split by cumulative weight over the
+    * hash unit — e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1).
+    * Weights must sum to 1 (the last split absorbs rounding). */
+  def splitByHash(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val u = hashUnit(col(idCol))
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), bound), acc) =>
+      when(u < bound, name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+}

@@ -139,6 +139,25 @@ object LlmOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic hash-based train/val/test assignment — membership is
+    * a pure function of doc_id (partitioning-independent, append-stable),
+    * unlike df.sample(). */
+  def qHashSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.splitByHash(
+      Tables.documents(spark, dir).select("doc_id"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-wide top bigrams (vocabulary building): full multiset
+    * count — one explode + hash agg + TakeOrdered, no distinct-per-doc. */
+  def qTopNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(explode(Dedup.shinglesFromTokens(col("w"))).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("sh").asc)
+      .limit(20)
+
   def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     Tables.documents(spark, dir)
@@ -175,6 +194,8 @@ object LlmOps extends QueryModule {
     "q_lang_id"         -> qLangId _,
     "q_fingerprint"     -> qFingerprint _,
     "q_pii_redact"      -> qPiiRedact _,
+    "q_hash_split"      -> qHashSplit _,
+    "q_top_ngrams"      -> qTopNgrams _,
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_frame_sample"    -> qFrameSample _)
 
@@ -189,6 +210,9 @@ object LlmOps extends QueryModule {
     }
     terms.mkString("(", " + ", ")")
   }
+
+  /** hash32(doc_id) rendered in DuckDB SQL (Sampling.hashUnit numerator). */
+  private lazy val HashSplitHex = duckHex("md5(CAST(doc_id AS VARCHAR))", 1, 8)
 
   /** Shared shingle CTE prefix (word bigrams, distinct per doc). */
   private val shingleCtes =
@@ -376,6 +400,19 @@ object LlmOps extends QueryModule {
         |  FROM documents)
         |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_sharing
         |FROM f ORDER BY doc_id""".stripMargin,
+    "q_hash_split" ->
+      s"""WITH u AS (SELECT doc_id,
+         |    CAST($HashSplitHex AS DOUBLE) / 4294967296.0 AS u
+         |  FROM documents)
+         |SELECT doc_id, CASE WHEN u < 0.8 THEN 'train'
+         |  WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+         |FROM u ORDER BY doc_id""".stripMargin,
+    "q_top_ngrams" ->
+      """WITH docs2 AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |shl AS (SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS sh FROM docs2)
+        |SELECT sh, COUNT(*) AS n FROM shl
+        |GROUP BY 1 ORDER BY n DESC, sh LIMIT 20""".stripMargin,
     "q_pii_redact" -> {
       val email = TextAnalysis.EmailPattern
       val phone = TextAnalysis.PhonePattern

@@ -236,6 +236,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map("o1" -> Some(100L), "o2" -> Some(101L), "o3" -> None))
   }
 
+  test("hash split: append-stable, partitioning-independent, ~weight-proportioned") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val base = (0L until 1000L).toDF("id")
+    val a = operators.Sampling.splitByHash(base, "id", splits)
+      .as[(Long, String)].collect().toMap
+    // appending rows never moves existing ones
+    val grown = operators.Sampling.splitByHash(
+      (0L until 2000L).toDF("id"), "id", splits).as[(Long, String)].collect().toMap
+    assert(a.forall { case (k, v) => grown(k) == v })
+    // repartitioning never changes membership (df.sample breaks this)
+    val shuffled = operators.Sampling.splitByHash(
+      base.repartition(7), "id", splits).as[(Long, String)].collect().toMap
+    assert(shuffled == a)
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("test") > 50)
+    // sampleByHash(f) == the rows below the f bound
+    val s = operators.Sampling.sampleByHash(base, "id", 0.1)
+      .as[Long].collect().toSet
+    assert(s.nonEmpty && s.size < 200)
+    assert(operators.Sampling.sampleByHash(base.repartition(3), "id", 0.1)
+      .as[Long].collect().toSet == s)
+  }
+
   test("range join: inclusive bounds, bucket-boundary spans, no dup pairs") {
     val points = Seq((1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 100L, "p3"))
       .toDF("k", "t", "pname")
