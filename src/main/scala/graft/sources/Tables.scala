@@ -47,6 +47,18 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  private val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "region" -> region _, "nation" -> nation _, "customer" -> customer _,
+    "supplier" -> supplier _, "part" -> part _, "orders" -> orders _,
+    "lineitem" -> lineitem _, "events" -> events _,
+    "documents" -> documents _, "embeddings" -> embeddings _)
+
+  /** Register every table as a temp view so the full corpus is
+    * queryable from `spark.sql(...)` — `events` goes through the
+    * ns-timestamp normalization, not a bare parquet read. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n => loaders(n)(spark, sfDir).createOrReplaceTempView(n) }
+
   /** Latest lexicographic partition of a date-partitioned dataset dir —
     * the reference's "latest dataset date dir" (src/normalize/io.ts:5-12).
     * Driver-side FS listing; partition pruning then applies downstream.

@@ -117,6 +117,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == again)
   }
 
+  test("PPJoin equivalence holds on random corpora across thresholds") {
+    // seeded random docs over a small vocab => dense co-occurrence, the
+    // regime where prefix/length/positional filter bugs would surface
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docs = (0 until 30).map { i =>
+      val n = 3 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = operators.Dedup.jaccardPairs(docs, "doc_id", "text", t)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val sh = operators.Dedup.hashedShingleSet(docs, "doc_id", "text")
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val naive = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .withColumn("jaccard", round(col("c").cast("double") /
+          (col("na") + col("nb") - col("c")), 4))
+        .filter(col("jaccard") >= t)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == naive, s"PPJoin diverged from naive at threshold $t")
+      assert(t > 0.3 || got.nonEmpty, s"degenerate fixture at threshold $t")
+    }
+  }
+
   test("simhash byte-block join finds exactly the quadratic hamming<=3 pairs") {
     val docs = sources.Tables.documents(spark, sf).filter(col("doc_id") < 120)
     val sigs = operators.Dedup.simhashSignatures(docs, "doc_id", "text")

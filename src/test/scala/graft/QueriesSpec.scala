@@ -42,6 +42,19 @@ class QueriesSpec extends AnyFunSuite {
     * oracle. */
   val rowsOnlyQueries = Set("q_occupancy_approx")
 
+  test("registerAll exposes every table to spark.sql, events with µs timestamps") {
+    sources.Tables.registerAll(spark, sf)
+    sources.Tables.names.foreach { n =>
+      assert(spark.sql(s"SELECT * FROM $n LIMIT 1").count() == 1L, s"table $n")
+    }
+    // events.ts must be a usable timestamp, not raw nanos
+    val t = spark.sql("SELECT ts FROM events LIMIT 1").schema("ts").dataType
+    assert(t == org.apache.spark.sql.types.TimestampType)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    ).collect()(0).getLong(0) > 0)
+  }
+
   test("every query has an oracle or is documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyQueries
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
