@@ -75,12 +75,21 @@ object Scalars {
   def isoUtc(ts: Column): Column =
     date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
 
-  /** P21 — null/non-finite → 1; else max(1, round(n)). */
-  def normalizeStageNumber(n: Column): Column =
-    greatest(lit(1L), round(coalesce(n, lit(1.0))).cast("long"))
+  /** A double that is NaN or ±Infinity (ANSI round/cast would throw). */
+  private def nonFinite(n: Column): Column =
+    isnan(n) || n === Double.PositiveInfinity || n === Double.NegativeInfinity
 
-  /** P22 — null-preserving round. */
-  def normalizeStageNumberOrNull(n: Column): Column = round(n).cast("long")
+  /** P21 — null/non-finite → 1; else max(1, round(n))
+    * (derive/index.ts:331-336 Number.isFinite guard). */
+  def normalizeStageNumber(n: Column): Column =
+    when(n.isNull || nonFinite(n), lit(1L))
+      .otherwise(greatest(lit(1L), round(n).cast("long")))
+
+  /** P22 — null-preserving round; non-finite → null
+    * (derive/index.ts:338-343). */
+  def normalizeStageNumberOrNull(n: Column): Column =
+    when(nonFinite(n), lit(null).cast("long"))
+      .otherwise(round(n).cast("long"))
 
   /** P23 — instant → its America/Los_Angeles calendar date rendered
     * as `YYYY-MM-DDT00:00:00.000Z`. */

@@ -75,11 +75,14 @@ object TextAnalysis {
 
   /** Canonical content fingerprint: md5 over the sorted distinct token
     * set — detects reordered/duplicated-token near-copies exactly
-    * (the "exact dedup after normalization" key). */
+    * (the "exact dedup after normalization" key). Uses [[tokens]]
+    * (\s+ split, empties dropped) so whitespace-variant copies — double
+    * spaces, tabs, leading blanks — normalize to the same fingerprint. */
   def fingerprint(text: Column): Column =
-    md5(array_join(array_sort(array_distinct(split(text, " "))), " "))
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
-  /** Rolling-hash style 64-bit content hash (first 16 md5 hex digits). */
+  /** Rolling-hash style 60-bit content hash (first 15 md5 hex digits —
+    * 16 would overflow a signed long under the ANSI cast). */
   def contentHash64(text: Column): Column =
     conv(substring(md5(text), 1, 15), 16, 10).cast("long")
 

@@ -87,10 +87,13 @@ object Derive {
     date_format(from_utc_timestamp(tryTs(iso), "America/Los_Angeles"),
       "yyyy-MM-dd HH:mm")
 
-  /** P21/P22 stage-number normalization. */
+  /** P21/P22 stage-number normalization (non-finite guarded — ANSI
+    * round/cast would throw on NaN/Infinity; reference returns 1/null,
+    * derive/index.ts:331-343). */
   def stageNumber(n: Column): Column =
-    greatest(lit(1L), round(coalesce(n, lit(1.0))).cast("long"))
-  def stageNumberOrNull(n: Column): Column = round(n).cast("long")
+    graft.functions.Scalars.normalizeStageNumber(n)
+  def stageNumberOrNull(n: Column): Column =
+    graft.functions.Scalars.normalizeStageNumberOrNull(n)
 
   /** P29 assignStageColorHex over the reference palette. */
   def colorHex(key: Column): Column =

@@ -49,20 +49,25 @@ object AsOf {
         rightCols.map(c => right.schema(c).copy(name = c)))
     val l = left.select(
       (col(key).as("_k") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
+        lit(0L).as("_tb") +:
         lit(null).cast(rightStructType).as("_r") +:
         leftCols.map(c => col(c).as(s"_l_$c"))): _*)
     // null right times never match under ASOF semantics (the comparison
     // is unknown); unfiltered they'd sort first and leak their payload
     // into every left row lacking a nearer match
+    val rStruct = struct((col(rightTime).as("__asof_rt") +: rightCols.map(col)): _*)
     val r = right.filter(col(rightTime).isNotNull).select(
       (col(key).as("_k") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
-        struct((col(rightTime).as("__asof_rt") +: rightCols.map(col)): _*).as("_r") +:
+        // payload-hash tiebreak: two right rows with equal (key, time)
+        // would otherwise win nondeterministically (shuffle order)
+        xxhash64(rStruct).as("_tb") +:
+        rStruct.as("_r") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c"))): _*)
     // tag order: right rows sort before left rows at equal instants so a
     // simultaneous right row is visible to the left row in BOTH directions
     val timeOrd = if (direction == "backward") col("_t").asc else col("_t").desc
     val w = Window.partitionBy(col("_k"))
-      .orderBy(timeOrd, col("_side").asc)
+      .orderBy(timeOrd, col("_side").asc, col("_tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))

@@ -336,8 +336,9 @@ object Dedup {
         Seq("vec_a"))
       .join(e.select(col("id").as("vec_b"), col("v").as("vb"), col("n").as("nb")),
         Seq("vec_b"))
-      .withColumn("cos",
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      // null (not NaN) on zero norms — see embeddingPairs
+      .withColumn("cos", when(col("na") > 0 && col("nb") > 0,
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
@@ -358,7 +359,10 @@ object Dedup {
       .withColumn("nb", sqrt(dot(col("vb"), col("vb"))))
     a.join(b, Seq("blk"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      // null (not NaN) when a norm is zero: NaN compares greater than
+      // every double, so 0/0 pairs would pass the threshold filter
+      .withColumn("cos", when(col("na") > 0 && col("nb") > 0,
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }

@@ -65,9 +65,12 @@ object Similarity {
     require(sample.nonEmpty, "trainIvf: empty corpus")
     val dim = sample.head.length
     // init: the hash order is pseudo-random, so the first k distinct
-    // vectors are a seeded random draw
+    // vectors are a seeded random draw. Distinct BY CONTENT — Array
+    // equality is reference equality, so distinct on Array[Double]
+    // directly would be a no-op and duplicated vectors would seed
+    // identical (dead) centroids.
     var cents: Vector[Array[Double]] =
-      sample.distinct.take(nCells).toVector.map(_.clone)
+      sample.map(_.toVector).distinct.take(nCells).toVector.map(_.toArray)
     require(cents.size == nCells,
       s"trainIvf: need >= $nCells distinct vectors, got ${cents.size}")
     (0 until maxIters).foreach { _ =>
@@ -112,6 +115,33 @@ object Similarity {
     transform(slice(array_sort(ranked), 1, nprobe), s => s.getField("cell"))
   }
 
+  /** Shared scoring tail for every top-k variant: exclude self-matches,
+    * cosine (null — never NaN — when either norm is zero, so zero
+    * vectors can't outrank real neighbors: NaN sorts ABOVE every number
+    * in a desc sort, nulls sort last and are dropped), per-query rank,
+    * keep k. `pairs` carries (query_id, qv, nq, neighbor_id, cv, nc). */
+  private def scoreTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    pairs
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        when(col("nq") > 0 && col("nc") > 0,
+          round(Dedup.dot(col("qv"), col("cv")) / (col("nq") * col("nc")), 6)))
+      .filter(col("cos").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  private def queriesSide(queries: DataFrame, idCol: String, vecCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("nq", sqrt(Dedup.dot(col("qv"), col("qv"))))
+
+  private def corpusSide(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("nc", sqrt(Dedup.dot(col("cv"), col("cv"))))
+
   /** IVF top-k with a learned quantizer: corpus assigned once (map-side),
     * query side exploded to its nprobe probe cells and broadcast, join
     * keyed on the cell — the corpus never shuffles and only probed cells
@@ -119,21 +149,11 @@ object Similarity {
   def ivfSearchTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, model: IvfModel, k: Int, nprobe: Int): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(queries.sparkSession)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val q = queriesSide(queries, idCol, vecCol)
       .withColumn("cell", explode(probeCellsExpr(col("qv"), model, nprobe)))
-      .withColumn("nq", sqrt(Dedup.dot(col("qv"), col("qv"))))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = corpusSide(corpus, idCol, vecCol)
       .withColumn("cell", cellExpr(col("cv"), model))
-      .withColumn("nc", sqrt(Dedup.dot(col("cv"), col("cv"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    broadcast(q).join(c, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos",
-        round(Dedup.dot(col("qv"), col("cv")) / (col("nq") * col("nc")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    scoreTopK(broadcast(q).join(c, Seq("cell")), k)
   }
 
   /** Exact top-k neighbors for each query row (excluding self-matches).
@@ -141,19 +161,8 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(queries.sparkSession)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("nq", sqrt(Dedup.dot(col("qv"), col("qv"))))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("nc", sqrt(Dedup.dot(col("cv"), col("cv"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    broadcast(q).crossJoin(c)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos",
-        round(Dedup.dot(col("qv"), col("cv")) / (col("nq") * col("nc")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    scoreTopK(broadcast(queriesSide(queries, idCol, vecCol))
+      .crossJoin(corpusSide(corpus, idCol, vecCol)), k)
   }
 
   /** IVF-style top-k: probe only the query's own cell (nprobe = 1).
@@ -168,14 +177,6 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       col(cellCol).as("cell"))
       .withColumn("nc", sqrt(Dedup.dot(col("cv"), col("cv"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    broadcast(q).join(c, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos",
-        round(Dedup.dot(col("qv"), col("cv")) / (col("nq") * col("nc")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    scoreTopK(broadcast(q).join(c, Seq("cell")), k)
   }
 }

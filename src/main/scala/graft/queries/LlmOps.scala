@@ -251,7 +251,7 @@ object LlmOps extends QueryModule {
     "q_dedup_exact" ->
       """SELECT fp, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dups
         |FROM (SELECT doc_id,
-        |        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |        md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))), ' ')) AS fp
         |      FROM documents) t
         |GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY rep_doc_id""".stripMargin,
     "q_dedup_jaccard" ->
@@ -396,7 +396,7 @@ object LlmOps extends QueryModule {
     },
     "q_fingerprint" ->
       """WITH f AS (SELECT doc_id,
-        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |    md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))), ' ')) AS fp
         |  FROM documents)
         |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_sharing
         |FROM f ORDER BY doc_id""".stripMargin,

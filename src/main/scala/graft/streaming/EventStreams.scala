@@ -23,15 +23,20 @@ object EventStreams {
 
   /** Hourly distinct-user occupancy per event type over a streaming
     * event feed: the streaming analog of A6 (zero rows naturally absent).
-    * Exact distinctness via dedup-within-watermark, then a windowed
-    * count. */
+    * Exact distinctness via dedup-WITHIN-WATERMARK (plain dropDuplicates
+    * keys carry no event-time column here, so its state would never be
+    * evicted), then a windowed count — `window(ts)` keeps the event-time
+    * watermark attached (a date_trunc-derived column would not), so the
+    * aggregation state is bounded and append output mode works. */
   def hourlyOccupancy(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .withColumn("frame_ts", date_trunc("hour", col("ts")))
-      .dropDuplicates("frame_ts", "event_type", "user_id")
-      .groupBy(col("frame_ts"), col("event_type"))
+      .dropDuplicatesWithinWatermark("frame_ts", "event_type", "user_id")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("item_count"))
+      .select(col("w.start").as("frame_ts"), col("event_type"),
+        col("item_count"))
 
   /** Daily entry counts per event type — streaming analog of A7's
     * entry side, with a tumbling 1-day window. */
@@ -52,12 +57,21 @@ object EventStreams {
     * BEFORE one windowed aggregation is the streaming-native merge — a
     * day with only exits still surfaces, entries = 0, exactly like the
     * batch full-outer with zero defaults (J9/A10). */
-  def dailyThroughputMerged(events: DataFrame, watermark: String = "2 days"): DataFrame = {
+  def dailyThroughputMerged(events: DataFrame, watermark: String = "2 days",
+                            maxIntervalMinutes: Long = 2 * 24 * 60L): DataFrame = {
+    // Exit instants are future-shifted by the interval length, and the
+    // watermark is computed over the MERGED stream — one huge interval
+    // would advance it past on-time data and silently drop rows. Guard:
+    // drop exit rows whose shift exceeds maxIntervalMinutes (must stay
+    // below the watermark delay), and treat NaN values as 0 (ANSI
+    // floor(NaN).cast(long) throws).
+    val shiftMin = floor(nanvl(col("value"), lit(0.0))).cast("long")
     val endTs = timestamp_micros(
-      unix_micros(col("ts")) + floor(col("value")).cast("long") * lit(60000000L))
+      unix_micros(col("ts")) + shiftMin * lit(60000000L))
     val entries = events.select(col("ts").as("t"), col("event_type"),
       lit(1L).as("is_entry"))
-    val exits = events.select(endTs.as("t"), col("event_type"),
+    val exits = events.filter(shiftMin <= maxIntervalMinutes)
+      .select(endTs.as("t"), col("event_type"),
       lit(0L).as("is_entry"))
     entries.unionByName(exits)
       .withWatermark("t", watermark)
@@ -75,10 +89,13 @@ object EventStreams {
     * training-data feed: emit only the first document per fingerprint,
     * with state bounded by the watermark (a fingerprint seen again
     * after the watermark passes is treated as new — the standard
-    * bounded-state trade-off, documented rather than hidden). */
+    * bounded-state trade-off, documented rather than hidden). Must be
+    * dropDuplicatesWithinWatermark: plain dropDuplicates on a
+    * non-event-time key keeps one state entry per fingerprint FOREVER
+    * and never re-emits, contradicting both bounds above. */
   def dedupExactStream(docs: DataFrame, fpCol: String = "fp",
                        watermark: String = "1 day"): DataFrame =
-    docs.withWatermark("ts", watermark).dropDuplicates(fpCol)
+    docs.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(fpCol)
 
   case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, fp: String)
   case class TaggedDoc(doc_id: Long, fp: String, is_duplicate: Boolean)

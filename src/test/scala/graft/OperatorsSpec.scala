@@ -267,6 +267,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map("o1" -> Some(100L), "o2" -> Some(101L), "o3" -> None))
   }
 
+  test("zero-norm embeddings never match or rank (cos is null, not NaN)") {
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0.01f)), (3L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = operators.Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.5)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"zero vector leaked into pairs: $pairs")
+    val topk = operators.Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect()
+    // the zero vector is neither a neighbor of anything nor a ranked query
+    assert(!topk.exists(_._3 == 3L), "zero vector ranked as a neighbor")
+    assert(topk.filter(_._1 == 1L).map(_._3).head == 2L)
+  }
+
+  test("stage-number normalization survives NaN/Infinity under ANSI") {
+    val df = Seq(
+      (1L, Some(2.6)), (2L, None), (3L, Some(Double.NaN)),
+      (4L, Some(Double.PositiveInfinity)), (5L, Some(-7.2)))
+      .toDF("id", "n")
+    val got = df.select(col("id"),
+        functions.Scalars.normalizeStageNumber(col("n")).as("p21"),
+        functions.Scalars.normalizeStageNumberOrNull(col("n")).as("p22"))
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((3L, Some(3L))))
+    assert(got(2L) == ((1L, None)))
+    assert(got(3L) == ((1L, None)))
+    assert(got(4L) == ((1L, None)))
+    assert(got(5L) == ((1L, Some(-7L))))
+  }
+
   test("hash split: append-stable, partitioning-independent, ~weight-proportioned") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val base = (0L until 1000L).toDF("id")
