@@ -30,12 +30,14 @@ object TextAnalysis {
     when(length(text) > 0, punct / length(text).cast("double")).otherwise(lit(0.0))
   }
 
-  private val enStop = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+  /** English stopword markers shared by stopwordRatio and the gated
+    * q_text_stats query (one definition — the two formulas must agree). */
+  val EnStopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
 
   /** Fraction of tokens that are (English) stopwords. */
   def stopwordRatio(text: Column): Column = {
     val n = tokenCount(text)
-    val stops = size(filter(tokens(text), t => t.isInCollection(enStop)))
+    val stops = size(filter(tokens(text), t => t.isInCollection(EnStopwords)))
     when(n > 0, stops / n.cast("double")).otherwise(lit(0.0))
   }
 

@@ -52,22 +52,29 @@ object Cli {
     }.toMap
     def raw(ds: String) = JsonlSink.read(env.spark, NotionSchemas.rawRecordSchema,
       dataDir, "raw", ds, dates(ds))
-    val defs = Normalize.workflowDefinitions(raw("workflowDefinitions"), env.cfg)
-    val stages = Normalize.workflowStages(raw("workflowStages"), env.cfg)
-    val ts = Normalize.timeslices(raw("timeslices"), env.cfg)
-    val issues = Quality.allIssues(ts, stages, env.runDate)
-    val clean = Quality.excludeTimeslices(ts)
-    val outDate = env.runDate
-    JsonlSink.write(defs, dataDir, "canon", "workflowDefinitions", outDate, singleFile = true)
-    JsonlSink.write(stages, dataDir, "canon", "workflowStages", outDate, singleFile = true)
-    JsonlSink.write(clean, dataDir, "canon", "timeslices", outDate, singleFile = true)
-    JsonlSink.write(issues, dataDir, "canon", "qualityIssues", outDate, singleFile = true)
-    val report = Quality.report(ts, issues, env.runDate)
-    env.log(s"[normalize] total=${report.timeslices_total} " +
-      s"excluded=${report.timeslices_excluded_missing_workflow_definition} " +
-      s"issues=${report.issues_total}")
-    Map("workflowDefinitions" -> defs.count(), "workflowStages" -> stages.count(),
-      "timeslices" -> clean.count(), "qualityIssues" -> issues.count())
+    // cached: each dataset feeds the JSONL write, the quality report
+    // aggregation AND the returned counts — uncached, the raw read +
+    // from_json normalization would run three times per dataset
+    val defs = Normalize.workflowDefinitions(raw("workflowDefinitions"), env.cfg).cache()
+    val stages = Normalize.workflowStages(raw("workflowStages"), env.cfg).cache()
+    val ts = Normalize.timeslices(raw("timeslices"), env.cfg).cache()
+    val issues = Quality.allIssues(ts, stages, env.runDate).cache()
+    try {
+      val clean = Quality.excludeTimeslices(ts)
+      val outDate = env.runDate
+      JsonlSink.write(defs, dataDir, "canon", "workflowDefinitions", outDate, singleFile = true)
+      JsonlSink.write(stages, dataDir, "canon", "workflowStages", outDate, singleFile = true)
+      JsonlSink.write(clean, dataDir, "canon", "timeslices", outDate, singleFile = true)
+      JsonlSink.write(issues, dataDir, "canon", "qualityIssues", outDate, singleFile = true)
+      val report = Quality.report(ts, issues, env.runDate)
+      env.log(s"[normalize] total=${report.timeslices_total} " +
+        s"excluded=${report.timeslices_excluded_missing_workflow_definition} " +
+        s"issues=${report.issues_total}")
+      Map("workflowDefinitions" -> defs.count(), "workflowStages" -> stages.count(),
+        "timeslices" -> clean.count(), "qualityIssues" -> issues.count())
+    } finally {
+      defs.unpersist(); stages.unpersist(); ts.unpersist(); issues.unpersist()
+    }
   }
 
   private def canonTables(env: Env, dataDir: String) = {
@@ -114,10 +121,14 @@ object Cli {
       dataset -> records.size.toLong
     }
 
-  /** `run` = pull + normalize (cli/index.ts:207-210). */
+  /** `run` = pull + normalize (cli/index.ts:207-210). The raw partition
+    * uses the same UTC day stamp as a standalone `pull:notion`
+    * (cli/index.ts:43 utcDateStamp) — stamping it with the LA runDate
+    * instead would sort LEXICOGRAPHICALLY BEHIND a same-evening UTC pull
+    * and normalize would silently pick the stale partition. */
   def run(env: Env, adapter: Ingest.NotionAdapter, dataDir: String,
           databaseIds: Map[String, String]): Map[String, Long] = {
-    pull(env, adapter, dataDir, databaseIds, env.runDate)
+    pull(env, adapter, dataDir, databaseIds)
     normalize(env, dataDir)
   }
 
@@ -128,6 +139,16 @@ object Cli {
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
+      case c => c.toString
+    } + "\""
+
+  /** JSON string escaping (quotes, backslashes, control chars) — the
+    * audit JSON must stay parseable for user-entered property names. */
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
       case c => c.toString
     } + "\""
 
@@ -191,9 +212,9 @@ object Cli {
       schema(dataset) = db.properties.sortBy(_.name).map(p =>
         (p.name, p.id.getOrElse(p.name), p.propType.getOrElse("unknown")))
       val props = schema(dataset).map { case (name, id, tpe) =>
-        s"""      {"name": "$name", "id": "$id", "type": "$tpe"}"""
+        s"""      {"name": ${jsonStr(name)}, "id": ${jsonStr(id)}, "type": ${jsonStr(tpe)}}"""
       }.mkString(",\n")
-      sb.append(s"""  "$dataset": {"databaseId": "$dbId", "properties": [\n$props\n  ]}""")
+      sb.append(s"""  ${jsonStr(dataset)}: {"databaseId": ${jsonStr(dbId)}, "properties": [\n$props\n  ]}""")
       sb.append(if (i < databaseIds.size - 1) ",\n" else "\n")
     }
     sb.append("}\n")

@@ -62,6 +62,7 @@ object Ingest {
     new NotionAdapter {
       private val limiter = new RateLimiter(3, clock)
       private val opts = Retry.RetryOptions(maxRetries = 5, baseDelayMs = 500,
+        retryAfterCapMs = Some(5 * 60 * 1000L),
         maxDelayMs = 8000)
       private def call[T](op: () => T): T =
         limiter.schedule(() => Retry.retry(opts, clock, jitter)(op))

@@ -22,8 +22,12 @@ object Normalize {
     raw.filter(col("entityType") === "page" &&
       col("pageId").isNotNull && col("pageId") =!= "")
 
+  // try_element_at, NOT element_at: under Spark 4 default ANSI mode a
+  // missing map key THROWS (MAP_KEY_DOES_NOT_EXIST); a page whose
+  // properties map lacks a configured id must yield null fields like the
+  // reference's props[id] -> undefined (same for optional metadata keys)
   private def rawOf(id: String): Column =
-    element_at(col("properties"), id).getField("rawValue")
+    try_element_at(col("properties"), lit(id)).getField("rawValue")
 
   /** Parse each configured property's rawValue ONCE into a named struct
     * column, then let the extractors reference the parsed attribute.
@@ -48,8 +52,8 @@ object Normalize {
   private def idOrNull(prefix: String, src: Column): Column =
     when(src.isNotNull, Scalars.stableEntityId(prefix, src))
 
-  private val metaCreated = element_at(col("metadata"), "created_time")
-  private val metaUrl = element_at(col("metadata"), "url")
+  private val metaCreated = try_element_at(col("metadata"), lit("created_time"))
+  private val metaUrl = try_element_at(col("metadata"), lit("url"))
 
   /** JS String(number) rendering: integers print without a decimal
     * point (String(3) = "3", String(3.5) = "3.5"). */

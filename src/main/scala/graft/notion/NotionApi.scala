@@ -67,16 +67,25 @@ object NotionApi {
   type Send = (String, String, Map[String, String], Option[String]) =>
     (Int, Map[String, String], String)
 
+  /** Shared production HttpClient — ONE instance (each client owns a
+    * selector thread + connection pool that JDK<21 cannot close), with a
+    * connect timeout so a black-holed endpoint surfaces as an error the
+    * retry policy can see instead of hanging forever. */
+  private lazy val sharedClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .build()
+
   /** JDK HttpClient implementation of [[Send]] (production path). */
   lazy val jdkSend: Send = { (url, method, headers, body) =>
-    val client = java.net.http.HttpClient.newHttpClient()
     val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(60))
       .method(method, body match {
         case Some(b) => java.net.http.HttpRequest.BodyPublishers.ofString(b)
         case None => java.net.http.HttpRequest.BodyPublishers.noBody()
       })
     headers.foreach { case (k, v) => builder.header(k, v) }
-    val resp = client.send(builder.build(),
+    val resp = sharedClient.send(builder.build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     val respHeaders = resp.headers().map().asScala.toMap.map {
       case (k, vs) => k -> vs.asScala.mkString(",")
@@ -130,12 +139,23 @@ object NotionApi {
       java.nio.file.Files.readAllLines(p).asScala.toSeq.filter(_.trim.nonEmpty)
     }
 
+    // memoized per database: a pull calls queryDatabasePage once per
+    // recorded page, and re-reading + re-parsing the whole file each
+    // call would make replay O(pages^2)
+    private val parsedQueries =
+      scala.collection.mutable.Map.empty[String, Seq[(Seq[PageLike], Option[String])]]
+    private def queries(databaseId: String): Seq[(Seq[PageLike], Option[String])] =
+      synchronized {
+        parsedQueries.getOrElseUpdate(databaseId,
+          lines(databaseId).tail.map(parseQueryResponse))
+      }
+
     def retrieveDatabase(databaseId: String): DatabaseLike =
       parseDatabase(lines(databaseId).head)
 
     def queryDatabasePage(databaseId: String, startCursor: Option[String],
                           pageSize: Int): (Seq[PageLike], Option[String]) = {
-      val responses = lines(databaseId).tail.map(parseQueryResponse)
+      val responses = queries(databaseId)
       require(responses.nonEmpty, s"Recorded payload for $databaseId has no query responses")
       startCursor match {
         case None => responses.head

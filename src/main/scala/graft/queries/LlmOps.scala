@@ -85,7 +85,7 @@ object LlmOps extends QueryModule {
     * stopwordRatio,qualityScore}, but the tokenization runs ONCE via a
     * materialized `toks` column instead of once per output column. */
   def qTextStats(spark: SparkSession, dir: String): DataFrame = {
-    val enStop = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+    val enStop = TextAnalysis.EnStopwords
     val n = size(col("toks")).cast("double")
     val sr = when(n > 0,
       size(filter(col("toks"), t => t.isInCollection(enStop))) / n).otherwise(lit(0.0))

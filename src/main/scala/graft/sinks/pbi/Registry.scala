@@ -97,6 +97,29 @@ object Registry {
     s"{\n  ${q("entries")}: [\n${es.mkString(",\n")}\n  ]\n}\n"
   }
 
+  /** Inverse of [[q]] — MUST undo every escape render emits (\" \\ \n
+    * \uXXXX), or a control character in a dataset name round-trips
+    * corrupted, the name lookup misses, and ensureDataset provisions a
+    * duplicate dataset. */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'u' if i + 5 < s.length =>
+            try { sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6 }
+            catch { case _: NumberFormatException => sb.append(s.charAt(i)); i += 1 }
+          case _ => sb.append(s.charAt(i)); i += 1
+        }
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Tiny tolerant parser for the registry's flat-object-array shape. */
   private def parseEntries(raw: String, nowIso: () => String): Seq[Entry] = {
     val objPattern = java.util.regex.Pattern.compile("\\{[^{}]*\\}")
@@ -111,8 +134,7 @@ object Registry {
     while (m.find()) {
       val fields = scala.collection.mutable.Map.empty[String, String]
       val fm = fieldPattern.matcher(m.group())
-      while (fm.find()) fields(fm.group(1)) =
-        fm.group(2).replace("\\\"", "\"").replace("\\\\", "\\")
+      while (fm.find()) fields(fm.group(1)) = unescape(fm.group(2))
       val group = fields.get("groupId").orElse(fields.get("workspaceId"))
       (group, fields.get("datasetName"), fields.get("datasetId")) match {
         case (Some(g), Some(n), Some(d)) =>

@@ -14,8 +14,13 @@ object Retry {
                        headers: Map[String, String] = Map.empty)
     extends RuntimeException(message)
 
+  /** retryAfterCapMs: optional ceiling on an honored `retry-after`
+    * (the reference honors the header verbatim, retry.ts:61-63 — the
+    * default None preserves that parity; production paths set a cap so
+    * one bad header can't stall a single-threaded pull for days). */
   case class RetryOptions(maxRetries: Int, baseDelayMs: Long = 500L,
-                          maxDelayMs: Long = 10000L)
+                          maxDelayMs: Long = 10000L,
+                          retryAfterCapMs: Option[Long] = None)
 
   case class RetryDecision(shouldRetry: Boolean, delayMs: Long)
 
@@ -39,7 +44,8 @@ object Retry {
         headers.collectFirst { case (k, v) if k.equalsIgnoreCase("retry-after") => v },
         nowMs)
       ra match {
-        case Some(ms) => RetryDecision(shouldRetry = true, ms)
+        case Some(ms) => RetryDecision(shouldRetry = true,
+          options.retryAfterCapMs.fold(ms)(math.min(ms, _)))
         case None => RetryDecision(shouldRetry = true,
           math.min(options.baseDelayMs * (1L << attempt), options.maxDelayMs))
       }

@@ -49,6 +49,30 @@ class NotionSpec extends AnyFunSuite {
     assert(s("page_url") == "https://notion.so/page")
   }
 
+  test("ragged page: missing configured properties and metadata keys yield nulls, not ANSI errors") {
+    // a page whose properties map has ONLY the start date (no title, no
+    // relations) and whose metadata lacks created_time/url — a live
+    // Notion page after a schema change looks exactly like this; under
+    // ANSI, element_at (vs try_element_at) on the absent keys would
+    // throw MAP_KEY_DOES_NOT_EXIST and kill the whole normalize run
+    val ragged =
+      """{"source":"notion","entityType":"page",
+         |"databaseId":"db-ts","pageId":"99999999-9999-9999-9999-999999999999",
+         |"lastEditedTime":"2026-02-01T12:10:00.000Z",
+         |"properties":{"start_date":{"propertyId":"start_date",
+         |"propertyName":"start_date","propertyType":"date",
+         |"rawValue":"{\"type\":\"date\",\"date\":{\"start\":\"2026-02-01T12:00:00.000Z\"}}"}},
+         |"metadata":{"dataset":"timeslices"}}""".stripMargin.replace("\n", "")
+    val out = Normalize.timeslices(readRaw(spark, Seq(ragged)), cfg)
+    val row = out.collect()
+    assert(row.length == 1)
+    val r = row(0)
+    assert(r.getAs[String]("started_at") != null)
+    assert(r.getAs[String]("ended_at") == null)
+    assert(r.getAs[String]("workflow_definition_id") == null)
+    assert(r.getAs[String]("page_url") == null)
+  }
+
   test("distractor re-pointing changes output (normalize.test.ts:46-67)") {
     val repointed = cfg.copy(timeslices =
       cfg.timeslices.copy(workflowDefinitionRel = "misleading_relation"))
