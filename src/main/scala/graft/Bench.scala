@@ -1,6 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Observed metrics each gated query publishes (graft.util.OpMetrics);
+    * Bench waits for these after the run so the async listener has
+    * delivered before the artifact is printed. */
+  private val ObservedBy = Map(
+    "q_dedup_jaccard" -> "jaccard_candidates",
+    "q_dedup_minhash" -> "minhash_candidates")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,8 +18,20 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.OpMetrics.install(spark)
     // optional comma-separated name filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // strip quotes, backslashes and ALL control chars (incl. \r \t) so a
+    // pathological exception message cannot produce invalid JSON
+    def sanitize(s: String) = s.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
+    // untimed warmup: absorbs one-time session/codegen/parquet-footer
+    // startup (~6 s) that otherwise lands on whichever query runs first
+    // (alphabetically q1_agg), making per-round per-query deltas noisy
+    try {
+      SparkEntry.queries("q1_agg")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+    spark.catalog.clearCache()
     // deterministic name order so per-round timings are comparable
     // (shared cached plans make times order-sensitive otherwise)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -27,7 +45,7 @@ object Bench {
       catch { case e: Throwable =>
         // record, don't swallow: a failing query must not masquerade as
         // a fast one in the round's bench artifact
-        errors(name) = e.toString.replaceAll("[\"\\\\\n]", " ").take(200)
+        errors(name) = sanitize(e.toString)
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop lingering per-query caches so timings are isolated and
@@ -43,7 +61,17 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"\"$k\":\"$v\"" }
         .mkString(""","errors":{""", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
+    // candidate-count observability: which queries ran successfully and
+    // publish a metric → wait for those keys, then emit them
+    val expected = results.map(_._1).filterNot(errors.contains)
+      .flatMap(ObservedBy.get).toSet
+    val observed = graft.util.OpMetrics.await(expected)
+      .filter { case (k, _) => expected.contains(k) }
+    val obsJson =
+      if (observed.isEmpty) ""
+      else observed.toSeq.sorted.map { case (k, v) => s"\"$k\":$v" }
+        .mkString(""","observed":{""", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$obsJson}""")
     spark.stop()
   }
 }

@@ -43,15 +43,6 @@ object Dedup {
   /** Word-bigram shingles of a whitespace-tokenized text column. */
   def shingles2(text: Column): Column = shinglesFromTokens(split(text, " "))
 
-  /** (doc_id, shingle) distinct pairs — the shared scan for the
-    * Jaccard/MinHash family. The token array is materialized in its own
-    * projection so the split runs once per document, not once per
-    * reference inside the explode expression. */
-  def shingleSet(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
-      .select(col("doc_id"), explode(shinglesFromTokens(col("w"))).as("sh"))
-      .distinct()
-
   /** (doc_id, shingle-key) distinct pairs with the shingle hashed to a
     * 64-bit key BEFORE the distinct — every downstream shuffle (distinct,
     * document-frequency count, inverted-index join) then moves 8-byte
@@ -64,6 +55,37 @@ object Dedup {
       .select(col("doc_id"), explode(shinglesFromTokens(col("w"))).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("sh"))
       .distinct()
+
+  /** Shared MinHash-family shingle scan: ONE explode with BOTH hashes —
+    * the md5-derived 32-bit minhash input `x` (cross-engine, oracle
+    * re-derivable) and the 64-bit verification key `k` — computed per
+    * shingle BEFORE the distinct. The dedup shuffle then moves fixed
+    * 24-byte rows instead of strings, and no downstream stage (signature
+    * aggregation, verify-set build) ever touches a string again. Distinct
+    * over (doc_id, x, k) equals distinct over the string shingle unless
+    * two distinct shingles collide in BOTH hashes simultaneously —
+    * P ≈ n²/2⁹⁷ per doc, immaterial. */
+  def minhashShingleScan(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("w"))).as("s"))
+      .select(col("doc_id"), hash32(col("s")).as("x"), xxhash64(col("s")).as("k"))
+      .distinct()
+
+  /** Keep only docs with ≤ cap distinct shingle rows — the row-size
+    * guard for the collect_list verify stage: a pathological multi-MB
+    * document would otherwise materialize one fat array row. Capped docs
+    * are EXCLUDED from the operator (near-dup detection on extreme
+    * documents belongs to a chunking strategy, not a fatter row); with
+    * `None` (the default, and what the gated queries use) semantics are
+    * untouched and this is a no-op. */
+  private def capDocs(sh: DataFrame, maxShinglesPerDoc: Option[Int]): DataFrame =
+    maxShinglesPerDoc match {
+      case None => sh
+      case Some(cap) =>
+        val ok = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n0"))
+          .filter(col("n0") <= cap).select(col("doc_id"))
+        sh.join(ok, Seq("doc_id"))
+    }
 
   /** Exact duplicate groups by canonical fingerprint (sorted distinct
     * token set). Returns one row per group with ≥2 members. */
@@ -102,14 +124,29 @@ object Dedup {
     *     all-co-occurring-pairs plan (the DuckDB oracle).
     *
     * The prefix length uses t − 0.5e-4 so pairs that only reach t after
-    * the 4-decimal output rounding are still generated. */
+    * the 4-decimal output rounding are still generated.
+    *
+    * `maxDf` is the ESCAPE HATCH for adversarial vocabularies (tiny
+    * shingle space ⇒ every key is hot and prefix filtering can't prune):
+    * shingles with document frequency > maxDf are excluded from candidate
+    * generation. Verification stays exact, so precision is unaffected
+    * and the output is a SUBSET of the exact result — a pair is missed
+    * only if every shingle it shares is hotter than maxDf. Default None
+    * keeps the operator exact (what the gated query uses).
+    *
+    * `maxShinglesPerDoc` bounds the verify-stage row size — see
+    * [[capDocs]]. Candidate-pair counts are published as the observed
+    * metric `jaccard_candidates` (visible in the bench artifact) so
+    * pruning efficacy is measurable per corpus. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double): DataFrame = {
-    val sh = hashedShingleSet(docs, idCol, textCol).cache()
+                   threshold: Double, maxDf: Option[Long] = None,
+                   maxShinglesPerDoc: Option[Int] = None): DataFrame = {
+    val sh = capDocs(hashedShingleSet(docs, idCol, textCol), maxShinglesPerDoc)
+      .cache()
     val tRelaxed = threshold - 0.00005
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2)
+      .filter(col("df") >= 2 && maxDf.map(col("df") <= _).getOrElse(lit(true)))
     val wDoc = Window.partitionBy(col("doc_id"))
     val ranked = sh.join(dfs, Seq("sh"))
       .withColumn("r", row_number().over(
@@ -137,6 +174,9 @@ object Dedup {
         minOverlap)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      // candidate-pair count rides the normal execution (no extra job);
+      // Bench scrapes it into the artifact via OpMetrics
+      .observe("jaccard_candidates", count(lit(1)).as("n_pairs"))
     // exact verification over full shingle-key sets, one row per candidate
     val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shs"))
     cand
@@ -161,15 +201,15 @@ object Dedup {
   /** 8 bands × 2 rows. */
   val Bands = 8
 
-  /** Per-doc 16-value MinHash signature (one scan, 16 min-aggregates).
-    * The md5-based shingle hash is materialized ONCE per row — 16 agg
-    * expressions then share it instead of re-hashing. */
-  def minhashSignatures(sh: DataFrame): DataFrame = {
-    val hashed = sh.withColumn("x", hash32(col("sh")))
+  /** Per-doc 16-value MinHash signature over a [[minhashShingleScan]]
+    * (one scan, 16 min-aggregates sharing the pre-computed `x`; min over
+    * hashed values is idempotent to any 32-bit `x` collision, so this
+    * equals the per-distinct-string-shingle signature). */
+  def minhashSignatures(scan: DataFrame): DataFrame = {
     val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("x") + lit(b)) % lit(MinhashP)).as(s"m${i + 1}")
     }
-    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    scan.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** Banded LSH signatures: (doc_id, band, sig, ms) with sig = md5 of
@@ -200,10 +240,17 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate pairs: candidates share ≥1 LSH band,
     * survive the signature-estimate pre-filter, and are then verified
-    * with exact Jaccard ≥ threshold. */
+    * with exact Jaccard ≥ threshold. One [[minhashShingleScan]] feeds
+    * BOTH the signature aggregation (via `x`) and the verify-set build
+    * (via `k`) — strings are tokenized, hashed, and discarded in a
+    * single pass; every later stage moves only longs.
+    * `maxShinglesPerDoc`: verify-stage row-size guard, see [[capDocs]].
+    * Candidate counts are observed as `minhash_candidates`. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double): DataFrame = {
-    val sh = shingleSet(docs, idCol, textCol).cache()
+                      threshold: Double,
+                      maxShinglesPerDoc: Option[Int] = None): DataFrame = {
+    val sh = capDocs(minhashShingleScan(docs, idCol, textCol),
+      maxShinglesPerDoc).cache()
     val sigs = minhashSignatures(sh)
     val bands = lshBands(sigs)
     // Band collision join with the signature-estimate pre-filter applied
@@ -223,12 +270,13 @@ object Dedup {
       .filter(estMatches >= MinSigMatches)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+      .observe("minhash_candidates", count(lit(1)).as("n_pairs"))
     // verification: exact Jaccard on candidates only — one row per
-    // candidate pair, intersecting the docs' shingle-KEY arrays (the
-    // signatures need the string shingle for md5/oracle parity; the
-    // verify join does not, so arrays hold 64-bit keys).
+    // candidate pair, intersecting the docs' 64-bit key arrays straight
+    // from the cached scan (no string re-hash; array_intersect dedups,
+    // so a k-only collision cannot inflate the overlap).
     val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_list(xxhash64(col("sh"))).as("shs"),
+      .agg(collect_list(col("k")).as("shs"),
         count(lit(1)).as("n_sh"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),

@@ -148,6 +148,63 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard df-cap escape hatch prunes candidates but never invents pairs") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docs = (0 until 30).map { i =>
+      val n = 3 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.3)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "degenerate fixture")
+    val capped = operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.3,
+        maxDf = Some(5L))
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // verification is exact, so the hatch can only LOSE pairs, never add
+    assert(capped.subsetOf(exact), s"df-cap invented pairs: ${capped -- exact}")
+    // maxDf=1 composed with the df>=2 floor removes every candidate key
+    val none = operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.3,
+        maxDf = Some(1L)).count()
+    assert(none == 0)
+  }
+
+  test("maxShinglesPerDoc excludes oversized docs from the verify stage") {
+    // two small near-dups (bigram J = 3/5) + two big near-dups with ~200
+    // distinct shingles each — the fat-row case the guard exists for
+    val big1 = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val big2 = (1 to 200).map(i => if (i == 7) "odd" else s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"),
+      (3L, big1), (4L, big2)).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val all = pairs(operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5))
+    assert(all == Set((1L, 2L), (3L, 4L)))
+    val capped = pairs(operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5,
+      maxShinglesPerDoc = Some(50)))
+    assert(capped == Set((1L, 2L)), s"capped docs leaked: $capped")
+    // minhash: capped docs appear in neither candidates nor output
+    val mh = pairs(operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5,
+      maxShinglesPerDoc = Some(50)))
+    assert(mh.subsetOf(Set((1L, 2L))), s"capped docs leaked via LSH: $mh")
+  }
+
+  test("dedup candidate counts are published as observed metrics") {
+    util.OpMetrics.install(spark)
+    val docs = sources.Tables.documents(spark, sf)
+    val nj = operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5).count()
+    val nm = operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5).count()
+    val m = util.OpMetrics.await(Set("jaccard_candidates", "minhash_candidates"))
+    // candidates are a superset of verified pairs
+    assert(m.get("jaccard_candidates").exists(_ >= nj),
+      s"jaccard_candidates=${m.get("jaccard_candidates")} < $nj")
+    assert(m.get("minhash_candidates").exists(_ >= nm),
+      s"minhash_candidates=${m.get("minhash_candidates")} < $nm")
+  }
+
   test("simhash byte-block join finds exactly the quadratic hamming<=3 pairs") {
     val docs = sources.Tables.documents(spark, sf).filter(col("doc_id") < 120)
     val sigs = operators.Dedup.simhashSignatures(docs, "doc_id", "text")
