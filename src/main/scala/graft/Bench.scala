@@ -15,6 +15,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC") // match Verify: identical plans
       .config("spark.ui.enabled", "false")
+      // uniform codegen class names → byte-identical sub-plans compile
+      // once per JVM instead of once per stage id (SPARK-23032); the
+      // Notion parity family alone shares ~30% of its codegen units
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

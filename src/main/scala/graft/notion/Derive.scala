@@ -105,26 +105,58 @@ object Derive {
   /** Last-wins per key: the reference's `Map.set` builds keep the LAST
     * row per key in input order (derive/index.ts:110-116,196); Spark has
     * no input order, so the deterministic proxy is latest
-    * last_edited_time. Prevents duplicate canonical keys from both
-    * multiplying join probes and yielding an arbitrary surviving row. */
+    * last_edited_time (nulls last, row-hash tiebreak for a total order).
+    * Prevents duplicate canonical keys from both multiplying join probes
+    * and yielding an arbitrary surviving row.
+    *
+    * Shaped as an argmax hash aggregate (`max_by`), not a row_number
+    * window: partial aggregation combines map-side so only one candidate
+    * row per key per partition ever shuffles, where the window form
+    * shuffles EVERY row and then sorts — the wrong cost at scale, and
+    * three extra sort/codegen stages on the fixture-sized parity path. */
   private def lastWins(df: DataFrame, key: String): DataFrame = {
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("last_edited_time").desc_nulls_last)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val row = struct(df.columns.map(col): _*)
+    // tiebreak hash over the hashable columns only (maps — `attributes`
+    // — are not hashable in Spark; rows differing ONLY in a map column
+    // tie arbitrarily, exactly as the previous window form did)
+    def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val hcols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val ord = struct(coalesce(col("last_edited_time"), lit("")),
+      xxhash64(hcols: _*))
+    df.groupBy(col(key))
+      .agg(max_by(row, ord).as("_row"))
+      .select(col("_row.*"))
   }
+
+  /** Explicit early pruning of a normalize output: the record builders
+    * project ~25 parsed-payload expression trees (from_json over the
+    * full payload union); referencing a builder from a dimension path
+    * would otherwise drag every tree through analysis, optimization and
+    * whole-stage codegen even though the dimension reads 4 columns.
+    * A user-level select keeps the downstream plan narrow from the
+    * start instead of relying on ColumnPruning to claw it back. */
+  private def pruned(df: DataFrame, cols: String*): DataFrame =
+    df.select(cols.map(col): _*)
 
   /** Workflow-definition lookup (J1 build side): canonical id →
     * (key = source page id, label chain). */
   private def wfLookup(defs: DataFrame): DataFrame =
-    lastWins(defs, "workflow_definition_id").select(
+    lastWins(pruned(defs, "workflow_definition_id", "source_page_id",
+        "page_title", "last_edited_time"), "workflow_definition_id").select(
       col("workflow_definition_id").as("wf_canon_id"),
       col("source_page_id").as("wf_key"),
       col("page_title").as("wf_title"))
 
   /** Label-by-key lookup (workflowLabelByKey, derive/index.ts:110-116). */
   private def wfLabelByKey(defs: DataFrame): DataFrame =
-    lastWins(defs, "source_page_id").select(col("source_page_id").as("lbl_key"),
+    lastWins(pruned(defs, "source_page_id", "page_title", "last_edited_time"),
+      "source_page_id").select(col("source_page_id").as("lbl_key"),
       coalesce(col("page_title"), col("source_page_id")).as("lbl_label"))
 
   /** Resolve a canonical workflow id to (key, label) with the
@@ -193,9 +225,11 @@ object Derive {
     * sorted by key. */
   def dimStage(stages: DataFrame, defs: DataFrame): DataFrame = {
     val n = stageNumber(col("stage_number"))
+    val s = pruned(stages, "workflow_definition_id", "source_page_id",
+      "stage_number", "stage_label", "last_edited_time")
     // last-wins BEFORE the projection (last_edited_time is still in
     // scope) — dropDuplicates alone keeps an arbitrary row per key
-    lastWins(resolveWorkflow(stages, col("workflow_definition_id"), defs,
+    lastWins(resolveWorkflow(s, col("workflow_definition_id"), defs,
       "workflow_definition_key", "workflow_definition"), "source_page_id")
       .select(
         col("source_page_id").as("stage_key"),

@@ -134,9 +134,18 @@ object Normalize {
     val titleId = cfg.workflowDefinitions.title
     val allRawValues = map_values(transform_values(col("properties"),
       (_, v) => v.getField("rawValue")))
+    // direct single-payload form of titleFromAllProperties over a
+    // 1-element array (same result incl. the no-trim join and the
+    // null/empty cases) — skips the transform/filter/element_at
+    // machinery, which halves this projection's generated code
     val configured =
-      if (titleId.trim.nonEmpty) titleFromAllProperties(array(rawOf(titleId)))
-      else lit(null).cast("string")
+      if (titleId.trim.nonEmpty) {
+        val p = parsed(rawOf(titleId))
+        when(p.getField("type") === "title" && p.getField("title").isNotNull,
+          nullif(concat_ws("", transform(p.getField("title"),
+            t => coalesce(t.getField("plain_text"), lit("")))), lit("")))
+          .otherwise(lit(null).cast("string"))
+      } else lit(null).cast("string")
     pageRecords(raw).select(
       Scalars.stableEntityId("workflow_definition", col("pageId")).as("workflow_definition_id"),
       col("pageId").as("source_page_id"),
