@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
   *   excel:export <dataDir> <xlsx>           canon → 7-table workbook
   *   pbi:provision <dataDir> <group> <name>  ensure dataset via client
   *   pbi:refresh <dataDir> <group> <name>    derive → wipe+reload via client
+  *   validate:coverage <dataDir>             instance-page-name coverage %
   *
   * Commands that need live HTTP (Notion pull, Power BI) run against
   * injectable adapters: with NOTION_TOKEN set, pulls go through the
@@ -77,21 +78,44 @@ object Cli {
     }
   }
 
+  private def canonDataset(env: Env, dataDir: String, ds: String,
+                           schema: org.apache.spark.sql.types.StructType) = {
+    val date = JsonlSink.latestDate(env.spark, dataDir, "canon", ds).getOrElse(
+      throw new IllegalStateException(s"No canon data found for dataset: $ds"))
+    env.spark.read.schema(schema).json(JsonlSink.datasetDir(dataDir, "canon", ds, date))
+  }
+
+  // canon schemas are the builders' output schemas; derive them from empty raw
+  private def emptyRaw(env: Env) = env.spark.createDataFrame(
+    env.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    NotionSchemas.rawRecordSchema)
+
   private def canonTables(env: Env, dataDir: String) = {
-    def canon(ds: String, schema: org.apache.spark.sql.types.StructType) = {
-      val date = JsonlSink.latestDate(env.spark, dataDir, "canon", ds).getOrElse(
-        throw new IllegalStateException(s"No canon data found for dataset: $ds"))
-      env.spark.read.schema(schema).json(JsonlSink.datasetDir(dataDir, "canon", ds, date))
-    }
-    // canon schemas are the builders' output schemas; derive them from empty raw
-    val empty = env.spark.createDataFrame(
-      env.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      NotionSchemas.rawRecordSchema)
-    val defs = canon("workflowDefinitions",
+    val empty = emptyRaw(env)
+    val defs = canonDataset(env, dataDir, "workflowDefinitions",
       Normalize.workflowDefinitions(empty, env.cfg).schema)
-    val stages = canon("workflowStages", Normalize.workflowStages(empty, env.cfg).schema)
-    val ts = canon("timeslices", Normalize.timeslices(empty, env.cfg).schema)
+    val stages = canonDataset(env, dataDir, "workflowStages",
+      Normalize.workflowStages(empty, env.cfg).schema)
+    val ts = canonDataset(env, dataDir, "timeslices",
+      Normalize.timeslices(empty, env.cfg).schema)
     (defs, stages, ts)
+  }
+
+  /** `validate:coverage`
+    * (scripts/validate-workflow-instance-page-name.ts:40-64): non-null
+    * coverage of workflow_instance_page_name in the LATEST canon
+    * timeslices partition, with passing sample values and up to 10
+    * failing timeslice ids for triage. */
+  def validateCoverage(env: Env, dataDir: String): Quality.CoverageReport = {
+    val ts = canonDataset(env, dataDir, "timeslices",
+      Normalize.timeslices(emptyRaw(env), env.cfg).schema)
+    val r = Quality.coverage(ts)
+    env.log(s"[validate] timeslices_total=${r.total}")
+    env.log(s"[validate] workflow_instance_page_name_non_null=${r.nonNull}")
+    env.log(f"[validate] workflow_instance_page_name_non_null_pct=${r.pct}%.2f%%")
+    r.sampleValues.foreach { case (id, v) => env.log(s"[validate] sample $id: $v") }
+    r.failureSamples.foreach(id => env.log(s"[validate] missing $id"))
+    r
   }
 
   /** `excel:export` (cli/index.ts:219-273). */
@@ -135,10 +159,19 @@ object Cli {
   case class AuditOutput(jsonPath: String, generatedPath: String,
                          schema: Map[String, Seq[(String, String, String)]])
 
+  /** Scala string-literal escaping for the generated constants file —
+    * control characters included: a property display name containing a
+    * newline would otherwise split the literal across lines, producing
+    * an uncompilable file and breaking the parseGeneratedSchema
+    * round-trip (whose regexes are line-anchored). */
   private def scalaStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
       case c => c.toString
     } + "\""
 
@@ -179,7 +212,22 @@ object Cli {
   def parseGeneratedSchema(src: String): Map[String, Seq[(String, String, String)]] = {
     val dsRe = """^\s*"((?:[^"\\]|\\.)*)" -> Map\($""".r
     val propRe = """^\s*"((?:[^"\\]|\\.)*)" -> \("((?:[^"\\]|\\.)*)", "((?:[^"\\]|\\.)*)"\).*$""".r
-    def unescape(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+    // full inverse of scalaStr, control-char escapes included
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) s(i + 1) match {
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' if i + 5 < s.length =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case c => sb += c; i += 2
+        } else { sb += s(i); i += 1 }
+      }
+      sb.toString
+    }
     var current: Option[String] = None
     val out = scala.collection.mutable.LinkedHashMap
       .empty[String, Vector[(String, String, String)]]
@@ -298,10 +346,14 @@ object Cli {
       env.log(pbiProvision(env, dataDir, group, name)); 0
     case "pbi:refresh" :: dataDir :: group :: name :: Nil =>
       pbiRefresh(env, dataDir, group, name); 0
+    case "validate:coverage" :: dataDir :: Nil =>
+      // script exits 1 when no canon dataset exists; the catch in main
+      // maps the thrown IllegalStateException to the same non-zero exit
+      validateCoverage(env, dataDir); 0
     case other =>
       System.err.println(s"Unknown command: ${other.mkString(" ")}. Commands: " +
         "pull:notion | audit:notion-schema | normalize | run | run:end-to-end | " +
-        "excel:export | pbi:provision | pbi:refresh")
+        "excel:export | pbi:provision | pbi:refresh | validate:coverage")
       2
   }
 

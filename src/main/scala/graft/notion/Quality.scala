@@ -91,6 +91,32 @@ object Quality {
   def excludeTimeslices(ts: DataFrame): DataFrame =
     ts.filter(col("workflow_definition_id").isNotNull)
 
+  /** Coverage-percent diagnostic
+    * (scripts/validate-workflow-instance-page-name.ts:40-64): share of
+    * rows whose `column` is a non-blank string, with the reference's
+    * first passing sample values plus up to `maxSamples` FAILING ids for
+    * triage. One aggregate pass + two bounded limit() collects — no
+    * full-result materialization at any corpus size. */
+  case class CoverageReport(
+    total: Long, nonNull: Long, pct: Double,
+    sampleValues: Seq[(String, String)], failureSamples: Seq[String])
+
+  def coverage(df: DataFrame, column: String = "workflow_instance_page_name",
+               idCol: String = "timeslice_id", maxSamples: Int = 10): CoverageReport = {
+    // trim().length > 0 semantics of the reference's filter
+    val ok = coalesce(trim(col(column)) =!= "", lit(false))
+    val agg = df.agg(count(lit(1)).as("total"),
+      sum(when(ok, 1L).otherwise(0L)).as("nn")).collect()(0)
+    val total = agg.getLong(0)
+    val nn = Option(agg.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val pct = if (total == 0) 0.0 else nn.toDouble * 100.0 / total
+    val samples = df.filter(ok).select(col(idCol), col(column))
+      .limit(3).collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val failures = df.filter(!ok).select(col(idCol))
+      .limit(maxSamples).collect().map(_.getString(0)).toSeq
+    CoverageReport(total, nn, pct, samples, failures)
+  }
+
   /** A1/A2 — run report aggregates (quality/index.ts:29-49). */
   case class RunQualityReport(
     run_date: String,

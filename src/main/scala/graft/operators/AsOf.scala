@@ -18,6 +18,11 @@ import org.apache.spark.sql.expressions.Window
   * r.t <= l.t` semantics (ties on equal times take the right row);
   * forward is the mirror (`r.t >= l.t`), the pandas merge_asof
   * `direction='forward'` analog, and tolerance mirrors merge_asof's.
+  * Among right rows DUPLICATED on (key, time), the lexicographically
+  * greatest carried payload wins — a defined rule (engines' native ASOF
+  * joins pick arbitrarily there; cross-engine parity needs the same
+  * dedupe on both sides, e.g. QUALIFY row_number ... ORDER BY payload
+  * DESC NULLS LAST = 1 in SQL).
   */
 object AsOf {
 
@@ -49,7 +54,6 @@ object AsOf {
         rightCols.map(c => right.schema(c).copy(name = c)))
     val l = left.select(
       (col(key).as("_k") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
-        lit(0L).as("_tb") +:
         lit(null).cast(rightStructType).as("_r") +:
         leftCols.map(c => col(c).as(s"_l_$c"))): _*)
     // null right times never match under ASOF semantics (the comparison
@@ -58,16 +62,20 @@ object AsOf {
     val rStruct = struct((col(rightTime).as("__asof_rt") +: rightCols.map(col)): _*)
     val r = right.filter(col(rightTime).isNotNull).select(
       (col(key).as("_k") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
-        // payload-hash tiebreak: two right rows with equal (key, time)
-        // would otherwise win nondeterministically (shuffle order)
-        xxhash64(rStruct).as("_tb") +:
         rStruct.as("_r") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c"))): _*)
     // tag order: right rows sort before left rows at equal instants so a
-    // simultaneous right row is visible to the left row in BOTH directions
+    // simultaneous right row is visible to the left row in BOTH
+    // directions. Among right rows tied on (key, time) the payload sorts
+    // ascending, so last_value carries the LEXICOGRAPHICALLY GREATEST
+    // payload — a defined, engine-independent rule an oracle can
+    // replicate (a hash tiebreak is deterministic but arbitrary: another
+    // engine's ASOF would make a different arbitrary pick). Left rows
+    // carry a null _r and are never payload-compared across sides
+    // (_side orders first).
     val timeOrd = if (direction == "backward") col("_t").asc else col("_t").desc
     val w = Window.partitionBy(col("_k"))
-      .orderBy(timeOrd, col("_side").asc, col("_tb").asc)
+      .orderBy(timeOrd, col("_side").asc, col("_r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))

@@ -33,13 +33,19 @@ object Multimodal {
       (lit(64) + conv(substring(h, 5, 4), 16, 10).cast("long") % 1016).as("height"))
   }
 
-  /** Decoded-feature record produced by the (stubbed) decoder. */
+  /** Decoded-feature record. For a real decoded image, `width`/`height`
+    * are the actual pixel dimensions and `meanByte` the mean gray level;
+    * for stub-decoded payloads width/height are 0 and meanByte is the
+    * mean raw byte value. */
   case class DecodedFeature(doc_id: Long, modality: String, n_bytes: Int,
-                            frames: Int, meanByte: Double)
+                            frames: Int, meanByte: Double,
+                            width: Int = 0, height: Int = 0)
 
-  /** Batch "decode" over partitions — the real distributed plumbing
-    * with a deterministic fake decoder (mean byte value + frame count
-    * derived from payload size). Swap `decodeOne` for a real codec. */
+  /** Batch decode over partitions — the real distributed plumbing. PNG
+    * payloads decode for real via `javax.imageio` (pure JVM, no external
+    * deps); other formats keep a deterministic fake decoder (those
+    * codecs aren't in this environment). Swap `decodeOne`'s fallback for
+    * real audio/video codecs with the same signature. */
   def decodeFeatures(payloads: DataFrame): Dataset[DecodedFeature] = {
     val spark = payloads.sparkSession
     import spark.implicits._
@@ -50,17 +56,49 @@ object Multimodal {
       }
   }
 
-  /** STUB decoder — a real implementation would dispatch on modality to
-    * an image/audio codec. Deterministic so tests are exact. */
-  private def decodeOne(id: Long, modality: String, bytes: Array[Byte]): DecodedFeature = {
-    val mean = if (bytes.isEmpty) 0.0
-      else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-    val frames = modality match {
-      case "video" => 1 + bytes.length / 64
-      case "audio" => 1 + bytes.length / 256
-      case _ => 1
+  private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+
+  /** Real PNG decode: actual dimensions + mean gray level
+    * ((r+g+b)/3 averaged over pixels). Returns None on a corrupt
+    * payload so the caller can fall back to the stub path. */
+  private def decodePng(bytes: Array[Byte]): Option[(Int, Int, Double)] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, if (w * h == 0) 0.0 else sum / (w * h)))
     }
-    DecodedFeature(id, modality, bytes.length, frames, mean)
+  }
+
+  /** Decoder dispatch: real `javax.imageio` decode when the payload IS a
+    * PNG (magic-sniffed), deterministic stub otherwise. */
+  private def decodeOne(id: Long, modality: String, bytes: Array[Byte]): DecodedFeature = {
+    val png = if (bytes.length > 8 && bytes.take(4).sameElements(PngMagic))
+      decodePng(bytes) else None
+    png match {
+      case Some((w, h, meanGray)) =>
+        DecodedFeature(id, modality, bytes.length, 1, meanGray, w, h)
+      case None =>
+        val mean = if (bytes.isEmpty) 0.0
+          else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+        val frames = modality match {
+          case "video" => 1 + bytes.length / 64
+          case "audio" => 1 + bytes.length / 256
+          case _ => 1
+        }
+        DecodedFeature(id, modality, bytes.length, frames, mean)
+    }
   }
 
   /** Frame-sample a video payload: every `everyN`-th fixed-size byte
@@ -72,10 +110,15 @@ object Multimodal {
     * SAME output schema. */
   def sampleFrames(payloads: DataFrame, everyN: Int,
                    frameBytes: Int = 64): DataFrame = {
-    val nFrames = (lit(1) + length(col("payload")).cast("long") / lit(frameBytes))
-      .cast("int")
+    // ceil(len / frameBytes): an exact-multiple payload has exactly
+    // len/frameBytes frames (no empty trailing frame), and an empty
+    // payload has 0 frames and emits no rows (also guards the
+    // sequence(0, -1) reversal)
+    val nFrames = ((length(col("payload")).cast("long") + lit(frameBytes - 1)) /
+      lit(frameBytes)).cast("int")
     payloads.filter(col("modality") === "video")
       .select(col("doc_id"), col("payload"), nFrames.as("n_frames"))
+      .filter(col("n_frames") > 0)
       .select(col("doc_id"), col("n_frames"),
         posexplode(transform(
           filter(sequence(lit(0), col("n_frames") - 1), i => i % everyN === 0),

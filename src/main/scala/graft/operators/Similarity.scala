@@ -142,21 +142,41 @@ object Similarity {
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("nc", sqrt(Dedup.dot(col("cv"), col("cv"))))
 
+  /** Query-side shaping for the cell-keyed probe joins. `broadcastQueries
+    * = true` is the small-query contract (the corpus never shuffles);
+    * with a corpus-proportional query set the caller passes `false` and
+    * the probe becomes a plain equi-join on the cell key — both sides
+    * shuffle by cell (bounded per-cell fan-out), and AQE is still free
+    * to promote the query side back to a broadcast at runtime if its
+    * actual size turns out small. Broadcasting an unbounded query set
+    * is the driver/executor-OOM pattern this knob exists to avoid. */
+  private def probeJoin(q: DataFrame, c: DataFrame,
+                        broadcastQueries: Boolean): DataFrame =
+    (if (broadcastQueries) broadcast(q) else q).join(c, Seq("cell"))
+
   /** IVF top-k with a learned quantizer: corpus assigned once (map-side),
-    * query side exploded to its nprobe probe cells and broadcast, join
-    * keyed on the cell — the corpus never shuffles and only probed cells
-    * are scored. Output shape matches bruteForceTopK. */
+    * query side exploded to its nprobe probe cells, join keyed on the
+    * cell — only probed cells are scored. With `broadcastQueries` (the
+    * default small-query contract) the corpus never shuffles; see
+    * [[probeJoin]] for the large-query path. Output shape matches
+    * bruteForceTopK. */
   def ivfSearchTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-                    vecCol: String, model: IvfModel, k: Int, nprobe: Int): DataFrame = {
+                    vecCol: String, model: IvfModel, k: Int, nprobe: Int,
+                    broadcastQueries: Boolean = true): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(queries.sparkSession)
     val q = queriesSide(queries, idCol, vecCol)
       .withColumn("cell", explode(probeCellsExpr(col("qv"), model, nprobe)))
     val c = corpusSide(corpus, idCol, vecCol)
       .withColumn("cell", cellExpr(col("cv"), model))
-    scoreTopK(broadcast(q).join(c, Seq("cell")), k)
+    scoreTopK(probeJoin(q, c, broadcastQueries), k)
   }
 
   /** Exact top-k neighbors for each query row (excluding self-matches).
+    * The scoring join is |queries|·|corpus| with no key, so this operator
+    * REQUIRES a bounded query set (its contract) — the query side always
+    * broadcasts and the corpus never shuffles. A corpus-scale query set
+    * has no exact sub-quadratic plan; route it through [[ivfSearchTopK]]
+    * with `broadcastQueries = false` instead.
     * Output: (query_id, rank, neighbor_id, cos). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -167,9 +187,11 @@ object Similarity {
 
   /** IVF-style top-k: probe only the query's own cell (nprobe = 1).
     * `cellCol` is any coarse-quantizer assignment (cluster id, label,
-    * LSH bucket). Output shape matches bruteForceTopK. */
+    * LSH bucket). `broadcastQueries`: see [[probeJoin]]. Output shape
+    * matches bruteForceTopK. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
-              idCol: String, vecCol: String, cellCol: String, k: Int): DataFrame = {
+              idCol: String, vecCol: String, cellCol: String, k: Int,
+              broadcastQueries: Boolean = true): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       col(cellCol).as("cell"))
@@ -177,6 +199,6 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       col(cellCol).as("cell"))
       .withColumn("nc", sqrt(Dedup.dot(col("cv"), col("cv"))))
-    scoreTopK(broadcast(q).join(c, Seq("cell")), k)
+    scoreTopK(probeJoin(q, c, broadcastQueries), k)
   }
 }

@@ -52,6 +52,12 @@ object LlmOps extends QueryModule {
       CosineThreshold, dim = 64)
       .orderBy(col("vec_a"), col("vec_b"))
 
+  /** Brute force carries a bounded-query-set contract (the query side
+    * always broadcasts), so this binding is the small-query case. The
+    * IVF bindings below select a corpus-PROPORTIONAL query set
+    * (vec_id % 25 — 4% of the corpus), which outgrows any broadcast at
+    * scale: they pass broadcastQueries = false so the probe is a plain
+    * cell equi-join (AQE may still broadcast at runtime while small). */
   def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.bruteForceTopK(emb.filter(col("vec_id") % 25 === 0), emb,
@@ -62,7 +68,7 @@ object LlmOps extends QueryModule {
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.ivfTopK(emb.filter(col("vec_id") % 25 === 0), emb,
-      "vec_id", "embedding", "label", 5)
+      "vec_id", "embedding", "label", 5, broadcastQueries = false)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -77,7 +83,8 @@ object LlmOps extends QueryModule {
     val model = Similarity.trainIvf(emb, "embedding", nCells = 16,
       maxIters = 5, seed = 42L)
     Similarity.ivfSearchTopK(emb.filter(col("vec_id") % 25 === 0), emb,
-      "vec_id", "embedding", model, 5, nprobe = model.nCells)
+      "vec_id", "embedding", model, 5, nprobe = model.nCells,
+      broadcastQueries = false)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -441,8 +448,8 @@ object LlmOps extends QueryModule {
     },
     "q_frame_sample" ->
       """WITH v AS (SELECT doc_id, text,
-        |    1 + CAST(strlen(text) AS INT) // 64 AS n_frames
-        |  FROM documents WHERE doc_id % 3 = 2),
+        |    CAST((strlen(text) + 63) // 64 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2 AND strlen(text) > 0),
         |u AS (SELECT doc_id, text, n_frames,
         |    unnest(range(0, n_frames, 4)) AS i FROM v)
         |SELECT doc_id, n_frames, CAST(i // 4 AS INT) AS sample_idx,

@@ -378,7 +378,9 @@ object Relational extends QueryModule {
         |  FROM events WHERE event_type = 'purchase'),
         |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_r,
         |    event_id AS prior_id, event_type AS prior_type
-        |  FROM events WHERE event_type <> 'purchase')
+        |  FROM events WHERE event_type <> 'purchase'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts_r
+        |    ORDER BY prior_id DESC NULLS LAST, prior_type DESC NULLS LAST) = 1)
         |SELECT p.purchase_id, p.user_id, r.prior_id, r.prior_type
         |FROM p ASOF LEFT JOIN r
         |  ON p.user_id = r.user_id AND r.ts_r <= p.ts
@@ -388,7 +390,9 @@ object Relational extends QueryModule {
         |  FROM events WHERE event_type = 'purchase'),
         |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_r,
         |    event_id AS next_id, event_type AS next_type
-        |  FROM events WHERE event_type <> 'purchase')
+        |  FROM events WHERE event_type <> 'purchase'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts_r
+        |    ORDER BY next_id DESC NULLS LAST, next_type DESC NULLS LAST) = 1)
         |SELECT p.purchase_id, p.user_id, r.next_id, r.next_type
         |FROM p ASOF LEFT JOIN r
         |  ON p.user_id = r.user_id AND r.ts_r >= p.ts

@@ -166,7 +166,11 @@ class CliSpec extends AnyFunSuite {
       databaseIds = Some(recordedIds))
 
     assert(Cli.dispatch(env, List("pull:notion", dataDir)) == 0)
-    assert(new java.io.File(s"$dataDir/raw/timeslices/2026-08-12").exists())
+    // pull stamps partitions with the real UTC date (cli/index.ts:43) —
+    // compute the expectation the same way or the test only passes on
+    // the day it was written
+    assert(new java.io.File(
+      s"$dataDir/raw/timeslices/${functions.Scalars.utcDateStamp()}").exists())
     assert(Cli.dispatch(env, List("audit:notion-schema", dataDir)) == 0)
     assert(new java.io.File(s"$dataDir/audit/NotionSchemaGenerated.scala").exists())
     assert(Cli.dispatch(env, List("normalize", dataDir)) == 0)
@@ -248,6 +252,46 @@ class CliSpec extends AnyFunSuite {
     assert(seen.toSeq == Seq("[error] command failed x"))
   }
 
+  test("validate:coverage reports instance-page-name coverage with failure samples") {
+    val dataDir = stageRawData()
+    // add a second resolvable timeslice whose instance-name rollup is
+    // MISSING — the deliberately broken record the metric must surface
+    val broken = NotionFixtures.timesliceJson
+      .replace("12345678-1234-1234-1234-1234567890ab", "77777777-7777-7777-7777-777777777777")
+      .replace("\"rollup_instance_name\": {", "\"rollup_instance_name_zzz\": {")
+    val p = java.nio.file.Paths.get(s"$dataDir/raw/timeslices/2026-08-12/records.jsonl")
+    java.nio.file.Files.write(p,
+      (new String(java.nio.file.Files.readAllBytes(p), "UTF-8") + "\n" + broken)
+        .getBytes("UTF-8"))
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val env = Cli.Env(spark, NotionFixtures.cfg, runDate = "2026-08-12",
+      log = lines += _)
+    Cli.normalize(env, dataDir)
+    val r = Cli.validateCoverage(env, dataDir)
+    assert(r.total == 2 && r.nonNull == 1)
+    assert(math.abs(r.pct - 50.0) < 1e-9)
+    assert(r.failureSamples == Seq("timeslice_77777777777777777777777777777777"),
+      s"broken record not surfaced: ${r.failureSamples}")
+    assert(r.sampleValues.map(_._2) == Seq("Instance A"))
+    assert(lines.exists(_.contains("non_null_pct=50.00%")))
+    // dispatch hook + script's exit-1-when-no-canon behavior
+    assert(Cli.dispatch(env, List("validate:coverage", dataDir)) == 0)
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft-cov").toString
+    intercept[IllegalStateException](Cli.validateCoverage(env, emptyDir))
+  }
+
+  test("generated constants survive control characters in property names") {
+    val schema = Map("timeslices" -> Seq(
+      ("Name\nwith newline", "id\t1", "title"),
+      ("plain", "p1", "date")))
+    val gen = Cli.generatedScala(schema)
+    // the whole entry must stay on ONE line, in escaped form
+    assert(gen.linesIterator.exists(l =>
+      l.contains("""Name\nwith newline""") && l.contains("""-> ("id\t1", "title")""")),
+      s"control chars not escaped into a single-line literal:\n$gen")
+    assert(Cli.parseGeneratedSchema(gen) == schema, "control-char round-trip broken")
+  }
+
   test("run-date helpers render LA vs UTC calendar dates") {
     val clock = new graft.util.LogicalClock(start = 1704088800000L) // 2024-01-01T06:00Z
     assert(functions.Scalars.utcDateStamp(clock) == "2024-01-01")
@@ -281,7 +325,9 @@ class CliSpec extends AnyFunSuite {
       "timeslices" -> "timeslices:db", "workflowStages" -> "workflowStages:db",
       "workflowDefinitions" -> "workflowDefinitions:db"))
     // raw landed (db record + page), canon written; missing wf -> excluded
-    assert(new java.io.File(s"$dataDir/raw/timeslices/2026-08-12").exists())
+    // (real-clock UTC stamp, same as pull itself — no hard-coded date)
+    assert(new java.io.File(
+      s"$dataDir/raw/timeslices/${functions.Scalars.utcDateStamp()}").exists())
     assert(counts("timeslices") == 0, "timeslice without workflow definition excluded")
     assert(counts("qualityIssues") == 1)
   }

@@ -229,6 +229,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(0L).meanByte == ('a' + 'b' + 'c' + 'd') / 4.0)
   }
 
+  test("multimodal decode handles a real PNG via javax.imageio") {
+    // 2x1 image with known pixels: (255,255,255) and (0,0,30)
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff)
+    img.setRGB(1, 0, 0x00001e)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+    val payloads = Seq((1L, "image", png), (2L, "image", "notapng".getBytes))
+      .toDF("doc_id", "modality", "payload")
+    val feats = operators.Multimodal.decodeFeatures(payloads)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).width == 2 && feats(1L).height == 1)
+    // mean gray: (mean(255,255,255) + mean(0,0,30)) / 2 = (255 + 10) / 2
+    assert(math.abs(feats(1L).meanByte - 132.5) < 1e-9)
+    assert(feats(1L).n_bytes == png.length && feats(1L).frames == 1)
+    // non-PNG payloads still take the deterministic stub path
+    assert(feats(2L).width == 0 && feats(2L).height == 0)
+    assert(feats(2L).meanByte == "notapng".getBytes
+      .map(b => (b & 0xff).toDouble).sum / 7)
+  }
+
   test("multimodal resize + frame-sample plumbing: deterministic shapes") {
     val docs = Seq((2L, "v" * 200), (5L, "w" * 64), (8L, "z" * 10))
       .toDF("doc_id", "text") // all doc_id % 3 == 2 -> video
@@ -239,15 +262,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(resized(2L).n_bytes_out == 16) // 200 bytes, stride 12 -> 16 kept
     assert(resized(8L).n_bytes_out == 10) // smaller than target: all kept
     assert(resized(2L).sample_sum == 16L * 'v'.toLong)
-    // frame-sample: frames = 1 + len/64; every 4th kept
+    // frame-sample: frames = ceil(len/64); every 4th kept; an
+    // exact-multiple payload has NO empty trailing frame
     val frames = operators.Multimodal.sampleFrames(payloads, everyN = 4)
       .select("doc_id", "n_frames", "sample_idx", "frame_bytes")
       .as[(Long, Int, Int, Int)].collect()
     val byDoc = frames.groupBy(_._1)
-    assert(byDoc(2L).map(_._2).head == 4) // 1 + 200/64
+    assert(byDoc(2L).map(_._2).head == 4) // ceil(200/64)
     assert(byDoc(2L).map(_._3).toSet == Set(0)) // frames 0..3, sampled {0}
     assert(byDoc(2L).head._4 == 64)
-    assert(byDoc(5L).head._2 == 2 && byDoc(5L).length == 1)
+    assert(byDoc(5L).head._2 == 1 && byDoc(5L).length == 1) // 64 bytes = exactly 1 frame
+    assert(byDoc(5L).head._4 == 64, "the single exact frame is full, not empty")
   }
 
   test("ANN brute-force top-k self-consistency: rank 1 has max cosine") {
@@ -393,6 +418,28 @@ class OperatorsSpec extends AnyFunSuite {
       .select("pname", "iname").as[(String, String)].collect()
     assert(got.length == got.distinct.length, "duplicate pairs emitted")
     assert(got.toSet == Set(("p1", "a"), ("p2", "a"), ("p1", "c"), ("p2", "c")))
+  }
+
+  test("as-of tie on (key, time): greatest payload wins, both directions") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "o1")).toDF("k", "lt", "name")
+    // three right rows at the SAME (key, time) with different payloads:
+    // the defined winner is the lexicographically greatest (rid, tag)
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 7L, "a"),
+      (1L, ts("2024-01-01 09:00:00"), 9L, "b"),
+      (1L, ts("2024-01-01 09:00:00"), 9L, "z"))
+      .toDF("k", "rt", "rid", "tag")
+    val back = operators.AsOf.asofJoinLeft(left, right, "k", "lt", "rt",
+      Seq("rid", "tag")).select("asof_rid", "asof_tag")
+      .as[(Long, String)].head()
+    assert(back == ((9L, "z")), s"backward tie pick was $back")
+    val fwd = operators.AsOf.asofJoinLeft(
+      left.withColumn("lt", lit(ts("2024-01-01 08:00:00"))), right,
+      "k", "lt", "rt", Seq("rid", "tag"), direction = "forward")
+      .select("asof_rid", "asof_tag").as[(Long, String)].head()
+    assert(fwd == ((9L, "z")), s"forward tie pick was $fwd")
   }
 
   test("as-of forward direction and tolerance bound the match window") {

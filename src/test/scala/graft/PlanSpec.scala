@@ -99,6 +99,26 @@ class PlanSpec extends AnyFunSuite {
       s"query side should broadcast in:\n$p")
   }
 
+  /** The gated IVF bindings carry a corpus-proportional query set, so
+    * they must NOT hint a query-side broadcast: with auto-broadcast off
+    * the probe plans as a shuffle join on the cell key (the shape that
+    * survives a query set that outgrows every broadcast), and no
+    * BroadcastExchange appears anywhere. */
+  test("IVF large-query path shuffles on the cell key, no forced broadcast") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (q <- Seq("q_ann_ivf", "q_ann_ivf_kmeans")) {
+        val p = plan(q)
+        assert(!p.contains("BroadcastExchange"),
+          s"$q must not broadcast its corpus-proportional query set:\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$q probe should be a shuffle join on the cell key:\n$p")
+        assert(!p.contains("CartesianProduct"), s"$q must stay keyed on cell:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   /** SRP-LSH embedding dedup: candidates come from a (band, sig)
     * equi-join; the signature computation is the codegen SrpSigsF32
     * expression, not a UDF; and nothing corpus-sized is broadcast. */
