@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductF32, SrpSigsF32, VectorExpressions}
+import graft.functions.{DotProductF32, SortedIntersectCount, SrpSigsF32, VectorExpressions}
 
 /** Cluster-deployable registration of the engine's custom Catalyst
   * expressions, the idiomatic Spark extension point:
@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => SrpSigsF32(exprs(0),
         intArg(exprs(1), "nBands"), intArg(exprs(2), "bandBits"),
         intArg(exprs(3), "dim"))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
   }
 }
 

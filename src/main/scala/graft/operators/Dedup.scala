@@ -141,6 +141,7 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, maxDf: Option[Long] = None,
                    maxShinglesPerDoc: Option[Int] = None): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(docs.sparkSession)
     val sh = capDocs(hashedShingleSet(docs, idCol, textCol), maxShinglesPerDoc)
       .cache()
     val tRelaxed = threshold - 0.00005
@@ -177,15 +178,22 @@ object Dedup {
       // candidate-pair count rides the normal execution (no extra job);
       // Bench scrapes it into the artifact via OpMetrics
       .observe("jaccard_candidates", count(lit(1)).as("n_pairs"))
-    // exact verification over full shingle-key sets, one row per candidate
-    val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shs"))
+    // exact verification over full shingle-key sets, one row per
+    // candidate. Arrays are sorted ONCE per doc so the per-pair
+    // intersection is a primitive codegen merge walk
+    // (sorted_intersect_count) instead of a per-pair hash-set build —
+    // the candidate count is near-quadratic on adversarial corpora, so
+    // this is the hottest loop in the operator.
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sh"))).as("shs"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")),
         Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")),
         Seq("doc_b"))
       .withColumn("n_common",
-        size(array_intersect(col("shs_a"), col("shs_b"))))
+        graft.functions.VectorExpressions.sortedIntersectCount(
+          col("shs_a"), col("shs_b")))
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")), 4))
@@ -249,6 +257,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double,
                       maxShinglesPerDoc: Option[Int] = None): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(docs.sparkSession)
     val sh = capDocs(minhashShingleScan(docs, idCol, textCol),
       maxShinglesPerDoc).cache()
     val sigs = minhashSignatures(sh)
@@ -273,10 +282,12 @@ object Dedup {
       .observe("minhash_candidates", count(lit(1)).as("n_pairs"))
     // verification: exact Jaccard on candidates only — one row per
     // candidate pair, intersecting the docs' 64-bit key arrays straight
-    // from the cached scan (no string re-hash; array_intersect dedups,
-    // so a k-only collision cannot inflate the overlap).
+    // from the cached scan (no string re-hash). Arrays sort once per
+    // doc; the per-pair merge walk counts DISTINCT common keys, so a
+    // k-only collision cannot inflate the overlap (same set semantics
+    // as array_intersect, without the per-pair hash-set build).
     val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_list(col("k")).as("shs"),
+      .agg(sort_array(collect_list(col("k"))).as("shs"),
         count(lit(1)).as("n_sh"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
@@ -284,12 +295,83 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
         col("n_sh").as("n_b")), Seq("doc_b"))
       .withColumn("n_common",
-        size(array_intersect(col("shs_a"), col("shs_b"))))
+        graft.functions.VectorExpressions.sortedIntersectCount(
+          col("shs_a"), col("shs_b")))
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Connected components over a duplicate-pair graph — the step that
+    * turns pairwise near-dup output into KEEP-ONE-PER-CLUSTER decisions
+    * (transitively: if a~b and b~c, then {a,b,c} is one cluster even
+    * when (a,c) itself scored below threshold).
+    *
+    * Min-label propagation (hash-to-min): every node repeatedly adopts
+    * the minimum label among itself and its neighbors; converges in at
+    * most `diameter` rounds — near-dup clusters are small and dense, so
+    * typically 2–3. Each round is ONE shuffle (edge join + min
+    * aggregate); nothing ever collects to the driver, so the only
+    * per-round driver work is the O(1) convergence probe. Throws if the
+    * cap is hit before convergence (a partial propagation would be
+    * silently wrong).
+    *
+    * Input: a pair DataFrame (`aCol`, `bCol`). Output: (doc_id, rep)
+    * for every node that appears in some pair, rep = min doc id of its
+    * component (docs with no duplicates are trivially their own cluster
+    * and are not emitted). */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "doc_a",
+                        bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
+    // cache the pair projection BEFORE mirroring: a self-union computes
+    // its input subtree once per branch (Spark has no cross-branch CSE),
+    // which would run the whole upstream candidate/verify pipeline twice
+    val p = pairs.select(col(aCol).as("u"), col(bCol).as("v")).cache()
+    // no distinct on the mirrored edge list: duplicate edges cannot
+    // change a min-aggregate, so deduping would be one pure-cost shuffle
+    val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
+      .cache()
+    // localCheckpoint (not cache): each round's plan references the
+    // previous labels TWICE, so an uncheckpointed loop doubles the
+    // logical plan per round — exponential analysis cost that OOMs the
+    // driver long before the data does. Checkpointing truncates lineage
+    // to the materialized partitions, keeping every round's plan flat.
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint(true)
+    p.unpersist()  // edges materialized alongside the first checkpoint
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaEdges = edges
+        .join(labels.select(col("id").as("v"), col("rep")), Seq("v"))
+        .select(col("u").as("id"), col("rep"))
+      val prop = viaEdges.union(labels)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+      // pointer jumping: follow rep one hop (a rep is itself a node and
+      // carries its own, possibly smaller, rep) — propagation distance
+      // doubles per round, so chains converge in O(log diameter) rounds
+      // instead of O(diameter)
+      // lazy checkpoint: the convergence probe below is the action that
+      // materializes it, so each round costs ONE job, not two
+      val next = prop
+        .join(prop.select(col("id").as("rep"), col("rep").as("rep2")),
+          Seq("rep"), "left")
+        .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"))
+        .localCheckpoint(false)
+      converged = next
+        .join(labels.select(col("id"), col("rep").as("prev")), Seq("id"))
+        .filter(col("rep") =!= col("prev"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIters rounds — " +
+          s"component diameter exceeds 2^$maxIters; raise maxIters")
+    labels.select(col("id").as("doc_id"), col("rep"))
   }
 
   /** 32-bit SimHash per doc over the token multiset: 32 signed partial

@@ -35,6 +35,17 @@ object LlmOps extends QueryModule {
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", 3)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Pairs → transitive clusters → representative per doc (the
+    * keep-one-per-cluster decision). Bound to the SimHash pair source:
+    * its hamming≤3 graph is the densest of the dedup family (chains of
+    * drifting near-dups), so transitivity actually matters here. The
+    * operator itself takes any pair DataFrame. Oracle: recursive-CTE
+    * label propagation over the same pair set. */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+      Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", 3))
+      .orderBy(col("doc_id"))
+
   /** Blocked on `label` (the corpus's coarse cluster id): pair scoring
     * runs within blocks only — an equi-join shuffle, never a corpus-wide
     * cross join. At 100 TB the block key comes from an ANN/LSH candidate
@@ -192,6 +203,7 @@ object LlmOps extends QueryModule {
     "q_dedup_jaccard"   -> qDedupJaccard _,
     "q_dedup_minhash"   -> qDedupMinhash _,
     "q_dedup_simhash"   -> qDedupSimhash _,
+    "q_dedup_clusters"  -> qDedupClusters _,
     "q_dedup_embedding" -> qDedupEmbedding _,
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh _,
     "q_ann_topk"        -> qAnnTopK _,
@@ -254,6 +266,17 @@ object LlmOps extends QueryModule {
     s"CASE WHEN s$j >= 0 THEN CAST(${1L << (31 - j)} AS BIGINT) ELSE 0 END"
   }.mkString(" + ")
 
+  /** Shared SimHash signature CTE chain (tokens → md5 hash → 32 signed
+    * sums → assembled signature) — used by the pair query and the
+    * clusters query. */
+  private lazy val simhashCtes =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |xv AS (SELECT doc_id, ${duckHex("md5(tok)", 1, 8)} AS h FROM toks),
+       |bits AS (SELECT doc_id,
+       |    $simhashBitSums
+       |  FROM xv GROUP BY 1),
+       |sim AS (SELECT doc_id, ($simhashAssemble) AS simhash FROM bits)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT fp, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dups
@@ -290,13 +313,22 @@ object LlmOps extends QueryModule {
          |  GROUP BY 1, 2)
          |SELECT * FROM ($jaccardSelect) j
          |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $simhashCtes,
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+         |  UNION SELECT doc_b, doc_a FROM pr),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+         |SELECT id AS doc_id, MIN(r) AS rep FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |xv AS (SELECT doc_id, ${duckHex("md5(tok)", 1, 8)} AS h FROM toks),
-         |bits AS (SELECT doc_id,
-         |    $simhashBitSums
-         |  FROM xv GROUP BY 1),
-         |sim AS (SELECT doc_id, ($simhashAssemble) AS simhash FROM bits)
+      s"""WITH $simhashCtes
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id

@@ -192,6 +192,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mh.subsetOf(Set((1L, 2L))), s"capped docs leaked via LSH: $mh")
   }
 
+  test("sorted_intersect_count == size(array_intersect) on random sorted arrays") {
+    functions.VectorExpressions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 200).map { i =>
+      def arr() = Array.fill(rnd.nextInt(30))(rnd.nextInt(20).toLong).sorted
+      (i.toLong, arr(), arr())
+    } :+ ((1000L, Array.empty[Long], Array(1L, 2L))) // empty edge
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        functions.VectorExpressions.sortedIntersectCount(col("a"), col("b")).as("c"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .as[(Long, Int, Int)].collect()
+    got.foreach { case (id, c, ref) =>
+      assert(c == ref, s"row $id: merge walk $c != array_intersect $ref")
+    }
+    // resolvable from SQL via the session extension (cluster deploy path)
+    val fresh = spark.newSession()
+    val one = fresh.sql(
+      "SELECT sorted_intersect_count(array(1L, 2L, 2L, 5L), array(2L, 3L, 5L))")
+      .collect()(0).getInt(0)
+    assert(one == 2)
+  }
+
+  test("duplicate clusters: transitive closure matches union-find, multi-round chains") {
+    // a 6-node path (diameter 5 → several propagation rounds), a
+    // triangle, an isolated pair — transitivity across all of them
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L)).toDF("doc_a", "doc_b")
+    val got = operators.Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(k => k -> find(k)).toMap
+    assert(got == truth, s"clusters diverged from union-find:\n$got\nvs\n$truth")
+    assert(got(15L) == 10L && got(22L) == 20L && got(31L) == 30L)
+    // non-convergence surfaces as an error, never a partial result
+    intercept[IllegalStateException] {
+      operators.Dedup.duplicateClusters(pairs, maxIters = 2).collect()
+    }
+  }
+
   test("dedup candidate counts are published as observed metrics") {
     util.OpMetrics.install(spark)
     val docs = sources.Tables.documents(spark, sf)
