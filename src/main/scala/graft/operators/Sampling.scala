@@ -23,6 +23,26 @@ object Sampling {
   def sampleByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(hashUnit(col(idCol)) < fraction)
 
+  /** Stratified deterministic sample: per-stratum keep fractions (the
+    * `df.stat.sampleBy` analog, minus its partitioning dependence) —
+    * e.g. downsample an over-represented language while keeping rare
+    * ones whole. Strata absent from `fractions` keep `defaultFraction`
+    * (0.0 = drop). The hash is salted with the stratum so a row's draw
+    * in one stratum is independent of the id's draw in another — and a
+    * pure function of (id, stratum): append-stable and repartition-proof
+    * like every operator here. Pure map-side filter, no shuffle. */
+  def stratifiedSampleByHash(df: DataFrame, idCol: String, strataCol: String,
+                             fractions: Map[String, Double],
+                             defaultFraction: Double = 0.0): DataFrame = {
+    require((defaultFraction +: fractions.values.toSeq)
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0, 1]")
+    val u = hashUnit(concat(col(idCol).cast("string"), lit("|"), col(strataCol)))
+    val bound = fractions.foldRight(lit(defaultFraction): Column) {
+      case ((stratum, f), acc) => when(col(strataCol) === stratum, f).otherwise(acc)
+    }
+    df.filter(u < bound)
+  }
+
   /** Assign each row to a named split by cumulative weight over the
     * hash unit — e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1).
     * Weights must sum to 1 (the last split absorbs rounding). */

@@ -166,6 +166,29 @@ object LlmOps extends QueryModule {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .orderBy(col("doc_id"))
 
+  /** BM25 probe terms: mid-frequency corpus tokens so idf actually
+    * varies across the query. */
+  val Bm25Terms = Seq("vector", "stream", "hash")
+
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.bm25TopK(Tables.documents(spark, dir),
+      "doc_id", "text", Bm25Terms, k = 20)
+
+  /** Per-modality keep fractions for the stratified-sampling query:
+    * rebalance an over-represented stratum down while keeping a rare
+    * one whole — the canonical data-mixture op. */
+  val StratifiedFractions = Map("image" -> 0.5, "audio" -> 0.1, "video" -> 1.0)
+
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).withColumn("modality",
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")))
+    graft.operators.Sampling.stratifiedSampleByHash(d, "doc_id", "modality",
+      StratifiedFractions)
+      .select(col("doc_id"), col("modality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-wide top bigrams (vocabulary building): full multiset
     * count — one explode + hash agg + TakeOrdered, no distinct-per-doc. */
   def qTopNgrams(spark: SparkSession, dir: String): DataFrame =
@@ -215,6 +238,8 @@ object LlmOps extends QueryModule {
     "q_pii_redact"      -> qPiiRedact _,
     "q_hash_split"      -> qHashSplit _,
     "q_top_ngrams"      -> qTopNgrams _,
+    "q_bm25"            -> qBm25 _,
+    "q_stratified_sample" -> qStratifiedSample _,
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_frame_sample"    -> qFrameSample _)
 
@@ -446,6 +471,35 @@ object LlmOps extends QueryModule {
          |SELECT doc_id, CASE WHEN u < 0.8 THEN 'train'
          |  WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
          |FROM u ORDER BY doc_id""".stripMargin,
+    "q_bm25" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+         |  WHERE tok IN ($terms) GROUP BY 1, 2),
+         |dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id,
+         |    ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         |      * tf.tf * 2.2
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+         |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+         |SELECT doc_id, ROUND(SUM(s), 4) AS score FROM s GROUP BY 1
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "q_stratified_sample" -> {
+      val uHex = duckHex("md5(CAST(doc_id AS VARCHAR) || '|' || modality)", 1, 8)
+      val cases = StratifiedFractions.map { case (s, f) =>
+        s"WHEN '$s' THEN $f" }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id,
+         |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality
+         |  FROM documents),
+         |u AS (SELECT doc_id, modality,
+         |    CAST($uHex AS DOUBLE) / 4294967296.0 AS u FROM d)
+         |SELECT doc_id, modality FROM u
+         |WHERE u < CASE modality $cases ELSE 0.0 END
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_top_ngrams" ->
       """WITH docs2 AS (SELECT string_split(text, ' ') AS w FROM documents),
         |shl AS (SELECT unnest(list_transform(range(1, len(w)),

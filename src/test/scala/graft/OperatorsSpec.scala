@@ -192,6 +192,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mh.subsetOf(Set((1L, 2L))), s"capped docs leaked via LSH: $mh")
   }
 
+  test("bm25: hit count raises score, verbosity lowers it, rare terms weigh more") {
+    val docs = Seq(
+      (1L, "hash join and hash agg use a hash table"),   // 3x common term
+      (2L, "hash once here"),                            // 1x common term, short
+      (3L, "vector lane"),                               // 1x rare term, short
+      (4L, ("filler " * 50) + "hash"),                   // 1x common term, long doc
+      (5L, "no relevant words at all")).toDF("doc_id", "text")
+    val got = operators.Ranking.bm25TopK(docs, "doc_id", "text",
+        Seq("hash", "vector"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(!got.contains(5L), "doc without query terms must not appear")
+    assert(got(1L) > got(2L), "more hits should outrank fewer at similar length")
+    assert(got(2L) > got(4L), "same tf in a much longer doc should score lower")
+    // 'vector' appears in 1 of 5 docs vs 'hash' in 3 of 5 -> higher idf,
+    // so the single rare hit beats the single common hit
+    assert(got(3L) > got(2L), "rare-term hit should outweigh common-term hit")
+    assert(got.values.forall(_ > 0.0))
+  }
+
   test("sorted_intersect_count == size(array_intersect) on random sorted arrays") {
     functions.VectorExpressions.ensureRegistered(spark)
     val rnd = new scala.util.Random(17)
@@ -453,6 +472,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s.nonEmpty && s.size < 200)
     assert(operators.Sampling.sampleByHash(base.repartition(3), "id", 0.1)
       .as[Long].collect().toSet == s)
+  }
+
+  test("stratified sampling: per-stratum fractions, append-stable, salt independence") {
+    val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val kept = operators.Sampling.stratifiedSampleByHash(df, "id", "lang",
+      Map("en" -> 0.2, "de" -> 0.9)).as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("en") > 120 && byLang("en") < 280, s"en kept ${byLang("en")}/1000 at 0.2")
+    assert(byLang("de") > 1700 && byLang("de") < 1950, s"de kept ${byLang("de")}/2000 at 0.9")
+    // unlisted strata drop by default; defaultFraction keeps them
+    assert(operators.Sampling.stratifiedSampleByHash(df, "id", "lang",
+      Map("en" -> 0.2)).filter(col("lang") === "de").count() == 0)
+    assert(operators.Sampling.stratifiedSampleByHash(df, "id", "lang",
+      Map.empty, defaultFraction = 1.0).count() == 3000)
+    // append + repartition never change membership
+    val again = operators.Sampling.stratifiedSampleByHash(
+      (0L until 6000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+        .toDF("id", "lang").repartition(7), "id", "lang",
+      Map("en" -> 0.2, "de" -> 0.9)).as[(Long, String)].collect()
+    assert(kept.toSet.subsetOf(again.toSet))
   }
 
   test("range join: inclusive bounds, bucket-boundary spans, no dup pairs") {
