@@ -220,22 +220,24 @@ object Dedup {
     scan.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** Banded LSH signatures: (doc_id, band, sig, ms) with sig = md5 of
-    * the band's minhash values joined by '_', and ms = the doc's full
-    * 16-component signature carried along (16 longs ≈ 128 B/row) so the
-    * downstream candidate pre-filter needs NO second join back to the
-    * signature table — the scale-critical property: nothing about the
-    * corpus is ever broadcast. */
+  /** Banded LSH rows: (doc_id, band, s1, s2, ms) with (s1, s2) the
+    * band's RAW minhash values and ms = the doc's full 16-component
+    * signature carried along (16 longs ≈ 128 B/row) so the downstream
+    * candidate pre-filter needs NO second join back to the signature
+    * table — the scale-critical property: nothing about the corpus is
+    * ever broadcast. The band join keys on the raw values directly:
+    * equality of (s1, s2) is exactly equality of the md5 band digest
+    * the oracle compares (the digest adds hashing work and 32-char
+    * shuffle keys without changing the matched pairs). */
   def lshBands(sigs: DataFrame): DataFrame = {
-    val bandSigs = (1 to Bands).map { j =>
-      md5(concat_ws("_",
-        col(s"m${2 * j - 1}").cast("string"),
-        col(s"m${2 * j}").cast("string")))
+    val bandPairs = (1 to Bands).map { j =>
+      struct(col(s"m${2 * j - 1}").as("s1"), col(s"m${2 * j}").as("s2"))
     }
     val ms = array((1 to 16).map(i => col(s"m$i")): _*)
     sigs.select(col("doc_id"), ms.as("ms"),
-        posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
-      .select(col("doc_id"), col("band"), col("sig"), col("ms"))
+        posexplode(array(bandPairs: _*)).as(Seq("band", "sig")))
+      .select(col("doc_id"), col("band"),
+        col("sig.s1").as("s1"), col("sig.s2").as("s2"), col("ms"))
   }
 
   /** Signature-estimate pre-filter: keep candidate pairs whose
@@ -271,10 +273,10 @@ object Dedup {
     val estMatches = aggregate(
       zip_with(col("ms_a"), col("ms_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
-    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"),
-        col("ms").as("ms_a"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"),
-        col("ms").as("ms_b")), Seq("band", "sig"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"),
+        col("s1"), col("s2"), col("ms").as("ms_a"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"),
+        col("s1"), col("s2"), col("ms").as("ms_b")), Seq("band", "s1", "s2"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(estMatches >= MinSigMatches)
       .select(col("doc_a"), col("doc_b"))

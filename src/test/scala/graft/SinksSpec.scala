@@ -19,6 +19,28 @@ class SinksSpec extends AnyFunSuite {
     assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
   }
 
+  test("partitioned parquet layout: pruning reaches the scan, clustered files, lossless") {
+    val base = java.nio.file.Files.createTempDirectory("graft-pq").toString + "/events"
+    val df = sources.Tables.events(spark, sf).select("event_id", "event_type", "user_id")
+    sinks.ParquetSink.writeTable(df, base,
+      partitionCols = Seq("event_type"), sortCols = Seq("user_id"))
+    // directory layout: one dir per partition value
+    val dirs = new java.io.File(base).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("event_type=")), s"unexpected layout: ${dirs.toSeq}")
+    // a filtered read PRUNES partitions (not just pushes a row filter)
+    val filtered = sinks.ParquetSink.read(spark, base)
+      .filter(col("event_type") === "purchase")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"partition pruning missing from scan:\n$plan")
+    // lossless round-trip of the pruned slice
+    val want = df.filter(col("event_type") === "purchase")
+      .orderBy("event_id").collect().toSeq
+    assert(filtered.drop("event_type").select("event_id", "user_id")
+      .orderBy("event_id").collect().toSeq ==
+      want.map(r => org.apache.spark.sql.Row(r.get(0), r.get(2))))
+  }
+
   test("Excel sink produces a valid xlsx with sorted styled sheets and null->''") {
     val path = java.nio.file.Files.createTempDirectory("graft-xlsx").toString + "/out.xlsx"
     val t1 = Seq((1L, Option("alpha")), (2L, None)).toDF("id", "label")
