@@ -150,6 +150,27 @@ class PlanSpec extends AnyFunSuite {
     assert(sigs.length == 2)
   }
 
+  /** Stratified sampling is a pure map-side filter: no shuffle may
+    * appear anywhere in the operator's plan. */
+  test("stratified sample plans with zero exchanges") {
+    val df = sources.Tables.documents(spark, sf)
+      .withColumn("stratum", (org.apache.spark.sql.functions.col("doc_id") % 2)
+        .cast("string"))
+    val p = operators.Sampling.stratifiedSampleByHash(df, "doc_id", "stratum",
+      Map("0" -> 0.5, "1" -> 0.9)).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+  }
+
+  /** BM25: the only unkeyed join is the broadcast of the 1-row corpus
+    * stats; term frequencies join document frequencies via broadcast;
+    * top-k plans as TakeOrdered (no global sort materialization). */
+  test("bm25 plan: broadcast stats/df, TakeOrdered top-k, no cartesian") {
+    val p = plan("q_bm25")
+    assert(!p.contains("CartesianProduct"), s"bm25 must not cross-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k should plan as TakeOrdered:\n$p")
+    assert(p.contains("BroadcastExchange"), s"df/stats sides should broadcast:\n$p")
+  }
+
   /** Bucketized range join must plan as a hash equi-join on the bucket
     * key — the naive BETWEEN formulation plans as broadcast-nested-loop,
     * which is the O(|points|·|intervals|) shape this operator exists to
