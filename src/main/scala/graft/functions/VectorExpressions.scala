@@ -154,19 +154,29 @@ case class SrpSigsF32(child: Expression, nBands: Int, bandBits: Int, dim: Int)
   * boxed longs) dominates; set semantics are preserved by skipping equal
   * runs, so results match array_intersect exactly on any sorted input.
   * Callers sort once at the per-doc aggregate (`sort_array`), amortized
-  * over every candidate pair the doc participates in. */
+  * over every candidate pair the doc participates in.
+  *
+  * INPUT CONTRACT (enforced where possible): the function is also
+  * registered for SQL callers via GraftExtensions, so the analysis-time
+  * check rejects arrays that may contain null elements — `getLong` on a
+  * null slot would silently read garbage (`sort_array(collect_list(x))`,
+  * the internal call shape, always satisfies this: collect_list drops
+  * nulls). ASCENDING SORT of both inputs cannot be checked at analysis
+  * time and is the caller's obligation; an unsorted input miscounts. */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, containsNull) => !containsNull
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_count requires array<bigint> inputs, got " +
-        s"${left.dataType} / ${right.dataType}")
+      s"sorted_intersect_count requires array<bigint> inputs with " +
+        s"non-nullable elements (got ${left.dataType} / " +
+        s"${right.dataType}); wrap nullable-element arrays in " +
+        s"array_compact(...) and pre-sort with sort_array(...)")
   }
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "sorted_intersect_count"

@@ -130,9 +130,21 @@ object Dedup {
     * shingle space ⇒ every key is hot and prefix filtering can't prune):
     * shingles with document frequency > maxDf are excluded from candidate
     * generation. Verification stays exact, so precision is unaffected
-    * and the output is a SUBSET of the exact result — a pair is missed
-    * only if every shingle it shares is hotter than maxDf. Default None
-    * keeps the operator exact (what the gated query uses).
+    * and the output is a SUBSET of the exact result with a precisely
+    * defined contract: a pair is emitted iff J ≥ threshold AND the docs
+    * share at least one shingle with 2 ≤ df ≤ maxDf. To keep that
+    * contract engine-independent (and thus oracle-checkable), the capped
+    * path disables the PREFIX cut — the prefix choice depends on the
+    * rank order of equal-df shingles (a tie-break on the internal 64-bit
+    * key), and under a df cap the prefix argument is no longer lossless
+    * w.r.t. the contract (a pair whose capped overlap ranks late but
+    * whose hot overlap is large could be prefix-missed). The df cap
+    * itself is the pruning mechanism: it removes exactly the hot keys
+    * that cause the candidate blowup AND the skewed reducer; the length
+    * and positional filters (both implied by J ≥ t, so lossless) still
+    * apply. Both gated queries run in the correctness gate —
+    * `q_dedup_jaccard` (exact) and `q_dedup_jaccard_capped` (this path).
+    * Default None keeps the operator exact.
     *
     * `maxShinglesPerDoc` bounds the verify-stage row size — see
     * [[capDocs]]. Candidate-pair counts are published as the observed
@@ -155,8 +167,13 @@ object Dedup {
       .join(sizes, Seq("doc_id"))
     // cached: both sides of the self-join read it (the window sort and
     // df join would otherwise run twice); tiny — ~(1−t)·|shingle set|
+    // exact mode. Capped mode keeps ALL df-capped shingles (no prefix
+    // cut — see the contract note above); the df cap has already removed
+    // the hot keys, so the index is small and skew-free anyway.
     val prefix = ranked
-      .filter(col("r") <= col("n_sh") - ceil(lit(tRelaxed) * col("n_sh")) + 1)
+      .filter(if (maxDf.isEmpty)
+          col("r") <= col("n_sh") - ceil(lit(tRelaxed) * col("n_sh")) + 1
+        else lit(true))
       .select(col("doc_id"), col("sh"), col("r"), col("n_sh"))
       .cache()
     val pa = prefix.select(col("doc_id").as("doc_a"), col("sh"),
@@ -176,8 +193,18 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
       // candidate-pair count rides the normal execution (no extra job);
-      // Bench scrapes it into the artifact via OpMetrics
-      .observe("jaccard_candidates", count(lit(1)).as("n_pairs"))
+      // Bench scrapes it into the artifact via OpMetrics. Distinct name
+      // per mode so the exact and capped gated queries are separately
+      // visible in the same artifact. Counted with a distinct-sketch,
+      // not count(1): a downstream orderBy's range-partitioner SAMPLING
+      // pass re-executes this stage when AQE broadcasts the verify
+      // joins, and a plain count accumulator then reports exactly 2× —
+      // a sketch is idempotent under re-insertion, so the reported
+      // value is execution-count-invariant (±0.5% rsd).
+      .observe(if (maxDf.isEmpty) "jaccard_candidates"
+               else "jaccard_capped_candidates",
+        approx_count_distinct(xxhash64(col("doc_a"), col("doc_b")), 0.005)
+          .as("n_pairs"))
     // exact verification over full shingle-key sets, one row per
     // candidate. Arrays are sorted ONCE per doc so the per-pair
     // intersection is a primitive codegen merge walk
@@ -281,7 +308,10 @@ object Dedup {
       .filter(estMatches >= MinSigMatches)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-      .observe("minhash_candidates", count(lit(1)).as("n_pairs"))
+      // distinct-sketch, not count(1) — see the jaccard observe note
+      .observe("minhash_candidates",
+        approx_count_distinct(xxhash64(col("doc_a"), col("doc_b")), 0.005)
+          .as("n_pairs"))
     // verification: exact Jaccard on candidates only — one row per
     // candidate pair, intersecting the docs' 64-bit key arrays straight
     // from the cached scan (no string re-hash). Arrays sort once per
@@ -341,40 +371,78 @@ object Dedup {
     // to the materialized partitions, keeping every round's plan flat.
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("rep", col("id")).localCheckpoint(true)
+    // the checkpointed frame whose RDD backs `labels` (labels itself may
+    // be a projection over it in later rounds) — retired each round so
+    // block-manager storage stays O(1) in rounds, not O(rounds)
+    var labelsCkpt = labels
     p.unpersist()  // edges materialized alongside the first checkpoint
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      val repType = labels.schema("rep").dataType
       val viaEdges = edges
         .join(labels.select(col("id").as("v"), col("rep")), Seq("v"))
-        .select(col("u").as("id"), col("rep"))
-      val prop = viaEdges.union(labels)
-        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .select(col("u").as("id"), col("rep"),
+          lit(null).cast(repType).as("prev"))
+      // `prev` carries each node's incoming rep THROUGH the aggregate
+      // (every id occurs exactly once in labels, so max over the branch
+      // recovers it) — convergence is then a column of the round's own
+      // output instead of a separate join-back probe job.
+      // lazy checkpoint: referenced twice by the pointer-jump self-join
+      // below, and Spark has no cross-branch CSE — without it the whole
+      // propagate subtree (edge join + union + min-agg) computes twice
+      // per round.
+      val prop = viaEdges
+        .union(labels.select(col("id"), col("rep"), col("rep").as("prev")))
+        .groupBy(col("id"))
+        .agg(min(col("rep")).as("rep"), max(col("prev")).as("prev"))
+        .localCheckpoint(false)
       // pointer jumping: follow rep one hop (a rep is itself a node and
       // carries its own, possibly smaller, rep) — propagation distance
       // doubles per round, so chains converge in O(log diameter) rounds
       // instead of O(diameter)
-      // lazy checkpoint: the convergence probe below is the action that
-      // materializes it, so each round costs ONE job, not two
       val next = prop
         .join(prop.select(col("id").as("rep"), col("rep").as("rep2")),
           Seq("rep"), "left")
-        .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"))
+        .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"),
+          col("prev"))
         .localCheckpoint(false)
-      converged = next
-        .join(labels.select(col("id"), col("rep").as("prev")), Seq("id"))
-        .filter(col("rep") =!= col("prev"))
-        .isEmpty
-      labels = next
+      // ONE job per round: this aggregate materializes both lazy
+      // checkpoints AND returns the changed-count that decides
+      // convergence (the old separate isEmpty probe was a second full
+      // job per round).
+      val nChanged = next
+        .agg(coalesce(sum(when(col("rep") =!= col("prev"), 1L)
+          .otherwise(0L)), lit(0L)).as("c"))
+        .head.getLong(0)
+      converged = nChanged == 0L
+      // prop's checkpoint and the previous round's labels are dead once
+      // next is materialized — release their blocks now
+      unpersistLocalCheckpoint(prop)
+      unpersistLocalCheckpoint(labelsCkpt)
+      labelsCkpt = next
+      labels = next.select(col("id"), col("rep"))
       i += 1
     }
     edges.unpersist()
+    graft.util.OpMetrics.publish("cluster_rounds", i.toLong)
     if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIters rounds — " +
           s"component diameter exceeds 2^$maxIters; raise maxIters")
     labels.select(col("id").as("doc_id"), col("rep"))
   }
+
+  /** Release the storage behind a `localCheckpoint`ed DataFrame (the
+    * Dataset API has no public handle to the checkpoint RDD; `unpersist`
+    * on the Dataset only touches CacheManager entries). No-op on frames
+    * that are not checkpoints. */
+  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** 32-bit SimHash per doc over the token multiset: 32 signed partial
     * sums in ONE aggregation pass, then bit assembly. */

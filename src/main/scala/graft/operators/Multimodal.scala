@@ -35,17 +35,22 @@ object Multimodal {
 
   /** Decoded-feature record. For a real decoded image, `width`/`height`
     * are the actual pixel dimensions and `meanByte` the mean gray level;
-    * for stub-decoded payloads width/height are 0 and meanByte is the
+    * for a real decoded WAV, `frames` is the PCM frame count, `meanByte`
+    * the mean absolute amplitude in 8-bit units, and
+    * `sampleRate`/`channels` the stream parameters; for stub-decoded
+    * payloads width/height/sampleRate/channels are 0 and meanByte is the
     * mean raw byte value. */
   case class DecodedFeature(doc_id: Long, modality: String, n_bytes: Int,
                             frames: Int, meanByte: Double,
-                            width: Int = 0, height: Int = 0)
+                            width: Int = 0, height: Int = 0,
+                            sampleRate: Int = 0, channels: Int = 0)
 
   /** Batch decode over partitions — the real distributed plumbing. PNG
-    * payloads decode for real via `javax.imageio` (pure JVM, no external
-    * deps); other formats keep a deterministic fake decoder (those
-    * codecs aren't in this environment). Swap `decodeOne`'s fallback for
-    * real audio/video codecs with the same signature. */
+    * payloads decode for real via `javax.imageio`, WAV payloads via
+    * `javax.sound.sampled` (both pure JVM, no external deps); other
+    * formats keep a deterministic fake decoder (those codecs aren't in
+    * this environment). Swap `decodeOne`'s fallback for real video
+    * codecs with the same signature. */
   def decodeFeatures(payloads: DataFrame): Dataset[DecodedFeature] = {
     val spark = payloads.sparkSession
     import spark.implicits._
@@ -60,44 +65,105 @@ object Multimodal {
 
   /** Real PNG decode: actual dimensions + mean gray level
     * ((r+g+b)/3 averaged over pixels). Returns None on a corrupt
-    * payload so the caller can fall back to the stub path. */
-  private def decodePng(bytes: Array[Byte]): Option[(Int, Int, Double)] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    if (img == null) None
-    else {
-      val (w, h) = (img.getWidth, img.getHeight)
-      var sum = 0.0
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
-          x += 1
+    * payload — including one that passes the magic sniff but fails mid
+    * stream (ImageIO throws there rather than returning null) — so the
+    * caller falls back to the stub path instead of failing the task. */
+  private def decodePng(bytes: Array[Byte]): Option[(Int, Int, Double)] =
+    scala.util.Try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        Some((w, h, if (w * h == 0) 0.0 else sum / (w * h)))
       }
-      Some((w, h, if (w * h == 0) 0.0 else sum / (w * h)))
-    }
-  }
+    }.toOption.flatten
 
-  /** Decoder dispatch: real `javax.imageio` decode when the payload IS a
-    * PNG (magic-sniffed), deterministic stub otherwise. */
+  private val RiffMagic = "RIFF".getBytes("US-ASCII")
+  private val WaveMagic = "WAVE".getBytes("US-ASCII")
+
+  private def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length > 12 && bytes.take(4).sameElements(RiffMagic) &&
+      bytes.slice(8, 12).sameElements(WaveMagic)
+
+  /** Real WAV decode via `javax.sound.sampled`: (frames, meanAmplitude,
+    * sampleRate, channels) for 8-bit unsigned / 16-bit signed PCM — the
+    * formats the JDK writes natively. `meanAmplitude` is the mean
+    * absolute sample deviation from silence, normalized to 8-bit units
+    * (|v−128| for u8; |v|/256 for s16) so both widths land on the same
+    * scale. Returns None on corrupt/unsupported payloads — stub
+    * fallback, same contract as [[decodePng]]. */
+  private def decodeWav(bytes: Array[Byte]): Option[(Int, Double, Int, Int)] =
+    scala.util.Try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+        if (!((bits == 8 && enc == PCM_UNSIGNED) || (bits == 16 && enc == PCM_SIGNED)))
+          None
+        else {
+          val data = in.readAllBytes()
+          var sum = 0.0
+          var n = 0
+          if (bits == 8) {
+            var i = 0
+            while (i < data.length) {
+              sum += math.abs((data(i) & 0xff) - 128); n += 1; i += 1
+            }
+          } else {
+            val le = !fmt.isBigEndian
+            var i = 0
+            while (i + 1 < data.length) {
+              val lo = data(if (le) i else i + 1) & 0xff
+              val hi = data(if (le) i + 1 else i).toInt // sign-extending
+              sum += math.abs((hi << 8) | lo) / 256.0
+              n += 1; i += 2
+            }
+          }
+          Some((if (n == 0) 0 else n / math.max(1, fmt.getChannels),
+            if (n == 0) 0.0 else sum / n,
+            fmt.getSampleRate.toInt, fmt.getChannels))
+        }
+      } finally in.close()
+    }.toOption.flatten
+
+  /** Decoder dispatch: real `javax.imageio` / `javax.sound.sampled`
+    * decode when the payload IS a PNG / WAV (magic-sniffed),
+    * deterministic stub otherwise. */
   private def decodeOne(id: Long, modality: String, bytes: Array[Byte]): DecodedFeature = {
     val png = if (bytes.length > 8 && bytes.take(4).sameElements(PngMagic))
       decodePng(bytes) else None
+    lazy val wav = if (isWav(bytes)) decodeWav(bytes) else None
     png match {
       case Some((w, h, meanGray)) =>
         DecodedFeature(id, modality, bytes.length, 1, meanGray, w, h)
-      case None =>
-        val mean = if (bytes.isEmpty) 0.0
-          else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-        val frames = modality match {
-          case "video" => 1 + bytes.length / 64
-          case "audio" => 1 + bytes.length / 256
-          case _ => 1
-        }
-        DecodedFeature(id, modality, bytes.length, frames, mean)
+      case None => wav match {
+        case Some((frames, meanAmp, rate, ch)) =>
+          DecodedFeature(id, modality, bytes.length, frames, meanAmp,
+            sampleRate = rate, channels = ch)
+        case None =>
+          val mean = if (bytes.isEmpty) 0.0
+            else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+          val frames = modality match {
+            case "video" => 1 + bytes.length / 64
+            case "audio" => 1 + bytes.length / 256
+            case _ => 1
+          }
+          DecodedFeature(id, modality, bytes.length, frames, mean)
+      }
     }
   }
 

@@ -27,6 +27,22 @@ object LlmOps extends QueryModule {
     Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text", JaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Document-frequency cap for the bounded Jaccard path: on this
+    * corpus's tiny hot vocabulary it keeps every pair-discriminating
+    * shingle (the planted near-dups share df≈2 keys) while excluding the
+    * corpus-wide keys that defeat prefix pruning — at sf0.1 candidates
+    * drop from ~7.1M (57% of all pairs) to ~1.1k. */
+  val JaccardMaxDf = 20L
+
+  /** The bounded (df-capped) Jaccard path — the candidate-generation
+    * mode a 100 TB user would run on a stop-word-heavy corpus, in the
+    * correctness gate with the cap replicated in the oracle. Output
+    * contract: pairs with J ≥ t sharing ≥1 shingle with 2 ≤ df ≤ cap. */
+  def qDedupJaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+      JaccardThreshold, maxDf = Some(JaccardMaxDf))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text", JaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -224,6 +240,7 @@ object LlmOps extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"     -> qDedupExact _,
     "q_dedup_jaccard"   -> qDedupJaccard _,
+    "q_dedup_jaccard_capped" -> qDedupJaccardCapped _,
     "q_dedup_minhash"   -> qDedupMinhash _,
     "q_dedup_simhash"   -> qDedupSimhash _,
     "q_dedup_clusters"  -> qDedupClusters _,
@@ -313,6 +330,19 @@ object LlmOps extends QueryModule {
       s"""WITH $shingleCtes,
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT * FROM ($jaccardSelect) j
+         |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_jaccard_capped" ->
+      s"""WITH $shingleCtes,
+         |dfs AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1),
+         |capped AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfs USING (sh)
+         |  WHERE df >= 2 AND df <= $JaccardMaxDf),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+         |              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  GROUP BY 1, 2)
          |SELECT * FROM ($jaccardSelect) j
          |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_minhash" ->

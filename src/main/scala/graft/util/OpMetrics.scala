@@ -19,8 +19,11 @@ import scala.jdk.CollectionConverters._
   */
 object OpMetrics {
   private val values = new ConcurrentHashMap[String, Long]()
-  private val installedIn =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession]())
+  // weakly-keyed so the registry never pins a stopped SparkSession in
+  // memory for the JVM lifetime
+  private val installedIn = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Register the scraping listener on this session (idempotent). */
   def install(spark: SparkSession): Unit =
@@ -40,6 +43,16 @@ object OpMetrics {
     }
 
   def snapshot: Map[String, Long] = values.asScala.toMap
+
+  /** Driver-side publication for metrics that are not `observe()`able —
+    * e.g. the round count of an iterative operator, known only when the
+    * driver loop exits. Same last-write-wins semantics. */
+  def publish(name: String, value: Long): Unit = values.put(name, value)
+
+  /** Drop all collected values — call between bench runs / test cases so
+    * [[await]] cannot be satisfied by a stale metric from a previous
+    * execution in the same JVM. */
+  def reset(): Unit = values.clear()
 
   /** Poll until every key in `keys` has a value or `timeoutMs` elapses
     * (listener delivery is async); returns the snapshot either way. */

@@ -322,6 +322,37 @@ class OperatorsSpec extends AnyFunSuite {
       .map(b => (b & 0xff).toDouble).sum / 7)
   }
 
+  test("multimodal decode handles a real WAV via javax.sound.sampled") {
+    import javax.sound.sampled._
+    // 8-bit unsigned mono PCM, 4 known samples: amplitudes 0,100,100,0
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val samples = Array[Byte](128.toByte, 228.toByte, 28.toByte, 128.toByte)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, samples.length),
+      AudioFileFormat.Type.WAVE, buf)
+    val wav = buf.toByteArray
+    // a truncated WAV and a truncated PNG must take the stub path (the
+    // codecs throw mid-stream; the task must not fail)
+    val badWav = wav.take(16)
+    val badPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 0, 0)
+    val payloads = Seq((1L, "audio", wav), (2L, "audio", badWav),
+        (3L, "image", badPng))
+      .toDF("doc_id", "modality", "payload")
+    val feats = operators.Multimodal.decodeFeatures(payloads)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).frames == 4 && feats(1L).sampleRate == 8000 &&
+      feats(1L).channels == 1)
+    assert(math.abs(feats(1L).meanByte - 50.0) < 1e-9) // (0+100+100+0)/4
+    assert(feats(1L).n_bytes == wav.length)
+    assert(feats(2L).sampleRate == 0, "corrupt WAV falls back to stub")
+    assert(feats(2L).meanByte == badWav.map(b => (b & 0xff).toDouble).sum / 16)
+    assert(feats(3L).width == 0, "corrupt PNG falls back to stub")
+    assert(feats(3L).frames == 1)
+  }
+
   test("multimodal resize + frame-sample plumbing: deterministic shapes") {
     val docs = Seq((2L, "v" * 200), (5L, "w" * 64), (8L, "z" * 10))
       .toDF("doc_id", "text") // all doc_id % 3 == 2 -> video

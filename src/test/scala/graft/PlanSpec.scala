@@ -199,4 +199,20 @@ class PlanSpec extends AnyFunSuite {
         s"corpus-sized state must not be broadcast:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  /** The df-capped Jaccard path (the hot-vocabulary production mode) has
+    * the same scale constraints as the exact path: candidates from the
+    * capped inverted-index equi-join, nothing corpus-sized broadcast, no
+    * cross join. */
+  test("capped jaccard plan: equi-join candidates, no broadcast, no cartesian") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.catalog.clearCache()
+      val p = plan("q_dedup_jaccard_capped")
+      assert(!p.contains("CartesianProduct"), s"capped jaccard must not cross-join:\n$p")
+      assert(!p.contains("BroadcastExchange"),
+        s"corpus-sized state must not be broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -31,7 +31,10 @@ class SinksSpec extends AnyFunSuite {
     val filtered = sinks.ParquetSink.read(spark, base)
       .filter(col("event_type") === "purchase")
     val plan = filtered.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+    // the predicate must be INSIDE the PartitionFilters list (an empty
+    // "PartitionFilters: []" with a post-scan row filter would be a
+    // full-table read that merely re-filters)
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isDefined,
       s"partition pruning missing from scan:\n$plan")
     // lossless round-trip of the pruned slice
     val want = df.filter(col("event_type") === "purchase")
