@@ -160,11 +160,20 @@ object Derive {
       coalesce(col("page_title"), col("source_page_id")).as("lbl_label"))
 
   /** Resolve a canonical workflow id to (key, label) with the
-    * reference's fallback chain (derive/index.ts:131-141). */
+    * reference's fallback chain (derive/index.ts:131-141).
+    *
+    * Both lookup build sides consume the SAME narrow 4-column parsed
+    * intermediate, cached: the definitions' `page_title` is the heaviest
+    * normalize expression (a from_json parse per property), and without
+    * the shared cache each broadcast build would re-scan and re-parse
+    * it (Spark has no cross-branch CSE). Defs are a dimension table —
+    * bounded size — so the cache is a few narrow rows per definition. */
   private def resolveWorkflow(df: DataFrame, canonId: Column, defs: DataFrame,
                               keyName: String, labelName: String): DataFrame = {
-    val lk = broadcast(wfLookup(defs))
-    val lbl = broadcast(wfLabelByKey(defs))
+    val defsNarrow = pruned(defs, "workflow_definition_id", "source_page_id",
+      "page_title", "last_edited_time").cache()
+    val lk = broadcast(wfLookup(defsNarrow))
+    val lbl = broadcast(wfLabelByKey(defsNarrow))
     val withDef = df.join(lk, canonId === lk("wf_canon_id"), "left")
     val key = coalesce(col("wf_key"), uuidMaybe(canonId), lit("workflow_definition_unknown"))
     withDef.withColumn("_wfkey", key)

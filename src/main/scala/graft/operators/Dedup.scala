@@ -355,7 +355,8 @@ object Dedup {
     * component (docs with no duplicates are trivially their own cluster
     * and are not emitted). */
   def duplicateClusters(pairs: DataFrame, aCol: String = "doc_a",
-                        bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
+                        bCol: String = "doc_b", maxIters: Int = 20,
+                        roundsMetric: String = "cluster_rounds"): DataFrame = {
     // cache the pair projection BEFORE mirroring: a self-union computes
     // its input subtree once per branch (Spark has no cross-branch CSE),
     // which would run the whole upstream candidate/verify pipeline twice
@@ -414,7 +415,7 @@ object Dedup {
       val nChanged = next
         .agg(coalesce(sum(when(col("rep") =!= col("prev"), 1L)
           .otherwise(0L)), lit(0L)).as("c"))
-        .head.getLong(0)
+        .head().getLong(0)
       converged = nChanged == 0L
       // prop's checkpoint and the previous round's labels are dead once
       // next is materialized — release their blocks now
@@ -425,12 +426,30 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    graft.util.OpMetrics.publish("cluster_rounds", i.toLong)
+    graft.util.OpMetrics.publish(roundsMetric, i.toLong)
     if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIters rounds — " +
           s"component diameter exceeds 2^$maxIters; raise maxIters")
     labels.select(col("id").as("doc_id"), col("rep"))
+  }
+
+  /** Keep-one-per-cluster corpus filter — the end of the dedup pipeline:
+    * given the corpus and a near-duplicate pair set, drop every document
+    * that belongs to a duplicate cluster and is NOT its representative
+    * (min id). Documents in no pair are their own cluster and are kept.
+    * Scale shape: the drop list is one row per non-representative
+    * duplicate — far smaller than the corpus — so the anti-join
+    * broadcasts when small and shuffles on the id key otherwise (AQE's
+    * call); the corpus is never collected or broadcast. */
+  def keepClusterRepresentatives(docs: DataFrame, pairs: DataFrame,
+                                 idCol: String, aCol: String = "doc_a",
+                                 bCol: String = "doc_b"): DataFrame = {
+    val nonReps = duplicateClusters(pairs, aCol, bCol,
+        roundsMetric = "keep_cluster_rounds")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("_dup_drop_id"))
+    docs.join(nonReps, docs(idCol) === col("_dup_drop_id"), "left_anti")
   }
 
   /** Release the storage behind a `localCheckpoint`ed DataFrame (the

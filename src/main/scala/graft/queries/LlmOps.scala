@@ -62,6 +62,20 @@ object LlmOps extends QueryModule {
       Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", 3))
       .orderBy(col("doc_id"))
 
+  /** The dedup pipeline's last step as a gated query: embedding
+    * near-dup pairs → transitive clusters → corpus filtered to cluster
+    * representatives (+ all singletons). Oracle: the same recursive-CTE
+    * clustering over the same pair set, anti-joined in SQL. */
+  def qDedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Dedup.keepClusterRepresentatives(
+      emb.select(col("vec_id")),
+      Dedup.embeddingPairs(emb, "vec_id", "embedding", CosineThreshold,
+        blockCol = Some("label")),
+      "vec_id", aCol = "vec_a", bCol = "vec_b")
+      .orderBy(col("vec_id"))
+  }
+
   /** Blocked on `label` (the corpus's coarse cluster id): pair scoring
     * runs within blocks only — an equi-join shuffle, never a corpus-wide
     * cross join. At 100 TB the block key comes from an ANN/LSH candidate
@@ -244,6 +258,7 @@ object LlmOps extends QueryModule {
     "q_dedup_minhash"   -> qDedupMinhash _,
     "q_dedup_simhash"   -> qDedupSimhash _,
     "q_dedup_clusters"  -> qDedupClusters _,
+    "q_dedup_keep"      -> qDedupKeep _,
     "q_dedup_embedding" -> qDedupEmbedding _,
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh _,
     "q_ann_topk"        -> qAnnTopK _,
@@ -397,6 +412,25 @@ object LlmOps extends QueryModule {
          |      (sqrt(${dot("a.v", "a.v")}) * sqrt(${dot("b.v", "b.v")})), 6) AS cos
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
          |WHERE cos >= $CosineThreshold ORDER BY vec_a, vec_b""".stripMargin,
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding AS v, label FROM embeddings),
+         |pr AS (SELECT vec_a, vec_b FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ROUND(${dot("a.v", "b.v")} /
+         |      (sqrt(${dot("a.v", "a.v")}) * sqrt(${dot("b.v", "b.v")})), 6) AS cos
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
+         |  WHERE cos >= $CosineThreshold),
+         |edges AS (SELECT vec_a AS u, vec_b AS v FROM pr
+         |  UNION SELECT vec_b, vec_a FROM pr),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT ed.u, reach.r FROM edges ed JOIN reach ON reach.id = ed.v),
+         |cl AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id FROM cl WHERE id <> rep)
+         |ORDER BY vec_id""".stripMargin,
     "q_dedup_embedding_lsh" -> {
       val hpc = duckHex("md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR))", 1, 8)
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),

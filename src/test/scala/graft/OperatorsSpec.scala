@@ -262,6 +262,16 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("keep-cluster-representatives drops exactly the non-representative members") {
+    val docs = (1L to 7L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = operators.Dedup
+      .keepClusterRepresentatives(docs, pairs, "id")
+      .as[Long].collect().sorted.toSeq
+    // {1,2,3} keeps 1; {5,6} keeps 5; 4 and 7 are singletons
+    assert(kept == Seq(1L, 4L, 5L, 7L))
+  }
+
   test("dedup candidate counts are published as observed metrics") {
     util.OpMetrics.install(spark)
     val docs = sources.Tables.documents(spark, sf)
