@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level quality signals for pretraining-data curation — the
+  * operators that need corpus or document aggregation (unlike the pure
+  * per-row scores in [[graft.functions.TextAnalysis]]):
+  *
+  *  - repetition statistics (Gopher/MassiveText-style): top-bigram
+  *    fraction and duplicate-token fraction per document, with a flag
+  *    threshold — the standard cheap filter for degenerate/looping text;
+  *  - benchmark contamination: per-document fraction of n-gram shingles
+  *    that also occur in a held-out benchmark set — the decontamination
+  *    check run before any training set ships;
+  *  - corpus bigram-LM scoring (CCNet-style): mean log-probability of a
+  *    document under the corpus's own bigram statistics — low scores
+  *    mark outlier/garbled text, high scores mark degenerate/templated
+  *    text.
+  *
+  * All arithmetic is integer counting + ln/round — reproducible in ANSI
+  * SQL, so each operator is oracle-gated end to end.
+  */
+object CorpusQuality {
+
+  /** Per-document repetition statistics:
+    * `top_bigram_frac` = occurrences of the document's most frequent
+    * word bigram / total bigram occurrences (0.0 when the document has
+    * no bigram), `dup_token_frac` = 1 − distinct/total tokens, and
+    * `flagged` when top_bigram_frac ≥ `flagThreshold`.
+    *
+    * Scale shape: the mode-of-bigrams needs per-(doc, bigram) counts —
+    * two hash aggregations keyed by doc (map-side partial combine, no
+    * skew: keys are per-document), then a join back to the per-row token
+    * stats on doc_id. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      flagThreshold: Double = 0.10): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      graft.functions.TextAnalysis.tokens(col(textCol)).as("toks"))
+    val tokStats = base.select(col("doc_id"),
+      size(col("toks")).as("n_tokens"),
+      when(size(col("toks")) > 0,
+        round(lit(1.0) - size(array_distinct(col("toks"))) /
+          size(col("toks")).cast("double"), 4))
+        .otherwise(lit(0.0)).as("dup_token_frac"))
+    val perBigram = base
+      .select(col("doc_id"), explode(Dedup.shinglesFromTokens(col("toks"))).as("sh"))
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("cnt"))
+    val tbf = perBigram.groupBy(col("doc_id"))
+      .agg(round(max(col("cnt")).cast("double") / sum(col("cnt")), 4)
+        .as("top_bigram_frac"))
+    tokStats.join(tbf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        (coalesce(col("top_bigram_frac"), lit(0.0)) >= flagThreshold)
+          .as("flagged"))
+  }
+
+  /** Per-document benchmark contamination: the fraction of the
+    * document's DISTINCT word-bigram shingles that also occur anywhere
+    * in `bench`. Documents with no bigram (<2 tokens) emit no row —
+    * there is nothing to measure.
+    *
+    * Scale shape: the benchmark shingle set is distinct-reduced first
+    * (benchmarks are small; the set broadcasts when it fits, shuffles
+    * otherwise — AQE's call); document shingles join it on the 64-bit
+    * hashed key, so no string ever shuffles. The corpus is never
+    * collected or broadcast. */
+  def contamination(train: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val benchSh = Dedup.hashedShingleSet(bench, idCol, textCol)
+      .select(col("sh")).distinct()
+    val docSh = Dedup.hashedShingleSet(train, idCol, textCol)
+    val tot = docSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hit = docSh.join(benchSh, Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_sh").cast("double"), 4)
+          .as("contamination"))
+  }
+
+  /** Per-document mean bigram log-probability under the corpus's own
+    * bigram model: score(d) = avg over d's bigram INSTANCES of
+    * ln(c(w1 w2) / c(w1 ·)), where both counts are corpus-wide bigram
+    * instance counts. No smoothing is needed — every scored bigram comes
+    * from the corpus, so its count is ≥ 1. Scores are ≤ 0; unusually low
+    * means out-of-distribution text, 0 means fully templated. Documents
+    * with no bigram emit no row.
+    *
+    * Scale shape: one explode carrying (bigram, head) per instance, two
+    * hash aggregations for the model counts, then one join of instances
+    * to the (bigram, head-count, bigram-count) model keyed on the
+    * bigram — the model is vocabulary-sized, so the join shuffles on the
+    * bigram key rather than broadcasting. The instance scan is cached
+    * because model building and scoring both read it. */
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val inst = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => struct(
+          concat(element_at(col("w"), i), lit(" "),
+            element_at(col("w"), i + 1)).as("sh"),
+          element_at(col("w"), i).as("head")))).as("bg"))
+      .select(col("doc_id"), col("bg.sh").as("sh"), col("bg.head").as("head"))
+      .cache()
+    val cnt = inst.groupBy(col("sh")).agg(count(lit(1)).as("c_bg"))
+    val heads = inst.groupBy(col("head")).agg(count(lit(1)).as("c_head"))
+    inst
+      .join(cnt, Seq("sh"))
+      .join(heads, Seq("head"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(avg(log(col("c_bg").cast("double") / col("c_head"))), 4)
+          .as("lm_score"))
+  }
+}

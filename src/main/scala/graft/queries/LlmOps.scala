@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryModule
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Chunking, CorpusQuality, Dedup, Multimodal, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -219,6 +219,38 @@ object LlmOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Chunking window parameters: 32-token chunks, 8-token overlap
+    * (stride 24) — sized so the corpus's ~60-180-token documents emit
+    * several chunks each, exercising both full and short-tail windows. */
+  val ChunkSize = 32
+  val ChunkOverlap = 8
+
+  def qChunk(spark: SparkSession, dir: String): DataFrame =
+    Chunking.chunkByTokens(Tables.documents(spark, dir), "doc_id", "text",
+      ChunkSize, ChunkOverlap)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    CorpusQuality.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Benchmark membership for the contamination query: every 97th doc
+    * plays the held-out benchmark; the rest are the training corpus. */
+  val BenchMod = 97
+
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    CorpusQuality.contamination(
+      d.filter(col("doc_id") % BenchMod =!= 0),
+      d.filter(col("doc_id") % BenchMod === 0),
+      "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  def qLmScore(spark: SparkSession, dir: String): DataFrame =
+    CorpusQuality.bigramLmScores(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Corpus-wide top bigrams (vocabulary building): full multiset
     * count — one explode + hash agg + TakeOrdered, no distinct-per-doc. */
   def qTopNgrams(spark: SparkSession, dir: String): DataFrame =
@@ -273,7 +305,11 @@ object LlmOps extends QueryModule {
     "q_bm25"            -> qBm25 _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_multimodal_meta" -> qMultimodalMeta _,
-    "q_frame_sample"    -> qFrameSample _)
+    "q_frame_sample"    -> qFrameSample _,
+    "q_chunk"           -> qChunk _,
+    "q_repetition"      -> qRepetition _,
+    "q_contamination"   -> qContamination _,
+    "q_lm_score"        -> qLmScore _)
 
   // ---- oracle SQL generation helpers -------------------------------
 
@@ -596,6 +632,68 @@ object LlmOps extends QueryModule {
          |    '$email', '[EMAIL]', 'g') AS clean
          |FROM t ORDER BY doc_id""".stripMargin
     },
+    "q_chunk" -> {
+      val stride = ChunkSize - ChunkOverlap
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |s AS (SELECT doc_id, toks, n, unnest(range(0, n, $stride)) AS st FROM n)
+         |SELECT doc_id, CAST(st // $stride AS INT) AS chunk_idx,
+         |  array_to_string(toks[CAST(st + 1 AS INT):CAST(st + $ChunkSize AS INT)], ' ') AS chunk_text,
+         |  CAST(LEAST(st + $ChunkSize, n) - st AS INT) AS n_chunk_tokens
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |ts AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n_tokens,
+        |    CASE WHEN len(toks) > 0
+        |      THEN ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+        |      ELSE 0.0 END AS dup_token_frac
+        |  FROM t),
+        |shl AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+        |  FROM ts),
+        |c AS (SELECT doc_id, sh, COUNT(*) AS cnt FROM shl GROUP BY 1, 2),
+        |f AS (SELECT doc_id, ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top_bigram_frac
+        |  FROM c GROUP BY 1)
+        |SELECT ts.doc_id, n_tokens, dup_token_frac,
+        |  COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac,
+        |  COALESCE(top_bigram_frac, 0.0) >= 0.10 AS flagged
+        |FROM ts LEFT JOIN f ON ts.doc_id = f.doc_id ORDER BY ts.doc_id""".stripMargin,
+    "q_contamination" ->
+      s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE doc_id % $BenchMod <> 0),
+         |dsl AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+         |  FROM dd),
+         |dsh AS (SELECT DISTINCT doc_id, sh FROM dsl),
+         |bb AS (SELECT string_split(text, ' ') AS w FROM documents
+         |  WHERE doc_id % $BenchMod = 0),
+         |bsl AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+         |  FROM bb),
+         |bsh AS (SELECT DISTINCT sh FROM bsl),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
+         |hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM dsh JOIN bsh USING (sh) GROUP BY 1)
+         |SELECT tot.doc_id, CAST(n_sh AS BIGINT) AS n_sh,
+         |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+         |  ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh, 4) AS contamination
+         |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id ORDER BY tot.doc_id""".stripMargin,
+    "q_lm_score" ->
+      """WITH docs2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |inst AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS head
+        |  FROM docs2 WHERE len(w) >= 2),
+        |cnt AS (SELECT sh, COUNT(*) AS c_bg FROM inst GROUP BY 1),
+        |heads AS (SELECT head, COUNT(*) AS c_head FROM inst GROUP BY 1),
+        |j AS (SELECT doc_id, ln(CAST(c_bg AS DOUBLE) / c_head) AS lp
+        |  FROM inst JOIN cnt USING (sh) JOIN heads USING (head))
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+        |  ROUND(AVG(lp), 4) AS lm_score
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_frame_sample" ->
       """WITH v AS (SELECT doc_id, text,
         |    CAST((strlen(text) + 63) // 64 AS INT) AS n_frames

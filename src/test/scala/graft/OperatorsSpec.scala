@@ -262,6 +262,52 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking: overlapping windows, short tail, empty docs emit nothing") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, ""), (4L, "  "))
+      .toDF("doc_id", "text")
+    val got = operators.Chunking.chunkByTokens(docs, "doc_id", "text",
+      chunkSize = 3, overlap = 1)
+      .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0, "a b c", 3), (1L, 1, "c d e", 3), (1L, 2, "e f g", 3),
+      (1L, 3, "g", 1),
+      (2L, 0, "x", 1)))
+  }
+
+  test("repetition stats: top-bigram fraction and dup-token fraction flag degenerate text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),        // one bigram repeated 4x
+      (2L, "all words here are distinct now")) // no repeated bigram
+      .toDF("doc_id", "text")
+    val got = operators.CorpusQuality.repetitionStats(docs, "doc_id", "text",
+        flagThreshold = 0.5)
+      .as[(Long, Int, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 5, 0.8, 1.0, true)))  // 4/4 identical bigrams
+    assert(got(2L) == ((2L, 6, 0.0, 0.2, false))) // 5 distinct bigrams of 5
+  }
+
+  test("contamination: overlap fraction against a benchmark shingle set") {
+    val train = Seq((1L, "a b c d"), (2L, "p q r")).toDF("doc_id", "text")
+    val bench = Seq((100L, "b c d e")).toDF("doc_id", "text")
+    val got = operators.CorpusQuality.contamination(train, bench, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1 shingles {ab, bc, cd}; bench has {bc, cd, de} -> 2/3
+    assert(got(1L) == ((1L, 3L, 2L, 0.6667)))
+    assert(got(2L) == ((2L, 2L, 0L, 0.0)))
+  }
+
+  test("bigram LM score: corpus-trained conditional log-probs") {
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "w"))
+      .toDF("doc_id", "text")
+    val got = operators.CorpusQuality.bigramLmScores(docs, "doc_id", "text")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r).toMap
+    // c(x y)=2, c(x z)=1, c_head(x)=3
+    assert(got(1L) == ((1L, 1, math.rint(math.log(2.0 / 3) * 1e4) / 1e4)))
+    assert(got(3L) == ((3L, 1, math.rint(math.log(1.0 / 3) * 1e4) / 1e4)))
+    assert(!got.contains(4L), "single-token docs have no bigram to score")
+  }
+
   test("keep-cluster-representatives drops exactly the non-representative members") {
     val docs = (1L to 7L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
