@@ -47,10 +47,11 @@ object Multimodal {
 
   /** Batch decode over partitions — the real distributed plumbing. PNG
     * payloads decode for real via `javax.imageio`, WAV payloads via
-    * `javax.sound.sampled` (both pure JVM, no external deps); other
-    * formats keep a deterministic fake decoder (those codecs aren't in
-    * this environment). Swap `decodeOne`'s fallback for real video
-    * codecs with the same signature. */
+    * `javax.sound.sampled`, AVI containers via a RIFF chunk-tree parse
+    * (all pure JVM, no external deps); other formats keep a
+    * deterministic fake decoder (video PIXEL codecs aren't in this
+    * environment). Swap `decodeOne`'s fallback for real codecs with the
+    * same signature. */
   def decodeFeatures(payloads: DataFrame): Dataset[DecodedFeature] = {
     val spark = payloads.sparkSession
     import spark.implicits._
@@ -140,13 +141,63 @@ object Multimodal {
       } finally in.close()
     }.toOption.flatten
 
-  /** Decoder dispatch: real `javax.imageio` / `javax.sound.sampled`
-    * decode when the payload IS a PNG / WAV (magic-sniffed),
-    * deterministic stub otherwise. */
+  private val AviMagic = "AVI ".getBytes("US-ASCII")
+
+  private def isAvi(bytes: Array[Byte]): Boolean =
+    bytes.length > 24 && bytes.take(4).sameElements(RiffMagic) &&
+      bytes.slice(8, 12).sameElements(AviMagic)
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Real AVI CONTAINER parse (no codec): walk the RIFF chunk tree to
+    * the `avih` main header and return (totalFrames, width, height).
+    * This is the honest middle ground for video in a codec-less
+    * environment — frame count and dimensions come from the actual
+    * container structure; pixel decoding stays stubbed. Returns None on
+    * corrupt/truncated structure (stub fallback, same contract as
+    * [[decodePng]]/[[decodeWav]]). */
+  private def decodeAviHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    scala.util.Try {
+      // chunks are [fourcc][u32le size][data], word-aligned; LIST chunks
+      // nest: [LIST][size][listType][children]
+      def find(pos: Int, end: Int): Option[Int] = {
+        var p = pos
+        while (p + 8 <= end) {
+          val cc = new String(bytes, p, 4, "US-ASCII")
+          val sz = u32le(bytes, p + 4)
+          if (sz < 0 || sz > Int.MaxValue - 16) return None
+          if (cc == "avih") return Some(p + 8)
+          if (cc == "LIST" && p + 12 <= end) {
+            val r = find(p + 12, math.min(end.toLong, p + 8 + sz).toInt)
+            if (r.isDefined) return r
+          }
+          p += (8 + sz + (sz & 1)).toInt
+        }
+        None
+      }
+      val riffEnd = math.min(bytes.length.toLong, u32le(bytes, 4) + 8).toInt
+      find(12, riffEnd).flatMap { off =>
+        // avih layout: µs/frame @0, ..., dwTotalFrames @16, dwWidth @32,
+        // dwHeight @36
+        if (off + 40 <= bytes.length)
+          Some((u32le(bytes, off + 16).toInt, u32le(bytes, off + 32).toInt,
+            u32le(bytes, off + 36).toInt))
+        else None
+      }
+    }.toOption.flatten
+
+  /** Decoder dispatch: real `javax.imageio` / `javax.sound.sampled` /
+    * RIFF-container decode when the payload IS a PNG / WAV / AVI
+    * (magic-sniffed), deterministic stub otherwise. */
   private def decodeOne(id: Long, modality: String, bytes: Array[Byte]): DecodedFeature = {
+    lazy val meanRaw = if (bytes.isEmpty) 0.0
+      else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
     val png = if (bytes.length > 8 && bytes.take(4).sameElements(PngMagic))
       decodePng(bytes) else None
     lazy val wav = if (isWav(bytes)) decodeWav(bytes) else None
+    lazy val avi = if (isAvi(bytes)) decodeAviHeader(bytes) else None
     png match {
       case Some((w, h, meanGray)) =>
         DecodedFeature(id, modality, bytes.length, 1, meanGray, w, h)
@@ -154,15 +205,19 @@ object Multimodal {
         case Some((frames, meanAmp, rate, ch)) =>
           DecodedFeature(id, modality, bytes.length, frames, meanAmp,
             sampleRate = rate, channels = ch)
-        case None =>
-          val mean = if (bytes.isEmpty) 0.0
-            else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-          val frames = modality match {
-            case "video" => 1 + bytes.length / 64
-            case "audio" => 1 + bytes.length / 256
-            case _ => 1
-          }
-          DecodedFeature(id, modality, bytes.length, frames, mean)
+        case None => avi match {
+          case Some((frames, w, h)) =>
+            // container metadata is real; pixel decode stays stubbed, so
+            // meanByte falls back to the raw-byte mean
+            DecodedFeature(id, modality, bytes.length, frames, meanRaw, w, h)
+          case None =>
+            val frames = modality match {
+              case "video" => 1 + bytes.length / 64
+              case "audio" => 1 + bytes.length / 256
+              case _ => 1
+            }
+            DecodedFeature(id, modality, bytes.length, frames, meanRaw)
+        }
       }
     }
   }

@@ -409,6 +409,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(3L).frames == 1)
   }
 
+  test("multimodal decode parses a real AVI container header") {
+    def u32le(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // minimal RIFF/AVI: LIST hdrl containing a 56-byte avih chunk
+    val avih = u32le(33333) ++ u32le(0) ++ u32le(0) ++ u32le(0) ++
+      u32le(10) ++ u32le(0) ++ u32le(0) ++ u32le(0) ++       // dwTotalFrames=10
+      u32le(320) ++ u32le(240) ++ Array.fill(16)(0.toByte)   // 320x240
+    val hdrl = cc("hdrl") ++ cc("avih") ++ u32le(avih.length) ++ avih
+    val list = cc("LIST") ++ u32le(hdrl.length) ++ hdrl
+    val avi = cc("RIFF") ++ u32le(4 + list.length) ++ cc("AVI ") ++ list
+    val payloads = Seq((1L, "video", avi), (2L, "video", avi.take(20)))
+      .toDF("doc_id", "modality", "payload")
+    val feats = operators.Multimodal.decodeFeatures(payloads)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).frames == 10 && feats(1L).width == 320 &&
+      feats(1L).height == 240)
+    // truncated container falls back to the stub frame heuristic
+    assert(feats(2L).width == 0 && feats(2L).frames == 1 + 20 / 64)
+  }
+
   test("multimodal resize + frame-sample plumbing: deterministic shapes") {
     val docs = Seq((2L, "v" * 200), (5L, "w" * 64), (8L, "z" * 10))
       .toDF("doc_id", "text") // all doc_id % 3 == 2 -> video
