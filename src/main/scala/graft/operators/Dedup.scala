@@ -275,6 +275,13 @@ object Dedup {
     * oracle, so it is part of the operator's defined semantics. */
   val MinSigMatches = 4
 
+  /** Signature-agreement count between two carried 16-component
+    * signature arrays (see [[MinSigMatches]]). */
+  private def sigAgreement(msA: Column, msB: Column): Column =
+    aggregate(
+      zip_with(msA, msB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+
   /** MinHash-LSH near-duplicate pairs: candidates share ≥1 LSH band,
     * survive the signature-estimate pre-filter, and are then verified
     * with exact Jaccard ≥ threshold. One [[minhashShingleScan]] feeds
@@ -297,9 +304,7 @@ object Dedup {
     // no join back to (let alone broadcast of) the |corpus|-sized
     // signature table. The filter depends only on the pair, so distinct
     // after filtering yields the same candidate set.
-    val estMatches = aggregate(
-      zip_with(col("ms_a"), col("ms_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
+    val estMatches = sigAgreement(col("ms_a"), col("ms_b"))
     val cand = bands.select(col("doc_id").as("doc_a"), col("band"),
         col("s1"), col("s2"), col("ms").as("ms_a"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"),
@@ -334,6 +339,55 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Incremental MinHash-LSH dedup: near-duplicate pairs BETWEEN a new
+    * document batch and an existing corpus — the check an append-only
+    * pipeline runs on every ingest (is this incoming doc a near-dup of
+    * anything already stored?). Same candidate machinery as
+    * [[minhashLshPairs]] (band collision → signature pre-filter → exact
+    * Jaccard verify), but the band join is new × corpus, so its cost is
+    * proportional to the BATCH, not the corpus pair space; the corpus
+    * side is one signature scan that a real deployment would persist
+    * once and re-read per batch. Nothing corpus-sized broadcasts.
+    *
+    * Output: (new_id, corpus_id, jaccard), one row per qualifying pair. */
+  def minhashLshPairsAcross(newDocs: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String, threshold: Double,
+                            maxShinglesPerDoc: Option[Int] = None): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(newDocs.sparkSession)
+    val shN = capDocs(minhashShingleScan(newDocs, idCol, textCol),
+      maxShinglesPerDoc).cache()
+    val shC = capDocs(minhashShingleScan(corpus, idCol, textCol),
+      maxShinglesPerDoc).cache()
+    val bandsN = lshBands(minhashSignatures(shN))
+    val bandsC = lshBands(minhashSignatures(shC))
+    val cand = bandsN.select(col("doc_id").as("new_id"), col("band"),
+        col("s1"), col("s2"), col("ms").as("ms_a"))
+      .join(bandsC.select(col("doc_id").as("corpus_id"), col("band"),
+        col("s1"), col("s2"), col("ms").as("ms_b")), Seq("band", "s1", "s2"))
+      .filter(sigAgreement(col("ms_a"), col("ms_b")) >= MinSigMatches)
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    val setsN = shN.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("k"))).as("shs_a"),
+        count(lit(1)).as("n_a"))
+      .withColumnRenamed("doc_id", "new_id")
+    val setsC = shC.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("k"))).as("shs_b"),
+        count(lit(1)).as("n_b"))
+      .withColumnRenamed("doc_id", "corpus_id")
+    cand
+      .join(setsN, Seq("new_id"))
+      .join(setsC, Seq("corpus_id"))
+      .withColumn("n_common",
+        graft.functions.VectorExpressions.sortedIntersectCount(
+          col("shs_a"), col("shs_b")))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
   /** Connected components over a duplicate-pair graph — the step that

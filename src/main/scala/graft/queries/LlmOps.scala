@@ -47,6 +47,21 @@ object LlmOps extends QueryModule {
     Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text", JaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Batch membership for the incremental-dedup query: every 10th doc
+    * (offset 7) plays the incoming batch; the rest are the stored
+    * corpus. */
+  val IncrementalBatchMod = 10
+  val IncrementalBatchRem = 7
+
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Dedup.minhashLshPairsAcross(
+      d.filter(col("doc_id") % IncrementalBatchMod === IncrementalBatchRem),
+      d.filter(col("doc_id") % IncrementalBatchMod =!= IncrementalBatchRem),
+      "doc_id", "text", JaccardThreshold)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", 3)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -288,6 +303,7 @@ object LlmOps extends QueryModule {
     "q_dedup_jaccard"   -> qDedupJaccard _,
     "q_dedup_jaccard_capped" -> qDedupJaccardCapped _,
     "q_dedup_minhash"   -> qDedupMinhash _,
+    "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_simhash"   -> qDedupSimhash _,
     "q_dedup_clusters"  -> qDedupClusters _,
     "q_dedup_keep"      -> qDedupKeep _,
@@ -419,6 +435,35 @@ object LlmOps extends QueryModule {
          |  GROUP BY 1, 2)
          |SELECT * FROM ($jaccardSelect) j
          |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH $shingleCtes,
+         |xv AS (SELECT doc_id, sh, ${duckHex("md5(sh)", 1, 8)} AS x FROM sh),
+         |hf(i, a, b) AS (VALUES $minhashHf),
+         |mh AS (SELECT doc_id, i, MIN((a * x + b) % ${Dedup.MinhashP}) AS m
+         |  FROM xv CROSS JOIN hf GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, CAST(CEIL(i / 2.0) AS INT) AS band,
+         |    md5(string_agg(CAST(m AS VARCHAR), '_' ORDER BY i)) AS sig
+         |  FROM mh GROUP BY 1, 2),
+         |cand0 AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+         |  WHERE x.doc_id % $IncrementalBatchMod = $IncrementalBatchRem
+         |    AND y.doc_id % $IncrementalBatchMod <> $IncrementalBatchRem),
+         |cand AS (SELECT c.new_id, c.corpus_id
+         |  FROM cand0 c JOIN mh ma ON ma.doc_id = c.new_id
+         |               JOIN mh mb ON mb.doc_id = c.corpus_id AND mb.i = ma.i
+         |  GROUP BY 1, 2
+         |  HAVING SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) >= ${Dedup.MinSigMatches}),
+         |inter AS (SELECT c.new_id, c.corpus_id, COUNT(*) AS n_common
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.new_id
+         |              JOIN sh sb ON sb.doc_id = c.corpus_id AND sb.sh = sa.sh
+         |  GROUP BY 1, 2)
+         |SELECT new_id, corpus_id,
+         |  ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = new_id
+         |           JOIN sizes sb ON sb.doc_id = corpus_id
+         |WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4)
+         |  >= $JaccardThreshold
+         |ORDER BY new_id, corpus_id""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $simhashCtes,
          |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -262,6 +262,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental minhash dedup equals full-corpus pairs restricted to the split") {
+    val docs = sources.Tables.documents(spark, sf)
+    val isNew = col("doc_id") % 10 === 7
+    val full = operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 10 == 7) != (b % 10 == 7) }
+      .map { case (a, b, j) => if (a % 10 == 7) (a, b, j) else (b, a, j) }
+      .toSet
+    val across = operators.Dedup.minhashLshPairsAcross(
+      docs.filter(isNew), docs.filter(!isNew), "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(across == full, s"cross-batch pairs diverged:\n$across\nvs\n$full")
+    assert(across.nonEmpty, "the fixture split should straddle some planted near-dups")
+  }
+
   test("chunking: overlapping windows, short tail, empty docs emit nothing") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, ""), (4L, "  "))
       .toDF("doc_id", "text")
