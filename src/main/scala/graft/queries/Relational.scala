@@ -179,6 +179,37 @@ object Relational extends QueryModule {
         round(max(col("value")), 2).as("v_max"))
       .orderBy(col("event_type"))
 
+  /** Approximate percentiles (Greenwald-Khanna sketch) with the
+    * bounded-error oracle pattern (cf. q_occupancy_approx): the query
+    * emits the EXACT percentiles (oracle-checkable) plus booleans
+    * asserting the sketch value lies inside the exact value window at
+    * q ± 2/accuracy — twice Spark's guaranteed rank-error bound, so
+    * interpolation edge effects at the window boundary cannot flip the
+    * flag. The oracle recomputes the exact values and pins the flags
+    * TRUE, putting the sketch's error contract itself in the gate. At
+    * 100 TB the sketch is the only viable form (bounded memory,
+    * mergeable partials); this query proves it stays within contract
+    * against the exact baseline while the corpus still fits. */
+  def qPercentileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 1000
+    val eps = 2.0 / acc
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        expr(s"approx_percentile(value, 0.5, $acc)").as("a50"),
+        expr(s"approx_percentile(value, 0.95, $acc)").as("a95"),
+        expr(s"percentile(value, ${0.5 - eps})").as("lo50"),
+        expr(s"percentile(value, ${0.5 + eps})").as("hi50"),
+        expr(s"percentile(value, ${0.95 - eps})").as("lo95"),
+        expr(s"percentile(value, ${0.95 + eps})").as("hi95"))
+      .select(col("event_type"), col("p50"), col("p95"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_within"),
+        (col("a95") >= col("lo95") && col("a95") <= col("hi95")).as("p95_within"))
+      .orderBy(col("event_type"))
+  }
+
   /** ROLLUP hierarchy totals — the OLAP subtotal/grand-total shape;
     * grouping-set nulls mark subtotal rows identically in both engines. */
   def qRollup(spark: SparkSession, dir: String): DataFrame =
@@ -272,6 +303,7 @@ object Relational extends QueryModule {
     "q_distinct"          -> qDistinct _,
     "q_asof_join"         -> qAsofJoin _,
     "q_percentile"        -> qPercentile _,
+    "q_percentile_approx" -> qPercentileApprox _,
     "q_rollup"            -> qRollup _,
     "q_asof_join_fwd"     -> qAsofJoinFwd _)
 
@@ -282,6 +314,13 @@ object Relational extends QueryModule {
         |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
         |  ROUND(MIN(value), 2) AS v_min,
         |  ROUND(MAX(value), 2) AS v_max
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_percentile_approx" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
+        |  TRUE AS p50_within,
+        |  TRUE AS p95_within
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
