@@ -77,7 +77,13 @@ object Bench {
       // load-robust point estimate (the artifact is the hard cross-round
       // signal; a single pass made real speedups unreadable in round 3)
       val d1 = onePass()
-      val dt = if (errors.contains(name)) d1 else math.min(d1, onePass())
+      val dt = if (errors.contains(name)) d1 else {
+        val d2 = onePass()
+        // a pass that FAILED must not contribute its fast-fail duration
+        // (a transient second-pass error would otherwise report as a
+        // fast min while also flagging an error)
+        if (errors.contains(name)) d1 else math.min(d1, d2)
+      }
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -35,8 +35,12 @@ object CorpusQuality {
     * stats on doc_id. */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
                       flagThreshold: Double = 0.10): DataFrame = {
+    // cached: the per-row stats and the bigram-mode aggregation both
+    // read it, and Spark has no cross-branch CSE — without the cache the
+    // corpus would be scanned and regex-tokenized twice
     val base = docs.select(col(idCol).as("doc_id"),
       graft.functions.TextAnalysis.tokens(col(textCol)).as("toks"))
+      .cache()
     val tokStats = base.select(col("doc_id"),
       size(col("toks")).as("n_tokens"),
       when(size(col("toks")) > 0,

@@ -282,6 +282,35 @@ object Dedup {
       zip_with(msA, msB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
 
+  /** Per-doc sorted 64-bit key arrays + set sizes from a
+    * [[minhashShingleScan]] — the verify-stage build side. */
+  private def sortedKeySets(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("k"))).as("shs"),
+        count(lit(1)).as("n_sh"))
+
+  /** Exact-Jaccard verification shared by the MinHash variants: join the
+    * candidate pairs to the two sides' sorted key sets, count DISTINCT
+    * common keys with the codegen merge walk, keep pairs at or above
+    * `threshold`. One row per candidate; the 4-decimal rounding is part
+    * of the cross-engine output contract. */
+  private def verifyBySortedSets(cand: DataFrame, setsA: DataFrame,
+                                 setsB: DataFrame, aCol: String, bCol: String,
+                                 threshold: Double): DataFrame =
+    cand
+      .join(setsA.select(col("doc_id").as(aCol), col("shs").as("shs_a"),
+        col("n_sh").as("n_a")), Seq(aCol))
+      .join(setsB.select(col("doc_id").as(bCol), col("shs").as("shs_b"),
+        col("n_sh").as("n_b")), Seq(bCol))
+      .withColumn("n_common",
+        graft.functions.VectorExpressions.sortedIntersectCount(
+          col("shs_a"), col("shs_b")))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col(aCol), col(bCol), col("jaccard"))
+
   /** MinHash-LSH near-duplicate pairs: candidates share ≥1 LSH band,
     * survive the signature-estimate pre-filter, and are then verified
     * with exact Jaccard ≥ threshold. One [[minhashShingleScan]] feeds
@@ -323,22 +352,8 @@ object Dedup {
     // doc; the per-pair merge walk counts DISTINCT common keys, so a
     // k-only collision cannot inflate the overlap (same set semantics
     // as array_intersect, without the per-pair hash-set build).
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("k"))).as("shs"),
-        count(lit(1)).as("n_sh"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
-        col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
-        col("n_sh").as("n_b")), Seq("doc_b"))
-      .withColumn("n_common",
-        graft.functions.VectorExpressions.sortedIntersectCount(
-          col("shs_a"), col("shs_b")))
-      .withColumn("jaccard",
-        round(col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val sets = sortedKeySets(sh)
+    verifyBySortedSets(cand, sets, sets, "doc_a", "doc_b", threshold)
   }
 
   /** Incremental MinHash-LSH dedup: near-duplicate pairs BETWEEN a new
@@ -369,25 +384,8 @@ object Dedup {
       .filter(sigAgreement(col("ms_a"), col("ms_b")) >= MinSigMatches)
       .select(col("new_id"), col("corpus_id"))
       .distinct()
-    val setsN = shN.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("k"))).as("shs_a"),
-        count(lit(1)).as("n_a"))
-      .withColumnRenamed("doc_id", "new_id")
-    val setsC = shC.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("k"))).as("shs_b"),
-        count(lit(1)).as("n_b"))
-      .withColumnRenamed("doc_id", "corpus_id")
-    cand
-      .join(setsN, Seq("new_id"))
-      .join(setsC, Seq("corpus_id"))
-      .withColumn("n_common",
-        graft.functions.VectorExpressions.sortedIntersectCount(
-          col("shs_a"), col("shs_b")))
-      .withColumn("jaccard",
-        round(col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+    verifyBySortedSets(cand, sortedKeySets(shN), sortedKeySets(shC),
+      "new_id", "corpus_id", threshold)
   }
 
   /** Connected components over a duplicate-pair graph — the step that
@@ -490,7 +488,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIters rounds — " +
-          s"component diameter exceeds 2^$maxIters; raise maxIters")
+          s"component diameter exceeds ~3^$maxIters; raise maxIters")
     labels.select(col("id").as("doc_id"), col("rep"))
   }
 

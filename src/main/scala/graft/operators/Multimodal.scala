@@ -168,7 +168,12 @@ object Multimodal {
           val cc = new String(bytes, p, 4, "US-ASCII")
           val sz = u32le(bytes, p + 4)
           if (sz < 0 || sz > Int.MaxValue - 16) return None
-          if (cc == "avih") return Some(p + 8)
+          // the avih chunk itself must DECLARE (and the buffer contain)
+          // the 40 bytes we read — a truncated avih must fall back to
+          // the stub, not return a neighboring chunk's bytes as metadata
+          if (cc == "avih")
+            return if (sz >= 40 && p + 48 <= end && p + 48 <= bytes.length)
+              Some(p + 8) else None
           if (cc == "LIST" && p + 12 <= end) {
             val r = find(p + 12, math.min(end.toLong, p + 8 + sz).toInt)
             if (r.isDefined) return r
@@ -178,13 +183,11 @@ object Multimodal {
         None
       }
       val riffEnd = math.min(bytes.length.toLong, u32le(bytes, 4) + 8).toInt
-      find(12, riffEnd).flatMap { off =>
+      find(12, riffEnd).map { off =>
         // avih layout: µs/frame @0, ..., dwTotalFrames @16, dwWidth @32,
         // dwHeight @36
-        if (off + 40 <= bytes.length)
-          Some((u32le(bytes, off + 16).toInt, u32le(bytes, off + 32).toInt,
-            u32le(bytes, off + 36).toInt))
-        else None
+        (u32le(bytes, off + 16).toInt, u32le(bytes, off + 32).toInt,
+          u32le(bytes, off + 36).toInt)
       }
     }.toOption.flatten
 

@@ -182,31 +182,46 @@ object Relational extends QueryModule {
   /** Approximate percentiles (Greenwald-Khanna sketch) with the
     * bounded-error oracle pattern (cf. q_occupancy_approx): the query
     * emits the EXACT percentiles (oracle-checkable) plus booleans
-    * asserting the sketch value lies inside the exact value window at
-    * q ± 2/accuracy — twice Spark's guaranteed rank-error bound, so
-    * interpolation edge effects at the window boundary cannot flip the
-    * flag. The oracle recomputes the exact values and pins the flags
-    * TRUE, putting the sketch's error contract itself in the gate. At
-    * 100 TB the sketch is the only viable form (bounded memory,
-    * mergeable partials); this query proves it stays within contract
-    * against the exact baseline while the corpus still fits. */
+    * asserting the sketch's RANK contract directly — approx_percentile
+    * guarantees the returned value's rank r satisfies
+    * ⌊(q−ε)·n⌋ ≤ r ≤ ⌈(q+ε)·n⌉ with ε = 1/accuracy, so the flag checks
+    * that the value's true rank interval [count(< a)+1, count(≤ a)]
+    * overlaps that window. Rank-space, not value-space: it cannot
+    * spuriously flip on small or few-distinct-value groups the way a
+    * value-window check against interpolated quantiles would. The
+    * oracle recomputes the exact values and pins the flags TRUE,
+    * putting the sketch's error contract itself in the gate. At 100 TB
+    * the sketch is the only viable form (bounded memory, mergeable
+    * partials); this query proves it stays within contract against the
+    * exact baseline while the corpus still fits. The rank recount is a
+    * second aggregation over the table with the 1-row-per-group sketch
+    * results broadcast onto it — the gate's cost, not the operator's. */
   def qPercentileApprox(spark: SparkSession, dir: String): DataFrame = {
     val acc = 1000
-    val eps = 2.0 / acc
-    Tables.events(spark, dir)
+    val eps = 1.0 / acc
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val agg = ev.groupBy(col("event_type")).agg(
+      round(expr("percentile(value, 0.5)"), 4).as("p50"),
+      round(expr("percentile(value, 0.95)"), 4).as("p95"),
+      expr(s"approx_percentile(value, 0.5, $acc)").as("a50"),
+      expr(s"approx_percentile(value, 0.95, $acc)").as("a95"))
+    def within(q: Double, below: org.apache.spark.sql.Column,
+               atMost: org.apache.spark.sql.Column,
+               n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (below + 1 <= ceil((lit(q) + eps) * n)) &&
+        (atMost >= floor((lit(q) - eps) * n))
+    ev.join(broadcast(agg), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.95)"), 4).as("p95"),
-        expr(s"approx_percentile(value, 0.5, $acc)").as("a50"),
-        expr(s"approx_percentile(value, 0.95, $acc)").as("a95"),
-        expr(s"percentile(value, ${0.5 - eps})").as("lo50"),
-        expr(s"percentile(value, ${0.5 + eps})").as("hi50"),
-        expr(s"percentile(value, ${0.95 - eps})").as("lo95"),
-        expr(s"percentile(value, ${0.95 + eps})").as("hi95"))
+        max(col("p50")).as("p50"), max(col("p95")).as("p95"),
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("a50"), 1L).otherwise(0L)).as("b50"),
+        sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("m50"),
+        sum(when(col("value") < col("a95"), 1L).otherwise(0L)).as("b95"),
+        sum(when(col("value") <= col("a95"), 1L).otherwise(0L)).as("m95"))
       .select(col("event_type"), col("p50"), col("p95"),
-        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_within"),
-        (col("a95") >= col("lo95") && col("a95") <= col("hi95")).as("p95_within"))
+        within(0.5, col("b50"), col("m50"), col("n")).as("p50_within"),
+        within(0.95, col("b95"), col("m95"), col("n")).as("p95_within"))
       .orderBy(col("event_type"))
   }
 

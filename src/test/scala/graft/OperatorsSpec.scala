@@ -339,10 +339,12 @@ class OperatorsSpec extends AnyFunSuite {
     val nj = operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5).count()
     val nm = operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5).count()
     val m = util.OpMetrics.await(Set("jaccard_candidates", "minhash_candidates"))
-    // candidates are a superset of verified pairs
-    assert(m.get("jaccard_candidates").exists(_ >= nj),
+    // candidates are a superset of verified pairs; the metric is a
+    // distinct SKETCH (±0.5% rsd — see the observe note in Dedup), so
+    // allow the estimate that sliver below the exact pair count
+    assert(m.get("jaccard_candidates").exists(_ >= (0.98 * nj).toLong),
       s"jaccard_candidates=${m.get("jaccard_candidates")} < $nj")
-    assert(m.get("minhash_candidates").exists(_ >= nm),
+    assert(m.get("minhash_candidates").exists(_ >= (0.98 * nm).toLong),
       s"minhash_candidates=${m.get("minhash_candidates")} < $nm")
   }
 
