@@ -85,6 +85,44 @@ object CorpusQuality {
           .as("contamination"))
   }
 
+  /** The curation pipeline's end product: one row per training document
+    * joining every quality signal — token stats + heuristic quality
+    * score, repetition statistics, corpus bigram-LM score, benchmark
+    * contamination — and a `keep` decision:
+    * NOT repetition-flagged AND quality ≥ minQuality AND
+    * contamination < maxContamination. Documents too short to have a
+    * bigram carry 0.0 for the LM/contamination signals (nothing to
+    * measure ⇒ no evidence to drop on those axes).
+    *
+    * Scale shape: each signal is its own aggregation over the (cached,
+    * inside the member operators) corpus, joined back on doc_id — joins
+    * on the high-cardinality id key shuffle; nothing corpus-sized
+    * broadcasts. */
+  def curationReport(train: DataFrame, bench: DataFrame,
+                     idCol: String, textCol: String,
+                     minQuality: Double = 0.65,
+                     repetitionFlagThreshold: Double = 0.10,
+                     maxContamination: Double = 0.5): DataFrame = {
+    val qual = train.select(col(idCol).as("doc_id"),
+      graft.functions.TextAnalysis.qualityScore(col(textCol)).as("quality"))
+    val rep = repetitionStats(train, idCol, textCol, repetitionFlagThreshold)
+    val lm = bigramLmScores(train, idCol, textCol)
+      .select(col("doc_id"), col("lm_score"))
+    val cont = contamination(train, bench, idCol, textCol)
+      .select(col("doc_id"), col("contamination"))
+    qual
+      .join(rep, Seq("doc_id"))
+      .join(lm, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("dup_token_frac"), col("top_bigram_frac"),
+        coalesce(col("lm_score"), lit(0.0)).as("lm_score"),
+        coalesce(col("contamination"), lit(0.0)).as("contamination"),
+        (!col("flagged") && col("quality") >= minQuality &&
+          coalesce(col("contamination"), lit(0.0)) < maxContamination)
+          .as("keep"))
+  }
+
   /** Per-document mean bigram log-probability under the corpus's own
     * bigram model: score(d) = avg over d's bigram INSTANCES of
     * ln(c(w1 w2) / c(w1 ·)), where both counts are corpus-wide bigram

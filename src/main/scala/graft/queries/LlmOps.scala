@@ -266,6 +266,19 @@ object LlmOps extends QueryModule {
     CorpusQuality.bigramLmScores(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** The composed curation pipeline: every per-document quality signal
+    * plus the keep/drop decision, over the same train/bench split as
+    * q_contamination. The oracle recomputes every signal and the
+    * decision rule in one SQL statement. */
+  def qCuration(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    CorpusQuality.curationReport(
+      d.filter(col("doc_id") % BenchMod =!= 0),
+      d.filter(col("doc_id") % BenchMod === 0),
+      "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-wide top bigrams (vocabulary building): full multiset
     * count — one explode + hash agg + TakeOrdered, no distinct-per-doc. */
   def qTopNgrams(spark: SparkSession, dir: String): DataFrame =
@@ -325,7 +338,8 @@ object LlmOps extends QueryModule {
     "q_chunk"           -> qChunk _,
     "q_repetition"      -> qRepetition _,
     "q_contamination"   -> qContamination _,
-    "q_lm_score"        -> qLmScore _)
+    "q_lm_score"        -> qLmScore _,
+    "q_curation"        -> qCuration _)
 
   // ---- oracle SQL generation helpers -------------------------------
 
@@ -739,6 +753,59 @@ object LlmOps extends QueryModule {
         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
         |  ROUND(AVG(lp), 4) AS lm_score
         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_curation" ->
+      s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % $BenchMod <> 0),
+         |t AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM tr),
+         |q AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         |    CASE WHEN len(toks) > 0
+         |      THEN ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+         |      ELSE 0.0 END AS dup_token_frac,
+         |    ROUND(0.4 * LEAST(1.0, len(toks) / 50.0)
+         |      + 0.3 * (CASE WHEN len(toks) > 0
+         |          THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END)
+         |      + 0.3 * (1.0 - CASE WHEN len(toks) > 0
+         |          THEN CAST(len(list_filter(toks,
+         |            x -> x IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE) / len(toks)
+         |          ELSE 0.0 END), 4) AS quality
+         |  FROM t),
+         |shl AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+         |  FROM t),
+         |c AS (SELECT doc_id, sh, COUNT(*) AS cnt FROM shl GROUP BY 1, 2),
+         |f AS (SELECT doc_id, ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top_bigram_frac
+         |  FROM c GROUP BY 1),
+         |docs2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM tr),
+         |inst AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh,
+         |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS head
+         |  FROM docs2 WHERE len(w) >= 2),
+         |cnt AS (SELECT sh, COUNT(*) AS c_bg FROM inst GROUP BY 1),
+         |heads AS (SELECT head, COUNT(*) AS c_head FROM inst GROUP BY 1),
+         |lm AS (SELECT doc_id, ROUND(AVG(ln(CAST(c_bg AS DOUBLE) / c_head)), 4) AS lm_score
+         |  FROM inst JOIN cnt USING (sh) JOIN heads USING (head) GROUP BY 1),
+         |dsh AS (SELECT DISTINCT doc_id, sh FROM inst),
+         |bb AS (SELECT string_split(text, ' ') AS w FROM documents
+         |  WHERE doc_id % $BenchMod = 0),
+         |bsh AS (SELECT DISTINCT sh FROM (SELECT
+         |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+         |  FROM bb)),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
+         |hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM dsh JOIN bsh USING (sh) GROUP BY 1),
+         |cont AS (SELECT tot.doc_id,
+         |    ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh, 4) AS contamination
+         |  FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id)
+         |SELECT q.doc_id, q.n_tokens, q.quality, q.dup_token_frac,
+         |  COALESCE(f.top_bigram_frac, 0.0) AS top_bigram_frac,
+         |  COALESCE(lm.lm_score, 0.0) AS lm_score,
+         |  COALESCE(cont.contamination, 0.0) AS contamination,
+         |  (COALESCE(f.top_bigram_frac, 0.0) < 0.10 AND q.quality >= 0.65
+         |    AND COALESCE(cont.contamination, 0.0) < 0.5) AS keep
+         |FROM q LEFT JOIN f ON q.doc_id = f.doc_id
+         |       LEFT JOIN lm ON q.doc_id = lm.doc_id
+         |       LEFT JOIN cont ON q.doc_id = cont.doc_id
+         |ORDER BY q.doc_id""".stripMargin,
     "q_frame_sample" ->
       """WITH v AS (SELECT doc_id, text,
         |    CAST((strlen(text) + 63) // 64 AS INT) AS n_frames
