@@ -172,4 +172,32 @@ class StreamingSpec extends AnyFunSuite {
         s"at least all gap-split sessions must close: ${sessions.length} < $expectedClosed")
     } finally q.stop()
   }
+
+  /** Stateless curation operators run UNCHANGED on a stream — the same
+    * Chunking.chunkByTokens DataFrame program binds to readStream and
+    * emits in append mode with no state store, proving the operator
+    * library is execution-mode-agnostic where semantics allow. */
+  test("streaming chunking equals the batch chunker on the same files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val q = operators.Chunking.chunkByTokens(stream, "doc_id", "text", 32, 8)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunk_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))).toMap
+      val batch = operators.Chunking.chunkByTokens(
+        sources.Tables.documents(spark, sf).select("doc_id", "text"),
+        "doc_id", "text", 32, 8).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))).toMap
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
