@@ -44,12 +44,20 @@ object TextAnalysis {
   /** Heuristic quality score in [0,1]: length sufficiency, lexical
     * diversity, and stopword balance — the standard cheap pre-filters for
     * pretraining corpora. Deterministic arithmetic (oracle-friendly). */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCount(text).cast("double")
+  def qualityScore(text: Column): Column = qualityScoreFromTokens(tokens(text))
+
+  /** [[qualityScore]] over an already-materialized token array — for
+    * callers that tokenize once and reuse the array (a bare
+    * qualityScore(text) expands the \s+ tokenization ~5× inside its
+    * sub-terms). Identical formula and rounding. */
+  def qualityScoreFromTokens(toks: Column): Column = {
+    val n = size(toks).cast("double")
     val lenScore = least(lit(1.0), n / 50.0)
-    val diversity = when(n > 0, distinctTokenCount(text) / n).otherwise(lit(0.0))
-    val stopBalance = lit(1.0) - stopwordRatio(text)
-    round(lit(0.4) * lenScore + lit(0.3) * diversity + lit(0.3) * stopBalance, 4)
+    val diversity = when(n > 0, size(array_distinct(toks)) / n).otherwise(lit(0.0))
+    val sr = when(n > 0,
+      size(filter(toks, t => t.isInCollection(EnStopwords))) / n).otherwise(lit(0.0))
+    round(lit(0.4) * lenScore + lit(0.3) * diversity +
+      lit(0.3) * (lit(1.0) - sr), 4)
   }
 
   /** Marker-stopword sets per language for n-gram-free language ID.

@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   *
   * All arithmetic is integer counting + ln/round — reproducible in ANSI
   * SQL, so each operator is oracle-gated end to end.
+  *
+  * CACHE CONTRACT: operators cache a shared scan (the tokenized corpus
+  * / the bigram-instance scan) because two aggregation branches consume
+  * it and Spark has no cross-branch CSE. The cache entries live until
+  * the session drops them — callers running many corpora through one
+  * session should `spark.catalog.clearCache()` between runs (the
+  * Verify/Bench harnesses do exactly this after every query).
   */
 object CorpusQuality {
 
@@ -103,8 +110,13 @@ object CorpusQuality {
                      minQuality: Double = 0.65,
                      repetitionFlagThreshold: Double = 0.10,
                      maxContamination: Double = 0.5): DataFrame = {
+    // tokenize once into an array column, then score from the array —
+    // qualityScore(text) would re-run the regex split ~5x per row
     val qual = train.select(col(idCol).as("doc_id"),
-      graft.functions.TextAnalysis.qualityScore(col(textCol)).as("quality"))
+        graft.functions.TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.qualityScoreFromTokens(col("toks"))
+          .as("quality"))
     val rep = repetitionStats(train, idCol, textCol, repetitionFlagThreshold)
     val lm = bigramLmScores(train, idCol, textCol)
       .select(col("doc_id"), col("lm_score"))

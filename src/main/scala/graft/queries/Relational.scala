@@ -199,7 +199,12 @@ object Relational extends QueryModule {
   def qPercentileApprox(spark: SparkSession, dir: String): DataFrame = {
     val acc = 1000
     val eps = 1.0 / acc
+    // drop nulls up front: percentile/approx_percentile both ignore
+    // them, so n (the rank-window base) must too — a null-bearing group
+    // would otherwise inflate the window position and flip the pinned
+    // flags
     val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
     val agg = ev.groupBy(col("event_type")).agg(
       round(expr("percentile(value, 0.5)"), 4).as("p50"),
       round(expr("percentile(value, 0.95)"), 4).as("p95"),
