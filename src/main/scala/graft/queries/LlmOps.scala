@@ -245,6 +245,21 @@ object LlmOps extends QueryModule {
       ChunkSize, ChunkOverlap)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Packing parameters: 512-token context windows, 8 shards. */
+  val PackCapacity = 512
+  val PackShards = 8
+
+  /** Sequence packing over the chunked corpus — chunk rows annotated
+    * with their shard, running token offset, context-window id and
+    * in-window offset (concat-then-slice semantics, packed per shard in
+    * parallel). */
+  def qPack(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packChunks(
+      Chunking.chunkByTokens(Tables.documents(spark, dir), "doc_id", "text",
+        ChunkSize, ChunkOverlap).drop("chunk_text"),
+      PackCapacity, PackShards)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   def qRepetition(spark: SparkSession, dir: String): DataFrame =
     CorpusQuality.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -336,6 +351,7 @@ object LlmOps extends QueryModule {
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_frame_sample"    -> qFrameSample _,
     "q_chunk"           -> qChunk _,
+    "q_pack"            -> qPack _,
     "q_repetition"      -> qRepetition _,
     "q_contamination"   -> qContamination _,
     "q_lm_score"        -> qLmScore _,
@@ -702,6 +718,27 @@ object LlmOps extends QueryModule {
          |  array_to_string(toks[CAST(st + 1 AS INT):CAST(st + $ChunkSize AS INT)], ' ') AS chunk_text,
          |  CAST(LEAST(st + $ChunkSize, n) - st AS INT) AS n_chunk_tokens
          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+    "q_pack" -> {
+      val stride = ChunkSize - ChunkOverlap
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |n AS (SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |s AS (SELECT doc_id, n, unnest(range(0, n, $stride)) AS st FROM n),
+         |ch AS (SELECT doc_id, CAST(st // $stride AS INT) AS chunk_idx,
+         |    CAST(LEAST(st + $ChunkSize, n) - st AS INT) AS n_chunk_tokens
+         |  FROM s),
+         |sh AS (SELECT *, CAST($HashSplitHex % $PackShards AS INT) AS shard FROM ch),
+         |runo AS (SELECT *, SUM(n_chunk_tokens) OVER (PARTITION BY shard
+         |    ORDER BY doc_id, chunk_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    - n_chunk_tokens AS off FROM sh)
+         |SELECT doc_id, chunk_idx, n_chunk_tokens, shard,
+         |  CAST(off AS BIGINT) AS "offset",
+         |  CAST(off // $PackCapacity AS BIGINT) AS pack_id,
+         |  CAST(off % $PackCapacity AS INT) AS pack_offset
+         |FROM runo ORDER BY doc_id, chunk_idx""".stripMargin
     },
     "q_repetition" ->
       """WITH t AS (SELECT doc_id,

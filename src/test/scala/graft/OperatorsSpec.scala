@@ -289,6 +289,18 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, 0, "x", 1)))
   }
 
+  test("sequence packing: running offsets slice into fixed context windows") {
+    val chunks = Seq((1L, 0, 300), (1L, 1, 300), (2L, 0, 300), (3L, 0, 100))
+      .toDF("doc_id", "chunk_idx", "n_chunk_tokens")
+    val packed = operators.Packing.packChunks(chunks, capacity = 512, nShards = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .select("offset", "pack_id", "pack_offset")
+      .as[(Long, Long, Int)].collect().toSeq
+    // one shard: concat offsets 0,300,600,900 -> windows 0,0,1,1
+    assert(packed == Seq((0L, 0L, 0), (300L, 0L, 300), (600L, 1L, 88),
+      (900L, 1L, 388)))
+  }
+
   test("repetition stats: top-bigram fraction and dup-token fraction flag degenerate text") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),        // one bigram repeated 4x
