@@ -135,6 +135,42 @@ object CorpusQuality {
           .as("keep"))
   }
 
+  /** The corpus's top-`vocabSize` tokens by instance count (ties broken
+    * lexicographically — a deterministic truncation boundary). One
+    * explode + hash aggregate (map-side combine) + TakeOrdered: the full
+    * token-count table never sorts globally and never reaches the
+    * driver. */
+  def vocabulary(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(vocabSize)
+
+  /** Per-document out-of-vocabulary statistics against the corpus's own
+    * top-`vocabSize` vocabulary: token instances, OOV instances, and the
+    * OOV rate — the tokenizer-fit signal computed before committing a
+    * vocabulary (a rising corpus-wide OOV rate means the vocabulary is
+    * too small or the corpus drifted).
+    *
+    * Scale shape: the vocabulary is top-k-truncated (bounded by
+    * construction), so it BROADCASTS to the exploded token stream — the
+    * per-token membership probe is map-side; the only shuffle is the
+    * per-document count aggregate, keyed by the high-cardinality doc id
+    * (no skew). */
+  def oovStats(docs: DataFrame, idCol: String, textCol: String,
+               vocabSize: Int): DataFrame = {
+    val vocab = vocabulary(docs, textCol, vocabSize)
+      .select(col("tok"), lit(true).as("_in_vocab"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("_in_vocab").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens").cast("double"), 4).as("oov_rate"))
+  }
+
   /** Per-document mean bigram log-probability under the corpus's own
     * bigram model: score(d) = avg over d's bigram INSTANCES of
     * ln(c(w1 w2) / c(w1 ·)), where both counts are corpus-wide bigram

@@ -289,6 +289,17 @@ object Dedup {
       .agg(sort_array(collect_list(col("k"))).as("shs"),
         count(lit(1)).as("n_sh"))
 
+  /** [[sortedKeySets]] restricted to the docs that actually appear in a
+    * candidate id column — the verify build side should be CANDIDATE-
+    * bounded, not corpus-bounded: at scale the LSH candidate set touches
+    * a tiny fraction of documents, and building (sorting, materializing)
+    * a key array for every other document is pure waste. The semi-join
+    * keys by doc_id — the same key as the groupBy — so the planner
+    * reuses the partitioning and the restriction adds no extra shuffle
+    * of the scan. */
+  private def sortedKeySetsFor(sh: DataFrame, candIds: DataFrame): DataFrame =
+    sortedKeySets(sh.join(candIds.distinct(), Seq("doc_id"), "left_semi"))
+
   /** Exact-Jaccard verification shared by the MinHash variants: join the
     * candidate pairs to the two sides' sorted key sets, count DISTINCT
     * common keys with the codegen merge walk, keep pairs at or above
@@ -352,6 +363,16 @@ object Dedup {
     // doc; the per-pair merge walk counts DISTINCT common keys, so a
     // k-only collision cannot inflate the overlap (same set semantics
     // as array_intersect, without the per-pair hash-set build).
+    //
+    // The build side is deliberately CORPUS-wide, unlike
+    // [[minhashLshPairsAcross]]'s candidate-bounded build: symmetric
+    // all-pairs candidates cover most documents on dup-dense corpora
+    // (118k pairs over 5k docs at sf0.1), and restricting to candidate
+    // ids would embed the band-join pipeline inside BOTH build branches
+    // (no cross-branch CSE) — measured 3-4x slower than one shared
+    // groupBy over the cached scan. The two `sets` references below are
+    // byte-identical subtrees, so the aggregation exchange computes once
+    // and is reused.
     val sets = sortedKeySets(sh)
     verifyBySortedSets(cand, sets, sets, "doc_a", "doc_b", threshold)
   }
@@ -384,7 +405,13 @@ object Dedup {
       .filter(sigAgreement(col("ms_a"), col("ms_b")) >= MinSigMatches)
       .select(col("new_id"), col("corpus_id"))
       .distinct()
-    verifyBySortedSets(cand, sortedKeySets(shN), sortedKeySets(shC),
+      .cache()
+    // candidate-bounded verify builds — on the CORPUS side especially,
+    // only the handful of stored docs that collide with the batch ever
+    // materialize a sorted key array
+    verifyBySortedSets(cand,
+      sortedKeySetsFor(shN, cand.select(col("new_id").as("doc_id"))),
+      sortedKeySetsFor(shC, cand.select(col("corpus_id").as("doc_id"))),
       "new_id", "corpus_id", threshold)
   }
 

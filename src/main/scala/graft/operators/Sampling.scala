@@ -43,6 +43,50 @@ object Sampling {
     df.filter(u < bound)
   }
 
+  /** Rebalance a corpus to a target domain mixture — the data-mixture
+    * op behind "20% code, 5% forums, …" training recipes: given target
+    * weights per domain (summing to 1), downsample every domain
+    * deterministically so the OUTPUT proportions match the weights while
+    * keeping as many rows as feasibility allows. The binding domain
+    * (smallest n_g/w_g) is kept whole; every other domain's keep-rate is
+    * `s·w_g/n_g` with `s = min_g(n_g/w_g)` — the largest feasible scale.
+    * Domains absent from `weights` are dropped (weight 0).
+    *
+    * Membership is a pure function of (id, domain) via the salted hash —
+    * append-stable and repartition-proof like every operator here; the
+    * realized mix is exact in expectation and concentrates at corpus
+    * scale. Scale shape: one low-cardinality count aggregate (map-side
+    * combine collapses it to |domains| rows per partition), a broadcast
+    * of the |domains|-row rate table, then a map-side filter — the
+    * corpus itself never shuffles. */
+  def rebalanceToMix(df: DataFrame, idCol: String, domainCol: String,
+                     weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0) &&
+      math.abs(weights.values.sum - 1.0) < 1e-9,
+      "weights must be positive and sum to 1")
+    val d = col(domainCol)
+    val wExpr = weights.foldRight(lit(Double.NaN): Column) {
+      case ((dom, wt), acc) => when(d === dom, wt).otherwise(acc)
+    }
+    val counts = df.filter(d.isInCollection(weights.keys.toSeq))
+      .groupBy(d.as("_mix_domain"))
+      .agg(count(lit(1)).as("_mix_n"), first(wExpr).as("_mix_w"))
+    // s = min over domains of n_g / w_g, via a window over the
+    // |domains|-row count table — NOT a second aggregate branch, which
+    // (no cross-branch CSE) would re-scan the corpus for a 1-row value.
+    // The unpartitioned window collapses to a single partition of
+    // |domains| rows: bounded by construction.
+    val s = min(col("_mix_n") / col("_mix_w"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val rates = counts
+      .select(col("_mix_domain"),
+        (s * col("_mix_w") / col("_mix_n")).as("_mix_rate"))
+    val u = hashUnit(concat(col(idCol).cast("string"), lit("|"), d))
+    df.join(broadcast(rates), d === col("_mix_domain"))
+      .filter(u < col("_mix_rate"))
+      .drop("_mix_domain", "_mix_rate")
+  }
+
   /** Assign each row to a named split by cumulative weight over the
     * hash unit — e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1).
     * Weights must sum to 1 (the last split absorbs rounding). */

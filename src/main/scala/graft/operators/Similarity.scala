@@ -201,4 +201,51 @@ object Similarity {
       .withColumn("nc", sqrt(Dedup.dot(col("cv"), col("cv"))))
     scoreTopK(probeJoin(q, c, broadcastQueries), k)
   }
+
+  /** Per-group centroid cosine + outlier flag — the SemDeDup-style
+    * pruning signal: vectors far from their cluster's mean direction are
+    * out-of-distribution for the cluster (mislabeled, noise, or novel)
+    * and are the first candidates for drop/review in embedding-space
+    * curation. Output: (vec_id, label, cos_centroid, is_outlier) for
+    * EVERY vector — the flag applies `cos_centroid < threshold` to the
+    * rounded score.
+    *
+    * Determinism contract (what makes this oracle-checkable): vectors
+    * are quantized to integers (⌊10⁶·x⌋ — exact and identical in any
+    * IEEE engine), so the centroid numerator is an INTEGER sum — exact
+    * and order-independent, immune to float reduction order, which a
+    * plain `avg(float)` is not. The cosine itself is an order-stable
+    * left fold over the quantized arrays.
+    *
+    * Scale shape: one posexplode (dim × n rows) into a (label, pos)
+    * hash aggregate — algebraic, so map-side partial aggregation
+    * collapses each partition to |labels|·dim rows before the shuffle
+    * regardless of skew; the assembled |labels|-row centroid table
+    * broadcasts; the scoring pass is map-side. The corpus never
+    * shuffles. */
+  def centroidOutliers(corpus: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, threshold: Double): DataFrame = {
+    val Q = 1000000.0
+    val base = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      transform(col(vecCol), x => floor(x.cast("double") * Q).cast("long"))
+        .as("qv"))
+    val inst = base
+      .select(col("vec_id"), col("label"), posexplode(col("qv")))
+      .select(col("label"), (col("pos") + 1).as("pos"), col("col").as("q"))
+    val cent = inst.groupBy(col("label"), col("pos"))
+      .agg((sum(col("q")).cast("double") / count(lit(1)) / Q).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+      .withColumn("cnorm",
+        sqrt(aggregate(col("cvec"), lit(0.0), (acc, c) => acc + c * c)))
+    val v = transform(col("qv"), q => q.cast("double") / Q)
+    val dotC = aggregate(zip_with(v, col("cvec"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val n2v = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+    base.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(dotC / (sqrt(n2v) * col("cnorm")), 4).as("cos_centroid"))
+      .withColumn("is_outlier", col("cos_centroid") < threshold)
+  }
 }

@@ -294,6 +294,51 @@ object LlmOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing parameters: 4-token grams, window 4 — any shared
+    * verbatim run of ≥ 7 tokens is guaranteed to produce a shared
+    * fingerprint; ≥ 2 shared fingerprints suppresses single-window
+    * coincidences (exactly the 25 planted near-dup pairs at sf0.01). */
+  val WinnowK = 4
+  val WinnowW = 4
+  val WinnowMinShared = 2
+
+  def qWinnowOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnowing.overlapPairs(Tables.documents(spark, dir),
+      "doc_id", "text", WinnowK, WinnowW, WinnowMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Target domain mixture over the corpus's `source` column: emphasize
+    * src0, starve src1, keep the rest uniform — weights chosen so the
+    * binding (kept-whole) domain is NOT the emphasized one, exercising
+    * the feasibility-scale arithmetic. */
+  val DomainMixWeights: Map[String, Double] =
+    Map("src0" -> 0.15, "src1" -> 0.05) ++
+      (2 to 9).map(i => s"src$i" -> 0.1).toMap
+
+  def qDomainMix(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.rebalanceToMix(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source", DomainMixWeights)
+      .orderBy(col("doc_id"))
+
+  /** Vocabulary size for the OOV query — small enough that the corpus
+    * has a real OOV tail, large enough to cover the hot tokens. */
+  val OovVocabSize = 50
+
+  def qOovRate(spark: SparkSession, dir: String): DataFrame =
+    CorpusQuality.oovStats(Tables.documents(spark, dir), "doc_id", "text",
+      OovVocabSize)
+      .orderBy(col("doc_id"))
+
+  /** Centroid-cosine outlier threshold: the label clusters are loose
+    * (median cos-to-centroid ≈ 0.1), so the flag marks the far tail. */
+  val CentroidOutlierThreshold = -0.15
+
+  def qEmbeddingOutliers(spark: SparkSession, dir: String): DataFrame =
+    Similarity.centroidOutliers(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", "label", CentroidOutlierThreshold)
+      .orderBy(col("vec_id"))
+
   /** Corpus-wide top bigrams (vocabulary building): full multiset
     * count — one explode + hash agg + TakeOrdered, no distinct-per-doc. */
   def qTopNgrams(spark: SparkSession, dir: String): DataFrame =
@@ -353,6 +398,10 @@ object LlmOps extends QueryModule {
     "q_chunk"           -> qChunk _,
     "q_pack"            -> qPack _,
     "q_repetition"      -> qRepetition _,
+    "q_winnow_overlap"  -> qWinnowOverlap _,
+    "q_domain_mix"      -> qDomainMix _,
+    "q_oov_rate"        -> qOovRate _,
+    "q_embedding_outliers" -> qEmbeddingOutliers _,
     "q_contamination"   -> qContamination _,
     "q_lm_score"        -> qLmScore _,
     "q_curation"        -> qCuration _)
@@ -675,6 +724,64 @@ object LlmOps extends QueryModule {
          |WHERE u < CASE modality $cases ELSE 0.0 END
          |ORDER BY doc_id""".stripMargin
     },
+    "q_winnow_overlap" ->
+      s"""WITH docs2 AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+         |grams AS (SELECT doc_id, unnest(list_transform(range(1, len(wd) - ${WinnowK - 2}),
+         |    i -> struct_pack(pos := i, m := md5(array_to_string(wd[i:i+${WinnowK - 1}], ' '))))) AS g
+         |  FROM docs2 WHERE len(wd) >= $WinnowK),
+         |g2 AS (SELECT doc_id, g.pos AS pos, ${duckHex("g.m", 1, 8)} AS h FROM grams),
+         |wins AS (SELECT doc_id, pos, MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS wmin FROM g2),
+         |fp AS (SELECT DISTINCT doc_id, wmin AS fp FROM wins WHERE pos >= $WinnowW)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_domain_mix" -> {
+      val valuesSql = DomainMixWeights.toSeq.sortBy(_._1)
+        .map { case (d, wt) => s"('$d', CAST($wt AS DOUBLE))" }.mkString(", ")
+      val uHex = duckHex("md5(CAST(d.doc_id AS VARCHAR) || '|' || d.source)", 1, 8)
+      s"""WITH w(domain, wt) AS (VALUES $valuesSql),
+         |counts AS (SELECT source AS domain, COUNT(*) AS n
+         |  FROM documents JOIN w ON w.domain = documents.source GROUP BY 1),
+         |cw AS (SELECT domain, n, wt FROM counts JOIN w USING (domain)),
+         |sv AS (SELECT MIN(n / wt) AS s FROM cw),
+         |rates AS (SELECT domain, (sv.s * wt) / n AS rate FROM cw CROSS JOIN sv)
+         |SELECT d.doc_id, d.source FROM documents d
+         |JOIN rates r ON r.domain = d.source
+         |WHERE CAST($uHex AS DOUBLE) / 4294967296.0 < r.rate
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    "q_oov_rate" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |cnt AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
+         |vocab AS (SELECT tok FROM cnt ORDER BY n DESC, tok ASC LIMIT $OovVocabSize)
+         |SELECT t.doc_id, COUNT(*) AS n_tokens,
+         |  COUNT(*) FILTER (WHERE v.tok IS NULL) AS n_oov,
+         |  ROUND(COUNT(*) FILTER (WHERE v.tok IS NULL) / CAST(COUNT(*) AS DOUBLE), 4) AS oov_rate
+         |FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q_embedding_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |inst AS (SELECT label, generate_subscripts(qv, 1) AS pos, unnest(qv) AS q FROM e),
+         |cmp AS (SELECT label, pos, CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS c
+         |  FROM inst GROUP BY 1, 2),
+         |cent AS (SELECT label, array_agg(c ORDER BY pos) AS cvec FROM cmp GROUP BY 1),
+         |cn AS (SELECT label, cvec,
+         |    sqrt(list_reduce(list_transform(cvec, x -> x * x), (a, b) -> a + b)) AS cnorm
+         |  FROM cent),
+         |sc AS (SELECT e.vec_id, e.label,
+         |    list_transform(e.qv, q -> CAST(q AS DOUBLE) / 1000000.0) AS v, cn.cvec, cn.cnorm
+         |  FROM e JOIN cn ON cn.label = e.label),
+         |co AS (SELECT vec_id, label,
+         |    ROUND(list_reduce(list_transform(list_zip(v, cvec), x -> x[1] * x[2]), (a, b) -> a + b)
+         |      / (sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) * cnorm), 4) AS cos_centroid
+         |  FROM sc)
+         |SELECT vec_id, label, cos_centroid,
+         |  (cos_centroid < $CentroidOutlierThreshold) AS is_outlier
+         |FROM co ORDER BY vec_id""".stripMargin,
     "q_top_ngrams" ->
       """WITH docs2 AS (SELECT string_split(text, ' ') AS w FROM documents),
         |shl AS (SELECT unnest(list_transform(range(1, len(w)),

@@ -701,4 +701,80 @@ class OperatorsSpec extends AnyFunSuite {
       .select("name", "asof_rid").as[(String, Option[Long])].collect().toMap
     assert(bt == Map("o1" -> Some(100L), "o2" -> None, "o3" -> None))
   }
+
+  test("winnowing guarantees a shared fingerprint for a shared run of >= w+k-1 tokens") {
+    // k=4, w=4: any shared verbatim run of 7 tokens must collide
+    val shared = (1 to 7).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $shared epsilon zeta eta theta"),
+      (2L, s"one two three four five $shared six seven eight nine"),
+      (3L, "completely different words with no overlap here at all okay then"))
+      .toDF("doc_id", "text")
+    val fp = operators.Winnowing.fingerprints(docs, "doc_id", "text")
+      .select("doc_id", "fp").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (d, fs) => d -> fs.map(_._2).toSet }
+    assert((fp(1L) & fp(2L)).nonEmpty, "shared 7-token run produced no shared fingerprint")
+    assert((fp(1L) & fp(3L)).isEmpty && (fp(2L) & fp(3L)).isEmpty,
+      "disjoint documents share fingerprints")
+    val pairs = operators.Winnowing.overlapPairs(docs, "doc_id", "text", minShared = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("winnowing emits nothing for documents shorter than w+k-1 tokens") {
+    val docs = Seq((1L, "one two three four five six")).toDF("doc_id", "text") // 6 < 7
+    assert(operators.Winnowing.fingerprints(docs, "doc_id", "text").count() == 0L)
+  }
+
+  test("rebalanceToMix hits the target mixture and keeps the binding domain whole") {
+    // 300 a / 100 b / 600 c with targets 50/25/25%: n/w = 600/400/2400,
+    // so b binds (s=400) -> expected keeps a=200, b=100 (whole), c=100
+    val df = (1 to 1000).map { i =>
+      (i.toLong, if (i <= 300) "a" else if (i <= 400) "b" else "c")
+    }.toDF("id", "dom")
+    val out = operators.Sampling.rebalanceToMix(df, "id", "dom",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    val counts = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(counts("b") == 100L, s"binding domain must be kept whole: $counts")
+    // hash draws concentrate around the target (sd ~9 rows here)
+    assert(math.abs(counts("a") - 200L) <= 45, s"mix off target: $counts")
+    assert(math.abs(counts("c") - 100L) <= 45, s"mix off target: $counts")
+    // membership is a pure function of (id, domain): repartition-proof
+    val ids = out.select("id").as[Long].collect().toSet
+    val ids2 = operators.Sampling.rebalanceToMix(df.repartition(7), "id", "dom",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)).select("id").as[Long].collect().toSet
+    assert(ids == ids2)
+    // domains absent from the weight map are dropped
+    assert(!operators.Sampling.rebalanceToMix(df, "id", "dom",
+      Map("a" -> 1.0)).select("dom").as[String].collect().contains("b"))
+  }
+
+  test("oovStats applies the deterministic top-V vocabulary cutoff") {
+    // counts: a=2 b=2 c=1 d=1; V=2 -> vocab {a, b} (count desc, token asc)
+    val df = Seq((1L, "a a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val got = operators.CorpusQuality.oovStats(df, "doc_id", "text", 2)
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 0L, 0.0)))
+    assert(got(2L) == ((2L, 3L, 2L, 0.6667)))
+  }
+
+  test("centroidOutliers flags the vector pointing away from its cluster") {
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (3L, Array(-1.0f, 0.05f, 0.0f, 0.0f), 0), // anti-aligned outlier
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (5L, Array(0.0f, 0.8f, 0.2f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity.centroidOutliers(rows, "vec_id", "embedding",
+      "label", threshold = -0.15)
+      .select("vec_id", "cos_centroid", "is_outlier")
+      .as[(Long, Double, Boolean)].collect()
+    assert(got.length == 5, "one output row per input vector")
+    val flagged = got.filter(_._3).map(_._1).toSet
+    assert(flagged == Set(3L), s"expected only the anti-aligned vector: ${got.toSeq}")
+    val byId = got.map(r => r._1 -> r._2).toMap
+    assert(byId(1L) > 0.9 && byId(2L) > 0.9 && byId(3L) < -0.9)
+  }
 }

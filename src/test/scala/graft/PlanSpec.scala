@@ -215,4 +215,55 @@ class PlanSpec extends AnyFunSuite {
         s"corpus-sized state must not be broadcast:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  /** Winnowing overlap: fingerprint selection is a per-doc window (no
+    * corpus-wide sort), the pair join is an equi-join on the fingerprint
+    * value, and nothing corpus-sized broadcasts. */
+  test("winnowing plan: per-doc window, fingerprint equi-join, no broadcast") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.catalog.clearCache()
+      val p = plan("q_winnow_overlap")
+      assert(!p.contains("CartesianProduct"), s"winnowing must not cross-join:\n$p")
+      assert(!p.contains("BroadcastExchange"),
+        s"fingerprint table must not be broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  /** Domain-mix rebalance: the |domains|-row rate table broadcasts even
+    * with auto-broadcast off (explicit hint), so the corpus side is a
+    * map-side probe + filter — the corpus itself never shuffles. */
+  test("domain mix plan: rate table broadcasts, corpus never shuffles") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q_domain_mix")
+      assert(p.contains("BroadcastHashJoin"), s"rate table should broadcast:\n$p")
+      // the corpus itself must not shuffle: every hash-partitioned
+      // exchange must key on the |domains|-cardinality source column
+      // (the count aggregate), never on the per-row id
+      val hashEx = "Exchange hashpartitioning\\(\\w+".r.findAllIn(p).toSeq
+      assert(hashEx.forall(_.contains("(source")),
+        s"corpus-keyed shuffle in a map-side filter op: $hashEx\n$p")
+      // and the rate table is built from ONE corpus scan (a second
+      // aggregate branch would re-scan: no cross-branch CSE)
+      assert("FileScan parquet".r.findAllIn(p).length == 2,
+        s"expected exactly 2 corpus scans (counts + probe):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  /** Centroid outliers: the |labels|-row centroid table broadcasts
+    * (explicit hint) so the scoring pass is map-side; the only
+    * corpus-touching shuffle is the algebraic (label, pos) aggregate. */
+  test("centroid outlier plan: centroids broadcast onto the corpus") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q_embedding_outliers")
+      assert(p.contains("BroadcastHashJoin"), s"centroid table should broadcast:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"scoring must be a keyed join:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
