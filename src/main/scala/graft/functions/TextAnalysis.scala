@@ -70,18 +70,29 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "y", "es", "una", "que", "por"))
 
   def langScore(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isInCollection(markers)))
+    langScoreFromTokens(tokens(text), markers)
 
-  /** Predicted language: argmax of marker hits (ties broken by the fixed
-    * language order above); no hits → "unknown". */
-  def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (l, m) => (l, langScore(text, m)) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+  /** [[langScore]] over an already-materialized token array — callers
+    * scoring several languages should tokenize once and reuse the array
+    * (each bare langScore(text, …) expands its own \s+ split). */
+  def langScoreFromTokens(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Predicted language from per-language marker counts: argmax (ties
+    * broken by input order); no hits → "unknown". Callers with the
+    * counts already materialized as columns (q_lang_id) pass those, so
+    * the counts are computed once, not once per CASE branch. */
+  def langIdFromCounts(counts: Seq[(String, Column)]): Column = {
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
     // foldRight builds nested CASE WHEN — earlier languages win ties
-    scores.foldRight(lit("unknown")) { case ((l, s), acc) =>
+    counts.foldRight(lit("unknown")) { case ((l, s), acc) =>
       when(s === best && best > 0, lit(l)).otherwise(acc)
     }
   }
+
+  /** Predicted language of a text column (one-shot form). */
+  def langId(text: Column): Column =
+    langIdFromCounts(LangMarkers.map { case (l, m) => (l, langScore(text, m)) })
 
   /** Canonical content fingerprint: md5 over the sorted distinct token
     * set — detects reordered/duplicated-token near-copies exactly

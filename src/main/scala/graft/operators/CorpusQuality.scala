@@ -171,6 +171,27 @@ object CorpusQuality {
         round(col("n_oov") / col("n_tokens").cast("double"), 4).as("oov_rate"))
   }
 
+  /** Keep rows whose `scoreCol` is at or above the corpus's exact
+    * interpolated `q`-quantile — quantile-relative filtering ("drop the
+    * bottom quartile by quality"), the corpus-calibrated form of a fixed
+    * score threshold: it tracks distribution drift instead of silently
+    * keeping more or less data as the corpus changes.
+    *
+    * Scale shape: the threshold is a 1-row aggregate broadcast onto the
+    * corpus (cross join with a single row — the [[graft.operators.Ranking]]
+    * stats pattern), then a map-side filter; the corpus never shuffles.
+    * Exact `percentile` (not the sketch) keeps the operator
+    * oracle-checkable; swap in approx_percentile at extreme scales where
+    * a full sort-based exact quantile is unaffordable. */
+  def filterByScoreQuantile(df: DataFrame, scoreCol: String,
+                            q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, "quantile must be in (0, 1)")
+    val thr = df.agg(expr(s"percentile($scoreCol, $q)").as("_thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(col(scoreCol) >= col("_thr"))
+      .drop("_thr")
+  }
+
   /** Per-document mean bigram log-probability under the corpus's own
     * bigram model: score(d) = avg over d's bigram INSTANCES of
     * ln(c(w1 w2) / c(w1 ·)), where both counts are corpus-wide bigram

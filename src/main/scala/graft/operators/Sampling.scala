@@ -43,6 +43,31 @@ object Sampling {
     df.filter(u < bound)
   }
 
+  /** Exactly k rows per stratum, drawn deterministically by salted-hash
+    * rank — the "exactly 1000 eval docs per language" op where the
+    * rate-based [[stratifiedSampleByHash]] only hits the count in
+    * expectation. Rank-based membership is NOT append-stable (a new row
+    * with a smaller hash displaces the current k-th — inherent to any
+    * exact-k contract); pipelines needing append-stability use the
+    * rate-based form. Strata with ≤ k rows are kept whole.
+    *
+    * Scale shape: one shuffle keyed by the stratum + a per-stratum sort
+    * (Spark windows have no partial top-k, so a single giant stratum
+    * sorts in full — acceptable because k-per-group sampling is run on
+    * grouping columns of bounded cardinality and rows-per-group, not on
+    * skewed power-law keys). */
+  def exactKPerStratum(df: DataFrame, idCol: String, strataCol: String,
+                       k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = Dedup.hash32(
+      concat(col(idCol).cast("string"), lit("|"), col(strataCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(u.asc, col(idCol).asc)
+    df.withColumn("_sample_rk", row_number().over(w))
+      .filter(col("_sample_rk") <= k)
+      .drop("_sample_rk")
+  }
+
   /** Rebalance a corpus to a target domain mixture — the data-mixture
     * op behind "20% code, 5% forums, …" training recipes: given target
     * weights per domain (summing to 1), downsample every domain

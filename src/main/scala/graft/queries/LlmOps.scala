@@ -165,13 +165,20 @@ object LlmOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizes ONCE into a materialized array, scores each language from
+    * it, then derives the argmax from the materialized score columns —
+    * the bare langScore/langId forms would re-run the \s+ split ~9× per
+    * row (CollapseProject keeps multiply-referenced aliases
+    * materialized, so `toks` and the four counts each compute once). */
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
-    val t = col("text")
-    val scoreCols = TextAnalysis.LangMarkers.map { case (l, m) =>
-      TextAnalysis.langScore(t, m).as(s"n_$l")
-    }
-    Tables.documents(spark, dir).select(
-      (col("doc_id") +: scoreCols :+ TextAnalysis.langId(t).as("lang_pred")): _*)
+    val scored = Tables.documents(spark, dir)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select((col("doc_id") +: TextAnalysis.LangMarkers.map { case (l, m) =>
+        TextAnalysis.langScoreFromTokens(col("toks"), m).as(s"n_$l")
+      }): _*)
+    scored
+      .withColumn("lang_pred", TextAnalysis.langIdFromCounts(
+        TextAnalysis.LangMarkers.map { case (l, _) => (l, col(s"n_$l")) }))
       .orderBy(col("doc_id"))
   }
 
@@ -339,6 +346,28 @@ object LlmOps extends QueryModule {
       "vec_id", "embedding", "label", CentroidOutlierThreshold)
       .orderBy(col("vec_id"))
 
+  /** Exactly-k-per-language eval draw. */
+  val GroupSampleK = 20
+
+  def qGroupSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.exactKPerStratum(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      "doc_id", "lang", GroupSampleK)
+      .orderBy(col("doc_id"))
+
+  /** Drop the bottom quartile by heuristic quality — the
+    * quantile-relative corpus filter. */
+  val QualityFilterQuantile = 0.25
+
+  def qQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        TextAnalysis.qualityScoreFromTokens(col("toks")).as("quality"))
+    CorpusQuality.filterByScoreQuantile(scored, "quality", QualityFilterQuantile)
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-wide top bigrams (vocabulary building): full multiset
     * count — one explode + hash agg + TakeOrdered, no distinct-per-doc. */
   def qTopNgrams(spark: SparkSession, dir: String): DataFrame =
@@ -402,6 +431,8 @@ object LlmOps extends QueryModule {
     "q_domain_mix"      -> qDomainMix _,
     "q_oov_rate"        -> qOovRate _,
     "q_embedding_outliers" -> qEmbeddingOutliers _,
+    "q_group_sample"    -> qGroupSample _,
+    "q_quality_filter"  -> qQualityFilter _,
     "q_contamination"   -> qContamination _,
     "q_lm_score"        -> qLmScore _,
     "q_curation"        -> qCuration _)
@@ -752,6 +783,28 @@ object LlmOps extends QueryModule {
          |WHERE CAST($uHex AS DOUBLE) / 4294967296.0 < r.rate
          |ORDER BY d.doc_id""".stripMargin
     },
+    "q_group_sample" -> {
+      val uHex = duckHex("md5(CAST(doc_id AS VARCHAR) || '|' || lang)", 1, 8)
+      s"""WITH r AS (SELECT doc_id, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY $uHex, doc_id) AS rk
+         |  FROM documents)
+         |SELECT doc_id, lang FROM r WHERE rk <= $GroupSampleK
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |    ROUND(0.4 * LEAST(1.0, len(toks) / 50.0)
+         |        + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+         |        + 0.3 * (1.0 - CAST(len(list_filter(toks,
+         |            x -> x IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
+         |          / len(toks)), 4) AS quality
+         |  FROM t),
+         |thr AS (SELECT quantile_cont(quality, $QualityFilterQuantile) AS t FROM m)
+         |SELECT doc_id, quality FROM m CROSS JOIN thr
+         |WHERE quality >= thr.t ORDER BY doc_id""".stripMargin,
     "q_oov_rate" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |cnt AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),

@@ -135,6 +135,37 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming benchmark-contamination check — the ingestion-time analog
+    * of CorpusQuality.contamination: each arriving document's distinct
+    * word-bigram shingles are probed against a STATIC benchmark shingle
+    * set via a stream-static join (the static side is planned per
+    * micro-batch like any batch join — broadcast when small), then
+    * re-aggregated per document inside a tumbling event-time window so
+    * the aggregation state is watermark-bounded and append mode emits
+    * one final row per document. Same arithmetic as the batch operator:
+    * n_sh distinct shingles, n_hit of them in the benchmark,
+    * contamination = n_hit/n_sh rounded to 4.
+    *
+    * `benchSh`: one `sh` (64-bit hashed shingle) column, distinct — what
+    * [[graft.operators.Dedup.hashedShingleSet]] produces; a real
+    * deployment builds it once from the held-out set and re-reads it. */
+  def contaminationStream(docs: DataFrame, benchSh: DataFrame,
+                          watermark: String = "1 hour",
+                          windowLen: String = "1 hour"): DataFrame = {
+    val sh = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        explode(array_distinct(
+          graft.operators.Dedup.shingles2(col("text")))).as("s"))
+      .select(col("doc_id"), col("ts"), xxhash64(col("s")).as("sh"))
+    sh.join(benchSh.select(col("sh"), lit(1L).as("hit")), Seq("sh"), "left")
+      .groupBy(window(col("ts"), windowLen), col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        round(col("n_hit") / col("n_sh").cast("double"), 4).as("contamination"))
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
   case class UserSession(user_id: Long, session_start: java.sql.Timestamp,

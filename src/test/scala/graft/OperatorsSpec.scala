@@ -759,6 +759,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 3L, 2L, 0.6667)))
   }
 
+  test("exactKPerStratum draws exactly k per stratum, keeps small strata whole") {
+    val df = (1 to 100).map { i =>
+      (i.toLong, if (i <= 90) "big" else "small")
+    }.toDF("id", "g")
+    val out = operators.Sampling.exactKPerStratum(df, "id", "g", 7)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(out == Map("big" -> 7L, "small" -> 7L))
+    val tiny = operators.Sampling.exactKPerStratum(
+      df.filter(col("g") === "small"), "id", "g", 50)
+    assert(tiny.count() == 10L, "strata smaller than k are kept whole")
+    // deterministic: same draw regardless of partitioning
+    val a = operators.Sampling.exactKPerStratum(df, "id", "g", 7)
+      .select("id").as[Long].collect().toSet
+    val b = operators.Sampling.exactKPerStratum(df.repartition(13), "id", "g", 7)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("filterByScoreQuantile keeps exactly the rows at or above the quantile") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val kept = operators.CorpusQuality.filterByScoreQuantile(df, "s", 0.25)
+      .select("id").as[Long].collect().toSet
+    // p25 of 1..100 (interpolated) = 25.75 -> keep 26..100
+    assert(kept == (26 to 100).map(_.toLong).toSet)
+  }
+
   test("centroidOutliers flags the vector pointing away from its cluster") {
     val rows = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),

@@ -200,4 +200,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  /** Stream-static join: documents stream in, the benchmark shingle set
+    * is a static table — per-doc contamination computed in-flight must
+    * equal the batch operator over the same files. */
+  test("streaming contamination equals the batch contamination check") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-contstream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val docs = sources.Tables.documents(spark, sf)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val benchSh = operators.Dedup.hashedShingleSet(bench, "doc_id", "text")
+      .select("sh").distinct()
+    // stream side: the training docs with a synthetic arrival time
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+      .filter(col("doc_id") % 97 =!= 0)
+      .withColumn("ts", timestamp_micros(lit(1700000000000000L)))
+    // complete mode: append would hold rows until the watermark passes
+    // the window end, which a single staged micro-batch never reaches
+    val q = streaming.EventStreams.contaminationStream(stream, benchSh)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cont_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cont_stream").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      val batch = operators.CorpusQuality.contamination(train, bench, "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      assert(streamed.values.exists(_._2 > 0), "benchmark hits must occur")
+    } finally q.stop()
+  }
 }
