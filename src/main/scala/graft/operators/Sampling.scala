@@ -19,6 +19,13 @@ object Sampling {
   def hashUnit(id: Column): Column =
     Dedup.hash32(id.cast("string")) / lit(4294967296.0)
 
+  /** The canonical stratum-salted hash input, `id|stratum` — ONE
+    * definition shared by every stratified operator so the salt format
+    * cannot drift between operators or from the DuckDB oracles'
+    * `md5(CAST(id AS VARCHAR) || '|' || stratum)`. */
+  private def stratumSalt(idCol: String, strataCol: String): Column =
+    concat(col(idCol).cast("string"), lit("|"), col(strataCol))
+
   /** Deterministic fraction-sample: keep rows with hashUnit(id) < f. */
   def sampleByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(hashUnit(col(idCol)) < fraction)
@@ -36,7 +43,7 @@ object Sampling {
                              defaultFraction: Double = 0.0): DataFrame = {
     require((defaultFraction +: fractions.values.toSeq)
       .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0, 1]")
-    val u = hashUnit(concat(col(idCol).cast("string"), lit("|"), col(strataCol)))
+    val u = hashUnit(stratumSalt(idCol, strataCol))
     val bound = fractions.foldRight(lit(defaultFraction): Column) {
       case ((stratum, f), acc) => when(col(strataCol) === stratum, f).otherwise(acc)
     }
@@ -59,8 +66,7 @@ object Sampling {
   def exactKPerStratum(df: DataFrame, idCol: String, strataCol: String,
                        k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val u = Dedup.hash32(
-      concat(col(idCol).cast("string"), lit("|"), col(strataCol)))
+    val u = Dedup.hash32(stratumSalt(idCol, strataCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(u.asc, col(idCol).asc)
     df.withColumn("_sample_rk", row_number().over(w))
@@ -106,7 +112,7 @@ object Sampling {
     val rates = counts
       .select(col("_mix_domain"),
         (s * col("_mix_w") / col("_mix_n")).as("_mix_rate"))
-    val u = hashUnit(concat(col(idCol).cast("string"), lit("|"), d))
+    val u = hashUnit(stratumSalt(idCol, domainCol))
     df.join(broadcast(rates), d === col("_mix_domain"))
       .filter(u < col("_mix_rate"))
       .drop("_mix_domain", "_mix_rate")

@@ -226,9 +226,15 @@ object Similarity {
   def centroidOutliers(corpus: DataFrame, idCol: String, vecCol: String,
                        labelCol: String, threshold: Double): DataFrame = {
     val Q = 1000000.0
+    // cached: the centroid aggregation and the scoring join both consume
+    // it, and Spark has no cross-branch CSE — without the cache the
+    // corpus would be scanned and floor-quantized twice (the module
+    // family's standard two-branch cache contract; the harness clears
+    // caches between queries)
     val base = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
       transform(col(vecCol), x => floor(x.cast("double") * Q).cast("long"))
         .as("qv"))
+      .cache()
     val inst = base
       .select(col("vec_id"), col("label"), posexplode(col("qv")))
       .select(col("label"), (col("pos") + 1).as("pos"), col("col").as("q"))

@@ -315,9 +315,13 @@ object LlmOps extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Target domain mixture over the corpus's `source` column: emphasize
-    * src0, starve src1, keep the rest uniform — weights chosen so the
-    * binding (kept-whole) domain is NOT the emphasized one, exercising
-    * the feasibility-scale arithmetic. */
+    * src0, starve src1, keep the rest uniform. The corpus's per-source
+    * counts are near-uniform, so the max-weight domain (src0) binds —
+    * kept whole at rate 1.0 — while every other domain downsamples to
+    * its proportional rate s·w_g/n_g (src1 hardest). The non-uniform-
+    * count case, where the binding domain is NOT the max-weight one, is
+    * exercised by the OperatorsSpec fixture (300/100/600 rows at
+    * 50/25/25% targets → the mid-size domain binds). */
   val DomainMixWeights: Map[String, Double] =
     Map("src0" -> 0.15, "src1" -> 0.05) ++
       (2 to 9).map(i => s"src$i" -> 0.1).toMap
@@ -791,16 +795,23 @@ object LlmOps extends QueryModule {
          |SELECT doc_id, lang FROM r WHERE rk <= $GroupSampleK
          |ORDER BY doc_id""".stripMargin
     },
+    // the CASE mirrors Spark's n>0 guards: a zero-token doc scores
+    // exactly 0.3 (length 0, diversity 0, stopword-penalty full), and a
+    // NULL text scores NULL (filtered by the >= comparison) — without
+    // it one empty doc would shift the GLOBAL quantile threshold and
+    // corrupt every row's keep decision
     "q_quality_filter" ->
       s"""WITH t AS (SELECT doc_id,
          |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
          |  FROM documents),
          |m AS (SELECT doc_id,
-         |    ROUND(0.4 * LEAST(1.0, len(toks) / 50.0)
+         |    CASE WHEN toks IS NULL THEN NULL
+         |         WHEN len(toks) = 0 THEN 0.3
+         |         ELSE ROUND(0.4 * LEAST(1.0, len(toks) / 50.0)
          |        + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
          |        + 0.3 * (1.0 - CAST(len(list_filter(toks,
          |            x -> x IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
-         |          / len(toks)), 4) AS quality
+         |          / len(toks)), 4) END AS quality
          |  FROM t),
          |thr AS (SELECT quantile_cont(quality, $QualityFilterQuantile) AS t FROM m)
          |SELECT doc_id, quality FROM m CROSS JOIN thr
