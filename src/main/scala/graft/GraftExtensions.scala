@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_freq"),
+      new ExpressionInfo(classOf[graft.functions.TopKFreq].getName, "topk_freq"),
+      (exprs: Seq[Expression]) => graft.functions.TopKFreq(exprs(0),
+        intArg(exprs(1), "k"), intArg(exprs(2), "capacity"))))
   }
 }
 

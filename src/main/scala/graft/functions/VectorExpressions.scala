@@ -268,6 +268,15 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_freq", exprs => TopKFreq(exprs(0),
+        intArg(exprs(1), "k"), intArg(exprs(2), "capacity")), "built-in")
+  }
+
+  /** Column wrapper for the TopKFreq space-saving aggregate. */
+  def topkFreq(item: Column, k: Int, capacity: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("topk_freq", item, lit(k), lit(capacity))
   }
 
   /** Column wrapper for SortedIntersectCount (ascending-sorted

@@ -69,25 +69,29 @@ object Multimodal {
     * payload — including one that passes the magic sniff but fails mid
     * stream (ImageIO throws there rather than returning null) — so the
     * caller falls back to the stub path instead of failing the task. */
+  /** Mean gray level ((r+g+b)/3 averaged over pixels) of a decoded
+    * image — shared by the PNG and MJPEG-frame paths. */
+  private def meanGrayOf(img: java.awt.image.BufferedImage): Double = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+        x += 1
+      }
+      y += 1
+    }
+    if (w * h == 0) 0.0 else sum / (w * h)
+  }
+
   private def decodePng(bytes: Array[Byte]): Option[(Int, Int, Double)] =
     scala.util.Try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) None
-      else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        var sum = 0.0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
-            x += 1
-          }
-          y += 1
-        }
-        Some((w, h, if (w * h == 0) 0.0 else sum / (w * h)))
-      }
+      else Some((img.getWidth, img.getHeight, meanGrayOf(img)))
     }.toOption.flatten
 
   private val RiffMagic = "RIFF".getBytes("US-ASCII")
@@ -153,11 +157,11 @@ object Multimodal {
 
   /** Real AVI CONTAINER parse (no codec): walk the RIFF chunk tree to
     * the `avih` main header and return (totalFrames, width, height).
-    * This is the honest middle ground for video in a codec-less
-    * environment — frame count and dimensions come from the actual
-    * container structure; pixel decoding stays stubbed. Returns None on
-    * corrupt/truncated structure (stub fallback, same contract as
-    * [[decodePng]]/[[decodeWav]]). */
+    * Frame count and dimensions come from the actual container
+    * structure; pixel decoding happens only when the frames are MJPEG
+    * ([[decodeAviMjpeg]]) — other codecs keep metadata-only. Returns
+    * None on corrupt/truncated structure (stub fallback, same contract
+    * as [[decodePng]]/[[decodeWav]]). */
   private def decodeAviHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] =
     scala.util.Try {
       // chunks are [fourcc][u32le size][data], word-aligned; LIST chunks
@@ -191,6 +195,49 @@ object Multimodal {
       }
     }.toOption.flatten
 
+  private val JpegMagic = Array(0xff, 0xd8).map(_.toByte)
+
+  /** Real MJPEG pixel decode inside an AVI container: walk the `movi`
+    * LIST, count the video-data chunks (fourcc `##dc`/`##db`), and
+    * ImageIO-decode the FIRST JPEG frame for (nFrames, width, height,
+    * meanGray). Motion-JPEG is the one mainstream video codec the bare
+    * JVM can decode (every frame is a standalone JPEG), which upgrades
+    * the video modality from container-metadata-only to real pixels with
+    * zero new dependencies. Returns None when the container has no
+    * decodable JPEG frame (e.g. a raw-DIB or foreign-codec AVI) — the
+    * caller then falls back to the container-header path. */
+  private def decodeAviMjpeg(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] =
+    scala.util.Try {
+      var first: Option[java.awt.image.BufferedImage] = None
+      var nFrames = 0
+      def walk(pos: Int, end: Int): Unit = {
+        var p = pos
+        while (p + 8 <= end && p + 8 <= bytes.length) {
+          val cc = new String(bytes, p, 4, "US-ASCII")
+          val sz = u32le(bytes, p + 4)
+          if (sz < 0 || sz > Int.MaxValue - 16) return
+          val dataEnd = math.min(math.min(end.toLong, bytes.length.toLong),
+            p + 8 + sz).toInt
+          if (cc == "LIST" && p + 12 <= end) walk(p + 12, dataEnd)
+          else if (cc.length == 4 && (cc.endsWith("dc") || cc.endsWith("db"))
+              && cc.take(2).forall(_.isDigit)) {
+            nFrames += 1
+            if (first.isEmpty && dataEnd - (p + 8) > 2 &&
+                bytes(p + 8) == JpegMagic(0) && bytes(p + 9) == JpegMagic(1)) {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(
+                  java.util.Arrays.copyOfRange(bytes, p + 8, dataEnd)))
+              if (img != null) first = Some(img)
+            }
+          }
+          p += (8 + sz + (sz & 1)).toInt
+        }
+      }
+      val riffEnd = math.min(bytes.length.toLong, u32le(bytes, 4) + 8).toInt
+      walk(12, riffEnd)
+      first.map(img => (nFrames, img.getWidth, img.getHeight, meanGrayOf(img)))
+    }.toOption.flatten
+
   /** Decoder dispatch: real `javax.imageio` / `javax.sound.sampled` /
     * RIFF-container decode when the payload IS a PNG / WAV / AVI
     * (magic-sniffed), deterministic stub otherwise. */
@@ -210,9 +257,15 @@ object Multimodal {
             sampleRate = rate, channels = ch)
         case None => avi match {
           case Some((frames, w, h)) =>
-            // container metadata is real; pixel decode stays stubbed, so
-            // meanByte falls back to the raw-byte mean
-            DecodedFeature(id, modality, bytes.length, frames, meanRaw, w, h)
+            // MJPEG frames decode for real (pixel meanGray + counted
+            // frames); other codecs keep the honest container metadata
+            // with the raw-byte mean
+            decodeAviMjpeg(bytes) match {
+              case Some((nf, fw, fh, meanGray)) =>
+                DecodedFeature(id, modality, bytes.length, nf, meanGray, fw, fh)
+              case None =>
+                DecodedFeature(id, modality, bytes.length, frames, meanRaw, w, h)
+            }
           case None =>
             val frames = modality match {
               case "video" => 1 + bytes.length / 64

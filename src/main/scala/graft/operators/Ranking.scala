@@ -49,4 +49,24 @@ object Ranking {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Top-k frequent items via the space-saving sketch
+    * ([[graft.functions.TopKFreq]]): one pass, one aggregation whose
+    * shuffle moves at most `capacity` counters per partition — the
+    * hot-token / hot-key detector that works when the distinct-item
+    * space is too large for a full (item, count) aggregation. With
+    * capacity ≥ distinct items the counts are exact and `err` = 0
+    * (the oracle-gated mode); otherwise each count carries its
+    * overestimate bound and total error ≤ n/capacity. Output:
+    * (item, n, err) ordered (n desc, item asc). */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int,
+                   capacity: Int): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(items.sparkSession)
+    items
+      .agg(graft.functions.VectorExpressions
+        .topkFreq(col(itemCol), k, capacity).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.cnt").as("n"),
+        col("e.err").as("err"))
+  }
 }

@@ -372,6 +372,20 @@ object LlmOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Heavy-hitter sketch bound to the corpus unigrams, capacity well
+    * above the distinct-token count so the space-saving counters are
+    * exact and the gate pins err = 0 (the bounded-error sketch mode is
+    * spec-tested on skewed synthetic data). */
+  val TopkFreqK = 20
+  val TopkFreqCapacity = 4096
+
+  def qTopkFreq(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.heavyHitters(
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("tok")),
+      "tok", TopkFreqK, TopkFreqCapacity)
+      .orderBy(col("n").desc, col("item").asc)
+
   /** Corpus-wide top bigrams (vocabulary building): full multiset
     * count — one explode + hash agg + TakeOrdered, no distinct-per-doc. */
   def qTopNgrams(spark: SparkSession, dir: String): DataFrame =
@@ -437,6 +451,7 @@ object LlmOps extends QueryModule {
     "q_embedding_outliers" -> qEmbeddingOutliers _,
     "q_group_sample"    -> qGroupSample _,
     "q_quality_filter"  -> qQualityFilter _,
+    "q_topk_freq"       -> qTopkFreq _,
     "q_contamination"   -> qContamination _,
     "q_lm_score"        -> qLmScore _,
     "q_curation"        -> qCuration _)
@@ -816,6 +831,11 @@ object LlmOps extends QueryModule {
          |thr AS (SELECT quantile_cont(quality, $QualityFilterQuantile) AS t FROM m)
          |SELECT doc_id, quality FROM m CROSS JOIN thr
          |WHERE quality >= thr.t ORDER BY doc_id""".stripMargin,
+    "q_topk_freq" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |c AS (SELECT tok AS item, COUNT(*) AS n FROM toks GROUP BY 1)
+         |SELECT item, n, CAST(0 AS BIGINT) AS err FROM c
+         |ORDER BY n DESC, item LIMIT $TopkFreqK""".stripMargin,
     "q_oov_rate" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |cnt AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),

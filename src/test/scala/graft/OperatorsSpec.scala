@@ -460,6 +460,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(2L).width == 0 && feats(2L).frames == 1 + 20 / 64)
   }
 
+  test("multimodal decode reads real MJPEG pixels from an AVI movi list") {
+    def u32le(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] =
+      cc(fourcc) ++ u32le(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    // a uniform mid-gray 8x4 JPEG frame (lossy, but flat fields survive)
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8) img.setRGB(x, y, 0x646464) // (100,100,100)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", buf)
+    val jpeg = buf.toByteArray
+    val avih = u32le(33333) ++ u32le(0) ++ u32le(0) ++ u32le(0) ++
+      u32le(2) ++ u32le(0) ++ u32le(0) ++ u32le(0) ++
+      u32le(8) ++ u32le(4) ++ Array.fill(16)(0.toByte)
+    val hdrl = cc("LIST") ++ u32le(4 + chunk("avih", avih).length) ++
+      cc("hdrl") ++ chunk("avih", avih)
+    val movi = {
+      val frames = chunk("00dc", jpeg) ++ chunk("00dc", jpeg)
+      cc("LIST") ++ u32le(4 + frames.length) ++ cc("movi") ++ frames
+    }
+    val body = cc("AVI ") ++ hdrl ++ movi
+    val avi = cc("RIFF") ++ u32le(body.length) ++ body
+    val payloads = Seq((1L, "video", avi)).toDF("doc_id", "modality", "payload")
+    val f = operators.Multimodal.decodeFeatures(payloads).collect().head
+    // frames counted from the movi chunks, dims and mean from REAL
+    // decoded pixels (JPEG-lossy: the flat gray field stays within ~2)
+    assert(f.frames == 2 && f.width == 8 && f.height == 4)
+    assert(math.abs(f.meanByte - 100.0) < 2.0,
+      s"expected ~100 gray from decoded MJPEG pixels, got ${f.meanByte}")
+  }
+
   test("multimodal resize + frame-sample plumbing: deterministic shapes") {
     val docs = Seq((2L, "v" * 200), (5L, "w" * 64), (8L, "z" * 10))
       .toDF("doc_id", "text") // all doc_id % 3 == 2 -> video
@@ -783,6 +818,41 @@ class OperatorsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     // p25 of 1..100 (interpolated) = 25.75 -> keep 26..100
     assert(kept == (26 to 100).map(_.toLong).toSet)
+  }
+
+  test("topk_freq exact mode equals the full groupBy count, partitioning-proof") {
+    val items = (1 to 1000).map(i => s"tok${i % 37}").toDF("item")
+    val exact = items.groupBy("item").count()
+      .orderBy(col("count").desc, col("item"))
+      .limit(10).as[(String, Long)].collect().toSeq
+    val sketch = operators.Ranking.heavyHitters(items, "item", 10, 100)
+      .select("item", "n").as[(String, Long)].collect().toSeq
+    assert(sketch == exact)
+    val sketchRepart = operators.Ranking
+      .heavyHitters(items.repartition(17), "item", 10, 100)
+      .select("item", "n").as[(String, Long)].collect().toSeq
+    assert(sketchRepart == exact, "merge across partials must stay exact")
+    // err = 0 when nothing ever evicts
+    assert(operators.Ranking.heavyHitters(items, "item", 10, 100)
+      .select("err").as[Long].collect().forall(_ == 0L))
+  }
+
+  test("topk_freq sketch mode finds heavy hitters within the n/capacity bound") {
+    // skewed stream: 'hot' appears 500x, 'warm' 200x, then a 1000-item
+    // distinct tail — far beyond capacity 64
+    val rows = Seq.fill(500)("hot") ++ Seq.fill(200)("warm") ++
+      (1 to 1000).map(i => s"tail$i")
+    val n = rows.length
+    val cap = 64
+    val items = rows.toDF("item").repartition(4)
+    val got = operators.Ranking.heavyHitters(items, "item", 5, cap)
+      .select("item", "n").as[(String, Long)].collect().toMap
+    assert(got.contains("hot") && got.contains("warm"),
+      s"heavy hitters must survive the sketch: $got")
+    // merged across 4 partials: |estimate - true| <= 4 * (n_p/cap) ~= n/cap
+    val bound = n.toDouble / cap * 2
+    assert(math.abs(got("hot") - 500L) <= bound, s"hot=${got("hot")} bound=$bound")
+    assert(math.abs(got("warm") - 200L) <= bound, s"warm=${got("warm")} bound=$bound")
   }
 
   test("centroidOutliers flags the vector pointing away from its cluster") {
