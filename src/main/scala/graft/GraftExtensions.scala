@@ -21,11 +21,12 @@ import graft.functions.{DotProductF32, SortedIntersectCount, SrpSigsF32, VectorE
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intArg(e: Expression, name: String): Int = e.eval(null) match {
-    case i: Int => i
-    case other => throw new IllegalArgumentException(
-      s"srp_sigs_f32 $name must be an integer literal, got $other")
-  }
+  private def intArg(fn: String, e: Expression, name: String): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$fn $name must be an integer literal, got $other")
+    }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -36,8 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("srp_sigs_f32"),
       new ExpressionInfo(classOf[SrpSigsF32].getName, "srp_sigs_f32"),
       (exprs: Seq[Expression]) => SrpSigsF32(exprs(0),
-        intArg(exprs(1), "nBands"), intArg(exprs(2), "bandBits"),
-        intArg(exprs(3), "dim"))))
+        intArg("srp_sigs_f32", exprs(1), "nBands"),
+        intArg("srp_sigs_f32", exprs(2), "bandBits"),
+        intArg("srp_sigs_f32", exprs(3), "dim"))))
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
@@ -47,7 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_freq"),
       new ExpressionInfo(classOf[graft.functions.TopKFreq].getName, "topk_freq"),
       (exprs: Seq[Expression]) => graft.functions.TopKFreq(exprs(0),
-        intArg(exprs(1), "k"), intArg(exprs(2), "capacity"))))
+        intArg("topk_freq", exprs(1), "k"),
+        intArg("topk_freq", exprs(2), "capacity"))))
   }
 }
 

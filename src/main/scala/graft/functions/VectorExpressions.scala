@@ -248,11 +248,12 @@ object VectorExpressions {
     }
   }
 
-  private def intArg(e: Expression, name: String): Int = e.eval(null) match {
-    case i: Int => i
-    case other => throw new IllegalArgumentException(
-      s"srp_sigs_f32 $name must be an integer literal, got $other")
-  }
+  private def intArg(fn: String, e: Expression, name: String): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$fn $name must be an integer literal, got $other")
+    }
 
   /** Register dot_f32 / srp_sigs_f32 in the session's function registry
     * (idempotent). Spark 4 Columns are plan-node based, so custom
@@ -263,14 +264,16 @@ object VectorExpressions {
       "dot_f32", exprs => DotProductF32(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "srp_sigs_f32", exprs => SrpSigsF32(exprs(0),
-        intArg(exprs(1), "nBands"), intArg(exprs(2), "bandBits"),
-        intArg(exprs(3), "dim")), "built-in")
+        intArg("srp_sigs_f32", exprs(1), "nBands"),
+        intArg("srp_sigs_f32", exprs(2), "bandBits"),
+        intArg("srp_sigs_f32", exprs(3), "dim")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_freq", exprs => TopKFreq(exprs(0),
-        intArg(exprs(1), "k"), intArg(exprs(2), "capacity")), "built-in")
+        intArg("topk_freq", exprs(1), "k"),
+        intArg("topk_freq", exprs(2), "capacity")), "built-in")
   }
 
   /** Column wrapper for the TopKFreq space-saving aggregate. */

@@ -64,13 +64,8 @@ object Multimodal {
 
   private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
 
-  /** Real PNG decode: actual dimensions + mean gray level
-    * ((r+g+b)/3 averaged over pixels). Returns None on a corrupt
-    * payload — including one that passes the magic sniff but fails mid
-    * stream (ImageIO throws there rather than returning null) — so the
-    * caller falls back to the stub path instead of failing the task. */
-  /** Mean gray level ((r+g+b)/3 averaged over pixels) of a decoded
-    * image — shared by the PNG and MJPEG-frame paths. */
+  /** Mean gray level ((r+g+b)/3 averaged over pixels) of an
+    * already-decoded image — shared by the PNG and MJPEG-frame paths. */
   private def meanGrayOf(img: java.awt.image.BufferedImage): Double = {
     val (w, h) = (img.getWidth, img.getHeight)
     var sum = 0.0
@@ -87,6 +82,11 @@ object Multimodal {
     if (w * h == 0) 0.0 else sum / (w * h)
   }
 
+  /** Real PNG decode: actual dimensions + mean gray level. Returns None
+    * on a corrupt payload — including one that passes the magic sniff
+    * but fails mid stream (ImageIO throws there rather than returning
+    * null) — so the caller falls back to the stub path instead of
+    * failing the task. */
   private def decodePng(bytes: Array[Byte]): Option[(Int, Int, Double)] =
     scala.util.Try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -155,6 +155,38 @@ object Multimodal {
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
 
+  /** THE RIFF chunk-tree walker, shared by the header and MJPEG paths
+    * so the container-parsing rules (word alignment, LIST recursion,
+    * declared-extent + buffer clamping) live in exactly one place.
+    * Chunks are [fourcc][u32le size][data], word-aligned; LIST chunks
+    * nest: [LIST][size][listType][children]. `visit(fourcc, dataStart,
+    * dataEnd)` fires for every non-LIST chunk in document order with
+    * dataEnd clamped to BOTH the declared parent extent and the buffer;
+    * returning false stops the walk. Nesting deeper than `maxDepth`
+    * stops silently — a hostile chunk tree must exhaust neither stack
+    * nor time. */
+  private def walkRiff(bytes: Array[Byte], maxDepth: Int = 32)
+                      (visit: (String, Int, Int) => Boolean): Unit = {
+    def walk(pos: Int, end: Int, depth: Int): Boolean = {
+      if (depth > maxDepth) return true
+      var p = pos
+      while (p + 8 <= end && p + 8 <= bytes.length) {
+        val cc = new String(bytes, p, 4, "US-ASCII")
+        val sz = u32le(bytes, p + 4)
+        if (sz < 0 || sz > Int.MaxValue - 16) return false
+        val dataEnd = math.min(math.min(end.toLong, bytes.length.toLong),
+          p + 8 + sz).toInt
+        if (cc == "LIST") {
+          if (p + 12 <= end && !walk(p + 12, dataEnd, depth + 1)) return false
+        } else if (!visit(cc, p + 8, dataEnd)) return false
+        p += (8 + sz + (sz & 1)).toInt
+      }
+      true
+    }
+    val riffEnd = math.min(bytes.length.toLong, u32le(bytes, 4) + 8).toInt
+    walk(12, riffEnd, 0)
+  }
+
   /** Real AVI CONTAINER parse (no codec): walk the RIFF chunk tree to
     * the `avih` main header and return (totalFrames, width, height).
     * Frame count and dimensions come from the actual container
@@ -164,35 +196,21 @@ object Multimodal {
     * as [[decodePng]]/[[decodeWav]]). */
   private def decodeAviHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] =
     scala.util.Try {
-      // chunks are [fourcc][u32le size][data], word-aligned; LIST chunks
-      // nest: [LIST][size][listType][children]
-      def find(pos: Int, end: Int): Option[Int] = {
-        var p = pos
-        while (p + 8 <= end) {
-          val cc = new String(bytes, p, 4, "US-ASCII")
-          val sz = u32le(bytes, p + 4)
-          if (sz < 0 || sz > Int.MaxValue - 16) return None
-          // the avih chunk itself must DECLARE (and the buffer contain)
-          // the 40 bytes we read — a truncated avih must fall back to
-          // the stub, not return a neighboring chunk's bytes as metadata
-          if (cc == "avih")
-            return if (sz >= 40 && p + 48 <= end && p + 48 <= bytes.length)
-              Some(p + 8) else None
-          if (cc == "LIST" && p + 12 <= end) {
-            val r = find(p + 12, math.min(end.toLong, p + 8 + sz).toInt)
-            if (r.isDefined) return r
-          }
-          p += (8 + sz + (sz & 1)).toInt
-        }
-        None
+      var res: Option[(Int, Int, Int)] = None
+      walkRiff(bytes) { (cc, start, end) =>
+        if (cc == "avih") {
+          // the avih chunk must DECLARE (and the buffer contain) the 40
+          // bytes we read — a truncated avih must fall back to the
+          // stub, not return a neighboring chunk's bytes as metadata.
+          // avih layout: µs/frame @0, ..., dwTotalFrames @16,
+          // dwWidth @32, dwHeight @36
+          if (start + 40 <= end)
+            res = Some((u32le(bytes, start + 16).toInt,
+              u32le(bytes, start + 32).toInt, u32le(bytes, start + 36).toInt))
+          false // first avih decides either way
+        } else true
       }
-      val riffEnd = math.min(bytes.length.toLong, u32le(bytes, 4) + 8).toInt
-      find(12, riffEnd).map { off =>
-        // avih layout: µs/frame @0, ..., dwTotalFrames @16, dwWidth @32,
-        // dwHeight @36
-        (u32le(bytes, off + 16).toInt, u32le(bytes, off + 32).toInt,
-          u32le(bytes, off + 36).toInt)
-      }
+      res
     }.toOption.flatten
 
   private val JpegMagic = Array(0xff, 0xd8).map(_.toByte)
@@ -205,36 +223,27 @@ object Multimodal {
     * the video modality from container-metadata-only to real pixels with
     * zero new dependencies. Returns None when the container has no
     * decodable JPEG frame (e.g. a raw-DIB or foreign-codec AVI) — the
-    * caller then falls back to the container-header path. */
+    * caller then falls back to the container-header path. A CORRUPT
+    * frame is skipped (per-frame Try), so one truncated JPEG does not
+    * forfeit the later decodable frames or the frame count. */
   private def decodeAviMjpeg(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] =
     scala.util.Try {
       var first: Option[java.awt.image.BufferedImage] = None
       var nFrames = 0
-      def walk(pos: Int, end: Int): Unit = {
-        var p = pos
-        while (p + 8 <= end && p + 8 <= bytes.length) {
-          val cc = new String(bytes, p, 4, "US-ASCII")
-          val sz = u32le(bytes, p + 4)
-          if (sz < 0 || sz > Int.MaxValue - 16) return
-          val dataEnd = math.min(math.min(end.toLong, bytes.length.toLong),
-            p + 8 + sz).toInt
-          if (cc == "LIST" && p + 12 <= end) walk(p + 12, dataEnd)
-          else if (cc.length == 4 && (cc.endsWith("dc") || cc.endsWith("db"))
-              && cc.take(2).forall(_.isDigit)) {
-            nFrames += 1
-            if (first.isEmpty && dataEnd - (p + 8) > 2 &&
-                bytes(p + 8) == JpegMagic(0) && bytes(p + 9) == JpegMagic(1)) {
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(
-                  java.util.Arrays.copyOfRange(bytes, p + 8, dataEnd)))
-              if (img != null) first = Some(img)
-            }
+      walkRiff(bytes) { (cc, start, end) =>
+        if (cc.length == 4 && (cc.endsWith("dc") || cc.endsWith("db"))
+            && cc.take(2).forall(_.isDigit)) {
+          nFrames += 1
+          if (first.isEmpty && end - start > 2 &&
+              bytes(start) == JpegMagic(0) && bytes(start + 1) == JpegMagic(1)) {
+            first = scala.util.Try(Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                java.util.Arrays.copyOfRange(bytes, start, end)))))
+              .toOption.flatten
           }
-          p += (8 + sz + (sz & 1)).toInt
         }
+        true
       }
-      val riffEnd = math.min(bytes.length.toLong, u32le(bytes, 4) + 8).toInt
-      walk(12, riffEnd)
       first.map(img => (nFrames, img.getWidth, img.getHeight, meanGrayOf(img)))
     }.toOption.flatten
 

@@ -846,13 +846,19 @@ class OperatorsSpec extends AnyFunSuite {
     val cap = 64
     val items = rows.toDF("item").repartition(4)
     val got = operators.Ranking.heavyHitters(items, "item", 5, cap)
-      .select("item", "n").as[(String, Long)].collect().toMap
+      .select("item", "n", "err").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
     assert(got.contains("hot") && got.contains("warm"),
       s"heavy hitters must survive the sketch: $got")
     // merged across 4 partials: |estimate - true| <= 4 * (n_p/cap) ~= n/cap
     val bound = n.toDouble / cap * 2
-    assert(math.abs(got("hot") - 500L) <= bound, s"hot=${got("hot")} bound=$bound")
-    assert(math.abs(got("warm") - 200L) <= bound, s"warm=${got("warm")} bound=$bound")
+    assert(math.abs(got("hot")._1 - 500L) <= bound, s"hot=${got("hot")} bound=$bound")
+    assert(math.abs(got("warm")._1 - 200L) <= bound, s"warm=${got("warm")} bound=$bound")
+    // the reported err must be a SOUND per-item bound in both directions
+    assert(math.abs(got("hot")._1 - 500L) <= got("hot")._2,
+      s"err must bound the true error: ${got("hot")}")
+    assert(math.abs(got("warm")._1 - 200L) <= got("warm")._2,
+      s"err must bound the true error: ${got("warm")}")
   }
 
   test("centroidOutliers flags the vector pointing away from its cluster") {
