@@ -107,6 +107,30 @@ object TextAnalysis {
   def contentHash64(text: Column): Column =
     conv(substring(md5(text), 1, 15), 16, 10).cast("long")
 
+  // ---- URL extraction / text normalization ------------------------
+  // Same Java-regex ∩ RE2 discipline as the PII patterns.
+
+  val UrlPattern = "https?://[A-Za-z0-9._%+-]+(/[A-Za-z0-9._%+/-]*)?"
+  private val UrlHostGroup = "https?://([A-Za-z0-9._%+-]+)"
+
+  /** All URLs in a text column, in order. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlPattern), lit(0))
+
+  /** Hostnames of all URLs, in order (the web-corpus provenance /
+    * domain-blocklist key). */
+  def extractHosts(text: Column): Column =
+    transform(extractUrls(text),
+      u => regexp_extract(u, UrlHostGroup, 1))
+
+  /** Canonical text normalization for matching/dedup keys: lowercase,
+    * non-alphanumerics to spaces, whitespace runs collapsed, trimmed.
+    * ASCII-scoped on purpose — the arithmetic must be identical in ANSI
+    * SQL, and locale-dependent case folding is not. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   // ---- PII detection / redaction ----------------------------------
   // Patterns restricted to the Java-regex ∩ RE2 common subset (char
   // classes, bounded repeats, \b ASCII word boundary) so the DuckDB

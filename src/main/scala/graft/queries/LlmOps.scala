@@ -372,6 +372,31 @@ object LlmOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** URL extraction over planted deterministic URLs (the corpus text
+    * has none — same mirrored-in-the-oracle convention as q_pii_redact):
+    * every even doc gets one URL, every 6th a second, exercising
+    * zero/one/many per document. */
+  def qUrlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val t = concat(col("text"),
+      when(id % 2 === 0, concat(lit(" see https://example"),
+        (id % 7).cast("string"), lit(".com/p/"), id.cast("string"))).otherwise(lit("")),
+      when(id % 6 === 0, concat(lit(" and http://mirror"),
+        (id % 3).cast("string"), lit(".org"))).otherwise(lit("")))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(TextAnalysis.extractUrls(t)).as("n_urls"),
+      TextAnalysis.extractHosts(t).as("hosts"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qTextNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.normalizeText(concat(lit("  A-B%%c  "), col("text"),
+        lit("!! d/e "))).as("norm"))
+      .orderBy(col("doc_id"))
+
   /** Heavy-hitter sketch bound to the corpus unigrams, capacity well
     * above the distinct-token count so the space-saving counters are
     * exact and the gate pins err = 0 (the bounded-error sketch mode is
@@ -452,6 +477,8 @@ object LlmOps extends QueryModule {
     "q_group_sample"    -> qGroupSample _,
     "q_quality_filter"  -> qQualityFilter _,
     "q_topk_freq"       -> qTopkFreq _,
+    "q_url_extract"     -> qUrlExtract _,
+    "q_text_normalize"  -> qTextNormalize _,
     "q_contamination"   -> qContamination _,
     "q_lm_score"        -> qLmScore _,
     "q_curation"        -> qCuration _)
@@ -831,6 +858,26 @@ object LlmOps extends QueryModule {
          |thr AS (SELECT quantile_cont(quality, $QualityFilterQuantile) AS t FROM m)
          |SELECT doc_id, quality FROM m CROSS JOIN thr
          |WHERE quality >= thr.t ORDER BY doc_id""".stripMargin,
+    "q_url_extract" ->
+      s"""WITH t AS (SELECT doc_id, text
+         |  || CASE WHEN doc_id % 2 = 0 THEN ' see https://example'
+         |       || CAST(doc_id % 7 AS VARCHAR) || '.com/p/' || CAST(doc_id AS VARCHAR)
+         |     ELSE '' END
+         |  || CASE WHEN doc_id % 6 = 0 THEN ' and http://mirror'
+         |       || CAST(doc_id % 3 AS VARCHAR) || '.org'
+         |     ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.UrlPattern}')) AS INT) AS n_urls,
+         |  list_transform(regexp_extract_all(t, '${TextAnalysis.UrlPattern}'),
+         |    u -> regexp_extract(u, 'https?://([A-Za-z0-9._%+-]+)', 1)) AS hosts
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    lower('  A-B%%c  ' || text || '!! d/e '),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_topk_freq" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
          |c AS (SELECT tok AS item, COUNT(*) AS n FROM toks GROUP BY 1)

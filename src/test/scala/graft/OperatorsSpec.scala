@@ -820,6 +820,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == (26 to 100).map(_.toLong).toSet)
   }
 
+  test("url extraction and text normalization edge cases") {
+    val df = Seq(
+      (1L, "plain text no urls"),
+      (2L, "x https://a.com/p http://b.org y"),
+      (3L, "  Mixed-CASE!!  punct%%and   spaces ")).toDF("id", "t")
+    val got = df.select(col("id"),
+        functions.TextAnalysis.extractHosts(col("t")).as("h"),
+        functions.TextAnalysis.normalizeText(col("t")).as("n"))
+      .as[(Long, Seq[String], String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == Seq())
+    assert(got(2L)._2 == Seq("a.com", "b.org"), "hosts in document order")
+    assert(got(3L)._3 == "mixed case punct and spaces")
+  }
+
   test("topk_freq exact mode equals the full groupBy count, partitioning-proof") {
     val items = (1 to 1000).map(i => s"tok${i % 37}").toDF("item")
     val exact = items.groupBy("item").count()
