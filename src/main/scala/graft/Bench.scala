@@ -9,7 +9,8 @@ object Bench {
     "q_dedup_jaccard_capped" -> "jaccard_capped_candidates",
     "q_dedup_minhash" -> "minhash_candidates",
     "q_dedup_clusters" -> "cluster_rounds",
-    "q_dedup_keep" -> "keep_cluster_rounds")
+    "q_dedup_keep" -> "keep_cluster_rounds",
+    "q_winnow_overlap" -> "winnow_pairs")
 
   /** 1-minute load average — recorded into the artifact so a number
     * taken on a loaded machine is identifiable as such (round-3 lesson:

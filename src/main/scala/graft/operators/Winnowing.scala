@@ -61,15 +61,42 @@ object Winnowing {
   /** Pairs of documents sharing ≥ `minShared` winnowing fingerprints —
     * the verbatim-overlap candidate set, with the shared count as the
     * overlap strength. `minShared` ≥ 2 suppresses single-window hash
-    * coincidences. Output: (doc_a, doc_b, n_shared). */
+    * coincidences. Output: (doc_a, doc_b, n_shared).
+    *
+    * `maxDf` is the BOILERPLATE guard (the [[Dedup.jaccardPairs]] maxDf
+    * convention): a fingerprint shared by d documents contributes
+    * O(d²) join rows, and real corpora concentrate exactly such
+    * fingerprints in template headers/footers shared by millions of
+    * documents. With the cap, fingerprints with document frequency
+    * > maxDf are excluded from pair generation — the overlap they
+    * witness is boilerplate, not document-specific copying — bounding
+    * the join at O(maxDf²) per fingerprint. The contract stays
+    * engine-independent: a pair is emitted iff it shares ≥ minShared
+    * fingerprints each with df ≤ maxDf (replicable in the oracle's
+    * candidate CTE). None (the gated default on this boilerplate-free
+    * corpus, max df = 6) changes nothing.
+    *
+    * The emitted pair count is observed as `winnow_pairs`
+    * (re-execution-proof distinct sketch, cf. the dedup metrics). */
   def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 4, w: Int = 4, minShared: Int = 2): DataFrame = {
-    val fp = fingerprints(docs, idCol, textCol, k, w)
+                   k: Int = 4, w: Int = 4, minShared: Int = 2,
+                   maxDf: Option[Long] = None): DataFrame = {
+    val fpAll = fingerprints(docs, idCol, textCol, k, w)
+    val fp = maxDf match {
+      case None => fpAll
+      case Some(cap) =>
+        val ok = fpAll.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= cap).select(col("fp"))
+        fpAll.join(ok, Seq("fp"), "left_semi")
+    }
     fp.select(col("doc_id").as("doc_a"), col("fp"))
       .join(fp.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .observe("winnow_pairs",
+        approx_count_distinct(xxhash64(col("doc_a"), col("doc_b")), 0.005)
+          .as("n_pairs"))
   }
 }

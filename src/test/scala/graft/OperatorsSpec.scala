@@ -761,6 +761,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(operators.Winnowing.fingerprints(docs, "doc_id", "text").count() == 0L)
   }
 
+  test("winnowing maxDf drops boilerplate-witnessed pairs, keeps rare overlap") {
+    // 'boiler': an 8-token run shared by ALL 5 docs (df=5 fingerprints);
+    // docs 1 and 2 additionally share a rare 7-token run (df=2)
+    val boiler = (1 to 8).map(i => s"tpl$i").mkString(" ")
+    val rare = (1 to 7).map(i => s"rare$i").mkString(" ")
+    val docs = (1L to 5L).map { i =>
+      val tail = if (i <= 2) s" $rare" else s" uniq${i}a uniq${i}b uniq${i}c uniq${i}d uniq${i}e uniq${i}f uniq${i}g"
+      (i, s"$boiler$tail")
+    }.toDF("doc_id", "text")
+    val uncapped = operators.Winnowing.overlapPairs(docs, "doc_id", "text",
+      minShared = 1).select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 10, s"boilerplate links every pair: $uncapped")
+    val capped = operators.Winnowing.overlapPairs(docs, "doc_id", "text",
+      minShared = 1, maxDf = Some(2L))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)),
+      s"only the rare-run pair must survive the df cap: $capped")
+  }
+
   test("rebalanceToMix hits the target mixture and keeps the binding domain whole") {
     // 300 a / 100 b / 600 c with targets 50/25/25%: n/w = 600/400/2400,
     // so b binds (s=400) -> expected keeps a=200, b=100 (whole), c=100
