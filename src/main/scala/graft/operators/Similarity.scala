@@ -96,6 +96,31 @@ object Similarity {
     IvfModel(cents)
   }
 
+  /** Persist a trained quantizer: one row per (cell, centroid vector).
+    * The index a real deployment trains ONCE on a corpus sample and
+    * re-reads for every ingest/search batch — training is the expensive
+    * step; the model itself is nCells × dim doubles. */
+  def saveIvf(spark: org.apache.spark.sql.SparkSession, model: IvfModel,
+              path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a persisted quantizer; exact round-trip of [[saveIvf]]
+    * (centroids are doubles — no re-quantization, so search results are
+    * identical to the in-memory model's). */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfModel = {
+    val rows = spark.read.parquet(path)
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    require(rows.nonEmpty && rows.map(_._1).toSeq == rows.indices,
+      s"loadIvf: malformed model at $path")
+    IvfModel(rows.map(_._2).toVector)
+  }
+
   private def centroidsLit(model: IvfModel): Column =
     typedlit(model.centroids.map(_.toSeq))
 

@@ -813,6 +813,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 3L, 2L, 0.6667)))
   }
 
+  test("IVF model save/load round-trips exactly; search results unchanged") {
+    val emb = sources.Tables.embeddings(spark, sf)
+    val model = operators.Similarity.trainIvf(emb, "embedding", nCells = 4,
+      maxIters = 3, seed = 7L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/model"
+    operators.Similarity.saveIvf(spark, model, dir)
+    val loaded = operators.Similarity.loadIvf(spark, dir)
+    assert(loaded.nCells == model.nCells)
+    model.centroids.zip(loaded.centroids).foreach { case (a, b) =>
+      assert(a.sameElements(b), "centroids must round-trip bit-exactly")
+    }
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val a = operators.Similarity.ivfSearchTopK(q, emb, "vec_id", "embedding",
+      model, 3, nprobe = 2).collect().toSeq
+    val b = operators.Similarity.ivfSearchTopK(q, emb, "vec_id", "embedding",
+      loaded, 3, nprobe = 2).collect().toSeq
+    assert(a == b, "search through the reloaded model must be identical")
+  }
+
   test("exactKPerStratum draws exactly k per stratum, keeps small strata whole") {
     val df = (1 to 100).map { i =>
       (i.toLong, if (i <= 90) "big" else "small")
