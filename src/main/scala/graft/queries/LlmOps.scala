@@ -397,6 +397,29 @@ object LlmOps extends QueryModule {
         lit("!! d/e "))).as("norm"))
       .orderBy(col("doc_id"))
 
+  /** The composed corpus-prep pipeline as ONE declarative plan —
+    * normalize → exact-dedup on the normalized fingerprint (keep min
+    * doc_id) → quantile-relative quality filter over the survivors.
+    * Each stage is an already-gated operator; this gate proves they
+    * COMPOSE: one Catalyst plan, no materialization barriers, the
+    * oracle recomputing all three stages in one SQL statement. */
+  def qCorpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    val normed = Tables.documents(spark, dir)
+      .withColumn("norm", TextAnalysis.normalizeText(col("text")))
+    // exact dedup on the normalized text: keep the min doc_id per
+    // fingerprint (one hash shuffle — the q_dedup_exact machinery)
+    val keep = normed
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("norm")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val kept = normed.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        TextAnalysis.qualityScoreFromTokens(
+          TextAnalysis.tokens(col("norm"))).as("quality"))
+    CorpusQuality.filterByScoreQuantile(kept, "quality", QualityFilterQuantile)
+      .orderBy(col("doc_id"))
+  }
+
   /** Heavy-hitter sketch bound to the corpus unigrams, capacity well
     * above the distinct-token count so the space-saving counters are
     * exact and the gate pins err = 0 (the bounded-error sketch mode is
@@ -479,6 +502,7 @@ object LlmOps extends QueryModule {
     "q_topk_freq"       -> qTopkFreq _,
     "q_url_extract"     -> qUrlExtract _,
     "q_text_normalize"  -> qTextNormalize _,
+    "q_corpus_prep"     -> qCorpusPrep _,
     "q_contamination"   -> qContamination _,
     "q_lm_score"        -> qLmScore _,
     "q_curation"        -> qCuration _)
@@ -878,6 +902,31 @@ object LlmOps extends QueryModule {
         |    lower('  A-B%%c  ' || text || '!! d/e '),
         |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_corpus_prep" ->
+      s"""WITH nrm AS (SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |fps AS (SELECT doc_id,
+         |    md5(array_to_string(list_sort(list_distinct(list_filter(
+         |      string_split_regex(norm, '\\s+'), x -> x <> ''))), ' ')) AS fp
+         |  FROM nrm),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+         |t AS (SELECT n.doc_id,
+         |    list_filter(string_split_regex(n.norm, '\\s+'), x -> x <> '') AS toks
+         |  FROM nrm n JOIN keep k ON k.doc_id = n.doc_id),
+         |m AS (SELECT doc_id,
+         |    CASE WHEN toks IS NULL THEN NULL
+         |         WHEN len(toks) = 0 THEN 0.3
+         |         ELSE ROUND(0.4 * LEAST(1.0, len(toks) / 50.0)
+         |        + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+         |        + 0.3 * (1.0 - CAST(len(list_filter(toks,
+         |            x -> x IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
+         |          / len(toks)), 4) END AS quality
+         |  FROM t),
+         |thr AS (SELECT quantile_cont(quality, $QualityFilterQuantile) AS t FROM m)
+         |SELECT doc_id, quality FROM m CROSS JOIN thr
+         |WHERE quality >= thr.t ORDER BY doc_id""".stripMargin,
     "q_topk_freq" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
          |c AS (SELECT tok AS item, COUNT(*) AS n FROM toks GROUP BY 1)
