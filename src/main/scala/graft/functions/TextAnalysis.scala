@@ -56,8 +56,13 @@ object TextAnalysis {
     val diversity = when(n > 0, size(array_distinct(toks)) / n).otherwise(lit(0.0))
     val sr = when(n > 0,
       size(filter(toks, t => t.isInCollection(EnStopwords))) / n).otherwise(lit(0.0))
-    round(lit(0.4) * lenScore + lit(0.3) * diversity +
-      lit(0.3) * (lit(1.0) - sr), 4)
+    // NULL tokens (null text) => NULL score: no evidence either way.
+    // Without the guard, least() SKIPS the null n/50 term and a null
+    // document scores 0.7 — passing quality filters on no evidence, and
+    // diverging from the oracles' NULL branch
+    when(toks.isNotNull,
+      round(lit(0.4) * lenScore + lit(0.3) * diversity +
+        lit(0.3) * (lit(1.0) - sr), 4))
   }
 
   /** Marker-stopword sets per language for n-gram-free language ID.
@@ -110,8 +115,15 @@ object TextAnalysis {
   // ---- URL extraction / text normalization ------------------------
   // Same Java-regex ∩ RE2 discipline as the PII patterns.
 
-  val UrlPattern = "https?://[A-Za-z0-9._%+-]+(/[A-Za-z0-9._%+/-]*)?"
-  private val UrlHostGroup = "https?://([A-Za-z0-9._%+-]+)"
+  /** Optional userinfo before the host — without it, 'https://login@evil
+    * .com' would truncate at the '@' and report 'login' as the host,
+    * letting the real domain escape a blocklist. */
+  val UrlPattern =
+    "https?://([A-Za-z0-9._%+-]+@)?[A-Za-z0-9._-]+(/[A-Za-z0-9._%+/-]*)?"
+
+  /** Host capture — shared verbatim with the q_url_extract oracle so
+    * the two engines cannot drift. */
+  val UrlHostGroup = "https?://(?:[A-Za-z0-9._%+-]+@)?([A-Za-z0-9._-]+)"
 
   /** All URLs in a text column, in order. */
   def extractUrls(text: Column): Column =

@@ -81,13 +81,17 @@ object Winnowing {
   def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 4, w: Int = 4, minShared: Int = 2,
                    maxDf: Option[Long] = None): DataFrame = {
-    val fpAll = fingerprints(docs, idCol, textCol, k, w)
+    // cached: the pair self-join consumes the fingerprint pipeline on
+    // BOTH sides (and the capped branch adds the df aggregate as a third
+    // consumer) — Spark has no cross-branch CSE, so without the cache
+    // the gram explode + window-min would execute 2-4x per action
+    val fpAll = fingerprints(docs, idCol, textCol, k, w).cache()
     val fp = maxDf match {
       case None => fpAll
       case Some(cap) =>
         val ok = fpAll.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
           .filter(col("_df") <= cap).select(col("fp"))
-        fpAll.join(ok, Seq("fp"), "left_semi")
+        fpAll.join(ok, Seq("fp"), "left_semi").cache()
     }
     fp.select(col("doc_id").as("doc_a"), col("fp"))
       .join(fp.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))

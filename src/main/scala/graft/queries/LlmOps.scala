@@ -894,7 +894,7 @@ object LlmOps extends QueryModule {
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(t, '${TextAnalysis.UrlPattern}')) AS INT) AS n_urls,
          |  list_transform(regexp_extract_all(t, '${TextAnalysis.UrlPattern}'),
-         |    u -> regexp_extract(u, 'https?://([A-Za-z0-9._%+-]+)', 1)) AS hosts
+         |    u -> regexp_extract(u, '${TextAnalysis.UrlHostGroup}', 1)) AS hosts
          |FROM t ORDER BY doc_id""".stripMargin,
     "q_text_normalize" ->
       """SELECT doc_id,

@@ -862,7 +862,8 @@ class OperatorsSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "plain text no urls"),
       (2L, "x https://a.com/p http://b.org y"),
-      (3L, "  Mixed-CASE!!  punct%%and   spaces ")).toDF("id", "t")
+      (3L, "  Mixed-CASE!!  punct%%and   spaces "),
+      (4L, "see https://login@evil.com/steal now")).toDF("id", "t")
     val got = df.select(col("id"),
         functions.TextAnalysis.extractHosts(col("t")).as("h"),
         functions.TextAnalysis.normalizeText(col("t")).as("n"))
@@ -870,6 +871,8 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L)._2 == Seq())
     assert(got(2L)._2 == Seq("a.com", "b.org"), "hosts in document order")
     assert(got(3L)._3 == "mixed case punct and spaces")
+    // userinfo must not masquerade as the host (blocklist-evasion guard)
+    assert(got(4L)._2 == Seq("evil.com"), s"got ${got(4L)._2}")
   }
 
   test("topk_freq exact mode equals the full groupBy count, partitioning-proof") {
