@@ -397,6 +397,21 @@ object LlmOps extends QueryModule {
         lit("!! d/e "))).as("norm"))
       .orderBy(col("doc_id"))
 
+  /** Snapshot membership/mutation rules for the diff query: docs with
+    * id % 11 == 3 exist only in the current snapshot (added), % 13 == 5
+    * only in the previous (removed), % 7 == 0 have different text
+    * (changed); everything else is unchanged. */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val prev = d.filter(col("doc_id") % 11 =!= 3)
+    val cur = d.filter(col("doc_id") % 13 =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    graft.operators.SnapshotDiff.diff(prev, cur, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** The composed corpus-prep pipeline as ONE declarative plan —
     * normalize → exact-dedup on the normalized fingerprint (keep min
     * doc_id) → quantile-relative quality filter over the survivors.
@@ -503,6 +518,7 @@ object LlmOps extends QueryModule {
     "q_url_extract"     -> qUrlExtract _,
     "q_text_normalize"  -> qTextNormalize _,
     "q_corpus_prep"     -> qCorpusPrep _,
+    "q_snapshot_diff"   -> qSnapshotDiff _,
     "q_contamination"   -> qContamination _,
     "q_lm_score"        -> qLmScore _,
     "q_curation"        -> qCuration _)
@@ -902,6 +918,18 @@ object LlmOps extends QueryModule {
         |    lower('  A-B%%c  ' || text || '!! d/e '),
         |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH prev AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 11 <> 3),
+        |cur AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 13 <> 5)
+        |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN p.doc_id IS NULL THEN 'added'
+        |       WHEN c.doc_id IS NULL THEN 'removed'
+        |       WHEN p.fp <> c.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS change_type
+        |FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_corpus_prep" ->
       s"""WITH nrm AS (SELECT doc_id,
          |    trim(regexp_replace(regexp_replace(lower(text),
