@@ -137,4 +137,27 @@ class PropertySpec extends AnyFunSuite {
       assert(df(iso) == (s"${day}T00:00:00.000Z", label), s"at $iso")
     }
   }
+
+  test("property: topk_freq exact mode equals groupBy top-k on random skewed data") {
+    val genItems: Gen[List[String]] = for {
+      nDistinct <- Gen.choose(1, 40)
+      n <- Gen.choose(1, 400)
+      // zipf-ish skew: item index drawn as min of two uniforms
+      draws <- Gen.listOfN(n, for {
+        a <- Gen.choose(0, nDistinct - 1); b <- Gen.choose(0, nDistinct - 1)
+      } yield s"t${math.min(a, b)}")
+    } yield draws
+    forAll(genItems, trials = 8) { items =>
+      val df = items.toDF("item").repartition(5)
+      val exact = df.groupBy("item").count()
+        .orderBy(col("count").desc, col("item"))
+        .limit(10).as[(String, Long)].collect().toSeq
+      val got = operators.Ranking.heavyHitters(df, "item", 10, capacity = 64)
+        .select("item", "n").as[(String, Long)].collect().toSeq
+      assert(got == exact, s"sketch(exact-mode) diverged on ${items.take(20)}…")
+      // exact mode (capacity 64 > 40 distinct) must report err = 0
+      assert(operators.Ranking.heavyHitters(df, "item", 10, 64)
+        .select("err").as[Long].collect().forall(_ == 0L))
+    }
+  }
 }
