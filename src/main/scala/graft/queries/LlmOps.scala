@@ -419,8 +419,12 @@ object LlmOps extends QueryModule {
     * COMPOSE: one Catalyst plan, no materialization barriers, the
     * oracle recomputing all three stages in one SQL statement. */
   def qCorpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the dedup-keep derivation and the survivor join both read
+    // the normalized scan (no cross-branch CSE — the regex normalize
+    // would otherwise run twice over the corpus)
     val normed = Tables.documents(spark, dir)
       .withColumn("norm", TextAnalysis.normalizeText(col("text")))
+      .cache()
     // exact dedup on the normalized text: keep the min doc_id per
     // fingerprint (one hash shuffle — the q_dedup_exact machinery)
     val keep = normed
