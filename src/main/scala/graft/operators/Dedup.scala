@@ -236,14 +236,19 @@ object Dedup {
   /** 8 bands × 2 rows. */
   val Bands = 8
 
+  /** The 16 per-doc minhash min-aggregates (shared by the symmetric
+    * signature build and the persisted-index build). */
+  private def minhashMinAggs: Seq[Column] =
+    MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("x") + lit(b)) % lit(MinhashP)).as(s"m${i + 1}")
+    }
+
   /** Per-doc 16-value MinHash signature over a [[minhashShingleScan]]
     * (one scan, 16 min-aggregates sharing the pre-computed `x`; min over
     * hashed values is idempotent to any 32-bit `x` collision, so this
     * equals the per-distinct-string-shingle signature). */
   def minhashSignatures(scan: DataFrame): DataFrame = {
-    val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("x") + lit(b)) % lit(MinhashP)).as(s"m${i + 1}")
-    }
+    val mins = minhashMinAggs
     scan.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -396,16 +401,8 @@ object Dedup {
       maxShinglesPerDoc).cache()
     val shC = capDocs(minhashShingleScan(corpus, idCol, textCol),
       maxShinglesPerDoc).cache()
-    val bandsN = lshBands(minhashSignatures(shN))
-    val bandsC = lshBands(minhashSignatures(shC))
-    val cand = bandsN.select(col("doc_id").as("new_id"), col("band"),
-        col("s1"), col("s2"), col("ms").as("ms_a"))
-      .join(bandsC.select(col("doc_id").as("corpus_id"), col("band"),
-        col("s1"), col("s2"), col("ms").as("ms_b")), Seq("band", "s1", "s2"))
-      .filter(sigAgreement(col("ms_a"), col("ms_b")) >= MinSigMatches)
-      .select(col("new_id"), col("corpus_id"))
-      .distinct()
-      .cache()
+    val cand = acrossCandidates(lshBands(minhashSignatures(shN)),
+      lshBands(minhashSignatures(shC))).cache()
     // candidate-bounded verify builds — on the CORPUS side especially,
     // only the handful of stored docs that collide with the batch ever
     // materialize a sorted key array
@@ -413,6 +410,77 @@ object Dedup {
       sortedKeySetsFor(shN, cand.select(col("new_id").as("doc_id"))),
       sortedKeySetsFor(shC, cand.select(col("corpus_id").as("doc_id"))),
       "new_id", "corpus_id", threshold)
+  }
+
+  /** new × corpus band-collision candidates with the signature-estimate
+    * pre-filter applied in the join output (shared by the rescan and
+    * persisted-index variants of the incremental dedup). */
+  private def acrossCandidates(bandsN: DataFrame, bandsC: DataFrame): DataFrame =
+    bandsN.select(col("doc_id").as("new_id"), col("band"),
+        col("s1"), col("s2"), col("ms").as("ms_a"))
+      .join(bandsC.select(col("doc_id").as("corpus_id"), col("band"),
+        col("s1"), col("s2"), col("ms").as("ms_b")), Seq("band", "s1", "s2"))
+      .filter(sigAgreement(col("ms_a"), col("ms_b")) >= MinSigMatches)
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+
+  /** The persisted corpus-side MinHash index: one row per document with
+    * everything [[minhashLshPairsAcross]] derives from the stored corpus —
+    * the 16-component signature (band keys) AND the sorted 64-bit
+    * verification key set with its size. Built with ONE groupBy over the
+    * shared shingle scan; column-for-column identical to what the rescan
+    * path computes, so index-vs-rescan results are bit-equal.
+    *
+    * This is the missing half of the incremental-dedup contract: the
+    * corpus is tokenized ONCE when the index is (re)built, and every
+    * subsequent batch run reads ~40 B/doc of longs (plus the key array
+    * column only for verify) instead of re-shingling 100 TB of text. The
+    * reference persists every inter-stage intermediate the same way
+    * (`src/cli/index.ts:67-69` raw → canon → derive). */
+  def buildMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        maxShinglesPerDoc: Option[Int] = None): DataFrame = {
+    val sh = capDocs(minhashShingleScan(corpus, idCol, textCol),
+      maxShinglesPerDoc)
+    val aggs = minhashMinAggs ++ Seq(
+      sort_array(collect_list(col("k"))).as("shs"),
+      count(lit(1)).as("n_sh"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Write a [[buildMinhashIndex]] result as parquet (overwrite — an
+    * index rebuild replaces the previous epoch atomically). */
+  def saveMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                       path: String,
+                       maxShinglesPerDoc: Option[Int] = None): Unit =
+    buildMinhashIndex(corpus, idCol, textCol, maxShinglesPerDoc)
+      .write.mode("overwrite").parquet(path)
+
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** [[minhashLshPairsAcross]] against a persisted corpus index instead
+    * of re-scanning the stored corpus: the band join reads only the
+    * signature columns of the index (parquet column pruning keeps the fat
+    * `shs` array out of the scan), and the verify stage re-reads the
+    * index semi-joined to the candidate ids, so the key arrays of
+    * non-colliding corpus docs are never deserialized into rows. The
+    * batch side is identical to the rescan variant. */
+  def minhashLshPairsAcrossIndexed(newDocs: DataFrame, index: DataFrame,
+                                   idCol: String, textCol: String,
+                                   threshold: Double,
+                                   maxShinglesPerDoc: Option[Int] = None): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(newDocs.sparkSession)
+    val shN = capDocs(minhashShingleScan(newDocs, idCol, textCol),
+      maxShinglesPerDoc).cache()
+    val cand = acrossCandidates(lshBands(minhashSignatures(shN)),
+      lshBands(index)).cache()
+    val corpusSets = index.select(col("doc_id"), col("shs"), col("n_sh"))
+      .join(cand.select(col("corpus_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+    verifyBySortedSets(cand,
+      sortedKeySetsFor(shN, cand.select(col("new_id").as("doc_id"))),
+      corpusSets, "new_id", "corpus_id", threshold)
   }
 
   /** Connected components over a duplicate-pair graph — the step that

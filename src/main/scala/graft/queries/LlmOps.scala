@@ -386,7 +386,11 @@ object LlmOps extends QueryModule {
     Tables.documents(spark, dir).select(
       col("doc_id"),
       size(TextAnalysis.extractUrls(t)).as("n_urls"),
-      TextAnalysis.extractHosts(t).as("hosts"))
+      // joined to a scalar: the driver's correctness gate compares via a
+      // pandas sort that cannot hash ARRAY cells — gated queries must
+      // emit scalar columns only (semantics of the array form are
+      // spec-covered in OperatorsSpec)
+      array_join(TextAnalysis.extractHosts(t), ",").as("hosts"))
       .orderBy(col("doc_id"))
   }
 
@@ -438,6 +442,32 @@ object LlmOps extends QueryModule {
     CorpusQuality.filterByScoreQuantile(kept, "quality", QualityFilterQuantile)
       .orderBy(col("doc_id"))
   }
+
+  /** [[qCorpusPrep]] survivors THROUGH the partitioned-parquet table
+    * layout and back — the shape a real pipeline runs (prep once, write
+    * the curated corpus, downstream jobs read the table): survivors are
+    * written `PARTITIONED BY (part = doc_id % 4)` with doc_id-clustered
+    * row groups via [[graft.sinks.ParquetSink.writeTable]], then read
+    * back from disk. Gated against the SAME oracle as q_corpus_prep, so
+    * a green row proves the sink layout is lossless for the pipeline's
+    * own output (including double-precision quality scores). The
+    * partition-PRUNING property of the written layout is asserted in
+    * SinksSpec (PartitionFilters, not a post-scan row filter). */
+  def corpusPrepRoundTrip(spark: SparkSession, dir: String,
+                          outPath: String): DataFrame = {
+    val prep = qCorpusPrep(spark, dir)
+      .withColumn("part", pmod(col("doc_id"), lit(4)).cast("int"))
+    graft.sinks.ParquetSink.writeTable(prep, outPath,
+      partitionCols = Seq("part"), sortCols = Seq("doc_id"))
+    graft.sinks.ParquetSink.read(spark, outPath)
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qCorpusPrepRt(spark: SparkSession, dir: String): DataFrame =
+    corpusPrepRoundTrip(spark, dir,
+      java.nio.file.Files.createTempDirectory("graft-prep-rt").toString
+        + "/corpus_prep")
 
   /** Heavy-hitter sketch bound to the corpus unigrams, capacity well
     * above the distinct-token count so the space-saving counters are
@@ -522,6 +552,7 @@ object LlmOps extends QueryModule {
     "q_url_extract"     -> qUrlExtract _,
     "q_text_normalize"  -> qTextNormalize _,
     "q_corpus_prep"     -> qCorpusPrep _,
+    "q_corpus_prep_rt"  -> qCorpusPrepRt _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
     "q_contamination"   -> qContamination _,
     "q_lm_score"        -> qLmScore _,
@@ -585,6 +616,35 @@ object LlmOps extends QueryModule {
        |    $simhashBitSums
        |  FROM xv GROUP BY 1),
        |sim AS (SELECT doc_id, ($simhashAssemble) AS simhash FROM bits)""".stripMargin
+
+  /** The corpus-prep pipeline in one SQL statement — shared by
+    * q_corpus_prep (the composed plan) and q_corpus_prep_rt (the same
+    * rows read back through the partitioned parquet layout). */
+  private lazy val corpusPrepOracle =
+    s"""WITH nrm AS (SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |fps AS (SELECT doc_id,
+       |    md5(array_to_string(list_sort(list_distinct(list_filter(
+       |      string_split_regex(norm, '\\s+'), x -> x <> ''))), ' ')) AS fp
+       |  FROM nrm),
+       |keep AS (SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+       |t AS (SELECT n.doc_id,
+       |    list_filter(string_split_regex(n.norm, '\\s+'), x -> x <> '') AS toks
+       |  FROM nrm n JOIN keep k ON k.doc_id = n.doc_id),
+       |m AS (SELECT doc_id,
+       |    CASE WHEN toks IS NULL THEN NULL
+       |         WHEN len(toks) = 0 THEN 0.3
+       |         ELSE ROUND(0.4 * LEAST(1.0, len(toks) / 50.0)
+       |        + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+       |        + 0.3 * (1.0 - CAST(len(list_filter(toks,
+       |            x -> x IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
+       |          / len(toks)), 4) END AS quality
+       |  FROM t),
+       |thr AS (SELECT quantile_cont(quality, $QualityFilterQuantile) AS t FROM m)
+       |SELECT doc_id, quality FROM m CROSS JOIN thr
+       |WHERE quality >= thr.t ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -913,8 +973,8 @@ object LlmOps extends QueryModule {
          |  FROM documents)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(t, '${TextAnalysis.UrlPattern}')) AS INT) AS n_urls,
-         |  list_transform(regexp_extract_all(t, '${TextAnalysis.UrlPattern}'),
-         |    u -> regexp_extract(u, '${TextAnalysis.UrlHostGroup}', 1)) AS hosts
+         |  array_to_string(list_transform(regexp_extract_all(t, '${TextAnalysis.UrlPattern}'),
+         |    u -> regexp_extract(u, '${TextAnalysis.UrlHostGroup}', 1)), ',') AS hosts
          |FROM t ORDER BY doc_id""".stripMargin,
     "q_text_normalize" ->
       """SELECT doc_id,
@@ -934,31 +994,10 @@ object LlmOps extends QueryModule {
         |       ELSE 'unchanged' END AS change_type
         |FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
         |ORDER BY doc_id""".stripMargin,
-    "q_corpus_prep" ->
-      s"""WITH nrm AS (SELECT doc_id,
-         |    trim(regexp_replace(regexp_replace(lower(text),
-         |      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
-         |  FROM documents),
-         |fps AS (SELECT doc_id,
-         |    md5(array_to_string(list_sort(list_distinct(list_filter(
-         |      string_split_regex(norm, '\\s+'), x -> x <> ''))), ' ')) AS fp
-         |  FROM nrm),
-         |keep AS (SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
-         |t AS (SELECT n.doc_id,
-         |    list_filter(string_split_regex(n.norm, '\\s+'), x -> x <> '') AS toks
-         |  FROM nrm n JOIN keep k ON k.doc_id = n.doc_id),
-         |m AS (SELECT doc_id,
-         |    CASE WHEN toks IS NULL THEN NULL
-         |         WHEN len(toks) = 0 THEN 0.3
-         |         ELSE ROUND(0.4 * LEAST(1.0, len(toks) / 50.0)
-         |        + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
-         |        + 0.3 * (1.0 - CAST(len(list_filter(toks,
-         |            x -> x IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
-         |          / len(toks)), 4) END AS quality
-         |  FROM t),
-         |thr AS (SELECT quantile_cont(quality, $QualityFilterQuantile) AS t FROM m)
-         |SELECT doc_id, quality FROM m CROSS JOIN thr
-         |WHERE quality >= thr.t ORDER BY doc_id""".stripMargin,
+    "q_corpus_prep" -> corpusPrepOracle,
+    // same oracle: the round trip through the partitioned parquet layout
+    // must be lossless, so the read-back rows equal the prep output
+    "q_corpus_prep_rt" -> corpusPrepOracle,
     "q_topk_freq" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
          |c AS (SELECT tok AS item, COUNT(*) AS n FROM toks GROUP BY 1)

@@ -277,6 +277,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(across.nonEmpty, "the fixture split should straddle some planted near-dups")
   }
 
+  test("persisted minhash index: indexed incremental dedup equals corpus rescan") {
+    val docs = sources.Tables.documents(spark, sf)
+    val isNew = col("doc_id") % 10 === 7
+    val newDocs = docs.filter(isNew)
+    val corpus = docs.filter(!isNew)
+    val rescan = operators.Dedup.minhashLshPairsAcross(
+      newDocs, corpus, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString + "/index"
+    operators.Dedup.saveMinhashIndex(corpus, "doc_id", "text", dir)
+    val index = operators.Dedup.loadMinhashIndex(spark, dir)
+    val indexed = operators.Dedup.minhashLshPairsAcrossIndexed(
+      newDocs, index, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(indexed == rescan,
+      s"indexed pairs diverged from rescan:\n$indexed\nvs\n$rescan")
+    assert(indexed.nonEmpty, "the fixture split should straddle some planted near-dups")
+    // the stored index row is self-contained: signature + sorted key set
+    val row = index.orderBy(col("doc_id")).limit(1)
+      .select(col("n_sh"), size(col("shs")).cast("long").as("n"))
+      .as[(Long, Long)].head()
+    assert(row._1 == row._2, "n_sh must equal the stored key-array length")
+  }
+
   test("chunking: overlapping windows, short tail, empty docs emit nothing") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, ""), (4L, "  "))
       .toDF("doc_id", "text")

@@ -44,6 +44,24 @@ class SinksSpec extends AnyFunSuite {
       want.map(r => org.apache.spark.sql.Row(r.get(0), r.get(2))))
   }
 
+  test("corpus-prep round trip: partitioned write, lossless read-back, pruned partition read") {
+    val base = java.nio.file.Files.createTempDirectory("graft-preprt").toString + "/corpus_prep"
+    val back = queries.LlmOps.corpusPrepRoundTrip(spark, sf, base)
+    val direct = queries.LlmOps.qCorpusPrep(spark, sf)
+    assert(back.collect().toSeq == direct.collect().toSeq,
+      "read-back rows must equal the composed prep output (bit-exact doubles)")
+    // layout: one dir per part value; a part-filtered read PRUNES
+    val dirs = new java.io.File(base).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("part=")), s"unexpected layout: ${dirs.toSeq}")
+    val filtered = sinks.ParquetSink.read(spark, base).filter(col("part") === 2)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*part".r.findFirstIn(plan).isDefined,
+      s"partition pruning missing from scan:\n$plan")
+    assert(filtered.orderBy("doc_id").collect().toSeq ==
+      direct.filter(col("doc_id") % 4 === 2)
+        .withColumn("part", lit(2)).collect().toSeq)
+  }
+
   test("Excel sink produces a valid xlsx with sorted styled sheets and null->''") {
     val path = java.nio.file.Files.createTempDirectory("graft-xlsx").toString + "/out.xlsx"
     val t1 = Seq((1L, Option("alpha")), (2L, None)).toDF("id", "label")
