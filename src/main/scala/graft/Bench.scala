@@ -10,7 +10,8 @@ object Bench {
     "q_dedup_minhash" -> "minhash_candidates",
     "q_dedup_clusters" -> "cluster_rounds",
     "q_dedup_keep" -> "keep_cluster_rounds",
-    "q_winnow_overlap" -> "winnow_pairs")
+    "q_winnow_overlap" -> "winnow_pairs",
+    "q_winnow_capped" -> "winnow_capped_pairs")
 
   /** 1-minute load average — recorded into the artifact so a number
     * taken on a loaded machine is identifiable as such (round-3 lesson:
@@ -35,6 +36,16 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the per-query function-registry re-registration and re-cache
+    // warnings are benign but emit ~100 lines between the run and the
+    // artifact — the driver's bounded tail capture then truncates the
+    // JSON (rounds 4 and 5 each lost 17-18 query timings). Silence just
+    // those two loggers; real warnings elsewhere still print.
+    Seq("org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry",
+        "org.apache.spark.sql.execution.CacheManager").foreach { l =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        l, org.apache.logging.log4j.Level.ERROR)
+    }
     graft.util.OpMetrics.install(spark)
     // optional comma-separated name filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -87,7 +98,11 @@ object Bench {
       }
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal fixed-point rendering: 9-digit mantissas tripled the
+    // artifact size for precision that is pure measurement noise (and
+    // fed the same tail truncation the logger silencing above fixes)
+    def sec3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val errJson =
@@ -105,7 +120,7 @@ object Bench {
       else observed.toSeq.sorted.map { case (k, v) => s"\"$k\":$v" }
         .mkString(""","observed":{""", ",", "}")
     val loadJson = s""","loadavg":{"start":$loadStart,"end":${loadAvg()}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$obsJson$loadJson}""")
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$obsJson$loadJson}""")
     spark.stop()
   }
 }

@@ -447,17 +447,77 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Write a [[buildMinhashIndex]] result as parquet (overwrite — an
-    * index rebuild replaces the previous epoch atomically). */
+  /** Fingerprint of every constant the persisted index's bit-equality
+    * contract depends on: the minhash hash family, the banding layout,
+    * the signature pre-filter, and a format version to bump on any
+    * change to the shingle/hash pipeline itself
+    * ([[minhashShingleScan]]) that the constant VALUES cannot capture.
+    * Stored in the index's `_graft_build_params` sidecar and re-checked
+    * on load, so an index built under different constants fails fast
+    * instead of silently breaking index-vs-rescan equality. */
+  val MinhashIndexFormatVersion = 1
+  private def minhashConstantsFingerprint: String = {
+    val canon = s"v$MinhashIndexFormatVersion|P=$MinhashP" +
+      s"|A=${MinhashA.mkString(",")}|B=${MinhashB.mkString(",")}" +
+      s"|bands=$Bands|minsig=$MinSigMatches"
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Write a [[buildMinhashIndex]] result as parquet, plus a one-row
+    * `_graft_build_params` sidecar (underscore prefix — parquet readers
+    * of the index dir skip it) recording the constants fingerprint and
+    * the `maxShinglesPerDoc` cap, which [[loadMinhashIndex]] validates.
+    *
+    * Overwrite is parquet delete-then-write, NOT atomic: a rebuild must
+    * not race concurrent readers of the same path. For an always-readable
+    * index, write each rebuild to a fresh epoch directory and flip a
+    * pointer outside this method. */
   def saveMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
                        path: String,
-                       maxShinglesPerDoc: Option[Int] = None): Unit =
+                       maxShinglesPerDoc: Option[Int] = None): Unit = {
     buildMinhashIndex(corpus, idCol, textCol, maxShinglesPerDoc)
       .write.mode("overwrite").parquet(path)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((minhashConstantsFingerprint,
+        maxShinglesPerDoc.map(_.toLong).getOrElse(-1L)))
+      .toDF("constants_fp", "max_shingles")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(path + "/_graft_build_params")
+  }
 
+  /** Read a [[saveMinhashIndex]] index, validating its build-params
+    * sidecar: the minhash-constants fingerprint must match this build's,
+    * and the stored `maxShinglesPerDoc` must equal the cap the caller
+    * intends to use (pass the SAME value here as to
+    * [[minhashLshPairsAcrossIndexed]]). A mismatch means index-vs-rescan
+    * bit-equality no longer holds — the index must be rebuilt — so this
+    * throws instead of returning silently-wrong pairs. */
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-                       path: String): DataFrame =
+                       path: String,
+                       maxShinglesPerDoc: Option[Int] = None): DataFrame = {
+    val params = spark.read.parquet(path + "/_graft_build_params")
+      .select(col("constants_fp"), col("max_shingles")).collect()
+    require(params.length == 1,
+      s"minhash index at $path: expected exactly one build-params row, " +
+        s"got ${params.length}")
+    val (fp, storedCap) = (params(0).getString(0), params(0).getLong(1))
+    val expectCap = maxShinglesPerDoc.map(_.toLong).getOrElse(-1L)
+    if (fp != minhashConstantsFingerprint)
+      throw new IllegalStateException(
+        s"minhash index at $path was built under different minhash " +
+          "constants (fingerprint mismatch) — rebuild the index with " +
+          "saveMinhashIndex before using it")
+    if (storedCap != expectCap)
+      throw new IllegalStateException(
+        s"minhash index at $path was built with maxShinglesPerDoc=" +
+          s"${if (storedCap < 0) "None" else storedCap} but the caller " +
+          s"expects ${if (expectCap < 0) "None" else expectCap} — " +
+          "index-vs-rescan equality requires identical caps; rebuild " +
+          "the index or match the cap")
     spark.read.parquet(path)
+  }
 
   /** [[minhashLshPairsAcross]] against a persisted corpus index instead
     * of re-scanning the stored corpus: the band join reads only the
@@ -475,7 +535,12 @@ object Dedup {
       maxShinglesPerDoc).cache()
     val cand = acrossCandidates(lshBands(minhashSignatures(shN)),
       lshBands(index)).cache()
-    val corpusSets = index.select(col("doc_id"), col("shs"), col("n_sh"))
+    // parquet restores `shs` as containsNull=true (the writer cannot
+    // promise otherwise); sorted_intersect_count requires non-nullable
+    // elements, so re-tighten with array_compact (output is
+    // containsNull=false, and the build never emits null keys)
+    val corpusSets = index.select(col("doc_id"),
+        array_compact(col("shs")).as("shs"), col("n_sh"))
       .join(cand.select(col("corpus_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
     verifyBySortedSets(cand,

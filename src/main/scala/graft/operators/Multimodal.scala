@@ -247,17 +247,32 @@ object Multimodal {
       first.map(img => (nFrames, img.getWidth, img.getHeight, meanGrayOf(img)))
     }.toOption.flatten
 
+  /** Standalone JPEG decode (`FF D8 FF` magic) — the dominant image
+    * format of any web corpus, through the same ImageIO path the MJPEG
+    * frames inside AVI already use. None on a corrupt or truncated
+    * payload (ImageIO returns null or throws), which falls back to the
+    * byte-stub like every other undecodable payload. */
+  private def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes.length > 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff
+  private def decodeJpeg(bytes: Array[Byte]): Option[(Int, Int, Double)] =
+    scala.util.Try(Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))))
+      .toOption.flatten
+      .map(img => (img.getWidth, img.getHeight, meanGrayOf(img)))
+
   /** Decoder dispatch: real `javax.imageio` / `javax.sound.sampled` /
-    * RIFF-container decode when the payload IS a PNG / WAV / AVI
+    * RIFF-container decode when the payload IS a PNG / JPEG / WAV / AVI
     * (magic-sniffed), deterministic stub otherwise. */
   private def decodeOne(id: Long, modality: String, bytes: Array[Byte]): DecodedFeature = {
     lazy val meanRaw = if (bytes.isEmpty) 0.0
       else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
     val png = if (bytes.length > 8 && bytes.take(4).sameElements(PngMagic))
       decodePng(bytes) else None
+    lazy val jpeg = if (isJpeg(bytes)) decodeJpeg(bytes) else None
     lazy val wav = if (isWav(bytes)) decodeWav(bytes) else None
     lazy val avi = if (isAvi(bytes)) decodeAviHeader(bytes) else None
-    png match {
+    (png orElse jpeg) match {
       case Some((w, h, meanGray)) =>
         DecodedFeature(id, modality, bytes.length, 1, meanGray, w, h)
       case None => wav match {

@@ -99,7 +99,10 @@ object Winnowing {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-      .observe("winnow_pairs",
+      // distinct metric name per mode (the jaccard convention) so the
+      // exact and capped gated queries are separately visible in the
+      // same bench artifact
+      .observe(if (maxDf.isEmpty) "winnow_pairs" else "winnow_capped_pairs",
         approx_count_distinct(xxhash64(col("doc_a"), col("doc_b")), 0.005)
           .as("n_pairs"))
   }

@@ -62,6 +62,26 @@ object LlmOps extends QueryModule {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
+  /** [[qDedupIncremental]] through the PERSISTED MinHash index: the
+    * stored-corpus side is built once with [[Dedup.saveMinhashIndex]]
+    * and read back ([[Dedup.loadMinhashIndex]] validating the
+    * build-params sidecar) instead of being re-shingled — the plan a
+    * real incremental dedup runs per batch at 100 TB. Output contract
+    * is identical to the rescan variant (OperatorsSpec proves the two
+    * bit-equal), so this gate shares q_dedup_incremental's oracle. */
+  def qDedupIncrementalIdx(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val idxPath = scratchRoot.resolve("mh_index").toString
+    Dedup.saveMinhashIndex(
+      d.filter(col("doc_id") % IncrementalBatchMod =!= IncrementalBatchRem),
+      "doc_id", "text", idxPath)
+    Dedup.minhashLshPairsAcrossIndexed(
+      d.filter(col("doc_id") % IncrementalBatchMod === IncrementalBatchRem),
+      Dedup.loadMinhashIndex(spark, idxPath),
+      "doc_id", "text", JaccardThreshold)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", 3)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -314,6 +334,18 @@ object LlmOps extends QueryModule {
       "doc_id", "text", WinnowK, WinnowW, WinnowMinShared)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Document frequency cap for the gated capped winnowing run — the
+    * boilerplate-guard path production runs on template-heavy corpora.
+    * 4 sits BELOW this corpus's max fingerprint df (6), so the cap
+    * provably bites in the gate instead of being a no-op. */
+  val WinnowMaxDf = 4L
+
+  def qWinnowCapped(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnowing.overlapPairs(Tables.documents(spark, dir),
+      "doc_id", "text", WinnowK, WinnowW, WinnowMinShared,
+      maxDf = Some(WinnowMaxDf))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Target domain mixture over the corpus's `source` column: emphasize
     * src0, starve src1, keep the rest uniform. The corpus's per-source
     * counts are near-uniform, so the max-weight domain (src0) binds —
@@ -464,10 +496,26 @@ object LlmOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** One per-JVM scratch root for the gated queries that materialize to
+    * disk (the parquet round trip, the persisted dedup index): repeat
+    * invocations overwrite the same subtree instead of leaking a fresh
+    * /tmp copy per run (Bench runs each twice per round), and the whole
+    * tree is deleted on JVM exit. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
   def qCorpusPrepRt(spark: SparkSession, dir: String): DataFrame =
     corpusPrepRoundTrip(spark, dir,
-      java.nio.file.Files.createTempDirectory("graft-prep-rt").toString
-        + "/corpus_prep")
+      scratchRoot.resolve("corpus_prep").toString)
 
   /** Heavy-hitter sketch bound to the corpus unigrams, capacity well
     * above the distinct-token count so the space-saving counters are
@@ -521,6 +569,7 @@ object LlmOps extends QueryModule {
     "q_dedup_jaccard_capped" -> qDedupJaccardCapped _,
     "q_dedup_minhash"   -> qDedupMinhash _,
     "q_dedup_incremental" -> qDedupIncremental _,
+    "q_dedup_incremental_idx" -> qDedupIncrementalIdx _,
     "q_dedup_simhash"   -> qDedupSimhash _,
     "q_dedup_clusters"  -> qDedupClusters _,
     "q_dedup_keep"      -> qDedupKeep _,
@@ -543,6 +592,7 @@ object LlmOps extends QueryModule {
     "q_pack"            -> qPack _,
     "q_repetition"      -> qRepetition _,
     "q_winnow_overlap"  -> qWinnowOverlap _,
+    "q_winnow_capped"   -> qWinnowCapped _,
     "q_domain_mix"      -> qDomainMix _,
     "q_oov_rate"        -> qOovRate _,
     "q_embedding_outliers" -> qEmbeddingOutliers _,
@@ -616,6 +666,39 @@ object LlmOps extends QueryModule {
        |    $simhashBitSums
        |  FROM xv GROUP BY 1),
        |sim AS (SELECT doc_id, ($simhashAssemble) AS simhash FROM bits)""".stripMargin
+
+  /** The incremental MinHash dedup in one SQL statement — shared by
+    * q_dedup_incremental (corpus rescan) and q_dedup_incremental_idx
+    * (corpus via the persisted index): same output contract. */
+  private lazy val dedupIncrementalOracle =
+    s"""WITH $shingleCtes,
+       |xv AS (SELECT doc_id, sh, ${duckHex("md5(sh)", 1, 8)} AS x FROM sh),
+       |hf(i, a, b) AS (VALUES $minhashHf),
+       |mh AS (SELECT doc_id, i, MIN((a * x + b) % ${Dedup.MinhashP}) AS m
+       |  FROM xv CROSS JOIN hf GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, CAST(CEIL(i / 2.0) AS INT) AS band,
+       |    md5(string_agg(CAST(m AS VARCHAR), '_' ORDER BY i)) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |cand0 AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+       |  WHERE x.doc_id % $IncrementalBatchMod = $IncrementalBatchRem
+       |    AND y.doc_id % $IncrementalBatchMod <> $IncrementalBatchRem),
+       |cand AS (SELECT c.new_id, c.corpus_id
+       |  FROM cand0 c JOIN mh ma ON ma.doc_id = c.new_id
+       |               JOIN mh mb ON mb.doc_id = c.corpus_id AND mb.i = ma.i
+       |  GROUP BY 1, 2
+       |  HAVING SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) >= ${Dedup.MinSigMatches}),
+       |inter AS (SELECT c.new_id, c.corpus_id, COUNT(*) AS n_common
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.new_id
+       |              JOIN sh sb ON sb.doc_id = c.corpus_id AND sb.sh = sa.sh
+       |  GROUP BY 1, 2)
+       |SELECT new_id, corpus_id,
+       |  ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = new_id
+       |           JOIN sizes sb ON sb.doc_id = corpus_id
+       |WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4)
+       |  >= $JaccardThreshold
+       |ORDER BY new_id, corpus_id""".stripMargin
 
   /** The corpus-prep pipeline in one SQL statement — shared by
     * q_corpus_prep (the composed plan) and q_corpus_prep_rt (the same
@@ -695,35 +778,10 @@ object LlmOps extends QueryModule {
          |  GROUP BY 1, 2)
          |SELECT * FROM ($jaccardSelect) j
          |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin,
-    "q_dedup_incremental" ->
-      s"""WITH $shingleCtes,
-         |xv AS (SELECT doc_id, sh, ${duckHex("md5(sh)", 1, 8)} AS x FROM sh),
-         |hf(i, a, b) AS (VALUES $minhashHf),
-         |mh AS (SELECT doc_id, i, MIN((a * x + b) % ${Dedup.MinhashP}) AS m
-         |  FROM xv CROSS JOIN hf GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, CAST(CEIL(i / 2.0) AS INT) AS band,
-         |    md5(string_agg(CAST(m AS VARCHAR), '_' ORDER BY i)) AS sig
-         |  FROM mh GROUP BY 1, 2),
-         |cand0 AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
-         |  WHERE x.doc_id % $IncrementalBatchMod = $IncrementalBatchRem
-         |    AND y.doc_id % $IncrementalBatchMod <> $IncrementalBatchRem),
-         |cand AS (SELECT c.new_id, c.corpus_id
-         |  FROM cand0 c JOIN mh ma ON ma.doc_id = c.new_id
-         |               JOIN mh mb ON mb.doc_id = c.corpus_id AND mb.i = ma.i
-         |  GROUP BY 1, 2
-         |  HAVING SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) >= ${Dedup.MinSigMatches}),
-         |inter AS (SELECT c.new_id, c.corpus_id, COUNT(*) AS n_common
-         |  FROM cand c JOIN sh sa ON sa.doc_id = c.new_id
-         |              JOIN sh sb ON sb.doc_id = c.corpus_id AND sb.sh = sa.sh
-         |  GROUP BY 1, 2)
-         |SELECT new_id, corpus_id,
-         |  ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
-         |FROM inter JOIN sizes sa ON sa.doc_id = new_id
-         |           JOIN sizes sb ON sb.doc_id = corpus_id
-         |WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4)
-         |  >= $JaccardThreshold
-         |ORDER BY new_id, corpus_id""".stripMargin,
+    "q_dedup_incremental" -> dedupIncrementalOracle,
+    // the indexed gate has the identical output contract (OperatorsSpec
+    // proves indexed == rescan bit-equal), so it shares the oracle
+    "q_dedup_incremental_idx" -> dedupIncrementalOracle,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $simhashCtes,
          |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -918,6 +976,24 @@ object LlmOps extends QueryModule {
          |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the capped mode replays the same pipeline with the df guard in
+    // the candidate CTE (the q_dedup_jaccard_capped pattern): a pair is
+    // emitted iff it shares >= minShared fingerprints EACH with df <= cap
+    "q_winnow_capped" ->
+      s"""WITH docs2 AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+         |grams AS (SELECT doc_id, unnest(list_transform(range(1, len(wd) - ${WinnowK - 2}),
+         |    i -> struct_pack(pos := i, m := md5(array_to_string(wd[i:i+${WinnowK - 1}], ' '))))) AS g
+         |  FROM docs2 WHERE len(wd) >= $WinnowK),
+         |g2 AS (SELECT doc_id, g.pos AS pos, ${duckHex("g.m", 1, 8)} AS h FROM grams),
+         |wins AS (SELECT doc_id, pos, MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS wmin FROM g2),
+         |fp0 AS (SELECT DISTINCT doc_id, wmin AS fp FROM wins WHERE pos >= $WinnowW),
+         |ok AS (SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) <= $WinnowMaxDf),
+         |fp AS (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN ok USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_domain_mix" -> {
       val valuesSql = DomainMixWeights.toSeq.sortBy(_._1)
         .map { case (d, wt) => s"('$d', CAST($wt AS DOUBLE))" }.mkString(", ")
@@ -973,8 +1049,8 @@ object LlmOps extends QueryModule {
          |  FROM documents)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(t, '${TextAnalysis.UrlPattern}')) AS INT) AS n_urls,
-         |  array_to_string(list_transform(regexp_extract_all(t, '${TextAnalysis.UrlPattern}'),
-         |    u -> regexp_extract(u, '${TextAnalysis.UrlHostGroup}', 1)), ',') AS hosts
+         |  COALESCE(array_to_string(list_transform(regexp_extract_all(t, '${TextAnalysis.UrlPattern}'),
+         |    u -> regexp_extract(u, '${TextAnalysis.UrlHostGroup}', 1)), ','), '') AS hosts
          |FROM t ORDER BY doc_id""".stripMargin,
     "q_text_normalize" ->
       """SELECT doc_id,

@@ -299,6 +299,28 @@ class OperatorsSpec extends AnyFunSuite {
       .select(col("n_sh"), size(col("shs")).cast("long").as("n"))
       .as[(Long, Long)].head()
     assert(row._1 == row._2, "n_sh must equal the stored key-array length")
+    // build-params sidecar: a cap mismatch must fail fast, not silently
+    // break index-vs-rescan equality
+    val ex = intercept[IllegalStateException] {
+      operators.Dedup.loadMinhashIndex(spark, dir, Some(64))
+    }
+    assert(ex.getMessage.contains("maxShinglesPerDoc"), ex.getMessage)
+  }
+
+  test("snapshot diff under duplicate ids: multiset semantics, no join fan-out") {
+    val prev = Seq((1L, "a"), (1L, "b"), (2L, "x"), (3L, "gone"), (5L, "s"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "b"), (1L, "a"), (2L, "x"), (2L, "x2"), (4L, "new"), (5L, "t"))
+      .toDF("doc_id", "text")
+    val got = operators.SnapshotDiff.diff(prev, cur, "doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // exactly ONE row per id on either side — duplicates never fan out
+    assert(got == Seq(
+      1L -> "unchanged", // same duplicate multiset, re-ordered
+      2L -> "changed",   // a row ADDED within the id's duplicate set
+      3L -> "removed",
+      4L -> "added",
+      5L -> "changed"))
   }
 
   test("chunking: overlapping windows, short tail, empty docs emit nothing") {
@@ -429,6 +451,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(2L).width == 0 && feats(2L).height == 0)
     assert(feats(2L).meanByte == "notapng".getBytes
       .map(b => (b & 0xff).toDouble).sum / 7)
+  }
+
+  test("multimodal decode handles a standalone JPEG via javax.imageio") {
+    // uniform 3x2 gray image: JPEG is lossy, but a constant-color frame
+    // survives the DCT round trip exactly, so meanGray is checkable
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 3).foreach(x => (0 until 2).foreach(y => img.setRGB(x, y, 0x808080)))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", buf)
+    val jpg = buf.toByteArray
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8,
+      "encoder must have produced a real JPEG")
+    // a truncated JPEG (valid magic, broken stream) must take the stub
+    val badJpg = jpg.take(8)
+    val payloads = Seq((1L, "image", jpg), (2L, "image", badJpg))
+      .toDF("doc_id", "modality", "payload")
+    val feats = operators.Multimodal.decodeFeatures(payloads)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).width == 3 && feats(1L).height == 2 && feats(1L).frames == 1)
+    assert(math.abs(feats(1L).meanByte - 128.0) < 1.0, s"got ${feats(1L).meanByte}")
+    assert(feats(1L).n_bytes == jpg.length)
+    assert(feats(2L).width == 0, "corrupt JPEG falls back to stub")
+    assert(feats(2L).meanByte == badJpg.map(b => (b & 0xff).toDouble).sum / 8)
   }
 
   test("multimodal decode handles a real WAV via javax.sound.sampled") {

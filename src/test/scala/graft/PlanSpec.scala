@@ -51,6 +51,26 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** Same invariant for BOTH incremental variants (rescan and persisted
+    * index): with auto-broadcast off, neither plan may broadcast — at
+    * 100 TB the corpus/index side is never broadcastable, and the batch
+    * side must not smuggle one in via a hint either. */
+  test("incremental band joins never broadcast the corpus side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // drop caches other suites planted: an identical cached subtree
+      // compiled with broadcast ON would otherwise surface its
+      // BroadcastExchange inside this plan via cache reuse
+      spark.catalog.clearCache()
+      Seq("q_dedup_incremental", "q_dedup_incremental_idx").foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("BroadcastExchange"),
+          s"$q must not broadcast corpus-sized state:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("anti/semi joins use hash join strategies, not cartesian") {
     val pa = plan("q_anti_join")
     val ps = plan("q_semi_join")

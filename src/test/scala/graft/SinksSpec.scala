@@ -46,13 +46,32 @@ class SinksSpec extends AnyFunSuite {
 
   test("corpus-prep round trip: partitioned write, lossless read-back, pruned partition read") {
     val base = java.nio.file.Files.createTempDirectory("graft-preprt").toString + "/corpus_prep"
-    val back = queries.LlmOps.corpusPrepRoundTrip(spark, sf, base)
+    // at test scale AQE coalesces the salted write shuffle to one task
+    // (all partitions are far below the advisory size — the right
+    // behavior for a small write); disable coalescing here so the file
+    // layout exposes the KEY-SPACE parallelism a 100 TB write gets,
+    // where no partition is ever advisory-small
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val back = try queries.LlmOps.corpusPrepRoundTrip(spark, sf, base)
+      finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
     val direct = queries.LlmOps.qCorpusPrep(spark, sf)
     assert(back.collect().toSeq == direct.collect().toSeq,
       "read-back rows must equal the composed prep output (bit-exact doubles)")
     // layout: one dir per part value; a part-filtered read PRUNES
     val dirs = new java.io.File(base).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("part=")), s"unexpected layout: ${dirs.toSeq}")
+    // write parallelism is NOT capped at the partition-value count: the
+    // salted shuffle key spreads each partition value over up to
+    // filesPerPartition (default 8) writer tasks → multiple data files
+    // per directory (the 100 TB write-funnel guard), still bounded
+    val filesPerDir = new java.io.File(base).listFiles().filter(_.isDirectory)
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(filesPerDir.exists(_ > 1),
+      s"every partition dir has a single file — write parallelism is " +
+        s"capped at the partition-value count: ${filesPerDir.toSeq}")
+    assert(filesPerDir.forall(_ <= 8),
+      s"file count per dir must stay bounded by filesPerPartition: ${filesPerDir.toSeq}")
     val filtered = sinks.ParquetSink.read(spark, base).filter(col("part") === 2)
     val plan = filtered.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*part".r.findFirstIn(plan).isDefined,
