@@ -71,6 +71,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** The property that makes the persisted index cheap per batch: the
+    * band join must scan ONLY the signature columns of the index —
+    * parquet column pruning keeps the fat `shs` key-set array out of
+    * the scan (it is read separately, semi-joined to candidates). */
+  test("persisted index band join prunes the key-set column from its scan") {
+    val p = plan("q_dedup_incremental_idx")
+    val idxScans = "FileScan parquet [^\n]*mh_index[^\n]*".r.findAllIn(p).toList
+    assert(idxScans.nonEmpty, s"expected index scans in:\n$p")
+    assert(idxScans.exists(s => !s.contains("shs")),
+      s"every index scan reads the shs array — pruning lost:\n${idxScans.mkString("\n")}")
+  }
+
   test("anti/semi joins use hash join strategies, not cartesian") {
     val pa = plan("q_anti_join")
     val ps = plan("q_semi_join")
