@@ -219,4 +219,35 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Streaming NEAR-duplicate pairs against a persisted MinHash index —
+    * the ingestion-time shape of the incremental dedup story: a batch
+    * job maintains the corpus index ([[graft.operators.Dedup
+    * .saveMinhashIndex]] per corpus epoch); the live feed checks every
+    * arriving document against it.
+    *
+    * MinHash-LSH needs a per-doc shingle aggregation and a band join
+    * that Structured Streaming cannot express incrementally in one
+    * continuous query, so this uses `foreachBatch` — Spark's canonical
+    * hook for running a BATCH plan over each micro-batch: every batch
+    * executes the exact batch operator
+    * ([[graft.operators.Dedup.minhashLshPairsAcrossIndexed]]), so the
+    * emitted pairs are bit-equal to batch-processing the same rows.
+    * Pairs never span two incoming documents (new × corpus only), so
+    * the union over micro-batches equals a one-shot batch run over the
+    * same feed — asserted in StreamingSpec. The index is loaded (and
+    * its build-params sidecar validated) once at wiring time; each
+    * micro-batch re-scans only the pruned signature columns plus the
+    * candidate-semi-joined key sets. */
+  def nearDupsAgainstIndexStream(docs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, threshold: Double,
+      maxShinglesPerDoc: Option[Int] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val index = graft.operators.Dedup.loadMinhashIndex(
+      docs.sparkSession, indexPath, maxShinglesPerDoc)
+    docs.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      sink(graft.operators.Dedup.minhashLshPairsAcrossIndexed(
+        batch, index, idCol, textCol, threshold, maxShinglesPerDoc), epochId)
+    }
+  }
 }

@@ -237,4 +237,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.values.exists(_._2 > 0), "benchmark hits must occur")
     } finally q.stop()
   }
+
+  /** foreachBatch reuse of the batch near-dup operator: incoming docs
+    * stream in over MULTIPLE micro-batches, each checked against the
+    * persisted MinHash index; the union of per-batch pairs must equal
+    * the one-shot batch rescan over the same rows (per-new-doc
+    * independence — pairs never span two incoming docs). */
+  test("streaming near-dup pairs against the persisted index equal the batch run") {
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, sf)
+    val isNew = col("doc_id") % 10 === 7
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-mhidx-st")
+      .toString + "/index"
+    operators.Dedup.saveMinhashIndex(
+      docs.filter(!isNew), "doc_id", "text", idxDir)
+    // stage the incoming docs as two files; 1 file per trigger → ≥2 batches
+    val newDir = java.nio.file.Files.createTempDirectory("graft-newdocs").toString
+    docs.filter(isNew).select("doc_id", "text")
+      .repartition(2).write.mode("overwrite").parquet(newDir)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(newDir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var batches = 0
+    val q = streaming.EventStreams.nearDupsAgainstIndexStream(
+      stream, idxDir, "doc_id", "text", 0.5) { (pairs, _) =>
+        got.synchronized { got ++= pairs.as[(Long, Long, Double)].collect(); batches += 1 }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = operators.Dedup.minhashLshPairsAcross(
+      docs.filter(isNew), docs.filter(!isNew), "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(got.size == got.toSet.size, "no pair may be emitted twice")
+    assert(got.toSet == batch,
+      s"streamed pairs diverged from batch:\n${got.toSet}\nvs\n$batch")
+    assert(got.nonEmpty)
+  }
 }
