@@ -228,4 +228,65 @@ object CorpusQuality {
         round(avg(log(col("c_bg").cast("double") / col("c_head"))), 4)
           .as("lm_score"))
   }
+
+  /** CCNet-style line-level boilerplate removal: drop every line that
+    * occurs (trimmed-identical) in MORE than `maxDf` distinct documents
+    * — template headers, nav bars, cookie banners, footers — and
+    * reassemble each document from its surviving lines in original
+    * order. The per-line document frequency is the corpus-level signal
+    * no per-row filter can compute; line-level (not doc-level) dedup is
+    * what removes the boilerplate WITHOUT discarding the unique content
+    * around it.
+    *
+    * Contract (engine-independent, oracle-replicated): a line's df =
+    * COUNT(DISTINCT doc) of its trimmed text; lines trimming to '' are
+    * dropped unconditionally (they carry no content and would otherwise
+    * df-accumulate); output = (doc_id, clean_text = kept lines joined
+    * by \n, n_kept, n_dropped), one row per input document — documents
+    * whose every line is boilerplate surface with clean_text = ''.
+    *
+    * Scale shape: one narrow line explode; df is ONE hash aggregation
+    * keyed by the 64-bit line hash (count-distinct by (hash, doc)
+    * pre-aggregation — no strings shuffle: the trimmed line text stays
+    * in the per-doc rows and never moves to the df shuffle); the
+    * boilerplate set (df > maxDf rows — tiny: boilerplate is by
+    * definition few DISTINCT lines) anti-joins the line rows; AQE
+    * broadcasts it when small. Reassembly is one per-doc aggregation —
+    * collect_list order is fixed by sorting on the carried line index.
+    * Hash collisions conflate two distinct lines' dfs with probability
+    * ~n²/2⁶⁴ per corpus — immaterial (the minhash-family convention). */
+  def dropBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                           maxDf: Long): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1")
+    val lines = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line0")))
+      .select(col("doc_id"), col("line_no"), trim(col("line0")).as("line"))
+      .filter(col("line") =!= "")
+      .withColumn("lh", xxhash64(col("line")))
+      .cache()
+    val boiler = lines.select(col("lh"), col("doc_id")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("ldf"))
+      .filter(col("ldf") > maxDf).select(col("lh"))
+    val kept = lines.join(boiler, Seq("lh"), "left_anti")
+    // one row per INPUT doc (all-boilerplate docs keep an empty text):
+    // aggregate kept lines per doc, then right-join the doc spine
+    val assembled = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).cast("int").as("n_kept"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(lines.groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("int").as("n_lines")),
+        Seq("doc_id"), "left")
+      .join(assembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        (coalesce(col("n_lines"), lit(0)) - coalesce(col("n_kept"), lit(0)))
+          .as("n_dropped"))
+  }
 }

@@ -519,6 +519,40 @@ object Dedup {
     spark.read.parquet(path)
   }
 
+  /** Append a delta batch to a persisted MinHash index WITHOUT
+    * re-shingling the stored corpus — the index-maintenance half of the
+    * incremental story (ingest batch → dedup against index → merge the
+    * kept docs in). Per-document index rows are self-contained, so the
+    * merged index is a row union: the old index minus any re-ingested
+    * ids (delta wins — the A11 last-write convention) plus the delta's
+    * freshly built rows; bit-equal to rebuilding from scratch over
+    * old ∪ delta (OperatorsSpec). Cost ∝ delta + one pruned scan of the
+    * old index — never the corpus text.
+    *
+    * Writes to `newPath` (epoch-flip, per [[saveMinhashIndex]]'s
+    * non-atomicity note) with a fresh params sidecar; the old sidecar
+    * is validated first so epochs can't silently mix constants. */
+  def mergeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                        oldPath: String, delta: DataFrame,
+                        idCol: String, textCol: String, newPath: String,
+                        maxShinglesPerDoc: Option[Int] = None): Unit = {
+    require(newPath != oldPath,
+      "mergeMinhashIndex must write a new epoch directory (overwrite of " +
+        "a live index path is not atomic)")
+    val old = loadMinhashIndex(spark, oldPath, maxShinglesPerDoc)
+    val deltaIdx = buildMinhashIndex(delta, idCol, textCol, maxShinglesPerDoc)
+    old.join(delta.select(col(idCol).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .unionByName(deltaIdx)
+      .write.mode("overwrite").parquet(newPath)
+    import spark.implicits._
+    Seq((minhashConstantsFingerprint,
+        maxShinglesPerDoc.map(_.toLong).getOrElse(-1L)))
+      .toDF("constants_fp", "max_shingles")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(newPath + "/_graft_build_params")
+  }
+
   /** [[minhashLshPairsAcross]] against a persisted corpus index instead
     * of re-scanning the stored corpus: the band join reads only the
     * signature columns of the index (parquet column pruning keeps the fat

@@ -141,6 +141,16 @@ object LlmOps extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The quantized scale path for the same query set: int8 arrays,
+    * integer dot products (scales cancel out of the cosine), exact
+    * oracle. Recall vs the float path is inspected in OperatorsSpec. */
+  def qAnnTopKQuant(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopKQuantized(emb.filter(col("vec_id") % 25 === 0),
+      emb, "vec_id", "embedding", 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.ivfTopK(emb.filter(col("vec_id") % 25 === 0), emb,
@@ -345,6 +355,47 @@ object LlmOps extends QueryModule {
       "doc_id", "text", WinnowK, WinnowW, WinnowMinShared,
       maxDf = Some(WinnowMaxDf))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Document-frequency cap for the gated line-dedup run: the planted
+    * boilerplate lines have df ≈ N, N/3, N/5 (N = corpus size, ≫ 10),
+    * so they drop; body lines recur only within exact-duplicate groups
+    * (df ≤ 3) and survive. */
+  val LineDedupMaxDf = 10L
+
+  /** CCNet-style line-level boilerplate removal, gated with PLANTED
+    * lines (the corpus text has no newlines — same mirrored-in-the-
+    * oracle convention as q_pii_redact/q_url_extract): every doc gets a
+    * shared header line, every 3rd a promo line, every 5th a footer;
+    * the doc's own text is its body line. */
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val t = concat(
+      lit("SHARED HEADER: all rights reserved\n"),
+      when(id % 3 === 0, lit("PROMO: subscribe now\n")).otherwise(lit("")),
+      col("text"),
+      when(id % 5 === 0, lit("\nFOOTER: contact us")).otherwise(lit("")))
+    CorpusQuality.dropBoilerplateLines(
+      Tables.documents(spark, dir).withColumn("text", t),
+      "doc_id", "text", LineDedupMaxDf)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Int8 quantization contract over the embeddings table: per vector,
+    * the symmetric max-abs scale and the l2 reconstruction error of the
+    * dequantized int8 vector — the error bound a quantized ANN pipeline
+    * rests on, replicated arithmetically in the oracle (widening float→
+    * double is exact, both engines fold the error sum left-to-right). */
+  def qEmbeddingQuant(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantizeInt8(Tables.embeddings(spark, dir), "embedding")
+    val deq = Similarity.dequantizeInt8(col("q"), col("q_scale"))
+    q.select(col("vec_id"),
+      round(col("q_scale"), 6).as("scale_r"),
+      round(sqrt(aggregate(
+        zip_with(col("embedding"), deq,
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, e) => acc + e)), 4).as("l2_err"))
+      .orderBy(col("vec_id"))
+  }
 
   /** Target domain mixture over the corpus's `source` column: emphasize
     * src0, starve src1, keep the rest uniform. The corpus's per-source
@@ -605,6 +656,9 @@ object LlmOps extends QueryModule {
     "q_corpus_prep_rt"  -> qCorpusPrepRt _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
     "q_contamination"   -> qContamination _,
+    "q_line_dedup"      -> qLineDedup _,
+    "q_embedding_quant" -> qEmbeddingQuant _,
+    "q_ann_topk_quant"  -> qAnnTopKQuant _,
     "q_lm_score"        -> qLmScore _,
     "q_curation"        -> qCuration _)
 
@@ -1211,6 +1265,63 @@ object LlmOps extends QueryModule {
          |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
          |  ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh, 4) AS contamination
          |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id ORDER BY tot.doc_id""".stripMargin,
+    "q_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    'SHARED HEADER: all rights reserved' || chr(10) ||
+         |    CASE WHEN doc_id % 3 = 0 THEN 'PROMO: subscribe now' || chr(10) ELSE '' END ||
+         |    text ||
+         |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'FOOTER: contact us' ELSE '' END AS t
+         |  FROM documents),
+         |ls AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM t),
+         |l0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+         |    i -> struct_pack(pos := i, line := trim(ls[i])))) AS g FROM ls),
+         |l2 AS (SELECT doc_id, g.pos AS pos, g.line AS line FROM l0 WHERE g.line <> ''),
+         |boiler AS (SELECT line FROM
+         |  (SELECT line, COUNT(DISTINCT doc_id) AS ldf FROM l2 GROUP BY 1)
+         |  WHERE ldf > $LineDedupMaxDf),
+         |kept AS (SELECT l2.* FROM l2 ANTI JOIN boiler USING (line)),
+         |asm AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         |    COUNT(*) AS n_kept FROM kept GROUP BY 1),
+         |nl AS (SELECT doc_id, COUNT(*) AS n_lines FROM l2 GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(asm.clean_text, '') AS clean_text,
+         |  CAST(COALESCE(asm.n_kept, 0) AS INT) AS n_kept,
+         |  CAST(COALESCE(nl.n_lines, 0) - COALESCE(asm.n_kept, 0) AS INT) AS n_dropped
+         |FROM documents d LEFT JOIN asm USING (doc_id) LEFT JOIN nl USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_embedding_quant" ->
+      s"""WITH m AS (SELECT vec_id, embedding,
+         |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
+         |  FROM embeddings),
+         |s AS (SELECT vec_id, embedding,
+         |    CASE WHEN ma IS NULL OR ma = 0 THEN 1.0 ELSE ma / 127.0 END AS scale
+         |  FROM m),
+         |e AS (SELECT vec_id, scale,
+         |    list_transform(embedding, x ->
+         |      CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale, 0) * scale) AS d
+         |  FROM s)
+         |SELECT vec_id, ROUND(scale, 6) AS scale_r,
+         |  ROUND(SQRT(list_sum(list_transform(d, x -> x * x))), 4) AS l2_err
+         |FROM e ORDER BY vec_id""".stripMargin,
+    // scales cancel out of the quantized cosine: integer dots, exact oracle
+    "q_ann_topk_quant" ->
+      s"""WITH m AS (SELECT vec_id, embedding,
+         |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
+         |  FROM embeddings),
+         |qz AS (SELECT vec_id, list_transform(embedding, x ->
+         |      round(CAST(x AS DOUBLE) /
+         |        (CASE WHEN ma IS NULL OR ma = 0 THEN 1.0 ELSE ma / 127.0 END), 0)) AS q
+         |  FROM m),
+         |n AS (SELECT vec_id, q,
+         |    sqrt(list_sum(list_transform(q, x -> x * x))) AS nq
+         |  FROM qz WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+         |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ROUND(list_sum(list_transform(range(1, len(a.q) + 1),
+         |      i -> a.q[i] * b.q[i])) / (a.nq * b.nq), 6) AS cos
+         |  FROM n a JOIN n b ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM (
+         |  SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_lm_score" ->
       """WITH docs2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |inst AS (SELECT doc_id,

@@ -307,6 +307,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxShinglesPerDoc"), ex.getMessage)
   }
 
+  test("line-level boilerplate dedup: df cap, order preserved, all-boilerplate doc survives empty") {
+    val docs = Seq(
+      (1L, "HEADER\nunique alpha\nmid content\nFOOTER"),
+      (2L, "HEADER\nunique beta\nFOOTER"),
+      (3L, "HEADER\nFOOTER"),             // all boilerplate → empty clean_text
+      (4L, "  HEADER  \n\n  \nunique gamma"), // trim-identical header; blank lines dropped
+      (5L, "standalone"))
+      .toDF("doc_id", "text")
+    // HEADER df=4, FOOTER df=3 > cap 2 → dropped; everything else df ≤ 1
+    val got = operators.CorpusQuality.dropBoilerplateLines(docs, "doc_id", "text", 2L)
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "unique alpha\nmid content", 2, 2),
+      (2L, "unique beta", 1, 2),
+      (3L, "", 0, 2),
+      (4L, "unique gamma", 1, 1), // blank lines aren't counted as dropped content
+      (5L, "standalone", 1, 0)))
+  }
+
   test("snapshot diff under duplicate ids: multiset semantics, no join fan-out") {
     val prev = Seq((1L, "a"), (1L, "b"), (2L, "x"), (3L, "gone"), (5L, "s"))
       .toDF("doc_id", "text")
@@ -321,6 +340,69 @@ class OperatorsSpec extends AnyFunSuite {
       3L -> "removed",
       4L -> "added",
       5L -> "changed"))
+  }
+
+  test("int8 quantization: half-scale error bound, zero-vector guard, quantized ANN recall") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),
+      (3L, Array(127.0f, -127.0f, 63.5f)))
+      .toDF("vec_id", "embedding")
+    val q = operators.Similarity.quantizeInt8(vecs, "embedding")
+      .select(col("vec_id"), col("embedding"), col("q"), col("q_scale"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Float](1), r.getSeq[Byte](2), r.getDouble(3))).toMap
+    // zero vector: scale pinned to 1.0, all-zero codes
+    assert(q(2L)._3 == 1.0 && q(2L)._2.forall(_ == 0))
+    // every reconstruction is within half a quantization step
+    q.values.foreach { case (v, codes, scale) =>
+      v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x.toDouble - c.toDouble * scale) <= scale / 2 + 1e-12,
+          s"err beyond scale/2: x=$x code=$c scale=$scale") }
+      assert(codes.forall(c => c >= -127 && c <= 127))
+    }
+    // quantized ANN agrees with the float path on most of the top-5
+    // (int8 over 64 dims loses little); exact agreement is NOT expected
+    val emb = sources.Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") % 25 === 0)
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = topSet(operators.Similarity.bruteForceTopK(
+      qs, emb, "vec_id", "embedding", 5))
+    val quant = topSet(operators.Similarity.bruteForceTopKQuantized(
+      qs, emb, "vec_id", "embedding", 5))
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall@5 too low: $recall")
+  }
+
+  test("minhash index merge equals from-scratch rebuild; delta wins on re-ingested ids") {
+    val docs = sources.Tables.documents(spark, sf)
+    val isNew = col("doc_id") % 10 === 7
+    val root = java.nio.file.Files.createTempDirectory("graft-mhmerge").toString
+    operators.Dedup.saveMinhashIndex(docs.filter(!isNew), "doc_id", "text", root + "/e1")
+    operators.Dedup.mergeMinhashIndex(spark, root + "/e1",
+      docs.filter(isNew), "doc_id", "text", root + "/e2")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(rows(operators.Dedup.loadMinhashIndex(spark, root + "/e2")) ==
+      rows(operators.Dedup.buildMinhashIndex(docs, "doc_id", "text")),
+      "merged epoch must be bit-equal to rebuilding over the full corpus")
+    // re-ingest a MUTATED version of the new split: delta rows replace
+    // the stale index rows for those ids (last-write-wins), others stay
+    val mutated = docs.filter(isNew)
+      .withColumn("text", concat(col("text"), lit(" updated tail")))
+    operators.Dedup.mergeMinhashIndex(spark, root + "/e2",
+      mutated, "doc_id", "text", root + "/e3")
+    val e3 = operators.Dedup.loadMinhashIndex(spark, root + "/e3")
+    assert(rows(e3.filter(isNew)) ==
+      rows(operators.Dedup.buildMinhashIndex(mutated, "doc_id", "text")))
+    assert(rows(e3.filter(!isNew)) ==
+      rows(operators.Dedup.buildMinhashIndex(docs.filter(!isNew), "doc_id", "text")))
+    // an in-place merge must be refused (overwrite is not atomic)
+    intercept[IllegalArgumentException] {
+      operators.Dedup.mergeMinhashIndex(spark, root + "/e3",
+        mutated, "doc_id", "text", root + "/e3")
+    }
   }
 
   test("chunking: overlapping windows, short tail, empty docs emit nothing") {
