@@ -131,6 +131,24 @@ class PlanSpec extends AnyFunSuite {
       s"query side should broadcast in:\n$p")
   }
 
+  test("quantized ANN keeps the same broadcast shape as the float path") {
+    val p = plan("q_ann_topk_quant")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side should broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus must not shuffle into a cartesian:\n$p")
+  }
+
+  /** Line dedup's corpus-level signal (the per-line df) must aggregate
+    * on the 64-bit line hash, never shuffle the line STRINGS for df,
+    * and apply the boilerplate set as a build-side anti-join. */
+  test("line dedup plan: hashed df aggregation, anti-join boilerplate set, no cartesian") {
+    val p = plan("q_line_dedup")
+    assert(p.contains("LeftAnti"), s"boilerplate removal should be an anti-join:\n$p")
+    assert("HashAggregate\\(keys=\\[lh".r.findFirstIn(p).isDefined,
+      s"df aggregation should key on the line hash:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian expected:\n$p")
+  }
+
   /** The gated IVF bindings carry a corpus-proportional query set, so
     * they must NOT hint a query-side broadcast: with auto-broadcast off
     * the probe plans as a shuffle join on the cell key (the shape that
