@@ -165,6 +165,45 @@ object Relational extends QueryModule {
       .orderBy(col("user_id"), col("rn"))
   }
 
+  /** Running aggregates — §2.6 frame windows: per-customer running
+    * revenue and a 3-row moving average over the order history.
+    * Determinism contract: prices quantize to integer cents BEFORE the
+    * window (a running float SUM accumulates in engine-specific order —
+    * DuckDB's segment-tree windows vs Spark's sequential frames — so an
+    * integer sum is the only bit-stable form); the single final /100.0
+    * division is the same double op in both engines.
+    * Scale: both frames share one (o_custkey) shuffle + sort; running
+    * frames stream in O(1) memory per row — no whole-partition buffering. */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = w.rowsBetween(-2, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("running_total",
+        round(sum(col("cents")).over(run) / lit(100.0), 2))
+      // 4 decimals, not 2: a 2-row frame's avg of integer cents lands
+      // EXACTLY on the .5 rounding boundary (engines disagree half-up vs
+      // half-even there); at 4 decimals no n∈{1,2,3} denominator can
+      // produce a boundary value, so the rounded double is bit-stable
+      .withColumn("mov_avg3",
+        round(avg(col("cents")).over(mov) / lit(100.0), 4))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("running_total"), col("mov_avg3"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Blocked fuzzy self-match over part names (operators.FuzzyJoin):
+    * near-identical names within a (brand, size) block at edit
+    * distance ≤ 2 — merge candidates for entity resolution. Block
+    * sizes capped at 100 (guard against degenerate keys). */
+  def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.fuzzySelfPairs(
+      Tables.part(spark, dir), "p_partkey", "p_name",
+      Seq("p_brand", "p_size"), maxDist = 2, maxBlockSize = 100)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Exact percentiles per group (linear interpolation — Spark's
     * `percentile` and DuckDB's `quantile_cont` share the definition).
     * At 100 TB swap for approx_percentile (t-digest) — the exact form
@@ -318,6 +357,8 @@ object Relational extends QueryModule {
     "q_full_outer"        -> qFullOuter _,
     "q_topk"              -> qTopK _,
     "q_window_rownum"     -> qWindowRownum _,
+    "q_window_running"    -> qWindowRunning _,
+    "q_fuzzy_match"       -> qFuzzyMatch _,
     "q_set_ops"           -> qSetOps _,
     "q_dedup_lastwin"     -> qDedupLastWin _,
     "q_distinct"          -> qDistinct _,
@@ -417,6 +458,31 @@ object Relational extends QueryModule {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, rn""".stripMargin,
+    "q_window_running" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  ROUND(SUM(cents) OVER w_run / 100.0, 2) AS running_total,
+        |  ROUND(AVG(cents) OVER w_mov / 100.0, 4) AS mov_avg3
+        |FROM o
+        |WINDOW
+        |  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_fuzzy_match" ->
+      """WITH b AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
+        |sz AS (SELECT p_brand, p_size FROM b GROUP BY 1, 2 HAVING COUNT(*) <= 100),
+        |k AS (SELECT b.* FROM b JOIN sz USING (p_brand, p_size))
+        |SELECT a.p_partkey AS id_a, c.p_partkey AS id_b,
+        |  a.p_name AS name_a, c.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, c.p_name) AS INT) AS dist
+        |FROM k a JOIN k c
+        |  ON a.p_brand = c.p_brand AND a.p_size = c.p_size
+        |  AND a.p_partkey < c.p_partkey
+        |WHERE levenshtein(a.p_name, c.p_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_set_ops" ->
       """WITH s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
         |     e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')

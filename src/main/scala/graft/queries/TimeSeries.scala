@@ -3,6 +3,7 @@ package graft.queries
 import graft.QueryModule
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-spine and interval operators — the reference's derive-phase time
@@ -178,6 +179,44 @@ object TimeSeries extends QueryModule {
       .orderBy(col("bucket_day"), col("event_type"))
   }
 
+  /** Gap-based batch sessionization — the batch analog of the streaming
+    * sessionizer (streaming.EventStreams): consecutive events of a user
+    * more than `gapSeconds` apart start a new session; a session
+    * aggregates its span, event count, and value total.
+    *
+    * Scale shape: ONE shuffle on user_id serves everything — lag and the
+    * running session counter are two Window nodes over the same
+    * (partition, order) so they share the Exchange+Sort, and the final
+    * per-(user, session) aggregate is clustered by a superset of the
+    * existing user_id hash partitioning, so it adds no shuffle. Skewed
+    * users (bot traffic) are the 100 TB risk: a single user's history
+    * must fit one task's sort spill — cap per-user history upstream or
+    * pre-split pathological users by day before sessionizing. */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapSeconds * 1000000L,
+          lit(1L)).otherwise(lit(0L)))
+      // explicit ROWS frame: the default RANGE frame would tie-group
+      // equal timestamps and diverge from the oracle's running sum
+      .withColumn("session_seq", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+  }
+
+  /** Sessionized events at a 30-minute inactivity gap. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(spark, dir), gapSeconds = 1800L)
+      .orderBy(col("user_id"), col("session_seq"))
+
   /** Bucketized point-in-interval range join (operators.RangeJoin):
     * purchases matched to the 'view' intervals containing them, per
     * user. 1-hour grain ≈ the median interval length. */
@@ -203,7 +242,8 @@ object TimeSeries extends QueryModule {
     "q_occupancy_hourly" -> qOccupancyHourly _,
     "q_occupancy_approx" -> qOccupancyApprox _,
     "q_occupancy_daily"  -> qOccupancyDaily _,
-    "q_throughput_daily" -> qThroughputDaily _)
+    "q_throughput_daily" -> qThroughputDaily _,
+    "q_sessionize"       -> qSessionize _)
 
   val oracleSql: Map[String, String] = Map(
     "q_range_join" ->
@@ -306,5 +346,23 @@ object TimeSeries extends QueryModule {
         |FROM en FULL OUTER JOIN ex
         |  ON en.bucket_day = ex.bucket_day AND en.event_type = ex.event_type
         |WHERE COALESCE(en.entries, 0) > 0 OR COALESCE(ex.exits, 0) > 0
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, "value" AS v
+        |  FROM events),
+        |l AS (SELECT user_id, event_id, ts, v,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM e),
+        |f AS (SELECT user_id, event_id, ts, v,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM l),
+        |s AS (SELECT user_id, ts, v,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM f)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events, ROUND(SUM(v), 4) AS total_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

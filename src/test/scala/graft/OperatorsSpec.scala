@@ -1086,4 +1086,34 @@ class OperatorsSpec extends AnyFunSuite {
     val byId = got.map(r => r._1 -> r._2).toMap
     assert(byId(1L) > 0.9 && byId(2L) > 0.9 && byId(3L) < -0.9)
   }
+
+  test("sessionize splits strictly past the gap, inclusive at the boundary") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val ev = Seq(
+      (1L, 10L, ts(0), 1.0),     // session 1
+      (1L, 11L, ts(1800), 2.0),  // exactly the gap → SAME session
+      (1L, 12L, ts(3601), 4.0),  // 1801 s after prev → new session
+      (2L, 20L, ts(0), 8.0))     // other user: own numbering
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = queries.TimeSeries.sessionize(ev, gapSeconds = 1800L)
+      .select("user_id", "session_seq", "n_events", "total_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 4.0), (2L, 1L, 1L, 8.0)),
+      s"got $got")
+  }
+
+  test("fuzzy self-pairs match within a block and skip oversized blocks") {
+    val df = Seq(
+      (1L, "red widget", "b1"), (2L, "red widgets", "b1"), // dist 1
+      (3L, "blue bolt", "b1"),                              // too far from both
+      (4L, "same name", "big"), (5L, "same name", "big"),   // oversized block
+      (6L, "same name", "big"), (7L, "same name", "big"))
+      .toDF("id", "name", "blk")
+    val got = operators.FuzzyJoin.fuzzySelfPairs(df, "id", "name",
+      Seq("blk"), maxDist = 2, maxBlockSize = 3)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1)),
+      s"expected only the b1 near-pair (block 'big' capped out): $got")
+  }
 }

@@ -91,6 +91,26 @@ class PlanSpec extends AnyFunSuite {
     assert(ps.contains("LeftSemi") || ps.contains("left_semi"))
   }
 
+  /** Blocking is the whole point of the fuzzy join: the self-join must
+    * be an equi-join on the block key (hash shuffle co-locating blocks),
+    * never a cartesian/nested-loop with levenshtein as the only
+    * predicate — that shape is n² row comparisons at any scale. */
+  test("fuzzy match self-join is block-keyed, not cartesian") {
+    val p = plan("q_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must stay an equi-join on the block key:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join:\n$p")
+  }
+
+  /** One (o_custkey) exchange serves both running frames — a second
+    * Exchange would mean the windows failed to share their partitioning. */
+  test("running-window frames share a single user shuffle") {
+    val p = plan("q_window_running")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected one hash exchange for both window frames, got $n:\n$p")
+  }
+
   test("scalar projections prune the scan and run in whole-stage codegen") {
     val df = SparkEntry.queries("q_scalar_hash")(spark, sf)
     df.collect() // execute THIS plan so AQE finalizes and codegen stages appear
