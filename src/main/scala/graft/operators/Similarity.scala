@@ -280,6 +280,173 @@ object Similarity {
       .withColumn("is_outlier", col("cos_centroid") < threshold)
   }
 
+  // ---- product quantization (PQ) -----------------------------------
+
+  /** Product-quantization codebooks: `m` subspaces, each with `k`
+    * centroids of `dsub` dims. A corpus vector encodes to `m` small
+    * codes (here one byte each) — at 100 TB the ANN candidate scan
+    * reads m bytes/vector instead of 4·dim, and scoring a pair is an
+    * m-entry table lookup instead of a dim-length dot product. */
+  case class PqModel(codebooks: Vector[Vector[Array[Double]]]) {
+    def m: Int = codebooks.size
+    def k: Int = codebooks.head.size
+    def dsub: Int = codebooks.head.head.length
+    def dim: Int = m * dsub
+  }
+
+  /** Per-subspace L2 k-means (Lloyd's) on a deterministic hash-ordered
+    * sample of ≤ sampleCap vectors — same bounded-training contract as
+    * [[trainIvf]]: the sample collects to the driver, iterations are
+    * driver-side, cost independent of corpus size. Vector dim must be
+    * divisible by `m`. */
+  def trainPq(corpus: DataFrame, vecCol: String, m: Int, k: Int,
+              maxIters: Int = 8, seed: Long = 42L,
+              sampleCap: Int = 65536): PqModel = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).as("v"))
+      .withColumn("_h", xxhash64(col("v"), lit(seed)))
+      .orderBy(col("_h"))
+      .limit(sampleCap)
+      .select(col("v"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "trainPq: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"trainPq: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val books = (0 until m).map { j =>
+      val subs = sample.map(v => v.slice(j * dsub, (j + 1) * dsub))
+      // init: first k distinct subvectors in hash order (content equality)
+      var cents: Vector[Array[Double]] =
+        subs.map(_.toVector).distinct.take(k).toVector.map(_.toArray)
+      require(cents.size == k,
+        s"trainPq: subspace $j needs >= $k distinct subvectors, got ${cents.size}")
+      (0 until maxIters).foreach { _ =>
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Long](k)
+        subs.foreach { s =>
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var i = 0
+            while (i < dsub) { val t = s(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += s(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+        }
+      }
+      cents
+    }.toVector
+    PqModel(books)
+  }
+
+  private def pqBooksLit(model: PqModel): Column =
+    typedlit(model.codebooks.map(_.map(_.toSeq)))
+
+  /** PQ encoding as a pure Column expression — one map-side pass, no
+    * shuffle, no UDF: per subspace, the L2-nearest centroid's index
+    * (first index on ties — deterministic). Output: array<int>, length m. */
+  def pqEncodeExpr(vec: Column, model: PqModel): Column = {
+    val dsub = model.dsub
+    transform(pqBooksLit(model), (book, j) => {
+      val sub = slice(vec, j * lit(dsub) + 1, lit(dsub))
+      val dists = transform(book, c =>
+        aggregate(zip_with(sub, c, (x, y) => {
+          val d = x.cast("double") - y
+          d * d
+        }), lit(0.0), (acc, d) => acc + d))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+  }
+
+  /** Asymmetric-distance (ADC) PQ top-k with exact rerank — the
+    * production two-stage ANN shape:
+    *
+    *  1. SHORTLIST: each corpus vector is its m PQ codes; the query
+    *     precomputes an m×k lookup table of subspace dot products, so
+    *     scoring a candidate is m table lookups (vs dim multiplies) over
+    *     m bytes of corpus state (vs 4·dim) — the approximate cosine
+    *     uses the reconstruction's norm, also a table lookup. Top
+    *     `candidates` per query survive.
+    *  2. RERANK: the shortlist (|queries|·candidates rows, bounded)
+    *     joins back to the float vectors by id and exact cosine picks
+    *     the final top-k — output contract identical to
+    *     [[bruteForceTopK]] (same rounding, same tie-break), recall
+    *     governed by `candidates`.
+    *
+    * Scale shape: queries broadcast (bounded-query contract), the corpus
+    * never shuffles in either stage; with `candidates` ≥ |corpus| the
+    * shortlist is exhaustive and the result EQUALS bruteForceTopK
+    * (spec-asserted), which is what certifies the rerank stage. */
+  def pqSearchTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, model: PqModel, k: Int,
+                   candidates: Int): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(queries.sparkSession)
+    // centroid norm² table — a model constant, not per-query work
+    val normsLit = typedlit(model.codebooks.map(_.map(c => c.map(x => x * x).sum)))
+    val dsub = model.dsub
+    val q = queriesSide(queries, idCol, vecCol)
+      .withColumn("lut", transform(pqBooksLit(model), (book, j) =>
+        transform(book, c =>
+          ddot(slice(col("qv"), j * lit(dsub) + 1, lit(dsub)), c))))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("codes", pqEncodeExpr(col("cv"), model))
+      .withColumn("nrec", sqrt(aggregate(
+        zip_with(col("codes"), normsLit, (cd, ns) => element_at(ns, cd + 1)),
+        lit(0.0), (acc, x) => acc + x)))
+      .drop("cv")
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id").asc)
+    val shortlist = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("lut"), (cd, lut) => element_at(lut, cd + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .filter(col("nq") > 0 && col("nrec") > 0)
+      .withColumn("adc_cos", col("adc") / (col("nq") * col("nrec")))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank: shortlist is bounded → broadcast onto the corpus
+    val reranked = broadcast(shortlist
+        .join(broadcast(queriesSide(queries, idCol, vecCol)), Seq("query_id")))
+      .join(corpusSide(corpus, idCol, vecCol), Seq("neighbor_id"))
+    scoreTopK(reranked, k)
+  }
+
+  /** Persist PQ codebooks: one row per (subspace, cell, centroid). */
+  def savePq(spark: org.apache.spark.sql.SparkSession, model: PqModel,
+             path: String): Unit = {
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toDF("subspace", "cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload persisted codebooks; exact round-trip of [[savePq]]. */
+  def loadPq(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(path)
+      .select(col("subspace"), col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"loadPq: empty model at $path")
+    val books = rows.groupBy(_._1).toVector.sortBy(_._1).map { case (j, rs) =>
+      val cells = rs.sortBy(_._2)
+      require(cells.map(_._2).toSeq == cells.indices, s"loadPq: subspace $j malformed")
+      cells.map(_._3).toVector
+    }
+    require(rows.map(_._1).distinct.sorted.toSeq == books.indices,
+      s"loadPq: malformed model at $path")
+    PqModel(books)
+  }
+
   /** Int8 scalar quantization of an embedding column — the 4× storage/
     * bandwidth cut a 100 TB embedding store takes before anything else
     * (a float32 corpus of 10¹¹ × 768-dim vectors is ~300 TB; int8 + one

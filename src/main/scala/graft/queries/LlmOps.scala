@@ -158,6 +158,32 @@ object LlmOps extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product-quantization ANN (ADC shortlist → exact rerank), certified
+    * by recall against the exact top-k — the q_occupancy_approx pattern:
+    * sketch internals are engine-specific, so the ORACLE-CHECKED output
+    * is the query set + a recall-≥-0.8 flag (DuckDB reproduces
+    * query_id/TRUE exactly; a PQ regression drops a flag to FALSE and
+    * fails the hash compare). Training, encoding, and ranking are all
+    * seeded/tie-broken deterministic, so the flag is stable. */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).cache()
+    val q = emb.filter(col("vec_id") % 25 === 0)
+    val model = Similarity.trainPq(emb, "embedding", m = 8, k = 16,
+      maxIters = 8, seed = 42L)
+    val pq = Similarity.pqSearchTopK(q, emb, "vec_id", "embedding",
+      model, k = 5, candidates = 100)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+    val hits = pq.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)) >= 4L).as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
   /** Learned-quantizer IVF (seeded k-means, 16 cells) with the probe set
     * to exhaustive (nprobe = nCells): every corpus vector lives in
     * exactly one cell, so the exhaustive probe returns exactly the
@@ -628,6 +654,7 @@ object LlmOps extends QueryModule {
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh _,
     "q_ann_topk"        -> qAnnTopK _,
     "q_ann_ivf"         -> qAnnIvf _,
+    "q_ann_pq"          -> qAnnPq _,
     "q_ann_ivf_kmeans"  -> qAnnIvfKmeans _,
     "q_text_stats"      -> qTextStats _,
     "q_lang_id"         -> qLangId _,
@@ -936,10 +963,15 @@ object LlmOps extends QueryModule {
          |      (sqrt(${dot("q.v", "q.v")}) * sqrt(${dot("c.v", "c.v")})), 6) AS cos
          |  FROM e q JOIN e c ON q.vec_id % 25 = 0 AND q.label = c.label
          |    AND q.vec_id <> c.vec_id)
-         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM (
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM ( /*ivf*/
          |  SELECT *, ROW_NUMBER() OVER
          |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s) t
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // PQ sketch internals are engine-specific; the gate checks the query
+    // set + the recall>=0.8 contract flag (q_occupancy_approx pattern)
+    "q_ann_pq" ->
+      """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY query_id""".stripMargin,
     "q_text_stats" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks

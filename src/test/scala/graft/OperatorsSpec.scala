@@ -1087,6 +1087,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byId(1L) > 0.9 && byId(2L) > 0.9 && byId(3L) < -0.9)
   }
 
+  test("PQ with exhaustive candidates equals exact brute force; codebooks round-trip") {
+    val emb = sources.Tables.embeddings(spark, sf).cache()
+    val q = emb.filter(col("vec_id") % 25 === 0)
+    val model = operators.Similarity.trainPq(emb, "embedding", m = 8, k = 4,
+      maxIters = 4, seed = 42L)
+    // candidates >= |corpus| → shortlist is exhaustive → rerank IS brute force
+    val n = emb.count().toInt
+    val pq = operators.Similarity.pqSearchTopK(q, emb, "vec_id", "embedding",
+      model, k = 5, candidates = n)
+      .orderBy("query_id", "rank").collect().toSeq
+    val exact = operators.Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(pq == exact, "exhaustive-candidate PQ must equal the exact top-k")
+
+    val dir = java.nio.file.Files.createTempDirectory("pq-model").toString
+    operators.Similarity.savePq(spark, model, s"$dir/pq")
+    val loaded = operators.Similarity.loadPq(spark, s"$dir/pq")
+    assert(loaded.codebooks.map(_.map(_.toSeq)) ==
+      model.codebooks.map(_.map(_.toSeq)), "PQ codebooks must round-trip exactly")
+    emb.unpersist()
+  }
+
+  test("PQ shortlist recall at the gate's config meets the 0.8 contract") {
+    val emb = sources.Tables.embeddings(spark, sf).cache()
+    val q = emb.filter(col("vec_id") % 25 === 0)
+    val model = operators.Similarity.trainPq(emb, "embedding", m = 8, k = 16,
+      maxIters = 8, seed = 42L)
+    val pq = operators.Similarity.pqSearchTopK(q, emb, "vec_id", "embedding",
+      model, k = 5, candidates = 100)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = operators.Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (pq intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall@5 with 100/${emb.count()} candidates: $recall")
+    emb.unpersist()
+  }
+
   test("sessionize splits strictly past the gap, inclusive at the boundary") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000L)

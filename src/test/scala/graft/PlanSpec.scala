@@ -158,6 +158,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"corpus must not shuffle into a cartesian:\n$p")
   }
 
+  /** Both PQ stages keep the bounded side broadcast: the shortlist scan
+    * broadcasts the query LUTs over the encoded corpus, the rerank
+    * broadcasts the shortlist back onto the float vectors — the corpus
+    * is never the build/shuffled-into-cartesian side in either stage. */
+  test("PQ ANN broadcasts queries and shortlist; corpus never cartesians") {
+    val p = plan("q_ann_pq")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"bounded sides should broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus must not shuffle into a cartesian:\n$p")
+  }
+
   /** Line dedup's corpus-level signal (the per-line df) must aggregate
     * on the 64-bit line hash, never shuffle the line STRINGS for df,
     * and apply the boilerplate set as a build-side anti-join. */
