@@ -388,23 +388,71 @@ object Similarity {
                    vecCol: String, model: PqModel, k: Int,
                    candidates: Int): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(queries.sparkSession)
-    // centroid norm² table — a model constant, not per-query work
-    val normsLit = typedlit(model.codebooks.map(_.map(c => c.map(x => x * x).sum)))
+    val pairs = broadcast(pqQuerySide(queries, idCol, vecCol, model))
+      .crossJoin(pqCorpusSide(corpus, idCol, vecCol, model))
+    pqShortlistRerank(pairs, queries, corpus, idCol, vecCol, k, candidates)
+  }
+
+  /** IVF-PQ — the FAISS composition of the two quantizers: the coarse
+    * quantizer prunes the search to the query's nprobe nearest cells
+    * (an equi-join on the cell key — only probed cells are even read),
+    * PQ codes ADC-score the survivors, and the bounded shortlist
+    * reranks exactly. The 100 TB shape for corpus-scale ANN: per query
+    * the scan touches nprobe/nCells of the corpus at m bytes per
+    * vector, and the float vectors are read only for the shortlist.
+    * With nprobe = nCells the cell join is exhaustive and the result
+    * equals [[pqSearchTopK]] at the same candidate count
+    * (spec-asserted). `broadcastQueries`: see [[probeJoin]]. */
+  def ivfPqSearchTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                      vecCol: String, ivf: IvfModel, pq: PqModel, k: Int,
+                      nprobe: Int, candidates: Int,
+                      broadcastQueries: Boolean = true): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(queries.sparkSession)
+    val q = pqQuerySide(queries, idCol, vecCol, pq)
+      .withColumn("cell", explode(probeCellsExpr(col("qv"), ivf, nprobe)))
+    val c = pqCorpusSide(corpus, idCol, vecCol, pq)
+      .withColumn("cell", cellExpr(col("cv"), ivf))
+      .drop("cv")
+    val pairs = probeJoin(q, c, broadcastQueries)
+    pqShortlistRerank(pairs, queries, corpus, idCol, vecCol, k, candidates)
+  }
+
+  /** Query side of an ADC scan: id, float vector + norm, and the m×k
+    * table of subspace dot products the scoring lookups read. */
+  private def pqQuerySide(queries: DataFrame, idCol: String, vecCol: String,
+                          model: PqModel): DataFrame = {
     val dsub = model.dsub
-    val q = queriesSide(queries, idCol, vecCol)
+    queriesSide(queries, idCol, vecCol)
       .withColumn("lut", transform(pqBooksLit(model), (book, j) =>
         transform(book, c =>
           ddot(slice(col("qv"), j * lit(dsub) + 1, lit(dsub)), c))))
-    val c = corpus
+  }
+
+  /** Corpus side of an ADC scan: id, PQ codes, reconstruction norm
+    * (a model-constant norm² table lookup — keeps `cv` only for cell
+    * assignment; callers drop it). */
+  private def pqCorpusSide(corpus: DataFrame, idCol: String, vecCol: String,
+                           model: PqModel): DataFrame = {
+    // centroid norm² table — a model constant, not per-query work
+    val normsLit = typedlit(model.codebooks.map(_.map(c => c.map(x => x * x).sum)))
+    corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("codes", pqEncodeExpr(col("cv"), model))
       .withColumn("nrec", sqrt(aggregate(
         zip_with(col("codes"), normsLit, (cd, ns) => element_at(ns, cd + 1)),
         lit(0.0), (acc, x) => acc + x)))
-      .drop("cv")
+  }
+
+  /** Shared PQ tail: ADC-score candidate pairs, keep `candidates` per
+    * query, rerank the bounded shortlist exactly against the float
+    * vectors ([[scoreTopK]] contract). */
+  private def pqShortlistRerank(pairs: DataFrame, queries: DataFrame,
+                                corpus: DataFrame, idCol: String,
+                                vecCol: String, k: Int,
+                                candidates: Int): DataFrame = {
     val wCand = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_cos").desc, col("neighbor_id").asc)
-    val shortlist = broadcast(q).crossJoin(c)
+    val shortlist = pairs
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", aggregate(
         zip_with(col("codes"), col("lut"), (cd, lut) => element_at(lut, cd + 1)),

@@ -158,6 +158,35 @@ object LlmOps extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ (coarse cell prune → ADC shortlist → exact rerank) under
+    * the same recall-flag oracle as q_ann_pq. Gated at nprobe = nCells
+    * (the q_ann_ivf_kmeans precedent: exhaustive probing is the
+    * oracle-stable configuration); recall at partial nprobe — the
+    * production setting — is spec-verified in OperatorsSpec. The query
+    * set is corpus-proportional, so broadcastQueries = false: the probe
+    * is a cell equi-join, both sides shuffle by cell. */
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).cache()
+    val q = emb.filter(col("vec_id") % 25 === 0)
+    val ivf = Similarity.trainIvf(emb, "embedding", nCells = 16,
+      maxIters = 5, seed = 42L)
+    val pqm = Similarity.trainPq(emb, "embedding", m = 8, k = 16,
+      maxIters = 8, seed = 42L)
+    val got = Similarity.ivfPqSearchTopK(q, emb, "vec_id", "embedding",
+      ivf, pqm, k = 5, nprobe = ivf.nCells, candidates = 100,
+      broadcastQueries = false)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+    val hits = got.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)) >= 4L).as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
   /** Product-quantization ANN (ADC shortlist → exact rerank), certified
     * by recall against the exact top-k — the q_occupancy_approx pattern:
     * sketch internals are engine-specific, so the ORACLE-CHECKED output
@@ -655,6 +684,7 @@ object LlmOps extends QueryModule {
     "q_ann_topk"        -> qAnnTopK _,
     "q_ann_ivf"         -> qAnnIvf _,
     "q_ann_pq"          -> qAnnPq _,
+    "q_ann_ivfpq"       -> qAnnIvfPq _,
     "q_ann_ivf_kmeans"  -> qAnnIvfKmeans _,
     "q_text_stats"      -> qTextStats _,
     "q_lang_id"         -> qLangId _,
@@ -972,6 +1002,10 @@ object LlmOps extends QueryModule {
     "q_ann_pq" ->
       """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY query_id""".stripMargin,
+    "q_ann_ivfpq" ->
+      """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY query_id
+        |-- ivfpq""".stripMargin,
     "q_text_stats" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks

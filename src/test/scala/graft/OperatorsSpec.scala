@@ -1124,6 +1124,33 @@ class OperatorsSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("IVF-PQ with exhaustive probing equals plain PQ; partial probe keeps recall") {
+    val emb = sources.Tables.embeddings(spark, sf).cache()
+    val q = emb.filter(col("vec_id") % 25 === 0)
+    val ivf = operators.Similarity.trainIvf(emb, "embedding", nCells = 16,
+      maxIters = 5, seed = 42L)
+    val pqm = operators.Similarity.trainPq(emb, "embedding", m = 8, k = 16,
+      maxIters = 8, seed = 42L)
+    // nprobe = nCells → every cell probed → identical to the PQ-only scan
+    val full = operators.Similarity.ivfPqSearchTopK(q, emb, "vec_id", "embedding",
+      ivf, pqm, k = 5, nprobe = ivf.nCells, candidates = 100)
+      .orderBy("query_id", "rank").collect().toSeq
+    val pqOnly = operators.Similarity.pqSearchTopK(q, emb, "vec_id", "embedding",
+      pqm, k = 5, candidates = 100)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(full == pqOnly, "exhaustive-probe IVF-PQ must equal the PQ-only scan")
+    // half the cells probed — the production setting: recall degrades
+    // gracefully, not catastrophically
+    val half = operators.Similarity.ivfPqSearchTopK(q, emb, "vec_id", "embedding",
+      ivf, pqm, k = 5, nprobe = 8, candidates = 100)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = operators.Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (half intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVF-PQ recall@5 at nprobe=8/16: $recall")
+    emb.unpersist()
+  }
+
   test("sessionize splits strictly past the gap, inclusive at the boundary") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000L)

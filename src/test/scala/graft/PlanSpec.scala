@@ -201,6 +201,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** IVF-PQ probe stage: corpus-proportional queries → cell equi-join
+    * (shuffle, not a forced broadcast of the query side); only the
+    * bounded rerank shortlist broadcasts (explicit hint). Never a
+    * cartesian anywhere. */
+  test("IVF-PQ probes via a cell shuffle join; only the shortlist broadcasts") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q_ann_ivfpq")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"probe should be a shuffle join on the cell key:\n$p")
+      assert(!p.contains("CartesianProduct"), s"must stay keyed on cell:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   /** SRP-LSH embedding dedup: candidates come from a (band, sig)
     * equi-join; the signature computation is the codegen SrpSigsF32
     * expression, not a UDF; and nothing corpus-sized is broadcast. */
