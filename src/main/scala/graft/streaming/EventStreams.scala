@@ -250,4 +250,33 @@ object EventStreams {
         batch, index, idCol, textCol, threshold, maxShinglesPerDoc), epochId)
     }
   }
+
+  /** Streaming ANN — each micro-batch of query vectors searches a
+    * STATIC corpus through persisted quantizer models (the search
+    * analog of [[nearDupsAgainstIndexStream]]'s dedup story): a batch
+    * job trains and saves the IVF + PQ models once per corpus epoch
+    * ([[graft.operators.Similarity.saveIvf]]/[[graft.operators
+    * .Similarity.savePq]]); the live feed tags every arriving vector
+    * with its top-k nearest stored neighbors — similarity-at-ingest
+    * for retrieval/routing/near-dup triage.
+    *
+    * Same `foreachBatch` rationale as the near-dup stream: the ADC
+    * shortlist's per-query window and the rerank join are batch plans,
+    * and each result row depends only on its own query vector and the
+    * static corpus, so the union over micro-batches equals the one-shot
+    * batch search over the same feed (asserted in StreamingSpec).
+    * Models load (and validate) once at wiring time; each micro-batch
+    * pays only the probe join over its own rows. */
+  def annTopKStream(queries: DataFrame, corpus: DataFrame,
+      ivfPath: String, pqPath: String, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, candidates: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = queries.sparkSession
+    val ivf = graft.operators.Similarity.loadIvf(spark, ivfPath)
+    val pq = graft.operators.Similarity.loadPq(spark, pqPath)
+    queries.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      sink(graft.operators.Similarity.ivfPqSearchTopK(
+        batch, corpus, idCol, vecCol, ivf, pq, k, nprobe, candidates), epochId)
+    }
+  }
 }

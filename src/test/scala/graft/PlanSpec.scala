@@ -111,6 +111,16 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 1, s"expected one hash exchange for both window frames, got $n:\n$p")
   }
 
+  /** Sessionization is ONE shuffle end-to-end: lag, the running session
+    * counter, and the per-(user, session) aggregate all execute under
+    * the original (user_id) hash partitioning — the aggregate's keys
+    * are a superset of the partitioning, so no re-exchange. */
+  test("sessionize runs lag, counter, and session aggregate on one shuffle") {
+    val p = plan("q_sessionize")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected a single user_id exchange, got $n:\n$p")
+  }
+
   test("scalar projections prune the scan and run in whole-stage codegen") {
     val df = SparkEntry.queries("q_scalar_hash")(spark, sf)
     df.collect() // execute THIS plan so AQE finalizes and codegen stages appear

@@ -275,4 +275,53 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed pairs diverged from batch:\n${got.toSet}\nvs\n$batch")
     assert(got.nonEmpty)
   }
+
+  /** Streamed queries against the persisted IVF+PQ models: the union of
+    * per-micro-batch top-k results must equal the one-shot batch search
+    * over the same query rows (per-query independence). */
+  test("streaming ANN against persisted quantizer models equals the batch search") {
+    import spark.implicits._
+    val emb = sources.Tables.embeddings(spark, sf).cache()
+    val isQuery = col("vec_id") % 25 === 0
+    val corpus = emb.filter(!isQuery)
+    val ivf = operators.Similarity.trainIvf(corpus, "embedding", nCells = 8,
+      maxIters = 4, seed = 42L)
+    val pqm = operators.Similarity.trainPq(corpus, "embedding", m = 8, k = 8,
+      maxIters = 4, seed = 42L)
+    val modelDir = java.nio.file.Files.createTempDirectory("graft-annm").toString
+    operators.Similarity.saveIvf(spark, ivf, s"$modelDir/ivf")
+    operators.Similarity.savePq(spark, pqm, s"$modelDir/pq")
+    // stage query vectors as two files; 1 file per trigger → ≥2 batches
+    val qDir = java.nio.file.Files.createTempDirectory("graft-annq").toString
+    emb.filter(isQuery).select("vec_id", "embedding")
+      .repartition(2).write.mode("overwrite").parquet(qDir)
+    val qSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(qSchema)
+      .option("maxFilesPerTrigger", 1).parquet(qDir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    var batches = 0
+    val q = streaming.EventStreams.annTopKStream(
+      stream, corpus, s"$modelDir/ivf", s"$modelDir/pq",
+      "vec_id", "embedding", k = 3, nprobe = 8, candidates = 50) { (r, _) =>
+        got.synchronized {
+          got ++= r.select("query_id", "rank", "neighbor_id", "cos")
+            .as[(Long, Int, Long, Double)].collect()
+          batches += 1
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = operators.Similarity.ivfPqSearchTopK(
+      emb.filter(isQuery), corpus, "vec_id", "embedding", ivf, pqm,
+      k = 3, nprobe = 8, candidates = 50)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(got.size == got.toSet.size, "no result row may be emitted twice")
+    assert(got.toSet == batch,
+      s"streamed ANN diverged from batch:\n${got.toSet.take(5)}... vs ${batch.take(5)}...")
+    assert(got.nonEmpty)
+    emb.unpersist()
+  }
 }
