@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) builder — turn an observation log
+  * (entity, observed-at, attribute value) into versioned dimension rows
+  * with effective-time ranges. This is the warehouse-side complement of
+  * [[SnapshotDiff]]: diff tells an incremental pipeline WHAT changed
+  * between two corpus epochs; SCD2 keeps the full change HISTORY
+  * queryable (as-of joins against `effective_from/effective_to` answer
+  * "what was this entity's state when that training run was cut?").
+  *
+  * Semantics: per entity, observations are ordered by (ts, tie-break
+  * id); consecutive runs of the SAME value collapse into one version
+  * row `[effective_from, effective_to)` where `effective_to` is the
+  * next version's start (NULL on the open current version,
+  * `is_current = true`). A value that disappears and later returns
+  * starts a NEW version — SCD2 history is run-length, not
+  * distinct-value.
+  *
+  * Scale shape: ONE shuffle, keyed by the entity id. The change-flag
+  * lag, the run-id running sum, the run collapse (groupBy entity+run),
+  * and the effective_to lead are all expressed over the same
+  * entity-hash partitioning, which Spark recognizes as satisfying every
+  * downstream distribution (groupBy keys are a superset of the window
+  * partition key), so the whole history build is a single exchange of
+  * (id, ts, value) triples — no per-version joins, nothing collected.
+  * Long-history entities are bounded by the log itself (versions ≤
+  * observations); there is no cross-entity state.
+  */
+object Scd2 {
+
+  /** Build the SCD2 history table.
+    *
+    * @param log      observation log
+    * @param idCol    entity key column
+    * @param tsCol    observation timestamp column
+    * @param valCol   tracked attribute column
+    * @param tieCol   deterministic order tie-break within equal
+    *                 timestamps (e.g. an event id) — REQUIRED so runs,
+    *                 and therefore version numbering, are reproducible
+    *                 under re-partitioning
+    * @return one row per version:
+    *         (id, value, version, effective_from, effective_to,
+    *         n_obs, is_current)
+    */
+  def history(log: DataFrame, idCol: String, tsCol: String,
+              valCol: String, tieCol: String): DataFrame = {
+    val byObs = Window.partitionBy(col(idCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val changed: Column = coalesce(
+      col(valCol) =!= lag(col(valCol), 1).over(byObs), lit(true))
+    val runs = log
+      .select(col(idCol), col(tsCol), col(tieCol), col(valCol))
+      // explicit ROWS frame: the default RANGE frame would tie-group
+      // equal (ts, tie) pairs; tie uniqueness makes them equivalent,
+      // but ROWS keeps the contract explicit (cf. TimeSeries.sessionize)
+      .withColumn("run_id",
+        sum(when(changed, 1L).otherwise(0L)).over(
+          byObs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val byVersion = Window.partitionBy(col(idCol)).orderBy(col("run_id"))
+    runs
+      .groupBy(col(idCol), col("run_id"))
+      .agg(min(col(valCol)).as(valCol), // all equal within a run; min is order-insensitive
+        min(col(tsCol)).as("effective_from"),
+        count(lit(1)).as("n_obs"))
+      .withColumn("effective_to",
+        lead(col("effective_from"), 1).over(byVersion))
+      .select(col(idCol), col(valCol), col("run_id").as("version"),
+        col("effective_from"), col("effective_to"), col("n_obs"),
+        col("effective_to").isNull.as("is_current"))
+  }
+}

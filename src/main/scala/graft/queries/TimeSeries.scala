@@ -217,6 +217,15 @@ object TimeSeries extends QueryModule {
     sessionize(Tables.events(spark, dir), gapSeconds = 1800L)
       .orderBy(col("user_id"), col("session_seq"))
 
+  /** SCD2 dimension history (operators.Scd2) over the event log: each
+    * user's event_type observations collapse into versioned
+    * effective-range rows. Ties broken by event_id on both engines. */
+  def qScd2(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Scd2.history(Tables.events(spark, dir),
+        idCol = "user_id", tsCol = "ts", valCol = "event_type",
+        tieCol = "event_id")
+      .orderBy(col("user_id"), col("version"))
+
   /** Bucketized point-in-interval range join (operators.RangeJoin):
     * purchases matched to the 'view' intervals containing them, per
     * user. 1-hour grain ≈ the median interval length. */
@@ -243,7 +252,8 @@ object TimeSeries extends QueryModule {
     "q_occupancy_approx" -> qOccupancyApprox _,
     "q_occupancy_daily"  -> qOccupancyDaily _,
     "q_throughput_daily" -> qThroughputDaily _,
-    "q_sessionize"       -> qSessionize _)
+    "q_sessionize"       -> qSessionize _,
+    "q_scd2"             -> qScd2 _)
 
   val oracleSql: Map[String, String] = Map(
     "q_range_join" ->
@@ -364,5 +374,27 @@ object TimeSeries extends QueryModule {
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  COUNT(*) AS n_events, ROUND(SUM(v), 4) AS total_value
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type FROM events),
+        |c AS (SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN COALESCE(event_type <>
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id), TRUE)
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |r AS (SELECT user_id, ts, event_type,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM c),
+        |v AS (SELECT user_id, CAST(run_id AS BIGINT) AS version,
+        |    MIN(event_type) AS event_type, MIN(ts) AS effective_from,
+        |    COUNT(*) AS n_obs
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, event_type, version, effective_from,
+        |  lead(effective_from) OVER w AS effective_to, n_obs,
+        |  (lead(effective_from) OVER w IS NULL) AS is_current
+        |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin)
 }

@@ -167,6 +167,11 @@ object EventStreams {
   }
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** start/last are epoch MICROseconds: `Timestamp.getTime` is
+    * millisecond-truncated, and the batch sessionizer's boundaries
+    * (`min(ts)`/`max(ts)`) are µs-exact — ms-truncated state would make
+    * every closed session's timestamps diverge from the batch result
+    * in the sub-ms digits (StreamingSpec asserts stream==batch). */
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
   case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
                          session_end: java.sql.Timestamp, n_events: Int,
@@ -184,8 +189,15 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     def update(userId: Long, rows: Iterator[SessionEvent],
                state: GroupState[SessionState]): Iterator[UserSession] = {
+      // local defs, not object methods: the closure ships to executors
+      // and must not capture the (non-serializable) enclosing object
+      def tsToUs(t: java.sql.Timestamp): Long =
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      def usToTs(us: Long): java.sql.Timestamp =
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
       def toSession(s: SessionState) = UserSession(userId,
-        new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n, s.total)
+        usToTs(s.start), usToTs(s.last), s.n, s.total)
       if (state.hasTimedOut) {
         val out = state.getOption.map(toSession).iterator
         state.remove()
@@ -193,10 +205,10 @@ object EventStreams {
       }
       var closed = List.empty[UserSession]
       var cur = state.getOption
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val t = e.ts.getTime
+      rows.toSeq.sortBy(e => tsToUs(e.ts)).foreach { e =>
+        val t = tsToUs(e.ts)
         cur match {
-          case Some(s) if t - s.last <= gapMs =>
+          case Some(s) if t - s.last <= gapMs * 1000L =>
             cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
               total = s.total + e.value))
           case Some(s) =>
@@ -209,7 +221,9 @@ object EventStreams {
       cur match {
         case Some(s) =>
           state.update(s)
-          state.setTimeoutTimestamp(s.last + gapMs)
+          // timeout API is millisecond-grained; round the µs state UP so
+          // the timeout never fires a hair before the gap has elapsed
+          state.setTimeoutTimestamp(Math.floorDiv(s.last + 999L, 1000L) + gapMs)
         case None => state.remove()
       }
       closed.reverseIterator

@@ -173,6 +173,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** The streaming sessionizer and the batch sessionizer share one
+    * session definition (strictly-past-the-gap splits): every CLOSED
+    * streamed session must appear verbatim in the batch result over the
+    * same rows (the still-open tail session per user is the only
+    * legitimate difference). */
+  test("streaming sessionization agrees with the batch sessionizer") {
+    import spark.implicits._
+    val ds = streaming.EventStreams.sessionize(
+      eventStream.select(col("user_id"), col("ts"), col("value"))
+        .as[streaming.EventStreams.SessionEvent], gapMs = 30 * 60 * 1000L)
+    val q = ds.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_vs_batch").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_vs_batch")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events").cast("long"), round(col("total_value"), 4))
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+        .collect().toSet
+      val batch = queries.TimeSeries.sessionize(
+          sources.Tables.events(spark, sf), gapSeconds = 1800L)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("total_value"))
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+        .collect().toSet
+      assert(streamed.nonEmpty, "closed sessions emitted")
+      val missing = streamed -- batch
+      assert(missing.isEmpty,
+        s"closed streamed sessions absent from the batch result: ${missing.take(3)}")
+    } finally q.stop()
+  }
+
   /** Stateless curation operators run UNCHANGED on a stream — the same
     * Chunking.chunkByTokens DataFrame program binds to readStream and
     * emits in append mode with no state store, proving the operator
