@@ -274,7 +274,25 @@ object VectorExpressions {
       "topk_freq", exprs => TopKFreq(exprs(0),
         intArg("topk_freq", exprs(1), "k"),
         intArg("topk_freq", exprs(2), "capacity")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_build", exprs => BloomBuildAgg(exprs(0),
+        intArg("bloom_build", exprs(1), "numBits"),
+        intArg("bloom_build", exprs(2), "numHashes")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
   }
+
+  /** Column wrapper for the BloomBuildAgg runtime-filter aggregate
+    * (item must be a pre-hashed bigint, e.g. `xxhash64(fp)`). */
+  def bloomBuild(itemHash: Column, numBits: Int, numHashes: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("bloom_build", itemHash, lit(numBits), lit(numHashes))
+  }
+
+  /** Column wrapper for BloomMightContain. */
+  def bloomMightContain(bloom: Column, itemHash: Column): Column =
+    call_function("bloom_might_contain", bloom, itemHash)
 
   /** Column wrapper for the TopKFreq space-saving aggregate. */
   def topkFreq(item: Column, k: Int, capacity: Int): Column = {

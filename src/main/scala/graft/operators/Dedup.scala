@@ -96,6 +96,55 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_dups"))
       .filter(col("n_dups") >= 2)
 
+  /** Canonical-fingerprint projection shared by the cross-corpus exact
+    * dedup paths: (doc_id, fp). */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.TextAnalysis.fingerprint(col(textCol)).as("fp"))
+
+  /** Bloom runtime filter over a corpus fingerprint set: ONE row with
+    * the serialized filter ([[graft.functions.BloomBuildAgg]]) — build
+    * once per corpus epoch, persist beside the other index artifacts,
+    * broadcast per batch. numBits sizing: ~10 bits/doc ≈ 1% false
+    * positives at numHashes=5 (2^30 bits = 128 MB covers ~10^8 docs). */
+  def fingerprintBloom(corpusFps: DataFrame, numBits: Int,
+                       numHashes: Int): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(corpusFps.sparkSession)
+    corpusFps.agg(graft.functions.VectorExpressions
+      .bloomBuild(xxhash64(col("fp")), numBits, numHashes).as("bloom"))
+  }
+
+  /** Incremental EXACT dedup of a batch against a stored corpus —
+    * batch docs whose canonical fingerprint already exists in the
+    * corpus, as (doc_id, dup_of = smallest matching corpus doc).
+    *
+    * Scale shape (the runtime-filter pattern): the corpus never joins
+    * the raw batch. The Bloom filter prunes the batch to
+    * ~true-dups + fpp·|batch| rows INSIDE the scan's whole-stage
+    * codegen (a 1-row broadcast, no exchange), and only the pruned
+    * candidate set shuffles against the corpus fingerprints for exact
+    * confirmation — which removes Bloom false positives AND xxhash64
+    * collisions, because the join key is the full fingerprint. No
+    * false negatives exist by construction, so the output equals the
+    * plain fingerprint join (OperatorsSpec asserts equality; the
+    * driver gate shares the exact oracle). */
+  def exactCrossDups(newDocs: DataFrame, corpus: DataFrame,
+                     idCol: String, textCol: String,
+                     numBits: Int = 1 << 20,
+                     numHashes: Int = 5): DataFrame = {
+    val nf = fingerprints(newDocs, idCol, textCol)
+    val cf = fingerprints(corpus, idCol, textCol)
+    val bloom = fingerprintBloom(cf, numBits, numHashes)
+    val cand = nf.crossJoin(broadcast(bloom))
+      .filter(graft.functions.VectorExpressions
+        .bloomMightContain(col("bloom"), xxhash64(col("fp"))))
+      .select(col("doc_id"), col("fp"))
+    cand
+      .join(cf.select(col("fp"), col("doc_id").as("corpus_doc_id")), Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("corpus_doc_id")).as("dup_of"))
+  }
+
   /** Exact n-gram Jaccard similarity pairs ≥ threshold, via a
     * df-ordered PREFIX-FILTERED inverted-index self-join (AllPairs /
     * PPJoin candidate generation, Bayardo et al. WWW'07) + exact

@@ -23,6 +23,21 @@ object LlmOps extends QueryModule {
     Dedup.exactDuplicateGroups(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("rep_doc_id"))
 
+  /** Bloom-runtime-filtered incremental exact dedup: batch docs whose
+    * canonical fingerprint already exists in the stored corpus. The
+    * Bloom prune is invisible in the output contract (no false
+    * negatives; positives exact-verified), so the oracle is the plain
+    * fingerprint join. 2^16 bits ≈ 18 bits/corpus-doc here — same
+    * bits/doc ratio a 128 MB filter gives 10^8 docs. */
+  def qDedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Dedup.exactCrossDups(
+      d.filter(col("doc_id") % IncrementalBatchMod === IncrementalBatchRem),
+      d.filter(col("doc_id") % IncrementalBatchMod =!= IncrementalBatchRem),
+      "doc_id", "text", numBits = 1 << 16, numHashes = 5)
+      .orderBy(col("doc_id"))
+  }
+
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text", JaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -671,6 +686,7 @@ object LlmOps extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"     -> qDedupExact _,
+    "q_dedup_bloom"     -> qDedupBloom _,
     "q_dedup_jaccard"   -> qDedupJaccard _,
     "q_dedup_jaccard_capped" -> qDedupJaccardCapped _,
     "q_dedup_minhash"   -> qDedupMinhash _,
@@ -847,6 +863,15 @@ object LlmOps extends QueryModule {
         |        md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))), ' ')) AS fp
         |      FROM documents) t
         |GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY rep_doc_id""".stripMargin,
+    "q_dedup_bloom" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))), ' ')) AS fp
+         |  FROM documents)
+         |SELECT b.doc_id, MIN(c.doc_id) AS dup_of
+         |FROM f b JOIN f c ON b.fp = c.fp
+         |WHERE b.doc_id % $IncrementalBatchMod = $IncrementalBatchRem
+         |  AND c.doc_id % $IncrementalBatchMod <> $IncrementalBatchRem
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "q_dedup_jaccard" ->
       s"""WITH $shingleCtes,
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common

@@ -1180,4 +1180,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 1)),
       s"expected only the b1 near-pair (block 'big' capped out): $got")
   }
+
+  test("bloom kernel: inserted items always hit; absent items mostly miss") {
+    val words = new Array[Long](functions.BloomKernel.words(4096))
+    val in = (0L until 200L).map(_ * 7919L)
+    in.foreach(functions.BloomKernel.add(words, 4096, 5, _))
+    val blob = functions.BloomKernel.serialize(words, 5)
+    assert(in.forall(functions.BloomKernel.mightContain(blob, _)),
+      "a Bloom filter must never produce a false negative")
+    // 200 items in 4096 bits at 5 hashes → fpp ≈ 6e-3; 1000 probes of
+    // absent items should see only a handful of false positives
+    val fps = (1L to 1000L).map(_ * 104729L + 13L)
+      .count(functions.BloomKernel.mightContain(blob, _))
+    assert(fps < 50, s"false-positive rate implausibly high: $fps/1000")
+    // serialize → deserialize → re-serialize is bit-stable (the shuffle path)
+    assert(java.util.Arrays.equals(
+      functions.BloomKernel.serialize(
+        functions.BloomKernel.deserializeWords(blob), 5), blob))
+  }
+
+  test("bloom-filtered exact cross dedup equals the plain fingerprint join") {
+    val sf = TestSpark.sf
+    val d = sources.Tables.documents(spark, sf)
+    val batch = d.filter(col("doc_id") % 10 === 7)
+    val corpus = d.filter(col("doc_id") % 10 =!= 7)
+    val got = operators.Dedup.exactCrossDups(batch, corpus, "doc_id", "text",
+      numBits = 1 << 14, numHashes = 5)
+      .as[(Long, Long)].collect().toSet
+    val plain = operators.Dedup.fingerprints(batch, "doc_id", "text")
+      .join(operators.Dedup.fingerprints(corpus, "doc_id", "text")
+        .withColumnRenamed("doc_id", "corpus_doc_id"), Seq("fp"))
+      .groupBy(col("doc_id")).agg(min(col("corpus_doc_id")).as("dup_of"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == plain, s"bloom path diverged: ${got.diff(plain)} / ${plain.diff(got)}")
+    assert(plain.nonEmpty, "fixture should contain cross-boundary exact dups")
+  }
 }

@@ -373,4 +373,32 @@ class PlanSpec extends AnyFunSuite {
         s"scoring must be a keyed join:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  /** Bloom-filtered exact dedup: the probe must prune the batch BEFORE
+    * the fingerprint shuffle join (a Filter containing
+    * bloom_might_contain below the join), and the only nested-loop
+    * join is the 1-row bloom broadcast — the corpus side itself never
+    * broadcasts. */
+  test("bloom dedup plan: probe filter precedes the join; only the 1-row bloom broadcasts") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q_dedup_bloom")
+      assert(p.contains("bloom_might_contain"),
+        s"bloom probe missing from the plan:\n$p")
+      // probe applies on the batch side before any exchange — either as
+      // a Filter or folded into the 1-row broadcast's join condition
+      // (Catalyst's preferred form; both run pre-shuffle)
+      assert("(Filter|BroadcastNestedLoopJoin) .*bloom_might_contain".r
+          .findAllIn(p).nonEmpty,
+        s"bloom probe should prune before the fingerprint exchange:\n$p")
+      // the fingerprint-confirm join shuffles; with auto-broadcast off
+      // the only broadcast is the single-row bloom (nested-loop by
+      // construction: it has no join key)
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+        s"expected exactly the 1-row bloom broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"fingerprint confirmation must be a shuffled equi-join:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
