@@ -229,6 +229,83 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `SortedPairsDot(a, b)` — sparse integer dot product of two
+  * key-ascending `array<struct<k: bigint, w: bigint>>` vectors: a
+  * primitive merge walk summing `w_a · w_b` over matching keys,
+  * O(|a|+|b|) per pair with zero allocation — the sparse-vector analog
+  * of [[SortedIntersectCount]], built for the TF-IDF verify hot path
+  * where millions of candidate pairs × hundreds of terms would make a
+  * posting-list re-join or a per-row hash map the bottleneck.
+  *
+  * Integer weights are the point: the dot (and the norms the caller
+  * compares against) stay in exact integer arithmetic, so a similarity
+  * threshold decides identically in Spark and any ANSI-SQL oracle — no
+  * float summation-order ulps near the boundary. Keys must be unique
+  * and ascending per vector (the caller's `array_sort(collect_list)`
+  * over per-doc-distinct terms guarantees it); equal-key runs are not
+  * skipped, so duplicate keys would double-count. */
+case class SortedPairsDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(s: org.apache.spark.sql.types.StructType, _) =>
+        s.fields.length == 2 && s.fields.forall(_.dataType == LongType)
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_pairs_dot requires array<struct<bigint, bigint>> inputs, " +
+        s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_pairs_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (na, nb) = (x.numElements(), y.numElements())
+    var ia = 0; var ib = 0; var acc = 0L
+    while (ia < na && ib < nb) {
+      val ra = x.getStruct(ia, 2); val rb = y.getStruct(ib, 2)
+      val ka = ra.getLong(0); val kb = rb.getLong(0)
+      if (ka < kb) ia += 1
+      else if (ka > kb) ib += 1
+      else { acc += ra.getLong(1) * rb.getLong(1); ia += 1; ib += 1 }
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val ia = ctx.freshName("ia"); val ib = ctx.freshName("ib")
+      val ka = ctx.freshName("ka"); val kb = ctx.freshName("kb")
+      val ra = ctx.freshName("ra"); val rb = ctx.freshName("rb")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $ia = 0, $ib = 0;
+         |long $acc = 0L;
+         |while ($ia < $na && $ib < $nb) {
+         |  InternalRow $ra = $a.getStruct($ia, 2);
+         |  InternalRow $rb = $b.getStruct($ib, 2);
+         |  long $ka = $ra.getLong(0);
+         |  long $kb = $rb.getLong(0);
+         |  if ($ka < $kb) { $ia++; }
+         |  else if ($ka > $kb) { $ib++; }
+         |  else { $acc += $ra.getLong(1) * $rb.getLong(1); $ia++; $ib++; }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.functions.call_function
@@ -281,7 +358,15 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain",
       exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_pairs_dot",
+      exprs => SortedPairsDot(exprs(0), exprs(1)), "built-in")
   }
+
+  /** Column wrapper for SortedPairsDot (key-ascending
+    * array<struct<k, w>> sparse vectors). */
+  def sortedPairsDot(a: Column, b: Column): Column =
+    call_function("sorted_pairs_dot", a, b)
 
   /** Column wrapper for the BloomBuildAgg runtime-filter aggregate
     * (item must be a pre-hashed bigint, e.g. `xxhash64(fp)`). */

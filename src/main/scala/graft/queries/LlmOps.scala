@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryModule
 import graft.functions.TextAnalysis
-import graft.operators.{Chunking, CorpusQuality, Dedup, Multimodal, Similarity}
+import graft.operators.{Chunking, CorpusQuality, Dedup, Multimodal, Similarity, TfIdf}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -56,6 +56,15 @@ object LlmOps extends QueryModule {
   def qDedupJaccardCapped(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
       JaccardThreshold, maxDf = Some(JaccardMaxDf))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** TF-IDF cosine near-dup pairs (operators.TfIdf): integer-exact
+    * threshold arithmetic end to end, so the ≥0.6 decision is
+    * engine-independent. Candidates df-capped at [[JaccardMaxDf]] like
+    * the capped Jaccard path; similarity computed on full vectors. */
+  def qTfidfSim(spark: SparkSession, dir: String): DataFrame =
+    TfIdf.similarPairs(Tables.documents(spark, dir), "doc_id", "text",
+      thresholdPct = 60, maxDf = JaccardMaxDf)
       .orderBy(col("doc_a"), col("doc_b"))
 
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
@@ -689,6 +698,7 @@ object LlmOps extends QueryModule {
     "q_dedup_bloom"     -> qDedupBloom _,
     "q_dedup_jaccard"   -> qDedupJaccard _,
     "q_dedup_jaccard_capped" -> qDedupJaccardCapped _,
+    "q_tfidf_sim"       -> qTfidfSim _,
     "q_dedup_minhash"   -> qDedupMinhash _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_incremental_idx" -> qDedupIncrementalIdx _,
@@ -878,6 +888,31 @@ object LlmOps extends QueryModule {
          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT * FROM ($jaccardSelect) j
          |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin,
+    "q_tfidf_sim" ->
+      s"""WITH docs2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tok AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS term
+         |  FROM docs2),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |wt AS (SELECT t.doc_id, t.term, d.df,
+         |    CAST(t.tf AS BIGINT) *
+         |      CAST(ROUND((LN((n.n + 1.0) / (d.df + 1.0)) + 1) * 1000) AS BIGINT) AS w
+         |  FROM tf t JOIN dfs d ON t.term = d.term CROSS JOIN n),
+         |ss AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS ss FROM wt GROUP BY 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  WHERE a.df >= 2 AND a.df <= $JaccardMaxDf),
+         |dt AS (SELECT c.doc_a, c.doc_b, CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+         |  FROM cand c JOIN wt a ON a.doc_id = c.doc_a
+         |              JOIN wt b ON b.doc_id = c.doc_b AND b.term = a.term
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b
+         |FROM dt JOIN ss sa ON sa.doc_id = doc_a JOIN ss sb ON sb.doc_id = doc_b
+         |WHERE 10000 * CAST(dot AS HUGEINT) * dot >=
+         |  3600 * CAST(sa.ss AS HUGEINT) * sb.ss
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_jaccard_capped" ->
       s"""WITH $shingleCtes,
          |dfs AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1),

@@ -1181,6 +1181,22 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected only the b1 near-pair (block 'big' capped out): $got")
   }
 
+  test("tfidf similarPairs: hand-computed cosine decides exactly at the threshold") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma zeta"),
+      (3L, "omega psi chi phi")).toDF("doc_id", "text")
+    // N=3; shared bigrams df=2 → idfq=round((ln(4/3)+1)*1000)=1288;
+    // unique bigrams df=1 → idfq=round((ln(2)+1)*1000)=1693.
+    // dot(1,2)=2·1288²=3317888; ss=2·1288²+1693²=6184137 (both docs)
+    // → cos=3317888/6184137≈0.5365: a pair at pct=50, none at pct=60.
+    def pairs(pct: Int) =
+      operators.TfIdf.similarPairs(docs, "doc_id", "text", thresholdPct = pct)
+        .as[(Long, Long)].collect().toSet
+    assert(pairs(50) == Set((1L, 2L)), "cos 0.5365 must pass pct=50")
+    assert(pairs(60) == Set.empty, "cos 0.5365 must fail pct=60")
+  }
+
   test("bloom kernel: inserted items always hit; absent items mostly miss") {
     val words = new Array[Long](functions.BloomKernel.words(4096))
     val in = (0L until 200L).map(_ * 7919L)

@@ -374,6 +374,23 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** TF-IDF similarity: candidates must come from the df-capped
+    * inverted-index equi-join — never a cartesian. The only
+    * nested-loop join is the 1-row corpus-count broadcast. */
+  test("tfidf plan: df-capped equi-join candidates, no cartesian") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q_tfidf_sim")
+      assert(!p.contains("CartesianProduct"), s"cartesian in tfidf plan:\n$p")
+      // N is a driver-resolved literal: nothing may nested-loop at all
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"unexpected nested-loop join in tfidf plan:\n$p")
+      assert(p.contains("sorted_pairs_dot"),
+        s"verify stage should use the merge-walk dot:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   /** Bloom-filtered exact dedup: the probe must prune the batch BEFORE
     * the fingerprint shuffle join (a Filter containing
     * bloom_might_contain below the join), and the only nested-loop
