@@ -95,7 +95,7 @@ object LlmOps extends QueryModule {
     * bit-equal), so this gate shares q_dedup_incremental's oracle. */
   def qDedupIncrementalIdx(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val idxPath = scratchRoot.resolve("mh_index").toString
+    val idxPath = graft.util.Scratch.dir("mh_index")
     Dedup.saveMinhashIndex(
       d.filter(col("doc_id") % IncrementalBatchMod =!= IncrementalBatchRem),
       "doc_id", "text", idxPath)
@@ -626,26 +626,8 @@ object LlmOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  /** One per-JVM scratch root for the gated queries that materialize to
-    * disk (the parquet round trip, the persisted dedup index): repeat
-    * invocations overwrite the same subtree instead of leaking a fresh
-    * /tmp copy per run (Bench runs each twice per round), and the whole
-    * tree is deleted on JVM exit. */
-  private lazy val scratchRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-scratch")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(p.toFile)
-    }))
-    p
-  }
-
   def qCorpusPrepRt(spark: SparkSession, dir: String): DataFrame =
-    corpusPrepRoundTrip(spark, dir,
-      scratchRoot.resolve("corpus_prep").toString)
+    corpusPrepRoundTrip(spark, dir, graft.util.Scratch.dir("corpus_prep"))
 
   /** Heavy-hitter sketch bound to the corpus unigrams, capacity well
     * above the distinct-token count so the space-saving counters are

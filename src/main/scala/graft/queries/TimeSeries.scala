@@ -217,6 +217,37 @@ object TimeSeries extends QueryModule {
     sessionize(Tables.events(spark, dir), gapSeconds = 1800L)
       .orderBy(col("user_id"), col("session_seq"))
 
+  /** Incremental distinct-users-per-day through PERSISTED HLL sketch
+    * epochs (operators.Sketches): the event log splits into two ingest
+    * epochs (event_id parity); epoch 0's daily sketches are saved to
+    * parquet and read back (the artifact path a real pipeline runs),
+    * epoch 1's are merged in, and the union's estimate is gated with
+    * the bounded-relative-error contract: the oracle reproduces
+    * (day, exact, TRUE) exactly, so an estimate drifting outside
+    * |approx − exact| ≤ max(1, 0.15·exact) flips the flag and fails
+    * the hash compare (estimates are deterministic: HLL registers are
+    * insertion-order independent). */
+  def qDistinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"), col("event_id"))
+    val skPath = graft.util.Scratch.dir("hll_epoch0")
+    graft.operators.Sketches.saveSketches(
+      graft.operators.Sketches.dailySketches(
+        ev.filter(col("event_id") % 2 === 0), "d", "user_id"), skPath)
+    val merged = graft.operators.Sketches.mergeEpochs(
+      graft.operators.Sketches.loadSketches(spark, skPath),
+      graft.operators.Sketches.dailySketches(
+        ev.filter(col("event_id") % 2 =!= 0), "d", "user_id"))
+    val exact = ev.groupBy(col("d").as("bucket_day"))
+      .agg(countDistinct(col("user_id")).as("item_count"))
+    graft.operators.Sketches.estimates(merged)
+      .join(exact, Seq("bucket_day"))
+      .select(col("bucket_day"), col("item_count"),
+        (abs(col("approx") - col("item_count")) <=
+          greatest(lit(1.0), col("item_count") * lit(0.15))).as("within_rel_err"))
+      .orderBy(col("bucket_day"))
+  }
+
   /** SCD2 dimension history (operators.Scd2) over the event log: each
     * user's event_type observations collapse into versioned
     * effective-range rows. Ties broken by event_id on both engines. */
@@ -253,7 +284,8 @@ object TimeSeries extends QueryModule {
     "q_occupancy_daily"  -> qOccupancyDaily _,
     "q_throughput_daily" -> qThroughputDaily _,
     "q_sessionize"       -> qSessionize _,
-    "q_scd2"             -> qScd2 _)
+    "q_scd2"             -> qScd2 _,
+    "q_distinct_sketch"  -> qDistinctSketch _)
 
   val oracleSql: Map[String, String] = Map(
     "q_range_join" ->
@@ -396,5 +428,9 @@ object TimeSeries extends QueryModule {
         |  lead(effective_from) OVER w AS effective_to, n_obs,
         |  (lead(effective_from) OVER w IS NULL) AS is_current
         |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY version)
-        |ORDER BY user_id, version""".stripMargin)
+        |ORDER BY user_id, version""".stripMargin,
+    "q_distinct_sketch" ->
+      """SELECT CAST(ts AS DATE) AS bucket_day,
+        |  COUNT(DISTINCT user_id) AS item_count, TRUE AS within_rel_err
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }

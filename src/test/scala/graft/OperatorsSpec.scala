@@ -1181,6 +1181,28 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected only the b1 near-pair (block 'big' capped out): $got")
   }
 
+  test("hll sketch epochs: persisted merge equals a single pass over the union") {
+    val ev = sources.Tables.events(spark, TestSpark.sf)
+      .select(to_date(col("ts")).as("d"), col("user_id"), col("event_id"))
+    val p = util.Scratch.dir("hll_spec_epoch")
+    operators.Sketches.saveSketches(
+      operators.Sketches.dailySketches(
+        ev.filter(col("event_id") % 2 === 0), "d", "user_id"), p)
+    val merged = operators.Sketches.estimates(
+      operators.Sketches.mergeEpochs(
+        operators.Sketches.loadSketches(spark, p),
+        operators.Sketches.dailySketches(
+          ev.filter(col("event_id") % 2 =!= 0), "d", "user_id")))
+      .as[(java.sql.Date, Long)].collect().toMap
+    val onePass = operators.Sketches.estimates(
+      operators.Sketches.dailySketches(ev, "d", "user_id"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(merged == onePass,
+      "epoch-merged estimates must be identical to a one-shot sketch " +
+        "(HLL union is register-wise max — order-independent)")
+    assert(merged.nonEmpty)
+  }
+
   test("tfidf similarPairs: hand-computed cosine decides exactly at the threshold") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
