@@ -302,6 +302,93 @@ object Multimodal {
     }
   }
 
+  /** 64-bit dHash perceptual hash of a decoded image: area-average the
+    * gray channel onto a 9×8 grid, emit one bit per horizontally
+    * adjacent cell pair (left-mean < right-mean). The comparison is
+    * done in exact integer arithmetic (cross-multiplied box sums, no
+    * division), so the hash is bit-deterministic for a given decode.
+    * dHash over aHash: gradients survive brightness/contrast shifts
+    * that move every absolute gray level. */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    // box sums of (r+g+b) per grid cell + box pixel counts
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(7, y * 8 / math.max(1, h))
+      var x = 0
+      while (x < w) {
+        val gx = math.min(8, x * 9 / math.max(1, w))
+        val rgb = img.getRGB(x, y)
+        sums(gy)(gx) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        cnts(gy)(gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        // meanL < meanR ⇔ sumL·cntR < sumR·cntL — exact, no doubles
+        if (sums(gy)(gx) * cnts(gy)(gx + 1) < sums(gy)(gx + 1) * cnts(gy)(gx))
+          bits |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** (doc_id, phash) for the image payloads ImageIO can decode
+    * (PNG/JPEG); undecodable rows are dropped — near-dup detection on
+    * garbage bytes is meaningless. mapPartitions like
+    * [[decodeFeatures]]: the codec is the one genuinely imperative
+    * stage, everything downstream is columnar. */
+  def imageHashes(payloads: DataFrame, idCol: String = "doc_id",
+                  bytesCol: String = "payload"): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          scala.util.Try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None else Some((id, dHash64(img)))
+          }.toOption.flatten
+        }
+      }.toDF("doc_id", "phash")
+  }
+
+  /** Image near-duplicate pairs with hamming(phash) ≤ maxHamming (≤ 3):
+    * the [[Dedup.simhashPairs]] pigeonhole on 4 × 16-bit blocks — every
+    * qualifying pair shares at least one block, so candidates come from
+    * an equi-join on (block, value), never a cross join; verification
+    * is one bit_count(xor) per candidate. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block pigeonhole is exact only for hamming <= 3")
+    val blocks = hashes.select(col("doc_id"), col("phash"),
+      posexplode(array(
+        shiftright(col("phash"), 48).bitwiseAND(65535),
+        shiftright(col("phash"), 32).bitwiseAND(65535),
+        shiftright(col("phash"), 16).bitwiseAND(65535),
+        col("phash").bitwiseAND(65535))).as(Seq("blk", "v")))
+    val a = blocks.select(col("doc_id").as("doc_a"), col("phash").as("ph_a"),
+      col("blk"), col("v"))
+    val b = blocks.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"),
+      col("blk"), col("v"))
+    a.join(b, Seq("blk", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame-sample a video payload: every `everyN`-th fixed-size byte
     * block (the stub codec's 64-byte "frame" convention), exploded to
     * one row per sampled frame. Pure column ops — the slicing runs in

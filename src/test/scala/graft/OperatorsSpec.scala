@@ -1181,6 +1181,33 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected only the b1 near-pair (block 'big' capped out): $got")
   }
 
+  test("image dHash near-dup pairs: copies pair up, reversed gradient does not") {
+    def png(g: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = math.max(0, math.min(255, g(x, y)))
+        img.setRGB(x, y, v * 0x010101)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val base = png((x, _) => x * 3)
+    val near = png((x, y) => if (x == 0 && y == 0) 12 else x * 3)
+    val far = png((x, _) => (63 - x) * 3)
+    val payloads = Seq(
+      (1L, base), (2L, near), (3L, far),
+      (4L, Array[Byte](1, 2, 3))) // undecodable: dropped, not failed
+      .toDF("doc_id", "payload")
+    val hashes = operators.Multimodal.imageHashes(payloads)
+    assert(hashes.count() == 3, "corrupt payload must drop, not fail")
+    val pairs = operators.Multimodal.imageNearDupPairs(hashes)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected only the near-identical pair: $pairs")
+  }
+
   test("hll sketch epochs: persisted merge equals a single pass over the union") {
     val ev = sources.Tables.events(spark, TestSpark.sf)
       .select(to_date(col("ts")).as("d"), col("user_id"), col("event_id"))
