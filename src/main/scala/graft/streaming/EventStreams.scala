@@ -38,6 +38,41 @@ object EventStreams {
       .select(col("w.start").as("frame_ts"), col("event_type"),
         col("item_count"))
 
+  /** STREAM-STREAM interval join — the live analog of the batch
+    * point-in-interval range join ([[graft.operators.RangeJoin]], gated
+    * as q_range_join): purchases matched to the 'view' intervals
+    * containing them, per user, with BOTH sides unbounded streams.
+    *
+    * The extra `p_ts ≤ v_ts + maxIntervalMinutes` conjunct is the
+    * state-eviction contract Structured Streaming needs on a
+    * stream-stream join: it bounds how long a buffered view can still
+    * match future purchases, so view state is dropped once the
+    * watermark passes `v_ts + bound` — state stays ∝ in-flight window,
+    * not ∝ stream history. The bound must dominate the longest real
+    * interval (it caps WHAT can match, not just state): callers size it
+    * from the domain, as the batch range join sizes its bucket grain.
+    * Matches are emitted as both sides arrive (append mode, final —
+    * inner join rows never retract). */
+  def purchasesInViews(events: DataFrame, maxIntervalMinutes: Int = 300,
+                       watermark: String = "1 hour"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val v = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"),
+        timestamp_micros(unix_micros(col("ts")) +
+          floor(col("value")).cast("long") * 60000000L).as("v_end"))
+      .withWatermark("v_ts", watermark)
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("p_ts") >= col("v_ts") && col("p_ts") <= col("v_end") &&
+        col("p_ts") <= col("v_ts") +
+          expr(s"interval $maxIntervalMinutes minutes"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("view_id"))
+  }
+
   /** Daily entry counts per event type — streaming analog of A7's
     * entry side, with a tumbling 1-day window. */
   def dailyThroughput(events: DataFrame, watermark: String = "1 day"): DataFrame =

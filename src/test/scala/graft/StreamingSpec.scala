@@ -30,6 +30,40 @@ class StreamingSpec extends AnyFunSuite {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Stream-stream interval self-join: every purchase×view containment
+    * match the BATCH range join finds must be emitted by the streaming
+    * join over the same rows (and nothing else) — inner stream-stream
+    * join matches are final, so with all data processed the sets are
+    * equal. The 300-minute eviction bound dominates the fixture's
+    * longest view interval (287.3 min), so it never masks a match. */
+  test("stream-stream interval join equals the batch range join") {
+    import spark.implicits._
+    val q = streaming.EventStreams.purchasesInViews(eventStream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_stream")
+        .as[(Long, Long, Long)].collect().toSet
+      val ev = sources.Tables.events(spark, sf)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("t"))
+      val iv = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) +
+            floor(col("value")).cast("long") * 60000000L).as("end_us"))
+      val batch = operators.RangeJoin.pointInInterval(p, iv, "user_id",
+          "t", "start_us", "end_us", grain = 3600000000L)
+        .select(col("purchase_id"), col("user_id"), col("view_id"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming hourly occupancy equals the batch distinct-user count") {
     val q = streaming.EventStreams.hourlyOccupancy(eventStream)
       .writeStream.outputMode("complete")
