@@ -92,6 +92,50 @@ object CorpusQuality {
           .as("contamination"))
   }
 
+  /** Verbatim k-gram coverage — the EXACT duplicated-substring metric
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): for every document, the fraction of its k-token windows
+    * that appear verbatim in at least one OTHER document. The
+    * all-windows complement of [[Winnowing]]: winnowing samples
+    * fingerprints (guaranteeing detection only for runs ≥ w+k−1), this
+    * measures every window exactly — the signal a decontamination /
+    * verbatim-memorization report needs.
+    *
+    * Scale shape: NO pair enumeration anywhere — one window explode
+    * (rows ∝ corpus tokens), a per-(doc, gram) count, a gram-keyed
+    * document-frequency aggregate, and a join back on the gram hash.
+    * Cost is linear in corpus size, which is why this runs corpus-wide
+    * at 100 TB where any pairwise formulation cannot. Windows are
+    * hashed to 64-bit before every shuffle (xxhash64 collisions:
+    * P ≈ n²/2⁶⁵, immaterial against a coverage percentage).
+    *
+    * Output per document with ≥1 window (docs shorter than k tokens
+    * have nothing to measure): (doc_id, n_windows, n_shared,
+    * shared_pct) — windows counted WITH multiplicity; a window repeated
+    * only within its own document is not "shared". shared_pct =
+    * ⌊100·n_shared/n_windows⌋, exact integer arithmetic. */
+  def verbatimCoverage(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8): DataFrame = {
+    require(k >= 2, "window size k must be >= 2 tokens")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), explode(
+        when(size(col("w")) >= k,
+          transform(sequence(lit(1), size(col("w")) - (k - 1)),
+            i => xxhash64(concat_ws(" ", slice(col("w"), i, lit(k))))))
+          .otherwise(array())).as("gh"))
+    val perDoc = grams.groupBy(col("doc_id"), col("gh"))
+      .agg(count(lit(1)).as("n"))
+    val docFreq = perDoc.groupBy(col("gh")).agg(count(lit(1)).as("df_docs"))
+    perDoc.join(docFreq, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_windows"),
+        sum(when(col("df_docs") >= 2, col("n")).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_windows"), col("n_shared"),
+        // integer division end to end — no double quotient anywhere
+        expr("(100 * n_shared) div n_windows").cast("long").as("shared_pct"))
+  }
+
   /** The curation pipeline's end product: one row per training document
     * joining every quality signal — token stats + heuristic quality
     * score, repetition statistics, corpus bigram-LM score, benchmark

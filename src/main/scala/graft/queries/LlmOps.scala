@@ -446,6 +446,14 @@ object LlmOps extends QueryModule {
     * oracle convention as q_pii_redact/q_url_extract): every doc gets a
     * shared header line, every 3rd a promo line, every 5th a footer;
     * the doc's own text is its body line. */
+  /** Verbatim 8-gram coverage over the whole corpus
+    * (CorpusQuality.verbatimCoverage): exact duplicated-substring
+    * fraction per doc, integer arithmetic end to end. */
+  def qVerbatimCov(spark: SparkSession, dir: String): DataFrame =
+    CorpusQuality.verbatimCoverage(Tables.documents(spark, dir),
+      "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"))
+
   def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val t = concat(
@@ -722,6 +730,7 @@ object LlmOps extends QueryModule {
     "q_snapshot_diff"   -> qSnapshotDiff _,
     "q_contamination"   -> qContamination _,
     "q_line_dedup"      -> qLineDedup _,
+    "q_verbatim_cov"    -> qVerbatimCov _,
     "q_embedding_quant" -> qEmbeddingQuant _,
     "q_ann_topk_quant"  -> qAnnTopKQuant _,
     "q_lm_score"        -> qLmScore _,
@@ -1373,6 +1382,17 @@ object LlmOps extends QueryModule {
          |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
          |  ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh, 4) AS contamination
          |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id ORDER BY tot.doc_id""".stripMargin,
+    "q_verbatim_cov" ->
+      """WITH docs2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))) AS g
+        |  FROM docs2),
+        |pd AS (SELECT doc_id, g, COUNT(*) AS n FROM grams GROUP BY 1, 2),
+        |dfd AS (SELECT g, COUNT(*) AS df_docs FROM pd GROUP BY 1)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN df_docs >= 2 THEN n ELSE 0 END) AS BIGINT) AS n_shared,
+        |  CAST((100 * SUM(CASE WHEN df_docs >= 2 THEN n ELSE 0 END)) // SUM(n) AS BIGINT) AS shared_pct
+        |FROM pd JOIN dfd USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_line_dedup" ->
       s"""WITH t AS (SELECT doc_id,
          |    'SHARED HEADER: all rights reserved' || chr(10) ||

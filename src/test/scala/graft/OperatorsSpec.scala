@@ -1181,6 +1181,24 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected only the b1 near-pair (block 'big' capped out): $got")
   }
 
+  test("verbatimCoverage counts cross-doc windows, ignores within-doc repeats") {
+    val t = (1 to 8).map(i => s"t$i").mkString(" ")       // the shared run
+    val docs = Seq(
+      (1L, t + " u1 u2"),                                 // 3 windows, 1 shared
+      (2L, "v1 " + t + " v2"),                            // 3 windows, 1 shared
+      (3L, (1 to 8).map(i => s"w$i").mkString(" ")),      // 1 window, unique
+      (4L, t.replace("t", "r") + " " + t.replace("t", "r")), // internal repeat only
+      (5L, "too short")).toDF("doc_id", "text")
+    val got = operators.CorpusQuality.verbatimCoverage(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 1L, 33L)), s"${got(1L)}")
+    assert(got(2L) == ((2L, 3L, 1L, 33L)), s"${got(2L)}")
+    assert(got(3L) == ((3L, 1L, 0L, 0L)))
+    // 16 tokens → 9 windows; [r1..r8] repeats WITHIN doc 4 only → not shared
+    assert(got(4L) == ((4L, 9L, 0L, 0L)), s"${got(4L)}")
+    assert(!got.contains(5L), "docs shorter than k tokens have no windows")
+  }
+
   test("image dHash near-dup pairs: copies pair up, reversed gradient does not") {
     def png(g: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(64, 64,
