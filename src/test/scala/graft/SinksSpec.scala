@@ -81,6 +81,37 @@ class SinksSpec extends AnyFunSuite {
         .withColumn("part", lit(2)).collect().toSeq)
   }
 
+  /** The property Z-order exists for, measured directly from file-level
+    * min/max: under a single-column sort each file spans ~the full
+    * domain of the OTHER column (no skipping possible); under Z-order
+    * every file covers a bounded tile of BOTH domains. Fractions are
+    * per-file (max−min)/domain averaged over files. */
+  test("z-ordered layout bounds per-file ranges on both dimensions") {
+    val df = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t"))
+    val base = java.nio.file.Files.createTempDirectory("graft-zo").toString
+    val nFiles = 16
+    // linear layout: range-partition + sort on t only
+    df.repartitionByRange(nFiles, col("t")).sortWithinPartitions(col("t"))
+      .write.mode("overwrite").parquet(s"$base/linear")
+    sinks.ParquetSink.writeZOrdered(df, s"$base/zorder", "t", "user_id", nFiles)
+    def avgRange(path: String, c: String): Double = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("r"))
+      val dom = df.agg((max(col(c)) - min(col(c))).cast("double")).head().getDouble(0)
+      perFile.agg(avg(col("r"))).head().getDouble(0) / dom
+    }
+    val linU = avgRange(s"$base/linear", "user_id")
+    val zT = avgRange(s"$base/zorder", "t")
+    val zU = avgRange(s"$base/zorder", "user_id")
+    assert(linU > 0.9,
+      s"fixture sanity: t-sorted files should span ~all of user_id ($linU)")
+    assert(zU < 0.6 && zT < 0.6,
+      s"z-order must bound BOTH dims per file (t=$zT, user=$zU)")
+  }
+
   test("Excel sink produces a valid xlsx with sorted styled sheets and null->''") {
     val path = java.nio.file.Files.createTempDirectory("graft-xlsx").toString + "/out.xlsx"
     val t1 = Seq((1L, Option("alpha")), (2L, None)).toDF("id", "label")
