@@ -72,4 +72,58 @@ object Scd2 {
         col("effective_from"), col("effective_to"), col("n_obs"),
         col("effective_to").isNull.as("is_current"))
   }
+
+  /** Incremental SCD2 maintenance: fold a NEW observation batch into an
+    * existing [[history]] table without touching unaffected entities —
+    * the dimension-history analog of [[Dedup.mergeMinhashIndex]]'s
+    * index maintenance.
+    *
+    * Contract (standard append-only ingest): every new observation's
+    * timestamp is ≥ the entity's last `effective_from`. Under it, the
+    * stored runs are a lossless prefix — each version row re-enters the
+    * run collapse as one pseudo-observation of weight `n_obs` at its
+    * `effective_from`, new observations follow, and adjacent equal
+    * values re-collapse (so a batch continuing the current value
+    * EXTENDS the open version, preserving its original
+    * `effective_from`). Result is row-identical to a full [[history]]
+    * rebuild over old ∪ new observations (spec-asserted). Late
+    * observations violating the contract belong in a full rebuild.
+    *
+    * Scale shape: untouched entities pass through with one semi/anti
+    * join on the entity key (no window, no re-aggregation); the window
+    * machinery runs only over touched entities' version rows + the
+    * batch — cost ∝ delta, never ∝ the dimension's history. */
+  def applyIncrement(history: DataFrame, newObs: DataFrame, idCol: String,
+                     tsCol: String, valCol: String, tieCol: String): DataFrame = {
+    val touched = newObs.select(col(idCol)).distinct()
+    val keep = history.join(touched, Seq(idCol), "left_anti")
+    // version rows of touched entities → weighted pseudo-observations;
+    // a NULL tie sorts before any real tie-break at an equal timestamp,
+    // keeping the stored run's boundary stable
+    val pseudo = history.join(touched, Seq(idCol), "left_semi")
+      .select(col(idCol), col("effective_from").as(tsCol),
+        lit(null).cast("long").as("tie"), col(valCol), col("n_obs"))
+    val fresh = newObs.select(col(idCol), col(tsCol),
+      col(tieCol).cast("long").as("tie"), col(valCol), lit(1L).as("n_obs"))
+    val byObs = Window.partitionBy(col(idCol))
+      .orderBy(col(tsCol).asc, col("tie").asc_nulls_first)
+    val changed: Column = coalesce(
+      col(valCol) =!= lag(col(valCol), 1).over(byObs), lit(true))
+    val runs = pseudo.unionByName(fresh)
+      .withColumn("run_id",
+        sum(when(changed, 1L).otherwise(0L)).over(
+          byObs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val byVersion = Window.partitionBy(col(idCol)).orderBy(col("run_id"))
+    val rebuilt = runs
+      .groupBy(col(idCol), col("run_id"))
+      .agg(min(col(valCol)).as(valCol),
+        min(col(tsCol)).as("effective_from"),
+        sum(col("n_obs")).as("n_obs"))
+      .withColumn("effective_to",
+        lead(col("effective_from"), 1).over(byVersion))
+      .select(col(idCol), col(valCol), col("run_id").as("version"),
+        col("effective_from"), col("effective_to"), col("n_obs"),
+        col("effective_to").isNull.as("is_current"))
+    keep.unionByName(rebuilt)
+  }
 }

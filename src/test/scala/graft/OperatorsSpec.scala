@@ -1181,6 +1181,22 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected only the b1 near-pair (block 'big' capped out): $got")
   }
 
+  test("scd2 applyIncrement equals a full rebuild over old ∪ new observations") {
+    val ev = sources.Tables.events(spark, TestSpark.sf)
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val oldH = operators.Scd2.history(ev.filter(col("ts") < lit(cutoff)),
+      "user_id", "ts", "event_type", "event_id")
+    val inc = operators.Scd2.applyIncrement(oldH,
+        ev.filter(col("ts") >= lit(cutoff)),
+        "user_id", "ts", "event_type", "event_id")
+      .collect().map(_.toString).toSet
+    val full = operators.Scd2.history(ev, "user_id", "ts", "event_type", "event_id")
+      .collect().map(_.toString).toSet
+    assert(inc == full,
+      s"incremental != rebuild: missing=${(full -- inc).take(2)} extra=${(inc -- full).take(2)}")
+    assert(full.nonEmpty)
+  }
+
   test("verbatimCoverage counts cross-doc windows, ignores within-doc repeats") {
     val t = (1 to 8).map(i => s"t$i").mkString(" ")       // the shared run
     val docs = Seq(
