@@ -11,7 +11,8 @@ object Bench {
     "q_dedup_clusters" -> "cluster_rounds",
     "q_dedup_keep" -> "keep_cluster_rounds",
     "q_winnow_overlap" -> "winnow_pairs",
-    "q_winnow_capped" -> "winnow_capped_pairs")
+    "q_winnow_capped" -> "winnow_capped_pairs",
+    "q_tfidf_sim" -> "tfidf_candidates")
 
   /** 1-minute load average — recorded into the artifact so a number
     * taken on a loaded machine is identifiable as such (round-3 lesson:

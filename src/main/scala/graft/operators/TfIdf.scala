@@ -84,6 +84,11 @@ object TfIdf {
         col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      // candidate-volume observability, the dedup-family convention:
+      // distinct-sketch so AQE re-execution can't double-count
+      .observe("tfidf_candidates",
+        approx_count_distinct(xxhash64(col("doc_a"), col("doc_b")), 0.005)
+          .as("n_pairs"))
     val vecs = docVectors(w)
     val dec = DecimalType(38, 0)
     val dot = graft.functions.VectorExpressions
