@@ -1181,6 +1181,39 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected only the b1 near-pair (block 'big' capped out): $got")
   }
 
+  test("pageRank matches a single-threaded reference; ranks sum to 1") {
+    // 5 has no out-edges (dangling); 4 feeds the 1-2-3 cycle
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L),
+      (3L, 5L)).toDF("src", "dst")
+    val iters = 10
+    val got = operators.Graphs.pageRank(edges, "src", "dst", iters)
+      .as[(Long, Double)].collect().toMap
+    // independent reference: dense single-threaded power iteration
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    val out = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L), 3L -> Seq(1L, 5L),
+      4L -> Seq(3L))
+    val n = nodes.size.toDouble
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      val contrib = nodes.map { v =>
+        v -> nodes.filter(u => out.getOrElse(u, Nil).contains(v))
+          .map(u => r(u) / out(u).size).sum
+      }.toMap
+      r = nodes.map(v => v ->
+        (0.15 / n + 0.85 * (contrib(v) + dangling / n))).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - r(v)) < 1e-9, s"node $v: ${got(v)} vs ${r(v)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"sum=${got.values.sum}")
+    // degree stats cover the full-outer union of sources and sinks
+    val deg = operators.Graphs.degreeStats(edges, "src", "dst")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(deg == Set((1L, 2L, 1L), (2L, 1L, 1L), (3L, 2L, 3L),
+      (4L, 1L, 0L), (5L, 0L, 1L)), s"$deg")
+  }
+
   test("scd2 applyIncrement equals a full rebuild over old ∪ new observations") {
     val ev = sources.Tables.events(spark, TestSpark.sf)
     val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
