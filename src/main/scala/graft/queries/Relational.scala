@@ -271,6 +271,60 @@ object Relational extends QueryModule {
 
   /** ROLLUP hierarchy totals — the OLAP subtotal/grand-total shape;
     * grouping-set nulls mark subtotal rows identically in both engines. */
+  /** Exact equi-depth histogram WITHOUT a single-partition window: a
+    * global NTILE needs a total order, and `Window.orderBy` with no
+    * partition key funnels 100 TB through one task. The scalable exact
+    * form is the classic two-pass distributed ranking:
+    *
+    *  1. range-repartition + sort by (value, tie) — Spark's scalable
+    *     global sort;
+    *  2. per-partition row counts → driver-side prefix offsets (one
+    *     tiny row per partition);
+    *  3. global rank = per-partition row_number + offset (the window
+    *     is partitioned by partition id — fully parallel);
+    *  4. bucket = ⌊(rank−1)·k/N⌋ + 1, which reproduces NTILE's
+    *     front-loaded remainder distribution exactly (integer
+    *     arithmetic), then one bucket-keyed aggregate.
+    *
+    * Output (bucket, n, v_min, v_max) — no computed floats, so the
+    * DuckDB NTILE oracle hash-matches bit for bit. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, tieCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .select(col(valueCol).as("v"), col(tieCol).as("tie"))
+      .repartitionByRange(parts, col("v"), col("tie"))
+      .sortWithinPartitions(col("v"), col("tie"))
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    val counts = sorted.groupBy(col("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = spark.createDataFrame(offsets).toDF("pid", "off")
+    val byPid = Window.partitionBy(col("pid")).orderBy(col("v"), col("tie"))
+    val out = sorted
+      .join(broadcast(offDf), Seq("pid"))
+      .withColumn("rank", row_number().over(byPid) + col("off"))
+      .withColumn("bucket", // integer div — no double quotient
+        expr(s"((rank - 1) * $k) div $n").cast("long") + 1)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("v_min"),
+        max(col("v")).as("v_max"))
+    out
+  }
+
+  /** Equi-depth 8-bucket histogram of event values. */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    equiDepthHistogram(
+      Tables.events(spark, dir).select(col("value"), col("event_id")),
+      "value", "event_id", k = 8)
+      .orderBy(col("bucket"))
+
   def qRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -366,9 +420,17 @@ object Relational extends QueryModule {
     "q_percentile"        -> qPercentile _,
     "q_percentile_approx" -> qPercentileApprox _,
     "q_rollup"            -> qRollup _,
+    "q_histogram"         -> qHistogram _,
     "q_asof_join_fwd"     -> qAsofJoinFwd _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_histogram" ->
+      """WITH r AS (SELECT "value" AS v,
+        |    NTILE(8) OVER (ORDER BY "value", event_id) AS bucket
+        |  FROM events)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+        |  MIN(v) AS v_min, MAX(v) AS v_max
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_percentile" ->
       """SELECT event_type,
         |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
