@@ -77,7 +77,9 @@ object TfIdf {
     require(thresholdPct >= 1 && thresholdPct <= 99,
       "thresholdPct must be in [1, 99]")
     graft.functions.VectorExpressions.ensureRegistered(docs.sparkSession)
-    val w = weightedPostings(docs, idCol, textCol)
+    // the posting table feeds three branches (capped candidates + both
+    // vector sides); cache it so the tokenize/df/idf pipeline runs once
+    val w = weightedPostings(docs, idCol, textCol).cache()
     val capped = w.filter(col("df").between(2, maxDf))
       .select(col("doc_id"), col("k"))
     val cand = capped.as("a").join(capped.as("b"),
