@@ -325,6 +325,53 @@ object Relational extends QueryModule {
       "value", "event_id", k = 8)
       .orderBy(col("bucket"))
 
+  /** Wide-format pivot — one row per day, one count column per event
+    * type. Pivot VALUES are declared explicitly: at 100 TB an implicit
+    * pivot first runs a distinct scan over the key column to discover
+    * the schema; declaring them keeps the plan one aggregation. Counts
+    * are integers — hash-exact against the oracle's CASE aggregation. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("bucket_day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .select(col("bucket_day") +:
+        Seq("click", "error", "purchase", "signup", "view").map(t =>
+          coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy(col("bucket_day"))
+
+  /** The inverse — unpivot the wide table back to (day, event_type, n)
+    * long form with Spark's native unpivot (no explode-of-struct
+    * workaround). Round-trips qPivot's output modulo zero rows. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    qPivot(spark, dir)
+      .unpivot(Array(col("bucket_day")),
+        Seq("click", "error", "purchase", "signup", "view")
+          .map(t => col(s"n_$t")).toArray,
+        "event_type", "n")
+      .withColumn("event_type",
+        regexp_replace(col("event_type"), "^n_", ""))
+      .filter(col("n") > 0)
+      .orderBy(col("bucket_day"), col("event_type"))
+
+  /** Per-group least-squares regression aggregates — value trend over
+    * time per event type via Spark's regr_* (one pass, algebraic
+    * partial aggregation; no window, no collect). Slope/intercept are
+    * rounded on both engines (QueryModule convention). */
+  def qRegression(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        regr_count(col("value"), unix_micros(col("ts")).cast("double"))
+          .as("n"),
+        round(regr_slope(col("value"),
+          (unix_micros(col("ts")) / lit(86400000000.0))).cast("double"), 6)
+          .as("slope_per_day"),
+        round(regr_intercept(col("value"),
+          (unix_micros(col("ts")) / lit(86400000000.0))).cast("double"), 4)
+          .as("intercept"))
+      .orderBy(col("event_type"))
+
   def qRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -421,9 +468,31 @@ object Relational extends QueryModule {
     "q_percentile_approx" -> qPercentileApprox _,
     "q_rollup"            -> qRollup _,
     "q_histogram"         -> qHistogram _,
+    "q_pivot"             -> qPivot _,
+    "q_unpivot"           -> qUnpivot _,
+    "q_regression"        -> qRegression _,
     "q_asof_join_fwd"     -> qAsofJoinFwd _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT CAST(ts AS DATE) AS bucket_day,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_unpivot" ->
+      """SELECT CAST(ts AS DATE) AS bucket_day, event_type,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 HAVING COUNT(*) > 0
+        |ORDER BY 1, 2""".stripMargin,
+    "q_regression" ->
+      """SELECT event_type,
+        |  CAST(regr_count("value", CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)) AS BIGINT) AS n,
+        |  ROUND(regr_slope("value", epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0), 6) AS slope_per_day,
+        |  ROUND(regr_intercept("value", epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0), 4) AS intercept
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_histogram" ->
       """WITH r AS (SELECT "value" AS v,
         |    NTILE(8) OVER (ORDER BY "value", event_id) AS bucket
