@@ -1214,6 +1214,20 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, 1L, 0L), (5L, 0L, 1L)), s"$deg")
   }
 
+  test("scd2 history is run-length: a returning value starts a NEW version") {
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val log = Seq(
+      (1L, ts(1), 10L, "a"), (1L, ts(2), 11L, "a"), // run 1: a ×2
+      (1L, ts(3), 12L, "b"),                        // run 2: b
+      (1L, ts(4), 13L, "a"))                        // run 3: a RETURNS
+      .toDF("id", "ts", "tie", "v")
+    val got = operators.Scd2.history(log, "id", "ts", "v", "tie")
+      .select("v", "version", "n_obs", "is_current")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(("a", 1L, 2L, false), ("b", 2L, 1L, false),
+      ("a", 3L, 1L, true)), s"$got")
+  }
+
   test("scd2 applyIncrement equals a full rebuild over old ∪ new observations") {
     val ev = sources.Tables.events(spark, TestSpark.sf)
     val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")

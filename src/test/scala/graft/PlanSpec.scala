@@ -374,6 +374,27 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** The histogram's reason to exist: global ranking WITHOUT the
+    * single-partition exchange a bare `Window.orderBy` forces. The
+    * final orderBy's range exchange is fine (distributed); what must
+    * never appear is SinglePartition. */
+  test("equi-depth histogram plan has no single-partition exchange") {
+    val p = plan("q_histogram")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global-rank fell back to one task:\n$p")
+  }
+
+  /** SCD2's one-shuffle claim, verified in the plan: the change-flag
+    * lag, run-id running sum, run collapse and effective_to lead all
+    * reuse ONE user_id hash partitioning — exactly one hash exchange
+    * in the whole history build (the trailing orderBy adds only a
+    * range exchange). */
+  test("scd2 plan builds the whole history on one entity shuffle") {
+    val p = plan("q_scd2")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$p")
+  }
+
   /** TF-IDF similarity: candidates must come from the df-capped
     * inverted-index equi-join — never a cartesian. The only
     * nested-loop join is the 1-row corpus-count broadcast. */
