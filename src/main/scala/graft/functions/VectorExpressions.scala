@@ -229,6 +229,94 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `QuantizeI8(v)` — symmetric max-abs int8 quantization of an
+  * `array<float>` in ONE pass: maxAbs loop, then per-element
+  * `round(x / (maxAbs/127))` with Spark's own HALF_UP double rounding
+  * (BigDecimal semantics, byte-identical to
+  * `transform(v, x -> round(x / scale, 0).cast("tinyint"))`).
+  *
+  * Exists because the declarative formulation is quadratic in
+  * disguise: `withColumn(scale, …array_max…)` followed by
+  * `transform(v, x -> x / col(scale))` lets CollapseProject inline the
+  * scale's array_max subtree INSIDE the element lambda — O(dim²) per
+  * row — and predicate pushdown then duplicates the whole tree again
+  * into any filter over the quantized vector. The expression is
+  * opaque to both rewrites and costs exactly 2·dim element reads. */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"quantize_i8 requires array<float>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.ByteType,
+      containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "quantize_i8"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorExpressions.quantizeI8Kernel(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorExpressions.quantizeI8Kernel($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `DotProductI8(a, b)` — integer dot product of two `array<tinyint>`
+  * (int8-quantized) vectors as one primitive codegen loop returning
+  * `Σ (long)a_i·b_i` — exact integer arithmetic, so it is bit-identical
+  * to the `aggregate(zip_with(...))` formulation it replaces (integer
+  * addition is associative; no summation-order hazard) and to any
+  * ANSI-SQL oracle. Exists because the HOF form allocates a lambda
+  * frame per element: on a brute-force scoring pass (|queries|·|corpus|
+  * pairs × dim elements) that overhead dominates the actual multiplies. */
+case class DotProductI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_i8 requires array<tinyint> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_i8"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0; var acc = 0L
+    while (i < n) { acc += x.getByte(i).toLong * y.getByte(i).toLong; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `SortedPairsDot(a, b)` — sparse integer dot product of two
   * key-ascending `array<struct<k: bigint, w: bigint>>` vectors: a
   * primitive merge walk summing `w_a · w_b` over matching keys,
@@ -361,6 +449,51 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_pairs_dot",
       exprs => SortedPairsDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_i8", exprs => DotProductI8(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantize_i8", exprs => QuantizeI8(exprs(0)), "built-in")
+  }
+
+  /** Column wrapper for DotProductI8 (array<tinyint> inputs). */
+  def dotI8(a: Column, b: Column): Column = call_function("dot_i8", a, b)
+
+  /** Column wrapper for QuantizeI8 (array<float> input). */
+  def quantizeI8(v: Column): Column = call_function("quantize_i8", v)
+
+  /** [[QuantizeI8]] kernel, shared by interpreted eval and generated
+    * code. Mirrors the declarative semantics element for element:
+    * maxAbs over FLOAT abs/max (then widened), scale = maxAbs/127 (1.0
+    * when zero/absent), HALF_UP BigDecimal rounding (Spark's `round`),
+    * null elements pass through, non-finite elements → null. */
+  def quantizeI8Kernel(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var maxAbs = 0.0f
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val a = math.abs(v.getFloat(i))
+        if (a > maxAbs) maxAbs = a
+      }
+      i += 1
+    }
+    val scale = if (maxAbs == 0.0f) 1.0 else maxAbs.toDouble / 127.0
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) =
+        if (v.isNullAt(i)) null
+        else {
+          val d = v.getFloat(i).toDouble / scale
+          if (java.lang.Double.isFinite(d))
+            java.math.BigDecimal.valueOf(d)
+              .setScale(0, java.math.RoundingMode.HALF_UP)
+              .doubleValue().toByte
+          else null
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Column wrapper for SortedPairsDot (key-ascending

@@ -507,22 +507,31 @@ object Similarity {
     * DuckDB oracle (q_embedding_quant). */
   def quantizeInt8(df: DataFrame, vecCol: String, qCol: String = "q",
                    scaleCol: String = "q_scale"): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
     val maxAbs = array_max(transform(col(vecCol), x => abs(x))).cast("double")
+    // the quantized array comes from the one-pass codegen expression
+    // (functions.QuantizeI8), byte-identical to the declarative
+    // transform but opaque to CollapseProject — the declarative form
+    // let the scale's array_max subtree inline INSIDE the element
+    // lambda (O(dim²) per row) and pushdown then duplicated the whole
+    // tree into every filter over the quantized vector
     df.withColumn(scaleCol,
         when(maxAbs.isNull || maxAbs === 0.0, lit(1.0))
           .otherwise(maxAbs / 127.0))
       .withColumn(qCol,
-        transform(col(vecCol),
-          x => round(x.cast("double") / col(scaleCol), 0).cast("tinyint")))
+        graft.functions.VectorExpressions.quantizeI8(col(vecCol)))
   }
 
   /** Dequantized view of a [[quantizeInt8]] pair: x̂_i = q_i · scale. */
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
+  /** Codegen int8 dot (functions.DotProductI8) — bit-identical to the
+    * HOF `aggregate(zip_with(...))` form it replaced (exact integer
+    * sum), minus the per-element lambda frames that dominated the
+    * brute-force scoring pass. */
   private def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dotI8(a, b)
 
   /** Brute-force top-k over INT8-QUANTIZED vectors — the scoring pass a
     * quantized embedding store actually runs. The per-vector symmetric
@@ -537,6 +546,7 @@ object Similarity {
     * output shape as [[bruteForceTopK]]. */
   def bruteForceTopKQuantized(queries: DataFrame, corpus: DataFrame,
                               idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(queries.sparkSession)
     def side(df: DataFrame, idAs: String, qAs: String, nAs: String) =
       quantizeInt8(df.select(col(idCol).as(idAs), col(vecCol).as("_v")),
         "_v", qCol = "_q")
@@ -544,7 +554,12 @@ object Similarity {
         .withColumn(nAs, sqrt(intDot(col(qAs), col(qAs)).cast("double")))
         .filter(col(nAs) > 0.0)
     val q = side(queries, "query_id", "qq", "nq")
-    val c = side(corpus, "neighbor_id", "qc", "nc")
+    // materialize the quantized corpus ONCE: without the cache barrier
+    // Catalyst collapses the quantization transform upward into the
+    // per-PAIR cosine projection (the norm filter keeps its own copy
+    // below the join), re-quantizing every corpus vector |queries|
+    // times — measured 2× on the sf0.1 brute-force pass
+    val c = side(corpus, "neighbor_id", "qc", "nc").cache()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(q).crossJoin(c)
