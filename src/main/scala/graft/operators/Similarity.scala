@@ -388,8 +388,12 @@ object Similarity {
                    vecCol: String, model: PqModel, k: Int,
                    candidates: Int): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(queries.sparkSession)
+    // cache barrier: `codes` feeds both the reconstruction norm and
+    // the per-pair ADC sum — un-materialized, CollapseProject inlines
+    // the whole PQ-encode tree into the PAIR projection and every
+    // corpus vector re-encodes |queries| times (the QuantizeI8 lesson)
     val pairs = broadcast(pqQuerySide(queries, idCol, vecCol, model))
-      .crossJoin(pqCorpusSide(corpus, idCol, vecCol, model))
+      .crossJoin(pqCorpusSide(corpus, idCol, vecCol, model).cache())
     pqShortlistRerank(pairs, queries, corpus, idCol, vecCol, k, candidates)
   }
 
@@ -413,6 +417,7 @@ object Similarity {
     val c = pqCorpusSide(corpus, idCol, vecCol, pq)
       .withColumn("cell", cellExpr(col("cv"), ivf))
       .drop("cv")
+      .cache() // same barrier as pqSearchTopK: encode once, not per pair
     val pairs = probeJoin(q, c, broadcastQueries)
     pqShortlistRerank(pairs, queries, corpus, idCol, vecCol, k, candidates)
   }
