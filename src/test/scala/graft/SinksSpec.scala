@@ -81,6 +81,33 @@ class SinksSpec extends AnyFunSuite {
         .withColumn("part", lit(2)).collect().toSeq)
   }
 
+  test("file manifest: only new files qualify; commits are idempotent epochs") {
+    val base = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    val landing = s"$base/landing"; val man = s"$base/manifest"
+    def land(n: Int, rows: Int): Unit =
+      spark.range(rows).toDF("v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/batch$n")
+    land(1, 10)
+    val first = sources.FileManifest.newFiles(spark, landing, man)
+    assert(first.count() == 1, "fresh landing dir: every file is new")
+    sources.FileManifest.commit(spark, man, first)
+    assert(sources.FileManifest.newFiles(spark, landing, man).count() == 0,
+      "a committed file must not re-qualify")
+    land(2, 20)
+    val second = sources.FileManifest.newFiles(spark, landing, man)
+    assert(second.count() == 1, "only the newly landed file qualifies")
+    sources.FileManifest.commit(spark, man, second)
+    assert(sources.FileManifest.newFiles(spark, landing, man).count() == 0)
+    // epochs are append-only and monotone
+    val epochs = sources.FileManifest.manifest(spark, man)
+      .select("epoch").distinct().as[Long].collect().sorted.toSeq
+    assert(epochs == Seq(0L, 1L), s"$epochs")
+    // a re-landed file with a DIFFERENT size re-qualifies
+    land(1, 30)
+    assert(sources.FileManifest.newFiles(spark, landing, man).count() == 1,
+      "same path, new size => offered again")
+  }
+
   /** The property Z-order exists for, measured directly from file-level
     * min/max: under a single-column sort each file spans ~the full
     * domain of the OTHER column (no skipping possible); under Z-order
