@@ -78,8 +78,13 @@ object TfIdf {
       "thresholdPct must be in [1, 99]")
     graft.functions.VectorExpressions.ensureRegistered(docs.sparkSession)
     // the posting table feeds three branches (capped candidates + both
-    // vector sides); cache it so the tokenize/df/idf pipeline runs once
-    val w = weightedPostings(docs, idCol, textCol).cache()
+    // vector sides). Deliberately NOT cached: the pipeline is narrow
+    // codegen'd column work off one parquet scan, and an A/B at sf0.1
+    // showed materializing it costs more than the two recomputes —
+    // unlike the PQ/quantize cases, no expensive expression risks
+    // per-pair inlining here (the branches consume it through their
+    // own aggregations)
+    val w = weightedPostings(docs, idCol, textCol)
     val capped = w.filter(col("df").between(2, maxDf))
       .select(col("doc_id"), col("k"))
     val cand = capped.as("a").join(capped.as("b"),

@@ -58,6 +58,50 @@ object ParquetSink {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Small-file compaction for a partitioned [[writeTable]] layout:
+    * rewrite each partition directory whose file count exceeds
+    * `maxFilesPerDir` down to `targetFilesPerDir`, preserving the
+    * within-file sort (`sortCols`). Partitions already compact are NOT
+    * rewritten — maintenance cost ∝ fragmented partitions, not table
+    * size. The rewrite goes through a fresh temp directory and a
+    * directory swap per partition, so a reader never lists a
+    * half-written partition (rename is atomic per directory on
+    * HDFS-like stores; on object stores run it under a table lock).
+    *
+    * Streaming ingest is the canonical producer of the problem: every
+    * micro-batch appends a file per partition; after a day a hot
+    * partition holds thousands of row-group-sized files and listing +
+    * footer reads dominate scans. */
+  def compactTable(spark: SparkSession, path: String,
+                   sortCols: Seq[String] = Nil,
+                   maxFilesPerDir: Int = 8,
+                   targetFilesPerDir: Int = 1): Unit = {
+    require(targetFilesPerDir >= 1 && maxFilesPerDir >= targetFilesPerDir,
+      "need maxFilesPerDir >= targetFilesPerDir >= 1")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root).filter(s => s.isDirectory &&
+      s.getPath.getName.contains("="))
+    parts.foreach { p =>
+      val dataFiles = fs.listStatus(p.getPath).filter(f => f.isFile &&
+        f.getPath.getName.endsWith(".parquet"))
+      if (dataFiles.length > maxFilesPerDir) {
+        val tmp = new org.apache.hadoop.fs.Path(
+          p.getPath.getParent, "." + p.getPath.getName + ".compact-tmp")
+        val df0 = spark.read.parquet(p.getPath.toString)
+          .coalesce(targetFilesPerDir)
+        (if (sortCols.nonEmpty) df0.sortWithinPartitions(sortCols.map(col): _*)
+         else df0)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val old = new org.apache.hadoop.fs.Path(
+          p.getPath.getParent, "." + p.getPath.getName + ".compact-old")
+        fs.rename(p.getPath, old)
+        fs.rename(tmp, p.getPath)
+        fs.delete(old, true): Unit
+      }
+    }
+  }
+
   /** Morton (Z-order) interleave of two rank-bucketized columns — the
     * multi-dimensional clustering key for [[writeZOrdered]]. Each
     * column is linearly bucketized to `bits` bits from driver-resolved

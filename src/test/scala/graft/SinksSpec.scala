@@ -81,6 +81,29 @@ class SinksSpec extends AnyFunSuite {
         .withColumn("part", lit(2)).collect().toSeq)
   }
 
+  test("compaction rewrites only fragmented partitions, losslessly") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact")
+      .toString + "/t"
+    val df = sources.Tables.events(spark, sf)
+      .select("event_id", "event_type", "user_id")
+    // fragment ONE partition: 16 files in 'click', 1 in the rest
+    df.filter(col("event_type") === "click").repartition(16)
+      .write.partitionBy("event_type").mode("overwrite").parquet(base)
+    df.filter(col("event_type") =!= "click").coalesce(1)
+      .write.partitionBy("event_type").mode("append").parquet(base)
+    def files(part: String) = new java.io.File(s"$base/event_type=$part")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(files("click") == 16)
+    val before = spark.read.parquet(base).orderBy("event_id").collect().toSeq
+    val viewFiles = files("view")
+    sinks.ParquetSink.compactTable(spark, base, sortCols = Seq("user_id"),
+      maxFilesPerDir = 8, targetFilesPerDir = 1)
+    assert(files("click") == 1, "fragmented partition must compact")
+    assert(files("view") == viewFiles, "compact partitions must not rewrite")
+    val after = spark.read.parquet(base).orderBy("event_id").collect().toSeq
+    assert(after == before, "compaction must be lossless")
+  }
+
   test("file manifest: only new files qualify; commits are idempotent epochs") {
     val base = java.nio.file.Files.createTempDirectory("graft-manifest").toString
     val landing = s"$base/landing"; val man = s"$base/manifest"
