@@ -248,6 +248,22 @@ object TimeSeries extends QueryModule {
       .orderBy(col("bucket_day"))
   }
 
+  /** Cohort retention matrix (operators.Cohorts): users bucketed by
+    * first-activity day, activity counted per (cohort, day-offset). */
+  def qRetention(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cohorts.retention(Tables.events(spark, dir),
+        "user_id", "ts")
+      .select(col("cohort_day"), col("day_offset").cast("long"),
+        col("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+
+  /** Ordered view→click→purchase funnel (operators.Cohorts): stage i
+    * requires an event strictly after the stage-(i−1) time. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cohorts.funnel(Tables.events(spark, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+
   /** SCD2 dimension history (operators.Scd2) over the event log: each
     * user's event_type observations collapse into versioned
     * effective-range rows. Ties broken by event_id on both engines. */
@@ -285,7 +301,9 @@ object TimeSeries extends QueryModule {
     "q_throughput_daily" -> qThroughputDaily _,
     "q_sessionize"       -> qSessionize _,
     "q_scd2"             -> qScd2 _,
-    "q_distinct_sketch"  -> qDistinctSketch _)
+    "q_distinct_sketch"  -> qDistinctSketch _,
+    "q_retention"        -> qRetention _,
+    "q_funnel"           -> qFunnel _)
 
   val oracleSql: Map[String, String] = Map(
     "q_range_join" ->
@@ -432,5 +450,28 @@ object TimeSeries extends QueryModule {
     "q_distinct_sketch" ->
       """SELECT CAST(ts AS DATE) AS bucket_day,
         |  COUNT(DISTINCT user_id) AS item_count, TRUE AS within_rel_err
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS uid, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |c AS (SELECT uid, MIN(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT cohort_day,
+        |  CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |  COUNT(DISTINCT a.uid) AS n_users
+        |FROM a JOIN c USING (uid) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id AS uid, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type AS et FROM events),
+        |s0 AS (SELECT uid, MIN(ts) AS t0 FROM e WHERE et = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.uid, MIN(e.ts) AS t1 FROM e
+        |  JOIN s0 ON e.uid = s0.uid AND e.ts > s0.t0
+        |  WHERE e.et = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.uid, MIN(e.ts) AS t2 FROM e
+        |  JOIN s1 ON e.uid = s1.uid AND e.ts > s1.t1
+        |  WHERE e.et = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+        |  (SELECT COUNT(*) FROM s0) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s1)
+        |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s2)
+        |ORDER BY step""".stripMargin)
 }

@@ -1181,6 +1181,36 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected only the b1 near-pair (block 'big' capped out): $got")
   }
 
+  test("funnel enforces strict ordering and reports drop-off per stage") {
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq(
+      // u1 completes in order
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // u2 stops after click
+      (2L, ts(1), "view"), (2L, ts(5), "click"),
+      // u3 purchases BEFORE clicking → never reaches stage 3
+      (3L, ts(1), "view"), (3L, ts(4), "click"), (3L, ts(2), "purchase"),
+      // u4 clicks at the SAME instant as view → strict 'after' fails
+      (4L, ts(7), "view"), (4L, ts(7), "click"),
+      // u5 never views: not even stage 1
+      (5L, ts(1), "click"), (5L, ts(2), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = operators.Cohorts.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select("step", "n_users").as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 4L, 2 -> 3L, 3 -> 1L), s"$got")
+  }
+
+  test("retention counts day-0 as the full cohort") {
+    val ev = sources.Tables.events(spark, TestSpark.sf)
+    val r = operators.Cohorts.retention(ev, "user_id", "ts")
+    val day0 = r.filter(col("day_offset") === 0)
+      .agg(sum(col("n_users"))).head().getLong(0)
+    val users = ev.select("user_id").distinct().count()
+    assert(day0 == users,
+      s"every user is active on their cohort day ($day0 != $users)")
+  }
+
   test("pageRank matches a single-threaded reference; ranks sum to 1") {
     // 5 has no out-edges (dangling); 4 feeds the 1-2-3 cycle
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L),
