@@ -300,6 +300,41 @@ object EventStreams {
     }
   }
 
+  /** Streaming EXACT dedup against a persisted corpus, bloom-pruned —
+    * the ingestion-time shape of [[graft.operators.Dedup
+    * .exactCrossDups]]: a batch job persists the corpus fingerprint
+    * table once per epoch; the live feed checks every arriving
+    * document against it, with the Bloom filter (built ONCE at wiring
+    * time from the stored fingerprints — numBits/8 bytes of driver
+    * state) pruning each micro-batch inside scan codegen before the
+    * fingerprint-confirm join. Per-batch cost ∝ batch +
+    * candidate-bounded corpus reads; per-row results depend only on
+    * the static corpus, so the union over micro-batches equals the
+    * one-shot batch run (StreamingSpec). */
+  def exactDupsAgainstCorpusStream(docs: DataFrame, corpusFpPath: String,
+      idCol: String, textCol: String, numBits: Int = 1 << 20,
+      numHashes: Int = 5)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = docs.sparkSession
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val cf = spark.read.parquet(corpusFpPath)
+    val bloomBytes = graft.operators.Dedup
+      .fingerprintBloom(cf, numBits, numHashes)
+      .head().getAs[Array[Byte]](0)
+    docs.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      val nf = graft.operators.Dedup.fingerprints(batch, idCol, textCol)
+      val cand = nf.filter(graft.functions.VectorExpressions
+        .bloomMightContain(lit(bloomBytes), xxhash64(col("fp"))))
+      val out = cand
+        .join(cf.select(col("fp"), col("doc_id").as("corpus_doc_id")),
+          Seq("fp"))
+        .groupBy(col("doc_id"))
+        .agg(org.apache.spark.sql.functions.min(col("corpus_doc_id"))
+          .as("dup_of"))
+      sink(out, epochId)
+    }
+  }
+
   /** Streaming ANN — each micro-batch of query vectors searches a
     * STATIC corpus through persisted quantizer models (the search
     * analog of [[nearDupsAgainstIndexStream]]'s dedup story): a batch

@@ -342,6 +342,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  /** Bloom-pruned streaming exact dedup against a persisted corpus
+    * fingerprint table: union of per-micro-batch results equals the
+    * one-shot batch exactCrossDups over the same rows. */
+  test("streaming bloom exact dedup against persisted fingerprints equals batch") {
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, sf)
+    val isNew = col("doc_id") % 10 === 7
+    val fpDir = java.nio.file.Files.createTempDirectory("graft-fps")
+      .toString + "/fps"
+    operators.Dedup.fingerprints(docs.filter(!isNew), "doc_id", "text")
+      .write.mode("overwrite").parquet(fpDir)
+    val newDir = java.nio.file.Files.createTempDirectory("graft-newdocs2").toString
+    docs.filter(isNew).select("doc_id", "text")
+      .repartition(2).write.mode("overwrite").parquet(newDir)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(newDir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var batches = 0
+    val q = streaming.EventStreams.exactDupsAgainstCorpusStream(
+      stream, fpDir, "doc_id", "text", numBits = 1 << 14) { (dups, _) =>
+        got.synchronized { got ++= dups.as[(Long, Long)].collect(); batches += 1 }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = operators.Dedup.exactCrossDups(
+      docs.filter(isNew), docs.filter(!isNew), "doc_id", "text",
+      numBits = 1 << 14)
+      .as[(Long, Long)].collect().toSet
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(got.toSet == batch,
+      s"streamed dups diverged: ${got.toSet} vs $batch")
+    assert(got.nonEmpty)
+  }
+
   /** Streamed queries against the persisted IVF+PQ models: the union of
     * per-micro-batch top-k results must equal the one-shot batch search
     * over the same query rows (per-query independence). */
