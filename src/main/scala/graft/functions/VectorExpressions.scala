@@ -265,6 +265,91 @@ case class QuantizeI8(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `PqEncode(vec, books)` — product-quantization encoding as one
+  * codegen kernel call: per subspace j, the index of the L2-nearest
+  * centroid (strict-< argmin — first index on ties, matching
+  * `array_position(dists, array_min(dists))`). `books` must be a
+  * FOLDABLE nested literal (m × k × dsub); it is evaluated once and
+  * shipped to generated code as a reference object, so the per-row
+  * cost is exactly the m·k·dsub distance arithmetic — no nested
+  * lambda frames, no per-row literal traversal, and (the real point)
+  * no CollapseProject inlining of the encode tree into downstream
+  * consumers. Distance sums run in element order: bit-identical to
+  * the `aggregate(zip_with(...))` left fold it replaces. Contract:
+  * `vec.length ≥ m·dsub` (the trainer's own layout). */
+case class PqEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType match {
+    case ArrayType(FloatType, _) => right.foldable
+    case _ => false
+  }) match {
+    case true => TypeCheckResult.TypeCheckSuccess
+    case false => TypeCheckResult.TypeCheckFailure(
+      "pq_encode requires (array<float> vec, foldable nested codebook literal)")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val parsedBooks: Array[Array[Array[Double]]] = {
+    val m = right.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(m.numElements()) { j =>
+      val book = m.getArray(j)
+      Array.tabulate(book.numElements()) { c =>
+        book.getArray(c).toDoubleArray()
+      }
+    }
+  }
+
+  override def nullSafeEval(v: Any, unused: Any): Any =
+    VectorExpressions.pqEncodeKernel(parsedBooks, v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", parsedBooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = graft.functions.VectorExpressions.pqEncodeKernel($ref, $v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `AdcSum(codes, table)` — asymmetric-distance lookup sum:
+  * `Σ_j table[j][codes(j)]`, the per-candidate scoring step of an ADC
+  * scan (and, with a constant norm² table, the reconstruction norm).
+  * One codegen loop of m array reads per row — replaces
+  * `aggregate(zip_with(codes, table, element_at))`, bit-identical
+  * (same left-fold order over doubles). */
+case class AdcSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+            ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"adc_sum requires (array<int> codes, array<array<double>> table), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_sum"
+
+  override def nullSafeEval(c: Any, t: Any): Any =
+    VectorExpressions.adcSumKernel(c.asInstanceOf[ArrayData],
+      t.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, t) =>
+      s"graft.functions.VectorExpressions.adcSumKernel($c, $t)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `DotProductI8(a, b)` — integer dot product of two `array<tinyint>`
   * (int8-quantized) vectors as one primitive codegen loop returning
   * `Σ (long)a_i·b_i` — exact integer arithmetic, so it is bit-identical
@@ -453,13 +538,69 @@ object VectorExpressions {
       "dot_i8", exprs => DotProductI8(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quantize_i8", exprs => QuantizeI8(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "adc_sum", exprs => AdcSum(exprs(0), exprs(1)), "built-in")
   }
+
+  /** Column wrapper for PqEncode (books must be a foldable literal). */
+  def pqEncode(vec: Column, books: Column): Column =
+    call_function("pq_encode", vec, books)
+
+  /** Column wrapper for AdcSum. */
+  def adcSum(codes: Column, table: Column): Column =
+    call_function("adc_sum", codes, table)
 
   /** Column wrapper for DotProductI8 (array<tinyint> inputs). */
   def dotI8(a: Column, b: Column): Column = call_function("dot_i8", a, b)
 
   /** Column wrapper for QuantizeI8 (array<float> input). */
   def quantizeI8(v: Column): Column = call_function("quantize_i8", v)
+
+  /** [[PqEncode]] kernel: nearest-centroid index per subspace, strict-<
+    * argmin (first on ties), element-order distance sums. */
+  def pqEncodeKernel(books: Array[Array[Array[Double]]],
+                     vec: ArrayData): ArrayData = {
+    val m = books.length
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      val dsub = if (book.isEmpty) 0 else book(0).length
+      val off = j * dsub
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = vec.getFloat(off + i).toDouble - cent(i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[AdcSum]] kernel: Σ_j table[j][codes(j)], left-fold order. */
+  def adcSumKernel(codes: ArrayData, table: ArrayData): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      acc += table.getArray(j).getDouble(codes.getInt(j))
+      j += 1
+    }
+    acc
+  }
 
   /** [[QuantizeI8]] kernel, shared by interpreted eval and generated
     * code. Mirrors the declarative semantics element for element:

@@ -351,19 +351,13 @@ object Similarity {
 
   /** PQ encoding as a pure Column expression — one map-side pass, no
     * shuffle, no UDF: per subspace, the L2-nearest centroid's index
-    * (first index on ties — deterministic). Output: array<int>, length m. */
-  def pqEncodeExpr(vec: Column, model: PqModel): Column = {
-    val dsub = model.dsub
-    transform(pqBooksLit(model), (book, j) => {
-      val sub = slice(vec, j * lit(dsub) + 1, lit(dsub))
-      val dists = transform(book, c =>
-        aggregate(zip_with(sub, c, (x, y) => {
-          val d = x.cast("double") - y
-          d * d
-        }), lit(0.0), (acc, d) => acc + d))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    })
-  }
+    * (first index on ties — deterministic). Output: array<int>, length
+    * m. Runs as the codegen kernel functions.PqEncode (codebooks ship
+    * as a reference object, distances in element order — bit-identical
+    * to the nested-HOF form it replaced, which paid m·k·dsub lambda
+    * frames per row AND re-walked the codebook literal per element). */
+  def pqEncodeExpr(vec: Column, model: PqModel): Column =
+    graft.functions.VectorExpressions.pqEncode(vec, pqBooksLit(model))
 
   /** Asymmetric-distance (ADC) PQ top-k with exact rerank — the
     * production two-stage ANN shape:
@@ -443,9 +437,8 @@ object Similarity {
     corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("codes", pqEncodeExpr(col("cv"), model))
-      .withColumn("nrec", sqrt(aggregate(
-        zip_with(col("codes"), normsLit, (cd, ns) => element_at(ns, cd + 1)),
-        lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrec", sqrt(graft.functions.VectorExpressions
+        .adcSum(col("codes"), normsLit)))
   }
 
   /** Shared PQ tail: ADC-score candidate pairs, keep `candidates` per
@@ -459,9 +452,8 @@ object Similarity {
       .orderBy(col("adc_cos").desc, col("neighbor_id").asc)
     val shortlist = pairs
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), col("lut"), (cd, lut) => element_at(lut, cd + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("adc", graft.functions.VectorExpressions
+        .adcSum(col("codes"), col("lut")))
       .filter(col("nq") > 0 && col("nrec") > 0)
       .withColumn("adc_cos", col("adc") / (col("nq") * col("nrec")))
       .withColumn("crank", row_number().over(wCand))
