@@ -1,0 +1,97 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Always-readable versioned table — the epoch-flip pattern the
+  * persisted-index docs prescribe ([[graft.operators.Dedup
+  * .saveMinhashIndex]]'s non-atomicity note), implemented: every write
+  * lands in a FRESH `epoch=N` directory, and readers resolve the
+  * current epoch through a pointer file that is replaced atomically
+  * (write-temp + rename). A reader holding the old pointer keeps
+  * reading the old epoch's (immutable, fully written) files; a torn
+  * writer leaves at worst an orphaned epoch directory that the next
+  * successful flip supersedes — parquet overwrite's delete-then-write
+  * window never exists for readers.
+  *
+  * This is deliberately a MINIMAL single-writer design (one pointer,
+  * no optimistic-concurrency log): index artifacts — MinHash epochs,
+  * sketch tables, IVF/PQ models — have one maintaining batch job by
+  * construction. Old epochs are retained for as-of reads
+  * ([[readVersion]]) until [[vacuum]] drops all but the newest k.
+  */
+object VersionedTable {
+
+  private val Pointer = "_LATEST"
+
+  private def fs(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Current version, or -1 when the table has never committed. */
+  def latestVersion(spark: SparkSession, root: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(root, Pointer)
+    val f = fs(spark, root)
+    if (!f.exists(p)) -1L
+    else {
+      val in = f.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Write `df` as the next epoch and flip the pointer. Returns the
+    * new version. The pointer flip is the COMMIT: a crash before it
+    * leaves the table at the previous version with an orphaned
+    * directory, never a half-visible epoch. */
+  def write(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val next = latestVersion(spark, root) + 1
+    df.write.mode("overwrite").parquet(s"$root/epoch=$next")
+    val f = fs(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".$Pointer.tmp")
+    val out = f.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(root, Pointer)
+    // rename-over-existing: delete+rename is fine here because readers
+    // cache the pointer CONTENT, not the file handle, and a reader
+    // racing the flip re-reads either the old or the new version —
+    // both fully written
+    if (f.exists(ptr)) f.delete(ptr, false)
+    require(f.rename(tmp, ptr), s"pointer flip failed for $root")
+    next
+  }
+
+  /** Read the current epoch (pointer-resolved). */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(spark, root)
+    require(v >= 0, s"versioned table at $root has no committed epoch")
+    readVersion(spark, root, v)
+  }
+
+  /** As-of read of a retained epoch. */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
+    spark.read.parquet(s"$root/epoch=$version")
+
+  /** All committed-or-orphaned epoch numbers present on disk. */
+  def versions(spark: SparkSession, root: String): Seq[Long] =
+    fs(spark, root).listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("epoch=") =>
+        n.stripPrefix("epoch=").toLong }
+      .sorted.toSeq
+
+  /** Drop all epochs except the newest `keep` (and never the one the
+    * pointer names). */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Unit = {
+    require(keep >= 1, "must keep at least one epoch")
+    val cur = latestVersion(spark, root)
+    val f = fs(spark, root)
+    versions(spark, root).sorted.dropRight(keep)
+      .filter(_ != cur)
+      .foreach { v =>
+        f.delete(new org.apache.hadoop.fs.Path(root, s"epoch=$v"), true): Unit
+      }
+  }
+}

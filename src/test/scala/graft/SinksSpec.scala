@@ -81,6 +81,25 @@ class SinksSpec extends AnyFunSuite {
         .withColumn("part", lit(2)).collect().toSeq)
   }
 
+  test("versioned table: epoch flips are atomic commits; as-of reads and vacuum") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vt").toString + "/t"
+    assert(sources.Tables.nation(spark, sf) != null) // warm fs
+    assert(sinks.VersionedTable.latestVersion(spark, root) == -1L)
+    val v0 = sinks.VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root)
+    val v1 = sinks.VersionedTable.write(Seq((1L, "b"), (2L, "c")).toDF("k", "v"), root)
+    assert((v0, v1) == ((0L, 1L)))
+    assert(sinks.VersionedTable.read(spark, root).count() == 2)
+    // as-of: the old epoch is immutable and still readable
+    assert(sinks.VersionedTable.readVersion(spark, root, 0).count() == 1)
+    val v2 = sinks.VersionedTable.write(Seq((9L, "z")).toDF("k", "v"), root)
+    assert(sinks.VersionedTable.versions(spark, root) == Seq(0L, 1L, 2L))
+    sinks.VersionedTable.vacuum(spark, root, keep = 2)
+    assert(sinks.VersionedTable.versions(spark, root) == Seq(1L, 2L))
+    assert(sinks.VersionedTable.read(spark, root)
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(v2 == 2L)
+  }
+
   test("compaction rewrites only fragmented partitions, losslessly") {
     val base = java.nio.file.Files.createTempDirectory("graft-compact")
       .toString + "/t"
