@@ -61,9 +61,19 @@ object TextAnalysis {
     // document scores 0.7 — passing quality filters on no evidence, and
     // diverging from the oracles' NULL branch
     when(toks.isNotNull,
-      round(lit(0.4) * lenScore + lit(0.3) * diversity +
-        lit(0.3) * (lit(1.0) - sr), 4))
+      round4Stable(lit(0.4) * lenScore + lit(0.3) * diversity +
+        lit(0.3) * (lit(1.0) - sr)))
   }
+
+  /** 4-decimal rounding for NON-NEGATIVE gated ratios as pure double
+    * arithmetic — `⌊x·10⁴ + 0.5⌋ / 10⁴` — identical bit-for-bit on any
+    * engine. `ROUND(x, 4)` is NOT: Spark rounds the shortest decimal
+    * representation HALF_UP, DuckDB rounds half-to-even, and quality
+    * scores (rationals over small token counts) land exactly on
+    * .xxxx5 often enough to split the two (seen at sf0.1: 0.8402 vs
+    * 0.8403 on 3 docs). */
+  def round4Stable(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0)
 
   /** Marker-stopword sets per language for n-gram-free language ID.
     * (Real pipelines use char-n-gram models; marker scoring is the

@@ -268,9 +268,10 @@ object LlmOps extends QueryModule {
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct"),
-        round(sr, 4).as("stop_ratio"),
-        round(lit(0.4) * least(lit(1.0), n / 50.0) + lit(0.3) * diversity +
-          lit(0.3) * (lit(1.0) - sr), 4).as("quality"))
+        TextAnalysis.round4Stable(sr).as("stop_ratio"),
+        TextAnalysis.round4Stable(
+          lit(0.4) * least(lit(1.0), n / 50.0) + lit(0.3) * diversity +
+            lit(0.3) * (lit(1.0) - sr)).as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -847,11 +848,11 @@ object LlmOps extends QueryModule {
        |m AS (SELECT doc_id,
        |    CASE WHEN toks IS NULL THEN NULL
        |         WHEN len(toks) = 0 THEN 0.3
-       |         ELSE ROUND(0.4 * LEAST(1.0, len(toks) / 50.0)
+       |         ELSE FLOOR((0.4 * LEAST(1.0, len(toks) / 50.0)
        |        + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
        |        + 0.3 * (1.0 - CAST(len(list_filter(toks,
        |            x -> x IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
-       |          / len(toks)), 4) END AS quality
+       |          / len(toks))) * 10000.0 + 0.5) / 10000.0 END AS quality
        |  FROM t),
        |thr AS (SELECT quantile_cont(quality, $QualityFilterQuantile) AS t FROM m)
        |SELECT doc_id, quality FROM m CROSS JOIN thr
@@ -1068,10 +1069,11 @@ object LlmOps extends QueryModule {
         |      x -> x IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
         |      / len(toks) AS sr
         |  FROM t)
-        |SELECT doc_id, n_tokens, n_distinct, ROUND(sr, 4) AS stop_ratio,
-        |  ROUND(0.4 * LEAST(1.0, n_tokens / 50.0)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  FLOOR(sr * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+        |  FLOOR((0.4 * LEAST(1.0, n_tokens / 50.0)
         |      + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
-        |      + 0.3 * (1.0 - sr), 4) AS quality
+        |      + 0.3 * (1.0 - sr)) * 10000.0 + 0.5) / 10000.0 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
     "q_lang_id" -> {
       val markerSql = TextAnalysis.LangMarkers.map { case (l, m) =>
@@ -1200,11 +1202,11 @@ object LlmOps extends QueryModule {
          |m AS (SELECT doc_id,
          |    CASE WHEN toks IS NULL THEN NULL
          |         WHEN len(toks) = 0 THEN 0.3
-         |         ELSE ROUND(0.4 * LEAST(1.0, len(toks) / 50.0)
+         |         ELSE FLOOR((0.4 * LEAST(1.0, len(toks) / 50.0)
          |        + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
          |        + 0.3 * (1.0 - CAST(len(list_filter(toks,
          |            x -> x IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
-         |          / len(toks)), 4) END AS quality
+         |          / len(toks))) * 10000.0 + 0.5) / 10000.0 END AS quality
          |  FROM t),
          |thr AS (SELECT quantile_cont(quality, $QualityFilterQuantile) AS t FROM m)
          |SELECT doc_id, quality FROM m CROSS JOIN thr
@@ -1472,13 +1474,13 @@ object LlmOps extends QueryModule {
          |    CASE WHEN len(toks) > 0
          |      THEN ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
          |      ELSE 0.0 END AS dup_token_frac,
-         |    ROUND(0.4 * LEAST(1.0, len(toks) / 50.0)
+         |    FLOOR((0.4 * LEAST(1.0, len(toks) / 50.0)
          |      + 0.3 * (CASE WHEN len(toks) > 0
          |          THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END)
          |      + 0.3 * (1.0 - CASE WHEN len(toks) > 0
          |          THEN CAST(len(list_filter(toks,
          |            x -> x IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE) / len(toks)
-         |          ELSE 0.0 END), 4) AS quality
+         |          ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS quality
          |  FROM t),
          |shl AS (SELECT doc_id,
          |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
