@@ -51,14 +51,16 @@ object CorpusQuality {
     val tokStats = base.select(col("doc_id"),
       size(col("toks")).as("n_tokens"),
       when(size(col("toks")) > 0,
-        round(lit(1.0) - size(array_distinct(col("toks"))) /
-          size(col("toks")).cast("double"), 4))
+        graft.functions.TextAnalysis.round4Stable(
+          lit(1.0) - size(array_distinct(col("toks"))) /
+            size(col("toks")).cast("double")))
         .otherwise(lit(0.0)).as("dup_token_frac"))
     val perBigram = base
       .select(col("doc_id"), explode(Dedup.shinglesFromTokens(col("toks"))).as("sh"))
       .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("cnt"))
     val tbf = perBigram.groupBy(col("doc_id"))
-      .agg(round(max(col("cnt")).cast("double") / sum(col("cnt")), 4)
+      .agg(graft.functions.TextAnalysis.round4Stable(
+          max(col("cnt")).cast("double") / sum(col("cnt")))
         .as("top_bigram_frac"))
     tokStats.join(tbf, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
@@ -88,7 +90,8 @@ object CorpusQuality {
     tot.join(hit, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_sh"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)) / col("n_sh").cast("double"), 4)
+        graft.functions.TextAnalysis.round4Stable(
+            coalesce(col("n_hit"), lit(0L)) / col("n_sh").cast("double"))
           .as("contamination"))
   }
 
@@ -212,7 +215,8 @@ object CorpusQuality {
       .agg(count(lit(1)).as("n_tokens"),
         count(when(col("_in_vocab").isNull, 1)).as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-        round(col("n_oov") / col("n_tokens").cast("double"), 4).as("oov_rate"))
+        graft.functions.TextAnalysis.round4Stable(
+          col("n_oov") / col("n_tokens").cast("double")).as("oov_rate"))
   }
 
   /** Keep rows whose `scoreCol` is at or above the corpus's exact

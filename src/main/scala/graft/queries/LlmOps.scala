@@ -1258,7 +1258,7 @@ object LlmOps extends QueryModule {
          |vocab AS (SELECT tok FROM cnt ORDER BY n DESC, tok ASC LIMIT $OovVocabSize)
          |SELECT t.doc_id, COUNT(*) AS n_tokens,
          |  COUNT(*) FILTER (WHERE v.tok IS NULL) AS n_oov,
-         |  ROUND(COUNT(*) FILTER (WHERE v.tok IS NULL) / CAST(COUNT(*) AS DOUBLE), 4) AS oov_rate
+         |  FLOOR((COUNT(*) FILTER (WHERE v.tok IS NULL) / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS oov_rate
          |FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q_embedding_outliers" ->
@@ -1353,14 +1353,14 @@ object LlmOps extends QueryModule {
         |  FROM documents),
         |ts AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n_tokens,
         |    CASE WHEN len(toks) > 0
-        |      THEN ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+        |      THEN FLOOR((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 10000.0 + 0.5) / 10000.0
         |      ELSE 0.0 END AS dup_token_frac
         |  FROM t),
         |shl AS (SELECT doc_id,
         |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
         |  FROM ts),
         |c AS (SELECT doc_id, sh, COUNT(*) AS cnt FROM shl GROUP BY 1, 2),
-        |f AS (SELECT doc_id, ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top_bigram_frac
+        |f AS (SELECT doc_id, FLOOR((CAST(MAX(cnt) AS DOUBLE) / SUM(cnt)) * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac
         |  FROM c GROUP BY 1)
         |SELECT ts.doc_id, n_tokens, dup_token_frac,
         |  COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac,
@@ -1382,7 +1382,7 @@ object LlmOps extends QueryModule {
          |hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM dsh JOIN bsh USING (sh) GROUP BY 1)
          |SELECT tot.doc_id, CAST(n_sh AS BIGINT) AS n_sh,
          |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
-         |  ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh, 4) AS contamination
+         |  FLOOR((CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh) * 10000.0 + 0.5) / 10000.0 AS contamination
          |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id ORDER BY tot.doc_id""".stripMargin,
     "q_verbatim_cov" ->
       """WITH docs2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1472,7 +1472,7 @@ object LlmOps extends QueryModule {
          |  FROM tr),
          |q AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
          |    CASE WHEN len(toks) > 0
-         |      THEN ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+         |      THEN FLOOR((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 10000.0 + 0.5) / 10000.0
          |      ELSE 0.0 END AS dup_token_frac,
          |    FLOOR((0.4 * LEAST(1.0, len(toks) / 50.0)
          |      + 0.3 * (CASE WHEN len(toks) > 0
@@ -1486,7 +1486,7 @@ object LlmOps extends QueryModule {
          |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
          |  FROM t),
          |c AS (SELECT doc_id, sh, COUNT(*) AS cnt FROM shl GROUP BY 1, 2),
-         |f AS (SELECT doc_id, ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top_bigram_frac
+         |f AS (SELECT doc_id, FLOOR((CAST(MAX(cnt) AS DOUBLE) / SUM(cnt)) * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac
          |  FROM c GROUP BY 1),
          |docs2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM tr),
          |inst AS (SELECT doc_id,
@@ -1506,7 +1506,7 @@ object LlmOps extends QueryModule {
          |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY 1),
          |hit AS (SELECT doc_id, COUNT(*) AS n_hit FROM dsh JOIN bsh USING (sh) GROUP BY 1),
          |cont AS (SELECT tot.doc_id,
-         |    ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh, 4) AS contamination
+         |    FLOOR((CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh) * 10000.0 + 0.5) / 10000.0 AS contamination
          |  FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id)
          |SELECT q.doc_id, q.n_tokens, q.quality, q.dup_token_frac,
          |  COALESCE(f.top_bigram_frac, 0.0) AS top_bigram_frac,

@@ -198,7 +198,8 @@ object EventStreams {
       .agg(count(lit(1)).as("n_sh"),
         coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
       .select(col("doc_id"), col("n_sh"), col("n_hit"),
-        round(col("n_hit") / col("n_sh").cast("double"), 4).as("contamination"))
+        graft.functions.TextAnalysis.round4Stable(
+          col("n_hit") / col("n_sh").cast("double")).as("contamination"))
   }
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
