@@ -271,8 +271,9 @@ object Dedup {
         graft.functions.VectorExpressions.sortedIntersectCount(
           col("shs_a"), col("shs_b")))
       .withColumn("jaccard",
-        round(col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")), 4))
+        graft.functions.TextAnalysis.round4Stable(
+          col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -371,8 +372,9 @@ object Dedup {
         graft.functions.VectorExpressions.sortedIntersectCount(
           col("shs_a"), col("shs_b")))
       .withColumn("jaccard",
-        round(col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")), 4))
+        graft.functions.TextAnalysis.round4Stable(
+          col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common"))))
       .filter(col("jaccard") >= threshold)
       .select(col(aCol), col(bCol), col("jaccard"))
 

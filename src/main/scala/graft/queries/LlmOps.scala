@@ -763,7 +763,7 @@ object LlmOps extends QueryModule {
 
   private val jaccardSelect =
     s"""SELECT doc_a, doc_b,
-       |  ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+       |  FLOOR((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 10000.0 + 0.5) / 10000.0 AS jaccard
        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
        |           JOIN sizes sb ON sb.doc_id = doc_b""".stripMargin
 
@@ -822,10 +822,10 @@ object LlmOps extends QueryModule {
        |              JOIN sh sb ON sb.doc_id = c.corpus_id AND sb.sh = sa.sh
        |  GROUP BY 1, 2)
        |SELECT new_id, corpus_id,
-       |  ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+       |  FLOOR((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 10000.0 + 0.5) / 10000.0 AS jaccard
        |FROM inter JOIN sizes sa ON sa.doc_id = new_id
        |           JOIN sizes sb ON sb.doc_id = corpus_id
-       |WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4)
+       |WHERE FLOOR((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 10000.0 + 0.5) / 10000.0
        |  >= $JaccardThreshold
        |ORDER BY new_id, corpus_id""".stripMargin
 
