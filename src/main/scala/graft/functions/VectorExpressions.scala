@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, Decimal, DecimalType, DoubleType, FloatType, LongType}
 
 /** Custom Catalyst expression for the embedding hot path (SURVEY §2.9
   * policy: native Expression with doGenCode beats a Scala UDF).
@@ -280,14 +280,21 @@ case class QuantizeI8(child: Expression) extends UnaryExpression {
 case class PqEncode(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType match {
-    case ArrayType(FloatType, _) => right.foldable
-    case _ => false
-  }) match {
-    case true => TypeCheckResult.TypeCheckSuccess
-    case false => TypeCheckResult.TypeCheckFailure(
-      "pq_encode requires (array<float> vec, foldable nested codebook literal)")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      // the codebook's SHAPE is validated too: foldability alone lets a
+      // wrong-typed literal (scalar, or wrong nesting depth) through
+      // analysis only to ClassCastException inside parsedBooks at runtime
+      case (ArrayType(FloatType, _),
+            ArrayType(ArrayType(ArrayType(DoubleType, _), _), _))
+          if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode requires (array<float> vec, foldable " +
+          s"array<array<array<double>>> codebook literal), got " +
+          s"(${l.catalogString}, ${r.catalogString}" +
+          (if (!right.foldable) ", non-foldable)" else ")"))
+    }
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
   override def prettyName: String = "pq_encode"
@@ -416,7 +423,14 @@ case class DotProductI8(left: Expression, right: Expression)
   * float summation-order ulps near the boundary. Keys must be unique
   * and ascending per vector (the caller's `array_sort(collect_list)`
   * over per-doc-distinct terms guarantees it); equal-key runs are not
-  * skipped, so duplicate keys would double-count. */
+  * skipped, so duplicate keys would double-count.
+  *
+  * Returns Decimal(38,0), accumulated overflow-safe: per-term products
+  * stay in the primitive long fast path while both weights are below
+  * √Long.MaxValue (the realistic tf·idf_q range), and the running sum
+  * spills to BigInteger exactly when a long add would wrap — so a
+  * production-scale corpus (where Σ w_a·w_b can pass 2⁶³) gets the
+  * exact dot instead of a silently wrapped one. */
 case class SortedPairsDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -431,52 +445,82 @@ case class SortedPairsDot(left: Expression, right: Expression)
       s"sorted_pairs_dot requires array<struct<bigint, bigint>> inputs, " +
         s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
   }
-  override def dataType: DataType = LongType
+  override def dataType: DataType = DecimalType(38, 0)
   override def prettyName: String = "sorted_pairs_dot"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val (na, nb) = (x.numElements(), y.numElements())
-    var ia = 0; var ib = 0; var acc = 0L
-    while (ia < na && ib < nb) {
-      val ra = x.getStruct(ia, 2); val rb = y.getStruct(ib, 2)
-      val ka = ra.getLong(0); val kb = rb.getLong(0)
-      if (ka < kb) ia += 1
-      else if (ka > kb) ib += 1
-      else { acc += ra.getLong(1) * rb.getLong(1); ia += 1; ib += 1 }
-    }
-    acc
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorExpressions.sortedPairsDotKernel(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
-      val ia = ctx.freshName("ia"); val ib = ctx.freshName("ib")
-      val ka = ctx.freshName("ka"); val kb = ctx.freshName("kb")
-      val ra = ctx.freshName("ra"); val rb = ctx.freshName("rb")
-      val acc = ctx.freshName("acc")
-      s"""
-         |int $na = $a.numElements();
-         |int $nb = $b.numElements();
-         |int $ia = 0, $ib = 0;
-         |long $acc = 0L;
-         |while ($ia < $na && $ib < $nb) {
-         |  InternalRow $ra = $a.getStruct($ia, 2);
-         |  InternalRow $rb = $b.getStruct($ib, 2);
-         |  long $ka = $ra.getLong(0);
-         |  long $kb = $rb.getLong(0);
-         |  if ($ka < $kb) { $ia++; }
-         |  else if ($ka > $kb) { $ib++; }
-         |  else { $acc += $ra.getLong(1) * $rb.getLong(1); $ia++; $ib++; }
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorExpressions.sortedPairsDotKernel($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `cosine_gate(dot, ssa, ssb, pct)` — the exact integer cosine
+  * threshold decision `10000·dot² ≥ pct²·ssa·ssb`, evaluated in
+  * arbitrary-precision integers. Exists because the Decimal(38,0)
+  * formulation has a hard 38-digit ceiling: at production weight
+  * scales `10000·dot²` can exceed it, and in non-ANSI mode the
+  * overflowed product is NULL — the filter then silently DROPS
+  * qualifying pairs. BigInteger has no ceiling, so the gate decides
+  * identically at any scale (DuckDB's HUGEINT oracle overflows loudly,
+  * never silently, so divergence would otherwise appear exactly at the
+  * large-corpus scale the operator targets). Cost: three BigInteger
+  * multiplies per CANDIDATE pair — bounded by the df cap, not the
+  * corpus. */
+case class CosineGateQ(dot: Expression, ssa: Expression, ssb: Expression,
+                       pct: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = dot
+  override def second: Expression = ssa
+  override def third: Expression = ssb
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case _: DecimalType | LongType => true
+      case _ => false
+    }
+    if (Seq(dot, ssa, ssb).forall(e => ok(e.dataType)) &&
+        pct >= 1 && pct <= 99)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_gate requires decimal/bigint (dot, ssa, ssb) and pct in " +
+        s"[1,99], got (${dot.dataType.catalogString}, " +
+        s"${ssa.dataType.catalogString}, ${ssb.dataType.catalogString}, $pct)")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "cosine_gate"
+
+  private def toBig(v: Any): java.math.BigInteger = v match {
+    case d: Decimal => d.toJavaBigDecimal.toBigIntegerExact
+    case l: java.lang.Long => java.math.BigInteger.valueOf(l)
+    case l: Long => java.math.BigInteger.valueOf(l)
+  }
+
+  override def nullSafeEval(d: Any, a: Any, b: Any): Any =
+    VectorExpressions.cosineGateKernel(toBig(d), toBig(a), toBig(b), pct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def conv(e: Expression, v: String): String = e.dataType match {
+      case _: DecimalType => s"$v.toJavaBigDecimal().toBigIntegerExact()"
+      case _ => s"java.math.BigInteger.valueOf($v)"
+    }
+    nullSafeCodeGen(ctx, ev, (d, a, b) =>
+      s"""${ev.value} = graft.functions.VectorExpressions.cosineGateKernel(
+         |  ${conv(dot, d)}, ${conv(ssa, a)}, ${conv(ssb, b)}, $pct);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(dot = newFirst, ssa = newSecond, ssb = newThird)
 }
 
 object VectorExpressions {
@@ -534,6 +578,9 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_pairs_dot",
       exprs => SortedPairsDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_gate", exprs => CosineGateQ(exprs(0), exprs(1), exprs(2),
+        intArg("cosine_gate", exprs(3), "pct")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_i8", exprs => DotProductI8(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -637,10 +684,67 @@ object VectorExpressions {
     new GenericArrayData(out)
   }
 
+  /** [[SortedPairsDot]] kernel: merge walk over two key-ascending
+    * sparse vectors. Per-term products take the primitive-long fast
+    * path while both |w| < √Long.MaxValue; the running sum detects a
+    * would-be long wrap with the sign trick and spills the accumulated
+    * prefix to BigInteger — allocation happens only past 2⁶², i.e.
+    * never on small corpora and rarely per pair on large ones. */
+  def sortedPairsDotKernel(x: ArrayData, y: ArrayData): Decimal = {
+    val na = x.numElements(); val nb = y.numElements()
+    var ia = 0; var ib = 0
+    var acc = 0L
+    var big: java.math.BigInteger = null
+    val safe = 3037000499L // floor(sqrt(Long.MaxValue))
+    while (ia < na && ib < nb) {
+      val ra = x.getStruct(ia, 2); val rb = y.getStruct(ib, 2)
+      val ka = ra.getLong(0); val kb = rb.getLong(0)
+      if (ka < kb) ia += 1
+      else if (ka > kb) ib += 1
+      else {
+        val wa = ra.getLong(1); val wb = rb.getLong(1)
+        if (math.abs(wa) <= safe && math.abs(wb) <= safe) {
+          val p = wa * wb
+          val sum = acc + p
+          if (((acc ^ sum) & (p ^ sum)) < 0L) { // long add would wrap
+            big = (if (big == null) java.math.BigInteger.ZERO else big)
+              .add(java.math.BigInteger.valueOf(acc))
+            acc = p
+          } else acc = sum
+        } else { // product itself exceeds long range
+          big = (if (big == null) java.math.BigInteger.ZERO else big)
+            .add(java.math.BigInteger.valueOf(wa)
+              .multiply(java.math.BigInteger.valueOf(wb)))
+        }
+        ia += 1; ib += 1
+      }
+    }
+    val total =
+      if (big == null) java.math.BigInteger.valueOf(acc)
+      else big.add(java.math.BigInteger.valueOf(acc))
+    Decimal(scala.math.BigDecimal(new java.math.BigDecimal(total)), 38, 0)
+  }
+
+  /** [[CosineGateQ]] kernel: `10000·dot² ≥ pct²·ssa·ssb` in unbounded
+    * integer arithmetic. */
+  def cosineGateKernel(dot: java.math.BigInteger, ssa: java.math.BigInteger,
+                       ssb: java.math.BigInteger, pct: Int): Boolean = {
+    val lhs = dot.multiply(dot).multiply(java.math.BigInteger.valueOf(10000L))
+    val rhs = ssa.multiply(ssb)
+      .multiply(java.math.BigInteger.valueOf(pct.toLong * pct))
+    lhs.compareTo(rhs) >= 0
+  }
+
   /** Column wrapper for SortedPairsDot (key-ascending
     * array<struct<k, w>> sparse vectors). */
   def sortedPairsDot(a: Column, b: Column): Column =
     call_function("sorted_pairs_dot", a, b)
+
+  /** Column wrapper for CosineGateQ. */
+  def cosineGate(dot: Column, ssa: Column, ssb: Column, pct: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("cosine_gate", dot, ssa, ssb, lit(pct))
+  }
 
   /** Column wrapper for the BloomBuildAgg runtime-filter aggregate
     * (item must be a pre-hashed bigint, e.g. `xxhash64(fp)`). */

@@ -15,8 +15,17 @@ import org.apache.spark.sql.types.DecimalType
   * any partitioning): idf is quantized to `round((ln((N+1)/(df+1))+1)
   * ·1000)` (smoothed sklearn idf, three fixed decimals), term weights
   * are `tf · idf_q` bigints, and `cosine ≥ pct/100` is evaluated as
-  * `10000·dot² ≥ pct²·ssA·ssB` in 38-digit decimals — no float sum
-  * ever reaches a comparison.
+  * `10000·dot² ≥ pct²·ssA·ssB` — no float sum ever reaches a
+  * comparison. The comparison itself runs UNBOUNDED
+  * ([[graft.functions.CosineGateQ]], BigInteger) and the norms/dot
+  * accumulate in Decimal(38,0) with overflow-safe kernels: a LongType
+  * `Σw²` wraps silently past 2⁶³ (w = tf·idf_q reaches ~1e7 on real
+  * corpora, so ~1e5 terms suffice), and a Decimal(38,0) `10000·dot²`
+  * NULLs past 38 digits in non-ANSI mode — both would silently drop
+  * qualifying pairs at exactly the corpus scale this operator targets.
+  * Weight bound for the exact fast path: |w| ≤ √Long.MaxValue ≈ 3.0e9
+  * per term (beyond it the dot kernel switches to BigInteger products,
+  * still exact).
   *
   * Scale shape (candidate-generation + verification, as everywhere in
   * the dedup family):
@@ -63,11 +72,15 @@ object TfIdf {
   }
 
   /** Per-doc sparse vector table: key-ascending array<struct<k, w>>
-    * plus the squared norm Σw² (bigint — exact). */
-  def docVectors(postings: DataFrame): DataFrame =
+    * plus the squared norm Σw² — aggregated in Decimal(38,0), NOT
+    * LongType: each w² fits a long only below |w| ≈ 3e9, and the SUM
+    * wraps long silently well before that (~1e5 terms at w ≈ 1e7). */
+  def docVectors(postings: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
     postings.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("k"), col("w")))).as("vec"),
-        sum(col("w") * col("w")).as("ss"))
+        sum(col("w").cast(dec) * col("w").cast(dec)).as("ss"))
+  }
 
   /** Similar pairs with cosine ≥ thresholdPct/100: (doc_a, doc_b),
     * doc_a < doc_b. Exact — the df cap bounds candidate generation
@@ -97,17 +110,17 @@ object TfIdf {
         approx_count_distinct(xxhash64(col("doc_a"), col("doc_b")), 0.005)
           .as("n_pairs"))
     val vecs = docVectors(w)
-    val dec = DecimalType(38, 0)
+    // dot is Decimal(38,0) (overflow-safe kernel); the threshold
+    // decision runs in BigInteger — no 38-digit ceiling anywhere
     val dot = graft.functions.VectorExpressions
-      .sortedPairsDot(col("va"), col("vb")).cast(dec)
+      .sortedPairsDot(col("va"), col("vb"))
     cand
       .join(vecs.select(col("doc_id").as("doc_a"), col("vec").as("va"),
         col("ss").as("ssa")), Seq("doc_a"))
       .join(vecs.select(col("doc_id").as("doc_b"), col("vec").as("vb"),
         col("ss").as("ssb")), Seq("doc_b"))
-      .filter(lit(10000).cast(dec) * dot * dot >=
-        lit(thresholdPct.toLong * thresholdPct).cast(dec) *
-          col("ssa").cast(dec) * col("ssb").cast(dec))
+      .filter(graft.functions.VectorExpressions
+        .cosineGate(dot, col("ssa"), col("ssb"), thresholdPct))
       .select(col("doc_a"), col("doc_b"))
   }
 }

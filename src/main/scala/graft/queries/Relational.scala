@@ -282,9 +282,14 @@ object Relational extends QueryModule {
     *     tiny row per partition);
     *  3. global rank = per-partition row_number + offset (the window
     *     is partitioned by partition id — fully parallel);
-    *  4. bucket = ⌊(rank−1)·k/N⌋ + 1, which reproduces NTILE's
-    *     front-loaded remainder distribution exactly (integer
-    *     arithmetic), then one bucket-keyed aggregate.
+    *  4. bucket via the true NTILE assignment (integer arithmetic):
+    *     with base = N div k and rem = N mod k, NTILE gives the first
+    *     `rem` buckets base+1 rows and the rest base rows, so
+    *       bucket = (rank−1) div (base+1) + 1           if rank ≤ (base+1)·rem
+    *              = rem + (rank−1−(base+1)·rem) div base + 1   otherwise.
+    *     (The naive ⌊(rank−1)·k/N⌋+1 floor formula spreads the
+    *     remainder Bresenham-style and diverges from NTILE whenever
+    *     N mod k ≠ 0.) Then one bucket-keyed aggregate.
     *
     * Output (bucket, n, v_min, v_max) — no computed floats, so the
     * DuckDB NTILE oracle hash-matches bit for bit. */
@@ -307,11 +312,19 @@ object Relational extends QueryModule {
     }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
     val offDf = spark.createDataFrame(offsets).toDF("pid", "off")
     val byPid = Window.partitionBy(col("pid")).orderBy(col("v"), col("tie"))
+    // NTILE's front-loaded remainder: first rem buckets get base+1 rows.
+    val base = n / k
+    val rem = n % k
+    val cut = (base + 1) * rem // ranks 1..cut land in the fat buckets
+    val bucketExpr =
+      if (base == 0L) expr("rank") // N < k: one row per bucket 1..N
+      else expr(
+        s"CASE WHEN rank <= $cut THEN (rank - 1) div ${base + 1} + 1" +
+          s" ELSE $rem + (rank - 1 - $cut) div $base + 1 END")
     val out = sorted
       .join(broadcast(offDf), Seq("pid"))
       .withColumn("rank", row_number().over(byPid) + col("off"))
-      .withColumn("bucket", // integer div — no double quotient
-        expr(s"((rank - 1) * $k) div $n").cast("long") + 1)
+      .withColumn("bucket", bucketExpr.cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("v_min"),
         max(col("v")).as("v_max"))

@@ -65,8 +65,14 @@ object ParquetSink {
     * rewritten — maintenance cost ∝ fragmented partitions, not table
     * size. The rewrite goes through a fresh temp directory and a
     * directory swap per partition, so a reader never lists a
-    * half-written partition (rename is atomic per directory on
-    * HDFS-like stores; on object stores run it under a table lock).
+    * HALF-WRITTEN partition. The swap is TWO renames (old→aside, then
+    * tmp→into-place), not one atomic operation: a reader listing the
+    * table in the instant between them sees the partition directory
+    * absent (rows temporarily invisible, never duplicated or torn).
+    * Each rename's result is checked; a failure of the second rename
+    * restores the set-aside directory so no committed rows are ever
+    * stranded invisible. Renames are atomic per directory on HDFS-like
+    * stores; on object stores run the whole swap under a table lock.
     *
     * Streaming ingest is the canonical producer of the problem: every
     * micro-batch appends a file per partition; after a day a hot
@@ -95,8 +101,19 @@ object ParquetSink {
           .write.mode("overwrite").parquet(tmp.toString)
         val old = new org.apache.hadoop.fs.Path(
           p.getPath.getParent, "." + p.getPath.getName + ".compact-old")
-        fs.rename(p.getPath, old)
-        fs.rename(tmp, p.getPath)
+        // check EVERY rename: an unchecked false from rename(tmp, live)
+        // after rename(live, old) succeeded would leave the partition
+        // vanished from the table — rows stranded in the hidden aside
+        // dir with no error raised
+        require(fs.rename(p.getPath, old),
+          s"compactTable: failed to set aside ${p.getPath}")
+        if (!fs.rename(tmp, p.getPath)) {
+          val restored = fs.rename(old, p.getPath)
+          throw new IllegalStateException(
+            s"compactTable: failed to move compacted data into ${p.getPath}" +
+              (if (restored) " (original directory restored)"
+               else s" AND COULD NOT RESTORE $old — manual recovery needed"))
+        }
         fs.delete(old, true): Unit
       }
     }

@@ -53,12 +53,18 @@ object VersionedTable {
     val out = f.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
     val ptr = new org.apache.hadoop.fs.Path(root, Pointer)
-    // rename-over-existing: delete+rename is fine here because readers
-    // cache the pointer CONTENT, not the file handle, and a reader
-    // racing the flip re-reads either the old or the new version —
-    // both fully written
-    if (f.exists(ptr)) f.delete(ptr, false)
-    require(f.rename(tmp, ptr), s"pointer flip failed for $root")
+    // ATOMIC overwrite rename (FileContext + Rename.OVERWRITE): a
+    // delete-then-rename pair would leave a window with no pointer file
+    // at all, in which a racing reader sees latestVersion == -1 and
+    // read() throws — breaking the always-readable contract. With the
+    // overwrite rename a racing reader observes either the old or the
+    // new pointer content, both naming fully-written epochs. (HDFS and
+    // local filesystems rename atomically; object stores without atomic
+    // rename need the same external-commit caveat compactTable
+    // documents.)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      ptr.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
 

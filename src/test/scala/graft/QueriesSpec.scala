@@ -126,4 +126,27 @@ class QueriesSpec extends AnyFunSuite {
     val df = queries.Relational.qDedupLastWin(spark, sf)
     assert(df.count() == df.select("user_id").distinct().count())
   }
+
+  test("equiDepthHistogram matches NTILE when N is not divisible by k") {
+    import spark.implicits._
+    // NTILE front-loads the remainder: first N mod k buckets get the
+    // extra row. Exercise several (n, k) shapes, including n < k.
+    def ntileCounts(n: Int, k: Int): Map[Long, Long] = {
+      val base = n / k; val rem = n % k
+      (1 to math.min(n, k)).map { b =>
+        b.toLong -> (if (b <= rem) base + 1L else base.toLong)
+      }.filter(_._2 > 0).toMap
+    }
+    for ((n, k) <- Seq((10, 8), (7, 3), (100, 7), (5, 8), (9, 9))) {
+      val df = (1 to n).map(i => (i.toDouble, i.toLong)).toDF("v", "id")
+      val got = queries.Relational.equiDepthHistogram(df, "v", "id", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ntileCounts(n, k), s"n=$n k=$k")
+    }
+    // the ADVICE counter-example: N=10, k=8 → rank 4 is NTILE bucket 2
+    val df10 = (1 to 10).map(i => (i.toDouble, i.toLong)).toDF("v", "id")
+    val b = queries.Relational.equiDepthHistogram(df10, "v", "id", 8)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(b(2L) == ((3.0, 4.0)), "bucket 2 holds ranks 3-4 (incl. rank 4)")
+  }
 }
