@@ -522,20 +522,26 @@ object Dedup {
     *
     * Overwrite is parquet delete-then-write, NOT atomic: a rebuild must
     * not race concurrent readers of the same path. For an always-readable
-    * index, write each rebuild to a fresh epoch directory and flip a
-    * pointer outside this method. */
+    * index use [[saveMinhashIndexVersioned]], which commits each rebuild
+    * as a fresh epoch behind an atomically-flipped pointer. */
   def saveMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
                        path: String,
                        maxShinglesPerDoc: Option[Int] = None): Unit = {
     buildMinhashIndex(corpus, idCol, textCol, maxShinglesPerDoc)
       .write.mode("overwrite").parquet(path)
-    val spark = corpus.sparkSession
+    writeBuildParams(corpus.sparkSession, path, maxShinglesPerDoc)
+  }
+
+  /** One-row `_graft_build_params` sidecar under `dir`. */
+  private def writeBuildParams(spark: org.apache.spark.sql.SparkSession,
+                               dir: String,
+                               maxShinglesPerDoc: Option[Int]): Unit = {
     import spark.implicits._
     Seq((minhashConstantsFingerprint,
         maxShinglesPerDoc.map(_.toLong).getOrElse(-1L)))
       .toDF("constants_fp", "max_shingles")
       .coalesce(1).write.mode("overwrite")
-      .parquet(path + "/_graft_build_params")
+      .parquet(dir + "/_graft_build_params")
   }
 
   /** Read a [[saveMinhashIndex]] index, validating its build-params
@@ -591,17 +597,59 @@ object Dedup {
       "mergeMinhashIndex must write a new epoch directory (overwrite of " +
         "a live index path is not atomic)")
     val old = loadMinhashIndex(spark, oldPath, maxShinglesPerDoc)
-    val deltaIdx = buildMinhashIndex(delta, idCol, textCol, maxShinglesPerDoc)
+    mergedIndexRows(old, delta, idCol, textCol, maxShinglesPerDoc)
+      .write.mode("overwrite").parquet(newPath)
+    writeBuildParams(spark, newPath, maxShinglesPerDoc)
+  }
+
+  /** Row union of an existing index with a delta batch: old minus any
+    * re-ingested ids (delta wins — the A11 last-write convention) plus
+    * the delta's freshly built rows. */
+  private def mergedIndexRows(old: DataFrame, delta: DataFrame,
+                              idCol: String, textCol: String,
+                              maxShinglesPerDoc: Option[Int]): DataFrame =
     old.join(delta.select(col(idCol).as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
-      .unionByName(deltaIdx)
-      .write.mode("overwrite").parquet(newPath)
-    import spark.implicits._
-    Seq((minhashConstantsFingerprint,
-        maxShinglesPerDoc.map(_.toLong).getOrElse(-1L)))
-      .toDF("constants_fp", "max_shingles")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(newPath + "/_graft_build_params")
+      .unionByName(buildMinhashIndex(delta, idCol, textCol, maxShinglesPerDoc))
+
+  /** Always-readable persisted index: [[saveMinhashIndex]] on a
+    * [[graft.sinks.VersionedTable]] root — each rebuild lands in a
+    * fresh `epoch=N` directory (build-params sidecar staged INSIDE the
+    * epoch, committed by the same pointer flip), so a reader holding
+    * the previous epoch keeps scanning immutable files through any
+    * rebuild. This is the seam [[saveMinhashIndex]]'s doc-comment
+    * prescribes; returns the committed version. */
+  def saveMinhashIndexVersioned(corpus: DataFrame, idCol: String,
+                                textCol: String, root: String,
+                                maxShinglesPerDoc: Option[Int] = None): Long =
+    graft.sinks.VersionedTable.writeStaged(
+      buildMinhashIndex(corpus, idCol, textCol, maxShinglesPerDoc), root) {
+      dir => writeBuildParams(corpus.sparkSession, dir, maxShinglesPerDoc)
+    }
+
+  /** Pointer-resolved [[loadMinhashIndex]] of the current epoch of a
+    * [[saveMinhashIndexVersioned]] root (same sidecar fail-fast). */
+  def loadMinhashIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+                                root: String,
+                                maxShinglesPerDoc: Option[Int] = None): DataFrame = {
+    val v = graft.sinks.VersionedTable.latestVersion(spark, root)
+    require(v >= 0, s"versioned minhash index at $root has no committed epoch")
+    loadMinhashIndex(spark, s"$root/epoch=$v", maxShinglesPerDoc)
+  }
+
+  /** [[mergeMinhashIndex]] as an epoch fold on a versioned root: read
+    * the current epoch, union with the delta's rows, commit as the next
+    * epoch. Readers of the old epoch are undisturbed; cost ∝ delta +
+    * one pruned scan of the old epoch. Returns the committed version. */
+  def mergeMinhashIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+                                 root: String, delta: DataFrame,
+                                 idCol: String, textCol: String,
+                                 maxShinglesPerDoc: Option[Int] = None): Long = {
+    val old = loadMinhashIndexVersioned(spark, root, maxShinglesPerDoc)
+    graft.sinks.VersionedTable.writeStaged(
+      mergedIndexRows(old, delta, idCol, textCol, maxShinglesPerDoc), root) {
+      dir => writeBuildParams(spark, dir, maxShinglesPerDoc)
+    }
   }
 
   /** [[minhashLshPairsAcross]] against a persisted corpus index instead

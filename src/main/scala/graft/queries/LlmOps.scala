@@ -86,22 +86,24 @@ object LlmOps extends QueryModule {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
-  /** [[qDedupIncremental]] through the PERSISTED MinHash index: the
-    * stored-corpus side is built once with [[Dedup.saveMinhashIndex]]
-    * and read back ([[Dedup.loadMinhashIndex]] validating the
-    * build-params sidecar) instead of being re-shingled — the plan a
-    * real incremental dedup runs per batch at 100 TB. Output contract
-    * is identical to the rescan variant (OperatorsSpec proves the two
+  /** [[qDedupIncremental]] through the PERSISTED MinHash index — the
+    * VERSIONED path: the stored-corpus side is committed as an epoch
+    * with [[Dedup.saveMinhashIndexVersioned]] (always-readable pointer
+    * flip) and resolved back through the pointer
+    * ([[Dedup.loadMinhashIndexVersioned]], validating the build-params
+    * sidecar) instead of being re-shingled — the plan a real
+    * incremental dedup runs per batch at 100 TB. Output contract is
+    * identical to the rescan variant (OperatorsSpec proves the two
     * bit-equal), so this gate shares q_dedup_incremental's oracle. */
   def qDedupIncrementalIdx(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val idxPath = graft.util.Scratch.dir("mh_index")
-    Dedup.saveMinhashIndex(
+    val idxRoot = graft.util.Scratch.dir("mh_index")
+    Dedup.saveMinhashIndexVersioned(
       d.filter(col("doc_id") % IncrementalBatchMod =!= IncrementalBatchRem),
-      "doc_id", "text", idxPath)
+      "doc_id", "text", idxRoot)
     Dedup.minhashLshPairsAcrossIndexed(
       d.filter(col("doc_id") % IncrementalBatchMod === IncrementalBatchRem),
-      Dedup.loadMinhashIndex(spark, idxPath),
+      Dedup.loadMinhashIndexVersioned(spark, idxRoot),
       "doc_id", "text", JaccardThreshold)
       .orderBy(col("new_id"), col("corpus_id"))
   }
@@ -638,6 +640,33 @@ object LlmOps extends QueryModule {
   def qCorpusPrepRt(spark: SparkSession, dir: String): DataFrame =
     corpusPrepRoundTrip(spark, dir, graft.util.Scratch.dir("corpus_prep"))
 
+  /** Row-level MERGE + DELETE through [[graft.sinks.VersionedTable]],
+    * end-to-end on disk: seed an epoch with most of the corpus, upsert
+    * a correction batch (text prefixed — ids ≡ 2 mod 5; the ids also
+    * ≡ 7 mod 10 are absent from the seed, so the batch exercises BOTH
+    * merge arms: matched-update and not-matched-insert), then DELETE a
+    * key slice. The final epoch is read back from disk — the gate
+    * proves the upsert/delete fold, not a DataFrame simulation of it.
+    * Oracle: the equivalent anti-join ∪ updates, minus deletes. */
+  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("vt_merge")
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    graft.sinks.VersionedTable.write(
+      d.filter(col("doc_id") % 10 =!= 7), root)
+    graft.sinks.VersionedTable.merge(
+      d.filter(col("doc_id") % 5 === 2)
+        .withColumn("text", concat(lit("UPDATED: "), col("text"))),
+      root, Seq("doc_id"))
+    graft.sinks.VersionedTable.deleteWhere(spark, root,
+      col("doc_id") % 10 === 4)
+    graft.sinks.VersionedTable.read(spark, root)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("text_len"),
+        substring(col("text"), 1, 12).as("head"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Heavy-hitter sketch bound to the corpus unigrams, capacity well
     * above the distinct-token count so the space-saving counters are
     * exact and the gate pins err = 0 (the bounded-error sketch mode is
@@ -728,6 +757,7 @@ object LlmOps extends QueryModule {
     "q_text_normalize"  -> qTextNormalize _,
     "q_corpus_prep"     -> qCorpusPrep _,
     "q_corpus_prep_rt"  -> qCorpusPrepRt _,
+    "q_merge_upsert"    -> qMergeUpsert _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
     "q_contamination"   -> qContamination _,
     "q_line_dedup"      -> qLineDedup _,
@@ -1247,6 +1277,23 @@ object LlmOps extends QueryModule {
     // same oracle: the round trip through the partitioned parquet layout
     // must be lossless, so the read-back rows equal the prep output
     "q_corpus_prep_rt" -> corpusPrepOracle,
+    // MERGE semantics spelled out relationally: kept = base rows whose
+    // key has no update, plus all updates; then DELETE's key slice out
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 7),
+        |upd AS (
+        |  SELECT doc_id, lang, 'UPDATED: ' || text AS text
+        |  FROM documents WHERE doc_id % 5 = 2),
+        |merged AS (
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = b.doc_id)
+        |  UNION ALL
+        |  SELECT * FROM upd)
+        |SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_len,
+        |  substr(text, 1, 12) AS head
+        |FROM merged WHERE doc_id % 10 <> 4
+        |ORDER BY doc_id""".stripMargin,
     "q_topk_freq" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
          |c AS (SELECT tok AS item, COUNT(*) AS n FROM toks GROUP BY 1)

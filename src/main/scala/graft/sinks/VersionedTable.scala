@@ -1,6 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 
 /** Always-readable versioned table — the epoch-flip pattern the
   * persisted-index docs prescribe ([[graft.operators.Dedup
@@ -44,10 +45,19 @@ object VersionedTable {
     * new version. The pointer flip is the COMMIT: a crash before it
     * leaves the table at the previous version with an orphaned
     * directory, never a half-visible epoch. */
-  def write(df: DataFrame, root: String): Long = {
+  def write(df: DataFrame, root: String): Long =
+    writeStaged(df, root)(_ => ())
+
+  /** [[write]] with a staging hook: `stage(epochDir)` runs after the
+    * epoch's data is fully written but BEFORE the pointer flip, so
+    * sidecar artifacts (e.g. an index's `_graft_build_params`) commit
+    * atomically with the epoch they describe — a reader can never
+    * resolve an epoch whose sidecar is missing or half-written. */
+  def writeStaged(df: DataFrame, root: String)(stage: String => Unit): Long = {
     val spark = df.sparkSession
     val next = latestVersion(spark, root) + 1
     df.write.mode("overwrite").parquet(s"$root/epoch=$next")
+    stage(s"$root/epoch=$next")
     val f = fs(spark, root)
     val tmp = new org.apache.hadoop.fs.Path(root, s".$Pointer.tmp")
     val out = f.create(tmp, true)
@@ -67,6 +77,35 @@ object VersionedTable {
     fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
+
+  /** Row-level MERGE (upsert by key): commit a next epoch holding the
+    * current rows whose key has NO match in `updates`, plus every
+    * `updates` row — matched keys are replaced, unmatched keys insert
+    * (the SQL `MERGE … WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT`
+    * shape). One key anti-join + one epoch rewrite: cost ∝ table size
+    * — the GDPR-delete / late-correction path no longer costs a
+    * pipeline re-run, and readers of the old epoch are undisturbed.
+    * `updates` must carry the table's full schema; duplicate keys
+    * WITHIN `updates` are the caller's contract to resolve first
+    * (both rows land in the epoch, like MERGE's multi-match error but
+    * unchecked — dedupe with last-wins upstream). Returns the
+    * committed version. */
+  def merge(updates: DataFrame, root: String, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    val spark = updates.sparkSession
+    val keep = read(spark, root).join(
+      updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    write(keep.unionByName(updates), root)
+  }
+
+  /** Row-level DELETE: commit a next epoch WITHOUT the rows matching
+    * `cond` (SQL DELETE semantics — rows where `cond` is NULL are
+    * kept). Deleted rows remain as-of-readable in prior epochs until
+    * [[vacuum]] drops them: deletion-for-compliance is therefore
+    * delete-then-vacuum, and the spec pins that lineage. Returns the
+    * committed version. */
+  def deleteWhere(spark: SparkSession, root: String, cond: Column): Long =
+    write(read(spark, root).filter(not(coalesce(cond, lit(false)))), root)
 
   /** Read the current epoch (pointer-resolved). */
   def read(spark: SparkSession, root: String): DataFrame = {

@@ -405,6 +405,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned minhash index: reader mid-rebuild stays on its epoch; merge folds through the pointer") {
+    val docs = sources.Tables.documents(spark, sf)
+    val isNew = col("doc_id") % 10 === 7
+    val root = java.nio.file.Files.createTempDirectory("graft-mhver")
+      .toString + "/idx"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toString).toSeq
+    val v0 = operators.Dedup.saveMinhashIndexVersioned(
+      docs.filter(!isNew), "doc_id", "text", root)
+    assert(v0 == 0L)
+    // a reader resolves the pointer NOW; its DataFrame is bound to the
+    // epoch-0 directory (immutable files), not to the pointer
+    val reader = operators.Dedup.loadMinhashIndexVersioned(spark, root)
+    val epoch0 = rows(reader)
+    // a full rebuild commits epoch 1 while that reader is live
+    val v1 = operators.Dedup.saveMinhashIndexVersioned(
+      docs, "doc_id", "text", root)
+    assert(v1 == 1L)
+    // mid-rebuild reader: still the OLD epoch, bit-for-bit
+    assert(rows(reader) == epoch0,
+      "a reader holding the pre-flip epoch must be undisturbed by the rebuild")
+    // a fresh pointer resolution sees the new epoch
+    assert(operators.Dedup.loadMinhashIndexVersioned(spark, root).count() ==
+      docs.count())
+    // epoch fold on a second root: merge == from-scratch rebuild
+    val root2 = java.nio.file.Files.createTempDirectory("graft-mhver2")
+      .toString + "/idx"
+    operators.Dedup.saveMinhashIndexVersioned(
+      docs.filter(!isNew), "doc_id", "text", root2)
+    val v = operators.Dedup.mergeMinhashIndexVersioned(
+      spark, root2, docs.filter(isNew), "doc_id", "text")
+    assert(v == 1L)
+    assert(rows(operators.Dedup.loadMinhashIndexVersioned(spark, root2)) ==
+      rows(operators.Dedup.buildMinhashIndex(docs, "doc_id", "text")),
+      "versioned merge must equal rebuilding over the full corpus")
+  }
+
   test("chunking: overlapping windows, short tail, empty docs emit nothing") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, ""), (4L, "  "))
       .toDF("doc_id", "text")

@@ -100,6 +100,35 @@ class SinksSpec extends AnyFunSuite {
     assert(v2 == 2L)
   }
 
+  test("versioned table merge/delete: row-level upsert fold; delete-then-vacuum purges lineage") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vtm").toString + "/t"
+    sinks.VersionedTable.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root)
+    // merge: k=2 matched (update), k=9 unmatched (insert)
+    val vm = sinks.VersionedTable.merge(
+      Seq((2L, "B2"), (9L, "new")).toDF("k", "v"), root, Seq("k"))
+    assert(vm == 1L)
+    def cur() = sinks.VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(cur() == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+    // a single-row delete costs ONE epoch rewrite, never a rebuild of
+    // upstream state; NULL-cond rows are kept (SQL DELETE semantics)
+    val vd = sinks.VersionedTable.deleteWhere(spark, root,
+      when(col("k") === 3L, lit(true)).otherwise(
+        when(col("k") === 9L, lit(null)).otherwise(lit(false))
+          .cast("boolean")))
+    assert(vd == 2L)
+    assert(cur() == Seq((1L, "a"), (2L, "B2"), (9L, "new")))
+    // lineage: the deleted row is still as-of-readable pre-vacuum...
+    assert(sinks.VersionedTable.readVersion(spark, root, 1)
+      .filter(col("k") === 3L).count() == 1,
+      "pre-vacuum, the deleted row must remain in the prior epoch")
+    // ...and delete-then-vacuum is the compliance path that purges it
+    sinks.VersionedTable.vacuum(spark, root, keep = 1)
+    assert(sinks.VersionedTable.versions(spark, root) == Seq(2L))
+    assert(cur() == Seq((1L, "a"), (2L, "B2"), (9L, "new")))
+  }
+
   test("compaction rewrites only fragmented partitions, losslessly") {
     val base = java.nio.file.Files.createTempDirectory("graft-compact")
       .toString + "/t"
