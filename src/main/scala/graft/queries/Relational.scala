@@ -269,6 +269,37 @@ object Relational extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Persisted mergeable quantile sketches, end to end
+    * ([[graft.operators.QuantileSketch]]): three ingest epochs are
+    * sketched separately, persisted to disk, re-loaded, folded by
+    * bucket-wise addition, and the merged counts answer p50/p95 per
+    * event type — the incremental-percentile shape
+    * q_percentile_approx cannot persist (GK state dies with its job).
+    * The sketch is a pure function of the input multiset, so the
+    * DuckDB oracle reproduces the ESTIMATES exactly (full hash gate —
+    * stronger than the within-tolerance-flag pattern); the rank-error
+    * bound the encoding guarantees is emitted per estimate and the
+    * value-error contract (≤ 1/128 relative + grid step) is
+    * spec-asserted against exact percentiles. */
+  def qPercentileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val root = graft.util.Scratch.dir("quantile_epochs")
+    (0 until 3).foreach { i =>
+      graft.operators.QuantileSketch.saveEpoch(
+        graft.operators.QuantileSketch.sketch(
+          ev.filter(pmod(col("event_id"), lit(3)) === i),
+          "event_type", "value"),
+        s"$root/epoch=$i")
+    }
+    val merged = graft.operators.QuantileSketch.mergeEpochs(
+      (0 until 3).map(i =>
+        graft.operators.QuantileSketch.loadEpoch(spark, s"$root/epoch=$i")))
+    graft.operators.QuantileSketch.estimates(merged, Seq(50, 95))
+      .withColumnRenamed("grp", "event_type")
+      .orderBy(col("event_type"))
+  }
+
   /** ROLLUP hierarchy totals — the OLAP subtotal/grand-total shape;
     * grouping-set nulls mark subtotal rows identically in both engines. */
   /** Exact equi-depth histogram WITHOUT a single-partition window: a
@@ -479,6 +510,7 @@ object Relational extends QueryModule {
     "q_asof_join"         -> qAsofJoin _,
     "q_percentile"        -> qPercentile _,
     "q_percentile_approx" -> qPercentileApprox _,
+    "q_percentile_sketch" -> qPercentileSketch _,
     "q_rollup"            -> qRollup _,
     "q_histogram"         -> qHistogram _,
     "q_pivot"             -> qPivot _,
@@ -527,6 +559,42 @@ object Relational extends QueryModule {
         |  TRUE AS p50_within,
         |  TRUE AS p95_within
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the sketch is deterministic integer arithmetic, so the oracle
+    // re-derives the identical bucket ladder and estimates — epoch
+    // boundaries are invisible to it (bucket addition is associative)
+    "q_percentile_sketch" -> {
+      val ladder = (1 to 54).map { j =>
+        s"WHEN u < ${256L << j} THEN ${j * 128} + (u >> $j)"
+      }.mkString("\n    ")
+      val rep = "CASE WHEN bucket < 256 THEN bucket ELSE " +
+        "CAST((bucket - (bucket // 128 - 1) * 128) * " +
+        "power(2, bucket // 128 - 1) AS BIGINT) END / 100.0"
+      s"""WITH uq AS (
+         |  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS u
+         |  FROM events WHERE value IS NOT NULL),
+         |bk AS (
+         |  SELECT event_type, CASE WHEN u < 256 THEN u
+         |    $ladder
+         |    ELSE ${55 * 128} + (u >> 55) END AS bucket
+         |  FROM uq),
+         |sk AS (SELECT event_type, bucket, COUNT(*) AS n
+         |  FROM bk GROUP BY 1, 2),
+         |cm AS (SELECT event_type, bucket, n,
+         |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+         |  FROM sk)
+         |SELECT event_type, MAX(tot) AS n,
+         |  MIN($rep) FILTER (WHERE cum >= (tot * 50 + 99) // 100)
+         |    AS p50_sketch,
+         |  arg_min(n, bucket) FILTER (WHERE cum >= (tot * 50 + 99) // 100)
+         |    AS p50_rank_err,
+         |  MIN($rep) FILTER (WHERE cum >= (tot * 95 + 99) // 100)
+         |    AS p95_sketch,
+         |  arg_min(n, bucket) FILTER (WHERE cum >= (tot * 95 + 99) // 100)
+         |    AS p95_rank_err
+         |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total

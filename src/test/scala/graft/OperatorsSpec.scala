@@ -10,6 +10,50 @@ class OperatorsSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("quantile sketch: merged epochs are bit-equal to a single pass; estimates honor the error contract") {
+    import operators.QuantileSketch
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value"))
+    // order-independence: 4 epoch splits, merged in a scrambled order,
+    // must equal the single-pass sketch EXACTLY (bucket counts are a
+    // pure function of the multiset)
+    val single = QuantileSketch.sketch(ev, "event_type", "value")
+      .orderBy("grp", "bucket").collect().toSeq
+    val epochs = (0 until 4).map(i => QuantileSketch.sketch(
+      ev.filter(pmod(col("event_id"), lit(4)) === i), "event_type", "value"))
+    val merged = QuantileSketch.mergeEpochs(
+      Seq(epochs(2), epochs(0), epochs(3), epochs(1)))
+      .orderBy("grp", "bucket").collect().toSeq
+    assert(merged == single,
+      "epoch fold must be bit-equal to the single-pass sketch")
+    // value-error contract: estimate within 1/128 relative + 0.01 grid
+    // of the exact rank-based percentile (lower side: the rep is a
+    // bucket lower edge, never above the true value at the target rank)
+    val est = QuantileSketch.estimates(
+      QuantileSketch.sketch(ev, "event_type", "value"), Seq(50, 95))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(4))).toMap
+    val exact = ev.groupBy(col("event_type")).agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("e50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("e95"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    for ((grp, (e50, e95)) <- exact) {
+      val (s50, s95) = est(grp)
+      def ok(s: Double, e: Double): Boolean =
+        s <= e + 1e-9 && e - s <= e / 128.0 + 0.01 + 1e-9
+      assert(ok(s50, e50), s"$grp p50: sketch $s50 vs exact $e50")
+      assert(ok(s95, e95), s"$grp p95: sketch $s95 vs exact $e95")
+    }
+    // the emitted rank-error bound is the chosen bucket's count
+    val bounds = QuantileSketch.estimates(
+      QuantileSketch.sketch(ev, "event_type", "value"), Seq(50))
+      .select(col("n"), col("p50_rank_err")).as[(Long, Long)].collect()
+    bounds.foreach { case (n, b) =>
+      assert(b >= 1L && b <= n, s"rank-err bound $b out of range for n=$n")
+    }
+  }
+
   test("occupancy counts an interval ending exactly on an hour boundary (inclusive end)") {
     val hour = 3600000000L // µs
     // interval [00:30, 02:00] exactly: must appear in hours 01:00 AND 02:00
