@@ -163,10 +163,19 @@ object Dedup {
     *     suffixes and never generate candidates, which both shrinks the
     *     join input ~(1−t)× and removes the skewed reducer.
     *  3. Candidates also pass PPJoin's length filter
-    *     (t·max(n_a,n_b) ≤ min(n_a,n_b)) and positional filter (the
-    *     1 + min(remaining) overlap upper bound at the colliding
-    *     positions must reach α = ⌈t/(1+t)·(n_a+n_b)⌉) — both implied
-    *     by J ≥ t, so still lossless.
+    *     (t·max(n_a,n_b) ≤ min(n_a,n_b)) and a PAIR-LEVEL positional
+    *     filter that is strictly tighter than the classic per-collision
+    *     `1 + min(remaining)` check: both docs order their shingles by
+    *     the same global (df, key) total order, so every common shingle
+    *     ranked BEFORE the pair's last collision lies in both prefixes
+    *     and is therefore itself a collision — giving the lossless
+    *     upper bound overlap ≤ k + min(n_a − ra_max, n_b − rb_max)
+    *     (k = collision count, ra_max/rb_max = last collision's ranks),
+    *     which must reach α = ⌈t/(1+t)·(n_a+n_b)⌉. For k = 1 this
+    *     equals the classic check; for k ≥ 2 it dominates it
+    *     (ra_max ≥ ra_min + k − 1 along each side), and it stays
+    *     lossless under the df cap too (hot common tokens are counted
+    *     inside both n − r_max remainders, never inside k).
     *  4. Exact verification intersects the two docs' FULL shingle-key
     *     arrays — ONE row per candidate pair (no per-candidate
     *     explode-join) — so results are identical to the naive
@@ -235,12 +244,19 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .filter(lit(tRelaxed) * greatest(col("n_a"), col("n_b")) <=
         least(col("n_a"), col("n_b")))
-      // positional filter with the full-set remaining bound (n − r):
-      // overlap ≤ 1 + min(remaining after the colliding position)
-      .filter(lit(1) + least(col("n_a") - col("ra"), col("n_b") - col("rb")) >=
-        minOverlap)
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        count(lit(1)).as("k"),
+        max(col("ra")).as("ra_max"), max(col("rb")).as("rb_max"))
+      // pair-level positional filter (see step 3 above): collisions are
+      // ALL the common shingles up to the last collision, so the true
+      // overlap cannot exceed k + min(remaining after it) — evaluated
+      // once per pair on the aggregate side (map-side partials still
+      // combine), and every pruned pair skips the verify join entirely
+      .filter(col("k") +
+        least(col("n_a") - col("ra_max"), col("n_b") - col("rb_max")) >=
+        minOverlap)
+      .drop("k", "ra_max", "rb_max")
       // candidate-pair count rides the normal execution (no extra job);
       // Bench scrapes it into the artifact via OpMetrics. Distinct name
       // per mode so the exact and capped gated queries are separately
