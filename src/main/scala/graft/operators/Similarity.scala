@@ -466,6 +466,56 @@ object Similarity {
     scoreTopK(reranked, k)
   }
 
+  /** Persist the PQ-ENCODED corpus — the ADC scan's entire read state
+    * (id, m byte-ish codes, reconstruction norm, IVF cell), one row
+    * per vector. At 100 TB this is the point of PQ: the shortlist
+    * stage reads THIS table (m ints + a double per vector, cell-pruned
+    * by parquet filter pushdown), never the float vectors — and a
+    * streaming searcher must not re-encode the corpus per micro-batch,
+    * which is exactly what an un-persisted encode pipeline does inside
+    * `foreachBatch` (the per-batch cache is per-batch). The float
+    * corpus table remains the rerank side only. */
+  def saveEncodedCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+                        ivf: IvfModel, pq: PqModel, path: String): Unit = {
+    graft.functions.VectorExpressions.ensureRegistered(corpus.sparkSession)
+    pqCorpusSide(corpus, idCol, vecCol, pq)
+      .withColumn("cell", cellExpr(col("cv"), ivf))
+      .drop("cv")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveEncodedCorpus]] table, fail-fast validating the
+    * code arity against the model that will score it (an encoded table
+    * from a different PQ geometry would silently mis-score). */
+  def loadEncodedCorpus(spark: org.apache.spark.sql.SparkSession,
+                        path: String, pq: PqModel): DataFrame = {
+    val df = spark.read.parquet(path)
+    val head = df.select(size(col("codes"))).limit(1).collect()
+    require(head.nonEmpty && head(0).getInt(0) == pq.m,
+      s"encoded corpus at $path has code arity " +
+        s"${head.headOption.map(_.getInt(0)).getOrElse(-1)}, model expects m=${pq.m}")
+    df
+  }
+
+  /** [[ivfPqSearchTopK]] against a PERSISTED encoded corpus: identical
+    * output contract (the encode is deterministic, so the stored codes
+    * equal a fresh encode bit-for-bit — spec-asserted), but the
+    * shortlist reads the m-int code table instead of encoding the
+    * float corpus — no encode work, no cache barrier, cell pruning at
+    * the scan. The per-micro-batch cost of a streaming searcher drops
+    * to the query side only. */
+  def ivfPqSearchTopKEncoded(queries: DataFrame, encoded: DataFrame,
+                             corpus: DataFrame, idCol: String, vecCol: String,
+                             ivf: IvfModel, pq: PqModel, k: Int, nprobe: Int,
+                             candidates: Int,
+                             broadcastQueries: Boolean = true): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(queries.sparkSession)
+    val q = pqQuerySide(queries, idCol, vecCol, pq)
+      .withColumn("cell", explode(probeCellsExpr(col("qv"), ivf, nprobe)))
+    val pairs = probeJoin(q, encoded, broadcastQueries)
+    pqShortlistRerank(pairs, queries, corpus, idCol, vecCol, k, candidates)
+  }
+
   /** Persist PQ codebooks: one row per (subspace, cell, centroid). */
   def savePq(spark: org.apache.spark.sql.SparkSession, model: PqModel,
              path: String): Unit = {

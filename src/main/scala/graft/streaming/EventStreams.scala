@@ -364,4 +364,31 @@ object EventStreams {
         batch, corpus, idCol, vecCol, ivf, pq, k, nprobe, candidates), epochId)
     }
   }
+
+  /** [[annTopKStream]] against a PERSISTED encoded corpus
+    * ([[graft.operators.Similarity.saveEncodedCorpus]]): the batch
+    * epoch job trains the quantizers AND encodes the corpus once; the
+    * live searcher loads models + code table at wiring time and each
+    * micro-batch pays only its own query-side work (LUT build + probe
+    * join + bounded rerank) — the corpus is never re-encoded, which in
+    * [[annTopKStream]] happens once per micro-batch (its per-batch
+    * cache dies with the batch). Same per-query independence argument,
+    * so the union over micro-batches equals the one-shot encoded batch
+    * search (StreamingSpec). */
+  def annTopKStreamEncoded(queries: DataFrame, corpus: DataFrame,
+      ivfPath: String, pqPath: String, encodedPath: String,
+      idCol: String, vecCol: String,
+      k: Int, nprobe: Int, candidates: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = queries.sparkSession
+    val ivf = graft.operators.Similarity.loadIvf(spark, ivfPath)
+    val pq = graft.operators.Similarity.loadPq(spark, pqPath)
+    val encoded = graft.operators.Similarity
+      .loadEncodedCorpus(spark, encodedPath, pq)
+    queries.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      sink(graft.operators.Similarity.ivfPqSearchTopKEncoded(
+        batch, encoded, corpus, idCol, vecCol, ivf, pq, k, nprobe,
+        candidates), epochId)
+    }
+  }
 }

@@ -425,4 +425,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     emb.unpersist()
   }
+
+  test("streaming PQ-ANN against a persisted ENCODED corpus equals the batch search") {
+    import spark.implicits._
+    val emb = sources.Tables.embeddings(spark, sf).cache()
+    val isQuery = col("vec_id") % 25 === 0
+    val corpus = emb.filter(!isQuery)
+    val ivf = operators.Similarity.trainIvf(corpus, "embedding", nCells = 8,
+      maxIters = 4, seed = 42L)
+    val pqm = operators.Similarity.trainPq(corpus, "embedding", m = 8, k = 8,
+      maxIters = 4, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-anne").toString
+    operators.Similarity.saveIvf(spark, ivf, s"$dir/ivf")
+    operators.Similarity.savePq(spark, pqm, s"$dir/pq")
+    operators.Similarity.saveEncodedCorpus(corpus, "vec_id", "embedding",
+      ivf, pqm, s"$dir/codes")
+    // stored codes must be bit-equal to a fresh encode (determinism is
+    // what licenses sharing the un-encoded variant's output contract)
+    val fresh = operators.Similarity.ivfPqSearchTopK(
+      emb.filter(isQuery), corpus, "vec_id", "embedding", ivf, pqm,
+      k = 3, nprobe = 8, candidates = 50)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val encodedBatch = operators.Similarity.ivfPqSearchTopKEncoded(
+      emb.filter(isQuery),
+      operators.Similarity.loadEncodedCorpus(spark, s"$dir/codes", pqm),
+      corpus, "vec_id", "embedding", ivf, pqm,
+      k = 3, nprobe = 8, candidates = 50)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(encodedBatch == fresh,
+      "encoded-corpus search must equal the encode-inline search")
+    // a wrong-geometry model must fail fast, not mis-score
+    val badPq = operators.Similarity.trainPq(corpus, "embedding", m = 4,
+      k = 8, maxIters = 2, seed = 42L)
+    intercept[IllegalArgumentException] {
+      operators.Similarity.loadEncodedCorpus(spark, s"$dir/codes", badPq)
+    }
+    // streaming: two files → ≥2 micro-batches, union equals batch
+    val qDir = java.nio.file.Files.createTempDirectory("graft-anneq").toString
+    emb.filter(isQuery).select("vec_id", "embedding")
+      .repartition(2).write.mode("overwrite").parquet(qDir)
+    val qSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(qSchema)
+      .option("maxFilesPerTrigger", 1).parquet(qDir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    var batches = 0
+    val q = streaming.EventStreams.annTopKStreamEncoded(
+      stream, corpus, s"$dir/ivf", s"$dir/pq", s"$dir/codes",
+      "vec_id", "embedding", k = 3, nprobe = 8, candidates = 50) { (r, _) =>
+        got.synchronized {
+          got ++= r.select("query_id", "rank", "neighbor_id", "cos")
+            .as[(Long, Int, Long, Double)].collect()
+          batches += 1
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(got.size == got.toSet.size, "no result row may be emitted twice")
+    assert(got.toSet == fresh,
+      s"streamed encoded ANN diverged from batch:\n${got.toSet.take(5)}...")
+    emb.unpersist()
+  }
 }
