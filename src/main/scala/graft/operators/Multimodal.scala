@@ -47,11 +47,12 @@ object Multimodal {
 
   /** Batch decode over partitions — the real distributed plumbing. PNG
     * payloads decode for real via `javax.imageio`, WAV payloads via
-    * `javax.sound.sampled`, AVI containers via a RIFF chunk-tree parse
-    * (all pure JVM, no external deps); other formats keep a
-    * deterministic fake decoder (video PIXEL codecs aren't in this
-    * environment). Swap `decodeOne`'s fallback for real codecs with the
-    * same signature. */
+    * `javax.sound.sampled`, AVI containers via a RIFF chunk-tree parse,
+    * MP3 and FLAC via their own header walks (frame count, sample
+    * rate, channels — all pure JVM, no external deps); other formats
+    * keep a deterministic fake decoder (their PIXEL/PCM codecs aren't
+    * in this environment). Swap `decodeOne`'s fallback for real codecs
+    * with the same signature. */
   def decodeFeatures(payloads: DataFrame): Dataset[DecodedFeature] = {
     val spark = payloads.sparkSession
     import spark.implicits._
@@ -247,6 +248,116 @@ object Multimodal {
       first.map(img => (nFrames, img.getWidth, img.getHeight, meanGrayOf(img)))
     }.toOption.flatten
 
+  private val FlacMagic = "fLaC".getBytes("US-ASCII")
+
+  private def isFlac(bytes: Array[Byte]): Boolean =
+    bytes.length > 4 && bytes.take(4).sameElements(FlacMagic)
+
+  /** FLAC STREAMINFO header walk (no codec): metadata blocks are
+    * [1 byte: last-flag | type][3-byte BE length][data]; STREAMINFO
+    * (type 0, 34 bytes) packs, from data offset 10, exactly 64 bits of
+    * sample_rate(20) | channels−1(3) | bits_per_sample−1(5) |
+    * total_samples(36). Returns (frames = total inter-channel samples,
+    * sampleRate, channels); None on corrupt/truncated structure —
+    * stub fallback, the [[decodeAviHeader]] contract. */
+  private def decodeFlacHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    scala.util.Try {
+      var res: Option[(Int, Int, Int)] = None
+      var p = 4
+      var last = false
+      while (!last && res.isEmpty && p + 4 <= bytes.length) {
+        last = (bytes(p) & 0x80) != 0
+        val tpe = bytes(p) & 0x7f
+        val len = ((bytes(p + 1) & 0xff) << 16) |
+          ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+        val data = p + 4
+        if (tpe == 0) {
+          // the block must declare AND the buffer contain the 18 bytes
+          // we read (same truncation rule as the avih walk)
+          if (len >= 34 && data + 18 <= bytes.length) {
+            var x = 0L
+            var i = 0
+            while (i < 8) { x = (x << 8) | (bytes(data + 10 + i) & 0xffL); i += 1 }
+            val rate = (x >>> 44).toInt
+            val channels = ((x >>> 41) & 0x7).toInt + 1
+            val samples = x & 0xfffffffffL // 36 bits
+            if (rate > 0)
+              res = Some((math.min(samples, Int.MaxValue.toLong).toInt,
+                rate, channels))
+          }
+          last = true // first STREAMINFO decides either way
+        }
+        p = data + len
+      }
+      res
+    }.toOption.flatten
+
+  /** MPEG-audio (MP3, Layer III) frame-header walk: skip an ID3v2 tag
+    * if present, then count frames by hopping frame lengths computed
+    * from each header's bitrate/samplerate/padding fields — the
+    * container structure, no PCM decode (the AVI/FLAC pattern). At
+    * least two consecutive valid frames are required so a random
+    * 0xFFE byte pair can't masquerade as audio. Returns (frames,
+    * sampleRate, channels); None for free-bitrate streams, non-Layer-
+    * III layers, or broken sync. */
+  private def isMp3(bytes: Array[Byte]): Boolean =
+    bytes.length > 4 && (
+      (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') ||
+      ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xe0) == 0xe0))
+
+  private def decodeMp3Header(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    scala.util.Try {
+      var p = 0
+      // ID3v2: "ID3" + version(2) + flags(1) + syncsafe size(4)
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+          bytes(2) == '3') {
+        val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+          ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+        p = 10 + sz
+      }
+      val ratesByVersion = Map( // versionId -> sample-rate table
+        3 -> Array(44100, 48000, 32000), // MPEG1
+        2 -> Array(22050, 24000, 16000), // MPEG2
+        0 -> Array(11025, 12000, 8000))  // MPEG2.5
+      val kbpsMpeg1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+        160, 192, 224, 256, 320)
+      val kbpsMpeg2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+        96, 112, 128, 144, 160)
+      var frames = 0
+      var rate = 0
+      var channels = 0
+      var ok = true
+      while (ok && p + 4 <= bytes.length) {
+        val h = ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+          ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+        if (((h >> 21) & 0x7ff) != 0x7ff) ok = false
+        else {
+          val versionId = ((h >> 19) & 3).toInt
+          val layer = ((h >> 17) & 3).toInt // 1 = Layer III
+          val brIdx = ((h >> 12) & 0xf).toInt
+          val srIdx = ((h >> 10) & 3).toInt
+          val padding = ((h >> 9) & 1).toInt
+          if (versionId == 1 || layer != 1 || brIdx == 0 || brIdx == 15 ||
+              srIdx == 3) ok = false
+          else {
+            val sr = ratesByVersion(versionId)(srIdx)
+            val kbps =
+              if (versionId == 3) kbpsMpeg1(brIdx) else kbpsMpeg2(brIdx)
+            val frameLen =
+              (if (versionId == 3) 144000 else 72000) * kbps / sr + padding
+            if (frameLen <= 4) ok = false
+            else {
+              frames += 1
+              rate = sr
+              channels = if (((h >> 6) & 3) == 3) 1 else 2
+              p += frameLen
+            }
+          }
+        }
+      }
+      if (frames >= 2) Some((frames, rate, channels)) else None
+    }.toOption.flatten
+
   /** Standalone JPEG decode (`FF D8 FF` magic) — the dominant image
     * format of any web corpus, through the same ImageIO path the MJPEG
     * frames inside AVI already use. None on a corrupt or truncated
@@ -272,10 +383,16 @@ object Multimodal {
     lazy val jpeg = if (isJpeg(bytes)) decodeJpeg(bytes) else None
     lazy val wav = if (isWav(bytes)) decodeWav(bytes) else None
     lazy val avi = if (isAvi(bytes)) decodeAviHeader(bytes) else None
+    // header-walk audio containers: stream parameters are real, the
+    // PCM itself is not decoded (no codec in the JVM), so meanByte
+    // stays the raw-byte mean
+    lazy val flac = if (isFlac(bytes)) decodeFlacHeader(bytes) else None
+    lazy val mp3 = if (isMp3(bytes)) decodeMp3Header(bytes) else None
     (png orElse jpeg) match {
       case Some((w, h, meanGray)) =>
         DecodedFeature(id, modality, bytes.length, 1, meanGray, w, h)
-      case None => wav match {
+      case None => (wav orElse
+          (flac orElse mp3).map { case (f, r, c) => (f, meanRaw, r, c) }) match {
         case Some((frames, meanAmp, rate, ch)) =>
           DecodedFeature(id, modality, bytes.length, frames, meanAmp,
             sampleRate = rate, channels = ch)

@@ -671,6 +671,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(3L).frames == 1)
   }
 
+  test("multimodal decode walks FLAC STREAMINFO and MP3 frame headers") {
+    // FLAC: "fLaC" + one STREAMINFO block (last=1, type=0, len=34):
+    // blocksizes, framesizes, then the 64-bit field packing
+    // rate(20)|ch-1(3)|bps-1(5)|samples(36), then the md5
+    val info64 = (44100L << 44) | (1L << 41) | (15L << 36) | 88200L
+    val flac: Array[Byte] = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++
+      Array[Byte](0x12, 0x00, 0x12, 0x00) ++ Array.fill[Byte](6)(0) ++
+      (0 until 8).map(i => ((info64 >>> (56 - 8 * i)) & 0xff).toByte).toArray ++
+      Array.fill[Byte](16)(0)
+    // MP3: 3 × MPEG1 Layer III frames, 128 kbps @ 44100 stereo, no
+    // padding → frame length 144000·128/44100 = 417 bytes; prefix an
+    // empty ID3v2 tag so the tag-skip path is exercised too
+    val frame = Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte) ++
+      Array.fill(413)(0.toByte)
+    val id3 = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 0, 0, 0)
+    val mp3 = id3 ++ frame ++ frame ++ frame
+    // a lone sync-looking pair must NOT count as audio (< 2 frames)
+    val fake = Array(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00.toByte) ++
+      Array.fill(20)(0x41.toByte)
+    val payloads = Seq((1L, "audio", flac), (2L, "audio", mp3),
+        (3L, "audio", fake), (4L, "audio", flac.take(12)))
+      .toDF("doc_id", "modality", "payload")
+    val feats = operators.Multimodal.decodeFeatures(payloads)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).frames == 88200 && feats(1L).sampleRate == 44100 &&
+      feats(1L).channels == 2)
+    assert(feats(2L).frames == 3 && feats(2L).sampleRate == 44100 &&
+      feats(2L).channels == 2)
+    assert(feats(3L).sampleRate == 0, "false sync must fall back to stub")
+    assert(feats(4L).sampleRate == 0, "truncated FLAC falls back to stub")
+  }
+
   test("multimodal decode parses a real AVI container header") {
     def u32le(v: Long): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
