@@ -133,4 +133,37 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Deterministic training shards — the OUTPUT side of the pipeline.
+    * A training run wants the corpus globally SHUFFLED into N balanced
+    * shard files, and the shuffle must be reproducible (same seed →
+    * same shards, same within-shard order), repartition-proof, and
+    * append-stable at the assignment level — `df.orderBy(rand())` is
+    * none of these. shard = hash32(id|seed) mod n; within-shard order =
+    * (hash, id) ascending, a deterministic pseudo-random permutation
+    * that is a pure function of the id set. Adds (`shard`, `shard_h`);
+    * the seed salts the hash so re-sharding epochs draw independent
+    * permutations. */
+  def shardAssignments(df: DataFrame, idCol: String, nShards: Int,
+                       seed: String = "shard0"): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val h = Dedup.hash32(
+      concat(col(idCol).cast("string"), lit("|"), lit(seed)))
+    df.withColumn("shard_h", h)
+      .withColumn("shard", pmod(col("shard_h"), lit(nShards.toLong)).cast("int"))
+  }
+
+  /** Write [[shardAssignments]] as `shard=N/` parquet directories, each
+    * file internally in the deterministic shuffled order: ONE range
+    * shuffle aligned 1:1 with shard values + a distributed
+    * sortWithinPartitions — no window, no per-shard single-task rank
+    * materialization (a global position column would be the histogram's
+    * two-pass ranking problem; training readers consume file order, so
+    * the sorted files ARE the contract). */
+  def writeTrainingShards(df: DataFrame, idCol: String, path: String,
+                          nShards: Int, seed: String = "shard0"): Unit =
+    shardAssignments(df, idCol, nShards, seed)
+      .repartitionByRange(nShards, col("shard"), col("shard_h"), col(idCol))
+      .sortWithinPartitions(col("shard"), col("shard_h"), col(idCol))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
 }

@@ -671,6 +671,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(3L).frames == 1)
   }
 
+  test("tfidf integer gate survives past-2^63 dots and past-38-digit products") {
+    // the advisor's overflow scenario: w = tf·idf_q at production scale
+    // makes Σ w_a·w_b wrap a long and 10000·dot² exceed Decimal(38,0) —
+    // both must stay EXACT (BigInteger kernels), not wrap or NULL
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val w = 3000000000L // 3e9: per-term product 9e18 ≈ Long.MaxValue
+    val terms = 200
+    val vec = (1 to terms).map(i => (i.toLong, w))
+    val df = Seq((vec, vec)).toDF("va", "vb")
+      .select(
+        graft.functions.VectorExpressions
+          .sortedPairsDot(col("va"), col("vb")).as("dot"),
+        graft.functions.VectorExpressions.cosineGate(
+          graft.functions.VectorExpressions
+            .sortedPairsDot(col("va"), col("vb")),
+          lit(BigDecimal(BigInt(w) * BigInt(w) * terms)),
+          lit(BigDecimal(BigInt(w) * BigInt(w) * terms)),
+          99).as("self_sim"))
+    val row = df.head()
+    val expected = BigInt(w) * BigInt(w) * terms // 1.8e21 — past 2^63
+    assert(BigInt(row.getDecimal(0).toBigInteger) == expected,
+      s"dot wrapped: ${row.getDecimal(0)} vs $expected")
+    assert(row.getBoolean(1),
+      "identical vectors must pass a 99% gate (10000·dot² here is ~46 digits)")
+    // and a pair well below threshold must still be rejected at scale
+    val half = (1 to terms / 2).map(i => (i.toLong, w)) // overlap = 50%
+    val df2 = Seq((vec, half)).toDF("va", "vb").select(
+      graft.functions.VectorExpressions.cosineGate(
+        graft.functions.VectorExpressions
+          .sortedPairsDot(col("va"), col("vb")),
+        lit(BigDecimal(BigInt(w) * BigInt(w) * terms)),
+        lit(BigDecimal(BigInt(w) * BigInt(w) * (terms / 2))),
+        80).as("g"))
+    assert(!df2.head().getBoolean(0),
+      "cos = sqrt(0.5) ≈ 0.707 must fail an 80% gate")
+  }
+
   test("multimodal decode walks FLAC STREAMINFO and MP3 frame headers") {
     // FLAC: "fLaC" + one STREAMINFO block (last=1, type=0, len=34):
     // blocksizes, framesizes, then the 64-bit field packing
@@ -1454,6 +1491,70 @@ class OperatorsSpec extends AnyFunSuite {
       "epoch-merged estimates must be identical to a one-shot sketch " +
         "(HLL union is register-wise max — order-independent)")
     assert(merged.nonEmpty)
+  }
+
+  test("hll sketch fold commits as versioned epochs; readers survive the re-fold") {
+    val ev = sources.Tables.events(spark, TestSpark.sf)
+      .select(to_date(col("ts")).as("d"), col("user_id"), col("event_id"))
+    val root = util.Scratch.dir("hll_vt") + "/sketches"
+    val v0 = operators.Sketches.commitSketches(
+      operators.Sketches.dailySketches(
+        ev.filter(col("event_id") % 2 === 0), "d", "user_id"), root)
+    assert(v0 == 0L)
+    val reader = operators.Sketches.readSketches(spark, root)
+    val before = operators.Sketches.estimates(reader)
+      .as[(java.sql.Date, Long)].collect().toMap
+    // the next ingest epoch folds in and commits — the reader's epoch
+    // is immutable underneath it
+    val v1 = operators.Sketches.commitSketches(
+      operators.Sketches.mergeEpochs(
+        operators.Sketches.readSketches(spark, root),
+        operators.Sketches.dailySketches(
+          ev.filter(col("event_id") % 2 =!= 0), "d", "user_id")), root)
+    assert(v1 == 1L)
+    assert(operators.Sketches.estimates(reader)
+      .as[(java.sql.Date, Long)].collect().toMap == before,
+      "pre-flip reader must still see its epoch")
+    val after = operators.Sketches.estimates(
+      operators.Sketches.readSketches(spark, root))
+      .as[(java.sql.Date, Long)].collect().toMap
+    val onePass = operators.Sketches.estimates(
+      operators.Sketches.dailySketches(ev, "d", "user_id"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(after == onePass, "committed fold must equal a one-shot sketch")
+  }
+
+  test("training shards: deterministic shuffled order, balanced, lossless on disk") {
+    val docs = sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("lang"))
+    val n = docs.count()
+    val out = util.Scratch.dir("shards") + "/t"
+    operators.Sampling.writeTrainingShards(docs, "doc_id", out,
+      nShards = 8, seed = "s1")
+    val back = spark.read.parquet(out)
+    assert(back.count() == n, "shard write must be lossless")
+    assert(back.select("shard").distinct().count() == 8)
+    // per-file order IS the deterministic permutation: re-derive the
+    // expected order and compare against file order per shard
+    val expected = operators.Sampling
+      .shardAssignments(docs, "doc_id", 8, "s1")
+      .orderBy(col("shard"), col("shard_h"), col("doc_id"))
+      .select("shard", "doc_id").as[(Int, Long)].collect().toSeq
+    val onDisk = (0 until 8).flatMap { s =>
+      spark.read.parquet(s"$out/shard=$s")
+        .select(col("doc_id")).as[Long].collect().map(id => (s, id))
+    }
+    assert(onDisk == expected,
+      "file order must equal the deterministic (hash, id) permutation")
+    // balance: no shard more than 2.5x the ideal share on this corpus
+    val sizes = back.groupBy("shard").count().as[(Int, Long)].collect()
+    assert(sizes.forall(_._2 <= 2.5 * n / 8.0), sizes.mkString(","))
+    // a different seed draws a different permutation
+    val other = operators.Sampling
+      .shardAssignments(docs, "doc_id", 8, "s2")
+      .orderBy(col("shard"), col("shard_h"), col("doc_id"))
+      .select("shard", "doc_id").as[(Int, Long)].collect().toSeq
+    assert(other != expected, "seed must change the permutation")
   }
 
   test("tfidf similarPairs: hand-computed cosine decides exactly at the threshold") {
