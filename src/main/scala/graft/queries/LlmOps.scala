@@ -667,6 +667,68 @@ object LlmOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** CDC fold ([[graft.sinks.VersionedTable.applyCdc]]): a two-batch
+    * change stream — updates, inserts of brand-new keys, deletes, a
+    * same-batch update-then-delete (nets to absent) and
+    * delete-then-update (resurrects) — folded into the versioned table
+    * batch by batch; the oracle replays the SAME stream as one
+    * window-collapsed MERGE, pinning the sequential-fold ==
+    * one-shot-union equivalence on real data. Seqs are derived from
+    * doc_id so batch 2 always outranks batch 1 on shared keys — the
+    * in-order-delivery contract a CDC consumer has anyway. */
+  def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("vt_cdc")
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    graft.sinks.VersionedTable.write(d.filter(col("doc_id") % 10 =!= 9), root)
+    def ch(rows: DataFrame, op: String, seqOff: Int, prefix: String) =
+      rows.select(col("doc_id"), col("lang"),
+        (if (prefix.isEmpty) col("text")
+         else concat(lit(prefix), col("text"))).as("text"),
+        lit(op).as("op"), (col("doc_id") * 10 + seqOff).as("seq"))
+    val inserts = d.filter(col("doc_id") % 17 === 5).select(
+      (col("doc_id") + 1000000L).as("doc_id"), lit("xx").as("lang"),
+      concat(lit("NEW: "), col("text")).as("text"),
+      lit("I").as("op"), (col("doc_id") * 10 + 1).as("seq"))
+    val batch1 = ch(d.filter(col("doc_id") % 5 === 1), "U", 1, "V1: ")
+      .unionByName(inserts)
+    val batch2 = ch(d.filter(col("doc_id") % 15 === 1), "U", 2, "V2: ")
+      .unionByName(ch(d.filter(col("doc_id") % 10 === 6), "D", 3, ""))
+      .unionByName(ch(d.filter(col("doc_id") % 30 === 26), "U", 4, "BACK: "))
+      .unionByName(d.filter(col("doc_id") % 34 === 5).select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"),
+        lit("D").as("op"), (col("doc_id") * 10 + 5).as("seq")))
+    graft.sinks.VersionedTable.applyCdc(batch1, root, Seq("doc_id"))
+    graft.sinks.VersionedTable.applyCdc(batch2, root, Seq("doc_id"))
+    graft.sinks.VersionedTable.read(spark, root)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("text_len"),
+        substring(col("text"), 1, 12).as("head"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic training-shard assignment + shuffled order
+    * ([[graft.operators.Sampling.shardAssignments]]): every doc lands
+    * in one of 16 shards with a seed-salted md5 hash, and `pos` is its
+    * rank in the shard's deterministic pseudo-random order — the
+    * columns [[graft.operators.Sampling.writeTrainingShards]] sorts
+    * files by. `pos` here is the gate's verification projection (a
+    * per-shard window, bounded at gate scale); the production writer
+    * never materializes it — sorted files are the contract. */
+  val ShardCount = 16
+  val ShardSeed = "shard0"
+
+  def qShardAssign(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("shard_h"), col("doc_id"))
+    graft.operators.Sampling.shardAssignments(
+      Tables.documents(spark, dir).select(col("doc_id")),
+      "doc_id", ShardCount, ShardSeed)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** Heavy-hitter sketch bound to the corpus unigrams, capacity well
     * above the distinct-token count so the space-saving counters are
     * exact and the gate pins err = 0 (the bounded-error sketch mode is
@@ -758,6 +820,8 @@ object LlmOps extends QueryModule {
     "q_corpus_prep"     -> qCorpusPrep _,
     "q_corpus_prep_rt"  -> qCorpusPrepRt _,
     "q_merge_upsert"    -> qMergeUpsert _,
+    "q_cdc_apply"       -> qCdcApply _,
+    "q_shard_assign"    -> qShardAssign _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
     "q_contamination"   -> qContamination _,
     "q_line_dedup"      -> qLineDedup _,
@@ -1294,6 +1358,50 @@ object LlmOps extends QueryModule {
         |  substr(text, 1, 12) AS head
         |FROM merged WHERE doc_id % 10 <> 4
         |ORDER BY doc_id""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 9),
+        |ch AS (
+        |  SELECT doc_id, lang, 'V1: ' || text AS text, 'U' AS op,
+        |         doc_id * 10 + 1 AS seq
+        |  FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'xx', 'NEW: ' || text, 'I', doc_id * 10 + 1
+        |  FROM documents WHERE doc_id % 17 = 5
+        |  UNION ALL
+        |  SELECT doc_id, lang, 'V2: ' || text, 'U', doc_id * 10 + 2
+        |  FROM documents WHERE doc_id % 15 = 1
+        |  UNION ALL
+        |  SELECT doc_id, lang, text, 'D', doc_id * 10 + 3
+        |  FROM documents WHERE doc_id % 10 = 6
+        |  UNION ALL
+        |  SELECT doc_id, lang, 'BACK: ' || text, 'U', doc_id * 10 + 4
+        |  FROM documents WHERE doc_id % 30 = 26
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, text, 'D', doc_id * 10 + 5
+        |  FROM documents WHERE doc_id % 34 = 5),
+        |w AS (SELECT *, ROW_NUMBER() OVER (
+        |        PARTITION BY doc_id ORDER BY seq DESC) AS rn FROM ch),
+        |win AS (SELECT doc_id, lang, text, op FROM w WHERE rn = 1),
+        |kept AS (
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM win x WHERE x.doc_id = b.doc_id)),
+        |fin AS (
+        |  SELECT doc_id, lang, text FROM kept
+        |  UNION ALL
+        |  SELECT doc_id, lang, text FROM win WHERE op <> 'D')
+        |SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_len,
+        |  substr(text, 1, 12) AS head
+        |FROM fin ORDER BY doc_id""".stripMargin,
+    "q_shard_assign" -> {
+      val h = duckHex(s"md5(CAST(doc_id AS VARCHAR) || '|$ShardSeed')", 1, 8)
+      s"""WITH u AS (SELECT doc_id, $h AS h FROM documents),
+         |s AS (SELECT doc_id, h, CAST(h % $ShardCount AS INT) AS shard FROM u)
+         |SELECT doc_id, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM s ORDER BY shard, pos""".stripMargin
+    },
     "q_topk_freq" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
          |c AS (SELECT tok AS item, COUNT(*) AS n FROM toks GROUP BY 1)

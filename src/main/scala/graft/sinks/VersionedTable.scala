@@ -98,6 +98,40 @@ object VersionedTable {
     write(keep.unionByName(updates), root)
   }
 
+  /** Fold one CDC batch (a change stream in the Debezium shape: key
+    * columns + a monotone per-key sequence + an op marker + the full
+    * row payload) into the table as ONE epoch commit. Within the
+    * batch, the highest-`seqCol` change per key wins (in-batch
+    * collapse — a key inserted then deleted in the same batch nets to
+    * absent); the winner then applies MERGE-style: `op = 'D'` removes
+    * the key, any other op upserts the payload (`I`/`U` are synonyms,
+    * like Debezium's `c`/`u` — the table can't tell a late insert from
+    * an update and must not care). Folding batches one at a time in
+    * sequence order equals one fold of their union, and the spec pins
+    * that equivalence.
+    *
+    * Plan shape: one key-partitioned window over the BATCH (cost ∝
+    * batch), one key anti-join + epoch rewrite (cost ∝ table) — the
+    * copy-on-write table pattern; amortize via batch size, and vacuum
+    * bounds retained history. `(key, seqCol)` pairs must be unique
+    * within a batch — equal sequences per key make the winner
+    * nondeterministic. Returns the committed version. */
+  def applyCdc(changes: DataFrame, root: String, keyCols: Seq[String],
+               seqCol: String = "seq", opCol: String = "op"): Long = {
+    require(keyCols.nonEmpty, "applyCdc requires at least one key column")
+    val spark = changes.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    val winners = changes
+      .withColumn("_graft_rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_graft_rn") === 1).drop("_graft_rn")
+    val keep = read(spark, root).join(
+      winners.select(keyCols.map(col): _*), keyCols, "left_anti")
+    write(keep.unionByName(
+      winners.filter(not(col(opCol) === lit("D"))).drop(opCol, seqCol)), root)
+  }
+
   /** Row-level DELETE: commit a next epoch WITHOUT the rows matching
     * `cond` (SQL DELETE semantics — rows where `cond` is NULL are
     * kept). Deleted rows remain as-of-readable in prior epochs until
