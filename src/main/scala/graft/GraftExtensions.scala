@@ -51,6 +51,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.TopKFreq(exprs(0),
         intArg("topk_freq", exprs(1), "k"),
         intArg("topk_freq", exprs(2), "capacity"))))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_agg"),
+      new ExpressionInfo(classOf[graft.functions.KmvAgg].getName, "kmv_agg"),
+      (exprs: Seq[Expression]) => graft.functions.KmvAgg(exprs(0),
+        intArg("kmv_agg", exprs(1), "k"))))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_union_agg"),
+      new ExpressionInfo(classOf[graft.functions.KmvUnionAgg].getName,
+        "kmv_union_agg"),
+      (exprs: Seq[Expression]) => graft.functions.KmvUnionAgg(exprs(0),
+        intArg("kmv_union_agg", exprs(1), "k"))))
   }
 }
 

@@ -589,6 +589,12 @@ object VectorExpressions {
       "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "adc_sum", exprs => AdcSum(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_agg", exprs => KmvAgg(exprs(0),
+        intArg("kmv_agg", exprs(1), "k")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_union_agg", exprs => KmvUnionAgg(exprs(0),
+        intArg("kmv_union_agg", exprs(1), "k")), "built-in")
   }
 
   /** Column wrapper for PqEncode (books must be a foldable literal). */

@@ -248,6 +248,65 @@ object TimeSeries extends QueryModule {
       .orderBy(col("bucket_day"))
   }
 
+  /** KMV/theta set-operation sketches ([[graft.operators.ThetaSketch]]):
+    * per-event-type sketches of distinct user-DAYS (~1.6k per type at
+    * sf0.01 — past the k=512 saturation point, so the gate exercises
+    * real estimation, not the exact small-set mode), built as two
+    * hash-split ingest epochs committed through VersionedTable, folded,
+    * then pairwise intersection/union estimates checked against exact
+    * counts with bounded-relative-error flags. KMV estimates are
+    * deterministic per input set (bottom-k of a fixed hash), so the
+    * flags are stable for the oracle to pin TRUE. Bounds carry ≥3×
+    * margin over the observed worst error at sf0.01 (intersection RSE
+    * ~1/√(k·J) is the loose one). */
+  val ThetaK = 512
+
+  def qThetaIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ThetaSketch
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      concat(col("user_id").cast("string"), lit("-"),
+        date_format(col("ts"), "yyyyMMdd")).as("ud"))
+    val root = graft.util.Scratch.dir("theta") + "/sk"
+    val split = pmod(xxhash64(col("ud")), lit(2))
+    graft.sinks.VersionedTable.write(
+      ThetaSketch.sketchBy(ev.filter(split === 0), "event_type", "ud",
+        ThetaK), root)
+    graft.sinks.VersionedTable.write(
+      ThetaSketch.mergeEpochs(
+        graft.sinks.VersionedTable.read(spark, root),
+        ThetaSketch.sketchBy(ev.filter(split === 1), "event_type", "ud",
+          ThetaK),
+        "event_type", ThetaK), root)
+    val s = ThetaSketch.readSketches(spark, root)
+    val pairs = s.select(col("event_type").as("type_a"), col("kmv").as("ka"))
+      .join(s.select(col("event_type").as("type_b"), col("kmv").as("kb")),
+        col("type_a") < col("type_b"))
+    val du = ev.distinct()
+    val cnts = du.groupBy("event_type").agg(count(lit(1)).as("c"))
+    val inter = du.as("x")
+      .join(du.as("y"), col("x.ud") === col("y.ud") &&
+        col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs.join(inter, Seq("type_a", "type_b"))
+      .join(cnts.select(col("event_type").as("type_a"), col("c").as("ca")),
+        Seq("type_a"))
+      .join(cnts.select(col("event_type").as("type_b"), col("c").as("cb")),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_inter"),
+        (col("ca") + col("cb") - col("n_inter")).as("n_union"),
+        (abs(ThetaSketch.intersectEstimate(col("ka"), col("kb"), ThetaK) -
+          col("n_inter")) <=
+          greatest(lit(8.0), col("n_inter") * lit(0.25)))
+          .as("inter_within_bound"),
+        (abs(ThetaSketch.unionEstimate(col("ka"), col("kb"), ThetaK) -
+          (col("ca") + col("cb") - col("n_inter"))) <=
+          greatest(lit(8.0), (col("ca") + col("cb") - col("n_inter")) *
+            lit(0.15))).as("union_within_bound"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Cohort retention matrix (operators.Cohorts): users bucketed by
     * first-activity day, activity counted per (cohort, day-offset). */
   def qRetention(spark: SparkSession, dir: String): DataFrame =
@@ -302,6 +361,7 @@ object TimeSeries extends QueryModule {
     "q_sessionize"       -> qSessionize _,
     "q_scd2"             -> qScd2 _,
     "q_distinct_sketch"  -> qDistinctSketch _,
+    "q_theta_intersect"  -> qThetaIntersect _,
     "q_retention"        -> qRetention _,
     "q_funnel"           -> qFunnel _)
 
@@ -451,6 +511,24 @@ object TimeSeries extends QueryModule {
       """SELECT CAST(ts AS DATE) AS bucket_day,
         |  COUNT(DISTINCT user_id) AS item_count, TRUE AS within_rel_err
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_theta_intersect" ->
+      """WITH du AS (SELECT DISTINCT event_type,
+        |    CAST(user_id AS VARCHAR) || '-' ||
+        |      strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS ud
+        |  FROM events),
+        |c AS (SELECT event_type, COUNT(*) AS c FROM du GROUP BY 1),
+        |i AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    COUNT(*) AS n_inter
+        |  FROM du x JOIN du y
+        |    ON x.ud = y.ud AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT i.type_a, i.type_b, i.n_inter,
+        |  ca.c + cb.c - i.n_inter AS n_union,
+        |  TRUE AS inter_within_bound, TRUE AS union_within_bound
+        |FROM i
+        |JOIN c ca ON ca.event_type = i.type_a
+        |JOIN c cb ON cb.event_type = i.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
     "q_retention" ->
       """WITH a AS (SELECT DISTINCT user_id AS uid, CAST(ts AS DATE) AS day
         |  FROM events),

@@ -671,6 +671,82 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(3L).frames == 1)
   }
 
+  test("kmv theta sketch: exact below saturation; folds order-independent; set-op margins") {
+    import operators.ThetaSketch
+    // exact mode: fewer distinct keys than k → sketch IS the hash set,
+    // estimates exact, intersection exact
+    val a = (1 to 300).map(i => ("a", s"k$i")).toDF("g", "key")
+    val b = (151 to 450).map(i => ("b", s"k$i")).toDF("g", "key")
+    val sa = ThetaSketch.sketchBy(a, "g", "key", 512)
+    val sb = ThetaSketch.sketchBy(b, "g", "key", 512)
+    val ex = sa.select(col("kmv").as("ka"))
+      .crossJoin(sb.select(col("kmv").as("kb")))
+      .select(
+        ThetaSketch.estimate(col("ka"), 512).as("ea"),
+        ThetaSketch.intersectEstimate(col("ka"), col("kb"), 512).as("ei"),
+        ThetaSketch.unionEstimate(col("ka"), col("kb"), 512).as("eu"))
+      .head()
+    assert(ex.getDouble(0) == 300.0)
+    assert(ex.getDouble(1) == 150.0, "unsaturated intersection must be exact")
+    assert(ex.getDouble(2) == 450.0, "unsaturated union must be exact")
+    // fold order-independence: pairwise merge of hash-split halves ==
+    // one-shot sketch == one-pass kmv_union_agg fold, bit-equal
+    val big = (1 to 5000).map(i => ("g", s"item$i")).toDF("g", "key")
+    val k = 128
+    val one = ThetaSketch.sketchBy(big, "g", "key", k)
+      .select("kmv").as[Seq[Long]].head()
+    val h = pmod(xxhash64(col("key")), lit(3))
+    val parts = (0 to 2).map(i =>
+      ThetaSketch.sketchBy(big.filter(h === i), "g", "key", k))
+    val folded = ThetaSketch.mergeEpochs(
+      ThetaSketch.mergeEpochs(parts(2), parts(0), "g", k), parts(1), "g", k)
+      .select("kmv").as[Seq[Long]].head()
+    assert(folded == one, "pairwise epoch fold must be bit-equal to one-shot")
+    val onePass = ThetaSketch.foldEpochs(
+      parts.reduce(_ unionByName _), "g", k)
+      .select("kmv").as[Seq[Long]].head()
+    assert(onePass == one, "kmv_union_agg fold must be bit-equal to one-shot")
+    // saturated estimate on known cardinality: within 3·RSE = 3/√(k−2)
+    val e = ThetaSketch.sketchBy(big, "g", "key", k)
+      .select(ThetaSketch.estimate(col("kmv"), k)).head().getDouble(0)
+    assert(math.abs(e - 5000.0) / 5000.0 <= 3.0 / math.sqrt(k - 2.0),
+      s"estimate $e outside 3·RSE of 5000")
+    // gate-margin audit on the REAL gate data (sf0.01 user-days, k=512):
+    // every pair's estimation error must sit well inside the gate bound
+    // (spec guards at 12.5% inter / 10% union vs gate 25% / 15%;
+    // observed worst 9.4% / 6.6%), so q_theta_intersect's pinned flags
+    // carry >2× margin — the zero-margin-gate trap, engineered around
+    val ev = sources.Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_type"), concat(col("user_id").cast("string"),
+        lit("-"), date_format(col("ts"), "yyyyMMdd")).as("ud"))
+    val sk = ThetaSketch.sketchBy(ev, "event_type", "ud", 512)
+    val du = ev.distinct()
+    val cnts = du.groupBy("event_type").agg(count(lit(1)).as("c"))
+    val inter = du.as("x").join(du.as("y"), col("x.ud") === col("y.ud") &&
+        col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("ni"))
+    val errs = sk.select(col("event_type").as("ta"), col("kmv").as("ka"))
+      .join(sk.select(col("event_type").as("tb"), col("kmv").as("kb")),
+        col("ta") < col("tb"))
+      .join(inter, Seq("ta", "tb"))
+      .join(cnts.select(col("event_type").as("ta"), col("c").as("ca")), Seq("ta"))
+      .join(cnts.select(col("event_type").as("tb"), col("c").as("cb")), Seq("tb"))
+      .select(col("ta"), col("tb"),
+        (abs(ThetaSketch.intersectEstimate(col("ka"), col("kb"), 512) -
+          col("ni")) / col("ni")).as("ie"),
+        (abs(ThetaSketch.unionEstimate(col("ka"), col("kb"), 512) -
+          (col("ca") + col("cb") - col("ni"))) /
+          (col("ca") + col("cb") - col("ni"))).as("ue"))
+      .collect()
+    assert(errs.length == 10, "5 event types -> 10 pairs")
+    val worstI = errs.map(_.getDouble(2)).max
+    val worstU = errs.map(_.getDouble(3)).max
+    info(f"sf0.01 worst rel err: intersect $worstI%.4f union $worstU%.4f")
+    assert(worstI <= 0.125, f"intersect err $worstI%.4f eats the gate margin")
+    assert(worstU <= 0.10, f"union err $worstU%.4f eats the gate margin")
+  }
+
   test("tfidf integer gate survives past-2^63 dots and past-38-digit products") {
     // the advisor's overflow scenario: w = tf·idf_q at production scale
     // makes Σ w_a·w_b wrap a long and 10000·dot² exceed Decimal(38,0) —
