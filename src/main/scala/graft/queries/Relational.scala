@@ -491,6 +491,31 @@ object Relational extends QueryModule {
       .orderBy(col("purchase_id"))
   }
 
+  /** Data-skipping scan through file-level stats
+    * ([[graft.sources.FileStats]]): events are laid out range-
+    * partitioned by day (the [[graft.sinks.ParquetSink]] layout-writer
+    * shape), per-file min/max stats are collected in one grouped scan,
+    * and a 4-of-30-day range query reads ONLY the files whose envelope
+    * intersects the range — at 100 TB the open-file count, not just
+    * the row filter, is what drops. Pruning is sound (a file is
+    * dropped only when every row provably misses), so the oracle is
+    * the plain row filter over the raw table; OperatorsSpec asserts
+    * the skip actually happens. */
+  def qPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val lay = graft.util.Scratch.dir("pruned_scan")
+    Tables.events(spark, dir)
+      .withColumn("d", to_date(col("ts")))
+      .repartitionByRange(8, col("d"))
+      .write.mode("overwrite").parquet(lay)
+    val stats = graft.sources.FileStats.collect(spark, lay, Seq("d"))
+    graft.sources.FileStats.readRange(spark, stats, "d",
+        lit(java.sql.Date.valueOf("2024-01-10")),
+        lit(java.sql.Date.valueOf("2024-01-13")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"              -> q1Agg _,
     "q_count_by_key"      -> qCountByKey _,
@@ -516,7 +541,8 @@ object Relational extends QueryModule {
     "q_pivot"             -> qPivot _,
     "q_unpivot"           -> qUnpivot _,
     "q_regression"        -> qRegression _,
-    "q_asof_join_fwd"     -> qAsofJoinFwd _)
+    "q_asof_join_fwd"     -> qAsofJoinFwd _,
+    "q_pruned_scan"       -> qPrunedScan _)
 
   val oracleSql: Map[String, String] = Map(
     "q_pivot" ->
@@ -733,5 +759,10 @@ object Relational extends QueryModule {
         |SELECT p.purchase_id, p.user_id, r.next_id, r.next_type
         |FROM p ASOF LEFT JOIN r
         |  ON p.user_id = r.user_id AND r.ts_r >= p.ts
-        |ORDER BY p.purchase_id""".stripMargin)
+        |ORDER BY p.purchase_id""".stripMargin,
+    "q_pruned_scan" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM("value"), 2) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-13'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -27,11 +27,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long
-    * (legacy conf) and truncate to microseconds — the same truncation
-    * DuckDB applies implicitly when casting ns→µs — so downstream
-    * second/day-granularity logic agrees with the oracle.
+  /** `events.ts` normalizes to session-zoned TimestampType (µs)
+    * whatever the generator wrote: parquet TIMESTAMP(NANOS) — which
+    * Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL) — is read as long
+    * (legacy conf) and truncated to microseconds, the same truncation
+    * DuckDB applies implicitly when casting ns→µs; a naive
+    * timestamp[us] column (isAdjustedToUTC=false → TIMESTAMP_NTZ) is
+    * cast to TimestampType, value-preserving under the UTC session
+    * timezone every graft session sets — so downstream
+    * `unix_micros`/window logic agrees with the oracle either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -41,9 +45,35 @@ object Tables {
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
+  /** Streaming read of an events-shaped parquet directory with the
+    * same `ts` normalization as [[events]]. readStream needs an
+    * explicit schema, so the layout is probed with a one-file batch
+    * read (footer-only — no data scan) and the matching conversion is
+    * applied: nanos-as-long `ts div 1000` → timestamp_micros, or
+    * TIMESTAMP_NTZ cast to session-zoned TimestampType. Keeping the
+    * probe here means the streaming specs and any deployment read the
+    * generator's layout through ONE seam instead of hard-coding it. */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val probed = s.read.parquet(dir).schema
+    val raw = s.readStream.schema(probed).parquet(dir)
+    probed("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
+
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

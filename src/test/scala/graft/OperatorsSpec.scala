@@ -1683,4 +1683,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == plain, s"bloom path diverged: ${got.diff(plain)} / ${plain.diff(got)}")
     assert(plain.nonEmpty, "fixture should contain cross-boundary exact dups")
   }
+
+  test("file stats: range pruning skips files, returns exactly the filtered rows") {
+    import sources.FileStats
+    val lay = util.Scratch.dir("filestats_layout")
+    sources.Tables.events(spark, TestSpark.sf)
+      .withColumn("d", to_date(col("ts")))
+      .repartitionByRange(8, col("d"))
+      .write.mode("overwrite").parquet(lay)
+    val stats = FileStats.collect(spark, lay, Seq("d")).cache()
+    val total = stats.count()
+    assert(total >= 4, s"range layout should produce several files, got $total")
+    val lo = lit(java.sql.Date.valueOf("2024-01-10"))
+    val hi = lit(java.sql.Date.valueOf("2024-01-13"))
+    val kept = FileStats.candidateFiles(stats, "d", lo, hi).count()
+    assert(kept < total,
+      s"a 4-of-30-day range must skip files on a day-ranged layout ($kept/$total kept)")
+    val got = FileStats.readRange(spark, stats, "d", lo, hi)
+      .select("event_id").as[Long].collect().toSet
+    val want = spark.read.parquet(lay).filter(col("d").between(lo, hi))
+      .select("event_id").as[Long].collect().toSet
+    assert(got == want, "pruned read must equal the plain filtered scan")
+    assert(want.nonEmpty)
+    stats.unpersist()
+  }
+
+  test("file stats: all-null files are pruned soundly; incremental epochs equal one-shot") {
+    import sources.FileStats
+    val lay = util.Scratch.dir("filestats_nulls")
+    // partition 0 of the range layout holds the nulls; a range predicate
+    // rejects NULL, so dropping that file loses nothing
+    Seq[(Long, Option[Int])](1L -> None, 2L -> None, 3L -> Some(10),
+        4L -> Some(20), 5L -> Some(30), 6L -> Some(40))
+      .toDF("id", "v")
+      .repartitionByRange(3, col("v"))
+      .write.mode("overwrite").parquet(lay)
+    val stats = FileStats.collect(spark, lay, Seq("v"))
+    val got = FileStats.readRange(spark, stats, "v", lit(0), lit(100))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(3L, 4L, 5L, 6L),
+      "whole-domain range must return every non-null row and no null row")
+    // incremental maintenance: stats committed file-batch by file-batch
+    // through the versioned table equal the one-shot collect
+    val root = util.Scratch.dir("filestats_epochs")
+    val files = new java.io.File(lay).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.length >= 2)
+    val (b1, b2) = files.splitAt(1)
+    FileStats.commitStats(FileStats.collectFor(spark, b1.toSeq, Seq("v")), root)
+    FileStats.commitStats(FileStats.collectFor(spark, b2.toSeq, Seq("v")), root)
+    val folded = FileStats.readStats(spark, root)
+      .orderBy("path").collect().toSeq
+    val oneShot = FileStats.collect(spark, lay, Seq("v"))
+      .orderBy("path").collect().toSeq
+    assert(folded == oneShot, "epoch-folded stats must equal the one-shot scan")
+  }
 }

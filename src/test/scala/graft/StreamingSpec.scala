@@ -19,16 +19,7 @@ class StreamingSpec extends AnyFunSuite {
     dir
   }
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  private def eventStream = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def eventStream = sources.Tables.eventsStream(spark, streamDir)
 
   /** Stream-stream interval self-join: every purchase×view containment
     * match the BATCH range join finds must be emitted by the streaming
