@@ -28,7 +28,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC") // match Verify: identical plans
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS") // match Verify: identical plans
       .config("spark.ui.enabled", "false")
       // uniform codegen class names → byte-identical sub-plans compile
       // once per JVM instead of once per stage id (SPARK-23032); the

@@ -11,6 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // INT96 deliberately, unlike every other graft session: the
+      // driver's DuckDB oracle yields NAIVE timestamps, and INT96 (no
+      // UTC annotation) is the one parquet timestamp encoding whose
+      // dump reads back naive — TIMESTAMP_MICROS would tag +00:00 onto
+      // every dumped value and fail the cell compare on string form
+      .config("spark.sql.parquet.outputTimestampType", "INT96")
       .config("spark.ui.enabled", "false")
       // shared codegen across byte-identical sub-plans (see Bench)
       .config("spark.sql.codegen.useIdInClassName", "false")

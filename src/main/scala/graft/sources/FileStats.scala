@@ -57,6 +57,63 @@ object FileStats {
     df.groupBy(input_file_name().as("path")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Stats from parquet FOOTERS only — no data pages are read. At
+    * 100 TB a stats-collection scan costs as much as the query it is
+    * meant to save, so the production path is this one: each task
+    * opens its files' footers (a few KB each, already holding per-
+    * row-group min/max/null-count written at ingest time) and folds
+    * them to the same one-row-per-file shape as [[collect]]. Cost is
+    * |files| footer reads, distributed over the cluster, independent
+    * of data volume.
+    *
+    * Honesty rules for writer-omitted stats (the reason
+    * [[candidateFiles]] is proof-based): if ANY row group of a file
+    * lacks usable stats for a column, that column's min/max/nulls are
+    * emitted as NULL — "unknown", which pruning must keep — never as
+    * a partial fold that would claim a narrower envelope than the
+    * data's. Row counts come from block metadata and are always exact.
+    *
+    * `schema` is the table's Spark schema (probe one file with
+    * `spark.read.parquet(f).schema`); supported tracked-column types
+    * are boolean/int/long/float/double/string/date/timestamp(_ntz) —
+    * the orderable primitives parquet records stats for. */
+  def collectFooters(spark: SparkSession, files: Seq[String],
+                     schema: org.apache.spark.sql.types.StructType,
+                     cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(cols.nonEmpty, "track at least one column")
+    cols.foreach { c =>
+      val dt = schema(c).dataType
+      require(FooterStats.supported(dt),
+        s"footer stats for $c: unsupported type ${dt.catalogString}")
+    }
+    val statsSchema = StructType(
+      StructField("path", StringType, nullable = false) +:
+      StructField("row_count", LongType, nullable = false) +:
+      cols.flatMap { c =>
+        val dt = schema(c).dataType
+        Seq(StructField(s"${c}_min", dt), StructField(s"${c}_max", dt),
+          StructField(s"${c}_nulls", LongType))
+      })
+    val colTypes = cols.map(c => c -> schema(c).dataType)
+    // Configuration isn't serializable; ship it as entries and rebuild
+    // per task (the iterator already includes resolved defaults)
+    val confKv = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toArray
+    }
+    val bconf = spark.sparkContext.broadcast(confKv)
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism))
+    val rows = spark.sparkContext.parallelize(files, slices).map { path =>
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      bconf.value.foreach { case (k, v) => conf.set(k, v) }
+      FooterStats.fileRow(path, conf, colTypes)
+    }
+    spark.createDataFrame(rows, statsSchema)
+  }
+
   /** Upsert a batch's stats rows into the versioned stats table (a
     * re-landed file's stats replace the old row — same (path) identity
     * caveat as the manifest). Returns the committed version. */
@@ -70,19 +127,50 @@ object FileStats {
     VersionedTable.read(spark, root)
 
   /** Files whose [min,max] envelope for `c` intersects [lo,hi] —
-    * the sound-prune set for `c BETWEEN lo AND hi`. */
+    * the sound-prune set for `c BETWEEN lo AND hi`. A file is dropped
+    * only on PROOF it cannot match: its envelope provably misses the
+    * range, or every row is null (a range predicate rejects NULL).
+    * NULL min/max with an unknown null count — footer stats a writer
+    * didn't record ([[collectFooters]]) — keeps the file: unknown is
+    * never treated as absent. The null-safe `<=>` makes each proof
+    * explicit rather than relying on three-valued filter semantics. */
   def candidateFiles(stats: DataFrame, c: String,
-                     lo: Column, hi: Column): DataFrame =
-    stats.filter(!(col(s"${c}_max") < lo || col(s"${c}_min") > hi))
+                     lo: Column, hi: Column): DataFrame = {
+    val misses  = (col(s"${c}_max") < lo) || (col(s"${c}_min") > hi)
+    val allNull = col(s"${c}_nulls") === col("row_count")
+    stats.filter(!(misses <=> lit(true)) && !(allNull <=> lit(true)))
       .select(col("path"))
+  }
+
+  /** Conjunctive multi-range prune: files surviving EVERY per-column
+    * proof. On a Z-order layout ([[graft.sinks.ParquetSink]]) each
+    * interleaved dimension has a narrow envelope, so a 2-D range
+    * query prunes multiplicatively — the case single-column range
+    * layouts can't serve. */
+  def candidateFilesAll(stats: DataFrame,
+                        ranges: Seq[(String, Column, Column)]): DataFrame = {
+    require(ranges.nonEmpty, "give at least one range")
+    val keep = ranges.map { case (c, lo, hi) =>
+      val misses  = (col(s"${c}_max") < lo) || (col(s"${c}_min") > hi)
+      val allNull = col(s"${c}_nulls") === col("row_count")
+      !(misses <=> lit(true)) && !(allNull <=> lit(true))
+    }.reduce(_ && _)
+    stats.filter(keep).select(col("path"))
+  }
 
   /** Exactly the rows of the table with `c` in [lo, hi], reading only
     * files the stats cannot rule out. Result is independent of the
     * stats' freshness ONLY if the stats cover every live file —
     * maintain them through [[FileManifest]] commits. */
   def readRange(spark: SparkSession, stats: DataFrame, c: String,
-                lo: Column, hi: Column): DataFrame = {
-    val paths = candidateFiles(stats, c, lo, hi)
+                lo: Column, hi: Column): DataFrame =
+    readWhere(spark, stats, Seq((c, lo, hi)))
+
+  /** Multi-range variant of [[readRange]]: conjunction of BETWEENs,
+    * file set pruned per [[candidateFilesAll]]. */
+  def readWhere(spark: SparkSession, stats: DataFrame,
+                ranges: Seq[(String, Column, Column)]): DataFrame = {
+    val paths = candidateFilesAll(stats, ranges)
       .collect().map(_.getString(0)).sorted // |files| rows: metadata scale
     val schema = spark.read.parquet(
       stats.select("path").head().getString(0)).schema
@@ -91,6 +179,8 @@ object FileStats {
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       else spark.read.schema(schema).parquet(paths: _*)
-    pruned.filter(col(c).between(lo, hi))
+    ranges.foldLeft(pruned) { case (df, (c, lo, hi)) =>
+      df.filter(col(c).between(lo, hi))
+    }
   }
 }

@@ -7,6 +7,7 @@ object NotionE2E {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.notion._
