@@ -516,6 +516,56 @@ object Relational extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Rolling TIME-RANGE window — the frame ROWS can't express: per
+    * user, the sum of `value` and event count over the trailing hour
+    * of EVENT TIME (inclusive both ends, so simultaneous events share
+    * a frame). Spark's rangeBetween runs on the unix-microsecond
+    * ordering column; DuckDB's on `RANGE INTERVAL 1 HOUR PRECEDING` —
+    * same frame by construction. Sums use the integer-cents trick
+    * ([[qWindowRunning]]) so float addition order can't split engines.
+    * One shuffle on user_id, sorted once, both windows share it. */
+  def qRollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(spark, dir)
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .withColumn("rolling_sum",
+        round(sum(col("cents")).over(w) / lit(100.0), 2))
+      .withColumn("rolling_n", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"),
+        col("rolling_sum"), col("rolling_n"))
+      .orderBy(col("event_id"))
+  }
+
+  /** CUBE with grouping_id — all four aggregation granularities of
+    * (event_type, day) in one pass plus the bitmask telling them
+    * apart; the multi-granularity rollup a reporting layer asks of a
+    * 100 TB fact table, map-side-combined like any groupBy. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .cube(col("event_type"), col("day"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("gid"), col("event_type").asc_nulls_first,
+        col("day").asc_nulls_first)
+
+  /** Declarative expectation suite over lineitem
+    * ([[graft.operators.Expectations]]): four named checks, violation
+    * counts in ONE aggregation pass (no per-rule scans). NULL checks
+    * count as violations — holds only when provably true. */
+  def qExpectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations, Expectations.Expectation
+    Expectations.report(Tables.lineitem(spark, dir), Seq(
+        Expectation("discount_range",
+          col("l_discount").between(0.0, 0.1)),
+        Expectation("positive_price", col("l_extendedprice") > 0),
+        Expectation("qty_range", col("l_quantity").between(1, 50)),
+        Expectation("tax_capped", col("l_tax") <= col("l_discount") + 0.06)))
+      .orderBy(col("rule"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"              -> q1Agg _,
     "q_count_by_key"      -> qCountByKey _,
@@ -542,7 +592,10 @@ object Relational extends QueryModule {
     "q_unpivot"           -> qUnpivot _,
     "q_regression"        -> qRegression _,
     "q_asof_join_fwd"     -> qAsofJoinFwd _,
-    "q_pruned_scan"       -> qPrunedScan _)
+    "q_pruned_scan"       -> qPrunedScan _,
+    "q_rolling_window"    -> qRollingWindow _,
+    "q_cube"              -> qCube _,
+    "q_expectations"      -> qExpectations _)
 
   val oracleSql: Map[String, String] = Map(
     "q_pivot" ->
@@ -764,5 +817,33 @@ object Relational extends QueryModule {
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM("value"), 2) AS total_value
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-13'
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rolling_window" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CAST(round("value" * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  ROUND(SUM(cents) OVER w / 100.0, 2) AS rolling_sum,
+        |  COUNT(*) OVER w AS rolling_n
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_cube" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, "value" FROM events)
+        |SELECT event_type, day, GROUPING(event_type, day) AS gid,
+        |  COUNT(*) AS n, ROUND(SUM("value"), 2) AS total_value
+        |FROM e GROUP BY CUBE (event_type, day)
+        |ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "q_expectations" ->
+      """WITH t AS (SELECT COUNT(*) AS total,
+        |  COUNT(*) FILTER (WHERE NOT COALESCE(l_discount BETWEEN 0.0 AND 0.1, FALSE)) AS v_discount,
+        |  COUNT(*) FILTER (WHERE NOT COALESCE(l_extendedprice > 0, FALSE)) AS v_price,
+        |  COUNT(*) FILTER (WHERE NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)) AS v_qty,
+        |  COUNT(*) FILTER (WHERE NOT COALESCE(l_tax <= l_discount + 0.06, FALSE)) AS v_tax
+        |FROM lineitem)
+        |SELECT 'discount_range' AS rule, v_discount AS violations, total FROM t
+        |UNION ALL SELECT 'positive_price', v_price, total FROM t
+        |UNION ALL SELECT 'qty_range', v_qty, total FROM t
+        |UNION ALL SELECT 'tax_capped', v_tax, total FROM t
+        |ORDER BY rule""".stripMargin)
 }

@@ -1738,4 +1738,125 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("path").collect().toSeq
     assert(folded == oneShot, "epoch-folded stats must equal the one-shot scan")
   }
+
+  test("footer stats equal scan stats across every supported type; pruning agrees") {
+    import sources.FileStats
+    val lay = util.Scratch.dir("footerstats_layout")
+    sources.Tables.events(spark, TestSpark.sf)
+      .withColumn("d", to_date(col("ts")))
+      .withColumn("flag", col("event_id") % 2 === 0)
+      .repartitionByRange(6, col("d"))
+      .write.mode("overwrite").parquet(lay)
+    val cols = Seq("d", "ts", "event_id", "event_type", "value", "flag")
+    val schema = spark.read.parquet(lay).schema
+    val files = new java.io.File(lay).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    def normalized(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map { r =>
+        val raw = r.getString(r.fieldIndex("path"))
+        val p = if (raw.contains(":/")) new java.net.URI(raw).getPath else raw
+        p -> r.toSeq.drop(1)
+      }.sortBy(_._1).toSeq
+    val fromFooters = normalized(
+      FileStats.collectFooters(spark, files, schema, cols)
+        .select("path", FileStats.collect(spark, lay, cols).columns.drop(1): _*))
+    val fromScan = normalized(FileStats.collect(spark, lay, cols))
+    assert(fromFooters.map(_._1) == fromScan.map(_._1))
+    fromFooters.zip(fromScan).foreach { case ((p, f), (_, s)) =>
+      assert(f == s, s"footer stats diverge from scan stats for $p")
+    }
+    // and the pruned read through footer-derived stats is still exact
+    val stats = FileStats.collectFooters(spark, files, schema, cols)
+    val lo = lit(java.sql.Date.valueOf("2024-01-10"))
+    val hi = lit(java.sql.Date.valueOf("2024-01-13"))
+    assert(FileStats.candidateFiles(stats, "d", lo, hi).count() < files.size,
+      "footer envelopes must skip files on the day-ranged layout")
+    val got = FileStats.readRange(spark, stats, "d", lo, hi)
+      .select("event_id").as[Long].collect().toSet
+    val want = spark.read.parquet(lay).filter(col("d").between(lo, hi))
+      .select("event_id").as[Long].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("multi-column pruning on a Z-order layout: 2-D box prunes both dimensions") {
+    import sources.FileStats
+    val lay = util.Scratch.dir("footerstats_zorder")
+    sinks.ParquetSink.writeZOrdered(
+      sources.Tables.events(spark, TestSpark.sf)
+        .select("event_id", "user_id", "value"),
+      lay, "user_id", "event_id", numFiles = 16)
+    val schema = spark.read.parquet(lay).schema
+    val files = new java.io.File(lay).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val stats = FileStats.collectFooters(spark, files, schema,
+      Seq("user_id", "event_id")).cache()
+    val uRange = ("user_id", lit(3L), lit(6L))
+    val eRange = ("event_id", lit(200L), lit(450L))
+    val keptU  = FileStats.candidateFilesAll(stats, Seq(uRange)).count()
+    val keptE  = FileStats.candidateFilesAll(stats, Seq(eRange)).count()
+    val kept2d = FileStats.candidateFilesAll(stats, Seq(uRange, eRange)).count()
+    assert(kept2d <= keptU && kept2d <= keptE,
+      s"conjunction must never keep more than either range ($kept2d vs $keptU/$keptE)")
+    assert(kept2d < files.size && keptU < files.size && keptE < files.size,
+      s"the Z-order layout must bound BOTH dimensions' envelopes " +
+        s"($keptU, $keptE, 2d $kept2d of ${files.size})")
+    val got = FileStats.readWhere(spark, stats, Seq(uRange, eRange))
+      .select("event_id").as[Long].collect().toSet
+    val want = spark.read.parquet(lay)
+      .filter(col("user_id").between(3L, 6L) &&
+        col("event_id").between(200L, 450L))
+      .select("event_id").as[Long].collect().toSet
+    assert(got == want && want.nonEmpty)
+    stats.unpersist()
+  }
+
+  test("expectations: split is a disjoint exact cover; NULL checks quarantine") {
+    import operators.Expectations, Expectations.Expectation
+    val df = Seq(
+      (1L, Some(10.0), "ok"),
+      (2L, Some(-5.0), "ok"),    // breaks positive
+      (3L, None, "ok"),          // NULL value: unknown → quarantine
+      (4L, Some(3.0), ""),       // breaks nonempty
+      (5L, Some(-1.0), "")       // breaks both
+    ).toDF("id", "v", "s")
+    val rules = Seq(
+      Expectation("positive", col("v") > 0),
+      Expectation("nonempty", length(col("s")) > 0))
+    val (clean, quarantined) = Expectations.split(df, rules)
+    assert(clean.select("id").as[Long].collect().toSet == Set(1L))
+    val q = quarantined.select(col("id"), col("violated_rules"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(q == Map(
+      2L -> Seq("positive"), 3L -> Seq("positive"),
+      4L -> Seq("nonempty"), 5L -> Seq("positive", "nonempty")))
+    assert(clean.count() + quarantined.count() == df.count())
+    val rep = Expectations.report(df, rules)
+      .as[(String, Long, Long)].collect().toSet
+    assert(rep == Set(("positive", 3L, 5L), ("nonempty", 2L, 5L)))
+  }
+
+  test("footer stats: unknown stats are NULL and pruning keeps the file") {
+    import org.apache.spark.sql.types._
+    import sources.{FileStats, FooterStats}
+    // a decimal column is outside the supported stats types: reject early
+    val lay = util.Scratch.dir("footerstats_reject")
+    Seq((1L, BigDecimal(2)), (2L, BigDecimal(3))).toDF("id", "dec")
+      .write.mode("overwrite").parquet(lay)
+    val schema = spark.read.parquet(lay).schema
+    val files = new java.io.File(lay).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    intercept[IllegalArgumentException] {
+      FileStats.collectFooters(spark, files, schema, Seq("dec"))
+    }
+    // hand-built "unknown" stats row (writer recorded nothing): the
+    // proof-based filter must KEEP the file — unknown is not absent
+    val unknown = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row("f1", 2L, null, null, null)),
+      StructType(Seq(
+        StructField("path", StringType), StructField("row_count", LongType),
+        StructField("v_min", IntegerType), StructField("v_max", IntegerType),
+        StructField("v_nulls", LongType))))
+    assert(FileStats.candidateFiles(unknown, "v", lit(0), lit(10))
+      .collect().map(_.getString(0)).toSeq == Seq("f1"))
+  }
 }
