@@ -52,6 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg("topk_freq", exprs(1), "k"),
         intArg("topk_freq", exprs(2), "capacity"))))
     ext.injectFunction((
+      FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[graft.functions.TopKBy].getName, "topk_by"),
+      (exprs: Seq[Expression]) => graft.functions.TopKBy(exprs(0), exprs(1),
+        intArg("topk_by", exprs(2), "k"))))
+    ext.injectFunction((
       FunctionIdentifier("kmv_agg"),
       new ExpressionInfo(classOf[graft.functions.KmvAgg].getName, "kmv_agg"),
       (exprs: Seq[Expression]) => graft.functions.KmvAgg(exprs(0),

@@ -569,6 +569,9 @@ object VectorExpressions {
         intArg("topk_freq", exprs(1), "k"),
         intArg("topk_freq", exprs(2), "capacity")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_by", exprs => TopKBy(exprs(0), exprs(1),
+        intArg("topk_by", exprs(2), "k")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_build", exprs => BloomBuildAgg(exprs(0),
         intArg("bloom_build", exprs(1), "numBits"),
         intArg("bloom_build", exprs(2), "numHashes")), "built-in")
@@ -767,6 +770,12 @@ object VectorExpressions {
   def topkFreq(item: Column, k: Int, capacity: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("topk_freq", item, lit(k), lit(capacity))
+  }
+
+  /** Column wrapper for the TopKBy exact per-group top-k aggregate. */
+  def topkBy(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("topk_by", score, id, lit(k))
   }
 
   /** Column wrapper for SortedIntersectCount (ascending-sorted

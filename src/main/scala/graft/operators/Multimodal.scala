@@ -248,6 +248,102 @@ object Multimodal {
       first.map(img => (nFrames, img.getWidth, img.getHeight, meanGrayOf(img)))
     }.toOption.flatten
 
+  private def u32be(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  /** ftyp as the first box is how every real muxer writes ISO-BMFF. */
+  private def isMp4(bytes: Array[Byte]): Boolean =
+    bytes.length > 16 &&
+      new String(bytes, 4, 4, "US-ASCII") == "ftyp"
+
+  /** ISO-BMFF containers we descend into; everything else is a leaf. */
+  private val Mp4Containers =
+    Set("moov", "trak", "mdia", "minf", "stbl", "edts", "mvex", "udta")
+
+  /** THE ISO-BMFF box walker — the MP4 sibling of [[walkRiff]], same
+    * hostile-input rules in one place. Boxes are
+    * [u32be size][fourcc][payload] with size covering the header;
+    * size 1 = 64-bit largesize follows, size 0 = extends to the end of
+    * the enclosing box. Extents are clamped to BOTH the enclosing box
+    * and the buffer; `visit(fourcc, payloadStart, payloadEnd)` fires
+    * for every leaf box in document order, returning false stops the
+    * walk; depth is bounded. */
+  private def walkMp4(bytes: Array[Byte], maxDepth: Int = 32)
+                     (visit: (String, Int, Int) => Boolean): Unit = {
+    def walk(pos: Int, end: Int, depth: Int): Boolean = {
+      if (depth > maxDepth) return true
+      var p = pos
+      while (p + 8 <= end && p + 8 <= bytes.length) {
+        var sz = u32be(bytes, p)
+        val cc = new String(bytes, p + 4, 4, "US-ASCII")
+        var hdr = 8
+        if (sz == 1) {
+          if (p + 16 > end) return false
+          val hi = u32be(bytes, p + 8)
+          val lo = u32be(bytes, p + 12)
+          sz = if (hi != 0) Long.MaxValue else lo
+          hdr = 16
+        } else if (sz == 0) sz = (end - p).toLong
+        if (sz < hdr) return false
+        val boxEnd = math.min(math.min(end.toLong, bytes.length.toLong),
+          p.toLong + sz).toInt
+        if (Mp4Containers(cc)) {
+          if (!walk(p + hdr, boxEnd, depth + 1)) return false
+        } else if (!visit(cc, p + hdr, boxEnd)) return false
+        val next = p.toLong + sz
+        if (next <= p) return false // no progress → hostile size
+        p = math.min(next, end.toLong).toInt
+      }
+      true
+    }
+    walk(0, bytes.length, 0)
+  }
+
+  /** Real MP4 (ISO-BMFF) CONTAINER parse, no codec: the first VISUAL
+    * track's `tkhd` supplies (width, height) — 16.16 fixed-point, zero
+    * for audio tracks — and that same track's `stbl/stts` sample table
+    * supplies the frame count (Σ sample_count over its runs: the
+    * authoritative sample census, present in every non-fragmented
+    * file). A later track's `stts` is never mis-attributed: the
+    * capture window opens at a visual `tkhd` and every subsequent
+    * `tkhd` closes it, and within a `trak` the sample table always
+    * follows the track header. Declared-extent guards on every field
+    * read — a truncated box falls back to the stub path, same contract
+    * as [[decodeAviHeader]]. */
+  private def decodeMp4Header(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    scala.util.Try {
+      var w = 0
+      var h = 0
+      var frames = 0
+      var capture = false
+      walkMp4(bytes) { (cc, start, end) =>
+        cc match {
+          case "tkhd" if start + 4 <= end =>
+            capture = false // a new track header closes any open window
+            val wOff = if (bytes(start) == 1) start + 88 else start + 76
+            if (w == 0 && wOff + 8 <= end) {
+              val tw = (u32be(bytes, wOff) >> 16).toInt
+              val th = (u32be(bytes, wOff + 4) >> 16).toInt
+              if (tw > 0 && th > 0) { w = tw; h = th; capture = true }
+            }
+          case "stts" if capture && frames == 0 && start + 8 <= end =>
+            val n = u32be(bytes, start + 4)
+            var i = 0
+            var sum = 0L
+            while (i < n && start + 8 + i * 8 + 8 <= end) {
+              sum += u32be(bytes, start + 8 + i * 8)
+              i += 1
+            }
+            if (i == n) frames = math.min(sum, Int.MaxValue.toLong).toInt
+            capture = false
+          case _ => ()
+        }
+        true
+      }
+      if (w > 0 && h > 0 && frames > 0) Some((frames, w, h)) else None
+    }.toOption.flatten
+
   private val FlacMagic = "fLaC".getBytes("US-ASCII")
 
   private def isFlac(bytes: Array[Byte]): Boolean =
@@ -383,6 +479,7 @@ object Multimodal {
     lazy val jpeg = if (isJpeg(bytes)) decodeJpeg(bytes) else None
     lazy val wav = if (isWav(bytes)) decodeWav(bytes) else None
     lazy val avi = if (isAvi(bytes)) decodeAviHeader(bytes) else None
+    lazy val mp4 = if (isMp4(bytes)) decodeMp4Header(bytes) else None
     // header-walk audio containers: stream parameters are real, the
     // PCM itself is not decoded (no codec in the JVM), so meanByte
     // stays the raw-byte mean
@@ -396,12 +493,13 @@ object Multimodal {
         case Some((frames, meanAmp, rate, ch)) =>
           DecodedFeature(id, modality, bytes.length, frames, meanAmp,
             sampleRate = rate, channels = ch)
-        case None => avi match {
+        case None => (avi orElse mp4) match {
           case Some((frames, w, h)) =>
             // MJPEG frames decode for real (pixel meanGray + counted
-            // frames); other codecs keep the honest container metadata
-            // with the raw-byte mean
-            decodeAviMjpeg(bytes) match {
+            // frames); other codecs — and MP4, whose track codecs the
+            // bare JVM can't decode — keep the honest container
+            // metadata with the raw-byte mean
+            (if (isAvi(bytes)) decodeAviMjpeg(bytes) else None) match {
               case Some((nf, fw, fh, meanGray)) =>
                 DecodedFeature(id, modality, bytes.length, nf, meanGray, fw, fh)
               case None =>

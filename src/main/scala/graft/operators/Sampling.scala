@@ -118,6 +118,40 @@ object Sampling {
       .drop("_mix_domain", "_mix_rate")
   }
 
+  /** Weighted Bernoulli sample: keep each row with probability
+    * proportional to its weight, `p_i = expectedN · w_i / Σw` (capped at
+    * 1 implicitly — rows with p ≥ 1 always pass since u < 1) — the
+    * importance-sampling primitive ("sample 100k docs, length-weighted")
+    * where [[sampleByHash]] draws uniformly. Expected output size is
+    * ≤ expectedN (exactly expectedN when no p_i caps).
+    *
+    * Weights must be a non-negative INTEGER column: Σw then aggregates
+    * exactly (LongType — no float summation-order drift), and the keep
+    * test `u · Σw < expectedN · w_i` uses only IEEE correctly-rounded
+    * ops (·, <) on exact inputs, so membership is bit-reproducible in
+    * ANSI SQL like every operator here. (pow/ln-based Efraimidis-
+    * Spirakis keys would hang the decision on libm rounding, which IS
+    * engine-specific.) Zero-weight rows never match. Membership depends
+    * on Σw, so it is repartition-proof but NOT append-stable — appends
+    * change Σw; pipelines needing append-stability fix Σw out-of-band
+    * and filter with the rate form directly.
+    *
+    * Scale shape: one exact count-style aggregate to a 1-row Σw,
+    * broadcast back, then a map-side filter — the corpus never
+    * shuffles. Σw must stay < 2^53 for the double cast to be exact
+    * (9 PB of characters at 1 weight/char — checked). */
+  def sampleByWeight(df: DataFrame, idCol: String, weightCol: String,
+                     expectedN: Double): DataFrame = {
+    require(expectedN > 0, "expectedN must be positive")
+    val w = col(weightCol).cast("long")
+    val tot = df.filter(w > 0).agg(sum(w).as("_w_sum"))
+    df.filter(w > 0)
+      .crossJoin(broadcast(tot))
+      .filter(hashUnit(col(idCol)) * col("_w_sum").cast("double") <
+        lit(expectedN) * w.cast("double"))
+      .drop("_w_sum")
+  }
+
   /** Assign each row to a named split by cumulative weight over the
     * hash unit — e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1).
     * Weights must sum to 1 (the last split absorbs rounding). */

@@ -126,4 +126,40 @@ object Scd2 {
         col("effective_to").isNull.as("is_current"))
     keep.unionByName(rebuilt)
   }
+
+  /** Point-in-time lookup against a [[history]] table — "what was this
+    * entity's state when the fact happened?", the temporal-join half of
+    * the SCD2 contract (the other half is building the history).
+    *
+    * Each fact row matches the version whose half-open validity range
+    * `[effective_from, effective_to)` contains the fact timestamp
+    * (`effective_to IS NULL` = the open current version). Ranges within
+    * an entity are disjoint by construction, so a fact at or after the
+    * entity's first observation matches EXACTLY one version; facts
+    * before it (or for unknown entities) keep a NULL state — left-join
+    * semantics, mirroring the reference's miss-tolerant dim lookups
+    * (reference: src/sinks/pbi/refresh/derive/index.ts:104-116).
+    *
+    * Scale shape: one equi-join shuffle on the entity key with the
+    * range containment as a post-join residual filter — versions per
+    * entity are bounded by that entity's own observation count, so the
+    * per-key fan-out is the entity's version count, never a cross
+    * product. No interval explosion, no broadcast of the (potentially
+    * dimension-sized) history.
+    *
+    * @return every fact column, then the history's non-key columns
+    */
+  def pointInTime(history: DataFrame, facts: DataFrame, idCol: String,
+                  tsCol: String): DataFrame = {
+    val h = history.alias("h")
+    val f = facts.alias("f")
+    val contained =
+      col(s"f.$idCol") === col(s"h.$idCol") &&
+        col(s"f.$tsCol") >= col("h.effective_from") &&
+        (col("h.effective_to").isNull ||
+          col(s"f.$tsCol") < col("h.effective_to"))
+    f.join(h, contained, "left")
+      .select(facts.columns.map(c => col(s"f.$c")) ++
+        history.columns.filterNot(_ == idCol).map(c => col(s"h.$c")): _*)
+  }
 }

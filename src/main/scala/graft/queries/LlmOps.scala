@@ -775,7 +775,48 @@ object LlmOps extends QueryModule {
       everyN = 4)
       .orderBy(col("doc_id"), col("sample_idx"))
 
+  /** RRF fusion constants: candidate depth per retriever, the standard
+    * k = 60 damping, fused cut at 20. Probe: BM25 over [[Bm25Terms]]
+    * fused with cosine neighbors of vec_id 0's embedding (doc_id and
+    * vec_id are the same key space). */
+  val RrfK = 60
+  val RrfDepth = 50
+  val RrfTopK = 20
+
+  /** Hybrid retrieval (operators.Retrieval): lexical BM25 and embedding
+    * cosine rank lists fused by reciprocal rank. Both legs reuse the
+    * already-gated retrievers (q_bm25 / q_ann_topk plans); the fusion
+    * itself touches only 2·depth candidate rows. */
+  def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.operators.Ranking.bm25TopK(
+      Tables.documents(spark, dir), "doc_id", "text", Bm25Terms, k = RrfDepth)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("rank"))
+    val emb = Tables.embeddings(spark, dir)
+    val sem = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = RrfDepth)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    graft.operators.Retrieval.rrfFuse(Seq(lex, sem), "doc_id",
+      k = RrfK, topK = RrfTopK)
+      .orderBy(col("fused_rank"))
+  }
+
+  /** Length-weighted deterministic Bernoulli sample
+    * (Sampling.sampleByWeight): inclusion probability ∝ n_chars,
+    * expected 100 docs — integer-exact Σw so membership is
+    * oracle-reproducible. */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.sampleByWeight(
+      Tables.documents(spark, dir).select("doc_id", "n_chars"),
+      "doc_id", "n_chars", expectedN = 100.0)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hybrid_rrf"      -> qHybridRrf _,
+    "q_weighted_sample" -> qWeightedSample _,
     "q_dedup_exact"     -> qDedupExact _,
     "q_dedup_bloom"     -> qDedupBloom _,
     "q_dedup_jaccard"   -> qDedupJaccard _,
@@ -953,6 +994,48 @@ object LlmOps extends QueryModule {
        |WHERE quality >= thr.t ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_hybrid_rrf" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+         |  WHERE tok IN ($terms) GROUP BY 1, 2),
+         |dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |    ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         |      * tf.tf * 2.2
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+         |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |bm0 AS (SELECT doc_id, ROUND(SUM(s), 4) AS score FROM sc GROUP BY 1),
+         |lex AS (SELECT doc_id, rank FROM (SELECT doc_id, ROW_NUMBER() OVER
+         |    (ORDER BY score DESC, doc_id) AS rank FROM bm0) t WHERE rank <= $RrfDepth),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |cs AS (SELECT c.vec_id AS doc_id,
+         |    ROUND(${dot("q.v", "c.v")} /
+         |      (sqrt(${dot("q.v", "q.v")}) * sqrt(${dot("c.v", "c.v")})), 6) AS cos
+         |  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0),
+         |sem AS (SELECT doc_id, rank FROM (SELECT doc_id, ROW_NUMBER() OVER
+         |    (ORDER BY cos DESC, doc_id) AS rank FROM cs) t WHERE rank <= $RrfDepth),
+         |u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+         |f AS (SELECT doc_id,
+         |    ROUND(SUM(CAST(1 AS DOUBLE) / ($RrfK + rank)), 6) AS rrf_score,
+         |    COUNT(*) AS n_lists
+         |  FROM u GROUP BY 1)
+         |SELECT doc_id, rrf_score, n_lists, CAST(fused_rank AS INT) AS fused_rank
+         |FROM (SELECT *, ROW_NUMBER() OVER
+         |    (ORDER BY rrf_score DESC, doc_id) AS fused_rank FROM f) t
+         |WHERE fused_rank <= $RrfTopK ORDER BY fused_rank""".stripMargin
+    },
+    "q_weighted_sample" ->
+      s"""WITH s AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS w_sum
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, n_chars FROM documents, s
+         |WHERE n_chars > 0
+         |  AND (CAST($HashSplitHex AS DOUBLE) / 4294967296.0)
+         |        * CAST(w_sum AS DOUBLE)
+         |      < CAST(100 AS DOUBLE) * CAST(n_chars AS DOUBLE)
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT fp, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dups
         |FROM (SELECT doc_id,

@@ -218,6 +218,22 @@ object Relational extends QueryModule {
         round(max(col("value")), 2).as("v_max"))
       .orderBy(col("event_type"))
 
+  /** Per-type winsorization (operators.Outliers): clip `value` into the
+    * group's exact [p05, p95] envelope. Bounds rounded to 4 decimals
+    * before clipping (the operator's gate mode) so the clamp compares
+    * identical literals on both engines; outputs rounded like every
+    * gated float. */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Outliers.winsorize(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"), col("value")),
+      "event_type", "value", lo = 0.05, hi = 0.95, roundBounds = Some(4))
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"),
+        round(col("value_w"), 4).as("value_w"),
+        col("p_lo"), col("p_hi"))
+      .orderBy(col("event_id"))
+
   /** Approximate percentiles (Greenwald-Khanna sketch) with the
     * bounded-error oracle pattern (cf. q_occupancy_approx): the query
     * emits the EXACT percentiles (oracle-checkable) plus booleans
@@ -538,6 +554,60 @@ object Relational extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** One-pass table profile (operators.Profiler) over four mixed-type
+    * event columns, exact-distinct mode so every cell is
+    * oracle-checkable (production default is the HLL mode). */
+  def qProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.profile(
+      Tables.events(spark, dir),
+      Seq("event_id", "user_id", "event_type", "value"),
+      exactDistinct = true)
+      .withColumn("min_num", round(col("min_num"), 4))
+      .withColumn("max_num", round(col("max_num"), 4))
+      .orderBy(col("column"))
+
+  /** Exact per-group top-k rows via the TopKBy partial aggregate
+    * (functions.TopKBy): at most 2k (score, id) pairs per group per
+    * partition live anywhere — map-side combine, then a |groups|·k-row
+    * shuffle — where the ROW_NUMBER formulation (the oracle) shuffles
+    * and sorts EVERY row of every group. The 100 TB "top 5 per domain"
+    * shape. */
+  def qGroupTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.VectorExpressions
+        .topkBy(col("value"), col("event_id"), 5).as("tk"))
+      .select(col("event_type"), posexplode(col("tk")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("event_id"), round(col("col.score"), 4).as("value"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  /** Incrementally-maintained aggregate view (operators.IncrementalAgg):
+    * state built from 3/4 of the fact rows, then one delta batch folds
+    * in the remaining inserts AND retracts every 16th row — update cost
+    * ∝ |delta|+|keys|, never a history re-scan. The gate compares the
+    * folded view against a from-scratch GROUP BY over the post-delta
+    * fact set (integer-cents sums, cf. q_rolling_window). */
+  def qIncrAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+    val keys = Seq("event_type", "day")
+    val state0 = IncrementalAgg.build(
+      ev.filter(col("event_id") % 4 =!= 3), keys, col("cents"))
+    val delta = ev.filter(col("event_id") % 4 === 3)
+      .withColumn("op", lit("I"))
+      .unionByName(ev.filter(col("event_id") % 16 === 0)
+        .withColumn("op", lit("D")))
+    IncrementalAgg.applyDelta(state0, delta, keys, col("cents"), col("op"))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("val_sum") / lit(100.0), 2).as("total_value"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** CUBE with grouping_id — all four aggregation granularities of
     * (event_type, day) in one pass plus the bitmask telling them
     * apart; the multi-granularity rollup a reporting layer asks of a
@@ -584,6 +654,10 @@ object Relational extends QueryModule {
     "q_distinct"          -> qDistinct _,
     "q_asof_join"         -> qAsofJoin _,
     "q_percentile"        -> qPercentile _,
+    "q_winsorize"         -> qWinsorize _,
+    "q_incr_agg"          -> qIncrAgg _,
+    "q_group_topk"        -> qGroupTopK _,
+    "q_profile"           -> qProfile _,
     "q_percentile_approx" -> qPercentileApprox _,
     "q_percentile_sketch" -> qPercentileSketch _,
     "q_rollup"            -> qRollup _,
@@ -631,6 +705,16 @@ object Relational extends QueryModule {
         |  ROUND(MIN(value), 2) AS v_min,
         |  ROUND(MAX(value), 2) AS v_max
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |    ROUND(quantile_cont(value, 0.05), 4) AS p_lo,
+        |    ROUND(quantile_cont(value, 0.95), 4) AS p_hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, ROUND(value, 4) AS value,
+        |  ROUND(LEAST(GREATEST(value, p_lo), p_hi), 4) AS value_w,
+        |  p_lo, p_hi
+        |FROM events JOIN b USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "q_percentile_approx" ->
       """SELECT event_type,
         |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
@@ -828,6 +912,35 @@ object Relational extends QueryModule {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q_profile" -> {
+      def arm(label: String, ident: String, num: Boolean) =
+        s"""SELECT '$label' AS "column", COUNT(*) AS n_rows,
+           |  COUNT($ident) AS n_nonnull, COUNT(DISTINCT $ident) AS n_distinct,
+           |  ${if (num) s"ROUND(CAST(MIN($ident) AS DOUBLE), 4)" else "CAST(NULL AS DOUBLE)"} AS min_num,
+           |  ${if (num) s"ROUND(CAST(MAX($ident) AS DOUBLE), 4)" else "CAST(NULL AS DOUBLE)"} AS max_num,
+           |  ${if (num) "CAST(NULL AS VARCHAR)" else s"MIN($ident)"} AS min_str,
+           |  ${if (num) "CAST(NULL AS VARCHAR)" else s"MAX($ident)"} AS max_str
+           |FROM events""".stripMargin
+      Seq(arm("event_id", "event_id", num = true),
+        arm("user_id", "user_id", num = true),
+        arm("event_type", "event_type", num = false),
+        arm("value", "\"value\"", num = true))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+    "q_group_topk" ->
+      """SELECT event_type, CAST(rank AS INT) AS rank, event_id,
+        |  ROUND("value", 4) AS value
+        |FROM (SELECT event_type, event_id, "value", ROW_NUMBER() OVER
+        |    (PARTITION BY event_type ORDER BY "value" DESC, event_id) AS rank
+        |  FROM events) t
+        |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
+    "q_incr_agg" ->
+      """WITH f AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(round("value" * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 16 <> 0)
+        |SELECT event_type, day, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(cents) AS BIGINT) / 100.0, 2) AS total_value
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_cube" ->
       """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, "value" FROM events)
         |SELECT event_type, day, GROUPING(event_type, day) AS gid,

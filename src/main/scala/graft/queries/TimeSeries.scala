@@ -332,6 +332,24 @@ object TimeSeries extends QueryModule {
         tieCol = "event_id")
       .orderBy(col("user_id"), col("version"))
 
+  /** Point-in-time lookup (Scd2.pointInTime) of purchase events against
+    * the user's SCD2 event-type history: the temporal-join half of the
+    * SCD2 contract — "which version was in effect when the purchase
+    * happened". Every purchase is itself an observation in the log, so
+    * each fact lands in exactly one half-open validity range. */
+  def qScd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hist = graft.operators.Scd2.history(ev,
+      idCol = "user_id", tsCol = "ts", valCol = "event_type",
+      tieCol = "event_id")
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.Scd2.pointInTime(hist, facts, "user_id", "ts")
+      .select(col("event_id"), col("user_id"), col("version"),
+        col("event_type").as("state"), col("n_obs"), col("is_current"))
+      .orderBy(col("event_id"))
+  }
+
   /** Bucketized point-in-interval range join (operators.RangeJoin):
     * purchases matched to the 'view' intervals containing them, per
     * user. 1-hour grain ≈ the median interval length. */
@@ -360,6 +378,7 @@ object TimeSeries extends QueryModule {
     "q_throughput_daily" -> qThroughputDaily _,
     "q_sessionize"       -> qSessionize _,
     "q_scd2"             -> qScd2 _,
+    "q_scd2_lookup"      -> qScd2Lookup _,
     "q_distinct_sketch"  -> qDistinctSketch _,
     "q_theta_intersect"  -> qThetaIntersect _,
     "q_retention"        -> qRetention _,
@@ -507,6 +526,35 @@ object TimeSeries extends QueryModule {
         |  (lead(effective_from) OVER w IS NULL) AS is_current
         |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY version)
         |ORDER BY user_id, version""".stripMargin,
+    "q_scd2_lookup" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type FROM events),
+        |c AS (SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN COALESCE(event_type <>
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id), TRUE)
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |r AS (SELECT user_id, ts, event_type,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM c),
+        |v AS (SELECT user_id, CAST(run_id AS BIGINT) AS version,
+        |    MIN(event_type) AS event_type, MIN(ts) AS effective_from,
+        |    COUNT(*) AS n_obs
+        |  FROM r GROUP BY 1, 2),
+        |scd AS (SELECT user_id, event_type, version, effective_from,
+        |    lead(effective_from) OVER w AS effective_to, n_obs,
+        |    (lead(effective_from) OVER w IS NULL) AS is_current
+        |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY version)),
+        |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, s.version, s.event_type AS state,
+        |  s.n_obs, s.is_current
+        |FROM p LEFT JOIN scd s ON p.user_id = s.user_id
+        |  AND p.ts >= s.effective_from
+        |  AND (s.effective_to IS NULL OR p.ts < s.effective_to)
+        |ORDER BY p.event_id""".stripMargin,
     "q_distinct_sketch" ->
       """SELECT CAST(ts AS DATE) AS bucket_day,
         |  COUNT(DISTINCT user_id) AS item_count, TRUE AS within_rel_err

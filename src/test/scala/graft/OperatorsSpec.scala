@@ -840,6 +840,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(2L).width == 0 && feats(2L).frames == 1 + 20 / 64)
   }
 
+  test("multimodal decode walks an MP4 (ISO-BMFF) box tree to the visual track") {
+    def u32be(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      u32be(8L + payload.length) ++ cc(name) ++ payload
+    // tkhd v0 payload: v/f(4) ctime(4) mtime(4) id(4) res(4) dur(4)
+    // res(8) layer(2) alt(2) vol(2) res(2) matrix(36) → width@76 (16.16)
+    def tkhd(w: Int, h: Int): Array[Byte] =
+      box("tkhd", Array.fill(76)(0.toByte) ++
+        u32be(w.toLong << 16) ++ u32be(h.toLong << 16))
+    def stts(runs: (Int, Int)*): Array[Byte] =
+      box("stts", u32be(0) ++ u32be(runs.length.toLong) ++
+        runs.toArray.flatMap { case (n, d) => u32be(n.toLong) ++ u32be(d.toLong) })
+    def trak(header: Array[Byte], sampleTable: Array[Byte]): Array[Byte] =
+      box("trak", header ++ box("mdia", box("minf", box("stbl", sampleTable))))
+    val ftyp = box("ftyp", cc("isom") ++ u32be(512) ++ cc("isom") ++ cc("mp41"))
+    // audio track FIRST: its 999-sample stts must not be captured — the
+    // capture window only opens at a visual (nonzero-dimension) tkhd
+    val moov = box("moov", box("mvhd", Array.fill(100)(0.toByte)) ++
+      trak(tkhd(0, 0), stts((999, 1))) ++
+      trak(tkhd(320, 240), stts((10, 100), (5, 200))))
+    val mp4 = ftyp ++ moov
+    val payloads = Seq((1L, "video", mp4), (2L, "video", mp4.take(30)))
+      .toDF("doc_id", "modality", "payload")
+    val feats = operators.Multimodal.decodeFeatures(payloads)
+      .collect().map(f => f.doc_id -> f).toMap
+    // frames = Σ stts sample counts of the VISUAL track (10+5), not 999
+    assert(feats(1L).frames == 15 && feats(1L).width == 320 &&
+      feats(1L).height == 240)
+    // truncated container falls back to the stub frame heuristic
+    assert(feats(2L).width == 0 && feats(2L).frames == 1 + 30 / 64)
+  }
+
   test("multimodal decode reads real MJPEG pixels from an AVI movi list") {
     def u32le(v: Long): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -1858,5 +1893,194 @@ class OperatorsSpec extends AnyFunSuite {
         StructField("v_nulls", LongType))))
     assert(FileStats.candidateFiles(unknown, "v", lit(0), lit(10))
       .collect().map(_.getString(0)).toSeq == Seq("f1"))
+  }
+
+  test("incremental aggregate view: delta fold == rebuild bit-equal; retraction guards") {
+    import operators.IncrementalAgg
+    val ev = sources.Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+    val keys = Seq("event_type", "day")
+    val state0 = IncrementalAgg.build(
+      ev.filter(col("event_id") % 4 =!= 3), keys, col("cents"))
+    val delta = ev.filter(col("event_id") % 4 === 3).withColumn("op", lit("I"))
+      .unionByName(ev.filter(col("event_id") % 16 === 0)
+        .withColumn("op", lit("D")))
+    val folded = IncrementalAgg
+      .applyDelta(state0, delta, keys, col("cents"), col("op"))
+      .orderBy("event_type", "day").collect().toSeq
+    val rebuilt = IncrementalAgg.build(
+      ev.filter(col("event_id") % 16 =!= 0), keys, col("cents"))
+      .orderBy("event_type", "day").collect().toSeq
+    assert(folded == rebuilt, "fold must be row-identical to a rebuild")
+    // a key fully retracted leaves the state entirely
+    val st = IncrementalAgg.build(
+      Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "v"), Seq("k"), col("v"))
+    val gone = IncrementalAgg.applyDelta(st,
+      Seq(("a", 1L, "D"), ("a", 2L, "D")).toDF("k", "v", "op"),
+      Seq("k"), col("v"), col("op"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gone == Seq(("b", 1L, 5L)))
+    // unmatched retraction (count would go negative) fails fast
+    intercept[Exception] {
+      IncrementalAgg.applyDelta(st,
+        Seq(("ghost", 9L, "D")).toDF("k", "v", "op"),
+        Seq("k"), col("v"), col("op")).collect()
+    }
+    // unknown op fails fast rather than silently skewing the view
+    intercept[Exception] {
+      IncrementalAgg.applyDelta(st,
+        Seq(("b", 1L, "X")).toDF("k", "v", "op"),
+        Seq("k"), col("v"), col("op")).collect()
+    }
+  }
+
+  test("profiler: exact one-pass stats; HLL mode in tolerance; other-kind columns keep NULL envelopes") {
+    import operators.Profiler
+    val ev = sources.Tables.events(spark, sf)
+    val nRows = ev.count()
+    val p = Profiler.profile(ev, Seq("event_id", "event_type", "ts"),
+      exactDistinct = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p.size == 3)
+    val eid = p("event_id")
+    assert(eid.getLong(1) == nRows && eid.getLong(2) == nRows &&
+      eid.getLong(3) == nRows, "event_id is dense and unique")
+    assert(eid.isNullAt(6) && eid.isNullAt(7), "numeric column: no string envelope")
+    val et = p("event_type")
+    assert(et.isNullAt(4) && et.isNullAt(5), "string column: no numeric envelope")
+    assert(et.getString(6) != null && et.getString(6) <= et.getString(7))
+    // timestamp is neither numeric nor string: counted, both envelopes NULL
+    val ts = p("ts")
+    assert(ts.getLong(2) == nRows && ts.isNullAt(4) && ts.isNullAt(6))
+    // HLL mode: distinct estimate within the configured rsd-ish bound
+    val exact = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    val est = Profiler.profile(ev, Seq("user_id"))
+      .collect()(0).getLong(3)
+    assert(math.abs(est - exact).toDouble / exact < 0.15,
+      s"HLL estimate $est too far from exact $exact")
+  }
+
+  test("topk_by == row_number window; partitioning-invariant; nulls skipped") {
+    import functions.VectorExpressions
+    import org.apache.spark.sql.expressions.Window
+    VectorExpressions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(7)
+    // only 50 distinct scores over 2000 rows: heavy ties stress the
+    // deterministic id tie-break; every 97th score is NULL
+    val rows = (1 to 2000).map { i =>
+      (s"g${i % 7}", i.toLong,
+        if (i % 97 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(rnd.nextInt(50).toDouble))
+    }
+    val df = rows.toDF("g", "id", "v")
+    def shape(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    def viaAgg(d: org.apache.spark.sql.DataFrame) = shape(
+      d.groupBy(col("g"))
+        .agg(VectorExpressions.topkBy(col("v"), col("id"), 5).as("tk"))
+        .select(col("g"), posexplode(col("tk")))
+        .select(col("g"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id"), col("col.score"))
+        .orderBy("g", "rank"))
+    val expected = shape(df.filter(col("v").isNotNull)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("g"), col("rank"), col("id"), col("v"))
+      .orderBy("g", "rank"))
+    assert(viaAgg(df) == expected, "aggregate must equal the window plan")
+    assert(viaAgg(df.repartition(13)) == expected,
+      "result must not depend on partitioning")
+    // a group smaller than k returns all its rows, still ordered
+    val small = Seq(("s", 1L, java.lang.Double.valueOf(2.0)),
+      ("s", 2L, java.lang.Double.valueOf(9.0))).toDF("g", "id", "v")
+    assert(viaAgg(small) == Seq(("s", 1, 2L, 9.0), ("s", 2, 1L, 2.0)))
+  }
+
+  test("rrf fusion: dual-list membership dominates, ranks dense, ties break on id") {
+    import operators.Retrieval
+    val lex = Seq(("d1", 1), ("d2", 2), ("d3", 3)).toDF("id", "rank")
+    val sem = Seq(("d2", 1), ("d4", 2)).toDF("id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(lex, sem), "id", k = 60, topK = 10)
+      .orderBy(col("fused_rank"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getInt(3)))
+    // d2 appears in both lists (1/61 + 1/62) and must outrank every
+    // single-list doc; then d1 (1/61) > d4 (1/62) > d3 (1/63)
+    assert(fused.toSeq == Seq(
+      ("d2", 2L, 1), ("d1", 1L, 2), ("d4", 1L, 3), ("d3", 1L, 4)))
+    // topK truncates the fused list, not the per-retriever inputs
+    val top2 = Retrieval.rrfFuse(Seq(lex, sem), "id", k = 60, topK = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(top2 == Set("d2", "d1"))
+  }
+
+  test("scd2 point-in-time: half-open ranges, pre-history facts keep NULL state") {
+    import operators.Scd2
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(s * 1000L)
+    val log = Seq(
+      ("u1", ts(10), 1L, "a"), ("u1", ts(20), 2L, "b"), ("u1", ts(30), 3L, "b"),
+      ("u2", ts(15), 4L, "x"))
+      .toDF("id", "t", "tie", "v")
+    val hist = Scd2.history(log, "id", "t", "v", "tie")
+    val facts = Seq(
+      ("f_pre", "u1", ts(5)),   // before u1's first observation
+      ("f_v1", "u1", ts(12)),   // inside version 1 [10, 20)
+      ("f_edge", "u1", ts(20)), // exactly at version 2's start → v2
+      ("f_open", "u1", ts(99)), // open current version
+      ("f_u2", "u2", ts(15)),   // exactly at u2's only version start
+      ("f_ghost", "u3", ts(50)) // unknown entity
+    ).toDF("fact", "id", "t")
+    val out = Scd2.pointInTime(hist, facts, "id", "t")
+      .select(col("fact"), col("v"), col("version"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), Option(r.get(2)))).toMap
+    assert(out.size == 6, "exactly one output row per fact")
+    assert(out("f_pre") == (None, None))
+    assert(out("f_ghost") == (None, None))
+    assert(out("f_v1") == (Some("a"), Some(1L)))
+    assert(out("f_edge") == (Some("b"), Some(2L)))
+    assert(out("f_open") == (Some("b"), Some(2L)))
+    assert(out("f_u2") == (Some("x"), Some(1L)))
+  }
+
+  test("weighted sample: zero weights never drawn, p>=1 always kept, deterministic") {
+    import operators.Sampling
+    val df = (1 to 400).map(i => (i.toLong, if (i % 7 == 0) 0L else 10L))
+      .toDF("id", "w")
+      // one whale: p = n·w/Σw = 50·1000/4430 ≈ 11, caps past 1
+      .union(Seq((9999L, 1000L)).toDF("id", "w"))
+    val s1 = Sampling.sampleByWeight(df, "id", "w", expectedN = 50.0)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.sampleByWeight(df, "id", "w", expectedN = 50.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "membership must be deterministic")
+    assert(s1.contains(9999L), "p >= 1 row must always be kept")
+    assert(!s1.exists(_ % 7 == 0), "zero-weight rows never drawn")
+    // expectation sanity: each 10-weight row keeps p = 50·10/4430 ≈
+    // 0.113 → E[non-whale] ≈ 38.7, σ ≈ 5.9; ±4σ slack keeps the
+    // assertion meaningful but unflaky.
+    assert(s1.size >= 16 && s1.size <= 63, s"implausible size ${s1.size}")
+  }
+
+  test("winsorize: clamp to group envelope, interior values untouched") {
+    import operators.Outliers
+    val df = ((1 to 99).map(i => ("g1", i.toLong, i.toDouble)) :+
+      ("g1", 100L, 1e6)).toDF("grp", "id", "v")
+    val out = Outliers.winsorize(df, "grp", "v", 0.05, 0.95)
+      .select(col("id"), col("v"), col("v_w"), col("p_lo"), col("p_hi"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.length == 100)
+    val (pLo, pHi) = (out.head._4, out.head._5)
+    assert(pLo < pHi)
+    assert(out.forall { case (_, _, w, lo, hi) => w >= lo && w <= hi })
+    // interior rows pass through bit-unchanged
+    assert(out.filter { case (_, v, _, lo, hi) => v >= lo && v <= hi }
+      .forall { case (_, v, w, _, _) => v == w })
+    // the planted outlier is clipped to the upper bound
+    assert(out.find(_._1 == 100L).get._3 == pHi)
   }
 }

@@ -38,6 +38,16 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** The whole point of TopKBy is replacing the per-group full sort: the
+    * plan must be a (partial → final) object-hash aggregate pair with no
+    * Window operator and no pre-aggregation global Sort of the fact. */
+  test("group top-k plans as a partial aggregate, not a window sort") {
+    val p = plan("q_group_topk")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final ObjectHashAggregate in:\n$p")
+    assert(!p.contains("Window"), s"top-k must not fall back to a window sort:\n$p")
+  }
+
   /** The MinHash pipeline must never broadcast corpus-sized state: with
     * auto-broadcast off (and no hints in the operator), the whole plan
     * contains no broadcast exchange at all. */
