@@ -350,6 +350,73 @@ object TimeSeries extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** Debounce window: an event repeating the user's immediately-previous
+    * event_type within this gap is a bounce, not a signal. */
+  val DebounceUs = 3600000000L // 1 hour
+
+  /** Event-stream debounce: drop an event when the same user emitted
+    * the SAME event_type within [[DebounceUs]] just before it — the
+    * at-least-once-delivery / double-click cleaner every event pipeline
+    * runs first. One lag over the (user, time) window; µs-integer gap
+    * arithmetic so the keep decision is exact on any engine. */
+  def qDebounce(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type") ||
+        col("gap_us") > DebounceUs)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Per-type inter-arrival statistics: the gap between a user's
+    * consecutive events, attributed to the later event's type —
+    * the latency/cadence profile behind capacity planning and bot
+    * detection. Exact integer µs sums; the only division is the final
+    * avg, identical on both engines. */
+  def qInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_us")) / lit(1000000.0), 4).as("avg_gap_s"),
+        round(max(col("gap_us")) / lit(1000000.0), 4).as("max_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Daily volume anomaly: a day is anomalous for a type when its event
+    * count deviates from the trailing 7-day mean by more than 25% —
+    * the ingest-monitoring alarm ("did yesterday's feed drop?"). The
+    * deviation uses only exact-integer window sums and one division, so
+    * flag decisions can't drift between engines; warm-up days (fewer
+    * than 7 priors) are excluded rather than flagged on thin baselines. */
+  def qAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("base_n", count(col("n")).over(w))
+      .withColumn("base_sum", sum(col("n")).over(w))
+      .filter(col("base_n") === 7)
+      .withColumn("dev",
+        round((col("n") - col("base_sum") / lit(7.0)) /
+          (col("base_sum") / lit(7.0)), 4))
+      .withColumn("is_anomaly", abs(col("dev")) > lit(0.25))
+      .select(col("event_type"), col("day"), col("n"), col("dev"),
+        col("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Bucketized point-in-interval range join (operators.RangeJoin):
     * purchases matched to the 'view' intervals containing them, per
     * user. 1-hour grain ≈ the median interval length. */
@@ -379,6 +446,9 @@ object TimeSeries extends QueryModule {
     "q_sessionize"       -> qSessionize _,
     "q_scd2"             -> qScd2 _,
     "q_scd2_lookup"      -> qScd2Lookup _,
+    "q_debounce"         -> qDebounce _,
+    "q_interarrival"     -> qInterarrival _,
+    "q_anomaly"          -> qAnomaly _,
     "q_distinct_sketch"  -> qDistinctSketch _,
     "q_theta_intersect"  -> qThetaIntersect _,
     "q_retention"        -> qRetention _,
@@ -526,6 +596,43 @@ object TimeSeries extends QueryModule {
         |  (lead(effective_from) OVER w IS NULL) AS is_current
         |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY version)
         |ORDER BY user_id, version""".stripMargin,
+    "q_debounce" ->
+      s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    event_type FROM events),
+         |l AS (SELECT event_id, user_id, event_type,
+         |    lag(event_type) OVER w AS prev_type,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT event_id, user_id, event_type FROM l
+         |WHERE prev_type IS NULL OR prev_type <> event_type
+         |  OR gap_us > ${DebounceUs}
+         |ORDER BY event_id""".stripMargin,
+    "q_interarrival" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type FROM events),
+        |l AS (SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  ROUND(AVG(gap_us) / 1000000.0, 4) AS avg_gap_s,
+        |  ROUND(MAX(gap_us) / 1000000.0, 4) AS max_gap_s
+        |FROM l WHERE gap_us IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_anomaly" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, day, n,
+        |    COUNT(n) OVER w AS base_n,
+        |    CAST(SUM(n) OVER w AS BIGINT) AS base_sum
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n,
+        |  ROUND((n - base_sum / CAST(7 AS DOUBLE))
+        |    / (base_sum / CAST(7 AS DOUBLE)), 4) AS dev,
+        |  ABS(ROUND((n - base_sum / CAST(7 AS DOUBLE))
+        |    / (base_sum / CAST(7 AS DOUBLE)), 4)) > 0.25 AS is_anomaly
+        |FROM t WHERE base_n = 7 ORDER BY event_type, day""".stripMargin,
     "q_scd2_lookup" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |    event_type FROM events),

@@ -391,4 +391,35 @@ object EventStreams {
         candidates), epochId)
     }
   }
+
+  /** Streaming maintenance of a materialized aggregate view
+    * ([[graft.operators.IncrementalAgg]] state committed as
+    * [[graft.sinks.VersionedTable]] epochs): each micro-batch of
+    * retraction-encoded delta rows ('I'/'D' in `opCol`) folds into the
+    * committed state and commits as ONE new epoch behind the atomic
+    * pointer flip — a reader always resolves a complete view, never a
+    * half-applied batch. An empty table bootstraps from zero state.
+    *
+    * Per-batch cost ∝ |batch| + |state| (the IncrementalAgg shape) —
+    * independent of how much fact history the view summarizes, which
+    * is the entire point at 100 TB. Integer-exact sums make the
+    * sequential micro-batch folds row-identical to one batch build
+    * over the union of all deltas (IncrementalAgg associativity;
+    * StreamingSpec asserts stream == one-shot). foreachBatch for the
+    * same reason as the index streams above: the fold IS the batch
+    * operator, run once per micro-batch. */
+  def incrementalAggStream(deltas: DataFrame, root: String,
+      keyCols: Seq[String], valCol: String, opCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltas.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val state =
+        if (graft.sinks.VersionedTable.latestVersion(spark, root) >= 0)
+          graft.sinks.VersionedTable.read(spark, root)
+        else graft.operators.IncrementalAgg.build(
+          batch.filter(lit(false)), keyCols, col(valCol))
+      val next = graft.operators.IncrementalAgg.applyDelta(
+        state, batch, keyCols, col(valCol), col(opCol))
+      graft.sinks.VersionedTable.write(next, root): Unit
+    }
 }

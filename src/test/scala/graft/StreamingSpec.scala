@@ -480,4 +480,45 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed encoded ANN diverged from batch:\n${got.toSet.take(5)}...")
     emb.unpersist()
   }
+
+  /** Streaming materialized-view maintenance: insert deltas arrive over
+    * multiple micro-batches, each folding into a new VersionedTable
+    * epoch; the final view must be row-identical to a one-shot batch
+    * build, and a later retraction batch folds through the same epoch
+    * path. */
+  test("streaming incremental aggregate: epoch folds equal the one-shot batch build") {
+    val ev = sources.Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .select("event_type", "day", "cents", "event_id")
+    val keys = Seq("event_type", "day")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-incragg-src").toString
+    ev.withColumn("op", lit("I")).repartition(3)
+      .write.mode("overwrite").parquet(srcDir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incragg").toString + "/view"
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = streaming.EventStreams.incrementalAggStream(
+      stream, root, keys, "cents", "op").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(sinks.VersionedTable.versions(spark, root).size >= 3,
+      "each micro-batch must commit its own epoch")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type", "day").collect().toSeq
+    assert(rows(sinks.VersionedTable.read(spark, root)) ==
+      rows(operators.IncrementalAgg.build(ev, keys, col("cents"))),
+      "streamed folds must equal the one-shot build")
+    // a late retraction batch folds through the same committed-state path
+    val del = ev.filter(col("event_id") % 16 === 0).withColumn("op", lit("D"))
+    sinks.VersionedTable.write(
+      operators.IncrementalAgg.applyDelta(
+        sinks.VersionedTable.read(spark, root), del, keys,
+        col("cents"), col("op")), root)
+    assert(rows(sinks.VersionedTable.read(spark, root)) ==
+      rows(operators.IncrementalAgg.build(
+        ev.filter(col("event_id") % 16 =!= 0), keys, col("cents"))),
+      "retraction fold must equal the rebuilt post-delete view")
+  }
 }
