@@ -175,4 +175,34 @@ object TextAnalysis {
         regexp_replace(text, lit(SsnPattern), lit("[SSN]")),
         lit(PhonePattern), lit("[PHONE]")),
       lit(EmailPattern), lit("[EMAIL]"))
+
+  // ---- HTML boilerplate stripping ---------------------------------
+  // Web-corpus extraction: drop script/style blocks wholesale (inline
+  // (?s) DOTALL + lazy body, so a '<' INSIDE a script — `if (x<2)` —
+  // goes with its block instead of derailing the tag pass), then any
+  // remaining tag, then collapse whitespace. Same Java∩RE2 common-
+  // subset discipline as the PII patterns, so the DuckDB oracle
+  // evaluates the exact same language.
+
+  val ScriptBlockPattern = "(?s)<script[^>]*>.*?</script>"
+  val StyleBlockPattern = "(?s)<style[^>]*>.*?</style>"
+  val TagPattern = "<[^>]+>"
+  /** An opening anchor tag — the link-density numerator. */
+  val AnchorPattern = "(?i)<a[\\s>]"
+
+  /** Visible text of an HTML payload: blocks, tags, whitespace runs. */
+  def stripHtml(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, lit(ScriptBlockPattern), lit(" ")),
+          lit(StyleBlockPattern), lit(" ")),
+        lit(TagPattern), lit(" ")),
+      lit("\\s+"), lit(" ")))
+
+  /** Number of anchor tags — with [[stripHtml]]'s token count this is
+    * the link-density boilerplate signal (nav/footer pages score high,
+    * content pages low). */
+  def linkCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(AnchorPattern), lit(0)))
 }

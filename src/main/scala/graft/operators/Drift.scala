@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two table epochs — "did this
+  * week's feed change shape?", the monitor a training pipeline runs
+  * before a new corpus epoch is allowed into the mix (the
+  * distribution-level complement of [[SnapshotDiff]]'s row-level
+  * diff). Two statistics with different failure modes:
+  *
+  *  - Kolmogorov-Smirnov: max CDF gap — sensitive to location/shape
+  *    shifts anywhere in the distribution, computed EXACTLY here in
+  *    integer arithmetic (`|ca·nb − cb·na|` cross-products, one
+  *    division at the very end), so the statistic is bit-reproducible
+  *    on any engine.
+  *  - Population Stability Index: Σ (pa−pb)·ln(pa/pb) over fixed
+  *    buckets — the banking-standard drift score, additive per bucket
+  *    (so per-bucket terms localize WHERE the drift is). Laplace
+  *    smoothing keeps empty buckets finite.
+  *
+  * Both take an INTEGER-valued column (quantize first — cents,
+  * cf. IncrementalAgg): integer support bounds the state, makes every
+  * count exact, and caps the KS value-walk window at |support| rows.
+  */
+object Drift {
+
+  /** Exact two-sample KS statistic. The value walk is an unpartitioned
+    * window over the DISTINCT support values — bounded by the
+    * quantized support (the integer-column contract), never by row
+    * count, same boundedness argument as the equi-depth histogram's
+    * count table. Cross-products stay in LongType: na·nb must be
+    * < 2^63 (√2^63 ≈ 3·10⁹ rows per side — beyond that, sample or
+    * widen to Decimal).
+    *
+    * @return one row: (n_a, n_b, ks, ks_at) — the statistic and the
+    *         support value where the CDF gap peaks (smallest such
+    *         value on ties: deterministic)
+    */
+  def ks(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
+    val u = a.select(col(valCol).cast("long").as("v"), lit(1L).as("ca"), lit(0L).as("cb"))
+      .unionByName(
+        b.select(col(valCol).cast("long").as("v"), lit(0L).as("ca"), lit(1L).as("cb")))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val byV = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val walked = u
+      .withColumn("cum_a", sum(col("ca")).over(byV))
+      .withColumn("cum_b", sum(col("cb")).over(byV))
+      .withColumn("n_a", sum(col("ca")).over(all))
+      .withColumn("n_b", sum(col("cb")).over(all))
+      .withColumn("gap_num",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+    walked
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(struct(col("gap_num"), (-col("v")).as("neg_v"))).as("m"))
+      .select(col("n_a"), col("n_b"),
+        round(col("m.gap_num") / (col("n_a") * col("n_b")).cast("double"), 6)
+          .as("ks"),
+        (-col("m.neg_v")).as("ks_at"))
+  }
+
+  /** PSI over `nBuckets` equi-width buckets spanning [lo, hi] (values
+    * outside clamp to the edge buckets — fixed edges are the PSI
+    * contract: the reference epoch defines the grid and every later
+    * epoch scores against it). Laplace-smoothed proportions
+    * `(n_i + 0.5) / (n + 0.5·k)` keep ln finite on empty buckets.
+    * Per-bucket terms are returned (PSI is their sum) so the drifted
+    * region is visible, not just the score.
+    *
+    * Scale shape: one grouped count per side collapsed map-side to
+    * ≤ nBuckets rows, a broadcast-sized join on bucket id, arithmetic.
+    */
+  def psi(a: DataFrame, b: DataFrame, valCol: String,
+          lo: Long, hi: Long, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && hi > lo, "need hi > lo and >= 2 buckets")
+    def bucketOf(c: Column): Column =
+      least(lit(nBuckets - 1), greatest(lit(0),
+        floor((c.cast("long") - lit(lo)) * lit(nBuckets.toLong) /
+          lit(hi - lo + 1)).cast("int")))
+    def side(df: DataFrame, n: String): DataFrame =
+      df.filter(col(valCol).isNotNull)
+        .groupBy(bucketOf(col(valCol)).as("bucket"))
+        .agg(count(lit(1)).as(n))
+    val grid = a.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as("bucket"))
+    val counts = grid
+      .join(side(a, "n_a"), Seq("bucket"), "left")
+      .join(side(b, "n_b"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val tot = Window.partitionBy()
+    val k = lit(nBuckets.toDouble)
+    counts
+      .withColumn("p_a", (col("n_a") + lit(0.5)) /
+        (sum(col("n_a")).over(tot).cast("double") + lit(0.5) * k))
+      .withColumn("p_b", (col("n_b") + lit(0.5)) /
+        (sum(col("n_b")).over(tot).cast("double") + lit(0.5) * k))
+      .withColumn("psi_term",
+        round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")), 6))
+      .select(col("bucket"), col("n_a"), col("n_b"), col("psi_term"))
+  }
+}

@@ -803,6 +803,33 @@ object LlmOps extends QueryModule {
       .orderBy(col("fused_rank"))
   }
 
+  /** HTML boilerplate stripping (TextAnalysis.stripHtml/linkCount):
+    * the corpus has no markup, so the query wraps each document in a
+    * deterministic page skeleton (nav links, style block, a script
+    * whose body contains a bare `<` — mirrored verbatim in the oracle)
+    * and then extracts visible text + the link-density signal, the
+    * web-corpus extraction step run before any text quality scoring. */
+  def qHtmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><title>t</title><style>p{color:red}</style>" +
+        "</head><body><div id=\"nav\"><a href=\"/home\">Home</a> " +
+        "<a href=\"/about\">About</a></div><p>"),
+      col("text"),
+      lit("</p><script type=\"text/javascript\">var x = 1; " +
+        "if (x<2) { x = 2; }</script>"),
+      when(col("doc_id") % 4 === 0,
+        lit("<footer><a href=\"/terms\">Terms</a></footer>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.linkCount(page).cast("int").as("n_links"),
+        TextAnalysis.stripHtml(page).as("clean"))
+      .withColumn("link_density",
+        round(col("n_links") / size(split(col("clean"), " ")), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** Length-weighted deterministic Bernoulli sample
     * (Sampling.sampleByWeight): inclusion probability ∝ n_chars,
     * expected 100 docs — integer-exact Σw so membership is
@@ -817,6 +844,7 @@ object LlmOps extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hybrid_rrf"      -> qHybridRrf _,
     "q_weighted_sample" -> qWeightedSample _,
+    "q_html_strip"      -> qHtmlStrip _,
     "q_dedup_exact"     -> qDedupExact _,
     "q_dedup_bloom"     -> qDedupBloom _,
     "q_dedup_jaccard"   -> qDedupJaccard _,
@@ -1026,6 +1054,35 @@ object LlmOps extends QueryModule {
          |FROM (SELECT *, ROW_NUMBER() OVER
          |    (ORDER BY rrf_score DESC, doc_id) AS fused_rank FROM f) t
          |WHERE fused_rank <= $RrfTopK ORDER BY fused_rank""".stripMargin
+    },
+    "q_html_strip" -> {
+      val script = TextAnalysis.ScriptBlockPattern
+      val style = TextAnalysis.StyleBlockPattern
+      val tag = TextAnalysis.TagPattern
+      val anchor = TextAnalysis.AnchorPattern
+      s"""WITH t AS (SELECT doc_id,
+         |    '<html><head><title>t</title><style>p{color:red}</style>'
+         |    || '</head><body><div id="nav"><a href="/home">Home</a> '
+         |    || '<a href="/about">About</a></div><p>'
+         |    || text
+         |    || '</p><script type="text/javascript">var x = 1; '
+         |    || 'if (x<2) { x = 2; }</script>'
+         |    || CASE WHEN doc_id % 4 = 0
+         |         THEN '<footer><a href="/terms">Terms</a></footer>'
+         |         ELSE '' END
+         |    || '</body></html>' AS t
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '$anchor')) AS INT) AS n_links,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(t, '$script', ' ', 'g'),
+         |      '$style', ' ', 'g'),
+         |      '$tag', ' ', 'g'),
+         |      '\\s+', ' ', 'g')) AS clean
+         |  FROM t)
+         |SELECT doc_id, n_links, clean,
+         |  ROUND(n_links / len(string_split(clean, ' ')), 4) AS link_density
+         |FROM c ORDER BY doc_id""".stripMargin
     },
     "q_weighted_sample" ->
       s"""WITH s AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS w_sum

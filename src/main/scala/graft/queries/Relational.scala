@@ -554,6 +554,62 @@ object Relational extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** Probe keys for the bloom point-lookup gate — scattered across the
+    * hash layout so several files hold one and the rest prove absence. */
+  val BloomLookupKeys = Seq(7L, 123L, 321L, 444L)
+
+  /** Bloom-indexed point lookup (sources.FileBloomIndex): the corpus is
+    * laid out hash-partitioned on doc_id (the layout where min/max
+    * envelopes prune NOTHING — every file spans the id range), a
+    * per-file Bloom index is built and committed, and the probe opens
+    * only files whose bloom admits a key. The oracle is the plain
+    * row filter — pruning must be invisible in results. */
+  def qBloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    val lay = graft.util.Scratch.dir("bloom_lookup")
+    Tables.documents(spark, dir)
+      .repartition(8, col("doc_id"))
+      .write.mode("overwrite").parquet(lay)
+    val root = graft.util.Scratch.dir("bloom_lookup_idx") + "/index"
+    graft.sources.FileBloomIndex.commit(
+      graft.sources.FileBloomIndex.build(spark, lay, "doc_id"), root)
+    graft.sources.FileBloomIndex.readKeys(spark,
+        graft.sources.FileBloomIndex.read(spark, root), "doc_id",
+        BloomLookupKeys.map(lit(_)))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PSI drift grid: fixed equi-width cent buckets spanning the
+    * reference epoch's observed range (the reference defines the grid —
+    * the PSI contract). */
+  val PsiLo = 0L
+  val PsiHi = 49999L
+  val PsiBuckets = 20
+
+  /** Exact two-sample KS drift (operators.Drift) between the 'view' and
+    * 'purchase' value distributions — integer cross-product arithmetic,
+    * one final division, bit-reproducible. */
+  def qDriftKs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+    graft.operators.Drift.ks(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"), "cents")
+  }
+
+  /** Per-bucket PSI drift terms (operators.Drift) on the same split:
+    * the additive decomposition shows WHERE the distributions diverge,
+    * Σ terms = the headline PSI score. */
+  def qDriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+    graft.operators.Drift.psi(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"), "cents",
+      PsiLo, PsiHi, PsiBuckets)
+      .orderBy(col("bucket"))
+  }
+
   /** One-pass table profile (operators.Profiler) over four mixed-type
     * event columns, exact-distinct mode so every cell is
     * oracle-checkable (production default is the HLL mode). */
@@ -658,6 +714,9 @@ object Relational extends QueryModule {
     "q_incr_agg"          -> qIncrAgg _,
     "q_group_topk"        -> qGroupTopK _,
     "q_profile"           -> qProfile _,
+    "q_drift_ks"          -> qDriftKs _,
+    "q_drift_psi"         -> qDriftPsi _,
+    "q_bloom_lookup"      -> qBloomLookup _,
     "q_percentile_approx" -> qPercentileApprox _,
     "q_percentile_sketch" -> qPercentileSketch _,
     "q_rollup"            -> qRollup _,
@@ -912,6 +971,58 @@ object Relational extends QueryModule {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q_bloom_lookup" -> {
+      val keys = BloomLookupKeys.mkString(", ")
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id IN ($keys) ORDER BY doc_id""".stripMargin
+    },
+    "q_drift_ks" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round("value" * 100, 0) AS BIGINT) AS v FROM events),
+        |u AS (SELECT v,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        |  FROM e WHERE event_type IN ('view', 'purchase') GROUP BY v),
+        |w AS (SELECT v,
+        |    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum_a,
+        |    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum_b,
+        |    SUM(ca) OVER () AS n_a, SUM(cb) OVER () AS n_b
+        |  FROM u),
+        |g AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |    ABS(cum_a * n_b - cum_b * n_a) AS gap, v
+        |  FROM w)
+        |SELECT n_a, n_b,
+        |  ROUND(CAST(gap AS DOUBLE)
+        |    / CAST(n_a * n_b AS DOUBLE), 6) AS ks,
+        |  v AS ks_at
+        |FROM g ORDER BY gap DESC, v LIMIT 1""".stripMargin,
+    "q_drift_psi" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(round("value" * 100, 0) AS BIGINT) AS v FROM events),
+         |ga AS (SELECT CAST(LEAST($PsiBuckets - 1, GREATEST(0,
+         |      FLOOR(v * $PsiBuckets / ${PsiHi - PsiLo + 1}))) AS INT) AS bucket,
+         |    COUNT(*) AS n
+         |  FROM e WHERE event_type = 'view' GROUP BY 1),
+         |gb AS (SELECT CAST(LEAST($PsiBuckets - 1, GREATEST(0,
+         |      FLOOR(v * $PsiBuckets / ${PsiHi - PsiLo + 1}))) AS INT) AS bucket,
+         |    COUNT(*) AS n
+         |  FROM e WHERE event_type = 'purchase' GROUP BY 1),
+         |grid AS (SELECT CAST(unnest(range($PsiBuckets)) AS INT) AS bucket),
+         |c AS (SELECT grid.bucket,
+         |    CAST(COALESCE(ga.n, 0) AS BIGINT) AS n_a,
+         |    CAST(COALESCE(gb.n, 0) AS BIGINT) AS n_b
+         |  FROM grid LEFT JOIN ga USING (bucket) LEFT JOIN gb USING (bucket)),
+         |t AS (SELECT bucket, n_a, n_b,
+         |    (CAST(n_a AS DOUBLE) + 0.5)
+         |      / (CAST(SUM(n_a) OVER () AS DOUBLE) + ${PsiBuckets / 2.0}) AS p_a,
+         |    (CAST(n_b AS DOUBLE) + 0.5)
+         |      / (CAST(SUM(n_b) OVER () AS DOUBLE) + ${PsiBuckets / 2.0}) AS p_b
+         |  FROM c)
+         |SELECT bucket, n_a, n_b,
+         |  ROUND((p_a - p_b) * ln(p_a / p_b), 6) AS psi_term
+         |FROM t ORDER BY bucket""".stripMargin,
     "q_profile" -> {
       def arm(label: String, ident: String, num: Boolean) =
         s"""SELECT '$label' AS "column", COUNT(*) AS n_rows,

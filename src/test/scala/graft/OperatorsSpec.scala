@@ -1935,6 +1935,54 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("file bloom index: point lookup opens only admitted files, never misses the true file") {
+    import sources.FileBloomIndex
+    val docs = sources.Tables.documents(spark, sf)
+    val lay = util.Scratch.dir("fbi_lay")
+    docs.repartition(8, col("doc_id")).write.mode("overwrite").parquet(lay)
+    val idx = FileBloomIndex.build(spark, lay, "doc_id")
+    val total = idx.count()
+    assert(total >= 6, s"hash layout should spread over files, got $total")
+    val cand = FileBloomIndex.candidateFiles(idx, Seq(lit(3L)))
+      .collect().map(_.getString(0)).toSet
+    assert(cand.size < total, "a single-key probe must skip files")
+    val trueFile = spark.read.parquet(lay).filter(col("doc_id") === 3L)
+      .select(input_file_name()).head().getString(0)
+    assert(cand.contains(trueFile), "no false negatives — ever")
+    // pruned read == plain filter
+    val got = FileBloomIndex.readKeys(spark, idx, "doc_id",
+      Seq(lit(3L), lit(11L))).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = spark.read.parquet(lay)
+      .filter(col("doc_id").isin(3L, 11L)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+    // a key outside the table reads no rows (usually zero files)
+    assert(FileBloomIndex.readKeys(spark, idx, "doc_id",
+      Seq(lit(99999999L))).count() == 0)
+  }
+
+  test("drift: KS hits exact extremes; PSI terms vanish on identical epochs, localize a shift") {
+    import operators.Drift
+    val a = Seq(1L, 2L, 3L, 4L, 5L).toDF("v")
+    val same = Drift.ks(a, a, "v").collect()(0)
+    assert(same.getDouble(2) == 0.0, "identical epochs must score KS = 0")
+    val b = Seq(11L, 12L, 13L).toDF("v")
+    val disj = Drift.ks(a, b, "v").collect()(0)
+    assert(disj.getDouble(2) == 1.0 && disj.getLong(3) == 5L,
+      "disjoint supports must score KS = 1 at a's max value")
+    assert(Drift.psi(a, a, "v", 0L, 15L, 4).collect()
+      .forall(_.getDouble(3) == 0.0), "identical epochs must have zero PSI terms")
+    // shift a's support wholesale: the PSI mass must sit in the vacated
+    // and newly-occupied buckets (terms are individually non-negative)
+    val shifted = Seq(11L, 12L, 13L, 14L, 15L).toDF("v")
+    val terms = Drift.psi(a, shifted, "v", 0L, 15L, 4).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(terms.values.forall(_ >= 0.0))
+    assert(terms(0) > 0 && terms(3) > 0,
+      s"shift must localize in edge buckets, got $terms")
+  }
+
   test("profiler: exact one-pass stats; HLL mode in tolerance; other-kind columns keep NULL envelopes") {
     import operators.Profiler
     val ev = sources.Tables.events(spark, sf)
