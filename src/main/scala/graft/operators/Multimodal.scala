@@ -579,12 +579,107 @@ object Multimodal {
       }.toDF("doc_id", "phash")
   }
 
+  /** Absolute sample magnitudes of a PCM WAV payload (8-bit unsigned
+    * recentred at 128, 16-bit signed either endianness — the
+    * [[decodeWav]] encodings), as exact integers. None on
+    * non-PCM/corrupt payloads. */
+  private def wavAbsSamples(bytes: Array[Byte]): Option[Array[Int]] =
+    scala.util.Try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+        if (!((bits == 8 && enc == PCM_UNSIGNED) || (bits == 16 && enc == PCM_SIGNED)))
+          None
+        else {
+          val data = in.readAllBytes()
+          if (bits == 8) Some(data.map(b => math.abs((b & 0xff) - 128)))
+          else {
+            val le = !fmt.isBigEndian
+            val out = new Array[Int](data.length / 2)
+            var i = 0
+            while (i + 1 < data.length) {
+              val lo = data(if (le) i else i + 1) & 0xff
+              val hi = data(if (le) i + 1 else i).toInt // sign-extending
+              out(i / 2) = math.abs((hi << 8) | lo)
+              i += 2
+            }
+            Some(out)
+          }
+        }
+      } finally in.close()
+    }.toOption.flatten
+
+  /** 64-bit energy-envelope hash of a PCM payload — the audio analog of
+    * [[dHash64]]: the |sample| stream is area-averaged onto 65 equal
+    * segments and each of the 64 bits records whether the envelope
+    * RISES between adjacent segments, compared via cross-multiplied
+    * integer segment sums (no division — bit-deterministic). Uniform
+    * gain scales every segment sum equally, so the hash is
+    * volume-invariant the way dHash is brightness-invariant. Needs
+    * ≥ 65 samples for a meaningful envelope; shorter (or non-PCM)
+    * payloads return None. */
+  def audioEnvelopeHash64(bytes: Array[Byte]): Option[Long] =
+    wavAbsSamples(bytes).filter(_.length >= 65).map { s =>
+      val n = s.length
+      val sums = new Array[Long](65)
+      val cnts = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        val seg = math.min(64, (i.toLong * 65 / n).toInt)
+        sums(seg) += s(i)
+        cnts(seg) += 1
+        i += 1
+      }
+      var bits = 0L
+      var j = 0
+      while (j < 64) {
+        // meanL < meanR ⇔ sumL·cntR < sumR·cntL — exact, no doubles
+        if (sums(j) * cnts(j + 1) < sums(j + 1) * cnts(j))
+          bits |= 1L << j
+        j += 1
+      }
+      bits
+    }
+
+  /** (doc_id, phash) for the audio payloads the PCM decoder accepts —
+    * the audio side of [[imageHashes]], feeding the same
+    * [[hammingNearDupPairs]] block join. */
+  def audioHashes(payloads: DataFrame, idCol: String = "doc_id",
+                  bytesCol: String = "payload"): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          audioEnvelopeHash64(bytes).map(h => (id, h))
+        }
+      }.toDF("doc_id", "phash")
+  }
+
+  /** Audio near-duplicate pairs: envelope hashes through the pigeonhole
+    * block join — same contract as [[imageNearDupPairs]]. */
+  def audioNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingNearDupPairs(hashes, maxHamming)
+
   /** Image near-duplicate pairs with hamming(phash) ≤ maxHamming (≤ 3):
     * the [[Dedup.simhashPairs]] pigeonhole on 4 × 16-bit blocks — every
     * qualifying pair shares at least one block, so candidates come from
     * an equi-join on (block, value), never a cross join; verification
     * is one bit_count(xor) per candidate. */
-  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingNearDupPairs(hashes, maxHamming)
+
+  /** 16-bit-block pigeonhole join on any 64-bit perceptual hash column
+    * named `phash` — shared by the image (dHash) and audio (envelope
+    * hash) near-dup paths: at hamming ≤ 3, at least one of the four
+    * blocks is untouched, so the block equi-join is exact, never a
+    * cross product. */
+  def hammingNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block pigeonhole is exact only for hamming <= 3")
     val blocks = hashes.select(col("doc_id"), col("phash"),
       posexplode(array(

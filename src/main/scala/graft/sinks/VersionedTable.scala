@@ -90,12 +90,27 @@ object VersionedTable {
     * (both rows land in the epoch, like MERGE's multi-match error but
     * unchecked — dedupe with last-wins upstream). Returns the
     * committed version. */
-  def merge(updates: DataFrame, root: String, keyCols: Seq[String]): Long = {
+  def merge(updates: DataFrame, root: String, keyCols: Seq[String]): Long =
+    merge(updates, root, keyCols, evolveSchema = false)
+
+  /** MERGE with optional additive schema evolution: with `evolveSchema`
+    * a batch may carry NEW columns (existing rows take NULL there) or
+    * OMIT existing ones (the update rows take NULL) — the next epoch's
+    * schema is the union, which is how an epoch table absorbs an
+    * upstream contract change without a stop-the-world backfill. The
+    * default stays strict: a silently-widened schema in a pipeline
+    * that didn't opt in is a bug surfacing as an analysis error, not an
+    * epoch with surprise columns. Key columns must exist on both sides
+    * either way. */
+  def merge(updates: DataFrame, root: String, keyCols: Seq[String],
+            evolveSchema: Boolean): Long = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     val spark = updates.sparkSession
+    require(keyCols.forall(updates.columns.contains),
+      s"update batch is missing key columns: ${keyCols.filterNot(updates.columns.contains).mkString(", ")}")
     val keep = read(spark, root).join(
       updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-    write(keep.unionByName(updates), root)
+    write(keep.unionByName(updates, allowMissingColumns = evolveSchema), root)
   }
 
   /** Fold one CDC batch (a change stream in the Debezium shape: key

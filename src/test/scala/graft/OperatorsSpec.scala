@@ -840,6 +840,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(2L).width == 0 && feats(2L).frames == 1 + 20 / 64)
   }
 
+  test("audio envelope hash: gain-invariant, reversed envelope distinct, corrupt dropped") {
+    import javax.sound.sampled._
+    def wav16(samples: Array[Short]): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length),
+        AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    // 65 seeded segment levels, 10 samples each: the envelope IS the
+    // level sequence, so its rise bits are known to be irregular
+    val rnd = new scala.util.Random(11)
+    val lvl = Array.fill(65)(rnd.nextInt(8000) + 100)
+    val base = Array.tabulate(650)(i => lvl(i / 10).toShort)
+    val doubled = base.map(s => (s * 2).toShort) // exact 2x gain, no clip
+    val payloads = Seq(
+      (1L, wav16(base)), (2L, wav16(doubled)),
+      (3L, wav16(base.reverse)), (4L, wav16(base).take(16)))
+      .toDF("doc_id", "payload")
+    val hashes = operators.Multimodal.audioHashes(payloads)
+    val h = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.size == 3, "corrupt payload must be dropped, not hashed")
+    assert(h(1L) == h(2L), "uniform gain must not change the envelope hash")
+    assert(h(1L) != h(3L), "a reversed envelope is a different signal")
+    val pairs = operators.Multimodal.audioNearDupPairs(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 0)), s"gain pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "reversed envelope must not pair at hamming <= 3")
+  }
+
   test("multimodal decode walks an MP4 (ISO-BMFF) box tree to the visual track") {
     def u32be(v: Long): Array[Byte] =
       Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,

@@ -129,6 +129,39 @@ class SinksSpec extends AnyFunSuite {
     assert(cur() == Seq((1L, "a"), (2L, "B2"), (9L, "new")))
   }
 
+  test("versioned table merge with schema evolution: union schema, strict mode refuses") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vtse").toString + "/t"
+    sinks.VersionedTable.write(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    // strict default: a batch with a surprise column is an error, not
+    // a silently-widened epoch
+    intercept[org.apache.spark.sql.AnalysisException] {
+      sinks.VersionedTable.merge(
+        Seq((2L, "B", 7L)).toDF("k", "v", "w"), root, Seq("k"))
+    }
+    // opted-in: new column joins the schema, untouched rows take NULL
+    sinks.VersionedTable.merge(
+      Seq((2L, "B", 7L), (3L, "c", 8L)).toDF("k", "v", "w"), root,
+      Seq("k"), evolveSchema = true)
+    val rows = sinks.VersionedTable.read(spark, root)
+      .select("k", "v", "w").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "B", Some(7L)),
+      (3L, "c", Some(8L))))
+    // a later batch may OMIT the evolved column: its rows take NULL
+    sinks.VersionedTable.merge(
+      Seq((4L, "d")).toDF("k", "v"), root, Seq("k"), evolveSchema = true)
+    assert(sinks.VersionedTable.read(spark, root)
+      .filter(col("k") === 4L).select("w").head().isNullAt(0))
+    // key columns can never be absent, evolved or not
+    intercept[IllegalArgumentException] {
+      sinks.VersionedTable.merge(
+        Seq(("x")).toDF("v"), root, Seq("k"), evolveSchema = true)
+    }
+  }
+
   test("versioned table applyCdc: sequential batch folds == one-shot; in-batch collapse") {
     def seed(root: String) = sinks.VersionedTable.write(
       Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"), root)
