@@ -408,6 +408,38 @@ object EventStreams {
     * StreamingSpec asserts stream == one-shot). foreachBatch for the
     * same reason as the index streams above: the fold IS the batch
     * operator, run once per micro-batch. */
+  /** Streaming per-group leaderboard: each micro-batch's exact top-k
+    * ([[graft.functions.TopKBy]] — ≤ 2k pairs per group per partition,
+    * no window sort) merges with the committed leaderboard and commits
+    * as one VersionedTable epoch. Top-k is exactly mergeable (the
+    * global top-k lives inside the union of partial top-ks), so the
+    * stream's final state is row-identical to one batch top-k over the
+    * full feed — per-batch cost ∝ batch + |groups|·k, independent of
+    * feed history, the same operability argument as
+    * [[incrementalAggStream]]. State is stored EXPLODED (one row per
+    * kept (group, score, id)), so readers get a plain table. Rows are
+    * assumed delivered once (append stream). */
+  def topKStream(events: DataFrame, root: String, grpCol: String,
+      scoreCol: String, idCol: String, k: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      graft.functions.VectorExpressions.ensureRegistered(spark)
+      val incoming = batch.select(col(grpCol).as("grp"),
+        col(scoreCol).cast("double").as("score"), col(idCol).cast("long").as("id"))
+      val state =
+        if (graft.sinks.VersionedTable.latestVersion(spark, root) >= 0)
+          graft.sinks.VersionedTable.read(spark, root)
+        else incoming.filter(lit(false))
+      val next = state.unionByName(incoming)
+        .groupBy(col("grp"))
+        .agg(graft.functions.VectorExpressions
+          .topkBy(col("score"), col("id"), k).as("tk"))
+        .select(col("grp"), explode(col("tk")).as("e"))
+        .select(col("grp"), col("e.score").as("score"), col("e.id").as("id"))
+      graft.sinks.VersionedTable.write(next, root): Unit
+    }
+
   def incrementalAggStream(deltas: DataFrame, root: String,
       keyCols: Seq[String], valCol: String, opCol: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

@@ -1975,6 +1975,49 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest-driven maintenance loop: stats and bloom indexes follow landed files incrementally") {
+    import sources.{FileBloomIndex, FileManifest, FileStats}
+    val land = util.Scratch.dir("maint_land")
+    val man = util.Scratch.dir("maint_man") + "/manifest"
+    val statsRoot = util.Scratch.dir("maint_stats") + "/stats"
+    val bloomRoot = util.Scratch.dir("maint_bloom") + "/bloom"
+    val docs = sources.Tables.documents(spark, sf)
+    // one maintenance tick: discover → index ONLY the delta → commit
+    def tick(): Int = {
+      val nf = FileManifest.newFiles(spark, land, man)
+      val files = nf.select("path").collect().map(_.getString(0)).toSeq
+      if (files.nonEmpty) {
+        FileStats.commitStats(
+          FileStats.collectFor(spark, files, Seq("doc_id")), statsRoot)
+        FileBloomIndex.commit(
+          FileBloomIndex.buildFor(spark, files, "doc_id"), bloomRoot)
+        FileManifest.commit(spark, man, nf)
+      }
+      files.size
+    }
+    docs.filter(col("doc_id") < 100).repartition(3)
+      .write.mode("append").parquet(land)
+    val n1 = tick()
+    assert(n1 >= 2, "wave 1 should land several files")
+    assert(tick() == 0, "nothing new => nothing re-indexed")
+    docs.filter(col("doc_id") >= 100).repartition(3)
+      .write.mode("append").parquet(land)
+    val n2 = tick()
+    assert(n2 >= 2, "wave 2 indexes only its own files")
+    // the folded metadata covers every live file…
+    assert(FileStats.readStats(spark, statsRoot).count() == n1 + n2)
+    assert(FileBloomIndex.read(spark, bloomRoot).count() == n1 + n2)
+    // …and pruned reads through it stay exact across both waves
+    val gotRange = FileStats.readRange(spark,
+      FileStats.readStats(spark, statsRoot), "doc_id", lit(90L), lit(110L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotRange == (90L to 110L).toSet)
+    val gotKeys = FileBloomIndex.readKeys(spark,
+      FileBloomIndex.read(spark, bloomRoot), "doc_id", Seq(lit(5L), lit(150L)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotKeys == Set(5L, 150L))
+  }
+
   test("file bloom index: point lookup opens only admitted files, never misses the true file") {
     import sources.FileBloomIndex
     val docs = sources.Tables.documents(spark, sf)

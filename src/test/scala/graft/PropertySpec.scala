@@ -160,4 +160,66 @@ class PropertySpec extends AnyFunSuite {
         .select("err").as[Long].collect().forall(_ == 0L))
     }
   }
+
+  test("property: topk_by equals window row_number under random data and partitionings") {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val genRows: Gen[(List[(String, Long, Double)], Int)] = for {
+      n <- Gen.choose(1, 300)
+      nGrp <- Gen.choose(1, 6)
+      nScore <- Gen.choose(1, 12) // few distinct scores → heavy ties
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, nGrp - 1); s <- Gen.choose(0, nScore - 1)
+      } yield (s"g$g", 0L, s.toDouble))
+      parts <- Gen.choose(1, 7)
+    } yield (rows.zipWithIndex.map { case ((g, _, s), i) => (g, i.toLong, s) }, parts)
+    forAll(genRows, trials = 8) { case (rows, parts) =>
+      val df = rows.toDF("g", "id", "v").repartition(parts)
+      val got = df.groupBy(col("g"))
+        .agg(graft.functions.VectorExpressions
+          .topkBy(col("v"), col("id"), 4).as("tk"))
+        .select(col("g"), explode(col("tk")).as("e"))
+        .select(col("g"), col("e.score"), col("e.id"))
+        .as[(String, Double, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("v").desc, col("id").asc)
+      val want = df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 4).select(col("g"), col("v"), col("id"))
+        .as[(String, Double, Long)].collect().toSet
+      assert(got == want, s"topk_by diverged at parts=$parts on ${rows.take(8)}…")
+    }
+  }
+
+  test("property: KS is symmetric, in [0,1], and 0 iff multisets agree") {
+    val genSets: Gen[(List[Long], List[Long])] = for {
+      na <- Gen.choose(1, 120); nb <- Gen.choose(1, 120)
+      a <- Gen.listOfN(na, Gen.choose(0L, 25L))
+      b <- Gen.listOfN(nb, Gen.choose(0L, 25L))
+    } yield (a, b)
+    forAll(genSets, trials = 8) { case (a, b) =>
+      val dfA = a.toDF("v"); val dfB = b.toDF("v")
+      val ab = operators.Drift.ks(dfA, dfB, "v").collect()(0).getDouble(2)
+      val ba = operators.Drift.ks(dfB, dfA, "v").collect()(0).getDouble(2)
+      assert(ab == ba, "KS must be symmetric")
+      assert(ab >= 0.0 && ab <= 1.0)
+      val self = operators.Drift.ks(dfA, dfA, "v").collect()(0).getDouble(2)
+      assert(self == 0.0, "identical multisets must score 0")
+    }
+  }
+
+  test("property: weighted samples nest as expectedN grows") {
+    val genW: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(5, 150)
+      ws <- Gen.listOfN(n, Gen.choose(0L, 40L))
+    } yield ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    forAll(genW, trials = 8) { rows =>
+      val df = rows.toDF("id", "w")
+      def draw(n: Double) = operators.Sampling
+        .sampleByWeight(df, "id", "w", n)
+        .select("id").as[Long].collect().toSet
+      val s10 = draw(10.0); val s40 = draw(40.0)
+      assert(s10.subsetOf(s40),
+        "raising expectedN can only ADD rows (nested samples)")
+      assert(s10.forall(id => rows(id.toInt)._2 > 0))
+    }
+  }
 }

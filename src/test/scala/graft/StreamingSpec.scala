@@ -481,6 +481,38 @@ class StreamingSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  /** Streaming leaderboard: per-micro-batch top-k merges must converge
+    * to exactly the batch top-k over the whole feed (top-k is exactly
+    * mergeable), with ties broken by id on both paths. */
+  test("streaming top-k leaderboard equals the batch per-group top-k") {
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-topk-src").toString
+    ev.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-topk").toString + "/board"
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = streaming.EventStreams.topKStream(
+      stream, root, "event_type", "value", "event_id", k = 5).start()
+    try q.processAllAvailable() finally q.stop()
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("grp"), col("score"), col("id"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+    val got = shape(sinks.VersionedTable.read(spark, root))
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val want = shape(ev
+      .groupBy(col("event_type").as("grp"))
+      .agg(graft.functions.VectorExpressions
+        .topkBy(col("value"), col("event_id"), 5).as("tk"))
+      .select(col("grp"), explode(col("tk")).as("e"))
+      .select(col("grp"), col("e.score").as("score"), col("e.id").as("id")))
+    assert(got == want && got.nonEmpty,
+      s"streamed leaderboard diverged from batch top-k")
+  }
+
   /** Streaming materialized-view maintenance: insert deltas arrive over
     * multiple micro-batches, each folding into a new VersionedTable
     * epoch; the final view must be row-identical to a one-shot batch
