@@ -78,6 +78,46 @@ object VersionedTable {
     next
   }
 
+  /** Stream-batch idempotence marker: the id of the micro-batch that
+    * produced an epoch, committed as a sidecar INSIDE that epoch (via
+    * the [[writeStaged]] hook, so marker and state are atomic). Spark's
+    * foreachBatch RE-DELIVERS the last micro-batch after a restart;
+    * without the marker a fold-style sink (incrementalAggStream,
+    * topKStream) would double-apply it. */
+  private val BatchSidecar = "_graft_stream_batch"
+
+  /** Batch id recorded in the current epoch's sidecar, -1 when the
+    * table is empty or its current epoch was not batch-stamped. */
+  def lastAppliedBatch(spark: SparkSession, root: String): Long = {
+    val v = latestVersion(spark, root)
+    if (v < 0) -1L
+    else {
+      val p = new org.apache.hadoop.fs.Path(s"$root/epoch=$v", BatchSidecar)
+      val f = fs(spark, root)
+      if (!f.exists(p)) -1L
+      else {
+        val in = f.open(p)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toLong
+        finally in.close()
+      }
+    }
+  }
+
+  /** [[write]] stamped with the producing batch id — and a no-op
+    * (None) when that id was already applied, which is exactly the
+    * foreachBatch replay case. Ids must be monotone per table (Spark's
+    * streaming epochIds are). Returns the committed version, or None
+    * on a detected replay. */
+  def writeBatch(df: DataFrame, root: String, batchId: Long): Option[Long] =
+    if (batchId <= lastAppliedBatch(df.sparkSession, root)) None
+    else Some(writeStaged(df, root) { dir =>
+      val f = fs(df.sparkSession, root)
+      val out = f.create(
+        new org.apache.hadoop.fs.Path(dir, BatchSidecar), true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    })
+
   /** Row-level MERGE (upsert by key): commit a next epoch holding the
     * current rows whose key has NO match in `updates`, plus every
     * `updates` row — matched keys are replaced, unmatched keys insert

@@ -422,36 +422,45 @@ object EventStreams {
   def topKStream(events: DataFrame, root: String, grpCol: String,
       scoreCol: String, idCol: String, k: Int)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    events.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
       val spark = batch.sparkSession
-      graft.functions.VectorExpressions.ensureRegistered(spark)
-      val incoming = batch.select(col(grpCol).as("grp"),
-        col(scoreCol).cast("double").as("score"), col(idCol).cast("long").as("id"))
-      val state =
-        if (graft.sinks.VersionedTable.latestVersion(spark, root) >= 0)
-          graft.sinks.VersionedTable.read(spark, root)
-        else incoming.filter(lit(false))
-      val next = state.unionByName(incoming)
-        .groupBy(col("grp"))
-        .agg(graft.functions.VectorExpressions
-          .topkBy(col("score"), col("id"), k).as("tk"))
-        .select(col("grp"), explode(col("tk")).as("e"))
-        .select(col("grp"), col("e.score").as("score"), col("e.id").as("id"))
-      graft.sinks.VersionedTable.write(next, root): Unit
+      // replay guard: foreachBatch re-delivers the last batch after a
+      // restart; a fold sink must detect and skip it (writeBatch's
+      // contract), or the replayed rows count twice
+      if (epochId > graft.sinks.VersionedTable.lastAppliedBatch(spark, root)) {
+        graft.functions.VectorExpressions.ensureRegistered(spark)
+        val incoming = batch.select(col(grpCol).as("grp"),
+          col(scoreCol).cast("double").as("score"), col(idCol).cast("long").as("id"))
+        val state =
+          if (graft.sinks.VersionedTable.latestVersion(spark, root) >= 0)
+            graft.sinks.VersionedTable.read(spark, root)
+          else incoming.filter(lit(false))
+        val next = state.unionByName(incoming)
+          .groupBy(col("grp"))
+          .agg(graft.functions.VectorExpressions
+            .topkBy(col("score"), col("id"), k).as("tk"))
+          .select(col("grp"), explode(col("tk")).as("e"))
+          .select(col("grp"), col("e.score").as("score"), col("e.id").as("id"))
+        graft.sinks.VersionedTable.writeBatch(next, root, epochId): Unit
+      }
     }
 
   def incrementalAggStream(deltas: DataFrame, root: String,
       keyCols: Seq[String], valCol: String, opCol: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    deltas.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    deltas.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
       val spark = batch.sparkSession
-      val state =
-        if (graft.sinks.VersionedTable.latestVersion(spark, root) >= 0)
-          graft.sinks.VersionedTable.read(spark, root)
-        else graft.operators.IncrementalAgg.build(
-          batch.filter(lit(false)), keyCols, col(valCol))
-      val next = graft.operators.IncrementalAgg.applyDelta(
-        state, batch, keyCols, col(valCol), col(opCol))
-      graft.sinks.VersionedTable.write(next, root): Unit
+      // replay guard — see topKStream: a re-delivered batch would
+      // double-count its deltas without the batch-id sidecar check
+      if (epochId > graft.sinks.VersionedTable.lastAppliedBatch(spark, root)) {
+        val state =
+          if (graft.sinks.VersionedTable.latestVersion(spark, root) >= 0)
+            graft.sinks.VersionedTable.read(spark, root)
+          else graft.operators.IncrementalAgg.build(
+            batch.filter(lit(false)), keyCols, col(valCol))
+        val next = graft.operators.IncrementalAgg.applyDelta(
+          state, batch, keyCols, col(valCol), col(opCol))
+        graft.sinks.VersionedTable.writeBatch(next, root, epochId): Unit
+      }
     }
 }

@@ -129,6 +129,28 @@ class SinksSpec extends AnyFunSuite {
     assert(cur() == Seq((1L, "a"), (2L, "B2"), (9L, "new")))
   }
 
+  test("versioned table writeBatch: a replayed batch id is a no-op, the next id commits") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vtwb").toString + "/t"
+    assert(sinks.VersionedTable.lastAppliedBatch(spark, root) == -1L)
+    assert(sinks.VersionedTable.writeBatch(
+      Seq((1L, "a")).toDF("k", "v"), root, 0L).contains(0L))
+    assert(sinks.VersionedTable.lastAppliedBatch(spark, root) == 0L)
+    // the foreachBatch replay case: same id re-offered → NOTHING commits
+    assert(sinks.VersionedTable.writeBatch(
+      Seq((9L, "z")).toDF("k", "v"), root, 0L).isEmpty)
+    assert(sinks.VersionedTable.versions(spark, root) == Seq(0L))
+    assert(sinks.VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    // the next batch id commits normally
+    assert(sinks.VersionedTable.writeBatch(
+      Seq((2L, "b")).toDF("k", "v"), root, 1L).contains(1L))
+    assert(sinks.VersionedTable.lastAppliedBatch(spark, root) == 1L)
+    // an unstamped write (a batch rebuild) clears the marker: the
+    // stream restarts its id sequence against fresh state
+    sinks.VersionedTable.write(Seq((3L, "c")).toDF("k", "v"), root)
+    assert(sinks.VersionedTable.lastAppliedBatch(spark, root) == -1L)
+  }
+
   test("versioned table merge with schema evolution: union schema, strict mode refuses") {
     val root = java.nio.file.Files.createTempDirectory("graft-vtse").toString + "/t"
     sinks.VersionedTable.write(
