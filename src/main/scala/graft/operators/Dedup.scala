@@ -819,6 +819,36 @@ object Dedup {
     docs.join(nonReps, docs(idCol) === col("_dup_drop_id"), "left_anti")
   }
 
+  /** Quality-aware cluster survivor selection: within each duplicate
+    * cluster keep the member with the HIGHEST score (ties on smaller
+    * id — fully deterministic), instead of
+    * [[keepClusterRepresentatives]]' min-id convention. This is what a
+    * curation pipeline actually wants: among near-duplicate documents,
+    * keep the longest / highest-quality one and drop the rest.
+    * Members without a score row are kept (conservative: an unscored
+    * doc is never silently dropped).
+    *
+    * Scale shape: clusters are metadata-sized (one row per clustered
+    * id); the survivor choice is one per-cluster max over a
+    * (score, −id) struct — a plain hash aggregate, no window sort —
+    * and the corpus is touched only by the final anti-join. */
+  def keepBestInCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+                        scoreCol: String, aCol: String = "doc_a",
+                        bCol: String = "doc_b"): DataFrame = {
+    val scored = duplicateClusters(pairs, aCol, bCol,
+        roundsMetric = "keep_best_rounds")
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(scoreCol).cast("double").as("_score")), Seq("doc_id"))
+    val keepers = scored.groupBy(col("rep"))
+      .agg(max(struct(col("_score").as("s"),
+        (-col("doc_id")).as("negid"))).as("m"))
+      .select((-col("m.negid")).as("_keep_id"))
+    val drops = scored
+      .join(keepers, scored("doc_id") === keepers("_keep_id"), "left_anti")
+      .select(col("doc_id").as("_dup_drop_id"))
+    docs.join(drops, docs(idCol) === col("_dup_drop_id"), "left_anti")
+  }
+
   /** Release the storage behind a `localCheckpoint`ed DataFrame (the
     * Dataset API has no public handle to the checkpoint RDD; `unpersist`
     * on the Dataset only touches CacheManager entries). No-op on frames

@@ -63,4 +63,19 @@ object IncrementalAgg {
         lit("IncrementalAgg: count went negative — unmatched retraction"))))
       .filter(col("n") > 0)
   }
+
+  /** Range backfill — the repair path when a correction arrives BEYOND
+    * the reach of row-level retractions (upstream restated three days;
+    * nobody has the original rows to emit 'D's for): drop the state's
+    * rows for keys matching `keyCond` and rebuild exactly those keys
+    * from the corrected facts. `keyCond` must reference only key
+    * columns (it is applied to both the state and the facts — the two
+    * sides must select the same key range); facts outside the range
+    * are never scanned, so the repair costs ∝ affected range, not
+    * history. Row-identical to a full [[build]] over the corrected
+    * fact set (spec-asserted). */
+  def rebuildRange(state: DataFrame, facts: DataFrame, keyCols: Seq[String],
+                   valCol: Column, keyCond: Column): DataFrame =
+    state.filter(!coalesce(keyCond, lit(false)))
+      .unionByName(build(facts.filter(keyCond), keyCols, valCol))
 }

@@ -137,6 +137,23 @@ object LlmOps extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  /** Quality-aware survivor selection (Dedup.keepBestInCluster) over
+    * the same embedding near-dup clusters as q_dedup_keep, scored by
+    * the aligned document's n_chars (doc_id == vec_id): in each
+    * cluster the LONGEST document survives, ties to the smaller id. */
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val scores = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("n_chars"))
+    Dedup.keepBestInCluster(
+      emb.select(col("vec_id")).join(scores, Seq("vec_id")),
+      Dedup.embeddingPairs(emb, "vec_id", "embedding", CosineThreshold,
+        blockCol = Some("label")),
+      "vec_id", "n_chars", aCol = "vec_a", bCol = "vec_b")
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Blocked on `label` (the corpus's coarse cluster id): pair scoring
     * runs within blocks only — an equi-join shuffle, never a corpus-wide
     * cross join. At 100 TB the block key comes from an ANN/LSH candidate
@@ -856,6 +873,7 @@ object LlmOps extends QueryModule {
     "q_dedup_simhash"   -> qDedupSimhash _,
     "q_dedup_clusters"  -> qDedupClusters _,
     "q_dedup_keep"      -> qDedupKeep _,
+    "q_dedup_keep_best" -> qDedupKeepBest _,
     "q_dedup_embedding" -> qDedupEmbedding _,
     "q_dedup_embedding_lsh" -> qDedupEmbeddingLsh _,
     "q_ann_topk"        -> qAnnTopK _,
@@ -1226,6 +1244,29 @@ object LlmOps extends QueryModule {
          |cl AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
          |SELECT vec_id FROM embeddings
          |WHERE vec_id NOT IN (SELECT id FROM cl WHERE id <> rep)
+         |ORDER BY vec_id""".stripMargin,
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding AS v, label FROM embeddings),
+         |pr AS (SELECT vec_a, vec_b FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ROUND(${dot("a.v", "b.v")} /
+         |      (sqrt(${dot("a.v", "a.v")}) * sqrt(${dot("b.v", "b.v")})), 6) AS cos
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
+         |  WHERE cos >= $CosineThreshold),
+         |edges AS (SELECT vec_a AS u, vec_b AS v FROM pr
+         |  UNION SELECT vec_b, vec_a FROM pr),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT ed.u, reach.r FROM edges ed JOIN reach ON reach.id = ed.v),
+         |cl AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+         |scored AS (SELECT cl.id, cl.rep, d.n_chars
+         |  FROM cl JOIN documents d ON d.doc_id = cl.id),
+         |ranked AS (SELECT id, ROW_NUMBER() OVER
+         |    (PARTITION BY rep ORDER BY n_chars DESC, id) AS rn FROM scored)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id FROM ranked WHERE rn > 1)
          |ORDER BY vec_id""".stripMargin,
     "q_dedup_embedding_lsh" -> {
       val hpc = duckHex("md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR))", 1, 8)

@@ -1973,6 +1973,34 @@ class OperatorsSpec extends AnyFunSuite {
         Seq(("b", 1L, "X")).toDF("k", "v", "op"),
         Seq("k"), col("v"), col("op")).collect()
     }
+    // range backfill: a restated day-window rebuilds from corrected
+    // facts and lands row-identical to a from-scratch build over them
+    val cutoff = java.sql.Date.valueOf("2024-01-15")
+    val corrected = ev.filter(col("event_id") % 5 =!= 0) // upstream restated
+    val stale = IncrementalAgg.build(ev, keys, col("cents"))
+    val repaired = IncrementalAgg.rebuildRange(stale, corrected, keys,
+      col("cents"), col("day") >= cutoff)
+      .orderBy("event_type", "day").collect().toSeq
+    val want = IncrementalAgg.build(
+      ev.filter(col("day") < cutoff)
+        .unionByName(corrected.filter(col("day") >= cutoff)),
+      keys, col("cents"))
+      .orderBy("event_type", "day").collect().toSeq
+    assert(repaired == want, "range repair must equal the piecewise rebuild")
+  }
+
+  test("keep-best-in-cluster: highest score survives, ties to smaller id, unscored never dropped") {
+    import operators.Dedup
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    // 11 is clustered but has NO score row; 99 is unclustered
+    val docs = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0), (10L, 1.0),
+      (20L, 4.0), (21L, 4.0), (99L, 0.0)).toDF("id", "q")
+    val kept = Dedup.keepBestInCluster(docs, pairs, "id", "q")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // {1,2,3}: 2 wins on score; {10,11}: only 10 scored → kept;
+    // {20,21}: equal scores → smaller id; 99 untouched
+    assert(kept == Set(2L, 10L, 20L, 99L), s"got $kept")
   }
 
   test("manifest-driven maintenance loop: stats and bloom indexes follow landed files incrementally") {
