@@ -24,24 +24,34 @@ object Outliers {
     * identical literals on any engine (the correctness-gate mode).
     * Production runs pass None and keep full precision.
     *
+    * `approxAccuracy`: Some(acc) swaps the exact percentile for the
+    * Greenwald-Khanna `approx_percentile` sketch (rank error ≤ 1/acc)
+    * — bounded aggregation state per group, the mode a 100 TB run uses
+    * (the exact form sorts within the aggregate). The bound is then an
+    * actual data value within the rank window rather than an
+    * interpolated one; the spec pins that rank contract.
+    *
     * Scale shape: one grouped percentile aggregate collapses to
-    * |groups| rows (exact percentile sorts within the aggregate — at
-    * extreme group sizes swap approx_percentile in, cf. q_percentile's
-    * note), broadcast back, then a map-side clamp. The data itself
-    * never shuffles.
+    * |groups| rows, broadcast back, then a map-side clamp. The data
+    * itself never shuffles.
     */
   def winsorize(df: DataFrame, groupCol: String, valCol: String,
                 lo: Double, hi: Double,
-                roundBounds: Option[Int] = None): DataFrame = {
+                roundBounds: Option[Int] = None,
+                approxAccuracy: Option[Int] = None): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
     val r: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       roundBounds match {
         case Some(n) => c => round(c, n)
         case None    => identity
       }
+    def pct(q: Double): org.apache.spark.sql.Column = approxAccuracy match {
+      case Some(acc) => expr(s"approx_percentile($valCol, $q, $acc)").cast("double")
+      case None      => expr(s"percentile($valCol, $q)")
+    }
     val bounds = df.groupBy(col(groupCol)).agg(
-      r(expr(s"percentile($valCol, $lo)")).as("p_lo"),
-      r(expr(s"percentile($valCol, $hi)")).as("p_hi"))
+      r(pct(lo)).as("p_lo"),
+      r(pct(hi)).as("p_hi"))
     df.join(broadcast(bounds), Seq(groupCol))
       .withColumn(s"${valCol}_w",
         least(greatest(col(valCol), col("p_lo")), col("p_hi")))

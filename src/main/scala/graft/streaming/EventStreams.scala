@@ -392,6 +392,37 @@ object EventStreams {
     }
   }
 
+  /** Streaming drift monitor: every micro-batch PSI-scores
+    * ([[graft.operators.Drift.psi]]) against a FIXED reference epoch
+    * and appends its per-bucket terms — stamped with the batch id — to
+    * a metrics log committed as VersionedTable epochs (writeBatch, so
+    * a replayed batch is not scored twice). This is the ingest-side
+    * alarm wire: a feed whose value distribution walks away from the
+    * reference shows up as a rising Σ psi_term per batch, per bucket,
+    * before the corpus epoch is cut. Per-batch cost: one grouped count
+    * over the batch + the |buckets|-row joins — the reference is
+    * cached at wiring time, so its per-batch bucket counts fold from
+    * memory, not a re-scan of the reference epoch. */
+  def driftMonitorStream(events: DataFrame, root: String, ref: DataFrame,
+      valCol: String, lo: Long, hi: Long, nBuckets: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val refCached = ref.select(col(valCol)).cache()
+    refCached.count(): Unit // materialize before the first batch
+    events.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      val spark = batch.sparkSession
+      if (epochId > graft.sinks.VersionedTable.lastAppliedBatch(spark, root)) {
+        val terms = graft.operators.Drift
+          .psi(refCached, batch, valCol, lo, hi, nBuckets)
+          .withColumn("batch_id", lit(epochId))
+        val log =
+          if (graft.sinks.VersionedTable.latestVersion(spark, root) >= 0)
+            graft.sinks.VersionedTable.read(spark, root).unionByName(terms)
+          else terms
+        graft.sinks.VersionedTable.writeBatch(log, root, epochId): Unit
+      }
+    }
+  }
+
   /** Streaming maintenance of a materialized aggregate view
     * ([[graft.operators.IncrementalAgg]] state committed as
     * [[graft.sinks.VersionedTable]] epochs): each micro-batch of

@@ -2224,6 +2224,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s1.size >= 16 && s1.size <= 63, s"implausible size ${s1.size}")
   }
 
+  test("winsorize approx mode: sketch bounds honor the rank contract, clamp still sound") {
+    import operators.Outliers
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val acc = 1000
+    val eps = 1.0 / acc
+    val out = Outliers.winsorize(ev, "event_type", "value", 0.05, 0.95,
+      approxAccuracy = Some(acc))
+    // every clipped value inside the (approx) envelope
+    assert(out.filter(col("value_w") < col("p_lo") ||
+      col("value_w") > col("p_hi")).count() == 0)
+    // rank contract per group: the p05 bound's rank sits within
+    // (0.05 ± eps)·n — the GK guarantee the gate mode would pin
+    val bounds = out.select("event_type", "p_lo").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    bounds.foreach { case (g, b) =>
+      val grp = ev.filter(col("event_type") === g)
+      val n = grp.count().toDouble
+      val below = grp.filter(col("value") < b).count().toDouble
+      val atOrBelow = grp.filter(col("value") <= b).count().toDouble
+      assert(below / n <= 0.05 + eps + 1e-9 &&
+        atOrBelow / n >= 0.05 - eps - 1e-9,
+        s"$g: bound $b rank window violated (below=$below n=$n)")
+    }
+  }
+
   test("winsorize: clamp to group envelope, interior values untouched") {
     import operators.Outliers
     val df = ((1 to 99).map(i => ("g1", i.toLong, i.toDouble)) :+

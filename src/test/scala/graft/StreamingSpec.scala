@@ -481,6 +481,42 @@ class StreamingSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  /** Streaming drift monitor: each micro-batch's PSI terms against the
+    * fixed reference must equal the batch operator run on exactly that
+    * batch's rows, and land stamped under its own batch id. */
+  test("streaming drift monitor scores each micro-batch against the fixed reference") {
+    val ev = sources.Tables.events(spark, sf)
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .select("event_id", "cents")
+    val ref = ev.filter(col("event_id") % 2 === 0)
+    val live = ev.filter(col("event_id") % 2 =!= 0)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-drift-src").toString
+    val subsets = Seq(1L, 3L, 5L).map(m => live.filter(col("event_id") % 6 === m))
+    subsets.foreach(_.coalesce(1).write.mode("append").parquet(srcDir))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-drift").toString + "/monitor"
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = streaming.EventStreams.driftMonitorStream(
+      stream, root, ref, "cents", 0L, 49999L, 10).start()
+    try q.processAllAvailable() finally q.stop()
+    val log = sinks.VersionedTable.read(spark, root)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("bucket"), col("n_a"), col("n_b"), col("psi_term"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val ids = log.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids.size == 3, s"one scored entry per micro-batch, got $ids")
+    val gotPerBatch = ids.map(i => shape(log.filter(col("batch_id") === i))).toSet
+    val want = subsets.map(s =>
+      shape(operators.Drift.psi(ref, s, "cents", 0L, 49999L, 10))).toSet
+    assert(gotPerBatch == want,
+      "each batch's streamed PSI must equal the batch operator on its rows")
+  }
+
   /** Streaming leaderboard: per-micro-batch top-k merges must converge
     * to exactly the batch top-k over the whole feed (top-k is exactly
     * mergeable), with ties broken by id on both paths. */
