@@ -74,6 +74,33 @@ object Sampling {
       .drop("_sample_rk")
   }
 
+  /** [[exactKPerStratum]] WITHOUT the per-stratum window sort — the
+    * same deterministic draw (k smallest salted hashes, ties on id)
+    * expressed through the [[graft.functions.TopKBy]] partial
+    * aggregate: at most 2k (hash, id) pairs per stratum per partition
+    * exist anywhere, map-side combined, so the giant-stratum full sort
+    * the window form documents as its limitation simply never happens.
+    * Smallest-hash-first maps onto TopKBy's largest-score contract by
+    * negating the hash (ties still break on id asc). Requires a
+    * bigint-castable id, unique per stratum (the sane sampling
+    * contract); row equality with the window form is spec-asserted. */
+  def exactKPerStratumAgg(df: DataFrame, idCol: String, strataCol: String,
+                          k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
+    val u = Dedup.hash32(stratumSalt(idCol, strataCol))
+    val kept = df
+      .select(col(strataCol).as("_samp_g"), col(idCol).cast("long").as("_samp_id"),
+        (-u).cast("double").as("_samp_s"))
+      .groupBy(col("_samp_g"))
+      .agg(graft.functions.VectorExpressions
+        .topkBy(col("_samp_s"), col("_samp_id"), k).as("tk"))
+      .select(col("_samp_g"),
+        explode(transform(col("tk"), e => e.getField("id"))).as("_samp_id"))
+    df.join(kept, df(strataCol) === kept("_samp_g") &&
+      df(idCol).cast("long") === kept("_samp_id"), "left_semi")
+  }
+
   /** Rebalance a corpus to a target domain mixture — the data-mixture
     * op behind "20% code, 5% forums, …" training recipes: given target
     * weights per domain (summing to 1), downsample every domain

@@ -549,6 +549,15 @@ object LlmOps extends QueryModule {
       "doc_id", "lang", GroupSampleK)
       .orderBy(col("doc_id"))
 
+  /** The identical draw through the TopKBy partial aggregate (no
+    * per-stratum window sort) — same oracle, hash-proving the two
+    * plans pick the same rows. */
+  def qGroupSampleAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.exactKPerStratumAgg(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      "doc_id", "lang", GroupSampleK)
+      .orderBy(col("doc_id"))
+
   /** Drop the bottom quartile by heuristic quality — the
     * quantile-relative corpus filter. */
   val QualityFilterQuantile = 0.25
@@ -900,6 +909,7 @@ object LlmOps extends QueryModule {
     "q_oov_rate"        -> qOovRate _,
     "q_embedding_outliers" -> qEmbeddingOutliers _,
     "q_group_sample"    -> qGroupSample _,
+    "q_group_sample_agg" -> qGroupSampleAgg _,
     "q_quality_filter"  -> qQualityFilter _,
     "q_topk_freq"       -> qTopkFreq _,
     "q_url_extract"     -> qUrlExtract _,
@@ -1458,6 +1468,16 @@ object LlmOps extends QueryModule {
          |ORDER BY d.doc_id""".stripMargin
     },
     "q_group_sample" -> {
+      val uHex = duckHex("md5(CAST(doc_id AS VARCHAR) || '|' || lang)", 1, 8)
+      s"""WITH r AS (SELECT doc_id, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY $uHex, doc_id) AS rk
+         |  FROM documents)
+         |SELECT doc_id, lang FROM r WHERE rk <= $GroupSampleK
+         |ORDER BY doc_id""".stripMargin
+    },
+    // identical draw, aggregate plan — the oracle is deliberately the
+    // same SQL: both physical strategies must pick the same rows
+    "q_group_sample_agg" -> {
       val uHex = duckHex("md5(CAST(doc_id AS VARCHAR) || '|' || lang)", 1, 8)
       s"""WITH r AS (SELECT doc_id, lang,
          |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY $uHex, doc_id) AS rk

@@ -2120,6 +2120,19 @@ class OperatorsSpec extends AnyFunSuite {
       s"HLL estimate $est too far from exact $exact")
   }
 
+  test("exactKPerStratumAgg draws exactly the window form's rows, k capped per stratum") {
+    import operators.Sampling
+    val docs = sources.Tables.documents(spark, sf).select("doc_id", "lang")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaWin = rows(Sampling.exactKPerStratum(docs, "doc_id", "lang", 7))
+    val viaAgg = rows(Sampling.exactKPerStratumAgg(docs, "doc_id", "lang", 7))
+    assert(viaAgg == viaWin && viaAgg.nonEmpty,
+      "both strategies must draw the same deterministic sample")
+    assert(viaAgg.groupBy(_._2).values.forall(_.size <= 7))
+  }
+
   test("topk_by == row_number window; partitioning-invariant; nulls skipped") {
     import functions.VectorExpressions
     import org.apache.spark.sql.expressions.Window

@@ -48,6 +48,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"top-k must not fall back to a window sort:\n$p")
   }
 
+  /** Same invariant for the aggregate-strategy stratified draw: the
+    * draw that exists to avoid the stratum sort must not contain one. */
+  test("aggregate group-sample plans without a window sort") {
+    val p = plan("q_group_sample_agg")
+    assert(!p.contains("Window"), s"agg draw fell back to a window:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final ObjectHashAggregate in:\n$p")
+  }
+
   /** The MinHash pipeline must never broadcast corpus-sized state: with
     * auto-broadcast off (and no hints in the operator), the whole plan
     * contains no broadcast exchange at all. */
