@@ -64,6 +64,42 @@ object Drift {
         (-col("m.neg_v")).as("ks_at"))
   }
 
+  /** Per-group exact KS — [[ks]] with every window PARTITIONED by the
+    * group key, so the value walk shards across groups instead of one
+    * global ordering (strictly better parallelism than the global
+    * form): the "did any SEGMENT's distribution move between periods"
+    * monitor. Output one row per group present on either side.
+    * Groups with an empty side score NULL (no CDF to compare —
+    * surfaced, not silently 1.0). */
+  def ksByGroup(a: DataFrame, b: DataFrame, grpCol: String,
+                valCol: String): DataFrame = {
+    val u = a.select(col(grpCol).as("grp"), col(valCol).cast("long").as("v"),
+        lit(1L).as("ca"), lit(0L).as("cb"))
+      .unionByName(
+        b.select(col(grpCol).as("grp"), col(valCol).cast("long").as("v"),
+          lit(0L).as("ca"), lit(1L).as("cb")))
+      .filter(col("v").isNotNull)
+      .groupBy(col("grp"), col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val byV = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("grp"))
+    u
+      .withColumn("cum_a", sum(col("ca")).over(byV))
+      .withColumn("cum_b", sum(col("cb")).over(byV))
+      .withColumn("n_a", sum(col("ca")).over(all))
+      .withColumn("n_b", sum(col("cb")).over(all))
+      .withColumn("gap_num",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      .groupBy(col("grp"), col("n_a"), col("n_b"))
+      .agg(max(struct(col("gap_num"), (-col("v")).as("neg_v"))).as("m"))
+      .select(col("grp"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("m.gap_num") /
+            (col("n_a") * col("n_b")).cast("double"), 6)).as("ks"),
+        (-col("m.neg_v")).as("ks_at"))
+  }
+
   /** PSI over `nBuckets` equi-width buckets spanning [lo, hi] (values
     * outside clamp to the edge buckets — fixed edges are the PSI
     * contract: the reference epoch defines the grid and every later

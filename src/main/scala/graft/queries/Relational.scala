@@ -597,6 +597,24 @@ object Relational extends QueryModule {
       ev.filter(col("event_type") === "purchase"), "cents")
   }
 
+  /** Temporal drift split point: first half of the 30-day window is the
+    * reference period, the rest is the period under test. */
+  val DriftCutoff = "2024-01-16"
+
+  /** Per-SEGMENT temporal drift (Drift.ksByGroup): each event_type's
+    * value distribution, first half-month vs the rest — every window
+    * partitioned by the segment, so the walk shards across groups. */
+  def qDriftKsGroup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+    val cut = to_date(lit(DriftCutoff))
+    graft.operators.Drift.ksByGroup(
+      ev.filter(to_date(col("ts")) < cut),
+      ev.filter(to_date(col("ts")) >= cut),
+      "event_type", "cents")
+      .orderBy(col("grp"))
+  }
+
   /** Per-bucket PSI drift terms (operators.Drift) on the same split:
     * the additive decomposition shows WHERE the distributions diverge,
     * Σ terms = the headline PSI score. */
@@ -716,6 +734,7 @@ object Relational extends QueryModule {
     "q_profile"           -> qProfile _,
     "q_drift_ks"          -> qDriftKs _,
     "q_drift_psi"         -> qDriftPsi _,
+    "q_drift_ks_group"    -> qDriftKsGroup _,
     "q_bloom_lookup"      -> qBloomLookup _,
     "q_percentile_approx" -> qPercentileApprox _,
     "q_percentile_sketch" -> qPercentileSketch _,
@@ -998,6 +1017,37 @@ object Relational extends QueryModule {
         |    / CAST(n_a * n_b AS DOUBLE), 6) AS ks,
         |  v AS ks_at
         |FROM g ORDER BY gap DESC, v LIMIT 1""".stripMargin,
+    "q_drift_ks_group" ->
+      s"""WITH e AS (SELECT event_type AS grp,
+         |    CAST(round("value" * 100, 0) AS BIGINT) AS v,
+         |    CASE WHEN CAST(ts AS DATE) < DATE '$DriftCutoff'
+         |      THEN 1 ELSE 0 END AS ca,
+         |    CASE WHEN CAST(ts AS DATE) >= DATE '$DriftCutoff'
+         |      THEN 1 ELSE 0 END AS cb
+         |  FROM events),
+         |u AS (SELECT grp, v, SUM(ca) AS ca, SUM(cb) AS cb
+         |  FROM e GROUP BY grp, v),
+         |w AS (SELECT grp, v,
+         |    SUM(ca) OVER (PARTITION BY grp ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         |    SUM(cb) OVER (PARTITION BY grp ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         |    SUM(ca) OVER (PARTITION BY grp) AS n_a,
+         |    SUM(cb) OVER (PARTITION BY grp) AS n_b
+         |  FROM u),
+         |g AS (SELECT grp, CAST(n_a AS BIGINT) AS n_a,
+         |    CAST(n_b AS BIGINT) AS n_b,
+         |    ABS(cum_a * n_b - cum_b * n_a) AS gap, v
+         |  FROM w),
+         |r AS (SELECT grp, n_a, n_b,
+         |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |      ROUND(CAST(gap AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6)
+         |    END AS ks, v AS ks_at,
+         |    ROW_NUMBER() OVER (PARTITION BY grp
+         |      ORDER BY gap DESC, v) AS rn
+         |  FROM g)
+         |SELECT grp, n_a, n_b, ks, ks_at FROM r WHERE rn = 1
+         |ORDER BY grp""".stripMargin,
     "q_drift_psi" ->
       s"""WITH e AS (SELECT event_type,
          |    CAST(round("value" * 100, 0) AS BIGINT) AS v FROM events),
