@@ -570,7 +570,10 @@ object Relational extends QueryModule {
       .repartition(8, col("doc_id"))
       .write.mode("overwrite").parquet(lay)
     val root = graft.util.Scratch.dir("bloom_lookup_idx") + "/index"
-    graft.sources.FileBloomIndex.commit(
+    // commitFull, not a merge: the layout above re-lands under fresh
+    // part names every invocation, so a merged epoch would keep rows
+    // for the previous pass's deleted files and readKeys would fail
+    graft.sources.FileBloomIndex.commitFull(
       graft.sources.FileBloomIndex.build(spark, lay, "doc_id"), root)
     graft.sources.FileBloomIndex.readKeys(spark,
         graft.sources.FileBloomIndex.read(spark, root), "doc_id",

@@ -49,13 +49,33 @@ object FileBloomIndex {
         count(lit(1)).as("row_count"))
   }
 
-  /** Upsert index rows into the committed epoch table (new files
-    * insert, rewritten files replace their row; the first commit
-    * bootstraps the epoch). */
-  def commit(index: DataFrame, root: String): Long =
+  /** Commit a FULL rebuild ([[build]] over the whole directory):
+    * REPLACES the epoch, so rows from a previous layout generation
+    * cannot survive. This is the only sound commit for a rebuild —
+    * merging a rebuild by path keeps rows for files the rewrite
+    * deleted (overwrite re-lands under fresh part names), and
+    * [[readKeys]] would then try to open dead files. */
+  def commitFull(index: DataFrame, root: String): Long =
+    graft.sinks.VersionedTable.write(index, root)
+
+  /** Upsert a DELTA batch ([[buildFor]] over [[FileManifest.newFiles]])
+    * into the committed epoch: new files insert, a re-landed same-path
+    * file replaces its row; the first commit bootstraps the epoch.
+    * Merge-by-path is correct ONLY while the file set grows
+    * append-only — after any rewrite/compaction, run [[reconcile]]
+    * (or rebuild via [[commitFull]]) so dead paths are dropped. */
+  def commitDelta(index: DataFrame, root: String): Long =
     if (graft.sinks.VersionedTable.latestVersion(index.sparkSession, root) >= 0)
       graft.sinks.VersionedTable.merge(index, root, Seq("path"))
     else graft.sinks.VersionedTable.write(index, root)
+
+  /** Drop index rows whose file no longer exists under `dataDir` —
+    * the maintenance-tick step that keeps [[commitDelta]] sound across
+    * rewrites/compactions. Returns the committed version, None when
+    * the index is already clean. */
+  def reconcile(spark: SparkSession, root: String,
+                dataDir: String): Option[Long] =
+    PathMetadata.reconcile(spark, root, dataDir)
 
   def read(spark: SparkSession, root: String): DataFrame =
     graft.sinks.VersionedTable.read(spark, root)
@@ -71,13 +91,18 @@ object FileBloomIndex {
 
   /** Exactly the rows with `keyCol` IN keys, opening only candidate
     * files. Same freshness contract as [[FileStats.readRange]]: the
-    * index must cover every live file. */
+    * index must cover every live file, and every indexed file must be
+    * live — a stale index (rewritten layout, no [[reconcile]]) fails
+    * fast here with the contract named, because silently skipping a
+    * dead path could mask keys that moved to a not-yet-indexed file. */
   def readKeys(spark: SparkSession, index: DataFrame, keyCol: String,
                keys: Seq[Column]): DataFrame = {
     val paths = candidateFiles(index, keys)
       .collect().map(_.getString(0)).sorted // |files| rows: metadata scale
-    val schema = spark.read.parquet(
-      index.select("path").head().getString(0)).schema
+    PathMetadata.requireLive(spark, paths.toIndexedSeq, "FileBloomIndex.readKeys")
+    val schema = PathMetadata.liveSchema(spark,
+      index.select("path").collect().map(_.getString(0)).toIndexedSeq,
+      "FileBloomIndex.readKeys")
     val pruned =
       if (paths.isEmpty)
         spark.createDataFrame(

@@ -114,13 +114,31 @@ object FileStats {
     spark.createDataFrame(rows, statsSchema)
   }
 
-  /** Upsert a batch's stats rows into the versioned stats table (a
-    * re-landed file's stats replace the old row — same (path) identity
-    * caveat as the manifest). Returns the committed version. */
+  /** Upsert a DELTA batch's stats rows into the versioned stats table
+    * (a re-landed same-path file's stats replace the old row — same
+    * (path) identity caveat as the manifest). Returns the committed
+    * version. Merge-by-path is correct ONLY while the file set grows
+    * append-only: after a rewrite/compaction (files re-land under NEW
+    * names), run [[reconcile]] — or rebuild via [[commitStatsFull]] —
+    * so stats rows for dead paths stop feeding pruning decisions. */
   def commitStats(stats: DataFrame, root: String): Long =
     if (VersionedTable.latestVersion(stats.sparkSession, root) < 0)
       VersionedTable.write(stats, root)
     else VersionedTable.merge(stats, root, Seq("path"))
+
+  /** Commit a FULL rebuild ([[collect]] over the whole directory):
+    * REPLACES the epoch so no previous layout's rows survive — the
+    * same rebuild-vs-delta split as [[FileBloomIndex.commitFull]]. */
+  def commitStatsFull(stats: DataFrame, root: String): Long =
+    VersionedTable.write(stats, root)
+
+  /** Drop stats rows whose file no longer exists under `dataDir` —
+    * the maintenance-tick step after [[graft.sinks.ParquetSink
+    * .compactTable]] or any overwrite re-land. Returns the committed
+    * version, None when the table is already clean. */
+  def reconcile(spark: SparkSession, root: String,
+                dataDir: String): Option[Long] =
+    PathMetadata.reconcile(spark, root, dataDir)
 
   /** Pointer-resolved read of the current stats table. */
   def readStats(spark: SparkSession, root: String): DataFrame =
@@ -172,8 +190,10 @@ object FileStats {
                 ranges: Seq[(String, Column, Column)]): DataFrame = {
     val paths = candidateFilesAll(stats, ranges)
       .collect().map(_.getString(0)).sorted // |files| rows: metadata scale
-    val schema = spark.read.parquet(
-      stats.select("path").head().getString(0)).schema
+    PathMetadata.requireLive(spark, paths.toIndexedSeq, "FileStats.readWhere")
+    val schema = PathMetadata.liveSchema(spark,
+      stats.select("path").collect().map(_.getString(0)).toIndexedSeq,
+      "FileStats.readWhere")
     val pruned =
       if (paths.isEmpty)
         spark.createDataFrame(

@@ -2017,7 +2017,7 @@ class OperatorsSpec extends AnyFunSuite {
       if (files.nonEmpty) {
         FileStats.commitStats(
           FileStats.collectFor(spark, files, Seq("doc_id")), statsRoot)
-        FileBloomIndex.commit(
+        FileBloomIndex.commitDelta(
           FileBloomIndex.buildFor(spark, files, "doc_id"), bloomRoot)
         FileManifest.commit(spark, man, nf)
       }
@@ -2071,6 +2071,99 @@ class OperatorsSpec extends AnyFunSuite {
     // a key outside the table reads no rows (usually zero files)
     assert(FileBloomIndex.readKeys(spark, idx, "doc_id",
       Seq(lit(99999999L))).count() == 0)
+  }
+
+  test("bloom index: full rebuild after a layout rewrite replaces the epoch — repeat passes stay exact; a stale delta-merge fails with the contract named, reconcile repairs it") {
+    import sources.{FileBloomIndex, FileManifest}
+    val docs = sources.Tables.documents(spark, sf)
+    val lay = util.Scratch.dir("fbi_rw_lay")
+    val root = util.Scratch.dir("fbi_rw_idx") + "/index"
+    // the q_bloom_lookup shape: overwrite re-lands the layout under
+    // FRESH part names, then a full rebuild commits. Two passes in one
+    // JVM — the r7 crash was pass 2 opening pass 1's deleted files,
+    // because the rebuild was merged by path instead of replacing.
+    def pass(): Set[Long] = {
+      docs.repartition(8, col("doc_id")).write.mode("overwrite").parquet(lay)
+      FileBloomIndex.commitFull(
+        FileBloomIndex.build(spark, lay, "doc_id"), root)
+      FileBloomIndex.readKeys(spark,
+          FileBloomIndex.read(spark, root), "doc_id", Seq(lit(7L), lit(21L)))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val first = pass()
+    val second = pass()
+    assert(first == Set(7L, 21L) && second == first)
+    // replace semantics: the epoch holds exactly the live files' rows
+    assert(FileBloomIndex.read(spark, root).count() ==
+      FileManifest.listFiles(spark, lay).count())
+    // pin the failure mode commitFull exists to prevent: merging a
+    // rebuild keeps the deleted files' rows, and the read path names
+    // the freshness contract instead of a raw PATH_NOT_FOUND
+    docs.repartition(8, col("doc_id")).write.mode("overwrite").parquet(lay)
+    FileBloomIndex.commitDelta(
+      FileBloomIndex.build(spark, lay, "doc_id"), root)
+    val ex = intercept[IllegalStateException] {
+      FileBloomIndex.readKeys(spark,
+        FileBloomIndex.read(spark, root), "doc_id", Seq(lit(7L))).collect()
+    }
+    assert(ex.getMessage.contains("stale") &&
+      ex.getMessage.contains("reconcile"))
+    // reconcile drops the dead rows; reads are exact again, and a
+    // second reconcile on the now-clean index commits nothing
+    assert(FileBloomIndex.reconcile(spark, root, lay).nonEmpty)
+    val repaired = FileBloomIndex.readKeys(spark,
+        FileBloomIndex.read(spark, root), "doc_id", Seq(lit(7L), lit(21L)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repaired == Set(7L, 21L))
+    assert(FileBloomIndex.reconcile(spark, root, lay).isEmpty)
+  }
+
+  test("maintenance tick after compaction: new files delta-indexed, dead rows reconciled away, pruned reads exact") {
+    import sources.{FileBloomIndex, FileManifest, FileStats, MetadataMaintenance}
+    val docs = sources.Tables.documents(spark, sf)
+    val land = util.Scratch.dir("maint2_land")
+    val man = util.Scratch.dir("maint2_man") + "/manifest"
+    val statsRoot = util.Scratch.dir("maint2_stats") + "/stats"
+    val bloomRoot = util.Scratch.dir("maint2_bloom") + "/bloom"
+    def tick() = MetadataMaintenance.tick(spark, land, man,
+      statsRoot, Seq("doc_id"), bloomRoot, "doc_id")
+    // land a fragmented partitioned layout (streaming-ingest shape)
+    docs.repartition(6).write.partitionBy("lang").mode("append").parquet(land)
+    val t1 = tick()
+    assert(t1.newFiles >= 6 && t1.statsReconciled.isEmpty &&
+      t1.bloomReconciled.isEmpty)
+    // compaction rewrites fragmented partition dirs under NEW paths
+    graft.sinks.ParquetSink.compactTable(spark, land,
+      maxFilesPerDir = 2, targetFilesPerDir = 1)
+    // before the tick the stats table references dead files — the
+    // read path must refuse, naming the contract, not prune wrongly
+    intercept[IllegalStateException] {
+      FileStats.readRange(spark, FileStats.readStats(spark, statsRoot),
+        "doc_id", lit(0L), lit(10000000L)).collect()
+    }
+    // one tick: compacted files surface as new (fresh paths), dead
+    // rows are reconciled out of both tables
+    val t2 = tick()
+    assert(t2.newFiles >= 1 && t2.statsReconciled.nonEmpty &&
+      t2.bloomReconciled.nonEmpty)
+    val live = FileManifest.listFiles(spark, land).count()
+    assert(FileStats.readStats(spark, statsRoot).count() == live)
+    assert(FileBloomIndex.read(spark, bloomRoot).count() == live)
+    // point and range reads are exact again and open no dead paths
+    val wantRange = docs.filter(col("doc_id").between(40L, 60L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotRange = FileStats.readRange(spark,
+        FileStats.readStats(spark, statsRoot), "doc_id", lit(40L), lit(60L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotRange == wantRange)
+    val gotKeys = FileBloomIndex.readKeys(spark,
+        FileBloomIndex.read(spark, bloomRoot), "doc_id",
+        Seq(lit(5L), lit(42L)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotKeys == Set(5L, 42L))
+    // an idle tick is a no-op everywhere
+    val t3 = tick()
+    assert(t3 == MetadataMaintenance.Tick(0, None, None))
   }
 
   test("drift: KS hits exact extremes; PSI terms vanish on identical epochs, localize a shift") {
