@@ -24,8 +24,10 @@ import org.apache.spark.sql.types._
   *
   * Buffer discipline is TopKFreq's batch eviction: grow to 2k, one
   * sort trims back to k — amortized O(log k) per row. Ordering is
-  * (score desc, id asc); the id tie-break makes the result
-  * deterministic under any partitioning and reproducible in ANSI SQL
+  * (score desc, id asc) with NaN ranked GREATEST — matching Spark's
+  * window sort and the SQL oracle's `ORDER BY score DESC` NaN
+  * semantics; the id tie-break makes the result deterministic under
+  * any partitioning and reproducible in ANSI SQL
   * (`ROW_NUMBER() OVER (ORDER BY score DESC, id)` — the oracle).
   *
   * eval returns array<struct<score double, id bigint>> sorted
@@ -61,9 +63,18 @@ case class TopKBy(score: Expression, id: Expression, k: Int,
 
   override def createAggregationBuffer(): TopKBy.Buf = new TopKBy.Buf()
 
-  /** (score desc, id asc) — the one ordering, used by trim and eval. */
+  /** (score desc, id asc) — the one ordering, used by trim and eval.
+    * Descending compares via java.lang.Double.compare on the RAW score
+    * (not a negation): Spark's window sort and the SQL oracle rank NaN
+    * greatest, and negating flips NaN to NaN, which Scala's total
+    * ordering on `-s` ascending would rank LAST — the opposite end. */
   private def sortInPlace(buf: TopKBy.Buf): Unit =
-    buf.rows.sortInPlaceBy { case (s, i) => (-s, i) }
+    buf.rows.sortInPlace()(new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1) // desc, NaN greatest
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    })
 
   private def trim(buf: TopKBy.Buf, force: Boolean): Unit =
     if (buf.rows.length > (if (force) k else 2 * k)) {
@@ -75,7 +86,10 @@ case class TopKBy(score: Expression, id: Expression, k: Int,
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null) {
-      buf.rows += ((s.asInstanceOf[Double], i.asInstanceOf[Long]))
+      // normalize -0.0 → 0.0 so the boundary tie-break can't diverge
+      // from engines that normalize floats before sorting
+      val d = s.asInstanceOf[Double]
+      buf.rows += ((if (d == 0.0d) 0.0d else d, i.asInstanceOf[Long]))
       trim(buf, force = false)
     }
     buf

@@ -114,10 +114,17 @@ object Drift {
   def psi(a: DataFrame, b: DataFrame, valCol: String,
           lo: Long, hi: Long, nBuckets: Int): DataFrame = {
     require(nBuckets >= 2 && hi > lo, "need hi > lo and >= 2 buckets")
-    def bucketOf(c: Column): Column =
-      least(lit(nBuckets - 1), greatest(lit(0),
-        floor((c.cast("long") - lit(lo)) * lit(nBuckets.toLong) /
-          lit(hi - lo + 1)).cast("int")))
+    // clamp BEFORE the bucket arithmetic: the edge-bucket contract is
+    // enforced on the value, so (v - lo) ∈ [0, hi - lo] and the
+    // product cannot overflow for extreme inputs (|v| near 2^63 /
+    // nBuckets previously wrapped negative and landed in bucket 0
+    // instead of the top edge). Residual bound: (hi - lo) · nBuckets
+    // must fit a long — the same quantized-span contract as ks().
+    def bucketOf(c: Column): Column = {
+      val v = least(lit(hi), greatest(lit(lo), c.cast("long")))
+      floor((v - lit(lo)) * lit(nBuckets.toLong) / lit(hi - lo + 1))
+        .cast("int")
+    }
     def side(df: DataFrame, n: String): DataFrame =
       df.filter(col(valCol).isNotNull)
         .groupBy(bucketOf(col(valCol)).as("bucket"))

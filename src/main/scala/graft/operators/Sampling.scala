@@ -22,9 +22,15 @@ object Sampling {
   /** The canonical stratum-salted hash input, `id|stratum` — ONE
     * definition shared by every stratified operator so the salt format
     * cannot drift between operators or from the DuckDB oracles'
-    * `md5(CAST(id AS VARCHAR) || '|' || stratum)`. */
+    * `md5(CAST(id AS VARCHAR) || '|' || stratum)`. A NULL stratum
+    * salts as NUL (a value no real stratum string contains), so
+    * NULL-stratum rows get a real hash and sample as their own
+    * stratum instead of vanishing through NULL-propagating concat —
+    * oracles over a nullable stratum mirror it with
+    * `coalesce(stratum, chr(0))`. */
   private def stratumSalt(idCol: String, strataCol: String): Column =
-    concat(col(idCol).cast("string"), lit("|"), col(strataCol))
+    concat(col(idCol).cast("string"), lit("|"),
+      coalesce(col(strataCol).cast("string"), lit("\u0000")))
 
   /** Deterministic fraction-sample: keep rows with hashUnit(id) < f. */
   def sampleByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame =
@@ -82,22 +88,34 @@ object Sampling {
     * the window form documents as its limitation simply never happens.
     * Smallest-hash-first maps onto TopKBy's largest-score contract by
     * negating the hash (ties still break on id asc). Requires a
-    * bigint-castable id, unique per stratum (the sane sampling
-    * contract); row equality with the window form is spec-asserted. */
+    * bigint-castable, non-NULL id, unique per stratum (the sane
+    * sampling contract) — an id that casts to NULL fails fast rather
+    * than silently dropping the row. A NULL stratum is its own
+    * stratum (null-safe join), exactly as the window form's
+    * partitionBy treats it; row equality with the window form is
+    * spec-asserted. */
   def exactKPerStratumAgg(df: DataFrame, idCol: String, strataCol: String,
                           k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     graft.functions.VectorExpressions.ensureRegistered(df.sparkSession)
     val u = Dedup.hash32(stratumSalt(idCol, strataCol))
+    // fail fast on a NULL-casting id: TopKBy's update would skip the
+    // row (SQL aggregate convention), silently diverging from the
+    // window draw, which keeps it — per-row codegen'd branch, no scan
+    val idLong = coalesce(col(idCol).cast("long"),
+      raise_error(concat(
+        lit(s"exactKPerStratumAgg: id column '$idCol' must cast to " +
+          "non-NULL bigint, got: "),
+        coalesce(col(idCol).cast("string"), lit("NULL")))).cast("long"))
     val kept = df
-      .select(col(strataCol).as("_samp_g"), col(idCol).cast("long").as("_samp_id"),
+      .select(col(strataCol).as("_samp_g"), idLong.as("_samp_id"),
         (-u).cast("double").as("_samp_s"))
       .groupBy(col("_samp_g"))
       .agg(graft.functions.VectorExpressions
         .topkBy(col("_samp_s"), col("_samp_id"), k).as("tk"))
       .select(col("_samp_g"),
         explode(transform(col("tk"), e => e.getField("id"))).as("_samp_id"))
-    df.join(kept, df(strataCol) === kept("_samp_g") &&
+    df.join(kept, df(strataCol) <=> kept("_samp_g") &&
       df(idCol).cast("long") === kept("_samp_id"), "left_semi")
   }
 

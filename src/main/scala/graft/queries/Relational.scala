@@ -375,7 +375,14 @@ object Relational extends QueryModule {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("v_min"),
         max(col("v")).as("v_max"))
-    out
+    // materialize the ≤k-row result, then RELEASE the cached sort —
+    // the cache exists only to share the sorted table between the
+    // count collect above and this aggregate; leaving it pinned would
+    // charge every library caller lingering executor memory per call
+    val rows = out.collect()
+    sorted.unpersist()
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** Equi-depth 8-bucket histogram of event values. */

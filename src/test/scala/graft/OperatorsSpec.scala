@@ -2185,6 +2185,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(terms.values.forall(_ >= 0.0))
     assert(terms(0) > 0 && terms(3) > 0,
       s"shift must localize in edge buckets, got $terms")
+    // extreme values clamp to the edge BUCKETS, not wrap: before the
+    // value-level clamp, (v - lo) * nBuckets overflowed long for |v|
+    // near 2^63/nBuckets and mis-assigned the TOP edge to bucket 0
+    val extreme = Seq(Long.MaxValue, Long.MaxValue - 1, Long.MinValue)
+      .toDF("v")
+    val eb = Drift.psi(a, extreme, "v", 0L, 15L, 4).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(eb(3) == 2L && eb(0) == 1L,
+      s"extremes must land in their edge buckets, got $eb")
   }
 
   test("profiler: exact one-pass stats; HLL mode in tolerance; other-kind columns keep NULL envelopes") {
@@ -2224,6 +2233,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaAgg == viaWin && viaAgg.nonEmpty,
       "both strategies must draw the same deterministic sample")
     assert(viaAgg.groupBy(_._2).values.forall(_.size <= 7))
+    // a NULL stratum is its own stratum in BOTH forms (window
+    // partitionBy groups NULLs; the agg form joins null-safely)
+    val withNulls = docs.withColumn("lang",
+      when(col("doc_id") % 11 === 0, lit(null: String))
+        .otherwise(col("lang")))
+    val nWin = rows(Sampling.exactKPerStratum(withNulls, "doc_id", "lang", 5))
+    val nAgg = rows(Sampling.exactKPerStratumAgg(withNulls, "doc_id", "lang", 5))
+    assert(nAgg == nWin && nAgg.exists(_._2 == null),
+      "NULL stratum must be sampled identically by both forms")
+    // an id that cannot cast to bigint fails fast instead of silently
+    // vanishing from the draw
+    val badId = docs.withColumn("doc_id",
+      concat(lit("x"), col("doc_id").cast("string")))
+    val err = intercept[Exception] {
+      Sampling.exactKPerStratumAgg(badId, "doc_id", "lang", 3).collect()
+    }
+    // under ANSI the cast itself throws; with ANSI off the
+    // raise_error guard fires — either way, fail-fast, never a
+    // silent drop from the draw
+    def mentions(t: Throwable): Boolean = t != null && (
+      t.getMessage.contains("must cast to non-NULL bigint") ||
+        t.getMessage.contains("CAST_INVALID_INPUT") ||
+        mentions(t.getCause))
+    assert(mentions(err), s"unexpected failure: ${err.getMessage}")
   }
 
   test("topk_by == row_number window; partitioning-invariant; nulls skipped") {
@@ -2232,16 +2265,24 @@ class OperatorsSpec extends AnyFunSuite {
     VectorExpressions.ensureRegistered(spark)
     val rnd = new scala.util.Random(7)
     // only 50 distinct scores over 2000 rows: heavy ties stress the
-    // deterministic id tie-break; every 97th score is NULL
+    // deterministic id tie-break; every 97th score is NULL; every
+    // 131st is NaN — Spark's sort ranks NaN GREATEST, and the
+    // aggregate must agree (a negated-score ordering would rank NaN
+    // last, the opposite end)
     val rows = (1 to 2000).map { i =>
       (s"g${i % 7}", i.toLong,
         if (i % 97 == 0) null.asInstanceOf[java.lang.Double]
+        else if (i % 131 == 0) java.lang.Double.valueOf(Double.NaN)
         else java.lang.Double.valueOf(rnd.nextInt(50).toDouble))
     }
     val df = rows.toDF("g", "id", "v")
+    // compare scores by BITS: Scala's boxed numeric equality follows
+    // primitive ==, under which NaN != NaN and the NaN rows would
+    // spuriously fail the comparison
     def shape(d: org.apache.spark.sql.DataFrame) =
       d.collect().map(r =>
-        (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+        (r.getString(0), r.getInt(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
     def viaAgg(d: org.apache.spark.sql.DataFrame) = shape(
       d.groupBy(col("g"))
         .agg(VectorExpressions.topkBy(col("v"), col("id"), 5).as("tk"))
@@ -2261,7 +2302,9 @@ class OperatorsSpec extends AnyFunSuite {
     // a group smaller than k returns all its rows, still ordered
     val small = Seq(("s", 1L, java.lang.Double.valueOf(2.0)),
       ("s", 2L, java.lang.Double.valueOf(9.0))).toDF("g", "id", "v")
-    assert(viaAgg(small) == Seq(("s", 1, 2L, 9.0), ("s", 2, 1L, 2.0)))
+    assert(viaAgg(small) == Seq(
+      ("s", 1, 2L, java.lang.Double.doubleToLongBits(9.0)),
+      ("s", 2, 1L, java.lang.Double.doubleToLongBits(2.0))))
   }
 
   test("rrf fusion: dual-list membership dominates, ranks dense, ties break on id") {

@@ -150,4 +150,15 @@ class QueriesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
     assert(b(2L) == ((3.0, 4.0)), "bucket 2 holds ranks 3-4 (incl. rank 4)")
   }
+
+  test("equiDepthHistogram releases its internal cache — no lingering executor memory per library call") {
+    import spark.implicits._
+    spark.sharedState.cacheManager.clearCache()
+    val df = (1 to 500).map(i => (i.toDouble, i.toLong)).toDF("v", "id")
+    val got = queries.Relational.equiDepthHistogram(df, "v", "id", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 125L, 2L -> 125L, 3L -> 125L, 4L -> 125L))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the sorted intermediate must be unpersisted before returning")
+  }
 }
