@@ -82,12 +82,20 @@ object Bench {
     spark.catalog.clearCache()
     graft.util.OpMetrics.reset() // drop metrics scraped during warmup
     val loadStart = loadAvg()
+    // Mid-run hot detection (round-7 lesson: the start-only gate passed
+    // at 2.81, then something landed on the machine mid-run and
+    // q_tfidf_sim committed at 5.6× its idle time — the artifact looked
+    // clean but wasn't). Sample the loadavg around EVERY query; any
+    // query whose run borders a hot sample is flagged, and one hot
+    // sample anywhere marks the whole artifact.
+    val hotQueries = scala.collection.mutable.LinkedHashSet.empty[String]
     // deterministic name order so per-round timings are comparable
     // (shared cached plans make times order-sensitive otherwise)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      if (loadAvg() > maxLoad) hotQueries += name
       def onePass(): Double = {
         val t0 = System.nanoTime()
         // noop sink: full materialization of every row and column (count()
@@ -116,6 +124,7 @@ object Bench {
         // fast min while also flagging an error)
         if (errors.contains(name)) d1 else math.min(d1, d2)
       }
+      if (loadAvg() > maxLoad) hotQueries += name
       name -> dt
     }
     // 3-decimal fixed-point rendering: 9-digit mantissas tripled the
@@ -139,19 +148,36 @@ object Bench {
       if (observed.isEmpty) ""
       else observed.toSeq.sorted.map { case (k, v) => s"\"$k\":$v" }
         .mkString(""","observed":{""", ",", "}")
+    val anyHot = hotMachine || hotQueries.nonEmpty
     val loadJson = s""","loadavg":{"start":$loadStart,"end":${loadAvg()}}""" +
-      (if (hotMachine) ""","hot_machine":true""" else "")
+      (if (anyHot) ""","hot_machine":true""" else "") +
+      (if (hotQueries.nonEmpty)
+        hotQueries.map("\"" + _ + "\"")
+          .mkString(""","hot_queries":[""", ",", "]")
+      else "")
     val artifact = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$obsJson$loadJson}"""
     println(artifact)
     // Committed twin of the artifact: the driver's bounded tail capture
     // truncated the printed JSON three rounds running (r4: 17 timings
     // lost, r5: 17, r6: 23) — the full per-query record must not depend
     // on a capture window we don't control. Best-effort: a read-only cwd
-    // must not fail the bench itself.
+    // must not fail the bench itself. A HOT run never overwrites a
+    // clean committed artifact: contention numbers masquerading as the
+    // round's record are worse than a stale clean record (the stdout
+    // copy still carries the hot run, self-identified).
     try {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
-      java.nio.file.Files.write(p, (artifact + "\n").getBytes("UTF-8"))
+      val priorClean = java.nio.file.Files.exists(p) &&
+        !new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .contains("\"hot_machine\":true")
+      if (anyHot && priorClean)
+        System.err.println(
+          "[bench] machine went hot during the run (queries: " +
+            hotQueries.mkString(", ") +
+            ") — keeping the existing clean BENCH_LOCAL.json")
+      else
+        java.nio.file.Files.write(p, (artifact + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e")
     }
