@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // planner-integrated data skipping: plain filters over directories
+    // registered with graft.plans.GraftTables prune files against the
+    // committed stats/bloom epochs at optimization time
+    ext.injectOptimizerRule(session => graft.plans.StatsPruneRule(session))
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),

@@ -1,0 +1,234 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.StructType
+
+/** Planner-integrated data skipping over the committed
+  * [[graft.sources.FileStats]] / [[graft.sources.FileBloomIndex]]
+  * epochs — the Delta/Iceberg ergonomics on plain parquet: after a
+  * one-time [[GraftTables.register]] of a directory's metadata roots,
+  * a plain `spark.read.parquet(dir).filter(...)` prunes files at
+  * PLANNING time with no API opt-in. The read paths
+  * (`FileStats.readRange`, `FileBloomIndex.readKeys`) stay available
+  * for explicit use; this rule is what makes every OTHER query — the
+  * ones a user writes without thinking about metadata — benefit.
+  *
+  * Soundness is exclusion-by-proof over the scan's OWN listing: a
+  * file is dropped only when a committed metadata row for that exact
+  * file proves no row can match (stats envelope misses the conjunct's
+  * range, or the bloom filter denies every probed key — blooms have
+  * no false negatives). Files with no metadata row (not yet indexed)
+  * and stale rows for deleted files (they exclude nothing from a
+  * listing they don't appear in) both degrade to "keep" — the rule is
+  * correct under ANY metadata staleness, and metadata freshness only
+  * governs how much is pruned. Spark still applies the full predicate
+  * to surviving rows, so a kept-but-unmatching file costs I/O, never
+  * wrong rows.
+  *
+  * Scale shape: the planning-time cost is two metadata-scale queries
+  * (the |files|-row stats/bloom epochs) per registered scan — the
+  * same listing-order cost Delta pays against its log, independent of
+  * data volume. The pruned index DELEGATES to the original file
+  * index, so directory-partition pruning, schema, and locality
+  * compose unchanged.
+  */
+object GraftTables {
+
+  /** Metadata registration for one parquet directory. */
+  final case class Entry(dataDir: String,
+                         statsRoot: Option[String], statsCols: Seq[String],
+                         bloomRoot: Option[String], bloomKey: Option[String])
+
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  private[plans] def canon(p: String): String = new Path(p).toUri.getPath
+
+  /** Register `dataDir`'s committed metadata roots. Idempotent;
+    * re-registering replaces the entry. `statsCols` must name columns
+    * tracked by the stats table at `statsRoot`; `bloomKey` the column
+    * indexed at `bloomRoot`. */
+  def register(dataDir: String,
+               statsRoot: Option[String] = None,
+               statsCols: Seq[String] = Nil,
+               bloomRoot: Option[String] = None,
+               bloomKey: Option[String] = None): Unit = {
+    require(statsRoot.isEmpty == statsCols.isEmpty,
+      "statsRoot and statsCols must be given together")
+    require(bloomRoot.isEmpty == bloomKey.isEmpty,
+      "bloomRoot and bloomKey must be given together")
+    require(statsRoot.nonEmpty || bloomRoot.nonEmpty,
+      "register at least one metadata root")
+    tables.put(canon(dataDir),
+      Entry(dataDir, statsRoot, statsCols, bloomRoot, bloomKey)): Unit
+  }
+
+  def unregister(dataDir: String): Unit = tables.remove(canon(dataDir)): Unit
+  def clear(): Unit = tables.clear()
+
+  private[plans] def lookup(rootPaths: Seq[Path]): Option[Entry] =
+    rootPaths match {
+      case Seq(one) => Option(tables.get(one.toUri.getPath))
+      case _ => None // multi-root scans: no single metadata identity
+    }
+}
+
+/** A [[FileIndex]] that delegates listing to the scan's original
+  * index and drops files the metadata PROVED unmatching. Also the
+  * idempotence marker: the rule never re-prunes a relation whose
+  * location is already one of these. */
+final class GraftPrunedFileIndex(delegate: FileIndex,
+                                 excluded: Set[String]) extends FileIndex {
+  override def rootPaths: Seq[Path] = delegate.rootPaths
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    delegate.listFiles(partitionFilters, dataFilters).map { pd =>
+      pd.copy(files = pd.files.filterNot(f =>
+        excluded.contains(f.getPath.toUri.getPath)))
+    }
+  override def inputFiles: Array[String] =
+    delegate.inputFiles.filterNot(p =>
+      excluded.contains(new Path(p).toUri.getPath))
+  override def refresh(): Unit = delegate.refresh()
+  override def sizeInBytes: Long = delegate.sizeInBytes // sound upper bound
+  override def partitionSchema: StructType = delegate.partitionSchema
+  override def metadataOpsTimeNs: Option[Long] = delegate.metadataOpsTimeNs
+}
+
+/** The optimizer rule: for a Filter directly over a registered
+  * parquet scan, consult the committed stats/bloom epochs and replace
+  * the relation's file index with a pruned delegate. Injected by
+  * [[graft.GraftExtensions]]; runs inside the operator-optimization
+  * fixed point, so the marker class above keeps it one-shot per scan
+  * and the metadata queries it issues (which re-enter the optimizer
+  * on an unregistered scan) terminate trivially. */
+case class StatsPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (StatsPruneRule.inMetadataQuery.get()) plan
+    else plan.transformDown {
+      case f @ Filter(cond, l: LogicalRelation) =>
+        l.relation match {
+          case r: HadoopFsRelation
+            if !r.location.isInstanceOf[GraftPrunedFileIndex] =>
+            GraftTables.lookup(r.location.rootPaths) match {
+              case Some(entry) =>
+                val excluded = provablyExcluded(cond, entry)
+                val pruned = new GraftPrunedFileIndex(r.location, excluded)
+                Filter(cond, l.copy(relation =
+                  r.copy(location = pruned)(r.sparkSession)))
+              case None => f
+            }
+          case _ => f
+        }
+    }
+
+  /** Conjuncts of a predicate. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case x => Seq(x)
+  }
+
+  private def scalaLit(l: Literal): Column =
+    lit(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+
+  /** Canonical paths of files the metadata PROVES cannot match
+    * `cond`. Any failure (mis-registered roots, schema drift) logs
+    * and excludes nothing — pruning is an optimization, never a
+    * correctness dependency. */
+  private def provablyExcluded(cond: Expression,
+                               entry: GraftTables.Entry): Set[String] = {
+    StatsPruneRule.inMetadataQuery.set(true)
+    try {
+      // per-column closed bounds from the conjuncts (strict bounds
+      // relax to closed — sound, marginally less tight) and equality
+      // probe keys for the bloom column
+      val lows = scala.collection.mutable.Map.empty[String, List[Column]]
+      val highs = scala.collection.mutable.Map.empty[String, List[Column]]
+      var keys = List.empty[Column]
+      def addLo(c: String, v: Column): Unit =
+        lows(c) = v :: lows.getOrElse(c, Nil)
+      def addHi(c: String, v: Column): Unit =
+        highs(c) = v :: highs.getOrElse(c, Nil)
+      conjuncts(cond).foreach {
+        case EqualTo(a: AttributeReference, v: Literal) =>
+          addLo(a.name, scalaLit(v)); addHi(a.name, scalaLit(v))
+          if (entry.bloomKey.contains(a.name)) keys ::= scalaLit(v)
+        case EqualTo(v: Literal, a: AttributeReference) =>
+          addLo(a.name, scalaLit(v)); addHi(a.name, scalaLit(v))
+          if (entry.bloomKey.contains(a.name)) keys ::= scalaLit(v)
+        case GreaterThan(a: AttributeReference, v: Literal) => addLo(a.name, scalaLit(v))
+        case GreaterThanOrEqual(a: AttributeReference, v: Literal) => addLo(a.name, scalaLit(v))
+        case LessThan(a: AttributeReference, v: Literal) => addHi(a.name, scalaLit(v))
+        case LessThanOrEqual(a: AttributeReference, v: Literal) => addHi(a.name, scalaLit(v))
+        case GreaterThan(v: Literal, a: AttributeReference) => addHi(a.name, scalaLit(v))
+        case GreaterThanOrEqual(v: Literal, a: AttributeReference) => addHi(a.name, scalaLit(v))
+        case LessThan(v: Literal, a: AttributeReference) => addLo(a.name, scalaLit(v))
+        case LessThanOrEqual(v: Literal, a: AttributeReference) => addLo(a.name, scalaLit(v))
+        case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+          if (entry.bloomKey.contains(a.name))
+            keys :::= vs.map(v => scalaLit(v.asInstanceOf[Literal])).toList
+        case InSet(a: AttributeReference, vs) =>
+          if (entry.bloomKey.contains(a.name))
+            keys :::= vs.toList.map(v => lit(
+              CatalystTypeConverters.convertToScala(v, a.dataType)))
+        case _ => () // unsupported conjunct: contributes no proof
+      }
+      var excluded = Set.empty[String]
+      // stats-envelope proofs: stats-covered files NOT in the sound
+      // candidate set provably miss the range conjunction
+      for (root <- entry.statsRoot) {
+        val ranges = entry.statsCols.flatMap { c =>
+          val lo = lows.get(c).map(_.reduce(
+            (x, y) => org.apache.spark.sql.functions.greatest(x, y)))
+          val hi = highs.get(c).map(_.reduce(
+            (x, y) => org.apache.spark.sql.functions.least(x, y)))
+          if (lo.isEmpty && hi.isEmpty) None
+          // an open side becomes a NULL bound (NullType coerces to the
+          // envelope's type): its comparison is unknown, and
+          // candidateFilesAll's explicit `<=> true` proofs treat
+          // unknown as "keep" — an open bound prunes nothing, soundly
+          else Some((c, lo.getOrElse(lit(null)), hi.getOrElse(lit(null))))
+        }
+        if (ranges.nonEmpty) {
+          val stats = graft.sources.FileStats.readStats(spark, root)
+          val all = stats.select("path").collect()
+            .map(r => GraftTables.canon(r.getString(0))).toSet
+          val kept = graft.sources.FileStats
+            .candidateFilesAll(stats, ranges)
+            .collect().map(r => GraftTables.canon(r.getString(0))).toSet
+          excluded ++= all -- kept
+        }
+      }
+      // bloom proofs: indexed files whose bloom denies EVERY probe key
+      for (root <- entry.bloomRoot if keys.nonEmpty) {
+        val idx = graft.sources.FileBloomIndex.read(spark, root)
+        val all = idx.select("path").collect()
+          .map(r => GraftTables.canon(r.getString(0))).toSet
+        val kept = graft.sources.FileBloomIndex.candidateFiles(idx, keys)
+          .collect().map(r => GraftTables.canon(r.getString(0))).toSet
+        excluded ++= all -- kept
+      }
+      excluded
+    } catch {
+      case e: Exception =>
+        logWarning(s"graft stats pruning skipped for ${entry.dataDir}: $e")
+        Set.empty
+    } finally StatsPruneRule.inMetadataQuery.set(false)
+  }
+
+}
+
+object StatsPruneRule {
+  /** Re-entrancy guard: the rule issues metadata queries during
+    * optimization; those must not be pruned (or recurse). */
+  private[plans] val inMetadataQuery: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+}

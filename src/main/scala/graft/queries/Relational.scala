@@ -539,6 +539,37 @@ object Relational extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** PLANNER-integrated data skipping (plans.StatsPruneRule): same
+    * layout and stats as [[qPrunedScan]], but the query itself is a
+    * PLAIN `spark.read.parquet(dir).filter(...)` — no readRange
+    * opt-in. The one-time [[graft.plans.GraftTables.register]] call
+    * is the table's metadata registration (the Delta/Iceberg
+    * ergonomics); the injected optimizer rule consults the committed
+    * stats epoch at planning time and swaps in a pruned file index.
+    * The oracle is the plain row filter — pruning must be invisible
+    * in results; PlanSpec asserts the file skip actually happens. */
+  def qPlannerPruned(spark: SparkSession, dir: String): DataFrame = {
+    val lay = graft.util.Scratch.dir("planner_pruned")
+    Tables.events(spark, dir)
+      .withColumn("d", to_date(col("ts")))
+      .repartitionByRange(8, col("d"))
+      .write.mode("overwrite").parquet(lay)
+    val root = graft.util.Scratch.dir("planner_pruned_meta") + "/stats"
+    // full rebuild — the layout re-lands under fresh names per
+    // invocation, so the epoch must REPLACE (the q_bloom_lookup lesson)
+    graft.sources.FileStats.commitStatsFull(
+      graft.sources.FileStats.collect(spark, lay, Seq("d")), root)
+    graft.plans.GraftTables.register(lay,
+      statsRoot = Some(root), statsCols = Seq("d"))
+    spark.read.parquet(lay)
+      .filter(col("d").between(
+        lit(java.sql.Date.valueOf("2024-01-20")),
+        lit(java.sql.Date.valueOf("2024-01-24"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Rolling TIME-RANGE window — the frame ROWS can't express: per
     * user, the sum of `value` and event count over the trailing hour
     * of EVENT TIME (inclusive both ends, so simultaneous events share
@@ -755,6 +786,7 @@ object Relational extends QueryModule {
     "q_regression"        -> qRegression _,
     "q_asof_join_fwd"     -> qAsofJoinFwd _,
     "q_pruned_scan"       -> qPrunedScan _,
+    "q_planner_pruned"    -> qPlannerPruned _,
     "q_rolling_window"    -> qRollingWindow _,
     "q_cube"              -> qCube _,
     "q_expectations"      -> qExpectations _)
@@ -989,6 +1021,11 @@ object Relational extends QueryModule {
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM("value"), 2) AS total_value
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-13'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_planner_pruned" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM("value"), 2) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-20' AND DATE '2024-01-24'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rolling_window" ->
       """WITH e AS (SELECT event_id, user_id, ts,

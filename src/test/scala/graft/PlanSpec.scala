@@ -458,4 +458,74 @@ class PlanSpec extends AnyFunSuite {
         s"fingerprint confirmation must be a shuffled equi-join:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  /** Planner-integrated data skipping (plans.StatsPruneRule): once a
+    * directory's metadata roots are registered, a PLAIN
+    * `spark.read.parquet(dir).filter(...)` must open fewer files than
+    * the directory holds — no readRange/readKeys opt-in — and return
+    * exactly the unpruned rows. */
+  test("registered table: plain filters prune files at planning time via stats and bloom epochs") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // force planning through AQE final plan
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: FileSourceScanExec => s.relation.location.inputFiles.length.toLong
+      }.sum
+    }
+    val docs = sources.Tables.documents(spark, sf)
+    // range layout on doc_id → stats envelopes are narrow and disjoint
+    val lay = util.Scratch.dir("rule_stats_lay")
+    docs.repartitionByRange(8, col("doc_id"))
+      .write.mode("overwrite").parquet(lay)
+    val statsRoot = util.Scratch.dir("rule_stats_meta") + "/stats"
+    sources.FileStats.commitStatsFull(
+      sources.FileStats.collect(spark, lay, Seq("doc_id")), statsRoot)
+    // hash layout on doc_id → envelopes prune nothing, blooms must
+    val hashLay = util.Scratch.dir("rule_bloom_lay")
+    docs.repartition(8, col("doc_id"))
+      .write.mode("overwrite").parquet(hashLay)
+    val bloomRoot = util.Scratch.dir("rule_bloom_meta") + "/bloom"
+    sources.FileBloomIndex.commitFull(
+      sources.FileBloomIndex.build(spark, hashLay, "doc_id"), bloomRoot)
+    try {
+      val want = docs.filter(col("doc_id").between(10L, 40L))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // unregistered: correct but opens every file
+      val before = spark.read.parquet(lay)
+        .filter(col("doc_id").between(10L, 40L))
+      val totalFiles = scannedFiles(spark.read.parquet(lay).filter(lit(true)))
+      assert(scannedFiles(before) == totalFiles,
+        "without registration nothing should be pruned")
+      plans.GraftTables.register(lay,
+        statsRoot = Some(statsRoot), statsCols = Seq("doc_id"))
+      val after = spark.read.parquet(lay)
+        .filter(col("doc_id").between(10L, 40L))
+      assert(scannedFiles(after) < totalFiles,
+        "stats registration must prune files from a plain filter scan")
+      assert(after.select("doc_id").collect().map(_.getLong(0)).toSet == want,
+        "pruning must be invisible in results")
+      // bloom: point lookups through a plain isin filter
+      plans.GraftTables.register(hashLay,
+        bloomRoot = Some(bloomRoot), bloomKey = Some("doc_id"))
+      val probe = spark.read.parquet(hashLay)
+        .filter(col("doc_id").isin(7L, 21L))
+      val hashTotal = scannedFiles(spark.read.parquet(hashLay).filter(lit(true)))
+      assert(scannedFiles(probe) < hashTotal,
+        "bloom registration must prune files for equality probes")
+      assert(probe.select("doc_id").collect().map(_.getLong(0)).toSet ==
+        Set(7L, 21L))
+      // staleness degrades to keep, never to wrong rows: rewrite the
+      // layout (fresh file names) WITHOUT refreshing the stats epoch
+      docs.repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(lay)
+      val stale = spark.read.parquet(lay)
+        .filter(col("doc_id").between(10L, 40L))
+      assert(stale.select("doc_id").collect().map(_.getLong(0)).toSet == want,
+        "stale metadata excludes nothing it can't prove — results exact")
+    } finally {
+      plans.GraftTables.unregister(lay)
+      plans.GraftTables.unregister(hashLay)
+    }
+  }
 }
