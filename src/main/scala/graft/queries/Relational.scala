@@ -711,15 +711,22 @@ object Relational extends QueryModule {
       .withColumn("day", to_date(col("ts")))
       .withColumn("cents", round(col("value") * 100, 0).cast("long"))
     val keys = Seq("event_type", "day")
+    // extrema tracked through the bounded value histogram: per
+    // (type, day) key the distinct cent values are bounded by the
+    // day's row count — 8192 is honest headroom at the bench scale
     val state0 = IncrementalAgg.build(
-      ev.filter(col("event_id") % 4 =!= 3), keys, col("cents"))
+      ev.filter(col("event_id") % 4 =!= 3), keys, col("cents"),
+      extremaSupport = 8192)
     val delta = ev.filter(col("event_id") % 4 === 3)
       .withColumn("op", lit("I"))
       .unionByName(ev.filter(col("event_id") % 16 === 0)
         .withColumn("op", lit("D")))
-    IncrementalAgg.applyDelta(state0, delta, keys, col("cents"), col("op"))
+    IncrementalAgg.applyDelta(state0, delta, keys, col("cents"), col("op"),
+        extremaSupport = 8192)
       .select(col("event_type"), col("day"), col("n"),
-        round(col("val_sum") / lit(100.0), 2).as("total_value"))
+        round(col("val_sum") / lit(100.0), 2).as("total_value"),
+        round(col("v_min") / lit(100.0), 2).as("min_value"),
+        round(col("v_max") / lit(100.0), 2).as("max_value"))
       .orderBy(col("event_type"), col("day"))
   }
 
@@ -1147,7 +1154,9 @@ object Relational extends QueryModule {
         |    CAST(round("value" * 100, 0) AS BIGINT) AS cents
         |  FROM events WHERE event_id % 16 <> 0)
         |SELECT event_type, day, COUNT(*) AS n,
-        |  ROUND(CAST(SUM(cents) AS BIGINT) / 100.0, 2) AS total_value
+        |  ROUND(CAST(SUM(cents) AS BIGINT) / 100.0, 2) AS total_value,
+        |  ROUND(MIN(cents) / 100.0, 2) AS min_value,
+        |  ROUND(MAX(cents) / 100.0, 2) AS max_value
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_cube" ->
       """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, "value" FROM events)

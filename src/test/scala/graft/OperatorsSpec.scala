@@ -1989,6 +1989,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(repaired == want, "range repair must equal the piecewise rebuild")
   }
 
+  test("incremental view extrema: deleted extremum re-derives exactly; fold == rebuild; support bound fails fast") {
+    import operators.IncrementalAgg
+    val facts = Seq(("a", 9L), ("a", 9L), ("a", 5L), ("a", 1L), ("b", 7L))
+      .toDF("k", "v")
+    val st = IncrementalAgg.build(facts, Seq("k"), col("v"),
+      extremaSupport = 8)
+    def row(df: org.apache.spark.sql.DataFrame, k: String) =
+      df.filter(col("k") === k)
+        .select("n", "val_sum", "v_min", "v_max")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).head
+    assert(row(st, "a") == ((4L, 24L, 1L, 9L)))
+    // retract ONE of the two 9s: max must STAY 9 (count 2 → 1)…
+    val d1 = IncrementalAgg.applyDelta(st,
+      Seq(("a", 9L, "D")).toDF("k", "v", "op"),
+      Seq("k"), col("v"), col("op"), extremaSupport = 8)
+    assert(row(d1, "a") == ((3L, 15L, 1L, 9L)))
+    // …then the other 9 AND the 1: both extrema re-derive exactly
+    val d2 = IncrementalAgg.applyDelta(d1,
+      Seq(("a", 9L, "D"), ("a", 1L, "D")).toDF("k", "v", "op"),
+      Seq("k"), col("v"), col("op"), extremaSupport = 8)
+    assert(row(d2, "a") == ((1L, 5L, 5L, 5L)))
+    // fold == rebuild bit-equal, histogram included (sorted entries)
+    val rebuilt = IncrementalAgg.build(
+      Seq(("a", 5L), ("b", 7L)).toDF("k", "v"), Seq("k"), col("v"),
+      extremaSupport = 8)
+    assert(d2.orderBy("k").collect().toSeq ==
+      rebuilt.orderBy("k").collect().toSeq,
+      "extrema fold must be row-identical to a rebuild")
+    // a key exceeding the distinct-value bound fails fast, never a
+    // silently truncated histogram
+    val wide = (1 to 20).map(i => ("w", i.toLong)).toDF("k", "v")
+    intercept[Exception] {
+      IncrementalAgg.build(wide, Seq("k"), col("v"),
+        extremaSupport = 8).collect()
+    }
+    // state/parameter mismatch is a caller bug, caught at the seam
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.applyDelta(st,
+        Seq(("a", 9L, "D")).toDF("k", "v", "op"),
+        Seq("k"), col("v"), col("op"))
+    }
+  }
+
   test("keep-best-in-cluster: highest score survives, ties to smaller id, unscored never dropped") {
     import operators.Dedup
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
