@@ -7,18 +7,38 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, not}
   * persisted-index docs prescribe ([[graft.operators.Dedup
   * .saveMinhashIndex]]'s non-atomicity note), implemented: every write
   * lands in a FRESH `epoch=N` directory, and readers resolve the
-  * current epoch through a pointer file that is replaced atomically
-  * (write-temp + rename). A reader holding the old pointer keeps
-  * reading the old epoch's (immutable, fully written) files; a torn
-  * writer leaves at worst an orphaned epoch directory that the next
-  * successful flip supersedes — parquet overwrite's delete-then-write
-  * window never exists for readers.
+  * current epoch through a pointer file plus the committed epoch
+  * listing. A reader holding an old resolution keeps reading the old
+  * epoch's (immutable, fully written) files — parquet overwrite's
+  * delete-then-write window never exists for readers.
   *
-  * This is deliberately a MINIMAL single-writer design (one pointer,
-  * no optimistic-concurrency log): index artifacts — MinHash epochs,
-  * sketch tables, IVF/PQ models — have one maintaining batch job by
-  * construction. Old epochs are retained for as-of reads
-  * ([[readVersion]]) until [[vacuum]] drops all but the newest k.
+  * MULTI-WRITER SAFE commit protocol (optimistic, lock-free): a writer
+  * first lands the epoch's data in a hidden `.stage-<uuid>` directory
+  * (invisible to readers and to version resolution), then CLAIMS a
+  * version number by renaming the staged directory to `epoch=N`
+  * WITHOUT overwrite — `FileContext.rename` with `Rename.NONE` fails
+  * when the destination exists, so the rename is a compare-and-swap on
+  * the version number; a loser retries with the next number. Because
+  * the rename is the publish step, an `epoch=N` directory exists ONLY
+  * fully written: a crashed writer leaves at worst an orphaned
+  * `.stage-*` directory that [[vacuum]] sweeps. The `_LATEST` pointer
+  * is a monotone CACHE of the newest committed version — readers take
+  * `max(pointer, committed directories)`, so a writer that loses the
+  * (benign) pointer-update race can never hide a newer epoch.
+  *
+  * Blind appends ([[write]]) always succeed — racing writers serialize
+  * onto distinct consecutive versions, none lost. Read-modify-write
+  * commits ([[merge]], [[applyCdc]], [[deleteWhere]]) are
+  * SERIALIZABLE via [[tryCommitAs]]: the rewrite is computed against
+  * base version B and committed only as B+1; if another writer claimed
+  * B+1 first, the claim fails and the operation recomputes against the
+  * new current epoch — the lost-update anomaly (two rewrites both
+  * based on B, the second silently discarding the first) cannot
+  * commit. Same caveat as everywhere in this package: object stores
+  * without atomic rename need an external commit coordinator.
+  *
+  * Old epochs are retained for as-of reads ([[readVersion]]) until
+  * [[vacuum]] drops all but the newest k.
   */
 object VersionedTable {
 
@@ -28,54 +48,133 @@ object VersionedTable {
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Current version, or -1 when the table has never committed. */
+  /** Newest committed version, or -1 when the table has never
+    * committed. The pointer is consulted as a fast monotone cache but
+    * the committed `epoch=` listing wins when newer — a writer that
+    * committed its CAS rename and then crashed (or lost the pointer
+    * race) before refreshing `_LATEST` still has its epoch visible. */
   def latestVersion(spark: SparkSession, root: String): Long = {
+    val f = fs(spark, root)
+    val committed =
+      if (!f.exists(new org.apache.hadoop.fs.Path(root))) -1L
+      else versions(spark, root).lastOption.getOrElse(-1L)
+    math.max(readPointer(spark, root), committed)
+  }
+
+  /** Best-effort pointer read: -1 when missing OR momentarily
+    * unreadable. Concurrent pointer bumps can expose a torn read on
+    * filesystems whose rename moves the data file and its integrity
+    * sidecar non-atomically (local ChecksumFs renames `_LATEST` and
+    * `._LATEST.crc` as two operations); the committed `epoch=` listing
+    * is authoritative, so a failed cache read degrades to it instead
+    * of failing the resolution. */
+  private def readPointer(spark: SparkSession, root: String): Long = {
     val p = new org.apache.hadoop.fs.Path(root, Pointer)
     val f = fs(spark, root)
-    if (!f.exists(p)) -1L
-    else {
-      val in = f.open(p)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        "UTF-8").trim.toLong
-      finally in.close()
+    try {
+      if (!f.exists(p)) -1L
+      else {
+        val in = f.open(p)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toLong
+        finally in.close()
+      }
+    } catch {
+      case _: java.io.IOException | _: NumberFormatException => -1L
     }
   }
 
-  /** Write `df` as the next epoch and flip the pointer. Returns the
-    * new version. The pointer flip is the COMMIT: a crash before it
-    * leaves the table at the previous version with an orphaned
-    * directory, never a half-visible epoch. */
+  /** Write `df` as the next epoch and publish it. Returns the new
+    * version. The CAS rename of the staged directory is the COMMIT: a
+    * crash before it leaves the table at the previous version with an
+    * orphaned staging directory, never a half-visible epoch. Safe
+    * under concurrent writers — each lands on its own version. */
   def write(df: DataFrame, root: String): Long =
     writeStaged(df, root)(_ => ())
 
-  /** [[write]] with a staging hook: `stage(epochDir)` runs after the
-    * epoch's data is fully written but BEFORE the pointer flip, so
-    * sidecar artifacts (e.g. an index's `_graft_build_params`) commit
-    * atomically with the epoch they describe — a reader can never
-    * resolve an epoch whose sidecar is missing or half-written. */
+  /** [[write]] with a staging hook: `stage(stageDir)` runs after the
+    * epoch's data is fully written but BEFORE the publishing rename,
+    * so sidecar artifacts (e.g. an index's `_graft_build_params`)
+    * commit atomically with the epoch they describe — a reader can
+    * never resolve an epoch whose sidecar is missing or half-written. */
   def writeStaged(df: DataFrame, root: String)(stage: String => Unit): Long = {
     val spark = df.sparkSession
-    val next = latestVersion(spark, root) + 1
-    df.write.mode("overwrite").parquet(s"$root/epoch=$next")
-    stage(s"$root/epoch=$next")
-    val f = fs(spark, root)
-    val tmp = new org.apache.hadoop.fs.Path(root, s".$Pointer.tmp")
-    val out = f.create(tmp, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    val ptr = new org.apache.hadoop.fs.Path(root, Pointer)
-    // ATOMIC overwrite rename (FileContext + Rename.OVERWRITE): a
-    // delete-then-rename pair would leave a window with no pointer file
-    // at all, in which a racing reader sees latestVersion == -1 and
-    // read() throws — breaking the always-readable contract. With the
-    // overwrite rename a racing reader observes either the old or the
-    // new pointer content, both naming fully-written epochs. (HDFS and
-    // local filesystems rename atomically; object stores without atomic
-    // rename need the same external-commit caveat compactTable
-    // documents.)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      ptr.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val stageDir = stageEpoch(df, root, stage)
+    var next = latestVersion(spark, root) + 1
+    while (!claimEpoch(spark, root, stageDir, next)) next += 1
+    bumpPointer(spark, root, next)
     next
+  }
+
+  /** Optimistic-concurrency commit: publish the staged rewrite ONLY as
+    * `expectedBase + 1`. Returns None — with the staged data cleaned
+    * up — when some other writer claimed that version first, i.e. when
+    * the table moved past the base this rewrite was computed from; the
+    * caller recomputes against the new current epoch and retries. This
+    * is the conflict check that makes read-modify-write commits
+    * serializable rather than merely durable. */
+  def tryCommitAs(df: DataFrame, root: String, expectedBase: Long): Option[Long] = {
+    val spark = df.sparkSession
+    val stageDir = stageEpoch(df, root, _ => ())
+    val want = expectedBase + 1
+    if (claimEpoch(spark, root, stageDir, want)) {
+      bumpPointer(spark, root, want)
+      Some(want)
+    } else {
+      fs(spark, root).delete(stageDir, true): Unit
+      None
+    }
+  }
+
+  /** Land `df` (plus sidecars) in a hidden staging directory readers
+    * and [[versions]] never resolve. */
+  private def stageEpoch(df: DataFrame, root: String,
+                         stage: String => Unit): org.apache.hadoop.fs.Path = {
+    val name = s".stage-${java.util.UUID.randomUUID().toString}"
+    df.write.mode("overwrite").parquet(s"$root/$name")
+    stage(s"$root/$name")
+    new org.apache.hadoop.fs.Path(root, name)
+  }
+
+  /** CAS: rename the staged directory to `epoch=$version` WITHOUT
+    * overwrite. `FileContext.rename(…, Rename.NONE)` refuses an
+    * existing destination (unlike `FileSystem.rename`, which would
+    * move the source INSIDE an existing destination directory), so at
+    * most one racing writer wins each version number. Returns whether
+    * this writer won. */
+  private def claimEpoch(spark: SparkSession, root: String,
+                         stageDir: org.apache.hadoop.fs.Path,
+                         version: Long): Boolean = {
+    val dst = new org.apache.hadoop.fs.Path(root, s"epoch=$version")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dst.toUri, spark.sparkContext.hadoopConfiguration)
+    try { fc.rename(stageDir, dst); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException
+        if fs(spark, root).exists(dst) => false // lost the race mid-rename
+    }
+  }
+
+  /** Refresh the `_LATEST` cache, monotonically: skip when the pointer
+    * already names `version` or newer. The flip itself is the ATOMIC
+    * overwrite rename (FileContext + Rename.OVERWRITE): a
+    * delete-then-rename pair would leave a window with no pointer file
+    * at all. Two racing bumps can still land out of order — harmless,
+    * because [[latestVersion]] takes max(pointer, committed listing);
+    * the next successful bump re-converges the cache. */
+  private def bumpPointer(spark: SparkSession, root: String, version: Long): Unit = {
+    val f = fs(spark, root)
+    val ptr = new org.apache.hadoop.fs.Path(root, Pointer)
+    if (readPointer(spark, root) < version) {
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        s".$Pointer.tmp-${java.util.UUID.randomUUID().toString}")
+      val out = f.create(tmp, true)
+      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        ptr.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** Stream-batch idempotence marker: the id of the micro-batch that
@@ -148,9 +247,36 @@ object VersionedTable {
     val spark = updates.sparkSession
     require(keyCols.forall(updates.columns.contains),
       s"update batch is missing key columns: ${keyCols.filterNot(updates.columns.contains).mkString(", ")}")
-    val keep = read(spark, root).join(
-      updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-    write(keep.unionByName(updates, allowMissingColumns = evolveSchema), root)
+    rewriteLoop(spark, root) { base =>
+      val keep = readVersion(spark, root, base).join(
+        updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+      keep.unionByName(updates, allowMissingColumns = evolveSchema)
+    }
+  }
+
+  /** Optimistic retry loop shared by the read-modify-write commits:
+    * pin the current version as the base, compute the rewrite AGAINST
+    * THAT EPOCH (readVersion, not read — the plan must not silently
+    * re-resolve to a newer epoch between planning and commit), and
+    * publish only as base+1. A conflict (someone else claimed base+1)
+    * recomputes against the new current epoch, so every committed
+    * rewrite incorporated its predecessor — the lost-update anomaly
+    * cannot commit. Bounded attempts: under sustained contention the
+    * caller should serialize writers instead of spinning here. */
+  private def rewriteLoop(spark: SparkSession, root: String,
+                          maxAttempts: Int = 12)
+                         (rewrite: Long => DataFrame): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(spark, root)
+      require(base >= 0, s"versioned table at $root has no committed epoch")
+      tryCommitAs(rewrite(base), root, base) match {
+        case Some(v) => return v
+        case None    => attempt += 1
+      }
+    }
+    sys.error(s"versioned table at $root: rewrite lost the commit race " +
+      s"$maxAttempts times — serialize the writers or shard the table")
   }
 
   /** Fold one CDC batch (a change stream in the Debezium shape: key
@@ -181,10 +307,12 @@ object VersionedTable {
       .withColumn("_graft_rn",
         org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("_graft_rn") === 1).drop("_graft_rn")
-    val keep = read(spark, root).join(
-      winners.select(keyCols.map(col): _*), keyCols, "left_anti")
-    write(keep.unionByName(
-      winners.filter(not(col(opCol) === lit("D"))).drop(opCol, seqCol)), root)
+    rewriteLoop(spark, root) { base =>
+      val keep = readVersion(spark, root, base).join(
+        winners.select(keyCols.map(col): _*), keyCols, "left_anti")
+      keep.unionByName(
+        winners.filter(not(col(opCol) === lit("D"))).drop(opCol, seqCol))
+    }
   }
 
   /** Row-level DELETE: commit a next epoch WITHOUT the rows matching
@@ -194,7 +322,9 @@ object VersionedTable {
     * delete-then-vacuum, and the spec pins that lineage. Returns the
     * committed version. */
   def deleteWhere(spark: SparkSession, root: String, cond: Column): Long =
-    write(read(spark, root).filter(not(coalesce(cond, lit(false)))), root)
+    rewriteLoop(spark, root) { base =>
+      readVersion(spark, root, base).filter(not(coalesce(cond, lit(false))))
+    }
 
   /** Read the current epoch (pointer-resolved). */
   def read(spark: SparkSession, root: String): DataFrame = {
@@ -217,8 +347,12 @@ object VersionedTable {
       .sorted.toSeq
 
   /** Drop all epochs except the newest `keep` (and never the one the
-    * pointer names). */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Unit = {
+    * pointer names). Also sweeps `.stage-*` directories orphaned by
+    * crashed writers — but only ones older than `stageTtlMs`, so a
+    * LIVE concurrent writer mid-stage (its CAS rename not yet
+    * attempted) cannot have its data deleted out from under it. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2,
+             stageTtlMs: Long = 24L * 3600 * 1000): Unit = {
     require(keep >= 1, "must keep at least one epoch")
     val cur = latestVersion(spark, root)
     val f = fs(spark, root)
@@ -227,5 +361,10 @@ object VersionedTable {
       .foreach { v =>
         f.delete(new org.apache.hadoop.fs.Path(root, s"epoch=$v"), true): Unit
       }
+    val now = System.currentTimeMillis()
+    f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-"))
+      .filter(s => now - s.getModificationTime > stageTtlMs)
+      .foreach(s => f.delete(s.getPath, true): Unit)
   }
 }

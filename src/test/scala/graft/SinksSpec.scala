@@ -129,6 +129,74 @@ class SinksSpec extends AnyFunSuite {
     assert(cur() == Seq((1L, "a"), (2L, "B2"), (9L, "new")))
   }
 
+  test("versioned table: racing blind writers all commit durable distinct epochs, pointer converges") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vtr").toString + "/t"
+    sinks.VersionedTable.write(Seq((0L, "base")).toDF("k", "v"), root)
+    // 4 writers race the CAS commit from a shared start line
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futs = (1 to 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          gate.await()
+          sinks.VersionedTable.write(Seq((i.toLong, s"w$i")).toDF("k", "v"), root)
+        }
+      })
+    }
+    gate.countDown()
+    val got = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS)).sorted
+    pool.shutdown()
+    // no lost epoch: every writer claimed its own consecutive version
+    assert(got == Seq(1L, 2L, 3L, 4L), s"claimed versions: $got")
+    assert(sinks.VersionedTable.versions(spark, root) == Seq(0L, 1L, 2L, 3L, 4L))
+    // pointer converges: resolution sees the newest committed epoch even
+    // if the slowest writer's pointer bump landed out of order
+    assert(sinks.VersionedTable.latestVersion(spark, root) == 4L)
+    // every epoch is durable and readable with its writer's payload
+    val payloads = (1L to 4L).map(v => sinks.VersionedTable
+      .readVersion(spark, root, v).as[(Long, String)].collect().head._2).toSet
+    assert(payloads == Set("w1", "w2", "w3", "w4"))
+    // no staging debris survives a successful commit race
+    val stages = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(".stage-"))
+    assert(stages.isEmpty, s"orphaned staging dirs: ${stages.map(_.getName).toSeq}")
+  }
+
+  test("versioned table: racing merges serialize — neither update is lost") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vtrm").toString + "/t"
+    sinks.VersionedTable.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root)
+    // the classic lost-update shape: both merges read base version 0,
+    // touch DISJOINT keys, and race the commit. Without the conflict
+    // check the loser's rewrite (computed against epoch 0) would
+    // overwrite the winner's epoch, silently discarding its update.
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futs = Seq(
+      Seq((1L, "A!")), Seq((3L, "C!"))
+    ).map { up =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          gate.await()
+          sinks.VersionedTable.merge(up.toDF("k", "v"), root, Seq("k"))
+        }
+      })
+    }
+    gate.countDown()
+    val got = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS)).sorted
+    pool.shutdown()
+    assert(got == Seq(1L, 2L), s"claimed versions: $got")
+    // serializable outcome: the final epoch holds BOTH updates
+    assert(sinks.VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "A!"), (2L, "b"), (3L, "C!")))
+    // and the intermediate epoch is exactly one of the two serial orders
+    val mid = sinks.VersionedTable.readVersion(spark, root, 1)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(mid == Seq((1L, "A!"), (2L, "b"), (3L, "c")) ||
+           mid == Seq((1L, "a"), (2L, "b"), (3L, "C!")), s"epoch 1: $mid")
+  }
+
   test("versioned table writeBatch: a replayed batch id is a no-op, the next id commits") {
     val root = java.nio.file.Files.createTempDirectory("graft-vtwb").toString + "/t"
     assert(sinks.VersionedTable.lastAppliedBatch(spark, root) == -1L)
