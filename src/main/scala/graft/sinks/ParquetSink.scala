@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, hash, lit, pmod, shiftleft}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod, shiftleft, shiftright}
 
 /** Partitioned parquet table layout — the engine's scale-out
   * counterpart to the reference's JSONL date partitions
@@ -147,6 +147,38 @@ object ParquetSink {
       .bitwiseOR(shiftleft(spread(bucket(b, bMin, bMax)), 1))
   }
 
+  /** N-dimensional Morton (Z-order) interleave — [[zValue2]]
+    * generalized to any number of rank-bucketized columns. Each
+    * `(column, min, max)` is linearly bucketized to `bits` bits, then
+    * bit j of dimension i lands at interleaved position `j*n + i`
+    * (dimension 0 in the LOW bit, matching zValue2's layout). The
+    * stride-2 doubling masks don't generalize to arbitrary n, so the
+    * interleave is an explicit OR-chain over bit positions — n·bits
+    * two-op terms, every one a codegen'd long intrinsic; for the
+    * supported bound n·bits ≤ 62 that is at most ~60 terms, well
+    * inside one whole-stage-codegen expression. The multi-column
+    * pruning reader ([[graft.sources.FileStats.candidateFilesAll]])
+    * already consumes any number of per-file envelopes, so this
+    * closes the writer/reader asymmetry: box queries over n
+    * dimensions prune files on every predicate column at once. */
+  def zValueN(dims: Seq[(Column, Long, Long)], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 2, "zValueN needs at least two dimensions")
+    require(bits >= 1 && n * bits <= 62,
+      s"zValueN supports n*bits <= 62 (got n=$n, bits=$bits)")
+    def bucket(c: Column, lo: Long, hi: Long): Column = {
+      val span = math.max(1L, hi - lo)
+      (((c - lit(lo)).cast("long") * lit((1L << bits) - 1)) / lit(span))
+        .cast("long")
+    }
+    dims.zipWithIndex.map { case ((c, lo, hi), i) =>
+      val b = bucket(c, lo, hi)
+      (0 until bits).map { j =>
+        shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * n + i)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Z-ordered (Morton-curve) layout write on two numeric columns —
     * multi-dimensional data skipping: range-partition + sort by the
     * interleaved key, so every FILE covers a small square-ish tile of
@@ -168,10 +200,80 @@ object ParquetSink {
       org.apache.spark.sql.functions.max(col(colB)).cast("long")).head()
     val zv = zValue2(col(colA), mm.getLong(0), mm.getLong(1),
       col(colB), mm.getLong(2), mm.getLong(3), bits)
-    df.withColumn("_zv", zv)
+    writeByKey(df, path, zv, numFiles)
+  }
+
+  /** Equi-depth (quantile-rank) bucket index: the number of
+    * `boundaries` at or below the value — 0 for the lowest bucket,
+    * `boundaries.length` for the top one. Boundaries come from ONE
+    * multi-column approxQuantile pass, so every bucket holds ~equal
+    * DATA MASS regardless of the column's value distribution. This is
+    * what makes N-column Z-order survive real (always skewed) data: a
+    * linear min/max bucketization spends its bits uniformly over the
+    * DOMAIN, so a long-tailed column collapses into a handful of
+    * buckets and its bits stop discriminating — the curve degrades
+    * toward a lower-dimensional sort. A NULL value lands in bucket 0
+    * (the lambda comparison is NULL, the filter drops every boundary),
+    * i.e. NULLs cluster with the low extreme instead of scattering. */
+  def equiDepthBucket(c: Column, boundaries: Array[Double]): Column =
+    org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.filter(
+        lit(boundaries), b => b <= c.cast("double"))).cast("long")
+
+  /** N-column space-filling-curve layout write — multi-dimensional
+    * data skipping over any number of clustering columns: equi-depth-
+    * bucketize each column (one shared approxQuantile job), key by the
+    * HILBERT index of the bucket grid
+    * ([[graft.functions.Hilbert]] — Morton's high-bit curve jumps give
+    * the straddling files near-full-domain envelopes, tripling the box-
+    * query candidate count in SinksSpec's measurement; Hilbert segments
+    * are always compact), then ONE range shuffle + in-file sort,
+    * exactly the 2-D writer's cost shape. `bits = 0` (auto) sizes the
+    * grid to the
+    * DATA DENSITY: the interleave only preserves locality while the
+    * occupied cells are dense along the curve, so the total cell count
+    * targets `min(rowCount, 64·numFiles)` — a grid much finer than the
+    * row count leaves cells sparse and lets one file's contiguous
+    * curve segment straddle high-bit jumps into a huge envelope, while
+    * 64 tiles per file keeps resolution far below the file grain. At
+    * warehouse scale the row count dominates and auto lands on the
+    * 8-bit cap (256 equi-depth buckets per column, the Delta-like
+    * range-id granularity); explicit `bits` is honored up to 12 so
+    * the boundary arrays stay driver-trivial. */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+                    numFiles: Int, bits: Int): Unit = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    require(cols.size >= 2, "writeZOrdered needs at least two columns")
+    require(bits <= 12, s"equi-depth z-order supports at most 12 bits/dim (got $bits)")
+    val b =
+      if (bits > 0) bits
+      else {
+        val cells = math.min(df.count(), 64L * numFiles).max(2L)
+        val perDim = (math.log(cells.toDouble) / math.log(2) / cols.size).toInt
+        math.max(1, math.min(perDim, math.min(8, 62 / cols.size)))
+      }
+    val nb = (1 << b) - 1
+    val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
+    val bounds = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .stat.approxQuantile(cols.toArray, probs, 0.001)
+    // project the bucket indices ONCE before interleaving — inlining
+    // them into zValueN would replicate each boundary-array walk into
+    // every one of its `bits` spread terms
+    val bucketCols = cols.indices.map(i => s"_zb$i")
+    val withBuckets = df.select(col("*") +:
+      cols.indices.map(i =>
+        equiDepthBucket(col(cols(i)), bounds(i)).as(bucketCols(i))): _*)
+    graft.functions.Hilbert.ensureRegistered(df.sparkSession)
+    val key = org.apache.spark.sql.functions.call_function(
+      "hilbert_index", lit(b) +: bucketCols.map(col): _*)
+    writeByKey(withBuckets, path, key, numFiles, drop = bucketCols)
+  }
+
+  private def writeByKey(df: DataFrame, path: String, key: Column,
+                         numFiles: Int, drop: Seq[String] = Nil): Unit =
+    df.withColumn("_zv", key)
       .repartitionByRange(numFiles, col("_zv"))
       .sortWithinPartitions(col("_zv"))
-      .drop("_zv")
+      .drop("_zv" +: drop: _*)
       .write.mode("overwrite").parquet(path)
-  }
 }
