@@ -392,20 +392,36 @@ object EventStreams {
     }
   }
 
-  /** Streaming drift monitor: every micro-batch PSI-scores
-    * ([[graft.operators.Drift.psi]]) against a FIXED reference epoch
-    * and appends its per-bucket terms — stamped with the batch id — to
-    * a metrics log committed as VersionedTable epochs (writeBatch, so
-    * a replayed batch is not scored twice). This is the ingest-side
-    * alarm wire: a feed whose value distribution walks away from the
-    * reference shows up as a rising Σ psi_term per batch, per bucket,
-    * before the corpus epoch is cut. Per-batch cost: one grouped count
-    * over the batch + the |buckets|-row joins — the reference is
-    * cached at wiring time, so its per-batch bucket counts fold from
-    * memory, not a re-scan of the reference epoch. */
+  /** Streaming drift monitor: every micro-batch scores BOTH drift
+    * statistics against a FIXED reference epoch and appends them —
+    * stamped with the batch id — to metrics logs committed as
+    * VersionedTable epochs (writeBatch, so a replayed batch is not
+    * scored twice):
+    *
+    *  - per-bucket PSI terms ([[graft.operators.Drift.psi]]) under
+    *    `root` — the additive score that localizes WHICH bucket
+    *    drifted;
+    *  - the exact KS statistic ([[graft.operators.Drift.ks]]) under
+    *    `root + "_ks"` — the max-CDF-gap score that catches location
+    *    shifts WITHIN a PSI bucket, which the bucketed terms cannot
+    *    see between epochs.
+    *
+    * This is the ingest-side alarm wire: a feed whose value
+    * distribution walks away from the reference shows up as a rising
+    * Σ psi_term (coarse, localized) or a rising ks (fine, global) per
+    * batch, before the corpus epoch is cut. Per-batch cost: one
+    * grouped count over the batch + the |buckets|-row joins for PSI,
+    * plus the distinct-support value walk for KS (bounded by the
+    * quantized support, the integer-column contract) — the reference
+    * is cached at wiring time, so both statistics fold its side from
+    * memory, not a re-scan of the reference epoch. The two logs have
+    * independent replay guards; a crash between the two commits
+    * re-scores the batch into whichever log missed it and skips the
+    * other. */
   def driftMonitorStream(events: DataFrame, root: String, ref: DataFrame,
       valCol: String, lo: Long, hi: Long, nBuckets: Int)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val ksRoot = root + "_ks"
     val refCached = ref.select(col(valCol)).cache()
     refCached.count(): Unit // materialize before the first batch
     events.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -419,6 +435,15 @@ object EventStreams {
             graft.sinks.VersionedTable.read(spark, root).unionByName(terms)
           else terms
         graft.sinks.VersionedTable.writeBatch(log, root, epochId): Unit
+      }
+      if (epochId > graft.sinks.VersionedTable.lastAppliedBatch(spark, ksRoot)) {
+        val ksRow = graft.operators.Drift.ks(refCached, batch, valCol)
+          .withColumn("batch_id", lit(epochId))
+        val ksLog =
+          if (graft.sinks.VersionedTable.latestVersion(spark, ksRoot) >= 0)
+            graft.sinks.VersionedTable.read(spark, ksRoot).unionByName(ksRow)
+          else ksRow
+        graft.sinks.VersionedTable.writeBatch(ksLog, ksRoot, epochId): Unit
       }
     }
   }

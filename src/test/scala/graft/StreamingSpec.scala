@@ -515,6 +515,23 @@ class StreamingSpec extends AnyFunSuite {
       shape(operators.Drift.psi(ref, s, "cents", 0L, 49999L, 10))).toSet
     assert(gotPerBatch == want,
       "each batch's streamed PSI must equal the batch operator on its rows")
+    // the exact-KS leg: one (n_a, n_b, ks, ks_at) row per micro-batch
+    // under root + "_ks", each equal to the batch operator on exactly
+    // that batch's rows — location shifts INSIDE a PSI bucket are
+    // invisible to the bucketed terms, so the monitor logs both
+    val ksLog = sinks.VersionedTable.read(spark, root + "_ks")
+    def ksShape(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("n_a"), col("n_b"), col("ks"), col("ks_at"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    val ksIds = ksLog.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ksIds == ids, s"KS log must stamp the same batch ids, got $ksIds")
+    val gotKs = ksIds.map(i => ksShape(ksLog.filter(col("batch_id") === i))).toSet
+    val wantKs = subsets.map(s => ksShape(operators.Drift.ks(ref, s, "cents"))).toSet
+    assert(gotKs == wantKs,
+      "each batch's streamed KS must equal the batch operator on its rows")
   }
 
   /** Streaming leaderboard: per-micro-batch top-k merges must converge
