@@ -570,6 +570,44 @@ object Relational extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Planner-integrated pruning over an N-COLUMN Hilbert-clustered
+    * layout ([[graft.sinks.ParquetSink.writeZOrdered]]): the layout
+    * writer bounds every file's envelope on ALL THREE clustering
+    * columns, so a 3-D box predicate through the registered stats
+    * epoch prunes files on each conjunct at once — the end-to-end
+    * composition of the curve layout, footerable per-file stats, and
+    * the optimizer rule, with a plain `spark.read.parquet(...).filter`
+    * as the whole user surface. Oracle: the identical row filter in
+    * SQL (pruning must never change results — only skip files the
+    * stats PROVE unmatching). PlanSpec asserts the scan opens fewer
+    * files than the directory holds on every one of the three
+    * single-conjunct probes. */
+  def qPlannerPrunedHilbert(spark: SparkSession, dir: String): DataFrame = {
+    val lay = graft.util.Scratch.dir("planner_hilbert")
+    val ev = Tables.events(spark, dir)
+      .withColumn("t", unix_micros(col("ts")))
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .select("event_id", "event_type", "user_id", "t", "cents", "value")
+    graft.sinks.ParquetSink.writeZOrdered(
+      ev, lay, Seq("t", "user_id", "cents"), numFiles = 24, bits = 0)
+    val root = graft.util.Scratch.dir("planner_hilbert_meta") + "/stats"
+    // full rebuild — the layout re-lands under fresh file names per
+    // invocation, so the stats epoch must REPLACE, never merge
+    graft.sources.FileStats.commitStatsFull(
+      graft.sources.FileStats.collect(spark, lay,
+        Seq("t", "user_id", "cents")), root)
+    graft.plans.GraftTables.register(lay,
+      statsRoot = Some(root), statsCols = Seq("t", "user_id", "cents"))
+    def us(d: String): Long = java.time.LocalDate.parse(d).atStartOfDay
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    spark.read.parquet(lay)
+      .filter(col("t").between(us("2024-01-10"), us("2024-01-20")) &&
+        col("user_id").between(40, 90) && col("cents").between(800, 8000))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Rolling TIME-RANGE window — the frame ROWS can't express: per
     * user, the sum of `value` and event count over the trailing hour
     * of EVENT TIME (inclusive both ends, so simultaneous events share
@@ -794,6 +832,7 @@ object Relational extends QueryModule {
     "q_asof_join_fwd"     -> qAsofJoinFwd _,
     "q_pruned_scan"       -> qPrunedScan _,
     "q_planner_pruned"    -> qPlannerPruned _,
+    "q_planner_pruned_hilbert" -> qPlannerPrunedHilbert _,
     "q_rolling_window"    -> qRollingWindow _,
     "q_cube"              -> qCube _,
     "q_expectations"      -> qExpectations _)
@@ -1033,6 +1072,15 @@ object Relational extends QueryModule {
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM("value"), 2) AS total_value
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-20' AND DATE '2024-01-24'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_planner_pruned_hilbert" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM("value"), 2) AS total_value
+        |FROM events
+        |WHERE epoch_us(CAST(ts AS TIMESTAMP))
+        |    BETWEEN epoch_us(TIMESTAMP '2024-01-10 00:00:00')
+        |        AND epoch_us(TIMESTAMP '2024-01-20 00:00:00')
+        |  AND user_id BETWEEN 40 AND 90
+        |  AND CAST(round("value" * 100, 0) AS BIGINT) BETWEEN 800 AND 8000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rolling_window" ->
       """WITH e AS (SELECT event_id, user_id, ts,

@@ -528,4 +528,70 @@ class PlanSpec extends AnyFunSuite {
       plans.GraftTables.unregister(hashLay)
     }
   }
+
+  /** The Hilbert layout × planner-pruning composition behind
+    * q_planner_pruned_hilbert. The geometry to test honestly: F files
+    * tiling a 3-D space give every file a per-dim extent of ~F^(-1/3)
+    * (volume can't be beaten), so at small F a narrow probe CENTERED
+    * on one dimension intersects most blobs. What the layout does
+    * guarantee, and what these assertions pin: a 3-D BOX probe prunes
+    * hard (extents multiply), and a single-dim EDGE probe prunes
+    * (only the blobs touching that face can intersect) — on every one
+    * of the three columns, where a single-sort layout serves exactly
+    * one. */
+  test("hilbert-clustered registered table: 3-D box and per-column edge probes prune files") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: FileSourceScanExec => s.relation.location.inputFiles.length.toLong
+      }.sum
+    }
+    // sf0.01 and 64 files: per-file extent is ~F^(-1/3) of each dim,
+    // so a meaningful file count is what makes the multiplication of
+    // extents visible — at toy file counts (say 16) every blob spans
+    // ~40% of every dim and even an ideal layout barely skips
+    val ev = sources.Tables.events(spark, "/root/testdata/sf0.01")
+      .withColumn("t", unix_micros(col("ts")))
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .select("event_id", "t", "user_id", "cents")
+    val dims = Seq("t", "user_id", "cents")
+    val lay = util.Scratch.dir("rule_hilbert_lay")
+    sinks.ParquetSink.writeZOrdered(ev, lay, dims, numFiles = 64, bits = 0)
+    val statsRoot = util.Scratch.dir("rule_hilbert_meta") + "/stats"
+    sources.FileStats.commitStatsFull(
+      sources.FileStats.collect(spark, lay, dims), statsRoot)
+    def sameRows(probe: org.apache.spark.sql.DataFrame,
+                 cond: org.apache.spark.sql.Column): Unit =
+      assert(probe.select("event_id").collect().map(_.getLong(0)).toSet ==
+        ev.filter(cond).select("event_id").collect().map(_.getLong(0)).toSet,
+        "pruning must be invisible in results")
+    try {
+      plans.GraftTables.register(lay,
+        statsRoot = Some(statsRoot), statsCols = dims)
+      val total = scannedFiles(spark.read.parquet(lay).filter(lit(true)))
+      val q = dims.map(c =>
+        c -> ev.stat.approxQuantile(c, Array(0.1, 0.4, 0.6), 0.001)).toMap
+      // 3-D box over the middle ~20% of each dimension's mass: the
+      // per-dim extents multiply, so under half the files survive
+      val boxCond = dims.map(c =>
+        col(c).between(q(c)(1).toLong, q(c)(2).toLong)).reduce(_ && _)
+      val box = spark.read.parquet(lay).filter(boxCond)
+      val boxOpened = scannedFiles(box)
+      assert(boxOpened < total / 2,
+        s"3-D box opened $boxOpened of $total files — curve layout not pruning")
+      sameRows(box, boxCond)
+      // per-column edge probe (min .. p10): only blobs on that face
+      // can intersect — every one of the three columns must skip files
+      for (c <- dims) {
+        val cond = col(c) <= q(c)(0).toLong
+        val probe = spark.read.parquet(lay).filter(cond)
+        val opened = scannedFiles(probe)
+        assert(opened < total,
+          s"$c edge probe opened all $total files — no skipping on this dim")
+        sameRows(probe, cond)
+      }
+    } finally plans.GraftTables.unregister(lay)
+  }
 }
