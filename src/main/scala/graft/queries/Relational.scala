@@ -598,11 +598,14 @@ object Relational extends QueryModule {
         Seq("t", "user_id", "cents")), root)
     graft.plans.GraftTables.register(lay,
       statsRoot = Some(root), statsCols = Seq("t", "user_id", "cents"))
+    // the box must be non-empty at EVERY sf: the feed starts 2024-01-01
+    // at all scales, and user ids start at 0 (sf0.001 has only 0..14),
+    // so t anchors at the feed's start and user_id is an edge probe
     def us(d: String): Long = java.time.LocalDate.parse(d).atStartOfDay
       .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
     spark.read.parquet(lay)
-      .filter(col("t").between(us("2024-01-10"), us("2024-01-20")) &&
-        col("user_id").between(40, 90) && col("cents").between(800, 8000))
+      .filter(col("t").between(us("2024-01-01"), us("2024-01-02")) &&
+        col("user_id") <= 10 && col("cents").between(100, 20000))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("event_type"))
@@ -1077,10 +1080,10 @@ object Relational extends QueryModule {
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM("value"), 2) AS total_value
         |FROM events
         |WHERE epoch_us(CAST(ts AS TIMESTAMP))
-        |    BETWEEN epoch_us(TIMESTAMP '2024-01-10 00:00:00')
-        |        AND epoch_us(TIMESTAMP '2024-01-20 00:00:00')
-        |  AND user_id BETWEEN 40 AND 90
-        |  AND CAST(round("value" * 100, 0) AS BIGINT) BETWEEN 800 AND 8000
+        |    BETWEEN epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+        |        AND epoch_us(TIMESTAMP '2024-01-02 00:00:00')
+        |  AND user_id <= 10
+        |  AND CAST(round("value" * 100, 0) AS BIGINT) BETWEEN 100 AND 20000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rolling_window" ->
       """WITH e AS (SELECT event_id, user_id, ts,
