@@ -269,6 +269,46 @@ object ParquetSink {
     writeByKey(withBuckets, path, key, numFiles, drop = bucketCols)
   }
 
+  /** Curve-aware OPTIMIZE for a flat clustered directory: re-cluster
+    * ALL current rows into a fresh [[writeZOrdered]] layout and swap
+    * it into place. This is the maintenance step that keeps
+    * multi-dimensional skipping effective under streaming ingest —
+    * every appended micro-batch file carries a near-full-domain
+    * envelope on every clustering column (appends aren't curve-
+    * ordered), so box-query candidates degrade toward a full scan
+    * until a re-cluster folds the stragglers back into compact tiles.
+    *
+    * The swap follows [[compactTable]]'s discipline: the new layout
+    * lands in a hidden temp directory (readers never list it), then
+    * old→aside and tmp→into-place, each rename CHECKED, with the
+    * aside restored if the second rename fails — committed rows can
+    * never be stranded invisible. Readers in the two-rename window see
+    * the directory absent, never torn. After the swap, run
+    * [[graft.sources.MetadataMaintenance.tick]]: it delta-indexes the
+    * new files and reconciles away the dead paths, so a registered
+    * table resumes pruning without a stale-metadata window crashing or
+    * (worse) silently keeping everything. */
+  def reclusterTable(spark: SparkSession, path: String, cols: Seq[String],
+                     numFiles: Int, bits: Int = 0): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      root.getParent, "." + root.getName + ".recluster-tmp")
+    writeZOrdered(spark.read.parquet(path), tmp.toString, cols, numFiles, bits)
+    val old = new org.apache.hadoop.fs.Path(
+      root.getParent, "." + root.getName + ".recluster-old")
+    require(fs.rename(root, old),
+      s"reclusterTable: failed to set aside $root")
+    if (!fs.rename(tmp, root)) {
+      val restored = fs.rename(old, root)
+      throw new IllegalStateException(
+        s"reclusterTable: failed to move re-clustered data into $root" +
+          (if (restored) " (original directory restored)"
+           else s" AND COULD NOT RESTORE $old — manual recovery needed"))
+    }
+    fs.delete(old, true): Unit
+  }
+
   private def writeByKey(df: DataFrame, path: String, key: Column,
                          numFiles: Int, drop: Seq[String] = Nil): Unit =
     df.withColumn("_zv", key)

@@ -466,6 +466,77 @@ class SinksSpec extends AnyFunSuite {
         s"single-sort layout by >=30% ($singles)")
   }
 
+  /** The OPTIMIZE loop: streaming-style appends degrade a curve
+    * layout's skipping (each appended file spans ~the full domain of
+    * every clustering column), reclusterTable restores it, and one
+    * MetadataMaintenance tick brings the stats epoch back in step —
+    * live files covered, dead paths dropped. */
+  test("reclusterTable restores box-query skipping after appends; tick refreshes metadata") {
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        col("user_id").as("u"), (col("value") * 100).cast("long").as("v"))
+    val dims = Seq("t", "u", "v")
+    val base = java.nio.file.Files.createTempDirectory("graft-recl").toString
+    val dir = s"$base/table"
+    val bulk = ev.filter(col("event_id") % 5 =!= 4)
+    val late = ev.filter(col("event_id") % 5 === 4)
+    sinks.ParquetSink.writeZOrdered(bulk, dir, dims, 48, bits = 0)
+    val box = dims.map { c =>
+      val q = ev.stat.approxQuantile(c, Array(0.4, 0.6), 0.001)
+      c -> (q(0).toLong, q(1).toLong)
+    }.toMap
+    def candidates(): Long = {
+      val aggs = dims.flatMap(c =>
+        Seq(min(col(c)).as(s"${c}_lo"), max(col(c)).as(s"${c}_hi")))
+      spark.read.parquet(dir).groupBy(input_file_name().as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .filter(dims.map { c =>
+          val (lo, hi) = box(c)
+          col(s"${c}_lo") <= hi && col(s"${c}_hi") >= lo
+        }.reduce(_ && _)).count()
+    }
+    def rows(): Set[Long] =
+      spark.read.parquet(dir).select("event_id").collect()
+        .map(_.getLong(0)).toSet
+    val clean = candidates()
+    val allRows = rows() ++ late.select("event_id").collect().map(_.getLong(0))
+    // streaming-style appends: each micro-batch file is unclustered,
+    // so its envelope intersects ANY box — candidates rise by ~every
+    // appended file
+    (0 until 6).foreach(i => late.filter(col("event_id") % 30 === (5 * i + 4))
+      .coalesce(1).write.mode("append").parquet(dir))
+    val degraded = candidates()
+    assert(degraded >= clean + 5,
+      s"appended files should degrade skipping: clean=$clean degraded=$degraded")
+    // metadata loop across the rewrite: tick before (indexes appended
+    // files), recluster, tick after (indexes new layout, drops dead)
+    val man = s"$base/manifest"
+    val statsRoot = s"$base/meta/stats"
+    val bloomRoot = s"$base/meta/bloom"
+    sources.MetadataMaintenance.tick(
+      spark, dir, man, statsRoot, dims, bloomRoot, "event_id"): Unit
+    sinks.ParquetSink.reclusterTable(spark, dir, dims, 48)
+    val restored = candidates()
+    assert(restored <= clean + 4,
+      s"recluster must restore skipping: clean=$clean restored=$restored " +
+        s"(degraded was $degraded)")
+    assert(rows() == allRows, "recluster must preserve every row")
+    val t = sources.MetadataMaintenance.tick(
+      spark, dir, man, statsRoot, dims, bloomRoot, "event_id")
+    assert(t.statsReconciled.nonEmpty && t.bloomReconciled.nonEmpty,
+      "tick after recluster must drop the dead pre-rewrite paths")
+    // the stats epoch now covers exactly the live files
+    val live = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+    val indexed = sinks.VersionedTable.read(spark, statsRoot)
+      .select("path").collect()
+      .map(r => new java.io.File(r.getString(0)).getName).toSet
+    assert(indexed == live,
+      s"stats epoch must cover exactly the live files (${indexed.size} vs ${live.size})")
+  }
+
   test("Excel sink produces a valid xlsx with sorted styled sheets and null->''") {
     val path = java.nio.file.Files.createTempDirectory("graft-xlsx").toString + "/out.xlsx"
     val t1 = Seq((1L, Option("alpha")), (2L, None)).toDF("id", "label")
