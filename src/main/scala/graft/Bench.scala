@@ -22,6 +22,25 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
+
+  /** Whole-machine busy CPU seconds since boot (/proc/stat cpu line:
+    * user+nice+system+irq+softirq+steal, USER_HZ=100). -1 if
+    * unreadable. */
+  private def machineBusySec(): Double =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      val cols = try f.getLines().next().trim.split("\\s+") finally f.close()
+      // cpu user nice system idle iowait irq softirq steal ...
+      val v = cols.drop(1).map(_.toDouble)
+      (v(0) + v(1) + v(2) + v(5) + v(6) + (if (v.length > 7) v(7) else 0.0)) / 100.0
+    } catch { case _: Throwable => -1.0 }
+
+  /** This JVM's consumed CPU seconds (the bench's own work). */
+  private def selfCpuSec(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getProcessCpuTime / 1e9
+    catch { case _: Throwable => -1.0 }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -85,9 +104,19 @@ object Bench {
     // Mid-run hot detection (round-7 lesson: the start-only gate passed
     // at 2.81, then something landed on the machine mid-run and
     // q_tfidf_sim committed at 5.6× its idle time — the artifact looked
-    // clean but wasn't). Sample the loadavg around EVERY query; any
-    // query whose run borders a hot sample is flagged, and one hot
-    // sample anywhere marks the whole artifact.
+    // clean but wasn't). Loadavg is the WRONG mid-run signal: the
+    // bench's own local[32] stages legitimately push the 1-min loadavg
+    // past any fixed threshold, so a loadavg sampler flags the bench's
+    // own work and a clean full run can never commit (round-8 lesson —
+    // every query after the heavy dedup chain got flagged on an
+    // otherwise idle machine). What actually distinguishes contention
+    // is EXTERNAL CPU: whole-machine busy seconds (/proc/stat) minus
+    // this JVM's own process CPU, per query, as a fraction of machine
+    // capacity. A query whose window shows other processes burning
+    // more than maxExtCpu of the machine is flagged.
+    val maxExtCpu =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_EXT_CPU", "0.10").toDouble
+    val nCpus = Runtime.getRuntime.availableProcessors()
     val hotQueries = scala.collection.mutable.LinkedHashSet.empty[String]
     // deterministic name order so per-round timings are comparable
     // (shared cached plans make times order-sensitive otherwise)
@@ -95,7 +124,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      if (loadAvg() > maxLoad) hotQueries += name
+      val busy0 = machineBusySec()
+      val self0 = selfCpuSec()
+      val wall0 = System.nanoTime()
       def onePass(): Double = {
         val t0 = System.nanoTime()
         // noop sink: full materialization of every row and column (count()
@@ -124,7 +155,15 @@ object Bench {
         // fast min while also flagging an error)
         if (errors.contains(name)) d1 else math.min(d1, d2)
       }
-      if (loadAvg() > maxLoad) hotQueries += name
+      // flag the query if OTHER processes burned > maxExtCpu of the
+      // machine during its window (both passes); self-load never flags
+      val busy1 = machineBusySec()
+      val self1 = selfCpuSec()
+      val wallSec = (System.nanoTime() - wall0) / 1e9
+      if (busy0 >= 0 && busy1 >= 0 && self0 >= 0 && self1 >= 0 && wallSec > 0) {
+        val external = (busy1 - busy0) - (self1 - self0)
+        if (external / (wallSec * nCpus) > maxExtCpu) hotQueries += name
+      } else if (loadAvg() > maxLoad) hotQueries += name // no /proc: fall back
       name -> dt
     }
     // 3-decimal fixed-point rendering: 9-digit mantissas tripled the
@@ -171,7 +210,14 @@ object Bench {
       val priorClean = java.nio.file.Files.exists(p) &&
         !new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
           .contains("\"hot_machine\":true")
-      if (anyHot && priorClean)
+      if (only.nonEmpty)
+        // a name-filtered iteration run must never replace the
+        // committed full-coverage record with a partial one (round-8
+        // lesson: a single-query evidence run overwrote the 123-query
+        // artifact and the repo's own record lost its bench history)
+        System.err.println(
+          "[bench] SPARK_GRAFT_ONLY run — not touching BENCH_LOCAL.json")
+      else if (anyHot && priorClean)
         System.err.println(
           "[bench] machine went hot during the run (queries: " +
             hotQueries.mkString(", ") +
