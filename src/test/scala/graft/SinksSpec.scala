@@ -537,6 +537,72 @@ class SinksSpec extends AnyFunSuite {
       s"stats epoch must cover exactly the live files (${indexed.size} vs ${live.size})")
   }
 
+  /** The incremental form: selection is metadata-only from the stats
+    * epoch, only the degraded (appended) files are rewritten — the
+    * clean curve files survive BY NAME, which is the cost-∝-degraded
+    * proof — and skipping is restored. */
+  test("reclusterIncremental rewrites only the degraded files and restores skipping") {
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        col("user_id").as("u"), (col("value") * 100).cast("long").as("v"))
+    val dims = Seq("t", "u", "v")
+    val base = java.nio.file.Files.createTempDirectory("graft-recli").toString
+    val dir = s"$base/table"
+    val bulk = ev.filter(col("event_id") % 5 =!= 4)
+    val late = ev.filter(col("event_id") % 5 === 4)
+    sinks.ParquetSink.writeZOrdered(bulk, dir, dims, 32, bits = 0)
+    def files(): Set[String] = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+    val cleanFiles = files()
+    (0 until 4).foreach(i => late.filter(col("event_id") % 20 === (5 * i + 4))
+      .coalesce(1).write.mode("append").parquet(dir))
+    val appended = files() -- cleanFiles
+    assert(appended.size == 4)
+    val man = s"$base/manifest"
+    val statsRoot = s"$base/meta/stats"
+    val bloomRoot = s"$base/meta/bloom"
+    sources.MetadataMaintenance.tick(
+      spark, dir, man, statsRoot, dims, bloomRoot, "event_id"): Unit
+    val rep = sinks.ParquetSink.reclusterIncremental(spark, dir, dims, statsRoot)
+    // exactly the appended (wide-envelope) files were rewritten
+    assert(rep.rewrittenFiles == 4 && rep.keptFiles == cleanFiles.size,
+      s"selection must be exactly the degraded files: $rep")
+    assert(rep.rewrittenRows == late.count())
+    // the clean curve files survive BY NAME — nothing else was touched
+    val after = files()
+    assert(cleanFiles.subsetOf(after), "clean files must survive untouched")
+    assert((after -- cleanFiles).size == rep.newFiles &&
+      appended.forall(!after.contains(_)), "appended files must be replaced")
+    // rows exact; skipping restored: the new files are curve-ordered
+    // among themselves, so a box probe's candidates drop back
+    assert(spark.read.parquet(dir).select("event_id").collect()
+      .map(_.getLong(0)).toSet ==
+      ev.select("event_id").collect().map(_.getLong(0)).toSet)
+    val box = dims.map { c =>
+      val q = ev.stat.approxQuantile(c, Array(0.4, 0.6), 0.001)
+      c -> (q(0).toLong, q(1).toLong)
+    }.toMap
+    def candidates(): Long = {
+      val aggs = dims.flatMap(c =>
+        Seq(min(col(c)).as(s"${c}_lo"), max(col(c)).as(s"${c}_hi")))
+      spark.read.parquet(dir).groupBy(input_file_name().as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .filter(dims.map { c =>
+          val (lo, hi) = box(c)
+          col(s"${c}_lo") <= hi && col(s"${c}_hi") >= lo
+        }.reduce(_ && _)).count()
+    }
+    assert(candidates() <= cleanFiles.size / 2 + rep.newFiles,
+      "box skipping must be restored after the incremental rewrite")
+    // idempotence: a second pass finds nothing degraded
+    sources.MetadataMaintenance.tick(
+      spark, dir, man, statsRoot, dims, bloomRoot, "event_id"): Unit
+    val rep2 = sinks.ParquetSink.reclusterIncremental(spark, dir, dims, statsRoot)
+    assert(rep2.rewrittenFiles == 0, s"second pass must be a no-op: $rep2")
+  }
+
   test("Excel sink produces a valid xlsx with sorted styled sheets and null->''") {
     val path = java.nio.file.Files.createTempDirectory("graft-xlsx").toString + "/out.xlsx"
     val t1 = Seq((1L, Option("alpha")), (2L, None)).toDF("id", "label")
