@@ -35,6 +35,17 @@ object Ranking {
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = toks.filter(col("tok").isInCollection(queryTerms))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    scoreBm25(tf, dl, stats, k, k1, b)
+  }
+
+  /** The shared BM25 scoring tail — one arithmetic, two access paths
+    * (corpus scan / persisted index), so the two gates can share one
+    * oracle: identical op order means identical doubles. `tf` is
+    * (doc_id, tok, tf) already filtered to the query's terms; df per
+    * term re-derives from it (count of matched docs), as in the
+    * corpus form. */
+  private def scoreBm25(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+                        k: Int, k1: Double, b: Double): DataFrame = {
     val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     tf
       .join(broadcast(dfT), Seq("tok"))
@@ -48,6 +59,49 @@ object Ranking {
       .groupBy(col("doc_id")).agg(round(sum(col("s")), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Build and commit a persisted INVERTED INDEX for the corpus:
+    * `root/postings` holds (tok, doc_id, tf) range-clustered and
+    * sorted by token — so a query's term probe prunes whole files and
+    * row groups via parquet min/max on `tok` — and `root/doclen`
+    * holds (doc_id, dl). Both commit as VersionedTable epochs (atomic
+    * flip, as-of readable, CAS multi-writer safe). Build cost: one
+    * tokenize pass + two aggregates, ~the cost of ONE corpus-scan
+    * query — after which every query stops paying the tokenize.
+    * Returns (postings version, doclen version). */
+  def buildInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                         root: String, numFiles: Int = 16): (Long, Long) = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val postings = toks
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .repartitionByRange(numFiles, col("tok"))
+      .sortWithinPartitions(col("tok"), col("doc_id"))
+    val doclen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val pv = graft.sinks.VersionedTable.write(postings, s"$root/postings")
+    val dv = graft.sinks.VersionedTable.write(doclen, s"$root/doclen")
+    (pv, dv)
+  }
+
+  /** BM25 top-k THROUGH the persisted index — row-identical to
+    * [[bm25TopK]] on the same corpus (same scoring tail, same op
+    * order), but the per-query cost is ∝ the MATCHED postings plus a
+    * doc-length aggregate: no tokenize, no text scan, and the term
+    * probe reaches the postings files as a pushed parquet filter over
+    * a token-clustered layout. This is the retrieval shape that
+    * survives a 100 TB corpus — the corpus-sized work happens once at
+    * build time. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, root: String,
+                      queryTerms: Seq[String], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopKIndexed needs at least one query term")
+    val postings = graft.sinks.VersionedTable.read(spark, s"$root/postings")
+    val dl = graft.sinks.VersionedTable.read(spark, s"$root/doclen")
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = postings.filter(col("tok").isInCollection(queryTerms))
+      .select(col("doc_id"), col("tok"), col("tf"))
+    scoreBm25(tf, dl, stats, k, k1, b)
   }
 
   /** Top-k frequent items via the space-saving sketch

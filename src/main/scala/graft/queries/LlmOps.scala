@@ -355,6 +355,22 @@ object LlmOps extends QueryModule {
     graft.operators.Ranking.bm25TopK(Tables.documents(spark, dir),
       "doc_id", "text", Bm25Terms, k = 20)
 
+  /** BM25 through the PERSISTED inverted index
+    * ([[graft.operators.Ranking.buildInvertedIndex]]): build commits
+    * token-clustered postings + doc-length epochs, then the query runs
+    * index-only — no tokenize, no text scan, term probe pushed into
+    * the postings files. Shares q_bm25's oracle verbatim: same scoring
+    * tail, same op order, so the two paths must hash-match. Old
+    * epochs vacuumed so repeated gate runs don't accumulate. */
+  def qBm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("bm25_index")
+    graft.operators.Ranking.buildInvertedIndex(
+      Tables.documents(spark, dir), "doc_id", "text", root)
+    graft.sinks.VersionedTable.vacuum(spark, s"$root/postings", keep = 1)
+    graft.sinks.VersionedTable.vacuum(spark, s"$root/doclen", keep = 1)
+    graft.operators.Ranking.bm25TopKIndexed(spark, root, Bm25Terms, k = 20)
+  }
+
   /** Per-modality keep fractions for the stratified-sampling query:
     * rebalance an over-represented stratum down while keeping a rare
     * one whole — the canonical data-mixture op. */
@@ -897,6 +913,7 @@ object LlmOps extends QueryModule {
     "q_hash_split"      -> qHashSplit _,
     "q_top_ngrams"      -> qTopNgrams _,
     "q_bm25"            -> qBm25 _,
+    "q_bm25_indexed"    -> qBm25Indexed _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_frame_sample"    -> qFrameSample _,
@@ -1393,6 +1410,24 @@ object LlmOps extends QueryModule {
          |  WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
          |FROM u ORDER BY doc_id""".stripMargin,
     "q_bm25" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+         |  WHERE tok IN ($terms) GROUP BY 1, 2),
+         |dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id,
+         |    ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         |      * tf.tf * 2.2
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+         |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+         |SELECT doc_id, ROUND(SUM(s), 4) AS score FROM s GROUP BY 1
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+    // the index path must match the corpus-scan path exactly — one
+    // oracle, two access paths
+    "q_bm25_indexed" -> {
       val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),

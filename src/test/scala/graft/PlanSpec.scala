@@ -529,6 +529,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  /** The inverted-index claim: the per-query plan must be INDEX-ONLY —
+    * no tokenize (no Generate/explode), no documents text scan, and
+    * the term probe pushed into the postings files as a parquet
+    * filter. That is what makes query cost ∝ matched postings rather
+    * than corpus size. */
+  test("bm25 through the inverted index: no tokenize in the plan, term probe pushed to postings") {
+    val root = util.Scratch.dir("planspec_bm25_idx")
+    operators.Ranking.buildInvertedIndex(
+      sources.Tables.documents(spark, sf), "doc_id", "text", root)
+    val q = operators.Ranking.bm25TopKIndexed(
+      spark, root, queries.LlmOps.Bm25Terms, k = 20)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"),
+      s"indexed query must not re-tokenize (Generate found):\n$p")
+    assert(!p.contains("text#") && !p.contains("documents.parquet"),
+      s"indexed query must not scan the documents table:\n$p")
+    assert("PushedFilters: \\[[^\\]]*In\\(tok".r.findFirstIn(p).isDefined,
+      s"term probe must reach the postings scan as a pushed filter:\n$p")
+    // and the two access paths agree row-for-row
+    val viaIndex = q.collect().toSeq
+    val viaScan = operators.Ranking.bm25TopK(
+      sources.Tables.documents(spark, sf), "doc_id", "text",
+      queries.LlmOps.Bm25Terms, k = 20).collect().toSeq
+    assert(viaIndex == viaScan, "index path must equal the corpus-scan path")
+  }
+
   /** The Hilbert layout × planner-pruning composition behind
     * q_planner_pruned_hilbert. The geometry to test honestly: F files
     * tiling a 3-D space give every file a per-dim extent of ~F^(-1/3)
