@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // registered with graft.plans.GraftTables prune files against the
     // committed stats/bloom epochs at optimization time
     ext.injectOptimizerRule(session => graft.plans.StatsPruneRule(session))
+    // metadata-only whole-table aggregates: COUNT/MIN/MAX over a
+    // registered directory collapse to the committed stats epoch's
+    // answer when the epoch provably covers the scan's exact file set
+    ext.injectOptimizerRule(session => graft.plans.MetaAggRule(session))
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),

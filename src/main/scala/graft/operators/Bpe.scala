@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding VOCABULARY LEARNING — the tokenizer-
+  * training half of an LLM data pipeline ([[graft.functions
+  * .TextAnalysis.subwordCountApprox]] is the cheap stand-in for
+  * APPLYING a tokenizer; this learns one). Classic BPE (Sennrich et
+  * al. 2016): start from characters, repeatedly merge the most
+  * frequent adjacent symbol pair, corpus-frequency-weighted.
+  *
+  * The scale design is the one every real BPE trainer uses: all
+  * training rounds run on the WORD-COUNT table, not the corpus. The
+  * corpus is scanned exactly once ([[wordCounts]] — one tokenize +
+  * one aggregate); after that, every round costs one pair-count
+  * aggregate over the |distinct words| table (heavy-tailed: bounded
+  * in the millions while the corpus grows to 100 TB) plus a 1-row
+  * collect of the winning pair — metadata-scale driver traffic, like
+  * the dedup cluster loop's convergence probe. Pair merging is a
+  * pure codegen'd `aggregate` fold over each word's symbol array (no
+  * UDF), and each round localCheckpoints the vocab so the loop's
+  * lineage stays flat (the [[Dedup]] pointer-jumping discipline: lazy
+  * checkpoint, materialized by the NEXT round's aggregate — one job
+  * per round — with the predecessor's blocks released only after its
+  * successor is materialized).
+  *
+  * ENCODING then never re-runs the merge loop on the corpus: the
+  * trained vocab table already carries each word's final symbol
+  * sequence, so [[encode]] is explode words → join the vocab →
+  * reassemble in word order — corpus-scale work is one join, and the
+  * iterative cost stays amortized on the vocab table. Unseen words
+  * (encoding a corpus beyond the training set) fall back to their
+  * character sequence, BPE's natural base case.
+  */
+object Bpe {
+
+  /** The trained model: merge rules in rank order plus the vocab
+    * table (word, n, syms) with all rules applied. */
+  final case class BpeModel(merges: Seq[(String, String)], vocab: DataFrame)
+
+  /** Whitespace tokenization shared by training and encoding (empty
+    * tokens dropped) — one definition so the two sides cannot drift. */
+  private def words(text: Column): Column =
+    filter(split(text, "\\s+"), w => w =!= "")
+
+  /** Corpus word counts — the vocab-scale table every training round
+    * runs on. One tokenize pass + one aggregate (map-side combined). */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(words(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** A word's initial symbolization: its character sequence. */
+  private def charSyms(word: Column): Column =
+    filter(split(word, ""), s => s =!= "")
+
+  /** Round-0 vocab: every word as its character sequence — the state
+    * [[pairCounts]] sees before any merge (public so the gated query
+    * can probe the first round's pair statistics directly). */
+  def initialVocab(wordCounts: DataFrame): DataFrame =
+    wordCounts.withColumn("syms", charSyms(col("word")))
+
+  /** Adjacent-pair counts of the current symbolization, weighted by
+    * word frequency: (lsym, rsym, cnt). One aggregate over the vocab
+    * table; single-symbol words contribute nothing. */
+  def pairCounts(vocab: DataFrame): DataFrame = {
+    val s = col("syms")
+    vocab.filter(size(s) > 1)
+      .select(col("n"), explode(arrays_zip(
+        slice(s, lit(1), size(s) - 1).as("l"),
+        slice(s, lit(2), size(s) - 1).as("r"))).as("p"))
+      .groupBy(col("p.l").as("lsym"), col("p.r").as("rsym"))
+      .agg(sum(col("n")).as("cnt"))
+  }
+
+  /** Greedy left-to-right application of ONE merge rule to a symbol
+    * array — a codegen'd fold: each element either fuses with a
+    * pending `l` tail or appends. Non-overlapping by construction
+    * (the fused symbol is longer than `l`, so it can only seed a NEW
+    * match of the same rule, which is exactly BPE's greedy scan:
+    * "aaaa" under (a,a) → [aa, aa]). */
+  private def mergeOnce(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) === 0, array(x))
+        .otherwise(when(element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x)))))
+
+  /** Learn `numMerges` merge rules from a [[wordCounts]] table.
+    * Winner per round: highest weighted pair count, ties broken
+    * lexicographically on (lsym, rsym) — fully deterministic. Stops
+    * early when no pair remains (every word fused to one symbol). */
+  def learn(wordCounts: DataFrame, numMerges: Int): BpeModel = {
+    require(numMerges >= 1, "learn at least one merge")
+    var vocab = initialVocab(wordCounts).localCheckpoint(true)
+    var retired: Option[DataFrame] = None
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (rules.size < numMerges && !done) {
+      // this collect materializes the (lazy) current checkpoint, after
+      // which its predecessor's blocks are safe to release
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("lsym").asc, col("rsym").asc)
+        .limit(1).collect()
+      retired.foreach(unpersistLocalCheckpoint)
+      retired = None
+      if (top.isEmpty) done = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        rules += ((l, r))
+        val next = vocab.withColumn("syms", mergeOnce(col("syms"), l, r))
+          .localCheckpoint(false) // lazy: next round's aggregate runs it
+        retired = Some(vocab)
+        vocab = next
+      }
+    }
+    vocab.count(): Unit // materialize the final round before release
+    retired.foreach(unpersistLocalCheckpoint)
+    BpeModel(rules.toSeq, vocab)
+  }
+
+  /** [[learn]] from a corpus directly. */
+  def learn(docs: DataFrame, textCol: String, numMerges: Int): BpeModel =
+    learn(wordCounts(docs, textCol), numMerges)
+
+  /** Tokenize a corpus with a trained model: (id, tokens, n_tokens).
+    * Words are looked up in the vocab's final symbolization (unseen
+    * words fall back to characters), then reassembled in word order.
+    * Corpus-scale cost: one explode + one join + one per-doc
+    * reassembly aggregate — the merge loop is never re-run here. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             model: BpeModel): DataFrame = {
+    val ws = docs.select(col(idCol).as("_bpe_id"),
+      posexplode(words(col(textCol))).as(Seq("pos", "word")))
+    ws.join(model.vocab.select(col("word"), col("syms")), Seq("word"), "left")
+      .withColumn("syms", coalesce(col("syms"), charSyms(col("word"))))
+      .groupBy(col("_bpe_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("syms")))),
+        s => s.getField("syms"))).as("tokens"))
+      .select(col("_bpe_id").as(idCol), col("tokens"),
+        size(col("tokens")).as("n_tokens"))
+  }
+
+  /** Release a localCheckpoint's blocks (same rationale as
+    * [[Dedup]]'s loop: the Dataset API exposes no handle to the
+    * checkpoint RDD). */
+  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

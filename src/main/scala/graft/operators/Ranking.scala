@@ -84,6 +84,50 @@ object Ranking {
     (pv, dv)
   }
 
+  /** Fold a DOCUMENT BATCH into a committed inverted index without
+    * rebuilding it: new docs insert their postings, re-landed doc ids
+    * REPLACE theirs entirely (merge keyed by doc_id, so tokens the new
+    * text no longer contains cannot survive as stale postings — the
+    * same rewrite-staleness class as [[graft.sources.FileBloomIndex]]'s
+    * path merge, closed the same way). Cost ∝ the batch tokenize plus
+    * one index-sized epoch rewrite — never the corpus; this is how the
+    * index rides an ingest loop ([[graft.sources.FileManifest]] delta →
+    * upsert) instead of paying a full [[buildInvertedIndex]] per epoch.
+    * doclen/avgdl move with the same commit, so BM25 scores through the
+    * updated index equal a fresh full build's (spec + gate assert
+    * row-identity). Bootstraps the epochs when the index is new.
+    * Returns (postings version, doclen version). */
+  def upsertIndexedDocs(docs: DataFrame, idCol: String, textCol: String,
+                        root: String): (Long, Long) = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val postings = toks.groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("tok"), col("doc_id"), col("tf"))
+    val doclen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val spark = docs.sparkSession
+    def commit(df: DataFrame, sub: String): Long =
+      if (graft.sinks.VersionedTable.latestVersion(spark, s"$root/$sub") < 0)
+        graft.sinks.VersionedTable.write(df, s"$root/$sub")
+      else graft.sinks.VersionedTable.merge(df, s"$root/$sub", Seq("doc_id"))
+    (commit(postings, "postings"), commit(doclen, "doclen"))
+  }
+
+  /** Re-cluster the postings epoch by token. Delta merges keep the
+    * index CORRECT but interleave each batch's postings across the
+    * epoch's files, eroding the token-clustered layout the term-probe
+    * pushdown prunes against — the small-file/clustering decay every
+    * log-structured index has. One index-sized sort + epoch commit
+    * restores it; run it on the maintenance tick, amortized across
+    * many delta merges. Returns the committed postings version. */
+  def optimizeIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+                    numFiles: Int = 16): Long = {
+    val postings = graft.sinks.VersionedTable.read(spark, s"$root/postings")
+      .repartitionByRange(numFiles, col("tok"))
+      .sortWithinPartitions(col("tok"), col("doc_id"))
+    graft.sinks.VersionedTable.write(postings, s"$root/postings")
+  }
+
   /** BM25 top-k THROUGH the persisted index — row-identical to
     * [[bm25TopK]] on the same corpus (same scoring tail, same op
     * order), but the per-query cost is ∝ the MATCHED postings plus a

@@ -163,6 +163,45 @@ object Sampling {
       .drop("_mix_domain", "_mix_rate")
   }
 
+  /** Temperature-flattened domain mixture — the T5/mT5 recipe where
+    * the target weights are not hand-chosen but DERIVED from the data:
+    * w_g ∝ n_g^(1/τ), so over-represented domains are damped and rare
+    * ones boosted relative to their natural share, then the corpus is
+    * downsampled to that mixture exactly as [[rebalanceToMix]] does
+    * (binding domain kept whole, every other domain's keep-rate
+    * `s·w_g/n_g` with `s = min_g(n_g/w_g)`). τ = 1 is the identity
+    * mixture (all rates 1); τ → ∞ approaches the uniform mixture.
+    *
+    * τ must be a power of two: n^(1/2^h) is then a chain of h
+    * square roots, and IEEE sqrt — unlike libm pow — is correctly
+    * rounded, so every rate is bit-identical in any engine and
+    * membership stays oracle-reproducible (the package invariant; an
+    * arbitrary-τ variant would hang membership on pow's last ulp).
+    * Scale shape identical to [[rebalanceToMix]]: one
+    * |domains|-row count aggregate, a broadcast rate table, a
+    * map-side filter — the corpus never shuffles. */
+  def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
+                     temperature: Int): DataFrame = {
+    require(temperature >= 1 && Integer.bitCount(temperature) == 1,
+      "temperature must be a power of two (1, 2, 4, 8, …)")
+    val halvings = Integer.numberOfTrailingZeros(temperature)
+    val d = col(domainCol)
+    val counts = df.filter(d.isNotNull)
+      .groupBy(d.as("_mix_domain"))
+      .agg(count(lit(1)).cast("double").as("_mix_n"))
+    val w = (1 to halvings).foldLeft(col("_mix_n")) { (c, _) => sqrt(c) }
+    val s = min(col("_mix_n") / col("_mix_w"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val rates = counts
+      .withColumn("_mix_w", w)
+      .select(col("_mix_domain"),
+        (s * col("_mix_w") / col("_mix_n")).as("_mix_rate"))
+    val u = hashUnit(stratumSalt(idCol, domainCol))
+    df.join(broadcast(rates), d === col("_mix_domain"))
+      .filter(u < col("_mix_rate"))
+      .drop("_mix_domain", "_mix_rate")
+  }
+
   /** Weighted Bernoulli sample: keep each row with probability
     * proportional to its weight, `p_i = expectedN · w_i / Σw` (capped at
     * 1 implicitly — rows with p ≥ 1 always pass since u < 1) — the

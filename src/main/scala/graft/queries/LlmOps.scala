@@ -883,7 +883,68 @@ object LlmOps extends QueryModule {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Dense global row ids without a single-task window
+    * ([[graft.operators.Ids.withSequentialIds]]): range-sort +
+    * per-partition offsets, numbered identically to
+    * ROW_NUMBER() OVER (ORDER BY doc_id) — which is the oracle. */
+  def qSeqIds(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ids.withSequentialIds(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      Seq("doc_id"), "seq_id", numPartitions = 8)
+      .orderBy(col("doc_id"))
+
+  /** Temperature for the flattened-mixture query: τ = 4 (weights
+    * ∝ n^¼ — two IEEE square roots, bit-reproducible in the oracle). */
+  val MixTemperature = 4
+
+  def qMixtureTemp(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureMix(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      "doc_id", "lang", MixTemperature)
+      .orderBy(col("doc_id"))
+
+  /** Round-0 BPE pair statistics: the corpus's most frequent adjacent
+    * character pairs, word-frequency-weighted — the argmax of the
+    * trainer's first round, directly oracle-checkable (the full merge
+    * loop is iterative and spec-verified instead). */
+  val BpePairsK = 20
+
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.pairCounts(graft.operators.Bpe.initialVocab(
+      graft.operators.Bpe.wordCounts(Tables.documents(spark, dir), "text")))
+      .orderBy(col("cnt").desc, col("lsym").asc, col("rsym").asc)
+      .limit(BpePairsK)
+
+  /** INCREMENTALLY-maintained inverted index must score like a fresh
+    * build: the initial build sees a corpus with every 11th doc
+    * missing and every 7th doc truncated to its first 5 words; one
+    * [[graft.operators.Ranking.upsertIndexedDocs]] batch then inserts
+    * the missing docs and REPLACES the truncated ones (stale postings
+    * for words the truncation dropped must not survive), and an
+    * [[graft.operators.Ranking.optimizeIndex]] pass restores the
+    * token clustering. Oracle: q_bm25's full-corpus SQL verbatim —
+    * the delta path must be row-identical to a from-scratch index. */
+  def qBm25Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("bm25_inc_index")
+    val d = Tables.documents(spark, dir)
+    val stale = d.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, substring_index(col("text"), " ", 5))
+          .otherwise(col("text")))
+    graft.operators.Ranking.buildInvertedIndex(stale, "doc_id", "text", root)
+    val batch = d.filter(col("doc_id") % 11 === 0 || col("doc_id") % 7 === 0)
+    graft.operators.Ranking.upsertIndexedDocs(batch, "doc_id", "text", root)
+    graft.operators.Ranking.optimizeIndex(spark, root)
+    graft.sinks.VersionedTable.vacuum(spark, s"$root/postings", keep = 1)
+    graft.sinks.VersionedTable.vacuum(spark, s"$root/doclen", keep = 1)
+    graft.operators.Ranking.bm25TopKIndexed(spark, root, Bm25Terms, k = 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_ids"         -> qSeqIds _,
+    "q_mixture_temp"    -> qMixtureTemp _,
+    "q_bpe_pairs"       -> qBpePairs _,
+    "q_bm25_incremental" -> qBm25Incremental _,
     "q_hybrid_rrf"      -> qHybridRrf _,
     "q_weighted_sample" -> qWeightedSample _,
     "q_html_strip"      -> qHtmlStrip _,
@@ -1443,6 +1504,57 @@ object LlmOps extends QueryModule {
          |SELECT doc_id, ROUND(SUM(s), 4) AS score FROM s GROUP BY 1
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
+    // the incrementally-maintained index must match the full-corpus
+    // scan too — same oracle, third access path (build → upsert →
+    // optimize)
+    "q_bm25_incremental" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+         |  WHERE tok IN ($terms) GROUP BY 1, 2),
+         |dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id,
+         |    ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         |      * tf.tf * 2.2
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+         |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+         |SELECT doc_id, ROUND(SUM(s), 4) AS score FROM s GROUP BY 1
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "q_seq_ids" ->
+      """SELECT doc_id, lang,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS seq_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mixture_temp" -> {
+      // τ = 4: wt = sqrt(sqrt(n)) — IEEE sqrt is correctly rounded, so
+      // the rates are bit-identical to Spark's; same (s·w)/n op order
+      // as the q_domain_mix oracle
+      // NULL-lang rows can't join the rate table on either side, so
+      // the salt needs no NULL guard (q_domain_mix precedent)
+      val uHex = duckHex("md5(CAST(d.doc_id AS VARCHAR) || '|' || d.lang)", 1, 8)
+      s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+         |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+         |w AS (SELECT lang, n, sqrt(sqrt(n)) AS wt FROM c),
+         |s AS (SELECT lang, n, wt, MIN(n / wt) OVER () AS sc FROM w),
+         |r AS (SELECT lang, (sc * wt) / n AS rate FROM s)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |JOIN r ON r.lang = d.lang
+         |WHERE CAST($uHex AS DOUBLE) / 4294967296.0 < r.rate
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    "q_bpe_pairs" ->
+      s"""WITH wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest(string_split_regex(text, '\\s+')) AS w
+         |    FROM documents) WHERE w <> '' GROUP BY w),
+         |idx AS (SELECT w, n,
+         |    unnest(generate_series(1, length(w) - 1)) AS i FROM wc),
+         |pairs AS (SELECT substring(w, i, 1) AS lsym,
+         |    substring(w, i + 1, 1) AS rsym, n FROM idx)
+         |SELECT lsym, rsym, CAST(SUM(n) AS BIGINT) AS cnt
+         |FROM pairs GROUP BY 1, 2
+         |ORDER BY cnt DESC, lsym, rsym LIMIT $BpePairsK""".stripMargin,
     "q_stratified_sample" -> {
       val uHex = duckHex("md5(CAST(doc_id AS VARCHAR) || '|' || modality)", 1, 8)
       val cases = StratifiedFractions.map { case (s, f) =>

@@ -799,7 +799,58 @@ object Relational extends QueryModule {
       .orderBy(col("rule"))
   }
 
+  /** Metadata-only table aggregates ([[graft.sources.FileStats
+    * .tableSummary]]): COUNT(*)/MIN/MAX/null-count answered from the
+    * committed |files|-row stats epoch with ZERO data I/O — the
+    * Iceberg/Delta manifest-count ergonomics. The oracle computes the
+    * same aggregates the expensive way (a full scan), pinning
+    * exactness of the metadata path. Stats epoch REPLACED per
+    * invocation (the layout re-lands under fresh names — the
+    * q_bloom_lookup lesson). */
+  def qMetaSummary(spark: SparkSession, dir: String): DataFrame = {
+    val lay = graft.util.Scratch.dir("meta_summary")
+    Tables.lineitem(spark, dir).repartition(8)
+      .write.mode("overwrite").parquet(lay)
+    val root = graft.util.Scratch.dir("meta_summary_meta") + "/stats"
+    graft.sources.FileStats.commitStatsFull(
+      graft.sources.FileStats.collect(spark, lay,
+        Seq("l_orderkey", "l_quantity")), root)
+    graft.sources.FileStats.tableSummary(
+      graft.sources.FileStats.readStats(spark, root),
+      Seq("l_orderkey", "l_quantity"))
+  }
+
+  /** PLANNER-integrated metadata aggregates (plans.MetaAggRule): the
+    * query is a plain `spark.read.parquet(dir).agg(count/min/max)` —
+    * no tableSummary opt-in — and the injected rule collapses it to
+    * the committed stats epoch's answer at optimization time (zero
+    * data I/O; PlanSpec asserts the scan is gone). The oracle computes
+    * the same aggregates the expensive way; the rewrite fires only on
+    * proof that the stats cover the scan's exact live file set. */
+  def qMetaCount(spark: SparkSession, dir: String): DataFrame = {
+    val lay = graft.util.Scratch.dir("meta_count")
+    Tables.lineitem(spark, dir).repartition(8)
+      .write.mode("overwrite").parquet(lay)
+    val root = graft.util.Scratch.dir("meta_count_meta") + "/stats"
+    // full rebuild — the layout re-lands under fresh names per
+    // invocation, so the stats epoch must REPLACE, never merge
+    graft.sources.FileStats.commitStatsFull(
+      graft.sources.FileStats.collect(spark, lay,
+        Seq("l_orderkey", "l_quantity")), root)
+    graft.plans.GraftTables.register(lay,
+      statsRoot = Some(root), statsCols = Seq("l_orderkey", "l_quantity"))
+    spark.read.parquet(lay).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_quantity")).as("n_qty"),
+      min(col("l_orderkey")).as("k_min"),
+      max(col("l_orderkey")).as("k_max"),
+      min(col("l_quantity")).as("q_min"),
+      max(col("l_quantity")).as("q_max"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_meta_summary"      -> qMetaSummary _,
+    "q_meta_count"        -> qMetaCount _,
     "q1_agg"              -> q1Agg _,
     "q_count_by_key"      -> qCountByKey _,
     "q_multi_agg"         -> qMultiAgg _,
@@ -841,6 +892,23 @@ object Relational extends QueryModule {
     "q_expectations"      -> qExpectations _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_meta_summary" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+        |  MIN(l_orderkey) AS l_orderkey_min,
+        |  MAX(l_orderkey) AS l_orderkey_max,
+        |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS l_orderkey_nulls,
+        |  MIN(l_quantity) AS l_quantity_min,
+        |  MAX(l_quantity) AS l_quantity_max,
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS l_quantity_nulls
+        |FROM lineitem""".stripMargin,
+    "q_meta_count" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(l_quantity) AS BIGINT) AS n_qty,
+        |  MIN(l_orderkey) AS k_min, MAX(l_orderkey) AS k_max,
+        |  MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max
+        |FROM lineitem""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(ts AS DATE) AS bucket_day,
         |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,

@@ -248,9 +248,16 @@ object VersionedTable {
     require(keyCols.forall(updates.columns.contains),
       s"update batch is missing key columns: ${keyCols.filterNot(updates.columns.contains).mkString(", ")}")
     rewriteLoop(spark, root) { base =>
-      val keep = readVersion(spark, root, base).join(
+      val cur = readVersion(spark, root, base)
+      val keep = cur.join(
         updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-      keep.unionByName(updates, allowMissingColumns = evolveSchema)
+      // the USING-style anti-join moves key columns first; re-project to
+      // the base epoch's column order (evolved-in columns append) so a
+      // merge never churns the table's positional schema — positional
+      // readers (union, exceptAll, parquet field ids) stay stable
+      val merged = keep.unionByName(updates, allowMissingColumns = evolveSchema)
+      val order = cur.columns ++ merged.columns.filterNot(cur.columns.contains)
+      merged.select(order.map(col): _*)
     }
   }
 
@@ -308,10 +315,14 @@ object VersionedTable {
         org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("_graft_rn") === 1).drop("_graft_rn")
     rewriteLoop(spark, root) { base =>
-      val keep = readVersion(spark, root, base).join(
+      val cur = readVersion(spark, root, base)
+      val keep = cur.join(
         winners.select(keyCols.map(col): _*), keyCols, "left_anti")
+      // same column-order preservation as merge: the anti-join's key-
+      // first output must not leak into the committed epoch's schema
       keep.unionByName(
         winners.filter(not(col(opCol) === lit("D"))).drop(opCol, seqCol))
+        .select(cur.columns.map(col): _*)
     }
   }
 

@@ -144,6 +144,31 @@ object FileStats {
   def readStats(spark: SparkSession, root: String): DataFrame =
     VersionedTable.read(spark, root)
 
+  /** Table-level aggregates answered from the stats table ALONE —
+    * zero data I/O, the Iceberg/Delta "COUNT(*) from the manifest"
+    * ergonomics: Σ row_count is the exact table count, min of
+    * per-file mins / max of per-file maxes the exact extrema, and
+    * Σ per-file null counts the exact null count. Exactness holds
+    * whenever the stats cover exactly the live file set (the
+    * [[FileManifest]] + [[reconcile]] loop's invariant) and the rows
+    * were collected exactly ([[collect]] / [[collectFor]]). Footer
+    * stats keep the honesty rules instead: a writer-omitted column
+    * folds to NULL min/max — "unknown", never a narrower claim — and
+    * NULL-aggregating min/max then skips that file, so on
+    * footer-built stats treat a NULL summary cell as unknown (row
+    * counts come from block metadata and stay exact either way).
+    * Output: one row — row_count, then per col c: c_min, c_max,
+    * c_nulls. */
+  def tableSummary(stats: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "summarize at least one column")
+    val aggs = sum(col("row_count")).as("row_count") +: cols.flatMap { c =>
+      Seq(min(col(s"${c}_min")).as(s"${c}_min"),
+        max(col(s"${c}_max")).as(s"${c}_max"),
+        sum(col(s"${c}_nulls")).as(s"${c}_nulls"))
+    }
+    stats.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Files whose [min,max] envelope for `c` intersects [lo,hi] —
     * the sound-prune set for `c BETWEEN lo AND hi`. A file is dropped
     * only on PROOF it cannot match: its envelope provably misses the

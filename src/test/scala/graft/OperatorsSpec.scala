@@ -2461,4 +2461,166 @@ class OperatorsSpec extends AnyFunSuite {
     // the planted outlier is clipped to the upper bound
     assert(out.find(_._1 == 100L).get._3 == pHi)
   }
+
+  test("bpe: classic merge sequence, greedy overlap fold, encode rebuilds words") {
+    import operators.Bpe
+    // Sennrich's running example shape: low×3, lower×1, lowest×1
+    val docs = Seq((1L, "low lower lowest"), (2L, "low low"))
+      .toDF("doc_id", "text")
+    val model = Bpe.learn(docs, "text", numMerges = 4)
+    // round 0: (l,o)=5 ties (o,w)=5 → lexicographic lsym; then the
+    // fused symbols chain strictly: (lo,w)=5, (low,e)=2, then the
+    // 1-count 3-way tie (lowe,r)/(lowe,s)/(s,t) → "lowe" < "s", "r" < "s"
+    assert(model.merges == Seq("l" -> "o", "lo" -> "w", "low" -> "e",
+      "lowe" -> "r"))
+    // every vocab word's final symbols reassemble the word exactly
+    val vocab = model.vocab.select(col("word"), col("syms"))
+      .as[(String, Seq[String])].collect()
+    assert(vocab.nonEmpty &&
+      vocab.forall { case (w, syms) => syms.mkString("") == w })
+    assert(vocab.toMap.apply("low") == Seq("low"))
+    assert(vocab.toMap.apply("lower") == Seq("lower"))
+    assert(vocab.toMap.apply("lowest") == Seq("lowe", "s", "t"))
+    // greedy non-overlapping scan: "aaaa" under (a,a) → [aa, aa];
+    // "aaa" → [aa, a]
+    val rep = Bpe.learn(Seq((1L, "aaaa aaa")).toDF("doc_id", "text"),
+      "text", numMerges = 1)
+    assert(rep.merges == Seq("a" -> "a"))
+    val repVocab = rep.vocab.select(col("word"), col("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(repVocab("aaaa") == Seq("aa", "aa"))
+    assert(repVocab("aaa") == Seq("aa", "a"))
+    // encode: tokens flatten in word order; unseen words fall back to
+    // characters
+    val enc = Bpe.encode(
+      Seq((7L, "low lowest zz")).toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .select(col("doc_id"), col("tokens"), col("n_tokens"))
+      .as[(Long, Seq[String], Int)].collect()
+    assert(enc.length == 1)
+    assert(enc(0)._2 == Seq("low", "lowe", "s", "t", "z", "z"))
+    assert(enc(0)._3 == 6)
+    // early stop: every word fused to a single symbol ends the loop
+    val tiny = Bpe.learn(Seq((1L, "ab ab")).toDF("doc_id", "text"),
+      "text", numMerges = 10)
+    assert(tiny.merges == Seq("a" -> "b"))
+  }
+
+  test("sequential ids: dense 1-based global rank equal to the window form") {
+    import operators.Ids
+    val df = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"))
+    val got = Ids.withSequentialIds(df, Seq("doc_id"), "seq_id",
+      numPartitions = 5)
+    // exact row-set equality with ROW_NUMBER() OVER (ORDER BY doc_id)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val want = df.withColumn("seq_id", row_number().over(w).cast("long"))
+    assert(got.count() == df.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // ids are dense: 1..n with no holes
+    val n = df.count()
+    val ids = got.select(col("seq_id")).as[Long].collect().sorted
+    assert(ids.head == 1L && ids.last == n && ids.distinct.length == n.toInt)
+    // deterministic across partitioning of the input
+    val again = Ids.withSequentialIds(df.repartition(7), Seq("doc_id"),
+      "seq_id", numPartitions = 3)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
+
+  test("table summary from stats epoch: exact count/extrema/nulls with zero data reads") {
+    import sources.FileStats
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-meta-summary").toString
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 2.0), (2L, null), (3L, -7.5), (null, 4.0), (5L, 9.25))
+      .toDF("k", "v")
+    df.repartition(3).write.mode("overwrite").parquet(s"$dir/t")
+    FileStats.commitStatsFull(
+      FileStats.collect(spark, s"$dir/t", Seq("k", "v")), s"$dir/stats")
+    val got = FileStats.tableSummary(
+      FileStats.readStats(spark, s"$dir/stats"), Seq("k", "v")).collect()(0)
+    assert(got.getLong(got.fieldIndex("row_count")) == 5L)
+    assert(got.getLong(got.fieldIndex("k_min")) == 1L)
+    assert(got.getLong(got.fieldIndex("k_max")) == 5L)
+    assert(got.getLong(got.fieldIndex("k_nulls")) == 1L)
+    assert(got.getDouble(got.fieldIndex("v_min")) == -7.5)
+    assert(got.getDouble(got.fieldIndex("v_max")) == 9.25)
+    assert(got.getLong(got.fieldIndex("v_nulls")) == 1L)
+  }
+
+  test("temperature mix: τ=1 is identity; binding domain kept whole; draw is partitioning-proof") {
+    import operators.Sampling
+    val df = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"))
+    // τ=1: weights ∝ n → every rate is 1 → identity
+    val id = Sampling.temperatureMix(df, "doc_id", "lang", 1)
+    assert(id.count() == df.count())
+    // τ=4: the binding domain (min n/n^¼ = min n^¾ → the SMALLEST
+    // domain) keeps every row; every other domain downsamples
+    val t4 = Sampling.temperatureMix(df, "doc_id", "lang", 4)
+    val before = df.groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    val after = t4.groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    val smallest = before.minBy(_._2)._1
+    assert(after(smallest) == before(smallest),
+      "binding (smallest) domain must be kept whole")
+    assert(before.keySet.forall(l => after.getOrElse(l, 0L) <= before(l)))
+    assert(after.values.sum < before.values.sum)
+    // realized mixture flattens: the biggest domain's share shrinks
+    val shareBefore = before.maxBy(_._2)._2.toDouble / before.values.sum
+    val shareAfter = after(before.maxBy(_._2)._1).toDouble / after.values.sum
+    assert(shareAfter < shareBefore)
+    // membership is a pure function of (id, domain): repartition-proof
+    val again = Sampling.temperatureMix(df.repartition(7), "doc_id", "lang", 4)
+    assert(t4.exceptAll(again).isEmpty && again.exceptAll(t4).isEmpty)
+  }
+
+  test("inverted index upsert: delta build equals full rebuild, stale postings replaced") {
+    import operators.Ranking
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-inc-index").toString
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "beta gamma gamma delta"),
+      (3L, "alpha alpha epsilon"),
+      (4L, "zeta eta theta")).toDF("doc_id", "text")
+    // initial build: doc 4 missing, doc 2 TRUNCATED (its later tokens
+    // must not survive the upsert as stale postings)
+    val initial = docs.filter(col("doc_id") =!= 4)
+      .withColumn("text", when(col("doc_id") === 2, lit("beta"))
+        .otherwise(col("text")))
+    Ranking.buildInvertedIndex(initial, "doc_id", "text", s"$dir/inc")
+    Ranking.upsertIndexedDocs(docs.filter(col("doc_id").isin(2L, 4L)),
+      "doc_id", "text", s"$dir/inc")
+    Ranking.optimizeIndex(spark, s"$dir/inc", numFiles = 2)
+    Ranking.buildInvertedIndex(docs, "doc_id", "text", s"$dir/full")
+    def rows(root: String, sub: String) =
+      sinks.VersionedTable.read(spark, s"$root/$sub")
+    // merge must not churn the epoch's positional schema (the USING-
+    // anti-join's key-first output leaked into committed epochs before)
+    assert(rows(s"$dir/inc", "postings").columns.toSeq ==
+      Seq("tok", "doc_id", "tf"))
+    // postings and doclen row-sets identical to the from-scratch build
+    assert(rows(s"$dir/inc", "postings")
+      .exceptAll(rows(s"$dir/full", "postings")).isEmpty)
+    assert(rows(s"$dir/full", "postings")
+      .exceptAll(rows(s"$dir/inc", "postings")).isEmpty)
+    assert(rows(s"$dir/inc", "doclen")
+      .exceptAll(rows(s"$dir/full", "doclen")).isEmpty)
+    assert(rows(s"$dir/full", "doclen")
+      .exceptAll(rows(s"$dir/inc", "doclen")).isEmpty)
+    // stale check, directly: doc 2's truncated-build postings carried
+    // only 'beta'; after upsert its gamma/delta postings exist and its
+    // 'beta' tf reflects the TRUE text (1, not the truncated 1-token doc)
+    val d2 = rows(s"$dir/inc", "postings").filter(col("doc_id") === 2)
+      .select(col("tok"), col("tf")).as[(String, Long)].collect().toMap
+    assert(d2 == Map("beta" -> 1L, "gamma" -> 2L, "delta" -> 1L))
+    // scores through the maintained index equal the corpus-scan BM25
+    val viaIndex = Ranking.bm25TopKIndexed(spark, s"$dir/inc",
+      Seq("beta", "alpha"), k = 4).collect().toSeq
+    val viaScan = Ranking.bm25TopK(docs, "doc_id", "text",
+      Seq("beta", "alpha"), k = 4).collect().toSeq
+    assert(viaIndex == viaScan)
+  }
 }

@@ -620,4 +620,55 @@ class PlanSpec extends AnyFunSuite {
       }
     } finally plans.GraftTables.unregister(lay)
   }
+
+  /** Metadata-only aggregates (plans.MetaAggRule): a whole-table
+    * COUNT/MIN/MAX over a registered directory must collapse to a
+    * LocalRelation at optimization time — no file scan at all — and
+    * the rewrite must refuse to fire (degrading to a correct scan)
+    * for filtered aggregates and for stats that no longer cover the
+    * live file set. */
+  test("registered table: whole-table count/min/max answers from the stats epoch, no scan") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, sf)
+    val lay = util.Scratch.dir("rule_meta_agg_lay")
+    docs.repartition(6).write.mode("overwrite").parquet(lay)
+    val statsRoot = util.Scratch.dir("rule_meta_agg_meta") + "/stats"
+    sources.FileStats.commitStatsFull(
+      sources.FileStats.collect(spark, lay, Seq("doc_id")), statsRoot)
+    try {
+      plans.GraftTables.register(lay,
+        statsRoot = Some(statsRoot), statsCols = Seq("doc_id"))
+      val agg = spark.read.parquet(lay).agg(
+        count(lit(1)).as("n"), count(col("doc_id")).as("nn"),
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      val phys = agg.queryExecution.executedPlan.toString
+      assert(phys.contains("LocalTableScan") && !phys.contains("FileScan"),
+        s"metadata aggregate must plan as a LocalTableScan:\n$phys")
+      val want = docs.agg(count(lit(1)), count(col("doc_id")),
+        min(col("doc_id")), max(col("doc_id"))).collect()(0)
+      assert(agg.collect()(0) == want,
+        "metadata answer must equal the full-scan answer")
+      // a filter disqualifies: plan scans, result stays exact
+      val filtered = spark.read.parquet(lay)
+        .filter(col("doc_id") > 10L).agg(count(lit(1)).as("n"))
+      assert(filtered.queryExecution.executedPlan.toString.contains("FileScan"),
+        "filtered aggregate must not use the metadata path")
+      assert(filtered.collect()(0).getLong(0) ==
+        docs.filter(col("doc_id") > 10L).count())
+      // an untracked column disqualifies
+      val untracked = spark.read.parquet(lay).agg(min(col("lang")).as("m"))
+      assert(untracked.queryExecution.executedPlan.toString.contains("FileScan"),
+        "untracked column must not use the metadata path")
+      // staleness: rewrite the layout (different rows, fresh names)
+      // WITHOUT refreshing stats — coverage proof fails, the scan runs,
+      // and the answer reflects the LIVE data, not the stale epoch
+      docs.filter(col("doc_id") < 20L).repartition(2)
+        .write.mode("overwrite").parquet(lay)
+      val stale = spark.read.parquet(lay).agg(count(lit(1)).as("n"))
+      assert(stale.queryExecution.executedPlan.toString.contains("FileScan"),
+        "uncovered scan must not use the metadata path")
+      assert(stale.collect()(0).getLong(0) ==
+        docs.filter(col("doc_id") < 20L).count())
+    } finally plans.GraftTables.unregister(lay)
+  }
 }
