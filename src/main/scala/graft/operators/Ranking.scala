@@ -113,6 +113,29 @@ object Ranking {
     (commit(postings, "postings"), commit(doclen, "doclen"))
   }
 
+  /** One manifest-driven index-ingest tick — the retrieval twin of
+    * [[graft.sources.MetadataMaintenance.tick]]: discover doc files
+    * newly landed under `landingDir` (via the committed
+    * [[graft.sources.FileManifest]]), read ONLY those files, fold
+    * their documents into the index with [[upsertIndexedDocs]], and
+    * commit the manifest so a crashed tick re-offers the same files
+    * (the upsert is doc_id-keyed, so the retry is idempotent). Cost ∝
+    * newly landed data + one index-sized rewrite — the corpus under
+    * `landingDir` is never rescanned. Returns the number of files
+    * ingested (0 = clean no-op tick). Run [[optimizeIndex]] on the
+    * same cadence as compaction to keep the postings token-clustered. */
+  def indexIngestTick(spark: org.apache.spark.sql.SparkSession,
+                      landingDir: String, manifestPath: String, root: String,
+                      idCol: String, textCol: String): Int = {
+    val nf = graft.sources.FileManifest.newFiles(spark, landingDir, manifestPath)
+    val files = nf.select(col("path")).collect().map(_.getString(0)).toSeq
+    if (files.nonEmpty) {
+      upsertIndexedDocs(spark.read.parquet(files: _*), idCol, textCol, root)
+      graft.sources.FileManifest.commit(spark, manifestPath, nf)
+    }
+    files.size
+  }
+
   /** Re-cluster the postings epoch by token. Delta merges keep the
     * index CORRECT but interleave each batch's postings across the
     * epoch's files, eroding the token-clustered layout the term-probe

@@ -501,6 +501,35 @@ object EventStreams {
       }
     }
 
+  /** Streaming maintenance of the persisted INVERTED INDEX
+    * ([[graft.operators.Ranking.buildInvertedIndex]]): each arriving
+    * document micro-batch folds into the committed postings/doclen
+    * epochs via [[graft.operators.Ranking.upsertIndexedDocs]] — new
+    * doc ids insert, re-delivered or corrected ids REPLACE their rows
+    * — and every `optimizeEvery` batches the postings re-cluster by
+    * token so the term-probe pushdown layout survives the
+    * log-structured merges. Per-batch cost ∝ the batch tokenize plus
+    * one index-sized epoch rewrite, never the corpus: the live-search
+    * ingestion shape. Replay-safe WITHOUT a batch sidecar: the merge
+    * is keyed by doc_id, so a re-delivered batch recommits an epoch
+    * with identical content (idempotent by construction — a redundant
+    * epoch, bounded by vacuum, not a wrong one). BM25 through the
+    * maintained index equals a from-scratch build on the same docs
+    * (StreamingSpec). */
+  def invertedIndexStream(docs: DataFrame, root: String,
+      idCol: String, textCol: String, optimizeEvery: Int = 8,
+      numFiles: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(optimizeEvery >= 1, "optimizeEvery must be >= 1")
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      graft.operators.Ranking.upsertIndexedDocs(batch, idCol, textCol, root)
+      if (batches.incrementAndGet() % optimizeEvery == 0)
+        graft.operators.Ranking.optimizeIndex(spark, root, numFiles): Unit
+    }
+  }
+
   def incrementalAggStream(deltas: DataFrame, root: String,
       keyCols: Seq[String], valCol: String, opCol: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

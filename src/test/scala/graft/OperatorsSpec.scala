@@ -2623,4 +2623,40 @@ class OperatorsSpec extends AnyFunSuite {
       Seq("beta", "alpha"), k = 4).collect().toSeq
     assert(viaIndex == viaScan)
   }
+
+  test("index ingest tick: manifest-driven delta indexing, idempotent no-op, equals full rebuild") {
+    import operators.Ranking
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-idx-tick").toString
+    val landing = s"$base/landing"
+    val manifest = s"$base/manifest"
+    val root = s"$base/idx"
+    val docs = sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val wave1 = docs.filter(col("doc_id") % 3 =!= 0)
+    val wave2 = docs.filter(col("doc_id") % 3 === 0)
+    wave1.repartition(2).write.mode("append").parquet(landing)
+    val n1 = Ranking.indexIngestTick(spark, landing, manifest, root,
+      "doc_id", "text")
+    assert(n1 == 2, s"first tick must ingest the landed files, got $n1")
+    // clean tick: nothing new, nothing rewritten
+    val v0 = sinks.VersionedTable.latestVersion(spark, s"$root/postings")
+    assert(Ranking.indexIngestTick(spark, landing, manifest, root,
+      "doc_id", "text") == 0)
+    assert(sinks.VersionedTable.latestVersion(spark, s"$root/postings") == v0,
+      "a no-op tick must not commit a new epoch")
+    // wave 2 lands; only its files are read, index now covers the union
+    wave2.repartition(1).write.mode("append").parquet(landing)
+    assert(Ranking.indexIngestTick(spark, landing, manifest, root,
+      "doc_id", "text") == 1)
+    Ranking.optimizeIndex(spark, root, numFiles = 2)
+    val fullRoot = s"$base/full"
+    Ranking.buildInvertedIndex(docs, "doc_id", "text", fullRoot)
+    def rows(r: String, sub: String) =
+      sinks.VersionedTable.read(spark, s"$r/$sub")
+    assert(rows(root, "postings").exceptAll(rows(fullRoot, "postings")).isEmpty
+      && rows(fullRoot, "postings").exceptAll(rows(root, "postings")).isEmpty,
+      "tick-maintained postings must equal the from-scratch build")
+    assert(rows(root, "doclen").exceptAll(rows(fullRoot, "doclen")).isEmpty
+      && rows(fullRoot, "doclen").exceptAll(rows(root, "doclen")).isEmpty)
+  }
 }

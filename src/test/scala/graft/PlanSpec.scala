@@ -403,6 +403,20 @@ class PlanSpec extends AnyFunSuite {
       s"global-rank fell back to one task:\n$p")
   }
 
+  /** The distributed ROW_NUMBER claim: dense global ids with no window
+    * operator at all (a global window would funnel the table through
+    * one task) and no single-partition exchange — a range sort, a
+    * broadcast of the |partitions|-row offset table, a projection. */
+  test("sequential ids plan: no window, no single-partition exchange, offsets broadcast") {
+    val p = plan("q_seq_ids")
+    assert(!p.contains("Window"),
+      s"sequential ids must not plan a window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"sequential ids fell back to one task:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the offset table must broadcast:\n$p")
+  }
+
   /** SCD2's one-shuffle claim, verified in the plan: the change-flag
     * lag, run-id running sum, run collapse and effective_to lead all
     * reuse ONE user_id hash partitioning — exactly one hash exchange

@@ -606,4 +606,49 @@ class StreamingSpec extends AnyFunSuite {
         ev.filter(col("event_id") % 16 =!= 0), keys, col("cents"))),
       "retraction fold must equal the rebuilt post-delete view")
   }
+
+  /** Streaming inverted-index maintenance: micro-batch upserts (new
+    * docs insert, corrected re-deliveries REPLACE — stale postings
+    * from the old text must vanish) plus the periodic re-cluster,
+    * ending row-identical to a from-scratch build of the final
+    * corpus. */
+  test("streaming inverted-index maintenance equals a from-scratch build") {
+    val docs = sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-invidx-st").toString
+    val root = s"$base/idx"
+    val isNew = col("doc_id") % 5 === 2
+    val isFixed = col("doc_id") % 10 === 4
+    // bootstrap: stable corpus, with the to-be-corrected docs TRUNCATED
+    operators.Ranking.buildInvertedIndex(
+      docs.filter(!isNew).withColumn("text",
+        when(isFixed, substring_index(col("text"), " ", 3))
+          .otherwise(col("text"))),
+      "doc_id", "text", root)
+    // stream: brand-new docs + full-text corrections, several batches
+    val newDir = s"$base/incoming"
+    docs.filter(isNew || isFixed)
+      .repartition(3).write.mode("overwrite").parquet(newDir)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(newDir)
+    val q = streaming.EventStreams.invertedIndexStream(
+      stream, root, "doc_id", "text", optimizeEvery = 2, numFiles = 2).start()
+    try q.processAllAvailable() finally q.stop()
+    val fullRoot = s"$base/full"
+    operators.Ranking.buildInvertedIndex(docs, "doc_id", "text", fullRoot)
+    def rows(r: String, sub: String) =
+      sinks.VersionedTable.read(spark, s"$r/$sub")
+    assert(rows(root, "postings").exceptAll(rows(fullRoot, "postings")).isEmpty
+      && rows(fullRoot, "postings").exceptAll(rows(root, "postings")).isEmpty,
+      "stream-maintained postings must equal the from-scratch build")
+    assert(rows(root, "doclen").exceptAll(rows(fullRoot, "doclen")).isEmpty
+      && rows(fullRoot, "doclen").exceptAll(rows(root, "doclen")).isEmpty)
+    val viaStream = operators.Ranking.bm25TopKIndexed(
+      spark, root, queries.LlmOps.Bm25Terms, k = 10).collect().toSeq
+    val viaBuild = operators.Ranking.bm25TopKIndexed(
+      spark, fullRoot, queries.LlmOps.Bm25Terms, k = 10).collect().toSeq
+    assert(viaStream == viaBuild)
+  }
 }
