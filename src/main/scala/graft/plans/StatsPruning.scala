@@ -120,7 +120,7 @@ case class StatsPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
             if !r.location.isInstanceOf[GraftPrunedFileIndex] =>
             GraftTables.lookup(r.location.rootPaths) match {
               case Some(entry) =>
-                val excluded = provablyExcluded(cond, entry)
+                val excluded = StatsPruneRule.provablyExcluded(spark, cond, entry)
                 val pruned = new GraftPrunedFileIndex(r.location, excluded)
                 Filter(cond, l.copy(relation =
                   r.copy(location = pruned)(r.sparkSession)))
@@ -129,6 +129,15 @@ case class StatsPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => f
         }
     }
+
+}
+
+object StatsPruneRule extends org.apache.spark.internal.Logging {
+  /** Re-entrancy guard: the rule (and every other consumer of the
+    * shared proof engine) issues metadata queries during planning;
+    * those must not be pruned (or recurse). */
+  private[graft] val inMetadataQuery: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 
   /** Conjuncts of a predicate. */
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -143,8 +152,8 @@ case class StatsPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * `cond`. Any failure (mis-registered roots, schema drift) logs
     * and excludes nothing — pruning is an optimization, never a
     * correctness dependency. */
-  private def provablyExcluded(cond: Expression,
-                               entry: GraftTables.Entry): Set[String] = {
+  private[graft] def provablyExcluded(spark: SparkSession, cond: Expression,
+                                      entry: GraftTables.Entry): Set[String] = {
     StatsPruneRule.inMetadataQuery.set(true)
     try {
       // per-column closed bounds from the conjuncts (strict bounds
@@ -224,11 +233,4 @@ case class StatsPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     } finally StatsPruneRule.inMetadataQuery.set(false)
   }
 
-}
-
-object StatsPruneRule {
-  /** Re-entrancy guard: the rule issues metadata queries during
-    * optimization; those must not be pruned (or recurse). */
-  private[plans] val inMetadataQuery: ThreadLocal[java.lang.Boolean] =
-    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 }

@@ -848,9 +848,39 @@ object Relational extends QueryModule {
       max(col("l_quantity")).as("q_max"))
   }
 
+  /** The DataSourceV2 table format ([[graft.sources.v2
+    * .GraftTableProvider]]): a versioned table written through the
+    * epoch commit protocol, a row-level DELETE folded in, then read
+    * back with `spark.read.format("graft")` — the scan resolves the
+    * current epoch snapshot and prunes files against the committed
+    * stats epoch INSIDE the source (no session extension, no
+    * registration). Oracle: the delete + filter replayed in SQL —
+    * epoch resolution and pruning must be invisible in results. */
+  def qGraftScan(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft_dsv2") + "/docs"
+    graft.sinks.VersionedTable.write(
+      Tables.documents(spark, dir).repartitionByRange(4, col("doc_id")), root)
+    graft.sinks.VersionedTable.deleteWhere(spark, root,
+      col("lang") === lit("en"))
+    graft.sinks.VersionedTable.vacuum(spark, root, keep = 2)
+    val statsRoot = graft.util.Scratch.dir("graft_dsv2_meta") + "/stats"
+    val v = graft.sinks.VersionedTable.latestVersion(spark, root)
+    graft.sources.FileStats.commitStatsFull(
+      graft.sources.FileStats.collect(spark, s"$root/epoch=$v",
+        Seq("doc_id")), statsRoot)
+    spark.read.format("graft")
+      .option("statsRoot", statsRoot).option("statsCols", "doc_id")
+      .load(root)
+      .filter(col("doc_id") < 200)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_meta_summary"      -> qMetaSummary _,
     "q_meta_count"        -> qMetaCount _,
+    "q_graft_scan"        -> qGraftScan _,
     "q1_agg"              -> q1Agg _,
     "q_count_by_key"      -> qCountByKey _,
     "q_multi_agg"         -> qMultiAgg _,
@@ -909,6 +939,11 @@ object Relational extends QueryModule {
         |  MIN(l_orderkey) AS k_min, MAX(l_orderkey) AS k_max,
         |  MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max
         |FROM lineitem""".stripMargin,
+    "q_graft_scan" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang <> 'en' AND doc_id < 200
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(ts AS DATE) AS bucket_day,
         |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,

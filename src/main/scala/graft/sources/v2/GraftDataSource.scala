@@ -1,0 +1,153 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.plans.{GraftTables, StatsPruneRule}
+
+/** DataSourceV2 table format over [[graft.sinks.VersionedTable]] —
+  * the epoch table as a FIRST-CLASS Spark source:
+  *
+  * {{{
+  *   spark.read.format("graft").load(root)                        // current epoch
+  *   spark.read.format("graft").option("versionAsOf", 3).load(root) // time travel
+  *   spark.read.format("graft")
+  *     .option("statsRoot", sr).option("statsCols", "d,user_id")
+  *     .load(root).filter(...)        // stats-pruned scan, no rule needed
+  * }}}
+  *
+  * Three properties fall out of the epoch contract:
+  *
+  *   - SNAPSHOT ISOLATION: the version is resolved ONCE, when the
+  *     table object is created; the scan reads that epoch's immutable
+  *     files no matter how many commits land afterwards — a reader
+  *     can never observe a half-applied rewrite or a moved pointer.
+  *   - TIME TRAVEL: `versionAsOf` reads any retained epoch (the
+  *     `readVersion` API surfaced as reader syntax).
+  *   - DATA SKIPPING INSIDE THE SOURCE: the scan's file index
+  *     receives the pushed data filters (the DSv2 `listFiles`
+  *     contract) and drops files the committed stats/bloom epochs
+  *     PROVE unmatching — the same proof engine as the planner rule
+  *     ([[StatsPruneRule.provablyExcluded]]), but running inside the
+  *     source, so it needs no session extension and composes with any
+  *     plan shape that pushes filters. Parquet row-group pushdown,
+  *     column pruning, and vectorized reading are inherited from the
+  *     built-in parquet scan this source delegates to — the engine's
+  *     own strengths are reused, not reimplemented.
+  *
+  * Read-only by design: writes go through the [[graft.sinks
+  * .VersionedTable]] commit protocol (CAS epoch claim + pointer
+  * cache), which a blind DSv2 append could not honor.
+  */
+class GraftTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def resolve(options: CaseInsensitiveStringMap): (SparkSession, String, Long) = {
+    val spark = SparkSession.active
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft source requires a path: spark.read.format(\"graft\").load(root)"))
+    val version = Option(options.get("versionAsOf")).map(_.toLong)
+      .getOrElse(graft.sinks.VersionedTable.latestVersion(spark, root))
+    require(version >= 0, s"versioned table at $root has no committed epoch")
+    require(graft.sinks.VersionedTable.versions(spark, root).contains(version),
+      s"versioned table at $root has no epoch $version " +
+        "(vacuumed or never committed)")
+    (spark, root, version)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (spark, root, v) = resolve(options)
+    spark.read.parquet(s"$root/epoch=$v").schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val (spark, root, v) = resolve(options)
+    new GraftTable(spark, root, v, schema)
+  }
+}
+
+/** One resolved epoch of a versioned table (immutable snapshot). */
+final class GraftTable(spark: SparkSession, root: String, version: Long,
+                       dataSchema: StructType) extends Table with SupportsRead {
+
+  override def name(): String = s"graft.`$root` @ v$version"
+
+  override def schema(): StructType = dataSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val entry = metadataEntry(options)
+    val index = new GraftStatsFileIndex(spark,
+      new Path(s"$root/epoch=$version"), dataSchema, entry)
+    ParquetScanBuilder(spark, index, dataSchema, dataSchema, options)
+  }
+
+  /** Optional stats/bloom metadata roots from reader options —
+    * mirrors [[GraftTables.register]]'s contract, per-read. */
+  private def metadataEntry(o: CaseInsensitiveStringMap): Option[GraftTables.Entry] = {
+    val statsRoot = Option(o.get("statsRoot"))
+    val statsCols = Option(o.get("statsCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val bloomRoot = Option(o.get("bloomRoot"))
+    val bloomKey = Option(o.get("bloomKey"))
+    require(statsRoot.isEmpty == statsCols.isEmpty,
+      "statsRoot and statsCols must be given together")
+    require(bloomRoot.isEmpty == bloomKey.isEmpty,
+      "bloomRoot and bloomKey must be given together")
+    if (statsRoot.isEmpty && bloomRoot.isEmpty) None
+    else Some(GraftTables.Entry(root, statsRoot, statsCols, bloomRoot, bloomKey))
+  }
+}
+
+/** File listing for one epoch directory that honors the DSv2 data-
+  * filter contract: `listFiles` drops files the committed metadata
+  * PROVES cannot match the pushed conjuncts. Soundness is inherited
+  * from the shared proof engine — a file is excluded only on proof,
+  * so stale or absent metadata degrades to keep-the-file, never to
+  * wrong rows (Spark still applies the full predicate to surviving
+  * rows). Exposes the post-prune file count for tests/observability. */
+final class GraftStatsFileIndex(spark: SparkSession, epochDir: Path,
+                                dataSchema: StructType,
+                                entry: Option[GraftTables.Entry])
+  extends InMemoryFileIndex(spark, Seq(epochDir), Map.empty, Some(dataSchema)) {
+
+  /** Files surviving the last `listFiles` (volatile test hook). */
+  @volatile var lastListedFiles: Int = -1
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val base = super.listFiles(partitionFilters, dataFilters)
+    val pruned = entry match {
+      case Some(e) if dataFilters.nonEmpty =>
+        val excluded = StatsPruneRule.provablyExcluded(
+          spark, dataFilters.reduce(And), e)
+        if (excluded.isEmpty) base
+        else base.map { pd =>
+          pd.copy(files = pd.files.filterNot(f =>
+            excluded.contains(f.getPath.toUri.getPath)))
+        }
+      case _ => base
+    }
+    lastListedFiles = pruned.map(_.files.length).sum
+    pruned
+  }
+}

@@ -654,4 +654,64 @@ class SinksSpec extends AnyFunSuite {
       assert(sheets == 7, "one sheet per derived table")
     } finally zf.close()
   }
+
+  test("graft DSv2 source: snapshot isolation, time travel, in-source stats pruning") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-dsv2-spec").toString
+    val root = s"$base/table"
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars")
+    sinks.VersionedTable.write(
+      docs.repartitionByRange(4, col("doc_id")), root)
+    sinks.VersionedTable.deleteWhere(spark, root, col("lang") === "en")
+    val nAll = docs.count()
+    val nNoEn = docs.filter(col("lang") =!= "en").count()
+    // current epoch reflects the delete; versionAsOf reads history
+    assert(spark.read.format("graft").load(root).count() == nNoEn)
+    assert(spark.read.format("graft").option("versionAsOf", 0)
+      .load(root).count() == nAll)
+    // snapshot isolation: a resolved reader is pinned to its epoch —
+    // a commit landing AFTER load() must not change what it reads
+    val snap = spark.read.format("graft").load(root)
+    sinks.VersionedTable.deleteWhere(spark, root, col("lang") === "de")
+    assert(snap.count() == nNoEn,
+      "a resolved snapshot must not observe later commits")
+    assert(spark.read.format("graft").load(root).count() ==
+      docs.filter(col("lang") =!= "en" && col("lang") =!= "de").count())
+    // a vacuumed/never-committed version fails fast with the contract
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", 99).load(root)
+    }
+    assert(ex.getMessage.contains("no epoch 99"))
+    // in-source stats pruning: a fresh range layout + stats epoch;
+    // a pushed range filter must open fewer files than the epoch holds
+    val root2 = s"$base/layout"
+    sinks.VersionedTable.write(
+      docs.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root2)
+    val statsRoot = s"$base/stats"
+    sources.FileStats.commitStatsFull(
+      sources.FileStats.collect(spark, s"$root2/epoch=0", Seq("doc_id")),
+      statsRoot)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect { case b: BatchScanExec =>
+        b.partitions.flatten.collect { case fp: FilePartition =>
+          fp.files.map(_.filePath.toString).toSeq }.flatten
+      }.flatten.distinct.size
+    val lo = docs.agg(min(col("doc_id"))).head().getLong(0)
+    val pruned = spark.read.format("graft")
+      .option("statsRoot", statsRoot).option("statsCols", "doc_id")
+      .load(root2).filter(col("doc_id") <= lo + 2)
+    val full = spark.read.format("graft").load(root2)
+    assert(scannedFiles(full.filter(col("doc_id") <= lo + 2)) == 4,
+      "without metadata options every epoch file is listed")
+    assert(scannedFiles(pruned) < 4,
+      "pushed range filter must prune files against the stats epoch")
+    assert(pruned.select("doc_id").as[Long].collect().toSet ==
+      docs.filter(col("doc_id") <= lo + 2).select("doc_id")
+        .as[Long].collect().toSet,
+      "in-source pruning must be invisible in results")
+  }
 }
