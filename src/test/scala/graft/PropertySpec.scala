@@ -222,4 +222,76 @@ class PropertySpec extends AnyFunSuite {
       assert(s10.forall(id => rows(id.toInt)._2 > 0))
     }
   }
+
+  test("property: distributed BPE equals a reference single-threaded trainer on random corpora") {
+    // reference: the same greedy left-to-right merge + (count desc,
+    // pair asc) argmax, in plain Scala over the word-count map
+    def greedyMerge(syms: List[String], p: (String, String)): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      for (x <- syms)
+        if (out.nonEmpty && out.last == p._1 && x == p._2) {
+          out.remove(out.size - 1); out += (p._1 + p._2)
+        } else out += x
+      out.toList
+    }
+    def refLearn(words: Map[String, Long], numMerges: Int)
+        : (List[(String, String)], Map[String, List[String]]) = {
+      var vocab = words.map { case (w, n) =>
+        w -> (n, w.map(_.toString).toList) }
+      var rules = List.empty[(String, String)]
+      var done = false
+      while (rules.size < numMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((_, (n, syms)) <- vocab if syms.size > 1;
+             Seq(a, b) <- syms.sliding(2))
+          counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+        if (counts.isEmpty) done = true
+        else {
+          val pair = counts.toSeq
+            .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+          rules = rules :+ pair
+          vocab = vocab.map { case (w, (n, syms)) =>
+            w -> (n, greedyMerge(syms, pair)) }
+        }
+      }
+      (rules, vocab.map { case (w, (_, syms)) => w -> syms })
+    }
+    val genCorpus: Gen[List[String]] = for {
+      k <- Gen.choose(3, 7)
+      ws <- Gen.listOfN(k,
+        Gen.choose(1, 6).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString)))
+      reps <- Gen.listOfN(k, Gen.choose(1, 4))
+    } yield ws.zip(reps).flatMap { case (w, r) => List.fill(r)(w) }
+    forAll(genCorpus, trials = 6) { corpus =>
+      val docs = corpus.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val model = operators.Bpe.learn(docs, "text", numMerges = 5)
+      val wordCounts = corpus.groupBy(identity)
+        .map { case (w, ws) => w -> ws.size.toLong }
+      val (refRules, refVocab) = refLearn(wordCounts, 5)
+      assert(model.merges == refRules,
+        s"merge sequence diverged on corpus $corpus")
+      val gotVocab = model.vocab.select(col("word"), col("syms"))
+        .as[(String, Seq[String])].collect()
+        .map { case (w, s) => w -> s.toList }.toMap
+      assert(gotVocab == refVocab,
+        s"final symbolization diverged on corpus $corpus")
+    }
+  }
+
+  test("property: sequential ids equal the sort rank under any input partitioning") {
+    val genVals: Gen[List[Long]] = Gen.choose(5, 60).flatMap(k =>
+      Gen.listOfN(k, Gen.choose(-1000000L, 1000000L)).map(_.distinct))
+    forAll(genVals, trials = 6) { vals =>
+      val df = scala.util.Random.shuffle(vals).toDF("v")
+        .repartition(1 + vals.size % 5)
+      val got = operators.Ids.withSequentialIds(df, Seq("v"), "rk",
+        numPartitions = 1 + vals.size % 7)
+        .select(col("v"), col("rk")).as[(Long, Long)].collect().toMap
+      val want = vals.sorted.zipWithIndex
+        .map { case (v, i) => v -> (i + 1L) }.toMap
+      assert(got == want, s"rank diverged for $vals")
+    }
+  }
 }
