@@ -940,7 +940,30 @@ object LlmOps extends QueryModule {
     graft.operators.Ranking.bm25TopKIndexed(spark, root, Bm25Terms, k = 20)
   }
 
+  /** CHANGE FEED between table epochs ([[graft.sinks.VersionedTable
+    * .changesBetween]]): epoch A is a stale state (every 11th doc
+    * missing, every 7th doc's n_chars off by one), epoch B the
+    * current one (English docs dropped); the feed must emit exactly
+    * the I/U/D delta an incremental consumer would apply. Oracle: the
+    * same two states reconstructed in SQL and full-outer diffed. */
+  def qChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("change_feed") + "/t"
+    val d = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+    val a = d.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("n_chars", when(col("doc_id") % 7 === 0,
+        col("n_chars") + 1).otherwise(col("n_chars")))
+    val b = d.filter(col("lang") =!= "en")
+    val v0 = graft.sinks.VersionedTable.write(a, root)
+    val v1 = graft.sinks.VersionedTable.write(b, root)
+    graft.sinks.VersionedTable.vacuum(spark, root, keep = 2)
+    graft.sinks.VersionedTable
+      .changesBetween(spark, root, v0, v1, Seq("doc_id"))
+      .select(col("doc_id"), col("op"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_change_feed"     -> qChangeFeed _,
     "q_seq_ids"         -> qSeqIds _,
     "q_mixture_temp"    -> qMixtureTemp _,
     "q_bpe_pairs"       -> qBpePairs _,
@@ -1523,6 +1546,23 @@ object LlmOps extends QueryModule {
          |SELECT doc_id, ROUND(SUM(s), 4) AS score FROM s GROUP BY 1
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
+    "q_change_feed" ->
+      """WITH a AS (SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |b AS (SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en'),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    a.doc_id IS NOT NULL AS in_a, b.doc_id IS NOT NULL AS in_b,
+        |    a.lang AS a_lang, a.n_chars AS a_n,
+        |    b.lang AS b_lang, b.n_chars AS b_n
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN NOT in_a THEN 'I' WHEN NOT in_b THEN 'D' ELSE 'U' END AS op,
+        |  CASE WHEN in_b THEN b_lang ELSE a_lang END AS lang,
+        |  CASE WHEN in_b THEN b_n ELSE a_n END AS n_chars
+        |FROM j
+        |WHERE (NOT in_a) OR (NOT in_b) OR a_lang <> b_lang OR a_n <> b_n
+        |ORDER BY doc_id""".stripMargin,
     "q_seq_ids" ->
       """SELECT doc_id, lang,
         |  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS seq_id

@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not, struct, when}
 
 /** Always-readable versioned table — the epoch-flip pattern the
   * persisted-index docs prescribe ([[graft.operators.Dedup
@@ -336,6 +336,52 @@ object VersionedTable {
     rewriteLoop(spark, root) { base =>
       readVersion(spark, root, base).filter(not(coalesce(cond, lit(false))))
     }
+
+  /** CHANGE FEED between two committed epochs — the Delta
+    * `table_changes` analog, derived rather than logged: one
+    * Debezium-shaped row per key whose content differs between
+    * `fromVersion` and `toVersion` — `op` = 'I' (key absent before),
+    * 'D' (absent after), 'U' (present in both, any payload column
+    * differs, NULL-safely) — carrying the AFTER payload for I/U and
+    * the BEFORE payload for D, plus `seq` = `toVersion` (monotone per
+    * key across successive feeds, so feeds pipe straight into
+    * [[applyCdc]] on a downstream table; the round trip
+    * `applyCdc(changesBetween(v0, v1))` onto the v0 state rebuilds v1
+    * exactly — spec-pinned). This is what an incremental consumer
+    * reads instead of diffing whole snapshots itself.
+    *
+    * Contract: the table is KEYED at both epochs (one row per key —
+    * the [[merge]]/[[applyCdc]] invariant; duplicate keys would fan
+    * out the join), and the schema did not evolve between them.
+    * Scale shape: two epoch scans + ONE key-partitioned full-outer
+    * join; payloads compare as structs (no per-column join churn),
+    * unchanged keys drop before anything else happens. */
+  def changesBetween(spark: SparkSession, root: String,
+                     fromVersion: Long, toVersion: Long,
+                     keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "changesBetween requires key columns")
+    val a = readVersion(spark, root, fromVersion)
+    val b = readVersion(spark, root, toVersion)
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"schema evolved between epoch $fromVersion and $toVersion — " +
+        "diff the common columns explicitly")
+    val payload = b.columns.filterNot(keyCols.contains).toSeq
+    require(payload.nonEmpty, "table has no payload columns beyond the keys")
+    def sel(df: DataFrame, as: String) =
+      df.select(keyCols.map(col) :+
+        struct(payload.map(col): _*).as(as): _*)
+    val j = sel(a, "_cf_a").join(sel(b, "_cf_b"), keyCols, "full_outer")
+    val changed = j.filter(col("_cf_a").isNull || col("_cf_b").isNull ||
+      !(col("_cf_a") <=> col("_cf_b")))
+    val after = coalesce(col("_cf_b"), col("_cf_a"))
+    changed.select(
+      keyCols.map(col) ++
+        payload.map(p => after.getField(p).as(p)) :+
+        when(col("_cf_a").isNull, lit("I"))
+          .when(col("_cf_b").isNull, lit("D"))
+          .otherwise(lit("U")).as("op") :+
+        lit(toVersion).as("seq"): _*)
+  }
 
   /** Read the current epoch (pointer-resolved). */
   def read(spark: SparkSession, root: String): DataFrame = {

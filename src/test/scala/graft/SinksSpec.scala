@@ -655,6 +655,64 @@ class SinksSpec extends AnyFunSuite {
     } finally zf.close()
   }
 
+  test("change feed: null-safe I/U/D classification; applyCdc round-trip rebuilds the target epoch") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cf").toString
+    val root = s"$base/t"
+    val a = Seq[(Long, String)]((1L, "x"), (2L, null), (3L, "c"), (4L, "d"))
+      .toDF("id", "v")
+    val b = Seq[(Long, String)]((2L, "y"), (3L, "c"), (4L, null), (5L, "e"))
+      .toDF("id", "v")
+    val v0 = sinks.VersionedTable.write(a, root)
+    val v1 = sinks.VersionedTable.write(b, root)
+    val cf = sinks.VersionedTable.changesBetween(spark, root, v0, v1, Seq("id"))
+    val got = cf.select(col("id"), col("op"), col("v"))
+      .as[(Long, String, String)].collect().toSet
+    // 1 deleted (BEFORE payload), 2 null→'y' and 4 'd'→null both U
+    // (null-safe compare), 5 inserted; 3 unchanged never appears
+    assert(got == Set((1L, "D", "x"), (2L, "U", "y"),
+      (4L, "U", null), (5L, "I", "e")))
+    assert(cf.select("seq").distinct().as[Long].collect().toSeq == Seq(v1))
+    // round trip: feed applied onto the v0 state rebuilds v1 exactly
+    val root2 = s"$base/mirror"
+    sinks.VersionedTable.write(a, root2)
+    sinks.VersionedTable.applyCdc(cf, root2, Seq("id"))
+    val rebuilt = sinks.VersionedTable.read(spark, root2)
+      .as[(Long, String)].collect().toSet
+    assert(rebuilt == b.as[(Long, String)].collect().toSet,
+      "applyCdc(changesBetween(v0, v1)) onto v0 must rebuild v1")
+  }
+
+  test("graft DSv2 source inherits parquet aggregate pushdown (count/min/max from footers)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-dsv2-agg").toString
+    val root = s"$base/t"
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars")
+    sinks.VersionedTable.write(docs.repartition(3), root)
+    val prev = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val agg = spark.read.format("graft").load(root)
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
+          max(col("doc_id")).as("hi"))
+      assert(agg.queryExecution.executedPlan.toString
+        .contains("PushedAggregation: [COUNT(*)"),
+        "the delegated parquet scan must push the aggregate into footers:\n" +
+          agg.queryExecution.executedPlan.toString)
+      val r = agg.collect()(0)
+      assert(r.getLong(0) == docs.count())
+      val (lo, hi) = docs.agg(min(col("doc_id")), max(col("doc_id")))
+        .as[(Long, Long)].head()
+      assert(r.getLong(1) == lo && r.getLong(2) == hi)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
+        case None => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+      }
+    }
+  }
+
   test("graft DSv2 source: snapshot isolation, time travel, in-source stats pruning") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.execution.datasources.FilePartition
