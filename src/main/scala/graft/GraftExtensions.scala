@@ -49,6 +49,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg("srp_sigs_f32", exprs(2), "bandBits"),
         intArg("srp_sigs_f32", exprs(3), "dim"))))
     ext.injectFunction((
+      FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[graft.functions.UnicodeNormalize].getName,
+        "unicode_normalize"),
+      (exprs: Seq[Expression]) => graft.functions.UnicodeNormalize(exprs(0),
+        exprs(1).eval(null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize form must be a string literal, got $other")
+        })))
+    ext.injectFunction((
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),

@@ -145,6 +145,16 @@ object TextAnalysis {
     transform(extractUrls(text),
       u => regexp_extract(u, UrlHostGroup, 1))
 
+  /** Unicode normalization ([[UnicodeNormalize]] — codegen'd, no
+    * UDF): canonicalize combining sequences before any hash-keyed
+    * dedup/match so byte-different spellings of the same text
+    * collide. Requires a registered function (operator entry points
+    * call `VectorExpressions.ensureRegistered`; extension-built
+    * sessions have it already). */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.functions.call_function(
+      "unicode_normalize", text, org.apache.spark.sql.functions.lit(form))
+
   /** Canonical text normalization for matching/dedup keys: lowercase,
     * non-alphanumerics to spaces, whitespace runs collapsed, trimmed.
     * ASCII-scoped on purpose — the arithmetic must be identical in ANSI

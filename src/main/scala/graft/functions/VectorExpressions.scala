@@ -565,6 +565,13 @@ object VectorExpressions {
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unicode_normalize", exprs => UnicodeNormalize(exprs(0),
+        exprs(1).eval(null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize form must be a string literal, got $other")
+        }), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_freq", exprs => TopKFreq(exprs(0),
         intArg("topk_freq", exprs(1), "k"),
         intArg("topk_freq", exprs(2), "capacity")), "built-in")

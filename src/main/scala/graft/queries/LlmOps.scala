@@ -962,7 +962,28 @@ object LlmOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Unicode NFC canonicalization ([[TextAnalysis.normalizeUnicode]]
+    * — the custom codegen expression): planted DECOMPOSED combining
+    * sequences (e + U+0301, A + U+030A) must normalize to their
+    * precomposed forms, shrinking the length; DuckDB's
+    * `nfc_normalize` implements the same Unicode spec, so the oracle
+    * is exact on both the normalized text and the length delta. */
+  def qNfcNormalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    // combining marks spelled as \u escapes (e + U+0301, A + U+030A)
+    // so editor/source normalization can never silently precompose them
+    val decomposed = concat(lit("cafe\u0301 "), col("lang"),
+      lit(" e\u0301cole A\u030A"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.normalizeUnicode(decomposed).as("norm"),
+      length(decomposed).as("len_raw"),
+      length(TextAnalysis.normalizeUnicode(decomposed)).as("len_nfc"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nfc_normalize"   -> qNfcNormalize _,
     "q_change_feed"     -> qChangeFeed _,
     "q_seq_ids"         -> qSeqIds _,
     "q_mixture_temp"    -> qMixtureTemp _,
@@ -1546,6 +1567,15 @@ object LlmOps extends QueryModule {
          |SELECT doc_id, ROUND(SUM(s), 4) AS score FROM s GROUP BY 1
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
+    "q_nfc_normalize" ->
+      """WITH d AS (SELECT doc_id,
+        |    'cafe' || chr(769) || ' ' || lang || ' e' || chr(769) ||
+        |    'cole A' || chr(778) AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm,
+        |  CAST(length(raw) AS INT) AS len_raw,
+        |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_change_feed" ->
       """WITH a AS (SELECT doc_id, lang,
         |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars

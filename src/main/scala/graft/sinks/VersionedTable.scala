@@ -383,6 +383,66 @@ object VersionedTable {
         lit(toVersion).as("seq"): _*)
   }
 
+  /** OPTIMIZE: re-lay the current epoch's rows as a fresh epoch —
+    * small-file compaction (no sort columns) or re-clustering (range
+    * partition + sort, so per-file envelopes narrow and stats/DSv2
+    * pruning bites again). Readers of the old epoch are undisturbed;
+    * the content is identical by construction (one scan + one epoch
+    * commit, cost ∝ table). Returns the committed version. */
+  def optimize(spark: SparkSession, root: String,
+               sortCols: Seq[String] = Nil, numFiles: Int = 16): Long = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val cur = read(spark, root)
+    val laid =
+      if (sortCols.isEmpty) cur.repartition(numFiles)
+      else cur.repartitionByRange(numFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    write(laid, root)
+  }
+
+  /** Durable INCREMENTAL CONSUMPTION of a table's change feed — the
+    * subscription API over [[changesBetween]]: the consumer's
+    * last-acknowledged version persists in its own tiny epoch table
+    * at `consumerRoot` (crash-safe through the same commit protocol),
+    * so each call returns exactly the changes since the previous
+    * ACKNOWLEDGED call — at-least-once across crashes (an unacked
+    * batch is re-delivered; the I/U/D rows are idempotent to re-apply
+    * through [[applyCdc]]). First consumption bootstraps: the whole
+    * current epoch as 'I' rows. Returns None when the consumer is
+    * already caught up; call `commit()` on the returned batch AFTER
+    * durably applying it. Fails fast (naming retention) when the
+    * consumer lagged past a vacuumed epoch — re-bootstrap then. */
+  final case class ChangeBatch(changes: DataFrame, fromVersion: Long,
+                               toVersion: Long, commit: () => Unit)
+
+  def consumeChanges(spark: SparkSession, root: String, consumerRoot: String,
+                     keyCols: Seq[String]): Option[ChangeBatch] = {
+    val cur = latestVersion(spark, root)
+    require(cur >= 0, s"versioned table at $root has no committed epoch")
+    val last =
+      if (latestVersion(spark, consumerRoot) < 0) -1L
+      else read(spark, consumerRoot).head().getLong(0)
+    if (last == cur) return None
+    require(last < cur,
+      s"consumer offset $last is ahead of the table's current epoch $cur")
+    val changes =
+      if (last < 0) {
+        val b = readVersion(spark, root, cur)
+        val payload = b.columns.filterNot(keyCols.contains).toSeq
+        b.select(keyCols.map(col) ++ payload.map(col) :+
+          lit("I").as("op") :+ lit(cur).as("seq"): _*)
+      } else {
+        require(versions(spark, root).contains(last),
+          s"consumer lagged past retention: epoch $last of $root was " +
+            "vacuumed — re-bootstrap the consumer (drop its offset table)")
+        changesBetween(spark, root, last, cur, keyCols)
+      }
+    Some(ChangeBatch(changes, last, cur, () => {
+      write(spark.range(1).select(lit(cur).as("version")), consumerRoot)
+      vacuum(spark, consumerRoot, keep = 2)
+    }))
+  }
+
   /** Read the current epoch (pointer-resolved). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = latestVersion(spark, root)

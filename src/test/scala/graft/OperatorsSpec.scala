@@ -2624,6 +2624,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaIndex == viaScan)
   }
 
+  test("unicode normalize: NFC composes, NFKC folds compatibility forms, bad form fails fast") {
+    import functions.TextAnalysis
+    functions.VectorExpressions.ensureRegistered(spark)
+    val df = Seq(
+      ("cafe\u0301", "caf\u00e9"),          // combining acute -> precomposed
+      ("A\u030Angstro\u0308m", "\u00c5ngstr\u00f6m"),
+      ("plain", "plain")).toDF("raw", "want")
+    val nfc = df.select(
+      TextAnalysis.normalizeUnicode(col("raw")).as("got"), col("want"))
+      .as[(String, String)].collect()
+    assert(nfc.forall { case (g, w) => g == w },
+      s"NFC mismatch: ${nfc.mkString(", ")}")
+    // NFKC folds compatibility characters NFC leaves alone
+    val nfkc = Seq(("\ufb01le \uff24\uff25", "file DE")) // fi ligature, fullwidth
+      .toDF("raw", "want")
+      .select(TextAnalysis.normalizeUnicode(col("raw"), "NFKC").as("got"),
+        col("want")).as[(String, String)].head()
+    assert(nfkc._1 == nfkc._2)
+    // NULL in, NULL out; bad form name fails at construction
+    assert(df.select(TextAnalysis.normalizeUnicode(lit(null).cast("string")))
+      .head().isNullAt(0))
+    intercept[Exception] {
+      df.select(TextAnalysis.normalizeUnicode(col("raw"), "NFX")).collect()
+    }
+  }
+
   test("index ingest tick: manifest-driven delta indexing, idempotent no-op, equals full rebuild") {
     import operators.Ranking
     val base = java.nio.file.Files

@@ -683,6 +683,76 @@ class SinksSpec extends AnyFunSuite {
       "applyCdc(changesBetween(v0, v1)) onto v0 must rebuild v1")
   }
 
+  test("change-feed consumer: durable offsets, bootstrap as inserts, exact deltas, retention fail-fast") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-consume").toString
+    val root = s"$base/t"
+    val consumer = s"$base/offsets"
+    val mirror = s"$base/mirror"
+    sinks.VersionedTable.write(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    // bootstrap: whole current epoch as inserts; nothing before commit
+    val b0 = sinks.VersionedTable
+      .consumeChanges(spark, root, consumer, Seq("id")).get
+    assert(b0.changes.select("id", "op", "v").as[(Long, String, String)]
+      .collect().toSet == Set((1L, "I", "a"), (2L, "I", "b")))
+    // un-acked: the same batch is re-delivered (at-least-once)
+    assert(sinks.VersionedTable
+      .consumeChanges(spark, root, consumer, Seq("id")).get
+      .toVersion == b0.toVersion)
+    sinks.VersionedTable.write(b0.changes.drop("op", "seq"), mirror)
+    b0.commit()
+    // caught up → None
+    assert(sinks.VersionedTable
+      .consumeChanges(spark, root, consumer, Seq("id")).isEmpty)
+    // two commits later: ONE batch carries the collapsed delta
+    sinks.VersionedTable.merge(
+      Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), root, Seq("id"))
+    sinks.VersionedTable.deleteWhere(spark, root, col("id") === 1L)
+    val b1 = sinks.VersionedTable
+      .consumeChanges(spark, root, consumer, Seq("id")).get
+    assert(b1.changes.select("id", "op", "v").as[(Long, String, String)]
+      .collect().toSet == Set((1L, "D", "a"), (2L, "U", "b2"), (3L, "I", "c")))
+    sinks.VersionedTable.applyCdc(b1.changes, mirror, Seq("id"))
+    b1.commit()
+    // the consumer's applied mirror equals the source's current state
+    assert(sinks.VersionedTable.read(spark, mirror)
+      .as[(Long, String)].collect().toSet ==
+      sinks.VersionedTable.read(spark, root)
+        .as[(Long, String)].collect().toSet)
+    // lag past retention: vacuum away the acked epoch → fail fast
+    sinks.VersionedTable.write(Seq((9L, "z")).toDF("id", "v"), root)
+    sinks.VersionedTable.vacuum(spark, root, keep = 1)
+    val ex = intercept[IllegalArgumentException] {
+      sinks.VersionedTable.consumeChanges(spark, root, consumer, Seq("id"))
+    }
+    assert(ex.getMessage.contains("lagged past retention"))
+  }
+
+  test("optimize: re-clustered epoch is content-identical and narrows per-file envelopes") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-optimize").toString
+    val root = s"$base/t"
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars")
+    // hash layout: every file's doc_id envelope spans ~the full domain
+    sinks.VersionedTable.write(docs.repartition(4, col("lang")), root)
+    val v0 = sinks.VersionedTable.latestVersion(spark, root)
+    val v1 = sinks.VersionedTable.optimize(spark, root,
+      sortCols = Seq("doc_id"), numFiles = 4)
+    assert(v1 == v0 + 1)
+    val before = sinks.VersionedTable.readVersion(spark, root, v0)
+    val after = sinks.VersionedTable.readVersion(spark, root, v1)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "optimize must not change content")
+    def spans(v: Long): Seq[Long] = sources.FileStats
+      .collect(spark, s"$root/epoch=$v", Seq("doc_id"))
+      .select(col("doc_id_max") - col("doc_id_min"))
+      .as[Long].collect().toSeq
+    assert(spans(v1).max < spans(v0).max,
+      "range-clustered files must carry narrower envelopes than the hash layout")
+  }
+
   test("graft DSv2 source inherits parquet aggregate pushdown (count/min/max from footers)") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-dsv2-agg").toString
