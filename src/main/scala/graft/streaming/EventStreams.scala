@@ -501,6 +501,46 @@ object EventStreams {
       }
     }
 
+  /** Streaming EXPECTATIONS with a durable quarantine — the
+    * DLT-expectations pattern on the graft primitives: every
+    * micro-batch splits against a declarative rule suite
+    * ([[graft.operators.Expectations.split]]); clean rows flow to the
+    * caller's sink, violating rows land (annotated with their broken
+    * rules) in a quarantine [[graft.sinks.VersionedTable]] whose
+    * batch-id sidecar makes the fold replay-idempotent — a restart's
+    * re-delivered batch cannot double-quarantine. Per-row decisions
+    * depend only on the row, so the union over micro-batches equals
+    * the one-shot batch split (StreamingSpec). The quarantine is a
+    * normal epoch table: as-of readable for incident forensics,
+    * vacuumed on the maintenance cadence, and its `violated_rules`
+    * column names WHY each row was held — the triage loop's input. */
+  def expectationsStream(rows: DataFrame, quarantineRoot: String,
+      rules: Seq[graft.operators.Expectations.Expectation])(
+      clean: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      val spark = batch.sparkSession
+      val (ok, bad) = graft.operators.Expectations.split(batch, rules)
+      // quarantine first: if the job dies between the two effects, the
+      // replayed batch re-runs the sink but writeBatch skips the
+      // already-committed quarantine epoch (idempotent), never the
+      // reverse (clean rows shipped, violations silently lost). The
+      // epoch is the accumulated log (state ∪ batch — cost ∝
+      // quarantine size, which staying small is the whole point), so
+      // reading the current epoch reads the full quarantine.
+      if (epochId > graft.sinks.VersionedTable
+            .lastAppliedBatch(spark, quarantineRoot)) {
+        val state =
+          if (graft.sinks.VersionedTable
+                .latestVersion(spark, quarantineRoot) >= 0)
+            graft.sinks.VersionedTable.read(spark, quarantineRoot)
+          else bad.filter(org.apache.spark.sql.functions.lit(false))
+        graft.sinks.VersionedTable.writeBatch(
+          state.unionByName(bad), quarantineRoot, epochId): Unit
+      }
+      clean(ok, epochId)
+    }
+
   /** Streaming maintenance of the persisted INVERTED INDEX
     * ([[graft.operators.Ranking.buildInvertedIndex]]): each arriving
     * document micro-batch folds into the committed postings/doclen

@@ -607,6 +607,61 @@ class StreamingSpec extends AnyFunSuite {
       "retraction fold must equal the rebuilt post-delete view")
   }
 
+  /** Streaming expectations: per-batch split with a durable
+    * accumulated quarantine — union over micro-batches equals the
+    * one-shot batch split on both sides, and the quarantine rows
+    * carry the names of their broken rules. */
+  test("streaming expectations quarantine equals the batch split") {
+    import spark.implicits._
+    import operators.Expectations.Expectation
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        // plant violations: every 5th doc empties its text, every 7th
+        // goes oversize
+        when(col("doc_id") % 5 === 0, lit("")).otherwise(col("text"))
+          .as("text"),
+        when(col("doc_id") % 7 === 0, lit(100000L)).otherwise(col("n_chars"))
+          .as("n_chars"))
+    val rules = Seq(
+      Expectation("has_text", length(col("text")) > 0),
+      Expectation("sane_size", col("n_chars") < 10000L))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-expect-st").toString
+    val inDir = s"$base/incoming"
+    docs.repartition(3).write.mode("overwrite").parquet(inDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val gotClean = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val qRoot = s"$base/quarantine"
+    val q = streaming.EventStreams.expectationsStream(
+      stream, qRoot, rules) { (ok, _) =>
+        gotClean.synchronized {
+          gotClean ++= ok.select("doc_id").as[Long].collect() }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val (wantClean, wantBad) = operators.Expectations.split(docs, rules)
+    assert(gotClean.toSet ==
+      wantClean.select("doc_id").as[Long].collect().toSet)
+    assert(gotClean.size == gotClean.toSet.size, "no clean row delivered twice")
+    val quarantine = sinks.VersionedTable.read(spark, qRoot)
+    assert(quarantine.select("doc_id").as[Long].collect().toSet ==
+      wantBad.select("doc_id").as[Long].collect().toSet)
+    // every quarantined row names its broken rules, matching batch
+    val gotRules = quarantine
+      .select(col("doc_id"), col("violated_rules"))
+      .as[(Long, Seq[String])].collect().toMap
+    val wantRules = wantBad.select(col("doc_id"), col("violated_rules"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(gotRules == wantRules)
+    assert(gotRules.values.forall(_.nonEmpty))
+    // a doc violating BOTH rules carries both names
+    val both = gotRules.filter(_._2.toSet == Set("has_text", "sane_size"))
+    assert(both.keys.forall(id => id % 5 == 0 && id % 7 == 0))
+  }
+
   /** Streaming inverted-index maintenance: micro-batch upserts (new
     * docs insert, corrected re-deliveries REPLACE — stale postings
     * from the old text must vanish) plus the periodic re-cluster,
