@@ -123,6 +123,39 @@ object Bpe {
   def learn(docs: DataFrame, textCol: String, numMerges: Int): BpeModel =
     learn(wordCounts(docs, textCol), numMerges)
 
+  /** Persist a trained model as two [[graft.sinks.VersionedTable]]
+    * epochs — `root/merges` (rank, lsym, rsym) and `root/vocab`
+    * (word, n, syms) — so training runs ONCE per corpus epoch and
+    * every later batch/stream encodes against the stored vocab (the
+    * same train-once/apply-many shape as the MinHash and PQ model
+    * stores). Atomic per table; a reader mid-save resolves the
+    * previous coherent pair only after both commit in order
+    * vocab-then-merges (merges are the smaller, later-flip marker).
+    * Returns (vocab version, merges version). */
+  def saveModel(model: BpeModel, root: String): (Long, Long) = {
+    val spark = model.vocab.sparkSession
+    import spark.implicits._
+    val vv = graft.sinks.VersionedTable.write(model.vocab, s"$root/vocab")
+    val mv = graft.sinks.VersionedTable.write(
+      model.merges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "lsym", "rsym"), s"$root/merges")
+    (vv, mv)
+  }
+
+  /** Load a persisted model: merges in rank order (driver-side,
+    * |merges| rows — metadata scale), vocab lazy. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                root: String): BpeModel = {
+    val merges = graft.sinks.VersionedTable
+      .read(spark, s"$root/merges")
+      .orderBy(col("rank"))
+      .select(col("lsym"), col("rsym"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    BpeModel(merges,
+      graft.sinks.VersionedTable.read(spark, s"$root/vocab"))
+  }
+
   /** Tokenize a corpus with a trained model: (id, tokens, n_tokens).
     * Words are looked up in the vocab's final symbolization (unseen
     * words fall back to characters), then reassembled in word order.

@@ -26,7 +26,8 @@ object Ranking {
     * arithmetic). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               requireAllTerms: Boolean = false): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("tok"))
@@ -35,7 +36,7 @@ object Ranking {
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = toks.filter(col("tok").isInCollection(queryTerms))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    scoreBm25(tf, dl, stats, k, k1, b)
+    scoreBm25(tf, dl, stats, k, k1, b, requireAllTerms, queryTerms)
   }
 
   /** The shared BM25 scoring tail — one arithmetic, two access paths
@@ -45,9 +46,23 @@ object Ranking {
     * term re-derives from it (count of matched docs), as in the
     * corpus form. */
   private def scoreBm25(tf: DataFrame, dl: DataFrame, stats: DataFrame,
-                        k: Int, k1: Double, b: Double): DataFrame = {
+                        k: Int, k1: Double, b: Double,
+                        requireAllTerms: Boolean = false,
+                        queryTerms: Seq[String] = Nil): DataFrame = {
+    // df ALWAYS derives from the unfiltered term matches (true per-term
+    // document frequency) — the conjunctive restriction below must not
+    // deflate idf
     val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    tf
+    // AND semantics: keep only docs matching EVERY query term — one
+    // |candidates|-scale aggregate + a semi join, before scoring
+    val scored =
+      if (!requireAllTerms) tf
+      else tf.join(
+        tf.groupBy(col("doc_id")).agg(count(lit(1)).as("_nt"))
+          .filter(col("_nt") === queryTerms.distinct.size)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    scored
       .join(broadcast(dfT), Seq("tok"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
@@ -161,14 +176,15 @@ object Ranking {
     * build time. */
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, root: String,
                       queryTerms: Seq[String], k: Int,
-                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                      k1: Double = 1.2, b: Double = 0.75,
+                      requireAllTerms: Boolean = false): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopKIndexed needs at least one query term")
     val postings = graft.sinks.VersionedTable.read(spark, s"$root/postings")
     val dl = graft.sinks.VersionedTable.read(spark, s"$root/doclen")
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = postings.filter(col("tok").isInCollection(queryTerms))
       .select(col("doc_id"), col("tok"), col("tf"))
-    scoreBm25(tf, dl, stats, k, k1, b)
+    scoreBm25(tf, dl, stats, k, k1, b, requireAllTerms, queryTerms)
   }
 
   /** Top-k frequent items via the space-saving sketch

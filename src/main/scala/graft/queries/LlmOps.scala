@@ -355,6 +355,14 @@ object LlmOps extends QueryModule {
     graft.operators.Ranking.bm25TopK(Tables.documents(spark, dir),
       "doc_id", "text", Bm25Terms, k = 20)
 
+  /** Conjunctive (AND) BM25: only documents containing EVERY query
+    * term rank — the boolean-retrieval semantics layered on the same
+    * scoring tail (idf still derives from the full per-term match
+    * sets, so the restriction cannot deflate it). */
+  def qBm25Conjunctive(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.bm25TopK(Tables.documents(spark, dir),
+      "doc_id", "text", Bm25Terms, k = 20, requireAllTerms = true)
+
   /** BM25 through the PERSISTED inverted index
     * ([[graft.operators.Ranking.buildInvertedIndex]]): build commits
     * token-clustered postings + doc-length epochs, then the query runs
@@ -1018,6 +1026,7 @@ object LlmOps extends QueryModule {
     "q_hash_split"      -> qHashSplit _,
     "q_top_ngrams"      -> qTopNgrams _,
     "q_bm25"            -> qBm25 _,
+    "q_bm25_conj"       -> qBm25Conjunctive _,
     "q_bm25_indexed"    -> qBm25Indexed _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_multimodal_meta" -> qMultimodalMeta _,
@@ -1527,6 +1536,27 @@ object LlmOps extends QueryModule {
          |      * tf.tf * 2.2
          |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
          |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+         |SELECT doc_id, ROUND(SUM(s), 4) AS score FROM s GROUP BY 1
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+    // AND semantics: same CTE chain, candidates restricted to docs
+    // matching every term; df stays corpus-level
+    "q_bm25_conj" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+         |  WHERE tok IN ($terms) GROUP BY 1, 2),
+         |dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |alldocs AS (SELECT doc_id FROM tf GROUP BY doc_id
+         |  HAVING COUNT(*) = ${Bm25Terms.distinct.size}),
+         |s AS (SELECT tf.doc_id,
+         |    ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         |      * tf.tf * 2.2
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+         |  FROM tf JOIN alldocs USING (doc_id) JOIN dft USING (tok)
+         |    JOIN dl USING (doc_id) CROSS JOIN stats)
          |SELECT doc_id, ROUND(SUM(s), 4) AS score FROM s GROUP BY 1
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },

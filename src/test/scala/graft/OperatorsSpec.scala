@@ -2506,6 +2506,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.merges == Seq("a" -> "b"))
   }
 
+  test("bpe model persistence: round-trip exact, encode identical through the stored vocab") {
+    import operators.Bpe
+    val docs = Seq((1L, "low lower lowest"), (2L, "low low"))
+      .toDF("doc_id", "text")
+    val model = Bpe.learn(docs, "text", numMerges = 4)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bpe-model").toString + "/bpe"
+    Bpe.saveModel(model, root)
+    val loaded = Bpe.loadModel(spark, root)
+    assert(loaded.merges == model.merges, "merge ranks must round-trip")
+    assert(loaded.vocab.exceptAll(model.vocab).isEmpty &&
+      model.vocab.exceptAll(loaded.vocab).isEmpty)
+    val a = Bpe.encode(docs, "doc_id", "text", model)
+      .orderBy(col("doc_id")).collect().toSeq
+    val b = Bpe.encode(docs, "doc_id", "text", loaded)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(a == b, "encoding through the stored vocab must be identical")
+  }
+
+  test("conjunctive bm25: every hit contains all terms; per-doc scores match the OR form") {
+    import operators.Ranking
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta"), (3L, "alpha beta gamma alpha"),
+      (4L, "gamma gamma"), (5L, "delta")).toDF("doc_id", "text")
+    val terms = Seq("alpha", "gamma")
+    val conj = Ranking.bm25TopK(docs, "doc_id", "text", terms, k = 10,
+      requireAllTerms = true).collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(conj.map(_._1).toSet == Set(1L, 3L),
+      "only docs containing EVERY term may rank")
+    // idf must not deflate: conj scores equal the OR-form scores for
+    // the same docs (df derives from the full match sets either way)
+    val or = Ranking.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(conj.forall { case (id, s) => or(id) == s })
+  }
+
   test("sequential ids: dense 1-based global rank equal to the window form") {
     import operators.Ids
     val df = sources.Tables.documents(spark, sf)
