@@ -159,12 +159,9 @@ object Ranking {
     * restores it; run it on the maintenance tick, amortized across
     * many delta merges. Returns the committed postings version. */
   def optimizeIndex(spark: org.apache.spark.sql.SparkSession, root: String,
-                    numFiles: Int = 16): Long = {
-    val postings = graft.sinks.VersionedTable.read(spark, s"$root/postings")
-      .repartitionByRange(numFiles, col("tok"))
-      .sortWithinPartitions(col("tok"), col("doc_id"))
-    graft.sinks.VersionedTable.write(postings, s"$root/postings")
-  }
+                    numFiles: Int = 16): Long =
+    graft.sinks.VersionedTable.optimize(spark, s"$root/postings",
+      sortCols = Seq("tok", "doc_id"), numFiles = numFiles)
 
   /** BM25 top-k THROUGH the persisted index — row-identical to
     * [[bm25TopK]] on the same corpus (same scoring tail, same op

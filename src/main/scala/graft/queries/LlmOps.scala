@@ -355,6 +355,46 @@ object LlmOps extends QueryModule {
     graft.operators.Ranking.bm25TopK(Tables.documents(spark, dir),
       "doc_id", "text", Bm25Terms, k = 20)
 
+  /** Count-Min parameters: width small enough that real collisions
+    * exist at gate scale (the oracle reproduces them exactly — same
+    * md5 hash, same slots), depth 3, one present-nowhere probe. */
+  val CmWidth = 256
+  val CmDepth = 3
+  val CmProbes: Seq[String] =
+    Seq("vector", "stream", "hash", "the", "zzzz-absent")
+
+  /** Count-Min point-frequency estimates through the epoch
+    * persistence path: the corpus sketched in two independent halves,
+    * committed as two epochs, folded bucket-wise, then probed — the
+    * single-pass oracle pins merge == one-shot AND every estimate's
+    * exact value (collisions included, since the hash is the repo's
+    * md5-derived hash32 the oracle replicates). */
+  def qCountMin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    val root = graft.util.Scratch.dir("count_min") + "/cm"
+    val d = Tables.documents(spark, dir)
+    def toks(p: org.apache.spark.sql.Column) = d.filter(p)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val v0 = graft.sinks.VersionedTable.write(
+      CountMin.sketch(toks(col("doc_id") % 2 === 0), "tok", CmWidth, CmDepth),
+      root)
+    val v1 = graft.sinks.VersionedTable.write(
+      CountMin.sketch(toks(col("doc_id") % 2 =!= 0), "tok", CmWidth, CmDepth),
+      root)
+    graft.sinks.VersionedTable.vacuum(spark, root, keep = 2)
+    val sk = CountMin.mergeSketches(Seq(
+      graft.sinks.VersionedTable.readVersion(spark, root, v0),
+      graft.sinks.VersionedTable.readVersion(spark, root, v1)))
+    val probes = spark.createDataFrame(CmProbes.map(Tuple1(_))).toDF("item")
+    val est = CountMin.estimates(sk, probes, "item", CmWidth, CmDepth)
+    val tc = toks(lit(true)).groupBy(col("tok").as("item"))
+      .agg(count(lit(1)).as("_tc"))
+    est.join(tc, Seq("item"), "left")
+      .select(col("item"), col("est"),
+        coalesce(col("_tc"), lit(0L)).as("true_cnt"))
+      .orderBy(col("item"))
+  }
+
   /** Conjunctive (AND) BM25: only documents containing EVERY query
     * term rank — the boolean-retrieval semantics layered on the same
     * scoring tail (idf still derives from the full per-term match
@@ -1027,6 +1067,7 @@ object LlmOps extends QueryModule {
     "q_top_ngrams"      -> qTopNgrams _,
     "q_bm25"            -> qBm25 _,
     "q_bm25_conj"       -> qBm25Conjunctive _,
+    "q_count_min"       -> qCountMin _,
     "q_bm25_indexed"    -> qBm25Indexed _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_multimodal_meta" -> qMultimodalMeta _,
@@ -1538,6 +1579,28 @@ object LlmOps extends QueryModule {
          |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
          |SELECT doc_id, ROUND(SUM(s), 4) AS score FROM s GROUP BY 1
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+    // the whole sketch rebuilt in SQL — same md5 hash, same slots,
+    // same collisions — so estimates compare EXACTLY, and the
+    // single-pass build pins the two-epoch fold's mergeability
+    "q_count_min" -> {
+      val dHash = duckHex("md5(tok || '|' || CAST(d AS VARCHAR))", 1, 8)
+      val pHash = duckHex("md5(item || '|' || CAST(d AS VARCHAR))", 1, 8)
+      val probes = CmProbes.map(p => s"('$p')").mkString(", ")
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |dd(d) AS (VALUES ${(0 until CmDepth).map(d => s"($d)").mkString(", ")}),
+         |pos AS (SELECT d, $dHash % $CmWidth AS slot FROM toks CROSS JOIN dd),
+         |cm AS (SELECT d, slot, COUNT(*) AS cnt FROM pos GROUP BY 1, 2),
+         |probes(item) AS (VALUES $probes),
+         |ppos AS (SELECT item, d, $pHash % $CmWidth AS slot
+         |  FROM probes CROSS JOIN dd),
+         |est AS (SELECT item, MIN(coalesce(cm.cnt, 0)) AS est
+         |  FROM ppos LEFT JOIN cm USING (d, slot) GROUP BY 1),
+         |tc AS (SELECT tok AS item, CAST(COUNT(*) AS BIGINT) AS true_cnt
+         |  FROM toks GROUP BY 1)
+         |SELECT est.item, CAST(est.est AS BIGINT) AS est,
+         |  CAST(coalesce(tc.true_cnt, 0) AS BIGINT) AS true_cnt
+         |FROM est LEFT JOIN tc USING (item) ORDER BY item""".stripMargin
     },
     // AND semantics: same CTE chain, candidates restricted to docs
     // matching every term; df stays corpus-level

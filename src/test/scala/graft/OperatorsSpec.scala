@@ -2506,6 +2506,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.merges == Seq("a" -> "b"))
   }
 
+  test("count-min: never undercounts any token, merged halves == single pass, zero for never-hit slots") {
+    import operators.CountMin
+    val toks = sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val w = 128; val d = 3
+    val single = CountMin.sketch(toks, "tok", w, d)
+    // overestimate-only invariant, checked for EVERY distinct token
+    val truth = toks.groupBy(col("tok").as("item"))
+      .agg(count(lit(1)).as("true_cnt"))
+    val est = CountMin.estimates(single, truth, "item", w, d)
+    val bad = est.join(truth, Seq("item"))
+      .filter(col("est") < col("true_cnt")).count()
+    assert(bad == 0, "count-min must never undercount")
+    // sketch is bounded: at most d*w counters regardless of input
+    assert(single.count() <= (w * d).toLong)
+    // merge of independent halves == single pass, bit-equal
+    val h1 = CountMin.sketch(toks.filter(
+      operators.Dedup.hash32(col("tok")) % 2 === 0), "tok", w, d)
+    val h2 = CountMin.sketch(toks.filter(
+      operators.Dedup.hash32(col("tok")) % 2 === 1), "tok", w, d)
+    val merged = CountMin.mergeSketches(Seq(h1, h2))
+    assert(merged.exceptAll(single).isEmpty && single.exceptAll(merged).isEmpty,
+      "bucket-wise fold must equal the single pass")
+    // an item whose slots were never hit estimates exactly 0
+    val tiny = CountMin.sketch(
+      Seq("a").toDF("tok"), "tok", width = 1 << 20, depth = d)
+    val zero = CountMin.estimates(tiny,
+      Seq("definitely-absent").toDF("item"), "item", 1 << 20, d)
+      .select(col("est")).as[Long].head()
+    assert(zero == 0L)
+  }
+
   test("bpe model persistence: round-trip exact, encode identical through the stored vocab") {
     import operators.Bpe
     val docs = Seq((1L, "low lower lowest"), (2L, "low low"))

@@ -841,5 +841,21 @@ class SinksSpec extends AnyFunSuite {
       docs.filter(col("doc_id") <= lo + 2).select("doc_id")
         .as[Long].collect().toSet,
       "in-source pruning must be invisible in results")
+    // bloom options: equality/IN probes prune on a HASH layout, where
+    // every file's min/max envelope spans every probe
+    val root3 = s"$base/hashlayout"
+    sinks.VersionedTable.write(
+      docs.repartition(4, col("doc_id")), root3)
+    val bloomRoot = s"$base/bloom"
+    sources.FileBloomIndex.commitFull(
+      sources.FileBloomIndex.build(spark, s"$root3/epoch=0", "doc_id"),
+      bloomRoot)
+    val probe = spark.read.format("graft")
+      .option("bloomRoot", bloomRoot).option("bloomKey", "doc_id")
+      .load(root3).filter(col("doc_id").isin(lo, lo + 1))
+    assert(scannedFiles(probe) < 4,
+      "pushed IN probe must prune files against the bloom epoch")
+    assert(probe.select("doc_id").as[Long].collect().toSet ==
+      Set(lo, lo + 1))
   }
 }
