@@ -277,6 +277,62 @@ object CorpusQuality {
           .as("lm_score"))
   }
 
+  /** PMI collocations — the corpus's statistically-bound word pairs
+    * (pmi = ln(c_ab·N / (c_a·c_b)) over adjacent-token pairs), the
+    * standard collocation/multi-word-expression miner and a direct
+    * reuse of the BPE trainer's adjacency statistics at word grain.
+    * `minCount` guards the low-count PMI explosion (a pair seen once
+    * between two rare words scores arbitrarily high). Integer counts
+    * cast to double before multiplication (exact below 2^53); one ln
+    * per surviving pair, rounded to 4 decimals, ties on (w1, w2) —
+    * oracle-reproducible like the BM25 idf. Scale shape: one tokenize
+    * feeding both the unigram and pair aggregates, two broadcast-sized
+    * joins (surviving pairs are few by the minCount cut), a 1-row
+    * total broadcast; top-k plans as TakeOrdered. */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be positive")
+    val ws = docs.select(col(idCol).as("doc_id"),
+      filter(split(col(textCol), "\\s+"), t => t =!= "").as("w"))
+    val toks = ws.select(explode(col("w")).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    val pairs = ws.filter(size(col("w")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("l"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("r"))).as("p"))
+      .groupBy(col("p.l").as("w1"), col("p.r").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    pairs
+      .join(uni.select(col("tok").as("w1"), col("c").as("_c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("_c2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log((col("n_pair").cast("double") * col("n")) /
+          (col("_c1").cast("double") * col("_c2"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** Per-document character-distribution Shannon entropy (nats) — the
+    * cheap gibberish/binary-spill detector: natural text sits in a
+    * band, base64 blobs and repeated-char spam fall far outside it.
+    * H = ln(n) − (Σ c·ln c)/n over the doc's character counts — one
+    * narrow explode + two doc-keyed aggregates, rounded to 4 decimals
+    * (the bigram-LM float convention). Documents with no characters
+    * are absent from the output (no distribution to measure). */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(filter(split(col(textCol), ""), c => c =!= "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("_slc"))
+      .select(col("doc_id"), col("n_chars"),
+        round(log(col("n_chars").cast("double")) -
+          col("_slc") / col("n_chars").cast("double"), 4).as("entropy"))
+
   /** CCNet-style line-level boilerplate removal: drop every line that
     * occurs (trimmed-identical) in MORE than `maxDf` distinct documents
     * — template headers, nav bars, cookie banners, footers — and

@@ -355,6 +355,18 @@ object LlmOps extends QueryModule {
     graft.operators.Ranking.bm25TopK(Tables.documents(spark, dir),
       "doc_id", "text", Bm25Terms, k = 20)
 
+  /** Collocation parameters: pairs seen ≥ 5 times, top 25 by PMI. */
+  val CollocMinCount = 5L
+  val CollocK = 25
+
+  def qCollocations(spark: SparkSession, dir: String): DataFrame =
+    CorpusQuality.collocations(Tables.documents(spark, dir),
+      "doc_id", "text", CollocMinCount, CollocK)
+
+  def qCharEntropy(spark: SparkSession, dir: String): DataFrame =
+    CorpusQuality.charEntropy(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Count-Min parameters: width small enough that real collisions
     * exist at gate scale (the oracle reproduces them exactly — same
     * md5 hash, same slots), depth 3, one present-nowhere probe. */
@@ -1068,6 +1080,8 @@ object LlmOps extends QueryModule {
     "q_bm25"            -> qBm25 _,
     "q_bm25_conj"       -> qBm25Conjunctive _,
     "q_count_min"       -> qCountMin _,
+    "q_collocations"    -> qCollocations _,
+    "q_char_entropy"    -> qCharEntropy _,
     "q_bm25_indexed"    -> qBm25Indexed _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_multimodal_meta" -> qMultimodalMeta _,
@@ -1580,6 +1594,35 @@ object LlmOps extends QueryModule {
          |SELECT doc_id, ROUND(SUM(s), 4) AS score FROM s GROUP BY 1
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
+    "q_collocations" ->
+      s"""WITH ws AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+         |  FROM documents),
+         |toks AS (SELECT unnest(w) AS tok FROM ws),
+         |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+         |idx AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+         |  FROM ws WHERE len(w) >= 2),
+         |pc AS (SELECT w[i] AS w1, w[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+         |  FROM idx GROUP BY 1, 2 HAVING COUNT(*) >= $CollocMinCount)
+         |SELECT w1, w2, n_pair,
+         |  ROUND(ln((CAST(n_pair AS DOUBLE) * tot.n)
+         |    / (CAST(u1.c AS DOUBLE) * u2.c)), 4) AS pmi
+         |FROM pc JOIN uni u1 ON u1.tok = pc.w1
+         |        JOIN uni u2 ON u2.tok = pc.w2 CROSS JOIN tot
+         |ORDER BY pmi DESC, w1, w2 LIMIT $CollocK""".stripMargin,
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents),
+        |cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ch WHERE c <> '' GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
+        |    SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS slc
+        |  FROM cc GROUP BY 1)
+        |SELECT doc_id, n_chars,
+        |  ROUND(ln(CAST(n_chars AS DOUBLE)) - slc / CAST(n_chars AS DOUBLE), 4)
+        |    AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // the whole sketch rebuilt in SQL — same md5 hash, same slots,
     // same collisions — so estimates compare EXACTLY, and the
     // single-pass build pins the two-epoch fold's mergeability

@@ -2506,6 +2506,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.merges == Seq("a" -> "b"))
   }
 
+  test("char entropy: 0 for one-symbol docs, ln(k) for uniform, repeats score below uniform") {
+    import operators.CorpusQuality
+    val docs = Seq(
+      (1L, "aaaaaa"),           // one symbol → H = 0
+      (2L, "abcd"),             // uniform over 4 → H = ln 4
+      (3L, "aab"),              // skewed → 0 < H < ln 2? (ln 3 bound)
+      (4L, "")).toDF("doc_id", "text")
+    val h = CorpusQuality.charEntropy(docs, "doc_id", "text")
+      .select(col("doc_id"), col("entropy")).as[(Long, Double)]
+      .collect().toMap
+    assert(h(1L) == 0.0)
+    assert(math.abs(h(2L) - math.log(4.0)) < 5e-5)
+    assert(h(3L) > 0.0 && h(3L) < math.log(3.0))
+    assert(!h.contains(4L), "empty docs have no distribution")
+  }
+
+  test("collocations: bound pair tops PMI, independent pair scores ~0, minCount guards rare pairs") {
+    import operators.CorpusQuality
+    // 'new york' always adjacent; 'the'+'cat' co-occur only at chance
+    val docs = (1L to 12L).map { i =>
+      (i, s"new york the cat ${"w" + i} the dog")
+    }.toDF("doc_id", "text")
+    val top = CorpusQuality.collocations(docs, "doc_id", "text",
+      minCount = 5L, k = 5)
+      .select(col("w1"), col("w2"), col("pmi"))
+      .as[(String, String, Double)].collect()
+    assert(top.head._1 == "new" && top.head._2 == "york",
+      s"always-adjacent pair must top PMI, got ${top.toSeq}")
+    // a pair seen < minCount times never surfaces
+    val rare = CorpusQuality.collocations(docs, "doc_id", "text",
+      minCount = 5L, k = 100)
+      .filter(col("n_pair") < 5L).count()
+    assert(rare == 0L)
+  }
+
   test("count-min: never undercounts any token, merged halves == single pass, zero for never-hit slots") {
     import operators.CountMin
     val toks = sources.Tables.documents(spark, sf)
