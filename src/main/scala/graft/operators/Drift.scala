@@ -146,4 +146,48 @@ object Drift {
         round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")), 6))
       .select(col("bucket"), col("n_a"), col("n_b"), col("psi_term"))
   }
+
+  /** SCHEMA drift between two states of a table (epochs, snapshots,
+    * upstream contract versions): per column of either side — added /
+    * removed / type_changed / kept — with exact NULL ratios on both
+    * sides, the cheap early warning for silent upstream contract
+    * changes (a column going 0%→40% NULL breaks models long before
+    * anything crashes). Metadata-scale by construction: one 1-row
+    * aggregate per side (count + per-column null counts), the
+    * |columns|-row result assembled on the driver. Ratios round to 4
+    * decimals; a side where the column is absent carries NULLs. */
+  def schemaDrift(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val spark = prev.sparkSession
+    def stats(df: DataFrame): Map[String, (String, Option[Double])] = {
+      val cols = df.columns.toSeq
+      require(cols.nonEmpty, "schemaDrift requires at least one column")
+      val aggs = count(lit(1)).as("_n") +: cols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$c"))
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val n = r.getLong(0)
+      cols.zipWithIndex.map { case (c, i) =>
+        val ratio =
+          if (n == 0L) None
+          else Some(BigDecimal(r.getLong(i + 1).toDouble / n)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        c -> (df.schema(c).dataType.catalogString, ratio)
+      }.toMap
+    }
+    val a = stats(prev)
+    val b = stats(cur)
+    val rows = (a.keySet ++ b.keySet).toSeq.sorted.map { c =>
+      val status = (a.get(c), b.get(c)) match {
+        case (Some(_), None) => "removed"
+        case (None, Some(_)) => "added"
+        case (Some((ta, _)), Some((tb, _))) if ta != tb => "type_changed"
+        case _ => "kept"
+      }
+      (c, status,
+        a.get(c).map(_._1).orNull, b.get(c).map(_._1).orNull,
+        a.get(c).flatMap(_._2).map(java.lang.Double.valueOf).orNull,
+        b.get(c).flatMap(_._2).map(java.lang.Double.valueOf).orNull)
+    }
+    spark.createDataFrame(rows).toDF("column", "status",
+      "type_prev", "type_cur", "null_ratio_prev", "null_ratio_cur")
+  }
 }

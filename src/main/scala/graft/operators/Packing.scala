@@ -40,4 +40,37 @@ object Packing {
       .withColumn("pack_id", expr(s"offset div $capacity"))
       .withColumn("pack_offset", (col("offset") % capacity).cast("int"))
   }
+
+  /** Padding-aware LENGTH-BUCKETED inference batches: sort the corpus
+    * by sequence length (ties on id), cut consecutive runs of
+    * `batchSize` into batches — within a batch all lengths are close,
+    * so padding-to-max waste collapses (the dynamic-batching trick
+    * every serving stack uses; random batching pads every sequence to
+    * the global tail). The global sort rank comes from
+    * [[Ids.withSequentialIds]] — range sort + offset recovery, NO
+    * single-task window — so the op holds at corpus scale. Output
+    * adds `batch_id` (0-based); batches are deterministic and equal
+    * to ROW_NUMBER-over-(length, id) bucketing, which is the oracle.
+    */
+  def lengthBucketedBatches(df: DataFrame, idCol: String, lenCol: String,
+                            batchSize: Int): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    Ids.withSequentialIds(df, Seq(lenCol, idCol), "_lb_seq")
+      .withColumn("batch_id",
+        floor((col("_lb_seq") - 1) / batchSize).cast("long"))
+      .drop("_lb_seq")
+  }
+
+  /** Per-batch padding accounting for [[lengthBucketedBatches]]:
+    * padded cost = n·max(len), waste = n·max − Σlen — all exact
+    * integers. The Σ over batches of `padding` is the tokens a
+    * pad-to-longest serving loop would burn; compare against the same
+    * stats on random batches to quantify the win. */
+  def batchPaddingStats(batches: DataFrame, lenCol: String): DataFrame =
+    batches.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_seqs"),
+        max(col(lenCol)).as("max_len"),
+        sum(col(lenCol)).as("sum_len"))
+      .withColumn("padding",
+        col("n_seqs") * col("max_len") - col("sum_len"))
 }

@@ -355,6 +355,32 @@ object LlmOps extends QueryModule {
     graft.operators.Ranking.bm25TopK(Tables.documents(spark, dir),
       "doc_id", "text", Bm25Terms, k = 20)
 
+  /** Length-bucketed inference batching: batch size 32. */
+  val LbBatch = 32
+
+  def qLengthBatches(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+    graft.operators.Packing.batchPaddingStats(
+      graft.operators.Packing.lengthBucketedBatches(d, "doc_id", "n_tok",
+        LbBatch), "n_tok")
+      .orderBy(col("batch_id"))
+  }
+
+  /** Schema drift between two table states: text column removed,
+    * source added, n_chars type-widened, lang partially nulled —
+    * all four change classes in one gate, with exact NULL ratios. */
+  def qSchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val prev = d.select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    val cur = d.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")).as("lang"),
+      col("n_chars").cast("double").as("n_chars"),
+      col("source"))
+    graft.operators.Drift.schemaDrift(prev, cur)
+  }
+
   /** Collocation parameters: pairs seen ≥ 5 times, top 25 by PMI. */
   val CollocMinCount = 5L
   val CollocK = 25
@@ -1082,6 +1108,8 @@ object LlmOps extends QueryModule {
     "q_count_min"       -> qCountMin _,
     "q_collocations"    -> qCollocations _,
     "q_char_entropy"    -> qCharEntropy _,
+    "q_length_batches"  -> qLengthBatches _,
+    "q_schema_drift"    -> qSchemaDrift _,
     "q_bm25_indexed"    -> qBm25Indexed _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_multimodal_meta" -> qMultimodalMeta _,
@@ -1594,6 +1622,40 @@ object LlmOps extends QueryModule {
          |SELECT doc_id, ROUND(SUM(s), 4) AS score FROM s GROUP BY 1
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
+    "q_length_batches" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> x <> '')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_tok,
+         |    ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS rk FROM d),
+         |b AS (SELECT n_tok, CAST((rk - 1) // $LbBatch AS BIGINT) AS batch_id
+         |  FROM r)
+         |SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+         |  MAX(n_tok) AS max_len, CAST(SUM(n_tok) AS BIGINT) AS sum_len,
+         |  CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS padding
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_schema_drift" ->
+      """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10
+        |  FROM documents),
+        |rows AS (
+        |  SELECT 'doc_id' AS c, 'kept' AS status,
+        |    'bigint' AS type_prev, 'bigint' AS type_cur,
+        |    CAST(0.0 AS DOUBLE) AS null_ratio_prev,
+        |    CAST(0.0 AS DOUBLE) AS null_ratio_cur FROM t
+        |  UNION ALL SELECT 'lang', 'kept', 'string', 'string',
+        |    CAST(0.0 AS DOUBLE), ROUND(CAST(n10 AS DOUBLE) / n, 4) FROM t
+        |  UNION ALL SELECT 'n_chars', 'type_changed', 'bigint', 'double',
+        |    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE) FROM t
+        |  UNION ALL SELECT 'source', 'added', NULL, 'string',
+        |    NULL, CAST(0.0 AS DOUBLE) FROM t
+        |  UNION ALL SELECT 'text', 'removed', 'string', NULL,
+        |    CAST(0.0 AS DOUBLE), NULL FROM t)
+        |SELECT c AS "column", status, type_prev, type_cur,
+        |  null_ratio_prev, null_ratio_cur
+        |FROM rows ORDER BY c""".stripMargin,
     "q_collocations" ->
       s"""WITH ws AS (SELECT doc_id,
          |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w

@@ -2506,6 +2506,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.merges == Seq("a" -> "b"))
   }
 
+  test("length-bucketed batches: padding collapses vs hash batching; rank bucketing exact") {
+    import operators.Packing
+    val df = sources.Tables.documents(spark, sf).select(col("doc_id"),
+      functions.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+    val bucketed = Packing.lengthBucketedBatches(df, "doc_id", "n", 32)
+    // every row survives with a batch id; batch sizes are 32 except the tail
+    assert(bucketed.count() == df.count())
+    val sizes = Packing.batchPaddingStats(bucketed, "n")
+      .select(col("batch_id"), col("n_seqs"), col("padding"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(sizes.init.forall(_._2 == 32L) && sizes.last._2 <= 32L)
+    // padding win: length-sorted batches waste strictly less than
+    // arbitrary (hash-ordered) batches of the same size on this corpus
+    val hashBatched = df.withColumn("batch_id",
+      pmod(operators.Dedup.hash32(col("doc_id").cast("string")), lit(16L)))
+    val wasteSorted = sizes.map(_._3).sum
+    val wasteHash = Packing.batchPaddingStats(hashBatched, "n")
+      .agg(sum(col("padding"))).as[Long].head()
+    assert(wasteSorted < wasteHash,
+      s"length bucketing must cut padding: $wasteSorted vs $wasteHash")
+  }
+
+  test("schema drift: added/removed/type_changed/kept with exact null ratios") {
+    import operators.Drift
+    val prev = Seq[(Long, java.lang.Long, String)](
+      (1L, 10L, "a"), (2L, null, "b")).toDF("id", "v", "gone")
+    val cur = Seq[(Long, Double, String)](
+      (1L, 1.5, "x"), (2L, 2.5, "y")).toDF("id", "v", "fresh")
+    val got = Drift.schemaDrift(prev, cur)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3),
+          Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(got("id") == (("kept", "bigint", "bigint", Some(0.0), Some(0.0))))
+    assert(got("v") == (("type_changed", "bigint", "double",
+      Some(0.5), Some(0.0))))
+    assert(got("gone") == (("removed", "string", null, Some(0.0), None)))
+    assert(got("fresh") == (("added", null, "string", None, Some(0.0))))
+  }
+
   test("char entropy: 0 for one-symbol docs, ln(k) for uniform, repeats score below uniform") {
     import operators.CorpusQuality
     val docs = Seq(
