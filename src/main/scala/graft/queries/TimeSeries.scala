@@ -435,7 +435,54 @@ object TimeSeries extends QueryModule {
       .orderBy(col("purchase_id"), col("view_id"))
   }
 
+  /** Merge overlapping-or-touching intervals per key (gaps-and-islands
+    * over RANGES — the classic coverage op: total machine-busy time,
+    * user-active time, effective SLA windows). Islands form with ONE
+    * key-partitioned sort shared by both windows: an interval starts a
+    * new island iff its start exceeds the running max end of everything
+    * before it; island ids are the running sum of those starts. All
+    * µs-integer arithmetic — coverage is exact on any engine. Output:
+    * one row per key — n_intervals, n_islands, covered_us (union
+    * length, overlaps counted once). Touching intervals (start == prior
+    * max end) merge: under half-open semantics they cover contiguously. */
+  def intervalUnionByKey(df: DataFrame, keyCol: String,
+                         startCol: String, endCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val withIsland = df
+      .withColumn("_iu_new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("_iu_island", sum(col("_iu_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    withIsland
+      .groupBy(col(keyCol), col("_iu_island"))
+      .agg(count(lit(1)).as("_n"),
+        min(col(startCol)).as("_s"), max(col(endCol)).as("_e"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("_e") - col("_s")).as("covered_us"))
+  }
+
+  /** Interval-union coverage per user over synthetic event intervals:
+    * each event opens a window of (cents mod 3600 + 1) seconds — long
+    * enough that a user's bursts overlap — and the union length counts
+    * overlapped time ONCE. Oracle: the identical two-window island
+    * construction in SQL. */
+  def qIntervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("s_us", unix_micros(col("ts")))
+      .withColumn("e_us", col("s_us") +
+        (pmod(round(col("value") * 100, 0).cast("long"), lit(3600L)) + 1L)
+          * 1000000L)
+    intervalUnionByKey(ev, "user_id", "s_us", "e_us")
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_union"  -> qIntervalUnion _,
     "q_range_join"       -> qRangeJoin _,
     "q_date_spine"       -> qDateSpine _,
     "q_hour_spine"       -> qHourSpine _,
@@ -455,6 +502,32 @@ object TimeSeries extends QueryModule {
     "q_funnel"           -> qFunnel _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_interval_union" ->
+      """WITH iv AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) +
+        |      (CAST(round("value" * 100, 0) AS BIGINT) % 3600 + 1) * 1000000
+        |      AS e_us
+        |  FROM events),
+        |w AS (SELECT user_id, s_us, e_us,
+        |    MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |f AS (SELECT user_id, s_us, e_us,
+        |    CASE WHEN prev_max IS NULL OR s_us > prev_max
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM w),
+        |g AS (SELECT user_id, s_us, e_us,
+        |    SUM(new_island) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |i AS (SELECT user_id, island, COUNT(*) AS n,
+        |    MIN(s_us) AS s, MAX(e_us) AS e
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_intervals,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(e - s) AS BIGINT) AS covered_us
+        |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q_range_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS t

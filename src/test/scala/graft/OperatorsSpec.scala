@@ -2506,6 +2506,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.merges == Seq("a" -> "b"))
   }
 
+  test("interval union: overlaps count once, touching merges, disjoint split islands") {
+    import queries.TimeSeries
+    val iv = Seq(
+      ("a", 0L, 10L), ("a", 5L, 15L),   // overlap → one island
+      ("a", 15L, 20L),                  // touching → merges ([0,20))
+      ("a", 25L, 30L),                  // gap → second island
+      ("b", 100L, 101L),
+      ("a", 2L, 3L)                     // fully contained — adds nothing
+    ).toDF("k", "s", "e")
+    val got = TimeSeries.intervalUnionByKey(iv, "k", "s", "e")
+      .select(col("k"), col("n_intervals"), col("n_islands"),
+        col("covered_us")).as[(String, Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got("a") == ((5L, 2L, 25L)),
+      s"expected 2 islands covering 25, got ${got("a")}")
+    assert(got("b") == ((1L, 1L, 1L)))
+    // partitioning-proof: same answer from a scrambled layout
+    val again = TimeSeries.intervalUnionByKey(iv.repartition(7), "k", "s", "e")
+      .select(col("k"), col("covered_us")).as[(String, Long)].collect().toMap
+    assert(again("a") == 25L && again("b") == 1L)
+  }
+
   test("length-bucketed batches: padding collapses vs hash batching; rank bucketing exact") {
     import operators.Packing
     val df = sources.Tables.documents(spark, sf).select(col("doc_id"),
