@@ -49,6 +49,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg("srp_sigs_f32", exprs(2), "bandBits"),
         intArg("srp_sigs_f32", exprs(3), "dim"))))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName,
+        "jaro_winkler"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.JaroWinkler(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[graft.functions.UnicodeNormalize].getName,
         "unicode_normalize"),

@@ -565,6 +565,8 @@ object VectorExpressions {
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "unicode_normalize", exprs => UnicodeNormalize(exprs(0),
         exprs(1).eval(null) match {
           case s: org.apache.spark.unsafe.types.UTF8String => s.toString

@@ -53,4 +53,15 @@ object FuzzyJoin {
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
         col("dist"))
   }
+
+  /** Column wrapper for the [[graft.functions.JaroWinkler]] codegen
+    * expression — the transposition-tolerant, prefix-boosted scorer
+    * for the verify stage of blocked entity resolution (levenshtein's
+    * complement: length-normalized, typo-at-the-end friendly).
+    * Requires a registered function (operator entry points call
+    * `VectorExpressions.ensureRegistered`; extension-built sessions
+    * have it already). */
+  def jaroWinkler(a: org.apache.spark.sql.Column,
+                  b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("jaro_winkler", a, b)
 }

@@ -877,10 +877,28 @@ object Relational extends QueryModule {
       .orderBy(col("lang"))
   }
 
+  /** Probe string for the Jaro-Winkler ranking gate: a plausible but
+    * absent part name, so scores spread over the whole range. */
+  val JwProbe = "standard anodized tin"
+
+  /** Jaro-Winkler name ranking through the custom codegen expression
+    * ([[graft.functions.JaroWinkler]]) — semantics pinned to DuckDB's
+    * `jaro_winkler_similarity`, which IS the oracle: same match
+    * window, integer-floored transpositions, 0.7-gated prefix boost. */
+  def qJaroRank(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    Tables.part(spark, dir).select(col("p_partkey"),
+      round(graft.operators.FuzzyJoin.jaroWinkler(
+        col("p_name"), lit(JwProbe)), 4).as("jw"))
+      .orderBy(col("jw").desc, col("p_partkey").asc)
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_meta_summary"      -> qMetaSummary _,
     "q_meta_count"        -> qMetaCount _,
     "q_graft_scan"        -> qGraftScan _,
+    "q_jaro_rank"         -> qJaroRank _,
     "q1_agg"              -> q1Agg _,
     "q_count_by_key"      -> qCountByKey _,
     "q_multi_agg"         -> qMultiAgg _,
@@ -939,6 +957,10 @@ object Relational extends QueryModule {
         |  MIN(l_orderkey) AS k_min, MAX(l_orderkey) AS k_max,
         |  MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max
         |FROM lineitem""".stripMargin,
+    "q_jaro_rank" ->
+      s"""SELECT p_partkey,
+         |  ROUND(jaro_winkler_similarity(p_name, '$JwProbe'), 4) AS jw
+         |FROM part ORDER BY jw DESC, p_partkey LIMIT 50""".stripMargin,
     "q_graft_scan" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars

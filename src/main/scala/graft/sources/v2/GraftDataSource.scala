@@ -101,8 +101,16 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
     ParquetScanBuilder(spark, index, dataSchema, dataSchema, options)
   }
 
-  /** Optional stats/bloom metadata roots from reader options —
-    * mirrors [[GraftTables.register]]'s contract, per-read. */
+  /** Stats/bloom metadata roots: explicit reader options (mirroring
+    * [[GraftTables.register]]'s contract), or — when none are given —
+    * AUTO-DISCOVERED from the table's own `_stats` sub-table, the
+    * convention [[GraftTableWriter.writeWithStats]] maintains: tracked
+    * columns are read off the committed stats schema (`<c>_min`
+    * fields), so a zero-option `format("graft").load(root)` prunes
+    * with no registration at all. Sound under any staleness — the
+    * proof engine only ever EXCLUDES files the stats provably clear,
+    * and stale rows for dead files exclude nothing from a listing
+    * they don't appear in. */
   private def metadataEntry(o: CaseInsensitiveStringMap): Option[GraftTables.Entry] = {
     val statsRoot = Option(o.get("statsRoot"))
     val statsCols = Option(o.get("statsCols"))
@@ -113,8 +121,46 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
       "statsRoot and statsCols must be given together")
     require(bloomRoot.isEmpty == bloomKey.isEmpty,
       "bloomRoot and bloomKey must be given together")
-    if (statsRoot.isEmpty && bloomRoot.isEmpty) None
-    else Some(GraftTables.Entry(root, statsRoot, statsCols, bloomRoot, bloomKey))
+    if (statsRoot.nonEmpty || bloomRoot.nonEmpty)
+      Some(GraftTables.Entry(root, statsRoot, statsCols, bloomRoot, bloomKey))
+    else discoverStats()
+  }
+
+  private def discoverStats(): Option[GraftTables.Entry] = {
+    val sr = s"$root/${GraftTableWriter.StatsSub}"
+    if (graft.sinks.VersionedTable.latestVersion(spark, sr) < 0) None
+    else {
+      val cols = graft.sources.FileStats.readStats(spark, sr)
+        .schema.fieldNames.toSeq
+        .filter(_.endsWith("_min")).map(_.stripSuffix("_min"))
+      if (cols.isEmpty) None
+      else Some(GraftTables.Entry(root, Some(sr), cols, None, None))
+    }
+  }
+}
+
+/** The write half of the convention: commit an epoch AND refresh its
+  * file statistics in one call, so readers of `format("graft")` prune
+  * with zero options. Stats commit as a FULL REBUILD over the new
+  * epoch's files (the rewrite-staleness rule: an epoch write re-lands
+  * everything, so merge-by-path must not be used), AFTER the data
+  * epoch is live — the window between the two commits is sound
+  * because stale stats can only under-prune, never mis-prune. */
+object GraftTableWriter {
+
+  private[v2] val StatsSub = "_stats"
+
+  /** [[graft.sinks.VersionedTable.write]] + stats refresh over the
+    * committed epoch. Returns the data epoch's version. */
+  def writeWithStats(df: org.apache.spark.sql.DataFrame, root: String,
+                     statsCols: Seq[String]): Long = {
+    require(statsCols.nonEmpty, "track at least one column")
+    val spark = df.sparkSession
+    val v = graft.sinks.VersionedTable.write(df, root)
+    graft.sources.FileStats.commitStatsFull(
+      graft.sources.FileStats.collect(spark, s"$root/epoch=$v", statsCols),
+      s"$root/$StatsSub")
+    v
   }
 }
 

@@ -2506,6 +2506,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.merges == Seq("a" -> "b"))
   }
 
+  test("jaro-winkler: textbook values, 0.7-gated prefix boost, floored transpositions, codegen") {
+    import operators.FuzzyJoin
+    functions.VectorExpressions.ensureRegistered(spark)
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611),   // 1 transposition + 3-prefix boost
+      ("DIXON", "DICKSONX", 0.8133),
+      ("DWAYNE", "DUANE", 0.84),
+      ("JELLYFISH", "SMELLYFISH", 0.8963), // no common prefix → no boost
+      ("abcdXXXX", "abcdYYYY", 0.6667),    // j ≤ 0.7 → boost gated OFF
+      ("abcxxx", "bcaxxx", 0.9444),        // odd mismatches floor to 1
+      ("ab", "ba", 0.0),                   // window 0: no matches
+      ("", "abc", 0.0),
+      ("same", "same", 1.0)).toDF("a", "b", "want")
+    val got = cases.select(
+      round(FuzzyJoin.jaroWinkler(col("a"), col("b")), 4).as("jw"),
+      col("want")).as[(Double, Double)].collect()
+    got.foreach { case (jw, want) =>
+      assert(jw == want, s"expected $want got $jw") }
+    // NULL propagates
+    assert(cases.select(FuzzyJoin.jaroWinkler(lit(null).cast("string"),
+      col("b"))).head().isNullAt(0))
+    // native expression in the plan, no UDF fallback (dot_f32 idiom)
+    val plan = sources.Tables.part(spark, sf)
+      .select(FuzzyJoin.jaroWinkler(col("p_name"), lit("probe")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("jaro_winkler"),
+      s"custom expression missing from plan:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython") &&
+      !plan.contains("ScalaUDF"), "must not fall back to UDF execution")
+  }
+
   test("interval union: overlaps count once, touching merges, disjoint split islands") {
     import queries.TimeSeries
     val iv = Seq(

@@ -753,6 +753,48 @@ class SinksSpec extends AnyFunSuite {
       "range-clustered files must carry narrower envelopes than the hash layout")
   }
 
+  test("graft DSv2 writeWithStats: zero-option reads prune via auto-discovered stats; time travel degrades soundly") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect { case b: BatchScanExec =>
+        b.partitions.flatten.collect { case fp: FilePartition =>
+          fp.files.map(_.filePath.toString).toSeq }.flatten
+      }.flatten.distinct.size
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-dsv2-auto").toString
+    val root = s"$base/t"
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars")
+    sources.v2.GraftTableWriter.writeWithStats(
+      docs.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root, Seq("doc_id"))
+    val lo = docs.agg(min(col("doc_id"))).head().getLong(0)
+    val want = docs.filter(col("doc_id") <= lo + 2)
+      .select("doc_id").as[Long].collect().toSet
+    // NO options, NO registration: the _stats convention alone prunes
+    val pruned = spark.read.format("graft").load(root)
+      .filter(col("doc_id") <= lo + 2)
+    assert(scannedFiles(pruned) < 4,
+      "auto-discovered stats must prune a zero-option read")
+    assert(pruned.select("doc_id").as[Long].collect().toSet == want)
+    // a second writeWithStats epoch refreshes the stats to ITS files
+    sources.v2.GraftTableWriter.writeWithStats(
+      docs.repartitionByRange(2, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root, Seq("doc_id"))
+    val cur = spark.read.format("graft").load(root)
+      .filter(col("doc_id") <= lo + 2)
+    assert(scannedFiles(cur) < 2)
+    assert(cur.select("doc_id").as[Long].collect().toSet == want)
+    // time travel to epoch 0: the refreshed stats list none of its
+    // files, so nothing is excluded — full listing, exact rows
+    val old = spark.read.format("graft").option("versionAsOf", 0)
+      .load(root).filter(col("doc_id") <= lo + 2)
+    assert(scannedFiles(old) == 4,
+      "stats for another epoch must exclude nothing from this one")
+    assert(old.select("doc_id").as[Long].collect().toSet == want)
+  }
+
   test("graft DSv2 source inherits parquet aggregate pushdown (count/min/max from footers)") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-dsv2-agg").toString
