@@ -481,8 +481,53 @@ object TimeSeries extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** Densify a (key, day, value) table onto the FULL key × day-spine
+    * grid and forward-fill gaps (LOCF — last observation carried
+    * forward, the reporting/imputation primitive): absent cells
+    * surface with `has_data = false` and the most recent prior value;
+    * keys with no prior observation carry NULL (imputing before first
+    * observation would be invention, not carry-forward). Scale shape:
+    * the day spine is a 1-row aggregate exploded (|days| rows,
+    * broadcast); the grid is keys × spine — the densified OUTPUT
+    * size, not an intermediate blowup; one left join + one key-
+    * partitioned window. */
+  def densifyDailyLocf(df: DataFrame, keyCol: String, dayCol: String,
+                       valCol: String): DataFrame = {
+    val spine = df.agg(min(col(dayCol)).as("_lo"), max(col(dayCol)).as("_hi"))
+      .select(explode(sequence(col("_lo"), col("_hi"),
+        expr("interval 1 day"))).as(dayCol))
+    val grid = df.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(spine))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(df.select(col(keyCol), col(dayCol), col(valCol)),
+        Seq(keyCol, dayCol), "left")
+      .withColumn("has_data", col(valCol).isNotNull)
+      .withColumn("filled",
+        last(col(valCol), ignoreNulls = true).over(w))
+      .drop(valCol)
+  }
+
+  /** Densify + LOCF over an engineered-sparse daily grid: integer-cents
+    * sums per (event_type × user-bucket) key — ~500 keys × the day
+    * spine leaves a few percent of cells empty, so carry-forward and
+    * the NULL-before-first-observation contract are both exercised.
+    * Oracle: generate_series spine × distinct keys, LEFT JOIN, and
+    * DuckDB's own `last_value(... IGNORE NULLS)`. */
+  def qDensifyLocf(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .withColumn("k", concat(col("event_type"), lit("_"),
+        pmod(col("user_id"), lit(97L)).cast("string")))
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .groupBy(col("k"), col("day")).agg(sum(col("cents")).as("v"))
+    densifyDailyLocf(d, "k", "day", "v")
+      .orderBy(col("k"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_interval_union"  -> qIntervalUnion _,
+    "q_densify_locf"    -> qDensifyLocf _,
     "q_range_join"       -> qRangeJoin _,
     "q_date_spine"       -> qDateSpine _,
     "q_hour_spine"       -> qHourSpine _,
@@ -502,6 +547,23 @@ object TimeSeries extends QueryModule {
     "q_funnel"           -> qFunnel _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_densify_locf" ->
+      """WITH d AS (SELECT event_type || '_' ||
+        |      CAST(user_id % 97 AS VARCHAR) AS k,
+        |    CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round("value" * 100, 0) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |grid AS (SELECT k, day FROM (SELECT DISTINCT k FROM d)
+        |  CROSS JOIN spine),
+        |j AS (SELECT grid.k, grid.day, d.v FROM grid
+        |  LEFT JOIN d ON d.k = grid.k AND d.day = grid.day)
+        |SELECT k, day, v IS NOT NULL AS has_data,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM j ORDER BY k, day""".stripMargin,
     "q_interval_union" ->
       """WITH iv AS (SELECT user_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,

@@ -2506,6 +2506,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.merges == Seq("a" -> "b"))
   }
 
+  test("densify + LOCF: complete grid, gaps carried forward, NULL before first observation") {
+    import queries.TimeSeries
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val df = Seq(
+      ("a", d("2024-01-02"), 20L), ("a", d("2024-01-04"), 40L),
+      ("b", d("2024-01-01"), 7L), ("b", d("2024-01-05"), 9L))
+      .toDF("k", "day", "v")
+    val got = TimeSeries.densifyDailyLocf(df, "k", "day", "v")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getBoolean(2), Option(r.get(3)))).toSet
+    assert(got == Set(
+      ("a", "2024-01-01", false, None),          // before first obs: NULL
+      ("a", "2024-01-02", true, Some(20L)),
+      ("a", "2024-01-03", false, Some(20L)),     // carried forward
+      ("a", "2024-01-04", true, Some(40L)),
+      ("a", "2024-01-05", false, Some(40L)),
+      ("b", "2024-01-01", true, Some(7L)),
+      ("b", "2024-01-02", false, Some(7L)),
+      ("b", "2024-01-03", false, Some(7L)),
+      ("b", "2024-01-04", false, Some(7L)),
+      ("b", "2024-01-05", true, Some(9L))), s"got $got")
+  }
+
   test("jaro-winkler: textbook values, 0.7-gated prefix boost, floored transpositions, codegen") {
     import operators.FuzzyJoin
     functions.VectorExpressions.ensureRegistered(spark)
