@@ -52,4 +52,36 @@ object Scale {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(tableName)
+
+  /** Shuffle-skew diagnostic for a prospective join/aggregation key:
+    * one row — n_keys, n_rows, max_n (the hottest key's rows), exact
+    * rank-based p50/p99 of the per-key distribution, and the hottest
+    * key's share of all rows. max_n/p50_n ≫ 1 is the "salt this or
+    * let AQE split it" signal BEFORE the job dies, not after.
+    *
+    * The quantiles are exact but need NO single-task sort: the per-key
+    * count table gets a dense global rank via [[Ids.withSequentialIds]]
+    * (range sort + offsets), the 1-row totals broadcast, and the two
+    * target ranks (⌈p·n_keys⌉, ties on key — engine-independent) are a
+    * codegen filter. Everything after the groupBy is proportional to
+    * |keys|, never |rows|. */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(count(lit(1)).as("nk"),
+      sum(col("n")).as("nr"), max(col("n")).as("mx"))
+    val ranked = Ids.withSequentialIds(counts, Seq("n", "key"), "_rk")
+    ranked.crossJoin(broadcast(tot))
+      .filter(col("_rk") === ceil(lit(0.5) * col("nk")).cast("long") ||
+        col("_rk") === ceil(lit(0.99) * col("nk")).cast("long"))
+      .groupBy()
+      .agg(first(col("nk")).as("n_keys"), first(col("nr")).as("n_rows"),
+        first(col("mx")).as("max_n"),
+        max(when(col("_rk") === ceil(lit(0.5) * col("nk")).cast("long"),
+          col("n"))).as("p50_n"),
+        max(when(col("_rk") === ceil(lit(0.99) * col("nk")).cast("long"),
+          col("n"))).as("p99_n"))
+      .withColumn("top_share",
+        round(col("max_n").cast("double") / col("n_rows"), 4))
+  }
 }

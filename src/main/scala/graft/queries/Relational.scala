@@ -894,11 +894,18 @@ object Relational extends QueryModule {
       .limit(50)
   }
 
+  /** Shuffle-skew diagnostic on the events stream's user key
+    * ([[graft.operators.Scale.skewReport]]): exact rank-based
+    * per-key-count quantiles with no single-task sort. */
+  def qSkewReport(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.skewReport(Tables.events(spark, dir), "user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_meta_summary"      -> qMetaSummary _,
     "q_meta_count"        -> qMetaCount _,
     "q_graft_scan"        -> qGraftScan _,
     "q_jaro_rank"         -> qJaroRank _,
+    "q_skew_report"       -> qSkewReport _,
     "q1_agg"              -> q1Agg _,
     "q_count_by_key"      -> qCountByKey _,
     "q_multi_agg"         -> qMultiAgg _,
@@ -957,6 +964,19 @@ object Relational extends QueryModule {
         |  MIN(l_orderkey) AS k_min, MAX(l_orderkey) AS k_max,
         |  MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max
         |FROM lineitem""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+        |    CAST(SUM(n) AS BIGINT) AS nr, MAX(n) AS mx FROM c),
+        |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n, key) AS rk FROM c)
+        |SELECT t.nk AS n_keys, t.nr AS n_rows, t.mx AS max_n,
+        |  MAX(CASE WHEN rk = CAST(ceil(0.5 * nk) AS BIGINT)
+        |    THEN n END) AS p50_n,
+        |  MAX(CASE WHEN rk = CAST(ceil(0.99 * nk) AS BIGINT)
+        |    THEN n END) AS p99_n,
+        |  ROUND(CAST(t.mx AS DOUBLE) / t.nr, 4) AS top_share
+        |FROM r CROSS JOIN t GROUP BY 1, 2, 3""".stripMargin,
     "q_jaro_rank" ->
       s"""SELECT p_partkey,
          |  ROUND(jaro_winkler_similarity(p_name, '$JwProbe'), 4) AS jw

@@ -2506,6 +2506,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.merges == Seq("a" -> "b"))
   }
 
+  test("skew report: exact rank quantiles, hottest-key share, no single-partition window") {
+    import operators.Scale
+    // keys: w×1, x×1, y×2, z×10 → nk=4 nr=14 mx=10; ranked n = [1,1,2,10]
+    // p50 rank ⌈2⌉=2 → 1; p99 rank ⌈3.96⌉=4 → 10; share 10/14 = 0.7143
+    val rows = Seq.fill(1)("w") ++ Seq.fill(1)("x") ++
+      Seq.fill(2)("y") ++ Seq.fill(10)("z")
+    val got = Scale.skewReport(rows.toDF("k"), "k").collect()(0)
+    assert(got.getLong(got.fieldIndex("n_keys")) == 4L)
+    assert(got.getLong(got.fieldIndex("n_rows")) == 14L)
+    assert(got.getLong(got.fieldIndex("max_n")) == 10L)
+    assert(got.getLong(got.fieldIndex("p50_n")) == 1L)
+    assert(got.getLong(got.fieldIndex("p99_n")) == 10L)
+    assert(got.getDouble(got.fieldIndex("top_share")) == 0.7143)
+    // the quantile path must not plan a global window
+    val plan = Scale.skewReport(rows.toDF("k"), "k")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"skew report must use the rank machinery, not a window:\n$plan")
+  }
+
   test("densify + LOCF: complete grid, gaps carried forward, NULL before first observation") {
     import queries.TimeSeries
     def d(s: String) = java.sql.Date.valueOf(s)
