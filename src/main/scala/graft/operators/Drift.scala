@@ -190,4 +190,35 @@ object Drift {
     spark.createDataFrame(rows).toDF("column", "status",
       "type_prev", "type_cur", "null_ratio_prev", "null_ratio_cur")
   }
+
+  /** Benford first-significant-digit profile per group — the classic
+    * fabricated-numbers / broken-feed detector: natural multiplicative
+    * data follows P(d) = log10(1 + 1/d); a generator gone uniform (or
+    * a truncated feed) deviates visibly. Input is a POSITIVE integer
+    * column (the repo's cents convention — the first significant digit
+    * is invariant under the 10^k scaling); the digit is taken from the
+    * integer's decimal string, which is exact on every engine, never
+    * from floating log10 arithmetic (log10(1000) rounds BELOW 3 in
+    * some libms and misbins the whole power of ten). Output per
+    * (group, digit): count, observed freq, Benford expectation, and
+    * signed deviation — per-row arithmetic only, no cross-row float
+    * sums to drift. */
+  def benfordDigits(df: DataFrame, keyCol: String,
+                    intCol: String): DataFrame = {
+    val counts = df.filter(col(intCol) > 0)
+      .withColumn("digit",
+        substring(col(intCol).cast("string"), 1, 1).cast("int"))
+      .groupBy(col(keyCol), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    // ≤ 9 rows per key after aggregation: the per-key total window is
+    // bounded by construction
+    val w = Window.partitionBy(col(keyCol))
+    counts
+      .withColumn("_tot", sum(col("n")).over(w))
+      .withColumn("freq", round(col("n").cast("double") / col("_tot"), 6))
+      .withColumn("benford",
+        round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 6))
+      .withColumn("dev", round(col("freq") - col("benford"), 6))
+      .drop("_tot")
+  }
 }

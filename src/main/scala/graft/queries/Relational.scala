@@ -900,8 +900,19 @@ object Relational extends QueryModule {
   def qSkewReport(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Scale.skewReport(Tables.events(spark, dir), "user_id")
 
+  /** Benford first-digit profile of line prices by return flag
+    * ([[graft.operators.Drift.benfordDigits]]): digits from the exact
+    * integer-cents decimal string — never floating log10 binning. */
+  def qBenford(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.benfordDigits(
+      Tables.lineitem(spark, dir).withColumn("cents",
+        round(col("l_extendedprice") * 100, 0).cast("long")),
+      "l_returnflag", "cents")
+      .orderBy(col("l_returnflag"), col("digit"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_meta_summary"      -> qMetaSummary _,
+    "q_benford"           -> qBenford _,
     "q_meta_count"        -> qMetaCount _,
     "q_graft_scan"        -> qGraftScan _,
     "q_jaro_rank"         -> qJaroRank _,
@@ -964,6 +975,23 @@ object Relational extends QueryModule {
         |  MIN(l_orderkey) AS k_min, MAX(l_orderkey) AS k_max,
         |  MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max
         |FROM lineitem""".stripMargin,
+    "q_benford" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |d AS (SELECT l_returnflag,
+        |    CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM c WHERE cents > 0 GROUP BY 1, 2),
+        |t AS (SELECT l_returnflag, digit, n,
+        |    CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        |  FROM d)
+        |SELECT l_returnflag, digit, n,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS freq,
+        |  ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford,
+        |  ROUND(ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |    - ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6), 6) AS dev
+        |FROM t ORDER BY 1, 2""".stripMargin,
     "q_skew_report" ->
       """WITH c AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1),

@@ -525,9 +525,42 @@ object TimeSeries extends QueryModule {
       .orderBy(col("k"), col("day"))
   }
 
+  /** Observation-gap report per key — "which feeds have holes": from
+    * each key's set of OBSERVED days, the runs of missing days between
+    * consecutive observations (lead − day − 1): how many gaps, the
+    * longest, and the total days missing. Keys observed on every day
+    * of their own span report zeros. One key-partitioned window over
+    * DISTINCT observed days (∝ |key, day| pairs, not rows); integer
+    * day arithmetic end to end. */
+  def observationGaps(df: DataFrame, keyCol: String,
+                      dayCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    df.select(col(keyCol), col(dayCol)).distinct()
+      .withColumn("_gap",
+        datediff(lead(col(dayCol), 1).over(w), col(dayCol)) - 1)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days_observed"),
+        sum(when(col("_gap") > 0, 1L).otherwise(0L)).as("n_gaps"),
+        coalesce(max(when(col("_gap") > 0, col("_gap"))), lit(0))
+          .cast("long").as("max_gap_days"),
+        coalesce(sum(when(col("_gap") > 0, col("_gap"))), lit(0))
+          .cast("long").as("missing_days"))
+  }
+
+  /** Gap report over the engineered-sparse key grid of
+    * [[qDensifyLocf]] — the monitoring twin of the densify gate. */
+  def qGapReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .withColumn("k", concat(col("event_type"), lit("_"),
+        pmod(col("user_id"), lit(97L)).cast("string")))
+      .withColumn("day", to_date(col("ts")))
+    observationGaps(d, "k", "day").orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_interval_union"  -> qIntervalUnion _,
     "q_densify_locf"    -> qDensifyLocf _,
+    "q_gap_report"      -> qGapReport _,
     "q_range_join"       -> qRangeJoin _,
     "q_date_spine"       -> qDateSpine _,
     "q_hour_spine"       -> qHourSpine _,
@@ -547,6 +580,22 @@ object TimeSeries extends QueryModule {
     "q_funnel"           -> qFunnel _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_gap_report" ->
+      """WITH d AS (SELECT DISTINCT event_type || '_' ||
+        |      CAST(user_id % 97 AS VARCHAR) AS k,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |g AS (SELECT k, day,
+        |    date_diff('day', day, lead(day, 1) OVER (PARTITION BY k
+        |      ORDER BY day)) - 1 AS gap
+        |  FROM d)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_days_observed,
+        |  CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  CAST(coalesce(MAX(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT)
+        |    AS max_gap_days,
+        |  CAST(coalesce(SUM(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT)
+        |    AS missing_days
+        |FROM g GROUP BY 1 ORDER BY k""".stripMargin,
     "q_densify_locf" ->
       """WITH d AS (SELECT event_type || '_' ||
         |      CAST(user_id % 97 AS VARCHAR) AS k,

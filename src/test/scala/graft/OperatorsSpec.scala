@@ -2506,6 +2506,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.merges == Seq("a" -> "b"))
   }
 
+  test("observation gaps: runs of missing days counted and sized; dense keys report zeros") {
+    import queries.TimeSeries
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val df = Seq(
+      ("a", d("2024-01-01")), ("a", d("2024-01-02")),
+      ("a", d("2024-01-05")), ("a", d("2024-01-09")),
+      ("a", d("2024-01-09")), // duplicate observation: counted once
+      ("b", d("2024-02-01")), ("b", d("2024-02-02"))).toDF("k", "day")
+    val got = TimeSeries.observationGaps(df, "k", "day")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // a: gaps 02→05 (2 missing) and 05→09 (3 missing)
+    assert(got("a") == ((4L, 2L, 3L, 5L)), s"got ${got("a")}")
+    assert(got("b") == ((2L, 0L, 0L, 0L)))
+  }
+
+  test("benford digits: exact string-derived digits, uniform data deviates positively on high digits") {
+    import operators.Drift
+    val df = (1L to 99L).map(v => ("g", v)).toDF("grp", "v")
+    val got = Drift.benfordDigits(df, "grp", "v")
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == (1 to 9).toSet)
+    // 1..99 uniform: every digit owns exactly 11 values
+    assert(got.values.forall(_._1 == 11L))
+    assert(got.values.forall(_._2 == 0.111111))
+    // Benford expects ~30% ones: uniform data under-represents 1 and
+    // over-represents 9
+    assert(got(1)._4 < 0 && got(9)._4 > 0)
+    assert(math.abs(got(1)._3 - 0.30103) < 1e-6)
+    // zero and negative values never bin
+    val withJunk = df.union(Seq(("g", 0L), ("g", -5L)).toDF("grp", "v"))
+    assert(Drift.benfordDigits(withJunk, "grp", "v")
+      .agg(sum(col("n"))).head().getLong(0) == 99L)
+  }
+
   test("skew report: exact rank quantiles, hottest-key share, no single-partition window") {
     import operators.Scale
     // keys: w×1, x×1, y×2, z×10 → nk=4 nr=14 mx=10; ranked n = [1,1,2,10]
