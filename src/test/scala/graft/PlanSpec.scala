@@ -403,6 +403,37 @@ class PlanSpec extends AnyFunSuite {
       s"global-rank fell back to one task:\n$p")
   }
 
+  /** Interval union's one-shuffle claim: both windows (running max
+    * end, island running sum) and the island aggregate reuse ONE
+    * key hash partitioning; the final per-key aggregate rides it too. */
+  test("interval union plan: islands and aggregates share one key shuffle") {
+    val p = plan("q_interval_union")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  /** Count-Min's scale claim: the corpus explodes map-side and
+    * combines BEFORE the shuffle — the aggregate must be partial
+    * (map-side combine bounds shuffle volume at depth·width rows per
+    * partition) and nothing corpus-sized may broadcast. */
+  test("count-min plan: partial aggregation before the shuffle, no corpus broadcast") {
+    val p = plan("q_count_min")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"sketch build must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian expected:\n$p")
+  }
+
+  /** Densify's grid claim: the day spine joins in as a BROADCAST
+    * nested loop (a 1-row aggregate exploded — never a shuffled or
+    * cartesian grid build). */
+  test("densify plan: spine broadcasts into the grid, no cartesian product") {
+    val p = plan("q_densify_locf")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"key × spine grid must be a broadcast nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian expected:\n$p")
+  }
+
   /** The distributed ROW_NUMBER claim: dense global ids with no window
     * operator at all (a global window would funnel the table through
     * one task) and no single-partition exchange — a range sort, a
