@@ -30,8 +30,13 @@ import org.apache.spark.sql.functions._
   * sequence, so [[encode]] is explode words → join the vocab →
   * reassemble in word order — corpus-scale work is one join, and the
   * iterative cost stays amortized on the vocab table. Unseen words
-  * (encoding a corpus beyond the training set) fall back to their
-  * character sequence, BPE's natural base case.
+  * (encoding a corpus beyond the training set) get the model's RANKED
+  * MERGES applied to their character sequence ([[applyMerges]] —
+  * standard BPE greedy application, computed once per distinct unseen
+  * word, vocab-scale), so a word seen in training and the same word
+  * arriving later encode identically. Documents whose text tokenizes
+  * to zero words (empty, whitespace, NULL) surface with `tokens = []`
+  * — encode is total over its input.
   */
 object Bpe {
 
@@ -156,22 +161,60 @@ object Bpe {
       graft.sinks.VersionedTable.read(spark, s"$root/vocab"))
   }
 
+  /** Bounded nesting for merge-rule folds: each [[mergeOnce]] is a
+    * nested `aggregate` lambda, and an unbounded fold of hundreds of
+    * rules in one projection would blow up codegen — chunk the fold
+    * and checkpoint between chunks (the [[learn]] round discipline). */
+  private val MergeFoldChunk = 8
+
+  /** Apply a model's ranked merges to `wordsDf` (a `word` column):
+    * returns (word, syms) with every rule applied greedily in rank
+    * order — exactly how [[learn]] built the vocab's symbolizations,
+    * so training-set words round-trip identically. Cost ∝ |wordsDf| ×
+    * |merges|/chunk jobs; run it on DISTINCT words, never a corpus. */
+  def applyMerges(wordsDf: DataFrame,
+                  merges: Seq[(String, String)]): DataFrame = {
+    var cur = wordsDf.select(col("word"))
+      .withColumn("syms", charSyms(col("word")))
+    var curIsCkpt = false
+    merges.grouped(MergeFoldChunk).foreach { chunk =>
+      val next = chunk.foldLeft(cur) { case (df, (l, r)) =>
+        df.withColumn("syms", mergeOnce(col("syms"), l, r))
+      }.localCheckpoint(true)
+      if (curIsCkpt) unpersistLocalCheckpoint(cur)
+      cur = next
+      curIsCkpt = true
+    }
+    cur
+  }
+
   /** Tokenize a corpus with a trained model: (id, tokens, n_tokens).
-    * Words are looked up in the vocab's final symbolization (unseen
-    * words fall back to characters), then reassembled in word order.
-    * Corpus-scale cost: one explode + one join + one per-doc
-    * reassembly aggregate — the merge loop is never re-run here. */
+    * Words are looked up in the vocab's final symbolization; unseen
+    * words get [[applyMerges]] over their distinct set (vocab-scale),
+    * so the lookup table covers every word by construction. Zero-word
+    * documents (posexplode yields no rows for them) are restored by a
+    * left join from the input with `tokens = []`. Corpus-scale cost:
+    * one explode + two joins + one per-doc reassembly aggregate — the
+    * merge loop only ever runs on distinct unseen words. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              model: BpeModel): DataFrame = {
     val ws = docs.select(col(idCol).as("_bpe_id"),
       posexplode(words(col(textCol))).as(Seq("pos", "word")))
-    ws.join(model.vocab.select(col("word"), col("syms")), Seq("word"), "left")
-      .withColumn("syms", coalesce(col("syms"), charSyms(col("word"))))
+    val unseen = ws.select(col("word")).distinct()
+      .join(model.vocab.select(col("word")), Seq("word"), "left_anti")
+    val lookup = model.vocab.select(col("word"), col("syms"))
+      .unionByName(applyMerges(unseen, model.merges))
+    val toks = ws
+      .join(lookup, Seq("word")) // total: vocab ∪ encoded-unseen
       .groupBy(col("_bpe_id"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("pos"), col("syms")))),
         s => s.getField("syms"))).as("tokens"))
-      .select(col("_bpe_id").as(idCol), col("tokens"),
+    docs.select(col(idCol))
+      .join(toks.withColumnRenamed("_bpe_id", idCol), Seq(idCol), "left")
+      .withColumn("tokens",
+        coalesce(col("tokens"), array().cast("array<string>")))
+      .select(col(idCol), col("tokens"),
         size(col("tokens")).as("n_tokens"))
   }
 

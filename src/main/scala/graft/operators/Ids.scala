@@ -21,14 +21,24 @@ import org.apache.spark.sql.functions._
   *      → exclusive prefix sums → broadcast back as offsets;
   *   4. id = offset(pid) + local + 1, a codegen'd projection.
   *
-  * The counts pass re-scans the sorted input instead of pinning it in
-  * memory: both passes recompute the SAME sort (range boundaries are
-  * sampled with a fixed per-partition seed, the local sort is total),
-  * so they agree without a cache — two scans, zero executor memory
-  * held across jobs, the honest trade at 100 TB. Contract: the order
-  * columns must totally order the rows (make the last one a unique
-  * id) and the source must be re-readable deterministically (any
-  * file-backed table); partitions may hold up to 2³³ rows, the id
+  * The sorted table is materialized ONCE (persisted at DISK_ONLY —
+  * no executor-memory pressure, same local-disk footprint the sort's
+  * shuffle files already paid) and BOTH the counts pass and the
+  * output pass read that single materialization. This is load-bearing
+  * for correctness, not a cache optimization: Spark's RangePartitioner
+  * seeds its reservoir sample from the RDD id, so two independent
+  * physical executions of the same range sort can draw DIFFERENT
+  * boundaries once partitions exceed the per-partition sample size —
+  * offsets computed from one execution applied to the other's
+  * partitions would silently duplicate and drop ids. Pinning one
+  * physical plan pins one partitioner instance: even a lost-block
+  * recompute re-executes the SAME plan (its shuffle dependency and
+  * bounds are fixed per instance), so the two passes provably agree.
+  * The blocks are released by Spark's context cleaner when the result
+  * is garbage-collected; callers looping over many id assignments can
+  * force it earlier via `result.unpersist()`-equivalent on their side.
+  * Contract: the order columns must totally order the rows (make the
+  * last one a unique id); partitions may hold up to 2³³ rows, the id
   * generator's own bound.
   */
 object Ids {
@@ -46,14 +56,19 @@ object Ids {
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val keys = orderCols.map(col)
+    // ONE materialization of the sort — both passes below must see the
+    // same partitioning (see the object doc: range bounds are sampled
+    // per physical execution, so a re-executed sort is NOT guaranteed
+    // to reproduce them)
     val sorted = df.repartitionByRange(n, keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("_gid_mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // mid = pid << 33 | local-row-index: both components recoverable
     val pid   = shiftright(col("_gid_mid"), 33)
     val local = col("_gid_mid").bitwiseAND(lit((1L << 33) - 1))
-    // pass 1: |partitions| counts — metadata scale, like the
-    // equi-depth histogram's boundary pass
+    // pass 1 (materializes the persisted sort): |partitions| counts —
+    // metadata scale, like the equi-depth histogram's boundary pass
     val counts = sorted.groupBy(pid.as("_gid_pid"))
       .agg(count(lit(1)).as("_gid_n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
@@ -61,7 +76,7 @@ object Ids {
       .zip(counts.scanLeft(0L)(_ + _._2).init)
     val offsetDf = spark.createDataFrame(offsets.toIndexedSeq)
       .toDF("_gid_pid", "_gid_off")
-    // pass 2: recompute the same sort, attach the offset, project
+    // pass 2: read the SAME materialization, attach the offset, project
     sorted
       .join(broadcast(offsetDf), pid === col("_gid_pid"))
       .withColumn(idName, col("_gid_off") + local + lit(1L))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, lit, max, min, sum}
+import org.apache.spark.sql.functions.{col, lit, max, min, sum, when}
 
 /** Metadata-only aggregates in the PLANNER — the Delta/Iceberg
   * "COUNT(*) answered from the manifest" ergonomics on plain parquet:
@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions.{col, lit, max, min, sum}
   * only when the stats epoch's path set covers EXACTLY the scan's own
   * live file listing (one metadata-scale set comparison — the same
   * listing the scan would use), each path appears once, and every
-  * consulted summary cell is non-NULL (footer-collected stats may
-  * record "unknown" for writer-omitted columns — unknown must scan,
+  * consulted PER-FILE summary cell is proven usable (footer-collected
+  * stats may record NULL = "unknown" for writer-omitted columns; one
+  * unknown cell among known ones would make the null-skipping global
+  * fold silently wrong, so any unknown cell — except a min/max NULL
+  * from a provably all-NULL file — disqualifies: unknown must scan,
   * never guess). Any mismatch, unsupported aggregate shape (DISTINCT,
   * FILTER, grouping keys, untracked column), or interposed Filter
   * leaves the plan untouched — like [[StatsPruneRule]], the metadata
@@ -83,7 +86,9 @@ case class MetaAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val needs: Seq[Option[Need]] = aggExprs.map {
       case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
         fn match {
-          case Count(Seq(Literal(_, _))) => Some(NRows)
+          // COUNT(NULL) is 0, not Σ row_count — a null literal must
+          // not match the COUNT(*) shape (leave it to the scan)
+          case Count(Seq(Literal(v, _))) if v != null => Some(NRows)
           case Count(Seq(a: AttributeReference))
             if entry.statsCols.contains(a.name) => Some(NCount(a.name))
           case Min(a: AttributeReference)
@@ -118,25 +123,46 @@ case class MetaAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case NMax(c) => max(col(s"${c}_max")).as(s"_max_$c")
         case NLit(_) => lit(0).as("_unused") // unreachable (filtered)
       }
+      // PER-FILE honesty proof, computed alongside the answers: footer
+      // stats emit NULL cells for columns a writer omitted ("unknown"),
+      // and sum/min/max silently SKIP nulls — so with a mix of known
+      // and unknown files the global fold would return a plausible,
+      // silently wrong answer. Disqualify the rewrite unless every
+      // consulted cell is provably usable:
+      //   - COUNT(c): every file's c_nulls is non-NULL;
+      //   - MIN/MAX(c): a file may carry NULL min/max ONLY as a
+      //     provable all-NULL file (c_nulls known and == row_count) —
+      //     then skipping it is exactly SQL's null-skipping fold.
+      val countCols = wanted.collect { case NCount(c) => c }.distinct
+      val extremaCols = wanted.collect {
+        case NMin(c) => c; case NMax(c) => c }.distinct
+      val proofs =
+        countCols.map(c => sum(when(col(s"${c}_nulls").isNull, 1L)
+          .otherwise(0L)).as(s"_unknown_nulls_$c")) ++
+        extremaCols.map(c => sum(when(
+          (col(s"${c}_min").isNull || col(s"${c}_max").isNull) &&
+            !(col(s"${c}_nulls").isNotNull &&
+              (col(s"${c}_nulls") === col("row_count"))), 1L)
+          .otherwise(0L)).as(s"_unknown_extrema_$c"))
+      val all = cols ++ proofs
       val row: org.apache.spark.sql.Row =
-        if (cols.isEmpty) org.apache.spark.sql.Row()
-        else stats.agg(cols.head, cols.tail: _*).collect()(0)
+        if (all.isEmpty) org.apache.spark.sql.Row()
+        else stats.agg(all.head, all.tail: _*).collect()(0)
+      val anyUnknownCell = proofs.indices.exists { i =>
+        val v = row.get(cols.length + i)
+        v != null && v.asInstanceOf[Long] != 0L // empty stats: Σ = NULL = 0 bad cells
+      }
+      if (anyUnknownCell) return None
       val byNeed: Map[Need, Any] = wanted.zipWithIndex.map { case (n, i) =>
         val v = row.get(i)
         n match {
           // an empty table's Σ is NULL — COUNT of nothing is 0
           case NRows | NCount(_) => (n: Need) -> (if (v == null) 0L else v)
+          // with the per-file proof above, a NULL min/max here means
+          // every file is provably all-NULL — SQL's honest NULL answer
           case _ => (n: Need) -> v
         }
       }.toMap
-      // a NULL count cell (footer-stats "unknown") must scan, not guess;
-      // NULL min/max is only valid as the honest empty/all-NULL answer —
-      // distinguishable: row_count-Σnulls for that column must be 0
-      val nullCountUnknown = wanted.exists {
-        case c: NCount => byNeed(c) == null
-        case _ => false
-      }
-      if (nullCountUnknown) return None
       val values = needs.zip(aggExprs).map {
         case (Some(NLit(l)), _) => l.value // already catalyst
         case (Some(n), ne) =>
@@ -144,21 +170,6 @@ case class MetaAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
             ne.dataType)(byNeed(n))
         case (None, _) => return None // unreachable
       }
-      // for MIN/MAX the metadata fold is exact only when a NULL result
-      // provably means "no non-NULL value exists": check via the same
-      // stats (Σ row_count − Σ nulls == 0). A NULL min with non-NULL
-      // values present would be footer "unknown" — scan instead.
-      val minMaxUnsound = wanted.exists {
-        case n @ (NMin(_) | NMax(_)) if byNeed(n) == null =>
-          val c = n match { case NMin(x) => x; case NMax(x) => x
-                            case _ => throw new MatchError(n) }
-          val chk = stats.agg(
-            (sum(col("row_count")) - sum(col(s"${c}_nulls"))).as("nn"))
-            .collect()(0)
-          chk.isNullAt(0) || chk.getLong(0) != 0L
-        case _ => false
-      }
-      if (minMaxUnsound) return None
       Some(LocalRelation(agg.output,
         Seq(InternalRow.fromSeq(values)), isStreaming = false))
     } catch {

@@ -43,6 +43,15 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, not, struct, when}
 object VersionedTable {
 
   private val Pointer = "_LATEST"
+  private val TsSidecar = "_graft_commit_ts"
+
+  /** Commit-timestamp clock — injectable so time-travel tests run on a
+    * logical clock ([[graft.util.Clock]], the repo-wide discipline);
+    * production leaves the default. Each epoch is stamped immediately
+    * before its publishing rename, so the stamp commits atomically
+    * with the epoch it describes. */
+  @volatile private[graft] var commitClock: graft.util.Clock =
+    graft.util.SystemClock
 
   private def fs(spark: SparkSession, root: String) =
     new org.apache.hadoop.fs.Path(root)
@@ -133,6 +142,14 @@ object VersionedTable {
     val name = s".stage-${java.util.UUID.randomUUID().toString}"
     df.write.mode("overwrite").parquet(s"$root/$name")
     stage(s"$root/$name")
+    // commit timestamp, stamped last (right before the publishing
+    // rename) so [[versionAtTimestamp]] time travel works with no
+    // out-of-band bookkeeping
+    val f = fs(df.sparkSession, root)
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(s"$root/$name", TsSidecar), true)
+    try out.write(commitClock.nowMs().toString.getBytes("UTF-8"))
+    finally out.close()
     new org.apache.hadoop.fs.Path(root, name)
   }
 
@@ -453,6 +470,59 @@ object VersionedTable {
   /** As-of read of a retained epoch. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
     spark.read.parquet(s"$root/epoch=$version")
+
+  /** Raw commit stamp of one epoch (ms), None for epochs committed
+    * before stamping existed. */
+  def commitTimestamp(spark: SparkSession, root: String,
+                      version: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/epoch=$version", TsSidecar)
+    val f = fs(spark, root)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** (version, effective commit ts) for every retained epoch, in
+    * version order. Effective = RUNNING MAX of the raw stamps: racing
+    * writers stamp before their CAS claim, so raw stamps can be
+    * microscopically out of order vs version numbers — the running
+    * max restores the invariant time travel needs (later version ⇒
+    * not-earlier timestamp; Delta normalizes its log the same way).
+    * Every retained epoch must be stamped — an unstamped (pre-upgrade)
+    * epoch fails fast, naming `versionAsOf` as the fallback. */
+  def commitTimestamps(spark: SparkSession, root: String): Seq[(Long, Long)] = {
+    var running = Long.MinValue
+    versions(spark, root).map { v =>
+      val raw = commitTimestamp(spark, root, v).getOrElse(sys.error(
+        s"epoch $v of $root has no commit timestamp (committed before " +
+          "stamping) — time travel by version (versionAsOf) instead"))
+      running = math.max(running, raw)
+      v -> running
+    }
+  }
+
+  /** Latest version whose effective commit timestamp is <= `tsMs` —
+    * the `timestampAsOf` resolution ("what did the table look like at
+    * time t"). Fails fast when t predates the oldest RETAINED epoch:
+    * either the table didn't exist yet or the epoch that was current
+    * at t has been vacuumed — answering from a newer epoch would be
+    * silently wrong either way. */
+  def versionAtTimestamp(spark: SparkSession, root: String,
+                         tsMs: Long): Long = {
+    val stamped = commitTimestamps(spark, root)
+    require(stamped.nonEmpty, s"versioned table at $root has no committed epoch")
+    val eligible = stamped.filter(_._2 <= tsMs)
+    require(eligible.nonEmpty,
+      s"no retained epoch of $root is as old as $tsMs (oldest retained: " +
+        s"v${stamped.head._1} @ ${stamped.head._2}) — the epoch current " +
+        "at that time was vacuumed, or the table did not exist yet")
+    eligible.last._1
+  }
 
   /** All committed-or-orphaned epoch numbers present on disk. */
   def versions(spark: SparkSession, root: String): Seq[Long] =

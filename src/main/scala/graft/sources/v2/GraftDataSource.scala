@@ -56,12 +56,28 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
+  /** inferSchema → getTable handoff: Spark calls the two back-to-back
+    * on the same thread during source resolution, with no channel to
+    * carry state between them. Without one, each call would re-read
+    * `latestVersion` independently, and a commit landing between them
+    * would pair one epoch's inferred schema with a DIFFERENT epoch's
+    * data — a torn resolution the documented snapshot-isolation
+    * property forbids. inferSchema records the version it resolved,
+    * keyed by root; getTable consumes it (once) for the same root. */
+  private val resolvedAt: ThreadLocal[Option[(String, Long)]] =
+    ThreadLocal.withInitial(() => None)
+
   private def resolve(options: CaseInsensitiveStringMap): (SparkSession, String, Long) = {
     val spark = SparkSession.active
     val root = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft source requires a path: spark.read.format(\"graft\").load(root)"))
+    require(options.get("versionAsOf") == null ||
+      options.get("timestampAsOf") == null,
+      "give versionAsOf or timestampAsOf, not both")
     val version = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(GraftTimeTravel.resolveTimestampAsOf(spark, root, options))
+      .orElse(resolvedAt.get().collect { case (r, v) if r == root => v })
       .getOrElse(graft.sinks.VersionedTable.latestVersion(spark, root))
     require(version >= 0, s"versioned table at $root has no committed epoch")
     require(graft.sinks.VersionedTable.versions(spark, root).contains(version),
@@ -72,6 +88,7 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (spark, root, v) = resolve(options)
+    resolvedAt.set(Some((root, v)))
     spark.read.parquet(s"$root/epoch=$v").schema
   }
 
@@ -79,8 +96,32 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
                         properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val (spark, root, v) = resolve(options)
+    resolvedAt.remove()
     new GraftTable(spark, root, v, schema)
   }
+}
+
+/** `timestampAsOf` reader-option support: accepts epoch milliseconds
+  * or an ISO-8601 instant and resolves to the latest retained epoch
+  * whose (monotone-normalized) commit stamp is <= t — see
+  * [[graft.sinks.VersionedTable.versionAtTimestamp]] for the contract
+  * (fail-fast on vacuumed history, running-max stamp normalization). */
+private[graft] object GraftTimeTravel {
+
+  def parseTs(s: String): Long =
+    try s.trim.toLong
+    catch {
+      case _: NumberFormatException =>
+        java.time.Instant.parse(s.trim).toEpochMilli
+    }
+
+  def resolveTimestampAsOf(spark: SparkSession, root: String,
+                           options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("timestampAsOf")).map { s =>
+      require(options.get("versionAsOf") == null,
+        "give versionAsOf or timestampAsOf, not both")
+      graft.sinks.VersionedTable.versionAtTimestamp(spark, root, parseTs(s))
+    }
 }
 
 /** One resolved epoch of a versioned table (immutable snapshot). */

@@ -2490,8 +2490,8 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(String, Seq[String])].collect().toMap
     assert(repVocab("aaaa") == Seq("aa", "aa"))
     assert(repVocab("aaa") == Seq("aa", "a"))
-    // encode: tokens flatten in word order; unseen words fall back to
-    // characters
+    // encode: tokens flatten in word order; "zz" is unseen and no
+    // learned merge applies, so it stays characters
     val enc = Bpe.encode(
       Seq((7L, "low lowest zz")).toDF("doc_id", "text"),
       "doc_id", "text", model)
@@ -2500,6 +2500,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(enc.length == 1)
     assert(enc(0)._2 == Seq("low", "lowe", "s", "t", "z", "z"))
     assert(enc(0)._3 == 6)
+    // unseen words get the RANKED MERGES applied (standard BPE greedy
+    // application), not a raw character fallback: "lowlow" never
+    // appeared in training, but under the learned rules
+    // (l,o)(lo,w)(low,e)(lowe,r) it must fuse to [low, low] — the raw
+    // fallback would have left 6 characters
+    val encUnseen = Bpe.encode(
+      Seq((8L, "lowlow lowering")).toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .select(col("tokens")).as[Seq[String]].head()
+    assert(encUnseen == Seq("low", "low", "lower", "i", "n", "g"),
+      s"unseen words must encode through the ranked merges, got $encUnseen")
+    // totality: zero-word and NULL texts surface with tokens = [],
+    // never dropped (posexplode of an empty array yields no rows)
+    val total = Bpe.encode(
+      Seq((1L, "low"), (2L, "   "), (3L, null))
+        .toDF("doc_id", "text"), "doc_id", "text", model)
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("tokens"), col("n_tokens"))
+      .as[(Long, Seq[String], Int)].collect().toSeq
+    assert(total.map(_._1) == Seq(1L, 2L, 3L), "encode must be total")
+    assert(total(1)._2.isEmpty && total(1)._3 == 0)
+    assert(total(2)._2.isEmpty && total(2)._3 == 0)
     // early stop: every word fused to a single symbol ends the loop
     val tiny = Bpe.learn(Seq((1L, "ab ab")).toDF("doc_id", "text"),
       "text", numMerges = 10)
@@ -2799,6 +2821,34 @@ class OperatorsSpec extends AnyFunSuite {
     val again = Ids.withSequentialIds(df.repartition(7), Seq("doc_id"),
       "seq_id", numPartitions = 3)
     assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+    // PARTIAL-SAMPLE regime: with rows-per-partition far above the
+    // range sampler's reservoir (spark.sql.execution.rangeExchange.
+    // sampleSizePerPartition = 100 by default), two independent
+    // executions of the same range sort may draw different bounds —
+    // the r8 bug class (offsets from one execution applied to the
+    // other's partitions → duplicate/missing ids). The single
+    // materialization must keep ids exactly dense no matter what the
+    // sampler drew, including under a re-materialization of the result.
+    val big = spark.range(20000)
+      .select(pmod(col("id") * 2654435761L, lit(20011L)).as("k"),
+        col("id"))
+      .repartition(4)
+    val bigIds = Ids.withSequentialIds(big, Seq("k", "id"), "seq_id",
+      numPartitions = 8)
+    def denseCheck(): Unit = {
+      val seq = bigIds.orderBy(col("seq_id"))
+        .select(col("seq_id")).as[Long].collect()
+      assert(seq.length == 20000 && seq.head == 1L && seq.last == 20000L &&
+        seq.distinct.length == 20000,
+        "ids must be exactly dense 1..n under partial range sampling")
+    }
+    denseCheck()
+    denseCheck() // second materialization: same physical partitioning
+    // and order agreement with the window form on the full key
+    val wb = org.apache.spark.sql.expressions.Window
+      .orderBy(col("k"), col("id"))
+    val wantBig = big.withColumn("seq_id", row_number().over(wb).cast("long"))
+    assert(bigIds.exceptAll(wantBig).isEmpty && wantBig.exceptAll(bigIds).isEmpty)
   }
 
   test("table summary from stats epoch: exact count/extrema/nulls with zero data reads") {

@@ -704,6 +704,53 @@ class PlanSpec extends AnyFunSuite {
       val untracked = spark.read.parquet(lay).agg(min(col("lang")).as("m"))
       assert(untracked.queryExecution.executedPlan.toString.contains("FileScan"),
         "untracked column must not use the metadata path")
+      // COUNT(NULL) is 0, never Σ row_count — the null literal must not
+      // match the COUNT(*) shape (Spark folds it to 0 itself; the
+      // guard is that OUR rewrite doesn't beat it with the row count)
+      val cnull = spark.read.parquet(lay)
+        .agg(count(lit(null)).as("n"))
+      assert(cnull.collect()(0).getLong(0) == 0L,
+        "COUNT(null literal) must not rewrite to the row-count sum")
+      // PARTIAL-UNKNOWN stats: one file's cells recorded as NULL
+      // (footer stats a writer omitted) among known files. The global
+      // null-skipping fold would return a plausible wrong answer, so
+      // any consulted unknown cell must force a scan; aggregates that
+      // consult only row_count may still answer from metadata.
+      val poisoned = sources.FileStats.collect(spark, lay, Seq("doc_id"))
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("path"))))
+        .withColumn("doc_id_nulls",
+          when(col("_rn") === 1, lit(null).cast("long"))
+            .otherwise(col("doc_id_nulls")))
+        .withColumn("doc_id_min",
+          when(col("_rn") === 1, lit(null).cast("long"))
+            .otherwise(col("doc_id_min")))
+        .withColumn("doc_id_max",
+          when(col("_rn") === 1, lit(null).cast("long"))
+            .otherwise(col("doc_id_max")))
+        .drop("_rn")
+      sources.FileStats.commitStatsFull(poisoned, statsRoot)
+      val unknownCnt = spark.read.parquet(lay)
+        .agg(count(col("doc_id")).as("nn"))
+      assert(unknownCnt.queryExecution.executedPlan.toString.contains("FileScan"),
+        "a NULL null-count cell among known cells must force a scan")
+      assert(unknownCnt.collect()(0).getLong(0) ==
+        docs.filter(col("doc_id").isNotNull).count())
+      val unknownMin = spark.read.parquet(lay)
+        .agg(min(col("doc_id")).as("lo"))
+      assert(unknownMin.queryExecution.executedPlan.toString.contains("FileScan"),
+        "a NULL min cell without an all-NULL proof must force a scan")
+      assert(unknownMin.collect()(0).getLong(0) ==
+        docs.agg(min(col("doc_id"))).collect()(0).getLong(0))
+      val rowsOnly = spark.read.parquet(lay).agg(count(lit(1)).as("n"))
+      val rowsPhys = rowsOnly.queryExecution.executedPlan.toString
+      assert(rowsPhys.contains("LocalTableScan") && !rowsPhys.contains("FileScan"),
+        "COUNT(*) consults only exact row counts — unknown cells in " +
+          "other columns must not disqualify it")
+      assert(rowsOnly.collect()(0).getLong(0) == docs.count())
+      // restore exact stats for the staleness case below
+      sources.FileStats.commitStatsFull(
+        sources.FileStats.collect(spark, lay, Seq("doc_id")), statsRoot)
       // staleness: rewrite the layout (different rows, fresh names)
       // WITHOUT refreshing stats — coverage proof fails, the scan runs,
       // and the answer reflects the LIVE data, not the stale epoch

@@ -900,4 +900,54 @@ class SinksSpec extends AnyFunSuite {
     assert(probe.select("doc_id").as[Long].collect().toSet ==
       Set(lo, lo + 1))
   }
+
+  test("time travel by timestamp: epochs stamped at commit, timestampAsOf resolves <= t, vacuumed history fails fast") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ts-travel").toString + "/t"
+    val clock = new util.LogicalClock(1000L)
+    val prev = sinks.VersionedTable.commitClock
+    sinks.VersionedTable.commitClock = clock
+    try {
+      // three commits at t=1000, 5000, 9000 (logical clock — the
+      // repo-wide no-wall-clock discipline)
+      sinks.VersionedTable.write(Seq(1L).toDF("v"), root)
+      clock.advance(4000L)
+      sinks.VersionedTable.write(Seq(1L, 2L).toDF("v"), root)
+      clock.advance(4000L)
+      sinks.VersionedTable.write(Seq(1L, 2L, 3L).toDF("v"), root)
+      assert(sinks.VersionedTable.commitTimestamps(spark, root) ==
+        Seq(0L -> 1000L, 1L -> 5000L, 2L -> 9000L))
+      // exact stamps and between-stamps both resolve to "latest <= t"
+      def rowsAt(ts: Long): Set[Long] =
+        spark.read.format("graft").option("timestampAsOf", ts)
+          .load(root).as[Long].collect().toSet
+      assert(rowsAt(1000L) == Set(1L))
+      assert(rowsAt(4999L) == Set(1L))
+      assert(rowsAt(5000L) == Set(1L, 2L))
+      assert(rowsAt(123456L) == Set(1L, 2L, 3L), "future t reads current")
+      // ISO-8601 form accepted
+      val iso = java.time.Instant.ofEpochMilli(5000L).toString
+      assert(spark.read.format("graft").option("timestampAsOf", iso)
+        .load(root).as[Long].collect().toSet == Set(1L, 2L))
+      // t before the table existed fails fast
+      val early = intercept[IllegalArgumentException] {
+        spark.read.format("graft").option("timestampAsOf", 999L).load(root)
+      }
+      assert(early.getMessage.contains("as old as"))
+      // both travel options together is a contract error
+      val both = intercept[IllegalArgumentException] {
+        spark.read.format("graft").option("timestampAsOf", 5000L)
+          .option("versionAsOf", 1).load(root)
+      }
+      assert(both.getMessage.contains("not both"))
+      // vacuum drops epoch 0 — its timestamp range now fails fast
+      // instead of silently answering from a newer epoch
+      sinks.VersionedTable.vacuum(spark, root, keep = 2)
+      val gone = intercept[IllegalArgumentException] {
+        spark.read.format("graft").option("timestampAsOf", 1000L).load(root)
+      }
+      assert(gone.getMessage.contains("as old as"))
+      assert(rowsAt(5000L) == Set(1L, 2L), "retained history still resolves")
+    } finally sinks.VersionedTable.commitClock = prev
+  }
 }
