@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
@@ -148,6 +148,97 @@ object StatsPruneRule extends org.apache.spark.internal.Logging {
   private def scalaLit(l: Literal): Column =
     lit(CatalystTypeConverters.convertToScala(l.value, l.dataType))
 
+  /** Column reference by name, resolved or not: planner callers hand
+    * this engine RESOLVED predicates (AttributeReference), while
+    * [[graft.sinks.ManifestTable.deleteWhere]] hands it a user
+    * Column's UNANALYZED expression (UnresolvedAttribute) — both must
+    * yield their proofs. */
+  private object Attr {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(u.name)
+      case _ => None
+    }
+  }
+
+  /** Per-column closed bounds (lo, hi) merged from `cond`'s conjuncts
+    * (strict bounds relax to closed — sound, marginally less tight),
+    * plus the equality probe keys for `bloomKey`'s column. */
+  private def extractBounds(cond: Expression, bloomKey: Option[String])
+      : (Map[String, Column], Map[String, Column], List[Column]) = {
+    val lows = scala.collection.mutable.Map.empty[String, List[Column]]
+    val highs = scala.collection.mutable.Map.empty[String, List[Column]]
+    var keys = List.empty[Column]
+    def addLo(c: String, v: Column): Unit =
+      lows(c) = v :: lows.getOrElse(c, Nil)
+    def addHi(c: String, v: Column): Unit =
+      highs(c) = v :: highs.getOrElse(c, Nil)
+    conjuncts(cond).foreach {
+      case EqualTo(Attr(a), v: Literal) =>
+        addLo(a, scalaLit(v)); addHi(a, scalaLit(v))
+        if (bloomKey.contains(a)) keys ::= scalaLit(v)
+      case EqualTo(v: Literal, Attr(a)) =>
+        addLo(a, scalaLit(v)); addHi(a, scalaLit(v))
+        if (bloomKey.contains(a)) keys ::= scalaLit(v)
+      case GreaterThan(Attr(a), v: Literal) => addLo(a, scalaLit(v))
+      case GreaterThanOrEqual(Attr(a), v: Literal) => addLo(a, scalaLit(v))
+      case LessThan(Attr(a), v: Literal) => addHi(a, scalaLit(v))
+      case LessThanOrEqual(Attr(a), v: Literal) => addHi(a, scalaLit(v))
+      case GreaterThan(v: Literal, Attr(a)) => addHi(a, scalaLit(v))
+      case GreaterThanOrEqual(v: Literal, Attr(a)) => addHi(a, scalaLit(v))
+      case LessThan(v: Literal, Attr(a)) => addLo(a, scalaLit(v))
+      case LessThanOrEqual(v: Literal, Attr(a)) => addLo(a, scalaLit(v))
+      case In(Attr(a), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        if (bloomKey.contains(a))
+          keys :::= vs.map(v => scalaLit(v.asInstanceOf[Literal])).toList
+      case InSet(ar: AttributeReference, vs) => // post-optimizer shape only
+        if (bloomKey.contains(ar.name))
+          keys :::= vs.toList.map(v => lit(
+            CatalystTypeConverters.convertToScala(v, ar.dataType)))
+      case _ => () // unsupported conjunct: contributes no proof
+    }
+    (lows.view.mapValues(_.reduce((x, y) =>
+        org.apache.spark.sql.functions.greatest(x, y))).toMap,
+      highs.view.mapValues(_.reduce((x, y) =>
+        org.apache.spark.sql.functions.least(x, y))).toMap,
+      keys)
+  }
+
+  /** Envelope proofs against an EXPLICIT stats frame (FileStats shape:
+    * path, row_count, c_min/c_max/c_nulls per tracked column) —
+    * canonical paths of files the envelopes PROVE cannot match `cond`.
+    * Shared by the planner rule, the DSv2 listing, and
+    * [[graft.sinks.ManifestTable]]'s file-granular row-level ops
+    * (whose manifest rows are themselves this shape). Throws on
+    * schema drift — callers decide whether a failed proof degrades
+    * (pruning: keep everything) or aborts. */
+  private[graft] def excludedByEnvelopes(spark: SparkSession,
+                                         cond: Expression,
+                                         stats: DataFrame,
+                                         statsCols: Seq[String]): Set[String] = {
+    val (lows, highs, _) = extractBounds(cond, None)
+    val ranges = statsCols.flatMap { c =>
+      val lo = lows.get(c)
+      val hi = highs.get(c)
+      if (lo.isEmpty && hi.isEmpty) None
+      // an open side becomes a NULL bound (NullType coerces to the
+      // envelope's type): its comparison is unknown, and
+      // candidateFilesAll's explicit `<=> true` proofs treat
+      // unknown as "keep" — an open bound prunes nothing, soundly
+      else Some((c, lo.getOrElse(lit(null)), hi.getOrElse(lit(null))))
+    }
+    if (ranges.isEmpty) Set.empty
+    else {
+      val all = stats.select("path").collect()
+        .map(r => GraftTables.canon(r.getString(0))).toSet
+      val kept = graft.sources.FileStats
+        .candidateFilesAll(stats, ranges)
+        .collect().map(r => GraftTables.canon(r.getString(0))).toSet
+      all -- kept
+    }
+  }
+
   /** Canonical paths of files the metadata PROVES cannot match
     * `cond`. Any failure (mis-registered roots, schema drift) logs
     * and excludes nothing — pruning is an optimization, never a
@@ -156,67 +247,15 @@ object StatsPruneRule extends org.apache.spark.internal.Logging {
                                       entry: GraftTables.Entry): Set[String] = {
     StatsPruneRule.inMetadataQuery.set(true)
     try {
-      // per-column closed bounds from the conjuncts (strict bounds
-      // relax to closed — sound, marginally less tight) and equality
-      // probe keys for the bloom column
-      val lows = scala.collection.mutable.Map.empty[String, List[Column]]
-      val highs = scala.collection.mutable.Map.empty[String, List[Column]]
-      var keys = List.empty[Column]
-      def addLo(c: String, v: Column): Unit =
-        lows(c) = v :: lows.getOrElse(c, Nil)
-      def addHi(c: String, v: Column): Unit =
-        highs(c) = v :: highs.getOrElse(c, Nil)
-      conjuncts(cond).foreach {
-        case EqualTo(a: AttributeReference, v: Literal) =>
-          addLo(a.name, scalaLit(v)); addHi(a.name, scalaLit(v))
-          if (entry.bloomKey.contains(a.name)) keys ::= scalaLit(v)
-        case EqualTo(v: Literal, a: AttributeReference) =>
-          addLo(a.name, scalaLit(v)); addHi(a.name, scalaLit(v))
-          if (entry.bloomKey.contains(a.name)) keys ::= scalaLit(v)
-        case GreaterThan(a: AttributeReference, v: Literal) => addLo(a.name, scalaLit(v))
-        case GreaterThanOrEqual(a: AttributeReference, v: Literal) => addLo(a.name, scalaLit(v))
-        case LessThan(a: AttributeReference, v: Literal) => addHi(a.name, scalaLit(v))
-        case LessThanOrEqual(a: AttributeReference, v: Literal) => addHi(a.name, scalaLit(v))
-        case GreaterThan(v: Literal, a: AttributeReference) => addHi(a.name, scalaLit(v))
-        case GreaterThanOrEqual(v: Literal, a: AttributeReference) => addHi(a.name, scalaLit(v))
-        case LessThan(v: Literal, a: AttributeReference) => addLo(a.name, scalaLit(v))
-        case LessThanOrEqual(v: Literal, a: AttributeReference) => addLo(a.name, scalaLit(v))
-        case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-          if (entry.bloomKey.contains(a.name))
-            keys :::= vs.map(v => scalaLit(v.asInstanceOf[Literal])).toList
-        case InSet(a: AttributeReference, vs) =>
-          if (entry.bloomKey.contains(a.name))
-            keys :::= vs.toList.map(v => lit(
-              CatalystTypeConverters.convertToScala(v, a.dataType)))
-        case _ => () // unsupported conjunct: contributes no proof
-      }
       var excluded = Set.empty[String]
       // stats-envelope proofs: stats-covered files NOT in the sound
       // candidate set provably miss the range conjunction
       for (root <- entry.statsRoot) {
-        val ranges = entry.statsCols.flatMap { c =>
-          val lo = lows.get(c).map(_.reduce(
-            (x, y) => org.apache.spark.sql.functions.greatest(x, y)))
-          val hi = highs.get(c).map(_.reduce(
-            (x, y) => org.apache.spark.sql.functions.least(x, y)))
-          if (lo.isEmpty && hi.isEmpty) None
-          // an open side becomes a NULL bound (NullType coerces to the
-          // envelope's type): its comparison is unknown, and
-          // candidateFilesAll's explicit `<=> true` proofs treat
-          // unknown as "keep" — an open bound prunes nothing, soundly
-          else Some((c, lo.getOrElse(lit(null)), hi.getOrElse(lit(null))))
-        }
-        if (ranges.nonEmpty) {
-          val stats = graft.sources.FileStats.readStats(spark, root)
-          val all = stats.select("path").collect()
-            .map(r => GraftTables.canon(r.getString(0))).toSet
-          val kept = graft.sources.FileStats
-            .candidateFilesAll(stats, ranges)
-            .collect().map(r => GraftTables.canon(r.getString(0))).toSet
-          excluded ++= all -- kept
-        }
+        excluded ++= excludedByEnvelopes(spark, cond,
+          graft.sources.FileStats.readStats(spark, root), entry.statsCols)
       }
       // bloom proofs: indexed files whose bloom denies EVERY probe key
+      val (_, _, keys) = extractBounds(cond, entry.bloomKey)
       for (root <- entry.bloomRoot if keys.nonEmpty) {
         val idx = graft.sources.FileBloomIndex.read(spark, root)
         val all = idx.select("path").collect()

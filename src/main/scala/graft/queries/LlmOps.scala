@@ -768,47 +768,62 @@ object LlmOps extends QueryModule {
   def qCorpusPrepRt(spark: SparkSession, dir: String): DataFrame =
     corpusPrepRoundTrip(spark, dir, graft.util.Scratch.dir("corpus_prep"))
 
-  /** Row-level MERGE + DELETE through [[graft.sinks.VersionedTable]],
-    * end-to-end on disk: seed an epoch with most of the corpus, upsert
-    * a correction batch (text prefixed — ids ≡ 2 mod 5; the ids also
-    * ≡ 7 mod 10 are absent from the seed, so the batch exercises BOTH
-    * merge arms: matched-update and not-matched-insert), then DELETE a
-    * key slice. The final epoch is read back from disk — the gate
-    * proves the upsert/delete fold, not a DataFrame simulation of it.
-    * Oracle: the equivalent anti-join ∪ updates, minus deletes. */
+  /** Row-level MERGE + DELETE through [[graft.sinks.ManifestTable]]
+    * (the FILE-GRANULAR copy-on-write path: epochs are manifests,
+    * untouched files carry by reference, and the merge rewrites only
+    * the files whose key envelopes intersect the batch), end-to-end
+    * on disk: seed a key-clustered table with most of the corpus,
+    * upsert a correction batch (text prefixed — ids ≡ 2 mod 5; the
+    * ids also ≡ 7 mod 10 are absent from the seed, so the batch
+    * exercises BOTH merge arms: matched-update and not-matched-
+    * insert), then DELETE a key slice (modular predicate — no range
+    * proof, so it honestly rewrites all files). The final version is
+    * read back from disk — the gate proves the manifest-path fold,
+    * not a DataFrame simulation of it. Oracle: the equivalent
+    * anti-join ∪ updates, minus deletes. */
   def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.util.Scratch.dir("vt_merge")
+    val root = graft.util.Scratch.freshDir("mt_merge")
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
-    graft.sinks.VersionedTable.write(
-      d.filter(col("doc_id") % 10 =!= 7), root)
-    graft.sinks.VersionedTable.merge(
+    graft.sinks.ManifestTable.create(
+      d.filter(col("doc_id") % 10 =!= 7)
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    graft.sinks.ManifestTable.merge(
       d.filter(col("doc_id") % 5 === 2)
         .withColumn("text", concat(lit("UPDATED: "), col("text"))),
       root, Seq("doc_id"))
-    graft.sinks.VersionedTable.deleteWhere(spark, root,
+    graft.sinks.ManifestTable.deleteWhere(spark, root,
       col("doc_id") % 10 === 4)
-    graft.sinks.VersionedTable.read(spark, root)
+    graft.sinks.ManifestTable.read(spark, root)
       .select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("text_len"),
         substring(col("text"), 1, 12).as("head"))
       .orderBy(col("doc_id"))
   }
 
-  /** CDC fold ([[graft.sinks.VersionedTable.applyCdc]]): a two-batch
-    * change stream — updates, inserts of brand-new keys, deletes, a
-    * same-batch update-then-delete (nets to absent) and
-    * delete-then-update (resurrects) — folded into the versioned table
-    * batch by batch; the oracle replays the SAME stream as one
+  /** CDC fold through the FILE-GRANULAR manifest path
+    * ([[graft.sinks.ManifestTable.applyCdc]] — only files whose key
+    * envelopes intersect the batch are rewritten; the insert keys at
+    * doc_id+1e6 fall outside every envelope, so they land as pure new
+    * files): a two-batch change stream — updates, inserts of
+    * brand-new keys, deletes, a same-batch update-then-delete (nets
+    * to absent) and delete-then-update (resurrects) — folded batch by
+    * batch; the oracle replays the SAME stream as one
     * window-collapsed MERGE, pinning the sequential-fold ==
     * one-shot-union equivalence on real data. Seqs are derived from
     * doc_id so batch 2 always outranks batch 1 on shared keys — the
     * in-order-delivery contract a CDC consumer has anyway. */
   def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.util.Scratch.dir("vt_cdc")
+    val root = graft.util.Scratch.freshDir("mt_cdc")
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
-    graft.sinks.VersionedTable.write(d.filter(col("doc_id") % 10 =!= 9), root)
+    graft.sinks.ManifestTable.create(
+      d.filter(col("doc_id") % 10 =!= 9)
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
     def ch(rows: DataFrame, op: String, seqOff: Int, prefix: String) =
       rows.select(col("doc_id"), col("lang"),
         (if (prefix.isEmpty) col("text")
@@ -826,9 +841,9 @@ object LlmOps extends QueryModule {
       .unionByName(d.filter(col("doc_id") % 34 === 5).select(
         (col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"),
         lit("D").as("op"), (col("doc_id") * 10 + 5).as("seq")))
-    graft.sinks.VersionedTable.applyCdc(batch1, root, Seq("doc_id"))
-    graft.sinks.VersionedTable.applyCdc(batch2, root, Seq("doc_id"))
-    graft.sinks.VersionedTable.read(spark, root)
+    graft.sinks.ManifestTable.applyCdc(batch1, root, Seq("doc_id"))
+    graft.sinks.ManifestTable.applyCdc(batch2, root, Seq("doc_id"))
+    graft.sinks.ManifestTable.read(spark, root)
       .select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("text_len"),
         substring(col("text"), 1, 12).as("head"))

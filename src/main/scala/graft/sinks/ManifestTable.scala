@@ -1,0 +1,401 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Manifest-based table format — epochs as FILE LISTS, not physical
+  * copies. [[VersionedTable]] commits every epoch as a full `epoch=N`
+  * directory: simple and right for metadata-scale tables (stats,
+  * offsets, indexes), but at 100 TB a 1-row delete would copy 100 TB.
+  * This table commits an epoch as a MANIFEST — a tiny parquet of
+  * (path, size, row_count, per-tracked-column min/max/null-count) —
+  * so untouched data files carry forward BY REFERENCE and row-level
+  * operations rewrite only the files their keys can possibly touch:
+  * the Delta/Iceberg copy-on-write grain.
+  *
+  * Layout under `root/`:
+  *   - `data/<uuid>/part-*.parquet` — immutable data files; each
+  *     commit lands its new files under a fresh uuid directory. A
+  *     data file is INVISIBLE until some manifest references it, so
+  *     landing is not a commit and a crashed writer leaks at worst an
+  *     unreferenced directory ([[vacuum]] sweeps it by TTL).
+  *   - `_manifests/` — a [[VersionedTable]] whose epoch N IS this
+  *     table's version N. All commit machinery is inherited: CAS
+  *     rename claims, serializable read-modify-write via
+  *     `tryCommitAs`, pointer cache, commit timestamps
+  *     ([[VersionedTable.versionAtTimestamp]] works verbatim), vacuum
+  *     of old manifests. The table schema rides as a JSON sidecar
+  *     inside each manifest epoch (atomic with it), so empty tables
+  *     and column order survive.
+  *
+  * The manifest rows are deliberately the [[graft.sources.FileStats]]
+  * shape: the stats ARE the manifest, one commit, never out of sync
+  * with the file list — the coverage-proof dance the external stats
+  * epochs need ([[graft.plans.MetaAggRule]]) is structural here. The
+  * same envelope-proof engine
+  * ([[graft.plans.StatsPruneRule.excludedByEnvelopes]]) that prunes
+  * reads decides which files a MERGE/DELETE/CDC batch must rewrite.
+  *
+  * Scale shape per operation (T = table files, B = batch, K = files
+  * whose tracked-column envelopes intersect the batch's keys):
+  *   - [[write]] (append): lands B, commits manifest ∪ B — cost ∝ B.
+  *   - [[merge]] / [[applyCdc]]: ONE metadata-scale envelope join to
+  *     find K, one scan+rewrite of K ∪ B, manifest swap — cost ∝
+  *     K + B, never T. On a key-clustered layout ([[optimize]] with
+  *     the key as sort column) K ≈ touched keys / keys-per-file; on a
+  *     random layout K degrades toward T honestly.
+  *   - [[deleteWhere]]: envelope proofs over the predicate select K;
+  *     non-range predicates degrade to K = T (documented, sound).
+  *   - [[vacuum]]: refcount-aware — a data file is deleted only when
+  *     NO retained manifest references it (and it is older than the
+  *     staging TTL, so a concurrent writer's just-landed files are
+  *     never swept).
+  *
+  * Track your merge/delete columns: `statsCols` (fixed at [[create]])
+  * should contain the row-level keys and the hot query dimensions —
+  * untracked columns have no envelopes, so they can't narrow K and
+  * can't prune reads.
+  */
+object ManifestTable {
+
+  private val ManifestsSub = "_manifests"
+  private val SchemaSidecar = "_graft_schema.json"
+
+  private[graft] def manifestsRoot(root: String): String = s"$root/$ManifestsSub"
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def canon(p: String): String = new Path(p).toUri.getPath
+
+  /** Whether `root` holds a manifest table (vs a plain directory or a
+    * [[VersionedTable]]). */
+  def exists(spark: SparkSession, root: String): Boolean =
+    VersionedTable.latestVersion(spark, manifestsRoot(root)) >= 0
+
+  def latestVersion(spark: SparkSession, root: String): Long =
+    VersionedTable.latestVersion(spark, manifestsRoot(root))
+
+  def versions(spark: SparkSession, root: String): Seq[Long] =
+    VersionedTable.versions(spark, manifestsRoot(root))
+
+  def versionAtTimestamp(spark: SparkSession, root: String, tsMs: Long): Long =
+    VersionedTable.versionAtTimestamp(spark, manifestsRoot(root), tsMs)
+
+  /** The manifest of one version: (path, size, row_count, stats…). */
+  def manifest(spark: SparkSession, root: String, version: Long): DataFrame =
+    VersionedTable.readVersion(spark, manifestsRoot(root), version)
+
+  /** Tracked stats columns, read off the manifest's own schema. */
+  def statsCols(spark: SparkSession, root: String, version: Long): Seq[String] =
+    manifest(spark, root, version).schema.fieldNames.toSeq
+      .filter(_.endsWith("_min")).map(_.stripSuffix("_min"))
+
+  /** The table schema committed with `version`'s manifest. */
+  def tableSchema(spark: SparkSession, root: String, version: Long): StructType = {
+    val p = new Path(s"${manifestsRoot(root)}/epoch=$version", SchemaSidecar)
+    val f = fs(spark, root)
+    require(f.exists(p),
+      s"manifest epoch $version of $root has no schema sidecar")
+    val in = f.open(p)
+    val json = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[StructType]
+  }
+
+  /** Data-file paths of one version (driver-side: |files| strings —
+    * metadata scale, the same bound every manifest read has). */
+  def filesAt(spark: SparkSession, root: String, version: Long): Seq[String] =
+    manifest(spark, root, version).select(col("path"))
+      .collect().map(_.getString(0)).sorted.toSeq
+
+  /** Read one version: the manifest's files, with the committed
+    * schema. An empty manifest reads as an empty frame. */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val schema = tableSchema(spark, root, version)
+    val paths = filesAt(spark, root, version)
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  /** Read the current version. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(spark, root)
+    require(v >= 0, s"manifest table at $root has no committed version")
+    readVersion(spark, root, v)
+  }
+
+  // ---------------------------------------------------------------- commits
+
+  /** Land `df`'s rows as fresh immutable data files and return their
+    * manifest rows (path, size, row_count, envelopes). Not a commit:
+    * the files are invisible until a manifest referencing them wins
+    * the CAS. */
+  private def landFiles(df: DataFrame, root: String,
+                        stats: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val dir = s"$root/data/${java.util.UUID.randomUUID().toString}"
+    df.write.parquet(dir)
+    val sizes = graft.sources.FileManifest.listFiles(spark, dir)
+      .select(col("path"), col("size"))
+    val collected =
+      if (stats.isEmpty)
+        spark.read.parquet(dir).groupBy(input_file_name().as("path"))
+          .agg(count(lit(1)).as("row_count"))
+      else graft.sources.FileStats.collect(spark, dir, stats)
+    // canonical path identity on both sides (listFiles emits
+    // toUri.getPath; input_file_name emits a scheme'd URI); zero-row
+    // write partitions produce no stats group, so the inner join is
+    // also the empty-file filter — such files stay on disk,
+    // unreferenced, until vacuum's TTL sweep
+    val withCanon = collected.withColumn("path",
+      regexp_replace(col("path"), "^[a-zA-Z0-9+.-]+:/+", "/"))
+    sizes.join(withCanon, Seq("path"))
+  }
+
+  /** Schema sidecar writer for a manifest epoch's staging hook. */
+  private def stageSchema(spark: SparkSession, root: String,
+                          schema: StructType)(dir: String): Unit = {
+    val f = fs(spark, root)
+    val out = f.create(new Path(dir, SchemaSidecar), true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Create the table with its first rows and the FIXED set of
+    * tracked stats columns. Fails if the table already exists. */
+  def create(df: DataFrame, root: String, statsCols: Seq[String]): Long = {
+    val spark = df.sparkSession
+    require(!exists(spark, root), s"manifest table at $root already exists")
+    statsCols.foreach(c => require(df.columns.contains(c),
+      s"stats column $c is not a table column"))
+    val rows = landFiles(df, root, statsCols)
+    VersionedTable.writeStaged(rows, manifestsRoot(root))(
+      stageSchema(spark, root, df.schema))
+  }
+
+  /** Append commit: land the batch, commit current-manifest ∪ batch.
+    * Racing appends serialize through the manifest CAS — both batches
+    * survive (the rewrite loop unions against whatever base won). */
+  def write(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val v = latestVersion(spark, root)
+    require(v >= 0, s"manifest table at $root does not exist — create() first")
+    val schema = tableSchema(spark, root, v)
+    require(df.columns.sorted.sameElements(schema.fieldNames.sorted),
+      s"append schema ${df.columns.sorted.mkString(",")} != table " +
+        s"schema ${schema.fieldNames.sorted.mkString(",")}")
+    val rows = landFiles(df.select(schema.fieldNames.map(col).toSeq: _*),
+      root, statsCols(spark, root, v))
+    commitLoop(spark, root) { base =>
+      manifest(spark, root, base).unionByName(rows)
+    }
+  }
+
+  /** Optimistic manifest-swap loop — the [[VersionedTable]] rewrite
+    * loop over manifests: compute the next manifest AGAINST a pinned
+    * base version, commit only as base+1; on conflict recompute. The
+    * schema sidecar re-stages each attempt. */
+  private def commitLoop(spark: SparkSession, root: String,
+                         maxAttempts: Int = 12)
+                        (next: Long => DataFrame): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(spark, root)
+      require(base >= 0, s"manifest table at $root has no committed version")
+      val schema = tableSchema(spark, root, base)
+      VersionedTable.tryCommitAs(next(base), manifestsRoot(root), base,
+        stageSchema(spark, root, schema)) match {
+        case Some(v) => return v
+        case None    => attempt += 1
+      }
+    }
+    sys.error(s"manifest table at $root: commit lost the race " +
+      s"$maxAttempts times — serialize the writers or shard the table")
+  }
+
+  /** Data-file paths of `base` that the batch keys can possibly touch
+    * — exclusion by proof over the manifest's own envelopes: a file
+    * is UNtouched only when, for some key column, every batch key
+    * provably misses its [min,max]. Unknown envelopes (untracked key
+    * column, NULL cells) degrade to touched. One metadata-scale
+    * broadcast join: |files| × |distinct batch keys| envelope checks,
+    * distributed. */
+  private def touchedPaths(m: DataFrame, keys: DataFrame,
+                           keyCols: Seq[String]): Seq[String] = {
+    // only TRACKED key columns contribute exclusion proofs; with none
+    // tracked every file is (honestly) touched
+    val tracked = keyCols.filter(k => m.columns.contains(s"${k}_min"))
+    if (tracked.isEmpty)
+      return m.select(col("path")).collect().map(_.getString(0)).sorted.toSeq
+    val cond = tracked.map { k =>
+      val miss = (col(k) < col(s"${k}_min")) || (col(k) > col(s"${k}_max"))
+      !(miss <=> lit(true)) // unknown envelope → possibly contained
+    }.reduce(_ && _)
+    broadcast(m.select(col("path") +:
+        tracked.flatMap(k => Seq(col(s"${k}_min"), col(s"${k}_max"))): _*))
+      .join(keys.select(tracked.map(col): _*).distinct(), cond)
+      .select(col("path")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  /** Row-level MERGE (upsert by key), file-granular: only the files
+    * whose key envelopes intersect the batch are rewritten; every
+    * other file carries into the next manifest BY REFERENCE. Same
+    * semantics as [[VersionedTable.merge]] (matched keys replaced,
+    * unmatched insert, strict schema, in-batch duplicate keys are the
+    * caller's contract). Returns the committed version. */
+  def merge(updates: DataFrame, root: String, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    val spark = updates.sparkSession
+    require(keyCols.forall(updates.columns.contains),
+      s"update batch is missing key columns: " +
+        keyCols.filterNot(updates.columns.contains).mkString(", "))
+    rewriteTouched(spark, root, updates, keyCols) { (touchedRows, upd) =>
+      touchedRows.join(upd.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_anti").unionByName(upd)
+    }
+  }
+
+  /** CDC fold, file-granular: [[VersionedTable.applyCdc]] semantics
+    * (highest-seq change per key wins in-batch; D removes, others
+    * upsert) at cost ∝ touched files + batch. */
+  def applyCdc(changes: DataFrame, root: String, keyCols: Seq[String],
+               seqCol: String = "seq", opCol: String = "op"): Long = {
+    require(keyCols.nonEmpty, "applyCdc requires at least one key column")
+    val spark = changes.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    val winners = changes
+      .withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1).drop("_graft_rn")
+    rewriteTouched(spark, root, winners, keyCols) { (touchedRows, win) =>
+      touchedRows.join(win.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(
+          win.filter(not(col(opCol) === lit("D"))).drop(opCol, seqCol))
+    }
+  }
+
+  /** Shared core of the keyed row-level ops: pin a base manifest,
+    * find the touched files, read ONLY them, apply `rewrite`
+    * (touched-rows, batch) → replacement rows, land those as new
+    * files, and commit (base-manifest − touched) ∪ new-rows as
+    * base+1. Conflicts recompute from scratch against the new base —
+    * including the touched-file set, which may differ. */
+  private def rewriteTouched(spark: SparkSession, root: String,
+                             batch: DataFrame, keyCols: Seq[String])
+                            (rewrite: (DataFrame, DataFrame) => DataFrame): Long =
+    commitLoop(spark, root) { base =>
+      val m = manifest(spark, root, base)
+      val schema = tableSchema(spark, root, base)
+      val stats = statsCols(spark, root, base)
+      val cols = schema.fieldNames.toSeq
+      val keys = batch.select(keyCols.map(col): _*).distinct()
+      val touched = touchedPaths(m, keys, keyCols)
+      val touchedRows =
+        if (touched.isEmpty)
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else spark.read.schema(schema).parquet(touched: _*)
+      // the batch keeps its op/seq-style control columns — each op's
+      // rewrite consumes them; the final projection normalizes order
+      val replacement = rewrite(touchedRows, batch)
+        .select(cols.map(col): _*)
+      val newRows = landFiles(replacement, root, stats)
+      m.filter(!col("path").isin(touched: _*)).unionByName(newRows)
+    }
+
+  /** Row-level DELETE, file-granular: the predicate's range conjuncts
+    * run through the shared envelope-proof engine against the
+    * manifest's own stats — provably-unmatching files carry forward
+    * untouched; the rest are rewritten with SQL DELETE semantics
+    * (NULL predicate keeps the row). A predicate with no provable
+    * range shape degrades to rewriting every file — sound, at the
+    * old whole-table cost. */
+  def deleteWhere(spark: SparkSession, root: String, cond: Column): Long =
+    commitLoop(spark, root) { base =>
+      val m = manifest(spark, root, base)
+      val schema = tableSchema(spark, root, base)
+      val stats = statsCols(spark, root, base)
+      val all = filesAt(spark, root, base)
+      // resolve the user Column against the table schema (plan-only,
+      // nothing executes) so the proof engine sees typed attributes
+      val resolvedCond = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .filter(cond).queryExecution.analyzed match {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
+        case other => sys.error(s"unexpected analyzed shape: $other")
+      }
+      val excluded = graft.plans.StatsPruneRule.excludedByEnvelopes(
+        spark, resolvedCond, m, stats)
+      val touched = all.filterNot(excluded.contains)
+      val touchedRows =
+        if (touched.isEmpty)
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else spark.read.schema(schema).parquet(touched: _*)
+      val kept = touchedRows.filter(not(coalesce(cond, lit(false))))
+      val newRows = landFiles(kept, root, stats)
+      m.filter(!col("path").isin(touched: _*)).unionByName(newRows)
+    }
+
+  /** Change feed between two versions — [[VersionedTable
+    * .changesBetween]] semantics over manifest reads. */
+  def changesBetween(spark: SparkSession, root: String,
+                     fromVersion: Long, toVersion: Long,
+                     keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "changesBetween requires key columns")
+    VersionedTable.diffKeyed(
+      readVersion(spark, root, fromVersion),
+      readVersion(spark, root, toVersion),
+      keyCols, fromVersion, toVersion)
+  }
+
+  /** OPTIMIZE: re-lay the CURRENT rows as a fresh file set (compaction
+    * or re-clustering); content identical, all files replaced — the
+    * one operation that is legitimately cost ∝ table. */
+  def optimize(spark: SparkSession, root: String,
+               sortCols: Seq[String] = Nil, numFiles: Int = 16): Long = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    commitLoop(spark, root) { base =>
+      // re-lay BASE's rows (not a floating `current` — a conflict
+      // recomputes against the new base, so no commit is ever lost)
+      val cur = readVersion(spark, root, base)
+      val laid =
+        if (sortCols.isEmpty) cur.repartition(numFiles)
+        else cur.repartitionByRange(numFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      landFiles(laid, root, statsCols(spark, root, base))
+    }
+  }
+
+  /** Refcount-aware vacuum: drop manifest epochs beyond the newest
+    * `keep`, then delete data files referenced by NO retained
+    * manifest — but never files younger than `ttlMs` (a concurrent
+    * writer's landed-but-uncommitted files must survive until its CAS
+    * resolves). Also sweeps empty data/<uuid> directories. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2,
+             ttlMs: Long = 24L * 3600 * 1000): Unit = {
+    VersionedTable.vacuum(spark, manifestsRoot(root), keep, ttlMs)
+    val referenced = versions(spark, root)
+      .flatMap(v => filesAt(spark, root, v)).toSet
+    val f = fs(spark, root)
+    val dataRoot = new Path(s"$root/data")
+    if (!f.exists(dataRoot)) return
+    val now = System.currentTimeMillis()
+    f.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
+      val files = f.listStatus(d.getPath).filter(_.isFile)
+      files.foreach { s =>
+        val p = canon(s.getPath.toString)
+        if (!referenced.contains(p) && now - s.getModificationTime >= ttlMs)
+          f.delete(s.getPath, false): Unit
+      }
+      if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, true): Unit
+    }
+  }
+}

@@ -122,9 +122,10 @@ object VersionedTable {
     * caller recomputes against the new current epoch and retries. This
     * is the conflict check that makes read-modify-write commits
     * serializable rather than merely durable. */
-  def tryCommitAs(df: DataFrame, root: String, expectedBase: Long): Option[Long] = {
+  def tryCommitAs(df: DataFrame, root: String, expectedBase: Long,
+                  stage: String => Unit = _ => ()): Option[Long] = {
     val spark = df.sparkSession
-    val stageDir = stageEpoch(df, root, _ => ())
+    val stageDir = stageEpoch(df, root, stage)
     val want = expectedBase + 1
     if (claimEpoch(spark, root, stageDir, want)) {
       bumpPointer(spark, root, want)
@@ -377,8 +378,16 @@ object VersionedTable {
                      fromVersion: Long, toVersion: Long,
                      keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "changesBetween requires key columns")
-    val a = readVersion(spark, root, fromVersion)
-    val b = readVersion(spark, root, toVersion)
+    diffKeyed(readVersion(spark, root, fromVersion),
+      readVersion(spark, root, toVersion), keyCols, fromVersion, toVersion)
+  }
+
+  /** The derived-change-feed diff itself, shared with
+    * [[ManifestTable.changesBetween]] (identical semantics over a
+    * different epoch representation). */
+  private[sinks] def diffKeyed(a: DataFrame, b: DataFrame,
+                               keyCols: Seq[String],
+                               fromVersion: Long, toVersion: Long): DataFrame = {
     require(a.columns.sorted.sameElements(b.columns.sorted),
       s"schema evolved between epoch $fromVersion and $toVersion — " +
         "diff the common columns explicitly")

@@ -67,7 +67,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
   private val resolvedAt: ThreadLocal[Option[(String, Long)]] =
     ThreadLocal.withInitial(() => None)
 
-  private def resolve(options: CaseInsensitiveStringMap): (SparkSession, String, Long) = {
+  private def resolve(options: CaseInsensitiveStringMap)
+      : (SparkSession, String, Long, Boolean) = {
     val spark = SparkSession.active
     val root = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
@@ -75,29 +76,36 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     require(options.get("versionAsOf") == null ||
       options.get("timestampAsOf") == null,
       "give versionAsOf or timestampAsOf, not both")
+    // a manifest table ([[graft.sinks.ManifestTable]]) resolves its
+    // version through its _manifests VersionedTable — epoch-directory
+    // tables resolve at the root; one reader syntax for both layouts
+    val isManifest = graft.sinks.ManifestTable.exists(spark, root)
+    val vtRoot =
+      if (isManifest) graft.sinks.ManifestTable.manifestsRoot(root) else root
     val version = Option(options.get("versionAsOf")).map(_.toLong)
-      .orElse(GraftTimeTravel.resolveTimestampAsOf(spark, root, options))
+      .orElse(GraftTimeTravel.resolveTimestampAsOf(spark, vtRoot, options))
       .orElse(resolvedAt.get().collect { case (r, v) if r == root => v })
-      .getOrElse(graft.sinks.VersionedTable.latestVersion(spark, root))
+      .getOrElse(graft.sinks.VersionedTable.latestVersion(spark, vtRoot))
     require(version >= 0, s"versioned table at $root has no committed epoch")
-    require(graft.sinks.VersionedTable.versions(spark, root).contains(version),
+    require(graft.sinks.VersionedTable.versions(spark, vtRoot).contains(version),
       s"versioned table at $root has no epoch $version " +
         "(vacuumed or never committed)")
-    (spark, root, version)
+    (spark, root, version, isManifest)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (spark, root, v) = resolve(options)
+    val (spark, root, v, isManifest) = resolve(options)
     resolvedAt.set(Some((root, v)))
-    spark.read.parquet(s"$root/epoch=$v").schema
+    if (isManifest) graft.sinks.ManifestTable.tableSchema(spark, root, v)
+    else spark.read.parquet(s"$root/epoch=$v").schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    val (spark, root, v) = resolve(options)
+    val (spark, root, v, isManifest) = resolve(options)
     resolvedAt.remove()
-    new GraftTable(spark, root, v, schema)
+    new GraftTable(spark, root, v, schema, isManifest)
   }
 }
 
@@ -124,9 +132,15 @@ private[graft] object GraftTimeTravel {
     }
 }
 
-/** One resolved epoch of a versioned table (immutable snapshot). */
+/** One resolved version of a versioned/manifest table (immutable
+  * snapshot): epoch-directory tables list `epoch=N`; manifest tables
+  * list exactly the resolved manifest's files and prune against that
+  * manifest's OWN envelopes (the stats are structurally in sync with
+  * the file list — no coverage dance needed). */
 final class GraftTable(spark: SparkSession, root: String, version: Long,
-                       dataSchema: StructType) extends Table with SupportsRead {
+                       dataSchema: StructType,
+                       isManifest: Boolean = false)
+  extends Table with SupportsRead {
 
   override def name(): String = s"graft.`$root` @ v$version"
 
@@ -136,9 +150,19 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val entry = metadataEntry(options)
-    val index = new GraftStatsFileIndex(spark,
-      new Path(s"$root/epoch=$version"), dataSchema, entry)
+    val index =
+      if (isManifest) {
+        val stats = graft.sinks.ManifestTable.manifest(spark, root, version)
+        val cols = graft.sinks.ManifestTable.statsCols(spark, root, version)
+        new GraftStatsFileIndex(spark,
+          graft.sinks.ManifestTable.filesAt(spark, root, version)
+            .map(new Path(_)),
+          dataSchema, entry = None,
+          manifestStats = if (cols.isEmpty) None else Some((stats, cols)))
+      } else
+        new GraftStatsFileIndex(spark,
+          Seq(new Path(s"$root/epoch=$version")), dataSchema,
+          metadataEntry(options))
     ParquetScanBuilder(spark, index, dataSchema, dataSchema, options)
   }
 
@@ -205,17 +229,25 @@ object GraftTableWriter {
   }
 }
 
-/** File listing for one epoch directory that honors the DSv2 data-
-  * filter contract: `listFiles` drops files the committed metadata
-  * PROVES cannot match the pushed conjuncts. Soundness is inherited
-  * from the shared proof engine — a file is excluded only on proof,
-  * so stale or absent metadata degrades to keep-the-file, never to
-  * wrong rows (Spark still applies the full predicate to surviving
-  * rows). Exposes the post-prune file count for tests/observability. */
-final class GraftStatsFileIndex(spark: SparkSession, epochDir: Path,
-                                dataSchema: StructType,
-                                entry: Option[GraftTables.Entry])
-  extends InMemoryFileIndex(spark, Seq(epochDir), Map.empty, Some(dataSchema)) {
+/** File listing (an epoch directory, or a manifest's leaf files) that
+  * honors the DSv2 data-filter contract: `listFiles` drops files the
+  * committed metadata PROVES cannot match the pushed conjuncts. Two
+  * proof sources compose: a registered stats/bloom entry (external
+  * epochs), and — for manifest tables — the resolved manifest's own
+  * envelope rows, version-exact by construction. Soundness is
+  * inherited from the shared proof engine — a file is excluded only
+  * on proof, so stale or absent metadata degrades to keep-the-file,
+  * never to wrong rows (Spark still applies the full predicate to
+  * surviving rows). Exposes the post-prune file count for tests. */
+final class GraftStatsFileIndex(
+    spark: SparkSession, roots: Seq[Path], dataSchema: StructType,
+    entry: Option[GraftTables.Entry],
+    manifestStats: Option[(org.apache.spark.sql.DataFrame, Seq[String])] = None)
+  extends InMemoryFileIndex(spark, roots, Map.empty, Some(dataSchema)) {
+
+  def this(spark: SparkSession, epochDir: Path, dataSchema: StructType,
+           entry: Option[GraftTables.Entry]) =
+    this(spark, Seq(epochDir), dataSchema, entry, None)
 
   /** Files surviving the last `listFiles` (volatile test hook). */
   @volatile var lastListedFiles: Int = -1
@@ -223,17 +255,27 @@ final class GraftStatsFileIndex(spark: SparkSession, epochDir: Path,
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    val pruned = entry match {
-      case Some(e) if dataFilters.nonEmpty =>
-        val excluded = StatsPruneRule.provablyExcluded(
-          spark, dataFilters.reduce(And), e)
-        if (excluded.isEmpty) base
-        else base.map { pd =>
-          pd.copy(files = pd.files.filterNot(f =>
-            excluded.contains(f.getPath.toUri.getPath)))
-        }
-      case _ => base
-    }
+    val excluded: Set[String] =
+      if (dataFilters.isEmpty) Set.empty
+      else {
+        val cond = dataFilters.reduce(And)
+        val fromEntry = entry.map(e =>
+          StatsPruneRule.provablyExcluded(spark, cond, e))
+          .getOrElse(Set.empty)
+        val fromManifest = manifestStats.map { case (stats, cols) =>
+          StatsPruneRule.inMetadataQuery.set(true)
+          try StatsPruneRule.excludedByEnvelopes(spark, cond, stats, cols)
+          catch { case _: Exception => Set.empty[String] }
+          finally StatsPruneRule.inMetadataQuery.set(false)
+        }.getOrElse(Set.empty)
+        fromEntry ++ fromManifest
+      }
+    val pruned =
+      if (excluded.isEmpty) base
+      else base.map { pd =>
+        pd.copy(files = pd.files.filterNot(f =>
+          excluded.contains(f.getPath.toUri.getPath)))
+      }
     lastListedFiles = pruned.map(_.files.length).sum
     pruned
   }

@@ -19,4 +19,18 @@ object Scratch {
   }
 
   def dir(name: String): String = root.resolve(name).toString
+
+  /** [[dir]], WIPED first — for gated queries whose artifact refuses
+    * to overwrite (e.g. [[graft.sinks.ManifestTable.create]] fails on
+    * an existing table): the second same-JVM invocation (Bench runs
+    * every query twice per round) must REPLACE the previous run's
+    * tree, not trip over it. */
+  def freshDir(name: String): String = {
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root.resolve(name).toFile)
+    dir(name)
+  }
 }

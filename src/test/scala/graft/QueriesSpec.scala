@@ -40,6 +40,15 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest-path gated queries are re-runnable in one JVM (the Bench twice-per-round contract)") {
+    Seq("q_merge_upsert", "q_cdc_apply").foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val a = fn(spark, sf).collect().toSeq
+      val b = fn(spark, sf).collect().toSeq
+      assert(a == b, s"$n must re-run with identical results")
+    }
+  }
+
   /** Sketch-based queries can't be reproduced in DuckDB; the driver
     * records a rows-only check for them. Everything else must have an
     * oracle. */

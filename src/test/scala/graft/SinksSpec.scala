@@ -901,6 +901,192 @@ class SinksSpec extends AnyFunSuite {
       Set(lo, lo + 1))
   }
 
+  test("manifest table: epochs are file lists; keyed ops rewrite only touched files; refcount vacuum") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest").toString + "/t"
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    // key-clustered layout: narrow doc_id envelopes per file, so the
+    // touched-file proof can actually bite
+    ManifestTable.create(
+      docs.repartitionByRange(6, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root, Seq("doc_id"))
+    assert(ManifestTable.latestVersion(spark, root) == 0L)
+    val files0 = ManifestTable.filesAt(spark, root, 0)
+    assert(files0.size >= 6)
+    val bytes0 = ManifestTable.manifest(spark, root, 0)
+      .agg(sum(col("size"))).head().getLong(0)
+    assert(ManifestTable.read(spark, root).exceptAll(docs).isEmpty &&
+      docs.exceptAll(ManifestTable.read(spark, root)).isEmpty,
+      "manifest read-back must be lossless")
+    // THE copy-on-write grain proof: a 1-key merge must rewrite
+    // strictly fewer files (and bytes) than the table holds — the
+    // untouched files carry into the next manifest BY REFERENCE
+    val k = docs.agg(min(col("doc_id"))).head().getLong(0)
+    ManifestTable.merge(
+      docs.filter(col("doc_id") === k).withColumn("lang", lit("zz")),
+      root, Seq("doc_id"))
+    val files1 = ManifestTable.filesAt(spark, root, 1)
+    val carried = files1.toSet.intersect(files0.toSet)
+    assert(carried.size == files0.size - 1,
+      s"a 1-key merge on a clustered layout must touch exactly one " +
+        s"file; carried ${carried.size} of ${files0.size}")
+    val newBytes = ManifestTable.manifest(spark, root, 1)
+      .filter(!col("path").isin(files0: _*))
+      .agg(sum(col("size"))).head().getLong(0)
+    assert(newBytes < bytes0 / 2,
+      s"rewritten bytes $newBytes must be a fraction of the table $bytes0")
+    // content: exactly SQL MERGE semantics
+    val wantMerged = docs.withColumn("lang",
+      when(col("doc_id") === k, lit("zz")).otherwise(col("lang")))
+    assert(ManifestTable.read(spark, root).exceptAll(wantMerged).isEmpty &&
+      wantMerged.exceptAll(ManifestTable.read(spark, root)).isEmpty)
+    // version 0 is untouched history (snapshot + time travel)
+    assert(ManifestTable.readVersion(spark, root, 0)
+      .exceptAll(docs).isEmpty)
+    // append carries every existing file by reference
+    val extra = docs.filter(col("doc_id") === k)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    ManifestTable.write(extra, root)
+    val files2 = ManifestTable.filesAt(spark, root, 2)
+    assert(files1.toSet.subsetOf(files2.toSet),
+      "append must not rewrite any existing file")
+    assert(ManifestTable.read(spark, root).count() == docs.count() + 1)
+    // range DELETE: provably-unmatching files carry forward untouched
+    val hi = docs.agg(max(col("doc_id"))).head().getLong(0)
+    ManifestTable.deleteWhere(spark, root, col("doc_id") >= hi)
+    val files3 = ManifestTable.filesAt(spark, root, 3)
+    val touchedByDelete = files2.toSet -- files3.toSet
+    assert(touchedByDelete.size < files2.size / 2,
+      s"a top-of-range delete must not rewrite the whole table " +
+        s"(touched ${touchedByDelete.size}/${files2.size})")
+    assert(ManifestTable.read(spark, root)
+      .filter(col("doc_id") >= hi).count() == 0)
+    // CDC fold: upsert + delete through the file-granular path equals
+    // the VersionedTable semantics; changesBetween round-trips
+    val ch = docs.filter(col("doc_id") === k + 1)
+      .withColumn("lang", lit("cdc")).withColumn("op", lit("U"))
+      .withColumn("seq", lit(1L))
+      .unionByName(docs.filter(col("doc_id") === k + 2)
+        .withColumn("op", lit("D")).withColumn("seq", lit(1L)))
+    val v4 = ManifestTable.applyCdc(ch, root, Seq("doc_id"))
+    assert(ManifestTable.read(spark, root)
+      .filter(col("doc_id") === k + 1).select(col("lang"))
+      .head().getString(0) == "cdc")
+    assert(ManifestTable.read(spark, root)
+      .filter(col("doc_id") === k + 2).count() == 0)
+    val feed = ManifestTable.changesBetween(spark, root, 3, v4, Seq("doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("op"))
+      .toMap
+    assert(feed == Map((k + 1) -> "U", (k + 2) -> "D"),
+      s"change feed must carry exactly the CDC batch, got $feed")
+    // refcount vacuum: old manifests beyond keep=2 drop; data files
+    // referenced by NO retained manifest are deleted; retained
+    // versions stay exactly readable
+    val before = ManifestTable.read(spark, root).collect().toSet
+    ManifestTable.vacuum(spark, root, keep = 2, ttlMs = 0L)
+    assert(ManifestTable.versions(spark, root) == Seq(3L, 4L))
+    assert(ManifestTable.read(spark, root).collect().toSet == before,
+      "vacuum must not disturb retained versions")
+    val retainedRefs = (ManifestTable.filesAt(spark, root, 3) ++
+      ManifestTable.filesAt(spark, root, v4)).toSet
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$root/data"), true)
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) { val f = it.next(); if (f.isFile)
+        b += f.getPath.toUri.getPath }
+      b.toSet
+    }
+    assert(onDisk == retainedRefs,
+      s"vacuum must delete exactly the unreferenced data files; " +
+        s"extra=${(onDisk -- retainedRefs).size} missing=${(retainedRefs -- onDisk).size}")
+    // vacuumed history fails fast on read
+    intercept[Exception] { ManifestTable.readVersion(spark, root, 0).collect() }
+  }
+
+  test("graft DSv2 over a manifest table: snapshot reads, time travel, pruning from the manifest's own envelopes") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-dsv2").toString + "/t"
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    ManifestTable.create(
+      docs.repartitionByRange(5, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root, Seq("doc_id"))
+    // zero-option read resolves the current version with the sidecar schema
+    val r0 = spark.read.format("graft").load(root)
+    assert(r0.schema.fieldNames.toSeq == Seq("doc_id", "lang", "n_chars"))
+    assert(r0.count() == docs.count())
+    // snapshot isolation: a resolved reader is pinned to its manifest
+    ManifestTable.deleteWhere(spark, root,
+      col("doc_id") >= docs.agg(max(col("doc_id"))).head().getLong(0))
+    assert(r0.count() == docs.count(),
+      "a resolved manifest snapshot must not observe later commits")
+    assert(spark.read.format("graft").load(root).count() == docs.count() - 1)
+    // versionAsOf reads the retained manifest exactly
+    assert(spark.read.format("graft").option("versionAsOf", 0)
+      .load(root).count() == docs.count())
+    // in-source pruning: a pushed range filter consults the resolved
+    // manifest's OWN envelopes — no registration, no options
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect { case b: BatchScanExec =>
+        b.partitions.flatten.collect { case fp: FilePartition =>
+          fp.files.map(_.filePath.toString).toSeq }.flatten
+      }.flatten.distinct.size
+    val lo = docs.agg(min(col("doc_id"))).head().getLong(0)
+    val nFiles = ManifestTable.filesAt(spark, root,
+      ManifestTable.latestVersion(spark, root)).size
+    val probe = spark.read.format("graft").load(root)
+      .filter(col("doc_id") <= lo + 2)
+    assert(scannedFiles(probe) < nFiles,
+      s"manifest-envelope pruning must open fewer than $nFiles files")
+    assert(probe.select(col("doc_id")).as[Long].collect().toSet ==
+      docs.filter(col("doc_id") <= lo + 2)
+        .select(col("doc_id")).as[Long].collect().toSet,
+      "pruning must be invisible in results")
+  }
+
+  test("manifest table: racing appends and disjoint merges all commit; no lost update") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-race").toString + "/t"
+    ManifestTable.create(Seq((0L, "seed")).toDF("k", "v"), root, Seq("k"))
+    // 4 racing blind appends — all must survive the CAS loop
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            ManifestTable.write(Seq((i.toLong, s"w$i")).toDF("k", "v"), root)
+        })
+      }
+      val versions = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.toSet.size == 4, "each append claims its own version")
+      assert(ManifestTable.read(spark, root).count() == 5)
+      // 2 racing merges on DISJOINT keys: serializable — both visible
+      val m1 = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = ManifestTable.merge(
+          Seq((1L, "m1")).toDF("k", "v"), root, Seq("k"))
+      })
+      val m2 = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = ManifestTable.merge(
+          Seq((2L, "m2")).toDF("k", "v"), root, Seq("k"))
+      })
+      m1.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      m2.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      val got = ManifestTable.read(spark, root)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(1L) == "m1" && got(2L) == "m2",
+        s"neither racing merge may be lost, got $got")
+      assert(got.size == 5)
+    } finally pool.shutdown()
+  }
+
   test("time travel by timestamp: epochs stamped at commit, timestampAsOf resolves <= t, vacuumed history fails fast") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-ts-travel").toString + "/t"
