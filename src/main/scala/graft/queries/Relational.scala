@@ -877,6 +877,34 @@ object Relational extends QueryModule {
       .orderBy(col("lang"))
   }
 
+  /** The durable SQL surface end-to-end ([[graft.sources.v2
+    * .GraftCatalog]]): a manifest table is adopted BY NAME
+    * (`CREATE TABLE … USING graft LOCATION …`) and queried through
+    * plain `spark.sql` with a range filter — resolution, snapshot
+    * pinning, and manifest-envelope file pruning all run inside the
+    * catalog path, no reader options, no per-JVM registration. The
+    * oracle is the same aggregate over the raw table. */
+  def qGraftSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_cat_docs") + "/t"
+    graft.sinks.ManifestTable.create(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse",
+      graft.util.Scratch.dir("graft_warehouse"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+    spark.sql("DROP TABLE IF EXISTS graft.gate.docs")
+    spark.sql(s"CREATE TABLE graft.gate.docs USING graft LOCATION '$root'")
+    spark.sql("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM graft.gate.docs WHERE doc_id < 500
+      GROUP BY lang ORDER BY lang""")
+  }
+
   /** Probe string for the Jaro-Winkler ranking gate: a plausible but
     * absent part name, so scores spread over the whole range. */
   val JwProbe = "standard anodized tin"
@@ -915,6 +943,7 @@ object Relational extends QueryModule {
     "q_benford"           -> qBenford _,
     "q_meta_count"        -> qMetaCount _,
     "q_graft_scan"        -> qGraftScan _,
+    "q_graft_sql"         -> qGraftSql _,
     "q_jaro_rank"         -> qJaroRank _,
     "q_skew_report"       -> qSkewReport _,
     "q1_agg"              -> q1Agg _,
@@ -1013,6 +1042,11 @@ object Relational extends QueryModule {
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE lang <> 'en' AND doc_id < 200
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_graft_sql" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id < 500
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(ts AS DATE) AS bucket_day,

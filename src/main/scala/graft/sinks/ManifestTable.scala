@@ -137,6 +137,23 @@ object ManifestTable {
     * manifest rows (path, size, row_count, envelopes). Not a commit:
     * the files are invisible until a manifest referencing them wins
     * the CAS. */
+  /** The manifest-row schema for a table of `dataSchema` tracking
+    * `stats` columns — needed to commit an EMPTY manifest (a created-
+    * but-unloaded table) without any file to derive it from. */
+  private def manifestSchema(dataSchema: StructType,
+                             stats: Seq[String]): StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      StructField("path", StringType) ::
+      StructField("size", LongType) ::
+      StructField("row_count", LongType) ::
+      stats.toList.flatMap { c =>
+        val dt = dataSchema(c).dataType
+        Seq(StructField(s"${c}_min", dt), StructField(s"${c}_max", dt),
+          StructField(s"${c}_nulls", LongType))
+      })
+  }
+
   private def landFiles(df: DataFrame, root: String,
                         stats: Seq[String]): DataFrame = {
     val spark = df.sparkSession
@@ -144,6 +161,10 @@ object ManifestTable {
     df.write.parquet(dir)
     val sizes = graft.sources.FileManifest.listFiles(spark, dir)
       .select(col("path"), col("size"))
+    if (sizes.isEmpty) // an empty frame writes no data files
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        manifestSchema(df.schema, stats))
     val collected =
       if (stats.isEmpty)
         spark.read.parquet(dir).groupBy(input_file_name().as("path"))
@@ -195,6 +216,22 @@ object ManifestTable {
     commitLoop(spark, root) { base =>
       manifest(spark, root, base).unionByName(rows)
     }
+  }
+
+  /** OVERWRITE commit (SQL TRUNCATE + INSERT, `writeTo(...).replace`):
+    * the next manifest references ONLY `df`'s freshly landed files;
+    * prior versions stay time-travelable until vacuum. */
+  def overwrite(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val v = latestVersion(spark, root)
+    require(v >= 0, s"manifest table at $root does not exist — create() first")
+    val schema = tableSchema(spark, root, v)
+    require(df.columns.sorted.sameElements(schema.fieldNames.sorted),
+      s"overwrite schema ${df.columns.sorted.mkString(",")} != table " +
+        s"schema ${schema.fieldNames.sorted.mkString(",")}")
+    val rows = landFiles(df.select(schema.fieldNames.map(col).toSeq: _*),
+      root, statsCols(spark, root, v))
+    commitLoop(spark, root)(_ => rows)
   }
 
   /** Optimistic manifest-swap loop — the [[VersionedTable]] rewrite

@@ -1,0 +1,254 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Durable SQL catalog for graft tables — the piece that makes the
+  * engine usable BY NAME from plain SQL, across sessions:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.v2.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft-warehouse
+  *
+  *   CREATE TABLE graft.db.events (k BIGINT, v STRING)
+  *     TBLPROPERTIES ('statsCols' = 'k')           -- managed manifest table
+  *   CREATE TABLE graft.db.ext USING graft LOCATION '/data/tables/ext'
+  *                                                  -- adopt an existing table
+  *   SELECT * FROM graft.db.events VERSION AS OF 3
+  *   SELECT * FROM graft.db.events TIMESTAMP AS OF '2026-08-14 00:00:00'
+  *   INSERT INTO graft.db.events VALUES ...         -- manifest append commit
+  *   df.writeTo("graft.db.events").append()
+  * }}}
+  *
+  * Catalog state is a DIRECTORY OF DESCRIPTORS under
+  * `<warehouse>/_defs/<namespace…>/<table>.properties` (java
+  * Properties files: location + table properties). Registration
+  * therefore SURVIVES the session — the per-JVM
+  * [[graft.plans.GraftTables.register]] map stays available for
+  * plain-parquet directories, but named tables carry their metadata
+  * roots as TABLE PROPERTIES (`statsRoot`/`statsCols`/`bloomRoot`/
+  * `bloomKey`), and manifest tables need none at all: their pruning
+  * stats live in the manifest itself. A fresh session that resolves
+  * the table by name prunes immediately (spec-pinned).
+  *
+  * Resolution delegates to [[GraftTableProvider]] — one code path for
+  * snapshot pinning, version/timestamp travel, and in-source file
+  * skipping, whether the table is reached by path or by name. Writes
+  * (INSERT INTO / writeTo.append / overwrite) commit through the
+  * table formats' own CAS protocols via the V1 write bridge on
+  * [[GraftTable]] — never a blind directory write.
+  *
+  * DROP TABLE removes the DESCRIPTOR only (external-style semantics —
+  * epochs/manifests keep their own retention via vacuum); managed
+  * tables created without LOCATION live under the warehouse and can
+  * be purged by deleting that directory.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.warehouse must name a directory"))
+  }
+
+  override def name(): String = catalogName
+
+  private def fs =
+    new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def defsDir(namespace: Array[String]): Path =
+    new Path((s"$warehouse/_defs" +: namespace).mkString("/"))
+
+  private def defPath(ident: Identifier): Path =
+    new Path(defsDir(ident.namespace), s"${ident.name}.properties")
+
+  private def readDef(ident: Identifier): Option[java.util.Properties] = {
+    val p = defPath(ident)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try { val props = new java.util.Properties(); props.load(in); Some(props) }
+      finally in.close()
+    }
+  }
+
+  private def writeDef(ident: Identifier, props: java.util.Properties): Unit = {
+    fs.mkdirs(defsDir(ident.namespace))
+    val out = fs.create(defPath(ident), true)
+    try props.store(out, null) finally out.close()
+  }
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = defsDir(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace).toSeq)
+    fs.listStatus(dir).filter(_.isFile)
+      .map(_.getPath.getName).filter(_.endsWith(".properties"))
+      .map(n => Identifier.of(namespace, n.stripSuffix(".properties")))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    readDef(ident).nonEmpty
+
+  override def loadTable(ident: Identifier): Table =
+    loadAt(ident, None, None)
+
+  /** SQL `VERSION AS OF v`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, Some(version), None)
+
+  /** SQL `TIMESTAMP AS OF t` — Spark hands MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadAt(ident, None, Some(timestamp / 1000L))
+
+  private def loadAt(ident: Identifier, version: Option[String],
+                     tsMs: Option[Long]): Table = {
+    val props = readDef(ident).getOrElse(throw new NoSuchTableException(ident))
+    val opts = new java.util.HashMap[String, String]()
+    props.stringPropertyNames().asScala
+      .foreach(k => opts.put(k, props.getProperty(k)))
+    opts.put("path", props.getProperty("location"))
+    version.foreach(opts.put("versionAsOf", _))
+    tsMs.foreach(t => opts.put("timestampAsOf", t.toString))
+    val provider = new GraftTableProvider
+    val cis = new CaseInsensitiveStringMap(opts)
+    val schema = provider.inferSchema(cis)
+    provider.getTable(schema, Array.empty, cis)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables cluster via OPTIMIZE sort columns, not partition transforms")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val location = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .getOrElse((s"$warehouse/tables" +: ident.namespace.toSeq :+
+        ident.name).mkString("/"))
+    val adopting =
+      graft.sinks.ManifestTable.exists(spark, location) ||
+        graft.sinks.VersionedTable.latestVersion(spark, location) >= 0
+    if (!adopting) {
+      // brand-new managed table: an EMPTY manifest table with the
+      // declared schema and tracked columns
+      val statsCols = Option(properties.get("statsCols"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      require(schema.fields.nonEmpty,
+        s"CREATE TABLE $ident needs a column list (or adopt an " +
+          "existing table via LOCATION)")
+      graft.sinks.ManifestTable.create(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+        location, statsCols): Unit
+    }
+    val props = new java.util.Properties()
+    properties.asScala
+      .filterNot { case (k, _) =>
+        k == TableCatalog.PROP_LOCATION || k.startsWith("option.") ||
+          k == TableCatalog.PROP_PROVIDER || k == TableCatalog.PROP_OWNER }
+      .foreach { case (k, v) => props.setProperty(k, v) }
+    props.setProperty("location", location)
+    writeDef(ident, props)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val props = readDef(ident).getOrElse(throw new NoSuchTableException(ident))
+    changes.foreach {
+      case set: TableChange.SetProperty =>
+        props.setProperty(set.property, set.value)
+      case rm: TableChange.RemoveProperty =>
+        props.remove(rm.property): Unit
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported table change $other — schema changes " +
+          "go through the table formats (ManifestTable is strict-schema)")
+    }
+    require(props.getProperty("location") != null,
+      "the location property cannot be removed")
+    writeDef(ident, props)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    fs.delete(defPath(ident), false)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // RENAME TO targets arrive catalog-qualified (Spark does not strip
+    // the catalog from the parsed multipart target) — normalize
+    val to =
+      if (newIdent.namespace.headOption.contains(catalogName))
+        Identifier.of(newIdent.namespace.drop(1), newIdent.name)
+      else newIdent
+    val props = readDef(oldIdent).getOrElse(
+      throw new NoSuchTableException(oldIdent))
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    writeDef(to, props)
+    fs.delete(defPath(oldIdent), false): Unit
+  }
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val base = new Path(s"$warehouse/_defs")
+    if (!fs.exists(base)) Array.empty
+    else fs.listStatus(base).filter(_.isDirectory)
+      .map(d => Array(d.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val dir = defsDir(namespace)
+      if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+        (catalogName +: namespace).toSeq)
+      fs.listStatus(dir).filter(_.isDirectory)
+        .map(d => namespace :+ d.getPath.getName)
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    fs.exists(defsDir(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace).toSeq)
+    new java.util.HashMap[String, String]()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    fs.mkdirs(defsDir(namespace)): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val dir = defsDir(namespace)
+    if (!fs.exists(dir)) false
+    else if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    else fs.delete(dir, true)
+  }
+}

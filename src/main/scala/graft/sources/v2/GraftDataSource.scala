@@ -140,14 +140,52 @@ private[graft] object GraftTimeTravel {
 final class GraftTable(spark: SparkSession, root: String, version: Long,
                        dataSchema: StructType,
                        isManifest: Boolean = false)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft.`$root` @ v$version"
 
   override def schema(): StructType = dataSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** Writes bridge through V1 (`InsertableRelation`) into the table
+    * formats' OWN commit protocols — an INSERT INTO / writeTo.append
+    * is a real CAS-committed version, never a blind directory write.
+    * Manifest tables append at file-list cost; epoch tables append as
+    * a full next epoch (their documented grain). `overwrite = true`
+    * (TRUNCATE) replaces content, history stays time-travelable. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var truncateRequested = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        truncateRequested = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean) => {
+              val replace = truncateRequested || overwriteFlag
+              if (isManifest) {
+                if (replace) graft.sinks.ManifestTable.overwrite(data, root)
+                else graft.sinks.ManifestTable.write(data, root): Unit
+              } else {
+                val next =
+                  if (replace) data
+                  else graft.sinks.VersionedTable.read(data.sparkSession, root)
+                    .unionByName(data)
+                graft.sinks.VersionedTable.write(next, root): Unit
+              }
+            }
+        }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val index =
