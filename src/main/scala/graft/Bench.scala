@@ -146,14 +146,25 @@ object Bench {
       // two timed passes, min reported: a transient CPU-contention spike
       // on a shared machine inflates one pass, not both, so the min is a
       // load-robust point estimate (the artifact is the hard cross-round
-      // signal; a single pass made real speedups unreadable in round 3)
+      // signal; a single pass made real speedups unreadable in round 3).
+      // Queries still over 3 s after two passes get a THIRD (round-8
+      // lesson: exact-Jaccard swung 3.3-7.6 s across runs on identical
+      // code and candidates — GC/JIT variance scales with run length,
+      // so exactly the heavy queries need the extra sample; the cheap
+      // majority never pays it)
       val d1 = onePass()
       val dt = if (errors.contains(name)) d1 else {
         val d2 = onePass()
         // a pass that FAILED must not contribute its fast-fail duration
         // (a transient second-pass error would otherwise report as a
         // fast min while also flagging an error)
-        if (errors.contains(name)) d1 else math.min(d1, d2)
+        if (errors.contains(name)) d1 else {
+          val m2 = math.min(d1, d2)
+          if (m2 <= 3.0) m2 else {
+            val d3 = onePass()
+            if (errors.contains(name)) m2 else math.min(m2, d3)
+          }
+        }
       }
       // flag the query if OTHER processes burned > maxExtCpu of the
       // machine during its window (both passes); self-load never flags

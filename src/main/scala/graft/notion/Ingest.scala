@@ -59,8 +59,25 @@ object Ingest {
     * cap 8 s) — notionAdapter.ts:75-84. */
   def throttled(inner: NotionAdapter, clock: Clock = SystemClock,
                 jitter: () => Long = () => scala.util.Random.nextInt(201).toLong): NotionAdapter =
+    throttledWith(inner, new RateLimiter(3, clock), clock, jitter)
+
+  /** [[throttled]] against a PROCESS-SHARED limiter: every DSv2
+    * partition reader in one executor JVM drains the same 3 rps
+    * budget, so concurrent per-database readers cannot multiply the
+    * client's rate the way per-reader limiters would. (Across
+    * executor PROCESSES the budget multiplies — the deployment
+    * matches executors-per-token to the API contract, exactly as it
+    * would scale any per-token client pool.) */
+  def processThrottled(inner: NotionAdapter): NotionAdapter =
+    throttledWith(inner, processLimiter, SystemClock,
+      () => scala.util.Random.nextInt(201).toLong)
+
+  private lazy val processLimiter = new RateLimiter(3, SystemClock)
+
+  private def throttledWith(inner: NotionAdapter, limiter: RateLimiter,
+                            clock: Clock,
+                            jitter: () => Long): NotionAdapter =
     new NotionAdapter {
-      private val limiter = new RateLimiter(3, clock)
       private val opts = Retry.RetryOptions(maxRetries = 5, baseDelayMs = 500,
         retryAfterCapMs = Some(5 * 60 * 1000L),
         maxDelayMs = 8000)
@@ -92,13 +109,18 @@ object Ingest {
     r
   }
 
-  /** S3 — pull one dataset (pullNotion.ts:67-107): DB schema record +
-    * page records, properties RE-KEYED BY PROPERTY ID via the schema's
-    * name→id map (page payloads key by display name). */
-  def pullDataset(adapter: NotionAdapter, dataset: String,
-                  databaseId: String): Seq[RawRecordRow] = {
+  /** S3, STREAMING form — the cursor walk as an iterator: the DB
+    * schema record first, then page records in cursor order,
+    * properties RE-KEYED BY PROPERTY ID via the schema's name→id map
+    * (page payloads key by display name), each validated as it
+    * streams. Memory held is ONE cursor page (100 rows) — this is
+    * what lets [[graft.notion.GraftNotionProvider]]'s partition
+    * readers ingest a database of any length without a driver-side
+    * array ([[pullDataset]] keeps the materialized form for
+    * driver-side callers). */
+  def recordIterator(adapter: NotionAdapter, dataset: String,
+                     databaseId: String): Iterator[RawRecordRow] = {
     val db = adapter.retrieveDatabase(databaseId)
-    val pages = queryAllPages(adapter, databaseId)
     val nameToId: Map[String, (String, String)] = db.properties.map { p =>
       p.name -> (p.id.getOrElse(p.name), p.propType.getOrElse("unknown"))
     }.toMap
@@ -113,7 +135,19 @@ object Ingest {
       metadata = Map("dataset" -> dataset) ++
         db.titleJson.map("title" -> _) ++ db.url.map("url" -> _))
 
-    val pageRecords = pages.map { page =>
+    // one cursor page in flight at a time
+    val pageChunks: Iterator[Seq[PageLike]] = new Iterator[Seq[PageLike]] {
+      private var cursor: Option[String] = None
+      private var first = true
+      def hasNext: Boolean = first || cursor.isDefined
+      def next(): Seq[PageLike] = {
+        first = false
+        val (results, nextCursor) = adapter.queryDatabasePage(databaseId, cursor, 100)
+        cursor = nextCursor
+        results
+      }
+    }
+    val pageRecords = pageChunks.flatten.map { page =>
       RawRecordRow(
         source = "notion", entityType = "page", databaseId = databaseId,
         pageId = Some(page.id), lastEditedTime = Some(page.lastEditedTime),
@@ -125,21 +159,30 @@ object Ingest {
         metadata = Map("dataset" -> dataset) ++
           page.createdTime.map("created_time" -> _) ++ page.url.map("url" -> _))
     }
-
-    (databaseRecord +: pageRecords).map(validate)
+    (Iterator.single(databaseRecord) ++ pageRecords).map(validate)
   }
+
+  /** S3 — pull one dataset (pullNotion.ts:67-107), materialized. */
+  def pullDataset(adapter: NotionAdapter, dataset: String,
+                  databaseId: String): Seq[RawRecordRow] =
+    recordIterator(adapter, dataset, databaseId).toSeq
+
+  /** One envelope record as a Row in [[NotionSchemas.rawRecordSchema]]
+    * shape — shared by the driver-side [[toDataFrame]] and the DSv2
+    * partition readers. */
+  def rowOf(r: RawRecordRow): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(
+      r.source, r.entityType, r.databaseId, r.pageId.orNull,
+      r.lastEditedTime.orNull,
+      r.properties.map { case (k, p) =>
+        k -> org.apache.spark.sql.Row(
+          p.propertyId, p.propertyName, p.propertyType, p.rawValue)
+      },
+      r.metadata)
 
   /** Pulled records → raw DataFrame in the rawRecordSchema envelope. */
   def toDataFrame(spark: SparkSession, records: Seq[RawRecordRow]): DataFrame = {
-    import org.apache.spark.sql.Row
-    val rows = records.map { r =>
-      Row(r.source, r.entityType, r.databaseId, r.pageId.orNull,
-        r.lastEditedTime.orNull,
-        r.properties.map { case (k, p) =>
-          k -> Row(p.propertyId, p.propertyName, p.propertyType, p.rawValue)
-        },
-        r.metadata)
-    }
+    val rows = records.map(rowOf)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 5000)),
       NotionSchemas.rawRecordSchema)

@@ -71,13 +71,24 @@ object GraftTables {
   }
 
   def unregister(dataDir: String): Unit = tables.remove(canon(dataDir)): Unit
-  def clear(): Unit = tables.clear()
+  def clear(): Unit = { tables.clear(); StatsPruneRule.clearProofCache() }
 
+  /** Single-root lookup — the exact-coverage consumers
+    * ([[MetaAggRule]]) need ONE metadata identity whose stats cover
+    * one listing. */
   private[plans] def lookup(rootPaths: Seq[Path]): Option[Entry] =
     rootPaths match {
       case Seq(one) => Option(tables.get(one.toUri.getPath))
       case _ => None // multi-root scans: no single metadata identity
     }
+
+  /** Every registered entry among a scan's roots — a MULTI-ROOT scan
+    * (`spark.read.parquet(a, b)`) prunes each registered root
+    * independently: an entry's proofs only ever name files its own
+    * stats rows list, so the union of exclusions is sound, and an
+    * unregistered root among the set simply contributes no proofs. */
+  private[plans] def lookupAll(rootPaths: Seq[Path]): Seq[Entry] =
+    rootPaths.flatMap(p => Option(tables.get(p.toUri.getPath))).toSeq
 }
 
 /** A [[FileIndex]] that delegates listing to the scan's original
@@ -118,13 +129,18 @@ case class StatsPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         l.relation match {
           case r: HadoopFsRelation
             if !r.location.isInstanceOf[GraftPrunedFileIndex] =>
-            GraftTables.lookup(r.location.rootPaths) match {
-              case Some(entry) =>
-                val excluded = StatsPruneRule.provablyExcluded(spark, cond, entry)
+            GraftTables.lookupAll(r.location.rootPaths) match {
+              case Seq() => f
+              case entries =>
+                // multi-root scans prune each registered root
+                // independently; exclusion sets union soundly (each
+                // proof names only its own root's files)
+                val excluded = entries
+                  .map(e => StatsPruneRule.provablyExcluded(spark, cond, e))
+                  .reduce(_ ++ _)
                 val pruned = new GraftPrunedFileIndex(r.location, excluded)
                 Filter(cond, l.copy(relation =
                   r.copy(location = pruned)(r.sparkSession)))
-              case None => f
             }
           case _ => f
         }
@@ -239,12 +255,66 @@ object StatsPruneRule extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** VERSION-KEYED proof cache: the planning-time metadata queries
+    * (two collects per registered scan) are re-issued for every plan
+    * of a hot table, so identical proofs memoize. The key carries the
+    * metadata epochs' CURRENT VERSIONS (one cheap FS resolution each,
+    * no Spark job) plus the canonicalized predicate — a commit bumps
+    * the version, which changes the key, so staleness is structural:
+    * a cached entry can only ever be served for the exact epoch it
+    * was proven against (Delta caches its snapshot state the same
+    * way). Bounded LRU; an unresolvable predicate simply skips the
+    * cache. The second identical query on an unchanged table issues
+    * ZERO metadata jobs (PlanSpec-counted). */
+  private val ProofCacheMax = 256
+  private val proofCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Set[String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Set[String]]): Boolean =
+        size() > ProofCacheMax
+    })
+
+  private[plans] def clearProofCache(): Unit = proofCache.clear()
+
+  /** Uncached proof computations (each costs the metadata jobs) —
+    * test-visible, so the cache contract is pinned directly: a cache
+    * hit must leave this untouched. */
+  private[graft] val proofComputations = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def proofKey(spark: SparkSession, cond: Expression,
+                       entry: GraftTables.Entry): Option[String] =
+    try {
+      val sv = entry.statsRoot.map(r =>
+        graft.sinks.VersionedTable.latestVersion(spark, r)).getOrElse(-1L)
+      val bv = entry.bloomRoot.map(r =>
+        graft.sinks.VersionedTable.latestVersion(spark, r)).getOrElse(-1L)
+      // exprIds are fresh per reader instantiation — key on the
+      // id-stripped canonical form so identical predicates from
+      // separate reads of the same table hit the same entry
+      Some(s"${entry.dataDir}|${entry.statsRoot}|$sv|${entry.bloomRoot}|$bv|" +
+        s"${entry.statsCols.mkString(",")}|${entry.bloomKey}|" +
+        cond.canonicalized.toString.replaceAll("#\\d+", ""))
+    } catch { case _: Exception => None }
+
   /** Canonical paths of files the metadata PROVES cannot match
     * `cond`. Any failure (mis-registered roots, schema drift) logs
     * and excludes nothing — pruning is an optimization, never a
     * correctness dependency. */
   private[graft] def provablyExcluded(spark: SparkSession, cond: Expression,
                                       entry: GraftTables.Entry): Set[String] = {
+    val key = proofKey(spark, cond, entry)
+    key.flatMap(k => Option(proofCache.get(k))) match {
+      case Some(hit) => hit
+      case None =>
+        val computed = provablyExcludedUncached(spark, cond, entry)
+        key.foreach(k => proofCache.put(k, computed): Unit)
+        computed
+    }
+  }
+
+  private def provablyExcludedUncached(spark: SparkSession, cond: Expression,
+                                       entry: GraftTables.Entry): Set[String] = {
+    proofComputations.incrementAndGet(): Unit
     StatsPruneRule.inMetadataQuery.set(true)
     try {
       var excluded = Set.empty[String]

@@ -93,11 +93,23 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     (spark, root, version, isManifest)
   }
 
+  /** The `keyCols` option switches the source into CHANGE-FEED mode
+    * ([[GraftChangeFeedTable]]): the streaming diff needs the table's
+    * key, and a snapshot read never does — so the option doubles as
+    * the mode flag, like Delta's `readChangeFeed`. */
+  private def feedKeys(options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("keyCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (spark, root, v, isManifest) = resolve(options)
     resolvedAt.set(Some((root, v)))
-    if (isManifest) graft.sinks.ManifestTable.tableSchema(spark, root, v)
-    else spark.read.parquet(s"$root/epoch=$v").schema
+    val dataSchema =
+      if (isManifest) graft.sinks.ManifestTable.tableSchema(spark, root, v)
+      else spark.read.parquet(s"$root/epoch=$v").schema
+    if (feedKeys(options).isEmpty) dataSchema
+    else GraftChangeFeedTable.feedSchema(dataSchema)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -105,7 +117,9 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     val options = new CaseInsensitiveStringMap(properties)
     val (spark, root, v, isManifest) = resolve(options)
     resolvedAt.remove()
-    new GraftTable(spark, root, v, schema, isManifest)
+    val keys = feedKeys(options)
+    if (keys.isEmpty) new GraftTable(spark, root, v, schema, isManifest)
+    else new GraftChangeFeedTable(spark, root, keys, schema)
   }
 }
 

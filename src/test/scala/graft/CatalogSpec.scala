@@ -18,10 +18,13 @@ class CatalogSpec extends AnyFunSuite {
   private lazy val warehouse = {
     val w = java.nio.file.Files
       .createTempDirectory("graft-warehouse").toString
-    spark.conf.set("spark.sql.catalog.graft",
+    // a spec-private catalog name: the session caches catalog instances
+    // on first use, and the gated q_graft_sql query owns "graft" with
+    // its own warehouse when the full suite runs
+    spark.conf.set("spark.sql.catalog.graftc",
       "graft.sources.v2.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.graft.warehouse", w)
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.conf.set("spark.sql.catalog.graftc.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftc.db")
     w
   }
 
@@ -36,33 +39,33 @@ class CatalogSpec extends AnyFunSuite {
 
   test("managed table lifecycle: CREATE with schema, INSERT INTO, SELECT, overwrite, rename, drop") {
     warehouse: Unit
-    spark.sql("CREATE TABLE graft.db.kv (k BIGINT, v STRING) " +
+    spark.sql("CREATE TABLE graftc.db.kv (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('statsCols' = 'k')")
-    assert(spark.sql("SHOW TABLES IN graft.db").collect()
+    assert(spark.sql("SHOW TABLES IN graftc.db").collect()
       .map(_.getString(1)).contains("kv"))
     // created empty, readable immediately
-    assert(spark.sql("SELECT * FROM graft.db.kv").count() == 0)
-    spark.sql("INSERT INTO graft.db.kv VALUES (1, 'a'), (2, 'b')")
-    spark.sql("INSERT INTO graft.db.kv VALUES (3, 'c')")
-    assert(spark.sql("SELECT * FROM graft.db.kv ORDER BY k")
+    assert(spark.sql("SELECT * FROM graftc.db.kv").count() == 0)
+    spark.sql("INSERT INTO graftc.db.kv VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graftc.db.kv VALUES (3, 'c')")
+    assert(spark.sql("SELECT * FROM graftc.db.kv ORDER BY k")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
     // each INSERT was a real manifest commit: version history exists
     val loc = s"$warehouse/tables/db/kv"
     assert(sinks.ManifestTable.versions(spark, loc) == Seq(0L, 1L, 2L))
     // INSERT OVERWRITE replaces content; history stays travelable
-    spark.sql("INSERT OVERWRITE graft.db.kv VALUES (9, 'z')")
-    assert(spark.sql("SELECT * FROM graft.db.kv").collect()
+    spark.sql("INSERT OVERWRITE graftc.db.kv VALUES (9, 'z')")
+    assert(spark.sql("SELECT * FROM graftc.db.kv").collect()
       .map(_.getLong(0)).toSeq == Seq(9L))
-    assert(spark.sql("SELECT * FROM graft.db.kv VERSION AS OF 2")
+    assert(spark.sql("SELECT * FROM graftc.db.kv VERSION AS OF 2")
       .count() == 3)
     // writeTo append composes with the same commit path
-    Seq((10L, "w")).toDF("k", "v").writeTo("graft.db.kv").append()
-    assert(spark.sql("SELECT * FROM graft.db.kv").count() == 2)
-    spark.sql("ALTER TABLE graft.db.kv RENAME TO graft.db.kv2")
-    assert(spark.sql("SELECT * FROM graft.db.kv2").count() == 2)
-    spark.sql("DROP TABLE graft.db.kv2")
-    assert(!spark.catalog.tableExists("graft.db.kv2"))
+    Seq((10L, "w")).toDF("k", "v").writeTo("graftc.db.kv").append()
+    assert(spark.sql("SELECT * FROM graftc.db.kv").count() == 2)
+    spark.sql("ALTER TABLE graftc.db.kv RENAME TO graftc.db.kv2")
+    assert(spark.sql("SELECT * FROM graftc.db.kv2").count() == 2)
+    spark.sql("DROP TABLE graftc.db.kv2")
+    assert(!spark.catalog.tableExists("graftc.db.kv2"))
     // data survives the descriptor drop (external-style semantics)
     assert(sinks.ManifestTable.read(spark, loc).count() == 2)
   }
@@ -78,9 +81,9 @@ class CatalogSpec extends AnyFunSuite {
       sinks.ManifestTable.create(Seq((1L, "a")).toDF("k", "v"), loc, Seq("k"))
       clock.advance(5000L)
       sinks.ManifestTable.write(Seq((2L, "b")).toDF("k", "v"), loc)
-      spark.sql(s"CREATE TABLE graft.db.adopted USING graft LOCATION '$loc'")
-      assert(spark.sql("SELECT * FROM graft.db.adopted").count() == 2)
-      assert(spark.sql("SELECT * FROM graft.db.adopted VERSION AS OF 0")
+      spark.sql(s"CREATE TABLE graftc.db.adopted USING graft LOCATION '$loc'")
+      assert(spark.sql("SELECT * FROM graftc.db.adopted").count() == 2)
+      assert(spark.sql("SELECT * FROM graftc.db.adopted VERSION AS OF 0")
         .collect().map(_.getLong(0)).toSeq == Seq(1L))
       // TIMESTAMP AS OF resolves through the stamped manifest commits
       // (t = 2s: only version 0, stamped at t=1s, existed)
@@ -88,7 +91,7 @@ class CatalogSpec extends AnyFunSuite {
         .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
         .replace('T', ' ')
       assert(spark.sql(
-        s"SELECT * FROM graft.db.adopted TIMESTAMP AS OF '$t0'")
+        s"SELECT * FROM graftc.db.adopted TIMESTAMP AS OF '$t0'")
         .collect().map(_.getLong(0)).toSeq == Seq(1L))
     } finally sinks.VersionedTable.commitClock = prev
   }
@@ -102,17 +105,17 @@ class CatalogSpec extends AnyFunSuite {
     sinks.ManifestTable.create(
       docs.repartitionByRange(5, col("doc_id"))
         .sortWithinPartitions(col("doc_id")), loc, Seq("doc_id"))
-    spark.sql(s"CREATE TABLE graft.db.pruned USING graft LOCATION '$loc'")
+    spark.sql(s"CREATE TABLE graftc.db.pruned USING graft LOCATION '$loc'")
     // a brand-new session: fresh session state and catalog instances,
     // nothing registered in it beyond the catalog conf itself
     val s2 = spark.newSession()
-    s2.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftCatalog")
-    s2.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+    s2.conf.set("spark.sql.catalog.graftc", "graft.sources.v2.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graftc.warehouse", warehouse)
     plans.GraftTables.clear() // prove the JVM registry plays no part
     val lo = docs.agg(min(col("doc_id"))).head().getLong(0)
     val total = sinks.ManifestTable.filesAt(spark, loc, 0).size
     val q = s2.sql(
-      s"SELECT doc_id FROM graft.db.pruned WHERE doc_id <= ${lo + 2}")
+      s"SELECT doc_id FROM graftc.db.pruned WHERE doc_id <= ${lo + 2}")
     assert(scannedFiles(q) < total,
       s"named-table read in a fresh session must prune (opened all $total)")
     assert(q.collect().map(_.getLong(0)).toSet ==

@@ -666,6 +666,113 @@ class PlanSpec extends AnyFunSuite {
     } finally plans.GraftTables.unregister(lay)
   }
 
+  /** A multi-root scan (`spark.read.parquet(a, b)`) prunes each
+    * REGISTERED root independently — r8 silently lost all skipping on
+    * union reads over registered directories. */
+  test("multi-root scan: each registered root prunes independently, results exact") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: FileSourceScanExec => s.relation.location.inputFiles.length.toLong
+      }.sum
+    }
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-multiroot").toString
+    val (layA, layB) = (s"$base/a", s"$base/b")
+    val half = docs.count() / 2
+    docs.filter(col("doc_id") <= half)
+      .repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.parquet(layA)
+    docs.filter(col("doc_id") > half)
+      .repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.parquet(layB)
+    val (sA, sB) = (s"$base/statsA", s"$base/statsB")
+    sources.FileStats.commitStatsFull(
+      sources.FileStats.collect(spark, layA, Seq("doc_id")), sA)
+    sources.FileStats.commitStatsFull(
+      sources.FileStats.collect(spark, layB, Seq("doc_id")), sB)
+    try {
+      plans.GraftTables.register(layA, Some(sA), Seq("doc_id"))
+      plans.GraftTables.register(layB, Some(sB), Seq("doc_id"))
+      val lo = docs.agg(min(col("doc_id"))).head().getLong(0)
+      // probes the low end of A and nothing of B: B's 4 files must all
+      // prove out, and most of A's too
+      val probe = spark.read.parquet(layA, layB)
+        .filter(col("doc_id") <= lo + 2)
+      val opened = scannedFiles(probe)
+      assert(opened <= 2,
+        s"multi-root read must prune BOTH registered roots, opened $opened/8")
+      assert(probe.select(col("doc_id")).collect().map(_.getLong(0)).toSet ==
+        docs.filter(col("doc_id") <= lo + 2)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+      // one registered + one unregistered root: the registered one
+      // still prunes, the unregistered one keeps everything
+      plans.GraftTables.unregister(layB)
+      val mixed = spark.read.parquet(layA, layB)
+        .filter(col("doc_id") <= lo + 2)
+      val openedMixed = scannedFiles(mixed)
+      assert(openedMixed <= 1 + 4 && openedMixed > opened,
+        s"mixed registration must keep all of B, got $openedMixed")
+      assert(mixed.select(col("doc_id")).collect().map(_.getLong(0)).toSet ==
+        docs.filter(col("doc_id") <= lo + 2)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+    } finally { plans.GraftTables.unregister(layA)
+      plans.GraftTables.unregister(layB) }
+  }
+
+  /** The version-keyed proof cache: planning a hot table twice must
+    * compute the metadata proofs ONCE (the second identical query
+    * issues no metadata job), and a new stats commit must invalidate
+    * structurally (version in the key), with pruning still exact. */
+  test("planning proof cache: second identical query recomputes nothing; a commit invalidates") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val lay = java.nio.file.Files
+      .createTempDirectory("graft-proofcache").toString + "/lay"
+    docs.repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions(col("doc_id")).write.parquet(lay)
+    val statsRoot = java.nio.file.Files
+      .createTempDirectory("graft-proofcache-meta").toString + "/stats"
+    sources.FileStats.commitStatsFull(
+      sources.FileStats.collect(spark, lay, Seq("doc_id")), statsRoot)
+    try {
+      plans.GraftTables.register(lay, Some(statsRoot), Seq("doc_id"))
+      val lo = docs.agg(min(col("doc_id"))).head().getLong(0)
+      def run(): Set[Long] = spark.read.parquet(lay)
+        .filter(col("doc_id") <= lo + 2)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val want = docs.filter(col("doc_id") <= lo + 2)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val c0 = plans.StatsPruneRule.proofComputations.get()
+      assert(run() == want)
+      val c1 = plans.StatsPruneRule.proofComputations.get()
+      assert(c1 > c0, "first plan must compute the proof")
+      assert(run() == want)
+      assert(plans.StatsPruneRule.proofComputations.get() == c1,
+        "the second identical query must be a pure cache hit — zero " +
+          "metadata computations or jobs")
+      // a fresh stats commit (new data appended, then rebuilt stats)
+      // bumps the epoch version: the cache key changes, the proof
+      // recomputes, and pruning stays exact over the grown table
+      docs.filter(col("doc_id") === lo).withColumn("doc_id", col("doc_id") - 1)
+        .repartition(1).write.mode("append").parquet(lay)
+      sources.FileStats.commitStatsFull(
+        sources.FileStats.collect(spark, lay, Seq("doc_id")), statsRoot)
+      val c2 = plans.StatsPruneRule.proofComputations.get()
+      val wantGrown = want + (lo - 1)
+      assert(run() == wantGrown, "post-commit read must see the new row")
+      assert(plans.StatsPruneRule.proofComputations.get() > c2,
+        "a stats commit must invalidate the cached proof")
+    } finally plans.GraftTables.unregister(lay)
+  }
+
   /** Metadata-only aggregates (plans.MetaAggRule): a whole-table
     * COUNT/MIN/MAX over a registered directory must collapse to a
     * LocalRelation at optimization time — no file scan at all — and

@@ -706,4 +706,71 @@ class StreamingSpec extends AnyFunSuite {
       spark, fullRoot, queries.LlmOps.Bm25Terms, k = 10).collect().toSeq
     assert(viaStream == viaBuild)
   }
+
+  /** The streaming change-feed source (`readStream.format("graft")` +
+    * keyCols) driving the medallion hop: a downstream table maintained
+    * PURELY from the stream must equal the source after every run —
+    * bootstrap as I-rows, then version-ranged diffs — and restarting
+    * the stream on the same checkpoint with no new commits must be a
+    * content no-op. Runs against BOTH table layouts. */
+  test("graft change-feed stream: downstream maintained purely from the stream equals the source; restart is idempotent") {
+    Seq("epoch", "manifest").foreach { layout =>
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft-cfs-$layout").toString
+      val src = s"$base/src"; val dst = s"$base/dst"
+      val ckpt = s"$base/ckpt"
+      val docs = sources.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      if (layout == "manifest")
+        sinks.ManifestTable.create(
+          docs.repartitionByRange(4, col("doc_id"))
+            .sortWithinPartitions(col("doc_id")), src, Seq("doc_id"))
+      else sinks.VersionedTable.write(docs, src): Unit
+      def srcNow = if (layout == "manifest")
+        sinks.ManifestTable.read(spark, src)
+      else sinks.VersionedTable.read(spark, src)
+      def hop(): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("keyCols", "doc_id").load(src)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (sinks.VersionedTable.latestVersion(spark, dst) < 0)
+              sinks.VersionedTable.write(
+                df.filter(col("op") =!= "D").drop("op", "seq"), dst): Unit
+            else
+              sinks.VersionedTable.applyCdc(df, dst, Seq("doc_id")): Unit
+          }
+          .start()
+        q.awaitTermination()
+      }
+      def same(tag: String): Unit = {
+        val s = srcNow; val d = sinks.VersionedTable.read(spark, dst)
+        assert(d.exceptAll(s).isEmpty && s.exceptAll(d).isEmpty,
+          s"[$layout/$tag] downstream must equal the source")
+      }
+      hop(); same("bootstrap")
+      // the source evolves: an upsert and a delete, each its own commit
+      val k = docs.agg(min(col("doc_id"))).head().getLong(0)
+      val upd = docs.filter(col("doc_id") === k)
+        .withColumn("lang", lit("zz"))
+      if (layout == "manifest") {
+        sinks.ManifestTable.merge(upd, src, Seq("doc_id"))
+        sinks.ManifestTable.deleteWhere(spark, src, col("doc_id") === k + 3)
+      } else {
+        sinks.VersionedTable.merge(upd, src, Seq("doc_id"))
+        sinks.VersionedTable.deleteWhere(spark, src, col("doc_id") === k + 3)
+      }
+      hop(); same("incremental")
+      assert(sinks.VersionedTable.read(spark, dst)
+        .filter(col("doc_id") === k).select(col("lang"))
+        .head().getString(0) == "zz")
+      // restart with no new commits: nothing re-delivered, content fixed
+      val versionsBefore = sinks.VersionedTable.versions(spark, dst).size
+      hop(); same("restart")
+      assert(sinks.VersionedTable.versions(spark, dst).size == versionsBefore,
+        s"[$layout] an up-to-date restart must deliver no batch")
+    }
+  }
 }
