@@ -165,19 +165,35 @@ object ManifestTable {
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         manifestSchema(df.schema, stats))
+    // stats come from parquet FOOTERS when every tracked column's type
+    // records them — |files| metadata reads, NOT a second scan of the
+    // data just written (the landing was already one full write; at
+    // scale the re-scan would double every commit's I/O). Unsupported
+    // types fall back to the exact re-scan; footer "unknown" cells
+    // land as NULL, which every consumer treats as
+    // can't-prove-anything (pruning keeps, touched-file search
+    // rewrites) — sound either way.
+    val footersOk = stats.nonEmpty &&
+      stats.forall(c => graft.sources.FooterStats.supported(df.schema(c).dataType))
     val collected =
-      if (stats.isEmpty)
+      if (footersOk) {
+        val files = sizes.select(col("path")).collect().map(_.getString(0)).toSeq
+        graft.sources.FileStats.collectFooters(spark, files, df.schema, stats)
+      } else if (stats.isEmpty)
         spark.read.parquet(dir).groupBy(input_file_name().as("path"))
           .agg(count(lit(1)).as("row_count"))
       else graft.sources.FileStats.collect(spark, dir, stats)
     // canonical path identity on both sides (listFiles emits
-    // toUri.getPath; input_file_name emits a scheme'd URI); zero-row
-    // write partitions produce no stats group, so the inner join is
-    // also the empty-file filter — such files stay on disk,
-    // unreferenced, until vacuum's TTL sweep
+    // toUri.getPath; input_file_name emits a scheme'd URI; footer rows
+    // carry the listing's own paths); zero-row write partitions
+    // produce no stats group, so the inner join is also the empty-file
+    // filter — such files stay on disk, unreferenced, until vacuum's
+    // TTL sweep
     val withCanon = collected.withColumn("path",
       regexp_replace(col("path"), "^[a-zA-Z0-9+.-]+:/+", "/"))
-    sizes.join(withCanon, Seq("path"))
+    // footer rows surface 0-row files (an empty replacement write);
+    // they never enter the manifest
+    sizes.join(withCanon, Seq("path")).filter(col("row_count") > 0)
   }
 
   /** Schema sidecar writer for a manifest epoch's staging hook. */
@@ -240,13 +256,22 @@ object ManifestTable {
     * schema sidecar re-stages each attempt. */
   private def commitLoop(spark: SparkSession, root: String,
                          maxAttempts: Int = 12)
-                        (next: Long => DataFrame): Long = {
+                        (next: Long => DataFrame): Long =
+    commitLoopEvolving(spark, root, maxAttempts)(base =>
+      (next(base), tableSchema(spark, root, base)))
+
+  /** [[commitLoop]] where the next version may also commit a WIDER
+    * schema sidecar (additive evolution — schema-on-read serves old
+    * files' missing columns as NULL, so no data rewrites). */
+  private def commitLoopEvolving(spark: SparkSession, root: String,
+                                 maxAttempts: Int = 12)
+                                (next: Long => (DataFrame, StructType)): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(spark, root)
       require(base >= 0, s"manifest table at $root has no committed version")
-      val schema = tableSchema(spark, root, base)
-      VersionedTable.tryCommitAs(next(base), manifestsRoot(root), base,
+      val (rows, schema) = next(base)
+      VersionedTable.tryCommitAs(rows, manifestsRoot(root), base,
         stageSchema(spark, root, schema)) match {
         case Some(v) => return v
         case None    => attempt += 1
@@ -287,15 +312,31 @@ object ManifestTable {
     * semantics as [[VersionedTable.merge]] (matched keys replaced,
     * unmatched insert, strict schema, in-batch duplicate keys are the
     * caller's contract). Returns the committed version. */
-  def merge(updates: DataFrame, root: String, keyCols: Seq[String]): Long = {
+  def merge(updates: DataFrame, root: String, keyCols: Seq[String]): Long =
+    merge(updates, root, keyCols, evolveSchema = false)
+
+  /** MERGE with optional ADDITIVE schema evolution — and here the
+    * manifest representation earns its keep: an evolved-in column
+    * needs NO data rewrite at all for untouched files, because the
+    * next manifest just commits a WIDER schema sidecar and
+    * schema-on-read serves the old files' missing column as NULL.
+    * Only the key-touched files rewrite, exactly as in the strict
+    * path. A batch may carry NEW columns (existing rows read NULL
+    * there) or OMIT existing ones (the update rows land NULL); the
+    * next version's schema is base-order ++ new columns. The default
+    * stays strict ([[VersionedTable.merge]]'s rationale verbatim). */
+  def merge(updates: DataFrame, root: String, keyCols: Seq[String],
+            evolveSchema: Boolean): Long = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     val spark = updates.sparkSession
     require(keyCols.forall(updates.columns.contains),
       s"update batch is missing key columns: " +
         keyCols.filterNot(updates.columns.contains).mkString(", "))
-    rewriteTouched(spark, root, updates, keyCols) { (touchedRows, upd) =>
-      touchedRows.join(upd.select(keyCols.map(col): _*).distinct(),
-        keyCols, "left_anti").unionByName(upd)
+    rewriteTouched(spark, root, updates, keyCols, evolveSchema) {
+      (touchedRows, upd) =>
+        touchedRows.join(upd.select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_anti")
+          .unionByName(upd, allowMissingColumns = evolveSchema)
     }
   }
 
@@ -325,12 +366,21 @@ object ManifestTable {
     * base+1. Conflicts recompute from scratch against the new base —
     * including the touched-file set, which may differ. */
   private def rewriteTouched(spark: SparkSession, root: String,
-                             batch: DataFrame, keyCols: Seq[String])
+                             batch: DataFrame, keyCols: Seq[String],
+                             evolve: Boolean = false)
                             (rewrite: (DataFrame, DataFrame) => DataFrame): Long =
-    commitLoop(spark, root) { base =>
+    commitLoopEvolving(spark, root) { base =>
       val m = manifest(spark, root, base)
-      val schema = tableSchema(spark, root, base)
+      val baseSchema = tableSchema(spark, root, base)
       val stats = statsCols(spark, root, base)
+      // additive evolution: the next version's schema is base-order ++
+      // the batch's new columns; touched files read through the NEW
+      // schema (absent columns surface as NULL — parquet by-name)
+      val schema =
+        if (!evolve) baseSchema
+        else StructType(baseSchema.fields ++
+          batch.schema.fields.filterNot(f =>
+            baseSchema.fieldNames.contains(f.name)))
       val cols = schema.fieldNames.toSeq
       val keys = batch.select(keyCols.map(col): _*).distinct()
       val touched = touchedPaths(m, keys, keyCols)
@@ -344,7 +394,7 @@ object ManifestTable {
       val replacement = rewrite(touchedRows, batch)
         .select(cols.map(col): _*)
       val newRows = landFiles(replacement, root, stats)
-      m.filter(!col("path").isin(touched: _*)).unionByName(newRows)
+      (m.filter(!col("path").isin(touched: _*)).unionByName(newRows), schema)
     }
 
   /** Row-level DELETE, file-granular: the predicate's range conjuncts
@@ -409,6 +459,131 @@ object ManifestTable {
           .sortWithinPartitions(sortCols.map(col): _*)
       landFiles(laid, root, statsCols(spark, root, base))
     }
+  }
+
+  /** INCREMENTAL optimize — maintenance cost ∝ the DEGRADED subset,
+    * never the table (the 100 TB maintenance shape; [[optimize]] is
+    * the legitimate-full-cost re-lay). Selection is METADATA-ONLY
+    * over the manifest rows:
+    *
+    *   - SMALL files (`size < smallFileBytes`) — the log-structured
+    *     append debris; compacted when at least two exist.
+    *   - WIDE files (with `sortCols` on tracked NUMERIC/date/
+    *     timestamp columns): per-file envelope-width geomean over the
+    *     sort columns exceeding `wideFactor` × the population MEDIAN
+    *     — appends that span the clustering domain and erode
+    *     skipping; the median baseline self-calibrates against the
+    *     domain's own scale. Files with UNKNOWN envelopes on a sort
+    *     column are selected too: they are useless for pruning until
+    *     rewritten with fresh stats.
+    *
+    * Selected files re-lay among themselves (range+sort when
+    * `sortCols` given, plain compaction otherwise) into
+    * `ceil(bytes/targetFileBytes)` files; every other file carries
+    * forward BY REFERENCE. Returns None when nothing qualifies — the
+    * no-op proof a second pass must hit. */
+  def optimizeIncremental(spark: SparkSession, root: String,
+                          sortCols: Seq[String] = Nil,
+                          smallFileBytes: Long = 32L << 20,
+                          targetFileBytes: Long = 128L << 20,
+                          wideFactor: Double = 4.0): Option[Long] = {
+    require(wideFactor > 1.0, "wideFactor must exceed 1")
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"manifest table at $root has no committed version")
+    val schema = tableSchema(spark, root, base)
+    val stats = statsCols(spark, root, base)
+    val widthCols = sortCols.filter { c =>
+      stats.contains(c) && (schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      })
+    }
+    val m = manifest(spark, root, base)
+    // per-file (path, size, envelope geomean | NULL unknown) — one
+    // metadata-scale collect
+    val widthExpr =
+      if (widthCols.isEmpty) lit(null).cast("double")
+      else widthCols.map { c =>
+        log(greatest(
+          col(s"${c}_max").cast("double") - col(s"${c}_min").cast("double"),
+          lit(1e-12)))
+      }.reduce(_ + _) / widthCols.size
+    val rows = m.select(col("path"), col("size"),
+        widthExpr.as("logw"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val small = rows.filter(_._2 < smallFileBytes).map(_._1).toSet
+    val wide: Set[String] =
+      if (widthCols.isEmpty) Set.empty
+      else {
+        val known = rows.flatMap(r => r._3.map(w => (r._1, w)))
+        if (known.isEmpty) rows.map(_._1).toSet // all unknown: refresh all
+        else {
+          val sorted = known.map(_._2).sorted
+          val median = sorted(sorted.length / 2)
+          val unknown = rows.filter(_._3.isEmpty).map(_._1).toSet
+          known.filter(_._2 > median + math.log(wideFactor))
+            .map(_._1).toSet ++ unknown
+        }
+      }
+    val selected =
+      (if (small.size >= 2) small else Set.empty[String]) ++ wide
+    if (selected.isEmpty) return None
+    val selectedSeq = selected.toSeq.sorted
+    val bytes = rows.filter(r => selected.contains(r._1)).map(_._2).sum
+    // output file count must CONVERGE: enough range splits that each
+    // output envelope lands back under the wide threshold (union
+    // width / k ≤ wideFactor × median, with 2× margin for non-uniform
+    // data), else a full-domain append would re-qualify every pass
+    val byBytes = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    val byWidth: Long =
+      if (widthCols.isEmpty) 1L
+      else {
+        val knownLogw = rows.flatMap(_._3)
+        if (knownLogw.isEmpty) 1L
+        else {
+          // union envelope of the SELECTED files only (narrow small
+          // files must not inherit the table's domain width, or their
+          // compaction would over-split forever)
+          val sel = m.filter(col("path").isin(selectedSeq: _*))
+          val unionLogw = widthCols.map { c =>
+            val r = sel.agg(max(col(s"${c}_max").cast("double")),
+              min(col(s"${c}_min").cast("double"))).head()
+            if (r.isNullAt(0) || r.isNullAt(1)) 0.0
+            else math.log(math.max(r.getDouble(0) - r.getDouble(1), 1e-12))
+          }.sum / widthCols.size
+          val sortedW = knownLogw.sorted
+          val medianLogw = sortedW(sortedW.length / 2)
+          math.max(1L, math.ceil(
+            2.0 * math.exp(unionLogw - medianLogw) / wideFactor).toLong)
+        }
+      }
+    val nFiles = math.min(4096L, math.max(byBytes, byWidth)).toInt
+    // a small-only pass that cannot CONSOLIDATE (outputs ≥ inputs)
+    // would churn versions forever — that is a no-op, not an optimize
+    if (wide.isEmpty && nFiles >= selected.size) return None
+    Some(commitLoop(spark, root) { b =>
+      // recompute against the CURRENT base on conflict: a selected
+      // file may have been rewritten away — re-intersect with b's
+      // manifest so only still-live files rewrite
+      val mb = manifest(spark, root, b)
+      val live = filesAt(spark, root, b).toSet
+      val todo = selectedSeq.filter(live.contains)
+      val rowsIn =
+        if (todo.isEmpty)
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else spark.read.schema(schema).parquet(todo: _*)
+      val laid =
+        if (sortCols.isEmpty) rowsIn.repartition(nFiles)
+        else rowsIn.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      mb.filter(!col("path").isin(todo: _*))
+        .unionByName(landFiles(laid, root, stats))
+    })
   }
 
   /** Refcount-aware vacuum: drop manifest epochs beyond the newest

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * never as a partial fold. See [[FileStats.collectFooters]] for the
   * contract; this object holds only the serializable task-side logic.
   */
-private[sources] object FooterStats {
+private[graft] object FooterStats {
 
   def supported(dt: DataType): Boolean = dt match {
     case BooleanType | IntegerType | LongType | FloatType | DoubleType |

@@ -60,7 +60,8 @@ final class GraftChangeFeedTable(spark: SparkSession, root: String,
       override def readSchema(): StructType = feedSchema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new GraftChangeFeedStream(spark, root, keyCols, feedSchema,
-          checkpointLocation)
+          checkpointLocation,
+          Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
     }
 }
 
@@ -108,8 +109,20 @@ object GraftDelegatingReaderFactory extends PartitionReaderFactory {
 final class GraftChangeFeedStream(spark: SparkSession, root: String,
                                   keyCols: Seq[String],
                                   feedSchema: StructType,
-                                  checkpointLocation: String)
-  extends MicroBatchStream {
+                                  checkpointLocation: String,
+                                  maxVersionsPerTrigger: Option[Long] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow snapshot: without native support Spark
+    * wraps the stream and the wrapper's latestOffset bypasses the
+    * inner admission control — one giant catch-up batch. Supporting
+    * the trigger natively keeps `maxVersionsPerTrigger` honored while
+    * the run still stops at the versions available at start. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(currentVersion)
 
   private val isManifest = graft.sinks.ManifestTable.exists(spark, root)
 
@@ -130,6 +143,27 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
   override def initialOffset(): Offset = GraftVersionOffset(-1L)
 
   override def latestOffset(): Offset = GraftVersionOffset(currentVersion)
+
+  /** Admission control — `maxVersionsPerTrigger` caps how many table
+    * versions one micro-batch may span (the Delta `maxFilesPerTrigger`
+    * shape: bound per-batch diff cost on a backlogged stream instead
+    * of one giant catch-up batch). The bootstrap batch (start = -1)
+    * is always a single version. */
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val cur = availableNowCap.getOrElse(currentVersion)
+    val from = GraftVersionOffset.parse(start.json()).version
+    maxVersionsPerTrigger match {
+      case Some(m) if from < 0L => GraftVersionOffset(math.min(cur, 0L + (m - 1)))
+      case Some(m) => GraftVersionOffset(math.min(cur, from + m))
+      case None => GraftVersionOffset(cur)
+    }
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset.parse(json)

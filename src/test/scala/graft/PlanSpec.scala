@@ -666,6 +666,19 @@ class PlanSpec extends AnyFunSuite {
     } finally plans.GraftTables.unregister(lay)
   }
 
+  /** The catalog SQL path must lose nothing to the indirection: the
+    * named-table read plans as the delegated DSv2 parquet scan with
+    * the range predicate PUSHED, no UDFs anywhere. */
+  test("catalog SQL plan: delegated BatchScan with the filter pushed down") {
+    val p = plan("q_graft_sql")
+    assert(p.contains("BatchScan"),
+      s"named-table read must plan as the DSv2 scan:\n$p")
+    assert(p.contains("LessThan(doc_id,500)"),
+      s"the SQL WHERE must reach the parquet scan as a pushed filter:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("batchevalpython"),
+      s"no UDF fallback in the catalog path:\n$p")
+  }
+
   /** A multi-root scan (`spark.read.parquet(a, b)`) prunes each
     * REGISTERED root independently — r8 silently lost all skipping on
     * union reads over registered directories. */

@@ -1051,6 +1051,104 @@ class SinksSpec extends AnyFunSuite {
       "pruning must be invisible in results")
   }
 
+  test("manifest merge schema evolution: wider sidecar, NO untouched-file rewrites, strict mode refuses") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-evolve").toString + "/t"
+    ManifestTable.create(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+        .repartitionByRange(3, col("k")).sortWithinPartitions(col("k")),
+      root, Seq("k"))
+    val files0 = ManifestTable.filesAt(spark, root, 0).toSet
+    // strict mode refuses a widened batch
+    intercept[Exception] {
+      ManifestTable.merge(
+        Seq((1L, "a2", 9L)).toDF("k", "v", "w"), root, Seq("k"))
+    }
+    // evolving merge: new column w, only key-1's file rewrites — the
+    // other files carry BY REFERENCE and serve w as NULL on read
+    val v1 = ManifestTable.merge(
+      Seq((1L, "a2", 9L)).toDF("k", "v", "w"), root, Seq("k"),
+      evolveSchema = true)
+    val files1 = ManifestTable.filesAt(spark, root, v1).toSet
+    assert(files0.intersect(files1).size == files0.size - 1,
+      "schema evolution must not rewrite untouched files")
+    val got = ManifestTable.read(spark, root)
+      .orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2))))
+      .toSeq
+    assert(got == Seq((1L, "a2", 9L: java.lang.Long),
+      (2L, "b", null), (3L, "c", null)),
+      s"evolved read must fill absent columns with NULL, got $got")
+    assert(ManifestTable.tableSchema(spark, root, v1).fieldNames.toSeq ==
+      Seq("k", "v", "w"))
+    // a batch OMITTING an existing column lands NULL there
+    val v2 = ManifestTable.merge(
+      Seq((4L, 44L)).toDF("k", "w"), root, Seq("k"), evolveSchema = true)
+    val r4 = ManifestTable.read(spark, root).filter(col("k") === 4L).head()
+    assert(r4.isNullAt(1) && r4.getLong(2) == 44L)
+    // old versions keep their own (narrower) schema
+    assert(ManifestTable.readVersion(spark, root, 0)
+      .schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(v2 == v1 + 1)
+  }
+
+  test("manifest incremental optimize: rewrites only degraded files, clean files survive by name, second pass no-op") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-optinc").toString + "/t"
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    ManifestTable.create(
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root, Seq("doc_id"))
+    val clean = ManifestTable.filesAt(spark, root, 0).toSet
+    // two appends whose rows SPAN the doc_id domain: their envelopes
+    // are ~the whole domain while the clean files' are ~1/8 of it
+    val sprayA = docs.filter(col("doc_id") % 17 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L).coalesce(1)
+    val sprayB = docs.filter(col("doc_id") % 19 === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000L).coalesce(1)
+    // ids beyond the clean range would make width selection trivial —
+    // map them back INTO the clean domain instead
+    def intoDomain(df: org.apache.spark.sql.DataFrame) = {
+      val hi = docs.agg(max(col("doc_id"))).head().getLong(0)
+      df.withColumn("doc_id", pmod(col("doc_id") * 2654435761L, lit(hi + 1)))
+    }
+    ManifestTable.write(intoDomain(sprayA), root)
+    ManifestTable.write(intoDomain(sprayB), root)
+    val appended = ManifestTable.filesAt(spark, root, 2).toSet -- clean
+    assert(appended.nonEmpty)
+    val before = ManifestTable.read(spark, root)
+      .orderBy(col("doc_id"), col("lang"), col("n_chars")).collect().toSeq
+    // selection is the appended wide files ONLY (small-selection off)
+    val v = ManifestTable.optimizeIncremental(spark, root,
+      sortCols = Seq("doc_id"), smallFileBytes = 1L)
+    assert(v.nonEmpty, "degraded appends must be selected")
+    val after = ManifestTable.filesAt(spark, root, v.get).toSet
+    assert(clean.subsetOf(after),
+      "clean clustered files must survive BY NAME — cost ∝ degraded subset")
+    assert((appended -- after) == appended, "degraded files must be rewritten")
+    assert(ManifestTable.read(spark, root)
+      .orderBy(col("doc_id"), col("lang"), col("n_chars")).collect().toSeq == before,
+      "optimize must preserve content exactly")
+    // convergence: the re-laid output is no longer degraded
+    assert(ManifestTable.optimizeIncremental(spark, root,
+      sortCols = Seq("doc_id"), smallFileBytes = 1L).isEmpty,
+      "second pass must be a no-op")
+    // small-file compaction: tiny appends consolidate, count shrinks
+    ManifestTable.write(docs.filter(col("doc_id") % 31 === 0).coalesce(1), root)
+    ManifestTable.write(docs.filter(col("doc_id") % 37 === 0).coalesce(1), root)
+    val preCompact = ManifestTable.filesAt(spark, root,
+      ManifestTable.latestVersion(spark, root)).size
+    val v2 = ManifestTable.optimizeIncremental(spark, root,
+      sortCols = Seq("doc_id"), smallFileBytes = 64L << 20)
+    assert(v2.nonEmpty, "small files must compact")
+    assert(ManifestTable.filesAt(spark, root, v2.get).size < preCompact,
+      "compaction must reduce the file count")
+  }
+
   test("manifest table: racing appends and disjoint merges all commit; no lost update") {
     import sinks.ManifestTable
     val root = java.nio.file.Files

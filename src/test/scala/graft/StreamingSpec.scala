@@ -707,6 +707,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaStream == viaBuild)
   }
 
+  /** Admission control on the change-feed stream: a backlogged table
+    * catches up in BOUNDED batches (maxVersionsPerTrigger) instead of
+    * one giant diff — batch count and content both pinned. */
+  test("graft change-feed stream: maxVersionsPerTrigger bounds each batch; catch-up content exact") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cfs-throttle").toString
+    val src = s"$base/src"; val dst = s"$base/dst"
+    sinks.VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), src)
+    sinks.VersionedTable.merge(Seq((2L, "b")).toDF("k", "v"), src, Seq("k"))
+    sinks.VersionedTable.merge(Seq((3L, "c")).toDF("k", "v"), src, Seq("k"))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.format("graft")
+      .option("keyCols", "k").option("maxVersionsPerTrigger", 1)
+      .load(src)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet(): Unit
+        if (sinks.VersionedTable.latestVersion(spark, dst) < 0)
+          sinks.VersionedTable.write(
+            df.filter(col("op") =!= "D").drop("op", "seq"), dst): Unit
+        else sinks.VersionedTable.applyCdc(df, dst, Seq("k")): Unit
+      }
+      .start()
+    q.awaitTermination()
+    assert(batches.get() == 3,
+      s"3 versions at 1/trigger must arrive as 3 batches, got ${batches.get()}")
+    val got = sinks.VersionedTable.read(spark, dst)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   /** The streaming change-feed source (`readStream.format("graft")` +
     * keyCols) driving the medallion hop: a downstream table maintained
     * PURELY from the stream must equal the source after every run —
