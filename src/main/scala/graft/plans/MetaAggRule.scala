@@ -42,29 +42,70 @@ import org.apache.spark.sql.functions.{col, lit, max, min, sum, when}
   */
 case class MetaAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  /** Where the metadata answer comes from: a registered plain-parquet
+    * directory's external stats epoch (coverage must be PROVEN
+    * against the scan's live listing), or a manifest-table snapshot
+    * (`format("graft")` / catalog reads) whose manifest IS the
+    * listing — coverage is structural there, no proof query needed. */
+  private sealed trait MetaSource {
+    def statsCols: Seq[String]
+    def stats(): org.apache.spark.sql.DataFrame
+    def covered(): Boolean
+  }
+  private final case class FsSource(rel: HadoopFsRelation,
+                                    entry: GraftTables.Entry) extends MetaSource {
+    def statsCols: Seq[String] = entry.statsCols
+    def stats(): org.apache.spark.sql.DataFrame =
+      graft.sources.FileStats.readStats(spark, entry.statsRoot.get)
+    def covered(): Boolean = {
+      // proof of coverage: stats paths == the scan's OWN live listing,
+      // each exactly once (metadata scale on both sides)
+      val statPaths = stats().select(col("path")).collect()
+        .map(r => GraftTables.canon(r.getString(0)))
+      val live = rel.location.inputFiles.map(p => GraftTables.canon(p))
+      statPaths.length == statPaths.distinct.length &&
+        statPaths.toSet == live.toSet
+    }
+  }
+  private final case class ManifestSource(root: String, version: Long)
+    extends MetaSource {
+    private lazy val frame =
+      graft.sinks.ManifestTable.manifest(spark, root, version)
+    lazy val statsCols: Seq[String] = frame.schema.fieldNames.toSeq
+      .filter(_.endsWith("_min")).map(_.stripSuffix("_min"))
+    def stats(): org.apache.spark.sql.DataFrame = frame
+    def covered(): Boolean = true // the manifest IS the listing
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (StatsPruneRule.inMetadataQuery.get()) plan
     else plan.transformDown {
       case agg @ Aggregate(Nil, aggExprs, child, _) =>
         bareRelation(child) match {
-          case Some(rel) if !rel.location.isInstanceOf[GraftPrunedFileIndex] =>
-            GraftTables.lookup(rel.location.rootPaths) match {
-              case Some(entry) if entry.statsRoot.nonEmpty =>
-                tryAnswer(agg, aggExprs, rel, entry).getOrElse(agg)
-              case _ => agg
-            }
-          case _ => agg
+          case Some(src) => tryAnswer(agg, aggExprs, src).getOrElse(agg)
+          case None => agg
         }
     }
 
   /** The scan under the aggregate, seen through at most a pruning
     * Project of plain attributes (what column pruning inserts). Any
     * Filter, join, or computed projection disqualifies. */
-  private def bareRelation(p: LogicalPlan): Option[HadoopFsRelation] = p match {
+  private def bareRelation(p: LogicalPlan): Option[MetaSource] = p match {
     case l: LogicalRelation => l.relation match {
-      case r: HadoopFsRelation => Some(r)
+      case r: HadoopFsRelation if !r.location.isInstanceOf[GraftPrunedFileIndex] =>
+        GraftTables.lookup(r.location.rootPaths) match {
+          case Some(entry) if entry.statsRoot.nonEmpty =>
+            Some(FsSource(r, entry))
+          case _ => None
+        }
       case _ => None
     }
+    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      d.table match {
+        case t: graft.sources.v2.GraftTable =>
+          t.manifestInfo.map { case (root, v) => ManifestSource(root, v) }
+        case _ => None
+      }
     case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
       bareRelation(child)
     case _ => None
@@ -73,8 +114,8 @@ case class MetaAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Either Some(LocalRelation answer) or None when any aggregate
     * shape or metadata proof fails. */
   private def tryAnswer(agg: Aggregate, aggExprs: Seq[NamedExpression],
-                        rel: HadoopFsRelation,
-                        entry: GraftTables.Entry): Option[LogicalPlan] = {
+                        source: MetaSource): Option[LogicalPlan] = {
+    val entry = source // shape checks below read the tracked columns
     // every output must be a supported, unfiltered, non-distinct
     // aggregate (or a literal riding along)
     sealed trait Need
@@ -104,16 +145,8 @@ case class MetaAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     StatsPruneRule.inMetadataQuery.set(true)
     try {
-      val stats = graft.sources.FileStats.readStats(spark, entry.statsRoot.get)
-      // proof of coverage: stats paths == the scan's OWN live listing,
-      // each exactly once (metadata scale on both sides)
-      val statPaths = stats.select(col("path")).collect()
-        .map(r => GraftTables.canon(r.getString(0)))
-      val live = rel.location.inputFiles
-        .map(p => GraftTables.canon(p))
-      if (statPaths.length != statPaths.distinct.length) return None
-      if (statPaths.toSet != live.toSet) return None
-
+      if (!source.covered()) return None
+      val stats = source.stats()
       val wanted = needs.flatten.distinct.filter(!_.isInstanceOf[NLit])
       val cols = wanted.map {
         case NRows => sum(col("row_count")).as("_n_rows")
@@ -174,7 +207,7 @@ case class MetaAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Seq(InternalRow.fromSeq(values)), isStreaming = false))
     } catch {
       case e: Exception =>
-        logWarning(s"graft metadata aggregate skipped for ${entry.dataDir}: $e")
+        logWarning(s"graft metadata aggregate skipped for $source: $e")
         None
     } finally StatsPruneRule.inMetadataQuery.set(false)
   }

@@ -250,6 +250,34 @@ object ManifestTable {
     commitLoop(spark, root)(_ => rows)
   }
 
+  /** Stream-idempotent append — [[VersionedTable.writeBatch]] for the
+    * manifest format: the producing micro-batch id commits atomically
+    * with the manifest version, and a batch id at or below the
+    * current version's marker is a no-op — which is exactly the
+    * foreachBatch redelivery case after a restart. Cost ∝ batch (the
+    * manifest-append grain), so a streaming ingest into a 100 TB
+    * table stays per-batch work. Returns None on a detected replay. */
+  def writeBatch(df: DataFrame, root: String, batchId: Long): Option[Long] = {
+    val spark = df.sparkSession
+    if (batchId <= VersionedTable.lastAppliedBatch(spark, manifestsRoot(root)))
+      None
+    else {
+      val v = latestVersion(spark, root)
+      require(v >= 0, s"manifest table at $root does not exist — create() first")
+      val schema = tableSchema(spark, root, v)
+      require(df.columns.sorted.sameElements(schema.fieldNames.sorted),
+        s"append schema ${df.columns.sorted.mkString(",")} != table " +
+          s"schema ${schema.fieldNames.sorted.mkString(",")}")
+      val rows = landFiles(df.select(schema.fieldNames.map(col).toSeq: _*),
+        root, statsCols(spark, root, v))
+      Some(commitLoopEvolving(spark, root, extraStage =
+        VersionedTable.stampBatch(spark, manifestsRoot(root), batchId)) {
+        base => (manifest(spark, root, base).unionByName(rows),
+          tableSchema(spark, root, base))
+      })
+    }
+  }
+
   /** Optimistic manifest-swap loop — the [[VersionedTable]] rewrite
     * loop over manifests: compute the next manifest AGAINST a pinned
     * base version, commit only as base+1; on conflict recompute. The
@@ -262,9 +290,11 @@ object ManifestTable {
 
   /** [[commitLoop]] where the next version may also commit a WIDER
     * schema sidecar (additive evolution — schema-on-read serves old
-    * files' missing columns as NULL, so no data rewrites). */
+    * files' missing columns as NULL, so no data rewrites) and extra
+    * staged sidecars (the batch-id replay marker). */
   private def commitLoopEvolving(spark: SparkSession, root: String,
-                                 maxAttempts: Int = 12)
+                                 maxAttempts: Int = 12,
+                                 extraStage: String => Unit = _ => ())
                                 (next: Long => (DataFrame, StructType)): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -272,7 +302,7 @@ object ManifestTable {
       require(base >= 0, s"manifest table at $root has no committed version")
       val (rows, schema) = next(base)
       VersionedTable.tryCommitAs(rows, manifestsRoot(root), base,
-        stageSchema(spark, root, schema)) match {
+        dir => { stageSchema(spark, root, schema)(dir); extraStage(dir) }) match {
         case Some(v) => return v
         case None    => attempt += 1
       }
@@ -447,14 +477,19 @@ object ManifestTable {
     * or re-clustering); content identical, all files replaced — the
     * one operation that is legitimately cost ∝ table. */
   def optimize(spark: SparkSession, root: String,
-               sortCols: Seq[String] = Nil, numFiles: Int = 16): Long = {
+               sortCols: Seq[String] = Nil, numFiles: Int = 16,
+               hilbert: Boolean = false): Long = {
     require(numFiles >= 1, "numFiles must be >= 1")
+    require(!hilbert || sortCols.size >= 2,
+      "hilbert clustering needs at least two columns")
     commitLoop(spark, root) { base =>
       // re-lay BASE's rows (not a floating `current` — a conflict
       // recomputes against the new base, so no commit is ever lost)
       val cur = readVersion(spark, root, base)
       val laid =
-        if (sortCols.isEmpty) cur.repartition(numFiles)
+        if (hilbert) // N-dim skipping: the shared equi-depth Hilbert layout
+          ParquetSink.clusterByCurve(cur, sortCols, numFiles)
+        else if (sortCols.isEmpty) cur.repartition(numFiles)
         else cur.repartitionByRange(numFiles, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       landFiles(laid, root, statsCols(spark, root, base))

@@ -241,9 +241,22 @@ object ParquetSink {
     * range-id granularity); explicit `bits` is honored up to 12 so
     * the boundary arrays stay driver-trivial. */
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
-                    numFiles: Int, bits: Int): Unit = {
+                    numFiles: Int, bits: Int): Unit =
+    clusterByCurve(df, cols, numFiles, bits)
+      .write.mode("overwrite").parquet(path)
+
+  /** The N-column Hilbert layout as a pure TRANSFORM — the returned
+    * frame, written by ANY sink, lands curve-clustered files (shared
+    * by [[writeZOrdered]] and [[graft.sinks.ManifestTable.optimize]]'s
+    * curve mode, so the manifest format gets the identical
+    * multi-dimensional skipping story). Same machinery as always:
+    * equi-depth bucketization from one shared approxQuantile pass,
+    * the codegen Hilbert index of the bucket grid as the range/sort
+    * key, density-aware auto bit-width. */
+  def clusterByCurve(df: DataFrame, cols: Seq[String],
+                     numFiles: Int, bits: Int = 0): DataFrame = {
     require(numFiles >= 1, "numFiles must be >= 1")
-    require(cols.size >= 2, "writeZOrdered needs at least two columns")
+    require(cols.size >= 2, "curve clustering needs at least two columns")
     require(bits <= 12, s"equi-depth z-order supports at most 12 bits/dim (got $bits)")
     val b =
       if (bits > 0) bits
@@ -266,7 +279,10 @@ object ParquetSink {
     graft.functions.Hilbert.ensureRegistered(df.sparkSession)
     val key = org.apache.spark.sql.functions.call_function(
       "hilbert_index", lit(b) +: bucketCols.map(col): _*)
-    writeByKey(withBuckets, path, key, numFiles, drop = bucketCols)
+    withBuckets.withColumn("_zv", key)
+      .repartitionByRange(numFiles, col("_zv"))
+      .sortWithinPartitions(col("_zv"))
+      .drop("_zv" +: bucketCols: _*)
   }
 
   /** Curve-aware OPTIMIZE for a flat clustered directory: re-cluster

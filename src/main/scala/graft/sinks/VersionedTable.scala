@@ -228,12 +228,18 @@ object VersionedTable {
     * on a detected replay. */
   def writeBatch(df: DataFrame, root: String, batchId: Long): Option[Long] =
     if (batchId <= lastAppliedBatch(df.sparkSession, root)) None
-    else Some(writeStaged(df, root) { dir =>
-      val f = fs(df.sparkSession, root)
-      val out = f.create(
-        new org.apache.hadoop.fs.Path(dir, BatchSidecar), true)
-      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    })
+    else Some(writeStaged(df, root)(stampBatch(df.sparkSession, root, batchId)))
+
+  /** Write the batch-id sidecar into a staging dir — shared with
+    * [[ManifestTable.writeBatch]], whose epochs live in the manifest
+    * VersionedTable but carry the same replay marker. */
+  private[sinks] def stampBatch(spark: SparkSession, root: String,
+                                batchId: Long)(dir: String): Unit = {
+    val f = fs(spark, root)
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(dir, BatchSidecar), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Row-level MERGE (upsert by key): commit a next epoch holding the
     * current rows whose key has NO match in `updates`, plus every

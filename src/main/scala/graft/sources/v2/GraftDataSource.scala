@@ -161,6 +161,12 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
 
   override def schema(): StructType = dataSchema
 
+  /** (root, resolved version) when this is a manifest-table snapshot —
+    * [[graft.plans.MetaAggRule]] answers whole-table aggregates from
+    * that manifest with zero data I/O. */
+  private[graft] def manifestInfo: Option[(String, Long)] =
+    if (isManifest) Some((root, version)) else None
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,

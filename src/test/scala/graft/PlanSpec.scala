@@ -666,6 +666,55 @@ class PlanSpec extends AnyFunSuite {
     } finally plans.GraftTables.unregister(lay)
   }
 
+  /** Whole-table COUNT/MIN/MAX over a MANIFEST table (format("graft")
+    * or catalog SQL) must collapse to the manifest's own envelopes —
+    * the listing and the stats are one structure, so no coverage
+    * proof is even needed; a filter or untracked column degrades to
+    * the scan, exactly like the registered-directory path. */
+  test("manifest table aggregates answer from the manifest with zero scans") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-metaagg").toString + "/t"
+    sinks.ManifestTable.create(
+      docs.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root, Seq("doc_id"))
+    val agg = spark.read.format("graft").load(root).agg(
+      count(lit(1)).as("n"), count(col("doc_id")).as("nn"),
+      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val phys = agg.queryExecution.executedPlan.toString
+    assert(phys.contains("LocalTableScan") && !phys.contains("BatchScan"),
+      s"manifest aggregate must plan as a LocalTableScan:\n$phys")
+    val want = docs.agg(count(lit(1)), count(col("doc_id")),
+      min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    assert(agg.collect()(0) == want)
+    // the catalog SQL form gets the same collapse
+    spark.conf.set("spark.sql.catalog.graftm", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftm.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-metaagg-wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftm.db")
+    spark.sql(s"CREATE TABLE graftm.db.m USING graft LOCATION '$root'")
+    val sqlAgg = spark.sql(
+      "SELECT COUNT(*) AS n, MIN(doc_id) AS lo FROM graftm.db.m")
+    val sqlPhys = sqlAgg.queryExecution.executedPlan.toString
+    assert(sqlPhys.contains("LocalTableScan") && !sqlPhys.contains("BatchScan"),
+      s"catalog COUNT/MIN must collapse too:\n$sqlPhys")
+    assert(sqlAgg.collect()(0).getLong(0) == docs.count())
+    // a filter disqualifies (plans a scan, stays exact)
+    val filtered = spark.read.format("graft").load(root)
+      .filter(col("doc_id") > 10L).agg(count(lit(1)).as("n"))
+    assert(filtered.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(filtered.collect()(0).getLong(0) ==
+      docs.filter(col("doc_id") > 10L).count())
+    // an untracked column disqualifies
+    val untracked = spark.read.format("graft").load(root)
+      .agg(min(col("lang")).as("m"))
+    assert(untracked.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(untracked.collect()(0).getString(0) ==
+      docs.agg(min(col("lang"))).collect()(0).getString(0))
+  }
+
   /** The catalog SQL path must lose nothing to the indirection: the
     * named-table read plans as the delegated DSv2 parquet scan with
     * the range predicate PUSHED, no UDFs anywhere. */

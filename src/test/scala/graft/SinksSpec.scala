@@ -1051,6 +1051,56 @@ class SinksSpec extends AnyFunSuite {
       "pruning must be invisible in results")
   }
 
+  test("manifest hilbert optimize: 2-D box probe through format(graft) prunes on both dimensions") {
+    import sinks.ManifestTable
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-curve").toString + "/t"
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    ManifestTable.create(ev.repartition(4), root, Seq("user_id", "value"))
+    val v = ManifestTable.optimize(spark, root,
+      sortCols = Seq("user_id", "value"), numFiles = 16, hilbert = true)
+    val total = ManifestTable.filesAt(spark, root, v).size
+    assert(total >= 8)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect { case b: BatchScanExec =>
+        b.partitions.flatten.collect { case fp: FilePartition =>
+          fp.files.map(_.filePath.toString).toSeq }.flatten
+      }.flatten.distinct.size
+    val uLo = ev.agg(min(col("user_id"))).head().getLong(0)
+    val box = spark.read.format("graft").load(root)
+      .filter(col("user_id").between(uLo, uLo + 3) &&
+        col("value").between(0.0, 10.0))
+    assert(scannedFiles(box) < total / 2,
+      s"2-D box on the curve layout must prune most of $total files")
+    assert(box.count() == ev.filter(col("user_id").between(uLo, uLo + 3) &&
+      col("value").between(0.0, 10.0)).count())
+    assert(ManifestTable.read(spark, root).count() == ev.count(),
+      "curve optimize must preserve content")
+  }
+
+  test("manifest writeBatch: a replayed batch id is a no-op, the next id commits at append cost") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-wb").toString + "/t"
+    ManifestTable.create(Seq((1L, "a")).toDF("k", "v"), root, Seq("k"))
+    val files0 = ManifestTable.filesAt(spark, root, 0).toSet
+    assert(ManifestTable.writeBatch(
+      Seq((2L, "b")).toDF("k", "v"), root, batchId = 7L).contains(1L))
+    // redelivery of the SAME micro-batch (the foreachBatch restart
+    // case) must not double-append
+    assert(ManifestTable.writeBatch(
+      Seq((2L, "b")).toDF("k", "v"), root, batchId = 7L).isEmpty)
+    assert(ManifestTable.read(spark, root).count() == 2)
+    // the next id commits, and every prior file carries by reference
+    assert(ManifestTable.writeBatch(
+      Seq((3L, "c")).toDF("k", "v"), root, batchId = 8L).contains(2L))
+    assert(files0.subsetOf(ManifestTable.filesAt(spark, root, 2).toSet))
+    assert(ManifestTable.read(spark, root).count() == 3)
+  }
+
   test("manifest merge schema evolution: wider sidecar, NO untouched-file rewrites, strict mode refuses") {
     import sinks.ManifestTable
     val root = java.nio.file.Files
