@@ -61,6 +61,81 @@ object Packing {
       .drop("_lb_seq")
   }
 
+  /** ATOMIC greedy packing — the padding-based sibling of
+    * [[packChunks]]: every document lands WHOLE in exactly one
+    * fixed-capacity window (no straddling — the mode used when
+    * cross-document attention or split documents are unacceptable),
+    * bins filled greedily in first-fit-DECREASING order, the classic
+    * near-optimal heuristic. The corpus is hashed into `nStreams`
+    * independent packing streams; within a stream, docs in
+    * (len DESC, id) order append to the current bin, and a doc that
+    * would overflow `maxLen` opens the next bin. A single oversize
+    * doc (> maxLen) gets its own bin — the caller's chunker should
+    * have split it, but packing must not lose it.
+    *
+    * Scale shape: greedy packing is a NON-ASSOCIATIVE sequential fold
+    * — no window trick computes it — so the parallelism grain is the
+    * stream, exactly like [[packChunks]]'s shards and
+    * [[graft.operators.Sampling.writeTrainingShards]]: one
+    * constant-state pass per stream (a rare, justified
+    * `mapPartitions` — O(1) state, no buffering; the no-UDF policy
+    * concerns codegen-hostile per-ROW lambdas, not a per-partition
+    * linear scan that has no declarative form), all streams in
+    * parallel; size `nStreams` to the cluster. The per-stream rank is
+    * a stream-partitioned window (bounded by the stream, the
+    * [[packChunks]] precedent). Deterministic end to end: md5-salted
+    * stream draw, total (len DESC, id) order.
+    *
+    * Output: input id column + (len, stream, rank, bin, offset) —
+    * offset is the doc's start position inside its packed window;
+    * per-(stream, bin): Σ len ≤ maxLen (single-oversize excepted),
+    * offsets are the running sum, bins densely numbered from 0. */
+  def packAtomic(df: DataFrame, idCol: String, lenCol: String,
+                 maxLen: Long, nStreams: Int,
+                 seed: String = "pack0"): DataFrame = {
+    require(maxLen > 0, "maxLen must be positive")
+    require(nStreams >= 1, "nStreams must be >= 1")
+    val spark = df.sparkSession
+    val ranked = df
+      .select(col(idCol), col(lenCol).cast("long").as("len"))
+      .withColumn("stream", pmod(Dedup.hash32(
+        concat(col(idCol).cast("string"), lit("|"), lit(seed))),
+        lit(nStreams.toLong)).cast("int"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("stream"))
+          .orderBy(col("len").desc, col(idCol))).cast("long"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      ranked.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("offset",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+    val cap = maxLen
+    ranked
+      .repartition(nStreams, col("stream"))
+      .sortWithinPartitions(col("stream"), col("rank"))
+      .mapPartitions { it =>
+        // constant-state greedy fold; state resets at stream changes
+        // (hash partitioning may co-locate several streams)
+        var cur = Int.MinValue
+        var bin = -1L
+        var rem = 0L
+        it.map { r =>
+          val stream = r.getInt(2)
+          if (stream != cur) { cur = stream; bin = -1L; rem = 0L }
+          val len = r.getLong(1)
+          val offset =
+            if (len <= rem) { val o = cap - rem; rem -= len; o }
+            else { bin += 1L; rem = cap - len; 0L } // oversize: rem < 0,
+          // so the next doc never "fits" and correctly opens a new bin
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq ++ Seq(bin, offset))
+        }
+      }
+  }
+
   /** Per-batch padding accounting for [[lengthBucketedBatches]]:
     * padded cost = n·max(len), waste = n·max − Σlen — all exact
     * integers. The Σ over batches of `padding` is the tokens a

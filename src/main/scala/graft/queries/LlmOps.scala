@@ -367,6 +367,22 @@ object LlmOps extends QueryModule {
       .orderBy(col("batch_id"))
   }
 
+  /** Atomic greedy packing: 1200-char context windows, 8 parallel
+    * packing streams, first-fit-decreasing order. The oracle replays
+    * the EXACT sequential fold as a recursive CTE stepping rank by
+    * rank per stream — greedy packing has no closed form, so the
+    * oracle is the fold itself. */
+  val PackMaxLen = 1200L
+  val PackStreams = 8
+
+  def qPackAtomic(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packAtomic(
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", PackMaxLen, PackStreams)
+      .select(col("doc_id"), col("stream"), col("rank"),
+        col("bin"), col("offset"))
+      .orderBy(col("stream"), col("rank"))
+
   /** Schema drift between two table states: text column removed,
     * source added, n_chars type-widened, lang partially nulled —
     * all four change classes in one gate, with exact NULL ratios. */
@@ -1124,6 +1140,7 @@ object LlmOps extends QueryModule {
     "q_collocations"    -> qCollocations _,
     "q_char_entropy"    -> qCharEntropy _,
     "q_length_batches"  -> qLengthBatches _,
+    "q_pack_atomic"     -> qPackAtomic _,
     "q_schema_drift"    -> qSchemaDrift _,
     "q_bm25_indexed"    -> qBm25Indexed _,
     "q_stratified_sample" -> qStratifiedSample _,
@@ -1650,6 +1667,32 @@ object LlmOps extends QueryModule {
          |  MAX(n_tok) AS max_len, CAST(SUM(n_tok) AS BIGINT) AS sum_len,
          |  CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS padding
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the greedy fold replayed literally: one recursion step per rank,
+    // all streams advancing in parallel rows
+    "q_pack_atomic" -> {
+      val streamHex = duckHex("md5(CAST(doc_id AS VARCHAR) || '|pack0')", 1, 8)
+      s"""WITH RECURSIVE docs AS (SELECT doc_id,
+         |    CAST(n_chars AS BIGINT) AS len,
+         |    CAST($streamHex % $PackStreams AS INT) AS stream
+         |  FROM documents),
+         |ranked AS (SELECT doc_id, len, stream,
+         |    ROW_NUMBER() OVER (PARTITION BY stream
+         |      ORDER BY len DESC, doc_id) AS rank FROM docs),
+         |step(stream, rank, doc_id, len, bin, rem) AS (
+         |  SELECT stream, rank, doc_id, len, CAST(0 AS BIGINT),
+         |    $PackMaxLen - len
+         |  FROM ranked WHERE rank = 1
+         |  UNION ALL
+         |  SELECT d.stream, d.rank, d.doc_id, d.len,
+         |    CASE WHEN d.len <= s.rem THEN s.bin ELSE s.bin + 1 END,
+         |    CASE WHEN d.len <= s.rem THEN s.rem - d.len
+         |         ELSE $PackMaxLen - d.len END
+         |  FROM step s JOIN ranked d
+         |    ON d.stream = s.stream AND d.rank = s.rank + 1)
+         |SELECT doc_id, stream, CAST(rank AS BIGINT) AS rank, bin,
+         |  CAST($PackMaxLen - rem - len AS BIGINT) AS offset
+         |FROM step ORDER BY stream, rank""".stripMargin
+    },
     "q_schema_drift" ->
       """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)

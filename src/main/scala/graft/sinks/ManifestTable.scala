@@ -196,6 +196,16 @@ object ManifestTable {
     sizes.join(withCanon, Seq("path")).filter(col("row_count") > 0)
   }
 
+  /** Conform an append batch to the table schema: order by the
+    * sidecar's column order and CAST each column to its declared type
+    * (the Delta-style implicit safe cast) — a same-name/compatible
+    * batch lands with the table's exact physical types, so
+    * schema-on-read can never meet a file whose parquet types drifted
+    * from the sidecar; an incompatible type fails analysis. */
+  private def conform(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.toIndexedSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+
   /** Schema sidecar writer for a manifest epoch's staging hook. */
   private def stageSchema(spark: SparkSession, root: String,
                           schema: StructType)(dir: String): Unit = {
@@ -227,8 +237,7 @@ object ManifestTable {
     require(df.columns.sorted.sameElements(schema.fieldNames.sorted),
       s"append schema ${df.columns.sorted.mkString(",")} != table " +
         s"schema ${schema.fieldNames.sorted.mkString(",")}")
-    val rows = landFiles(df.select(schema.fieldNames.map(col).toSeq: _*),
-      root, statsCols(spark, root, v))
+    val rows = landFiles(conform(df, schema), root, statsCols(spark, root, v))
     commitLoop(spark, root) { base =>
       manifest(spark, root, base).unionByName(rows)
     }
@@ -245,8 +254,7 @@ object ManifestTable {
     require(df.columns.sorted.sameElements(schema.fieldNames.sorted),
       s"overwrite schema ${df.columns.sorted.mkString(",")} != table " +
         s"schema ${schema.fieldNames.sorted.mkString(",")}")
-    val rows = landFiles(df.select(schema.fieldNames.map(col).toSeq: _*),
-      root, statsCols(spark, root, v))
+    val rows = landFiles(conform(df, schema), root, statsCols(spark, root, v))
     commitLoop(spark, root)(_ => rows)
   }
 
@@ -268,8 +276,7 @@ object ManifestTable {
       require(df.columns.sorted.sameElements(schema.fieldNames.sorted),
         s"append schema ${df.columns.sorted.mkString(",")} != table " +
           s"schema ${schema.fieldNames.sorted.mkString(",")}")
-      val rows = landFiles(df.select(schema.fieldNames.map(col).toSeq: _*),
-        root, statsCols(spark, root, v))
+      val rows = landFiles(conform(df, schema), root, statsCols(spark, root, v))
       Some(commitLoopEvolving(spark, root, extraStage =
         VersionedTable.stampBatch(spark, manifestsRoot(root), batchId)) {
         base => (manifest(spark, root, base).unionByName(rows),

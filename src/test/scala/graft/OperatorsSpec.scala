@@ -2802,6 +2802,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(conj.forall { case (id, s) => or(id) == s })
   }
 
+  test("atomic packing: capacity respected, bins dense, offsets run, greedy property, oversize isolated") {
+    import operators.Packing
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"))
+      // plant an oversize doc well past the window capacity
+      .unionByName(Seq((900001L, 5000L)).toDF("doc_id", "n_chars"))
+    val cap = 1200L
+    val packed = Packing.packAtomic(docs, "doc_id", "n_chars", cap, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(packed.length == docs.count())
+    val byBin = packed.groupBy(p => (p._3, p._5)) // (stream, bin)
+    byBin.foreach { case ((s, b), rows) =>
+      val total = rows.map(_._2).sum
+      assert(total <= cap || rows.length == 1,
+        s"bin ($s,$b) holds $total > $cap across ${rows.length} docs")
+      // offsets are the running sum in rank order
+      val inOrder = rows.sortBy(_._4)
+      var run = 0L
+      inOrder.foreach { r =>
+        assert(r._6 == run, s"offset of ${r._1} must be the running sum")
+        run += r._2
+      }
+    }
+    // bins densely numbered per stream
+    packed.groupBy(_._3).foreach { case (s, rows) =>
+      val bins = rows.map(_._5).distinct.sorted.toSeq
+      assert(bins == (0L until bins.length.toLong).toSeq,
+        s"stream $s bins not dense")
+    }
+    // greedy: the doc that OPENED bin b+1 must not have fit bin b
+    packed.groupBy(_._3).foreach { case (s, rows) =>
+      val inOrder = rows.sortBy(_._4)
+      var rem = -1L
+      inOrder.foreach { r =>
+        if (r._6 == 0L && r._5 > 0L)
+          assert(r._2 > rem, s"doc ${r._1} opened a new bin but fit the previous")
+        if (r._6 == 0L) rem = cap - r._2 else rem -= r._2
+      }
+    }
+    // the oversize doc sits alone in its bin
+    val big = packed.find(_._1 == 900001L).get
+    assert(byBin((big._3, big._5)).length == 1, "oversize doc must pack alone")
+    // deterministic under input repartitioning
+    val again = Packing.packAtomic(docs.repartition(7), "doc_id", "n_chars",
+      cap, 4).collect().map(r => (r.getLong(0), r.getLong(5))).toMap
+    assert(packed.forall(p => again(p._1) == p._6))
+  }
+
   test("sequential ids: dense 1-based global rank equal to the window form") {
     import operators.Ids
     val df = sources.Tables.documents(spark, sf)
