@@ -315,6 +315,61 @@ object CorpusQuality {
       .limit(k)
   }
 
+  /** Per-document BIGRAM-LM negative log-likelihood — perplexity
+    * filtering, the classic CCNet/Gopher corpus-quality step: train
+    * an add-k-smoothed bigram model ON THE CORPUS ITSELF (two count
+    * aggregates — the model IS two tables) and score every document
+    * by its average bigram NLL. Natural prose sits in a band;
+    * keyboard mash, boilerplate soup, and wrong-language spillover
+    * score far above it, and a downstream quantile cut ([[graft
+    * .operators.Sampling]] / the q_quality_filter pattern) turns the
+    * score into a keep decision.
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁·) + k·V)
+    *
+    * with c(w₁·) the LEFT-position unigram count (tokens except each
+    * doc's last — the exact MLE denominator), V the corpus vocabulary
+    * size, and k the smoothing mass. avg_nll = ROUND(Σ −ln P / n, 4)
+    * per document (one ln per bigram instance; the charEntropy float
+    * convention). Documents with fewer than two tokens surface with
+    * n_bigrams = 0 and NULL avg_nll — scoring is total.
+    *
+    * Scale shape: one tokenize pass; bigram/left counts are
+    * vocab²-bounded map-side-combined aggregates; scoring is two
+    * token-keyed joins back onto the bigram stream + one doc-keyed
+    * aggregate — the TF-IDF cost silhouette, nothing all-pairs. */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+                k: Double = 0.5): DataFrame = {
+    require(k > 0, "smoothing k must be positive")
+    val ws = docs.select(col(idCol).as("doc_id"),
+      filter(split(col(textCol), "\\s+"), t => t =!= "").as("w"))
+    val pairs = ws.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("l"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("r"))).as("p"))
+      .select(col("doc_id"), col("p.l").as("w1"), col("p.r").as("w2"))
+    val c12 = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("_c12"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("_c1"))
+    val vocab = ws.select(explode(col("w")).as("tok"))
+      .agg(countDistinct(col("tok")).as("_v"))
+    val scored = pairs
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (-log((col("_c12").cast("double") + lit(k)) /
+          (col("_c1").cast("double") + lit(k) * col("_v").cast("double"))))
+          .as("_nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_nll")).as("_s"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("_s") / col("n_bigrams").cast("double"), 4).as("avg_nll"))
+  }
+
   /** Per-document character-distribution Shannon entropy (nats) — the
     * cheap gibberish/binary-spill detector: natural text sits in a
     * band, base64 blobs and repeated-char spam fall far outside it.

@@ -2802,6 +2802,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(conj.forall { case (id, s) => or(id) == s })
   }
 
+  test("bigram NLL: hand-computed smoothed model; short docs surface with NULL score") {
+    import operators.CorpusQuality
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = CorpusQuality.bigramNll(docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    // pairs: doc1 = ab, ba, ab; doc2 = ab → c12(a,b)=3, c12(b,a)=1;
+    // left counts: a→3, b→1; V = {a,b,z} = 3; k = 0.5
+    def r4(x: Double) = math.round(x * 10000.0) / 10000.0
+    val nllAb = -math.log((3 + 0.5) / (3 + 0.5 * 3))
+    val nllBa = -math.log((1 + 0.5) / (1 + 0.5 * 3))
+    assert(got == Seq(
+      (1L, 3L, Some(r4((2 * nllAb + nllBa) / 3))),
+      (2L, 1L, Some(r4(nllAb))),
+      (3L, 0L, None),
+      (4L, 0L, None)),
+      s"hand model mismatch: $got")
+    // a natural-frequency doc scores below a rare-transition doc
+    val corpus = sources.Tables.documents(spark, sf)
+    val scored = CorpusQuality.bigramNll(corpus, "doc_id", "text")
+    assert(scored.count() == corpus.count(), "scoring must be total")
+    assert(scored.filter(col("avg_nll").isNotNull).count() > 0)
+  }
+
   test("atomic packing: capacity respected, bins dense, offsets run, greedy property, oversize isolated") {
     import operators.Packing
     val docs = sources.Tables.documents(spark, sf)
