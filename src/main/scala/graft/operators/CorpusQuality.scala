@@ -315,55 +315,65 @@ object CorpusQuality {
       .limit(k)
   }
 
-  /** Per-document BIGRAM-LM negative log-likelihood — perplexity
-    * filtering, the classic CCNet/Gopher corpus-quality step: train
-    * an add-k-smoothed bigram model ON THE CORPUS ITSELF (two count
-    * aggregates — the model IS two tables) and score every document
-    * by its average bigram NLL. Natural prose sits in a band;
-    * keyboard mash, boilerplate soup, and wrong-language spillover
-    * score far above it, and a downstream quantile cut ([[graft
-    * .operators.Sampling]] / the q_quality_filter pattern) turns the
-    * score into a keep decision.
+  /** CROSS-CORPUS bigram-LM negative log-likelihood — the CCNet
+    * setup proper: train an add-k-smoothed bigram model on a
+    * REFERENCE corpus (the high-quality side — Wikipedia in CCNet)
+    * and score a TARGET corpus against it; low scores read like the
+    * reference, high scores are junk/wrong-language/garbled. This is
+    * what [[bigramLmScores]] (the unsmoothed self-scoring diagnostic)
+    * cannot do: a target bigram the reference never saw has MLE
+    * probability zero, so cross-corpus scoring REQUIRES the smoothing
+    * mass —
     *
-    *   P(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁·) + k·V)
+    *   P(w₂|w₁) = (c_ref(w₁w₂) + k) / (c_ref(w₁·) + k·V_ref)
     *
-    * with c(w₁·) the LEFT-position unigram count (tokens except each
-    * doc's last — the exact MLE denominator), V the corpus vocabulary
-    * size, and k the smoothing mass. avg_nll = ROUND(Σ −ln P / n, 4)
-    * per document (one ln per bigram instance; the charEntropy float
-    * convention). Documents with fewer than two tokens surface with
-    * n_bigrams = 0 and NULL avg_nll — scoring is total.
+    * with c_ref(w₁·) the reference's LEFT-position unigram count,
+    * V_ref the reference vocabulary, and unseen w₁/w₁w₂ contributing
+    * their natural smoothed floor (k/(k·V) resp. k/(c₁+k·V)).
+    * avg_nll = ROUND(Σ −ln P / n, 4) per target document (one ln per
+    * bigram instance; the charEntropy float convention). Target docs
+    * with fewer than two tokens surface with n_bigrams = 0 and NULL
+    * avg_nll — scoring is total.
     *
-    * Scale shape: one tokenize pass; bigram/left counts are
-    * vocab²-bounded map-side-combined aggregates; scoring is two
-    * token-keyed joins back onto the bigram stream + one doc-keyed
-    * aggregate — the TF-IDF cost silhouette, nothing all-pairs. */
-  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+    * Scale shape: reference counts are two vocab-bounded map-side-
+    * combined aggregates (the model IS two tables — persist them via
+    * [[graft.sinks.VersionedTable]] to train once and score many);
+    * scoring is two token-keyed LEFT joins onto the target's bigram
+    * stream + one doc-keyed aggregate — the TF-IDF cost silhouette,
+    * nothing all-pairs. */
+  def bigramNll(reference: DataFrame, target: DataFrame,
+                idCol: String, textCol: String,
                 k: Double = 0.5): DataFrame = {
     require(k > 0, "smoothing k must be positive")
-    val ws = docs.select(col(idCol).as("doc_id"),
-      filter(split(col(textCol), "\\s+"), t => t =!= "").as("w"))
-    val pairs = ws.filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(arrays_zip(
-        slice(col("w"), lit(1), size(col("w")) - 1).as("l"),
-        slice(col("w"), lit(2), size(col("w")) - 1).as("r"))).as("p"))
-      .select(col("doc_id"), col("p.l").as("w1"), col("p.r").as("w2"))
-    val c12 = pairs.groupBy(col("w1"), col("w2"))
+    def pairsOf(df: DataFrame) = {
+      val ws = df.select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), "\\s+"), t => t =!= "").as("w"))
+      ws.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1).as("l"),
+          slice(col("w"), lit(2), size(col("w")) - 1).as("r"))).as("p"))
+        .select(col("doc_id"), col("p.l").as("w1"), col("p.r").as("w2"))
+    }
+    val refPairs = pairsOf(reference)
+    val c12 = refPairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("_c12"))
-    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("_c1"))
-    val vocab = ws.select(explode(col("w")).as("tok"))
+    val c1 = refPairs.groupBy(col("w1")).agg(count(lit(1)).as("_c1"))
+    val vocab = reference
+      .select(explode(filter(split(col(textCol), "\\s+"),
+        t => t =!= "")).as("tok"))
       .agg(countDistinct(col("tok")).as("_v"))
-    val scored = pairs
-      .join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+    val scored = pairsOf(target)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
-        (-log((col("_c12").cast("double") + lit(k)) /
-          (col("_c1").cast("double") + lit(k) * col("_v").cast("double"))))
+        (-log((coalesce(col("_c12"), lit(0L)).cast("double") + lit(k)) /
+          (coalesce(col("_c1"), lit(0L)).cast("double") +
+            lit(k) * col("_v").cast("double"))))
           .as("_nll"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("_nll")).as("_s"))
-    docs.select(col(idCol).as("doc_id"))
+    target.select(col(idCol).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

@@ -409,11 +409,18 @@ object LlmOps extends QueryModule {
     CorpusQuality.charEntropy(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
-  /** Bigram-LM perplexity scoring (add-0.5 smoothing), trained on and
-    * scoring the corpus itself — the CCNet/Gopher quality filter. */
-  def qPerplexity(spark: SparkSession, dir: String): DataFrame =
-    CorpusQuality.bigramNll(Tables.documents(spark, dir), "doc_id", "text")
+  /** Cross-corpus perplexity scoring (add-0.5 smoothing): train the
+    * bigram model on the ~99% reference slice, score the WHOLE corpus
+    * against it — the held-out 1% contains bigrams the reference
+    * never saw, exercising the smoothed unseen floor that the
+    * unsmoothed self-scoring diagnostic (q_lm_score) cannot handle. */
+  def qPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    CorpusQuality.bigramNll(
+      d.filter(col("doc_id") % BenchMod =!= 0), d, "doc_id", "text")
       .orderBy(col("doc_id"))
+  }
+
 
   /** Count-Min parameters: width small enough that real collisions
     * exist at gate scale (the oracle reproduces them exactly — same
@@ -1676,29 +1683,34 @@ object LlmOps extends QueryModule {
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical smoothed-ratio arithmetic: exact integer counts into
     // one IEEE division + one ln per bigram instance, float summation
-    // only inside the per-doc average (the charEntropy convention)
+    // only inside the per-doc average (the charEntropy convention);
+    // model counts come from the REFERENCE slice only, scoring covers
+    // every document (unseen bigrams take the smoothed floor)
     "q_perplexity" ->
-      """WITH docs2 AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS wd
-        |  FROM documents),
-        |idx AS (SELECT doc_id, wd, unnest(range(1, len(wd))) AS i
-        |  FROM docs2 WHERE len(wd) >= 2),
-        |pairs AS (SELECT doc_id, wd[i] AS w1, wd[i + 1] AS w2 FROM idx),
-        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
-        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY 1),
-        |v AS (SELECT COUNT(DISTINCT x) AS v FROM (
-        |    SELECT unnest(wd) AS x FROM docs2)),
-        |s AS (SELECT p.doc_id,
-        |    -ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)) AS nll
-        |  FROM pairs p JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
-        |  CROSS JOIN v),
-        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |    SUM(nll) AS snll FROM s GROUP BY 1)
-        |SELECT d.doc_id,
-        |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
-        |  ROUND(a.snll / a.n_bigrams, 4) AS avg_nll
-        |FROM documents d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH docs2 AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS wd
+         |  FROM documents),
+         |idx AS (SELECT doc_id, wd, unnest(range(1, len(wd))) AS i
+         |  FROM docs2 WHERE len(wd) >= 2),
+         |pairs AS (SELECT doc_id, wd[i] AS w1, wd[i + 1] AS w2 FROM idx),
+         |ref AS (SELECT * FROM pairs WHERE doc_id % $BenchMod <> 0),
+         |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM ref GROUP BY 1, 2),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM ref GROUP BY 1),
+         |v AS (SELECT COUNT(DISTINCT x) AS v FROM (
+         |    SELECT unnest(wd) AS x FROM docs2
+         |    WHERE doc_id % $BenchMod <> 0)),
+         |s AS (SELECT p.doc_id,
+         |    -ln((COALESCE(c12.c12, 0) + 0.5)
+         |      / (COALESCE(c1.c1, 0) + 0.5 * v.v)) AS nll
+         |  FROM pairs p LEFT JOIN c12 USING (w1, w2)
+         |  LEFT JOIN c1 USING (w1) CROSS JOIN v),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    SUM(nll) AS snll FROM s GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+         |  ROUND(a.snll / a.n_bigrams, 4) AS avg_nll
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // the greedy fold replayed literally: one recursion step per rank,
     // all streams advancing in parallel rows
     "q_pack_atomic" -> {

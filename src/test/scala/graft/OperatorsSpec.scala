@@ -2802,28 +2802,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(conj.forall { case (id, s) => or(id) == s })
   }
 
-  test("bigram NLL: hand-computed smoothed model; short docs surface with NULL score") {
+  test("cross-corpus bigram NLL: hand-computed smoothed model; unseen bigrams take the floor; short docs NULL") {
     import operators.CorpusQuality
-    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z"), (4L, ""))
-      .toDF("doc_id", "text")
-    val got = CorpusQuality.bigramNll(docs, "doc_id", "text")
+    val reference = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val target = Seq((10L, "a b a b"), (11L, "a b"), (12L, "z"),
+      (13L, ""), (14L, "q q"), (15L, "a z")).toDF("doc_id", "text")
+    val got = CorpusQuality.bigramNll(reference, target, "doc_id", "text")
       .orderBy(col("doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1),
         if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
-    // pairs: doc1 = ab, ba, ab; doc2 = ab → c12(a,b)=3, c12(b,a)=1;
-    // left counts: a→3, b→1; V = {a,b,z} = 3; k = 0.5
+    // reference pairs: doc1 = ab, ba, ab; doc2 = ab → c12(a,b)=3,
+    // c12(b,a)=1; left counts: a→3, b→1; V_ref = {a,b} = 2; k = 0.5
     def r4(x: Double) = math.round(x * 10000.0) / 10000.0
-    val nllAb = -math.log((3 + 0.5) / (3 + 0.5 * 3))
-    val nllBa = -math.log((1 + 0.5) / (1 + 0.5 * 3))
+    val nllAb = -math.log((3 + 0.5) / (3 + 0.5 * 2))
+    val nllBa = -math.log((1 + 0.5) / (1 + 0.5 * 2))
+    // unseen head (q): k/(k·V); unseen pair with seen head (a,z):
+    // k/(c1(a)+k·V)
+    val nllQQ = -math.log(0.5 / (0.5 * 2))
+    val nllAz = -math.log(0.5 / (3 + 0.5 * 2))
     assert(got == Seq(
-      (1L, 3L, Some(r4((2 * nllAb + nllBa) / 3))),
-      (2L, 1L, Some(r4(nllAb))),
-      (3L, 0L, None),
-      (4L, 0L, None)),
+      (10L, 3L, Some(r4((2 * nllAb + nllBa) / 3))),
+      (11L, 1L, Some(r4(nllAb))),
+      (12L, 0L, None),
+      (13L, 0L, None),
+      (14L, 1L, Some(r4(nllQQ))),
+      (15L, 1L, Some(r4(nllAz)))),
       s"hand model mismatch: $got")
-    // a natural-frequency doc scores below a rare-transition doc
+    // floors are ordered: an unseen pair under a COMMON head is more
+    // surprising than under an unseen head's uniform floor
+    assert(nllAz > nllQQ)
+    // totality at corpus scale, self-scoring as the degenerate case
     val corpus = sources.Tables.documents(spark, sf)
-    val scored = CorpusQuality.bigramNll(corpus, "doc_id", "text")
+    val scored = CorpusQuality.bigramNll(corpus, corpus, "doc_id", "text")
     assert(scored.count() == corpus.count(), "scoring must be total")
     assert(scored.filter(col("avg_nll").isNotNull).count() > 0)
   }
