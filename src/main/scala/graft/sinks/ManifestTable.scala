@@ -628,6 +628,25 @@ object ManifestTable {
     })
   }
 
+  /** Table HISTORY — the DESCRIBE HISTORY/DETAIL ergonomics: one row
+    * per retained version with its commit timestamp (running-max
+    * normalized, the [[VersionedTable.commitTimestamps]] contract),
+    * file count, row count, and bytes — all from the manifests alone,
+    * zero data I/O, |versions| × |files| metadata rows. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val ts = VersionedTable.commitTimestamps(spark, manifestsRoot(root)).toMap
+    val rows = versions(spark, root).map { v =>
+      val m = manifest(spark, root, v)
+        .agg(count(lit(1)), coalesce(sum(col("row_count")), lit(0L)),
+          coalesce(sum(col("size")), lit(0L))).head()
+      (v, new java.sql.Timestamp(ts(v)), m.getLong(0), m.getLong(1),
+        m.getLong(2))
+    }
+    val spk = spark
+    import spk.implicits._
+    rows.toDF("version", "committed_at", "n_files", "n_rows", "bytes")
+  }
+
   /** Refcount-aware vacuum: drop manifest epochs beyond the newest
     * `keep`, then delete data files referenced by NO retained
     * manifest — but never files younger than `ttlMs` (a concurrent

@@ -1081,6 +1081,29 @@ class SinksSpec extends AnyFunSuite {
       "curve optimize must preserve content")
   }
 
+  test("manifest history: per-version commit ts, file/row/byte counts from metadata alone") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-hist").toString + "/t"
+    val clock = new util.LogicalClock(1000L)
+    val prev = sinks.VersionedTable.commitClock
+    sinks.VersionedTable.commitClock = clock
+    try {
+      ManifestTable.create(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+        root, Seq("k"))
+      clock.advance(500L)
+      ManifestTable.write(Seq((3L, "c")).toDF("k", "v"), root)
+      val h = ManifestTable.history(spark, root)
+        .orderBy(col("version")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getLong(2), r.getLong(3))).toSeq
+      assert(h.map(x => (x._1, x._2, x._4)) ==
+        Seq((0L, 1000L, 2L), (1L, 1500L, 3L)),
+        s"history rows wrong: $h")
+      assert(h(1)._3 > h(0)._3, "append must add files")
+    } finally sinks.VersionedTable.commitClock = prev
+  }
+
   test("manifest writeBatch: a replayed batch id is a no-op, the next id commits at append cost") {
     import sinks.ManifestTable
     val root = java.nio.file.Files
