@@ -210,13 +210,19 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val index =
       if (isManifest) {
-        val stats = graft.sinks.ManifestTable.manifest(spark, root, version)
+        // the manifest IS the listing: paths, sizes, and a commit
+        // timestamp all come from committed metadata, so the scan
+        // plans with ZERO filesystem calls (the Delta log-backed-index
+        // shape) — at 100k files an InMemoryFileIndex would stat each
+        val m = graft.sinks.ManifestTable.manifest(spark, root, version)
         val cols = graft.sinks.ManifestTable.statsCols(spark, root, version)
-        new GraftStatsFileIndex(spark,
-          graft.sinks.ManifestTable.filesAt(spark, root, version)
-            .map(new Path(_)),
-          dataSchema, entry = None,
-          manifestStats = if (cols.isEmpty) None else Some((stats, cols)))
+        val files = m.select("path", "size").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        val ts = graft.sinks.VersionedTable.commitTimestamp(spark,
+          graft.sinks.ManifestTable.manifestsRoot(root), version)
+          .getOrElse(0L)
+        new GraftManifestFileIndex(spark, root, files, ts, dataSchema,
+          if (cols.isEmpty) None else Some((m, cols)))
       } else
         new GraftStatsFileIndex(spark,
           Seq(new Path(s"$root/epoch=$version")), dataSchema,
@@ -284,6 +290,85 @@ object GraftTableWriter {
       graft.sources.FileStats.collect(spark, s"$root/epoch=$v", statsCols),
       s"$root/$StatsSub")
     v
+  }
+}
+
+/** The shared manifest-envelope proof, guarded against optimizer
+  * re-entry — used by both index flavors below. */
+private[v2] object GraftManifestProofs {
+  def excluded(spark: SparkSession, cond: Expression,
+               stats: org.apache.spark.sql.DataFrame,
+               cols: Seq[String]): Set[String] = {
+    StatsPruneRule.inMetadataQuery.set(true)
+    try StatsPruneRule.excludedByEnvelopes(spark, cond, stats, cols)
+    catch { case _: Exception => Set.empty[String] }
+    finally StatsPruneRule.inMetadataQuery.set(false)
+  }
+}
+
+/** MANIFEST-BACKED file index — the scan's listing materialized from
+  * committed metadata with ZERO filesystem calls at planning time
+  * (the Delta TahoeFileIndex shape): paths and sizes come from the
+  * manifest rows, the modification timestamp from the version's
+  * commit stamp, and pushed data filters prune against the manifest's
+  * own envelopes. At 100k+ files the stat-per-file a generic
+  * InMemoryFileIndex issues is the dominant planning cost; here
+  * planning touches only the |files|-row manifest that was read to
+  * resolve the version anyway. */
+final class GraftManifestFileIndex(
+    sparkSession: SparkSession, root: String,
+    filesAndSizes: Seq[(String, Long)], commitTsMs: Long,
+    dataSchema: StructType,
+    manifestStats: Option[(org.apache.spark.sql.DataFrame, Seq[String])])
+  extends org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex(
+    sparkSession, Map.empty[String, String], Some(dataSchema),
+    org.apache.spark.sql.execution.datasources.FileStatusCache
+      .getOrCreate(sparkSession)) {
+
+  // QUALIFIED paths throughout: the base class resolves its listing
+  // by looking up leafDirToChildrenFiles under the fs-qualified root
+  // paths, so both the keys and the roots must carry the scheme
+  // (qualification is pure URI resolution — still zero FS calls)
+  private val statuses: Seq[(Path, org.apache.hadoop.fs.FileStatus)] =
+    filesAndSizes.map { case (p, size) =>
+      val raw = new Path(p)
+      val path = raw.getFileSystem(
+        sparkSession.sparkContext.hadoopConfiguration).makeQualified(raw)
+      path -> new org.apache.hadoop.fs.FileStatus(size, false, 1,
+        128L * 1024 * 1024, commitTsMs, path)
+    }
+
+  override val rootPaths: Seq[Path] =
+    statuses.map(_._1.getParent).distinct
+  override def partitionSpec(): org.apache.spark.sql.execution.datasources.PartitionSpec =
+    org.apache.spark.sql.execution.datasources.PartitionSpec.emptySpec
+  override val leafFiles: scala.collection.mutable.LinkedHashMap[Path, org.apache.hadoop.fs.FileStatus] =
+    scala.collection.mutable.LinkedHashMap(statuses: _*)
+  override val leafDirToChildrenFiles: Map[Path, Array[org.apache.hadoop.fs.FileStatus]] =
+    statuses.groupBy(_._1.getParent)
+      .view.mapValues(_.map(_._2).toArray).toMap
+  override def refresh(): Unit = ()
+
+  /** Files surviving the last `listFiles` (volatile test hook). */
+  @volatile var lastListedFiles: Int = -1
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val base = super.listFiles(partitionFilters, dataFilters)
+    val excluded: Set[String] =
+      if (dataFilters.isEmpty) Set.empty
+      else manifestStats.map { case (stats, cols) =>
+        GraftManifestProofs.excluded(sparkSession,
+          dataFilters.reduce(And), stats, cols)
+      }.getOrElse(Set.empty)
+    val pruned =
+      if (excluded.isEmpty) base
+      else base.map { pd =>
+        pd.copy(files = pd.files.filterNot(f =>
+          excluded.contains(f.getPath.toUri.getPath)))
+      }
+    lastListedFiles = pruned.map(_.files.length).sum
+    pruned
   }
 }
 

@@ -1041,10 +1041,16 @@ class SinksSpec extends AnyFunSuite {
     val lo = docs.agg(min(col("doc_id"))).head().getLong(0)
     val nFiles = ManifestTable.filesAt(spark, root,
       ManifestTable.latestVersion(spark, root)).size
+    // the metadata-built listing serves EXACTLY the manifest's files —
+    // an empty or partial listing would silently drop rows
+    assert(scannedFiles(spark.read.format("graft").load(root)
+      .filter(col("doc_id").isNotNull)) == nFiles,
+      s"unprunable scan must list exactly the manifest's $nFiles files")
     val probe = spark.read.format("graft").load(root)
       .filter(col("doc_id") <= lo + 2)
-    assert(scannedFiles(probe) < nFiles,
-      s"manifest-envelope pruning must open fewer than $nFiles files")
+    val opened = scannedFiles(probe)
+    assert(opened > 0 && opened < nFiles,
+      s"manifest-envelope pruning must open some-but-fewer than $nFiles files, got $opened")
     assert(probe.select(col("doc_id")).as[Long].collect().toSet ==
       docs.filter(col("doc_id") <= lo + 2)
         .select(col("doc_id")).as[Long].collect().toSet,
