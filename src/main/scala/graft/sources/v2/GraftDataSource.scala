@@ -372,25 +372,23 @@ final class GraftManifestFileIndex(
   }
 }
 
-/** File listing (an epoch directory, or a manifest's leaf files) that
-  * honors the DSv2 data-filter contract: `listFiles` drops files the
-  * committed metadata PROVES cannot match the pushed conjuncts. Two
-  * proof sources compose: a registered stats/bloom entry (external
-  * epochs), and — for manifest tables — the resolved manifest's own
-  * envelope rows, version-exact by construction. Soundness is
-  * inherited from the shared proof engine — a file is excluded only
-  * on proof, so stale or absent metadata degrades to keep-the-file,
-  * never to wrong rows (Spark still applies the full predicate to
-  * surviving rows). Exposes the post-prune file count for tests. */
+/** File listing for one EPOCH directory that honors the DSv2
+  * data-filter contract: `listFiles` drops files the registered
+  * stats/bloom metadata PROVES cannot match the pushed conjuncts
+  * (manifest tables use [[GraftManifestFileIndex]] instead — their
+  * stats travel with the listing). Soundness is inherited from the
+  * shared proof engine — a file is excluded only on proof, so stale
+  * or absent metadata degrades to keep-the-file, never to wrong rows
+  * (Spark still applies the full predicate to surviving rows).
+  * Exposes the post-prune file count for tests. */
 final class GraftStatsFileIndex(
     spark: SparkSession, roots: Seq[Path], dataSchema: StructType,
-    entry: Option[GraftTables.Entry],
-    manifestStats: Option[(org.apache.spark.sql.DataFrame, Seq[String])] = None)
+    entry: Option[GraftTables.Entry])
   extends InMemoryFileIndex(spark, roots, Map.empty, Some(dataSchema)) {
 
   def this(spark: SparkSession, epochDir: Path, dataSchema: StructType,
            entry: Option[GraftTables.Entry]) =
-    this(spark, Seq(epochDir), dataSchema, entry, None)
+    this(spark, Seq(epochDir), dataSchema, entry)
 
   /** Files surviving the last `listFiles` (volatile test hook). */
   @volatile var lastListedFiles: Int = -1
@@ -400,19 +398,8 @@ final class GraftStatsFileIndex(
     val base = super.listFiles(partitionFilters, dataFilters)
     val excluded: Set[String] =
       if (dataFilters.isEmpty) Set.empty
-      else {
-        val cond = dataFilters.reduce(And)
-        val fromEntry = entry.map(e =>
-          StatsPruneRule.provablyExcluded(spark, cond, e))
-          .getOrElse(Set.empty)
-        val fromManifest = manifestStats.map { case (stats, cols) =>
-          StatsPruneRule.inMetadataQuery.set(true)
-          try StatsPruneRule.excludedByEnvelopes(spark, cond, stats, cols)
-          catch { case _: Exception => Set.empty[String] }
-          finally StatsPruneRule.inMetadataQuery.set(false)
-        }.getOrElse(Set.empty)
-        fromEntry ++ fromManifest
-      }
+      else entry.map(e => StatsPruneRule.provablyExcluded(
+        spark, dataFilters.reduce(And), e)).getOrElse(Set.empty)
     val pruned =
       if (excluded.isEmpty) base
       else base.map { pd =>
