@@ -628,6 +628,64 @@ object ManifestTable {
     })
   }
 
+  /** Per-file BLOOM index on `keyCol` — point-lookup pruning for the
+    * case envelopes cannot serve: a hash-distributed key's min/max
+    * spans every file, so `key = x` probes open the whole table
+    * unless a membership structure answers per file. The index lives
+    * beside the table (`root/_bloom_<col>`, a [[graft.sources
+    * .FileBloomIndex]] epoch table) and `format("graft")` reads
+    * consult it automatically for equality/IN conjuncts — no reader
+    * options ([[blooms]] discovery).
+    *
+    * INCREMENTAL by construction: each call indexes only the current
+    * version's files missing from the committed index (cost ∝ new
+    * files — manifest data files are immutable and never re-land
+    * under an old name, so merge-by-path delta commits are exactly
+    * sound here); rows for vacuumed files exclude nothing from a
+    * listing they don't appear in. Returns the committed index
+    * version, None when every live file is already indexed. */
+  def buildBloom(spark: SparkSession, root: String, keyCol: String,
+                 numBits: Int = 1 << 17, numHashes: Int = 5): Option[Long] = {
+    val v = latestVersion(spark, root)
+    require(v >= 0, s"manifest table at $root has no committed version")
+    require(tableSchema(spark, root, v).fieldNames.contains(keyCol),
+      s"$keyCol is not a table column")
+    val br = bloomRootFor(root, keyCol)
+    val live = filesAt(spark, root, v)
+    val todo =
+      if (VersionedTable.latestVersion(spark, br) < 0) live
+      else {
+        // index rows carry input_file_name URIs; the manifest carries
+        // canonical paths — compare canonical on both sides
+        val indexed = graft.sources.FileBloomIndex.read(spark, br)
+          .select(col("path")).collect()
+          .map(r => canon(r.getString(0))).toSet
+        live.filterNot(indexed.contains)
+      }
+    if (todo.isEmpty) return None
+    val idx = graft.sources.FileBloomIndex.buildFor(spark, todo, keyCol,
+      numBits, numHashes)
+    Some(
+      if (VersionedTable.latestVersion(spark, br) < 0)
+        graft.sources.FileBloomIndex.commitFull(idx, br)
+      else graft.sources.FileBloomIndex.commitDelta(idx, br))
+  }
+
+  private[graft] def bloomRootFor(root: String, c: String): String =
+    s"$root/_bloom_$c"
+
+  /** Committed bloom indexes beside this table: (column, index root). */
+  private[graft] def blooms(spark: SparkSession,
+                            root: String): Seq[(String, String)] = {
+    val f = fs(spark, root)
+    val p = new Path(root)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("_bloom_")).toSeq
+      .map(n => n.stripPrefix("_bloom_") -> s"$root/$n")
+      .filter { case (_, r) => VersionedTable.latestVersion(spark, r) >= 0 }
+  }
+
   /** Table HISTORY — the DESCRIBE HISTORY/DETAIL ergonomics: one row
     * per retained version with its commit timestamp (running-max
     * normalized, the [[VersionedTable.commitTimestamps]] contract),

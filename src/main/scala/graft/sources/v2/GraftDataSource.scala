@@ -221,8 +221,13 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
         val ts = graft.sinks.VersionedTable.commitTimestamp(spark,
           graft.sinks.ManifestTable.manifestsRoot(root), version)
           .getOrElse(0L)
+        // auto-discovered per-column bloom indexes serve the
+        // equality/IN probes envelopes can't (hash-distributed keys)
+        val bloomEntries = graft.sinks.ManifestTable.blooms(spark, root)
+          .map { case (c, br) =>
+            GraftTables.Entry(root, None, Nil, Some(br), Some(c)) }
         new GraftManifestFileIndex(spark, root, files, ts, dataSchema,
-          if (cols.isEmpty) None else Some((m, cols)))
+          if (cols.isEmpty) None else Some((m, cols)), bloomEntries)
       } else
         new GraftStatsFileIndex(spark,
           Seq(new Path(s"$root/epoch=$version")), dataSchema,
@@ -319,7 +324,8 @@ final class GraftManifestFileIndex(
     sparkSession: SparkSession, root: String,
     filesAndSizes: Seq[(String, Long)], commitTsMs: Long,
     dataSchema: StructType,
-    manifestStats: Option[(org.apache.spark.sql.DataFrame, Seq[String])])
+    manifestStats: Option[(org.apache.spark.sql.DataFrame, Seq[String])],
+    bloomEntries: Seq[GraftTables.Entry] = Nil)
   extends org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex(
     sparkSession, Map.empty[String, String], Some(dataSchema),
     org.apache.spark.sql.execution.datasources.FileStatusCache
@@ -357,10 +363,14 @@ final class GraftManifestFileIndex(
     val base = super.listFiles(partitionFilters, dataFilters)
     val excluded: Set[String] =
       if (dataFilters.isEmpty) Set.empty
-      else manifestStats.map { case (stats, cols) =>
-        GraftManifestProofs.excluded(sparkSession,
-          dataFilters.reduce(And), stats, cols)
-      }.getOrElse(Set.empty)
+      else {
+        val cond = dataFilters.reduce(And)
+        manifestStats.map { case (stats, cols) =>
+          GraftManifestProofs.excluded(sparkSession, cond, stats, cols)
+        }.getOrElse(Set.empty) ++
+          bloomEntries.flatMap(e =>
+            StatsPruneRule.provablyExcluded(sparkSession, cond, e))
+      }
     val pruned =
       if (excluded.isEmpty) base
       else base.map { pd =>

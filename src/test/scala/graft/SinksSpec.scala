@@ -1087,6 +1087,54 @@ class SinksSpec extends AnyFunSuite {
       "curve optimize must preserve content")
   }
 
+  test("manifest bloom index: equality probes prune a hash layout; delta build indexes only new files") {
+    import sinks.ManifestTable
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-bloom").toString + "/t"
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    // HASH layout: every file's doc_id envelope spans ~the whole
+    // domain, so envelope proofs prune nothing — the bloom must
+    ManifestTable.create(docs.repartition(6, col("doc_id")), root,
+      Seq("doc_id"))
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect { case b: BatchScanExec =>
+        b.partitions.flatten.collect { case fp: FilePartition =>
+          fp.files.map(_.filePath.toString).toSeq }.flatten
+      }.flatten.distinct.size
+    // a MID-domain key: every hash file's envelope contains it, so
+    // envelope proofs prune nothing (an edge key would let min/max
+    // proofs fire and mask what the bloom contributes)
+    val ids = docs.select(col("doc_id")).as[Long].collect().sorted
+    val mid = ids(ids.length / 2)
+    def probe = spark.read.format("graft").load(root)
+      .filter(col("doc_id") === mid)
+    assert(scannedFiles(probe) == 6,
+      "without a bloom the hash layout cannot prune a mid-domain point probe")
+    assert(ManifestTable.buildBloom(spark, root, "doc_id").nonEmpty)
+    assert(scannedFiles(probe) < 6,
+      "the committed bloom must prune the point probe")
+    assert(probe.select(col("doc_id")).as[Long].collect().toSeq == Seq(mid))
+    // fully indexed: a second build is a no-op
+    assert(ManifestTable.buildBloom(spark, root, "doc_id").isEmpty)
+    // an appended (unindexed) file degrades to kept — results exact
+    ManifestTable.write(docs.filter(col("doc_id") === mid)
+      .withColumn("lang", lit("zz")).coalesce(1), root)
+    assert(probe.count() == 2, "the unindexed appended file must be read")
+    // the next build indexes ONLY the new file
+    val before = sources.FileBloomIndex.read(spark,
+      ManifestTable.bloomRootFor(root, "doc_id")).count()
+    assert(ManifestTable.buildBloom(spark, root, "doc_id").nonEmpty)
+    val after = sources.FileBloomIndex.read(spark,
+      ManifestTable.bloomRootFor(root, "doc_id")).count()
+    assert(after == before + 1,
+      s"delta build must add exactly the new file's row ($before -> $after)")
+    assert(probe.count() == 2)
+    assert(scannedFiles(probe) < 7)
+  }
+
   test("manifest history: per-version commit ts, file/row/byte counts from metadata alone") {
     import sinks.ManifestTable
     val root = java.nio.file.Files
