@@ -202,8 +202,13 @@ object Bpe {
       posexplode(words(col(textCol))).as(Seq("pos", "word")))
     val unseen = ws.select(col("word")).distinct()
       .join(model.vocab.select(col("word")), Seq("word"), "left_anti")
-    val lookup = model.vocab.select(col("word"), col("syms"))
-      .unionByName(applyMerges(unseen, model.merges))
+    // steady state (vocab covers the corpus): skip the chunked merge
+    // fold entirely — its ceil(|merges|/chunk) checkpoint jobs would
+    // all run over an empty frame
+    val lookup =
+      if (unseen.isEmpty) model.vocab.select(col("word"), col("syms"))
+      else model.vocab.select(col("word"), col("syms"))
+        .unionByName(applyMerges(unseen, model.merges))
     val toks = ws
       .join(lookup, Seq("word")) // total: vocab ∪ encoded-unseen
       .groupBy(col("_bpe_id"))

@@ -55,12 +55,14 @@ case class MetaAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private final case class FsSource(rel: HadoopFsRelation,
                                     entry: GraftTables.Entry) extends MetaSource {
     def statsCols: Seq[String] = entry.statsCols
-    def stats(): org.apache.spark.sql.DataFrame =
+    // one read serves both the coverage proof and the answer query
+    private lazy val frame =
       graft.sources.FileStats.readStats(spark, entry.statsRoot.get)
+    def stats(): org.apache.spark.sql.DataFrame = frame
     def covered(): Boolean = {
       // proof of coverage: stats paths == the scan's OWN live listing,
       // each exactly once (metadata scale on both sides)
-      val statPaths = stats().select(col("path")).collect()
+      val statPaths = frame.select(col("path")).collect()
         .map(r => GraftTables.canon(r.getString(0)))
       val live = rel.location.inputFiles.map(p => GraftTables.canon(p))
       statPaths.length == statPaths.distinct.length &&

@@ -185,12 +185,18 @@ object ManifestTable {
       else graft.sources.FileStats.collect(spark, dir, stats)
     // canonical path identity on both sides (listFiles emits
     // toUri.getPath; input_file_name emits a scheme'd URI; footer rows
-    // carry the listing's own paths); zero-row write partitions
-    // produce no stats group, so the inner join is also the empty-file
-    // filter — such files stay on disk, unreferenced, until vacuum's
-    // TTL sweep
+    // carry the listing's own paths). Two-step strip so an AUTHORITY
+    // survives correctly: "hdfs://nn:8020/tbl/…" must become "/tbl/…"
+    // (scheme AND authority dropped), while "file:/tmp/…" drops just
+    // the scheme — a single scheme-strip would leave "/nn:8020/…" and
+    // the join below would silently commit a manifest referencing
+    // NONE of the batch's files. Zero-row write partitions produce no
+    // stats group, so the inner join is also the empty-file filter —
+    // such files stay on disk, unreferenced, until vacuum's TTL sweep
     val withCanon = collected.withColumn("path",
-      regexp_replace(col("path"), "^[a-zA-Z0-9+.-]+:/+", "/"))
+      regexp_replace(
+        regexp_replace(col("path"), "^[a-zA-Z0-9+.-]+://[^/]*", ""),
+        "^[a-zA-Z0-9+.-]+:(?=/)", ""))
     // footer rows surface 0-row files (an empty replacement write);
     // they never enter the manifest
     sizes.join(withCanon, Seq("path")).filter(col("row_count") > 0)

@@ -285,6 +285,23 @@ object VersionedTable {
     }
   }
 
+  /** Row-APPEND as a serialized read-modify-write: the next epoch is
+    * current ∪ batch, committed through the CAS loop — racing appends
+    * each incorporate their predecessor, so none is lost (a blind
+    * [[write]] of a precomputed union would retry only the VERSION
+    * NUMBER on conflict, silently dropping the other writer's rows).
+    * This is the INSERT INTO bridge for epoch tables; cost ∝ table
+    * (every epoch is a full snapshot — the documented grain;
+    * [[ManifestTable.write]] is the file-list-cost alternative).
+    * Creates the table when absent. Returns the committed version. */
+  def append(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    if (latestVersion(spark, root) < 0) write(df, root)
+    else rewriteLoop(spark, root) { base =>
+      readVersion(spark, root, base).unionByName(df)
+    }
+  }
+
   /** Optimistic retry loop shared by the read-modify-write commits:
     * pin the current version as the base, compute the rewrite AGAINST
     * THAT EPOCH (readVersion, not read — the plan must not silently

@@ -130,6 +130,11 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
     if (isManifest) graft.sinks.ManifestTable.latestVersion(spark, root)
     else graft.sinks.VersionedTable.latestVersion(spark, root)
 
+  private def oldestRetained: Long =
+    (if (isManifest) graft.sinks.ManifestTable.versions(spark, root)
+     else graft.sinks.VersionedTable.versions(spark, root))
+      .headOption.getOrElse(currentVersion)
+
   private def readVersion(v: Long): DataFrame =
     if (isManifest) graft.sinks.ManifestTable.readVersion(spark, root, v)
     else graft.sinks.VersionedTable.readVersion(spark, root, v)
@@ -148,14 +153,17 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
     * versions one micro-batch may span (the Delta `maxFilesPerTrigger`
     * shape: bound per-batch diff cost on a backlogged stream instead
     * of one giant catch-up batch). The bootstrap batch (start = -1)
-    * is always a single version. */
+    * is always a single version, clamped to the OLDEST RETAINED one —
+    * a vacuumed table must not send a fresh stream chasing version 0
+    * it no longer holds. */
   override def latestOffset(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val cur = availableNowCap.getOrElse(currentVersion)
     val from = GraftVersionOffset.parse(start.json()).version
     maxVersionsPerTrigger match {
-      case Some(m) if from < 0L => GraftVersionOffset(math.min(cur, 0L + (m - 1)))
+      case Some(m) if from < 0L =>
+        GraftVersionOffset(math.min(cur, math.max(oldestRetained, m - 1)))
       case Some(m) => GraftVersionOffset(math.min(cur, from + m))
       case None => GraftVersionOffset(cur)
     }
@@ -209,7 +217,28 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
   override def createReaderFactory(): PartitionReaderFactory =
     GraftDelegatingReaderFactory
 
-  override def commit(end: Offset): Unit = ()
+  /** Materialized deltas at or below the committed offset can never
+    * be re-planned (Spark does not replay committed batches), so they
+    * are garbage — without this sweep a long-running stream's
+    * checkpoint scratch would grow one directory per micro-batch
+    * forever. */
+  override def commit(end: Offset): Unit = {
+    val committed = GraftVersionOffset.parse(end.json()).version
+    val feedDir = new Path(s"$checkpointLocation/graft-feed")
+    try {
+      val fs = feedDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(feedDir)) {
+        val Name = """batch-(-?\d+)-(-?\d+)""".r
+        fs.listStatus(feedDir).filter(_.isDirectory).foreach { d =>
+          d.getPath.getName match {
+            case Name(_, to) if to.toLong <= committed =>
+              fs.delete(d.getPath, true): Unit
+            case _ => ()
+          }
+        }
+      }
+    } catch { case _: Exception => () } // cleanup is best-effort
+  }
 
   override def stop(): Unit = ()
 }

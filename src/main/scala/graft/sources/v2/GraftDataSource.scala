@@ -103,6 +103,10 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
       .getOrElse(Nil)
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // drop any handoff a FAILED earlier load left behind — a stale
+    // (root, version) would silently pin a later read of the same
+    // root to an outdated snapshot
+    resolvedAt.remove()
     val (spark, root, v, isManifest) = resolve(options)
     resolvedAt.set(Some((root, v)))
     val dataSchema =
@@ -197,11 +201,13 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
                 if (replace) graft.sinks.ManifestTable.overwrite(data, root)
                 else graft.sinks.ManifestTable.write(data, root): Unit
               } else {
-                val next =
-                  if (replace) data
-                  else graft.sinks.VersionedTable.read(data.sparkSession, root)
-                    .unionByName(data)
-                graft.sinks.VersionedTable.write(next, root): Unit
+                // append must go through the SERIALIZED CAS loop — a
+                // precomputed union committed blindly would survive a
+                // conflict with only its version retried, dropping the
+                // racing writer's rows
+                if (replace)
+                  graft.sinks.VersionedTable.write(data, root): Unit
+                else graft.sinks.VersionedTable.append(data, root): Unit
               }
             }
         }

@@ -1087,6 +1087,27 @@ class SinksSpec extends AnyFunSuite {
       "curve optimize must preserve content")
   }
 
+  test("versioned table append: racing appends serialize through the CAS loop — no lost rows") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vt-append").toString + "/t"
+    sinks.VersionedTable.write(Seq((0L, "seed")).toDF("k", "v"), root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = sinks.VersionedTable.append(
+            Seq((i.toLong, s"a$i")).toDF("k", "v"), root)
+        })
+      }
+      futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      val ks = sinks.VersionedTable.read(spark, root)
+        .collect().map(_.getLong(0)).toSet
+      assert(ks == Set(0L, 1L, 2L, 3L, 4L),
+        s"every racing append must survive (a blind write of a " +
+          s"precomputed union would drop rows), got $ks")
+    } finally pool.shutdown()
+  }
+
   test("manifest bloom index: equality probes prune a hash layout; delta build indexes only new files") {
     import sinks.ManifestTable
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec

@@ -739,6 +739,36 @@ class StreamingSpec extends AnyFunSuite {
     val got = sinks.VersionedTable.read(spark, dst)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // committed deltas are swept from the checkpoint scratch — a
+    // long-running stream must not accumulate one dir per micro-batch
+    val feed = new java.io.File(s"$base/ckpt/sources/0/graft-feed")
+    val leftover = Option(feed.listFiles()).map(_.length).getOrElse(0)
+    assert(leftover <= 1,
+      s"committed delta materializations must be garbage-collected " +
+        s"(at most the final not-yet-committed batch remains), " +
+        s"found $leftover of 3")
+    // a FRESH throttled stream on a VACUUMED table must bootstrap at
+    // the oldest RETAINED version, not chase vacuumed version 0
+    sinks.VersionedTable.vacuum(spark, src, keep = 2)
+    assert(sinks.VersionedTable.versions(spark, src).head > 0L)
+    val dst2 = s"$base/dst2"
+    val q2 = spark.readStream.format("graft")
+      .option("keyCols", "k").option("maxVersionsPerTrigger", 1)
+      .load(src)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt2")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (sinks.VersionedTable.latestVersion(spark, dst2) < 0)
+          sinks.VersionedTable.write(
+            df.filter(col("op") =!= "D").drop("op", "seq"), dst2): Unit
+        else sinks.VersionedTable.applyCdc(df, dst2, Seq("k")): Unit
+      }
+      .start()
+    q2.awaitTermination()
+    assert(sinks.VersionedTable.read(spark, dst2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == got,
+      "a post-vacuum fresh stream must bootstrap from retained history")
   }
 
   /** The streaming change-feed source (`readStream.format("graft")` +
