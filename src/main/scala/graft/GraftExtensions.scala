@@ -37,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // registered directory collapse to the committed stats epoch's
     // answer when the epoch provably covers the scan's exact file set
     ext.injectOptimizerRule(session => graft.plans.MetaAggRule(session))
+    // SQL MERGE INTO / UPDATE / DELETE on graft catalog tables:
+    // substituted at post-hoc resolution (before the optimizer's
+    // row-level rewrites would reject the table) with eager commands
+    // that delegate to the manifest engine's file-granular operations
+    ext.injectPostHocResolutionRule(session =>
+      graft.plans.GraftRowLevelSqlRule(session))
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),

@@ -126,8 +126,13 @@ object Packing {
           val stream = r.getInt(2)
           if (stream != cur) { cur = stream; bin = -1L; rem = 0L }
           val len = r.getLong(1)
+          // the fit test is guarded on bin >= 0 so the FIRST doc of a
+          // stream always opens bin 0 — without the guard a zero-length
+          // head doc (len <= rem == 0 at stream start) would land with
+          // bin = -1 and offset = maxLen, violating the dense-bins
+          // contract (the oracle's recursive seed puts rank 1 in bin 0)
           val offset =
-            if (len <= rem) { val o = cap - rem; rem -= len; o }
+            if (bin >= 0L && len <= rem) { val o = cap - rem; rem -= len; o }
             else { bin += 1L; rem = cap - len; 0L } // oversize: rem < 0,
           // so the next doc never "fits" and correctly opens a new bin
           org.apache.spark.sql.Row.fromSeq(

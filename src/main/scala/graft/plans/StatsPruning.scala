@@ -233,7 +233,16 @@ object StatsPruneRule extends org.apache.spark.internal.Logging {
                                          cond: Expression,
                                          stats: DataFrame,
                                          statsCols: Seq[String]): Set[String] = {
-    val (lows, highs, _) = extractBounds(cond, None)
+    // ANALYZED-but-unoptimized conditions (the row-level ops resolve
+    // user predicates against an empty frame, SQL literals arrive as
+    // Cast(Literal)) need expression-level constant folding before
+    // the bound extraction's strict Literal matches can see them —
+    // the pushed-filter callers get this for free from the optimizer
+    val folded = cond.transformUp {
+      case e if e.foldable && !e.isInstanceOf[Literal] =>
+        Literal.create(e.eval(null), e.dataType)
+    }
+    val (lows, highs, _) = extractBounds(folded, None)
     val ranges = statsCols.flatMap { c =>
       val lo = lows.get(c)
       val hi = highs.get(c)

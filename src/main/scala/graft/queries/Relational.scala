@@ -905,6 +905,94 @@ object Relational extends QueryModule {
       GROUP BY lang ORDER BY lang""")
   }
 
+  /** Shared catalog bootstrap for the SQL gates: the "graft" catalog
+    * over a stable scratch warehouse (the session caches the catalog
+    * INSTANCE on first use, so every gate sets the same conf values
+    * and they either take effect or were already identical). */
+  private def ensureGateCatalog(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse",
+      graft.util.Scratch.dir("graft_warehouse"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate"): Unit
+  }
+
+  /** SQL `MERGE INTO` end-to-end through the catalog + the row-level
+    * command rule ([[graft.plans.GraftRowLevelSqlRule]]): the upsert
+    * statement delegates to [[graft.sinks.ManifestTable.merge]] — the
+    * same file-granular fold q_merge_upsert gates through the Scala
+    * API, so the two oracles share their MERGE algebra (without the
+    * delete step). The batch exercises BOTH arms: ids ≡ 2 mod 5
+    * update in place, the ids ≡ 7 mod 10 among them are absent from
+    * the seed and insert. */
+  def qMergeSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_sql_merge") + "/t"
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    graft.sinks.ManifestTable.create(
+      d.filter(col("doc_id") % 10 =!= 7)
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    ensureGateCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.gate.msql")
+    spark.sql(s"CREATE TABLE graft.gate.msql USING graft LOCATION '$root'")
+    d.filter(col("doc_id") % 5 === 2)
+      .withColumn("text", concat(lit("UPDATED: "), col("text")))
+      .createOrReplaceTempView("gate_merge_src")
+    spark.sql("""MERGE INTO graft.gate.msql AS t USING gate_merge_src AS s
+      ON t.doc_id = s.doc_id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    spark.sql("""SELECT doc_id, lang,
+      CAST(length(text) AS BIGINT) AS text_len,
+      substring(text, 1, 12) AS head
+      FROM graft.gate.msql ORDER BY doc_id""")
+  }
+
+  /** SQL `UPDATE` with expression assignments over the pre-update row
+    * and a WHERE — delegated to [[graft.sinks.ManifestTable
+    * .updateWhere]] (file-granular where the predicate has a range
+    * shape; this modular one honestly rewrites, the semantics are the
+    * gate). */
+  def qUpdateSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_sql_update") + "/t"
+    graft.sinks.ManifestTable.create(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    ensureGateCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.gate.usql")
+    spark.sql(s"CREATE TABLE graft.gate.usql USING graft LOCATION '$root'")
+    spark.sql("""UPDATE graft.gate.usql
+      SET n_chars = n_chars + 1000, lang = concat(lang, '+')
+      WHERE doc_id % 7 = 3""")
+    spark.sql("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+      FROM graft.gate.usql ORDER BY doc_id""")
+  }
+
+  /** SQL `DELETE` — [[graft.sinks.ManifestTable.deleteWhere]] through
+    * the statement surface; disjunctive predicate, SQL NULL-keeps
+    * semantics. */
+  def qDeleteSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_sql_delete") + "/t"
+    graft.sinks.ManifestTable.create(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    ensureGateCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.gate.dsql")
+    spark.sql(s"CREATE TABLE graft.gate.dsql USING graft LOCATION '$root'")
+    spark.sql(
+      "DELETE FROM graft.gate.dsql WHERE doc_id % 3 = 0 OR lang = 'en'")
+    spark.sql("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+      FROM graft.gate.dsql ORDER BY doc_id""")
+  }
+
   /** Probe string for the Jaro-Winkler ranking gate: a plausible but
     * absent part name, so scores spread over the whole range. */
   val JwProbe = "standard anodized tin"
@@ -944,6 +1032,9 @@ object Relational extends QueryModule {
     "q_meta_count"        -> qMetaCount _,
     "q_graft_scan"        -> qGraftScan _,
     "q_graft_sql"         -> qGraftSql _,
+    "q_merge_sql"         -> qMergeSql _,
+    "q_update_sql"        -> qUpdateSql _,
+    "q_delete_sql"        -> qDeleteSql _,
     "q_jaro_rank"         -> qJaroRank _,
     "q_skew_report"       -> qSkewReport _,
     "q1_agg"              -> q1Agg _,
@@ -1048,6 +1139,33 @@ object Relational extends QueryModule {
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE doc_id < 500
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the MERGE INTO statement must agree with the same relational
+    // MERGE algebra the Scala-API gate (q_merge_upsert) uses, minus
+    // its delete step
+    "q_merge_sql" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 7),
+        |upd AS (
+        |  SELECT doc_id, lang, 'UPDATED: ' || text AS text
+        |  FROM documents WHERE doc_id % 5 = 2),
+        |merged AS (
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = b.doc_id)
+        |  UNION ALL
+        |  SELECT * FROM upd)
+        |SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_len,
+        |  substr(text, 1, 12) AS head
+        |FROM merged ORDER BY doc_id""".stripMargin,
+    "q_update_sql" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 3 THEN lang || '+' ELSE lang END AS lang,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN n_chars + 1000
+        |       ELSE n_chars END AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_delete_sql" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE NOT (doc_id % 3 = 0 OR lang = 'en')
+        |ORDER BY doc_id""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(ts AS DATE) AS bucket_day,
         |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,

@@ -114,14 +114,21 @@ object ManifestTable {
       .collect().map(_.getString(0)).sorted.toSeq
 
   /** Read one version: the manifest's files, with the committed
-    * schema. An empty manifest reads as an empty frame. */
+    * schema. An empty manifest reads as an empty frame.
+    *
+    * Routed through `format("graft")` so the direct API plans exactly
+    * like the DSv2/catalog path: the scan's listing comes from the
+    * manifest via `GraftManifestFileIndex` — ZERO filesystem calls at
+    * planning (a |files|-long root list handed to spark.read.parquet
+    * would stat every file), plus the manifest-envelope and bloom
+    * pruning the source runs on pushed filters. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val schema = tableSchema(spark, root, version)
-    val paths = filesAt(spark, root, version)
-    if (paths.isEmpty)
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    else spark.read.schema(schema).parquet(paths: _*)
+    if (filesAt(spark, root, version).isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        tableSchema(spark, root, version))
+    spark.read.format("graft")
+      .option("versionAsOf", version.toString).load(root)
   }
 
   /** Read the current version. */
@@ -283,11 +290,21 @@ object ManifestTable {
         s"append schema ${df.columns.sorted.mkString(",")} != table " +
           s"schema ${schema.fieldNames.sorted.mkString(",")}")
       val rows = landFiles(conform(df, schema), root, statsCols(spark, root, v))
-      Some(commitLoopEvolving(spark, root, extraStage =
+      // the replay marker is RE-CHECKED against every attempt's fresh
+      // base: the pre-loop check alone is a TOCTOU — a zombie driver
+      // racing its restarted successor (both carrying the same batch
+      // id) would have both pass it, and the CAS loser's retry would
+      // recommit the batch onto the winner's manifest, double-applying
+      // it. A mid-loop replay detection abandons the landed files —
+      // unreferenced, vacuum's TTL sweep collects them.
+      commitLoopEvolvingOpt(spark, root, extraStage =
         VersionedTable.stampBatch(spark, manifestsRoot(root), batchId)) {
-        base => (manifest(spark, root, base).unionByName(rows),
-          tableSchema(spark, root, base))
-      })
+        base =>
+          if (batchId <= VersionedTable.lastAppliedBatch(
+              spark, manifestsRoot(root))) None
+          else Some((manifest(spark, root, base).unionByName(rows),
+            tableSchema(spark, root, base)))
+      }
     }
   }
 
@@ -308,15 +325,30 @@ object ManifestTable {
   private def commitLoopEvolving(spark: SparkSession, root: String,
                                  maxAttempts: Int = 12,
                                  extraStage: String => Unit = _ => ())
-                                (next: Long => (DataFrame, StructType)): Long = {
+                                (next: Long => (DataFrame, StructType)): Long =
+    commitLoopEvolvingOpt(spark, root, maxAttempts, extraStage)(
+      base => Some(next(base))).get
+
+  /** [[commitLoopEvolving]] where an attempt may ABSTAIN (None) after
+    * seeing the freshly resolved base — the hook [[writeBatch]]'s
+    * per-attempt replay re-check needs: a None from `next` ends the
+    * loop with no commit. */
+  private def commitLoopEvolvingOpt(spark: SparkSession, root: String,
+                                    maxAttempts: Int = 12,
+                                    extraStage: String => Unit = _ => ())
+                                   (next: Long => Option[(DataFrame, StructType)])
+      : Option[Long] = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(spark, root)
       require(base >= 0, s"manifest table at $root has no committed version")
-      val (rows, schema) = next(base)
+      val (rows, schema) = next(base) match {
+        case Some(rs) => rs
+        case None     => return None
+      }
       VersionedTable.tryCommitAs(rows, manifestsRoot(root), base,
         dir => { stageSchema(spark, root, schema)(dir); extraStage(dir) }) match {
-        case Some(v) => return v
+        case Some(v) => return Some(v)
         case None    => attempt += 1
       }
     }
@@ -331,22 +363,85 @@ object ManifestTable {
     * column, NULL cells) degrade to touched. One metadata-scale
     * broadcast join: |files| × |distinct batch keys| envelope checks,
     * distributed. */
-  private def touchedPaths(m: DataFrame, keys: DataFrame,
-                           keyCols: Seq[String]): Seq[String] = {
+  private def touchedPaths(spark: SparkSession, root: String,
+                           m: DataFrame, keys: DataFrame,
+                           keyCols: Seq[String],
+                           dataSchema: StructType): Seq[String] = {
     // only TRACKED key columns contribute exclusion proofs; with none
     // tracked every file is (honestly) touched
     val tracked = keyCols.filter(k => m.columns.contains(s"${k}_min"))
-    if (tracked.isEmpty)
-      return m.select(col("path")).collect().map(_.getString(0)).sorted.toSeq
-    val cond = tracked.map { k =>
-      val miss = (col(k) < col(s"${k}_min")) || (col(k) > col(s"${k}_max"))
-      !(miss <=> lit(true)) // unknown envelope → possibly contained
-    }.reduce(_ && _)
-    broadcast(m.select(col("path") +:
-        tracked.flatMap(k => Seq(col(s"${k}_min"), col(s"${k}_max"))): _*))
-      .join(keys.select(tracked.map(col): _*).distinct(), cond)
-      .select(col("path")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    val byEnvelope: Seq[String] =
+      if (tracked.isEmpty)
+        m.select(col("path")).collect().map(_.getString(0)).sorted.toSeq
+      else {
+        val cond = tracked.map { k =>
+          val miss = (col(k) < col(s"${k}_min")) || (col(k) > col(s"${k}_max"))
+          !(miss <=> lit(true)) // unknown envelope → possibly contained
+        }.reduce(_ && _)
+        broadcast(m.select(col("path") +:
+            tracked.flatMap(k => Seq(col(s"${k}_min"), col(s"${k}_max"))): _*))
+          .join(keys.select(tracked.map(col): _*).distinct(), cond)
+          .select(col("path")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+      }
+    bloomRefine(spark, root, byEnvelope, keys, keyCols, dataSchema)
+  }
+
+  /** Intersect the envelope-touched set with per-file BLOOM membership
+    * where a committed `_bloom_<keyCol>` index covers a key column —
+    * the case envelopes cannot serve: on a hash-distributed key every
+    * file's [min,max] spans every probe, so the envelope search
+    * honestly degrades to rewriting the whole table; the blooms the
+    * reads already consult ([[buildBloom]]) answer the same
+    * point-membership question for the touched-file search, making
+    * point-key merges file-granular on hash layouts too.
+    *
+    * Soundness: blooms have no false negatives, so dropping a no-hit
+    * INDEXED file can never lose a matched key; files the index does
+    * not cover (appended after the last [[buildBloom]] call, or the
+    * whole table when no index exists) stay conservatively touched.
+    * Cost: one broadcast of the touched files' bloom rows × |distinct
+    * batch keys| membership probes per indexed key column. */
+  private def bloomRefine(spark: SparkSession, root: String,
+                          envelopeTouched: Seq[String], keys: DataFrame,
+                          keyCols: Seq[String],
+                          dataSchema: StructType): Seq[String] = {
+    val indexed = blooms(spark, root).filter { case (c, _) =>
+      keyCols.contains(c) }
+    if (indexed.isEmpty || envelopeTouched.isEmpty) return envelopeTouched
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    var touched = envelopeTouched.toSet
+    indexed.foreach { case (c, br) =>
+      if (touched.nonEmpty) {
+        // index rows carry input_file_name URIs; the manifest carries
+        // canonical paths — same two-step scheme+authority strip as
+        // the landing join
+        val idx = graft.sources.FileBloomIndex.read(spark, br)
+          .withColumn("path", regexp_replace(
+            regexp_replace(col("path"), "^[a-zA-Z0-9+.-]+://[^/]*", ""),
+            "^[a-zA-Z0-9+.-]+:(?=/)", ""))
+          .filter(col("path").isin(touched.toSeq: _*))
+        val covered = idx.select(col("path"))
+          .collect().map(_.getString(0)).toSet
+        if (covered.nonEmpty) {
+          // probe with the TABLE's column type — the index hashed the
+          // stored values, and a narrower-typed batch key would hash
+          // differently (NULL keys never match SQL equality, so they
+          // probe nothing)
+          val probe = col(c).cast(dataSchema(c).dataType)
+          val hit = broadcast(idx.select(col("path"), col("bloom")))
+            .join(keys.select(probe.as(c)).distinct()
+                .filter(col(c).isNotNull),
+              graft.functions.VectorExpressions.bloomMightContain(
+                col("bloom"), xxhash64(col(c))))
+            .select(col("path")).distinct()
+            .collect().map(_.getString(0)).toSet
+          touched = touched.filterNot(p =>
+            covered.contains(p) && !hit.contains(p))
+        }
+      }
+    }
+    touched.toSeq.sorted
   }
 
   /** Row-level MERGE (upsert by key), file-granular: only the files
@@ -418,15 +513,21 @@ object ManifestTable {
       val stats = statsCols(spark, root, base)
       // additive evolution: the next version's schema is base-order ++
       // the batch's new columns; touched files read through the NEW
-      // schema (absent columns surface as NULL — parquet by-name)
+      // schema (absent columns surface as NULL — parquet by-name).
+      // Evolved-in columns commit NULLABLE regardless of the batch's
+      // nullability: every pre-evolution file lacks them, so untouched
+      // rows READ null — and the vectorized reader enforces the
+      // declared nullability per file (a non-nullable missing column
+      // is a read error, not a null)
       val schema =
         if (!evolve) baseSchema
         else StructType(baseSchema.fields ++
           batch.schema.fields.filterNot(f =>
-            baseSchema.fieldNames.contains(f.name)))
+            baseSchema.fieldNames.contains(f.name))
+            .map(_.copy(nullable = true)))
       val cols = schema.fieldNames.toSeq
       val keys = batch.select(keyCols.map(col): _*).distinct()
-      val touched = touchedPaths(m, keys, keyCols)
+      val touched = touchedPaths(spark, root, m, keys, keyCols, baseSchema)
       val touchedRows =
         if (touched.isEmpty)
           spark.createDataFrame(
@@ -474,15 +575,119 @@ object ManifestTable {
       m.filter(!col("path").isin(touched: _*)).unionByName(newRows)
     }
 
+  /** ADDITIVE schema evolution as a standalone commit — `ALTER TABLE
+    * ADD COLUMN` for the manifest format: the next version reuses the
+    * CURRENT manifest verbatim (every data file carries BY REFERENCE,
+    * zero data I/O) and commits a WIDER schema sidecar; schema-on-read
+    * serves the new columns as NULL for every existing row. New
+    * columns must be nullable for exactly that reason. Returns the
+    * committed version. */
+  def addColumns(spark: SparkSession, root: String,
+                 fields: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(fields.nonEmpty, "addColumns requires at least one column")
+    fields.foreach(f => require(f.nullable,
+      s"new column ${f.name} must be nullable — existing rows read NULL"))
+    commitLoopEvolving(spark, root) { base =>
+      val schema = tableSchema(spark, root, base)
+      fields.foreach(f => require(!schema.fieldNames.contains(f.name),
+        s"column ${f.name} already exists"))
+      (manifest(spark, root, base), StructType(schema.fields ++ fields))
+    }
+  }
+
+  /** Row-level UPDATE, file-granular: same envelope-proof selection as
+    * [[deleteWhere]] (provably-unmatching files carry forward BY
+    * REFERENCE), with SQL UPDATE semantics on the rewritten files —
+    * rows where `cond` is true take the assignments (values CAST to
+    * the column's declared type, the Delta-style safe cast), rows
+    * where it is false or NULL are kept verbatim. Assignment values
+    * may reference any table column (pre-update values, as SQL
+    * requires). A predicate with no provable range shape degrades to
+    * rewriting every file — sound, at the old whole-table cost. */
+  def updateWhere(spark: SparkSession, root: String, cond: Column,
+                  sets: Seq[(String, Column)]): Long = {
+    require(sets.nonEmpty, "updateWhere requires at least one assignment")
+    commitLoop(spark, root) { base =>
+      val m = manifest(spark, root, base)
+      val schema = tableSchema(spark, root, base)
+      val stats = statsCols(spark, root, base)
+      sets.foreach { case (c, _) =>
+        require(schema.fieldNames.contains(c),
+          s"assignment target $c is not a table column") }
+      val all = filesAt(spark, root, base)
+      val resolvedCond = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .filter(cond).queryExecution.analyzed match {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
+        case other => sys.error(s"unexpected analyzed shape: $other")
+      }
+      val excluded = graft.plans.StatsPruneRule.excludedByEnvelopes(
+        spark, resolvedCond, m, stats)
+      val touched = all.filterNot(excluded.contains)
+      val touchedRows =
+        if (touched.isEmpty)
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else spark.read.schema(schema).parquet(touched: _*)
+      val matched = coalesce(cond, lit(false))
+      val updated = touchedRows.select(schema.fields.toIndexedSeq.map { f =>
+        sets.find(_._1 == f.name) match {
+          case Some((_, v)) =>
+            when(matched, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+      val newRows = landFiles(updated, root, stats)
+      m.filter(!col("path").isin(touched: _*)).unionByName(newRows)
+    }
+  }
+
+  /** File-set delta between two versions — (removed, added) data-file
+    * paths, from COMMITTED METADATA alone (two manifest reads, zero
+    * data I/O). Files present in both manifests are immutable and
+    * carried BY REFERENCE, so their rows are bit-identical at both
+    * versions. */
+  private[graft] def changedFileSets(spark: SparkSession, root: String,
+                                     fromVersion: Long, toVersion: Long)
+      : (Seq[String], Seq[String]) = {
+    val a = filesAt(spark, root, fromVersion).toSet
+    val b = filesAt(spark, root, toVersion).toSet
+    ((a -- b).toSeq.sorted, (b -- a).toSeq.sorted)
+  }
+
   /** Change feed between two versions — [[VersionedTable
-    * .changesBetween]] semantics over manifest reads. */
+    * .changesBetween]] semantics, at cost ∝ CHANGED FILES, never ∝
+    * table (the Delta CDF grain): the two MANIFESTS diff first
+    * ([[changedFileSets]] — committed metadata), and only the files
+    * removed between the versions (from-side) and added (to-side) are
+    * scanned and key-diffed.
+    *
+    * Soundness, from the keyed contract (one row per key per version)
+    * plus file immutability: a carried file's rows are identical at
+    * both versions, so a key whose row lives in a carried file at one
+    * version either lives in the SAME carried file at the other (no
+    * change — and it can't also appear in a removed/added file, which
+    * would duplicate the key) or the key changed, in which case its
+    * row at the other version is in a removed/added file by
+    * definition. Every I/U/D row therefore has both of its sides
+    * inside the scanned subsets, and keys rewritten WITH IDENTICAL
+    * CONTENT (a merge rewrote their file for a neighbor) drop out in
+    * the diff's change filter exactly as before. On a 100 TB table a
+    * 1-file append's feed batch scans one file, not two snapshots. */
   def changesBetween(spark: SparkSession, root: String,
                      fromVersion: Long, toVersion: Long,
                      keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "changesBetween requires key columns")
+    val (removed, added) = changedFileSets(spark, root, fromVersion, toVersion)
+    def subset(paths: Seq[String], version: Long): DataFrame = {
+      val schema = tableSchema(spark, root, version)
+      if (paths.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(paths: _*)
+    }
     VersionedTable.diffKeyed(
-      readVersion(spark, root, fromVersion),
-      readVersion(spark, root, toVersion),
+      subset(removed, fromVersion), subset(added, toVersion),
       keyCols, fromVersion, toVersion)
   }
 
@@ -616,21 +821,28 @@ object ManifestTable {
     Some(commitLoop(spark, root) { b =>
       // recompute against the CURRENT base on conflict: a selected
       // file may have been rewritten away — re-intersect with b's
-      // manifest so only still-live files rewrite
+      // manifest so only still-live files rewrite. Schema and stats
+      // are ALSO re-read per attempt (not the pre-loop pins): a
+      // concurrent evolveSchema merge widens the sidecar, and reading
+      // touched files with the stale narrower schema would silently
+      // drop the evolved column's values from the rewritten files
+      // while the commit still stamps the wider sidecar — data loss.
+      val curSchema = tableSchema(spark, root, b)
+      val curStats = statsCols(spark, root, b)
       val mb = manifest(spark, root, b)
       val live = filesAt(spark, root, b).toSet
       val todo = selectedSeq.filter(live.contains)
       val rowsIn =
         if (todo.isEmpty)
           spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        else spark.read.schema(schema).parquet(todo: _*)
+            new java.util.ArrayList[org.apache.spark.sql.Row](), curSchema)
+        else spark.read.schema(curSchema).parquet(todo: _*)
       val laid =
         if (sortCols.isEmpty) rowsIn.repartition(nFiles)
         else rowsIn.repartitionByRange(nFiles, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       mb.filter(!col("path").isin(todo: _*))
-        .unionByName(landFiles(laid, root, stats))
+        .unionByName(landFiles(laid, root, curStats))
     })
   }
 
@@ -699,16 +911,30 @@ object ManifestTable {
     * zero data I/O, |versions| × |files| metadata rows. */
   def history(spark: SparkSession, root: String): DataFrame = {
     val ts = VersionedTable.commitTimestamps(spark, manifestsRoot(root)).toMap
-    val rows = versions(spark, root).map { v =>
-      val m = manifest(spark, root, v)
-        .agg(count(lit(1)), coalesce(sum(col("row_count")), lit(0L)),
-          coalesce(sum(col("size")), lit(0L))).head()
-      (v, new java.sql.Timestamp(ts(v)), m.getLong(0), m.getLong(1),
-        m.getLong(2))
-    }
+    // ONE aggregation job over the union of the retained manifests
+    // (version tagged per branch) — not one serial job per version,
+    // which turns sluggish at thousands of retained versions
+    val vs = versions(spark, root)
+    val agg: Map[Long, (Long, Long, Long)] =
+      if (vs.isEmpty) Map.empty
+      else vs.map { v =>
+        manifest(spark, root, v)
+          .select(lit(v).as("version"), col("row_count"), col("size"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("version"))
+        .agg(count(lit(1)).as("n_files"),
+          coalesce(sum(col("row_count")), lit(0L)).as("n_rows"),
+          coalesce(sum(col("size")), lit(0L)).as("bytes"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val spk = spark
     import spk.implicits._
-    rows.toDF("version", "committed_at", "n_files", "n_rows", "bytes")
+    // empty-manifest versions (a created-but-unloaded table) produce
+    // no group — they still get their (0, 0, 0) history row
+    vs.map { v =>
+      val (nf, nr, b) = agg.getOrElse(v, (0L, 0L, 0L))
+      (v, new java.sql.Timestamp(ts(v)), nf, nr, b)
+    }.toDF("version", "committed_at", "n_files", "n_rows", "bytes")
   }
 
   /** Refcount-aware vacuum: drop manifest epochs beyond the newest

@@ -225,10 +225,30 @@ object VersionedTable {
     * (None) when that id was already applied, which is exactly the
     * foreachBatch replay case. Ids must be monotone per table (Spark's
     * streaming epochIds are). Returns the committed version, or None
-    * on a detected replay. */
-  def writeBatch(df: DataFrame, root: String, batchId: Long): Option[Long] =
-    if (batchId <= lastAppliedBatch(df.sparkSession, root)) None
-    else Some(writeStaged(df, root)(stampBatch(df.sparkSession, root, batchId)))
+    * on a detected replay.
+    *
+    * The replay check runs INSIDE the CAS loop, against each attempt's
+    * freshly resolved base: a single check before a blind commit would
+    * be a TOCTOU — a zombie driver racing its restarted successor (the
+    * exact redelivery case the marker exists for) could have BOTH
+    * writers pass the pre-check, and the CAS loser's retry would
+    * recommit the batch on top of the winner's epoch, double-applying
+    * it. Losing the claim therefore re-reads the marker before every
+    * retry. */
+  def writeBatch(df: DataFrame, root: String, batchId: Long): Option[Long] = {
+    val spark = df.sparkSession
+    var attempt = 0
+    while (attempt < 12) {
+      if (batchId <= lastAppliedBatch(spark, root)) return None
+      val base = latestVersion(spark, root) // -1 bootstraps version 0
+      tryCommitAs(df, root, base, stampBatch(spark, root, batchId)) match {
+        case Some(v) => return Some(v)
+        case None    => attempt += 1
+      }
+    }
+    sys.error(s"versioned table at $root: batch commit lost the race " +
+      "12 times — serialize the writers or shard the table")
+  }
 
   /** Write the batch-id sidecar into a staging dir — shared with
     * [[ManifestTable.writeBatch]], whose epochs live in the manifest

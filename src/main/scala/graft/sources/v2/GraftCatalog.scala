@@ -77,6 +77,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def defPath(ident: Identifier): Path =
     new Path(defsDir(ident.namespace), s"${ident.name}.properties")
 
+  /** The on-disk descriptor of a table — [[GraftMaintenance]] reads
+    * declared maintenance policy (clusterBy, bloomIndex) off it. */
+  private[v2] def tableDef(ident: Identifier): Option[java.util.Properties] =
+    readDef(ident)
+
   private def readDef(ident: Identifier): Option[java.util.Properties] = {
     val p = defPath(ident)
     if (!fs.exists(p)) None
@@ -177,9 +182,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         props.setProperty(set.property, set.value)
       case rm: TableChange.RemoveProperty =>
         props.remove(rm.property): Unit
+      case add: TableChange.AddColumn =>
+        // ALTER TABLE ADD COLUMN: additive evolution is one empty-
+        // batch sidecar-widening commit on the manifest format — no
+        // data rewrites, old rows read NULL. Strict-mode surprise
+        // columns in APPENDS stay refused; only this declared DDL
+        // widens the schema.
+        val loc = props.getProperty("location")
+        require(add.fieldNames.length == 1,
+          "graft tables have no nested columns to add into")
+        require(graft.sinks.ManifestTable.exists(spark, loc),
+          "ADD COLUMN is supported on manifest-format tables only " +
+            "(epoch tables evolve through merge(evolveSchema = true))")
+        graft.sinks.ManifestTable.addColumns(spark, loc, Seq(
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType, nullable = true))): Unit
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported table change $other — schema changes " +
-          "go through the table formats (ManifestTable is strict-schema)")
+        s"graft catalog: unsupported table change $other — non-additive " +
+          "schema changes go through the table formats")
     }
     require(props.getProperty("location") != null,
       "the location property cannot be removed")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, Par
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
-import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -20,18 +20,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     .load(root)                       // epoch OR manifest table
   * }}}
   *
-  * Offsets ARE table versions. Each micro-batch (v₀, v₁] delivers the
-  * derived Debezium-shaped diff
+  * Offsets ARE table versions (plus a file cursor while the bootstrap
+  * drains — [[GraftVersionOffset]]). Each micro-batch (v₀, v₁]
+  * delivers the derived Debezium-shaped diff
   * ([[graft.sinks.VersionedTable.changesBetween]] /
   * [[graft.sinks.ManifestTable.changesBetween]]): key columns +
-  * payload + `op` (I/U/D) + `seq` = v₁. The FIRST batch bootstraps —
-  * the whole table at the stream's starting version as 'I' rows (the
-  * [[graft.sinks.VersionedTable.consumeChanges]] contract, now with
-  * Structured Streaming's checkpoint as the durable consumer offset).
-  * Piped into `applyCdc` on a downstream table this is the medallion
-  * hop, and it is REPLAY-IDEMPOTENT: a restart re-plans the same
-  * (v₀, v₁] from the checkpoint, versions are immutable, and the diff
-  * is deterministic, so the re-delivered batch folds to the same
+  * payload + `op` (I/U/D) + `seq` = v₁. The FIRST batch(es) bootstrap
+  * — the whole table at the stream's starting version as 'I' rows
+  * (the [[graft.sinks.VersionedTable.consumeChanges]] contract, now
+  * with Structured Streaming's checkpoint as the durable consumer
+  * offset). Piped into `applyCdc` on a downstream table this is the
+  * medallion hop, and it is REPLAY-IDEMPOTENT: a restart re-plans the
+  * same (v₀, v₁] from the checkpoint, versions are immutable, and the
+  * diff is deterministic, so the re-delivered batch folds to the same
   * content.
   *
   * Contract: the table is KEYED (one row per key at every version —
@@ -39,11 +40,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * stream that lagged past vacuumed history fails fast on the missing
   * version — re-bootstrap with a fresh checkpoint.
   *
-  * Scale shape: each batch costs one keyed diff (two version scans +
-  * one full-outer join) + one materialization of the DELTA under the
-  * stream's checkpoint scratch — cost ∝ batch, never ∝ stream
-  * lifetime; the materialized delta is then served through the
-  * delegated vectorized parquet reader like any other scan.
+  * Scale shape:
+  *   - BOOTSTRAP: served DIRECTLY from the resolved version's own
+  *     immutable files — zero copy (the version's parquet is read in
+  *     place through the delegated vectorized reader, with constant
+  *     `op = 'I'`, `seq = v` appended per row). `maxFilesPerTrigger`
+  *     is the admission control: a 100 TB bootstrap arrives as
+  *     bounded file batches, each offset-committed, restartable
+  *     mid-drain.
+  *   - CATCH-UP: each batch costs one keyed diff; on a manifest table
+  *     the diff scans only the files CHANGED between the two versions
+  *     ([[graft.sinks.ManifestTable.changedFileSets]] — cost ∝
+  *     changed files, never ∝ table), and `maxVersionsPerTrigger`
+  *     bounds how many versions one batch spans. The diff delta
+  *     materializes once under the stream's checkpoint scratch and is
+  *     swept at offset commit.
   */
 final class GraftChangeFeedTable(spark: SparkSession, root: String,
                                  keyCols: Seq[String],
@@ -61,7 +72,8 @@ final class GraftChangeFeedTable(spark: SparkSession, root: String,
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new GraftChangeFeedStream(spark, root, keyCols, feedSchema,
           checkpointLocation,
-          Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+          Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+          Option(options.get("maxFilesPerTrigger")).map(_.toLong))
     }
 }
 
@@ -73,16 +85,33 @@ object GraftChangeFeedTable {
       StructField("seq", LongType, nullable = false))
 }
 
-/** A table version as a streaming offset. */
-final case class GraftVersionOffset(version: Long) extends Offset {
-  override def json(): String = s"""{"version":$version}"""
+/** A table version as a streaming offset. `boot = Some(k)` marks a
+  * PARTIAL BOOTSTRAP: the first k files (path-sorted) of `version`
+  * have been delivered as 'I' rows and the rest are still owed — the
+  * file cursor that makes a 100 TB bootstrap restartable in bounded
+  * batches. Absent `boot` (the shape every pre-cursor checkpoint
+  * carries) means the version is fully consumed. */
+final case class GraftVersionOffset(version: Long,
+                                    boot: Option[Long] = None) extends Offset {
+  override def json(): String = boot match {
+    case Some(k) => s"""{"version":$version,"boot":$k}"""
+    case None    => s"""{"version":$version}"""
+  }
 }
 
 object GraftVersionOffset {
-  private val Re = """"version"\s*:\s*(-?\d+)""".r.unanchored
-  def parse(json: String): GraftVersionOffset = json match {
-    case Re(v) => GraftVersionOffset(v.toLong)
-    case _ => throw new IllegalArgumentException(s"bad graft offset: $json")
+  private val VRe = """"version"\s*:\s*(-?\d+)""".r.unanchored
+  private val BRe = """"boot"\s*:\s*(\d+)""".r.unanchored
+  def parse(json: String): GraftVersionOffset = {
+    val v = json match {
+      case VRe(x) => x.toLong
+      case _ => throw new IllegalArgumentException(s"bad graft offset: $json")
+    }
+    val b = json match {
+      case BRe(k) => Some(k.toLong)
+      case _      => None
+    }
+    GraftVersionOffset(v, b)
   }
 }
 
@@ -96,11 +125,37 @@ final case class GraftDelegatingPartition(inner: InputPartition,
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
+/** A bootstrap leaf: the delegated read of one slice of the snapshot's
+  * own files, with the constant (op = 'I', seq) pair appended per row
+  * — the zero-copy way to emit a whole immutable version as inserts. */
+final case class GraftBootstrapPartition(inner: InputPartition,
+                                         factory: PartitionReaderFactory,
+                                         seq: Long)
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
 object GraftDelegatingReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     p match {
       case GraftDelegatingPartition(inner, f) => f.createReader(inner)
+      case GraftBootstrapPartition(inner, f, seq) =>
+        val r = f.createReader(inner)
+        new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+          // one reusable joined row per reader — downstream copies at
+          // buffering boundaries, the standard PartitionReader contract
+          private val consts =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](
+                org.apache.spark.unsafe.types.UTF8String.fromString("I"), seq))
+          private val joined =
+            new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          override def next(): Boolean = r.next()
+          override def get(): org.apache.spark.sql.catalyst.InternalRow =
+            joined(r.get(), consts)
+          override def close(): Unit = r.close()
+        }
       case other => throw new IllegalStateException(s"unexpected $other")
     }
   override def supportColumnarReads(p: InputPartition): Boolean = false
@@ -110,15 +165,18 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
                                   keyCols: Seq[String],
                                   feedSchema: StructType,
                                   checkpointLocation: String,
-                                  maxVersionsPerTrigger: Option[Long] = None)
+                                  maxVersionsPerTrigger: Option[Long] = None,
+                                  maxFilesPerTrigger: Option[Long] = None)
   extends MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+  with org.apache.spark.internal.Logging {
 
   /** Trigger.AvailableNow snapshot: without native support Spark
     * wraps the stream and the wrapper's latestOffset bypasses the
     * inner admission control — one giant catch-up batch. Supporting
-    * the trigger natively keeps `maxVersionsPerTrigger` honored while
-    * the run still stops at the versions available at start. */
+    * the trigger natively keeps `maxVersionsPerTrigger` /
+    * `maxFilesPerTrigger` honored while the run still stops at the
+    * versions available at start. */
   @volatile private var availableNowCap: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
@@ -135,38 +193,81 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
      else graft.sinks.VersionedTable.versions(spark, root))
       .headOption.getOrElse(currentVersion)
 
-  private def readVersion(v: Long): DataFrame =
-    if (isManifest) graft.sinks.ManifestTable.readVersion(spark, root, v)
-    else graft.sinks.VersionedTable.readVersion(spark, root, v)
-
   private def changes(from: Long, to: Long): DataFrame =
     if (isManifest)
       graft.sinks.ManifestTable.changesBetween(spark, root, from, to, keyCols)
     else
       graft.sinks.VersionedTable.changesBetween(spark, root, from, to, keyCols)
 
+  /** The table columns of the feed (feed schema minus op/seq) — the
+    * read schema of a bootstrap slice. */
+  private val dataSchema: StructType =
+    StructType(feedSchema.fields.dropRight(2))
+
+  /** Path-sorted (path, size) of one version's data files — the
+    * bootstrap's deterministic file order, from committed metadata
+    * (manifest rows) or one listing (epoch dir). Versions are
+    * immutable, so the memo is sound across the stream's lifetime. */
+  private val bootFilesMemo =
+    scala.collection.concurrent.TrieMap.empty[Long, IndexedSeq[(String, Long)]]
+
+  private def bootstrapFiles(v: Long): IndexedSeq[(String, Long)] =
+    bootFilesMemo.getOrElseUpdate(v, {
+      val rows =
+        if (isManifest)
+          graft.sinks.ManifestTable.manifest(spark, root, v)
+            .select("path", "size").collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+        else
+          graft.sources.FileManifest.listFiles(spark, s"$root/epoch=$v")
+            .select("path", "size").collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+      rows.sortBy(_._1).toIndexedSeq
+    })
+
   override def initialOffset(): Offset = GraftVersionOffset(-1L)
 
   override def latestOffset(): Offset = GraftVersionOffset(currentVersion)
 
-  /** Admission control — `maxVersionsPerTrigger` caps how many table
-    * versions one micro-batch may span (the Delta `maxFilesPerTrigger`
-    * shape: bound per-batch diff cost on a backlogged stream instead
-    * of one giant catch-up batch). The bootstrap batch (start = -1)
-    * is always a single version, clamped to the OLDEST RETAINED one —
-    * a vacuumed table must not send a fresh stream chasing version 0
-    * it no longer holds. */
+  /** Admission control. A fresh stream first resolves its BOOTSTRAP
+    * version (clamped to the oldest retained one — a vacuumed table
+    * must not send it chasing version 0; `maxVersionsPerTrigger`
+    * counts the bootstrap as its version span, as before), then
+    * drains that version's files `maxFilesPerTrigger` at a time
+    * through the boot cursor; only once the cursor completes do
+    * version diffs admit, `maxVersionsPerTrigger` per batch. */
   override def latestOffset(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val cur = availableNowCap.getOrElse(currentVersion)
-    val from = GraftVersionOffset.parse(start.json()).version
-    maxVersionsPerTrigger match {
-      case Some(m) if from < 0L =>
-        GraftVersionOffset(math.min(cur, math.max(oldestRetained, m - 1)))
-      case Some(m) => GraftVersionOffset(math.min(cur, from + m))
-      case None => GraftVersionOffset(cur)
+    GraftVersionOffset.parse(start.json()) match {
+      case GraftVersionOffset(v, Some(k)) =>
+        // mid-bootstrap: finish draining v before any diff admits
+        bootStep(v, k)
+      case GraftVersionOffset(v, None) if v < 0L =>
+        val bootV = maxVersionsPerTrigger match {
+          case Some(m) => math.min(cur, math.max(oldestRetained, m - 1))
+          case None    => cur
+        }
+        if (bootV < 0L) start // nothing committed yet — no batch
+        else bootStep(bootV, 0L)
+      case GraftVersionOffset(v, None) =>
+        maxVersionsPerTrigger match {
+          case Some(m) => GraftVersionOffset(math.min(cur, v + m))
+          case None    => GraftVersionOffset(cur)
+        }
     }
+  }
+
+  /** Advance the bootstrap cursor of `v` from file index `k`: a
+    * complete drain is the bare version offset (also the shape every
+    * pre-cursor checkpoint carries), a partial one keeps the cursor. */
+  private def bootStep(v: Long, k: Long): GraftVersionOffset = {
+    val total = bootstrapFiles(v).size.toLong
+    val step = maxFilesPerTrigger.getOrElse(total)
+    val next = math.min(total, k + math.max(1L, step))
+    if (next < total) GraftVersionOffset(v, Some(next))
+    else GraftVersionOffset(v)
   }
 
   override def getDefaultReadLimit
@@ -176,22 +277,59 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset.parse(json)
 
-  /** The (from, to] diff — bootstrap when the stream has consumed
-    * nothing yet. Column order is pinned to the feed schema. */
-  private def batchDf(from: Long, to: Long): DataFrame = {
-    val df =
-      if (from < 0L) {
-        val b = readVersion(to)
-        b.select(b.columns.map(col).toIndexedSeq :+
-          lit("I").as("op") :+ lit(to).as("seq"): _*)
-      } else changes(from, to)
-    df.select(feedSchema.fieldNames.map(col).toIndexedSeq: _*)
-  }
+  /** The (from, to] diff, column order pinned to the feed schema —
+    * catch-up batches only; the bootstrap never comes through here. */
+  private def batchDf(from: Long, to: Long): DataFrame =
+    changes(from, to)
+      .select(feedSchema.fieldNames.map(col).toIndexedSeq: _*)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = GraftVersionOffset.parse(start.json()).version
-    val to = GraftVersionOffset.parse(end.json()).version
-    if (to <= from) return Array.empty
+    val s = GraftVersionOffset.parse(start.json())
+    val e = GraftVersionOffset.parse(end.json())
+    (s, e) match {
+      case (GraftVersionOffset(sv, sb), GraftVersionOffset(ev, Some(k2))) =>
+        // a partial-bootstrap step: (sv either -1 or == ev mid-drain)
+        planBootstrapSlice(ev, if (sv < 0L) 0L else sb.getOrElse(0L), k2)
+      case (GraftVersionOffset(sv, Some(k)), GraftVersionOffset(ev, None)) =>
+        require(ev == sv, s"bootstrap of v$sv cannot complete at v$ev — " +
+          "offsets advanced past an unfinished bootstrap")
+        planBootstrapSlice(sv, k, bootstrapFiles(sv).size.toLong)
+      case (GraftVersionOffset(sv, None), GraftVersionOffset(ev, None))
+          if sv < 0L =>
+        // whole-version bootstrap in one batch (no file admission set)
+        planBootstrapSlice(ev, 0L, bootstrapFiles(ev).size.toLong)
+      case (GraftVersionOffset(sv, None), GraftVersionOffset(ev, None)) =>
+        if (ev <= sv) Array.empty else planDiff(sv, ev)
+    }
+  }
+
+  /** Serve files [fromIdx, toIdx) of version `v` directly as 'I' rows
+    * — the snapshot's own immutable parquet through the delegated
+    * vectorized reader, constants appended per row, ZERO copies and
+    * no scratch directory. Manifest tables plan the slice through
+    * [[GraftManifestFileIndex]] (no filesystem calls); epoch tables
+    * hand the slice's leaf files to an InMemoryFileIndex (|slice|
+    * stats, bounded by the admission control). */
+  private def planBootstrapSlice(v: Long, fromIdx: Long,
+                                 toIdx: Long): Array[InputPartition] = {
+    val slice = bootstrapFiles(v).slice(fromIdx.toInt, toIdx.toInt)
+    if (slice.isEmpty) return Array.empty
+    val index =
+      if (isManifest) {
+        val ts = graft.sinks.VersionedTable.commitTimestamp(spark,
+          graft.sinks.ManifestTable.manifestsRoot(root), v).getOrElse(0L)
+        new GraftManifestFileIndex(spark, root, slice, ts, dataSchema, None)
+      } else
+        new InMemoryFileIndex(spark, slice.map(f => new Path(f._1)),
+          Map.empty, Some(dataSchema))
+    val batch = ParquetScanBuilder(spark, index, dataSchema, dataSchema,
+      CaseInsensitiveStringMap.empty()).build().toBatch
+    val factory = batch.createReaderFactory()
+    batch.planInputPartitions().map(p =>
+      GraftBootstrapPartition(p, factory, v): InputPartition)
+  }
+
+  private def planDiff(from: Long, to: Long): Array[InputPartition] = {
     // materialize the delta under the stream's checkpoint scratch —
     // ONCE per range: Spark may re-plan the same batch (retries,
     // restarts) while earlier-planned tasks still hold the files, so
@@ -237,7 +375,13 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
           }
         }
       }
-    } catch { case _: Exception => () } // cleanup is best-effort
+    } catch {
+      // best-effort GC — but say so, or a filling checkpoint volume
+      // has nothing to debug from
+      case e: Exception =>
+        logWarning(s"graft change feed: checkpoint-scratch sweep under " +
+          s"$feedDir failed (will retry at the next commit)", e)
+    }
   }
 
   override def stop(): Unit = ()

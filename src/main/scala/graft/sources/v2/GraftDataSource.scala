@@ -76,6 +76,9 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     require(options.get("versionAsOf") == null ||
       options.get("timestampAsOf") == null,
       "give versionAsOf or timestampAsOf, not both")
+    // (resolution continues below; whether the caller PINNED the
+    // version explicitly is what decides the table's write surface —
+    // see [[timeTraveled]])
     // a manifest table ([[graft.sinks.ManifestTable]]) resolves its
     // version through its _manifests VersionedTable — epoch-directory
     // tables resolve at the root; one reader syntax for both layouts
@@ -116,13 +119,23 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     else GraftChangeFeedTable.feedSchema(dataSchema)
   }
 
+  /** Whether the reader PINNED the snapshot explicitly — such a handle
+    * is read-only: its V1 write bridge would commit against the
+    * table's LATEST version regardless of the pinned one, so a write
+    * through a time-traveled handle would silently target a different
+    * version than the one the table name claims. */
+  private def timeTraveled(options: CaseInsensitiveStringMap): Boolean =
+    options.get("versionAsOf") != null || options.get("timestampAsOf") != null
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val (spark, root, v, isManifest) = resolve(options)
     resolvedAt.remove()
     val keys = feedKeys(options)
-    if (keys.isEmpty) new GraftTable(spark, root, v, schema, isManifest)
+    if (keys.isEmpty)
+      new GraftTable(spark, root, v, schema, isManifest,
+        readOnly = timeTraveled(options))
     else new GraftChangeFeedTable(spark, root, keys, schema)
   }
 }
@@ -157,7 +170,8 @@ private[graft] object GraftTimeTravel {
   * the file list — no coverage dance needed). */
 final class GraftTable(spark: SparkSession, root: String, version: Long,
                        dataSchema: StructType,
-                       isManifest: Boolean = false)
+                       isManifest: Boolean = false,
+                       readOnly: Boolean = false)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -171,8 +185,22 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
   private[graft] def manifestInfo: Option[(String, Long)] =
     if (isManifest) Some((root, version)) else None
 
+  /** The manifest root when SQL row-level commands (MERGE INTO /
+    * UPDATE / DELETE — [[graft.plans.GraftRowLevelSqlRule]]) may
+    * rewrite through this handle: manifest-format only (epoch tables
+    * keep their documented full-copy Scala API), and never through a
+    * pinned snapshot. */
+  private[graft] def rowLevelRoot: Option[String] =
+    if (isManifest && !readOnly) Some(root) else None
+
+  /** A time-traveled resolution advertises NO write capabilities (and
+    * [[newWriteBuilder]] fails fast as defense in depth): the V1
+    * bridge commits against the table's latest version, so a write
+    * through a pinned-snapshot handle would target a different version
+    * than the one this table's name claims. */
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+    if (readOnly) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
@@ -184,7 +212,12 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
     * (TRUNCATE) replaces content, history stays time-travelable. */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (readOnly) throw new UnsupportedOperationException(
+      s"$name was resolved with versionAsOf/timestampAsOf — a pinned " +
+        "snapshot is read-only (a write would commit against the " +
+        "table's LATEST version, not the one this handle names); " +
+        "write through an unpinned handle instead")
     new org.apache.spark.sql.connector.write.WriteBuilder
       with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var truncateRequested = false
@@ -212,6 +245,7 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
             }
         }
     }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val index =

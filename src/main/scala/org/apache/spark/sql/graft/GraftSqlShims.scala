@@ -1,0 +1,43 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Two-method bridge to `private[sql]` Spark internals that the SQL
+  * row-level command rule ([[graft.plans.GraftRowLevelSqlRule]])
+  * needs and Spark 4 exposes no public equivalent for:
+  *
+  *   - wrapping a Catalyst [[Expression]] back into a [[Column]]
+  *     (`Column.expr`/`new Column(expr)` are gone in Spark 4;
+  *     `classic.ExpressionUtils.column` is the blessed internal), and
+  *   - turning an analyzed [[LogicalPlan]] (a MERGE statement's
+  *     source relation) into a [[DataFrame]]
+  *     (`classic.Dataset.ofRows`).
+  *
+  * Living inside the `org.apache.spark.sql` namespace is the
+  * established ecosystem pattern for exactly this seam (Delta Lake
+  * and Iceberg ship such shims the same way); everything else in this
+  * repo stays under `graft.*`. Both entry points are stable across
+  * the 4.x line.
+  */
+object GraftSqlShims {
+
+  /** Wrap a (possibly unresolved) expression as a user-facing Column. */
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** DataFrame over an already-analyzed logical plan. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The session's catalog manager — resolves the INITIALIZED catalog
+    * instances (the session caches them on first use), which is what
+    * a by-name maintenance entry point must consult rather than
+    * re-deriving state from the conf. */
+  def catalogManager(spark: SparkSession)
+      : org.apache.spark.sql.connector.catalog.CatalogManager =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager
+}

@@ -122,4 +122,179 @@ class CatalogSpec extends AnyFunSuite {
       docs.filter(col("doc_id") <= lo + 2)
         .select(col("doc_id")).as[Long].collect().toSet)
   }
+
+  test("SQL UPDATE and DELETE on a catalog table delegate to the file-granular manifest ops") {
+    warehouse: Unit
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-catalog-rowlevel").toString + "/t"
+    sinks.ManifestTable.create(
+      spark.range(0, 100).select(col("id").as("k"),
+          (col("id") * 2).as("v"), concat(lit("r"), col("id")).as("s"))
+        .repartitionByRange(5, col("k")).sortWithinPartitions(col("k")),
+      loc, Seq("k"))
+    spark.sql(s"CREATE TABLE graftc.db.rl USING graft LOCATION '$loc'")
+    val filesBefore = sinks.ManifestTable.filesAt(spark, loc,
+      sinks.ManifestTable.latestVersion(spark, loc)).toSet
+
+    // UPDATE with a range predicate: expressions over the old row,
+    // WHERE honored, NULL-free arithmetic
+    spark.sql("UPDATE graftc.db.rl SET v = v + 1000, s = concat(s, '!') " +
+      "WHERE k < 10")
+    val afterUpdate = sinks.ManifestTable.read(spark, loc)
+      .orderBy(col("k")).collect()
+    assert(afterUpdate.length == 100)
+    assert(afterUpdate.take(10).forall(r =>
+      r.getLong(1) == r.getLong(0) * 2 + 1000 &&
+        r.getString(2) == s"r${r.getLong(0)}!"))
+    assert(afterUpdate.drop(10).forall(r =>
+      r.getLong(1) == r.getLong(0) * 2 && r.getString(2) == s"r${r.getLong(0)}"))
+    // file-granular: the range predicate provably misses most files —
+    // untouched ones carry into the new version BY REFERENCE
+    val filesAfterUpdate = sinks.ManifestTable.filesAt(spark, loc,
+      sinks.ManifestTable.latestVersion(spark, loc)).toSet
+    assert((filesBefore & filesAfterUpdate).nonEmpty,
+      "a k < 10 UPDATE must not rewrite every file of a k-clustered table")
+
+    // DELETE: SQL semantics through the same envelope engine
+    spark.sql("DELETE FROM graftc.db.rl WHERE k >= 90")
+    val afterDelete = sinks.ManifestTable.read(spark, loc)
+    assert(afterDelete.count() == 90)
+    assert(afterDelete.agg(max(col("k"))).head().getLong(0) == 89L)
+  }
+
+  test("SQL MERGE INTO upserts through ManifestTable.merge; unsupported shapes fail with the contract named") {
+    warehouse: Unit
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-catalog-merge").toString + "/t"
+    sinks.ManifestTable.create(
+      spark.range(0, 50).select(col("id").as("k"), (col("id") * 10).as("v")),
+      loc, Seq("k"))
+    spark.sql(s"CREATE TABLE graftc.db.m USING graft LOCATION '$loc'")
+    // source: updates for k in [40, 50), inserts for k in [50, 60)
+    spark.range(40, 60).select(col("id").as("k"), lit(-1L).as("v"))
+      .createOrReplaceTempView("merge_src")
+    spark.sql("""MERGE INTO graftc.db.m AS t USING merge_src AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val rows = sinks.ManifestTable.read(spark, loc)
+      .orderBy(col("k")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 60)
+    assert(rows.take(40).forall { case (k, v) => v == k * 10 })
+    assert(rows.drop(40).forall { case (_, v) => v == -1L })
+    // explicit column lists work too, when both arms agree
+    spark.range(0, 3).select(col("id").as("k"), lit(7L).as("v"))
+      .createOrReplaceTempView("merge_src2")
+    spark.sql("""MERGE INTO graftc.db.m AS t USING merge_src2 AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v, k = s.k
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(sinks.ManifestTable.read(spark, loc)
+      .filter(col("k") < 3).orderBy(col("k"))
+      .collect().map(_.getLong(1)).toSeq == Seq(7L, 7L, 7L))
+    // a non-upsert shape names the supported contract instead of
+    // silently doing something else
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO graftc.db.m AS t USING merge_src AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN DELETE""")
+    }
+    assert(e.getMessage.contains("graft MERGE INTO supports"))
+  }
+
+  test("a time-traveled handle is read-only: INSERT INTO ... VERSION AS OF fails fast") {
+    warehouse: Unit
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-catalog-pinned").toString + "/t"
+    sinks.ManifestTable.create(
+      spark.range(0, 5).select(col("id").as("k")), loc, Seq("k"))
+    sinks.ManifestTable.write(
+      spark.range(5, 8).select(col("id").as("k")), loc)
+    spark.sql(s"CREATE TABLE graftc.db.pinned USING graft LOCATION '$loc'")
+    // the pinned handle reads the old version fine...
+    assert(spark.sql("SELECT * FROM graftc.db.pinned VERSION AS OF 0")
+      .count() == 5)
+    // ...but a pinned resolution advertises no write capability and
+    // its write builder refuses outright — a write through it would
+    // silently land against the table's LATEST version otherwise
+    val t = new sources.v2.GraftTableProvider
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", loc); opts.put("versionAsOf", "0")
+    val cis = new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)
+    val tbl = t.getTable(t.inferSchema(cis), Array.empty, cis)
+    assert(!tbl.capabilities().contains(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_WRITE))
+    val e2 = intercept[UnsupportedOperationException] {
+      tbl.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+        .newWriteBuilder(null)
+    }
+    assert(e2.getMessage.contains("read-only"))
+  }
+
+  test("ALTER TABLE ADD COLUMN: sidecar widens with ZERO data rewrites; old rows read NULL; strict appends still refuse surprises") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graftc.db.evo (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql("INSERT INTO graftc.db.evo VALUES (1, 'a'), (2, 'b')")
+    val loc = s"$warehouse/tables/db/evo"
+    val vBefore = sinks.ManifestTable.latestVersion(spark, loc)
+    val filesBefore = sinks.ManifestTable.filesAt(spark, loc, vBefore)
+    // an undeclared surprise column in an APPEND is refused (strict)
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftc.db.evo VALUES (3, 'c', 'oops')")
+    }
+    spark.sql("ALTER TABLE graftc.db.evo ADD COLUMN note STRING")
+    val vAfter = sinks.ManifestTable.latestVersion(spark, loc)
+    assert(vAfter == vBefore + 1)
+    // additive evolution rewrote NOTHING: the new manifest carries
+    // every data file by reference
+    assert(sinks.ManifestTable.filesAt(spark, loc, vAfter) == filesBefore)
+    // old rows serve NULL for the evolved column; new writes carry it
+    assert(spark.sql("SELECT note FROM graftc.db.evo").collect()
+      .forall(_.isNullAt(0)))
+    spark.sql("INSERT INTO graftc.db.evo VALUES (3, 'c', 'hi')")
+    assert(spark.sql(
+      "SELECT k, v, note FROM graftc.db.evo ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      .toSeq == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some("hi"))))
+  }
+
+  test("catalog-declared clustering: maintain(tableName) re-clusters degraded appends from metadata alone, then skips restored") {
+    warehouse: Unit
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-catalog-maintain").toString + "/t"
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    // well-clustered base...
+    sinks.ManifestTable.create(
+      even.repartitionByRange(6, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), loc, Seq("doc_id"))
+    // smallFileBytes = 0: spec files are all tiny, so the default
+    // small-file compaction would select the WHOLE table — the test
+    // isolates the width-degradation selection the tick relies on
+    spark.sql(s"CREATE TABLE graftc.db.cl USING graft LOCATION '$loc' " +
+      "TBLPROPERTIES ('clusterBy' = 'doc_id', " +
+      "'smallFileBytes' = '0', 'wideFactor' = '3')")
+    // ...degraded by appends whose files span the whole key domain
+    sinks.ManifestTable.write(odd.filter(col("doc_id") % 4 === 1)
+      .coalesce(1), loc)
+    sinks.ManifestTable.write(odd.filter(col("doc_id") % 4 === 3)
+      .coalesce(1), loc)
+    val before = sinks.ManifestTable.read(spark, loc)
+    val cleanFiles = sinks.ManifestTable.filesAt(spark, loc, 0).toSet
+    val (o1, _) = sources.v2.GraftMaintenance.maintain(spark, "graftc.db.cl")
+    assert(o1.nonEmpty, "degraded appends must trigger a re-cluster")
+    // the clustered base files survive BY NAME; only the appends re-lay
+    val filesAfter = sinks.ManifestTable.filesAt(spark, loc, o1.get).toSet
+    assert(cleanFiles.subsetOf(filesAfter),
+      "maintenance must not touch the already-clustered files")
+    val after = sinks.ManifestTable.read(spark, loc)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "maintenance must be content-identical")
+    // a restored layout skips — the no-op proof a scheduled tick needs
+    val (o2, _) = sources.v2.GraftMaintenance.maintain(spark, "graftc.db.cl")
+    assert(o2.isEmpty, s"second maintenance pass must be a no-op, got $o2")
+  }
 }

@@ -2887,6 +2887,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(packed.forall(p => again(p._1) == p._6))
   }
 
+  test("atomic packing: zero-length docs land in a real bin — the first doc of a stream always opens bin 0") {
+    import operators.Packing
+    // all-zero lengths: without the stream-start guard the head doc
+    // "fits" the nonexistent bin (len <= rem == 0) and lands with
+    // bin = -1, offset = maxLen — violating the dense-bins contract
+    // (the oracle's recursive seed puts rank 1 in bin 0)
+    val zeros = (1L to 5L).map(i => (i, 0L)).toDF("doc_id", "len")
+    val packed = Packing.packAtomic(zeros, "doc_id", "len", 100L, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+    assert(packed.length == 5)
+    assert(packed.forall(_._2 == 0L), s"all-zero docs share bin 0: $packed")
+    assert(packed.forall(_._3 == 0L), s"zero-length offsets are 0: $packed")
+    // mixed: zero-length tails (len DESC order) still get bin >= 0
+    val mixed = Seq((1L, 100L), (2L, 0L), (3L, 60L), (4L, 0L))
+      .toDF("doc_id", "len")
+    val p2 = Packing.packAtomic(mixed, "doc_id", "len", 100L, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+    assert(p2.forall(_._2 >= 0L), s"no doc may land in bin -1: ${p2.toSeq}")
+  }
+
   test("sequential ids: dense 1-based global rank equal to the window form") {
     import operators.Ids
     val df = sources.Tables.documents(spark, sf)

@@ -1156,6 +1156,167 @@ class SinksSpec extends AnyFunSuite {
     assert(scannedFiles(probe) < 7)
   }
 
+  test("manifest change feed: the diff scans ONLY the files changed between the versions — never the table") {
+    import sinks.ManifestTable
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec =>
+          f.relation.location.inputFiles.toSeq
+        case b: BatchScanExec =>
+          b.partitions.flatten.collect { case fp: FilePartition =>
+            fp.files.map(_.filePath.toString).toSeq }.flatten
+      }.flatten.map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-cdf").toString + "/t"
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    ManifestTable.create(
+      docs.repartitionByRange(6, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root, Seq("doc_id"))
+    val k = docs.agg(min(col("doc_id"))).head().getLong(0)
+    ManifestTable.merge(
+      docs.filter(col("doc_id") === k).withColumn("lang", lit("zz")),
+      root, Seq("doc_id"))
+    // committed metadata already names the delta: 1 file out, 1 in
+    val (removed, added) = ManifestTable.changedFileSets(spark, root, 0, 1)
+    assert(removed.size == 1 && added.nonEmpty && added.size <= 2,
+      s"a 1-key merge on a clustered layout removes one file and lands " +
+        s"the small replacement, got ${removed.size}/${added.size}")
+    val feed = ManifestTable.changesBetween(spark, root, 0, 1, Seq("doc_id"))
+    // the plan-level proof the 100 TB shape needs: the diff's scans
+    // read exactly removed ∪ added — strictly fewer files (and bytes)
+    // than the table holds
+    val planned = plannedFiles(feed)
+    assert(planned == (removed ++ added).toSet,
+      s"diff must scan exactly the changed files; planned $planned")
+    assert(planned.size < ManifestTable.filesAt(spark, root, 1).size)
+    val changedBytes = ManifestTable.manifest(spark, root, 0)
+      .filter(col("path").isin(removed: _*))
+      .unionByName(ManifestTable.manifest(spark, root, 1)
+        .filter(col("path").isin(added: _*)))
+      .agg(sum(col("size"))).head().getLong(0)
+    val tableBytes = ManifestTable.manifest(spark, root, 1)
+      .agg(sum(col("size"))).head().getLong(0)
+    assert(changedBytes < tableBytes,
+      s"diff reads $changedBytes of $tableBytes table bytes")
+    // semantics: exactly the one U row, carrying the AFTER payload
+    val rows = feed.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("doc_id") == k &&
+      rows.head.getAs[String]("op") == "U" &&
+      rows.head.getAs[String]("lang") == "zz" &&
+      rows.head.getAs[Long]("seq") == 1L)
+    // a metadata-only commit (no file changes) diffs to zero rows
+    // with zero data files planned
+    ManifestTable.addColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType)))
+    // (schema evolved ⇒ diff 1→2 must fail fast per the contract)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.changesBetween(spark, root, 1, 2, Seq("doc_id")).collect()
+    }
+    assert(e.getMessage.contains("schema evolved"))
+  }
+
+  test("bloom-assisted merge: point-key row ops become file-granular on a HASH layout") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-bloommerge").toString + "/t"
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    // HASH layout: every file's doc_id envelope spans the domain
+    ManifestTable.create(even.repartition(6, col("doc_id")), root,
+      Seq("doc_id"))
+    val ids = even.select(col("doc_id")).as[Long].collect().sorted
+    val mid = ids(ids.length / 2)
+    def upd(k: Long, l: String) =
+      docs.filter(col("doc_id") === k).withColumn("lang", lit(l))
+    // without a bloom the envelope search honestly touches every file
+    ManifestTable.merge(upd(mid, "aa"), root, Seq("doc_id"))
+    assert(ManifestTable.filesAt(spark, root, 1).toSet
+      .intersect(ManifestTable.filesAt(spark, root, 0).toSet).isEmpty,
+      "hash layout without a bloom rewrites every file — the case " +
+        "the bloom exists to fix")
+    // with the committed bloom, a 1-key merge carries almost all
+    // files by reference (bounded false positives may add a file)
+    assert(ManifestTable.buildBloom(spark, root, "doc_id").nonEmpty)
+    val files1 = ManifestTable.filesAt(spark, root, 1)
+    val mid2 = ids(ids.length / 3)
+    ManifestTable.merge(upd(mid2, "bb"), root, Seq("doc_id"))
+    val files2 = ManifestTable.filesAt(spark, root, 2)
+    val carried = files2.toSet.intersect(files1.toSet)
+    assert(carried.size >= files1.size - 2,
+      s"bloom-assisted 1-key merge must carry nearly every file; " +
+        s"carried ${carried.size} of ${files1.size}")
+    // exact content after both merges
+    val want = even
+      .withColumn("lang", when(col("doc_id") === mid, lit("aa"))
+        .when(col("doc_id") === mid2, lit("bb")).otherwise(col("lang")))
+    val got = ManifestTable.read(spark, root)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // an UNINDEXED appended file is conservatively rewritten: odd ids
+    // live only in the new file, inside every old file's envelope and
+    // absent from every bloom — the merge must still find them
+    ManifestTable.write(odd.coalesce(1), root)
+    val appended = ManifestTable.filesAt(spark, root, 3).toSet --
+      ManifestTable.filesAt(spark, root, 2).toSet
+    val oddK = odd.agg(min(col("doc_id"))).head().getLong(0)
+    ManifestTable.merge(upd(oddK, "cc"), root, Seq("doc_id"))
+    val files4 = ManifestTable.filesAt(spark, root, 4).toSet
+    assert(appended.forall(p => !files4.contains(p)),
+      "the unindexed appended file holds the key and must be rewritten")
+    assert(ManifestTable.read(spark, root)
+      .filter(col("doc_id") === oddK).select(col("lang"))
+      .head().getString(0) == "cc")
+    // indexed no-hit files still carried through that merge
+    assert(files4.intersect(files2.toSet).size >= files2.size - 2)
+  }
+
+  test("direct-API manifest reads plan through the manifest file index — listing from committed metadata") {
+    import sinks.ManifestTable
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-readidx").toString + "/t"
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    ManifestTable.create(
+      docs.repartitionByRange(5, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), root, Seq("doc_id"))
+    val df = ManifestTable.read(spark, root)
+    val indexes = df.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan }.collect {
+      case p: ParquetScan => p.fileIndex }
+    assert(indexes.nonEmpty &&
+      indexes.forall(_.isInstanceOf[sources.v2.GraftManifestFileIndex]),
+      s"ManifestTable.read must plan through GraftManifestFileIndex, " +
+        s"got ${indexes.map(_.getClass.getSimpleName)}")
+    assert(df.exceptAll(docs).isEmpty && docs.exceptAll(df).isEmpty)
+    // and the routed read inherits in-source pruning with no options
+    def scannedFiles(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.sparkPlan.collect { case b: BatchScanExec =>
+        b.partitions.flatten.collect { case fp: FilePartition =>
+          fp.files.map(_.filePath.toString).toSeq }.flatten
+      }.flatten.distinct.size
+    val lo = docs.agg(min(col("doc_id"))).head().getLong(0)
+    val pruned = ManifestTable.read(spark, root)
+      .filter(col("doc_id") <= lo + 2)
+    assert(scannedFiles(pruned) < 5,
+      "the API read must prune against the manifest envelopes")
+    assert(pruned.select(col("doc_id")).as[Long].collect().toSet ==
+      docs.filter(col("doc_id") <= lo + 2)
+        .select(col("doc_id")).as[Long].collect().toSet)
+    // time-traveled API reads go through the same index
+    val v0 = ManifestTable.readVersion(spark, root, 0)
+    assert(v0.exceptAll(docs).isEmpty)
+  }
+
   test("manifest history: per-version commit ts, file/row/byte counts from metadata alone") {
     import sinks.ManifestTable
     val root = java.nio.file.Files

@@ -835,6 +835,72 @@ class StreamingSpec extends AnyFunSuite {
       hop(); same("restart")
       assert(sinks.VersionedTable.versions(spark, dst).size == versionsBefore,
         s"[$layout] an up-to-date restart must deliver no batch")
+      // the bootstrap batch was served from the snapshot's own files —
+      // no full-table copy may appear under the checkpoint scratch
+      // (only catch-up DIFF batches materialize there, and those are
+      // swept at commit)
+      val bootDirs = Option(new java.io.File(s"$ckpt/sources/0/graft-feed")
+        .listFiles()).map(_.map(_.getName).toSeq).getOrElse(Nil)
+      assert(!bootDirs.exists(_.startsWith("batch--1")),
+        s"[$layout] bootstrap must not materialize a table copy, " +
+          s"found $bootDirs")
+    }
+  }
+
+  /** Zero-copy bootstrap with FILE-granular admission control: a
+    * fresh stream on a multi-file table drains the snapshot as
+    * bounded batches of the snapshot's OWN files (op='I', seq=v
+    * appended per row), never materializing a copy — the shape that
+    * lets a 100 TB table bootstrap in restartable slices. */
+  test("graft change-feed bootstrap: snapshot-served, maxFilesPerTrigger-bounded, I-rows exact, no scratch copy") {
+    Seq("manifest", "epoch").foreach { layout =>
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft-boot-$layout").toString
+      val src = s"$base/src"; val dst = s"$base/dst"; val ckpt = s"$base/ckpt"
+      val docs = sources.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val laid = docs.repartitionByRange(5, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+      if (layout == "manifest")
+        sinks.ManifestTable.create(laid, src, Seq("doc_id")): Unit
+      else sinks.VersionedTable.write(laid, src): Unit
+      val nFiles =
+        if (layout == "manifest")
+          sinks.ManifestTable.filesAt(spark, src, 0).size
+        else sources.FileManifest.listFiles(spark, s"$src/epoch=0").count().toInt
+      assert(nFiles >= 4, s"[$layout] need a multi-file table, got $nFiles")
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val badBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = spark.readStream.format("graft")
+        .option("keyCols", "doc_id").option("maxFilesPerTrigger", 2)
+        .load(src)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.incrementAndGet(): Unit
+          // every bootstrap row is an insert stamped with the version
+          if (df.filter(col("op") =!= "I" || col("seq") =!= 0).count() > 0)
+            badBatches.incrementAndGet(): Unit
+          if (sinks.VersionedTable.latestVersion(spark, dst) < 0)
+            sinks.VersionedTable.write(df.drop("op", "seq"), dst): Unit
+          else sinks.VersionedTable.append(df.drop("op", "seq"), dst): Unit
+        }
+        .start()
+      q.awaitTermination()
+      val expectBatches = (nFiles + 1) / 2
+      assert(batches.get() == expectBatches,
+        s"[$layout] $nFiles files at 2/trigger must arrive as " +
+          s"$expectBatches batches, got ${batches.get()}")
+      assert(badBatches.get() == 0,
+        s"[$layout] bootstrap rows must all be op='I', seq=0")
+      val d = sinks.VersionedTable.read(spark, dst)
+      assert(d.exceptAll(docs).isEmpty && docs.exceptAll(d).isEmpty,
+        s"[$layout] sliced bootstrap must reassemble the exact table")
+      // zero-copy: the feed scratch was never created for the bootstrap
+      assert(!new java.io.File(s"$ckpt/sources/0/graft-feed").exists(),
+        s"[$layout] bootstrap slices must be served from the " +
+          "snapshot's own files, not a materialized copy")
     }
   }
 }
