@@ -427,11 +427,15 @@ object ManifestTable {
           // probe with the TABLE's column type — the index hashed the
           // stored values, and a narrower-typed batch key would hash
           // differently (NULL keys never match SQL equality, so they
-          // probe nothing)
+          // probe nothing). The DISTINCT KEYS broadcast, not the
+          // bloom rows: point-key batches (the case blooms exist for)
+          // have few keys, while the index side carries numBits/8
+          // bytes per file — at 100k touched files that broadcast
+          // would be GBs
           val probe = col(c).cast(dataSchema(c).dataType)
-          val hit = broadcast(idx.select(col("path"), col("bloom")))
-            .join(keys.select(probe.as(c)).distinct()
-                .filter(col(c).isNotNull),
+          val hit = idx.select(col("path"), col("bloom"))
+            .join(broadcast(keys.select(probe.as(c)).distinct()
+                .filter(col(c).isNotNull)),
               graft.functions.VectorExpressions.bloomMightContain(
                 col("bloom"), xxhash64(col(c))))
             .select(col("path")).distinct()
@@ -691,6 +695,43 @@ object ManifestTable {
       keyCols, fromVersion, toVersion)
   }
 
+  /** Durable incremental consumption — [[VersionedTable
+    * .consumeChanges]] for the manifest format, with the same
+    * contract (offset in a tiny epoch table at `consumerRoot`,
+    * at-least-once across crashes, bootstrap-as-inserts, fail-fast
+    * past vacuumed history) but the manifest grain: every non-
+    * bootstrap batch is a FILE-SET-DELTA diff ([[changesBetween]]) —
+    * cost ∝ files changed since the last acknowledged version, never
+    * ∝ table. */
+  def consumeChanges(spark: SparkSession, root: String, consumerRoot: String,
+                     keyCols: Seq[String]): Option[VersionedTable.ChangeBatch] = {
+    val cur = latestVersion(spark, root)
+    require(cur >= 0, s"manifest table at $root has no committed version")
+    val last =
+      if (VersionedTable.latestVersion(spark, consumerRoot) < 0) -1L
+      else VersionedTable.read(spark, consumerRoot).head().getLong(0)
+    if (last == cur) return None
+    require(last < cur,
+      s"consumer offset $last is ahead of the table's current version $cur")
+    val changes =
+      if (last < 0) {
+        val b = readVersion(spark, root, cur)
+        val payload = b.columns.filterNot(keyCols.contains).toSeq
+        b.select(keyCols.map(col) ++ payload.map(col) :+
+          lit("I").as("op") :+ lit(cur).as("seq"): _*)
+      } else {
+        require(versions(spark, root).contains(last),
+          s"consumer lagged past retention: version $last of $root was " +
+            "vacuumed — re-bootstrap the consumer (drop its offset table)")
+        changesBetween(spark, root, last, cur, keyCols)
+      }
+    Some(VersionedTable.ChangeBatch(changes, last, cur, () => {
+      VersionedTable.write(
+        spark.range(1).select(lit(cur).as("version")), consumerRoot)
+      VersionedTable.vacuum(spark, consumerRoot, keep = 2)
+    }))
+  }
+
   /** OPTIMIZE: re-lay the CURRENT rows as a fresh file set (compaction
     * or re-clustering); content identical, all files replaced — the
     * one operation that is legitimately cost ∝ table. */
@@ -739,8 +780,11 @@ object ManifestTable {
                           sortCols: Seq[String] = Nil,
                           smallFileBytes: Long = 32L << 20,
                           targetFileBytes: Long = 128L << 20,
-                          wideFactor: Double = 4.0): Option[Long] = {
+                          wideFactor: Double = 4.0,
+                          hilbert: Boolean = false): Option[Long] = {
     require(wideFactor > 1.0, "wideFactor must exceed 1")
+    require(!hilbert || sortCols.size >= 2,
+      "hilbert clustering needs at least two columns")
     val base = latestVersion(spark, root)
     require(base >= 0, s"manifest table at $root has no committed version")
     val schema = tableSchema(spark, root, base)
@@ -838,7 +882,9 @@ object ManifestTable {
             new java.util.ArrayList[org.apache.spark.sql.Row](), curSchema)
         else spark.read.schema(curSchema).parquet(todo: _*)
       val laid =
-        if (sortCols.isEmpty) rowsIn.repartition(nFiles)
+        if (hilbert) // the degraded subset re-lays on the shared curve
+          ParquetSink.clusterByCurve(rowsIn, sortCols, nFiles)
+        else if (sortCols.isEmpty) rowsIn.repartition(nFiles)
         else rowsIn.repartitionByRange(nFiles, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       mb.filter(!col("path").isin(todo: _*))

@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, not, struct, when}
   * version number by renaming the staged directory to `epoch=N`
   * WITHOUT overwrite — `FileContext.rename` with `Rename.NONE` fails
   * when the destination exists, so the rename is a compare-and-swap on
-  * the version number; a loser retries with the next number. Because
+  * the version number; a loser retries with the next number. On
+  * filesystems whose no-overwrite rename is only check-then-act (the
+  * local one), the rename is merely the claim ATTEMPT and ownership
+  * is verified through a claim marker — see [[claimEpoch]]. Because
   * the rename is the publish step, an `epoch=N` directory exists ONLY
   * fully written: a crashed writer leaves at worst an orphaned
   * `.stage-*` directory that [[vacuum]] sweeps. The `_LATEST` pointer
@@ -108,9 +111,19 @@ object VersionedTable {
     * never resolve an epoch whose sidecar is missing or half-written. */
   def writeStaged(df: DataFrame, root: String)(stage: String => Unit): Long = {
     val spark = df.sparkSession
-    val stageDir = stageEpoch(df, root, stage)
+    var stageDir = stageEpoch(df, root, stage)
     var next = latestVersion(spark, root) + 1
-    while (!claimEpoch(spark, root, stageDir, next)) next += 1
+    var won = false
+    while (!won) {
+      claimEpoch(spark, root, stageDir, next) match {
+        case Won          => won = true
+        case Lost         => next += 1
+        case LostConsumed =>
+          // the degenerate-rename loser's stage was consumed (see
+          // [[claimEpoch]]) — re-stage and try the next number
+          stageDir = stageEpoch(df, root, stage); next += 1
+      }
+    }
     bumpPointer(spark, root, next)
     next
   }
@@ -127,26 +140,36 @@ object VersionedTable {
     val spark = df.sparkSession
     val stageDir = stageEpoch(df, root, stage)
     val want = expectedBase + 1
-    if (claimEpoch(spark, root, stageDir, want)) {
-      bumpPointer(spark, root, want)
-      Some(want)
-    } else {
-      fs(spark, root).delete(stageDir, true): Unit
-      None
+    claimEpoch(spark, root, stageDir, want) match {
+      case Won =>
+        bumpPointer(spark, root, want)
+        Some(want)
+      case Lost =>
+        fs(spark, root).delete(stageDir, true): Unit
+        None
+      case LostConsumed => None // stage already gone (see claimEpoch)
     }
   }
 
   /** Land `df` (plus sidecars) in a hidden staging directory readers
     * and [[versions]] never resolve. */
+  private val ClaimMarker = "_graft_claim"
+
   private def stageEpoch(df: DataFrame, root: String,
                          stage: String => Unit): org.apache.hadoop.fs.Path = {
     val name = s".stage-${java.util.UUID.randomUUID().toString}"
     df.write.mode("overwrite").parquet(s"$root/$name")
     stage(s"$root/$name")
+    val f = fs(df.sparkSession, root)
+    // the claim marker: this stage's own (unique) directory name —
+    // [[claimEpoch]] verifies after a "successful" publish rename
+    // that the published epoch actually carries OUR marker
+    val mk = f.create(
+      new org.apache.hadoop.fs.Path(s"$root/$name", ClaimMarker), true)
+    try mk.write(name.getBytes("UTF-8")) finally mk.close()
     // commit timestamp, stamped last (right before the publishing
     // rename) so [[versionAtTimestamp]] time travel works with no
     // out-of-band bookkeeping
-    val f = fs(df.sparkSession, root)
     val out = f.create(
       new org.apache.hadoop.fs.Path(s"$root/$name", TsSidecar), true)
     try out.write(commitClock.nowMs().toString.getBytes("UTF-8"))
@@ -154,23 +177,76 @@ object VersionedTable {
     new org.apache.hadoop.fs.Path(root, name)
   }
 
+  private[graft] sealed trait Claim
+  private[graft] case object Won extends Claim
+  /** Lost with the stage directory intact — retry the next number. */
+  private[graft] case object Lost extends Claim
+  /** Lost AND the stage directory was consumed by a degenerate rename
+    * (see [[claimEpoch]]) — the caller must re-stage before retrying. */
+  private[graft] case object LostConsumed extends Claim
+
   /** CAS: rename the staged directory to `epoch=$version` WITHOUT
     * overwrite. `FileContext.rename(…, Rename.NONE)` refuses an
-    * existing destination (unlike `FileSystem.rename`, which would
-    * move the source INSIDE an existing destination directory), so at
-    * most one racing writer wins each version number. Returns whether
-    * this writer won. */
+    * existing destination, so at most one racing writer wins each
+    * version number — on filesystems whose no-overwrite rename is
+    * atomic. The local filesystem's is NOT: `AbstractFileSystem
+    * .rename` implements Rename.NONE as a CHECK-then-rename, and
+    * `RawLocalFileSystem.rename` degrades a rename onto an existing
+    * directory to a COPY-INTO fallback — so in the race window where
+    * both writers pass the existence check, the loser's rename can
+    * "succeed" by copying its stage INSIDE the winner's published
+    * epoch, and both writers would believe they claimed the version
+    * (a silent lost update; observed once under a 4-writer race).
+    * The rename is therefore only the CLAIM ATTEMPT; ownership is
+    * decided by [[verifyClaim]] reading the published epoch's claim
+    * marker back. A detected degenerate loser deletes its copied-in
+    * garbage and reports its stage consumed. */
   private def claimEpoch(spark: SparkSession, root: String,
                          stageDir: org.apache.hadoop.fs.Path,
-                         version: Long): Boolean = {
+                         version: Long): Claim = {
     val dst = new org.apache.hadoop.fs.Path(root, s"epoch=$version")
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       dst.toUri, spark.sparkContext.hadoopConfiguration)
-    try { fc.rename(stageDir, dst); true }
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.IOException
-        if fs(spark, root).exists(dst) => false // lost the race mid-rename
+    try {
+      fc.rename(stageDir, dst)
+      verifyClaim(spark, root, version, stageDir.getName)
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => Lost
+      case _: java.io.IOException if fs(spark, root).exists(dst) =>
+        // lost the race mid-rename; if our stage survived we can
+        // retry cheaply, else the failed rename half-consumed it
+        if (fs(spark, root).exists(stageDir)) Lost
+        else verifyClaim(spark, root, version, stageDir.getName)
+    }
+  }
+
+  /** Decide ownership of a published `epoch=version` by its claim
+    * marker: ours → [[Won]]; someone else's (or unreadable) → we are
+    * the degenerate-rename loser — our stage was copied INSIDE the
+    * winner's epoch as a hidden subdirectory (invisible to readers,
+    * but garbage), so delete it and report [[LostConsumed]]. Epochs
+    * published by pre-marker writers never reach here: the marker is
+    * staged before every rename this code performs. */
+  private[graft] def verifyClaim(spark: SparkSession, root: String,
+                                 version: Long, stageName: String): Claim = {
+    val f = fs(spark, root)
+    val dst = new org.apache.hadoop.fs.Path(root, s"epoch=$version")
+    val marker = new org.apache.hadoop.fs.Path(dst, ClaimMarker)
+    val owner =
+      try {
+        if (!f.exists(marker)) ""
+        else {
+          val in = f.open(marker)
+          try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+            .trim
+          finally in.close()
+        }
+      } catch { case _: java.io.IOException => "" }
+    if (owner == stageName) Won
+    else {
+      f.delete(new org.apache.hadoop.fs.Path(dst, stageName), true): Unit
+      LostConsumed
     }
   }
 

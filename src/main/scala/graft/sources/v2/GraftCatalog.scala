@@ -52,7 +52,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * tables created without LOCATION live under the warehouse and can
   * be purged by deleting that directory.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -113,7 +114,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     readDef(ident).nonEmpty
 
   override def loadTable(ident: Identifier): Table =
-    loadAt(ident, None, None)
+    metadataTable(ident).getOrElse(loadAt(ident, None, None))
+
+  /** Iceberg-style METADATA TABLES: `graft.db.t.history` and
+    * `graft.db.t.files` resolve when `db.t` is a registered MANIFEST
+    * table and the suffix names a metadata view — DESCRIBE
+    * HISTORY/DETAIL ergonomics in plain SELECT form. Contents come
+    * from the manifests alone (zero data I/O): `history` is
+    * [[graft.sinks.ManifestTable.history]] (version, commit ts, file/
+    * row/byte counts), `files` is the CURRENT version's manifest
+    * (path, size, row_count, per-tracked-column envelopes). A real
+    * table named like a suffix wins — the descriptor is checked
+    * first. */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    if (readDef(ident).nonEmpty || ident.namespace.isEmpty) return None
+    val baseIdent =
+      Identifier.of(ident.namespace.init, ident.namespace.last)
+    readDef(baseIdent).flatMap { props =>
+      val loc = props.getProperty("location")
+      if (!graft.sinks.ManifestTable.exists(spark, loc)) None
+      else ident.name match {
+        case "history" =>
+          val df = graft.sinks.ManifestTable.history(spark, loc)
+          Some(new GraftLocalTable(s"$catalogName.$baseIdent.history",
+            df.schema, df.collect().toSeq))
+        case "files" =>
+          val v = graft.sinks.ManifestTable.latestVersion(spark, loc)
+          val df = graft.sinks.ManifestTable.manifest(spark, loc, v)
+          Some(new GraftLocalTable(s"$catalogName.$baseIdent.files",
+            df.schema, df.collect().toSeq))
+        case _ => None
+      }
+    }
+  }
 
   /** SQL `VERSION AS OF v`. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -222,6 +255,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
     writeDef(to, props)
     fs.delete(defPath(oldIdent), false): Unit
+  }
+
+  /** Resolve `ns….table` (relative to this catalog) to its location —
+    * the procedures' by-name entry. */
+  private[v2] def locationOf(tableName: String): String = {
+    val parts = tableName.split('.')
+    require(parts.length >= 2, s"expected namespace.table, got $tableName")
+    val ident = Identifier.of(parts.init, parts.last)
+    readDef(ident).map(_.getProperty("location"))
+      .getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  // --------------------------------------------------------- procedures
+
+  /** SQL `CALL graft.system.…` — see [[GraftProcedures]]. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array("system"), "maintain"),
+        Identifier.of(Array("system"), "vacuum_table"))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the system namespace, got $ident")
+    ident.name match {
+      case "maintain"     => new GraftProcedures.Maintain(catalogName)
+      case "vacuum_table" => new GraftProcedures.Vacuum(this)
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure $catalogName.system.$other " +
+          "(available: maintain, vacuum_table)")
+    }
   }
 
   // --------------------------------------------------------- namespaces

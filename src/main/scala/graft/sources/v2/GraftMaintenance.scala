@@ -69,7 +69,11 @@ object GraftMaintenance {
         smallFileBytes = num("smallFileBytes", 32L << 20),
         targetFileBytes = num("targetFileBytes", 128L << 20),
         wideFactor = Option(props.getProperty("wideFactor"))
-          .map(_.trim.toDouble).getOrElse(4.0))
+          .map(_.trim.toDouble).getOrElse(4.0),
+        // 'clusterCurve' = 'hilbert' re-lays the degraded subset on
+        // the shared N-dim curve instead of a single-order sort
+        hilbert = Option(props.getProperty("clusterCurve"))
+          .exists(_.trim.equalsIgnoreCase("hilbert")))
     val blooms = cols("bloomIndex").map(c =>
       graft.sinks.ManifestTable.buildBloom(spark, loc, c))
     (optimized, blooms)

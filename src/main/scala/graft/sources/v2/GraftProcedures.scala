@@ -1,0 +1,92 @@
+package graft.sources.v2
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL `CALL` surface for table operations — the Spark 4 DSv2
+  * stored-procedure API ([[org.apache.spark.sql.connector.catalog
+  * .ProcedureCatalog]], the seam Iceberg's `CALL cat.system.…`
+  * procedures ride):
+  *
+  * {{{
+  *   CALL graft.system.maintain('db.events')
+  *   CALL graft.system.vacuum_table('db.events', 2)
+  * }}}
+  *
+  * `maintain` runs the catalog-declared policy
+  * ([[GraftMaintenance]]: clusterBy re-cluster + bloomIndex builds)
+  * and returns what it did; `vacuum_table` drops history beyond the
+  * newest `keep` versions and sweeps unreferenced data files
+  * (refcount-aware on the manifest format). Results come back as a
+  * one-row [[LocalScan]] — driver-computed, metadata-scale. */
+private[v2] object GraftProcedures {
+
+  private def oneRowScan(schema: StructType,
+                         row: InternalRow): JIterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(row)
+    }).iterator()
+
+  /** `maintain(table)` — [[GraftMaintenance.maintain]] by name. */
+  final class Maintain(catalogName: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "maintain"
+    override def description(): String =
+      "run the table's declared maintenance (clusterBy re-cluster, " +
+        "bloomIndex builds); no-op when the layout is already restored"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("optimized_version", LongType, nullable = true),
+      StructField("blooms_built", IntegerType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val tbl = input.getUTF8String(0).toString
+      val (opt, blooms) = GraftMaintenance.maintain(
+        SparkSession.active, s"$catalogName.$tbl")
+      oneRowScan(outSchema,
+        InternalRow(opt.map(Long.box).orNull, blooms.count(_.nonEmpty)))
+    }
+  }
+
+  /** `vacuum_table(table, keep)` — retention by name, format-aware. */
+  final class Vacuum(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "vacuum_table"
+    override def description(): String =
+      "drop versions beyond the newest `keep` and sweep unreferenced " +
+        "data files (refcount-aware on manifest tables)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("keep", IntegerType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("location", StringType, nullable = false),
+      StructField("retained_versions", IntegerType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val tbl = input.getUTF8String(0).toString
+      val keep = input.getInt(1)
+      val loc = catalog.locationOf(tbl)
+      val retained =
+        if (graft.sinks.ManifestTable.exists(spark, loc)) {
+          graft.sinks.ManifestTable.vacuum(spark, loc, keep)
+          graft.sinks.ManifestTable.versions(spark, loc).size
+        } else {
+          graft.sinks.VersionedTable.vacuum(spark, loc, keep)
+          graft.sinks.VersionedTable.versions(spark, loc).size
+        }
+      oneRowScan(outSchema,
+        InternalRow(UTF8String.fromString(loc), retained))
+    }
+  }
+}

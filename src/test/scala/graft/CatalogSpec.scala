@@ -297,4 +297,77 @@ class CatalogSpec extends AnyFunSuite {
     val (o2, _) = sources.v2.GraftMaintenance.maintain(spark, "graftc.db.cl")
     assert(o2.isEmpty, s"second maintenance pass must be a no-op, got $o2")
   }
+
+  test("CALL graftc.system procedures: maintain and vacuum_table run table operations by name from SQL") {
+    warehouse: Unit
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-catalog-call").toString + "/t"
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    sinks.ManifestTable.create(
+      even.repartitionByRange(6, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), loc, Seq("doc_id"))
+    spark.sql(s"CREATE TABLE graftc.db.proc USING graft LOCATION '$loc' " +
+      "TBLPROPERTIES ('clusterBy' = 'doc_id', " +
+      "'smallFileBytes' = '0', 'wideFactor' = '3', " +
+      "'bloomIndex' = 'doc_id')")
+    // degrade, then CALL maintain — it must re-cluster AND build blooms
+    sinks.ManifestTable.write(
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1), loc)
+    val r1 = spark.sql("CALL graftc.system.maintain('db.proc')").collect()
+    assert(r1.length == 1)
+    assert(!r1.head.isNullAt(0), "degraded layout must re-cluster")
+    assert(r1.head.getInt(1) == 1, "the declared bloom must build")
+    // second call: nothing to re-cluster, blooms already cover
+    val r2 = spark.sql("CALL graftc.system.maintain('db.proc')").collect()
+    assert(r2.head.isNullAt(0) && r2.head.getInt(1) == 0,
+      s"restored table must be a no-op, got ${r2.head}")
+    // content intact after maintenance
+    val after = sinks.ManifestTable.read(spark, loc)
+    assert(after.exceptAll(docs).isEmpty && docs.exceptAll(after).isEmpty)
+    // vacuum_table drops history beyond keep and reports retention
+    val nVersions = sinks.ManifestTable.versions(spark, loc).size
+    assert(nVersions >= 3)
+    val v = spark.sql("CALL graftc.system.vacuum_table('db.proc', 1)")
+      .collect().head
+    assert(v.getInt(1) == 1, s"one version retained, got $v")
+    assert(sinks.ManifestTable.versions(spark, loc).size == 1)
+    assert(spark.sql("SELECT count(*) FROM graftc.db.proc").head().getLong(0)
+      == docs.count())
+  }
+
+  test("metadata tables: SELECT over graftc.db.t.history / .files serves the manifests — zero data I/O surface") {
+    warehouse: Unit
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-catalog-meta").toString + "/t"
+    sinks.ManifestTable.create(
+      spark.range(0, 30).select(col("id").as("k"), (col("id") * 3).as("v"))
+        .repartitionByRange(3, col("k")).sortWithinPartitions(col("k")),
+      loc, Seq("k"))
+    sinks.ManifestTable.write(
+      spark.range(30, 40).select(col("id").as("k"), (col("id") * 3).as("v")),
+      loc)
+    spark.sql(s"CREATE TABLE graftc.db.meta USING graft LOCATION '$loc'")
+    // history: one row per retained version, counts from metadata
+    val hist = spark.sql(
+      "SELECT version, n_files, n_rows FROM graftc.db.meta.history " +
+        "ORDER BY version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = sinks.ManifestTable.history(spark, loc)
+      .select(col("version"), col("n_files"), col("n_rows"))
+      .orderBy(col("version")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hist.toSeq == want.toSeq)
+    assert(hist.map(_._3).toSeq == Seq(30L, 40L))
+    // files: the CURRENT manifest, filterable like any table
+    val nf = spark.sql("SELECT count(*) AS n FROM graftc.db.meta.files")
+      .head().getLong(0)
+    assert(nf == sinks.ManifestTable.filesAt(spark, loc, 1).size.toLong)
+    assert(spark.sql(
+      "SELECT sum(row_count) FROM graftc.db.meta.files").head().getLong(0)
+      == 40L)
+    // a real table always wins over the metadata suffix
+    assert(spark.sql("SELECT * FROM graftc.db.meta").count() == 40L)
+  }
 }

@@ -1087,6 +1087,127 @@ class SinksSpec extends AnyFunSuite {
       "curve optimize must preserve content")
   }
 
+  test("manifest incremental hilbert: the degraded subset re-lays on the curve, box skipping restored, clean files by name") {
+    import sinks.ManifestTable
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-inccurve").toString + "/t"
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    // 24 curve buckets: hilbert boxes are heterogeneous (a bucket can
+    // be elongated), so the width-median selection needs the clean
+    // boxes comfortably under wideFactor × median while the
+    // full-domain append stays comfortably over
+    ManifestTable.create(
+      sinks.ParquetSink.clusterByCurve(ev, Seq("user_id", "value"), 24),
+      root, Seq("user_id", "value"))
+    val clean = ManifestTable.filesAt(spark, root, 0).toSet
+    // a full-domain append degrades the layout (new ids keep the table keyed)
+    ManifestTable.write(ev
+      .withColumn("event_id", col("event_id") + 10000000L).coalesce(1), root)
+    val appended = ManifestTable.filesAt(spark, root, 1).toSet -- clean
+    val got = ManifestTable.optimizeIncremental(spark, root,
+      sortCols = Seq("user_id", "value"), smallFileBytes = 0L,
+      wideFactor = 2.5, hilbert = true)
+    assert(got.nonEmpty, "the wide append must qualify for re-lay")
+    val filesAfter = ManifestTable.filesAt(spark, root, got.get).toSet
+    assert(appended.forall(p => !filesAfter.contains(p)),
+      "the full-domain append must be among the re-laid files")
+    // curve-bucket widths are heavy-tailed, so the width-median
+    // selection legitimately takes the widest clean buckets along —
+    // but the BULK of the clean layout must carry by name
+    val carried = clean.intersect(filesAfter)
+    assert(carried.size * 3 >= clean.size * 2,
+      s"most clean curve files must survive; carried ${carried.size} " +
+        s"of ${clean.size}")
+    // content identical: original ∪ shifted append
+    val want = ev.unionByName(
+      ev.withColumn("event_id", col("event_id") + 10000000L))
+    val after = ManifestTable.read(spark, root)
+    assert(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty)
+    // and the box probe prunes again
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect { case b: BatchScanExec =>
+        b.partitions.flatten.collect { case fp: FilePartition =>
+          fp.files.map(_.filePath.toString).toSeq }.flatten
+      }.flatten.distinct.size
+    val uLo = ev.agg(min(col("user_id"))).head().getLong(0)
+    val box = spark.read.format("graft").load(root)
+      .filter(col("user_id").between(uLo, uLo + 3) &&
+        col("value").between(0.0, 10.0))
+    assert(scannedFiles(box) < filesAfter.size,
+      "box probe must skip files after the incremental curve re-lay")
+    assert(box.count() == want.filter(col("user_id").between(uLo, uLo + 3) &&
+      col("value").between(0.0, 10.0)).count())
+  }
+
+  test("manifest change-feed consumer: durable offsets over file-set-delta diffs") {
+    import sinks.{ManifestTable, VersionedTable}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-manifest-consume").toString
+    val root = s"$base/t"; val consumer = s"$base/consumer"
+    ManifestTable.create(
+      spark.range(0, 40).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      root, Seq("k"))
+    // bootstrap: the whole current version as inserts
+    val b0 = ManifestTable.consumeChanges(spark, root, consumer, Seq("k")).get
+    assert(b0.fromVersion == -1L && b0.toVersion == 0L)
+    assert(b0.changes.count() == 40 &&
+      b0.changes.filter(col("op") =!= "I").count() == 0)
+    b0.commit()
+    assert(ManifestTable.consumeChanges(spark, root, consumer, Seq("k")).isEmpty,
+      "caught-up consumer gets None")
+    // two commits collapse into one delta batch, file-granular
+    ManifestTable.merge(
+      spark.range(0, 3).select(col("id").as("k"), lit(-1L).as("v")),
+      root, Seq("k"))
+    ManifestTable.deleteWhere(spark, root, col("k") === 39L)
+    val b1 = ManifestTable.consumeChanges(spark, root, consumer, Seq("k")).get
+    assert(b1.fromVersion == 0L && b1.toVersion == 2L)
+    val got = b1.changes.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("op"))).toSet
+    assert(got == Set((0L, "U"), (1L, "U"), (2L, "U"), (39L, "D")),
+      s"collapsed delta mismatch: $got")
+    b1.commit()
+    assert(ManifestTable.consumeChanges(spark, root, consumer, Seq("k")).isEmpty)
+  }
+
+  test("claim verification: a degenerate-rename loser is detected by the epoch's claim marker and its garbage swept") {
+    // the local filesystem's no-overwrite rename is CHECK-then-act and
+    // RawLocalFileSystem degrades a rename onto an existing directory
+    // to copy-INTO — in the race window a loser's stage can land as a
+    // hidden subdirectory inside the winner's published epoch while
+    // the rename reports success. Ownership is therefore decided by
+    // the claim marker, not the rename's return.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vt-claim").toString + "/t"
+    sinks.VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root)
+    val epoch = new java.io.File(s"$root/epoch=0")
+    assert(epoch.isDirectory)
+    // simulate the fallback's outcome: the loser's stage copied inside
+    // the winner's epoch
+    val loserName = ".stage-loser-1234"
+    val garbage = new java.io.File(epoch, loserName)
+    assert(garbage.mkdir())
+    val w = new java.io.FileWriter(new java.io.File(garbage, "_graft_claim"))
+    w.write(loserName); w.close()
+    val claim = sinks.VersionedTable.verifyClaim(spark, root, 0, loserName)
+    assert(claim == sinks.VersionedTable.LostConsumed,
+      s"the loser must detect the foreign marker, got $claim")
+    assert(!garbage.exists(), "the loser must sweep its copied-in stage")
+    // the true owner (whose name the epoch's marker carries) verifies Won
+    val owner = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(epoch, "_graft_claim").toPath), "UTF-8").trim
+    assert(owner.startsWith(".stage-"))
+    assert(sinks.VersionedTable.verifyClaim(spark, root, 0, owner) ==
+      sinks.VersionedTable.Won)
+    // the epoch stays perfectly readable throughout
+    assert(sinks.VersionedTable.read(spark, root)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("versioned table append: racing appends serialize through the CAS loop — no lost rows") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-vt-append").toString + "/t"
