@@ -83,15 +83,18 @@ case class GraftRowLevelSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           s"got target $other")
     }
 
-  /** The ON clause as equi-key (targetCol, sourceValueExpr) pairs —
-    * a conjunction of attribute equalities across the two sides. */
+  /** The ON clause as equi-key (target column, SOURCE attribute)
+    * pairs — a conjunction of attribute equalities across the two
+    * sides. The source attribute is kept so the arm-agreement check
+    * can verify key assignments against the JOIN key itself. */
   private def keyPairs(cond: Expression, tOut: AttributeSet,
-                       sOut: AttributeSet): Seq[String] = cond match {
+                       sOut: AttributeSet)
+      : Seq[(String, AttributeReference)] = cond match {
     case And(l, r) => keyPairs(l, tOut, sOut) ++ keyPairs(r, tOut, sOut)
     case EqualTo(a: AttributeReference, b: AttributeReference)
-        if tOut.contains(a) && sOut.contains(b) => Seq(a.name)
+        if tOut.contains(a) && sOut.contains(b) => Seq(a.name -> b)
     case EqualTo(a: AttributeReference, b: AttributeReference)
-        if sOut.contains(a) && tOut.contains(b) => Seq(b.name)
+        if sOut.contains(a) && tOut.contains(b) => Seq(b.name -> a)
     case other => throw new UnsupportedOperationException(
       "graft MERGE supports an equi-key ON clause (a conjunction of " +
         s"target-column = source-column equalities), got $other")
@@ -130,8 +133,9 @@ case class GraftRowLevelSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (notMatchedBySource.nonEmpty)
         unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
       val targetCols = EliminateSubqueryAliases(target).output
-      val keys = keyPairs(mergeCond,
+      val pairs = keyPairs(mergeCond,
         AttributeSet(targetCols), AttributeSet(source.output)).distinct
+      val keySrc = pairs.toMap
       val ins = insAssigns.toMap
       val upd = updAssigns.toMap
       targetCols.foreach { a =>
@@ -139,14 +143,25 @@ case class GraftRowLevelSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           unsupported(s"INSERT does not assign column ${a.name}"))
         val uv = upd.getOrElse(a.name,
           unsupported(s"UPDATE does not assign column ${a.name}"))
-        // keys are equal on matched rows by the ON clause, so the two
-        // arms only need to agree on non-key columns
-        if (!keys.contains(a.name) && !iv.semanticEquals(uv))
-          unsupported(s"column ${a.name} is assigned differently by the " +
-            "two arms — the engine's merge writes one source row per key")
+        keySrc.get(a.name) match {
+          // a KEY column must be assigned exactly the ON clause's
+          // source column in BOTH arms — anything else would make the
+          // engine merge on a different key than the statement joins
+          // on (matched rows updated under the wrong identity)
+          case Some(src) =>
+            if (!iv.semanticEquals(src) || !uv.semanticEquals(src))
+              unsupported(s"key column ${a.name} must be assigned the ON " +
+                s"clause's source column ${src.name} in both arms")
+          case None =>
+            if (!iv.semanticEquals(uv))
+              unsupported(s"column ${a.name} is assigned differently by " +
+                "the two arms — the engine's merge writes one source row " +
+                "per key")
+        }
       }
       GraftMergeCommand(root, source,
-        targetCols.map(a => (a.name, byName(ins(a.name)), a.dataType)), keys)
+        targetCols.map(a => (a.name, byName(ins(a.name)), a.dataType)),
+        pairs.map(_._1))
   }
 }
 

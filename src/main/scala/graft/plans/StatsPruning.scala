@@ -237,10 +237,16 @@ object StatsPruneRule extends org.apache.spark.internal.Logging {
     // user predicates against an empty frame, SQL literals arrive as
     // Cast(Literal)) need expression-level constant folding before
     // the bound extraction's strict Literal matches can see them —
-    // the pushed-filter callers get this for free from the optimizer
+    // the pushed-filter callers get this for free from the optimizer.
+    // Foldable-but-Unevaluable expressions exist (current_timestamp/
+    // current_date are only substituted by the optimizer's
+    // ComputeCurrentTime, which never runs here) — a failed eval
+    // keeps the expression unfolded, which degrades to no proof from
+    // that conjunct, never to a failed statement
     val folded = cond.transformUp {
       case e if e.foldable && !e.isInstanceOf[Literal] =>
-        Literal.create(e.eval(null), e.dataType)
+        try Literal.create(e.eval(null), e.dataType)
+        catch { case _: RuntimeException => e }
     }
     val (lows, highs, _) = extractBounds(folded, None)
     val ranges = statsCols.flatMap { c =>

@@ -1162,9 +1162,13 @@ object Relational extends QueryModule {
         |  CAST(CASE WHEN doc_id % 7 = 3 THEN n_chars + 1000
         |       ELSE n_chars END AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // coalesce pins DELETE's NULL-keeps semantics (a NULL predicate
+    // KEEPS the row): plain NOT (...) would silently drop NULL-cond
+    // rows and mask an engine regression on a nullable column
     "q_delete_sql" ->
       """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
-        |FROM documents WHERE NOT (doc_id % 3 = 0 OR lang = 'en')
+        |FROM documents
+        |WHERE NOT coalesce(doc_id % 3 = 0 OR lang = 'en', FALSE)
         |ORDER BY doc_id""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(ts AS DATE) AS bucket_day,

@@ -70,6 +70,17 @@ object ManifestTable {
 
   private def canon(p: String): String = new Path(p).toUri.getPath
 
+  /** Column form of the canonical-path identity every path join in
+    * this file relies on: scheme AND authority dropped in two steps
+    * ("hdfs://nn:8020/t/x" → "/t/x", "file:/tmp/x" → "/tmp/x" — a
+    * single scheme-strip would leave "/nn:8020/…"). One definition,
+    * shared by the landing join and the bloom refinement, so the two
+    * sides of a path comparison can never desynchronize. */
+  private def canonPathCol(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "^[a-zA-Z0-9+.-]+://[^/]*", ""),
+      "^[a-zA-Z0-9+.-]+:(?=/)", "")
+
   /** Whether `root` holds a manifest table (vs a plain directory or a
     * [[VersionedTable]]). */
   def exists(spark: SparkSession, root: String): Boolean =
@@ -192,18 +203,12 @@ object ManifestTable {
       else graft.sources.FileStats.collect(spark, dir, stats)
     // canonical path identity on both sides (listFiles emits
     // toUri.getPath; input_file_name emits a scheme'd URI; footer rows
-    // carry the listing's own paths). Two-step strip so an AUTHORITY
-    // survives correctly: "hdfs://nn:8020/tbl/…" must become "/tbl/…"
-    // (scheme AND authority dropped), while "file:/tmp/…" drops just
-    // the scheme — a single scheme-strip would leave "/nn:8020/…" and
-    // the join below would silently commit a manifest referencing
-    // NONE of the batch's files. Zero-row write partitions produce no
-    // stats group, so the inner join is also the empty-file filter —
-    // such files stay on disk, unreferenced, until vacuum's TTL sweep
-    val withCanon = collected.withColumn("path",
-      regexp_replace(
-        regexp_replace(col("path"), "^[a-zA-Z0-9+.-]+://[^/]*", ""),
-        "^[a-zA-Z0-9+.-]+:(?=/)", ""))
+    // carry the listing's own paths) — [[canonPathCol]]: a mismatch
+    // here would silently commit a manifest referencing NONE of the
+    // batch's files. Zero-row write partitions produce no stats
+    // group, so the inner join is also the empty-file filter — such
+    // files stay on disk, unreferenced, until vacuum's TTL sweep
+    val withCanon = collected.withColumn("path", canonPathCol(col("path")))
     // footer rows surface 0-row files (an empty replacement write);
     // they never enter the manifest
     sizes.join(withCanon, Seq("path")).filter(col("row_count") > 0)
@@ -414,13 +419,17 @@ object ManifestTable {
     indexed.foreach { case (c, br) =>
       if (touched.nonEmpty) {
         // index rows carry input_file_name URIs; the manifest carries
-        // canonical paths — same two-step scheme+authority strip as
-        // the landing join
+        // canonical paths — the shared [[canonPathCol]] strip. The
+        // touched-set restriction is a broadcast SEMI JOIN, not an
+        // isin(): at the 100k-file scale this path is designed for,
+        // an In with one literal child per path would blow up the
+        // driver-side expression tree
+        val spk = spark
+        import spk.implicits._
+        val touchedDf = touched.toSeq.toDF("path")
         val idx = graft.sources.FileBloomIndex.read(spark, br)
-          .withColumn("path", regexp_replace(
-            regexp_replace(col("path"), "^[a-zA-Z0-9+.-]+://[^/]*", ""),
-            "^[a-zA-Z0-9+.-]+:(?=/)", ""))
-          .filter(col("path").isin(touched.toSeq: _*))
+          .withColumn("path", canonPathCol(col("path")))
+          .join(broadcast(touchedDf), Seq("path"), "left_semi")
         val covered = idx.select(col("path"))
           .collect().map(_.getString(0)).toSet
         if (covered.nonEmpty) {
@@ -553,31 +562,8 @@ object ManifestTable {
     * range shape degrades to rewriting every file — sound, at the
     * old whole-table cost. */
   def deleteWhere(spark: SparkSession, root: String, cond: Column): Long =
-    commitLoop(spark, root) { base =>
-      val m = manifest(spark, root, base)
-      val schema = tableSchema(spark, root, base)
-      val stats = statsCols(spark, root, base)
-      val all = filesAt(spark, root, base)
-      // resolve the user Column against the table schema (plan-only,
-      // nothing executes) so the proof engine sees typed attributes
-      val resolvedCond = spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        .filter(cond).queryExecution.analyzed match {
-        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
-        case other => sys.error(s"unexpected analyzed shape: $other")
-      }
-      val excluded = graft.plans.StatsPruneRule.excludedByEnvelopes(
-        spark, resolvedCond, m, stats)
-      val touched = all.filterNot(excluded.contains)
-      val touchedRows =
-        if (touched.isEmpty)
-          spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        else spark.read.schema(schema).parquet(touched: _*)
-      val kept = touchedRows.filter(not(coalesce(cond, lit(false))))
-      val newRows = landFiles(kept, root, stats)
-      m.filter(!col("path").isin(touched: _*)).unionByName(newRows)
-    }
+    rewriteWhere(spark, root, cond)((touchedRows, matched) =>
+      touchedRows.filter(not(matched)))
 
   /** ADDITIVE schema evolution as a standalone commit — `ALTER TABLE
     * ADD COLUMN` for the manifest format: the next version reuses the
@@ -611,14 +597,38 @@ object ManifestTable {
   def updateWhere(spark: SparkSession, root: String, cond: Column,
                   sets: Seq[(String, Column)]): Long = {
     require(sets.nonEmpty, "updateWhere requires at least one assignment")
+    rewriteWhere(spark, root, cond) { (touchedRows, matched) =>
+      val schema = touchedRows.schema
+      sets.foreach { case (c, _) =>
+        require(schema.fieldNames.contains(c),
+          s"assignment target $c is not a table column") }
+      touchedRows.select(schema.fields.toIndexedSeq.map { f =>
+        sets.find(_._1 == f.name) match {
+          case Some((_, v)) =>
+            when(matched, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    }
+  }
+
+  /** Shared core of the PREDICATE row-level ops (DELETE/UPDATE): pin
+    * a base manifest, resolve the user predicate against the table
+    * schema (plan-only), select the touched files by envelope proof
+    * (provably-unmatching files carry forward BY REFERENCE), read
+    * ONLY them, apply `transform(touchedRows, matchedCond)` — where
+    * `matchedCond` is the predicate with SQL's NULL-means-unmatched
+    * already folded in — land the result, and commit the swap.
+    * Conflicts recompute from scratch against the new base. */
+  private def rewriteWhere(spark: SparkSession, root: String, cond: Column)
+                          (transform: (DataFrame, Column) => DataFrame): Long =
     commitLoop(spark, root) { base =>
       val m = manifest(spark, root, base)
       val schema = tableSchema(spark, root, base)
       val stats = statsCols(spark, root, base)
-      sets.foreach { case (c, _) =>
-        require(schema.fieldNames.contains(c),
-          s"assignment target $c is not a table column") }
       val all = filesAt(spark, root, base)
+      // resolve the user Column against the table schema (plan-only,
+      // nothing executes) so the proof engine sees typed attributes
       val resolvedCond = spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         .filter(cond).queryExecution.analyzed match {
@@ -633,18 +643,10 @@ object ManifestTable {
           spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         else spark.read.schema(schema).parquet(touched: _*)
-      val matched = coalesce(cond, lit(false))
-      val updated = touchedRows.select(schema.fields.toIndexedSeq.map { f =>
-        sets.find(_._1 == f.name) match {
-          case Some((_, v)) =>
-            when(matched, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
-        }
-      }: _*)
-      val newRows = landFiles(updated, root, stats)
+      val newRows = landFiles(
+        transform(touchedRows, coalesce(cond, lit(false))), root, stats)
       m.filter(!col("path").isin(touched: _*)).unionByName(newRows)
     }
-  }
 
   /** File-set delta between two versions — (removed, added) data-file
     * paths, from COMMITTED METADATA alone (two manifest reads, zero

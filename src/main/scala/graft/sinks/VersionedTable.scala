@@ -232,22 +232,39 @@ object VersionedTable {
     val f = fs(spark, root)
     val dst = new org.apache.hadoop.fs.Path(root, s"epoch=$version")
     val marker = new org.apache.hadoop.fs.Path(dst, ClaimMarker)
-    val owner =
-      try {
-        if (!f.exists(marker)) ""
-        else {
-          val in = f.open(marker)
-          try new String(
-            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-            .trim
-          finally in.close()
-        }
-      } catch { case _: java.io.IOException => "" }
-    if (owner == stageName) Won
-    else {
-      f.delete(new org.apache.hadoop.fs.Path(dst, stageName), true): Unit
-      LostConsumed
+    // an UNREADABLE marker must not be mistaken for a foreign one: a
+    // writer whose rename genuinely won but whose read-back hiccuped
+    // would otherwise report LostConsumed and re-commit its snapshot
+    // — the exact double-apply the marker exists to prevent. Retry
+    // briefly, then fail LOUDLY: ownership of a published epoch must
+    // never be guessed.
+    var attempt = 0
+    while (attempt < 5) {
+      val owner =
+        try {
+          if (!f.exists(marker)) None
+          else {
+            val in = f.open(marker)
+            try Some(new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+              .trim)
+            finally in.close()
+          }
+        } catch { case _: java.io.IOException => None }
+      owner match {
+        case Some(o) if o == stageName => return Won
+        case Some(_) => // definitively someone else's epoch
+          f.delete(new org.apache.hadoop.fs.Path(dst, stageName), true): Unit
+          return LostConsumed
+        case None =>
+          attempt += 1
+          if (attempt < 5) Thread.sleep(50L << attempt)
+      }
     }
+    sys.error(s"epoch $version of $root has no readable claim marker — " +
+      "cannot decide ownership of the published epoch (filesystem " +
+      "anomaly); refusing to guess, since assuming a loss would " +
+      "double-commit this snapshot")
   }
 
   /** Refresh the `_LATEST` cache, monotonically: skip when the pointer
@@ -313,17 +330,33 @@ object VersionedTable {
     * retry. */
   def writeBatch(df: DataFrame, root: String, batchId: Long): Option[Long] = {
     val spark = df.sparkSession
-    var attempt = 0
-    while (attempt < 12) {
-      if (batchId <= lastAppliedBatch(spark, root)) return None
-      val base = latestVersion(spark, root) // -1 bootstraps version 0
-      tryCommitAs(df, root, base, stampBatch(spark, root, batchId)) match {
-        case Some(v) => return Some(v)
-        case None    => attempt += 1
+    if (batchId <= lastAppliedBatch(spark, root)) return None
+    // stage ONCE; the claim loop walks version numbers like
+    // [[writeStaged]] (an append always succeeds under contention —
+    // re-staging the whole batch per lost claim, or capping attempts,
+    // would regress both). The marker re-check happens AFTER `next`
+    // was resolved each iteration: a same-batch twin either stamped
+    // the marker at a version this check reads (→ None), or claims
+    // `next` first (→ our claim loses, the next iteration re-checks)
+    // — the TOCTOU window of a check-then-blind-claim is closed.
+    var stageDir = stageEpoch(df, root, stampBatch(spark, root, batchId))
+    var next = latestVersion(spark, root) + 1
+    while (true) {
+      if (batchId <= lastAppliedBatch(spark, root)) {
+        fs(spark, root).delete(stageDir, true): Unit
+        return None
+      }
+      claimEpoch(spark, root, stageDir, next) match {
+        case Won =>
+          bumpPointer(spark, root, next)
+          return Some(next)
+        case Lost         => next += 1
+        case LostConsumed =>
+          stageDir = stageEpoch(df, root, stampBatch(spark, root, batchId))
+          next += 1
       }
     }
-    sys.error(s"versioned table at $root: batch commit lost the race " +
-      "12 times — serialize the writers or shard the table")
+    sys.error("unreachable")
   }
 
   /** Write the batch-id sidecar into a staging dir — shared with

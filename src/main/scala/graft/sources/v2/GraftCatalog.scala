@@ -224,6 +224,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val loc = props.getProperty("location")
         require(add.fieldNames.length == 1,
           "graft tables have no nested columns to add into")
+        // refuse rather than silently weaken: every pre-existing row
+        // READS NULL for the new column, so honoring NOT NULL is
+        // impossible — dropping the constraint behind the user's back
+        // would leave them believing it exists
+        if (!add.isNullable) throw new UnsupportedOperationException(
+          s"ADD COLUMN ${add.fieldNames()(0)} NOT NULL is not supported: " +
+            "existing rows read NULL for an evolved-in column — declare " +
+            "it nullable")
+        if (add.position() != null) throw new UnsupportedOperationException(
+          "ADD COLUMN ... FIRST/AFTER is not supported: evolved columns " +
+            "append at the end of the schema")
         require(graft.sinks.ManifestTable.exists(spark, loc),
           "ADD COLUMN is supported on manifest-format tables only " +
             "(epoch tables evolve through merge(evolveSchema = true))")

@@ -200,6 +200,16 @@ class CatalogSpec extends AnyFunSuite {
         WHEN MATCHED THEN DELETE""")
     }
     assert(e.getMessage.contains("graft MERGE INTO supports"))
+    // a KEY assigned anything but the ON clause's source column would
+    // make the engine merge under a different identity than the
+    // statement joins on — refused, not silently mis-merged
+    val e2 = intercept[Exception] {
+      spark.sql("""MERGE INTO graftc.db.m AS t USING merge_src AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET k = s.k + 1, v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k + 1, s.v)""")
+    }
+    assert(e2.getMessage.contains("key column"))
   }
 
   test("a time-traveled handle is read-only: INSERT INTO ... VERSION AS OF fails fast") {
@@ -243,6 +253,11 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("INSERT INTO graftc.db.evo VALUES (3, 'c', 'oops')")
     }
+    // an unhonorable constraint is refused, never silently dropped
+    val enn = intercept[Exception] {
+      spark.sql("ALTER TABLE graftc.db.evo ADD COLUMN bad STRING NOT NULL")
+    }
+    assert(enn.getMessage.contains("NOT NULL"))
     spark.sql("ALTER TABLE graftc.db.evo ADD COLUMN note STRING")
     val vAfter = sinks.ManifestTable.latestVersion(spark, loc)
     assert(vAfter == vBefore + 1)
