@@ -50,9 +50,43 @@ import graft.plans.{GraftTables, StatsPruneRule}
   * .VersionedTable]] commit protocol (CAS epoch claim + pointer
   * cache), which a blind DSv2 append could not honor.
   */
-class GraftTableProvider extends TableProvider with DataSourceRegister {
+class GraftTableProvider extends TableProvider with DataSourceRegister
+  with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  /** STREAMING SINK (`df.writeStream.format("graft").option("path",
+    * root)`): micro-batches commit into a MANIFEST table through
+    * [[graft.sinks.ManifestTable.writeBatch]] — per-batch cost (the
+    * file-list append grain) and EXACTLY-ONCE by the replay marker
+    * committed atomically with each manifest version, so the
+    * checkpoint's redelivered batch after a restart is a no-op. A
+    * missing table is created empty on the first batch (schema from
+    * the stream; `statsCols` option declares the tracked columns),
+    * which keeps creation and the first data commit separately
+    * idempotent. Append mode appends; Complete mode overwrites (a
+    * re-delivered Complete batch rewrites the same content —
+    * idempotent by value); Update mode needs a key-aware fold — use
+    * foreachBatch + applyCdc. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft tables cluster via OPTIMIZE/maintenance, not partitionBy")
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Update(),
+      "graft streaming sink supports Append and Complete; Update needs " +
+        "a key-aware fold — use foreachBatch with ManifestTable.applyCdc")
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft streaming sink requires a path option"))
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val complete =
+      outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+    new GraftStreamSink(root, statsCols, complete)
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 
@@ -105,11 +139,29 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
+  /** Whether ANY table (either layout) is committed at the path. A
+    * missing table resolves to a capability-less PLACEHOLDER instead
+    * of failing resolution: `writeStream.format("graft")` must be
+    * able to target a not-yet-created table (the sink creates it on
+    * the first batch), and DataStreamWriter resolves the DSv2 table
+    * BEFORE it can fall back to the V1 sink. Reads through the
+    * placeholder still fail with a clear message, at scan time. */
+  private def tableMissing(options: CaseInsensitiveStringMap): Boolean = {
+    val spark = SparkSession.active
+    Option(options.get("path")).exists { root =>
+      options.get("versionAsOf") == null &&
+        options.get("timestampAsOf") == null &&
+        !graft.sinks.ManifestTable.exists(spark, root) &&
+        graft.sinks.VersionedTable.latestVersion(spark, root) < 0
+    }
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // drop any handoff a FAILED earlier load left behind — a stale
     // (root, version) would silently pin a later read of the same
     // root to an outdated snapshot
     resolvedAt.remove()
+    if (tableMissing(options)) return new StructType()
     val (spark, root, v, isManifest) = resolve(options)
     resolvedAt.set(Some((root, v)))
     val dataSchema =
@@ -130,6 +182,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
+    if (tableMissing(options))
+      return new GraftMissingTable(options.get("path"))
     val (spark, root, v, isManifest) = resolve(options)
     resolvedAt.remove()
     val keys = feedKeys(options)
@@ -137,6 +191,50 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
       new GraftTable(spark, root, v, schema, isManifest,
         readOnly = timeTraveled(options))
     else new GraftChangeFeedTable(spark, root, keys, schema)
+  }
+}
+
+/** Placeholder for a path holding NO committed table — capability-less
+  * so any read/write planned against it fails at analysis, while the
+  * V1 streaming-sink fallback (which creates the table) can proceed. */
+private[v2] final class GraftMissingTable(root: String) extends Table {
+  override def name(): String = s"graft.`$root` (no committed table)"
+  override def schema(): StructType = new StructType()
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Collections.emptySet()
+}
+
+/** The streaming sink itself — see [[GraftTableProvider.createSink]].
+  * `addBatch` runs on the driver per micro-batch; the data lands
+  * through the manifest commit protocol (one distributed write + a
+  * metadata-scale manifest swap), never a collect. */
+private[v2] final class GraftStreamSink(root: String, statsCols: Seq[String],
+                                        complete: Boolean)
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def name(): String = s"graft-sink.`$root`"
+
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
+    val spark = data.sparkSession
+    // the micro-batch frame arrives flagged streaming, which forbids
+    // every batch write API — re-wrap it (same rows and plan), the
+    // standard V1-sink move
+    val batch = org.apache.spark.sql.graft.GraftSqlShims.toBatchDF(data.toDF())
+    if (!graft.sinks.ManifestTable.exists(spark, root)) {
+      statsCols.foreach(c => require(data.columns.contains(c),
+        s"statsCols column $c is not a stream column"))
+      graft.sinks.ManifestTable.create(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), data.schema),
+        root, statsCols): Unit
+    }
+    if (complete) {
+      // Complete re-delivers the WHOLE result each trigger; a replayed
+      // batch rewrites identical content — idempotent by value
+      graft.sinks.ManifestTable.overwrite(batch, root): Unit
+    } else
+      graft.sinks.ManifestTable.writeBatch(batch, root, batchId): Unit
   }
 }
 

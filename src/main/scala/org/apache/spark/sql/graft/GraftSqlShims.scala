@@ -32,6 +32,17 @@ object GraftSqlShims {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Re-wrap a micro-batch's "streaming" DataFrame as a plain batch
+    * one (same rows, same plan, isStreaming = false) — what a V1
+    * streaming Sink must do before any batch write API can touch the
+    * data; Spark's own ForeachBatchSink does the equivalent re-wrap. */
+  def toBatchDF(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** The session's catalog manager — resolves the INITIALIZED catalog
     * instances (the session caches them on first use), which is what
     * a by-name maintenance entry point must consult rather than

@@ -847,6 +847,75 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** The native streaming SINK (`writeStream.format("graft")`): a
+    * manifest table maintained by the stream itself — created on the
+    * first batch, per-batch append commits, exactly-once across
+    * restart redelivery via the manifest's replay marker, and readable
+    * (with pruning) like any other graft table. Also the declarative
+    * medallion pipe: change-feed SOURCE → graft SINK with zero user
+    * code in between. */
+  test("graft streaming sink: exactly-once manifest appends, created on first batch, restart is a no-op") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sink").toString
+    val srcDir = s"$base/in"; val root = s"$base/t"; val ckpt = s"$base/ckpt"
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(docs.schema).parquet(srcDir)
+        .writeStream.format("graft")
+        .option("path", root).option("statsCols", "doc_id")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // wave 1
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(srcDir)
+    run()
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val got1 = sinks.ManifestTable.read(spark, root)
+    assert(got1.exceptAll(even).isEmpty && even.exceptAll(got1).isEmpty,
+      "first wave must land exactly")
+    // restart with nothing new: no batch, no version
+    val vBefore = sinks.ManifestTable.latestVersion(spark, root)
+    run()
+    assert(sinks.ManifestTable.latestVersion(spark, root) == vBefore,
+      "an up-to-date restart must commit nothing")
+    // wave 2 appends
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(srcDir)
+    run()
+    val got2 = sinks.ManifestTable.read(spark, root)
+    assert(got2.exceptAll(docs).isEmpty && docs.exceptAll(got2).isEmpty,
+      "second wave must append exactly")
+    // the sink's table reads like any graft table, pruning included
+    assert(spark.read.format("graft").load(root).count() == docs.count())
+  }
+
+  test("declarative medallion pipe: change-feed source into the graft sink, no user code between") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-pipe").toString
+    val src = s"$base/src"; val dst = s"$base/dst"; val ckpt = s"$base/ckpt"
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    sinks.ManifestTable.create(
+      docs.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), src, Seq("doc_id"))
+    val q = spark.readStream.format("graft")
+      .option("keyCols", "doc_id").load(src)
+      .writeStream.format("graft")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the sink holds the full bootstrap as I-rows (an append-only log
+    // of the feed — the bronze landing shape)
+    val d = sinks.ManifestTable.read(spark, dst)
+    assert(d.count() == docs.count())
+    assert(d.filter(col("op") =!= "I").count() == 0)
+    assert(d.drop("op", "seq").exceptAll(docs).isEmpty)
+  }
+
   /** Zero-copy bootstrap with FILE-granular admission control: a
     * fresh stream on a multi-file table drains the snapshot as
     * bounded batches of the snapshot's OWN files (op='I', seq=v
