@@ -993,6 +993,63 @@ object Relational extends QueryModule {
       FROM graft.gate.dsql ORDER BY doc_id""")
   }
 
+  /** SQL additive schema evolution end-to-end: `ALTER TABLE ADD
+    * COLUMN` widens the sidecar with zero data rewrites, pre-existing
+    * rows read NULL for the evolved column, and post-evolution
+    * inserts carry it — the oracle reconstructs exactly that union. */
+  def qEvolveSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_sql_evolve") + "/t"
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    graft.sinks.ManifestTable.create(
+      d.filter(col("doc_id") % 4 =!= 3)
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    ensureGateCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.gate.esql")
+    spark.sql(s"CREATE TABLE graft.gate.esql USING graft LOCATION '$root'")
+    spark.sql("ALTER TABLE graft.gate.esql ADD COLUMN note STRING")
+    d.filter(col("doc_id") % 4 === 3)
+      .withColumn("note", concat(lit("n-"), col("lang")))
+      .createOrReplaceTempView("gate_evolve_src")
+    spark.sql(
+      "INSERT INTO graft.gate.esql SELECT doc_id, lang, note " +
+        "FROM gate_evolve_src")
+    spark.sql("""SELECT doc_id, lang, note
+      FROM graft.gate.esql ORDER BY doc_id""")
+  }
+
+  /** The DECLARATIVE STREAMING PIPE, oracle-gated: change-feed SOURCE
+    * (`readStream.format("graft")` with keyCols) piped straight into
+    * the native graft SINK (`writeStream.format("graft")`) with zero
+    * user code between — the medallion hop as two format strings. The
+    * bootstrap arrives as `op = 'I'`, `seq = 0` rows served from the
+    * snapshot's own files and commits exactly-once into the
+    * downstream manifest table, which the gate then reads back from
+    * disk. The streaming path is hash-gated against the same DuckDB
+    * oracle discipline as every batch operator. */
+  def qStreamPipe(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.Scratch.freshDir("graft_stream_pipe")
+    val src = s"$base/src"; val dst = s"$base/dst"; val ckpt = s"$base/ckpt"
+    graft.sinks.ManifestTable.create(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      src, Seq("doc_id"))
+    val q = spark.readStream.format("graft")
+      .option("keyCols", "doc_id").load(src)
+      .writeStream.format("graft")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sinks.ManifestTable.read(spark, dst)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("op"), col("seq"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Probe string for the Jaro-Winkler ranking gate: a plausible but
     * absent part name, so scores spread over the whole range. */
   val JwProbe = "standard anodized tin"
@@ -1035,6 +1092,8 @@ object Relational extends QueryModule {
     "q_merge_sql"         -> qMergeSql _,
     "q_update_sql"        -> qUpdateSql _,
     "q_delete_sql"        -> qDeleteSql _,
+    "q_evolve_sql"        -> qEvolveSql _,
+    "q_stream_pipe"       -> qStreamPipe _,
     "q_jaro_rank"         -> qJaroRank _,
     "q_skew_report"       -> qSkewReport _,
     "q1_agg"              -> q1Agg _,
@@ -1161,6 +1220,21 @@ object Relational extends QueryModule {
         |  CASE WHEN doc_id % 7 = 3 THEN lang || '+' ELSE lang END AS lang,
         |  CAST(CASE WHEN doc_id % 7 = 3 THEN n_chars + 1000
         |       ELSE n_chars END AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // pre-evolution rows read NULL for the evolved column; the
+    // post-evolution insert carries it
+    "q_evolve_sql" ->
+      """SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS note
+        |FROM documents WHERE doc_id % 4 <> 3
+        |UNION ALL
+        |SELECT doc_id, lang, 'n-' || lang AS note
+        |FROM documents WHERE doc_id % 4 = 3
+        |ORDER BY doc_id""".stripMargin,
+    // the streaming bootstrap is the whole table as inserts at the
+    // stream's starting version
+    "q_stream_pipe" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  'I' AS op, CAST(0 AS BIGINT) AS seq
         |FROM documents ORDER BY doc_id""".stripMargin,
     // coalesce pins DELETE's NULL-keeps semantics (a NULL predicate
     // KEEPS the row): plain NOT (...) would silently drop NULL-cond
