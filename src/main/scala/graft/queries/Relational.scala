@@ -1050,6 +1050,49 @@ object Relational extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Atomic predicate-region swap ([[graft.sinks.ManifestTable
+    * .replaceWhere]]) end-to-end on disk: one commit deletes the
+    * region and inserts its replacement — the idempotent-backfill
+    * primitive. The oracle reconstructs exactly
+    * kept-region ∪ replacement. */
+  def qReplaceWhere(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_replace_where") + "/t"
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.sinks.ManifestTable.create(
+      d.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    // rebuild the doc_id >= 300 region: even ids only, re-derived
+    // payload — the backfill shape (half the rows change, half drop)
+    graft.sinks.ManifestTable.replaceWhere(
+      d.filter(col("doc_id") >= 300 && col("doc_id") % 2 === 0)
+        .withColumn("n_chars", col("n_chars") + lit(10000L)),
+      root, col("doc_id") >= 300)
+    graft.sinks.ManifestTable.read(spark, root).orderBy(col("doc_id"))
+  }
+
+  /** RESTORE TO VERSION as a data-bearing gate: create → append →
+    * delete → restore(v0), then read back from disk; the oracle is
+    * v0's exact content. The restore commit moves zero data — the
+    * manifest re-references v0's files — which the driver can only
+    * observe as perfect content identity. */
+  def qRestore(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_restore") + "/t"
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    graft.sinks.ManifestTable.create(
+      d.filter(col("doc_id") % 3 =!= 0)
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))                                        // v0
+    graft.sinks.ManifestTable.write(
+      d.filter(col("doc_id") % 3 === 0), root)                    // v1
+    graft.sinks.ManifestTable.deleteWhere(spark, root,
+      col("doc_id") % 5 === 0)                                    // v2
+    graft.sinks.ManifestTable.restore(spark, root, 0L)            // v3
+    graft.sinks.ManifestTable.read(spark, root).orderBy(col("doc_id"))
+  }
+
   /** Probe string for the Jaro-Winkler ranking gate: a plausible but
     * absent part name, so scores spread over the whole range. */
   val JwProbe = "standard anodized tin"
@@ -1094,6 +1137,8 @@ object Relational extends QueryModule {
     "q_delete_sql"        -> qDeleteSql _,
     "q_evolve_sql"        -> qEvolveSql _,
     "q_stream_pipe"       -> qStreamPipe _,
+    "q_replace_where"     -> qReplaceWhere _,
+    "q_restore"           -> qRestore _,
     "q_jaro_rank"         -> qJaroRank _,
     "q_skew_report"       -> qSkewReport _,
     "q1_agg"              -> q1Agg _,
@@ -1229,6 +1274,18 @@ object Relational extends QueryModule {
         |UNION ALL
         |SELECT doc_id, lang, 'n-' || lang AS note
         |FROM documents WHERE doc_id % 4 = 3
+        |ORDER BY doc_id""".stripMargin,
+    // kept-region ∪ replacement: rows under the predicate are swapped
+    // for the batch, rows outside it survive verbatim
+    "q_replace_where" ->
+      """SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 300
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars + 10000 AS n_chars
+        |FROM documents WHERE doc_id >= 300 AND doc_id % 2 = 0
+        |ORDER BY doc_id""".stripMargin,
+    // restore(v0) after an append and a delete reads exactly v0
+    "q_restore" ->
+      """SELECT doc_id, lang FROM documents WHERE doc_id % 3 <> 0
         |ORDER BY doc_id""".stripMargin,
     // the streaming bootstrap is the whole table as inserts at the
     // stream's starting version

@@ -585,6 +585,83 @@ object ManifestTable {
     }
   }
 
+  /** RESTORE to a retained version — `RESTORE TABLE t TO VERSION AS OF
+    * v` as a METADATA-ONLY commit: the next version's manifest is the
+    * target version's manifest VERBATIM (every data file carries BY
+    * REFERENCE, zero data I/O) under the target version's schema
+    * sidecar, so the restore is itself a normal, time-travelable,
+    * CAS-serialized commit — history is never rewritten, and the
+    * restored files are re-referenced by a RETAINED manifest, which is
+    * exactly what keeps the refcount-aware [[vacuum]] off them. Cost:
+    * one manifest read + one manifest write. */
+  def restore(spark: SparkSession, root: String, version: Long): Long = {
+    commitLoopEvolving(spark, root) { base =>
+      require(versions(spark, root).contains(version),
+        s"manifest table at $root has no retained version $version " +
+          "(vacuumed or never committed) — nothing to restore to")
+      require(version != base, s"version $version is already current")
+      (manifest(spark, root, version), tableSchema(spark, root, version))
+    }
+  }
+
+  /** SHALLOW CLONE — a new manifest table at `dstRoot` whose first
+    * version references the SOURCE's data files by absolute path: zero
+    * data copied, cost ∝ one manifest (the Delta `CREATE TABLE ...
+    * SHALLOW CLONE` ergonomics — a 100 TB dev/test copy in a metadata
+    * write). The clone is immediately independent for WRITES: appends
+    * land under `dstRoot/data`, row-level ops rewrite borrowed files
+    * INTO the clone, and the clone's [[vacuum]] only ever sweeps
+    * `dstRoot/data` — it can never delete the source's files.
+    *
+    * The one shared-fate hazard is the source's OWN retention (the
+    * documented shallow-clone contract): vacuuming the SOURCE can
+    * delete files the clone still references, because the source's
+    * refcount only sees its own manifests. Clone for short-lived
+    * branches, or [[optimize]] the clone to materialize it. */
+  def cloneTo(spark: SparkSession, srcRoot: String, dstRoot: String,
+              version: Option[Long] = None): Long = {
+    require(exists(spark, srcRoot), s"no manifest table at $srcRoot")
+    require(!exists(spark, dstRoot),
+      s"manifest table at $dstRoot already exists")
+    val v = version.getOrElse(latestVersion(spark, srcRoot))
+    require(versions(spark, srcRoot).contains(v),
+      s"manifest table at $srcRoot has no retained version $v")
+    VersionedTable.writeStaged(manifest(spark, srcRoot, v),
+      manifestsRoot(dstRoot))(
+      stageSchema(spark, dstRoot, tableSchema(spark, srcRoot, v)))
+  }
+
+  /** Atomic predicate-scoped overwrite — Delta's `replaceWhere`: ONE
+    * commit that deletes every row matching `cond` and inserts `df`,
+    * so readers see either the old region or the new one, never a
+    * half-swapped mix (the idempotent-backfill primitive: re-running a
+    * partition rebuild converges instead of duplicating). `df`'s rows
+    * must all satisfy `cond` — the constraint that makes the operation
+    * a REPLACEMENT of the predicate region; violations fail before
+    * anything lands. Cost ∝ touched files + batch: the predicate's
+    * range conjuncts select touched files by envelope proof exactly as
+    * [[deleteWhere]]; untouched files carry BY REFERENCE. */
+  def replaceWhere(df: DataFrame, root: String, cond: Column): Long = {
+    val spark = df.sparkSession
+    val v = latestVersion(spark, root)
+    require(v >= 0, s"manifest table at $root does not exist — create() first")
+    val schema = tableSchema(spark, root, v)
+    require(df.columns.sorted.sameElements(schema.fieldNames.sorted),
+      s"replaceWhere schema ${df.columns.sorted.mkString(",")} != table " +
+        s"schema ${schema.fieldNames.sorted.mkString(",")}")
+    val batch = conform(df, schema)
+    val violations = batch.filter(!coalesce(cond, lit(false))).limit(1).count()
+    require(violations == 0L,
+      "replaceWhere batch contains rows NOT matching the predicate — " +
+        "the operation replaces the predicate's region, so every " +
+        "inserted row must satisfy it (use write() to append outside it)")
+    // land the batch ONCE — immutable files are reusable across CAS
+    // retry attempts; only the manifest swap recomputes on conflict
+    lazy val batchRows = landFiles(batch, root, statsCols(spark, root, v))
+    rewriteWhere(spark, root, cond, extraRows = () => batchRows)(
+      (touchedRows, matched) => touchedRows.filter(not(matched)))
+  }
+
   /** Row-level UPDATE, file-granular: same envelope-proof selection as
     * [[deleteWhere]] (provably-unmatching files carry forward BY
     * REFERENCE), with SQL UPDATE semantics on the rewritten files —
@@ -620,7 +697,8 @@ object ManifestTable {
     * `matchedCond` is the predicate with SQL's NULL-means-unmatched
     * already folded in — land the result, and commit the swap.
     * Conflicts recompute from scratch against the new base. */
-  private def rewriteWhere(spark: SparkSession, root: String, cond: Column)
+  private def rewriteWhere(spark: SparkSession, root: String, cond: Column,
+                           extraRows: () => DataFrame = null)
                           (transform: (DataFrame, Column) => DataFrame): Long =
     commitLoop(spark, root) { base =>
       val m = manifest(spark, root, base)
@@ -645,7 +723,8 @@ object ManifestTable {
         else spark.read.schema(schema).parquet(touched: _*)
       val newRows = landFiles(
         transform(touchedRows, coalesce(cond, lit(false))), root, stats)
-      m.filter(!col("path").isin(touched: _*)).unionByName(newRows)
+      val next = m.filter(!col("path").isin(touched: _*)).unionByName(newRows)
+      if (extraRows == null) next else next.unionByName(extraRows())
     }
 
   /** File-set delta between two versions — (removed, added) data-file

@@ -284,19 +284,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array(Identifier.of(Array("system"), "maintain"),
-        Identifier.of(Array("system"), "vacuum_table"))
+        Identifier.of(Array("system"), "vacuum_table"),
+        Identifier.of(Array("system"), "restore_table"),
+        Identifier.of(Array("system"), "clone_table"))
     else Array.empty
+
+  /** Shallow-clone `src` (a registered manifest table) as `dst`:
+    * [[graft.sinks.ManifestTable.cloneTo]] into a managed location,
+    * descriptor copied with the location re-pointed — the clone
+    * inherits the source's declared maintenance policy (clusterBy,
+    * bloomIndex) but none of its built indexes. Returns the clone's
+    * location. */
+  private[v2] def cloneRegistered(srcName: String, dstName: String): String = {
+    val srcLoc = locationOf(srcName)
+    require(graft.sinks.ManifestTable.exists(spark, srcLoc),
+      s"clone_table is for manifest-format tables; $srcName is not one")
+    val parts = dstName.split('.')
+    require(parts.length >= 2, s"expected namespace.table, got $dstName")
+    val dstIdent = Identifier.of(parts.init, parts.last)
+    if (tableExists(dstIdent)) throw new TableAlreadyExistsException(dstIdent)
+    val dstLoc = (s"$warehouse/tables" +: dstIdent.namespace.toSeq :+
+      dstIdent.name).mkString("/")
+    graft.sinks.ManifestTable.cloneTo(spark, srcLoc, dstLoc): Unit
+    val srcParts = srcName.split('.')
+    val props = readDef(Identifier.of(srcParts.init, srcParts.last))
+      .getOrElse(throw new NoSuchTableException(
+        Identifier.of(srcParts.init, srcParts.last)))
+    val out = new java.util.Properties()
+    props.stringPropertyNames().asScala
+      .foreach(k => out.setProperty(k, props.getProperty(k)))
+    out.setProperty("location", dstLoc)
+    writeDef(dstIdent, out)
+    dstLoc
+  }
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
       s"procedures live in the system namespace, got $ident")
     ident.name match {
-      case "maintain"     => new GraftProcedures.Maintain(catalogName)
-      case "vacuum_table" => new GraftProcedures.Vacuum(this)
+      case "maintain"      => new GraftProcedures.Maintain(catalogName)
+      case "vacuum_table"  => new GraftProcedures.Vacuum(this)
+      case "restore_table" => new GraftProcedures.Restore(this)
+      case "clone_table"   => new GraftProcedures.Clone(this)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $catalogName.system.$other " +
-          "(available: maintain, vacuum_table)")
+          "(available: maintain, vacuum_table, restore_table, clone_table)")
     }
   }
 

@@ -57,6 +57,64 @@ private[v2] object GraftProcedures {
     }
   }
 
+  /** `restore_table(table, version)` — [[graft.sinks.ManifestTable
+    * .restore]] by name: RESTORE TO VERSION AS OF as a metadata-only
+    * commit (files re-referenced, zero data I/O, history intact). */
+  final class Restore(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "restore_table"
+    override def description(): String =
+      "commit a new version whose content is a retained version's, " +
+        "verbatim — zero data I/O, history stays time-travelable"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("version", LongType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("restored_from", LongType, nullable = false),
+      StructField("committed_version", LongType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val tbl = input.getUTF8String(0).toString
+      val from = input.getLong(1)
+      val loc = catalog.locationOf(tbl)
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        s"restore_table is for manifest-format tables; $tbl is not one")
+      val v = graft.sinks.ManifestTable.restore(spark, loc, from)
+      oneRowScan(outSchema, InternalRow(from, v))
+    }
+  }
+
+  /** `clone_table(src, dst)` — [[graft.sinks.ManifestTable.cloneTo]]
+    * by name: a SHALLOW CLONE registered in the catalog (descriptor
+    * copied, location re-pointed), data files shared by reference. */
+  final class Clone(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "clone_table"
+    override def description(): String =
+      "shallow-clone a manifest table: the new table's first version " +
+        "references the source's data files — zero data copied"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("src", StringType).build(),
+        ProcedureParameter.in("dst", StringType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("location", StringType, nullable = false),
+      StructField("n_files", LongType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val src = input.getUTF8String(0).toString
+      val dst = input.getUTF8String(1).toString
+      val loc = catalog.cloneRegistered(src, dst)
+      val n = graft.sinks.ManifestTable
+        .filesAt(spark, loc,
+          graft.sinks.ManifestTable.latestVersion(spark, loc)).size.toLong
+      oneRowScan(outSchema, InternalRow(UTF8String.fromString(loc), n))
+    }
+  }
+
   /** `vacuum_table(table, keep)` — retention by name, format-aware. */
   final class Vacuum(catalog: GraftCatalog)
     extends UnboundProcedure with BoundProcedure {

@@ -352,6 +352,39 @@ class CatalogSpec extends AnyFunSuite {
       == docs.count())
   }
 
+  test("CALL restore_table / clone_table: version restore and shallow clone by name from SQL") {
+    warehouse: Unit
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-catalog-restore").toString + "/t"
+    sinks.ManifestTable.create(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), loc, Seq("k"))
+    spark.sql(s"CREATE TABLE graftc.db.rt USING graft LOCATION '$loc'")
+    spark.sql("INSERT INTO graftc.db.rt VALUES (3, 'c')")
+    spark.sql("DELETE FROM graftc.db.rt WHERE k = 1")
+    assert(spark.sql("SELECT count(*) FROM graftc.db.rt").head().getLong(0) == 2L)
+    // restore to the original content — a normal commit, history intact
+    val r = spark.sql("CALL graftc.system.restore_table('db.rt', 0)")
+      .collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 3L, s"unexpected $r")
+    assert(spark.sql("SELECT k FROM graftc.db.rt ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(spark.sql("SELECT count(*) FROM graftc.db.rt VERSION AS OF 2")
+      .head().getLong(0) == 2L, "pre-restore versions stay travelable")
+    // shallow clone: registered, readable, shares the source's files
+    val c = spark.sql("CALL graftc.system.clone_table('db.rt', 'db.rt2')")
+      .collect().head
+    assert(c.getLong(1) > 0L)
+    assert(spark.sql("SELECT k FROM graftc.db.rt2 ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(sinks.ManifestTable.filesAt(spark, c.getString(0), 0L) ==
+      sinks.ManifestTable.filesAt(spark, loc, 3L),
+      "the clone must reference the source's files, not copies")
+    // the clone is independent for writes
+    spark.sql("INSERT INTO graftc.db.rt2 VALUES (9, 'z')")
+    assert(spark.sql("SELECT count(*) FROM graftc.db.rt2").head().getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) FROM graftc.db.rt").head().getLong(0) == 2L)
+  }
+
   test("metadata tables: SELECT over graftc.db.t.history / .files serves the manifests — zero data I/O surface") {
     warehouse: Unit
     val loc = java.nio.file.Files

@@ -1615,6 +1615,110 @@ class SinksSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("manifest restore: a retained version re-commits by reference — zero data I/O, history intact") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-restore").toString + "/t"
+    ManifestTable.create(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      root, Seq("k"))                                   // v0
+    ManifestTable.write(Seq((3L, "c")).toDF("k", "v"), root) // v1
+    ManifestTable.deleteWhere(spark, root, col("k") === 1L)  // v2
+    val v = ManifestTable.restore(spark, root, 0L)
+    assert(v == 3L, s"restore must commit as the NEXT version, got $v")
+    // content equals v0's, and the manifest references v0's FILES
+    // verbatim — a restore moves no data
+    assert(ManifestTable.read(spark, root).orderBy("k").collect().toSeq ==
+      ManifestTable.readVersion(spark, root, 0L).orderBy("k").collect().toSeq)
+    assert(ManifestTable.filesAt(spark, root, 3L) ==
+      ManifestTable.filesAt(spark, root, 0L),
+      "restored manifest must reference the target version's files")
+    // history is append-only: the pre-restore versions stay travelable
+    assert(ManifestTable.readVersion(spark, root, 2L).count() == 2L)
+    // restoring the CURRENT version is refused (a no-op commit churn)
+    intercept[IllegalArgumentException] {
+      ManifestTable.restore(spark, root, 3L)
+    }
+    // a restored-to version survives vacuum through its re-reference:
+    // keep=2 retains v2,v3 — v3 references v0's files, so they live
+    ManifestTable.vacuum(spark, root, keep = 2, ttlMs = 0L)
+    assert(ManifestTable.read(spark, root).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "files re-referenced by the restore must survive the vacuum")
+  }
+
+  test("manifest shallow clone: data files shared by reference; writes and vacuum diverge safely") {
+    import sinks.ManifestTable
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-manifest-clone").toString
+    val src = s"$base/src"; val dst = s"$base/dst"
+    ManifestTable.create(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      src, Seq("k"))
+    ManifestTable.write(Seq((3L, "c")).toDF("k", "v"), src)
+    assert(ManifestTable.cloneTo(spark, src, dst) == 0L)
+    // zero copy: the clone's manifest IS the source's file list
+    assert(ManifestTable.filesAt(spark, dst, 0L) ==
+      ManifestTable.filesAt(spark, src, 1L))
+    assert(ManifestTable.read(spark, dst).orderBy("k").collect().toSeq ==
+      ManifestTable.read(spark, src).orderBy("k").collect().toSeq)
+    // writes diverge: an append to the clone lands under ITS root and
+    // never shows in the source
+    ManifestTable.write(Seq((4L, "d")).toDF("k", "v"), dst)
+    assert(ManifestTable.read(spark, dst).count() == 4L)
+    assert(ManifestTable.read(spark, src).count() == 3L)
+    // a row-level op on the clone rewrites the BORROWED file into the
+    // clone — the source's copy is untouched
+    ManifestTable.merge(Seq((1L, "A")).toDF("k", "v"), dst, Seq("k"))
+    assert(ManifestTable.read(spark, dst).filter(col("k") === 1L)
+      .head().getString(1) == "A")
+    assert(ManifestTable.read(spark, src).filter(col("k") === 1L)
+      .head().getString(1) == "a")
+    // the clone's vacuum sweeps only ITS data directory: borrowed
+    // files (still referenced by dst v0) and the source's tree survive
+    ManifestTable.vacuum(spark, dst, keep = 1, ttlMs = 0L)
+    assert(ManifestTable.read(spark, src).count() == 3L,
+      "clone vacuum must never touch the source's files")
+    assert(ManifestTable.read(spark, dst).orderBy("k").collect()
+      .map(_.getString(1)).toSeq == Seq("A", "b", "c", "d"))
+    // a clone onto an existing table is refused
+    intercept[IllegalArgumentException] {
+      ManifestTable.cloneTo(spark, src, dst)
+    }
+  }
+
+  test("manifest replaceWhere: atomic predicate-region swap, untouched files by reference, violations refused") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-manifest-rw").toString + "/t"
+    // two range-disjoint files: ks 1-2 and ks 10-11
+    ManifestTable.create(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+        .repartitionByRange(1, col("k")), root, Seq("k"))
+    ManifestTable.write(
+      Seq((10L, "x"), (11L, "y")).toDF("k", "v")
+        .repartitionByRange(1, col("k")), root)
+    val before = ManifestTable.filesAt(spark, root, 1L).toSet
+    // swap the k >= 10 region for fresh rows, one commit
+    val v = ManifestTable.replaceWhere(
+      Seq((10L, "X"), (12L, "Z")).toDF("k", "v"), root, col("k") >= 10L)
+    assert(v == 2L)
+    assert(ManifestTable.read(spark, root).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (10L, "X"), (12L, "Z")))
+    // the k 1-2 file is outside the predicate's envelope — it must
+    // carry into the next manifest BY REFERENCE (no rewrite)
+    val after = ManifestTable.filesAt(spark, root, 2L).toSet
+    assert((before & after).nonEmpty,
+      "envelope-cleared files must survive a replaceWhere by reference")
+    // a batch row OUTSIDE the predicate is a contract violation —
+    // nothing commits
+    intercept[IllegalArgumentException] {
+      ManifestTable.replaceWhere(
+        Seq((5L, "no")).toDF("k", "v"), root, col("k") >= 10L)
+    }
+    assert(ManifestTable.latestVersion(spark, root) == 2L,
+      "a refused replaceWhere must not have committed anything")
+  }
+
   test("time travel by timestamp: epochs stamped at commit, timestampAsOf resolves <= t, vacuumed history fails fast") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-ts-travel").toString + "/t"
