@@ -71,10 +71,27 @@ case class MetaAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
   private final case class ManifestSource(root: String, version: Long)
     extends MetaSource {
-    private lazy val frame =
+    private lazy val raw =
       graft.sinks.ManifestTable.manifest(spark, root, version)
-    lazy val statsCols: Seq[String] = frame.schema.fieldNames.toSeq
+    lazy val statsCols: Seq[String] = raw.schema.fieldNames.toSeq
       .filter(_.endsWith("_min")).map(_.stripSuffix("_min"))
+    // merge-on-read deletion vectors: COUNT(*) stays EXACT (live rows
+    // = row_count − dv_rows per file), while a DV-bearing file's
+    // envelopes and null counts are only CONSERVATIVE (the deleted
+    // rows may have held the extremum / the nulls) — surface those
+    // cells as NULL = unknown, and the per-file honesty proof below
+    // routes COUNT(c)/MIN/MAX to the scan instead of guessing
+    private lazy val frame = {
+      val dv = col("dv_rows") > 0L
+      statsCols.foldLeft(
+        raw.withColumn("row_count", col("row_count") - col("dv_rows"))) {
+        (df, c) =>
+          Seq(s"${c}_min", s"${c}_max", s"${c}_nulls").foldLeft(df) {
+            (d, f) => d.withColumn(f,
+              when(dv, lit(null)).otherwise(col(f)))
+          }
+      }
+    }
     def stats(): org.apache.spark.sql.DataFrame = frame
     def covered(): Boolean = true // the manifest IS the listing
   }

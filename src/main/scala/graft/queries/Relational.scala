@@ -1093,6 +1093,30 @@ object Relational extends QueryModule {
     graft.sinks.ManifestTable.read(spark, root).orderBy(col("doc_id"))
   }
 
+  /** MERGE-ON-READ DELETE ([[graft.sinks.ManifestTable
+    * .deleteWhereMor]]) end-to-end on disk: two deletes commit
+    * deletion-vector sidecars (zero data files rewritten — the second
+    * MERGES bits into files the first already vectored), and the read
+    * back applies the vectors inside the DSv2 scan. The oracle is the
+    * survivors — plain SQL DELETE semantics, same as the
+    * copy-on-write gate, proven on the vector path. */
+  def qDeleteDv(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_delete_dv") + "/t"
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.sinks.ManifestTable.create(
+      d.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    // scattered point deletes: every file gains a small vector
+    graft.sinks.ManifestTable.deleteWhereMor(spark, root,
+      col("doc_id") % 10 === 3)
+    // a range delete over files that ALREADY carry vectors — bits merge
+    graft.sinks.ManifestTable.deleteWhereMor(spark, root,
+      col("doc_id") >= 100 && col("doc_id") < 120)
+    graft.sinks.ManifestTable.read(spark, root).orderBy(col("doc_id"))
+  }
+
   /** Probe string for the Jaro-Winkler ranking gate: a plausible but
     * absent part name, so scores spread over the whole range. */
   val JwProbe = "standard anodized tin"
@@ -1139,6 +1163,7 @@ object Relational extends QueryModule {
     "q_stream_pipe"       -> qStreamPipe _,
     "q_replace_where"     -> qReplaceWhere _,
     "q_restore"           -> qRestore _,
+    "q_delete_dv"         -> qDeleteDv _,
     "q_jaro_rank"         -> qJaroRank _,
     "q_skew_report"       -> qSkewReport _,
     "q1_agg"              -> q1Agg _,
@@ -1282,6 +1307,13 @@ object Relational extends QueryModule {
         |UNION ALL
         |SELECT doc_id, lang, n_chars + 10000 AS n_chars
         |FROM documents WHERE doc_id >= 300 AND doc_id % 2 = 0
+        |ORDER BY doc_id""".stripMargin,
+    // survivors of the two deletes — merge-on-read reads must equal
+    // plain SQL DELETE semantics exactly
+    "q_delete_dv" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT (doc_id % 10 = 3)
+        |  AND NOT (doc_id >= 100 AND doc_id < 120)
         |ORDER BY doc_id""".stripMargin,
     // restore(v0) after an append and a delete reads exactly v0
     "q_restore" ->

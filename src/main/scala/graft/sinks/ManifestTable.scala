@@ -48,6 +48,10 @@ import org.apache.spark.sql.types.StructType
   *     random layout K degrades toward T honestly.
   *   - [[deleteWhere]]: envelope proofs over the predicate select K;
   *     non-range predicates degrade to K = T (documented, sound).
+  *   - [[deleteWhereMor]]: same selection, but touched files keep
+  *     their bytes and gain a DELETION-VECTOR sidecar (bitset of dead
+  *     row positions) — cost ∝ touched-file scan + deleted bits,
+  *     nothing rewritten; reads apply vectors in the scan.
   *   - [[vacuum]]: refcount-aware — a data file is deleted only when
   *     NO retained manifest references it (and it is older than the
   *     staging TTL, so a concurrent writer's just-landed files are
@@ -62,8 +66,11 @@ object ManifestTable {
 
   private val ManifestsSub = "_manifests"
   private val SchemaSidecar = "_graft_schema.json"
+  private val DvSub = "_dv"
 
   private[graft] def manifestsRoot(root: String): String = s"$root/$ManifestsSub"
+
+  private[graft] def dvRoot(root: String): String = s"$root/$DvSub"
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -95,9 +102,19 @@ object ManifestTable {
   def versionAtTimestamp(spark: SparkSession, root: String, tsMs: Long): Long =
     VersionedTable.versionAtTimestamp(spark, manifestsRoot(root), tsMs)
 
-  /** The manifest of one version: (path, size, row_count, stats…). */
-  def manifest(spark: SparkSession, root: String, version: Long): DataFrame =
-    VersionedTable.readVersion(spark, manifestsRoot(root), version)
+  /** The manifest of one version: (path, size, row_count, stats…,
+    * dv_path, dv_rows) — normalized so manifests committed before the
+    * deletion-vector columns existed read with `dv_path = NULL,
+    * dv_rows = 0` (each manifest epoch stands alone schema-wise; the
+    * normalization is what lets every consumer handle DVs uniformly). */
+  def manifest(spark: SparkSession, root: String, version: Long): DataFrame = {
+    var m = VersionedTable.readVersion(spark, manifestsRoot(root), version)
+    if (!m.columns.contains("dv_path"))
+      m = m.withColumn("dv_path", lit(null).cast("string"))
+    if (!m.columns.contains("dv_rows"))
+      m = m.withColumn("dv_rows", lit(0L))
+    m
+  }
 
   /** Tracked stats columns, read off the manifest's own schema. */
   def statsCols(spark: SparkSession, root: String, version: Long): Seq[String] =
@@ -162,14 +179,15 @@ object ManifestTable {
                              stats: Seq[String]): StructType = {
     import org.apache.spark.sql.types._
     StructType(
-      StructField("path", StringType) ::
+      (StructField("path", StringType) ::
       StructField("size", LongType) ::
       StructField("row_count", LongType) ::
       stats.toList.flatMap { c =>
         val dt = dataSchema(c).dataType
         Seq(StructField(s"${c}_min", dt), StructField(s"${c}_max", dt),
           StructField(s"${c}_nulls", LongType))
-      })
+      }) :+ StructField("dv_path", StringType) :+
+        StructField("dv_rows", LongType))
   }
 
   private def landFiles(df: DataFrame, root: String,
@@ -210,8 +228,11 @@ object ManifestTable {
     // files stay on disk, unreferenced, until vacuum's TTL sweep
     val withCanon = collected.withColumn("path", canonPathCol(col("path")))
     // footer rows surface 0-row files (an empty replacement write);
-    // they never enter the manifest
+    // they never enter the manifest. Freshly landed files carry no
+    // deletion vector by construction.
     sizes.join(withCanon, Seq("path")).filter(col("row_count") > 0)
+      .withColumn("dv_path", lit(null).cast("string"))
+      .withColumn("dv_rows", lit(0L))
   }
 
   /** Conform an append batch to the table schema: order by the
@@ -524,6 +545,8 @@ object ManifestTable {
       val m = manifest(spark, root, base)
       val baseSchema = tableSchema(spark, root, base)
       val stats = statsCols(spark, root, base)
+      val dvByPath: Map[String, (Option[String], Long)] =
+        dvStates(m).map(s => s._1 -> ((s._2, s._3))).toMap
       // additive evolution: the next version's schema is base-order ++
       // the batch's new columns; touched files read through the NEW
       // schema (absent columns surface as NULL — parquet by-name).
@@ -541,11 +564,12 @@ object ManifestTable {
       val cols = schema.fieldNames.toSeq
       val keys = batch.select(keyCols.map(col): _*).distinct()
       val touched = touchedPaths(spark, root, m, keys, keyCols, baseSchema)
-      val touchedRows =
-        if (touched.isEmpty)
-          spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        else spark.read.schema(schema).parquet(touched: _*)
+      // touched files read WITH their deletion vectors applied — a
+      // rewrite that read raw would resurrect deleted rows; the
+      // rewritten files then carry no vector (the rewrite purges it)
+      val touchedRows = readFilesDv(spark, schema,
+        touched.map(p => (p, dvByPath(p)._1)),
+        touched.map(p => dvByPath(p)._2).sum)
       // the batch keeps its op/seq-style control columns — each op's
       // rewrite consumes them; the final projection normalizes order
       val replacement = rewrite(touchedRows, batch)
@@ -584,6 +608,202 @@ object ManifestTable {
       (manifest(spark, root, base), StructType(schema.fields ++ fields))
     }
   }
+
+  // ------------------------------------------------- deletion vectors
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Load one DV sidecar: a `java.util.BitSet.toByteArray` image —
+    * bit k set ⇔ row index k of the sidecar's data file is deleted.
+    * Size ∝ file row count / 8 (≤ ~12 MB for a 100M-row file), loaded
+    * where it is consumed (an executor task), never on the driver. */
+  private[graft] def readDvBits(conf: org.apache.hadoop.conf.Configuration,
+                                dvPath: String): java.util.BitSet = {
+    val p = new Path(dvPath)
+    val in = p.getFileSystem(conf).open(p)
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    finally in.close()
+    java.util.BitSet.valueOf(bytes)
+  }
+
+  /** Expand (data file → DV sidecar) pairs into deleted
+    * (`_dv_file`, `_dv_idx`) rows — on EXECUTORS: each task reads its
+    * sidecars and walks the set bits; the driver never loads a bitset. */
+  private def dvRowsDf(spark: SparkSession,
+                       pairs: Seq[(String, String)]): DataFrame = {
+    val conf = new graft.util.SerConf(
+      spark.sparkContext.hadoopConfiguration)
+    val spk = spark
+    import spk.implicits._
+    spark.createDataset(pairs)
+      .repartition(math.min(pairs.size, 32))
+      .flatMap { case (p, dvp) =>
+        val bits = readDvBits(conf.value, dvp)
+        new Iterator[(String, Long)] {
+          private var i = bits.nextSetBit(0)
+          override def hasNext: Boolean = i >= 0
+          override def next(): (String, Long) = {
+            val out = (p, i.toLong); i = bits.nextSetBit(i + 1); out
+          }
+        }
+      }.toDF("_dv_file", "_dv_idx")
+  }
+
+  /** Read a file subset WITH its deletion vectors applied — the
+    * DataFrame-level reader every INTERNAL consumer of file contents
+    * rides (rewrite cores, change-feed diffs, incremental optimize;
+    * user-facing reads apply DVs inside the DSv2 scan instead, see
+    * [[graft.sources.v2.GraftTable]]). Clean files read verbatim;
+    * DV-bearing files read with their file position (`_metadata
+    * .row_index`) and anti-join the expanded deleted rows — cost ∝
+    * subset + deleted rows in it. `totalDvRows` (from the manifest)
+    * picks the join strategy: small DV sets broadcast, large ones
+    * shuffle — never a blind broadcast of an unbounded side. */
+  private[graft] def readFilesDv(spark: SparkSession, schema: StructType,
+                                 files: Seq[(String, Option[String])],
+                                 totalDvRows: Long): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val clean = files.collect { case (p, None) => p }
+    val dvd = files.collect { case (p, Some(dv)) => (p, dv) }
+    val cols = schema.fieldNames.toIndexedSeq.map(col)
+    val cleanDf =
+      if (clean.isEmpty) None
+      else Some(spark.read.schema(schema).parquet(clean: _*))
+    val dvDf =
+      if (dvd.isEmpty) None
+      else {
+        val raw = spark.read.schema(schema).parquet(dvd.map(_._1): _*)
+          .withColumn("_dv_file", canonPathCol(col("_metadata.file_path")))
+          .withColumn("_dv_idx", col("_metadata.row_index"))
+        val dels0 = dvRowsDf(spark, dvd)
+        val dels =
+          if (totalDvRows <= (1L << 22)) broadcast(dels0)
+          else dels0.hint("shuffle_hash")
+        Some(raw.join(dels, Seq("_dv_file", "_dv_idx"), "left_anti")
+          .select(cols: _*))
+      }
+    (cleanDf.toSeq ++ dvDf.toSeq).reduce(_ unionByName _)
+  }
+
+  /** Per-file DV state of one manifest: path → (dv sidecar, dv rows,
+    * file rows) — one metadata-scale collect. */
+  private def dvStates(m: DataFrame)
+      : Seq[(String, Option[String], Long, Long)] =
+    m.select(col("path"), col("dv_path"), col("dv_rows"), col("row_count"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3))).toSeq.sortBy(_._1)
+
+  /** MERGE-ON-READ row-level DELETE — the point-delete grain a 100 TB
+    * table needs: instead of REWRITING every touched file (the
+    * [[deleteWhere]] copy-on-write grain, cost ∝ touched bytes), the
+    * commit writes one tiny DELETION-VECTOR sidecar per touched file —
+    * a bitset of deleted row positions, ≤ rowCount/8 bytes — and the
+    * next manifest points the surviving files at their vectors. Cost ∝
+    * touched-file SCAN + deleted-row BITS; the data files themselves
+    * carry forward BY REFERENCE (the Delta/Iceberg position-delete
+    * grain).
+    *
+    * Semantics are identical to [[deleteWhere]] (SQL DELETE: a NULL
+    * predicate keeps the row), proven by the shared oracle gate.
+    * Every read path applies the vectors: user-facing scans inside
+    * the DSv2 source, internal readers through [[readFilesDv]], the
+    * change feed by treating a DV change as remove+add of the file's
+    * state. Envelopes and blooms of a DV-bearing file become
+    * CONSERVATIVE (supersets of the live rows) — sound for pruning
+    * and touched-file search; metadata aggregates keep COUNT(*) exact
+    * (live = row_count − dv_rows) and route MIN/MAX to the scan.
+    * A repeated delete MERGES vectors (old ∪ new — idempotent); a
+    * file whose vector covers every row drops from the manifest
+    * entirely. [[optimizeIncremental]] purges vectors once a file is
+    * half dead; [[optimize]] purges all. Sidecars are attempt-unique
+    * and swept by [[vacuum]] once unreferenced. */
+  def deleteWhereMor(spark: SparkSession, root: String, cond: Column): Long =
+    commitLoop(spark, root) { base =>
+      val m = manifest(spark, root, base)
+      val schema = tableSchema(spark, root, base)
+      val stats = statsCols(spark, root, base)
+      val resolvedCond = resolveCond(spark, cond, schema)
+      val excluded = graft.plans.StatsPruneRule.excludedByEnvelopes(
+        spark, resolvedCond, m, stats)
+      val states = dvStates(m)
+      val touched = states.filterNot(s => excluded.contains(s._1))
+      if (touched.isEmpty) m
+      else {
+        // file positions of the rows the predicate matches — raw read
+        // (existing DVs included: re-matching an already-deleted row
+        // re-sets an already-set bit, which is what makes the merge
+        // idempotent)
+        val matched = spark.read.schema(schema).parquet(touched.map(_._1): _*)
+          .filter(coalesce(cond, lit(false)))
+          .select(canonPathCol(col("_metadata.file_path")).as("_p"),
+            col("_metadata.row_index").as("_i"))
+        val dvDir = s"${dvRoot(root)}/${java.util.UUID.randomUUID().toString}"
+        val oldDv: Map[String, String] =
+          touched.collect { case (p, Some(dv), _, _) => p -> dv }.toMap
+        val conf = new graft.util.SerConf(
+          spark.sparkContext.hadoopConfiguration)
+        val spk = spark
+        import spk.implicits._
+        // one writer task per hash bucket of files: build each file's
+        // bitset, OR in its previous vector, write an ATTEMPT-UNIQUE
+        // sidecar (a killed speculative twin can never tear the file
+        // the winning attempt's returned row names), report
+        // (file, sidecar, live-bit count) — metadata-scale collect
+        val newEntries: Seq[(String, String, Long)] =
+          matched.repartition(col("_p")).as[(String, Long)]
+            .mapPartitions { it =>
+              val byFile = new scala.collection.mutable.HashMap[
+                String, java.util.BitSet]()
+              it.foreach { case (p, i) =>
+                byFile.getOrElseUpdate(p, new java.util.BitSet())
+                  .set(i.toInt)
+              }
+              val attempt = Option(org.apache.spark.TaskContext.get())
+                .map(_.taskAttemptId()).getOrElse(0L)
+              byFile.iterator.map { case (p, bits) =>
+                oldDv.get(p).foreach(old =>
+                  bits.or(readDvBits(conf.value, old)))
+                val out = s"$dvDir/${md5hex(p)}-$attempt.dv"
+                val outPath = new Path(out)
+                val os = outPath.getFileSystem(conf.value)
+                  .create(outPath, true)
+                try os.write(bits.toByteArray) finally os.close()
+                (p, out, bits.cardinality().toLong)
+              }
+            }.collect().toSeq
+        if (newEntries.isEmpty) m
+        else {
+          val rowsByPath = states.map(s => s._1 -> s._4).toMap
+          val dead = newEntries.collect {
+            case (p, _, n) if n >= rowsByPath(p) => p }
+          val upd = newEntries.filterNot(e => dead.contains(e._1))
+            .toDF("path", "_new_dv", "_new_rows")
+          m.filter(!col("path").isin(dead: _*))
+            .join(broadcast(upd), Seq("path"), "left")
+            .withColumn("dv_path", coalesce(col("_new_dv"), col("dv_path")))
+            .withColumn("dv_rows",
+              coalesce(col("_new_rows"), col("dv_rows")))
+            .drop("_new_dv", "_new_rows")
+        }
+      }
+    }
+
+  /** Resolve a user predicate against the table schema (plan-only) so
+    * the envelope-proof engine sees typed attributes. */
+  private def resolveCond(spark: SparkSession, cond: Column,
+                          schema: StructType)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .filter(cond).queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
+      case other => sys.error(s"unexpected analyzed shape: $other")
+    }
 
   /** RESTORE to a retained version — `RESTORE TABLE t TO VERSION AS OF
     * v` as a METADATA-ONLY commit: the next version's manifest is the
@@ -704,23 +924,16 @@ object ManifestTable {
       val m = manifest(spark, root, base)
       val schema = tableSchema(spark, root, base)
       val stats = statsCols(spark, root, base)
-      val all = filesAt(spark, root, base)
-      // resolve the user Column against the table schema (plan-only,
-      // nothing executes) so the proof engine sees typed attributes
-      val resolvedCond = spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        .filter(cond).queryExecution.analyzed match {
-        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
-        case other => sys.error(s"unexpected analyzed shape: $other")
-      }
+      val resolvedCond = resolveCond(spark, cond, schema)
       val excluded = graft.plans.StatsPruneRule.excludedByEnvelopes(
         spark, resolvedCond, m, stats)
-      val touched = all.filterNot(excluded.contains)
-      val touchedRows =
-        if (touched.isEmpty)
-          spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        else spark.read.schema(schema).parquet(touched: _*)
+      val states = dvStates(m)
+      val touchedStates = states.filterNot(s => excluded.contains(s._1))
+      val touched = touchedStates.map(_._1)
+      // touched reads apply the files' deletion vectors (a raw read
+      // would resurrect deleted rows into the rewrite)
+      val touchedRows = readFilesDv(spark, schema,
+        touchedStates.map(s => (s._1, s._2)), touchedStates.map(_._3).sum)
       val newRows = landFiles(
         transform(touchedRows, coalesce(cond, lit(false))), root, stats)
       val next = m.filter(!col("path").isin(touched: _*)).unionByName(newRows)
@@ -735,9 +948,25 @@ object ManifestTable {
   private[graft] def changedFileSets(spark: SparkSession, root: String,
                                      fromVersion: Long, toVersion: Long)
       : (Seq[String], Seq[String]) = {
-    val a = filesAt(spark, root, fromVersion).toSet
-    val b = filesAt(spark, root, toVersion).toSet
-    ((a -- b).toSeq.sorted, (b -- a).toSeq.sorted)
+    val (r, a) = changedFileStates(spark, root, fromVersion, toVersion)
+    (r.map(_._1), a.map(_._1))
+  }
+
+  /** [[changedFileSets]] at the DV grain: a file's IDENTITY for the
+    * delta is (path, deletion-vector), because a file carried by path
+    * with a CHANGED vector has different effective rows on the two
+    * sides — it must enter both scan subsets (from-side read with the
+    * old vector, to-side with the new) so the key diff surfaces the
+    * newly deleted rows as D. Entries carry (path, dv, dv_rows). */
+  private[graft] def changedFileStates(spark: SparkSession, root: String,
+                                       fromVersion: Long, toVersion: Long)
+      : (Seq[(String, Option[String], Long)],
+         Seq[(String, Option[String], Long)]) = {
+    def states(v: Long): Set[(String, Option[String], Long)] =
+      dvStates(manifest(spark, root, v)).map(s => (s._1, s._2, s._3)).toSet
+    val a = states(fromVersion)
+    val b = states(toVersion)
+    ((a -- b).toSeq.sortBy(_._1), (b -- a).toSeq.sortBy(_._1))
   }
 
   /** Change feed between two versions — [[VersionedTable
@@ -763,14 +992,12 @@ object ManifestTable {
                      fromVersion: Long, toVersion: Long,
                      keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "changesBetween requires key columns")
-    val (removed, added) = changedFileSets(spark, root, fromVersion, toVersion)
-    def subset(paths: Seq[String], version: Long): DataFrame = {
-      val schema = tableSchema(spark, root, version)
-      if (paths.isEmpty)
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema).parquet(paths: _*)
-    }
+    val (removed, added) =
+      changedFileStates(spark, root, fromVersion, toVersion)
+    def subset(states: Seq[(String, Option[String], Long)],
+               version: Long): DataFrame =
+      readFilesDv(spark, tableSchema(spark, root, version),
+        states.map(s => (s._1, s._2)), states.map(_._3).sum)
     VersionedTable.diffKeyed(
       subset(removed, fromVersion), subset(added, toVersion),
       keyCols, fromVersion, toVersion)
@@ -890,10 +1117,18 @@ object ManifestTable {
           lit(1e-12)))
       }.reduce(_ + _) / widthCols.size
     val rows = m.select(col("path"), col("size"),
-        widthExpr.as("logw"))
+        widthExpr.as("logw"), col("dv_rows"), col("row_count"))
       .collect().map(r => (r.getString(0), r.getLong(1),
-        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getLong(3), r.getLong(4)))
     val small = rows.filter(_._2 < smallFileBytes).map(_._1).toSet
+    // DV-HEAVY files (vector covers ≥ half the rows): the read-side
+    // tax (position skip + sidecar) now outweighs the rewrite it
+    // deferred — rewriting purges the vector and restores exact
+    // envelopes. Light vectors stay: that deferral IS the
+    // merge-on-read win. Metadata-only selection, like the rest.
+    val dvHeavy = rows.filter(r => r._4 > 0L && r._4 * 2 >= r._5)
+      .map(_._1).toSet
     val wide: Set[String] =
       if (widthCols.isEmpty) Set.empty
       else {
@@ -908,7 +1143,7 @@ object ManifestTable {
         }
       }
     val selected =
-      (if (small.size >= 2) small else Set.empty[String]) ++ wide
+      (if (small.size >= 2) small else Set.empty[String]) ++ wide ++ dvHeavy
     if (selected.isEmpty) return None
     val selectedSeq = selected.toSeq.sorted
     val bytes = rows.filter(r => selected.contains(r._1)).map(_._2).sum
@@ -942,7 +1177,9 @@ object ManifestTable {
     val nFiles = math.min(4096L, math.max(byBytes, byWidth)).toInt
     // a small-only pass that cannot CONSOLIDATE (outputs ≥ inputs)
     // would churn versions forever — that is a no-op, not an optimize
-    if (wide.isEmpty && nFiles >= selected.size) return None
+    // (a DV purge, like a wide re-lay, is progress regardless of count)
+    if (wide.isEmpty && dvHeavy.isEmpty && nFiles >= selected.size)
+      return None
     Some(commitLoop(spark, root) { b =>
       // recompute against the CURRENT base on conflict: a selected
       // file may have been rewritten away — re-intersect with b's
@@ -955,13 +1192,14 @@ object ManifestTable {
       val curSchema = tableSchema(spark, root, b)
       val curStats = statsCols(spark, root, b)
       val mb = manifest(spark, root, b)
-      val live = filesAt(spark, root, b).toSet
+      val liveStates = dvStates(mb)
+      val live = liveStates.map(_._1).toSet
+      val dvAt = liveStates.map(s => s._1 -> ((s._2, s._3))).toMap
       val todo = selectedSeq.filter(live.contains)
-      val rowsIn =
-        if (todo.isEmpty)
-          spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), curSchema)
-        else spark.read.schema(curSchema).parquet(todo: _*)
+      // re-lay reads apply the selected files' deletion vectors — the
+      // rewrite is also the purge (output files carry no vector)
+      val rowsIn = readFilesDv(spark, curSchema,
+        todo.map(p => (p, dvAt(p)._1)), todo.map(p => dvAt(p)._2).sum)
       val laid =
         if (hilbert) // the degraded subset re-lays on the shared curve
           ParquetSink.clusterByCurve(rowsIn, sortCols, nFiles)
@@ -1045,8 +1283,12 @@ object ManifestTable {
     val agg: Map[Long, (Long, Long, Long)] =
       if (vs.isEmpty) Map.empty
       else vs.map { v =>
+        // LIVE rows: a deletion vector's rows are gone from the
+        // reader's view, so they are gone from the version's count
         manifest(spark, root, v)
-          .select(lit(v).as("version"), col("row_count"), col("size"))
+          .select(lit(v).as("version"),
+            (col("row_count") - col("dv_rows")).as("row_count"),
+            col("size"))
       }.reduce(_ unionByName _)
         .groupBy(col("version"))
         .agg(count(lit(1)).as("n_files"),
@@ -1074,18 +1316,29 @@ object ManifestTable {
     VersionedTable.vacuum(spark, manifestsRoot(root), keep, ttlMs)
     val referenced = versions(spark, root)
       .flatMap(v => filesAt(spark, root, v)).toSet
+    // deletion-vector sidecars refcount exactly like data files: live
+    // while ANY retained manifest's dv_path names them (abandoned
+    // writer attempts and purged vectors age out by the same TTL)
+    val dvReferenced = versions(spark, root)
+      .flatMap(v => manifest(spark, root, v)
+        .select(col("dv_path")).filter(col("dv_path").isNotNull)
+        .collect().map(r => canon(r.getString(0)))).toSet
     val f = fs(spark, root)
-    val dataRoot = new Path(s"$root/data")
-    if (!f.exists(dataRoot)) return
     val now = System.currentTimeMillis()
-    f.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
-      val files = f.listStatus(d.getPath).filter(_.isFile)
-      files.foreach { s =>
-        val p = canon(s.getPath.toString)
-        if (!referenced.contains(p) && now - s.getModificationTime >= ttlMs)
-          f.delete(s.getPath, false): Unit
+    def sweep(sub: String, live: Set[String]): Unit = {
+      val base = new Path(s"$root/$sub")
+      if (!f.exists(base)) return
+      f.listStatus(base).filter(_.isDirectory).foreach { d =>
+        val files = f.listStatus(d.getPath).filter(_.isFile)
+        files.foreach { s =>
+          val p = canon(s.getPath.toString)
+          if (!live.contains(p) && now - s.getModificationTime >= ttlMs)
+            f.delete(s.getPath, false): Unit
+        }
+        if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, true): Unit
       }
-      if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, true): Unit
     }
+    sweep("data", referenced)
+    sweep(DvSub, dvReferenced)
   }
 }

@@ -204,24 +204,28 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
   private val dataSchema: StructType =
     StructType(feedSchema.fields.dropRight(2))
 
-  /** Path-sorted (path, size) of one version's data files — the
-    * bootstrap's deterministic file order, from committed metadata
-    * (manifest rows) or one listing (epoch dir). Versions are
-    * immutable, so the memo is sound across the stream's lifetime. */
-  private val bootFilesMemo =
-    scala.collection.concurrent.TrieMap.empty[Long, IndexedSeq[(String, Long)]]
+  /** Path-sorted (path, size, dv sidecar, dv rows) of one version's
+    * data files — the bootstrap's deterministic file order, from
+    * committed metadata (manifest rows) or one listing (epoch dir).
+    * Versions are immutable, so the memo is sound across the stream's
+    * lifetime. */
+  private val bootFilesMemo = scala.collection.concurrent.TrieMap
+    .empty[Long, IndexedSeq[(String, Long, Option[String], Long)]]
 
-  private def bootstrapFiles(v: Long): IndexedSeq[(String, Long)] =
+  private def bootstrapFiles(v: Long)
+      : IndexedSeq[(String, Long, Option[String], Long)] =
     bootFilesMemo.getOrElseUpdate(v, {
       val rows =
         if (isManifest)
           graft.sinks.ManifestTable.manifest(spark, root, v)
-            .select("path", "size").collect()
-            .map(r => (r.getString(0), r.getLong(1)))
+            .select("path", "size", "dv_path", "dv_rows").collect()
+            .map(r => (r.getString(0), r.getLong(1),
+              Option(r.getString(2)), r.getLong(3)))
         else
           graft.sources.FileManifest.listFiles(spark, s"$root/epoch=$v")
             .select("path", "size").collect()
-            .map(r => (r.getString(0), r.getLong(1)))
+            .map(r => (r.getString(0), r.getLong(1),
+              None: Option[String], 0L))
       rows.sortBy(_._1).toIndexedSeq
     })
 
@@ -314,19 +318,52 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
                                  toIdx: Long): Array[InputPartition] = {
     val slice = bootstrapFiles(v).slice(fromIdx.toInt, toIdx.toInt)
     if (slice.isEmpty) return Array.empty
-    val index =
-      if (isManifest) {
-        val ts = graft.sinks.VersionedTable.commitTimestamp(spark,
-          graft.sinks.ManifestTable.manifestsRoot(root), v).getOrElse(0L)
-        new GraftManifestFileIndex(spark, root, slice, ts, dataSchema, None)
-      } else
-        new InMemoryFileIndex(spark, slice.map(f => new Path(f._1)),
+    // a DV-bearing file cannot serve its raw parquet as 'I' rows (the
+    // vector's rows would resurrect) — its SURVIVORS materialize once
+    // under the checkpoint scratch and serve from there; clean files
+    // (the overwhelming majority) stay zero-copy. Cost ∝ the DV'd
+    // subset of the slice, swept at offset commit like a diff batch.
+    val (dvd, clean) = slice.partition(_._3.isDefined)
+    val cleanParts: Array[InputPartition] =
+      if (clean.isEmpty) Array.empty
+      else {
+        val pairs = clean.map(f => (f._1, f._2))
+        val index =
+          if (isManifest) {
+            val ts = graft.sinks.VersionedTable.commitTimestamp(spark,
+              graft.sinks.ManifestTable.manifestsRoot(root), v).getOrElse(0L)
+            new GraftManifestFileIndex(spark, root, pairs, ts,
+              dataSchema, None)
+          } else
+            new InMemoryFileIndex(spark, pairs.map(f => new Path(f._1)),
+              Map.empty, Some(dataSchema))
+        val batch = ParquetScanBuilder(spark, index, dataSchema, dataSchema,
+          CaseInsensitiveStringMap.empty()).build().toBatch
+        val factory = batch.createReaderFactory()
+        batch.planInputPartitions().map(p =>
+          GraftBootstrapPartition(p, factory, v): InputPartition)
+      }
+    val dvParts: Array[InputPartition] =
+      if (dvd.isEmpty) Array.empty
+      else {
+        val dir = s"$checkpointLocation/graft-feed/boot-$v-$fromIdx-$toIdx"
+        val dirPath = new Path(dir)
+        val f = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(new Path(dirPath, "_SUCCESS"))) {
+          if (f.exists(dirPath)) f.delete(dirPath, true): Unit
+          graft.sinks.ManifestTable.readFilesDv(spark, dataSchema,
+            dvd.map(x => (x._1, x._3)), dvd.map(_._4).sum)
+            .write.parquet(dir)
+        }
+        val index = new InMemoryFileIndex(spark, Seq(dirPath),
           Map.empty, Some(dataSchema))
-    val batch = ParquetScanBuilder(spark, index, dataSchema, dataSchema,
-      CaseInsensitiveStringMap.empty()).build().toBatch
-    val factory = batch.createReaderFactory()
-    batch.planInputPartitions().map(p =>
-      GraftBootstrapPartition(p, factory, v): InputPartition)
+        val batch = ParquetScanBuilder(spark, index, dataSchema, dataSchema,
+          CaseInsensitiveStringMap.empty()).build().toBatch
+        val factory = batch.createReaderFactory()
+        batch.planInputPartitions().map(p =>
+          GraftBootstrapPartition(p, factory, v): InputPartition)
+      }
+    cleanParts ++ dvParts
   }
 
   private def planDiff(from: Long, to: Long): Array[InputPartition] = {
@@ -361,15 +398,23 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
     * checkpoint scratch would grow one directory per micro-batch
     * forever. */
   override def commit(end: Offset): Unit = {
-    val committed = GraftVersionOffset.parse(end.json()).version
+    val endOff = GraftVersionOffset.parse(end.json())
+    val committed = endOff.version
     val feedDir = new Path(s"$checkpointLocation/graft-feed")
     try {
       val fs = feedDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(feedDir)) {
         val Name = """batch-(-?\d+)-(-?\d+)""".r
+        val Boot = """boot-(-?\d+)-(\d+)-(\d+)""".r
         fs.listStatus(feedDir).filter(_.isDirectory).foreach { d =>
           d.getPath.getName match {
             case Name(_, to) if to.toLong <= committed =>
+              fs.delete(d.getPath, true): Unit
+            // a bootstrap slice's scratch is dead once the boot cursor
+            // passed its end (or the whole bootstrap/version did)
+            case Boot(v, _, to) if v.toLong < committed ||
+                (v.toLong == committed &&
+                  endOff.boot.forall(_ >= to.toLong)) =>
               fs.delete(d.getPath, true): Unit
             case _ => ()
           }

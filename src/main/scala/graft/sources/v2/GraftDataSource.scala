@@ -354,8 +354,9 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
         // shape) — at 100k files an InMemoryFileIndex would stat each
         val m = graft.sinks.ManifestTable.manifest(spark, root, version)
         val cols = graft.sinks.ManifestTable.statsCols(spark, root, version)
-        val files = m.select("path", "size").collect()
-          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        val all = m.select("path", "size", "dv_path").collect()
+          .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
+          .toSeq
         val ts = graft.sinks.VersionedTable.commitTimestamp(spark,
           graft.sinks.ManifestTable.manifestsRoot(root), version)
           .getOrElse(0L)
@@ -364,7 +365,26 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
         val bloomEntries = graft.sinks.ManifestTable.blooms(spark, root)
           .map { case (c, br) =>
             GraftTables.Entry(root, None, Nil, Some(br), Some(c)) }
-        new GraftManifestFileIndex(spark, root, files, ts, dataSchema,
+        val dvd = all.collect { case (p, size, Some(dv)) => (p, size, dv) }
+        if (dvd.nonEmpty) {
+          // deletion vectors present: composite scan — clean files on
+          // the ordinary pruned/delegated path, DV-bearing files as
+          // position-skipping whole-file reads ([[GraftDvScanBuilder]])
+          val clean = all.collect { case (p, size, None) => (p, size) }
+          val cleanIndex = new GraftManifestFileIndex(spark, root, clean,
+            ts, dataSchema,
+            if (cols.isEmpty) None else Some((m, cols)), bloomEntries)
+          val dvIndex = new GraftManifestFileIndex(spark, root,
+            dvd.map(f => (f._1, f._2)), ts, dataSchema, None)
+          return new GraftDvScanBuilder(spark,
+            ParquetScanBuilder(spark, cleanIndex, dataSchema, dataSchema,
+              options),
+            ParquetScanBuilder(spark, dvIndex, dataSchema, dataSchema,
+              options),
+            dvd, ts)
+        }
+        new GraftManifestFileIndex(spark, root,
+          all.map(f => (f._1, f._2)), ts, dataSchema,
           if (cols.isEmpty) None else Some((m, cols)), bloomEntries)
       } else
         new GraftStatsFileIndex(spark,

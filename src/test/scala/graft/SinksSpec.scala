@@ -1615,6 +1615,125 @@ class SinksSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("merge-on-read delete: bitset sidecars instead of rewrites; every read path applies them; full-dead files drop") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dv").toString + "/t"
+    // two range-clustered files: ks 0-49 and 50-99
+    ManifestTable.create(
+      spark.range(100).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(2, col("k")).sortWithinPartitions(col("k")),
+      root, Seq("k"))
+    val files0 = ManifestTable.filesAt(spark, root, 0L)
+    val bytes0 = ManifestTable.manifest(spark, root, 0L)
+      .agg(sum(col("size"))).head().getLong(0)
+    val v1 = ManifestTable.deleteWhereMor(spark, root,
+      col("k") === 7L || col("k") === 8L)
+    assert(v1 == 1L)
+    // the point delete rewrote NOTHING: same data files by name; only
+    // the envelope-touched file carries a vector, of exactly 2 rows
+    assert(ManifestTable.filesAt(spark, root, 1L) == files0)
+    val m1 = ManifestTable.manifest(spark, root, 1L)
+      .select("path", "dv_path", "dv_rows").collect()
+    assert(m1.count(r => !r.isNullAt(1)) == 1,
+      "only the envelope-touched file may carry a vector")
+    assert(m1.filter(r => !r.isNullAt(1)).map(_.getLong(2)).toSeq == Seq(2L))
+    // the sidecar is BITS, not data: orders of magnitude below the table
+    val dvFile = new java.io.File(
+      m1.find(r => !r.isNullAt(1)).get.getString(1))
+    assert(dvFile.isFile && dvFile.length() < bytes0 / 20,
+      s"sidecar ${dvFile.length()} B should be tiny vs $bytes0 B of data")
+    // every read path: direct API, SQL with a pushed filter (the DV
+    // branch reads unpushed and re-filters above), time travel
+    val lived = ManifestTable.read(spark, root).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(lived.size == 98 && !lived(7L) && !lived(8L))
+    val filtered = spark.read.format("graft").load(root)
+      .filter(col("k") < 10L).select("k").collect().map(_.getLong(0)).toSet
+    assert(filtered == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 9L))
+    assert(ManifestTable.readVersion(spark, root, 0L).count() == 100L,
+      "the pre-delete snapshot reads without the vector")
+    // metadata aggregates: COUNT(*) stays EXACT from live counts and
+    // still collapses to a LocalTableScan; MIN/MAX must NOT trust a
+    // DV-bearing file's envelope — it scans, and scans correctly
+    val cnt = spark.read.format("graft").load(root).agg(count(lit(1)))
+    assert(cnt.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "live COUNT(*) must still answer from the manifest")
+    assert(cnt.head().getLong(0) == 98L)
+    assert(spark.read.format("graft").load(root).agg(min(col("k")))
+      .head().getLong(0) == 0L)
+    // a second delete MERGES vectors (idempotent bits) and a file
+    // whose vector covers every row DROPS from the manifest
+    ManifestTable.deleteWhereMor(spark, root, col("k") < 50L)
+    val m2 = ManifestTable.manifest(spark, root, 2L)
+      .select("path", "dv_rows").collect()
+    assert(m2.length == 1 && m2.head.getLong(1) == 0L,
+      s"the fully-deleted file must drop entirely, got ${m2.toSeq}")
+    assert(ManifestTable.read(spark, root).select("k")
+      .collect().map(_.getLong(0)).toSet == (50L until 100L).toSet)
+    // history reports LIVE rows per version
+    assert(ManifestTable.history(spark, root).orderBy("version")
+      .collect().map(_.getLong(3)).toSeq == Seq(100L, 98L, 50L))
+  }
+
+  test("deletion vectors compose: rewrites purge them, change feeds emit their Ds at changed-file cost, maintenance re-lays half-dead files, vacuum sweeps sidecars") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dv2").toString + "/t"
+    ManifestTable.create(
+      spark.range(100).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(2, col("k")).sortWithinPartitions(col("k")),
+      root, Seq("k"))                                              // v0
+    ManifestTable.deleteWhereMor(spark, root, col("k") === 10L)    // v1
+    // the DV commit's change feed: file-set delta = the ONE file whose
+    // vector changed; the diff emits exactly the deleted key as D
+    val (rm, ad) = ManifestTable.changedFileStates(spark, root, 0L, 1L)
+    assert(rm.map(_._1) == ad.map(_._1) && rm.size == 1,
+      "a DV commit's delta is the vectored file's state change")
+    val feed = ManifestTable.changesBetween(spark, root, 0L, 1L, Seq("k"))
+      .select("k", "op").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(feed.toSeq == Seq((10L, "D")), s"got ${feed.toSeq}")
+    // a MERGE touching the vectored file must apply the vector when
+    // rewriting (no resurrection) and PURGE it from the new file
+    ManifestTable.merge(Seq((11L, 99L)).toDF("k", "v"), root, Seq("k")) // v2
+    val afterMerge = ManifestTable.read(spark, root)
+    assert(afterMerge.filter(col("k") === 10L).isEmpty,
+      "a rewrite must not resurrect DV-deleted rows")
+    assert(afterMerge.filter(col("k") === 11L).head().getLong(1) == 99L)
+    assert(ManifestTable.manifest(spark, root, 2L)
+      .filter(col("dv_path").isNotNull).count() == 0L,
+      "the rewrite purges the vector")
+    // HALF-DEAD files are maintenance-selected from metadata alone:
+    // kill 30 of the 50 rows in the 50-99 file, then optimizeIncremental
+    ManifestTable.deleteWhereMor(spark, root,
+      col("k") >= 50L && col("k") < 80L)                           // v3
+    val dvFiles3 = ManifestTable.manifest(spark, root, 3L)
+      .filter(col("dv_path").isNotNull).select("path")
+      .collect().map(_.getString(0)).toSeq
+    assert(dvFiles3.size == 1)
+    val opt = ManifestTable.optimizeIncremental(spark, root,
+      sortCols = Seq("k"), smallFileBytes = 0L)
+    assert(opt.nonEmpty, "a half-dead file must be selected for re-lay")
+    val m4 = ManifestTable.manifest(spark, root, opt.get)
+    assert(m4.filter(col("dv_path").isNotNull).count() == 0L,
+      "the re-lay purges the vector")
+    assert(!ManifestTable.filesAt(spark, root, opt.get)
+      .contains(dvFiles3.head), "the half-dead file itself is gone")
+    assert(ManifestTable.read(spark, root).select("k")
+      .collect().map(_.getLong(0)).toSet ==
+      ((0L until 50L).toSet - 10L ++ (80L until 100L).toSet))
+    // vacuum: sidecars referenced by retained manifests survive; once
+    // history drops them, they sweep like data files
+    val dvDir = new java.io.File(s"$root/_dv")
+    assert(dvDir.isDirectory &&
+      dvDir.listFiles().flatMap(_.listFiles()).nonEmpty)
+    ManifestTable.vacuum(spark, root, keep = 1, ttlMs = 0L)
+    assert(!dvDir.exists() ||
+      dvDir.listFiles().flatMap(_.listFiles()).isEmpty,
+      "unreferenced sidecars must sweep with their versions")
+    assert(ManifestTable.read(spark, root).count() == 69L)
+  }
+
   test("manifest restore: a retained version re-commits by reference — zero data I/O, history intact") {
     import sinks.ManifestTable
     val root = java.nio.file.Files

@@ -972,4 +972,49 @@ class StreamingSpec extends AnyFunSuite {
           "snapshot's own files, not a materialized copy")
     }
   }
+
+  test("change-feed bootstrap of a DV-bearing snapshot: clean files zero-copy, vectored files' survivors only, then DV catch-up Ds") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-boot-dv").toString
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    sinks.ManifestTable.create(
+      spark.range(100).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      src, Seq("k"))
+    // v1: a merge-on-read delete — exactly one of the four files gains
+    // a vector; the other three must still bootstrap zero-copy
+    sinks.ManifestTable.deleteWhereMor(spark, src, col("k") === 3L)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").option("keyCols", "k")
+        .load(src)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= df.select("k", "op", "seq").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2))): Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(got.forall(x => x._2 == "I" && x._3 == 1L))
+    assert(got.map(_._1).toSet == (0L until 100L).toSet - 3L,
+      "the bootstrap must serve the vectored file's SURVIVORS only")
+    // catch-up across another DV commit: Ds arrive for the new deletes
+    got.clear()
+    sinks.ManifestTable.deleteWhereMor(spark, src,
+      col("k") === 11L || col("k") === 12L)
+    drain()
+    assert(got.toSet == Set((11L, "D", 2L), (12L, "D", 2L)),
+      s"DV catch-up must emit exactly the new Ds, got ${got.toSet}")
+    // the bootstrap's DV-slice scratch swept once its offset committed
+    // (commit fires on the restart's cycle — the established scratch
+    // contract: at most the newest not-yet-committed batch remains)
+    val leftover = Option(new java.io.File(s"$ckpt/sources/0/graft-feed")
+      .listFiles()).map(_.map(_.getName).toSeq).getOrElse(Nil)
+    assert(!leftover.exists(_.startsWith("boot-")),
+      s"bootstrap scratch must sweep at commit, found $leftover")
+  }
 }
