@@ -55,14 +55,18 @@ import org.apache.spark.sql.graft.GraftSqlShims
   * ([[graft.sources.v2.GraftTable.rowLevelRoot]]). */
 case class GraftRowLevelSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def graftRoot(plan: LogicalPlan): Option[String] =
+  private def graftTable(plan: LogicalPlan)
+      : Option[graft.sources.v2.GraftTable] =
     EliminateSubqueryAliases(plan) match {
       case r: DataSourceV2Relation => r.table match {
-        case t: graft.sources.v2.GraftTable => t.rowLevelRoot
+        case t: graft.sources.v2.GraftTable => Some(t)
         case _ => None
       }
       case _ => None
     }
+
+  private def graftRoot(plan: LogicalPlan): Option[String] =
+    graftTable(plan).flatMap(_.rowLevelRoot)
 
   /** Rebase resolved attribute references to plain names and wrap as
     * an (opaque) Column so the command can re-resolve them against
@@ -103,14 +107,18 @@ case class GraftRowLevelSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case d @ DeleteFromTable(target, cond)
         if d.resolved && graftRoot(target).isDefined =>
-      GraftDeleteCommand(graftRoot(target).get, byName(cond))
+      // the table's declared deleteMode picks the grain: merge-on-read
+      // commits deletion-vector bits, copy-on-write rewrites files
+      GraftDeleteCommand(graftRoot(target).get, byName(cond),
+        mor = graftTable(target).exists(_.morDelete))
 
     case u @ UpdateTable(target, assignments, cond)
         if u.resolved && graftRoot(target).isDefined =>
       GraftUpdateCommand(graftRoot(target).get,
         assignMap(assignments, "UPDATE")
           .map { case (n, v) => n -> byName(v) },
-        cond.map(byName))
+        cond.map(byName),
+        mor = graftTable(target).exists(_.morUpdate))
 
     case m @ MergeIntoTable(target, source, mergeCond,
         matched, notMatched, notMatchedBySource, _)
@@ -165,27 +173,33 @@ case class GraftRowLevelSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-/** Eager DELETE: [[graft.sinks.ManifestTable.deleteWhere]] under the
-  * command's own CAS commit loop. */
+/** Eager DELETE: [[graft.sinks.ManifestTable.deleteWhere]] (or its
+  * deletion-vector twin when the table declares `deleteMode =
+  * 'merge-on-read'`) under the command's own CAS commit loop. */
 final case class GraftDeleteCommand(root: String,
-                                    cond: org.apache.spark.sql.Column)
+                                    cond: org.apache.spark.sql.Column,
+                                    mor: Boolean = false)
   extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    graft.sinks.ManifestTable.deleteWhere(session, root, cond)
+    if (mor) graft.sinks.ManifestTable.deleteWhereMor(session, root, cond)
+    else graft.sinks.ManifestTable.deleteWhere(session, root, cond)
     Nil
   }
 }
 
-/** Eager UPDATE: [[graft.sinks.ManifestTable.updateWhere]]. A missing
-  * WHERE updates every row (SQL semantics). */
+/** Eager UPDATE: [[graft.sinks.ManifestTable.updateWhere]] (or the
+  * deletion-vector twin under `updateMode = 'merge-on-read'`). A
+  * missing WHERE updates every row (SQL semantics). */
 final case class GraftUpdateCommand(
     root: String,
     sets: Seq[(String, org.apache.spark.sql.Column)],
-    cond: Option[org.apache.spark.sql.Column])
+    cond: Option[org.apache.spark.sql.Column],
+    mor: Boolean = false)
   extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    graft.sinks.ManifestTable.updateWhere(session, root,
-      cond.getOrElse(org.apache.spark.sql.functions.lit(true)), sets)
+    val c = cond.getOrElse(org.apache.spark.sql.functions.lit(true))
+    if (mor) graft.sinks.ManifestTable.updateWhereMor(session, root, c, sets)
+    else graft.sinks.ManifestTable.updateWhere(session, root, c, sets)
     Nil
   }
 }

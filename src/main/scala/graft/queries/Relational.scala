@@ -1117,6 +1117,28 @@ object Relational extends QueryModule {
     graft.sinks.ManifestTable.read(spark, root).orderBy(col("doc_id"))
   }
 
+  /** MERGE-ON-READ UPDATE end-to-end on disk, stacked ON TOP of a
+    * merge-on-read delete: the delete vectors rows, the update then
+    * vectors its matched LIVE rows' old positions and appends their
+    * updated copies — the deleted rows must neither update nor
+    * resurrect. SQL UPDATE semantics, proven against the plain
+    * CASE-expression oracle. */
+  def qUpdateDv(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_update_dv") + "/t"
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.sinks.ManifestTable.create(
+      d.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    graft.sinks.ManifestTable.deleteWhereMor(spark, root,
+      col("doc_id") % 9 === 4)
+    graft.sinks.ManifestTable.updateWhereMor(spark, root,
+      col("doc_id") % 3 === 1,
+      Seq("n_chars" -> (col("n_chars") + lit(50000L))))
+    graft.sinks.ManifestTable.read(spark, root).orderBy(col("doc_id"))
+  }
+
   /** Probe string for the Jaro-Winkler ranking gate: a plausible but
     * absent part name, so scores spread over the whole range. */
   val JwProbe = "standard anodized tin"
@@ -1164,6 +1186,7 @@ object Relational extends QueryModule {
     "q_replace_where"     -> qReplaceWhere _,
     "q_restore"           -> qRestore _,
     "q_delete_dv"         -> qDeleteDv _,
+    "q_update_dv"         -> qUpdateDv _,
     "q_jaro_rank"         -> qJaroRank _,
     "q_skew_report"       -> qSkewReport _,
     "q1_agg"              -> q1Agg _,
@@ -1314,6 +1337,14 @@ object Relational extends QueryModule {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE NOT (doc_id % 10 = 3)
         |  AND NOT (doc_id >= 100 AND doc_id < 120)
+        |ORDER BY doc_id""".stripMargin,
+    // MoR delete then MoR update: deleted rows are gone (never updated
+    // back to life), matched survivors carry the assignment
+    "q_update_dv" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 3 = 1 THEN n_chars + 50000
+        |       ELSE n_chars END AS n_chars
+        |FROM documents WHERE NOT (doc_id % 9 = 4)
         |ORDER BY doc_id""".stripMargin,
     // restore(v0) after an append and a delete reads exactly v0
     "q_restore" ->

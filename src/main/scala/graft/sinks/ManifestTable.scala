@@ -742,56 +742,143 @@ object ManifestTable {
           .filter(coalesce(cond, lit(false)))
           .select(canonPathCol(col("_metadata.file_path")).as("_p"),
             col("_metadata.row_index").as("_i"))
-        val dvDir = s"${dvRoot(root)}/${java.util.UUID.randomUUID().toString}"
-        val oldDv: Map[String, String] =
-          touched.collect { case (p, Some(dv), _, _) => p -> dv }.toMap
-        val conf = new graft.util.SerConf(
-          spark.sparkContext.hadoopConfiguration)
-        val spk = spark
-        import spk.implicits._
-        // one writer task per hash bucket of files: build each file's
-        // bitset, OR in its previous vector, write an ATTEMPT-UNIQUE
-        // sidecar (a killed speculative twin can never tear the file
-        // the winning attempt's returned row names), report
-        // (file, sidecar, live-bit count) — metadata-scale collect
-        val newEntries: Seq[(String, String, Long)] =
-          matched.repartition(col("_p")).as[(String, Long)]
-            .mapPartitions { it =>
-              val byFile = new scala.collection.mutable.HashMap[
-                String, java.util.BitSet]()
-              it.foreach { case (p, i) =>
-                byFile.getOrElseUpdate(p, new java.util.BitSet())
-                  .set(i.toInt)
-              }
-              val attempt = Option(org.apache.spark.TaskContext.get())
-                .map(_.taskAttemptId()).getOrElse(0L)
-              byFile.iterator.map { case (p, bits) =>
-                oldDv.get(p).foreach(old =>
-                  bits.or(readDvBits(conf.value, old)))
-                val out = s"$dvDir/${md5hex(p)}-$attempt.dv"
-                val outPath = new Path(out)
-                val os = outPath.getFileSystem(conf.value)
-                  .create(outPath, true)
-                try os.write(bits.toByteArray) finally os.close()
-                (p, out, bits.cardinality().toLong)
-              }
-            }.collect().toSeq
-        if (newEntries.isEmpty) m
-        else {
-          val rowsByPath = states.map(s => s._1 -> s._4).toMap
-          val dead = newEntries.collect {
-            case (p, _, n) if n >= rowsByPath(p) => p }
-          val upd = newEntries.filterNot(e => dead.contains(e._1))
-            .toDF("path", "_new_dv", "_new_rows")
-          m.filter(!col("path").isin(dead: _*))
-            .join(broadcast(upd), Seq("path"), "left")
-            .withColumn("dv_path", coalesce(col("_new_dv"), col("dv_path")))
-            .withColumn("dv_rows",
-              coalesce(col("_new_rows"), col("dv_rows")))
-            .drop("_new_dv", "_new_rows")
+        vectorPositions(spark, root, m, states, touched, matched)
+          .getOrElse(m)
+      }
+    }
+
+  /** Shared commit core of the merge-on-read ops: given the matched
+    * (file, position) rows of one base manifest, write the merged
+    * vectors and return the next manifest — existing vectors OR-ed
+    * in, fully-covered files dropped, untouched rows verbatim. None
+    * when nothing matched (the caller commits the base unchanged).
+    * One writer task per hash bucket of files builds each file's
+    * bitset and writes an ATTEMPT-UNIQUE sidecar (a killed
+    * speculative twin can never tear the file the winning attempt's
+    * returned row names); the collect is metadata-scale —
+    * (file, sidecar, bit count) per touched file. */
+  private def vectorPositions(spark: SparkSession, root: String,
+                              m: DataFrame,
+                              states: Seq[(String, Option[String], Long, Long)],
+                              touched: Seq[(String, Option[String], Long, Long)],
+                              positions: DataFrame): Option[DataFrame] = {
+    val dvDir = s"${dvRoot(root)}/${java.util.UUID.randomUUID().toString}"
+    val oldDv: Map[String, String] =
+      touched.collect { case (p, Some(dv), _, _) => p -> dv }.toMap
+    val conf = new graft.util.SerConf(
+      spark.sparkContext.hadoopConfiguration)
+    val spk = spark
+    import spk.implicits._
+    val newEntries: Seq[(String, String, Long)] =
+      positions.repartition(col("_p")).as[(String, Long)]
+        .mapPartitions { it =>
+          val byFile = new scala.collection.mutable.HashMap[
+            String, java.util.BitSet]()
+          it.foreach { case (p, i) =>
+            byFile.getOrElseUpdate(p, new java.util.BitSet())
+              .set(i.toInt)
+          }
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          byFile.iterator.map { case (p, bits) =>
+            oldDv.get(p).foreach(old =>
+              bits.or(readDvBits(conf.value, old)))
+            val out = s"$dvDir/${md5hex(p)}-$attempt.dv"
+            val outPath = new Path(out)
+            val os = outPath.getFileSystem(conf.value)
+              .create(outPath, true)
+            try os.write(bits.toByteArray) finally os.close()
+            (p, out, bits.cardinality().toLong)
+          }
+        }.collect().toSeq
+    if (newEntries.isEmpty) None
+    else {
+      val rowsByPath = states.map(s => s._1 -> s._4).toMap
+      val dead = newEntries.collect {
+        case (p, _, n) if n >= rowsByPath(p) => p }
+      val upd = newEntries.filterNot(e => dead.contains(e._1))
+        .toDF("path", "_new_dv", "_new_rows")
+      Some(m.filter(!col("path").isin(dead: _*))
+        .join(broadcast(upd), Seq("path"), "left")
+        .withColumn("dv_path", coalesce(col("_new_dv"), col("dv_path")))
+        .withColumn("dv_rows",
+          coalesce(col("_new_rows"), col("dv_rows")))
+        .drop("_new_dv", "_new_rows"))
+    }
+  }
+
+  /** MERGE-ON-READ row-level UPDATE — [[deleteWhereMor]]'s sibling,
+    * the Delta DV-update shape: the matched LIVE rows' old positions
+    * join their files' deletion vectors, and their UPDATED COPIES land
+    * as fresh appended files — cost ∝ MATCHED rows + touched-file
+    * scan, zero untouched bytes rewritten (copy-on-write
+    * [[updateWhere]] rewrites every touched file whole). Semantics are
+    * SQL UPDATE exactly: rows where `cond` is true take the
+    * assignments (values safe-CAST to the declared types, pre-update
+    * values visible on the right-hand side); false/NULL rows are
+    * untouched. Rows an existing vector already deleted are NOT
+    * matched (they are not live — an update must never resurrect).
+    * The matched set derives twice from one deterministic frame
+    * (positions → vectors, values → landed copies) — immutable files
+    * + a row-local predicate make the two derivations identical. */
+  def updateWhereMor(spark: SparkSession, root: String, cond: Column,
+                     sets: Seq[(String, Column)]): Long = {
+    require(sets.nonEmpty, "updateWhereMor requires at least one assignment")
+    commitLoop(spark, root) { base =>
+      val m = manifest(spark, root, base)
+      val schema = tableSchema(spark, root, base)
+      val stats = statsCols(spark, root, base)
+      sets.foreach { case (c, _) =>
+        require(schema.fieldNames.contains(c),
+          s"assignment target $c is not a table column") }
+      val resolvedCond = resolveCond(spark, cond, schema)
+      val excluded = graft.plans.StatsPruneRule.excludedByEnvelopes(
+        spark, resolvedCond, m, stats)
+      val states = dvStates(m)
+      val touched = states.filterNot(s => excluded.contains(s._1))
+      if (touched.isEmpty) m
+      else {
+        // LIVE rows only: positions kept through the DV anti-join, so
+        // an existing vector's rows can neither re-vector nor re-land
+        val live = readFilesDvPos(spark, schema,
+          touched.map(s => (s._1, s._2)), touched.map(_._3).sum)
+        val matched = live.filter(coalesce(cond, lit(false)))
+        val updated = matched.select(schema.fields.toIndexedSeq.map { f =>
+          sets.find(_._1 == f.name) match {
+            case Some((_, v)) => v.cast(f.dataType).as(f.name)
+            case None         => col(f.name)
+          }
+        }: _*)
+        vectorPositions(spark, root, m, states, touched,
+          matched.select(col("_p"), col("_i"))) match {
+          case None       => m // nothing matched — nothing lands either
+          case Some(next) => next.unionByName(landFiles(updated, root, stats))
         }
       }
     }
+  }
+
+  /** [[readFilesDv]] keeping each row's (file, position) as `_p`/`_i`
+    * — for consumers that must VECTOR the rows they select
+    * ([[updateWhereMor]]). Both branches read positions; DV-bearing
+    * files anti-join their vectors so only LIVE rows surface. */
+  private def readFilesDvPos(spark: SparkSession, schema: StructType,
+                             files: Seq[(String, Option[String])],
+                             totalDvRows: Long): DataFrame = {
+    val withPos = spark.read.schema(schema).parquet(files.map(_._1): _*)
+      .withColumn("_p", canonPathCol(col("_metadata.file_path")))
+      .withColumn("_i", col("_metadata.row_index"))
+    val dvd = files.collect { case (p, Some(dv)) => (p, dv) }
+    if (dvd.isEmpty) withPos
+    else {
+      val dels0 = dvRowsDf(spark, dvd)
+        .withColumnRenamed("_dv_file", "_p").withColumnRenamed("_dv_idx", "_i")
+      val dels =
+        if (totalDvRows <= (1L << 22)) broadcast(dels0)
+        else dels0.hint("shuffle_hash")
+      withPos.join(dels, Seq("_p", "_i"), "left_anti")
+    }
+  }
 
   /** Resolve a user predicate against the table schema (plan-only) so
     * the envelope-proof engine sees typed attributes. */

@@ -187,10 +187,15 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     val (spark, root, v, isManifest) = resolve(options)
     resolvedAt.remove()
     val keys = feedKeys(options)
-    if (keys.isEmpty)
+    if (keys.isEmpty) {
+      val modes = Seq("deleteMode", "updateMode").flatMap(k =>
+        Option(options.get(k)).map(v => k.toLowerCase -> v.toLowerCase)).toMap
+      modes.values.foreach(v => require(
+        v == "merge-on-read" || v == "copy-on-write",
+        s"deleteMode/updateMode must be merge-on-read or copy-on-write, got $v"))
       new GraftTable(spark, root, v, schema, isManifest,
-        readOnly = timeTraveled(options))
-    else new GraftChangeFeedTable(spark, root, keys, schema)
+        readOnly = timeTraveled(options), writeModes = modes)
+    } else new GraftChangeFeedTable(spark, root, keys, schema)
   }
 }
 
@@ -269,7 +274,8 @@ private[graft] object GraftTimeTravel {
 final class GraftTable(spark: SparkSession, root: String, version: Long,
                        dataSchema: StructType,
                        isManifest: Boolean = false,
-                       readOnly: Boolean = false)
+                       readOnly: Boolean = false,
+                       writeModes: Map[String, String] = Map.empty)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -290,6 +296,16 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
     * pinned snapshot. */
   private[graft] def rowLevelRoot: Option[String] =
     if (isManifest && !readOnly) Some(root) else None
+
+  /** Declared row-level write modes (`deleteMode` / `updateMode` table
+    * properties, Iceberg's write-mode ergonomics): 'merge-on-read'
+    * routes the SQL statement onto the DELETION-VECTOR ops
+    * ([[graft.sinks.ManifestTable.deleteWhereMor]]/`updateWhereMor`);
+    * the default stays copy-on-write. */
+  private[graft] def morDelete: Boolean =
+    writeModes.get("deletemode").contains("merge-on-read")
+  private[graft] def morUpdate: Boolean =
+    writeModes.get("updatemode").contains("merge-on-read")
 
   /** A time-traveled resolution advertises NO write capabilities (and
     * [[newWriteBuilder]] fails fast as defense in depth): the V1

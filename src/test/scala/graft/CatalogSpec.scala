@@ -385,6 +385,44 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graftc.db.rt").head().getLong(0) == 2L)
   }
 
+  test("deleteMode/updateMode = merge-on-read: SQL DELETE and UPDATE commit deletion vectors, not rewrites") {
+    warehouse: Unit
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-catalog-mor").toString + "/t"
+    sinks.ManifestTable.create(
+      spark.range(100).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(2, col("k")).sortWithinPartitions(col("k")),
+      loc, Seq("k"))
+    spark.sql(s"CREATE TABLE graftc.db.mor USING graft LOCATION '$loc' " +
+      "TBLPROPERTIES ('deleteMode' = 'merge-on-read', " +
+      "'updateMode' = 'merge-on-read')")
+    val files0 = sinks.ManifestTable.filesAt(spark, loc, 0L).toSet
+    spark.sql("DELETE FROM graftc.db.mor WHERE k = 7")
+    spark.sql("UPDATE graftc.db.mor SET v = v + 100 WHERE k = 8")
+    // the declared mode routed both statements onto the vector grain:
+    // every original file still lives BY NAME (a copy-on-write delete
+    // or update would have replaced the touched file)
+    assert(files0.subsetOf(
+      sinks.ManifestTable.filesAt(spark, loc, 2L).toSet),
+      "merge-on-read SQL must not rewrite data files")
+    assert(sinks.ManifestTable.manifest(spark, loc, 2L)
+      .filter(col("dv_path").isNotNull).count() >= 1L)
+    val got = spark.sql("SELECT k, v FROM graftc.db.mor").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 99 && !got.contains(7L) && got(8L) == 8L % 7 + 100L)
+    // an undeclared table keeps the copy-on-write default
+    val loc2 = java.nio.file.Files
+      .createTempDirectory("graft-catalog-cow").toString + "/t"
+    sinks.ManifestTable.create(
+      spark.range(10).select(col("id").as("k")), loc2, Seq("k"))
+    spark.sql(s"CREATE TABLE graftc.db.cow USING graft LOCATION '$loc2'")
+    spark.sql("DELETE FROM graftc.db.cow WHERE k = 3")
+    assert(sinks.ManifestTable.manifest(spark, loc2,
+      sinks.ManifestTable.latestVersion(spark, loc2))
+      .filter(col("dv_path").isNotNull).count() == 0L,
+      "default DELETE stays copy-on-write")
+  }
+
   test("metadata tables: SELECT over graftc.db.t.history / .files serves the manifests — zero data I/O surface") {
     warehouse: Unit
     val loc = java.nio.file.Files

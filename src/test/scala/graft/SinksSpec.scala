@@ -1734,6 +1734,37 @@ class SinksSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, root).count() == 69L)
   }
 
+  test("merge-on-read update: old positions vector, updated copies append, deleted rows never resurrect") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dv-upd").toString + "/t"
+    ManifestTable.create(
+      spark.range(100).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(2, col("k")).sortWithinPartitions(col("k")),
+      root, Seq("k"))
+    ManifestTable.deleteWhereMor(spark, root, col("k") === 5L)       // v1
+    val files1 = ManifestTable.filesAt(spark, root, 1L).toSet
+    // update k in [0,10): the DELETED row 5 must NOT come back updated
+    val v2 = ManifestTable.updateWhereMor(spark, root,
+      col("k") < 10L, Seq("v" -> (col("v") + lit(100L))))
+    assert(v2 == 2L)
+    // no original file rewritten: both carry by name; the update adds
+    // appended copy files and grows the touched file's vector
+    assert(files1.subsetOf(ManifestTable.filesAt(spark, root, 2L).toSet))
+    val got = ManifestTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 99 && !got.contains(5L))
+    (0L until 10L).filter(_ != 5L).foreach(k =>
+      assert(got(k) == k % 7 + 100L, s"k=$k got ${got(k)}"))
+    (10L until 100L).foreach(k => assert(got(k) == k % 7))
+    // repeated update composes: positions re-vector, fresh copies land
+    ManifestTable.updateWhereMor(spark, root,
+      col("k") === 0L, Seq("v" -> lit(999L)))
+    val again = ManifestTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again(0L) == 999L && again(1L) == 101L && again.size == 99)
+  }
+
   test("manifest restore: a retained version re-commits by reference — zero data I/O, history intact") {
     import sinks.ManifestTable
     val root = java.nio.file.Files
