@@ -169,7 +169,8 @@ case class GraftRowLevelSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       GraftMergeCommand(root, source,
         targetCols.map(a => (a.name, byName(ins(a.name)), a.dataType)),
-        pairs.map(_._1))
+        pairs.map(_._1),
+        mor = graftTable(target).exists(_.morMerge))
   }
 }
 
@@ -212,13 +213,15 @@ final case class GraftMergeCommand(
     root: String, source: LogicalPlan,
     columns: Seq[(String, org.apache.spark.sql.Column,
       org.apache.spark.sql.types.DataType)],
-    keys: Seq[String])
+    keys: Seq[String],
+    mor: Boolean = false)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     val src = GraftSqlShims.ofRows(session, source)
       .select(columns.map { case (n, v, dt) => v.cast(dt).as(n) }: _*)
-    graft.sinks.ManifestTable.merge(src, root, keys)
+    if (mor) graft.sinks.ManifestTable.mergeMor(src, root, keys)
+    else graft.sinks.ManifestTable.merge(src, root, keys)
     Nil
   }
 }

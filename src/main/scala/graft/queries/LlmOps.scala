@@ -879,6 +879,72 @@ object LlmOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** [[qMergeUpsert]]'s exact algebra on the MERGE-ON-READ path
+    * ([[graft.sinks.ManifestTable.mergeMor]] + `deleteWhereMor`):
+    * matched keys vector their old positions, the batch appends, the
+    * delete commits bits — zero data files rewritten end to end, and
+    * the SAME oracle must hash-match. The strongest parity evidence
+    * the two grains can give each other. */
+  def qMergeDv(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("mt_merge_dv")
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    graft.sinks.ManifestTable.create(
+      d.filter(col("doc_id") % 10 =!= 7)
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    graft.sinks.ManifestTable.mergeMor(
+      d.filter(col("doc_id") % 5 === 2)
+        .withColumn("text", concat(lit("UPDATED: "), col("text"))),
+      root, Seq("doc_id"))
+    graft.sinks.ManifestTable.deleteWhereMor(spark, root,
+      col("doc_id") % 10 === 4)
+    graft.sinks.ManifestTable.read(spark, root)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("text_len"),
+        substring(col("text"), 1, 12).as("head"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[qCdcApply]]'s exact algebra on the MERGE-ON-READ path
+    * ([[graft.sinks.ManifestTable.applyCdcMor]]): both CDC batches
+    * fold as vectors + appends, nothing rewritten, same oracle. */
+  def qCdcDv(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("mt_cdc_dv")
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    graft.sinks.ManifestTable.create(
+      d.filter(col("doc_id") % 10 =!= 9)
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    def ch(rows: DataFrame, op: String, seqOff: Int, prefix: String) =
+      rows.select(col("doc_id"), col("lang"),
+        (if (prefix.isEmpty) col("text")
+         else concat(lit(prefix), col("text"))).as("text"),
+        lit(op).as("op"), (col("doc_id") * 10 + seqOff).as("seq"))
+    val inserts = d.filter(col("doc_id") % 17 === 5).select(
+      (col("doc_id") + 1000000L).as("doc_id"), lit("xx").as("lang"),
+      concat(lit("NEW: "), col("text")).as("text"),
+      lit("I").as("op"), (col("doc_id") * 10 + 1).as("seq"))
+    val batch1 = ch(d.filter(col("doc_id") % 5 === 1), "U", 1, "V1: ")
+      .unionByName(inserts)
+    val batch2 = ch(d.filter(col("doc_id") % 15 === 1), "U", 2, "V2: ")
+      .unionByName(ch(d.filter(col("doc_id") % 10 === 6), "D", 3, ""))
+      .unionByName(ch(d.filter(col("doc_id") % 30 === 26), "U", 4, "BACK: "))
+      .unionByName(d.filter(col("doc_id") % 34 === 5).select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"),
+        lit("D").as("op"), (col("doc_id") * 10 + 5).as("seq")))
+    graft.sinks.ManifestTable.applyCdcMor(batch1, root, Seq("doc_id"))
+    graft.sinks.ManifestTable.applyCdcMor(batch2, root, Seq("doc_id"))
+    graft.sinks.ManifestTable.read(spark, root)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("text_len"),
+        substring(col("text"), 1, 12).as("head"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic training-shard assignment + shuffled order
     * ([[graft.operators.Sampling.shardAssignments]]): every doc lands
     * in one of 16 shards with a seed-salted md5 hash, and `pos` is its
@@ -1178,6 +1244,8 @@ object LlmOps extends QueryModule {
     "q_corpus_prep_rt"  -> qCorpusPrepRt _,
     "q_merge_upsert"    -> qMergeUpsert _,
     "q_cdc_apply"       -> qCdcApply _,
+    "q_merge_dv"        -> qMergeDv _,
+    "q_cdc_dv"          -> qCdcDv _,
     "q_shard_assign"    -> qShardAssign _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
     "q_contamination"   -> qContamination _,
@@ -1309,7 +1377,7 @@ object LlmOps extends QueryModule {
        |SELECT doc_id, quality FROM m CROSS JOIN thr
        |WHERE quality >= thr.t ORDER BY doc_id""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q_hybrid_rrf" -> {
       val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -2414,4 +2482,11 @@ object LlmOps extends QueryModule {
          |  64 + $h4 % 1016 AS height
          |FROM m ORDER BY doc_id""".stripMargin
     })
+
+  /** The merge-on-read twins run the SAME algebra on the vector path —
+    * byte-identical oracles are the point: two engine grains, one
+    * answer. */
+  val oracleSql: Map[String, String] = oracleBase ++ Map(
+    "q_merge_dv" -> oracleBase("q_merge_upsert"),
+    "q_cdc_dv"   -> oracleBase("q_cdc_apply"))
 }

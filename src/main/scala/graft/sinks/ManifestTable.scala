@@ -858,13 +858,95 @@ object ManifestTable {
     }
   }
 
+  /** MERGE-ON-READ keyed MERGE — [[merge]] at the deletion-vector
+    * grain: the batch's matched keys VECTOR their old positions
+    * (touched files keep their bytes) and the whole batch lands as
+    * fresh appended files — cost ∝ BATCH + matched rows + one scan of
+    * the envelope/bloom-touched files, where copy-on-write [[merge]]
+    * REWRITES those files whole. Same semantics (matched keys
+    * replaced, unmatched insert, strict schema, in-batch duplicate
+    * keys are the caller's contract), proven on the shared oracle
+    * algebra. The read-side tax is the vectored files' position-skip
+    * scans until maintenance purges them — the same deferral
+    * [[deleteWhereMor]] documents. */
+  def mergeMor(updates: DataFrame, root: String, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "mergeMor requires at least one key column")
+    val spark = updates.sparkSession
+    val v = latestVersion(spark, root)
+    require(v >= 0, s"manifest table at $root does not exist — create() first")
+    val schema = tableSchema(spark, root, v)
+    require(updates.columns.sorted.sameElements(schema.fieldNames.sorted),
+      s"merge batch schema ${updates.columns.sorted.mkString(",")} != " +
+        s"table schema ${schema.fieldNames.sorted.mkString(",")}")
+    val batch = conform(updates, schema)
+    val keys = batch.select(keyCols.map(col): _*).distinct()
+    // immutable landed files are reusable across CAS retry attempts
+    lazy val landed = landFiles(batch, root, statsCols(spark, root, v))
+    commitLoop(spark, root) { base =>
+      val m = manifest(spark, root, base)
+      val states = dvStates(m)
+      val touched = touchedPaths(spark, root, m, keys, keyCols,
+        tableSchema(spark, root, base)).toSet
+      val touchedStates = states.filter(s => touched.contains(s._1))
+      val live = readFilesDvPos(spark, schema,
+        touchedStates.map(s => (s._1, s._2)), touchedStates.map(_._3).sum)
+      val positions = live.join(keys, keyCols, "left_semi")
+        .select(col("_p"), col("_i"))
+      vectorPositions(spark, root, m, states, touchedStates, positions)
+        .getOrElse(m).unionByName(landed)
+    }
+  }
+
+  /** MERGE-ON-READ CDC fold — [[applyCdc]] at the deletion-vector
+    * grain: every winning key's old position vectors, the non-D
+    * winners land as appended files. Cost ∝ batch + matched rows;
+    * semantics identical (highest-seq change per key wins in-batch,
+    * D removes, others upsert). */
+  def applyCdcMor(changes: DataFrame, root: String, keyCols: Seq[String],
+                  seqCol: String = "seq", opCol: String = "op"): Long = {
+    require(keyCols.nonEmpty, "applyCdcMor requires at least one key column")
+    val spark = changes.sparkSession
+    val v = latestVersion(spark, root)
+    require(v >= 0, s"manifest table at $root does not exist — create() first")
+    val schema = tableSchema(spark, root, v)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    val winners = changes
+      .withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1).drop("_graft_rn")
+    val keys = winners.select(keyCols.map(col): _*).distinct()
+    val upserts = conform(
+      winners.filter(not(col(opCol) === lit("D"))).drop(opCol, seqCol),
+      schema)
+    lazy val landed = landFiles(upserts, root, statsCols(spark, root, v))
+    commitLoop(spark, root) { base =>
+      val m = manifest(spark, root, base)
+      val states = dvStates(m)
+      val touched = touchedPaths(spark, root, m, keys, keyCols,
+        tableSchema(spark, root, base)).toSet
+      val touchedStates = states.filter(s => touched.contains(s._1))
+      val live = readFilesDvPos(spark, schema,
+        touchedStates.map(s => (s._1, s._2)), touchedStates.map(_._3).sum)
+      val positions = live.join(keys, keyCols, "left_semi")
+        .select(col("_p"), col("_i"))
+      vectorPositions(spark, root, m, states, touchedStates, positions)
+        .getOrElse(m).unionByName(landed)
+    }
+  }
+
   /** [[readFilesDv]] keeping each row's (file, position) as `_p`/`_i`
     * — for consumers that must VECTOR the rows they select
-    * ([[updateWhereMor]]). Both branches read positions; DV-bearing
-    * files anti-join their vectors so only LIVE rows surface. */
+    * ([[updateWhereMor]], the keyed merge-on-read ops). Both branches
+    * read positions; DV-bearing files anti-join their vectors so only
+    * LIVE rows surface. */
   private def readFilesDvPos(spark: SparkSession, schema: StructType,
                              files: Seq[(String, Option[String])],
                              totalDvRows: Long): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .withColumn("_p", lit(null).cast("string"))
+        .withColumn("_i", lit(null).cast("long"))
     val withPos = spark.read.schema(schema).parquet(files.map(_._1): _*)
       .withColumn("_p", canonPathCol(col("_metadata.file_path")))
       .withColumn("_i", col("_metadata.row_index"))

@@ -188,7 +188,7 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     resolvedAt.remove()
     val keys = feedKeys(options)
     if (keys.isEmpty) {
-      val modes = Seq("deleteMode", "updateMode").flatMap(k =>
+      val modes = Seq("deleteMode", "updateMode", "mergeMode").flatMap(k =>
         Option(options.get(k)).map(v => k.toLowerCase -> v.toLowerCase)).toMap
       modes.values.foreach(v => require(
         v == "merge-on-read" || v == "copy-on-write",
@@ -306,6 +306,8 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
     writeModes.get("deletemode").contains("merge-on-read")
   private[graft] def morUpdate: Boolean =
     writeModes.get("updatemode").contains("merge-on-read")
+  private[graft] def morMerge: Boolean =
+    writeModes.get("mergemode").contains("merge-on-read")
 
   /** A time-traveled resolution advertises NO write capabilities (and
     * [[newWriteBuilder]] fails fast as defense in depth): the V1

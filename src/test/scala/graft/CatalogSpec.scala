@@ -410,6 +410,23 @@ class CatalogSpec extends AnyFunSuite {
     val got = spark.sql("SELECT k, v FROM graftc.db.mor").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 99 && !got.contains(7L) && got(8L) == 8L % 7 + 100L)
+    // MERGE INTO under mergeMode: the upsert vectors + appends too
+    spark.sql("ALTER TABLE graftc.db.mor " +
+      "SET TBLPROPERTIES ('mergeMode' = 'merge-on-read')")
+    Seq((9L, 900L), (300L, 300L)).toDF("k", "v")
+      .createOrReplaceTempView("mor_src")
+    val filesBefore = sinks.ManifestTable.filesAt(spark, loc,
+      sinks.ManifestTable.latestVersion(spark, loc)).toSet
+    spark.sql("""MERGE INTO graftc.db.mor AS t USING mor_src AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(filesBefore.subsetOf(sinks.ManifestTable.filesAt(spark, loc,
+      sinks.ManifestTable.latestVersion(spark, loc)).toSet),
+      "merge-on-read MERGE INTO must not rewrite data files")
+    val got2 = spark.sql("SELECT k, v FROM graftc.db.mor").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.size == 100 && got2(9L) == 900L && got2(300L) == 300L)
     // an undeclared table keeps the copy-on-write default
     val loc2 = java.nio.file.Files
       .createTempDirectory("graft-catalog-cow").toString + "/t"

@@ -1765,6 +1765,49 @@ class SinksSpec extends AnyFunSuite {
     assert(again(0L) == 999L && again(1L) == 101L && again.size == 99)
   }
 
+  test("merge-on-read MERGE and CDC: matched keys vector, batches append, zero data files rewritten") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dv-merge").toString + "/t"
+    ManifestTable.create(
+      spark.range(100).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(2, col("k")).sortWithinPartitions(col("k")),
+      root, Seq("k"))
+    val files0 = ManifestTable.filesAt(spark, root, 0L).toSet
+    // upsert: ks 3 (matched — old position vectors) and 200 (insert)
+    ManifestTable.mergeMor(
+      Seq((3L, 300L), (200L, 200L)).toDF("k", "v"), root, Seq("k"))
+    assert(files0.subsetOf(ManifestTable.filesAt(spark, root, 1L).toSet),
+      "mergeMor must not rewrite any original file")
+    val got1 = ManifestTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1.size == 101 && got1(3L) == 300L && got1(200L) == 200L &&
+      got1(4L) == 4L)
+    // only the envelope-touched file (ks 0-49) carries a vector — the
+    // pure insert key 200 misses both envelopes
+    val m1 = ManifestTable.manifest(spark, root, 1L)
+      .filter(col("dv_path").isNotNull).select("dv_rows").collect()
+    assert(m1.map(_.getLong(0)).toSeq == Seq(1L))
+    // CDC fold on the vector grain: U replaces (vector + append), D
+    // only vectors; nothing rewrites
+    val files1 = ManifestTable.filesAt(spark, root, 1L).toSet
+    ManifestTable.applyCdcMor(
+      Seq((60L, 600L, "U", 1L), (61L, 0L, "D", 1L))
+        .toDF("k", "v", "op", "seq"), root, Seq("k"))
+    assert(files1.subsetOf(ManifestTable.filesAt(spark, root, 2L).toSet),
+      "applyCdcMor must not rewrite any original file")
+    val got2 = ManifestTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.size == 100 && got2(60L) == 600L && !got2.contains(61L))
+    // a key updated twice stays single: the second merge vectors the
+    // first merge's APPENDED copy too
+    ManifestTable.mergeMor(Seq((3L, 333L)).toDF("k", "v"), root, Seq("k"))
+    val rows3 = ManifestTable.read(spark, root)
+      .filter(col("k") === 3L).collect()
+    assert(rows3.length == 1 && rows3.head.getLong(1) == 333L,
+      s"re-merged key must stay single, got ${rows3.toSeq}")
+  }
+
   test("manifest restore: a retained version re-commits by reference — zero data I/O, history intact") {
     import sinks.ManifestTable
     val root = java.nio.file.Files
