@@ -680,13 +680,23 @@ object ManifestTable {
           .withColumn("_dv_file", canonPathCol(col("_metadata.file_path")))
           .withColumn("_dv_idx", col("_metadata.row_index"))
         val dels0 = dvRowsDf(spark, dvd)
-        val dels =
-          if (totalDvRows <= (1L << 22)) broadcast(dels0)
-          else dels0.hint("shuffle_hash")
+        val dels = dvJoinSide(dels0, dvd, totalDvRows)
         Some(raw.join(dels, Seq("_dv_file", "_dv_idx"), "left_anti")
           .select(cols: _*))
       }
     (cleanDf.toSeq ++ dvDf.toSeq).reduce(_ unionByName _)
+  }
+
+  /** Join-strategy pick for the expanded deleted-rows side: BROADCAST
+    * only when the estimated serialized size (each row repeats its
+    * file-path string + a long) stays under 64 MB — a row-count
+    * threshold alone would happily broadcast hundreds of MB of
+    * repeated path strings on a mass delete; anything larger shuffles. */
+  private def dvJoinSide(dels: DataFrame, dvd: Seq[(String, String)],
+                         totalDvRows: Long): DataFrame = {
+    val maxPath = dvd.map(_._1.length).foldLeft(0)(math.max)
+    if (totalDvRows * (maxPath + 16L) <= (64L << 20)) broadcast(dels)
+    else dels.hint("shuffle_hash")
   }
 
   /** Per-file DV state of one manifest: path → (dv sidecar, dv rows,
@@ -775,6 +785,12 @@ object ManifestTable {
           val byFile = new scala.collection.mutable.HashMap[
             String, java.util.BitSet]()
           it.foreach { case (p, i) =>
+            // bitset positions are Int — a >2^31-row parquet file (far
+            // past any sane file size) must fail loudly, never wrap
+            // into a WRONG bit
+            require(i <= Int.MaxValue.toLong,
+              s"row index $i of $p exceeds the deletion-vector range — " +
+                "split the file (OPTIMIZE) before merge-on-read deletes")
             byFile.getOrElseUpdate(p, new java.util.BitSet())
               .set(i.toInt)
           }
@@ -839,21 +855,27 @@ object ManifestTable {
       if (touched.isEmpty) m
       else {
         // LIVE rows only: positions kept through the DV anti-join, so
-        // an existing vector's rows can neither re-vector nor re-land
+        // an existing vector's rows can neither re-vector nor re-land.
+        // The matched frame feeds TWO jobs (positions → vectors,
+        // values → landed copies) — cache it so the touched files scan
+        // once, not twice (the op's advertised cost bound)
         val live = readFilesDvPos(spark, schema,
           touched.map(s => (s._1, s._2)), touched.map(_._3).sum)
-        val matched = live.filter(coalesce(cond, lit(false)))
-        val updated = matched.select(schema.fields.toIndexedSeq.map { f =>
-          sets.find(_._1 == f.name) match {
-            case Some((_, v)) => v.cast(f.dataType).as(f.name)
-            case None         => col(f.name)
+        val matched = live.filter(coalesce(cond, lit(false))).persist()
+        try {
+          val updated = matched.select(schema.fields.toIndexedSeq.map { f =>
+            sets.find(_._1 == f.name) match {
+              case Some((_, v)) => v.cast(f.dataType).as(f.name)
+              case None         => col(f.name)
+            }
+          }: _*)
+          vectorPositions(spark, root, m, states, touched,
+            matched.select(col("_p"), col("_i"))) match {
+            case None       => m // nothing matched — nothing lands either
+            case Some(next) =>
+              next.unionByName(landFiles(updated, root, stats))
           }
-        }: _*)
-        vectorPositions(spark, root, m, states, touched,
-          matched.select(col("_p"), col("_i"))) match {
-          case None       => m // nothing matched — nothing lands either
-          case Some(next) => next.unionByName(landFiles(updated, root, stats))
-        }
+        } finally matched.unpersist(): Unit
       }
     }
   }
@@ -892,8 +914,13 @@ object ManifestTable {
         touchedStates.map(s => (s._1, s._2)), touchedStates.map(_._3).sum)
       val positions = live.join(keys, keyCols, "left_semi")
         .select(col("_p"), col("_i"))
+      // allowMissingColumns: a CAS retry may land on a base whose
+      // manifest gained stats columns (concurrent additive evolution);
+      // the pre-landed batch's missing envelope cells surface as NULL
+      // = unknown — conservative for every consumer — instead of
+      // failing the union and abandoning the retry loop
       vectorPositions(spark, root, m, states, touchedStates, positions)
-        .getOrElse(m).unionByName(landed)
+        .getOrElse(m).unionByName(landed, allowMissingColumns = true)
     }
   }
 
@@ -929,8 +956,10 @@ object ManifestTable {
         touchedStates.map(s => (s._1, s._2)), touchedStates.map(_._3).sum)
       val positions = live.join(keys, keyCols, "left_semi")
         .select(col("_p"), col("_i"))
+      // allowMissingColumns: see [[mergeMor]] — absorbs a concurrent
+      // additive evolution on the retry path (NULL = unknown cells)
       vectorPositions(spark, root, m, states, touchedStates, positions)
-        .getOrElse(m).unionByName(landed)
+        .getOrElse(m).unionByName(landed, allowMissingColumns = true)
     }
   }
 
@@ -955,10 +984,8 @@ object ManifestTable {
     else {
       val dels0 = dvRowsDf(spark, dvd)
         .withColumnRenamed("_dv_file", "_p").withColumnRenamed("_dv_idx", "_i")
-      val dels =
-        if (totalDvRows <= (1L << 22)) broadcast(dels0)
-        else dels0.hint("shuffle_hash")
-      withPos.join(dels, Seq("_p", "_i"), "left_anti")
+      withPos.join(dvJoinSide(dels0, dvd, totalDvRows),
+        Seq("_p", "_i"), "left_anti")
     }
   }
 

@@ -190,9 +190,9 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     if (keys.isEmpty) {
       val modes = Seq("deleteMode", "updateMode", "mergeMode").flatMap(k =>
         Option(options.get(k)).map(v => k.toLowerCase -> v.toLowerCase)).toMap
-      modes.values.foreach(v => require(
+      modes.foreach { case (k, v) => require(
         v == "merge-on-read" || v == "copy-on-write",
-        s"deleteMode/updateMode must be merge-on-read or copy-on-write, got $v"))
+        s"$k must be merge-on-read or copy-on-write, got $v") }
       new GraftTable(spark, root, v, schema, isManifest,
         readOnly = timeTraveled(options), writeModes = modes)
     } else new GraftChangeFeedTable(spark, root, keys, schema)
