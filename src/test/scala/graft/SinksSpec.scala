@@ -1808,6 +1808,70 @@ class SinksSpec extends AnyFunSuite {
       s"re-merged key must stay single, got ${rows3.toSeq}")
   }
 
+  test("DV scan plan shape: the clean branch still prunes by envelope; vectored files ride as whole-file partitions") {
+    import sinks.ManifestTable
+    import sources.v2.{GraftDvCleanPartition, GraftDvFilePartition}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dv-plan").toString + "/t"
+    // four range-clustered files: ks 0-24 / 25-49 / 50-74 / 75-99
+    ManifestTable.create(
+      spark.range(100).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      root, Seq("k"))
+    ManifestTable.deleteWhereMor(spark, root, col("k") === 10L)
+    def parts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val all = df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.partitions.flatten }.flatten
+      (all.count(_.isInstanceOf[GraftDvCleanPartition]),
+        all.count(_.isInstanceOf[GraftDvFilePartition]))
+    }
+    // a filter inside ONE clean file's envelope: the clean branch must
+    // prune to that file; the single vectored file rides along (its
+    // branch takes no scan-level pruning — re-filtered above)
+    val probe = spark.read.format("graft").load(root)
+      .filter(col("k") >= 80L && col("k") <= 85L)
+    val (clean, dv) = parts(probe)
+    assert(dv == 1, s"one vectored file must plan as one DV partition, got $dv")
+    assert(clean == 1,
+      s"envelope pruning must keep ONE clean file for a one-file range, " +
+        s"got $clean")
+    assert(probe.select("k").collect().map(_.getLong(0)).toSet ==
+      (80L to 85L).toSet)
+    // no vectors → the plain delegated scan (no composite partitions)
+    ManifestTable.optimize(spark, root, sortCols = Seq("k"), numFiles = 4)
+    val probe2 = spark.read.format("graft").load(root)
+      .filter(col("k") >= 80L && col("k") <= 85L)
+    val (c2, d2) = parts(probe2)
+    assert(c2 == 0 && d2 == 0,
+      "a purged table must plan through the ordinary parquet batch again")
+  }
+
+  test("racing DV ops: concurrent mergeMor and deleteWhereMor both land, no lost update, no resurrection") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dv-race").toString + "/t"
+    ManifestTable.create(
+      spark.range(100).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(2, col("k")).sortWithinPartitions(col("k")),
+      root, Seq("k"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val a = Future(ManifestTable.mergeMor(
+      Seq((10L, 1000L)).toDF("k", "v"), root, Seq("k")))
+    val b = Future(ManifestTable.deleteWhereMor(spark, root,
+      col("k") === 20L))
+    val va = Await.result(a, 5.minutes)
+    val vb = Await.result(b, 5.minutes)
+    assert(Set(va, vb) == Set(1L, 2L),
+      s"both racers must commit, serially: got $va / $vb")
+    val got = ManifestTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 99 && got(10L) == 1000L && !got.contains(20L),
+      "whichever order the CAS serialized, both effects must survive")
+  }
+
   test("manifest restore: a retained version re-commits by reference — zero data I/O, history intact") {
     import sinks.ManifestTable
     val root = java.nio.file.Files
