@@ -605,7 +605,51 @@ object ManifestTable {
       val schema = tableSchema(spark, root, base)
       fields.foreach(f => require(!schema.fieldNames.contains(f.name),
         s"column ${f.name} already exists"))
+      // RESURRECTION GUARD: schema-on-read maps by NAME, so re-adding
+      // a name some LIVE file still physically carries (it was dropped
+      // by [[dropColumns]], which rewrites nothing) would surface the
+      // file's STALE values instead of NULL. One distributed footer
+      // sweep (mergeSchema over the live listing — metadata reads, no
+      // data I/O) proves no live file carries any of the new names.
+      val live = filesAt(spark, root, base)
+      if (live.nonEmpty) {
+        val physical = spark.read.option("mergeSchema", "true")
+          .parquet(live: _*).schema.fieldNames.toSet
+        fields.foreach(f => require(!physical.contains(f.name),
+          s"column ${f.name} was dropped but live data files still carry " +
+            "it — schema-on-read would resurrect the old values; run " +
+            "optimize() to rewrite those files before re-adding the name"))
+      }
       (manifest(spark, root, base), StructType(schema.fields ++ fields))
+    }
+  }
+
+  /** `ALTER TABLE DROP COLUMN` — the inverse evolution, equally
+    * metadata-only: the next version reuses the current manifest's
+    * FILES verbatim under a NARROWER sidecar (schema-on-read by name
+    * simply stops projecting the column — zero data I/O), and the
+    * dropped columns' stat triplets leave the manifest rows so no
+    * future landing, proof, or maintenance references a column the
+    * schema lost. A lingering `_bloom_<col>` index is inert (no valid
+    * predicate can name the column). Re-ADDING a dropped name is
+    * refused while live files still carry it — see [[addColumns]]'s
+    * resurrection guard. */
+  def dropColumns(spark: SparkSession, root: String,
+                  names: Seq[String]): Long = {
+    require(names.nonEmpty, "dropColumns requires at least one column")
+    commitLoopEvolving(spark, root) { base =>
+      val schema = tableSchema(spark, root, base)
+      names.foreach(n => require(schema.fieldNames.contains(n),
+        s"column $n does not exist"))
+      require(schema.fields.length > names.distinct.length,
+        "cannot drop every column of the table")
+      val keep = StructType(
+        schema.fields.filterNot(f => names.contains(f.name)))
+      val m = manifest(spark, root, base)
+      val statDrop = names.flatMap(c =>
+        Seq(s"${c}_min", s"${c}_max", s"${c}_nulls"))
+        .filter(m.columns.contains)
+      (m.drop(statDrop: _*), keep)
     }
   }
 
@@ -891,20 +935,42 @@ object ManifestTable {
     * algebra. The read-side tax is the vectored files' position-skip
     * scans until maintenance purges them — the same deferral
     * [[deleteWhereMor]] documents. */
-  def mergeMor(updates: DataFrame, root: String, keyCols: Seq[String]): Long = {
+  def mergeMor(updates: DataFrame, root: String, keyCols: Seq[String]): Long =
+    mergeMor(updates, root, keyCols, evolveSchema = false)
+
+  /** [[mergeMor]] with ADDITIVE schema evolution — [[merge]]'s
+    * `evolveSchema` contract on the vector grain, where the manifest
+    * representation's no-rewrite property is total: untouched files
+    * never rewrote anyway, and here even the MATCHED files keep their
+    * bytes — evolution costs exactly the wider sidecar plus the
+    * landed batch. A batch may carry NEW columns (existing rows read
+    * NULL) or OMIT existing ones (landed rows read NULL there). */
+  def mergeMor(updates: DataFrame, root: String, keyCols: Seq[String],
+               evolveSchema: Boolean): Long = {
     require(keyCols.nonEmpty, "mergeMor requires at least one key column")
     val spark = updates.sparkSession
     val v = latestVersion(spark, root)
     require(v >= 0, s"manifest table at $root does not exist — create() first")
-    val schema = tableSchema(spark, root, v)
-    require(updates.columns.sorted.sameElements(schema.fieldNames.sorted),
-      s"merge batch schema ${updates.columns.sorted.mkString(",")} != " +
-        s"table schema ${schema.fieldNames.sorted.mkString(",")}")
-    val batch = conform(updates, schema)
+    val baseSchema = tableSchema(spark, root, v)
+    val schema =
+      if (!evolveSchema) {
+        require(
+          updates.columns.sorted.sameElements(baseSchema.fieldNames.sorted),
+          s"merge batch schema ${updates.columns.sorted.mkString(",")} != " +
+            s"table schema ${baseSchema.fieldNames.sorted.mkString(",")}")
+        baseSchema
+      } else StructType(baseSchema.fields ++
+        updates.schema.fields.filterNot(f =>
+          baseSchema.fieldNames.contains(f.name)).map(_.copy(nullable = true)))
+    val batch = conform(
+      schema.fieldNames.filterNot(updates.columns.contains).toSeq
+        .foldLeft(updates)((df, c) =>
+          df.withColumn(c, lit(null).cast(schema(c).dataType))),
+      schema)
     val keys = batch.select(keyCols.map(col): _*).distinct()
     // immutable landed files are reusable across CAS retry attempts
     lazy val landed = landFiles(batch, root, statsCols(spark, root, v))
-    commitLoop(spark, root) { base =>
+    commitLoopEvolving(spark, root) { base =>
       val m = manifest(spark, root, base)
       val states = dvStates(m)
       val touched = touchedPaths(spark, root, m, keys, keyCols,
@@ -914,13 +980,22 @@ object ManifestTable {
         touchedStates.map(s => (s._1, s._2)), touchedStates.map(_._3).sum)
       val positions = live.join(keys, keyCols, "left_semi")
         .select(col("_p"), col("_i"))
+      // the attempt's schema is ITS base's sidecar widened by the
+      // batch's new columns — a conflicting writer's own evolution is
+      // preserved, never clobbered by this writer's narrower view
+      val attemptSchema = {
+        val b = tableSchema(spark, root, base)
+        StructType(b.fields ++ schema.fields.filterNot(f =>
+          b.fieldNames.contains(f.name)))
+      }
       // allowMissingColumns: a CAS retry may land on a base whose
       // manifest gained stats columns (concurrent additive evolution);
       // the pre-landed batch's missing envelope cells surface as NULL
       // = unknown — conservative for every consumer — instead of
       // failing the union and abandoning the retry loop
-      vectorPositions(spark, root, m, states, touchedStates, positions)
-        .getOrElse(m).unionByName(landed, allowMissingColumns = true)
+      (vectorPositions(spark, root, m, states, touchedStates, positions)
+        .getOrElse(m).unionByName(landed, allowMissingColumns = true),
+        attemptSchema)
     }
   }
 

@@ -241,9 +241,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         graft.sinks.ManifestTable.addColumns(spark, loc, Seq(
           org.apache.spark.sql.types.StructField(
             add.fieldNames()(0), add.dataType, nullable = true))): Unit
+      case del: TableChange.DeleteColumn =>
+        // ALTER TABLE DROP COLUMN: a narrower sidecar commit — zero
+        // data I/O, dropped stat triplets leave the manifest rows
+        val loc = props.getProperty("location")
+        require(del.fieldNames.length == 1,
+          "graft tables have no nested columns to drop from")
+        require(graft.sinks.ManifestTable.exists(spark, loc),
+          "DROP COLUMN is supported on manifest-format tables only")
+        graft.sinks.ManifestTable.dropColumns(spark, loc,
+          Seq(del.fieldNames()(0))): Unit
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported table change $other — non-additive " +
-          "schema changes go through the table formats")
+        s"graft catalog: unsupported table change $other — RENAME and " +
+          "type changes need column mapping, which schema-on-read by " +
+          "NAME deliberately does not carry; rewrite via the table formats")
     }
     require(props.getProperty("location") != null,
       "the location property cannot be removed")

@@ -272,6 +272,20 @@ class CatalogSpec extends AnyFunSuite {
       "SELECT k, v, note FROM graftc.db.evo ORDER BY k").collect()
       .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
       .toSeq == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some("hi"))))
+    // DROP COLUMN: the inverse evolution — narrower sidecar, files by
+    // reference, the column vanishes from SQL
+    val filesPreDrop = sinks.ManifestTable.filesAt(spark, loc,
+      sinks.ManifestTable.latestVersion(spark, loc))
+    spark.sql("ALTER TABLE graftc.db.evo DROP COLUMN note")
+    assert(sinks.ManifestTable.filesAt(spark, loc,
+      sinks.ManifestTable.latestVersion(spark, loc)) == filesPreDrop)
+    assert(!spark.table("graftc.db.evo").columns.contains("note"))
+    // re-adding the name while a live file still carries it is the
+    // documented resurrection refusal
+    val re = intercept[Exception] {
+      spark.sql("ALTER TABLE graftc.db.evo ADD COLUMN note STRING")
+    }
+    assert(re.getMessage.contains("resurrect"))
   }
 
   test("catalog-declared clustering: maintain(tableName) re-clusters degraded appends from metadata alone, then skips restored") {

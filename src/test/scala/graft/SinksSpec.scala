@@ -1872,6 +1872,77 @@ class SinksSpec extends AnyFunSuite {
       "whichever order the CAS serialized, both effects must survive")
   }
 
+  test("mergeMor schema evolution: wider sidecar, matched files keep their bytes, strict mode still refuses") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dv-evolve").toString + "/t"
+    ManifestTable.create(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+        .repartitionByRange(1, col("k")), root, Seq("k"))
+    val files0 = ManifestTable.filesAt(spark, root, 0L).toSet
+    // strict mode refuses a surprise column
+    intercept[IllegalArgumentException] {
+      ManifestTable.mergeMor(
+        Seq((1L, "A", 9L)).toDF("k", "v", "extra"), root, Seq("k"))
+    }
+    // evolving mode: the matched file keeps its BYTES (only a vector),
+    // the sidecar widens, old rows read NULL for the new column
+    ManifestTable.mergeMor(
+      Seq((1L, "A", 9L)).toDF("k", "v", "extra"), root, Seq("k"),
+      evolveSchema = true)
+    assert(files0.subsetOf(ManifestTable.filesAt(spark, root, 1L).toSet),
+      "evolution on the vector grain rewrites nothing at all")
+    val got = ManifestTable.read(spark, root).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.toSeq == Seq((1L, "A", Some(9L)), (2L, "b", None)))
+  }
+
+  test("DROP COLUMN: narrower sidecar, files verbatim, stat triplets leave the manifest; re-ADD of a live name refused") {
+    import sinks.ManifestTable
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-drop").toString + "/t"
+    ManifestTable.create(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "x"),
+      root, Seq("k", "x"))
+    val files0 = ManifestTable.filesAt(spark, root, 0L)
+    ManifestTable.dropColumns(spark, root, Seq("x"))
+    // zero data I/O: same files, narrower schema, x's envelopes gone
+    assert(ManifestTable.filesAt(spark, root, 1L) == files0)
+    assert(ManifestTable.tableSchema(spark, root, 1L).fieldNames.toSeq ==
+      Seq("k", "v"))
+    assert(ManifestTable.statsCols(spark, root, 1L) == Seq("k"),
+      "the dropped column's stat triplet must leave the manifest")
+    assert(ManifestTable.read(spark, root).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // appends now conform to the narrower schema; time travel still
+    // reads the wide version
+    ManifestTable.write(Seq((3L, "c")).toDF("k", "v"), root)
+    assert(ManifestTable.readVersion(spark, root, 0L)
+      .select("x").orderBy("x").collect().map(_.getLong(0)).toSeq ==
+      Seq(10L, 20L))
+    // the RESURRECTION GUARD: the original files still physically
+    // carry x, so re-adding the name must refuse (schema-on-read
+    // would surface the stale 10/20 instead of NULL)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.addColumns(spark, root,
+        Seq(StructField("x", LongType, nullable = true)))
+    }
+    assert(e.getMessage.contains("resurrect"))
+    // after a full re-lay purges the physical column, re-add works
+    // and every row reads NULL
+    ManifestTable.optimize(spark, root, sortCols = Seq("k"), numFiles = 1)
+    ManifestTable.addColumns(spark, root,
+      Seq(StructField("x", LongType, nullable = true)))
+    assert(ManifestTable.read(spark, root).filter(col("x").isNotNull)
+      .count() == 0L)
+    // an unrelated fresh name never trips the guard
+    ManifestTable.addColumns(spark, root,
+      Seq(StructField("y", LongType, nullable = true)))
+  }
+
   test("manifest restore: a retained version re-commits by reference — zero data I/O, history intact") {
     import sinks.ManifestTable
     val root = java.nio.file.Files
