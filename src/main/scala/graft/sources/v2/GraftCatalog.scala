@@ -297,7 +297,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Array(Identifier.of(Array("system"), "maintain"),
         Identifier.of(Array("system"), "vacuum_table"),
         Identifier.of(Array("system"), "restore_table"),
-        Identifier.of(Array("system"), "clone_table"))
+        Identifier.of(Array("system"), "clone_table"),
+        Identifier.of(Array("system"), "optimize_table"))
     else Array.empty
 
   /** Shallow-clone `src` (a registered manifest table) as `dst`:
@@ -336,11 +337,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     ident.name match {
       case "maintain"      => new GraftProcedures.Maintain(catalogName)
       case "vacuum_table"  => new GraftProcedures.Vacuum(this)
-      case "restore_table" => new GraftProcedures.Restore(this)
-      case "clone_table"   => new GraftProcedures.Clone(this)
+      case "restore_table"  => new GraftProcedures.Restore(this)
+      case "clone_table"    => new GraftProcedures.Clone(this)
+      case "optimize_table" => new GraftProcedures.Optimize(this)
       case other => throw new UnsupportedOperationException(
-        s"unknown procedure $catalogName.system.$other " +
-          "(available: maintain, vacuum_table, restore_table, clone_table)")
+        s"unknown procedure $catalogName.system.$other (available: " +
+          "maintain, vacuum_table, restore_table, clone_table, " +
+          "optimize_table)")
     }
   }
 

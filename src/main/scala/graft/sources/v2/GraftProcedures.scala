@@ -115,6 +115,43 @@ private[v2] object GraftProcedures {
     }
   }
 
+  /** `optimize_table(table, sort_cols, num_files)` — the explicit FULL
+    * re-lay by name ([[graft.sinks.ManifestTable.optimize]]: content
+    * identical, all files replaced, vectors purged — the one
+    * legitimately cost-∝-table operation; [[GraftMaintenance]]'s
+    * `maintain` stays the incremental tick). Empty `sort_cols`
+    * compacts without re-clustering. */
+  final class Optimize(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "optimize_table"
+    override def description(): String =
+      "re-lay the table's current rows as a fresh clustered file set " +
+        "(full optimize: all files replaced, deletion vectors purged)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("sort_cols", StringType).build(),
+        ProcedureParameter.in("num_files", IntegerType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("committed_version", LongType, nullable = false),
+      StructField("n_files", LongType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val tbl = input.getUTF8String(0).toString
+      val sortCols = input.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val nFiles = input.getInt(2)
+      val loc = catalog.locationOf(tbl)
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        s"optimize_table is for manifest-format tables; $tbl is not one")
+      val v = graft.sinks.ManifestTable.optimize(spark, loc,
+        sortCols = sortCols, numFiles = nFiles)
+      val n = graft.sinks.ManifestTable.filesAt(spark, loc, v).size.toLong
+      oneRowScan(outSchema, InternalRow(v, n))
+    }
+  }
+
   /** `vacuum_table(table, keep)` — retention by name, format-aware. */
   final class Vacuum(catalog: GraftCatalog)
     extends UnboundProcedure with BoundProcedure {

@@ -397,6 +397,13 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graftc.db.rt2 VALUES (9, 'z')")
     assert(spark.sql("SELECT count(*) FROM graftc.db.rt2").head().getLong(0) == 3L)
     assert(spark.sql("SELECT count(*) FROM graftc.db.rt").head().getLong(0) == 2L)
+    // CALL optimize_table: the explicit full re-lay by name — content
+    // identical, the requested file count, a fresh version
+    val o = spark.sql(
+      "CALL graftc.system.optimize_table('db.rt2', 'k', 1)").collect().head
+    assert(o.getLong(1) == 1L, s"one output file requested, got $o")
+    assert(spark.sql("SELECT k FROM graftc.db.rt2 ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 9L))
   }
 
   test("deleteMode/updateMode = merge-on-read: SQL DELETE and UPDATE commit deletion vectors, not rewrites") {
