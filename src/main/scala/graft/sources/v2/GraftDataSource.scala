@@ -66,8 +66,10 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     * which keeps creation and the first data commit separately
     * idempotent. Append mode appends; Complete mode overwrites (a
     * re-delivered Complete batch rewrites the same content —
-    * idempotent by value); Update mode needs a key-aware fold — use
-    * foreachBatch + applyCdc. */
+    * idempotent by value); Update mode folds each batch's changed
+    * rows as a MERGE-ON-READ upsert keyed by the `keyCols` option
+    * (replay re-merges identical rows onto a state that already holds
+    * them — idempotent by value at the keyed grain). */
   override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
                           parameters: Map[String, String],
                           partitionColumns: Seq[String],
@@ -75,17 +77,23 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
       : org.apache.spark.sql.execution.streaming.Sink = {
     require(partitionColumns.isEmpty,
       "graft tables cluster via OPTIMIZE/maintenance, not partitionBy")
-    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Update(),
-      "graft streaming sink supports Append and Complete; Update needs " +
-        "a key-aware fold — use foreachBatch with ManifestTable.applyCdc")
     val root = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft streaming sink requires a path option"))
     val statsCols = parameters.get("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val update =
+      outputMode == org.apache.spark.sql.streaming.OutputMode.Update()
+    val updateKeys = parameters.get("keyCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    require(!update || updateKeys.nonEmpty,
+      "graft streaming sink in Update mode needs the table's key — " +
+        "option(\"keyCols\", ...) — each micro-batch's changed rows " +
+        "then fold as a merge-on-read upsert")
     val complete =
       outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
-    new GraftStreamSink(root, statsCols, complete)
+    new GraftStreamSink(root, statsCols, complete,
+      if (update) updateKeys else Nil)
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -214,7 +222,8 @@ private[v2] final class GraftMissingTable(root: String) extends Table {
   * through the manifest commit protocol (one distributed write + a
   * metadata-scale manifest swap), never a collect. */
 private[v2] final class GraftStreamSink(root: String, statsCols: Seq[String],
-                                        complete: Boolean)
+                                        complete: Boolean,
+                                        updateKeys: Seq[String] = Nil)
   extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def name(): String = s"graft-sink.`$root`"
@@ -238,6 +247,14 @@ private[v2] final class GraftStreamSink(root: String, statsCols: Seq[String],
       // Complete re-delivers the WHOLE result each trigger; a replayed
       // batch rewrites identical content — idempotent by value
       graft.sinks.ManifestTable.overwrite(batch, root): Unit
+    } else if (updateKeys.nonEmpty) {
+      // Update mode: the batch is the CHANGED aggregate rows — fold
+      // them as a merge-on-read upsert (matched keys vector, batch
+      // appends, nothing rewrites). A checkpoint-replayed batch
+      // re-merges the SAME rows onto a state that already holds them
+      // — idempotent by VALUE (the extra version carries identical
+      // content), the Complete-mode guarantee at the keyed grain.
+      graft.sinks.ManifestTable.mergeMor(batch, root, updateKeys): Unit
     } else
       graft.sinks.ManifestTable.writeBatch(batch, root, batchId): Unit
   }

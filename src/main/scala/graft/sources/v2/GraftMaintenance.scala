@@ -76,6 +76,15 @@ object GraftMaintenance {
           .exists(_.trim.equalsIgnoreCase("hilbert")))
     val blooms = cols("bloomIndex").map(c =>
       graft.sinks.ManifestTable.buildBloom(spark, loc, c))
+    // declared RETENTION: 'keepVersions' = N runs the refcount-aware
+    // vacuum as part of the tick, so history is bounded by policy, not
+    // by someone remembering to CALL vacuum_table. The staging TTL
+    // keeps a concurrent writer's landed-but-uncommitted files safe.
+    Option(props.getProperty("keepVersions")).map(_.trim.toInt)
+      .foreach { keep =>
+        require(keep >= 1, s"keepVersions must be >= 1, got $keep")
+        graft.sinks.ManifestTable.vacuum(spark, loc, keep)
+      }
     (optimized, blooms)
   }
 }

@@ -364,6 +364,18 @@ class CatalogSpec extends AnyFunSuite {
     assert(sinks.ManifestTable.versions(spark, loc).size == 1)
     assert(spark.sql("SELECT count(*) FROM graftc.db.proc").head().getLong(0)
       == docs.count())
+    // declared RETENTION: with keepVersions a property, the tick
+    // bounds history by policy — no separate vacuum call needed
+    spark.sql("ALTER TABLE graftc.db.proc " +
+      "SET TBLPROPERTIES ('keepVersions' = '1')")
+    spark.sql("INSERT INTO graftc.db.proc VALUES " +
+      "(1000001, 'zz', 5), (1000002, 'zz', 6)")
+    assert(sinks.ManifestTable.versions(spark, loc).size >= 2)
+    spark.sql("CALL graftc.system.maintain('db.proc')").collect(): Unit
+    assert(sinks.ManifestTable.versions(spark, loc).size == 1,
+      "the declared keepVersions must bound history on the tick")
+    assert(spark.sql("SELECT count(*) FROM graftc.db.proc").head().getLong(0)
+      == docs.count() + 2)
   }
 
   test("CALL restore_table / clone_table: version restore and shallow clone by name from SQL") {

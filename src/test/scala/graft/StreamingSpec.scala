@@ -1017,4 +1017,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(!leftover.exists(_.startsWith("boot-")),
       s"bootstrap scratch must sweep at commit, found $leftover")
   }
+
+  test("graft sink in Update mode: keyed aggregate stream folds as merge-on-read upserts; equals the batch aggregate") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sink-upd").toString
+    val in = s"$base/in"; val dst = s"$base/dst"; val ckpt = s"$base/ckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    def wave(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("append").parquet(in)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .groupBy(col("k")).agg(sum(col("v")).as("total"))
+        .writeStream.outputMode("update").format("graft")
+        .option("path", dst).option("keyCols", "k")
+        .option("statsCols", "k")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    wave(spark.range(30).select((col("id") % 10).as("k"), col("id").as("v")))
+    drain()
+    wave(spark.range(30, 50)
+      .select((col("id") % 10).as("k"), col("id").as("v")))
+    drain()
+    val want = spark.read.schema(schema).parquet(in)
+      .groupBy(col("k")).agg(sum(col("v")).as("total"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = sinks.ManifestTable.read(spark, dst).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      s"update-mode fold must equal the batch aggregate: $got vs $want")
+    // the fold was merge-on-read all the way: one row per key, and the
+    // sink table reads/prunes like any graft table
+    assert(got.size == 10)
+    assert(spark.read.format("graft").load(dst)
+      .filter(col("k") === 3L).count() == 1L)
+    // an up-to-date restart delivers nothing new — same content after
+    drain()
+    assert(sinks.ManifestTable.read(spark, dst).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+    // Update without keys is refused with the contract named
+    val e = intercept[Exception] {
+      spark.readStream.schema(schema).parquet(in)
+        .groupBy(col("k")).agg(sum(col("v")).as("total"))
+        .writeStream.outputMode("update").format("graft")
+        .option("path", s"$base/dst2")
+        .option("checkpointLocation", s"$base/ckpt2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    assert(e.getMessage.contains("keyCols") ||
+      Option(e.getCause).exists(_.getMessage.contains("keyCols")))
+  }
 }
