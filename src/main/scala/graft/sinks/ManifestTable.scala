@@ -601,6 +601,10 @@ object ManifestTable {
     require(fields.nonEmpty, "addColumns requires at least one column")
     fields.foreach(f => require(f.nullable,
       s"new column ${f.name} must be nullable — existing rows read NULL"))
+    // call-local: retries within one DDL reuse the sweep unless the
+    // base moved (a conflicting commit may have changed the file set)
+    val physicalColsMemo =
+      scala.collection.mutable.Map.empty[Long, Set[String]]
     commitLoopEvolving(spark, root) { base =>
       val schema = tableSchema(spark, root, base)
       fields.foreach(f => require(!schema.fieldNames.contains(f.name),
@@ -609,19 +613,43 @@ object ManifestTable {
       // a name some LIVE file still physically carries (it was dropped
       // by [[dropColumns]], which rewrites nothing) would surface the
       // file's STALE values instead of NULL. One distributed footer
-      // sweep (mergeSchema over the live listing — metadata reads, no
-      // data I/O) proves no live file carries any of the new names.
-      val live = filesAt(spark, root, base)
-      if (live.nonEmpty) {
-        val physical = spark.read.option("mergeSchema", "true")
-          .parquet(live: _*).schema.fieldNames.toSet
-        fields.foreach(f => require(!physical.contains(f.name),
-          s"column ${f.name} was dropped but live data files still carry " +
-            "it — schema-on-read would resurrect the old values; run " +
-            "optimize() to rewrite those files before re-adding the name"))
-      }
+      // sweep over the manifest's own listing (executor-side footer
+      // reads — no stat-per-file planning, no data I/O, memoized per
+      // base so CAS retries re-sweep only when the base moved) proves
+      // no live file carries any of the new names.
+      val physical = physicalColsMemo.getOrElseUpdate(base,
+        physicalColumns(spark, filesAt(spark, root, base)))
+      fields.foreach(f => require(!physical.contains(f.name),
+        s"column ${f.name} was dropped but live data files still carry " +
+          "it — schema-on-read would resurrect the old values; run " +
+          "optimize() to rewrite those files before re-adding the name"))
       (manifest(spark, root, base), StructType(schema.fields ++ fields))
     }
+  }
+
+  /** The physical column NAMES any of `files` carries — executor-side
+    * parquet footer reads over the manifest's own listing (cost ∝
+    * |files| footer reads, distributed; no stat-per-file planning, no
+    * data I/O) — the [[addColumns]] resurrection guard's evidence. */
+  private def physicalColumns(spark: SparkSession,
+                              files: Seq[String]): Set[String] = {
+    if (files.isEmpty) return Set.empty
+    val conf = new graft.util.SerConf(spark.sparkContext.hadoopConfiguration)
+    val spk = spark
+    import spk.implicits._
+    spark.createDataset(files).repartition(math.min(files.size, 32))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.Set.empty[String]
+        it.foreach { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p), conf.value)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getFileMetaData.getSchema.getFields
+            .forEach(f => out += f.getName)
+          finally r.close()
+        }
+        out.iterator
+      }.distinct().collect().toSet
   }
 
   /** `ALTER TABLE DROP COLUMN` — the inverse evolution, equally
@@ -946,22 +974,49 @@ object ManifestTable {
     * landed batch. A batch may carry NEW columns (existing rows read
     * NULL) or OMIT existing ones (landed rows read NULL there). */
   def mergeMor(updates: DataFrame, root: String, keyCols: Seq[String],
-               evolveSchema: Boolean): Long = {
+               evolveSchema: Boolean): Long =
+    mergeMorCore(updates, root, keyCols, evolveSchema, batchId = None).get
+
+  /** Stream-idempotent [[mergeMor]] — the [[writeBatch]] contract at
+    * the keyed grain: the producing micro-batch id commits atomically
+    * with the version, a replayed id is a no-op (None), so the keyed
+    * streaming sink is EXACTLY-ONCE rather than merely
+    * idempotent-by-value (a value-idempotent replay still commits an
+    * extra version whose change feed would show phantom deltas). */
+  def mergeMorBatch(updates: DataFrame, root: String, keyCols: Seq[String],
+                    batchId: Long): Option[Long] =
+    mergeMorCore(updates, root, keyCols, evolveSchema = false,
+      batchId = Some(batchId))
+
+  private def mergeMorCore(updates: DataFrame, root: String,
+                           keyCols: Seq[String], evolveSchema: Boolean,
+                           batchId: Option[Long]): Option[Long] = {
     require(keyCols.nonEmpty, "mergeMor requires at least one key column")
+    // the key must be REAL in every mode: an evolving batch missing a
+    // key column would null-fill it and land unmatchable null-keyed
+    // rows — a silent bad insert, never an upsert
+    require(keyCols.forall(updates.columns.contains),
+      s"merge batch is missing key columns: " +
+        keyCols.filterNot(updates.columns.contains).mkString(", "))
     val spark = updates.sparkSession
     val v = latestVersion(spark, root)
     require(v >= 0, s"manifest table at $root does not exist — create() first")
+    if (batchId.exists(_ <= VersionedTable.lastAppliedBatch(
+        spark, manifestsRoot(root)))) return None
     val baseSchema = tableSchema(spark, root, v)
-    val schema =
+    // the batch's GENUINELY new columns — the only fields an attempt
+    // may widen a sidecar by (re-adding every entry-schema field would
+    // silently resurrect a column a concurrent dropColumns removed)
+    val batchNewFields =
       if (!evolveSchema) {
         require(
           updates.columns.sorted.sameElements(baseSchema.fieldNames.sorted),
           s"merge batch schema ${updates.columns.sorted.mkString(",")} != " +
             s"table schema ${baseSchema.fieldNames.sorted.mkString(",")}")
-        baseSchema
-      } else StructType(baseSchema.fields ++
-        updates.schema.fields.filterNot(f =>
-          baseSchema.fieldNames.contains(f.name)).map(_.copy(nullable = true)))
+        Array.empty[org.apache.spark.sql.types.StructField]
+      } else updates.schema.fields.filterNot(f =>
+        baseSchema.fieldNames.contains(f.name)).map(_.copy(nullable = true))
+    val schema = StructType(baseSchema.fields ++ batchNewFields)
     val batch = conform(
       schema.fieldNames.filterNot(updates.columns.contains).toSeq
         .foldLeft(updates)((df, c) =>
@@ -970,32 +1025,38 @@ object ManifestTable {
     val keys = batch.select(keyCols.map(col): _*).distinct()
     // immutable landed files are reusable across CAS retry attempts
     lazy val landed = landFiles(batch, root, statsCols(spark, root, v))
-    commitLoopEvolving(spark, root) { base =>
-      val m = manifest(spark, root, base)
-      val states = dvStates(m)
-      val touched = touchedPaths(spark, root, m, keys, keyCols,
-        tableSchema(spark, root, base)).toSet
-      val touchedStates = states.filter(s => touched.contains(s._1))
-      val live = readFilesDvPos(spark, schema,
-        touchedStates.map(s => (s._1, s._2)), touchedStates.map(_._3).sum)
-      val positions = live.join(keys, keyCols, "left_semi")
-        .select(col("_p"), col("_i"))
-      // the attempt's schema is ITS base's sidecar widened by the
-      // batch's new columns — a conflicting writer's own evolution is
-      // preserved, never clobbered by this writer's narrower view
-      val attemptSchema = {
+    commitLoopEvolvingOpt(spark, root, extraStage = batchId
+      .map(id => VersionedTable.stampBatch(spark, manifestsRoot(root), id) _)
+      .getOrElse((_: String) => ())) { base =>
+      if (batchId.exists(_ <= VersionedTable.lastAppliedBatch(
+          spark, manifestsRoot(root)))) None
+      else {
+        val m = manifest(spark, root, base)
+        val states = dvStates(m)
+        val touched = touchedPaths(spark, root, m, keys, keyCols,
+          tableSchema(spark, root, base)).toSet
+        val touchedStates = states.filter(s => touched.contains(s._1))
+        val live = readFilesDvPos(spark, schema,
+          touchedStates.map(s => (s._1, s._2)), touchedStates.map(_._3).sum)
+        val positions = live.join(keys, keyCols, "left_semi")
+          .select(col("_p"), col("_i"))
+        // the attempt's schema is ITS base's sidecar widened by the
+        // BATCH's new columns only — a conflicting writer's evolution
+        // (or column drop) is preserved, never clobbered
         val b = tableSchema(spark, root, base)
-        StructType(b.fields ++ schema.fields.filterNot(f =>
-          b.fieldNames.contains(f.name)))
+        val attemptSchema = StructType(b.fields ++
+          batchNewFields.filterNot(f => b.fieldNames.contains(f.name)))
+        // allowMissingColumns absorbs a base that gained stats columns
+        // (concurrent evolution — the batch's absent cells surface as
+        // NULL = unknown, conservative); the final projection pins the
+        // BASE manifest's column set, so stat triplets a concurrent
+        // dropColumns removed can never union back in
+        val next = vectorPositions(spark, root, m, states, touchedStates,
+            positions)
+          .getOrElse(m).unionByName(landed, allowMissingColumns = true)
+          .select(m.columns.toIndexedSeq.map(col): _*)
+        Some((next, attemptSchema))
       }
-      // allowMissingColumns: a CAS retry may land on a base whose
-      // manifest gained stats columns (concurrent additive evolution);
-      // the pre-landed batch's missing envelope cells surface as NULL
-      // = unknown — conservative for every consumer — instead of
-      // failing the union and abandoning the retry loop
-      (vectorPositions(spark, root, m, states, touchedStates, positions)
-        .getOrElse(m).unionByName(landed, allowMissingColumns = true),
-        attemptSchema)
     }
   }
 
@@ -1031,10 +1092,10 @@ object ManifestTable {
         touchedStates.map(s => (s._1, s._2)), touchedStates.map(_._3).sum)
       val positions = live.join(keys, keyCols, "left_semi")
         .select(col("_p"), col("_i"))
-      // allowMissingColumns: see [[mergeMor]] — absorbs a concurrent
-      // additive evolution on the retry path (NULL = unknown cells)
+      // allowMissingColumns + base-column pinning: see [[mergeMorCore]]
       vectorPositions(spark, root, m, states, touchedStates, positions)
         .getOrElse(m).unionByName(landed, allowMissingColumns = true)
+        .select(m.columns.toIndexedSeq.map(col): _*)
     }
   }
 

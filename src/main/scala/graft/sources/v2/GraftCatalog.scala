@@ -210,6 +210,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val props = readDef(ident).getOrElse(throw new NoSuchTableException(ident))
+    // VALIDATE the whole change set, THEN apply: adds as ONE widening
+    // commit and drops as ONE narrowing commit — a multi-column ALTER
+    // that failed midway under per-change commits would leave the
+    // table half-altered while the statement reports failure
+    val adds = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.types.StructField]
+    val drops = scala.collection.mutable.ArrayBuffer.empty[String]
     changes.foreach {
       case set: TableChange.SetProperty =>
         props.setProperty(set.property, set.value)
@@ -221,7 +228,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // data rewrites, old rows read NULL. Strict-mode surprise
         // columns in APPENDS stay refused; only this declared DDL
         // widens the schema.
-        val loc = props.getProperty("location")
         require(add.fieldNames.length == 1,
           "graft tables have no nested columns to add into")
         // refuse rather than silently weaken: every pre-existing row
@@ -235,22 +241,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (add.position() != null) throw new UnsupportedOperationException(
           "ADD COLUMN ... FIRST/AFTER is not supported: evolved columns " +
             "append at the end of the schema")
-        require(graft.sinks.ManifestTable.exists(spark, loc),
-          "ADD COLUMN is supported on manifest-format tables only " +
-            "(epoch tables evolve through merge(evolveSchema = true))")
-        graft.sinks.ManifestTable.addColumns(spark, loc, Seq(
-          org.apache.spark.sql.types.StructField(
-            add.fieldNames()(0), add.dataType, nullable = true))): Unit
+        adds += org.apache.spark.sql.types.StructField(
+          add.fieldNames()(0), add.dataType, nullable = true)
       case del: TableChange.DeleteColumn =>
-        // ALTER TABLE DROP COLUMN: a narrower sidecar commit — zero
-        // data I/O, dropped stat triplets leave the manifest rows
-        val loc = props.getProperty("location")
         require(del.fieldNames.length == 1,
           "graft tables have no nested columns to drop from")
-        require(graft.sinks.ManifestTable.exists(spark, loc),
-          "DROP COLUMN is supported on manifest-format tables only")
-        graft.sinks.ManifestTable.dropColumns(spark, loc,
-          Seq(del.fieldNames()(0))): Unit
+        drops += del.fieldNames()(0)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other — RENAME and " +
           "type changes need column mapping, which schema-on-read by " +
@@ -258,6 +254,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     require(props.getProperty("location") != null,
       "the location property cannot be removed")
+    if (adds.nonEmpty || drops.nonEmpty) {
+      val loc = props.getProperty("location")
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        "ADD/DROP COLUMN is supported on manifest-format tables only " +
+          "(epoch tables evolve through merge(evolveSchema = true))")
+      // dropping a column the DECLARED MAINTENANCE rides on would
+      // break every later tick (optimizeIncremental/buildBloom on a
+      // schema without it) — refuse until the policy is re-declared
+      drops.foreach { c =>
+        Seq("clusterBy", "bloomIndex").foreach { p =>
+          val declared = Option(props.getProperty(p))
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil)
+          require(!declared.contains(c),
+            s"column $c is named by the table's '$p' maintenance " +
+              s"property — unset or re-declare '$p' in the same ALTER " +
+              "before dropping the column")
+        }
+      }
+      if (adds.nonEmpty)
+        graft.sinks.ManifestTable.addColumns(spark, loc, adds.toSeq): Unit
+      if (drops.nonEmpty)
+        graft.sinks.ManifestTable.dropColumns(spark, loc, drops.toSeq): Unit
+    }
     writeDef(ident, props)
     loadTable(ident)
   }

@@ -250,11 +250,25 @@ private[v2] final class GraftStreamSink(root: String, statsCols: Seq[String],
     } else if (updateKeys.nonEmpty) {
       // Update mode: the batch is the CHANGED aggregate rows — fold
       // them as a merge-on-read upsert (matched keys vector, batch
-      // appends, nothing rewrites). A checkpoint-replayed batch
-      // re-merges the SAME rows onto a state that already holds them
-      // — idempotent by VALUE (the extra version carries identical
-      // content), the Complete-mode guarantee at the keyed grain.
-      graft.sinks.ManifestTable.mergeMor(batch, root, updateKeys): Unit
+      // appends, nothing rewrites), EXACTLY-ONCE via the replay
+      // marker committed atomically with the version (a redelivered
+      // batch after restart is a detected no-op, so the change feed
+      // never shows phantom deltas). The keyed contract demands ONE
+      // row per key per batch — true for the aggregate streams Update
+      // mode exists for; a non-aggregate stream carrying duplicates
+      // would silently break the one-row-per-key table, so refuse
+      // loudly (cost: one metadata-scale count over the micro-batch).
+      val dups = batch.groupBy(updateKeys.map(
+          org.apache.spark.sql.functions.col): _*)
+        .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+        .limit(1).count()
+      require(dups == 0L,
+        "graft streaming sink in Update mode requires one row per key " +
+          "per micro-batch (the keyed-aggregate contract); for " +
+          "duplicate-carrying streams use foreachBatch with applyCdcMor " +
+          "and a sequence column")
+      graft.sinks.ManifestTable.mergeMorBatch(batch, root, updateKeys,
+        batchId): Unit
     } else
       graft.sinks.ManifestTable.writeBatch(batch, root, batchId): Unit
   }

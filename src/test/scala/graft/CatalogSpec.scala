@@ -286,6 +286,18 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE graftc.db.evo ADD COLUMN note STRING")
     }
     assert(re.getMessage.contains("resurrect"))
+    // dropping a column the declared maintenance rides on is refused
+    // until the policy is re-declared — a broken scheduled tick is
+    // worse than a refused ALTER
+    spark.sql("ALTER TABLE graftc.db.evo " +
+      "SET TBLPROPERTIES ('clusterBy' = 'v')")
+    val pol = intercept[Exception] {
+      spark.sql("ALTER TABLE graftc.db.evo DROP COLUMN v")
+    }
+    assert(pol.getMessage.contains("clusterBy"))
+    spark.sql("ALTER TABLE graftc.db.evo UNSET TBLPROPERTIES ('clusterBy')")
+    spark.sql("ALTER TABLE graftc.db.evo DROP COLUMN v")
+    assert(spark.table("graftc.db.evo").columns.toSeq == Seq("k"))
   }
 
   test("catalog-declared clustering: maintain(tableName) re-clusters degraded appends from metadata alone, then skips restored") {

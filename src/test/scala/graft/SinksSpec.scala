@@ -1806,6 +1806,18 @@ class SinksSpec extends AnyFunSuite {
       .filter(col("k") === 3L).collect()
     assert(rows3.length == 1 && rows3.head.getLong(1) == 333L,
       s"re-merged key must stay single, got ${rows3.toSeq}")
+    // stream-idempotent variant: a replayed batch id is a detected
+    // no-op — no extra version, no phantom change-feed deltas
+    val vB = ManifestTable.mergeMorBatch(
+      Seq((5L, 555L)).toDF("k", "v"), root, Seq("k"), batchId = 41L)
+    assert(vB.nonEmpty)
+    assert(ManifestTable.mergeMorBatch(
+      Seq((5L, 555L)).toDF("k", "v"), root, Seq("k"), batchId = 41L).isEmpty,
+      "a replayed batch id must not commit")
+    assert(ManifestTable.latestVersion(spark, root) == vB.get)
+    assert(ManifestTable.mergeMorBatch(
+      Seq((6L, 666L)).toDF("k", "v"), root, Seq("k"), batchId = 42L)
+      .contains(vB.get + 1))
   }
 
   test("DV scan plan shape: the clean branch still prunes by envelope; vectored files ride as whole-file partitions") {
@@ -1896,6 +1908,13 @@ class SinksSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2))))
     assert(got.toSeq == Seq((1L, "A", Some(9L)), (2L, "b", None)))
+    // the KEY must be real even in evolve mode — a batch missing it
+    // would null-fill and land unmatchable null-keyed rows
+    val ek = intercept[IllegalArgumentException] {
+      ManifestTable.mergeMor(Seq(("Z", 1L)).toDF("v", "extra"), root,
+        Seq("k"), evolveSchema = true)
+    }
+    assert(ek.getMessage.contains("missing key"))
   }
 
   test("DROP COLUMN: narrower sidecar, files verbatim, stat triplets leave the manifest; re-ADD of a live name refused") {
