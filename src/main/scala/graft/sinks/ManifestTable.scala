@@ -304,9 +304,35 @@ object ManifestTable {
     * foreachBatch redelivery case after a restart. Cost ∝ batch (the
     * manifest-append grain), so a streaming ingest into a 100 TB
     * table stays per-batch work. Returns None on a detected replay. */
+  /** The table's stream replay marker — the highest batch id a
+    * [[writeBatch]]/[[mergeMorBatch]] commit stamped (-1 when none).
+    * Lets a sink skip per-batch work it can prove is a replay before
+    * running any job over the micro-batch. */
+  def lastAppliedBatch(spark: SparkSession, root: String): Long =
+    VersionedTable.lastAppliedBatch(spark, manifestsRoot(root))
+
+  /** Strict replay discipline shared by the batch-stamped commits
+    * ([[writeBatch]], [[mergeMorBatch]]): an id EQUAL to the marker is
+    * the redelivered micro-batch (no-op — the exactly-once case); an
+    * id BELOW it cannot come from the same checkpoint (offsets are
+    * monotone per checkpoint), so it is a DIFFERENT query's stream
+    * aimed at this table — and silently swallowing its batches as
+    * "replays" until its ids catch up would be wholesale data loss.
+    * Returns true for the no-op replay; throws on the mismatch. */
+  private def isReplay(spark: SparkSession, root: String,
+                       batchId: Long): Boolean = {
+    val last = VersionedTable.lastAppliedBatch(spark, manifestsRoot(root))
+    require(batchId >= last,
+      s"batch id $batchId is BELOW the table's replay marker $last — " +
+        "this stream's checkpoint does not match the table's history " +
+        "(a fresh checkpoint restarts ids at 0); write to a fresh " +
+        "table, or overwrite() the table to restart it with the stream")
+    batchId == last
+  }
+
   def writeBatch(df: DataFrame, root: String, batchId: Long): Option[Long] = {
     val spark = df.sparkSession
-    if (batchId <= VersionedTable.lastAppliedBatch(spark, manifestsRoot(root)))
+    if (isReplay(spark, root, batchId))
       None
     else {
       val v = latestVersion(spark, root)
@@ -326,8 +352,7 @@ object ManifestTable {
       commitLoopEvolvingOpt(spark, root, extraStage =
         VersionedTable.stampBatch(spark, manifestsRoot(root), batchId)) {
         base =>
-          if (batchId <= VersionedTable.lastAppliedBatch(
-              spark, manifestsRoot(root))) None
+          if (isReplay(spark, root, batchId)) None
           else Some((manifest(spark, root, base).unionByName(rows),
             tableSchema(spark, root, base)))
       }
@@ -597,33 +622,56 @@ object ManifestTable {
     * columns must be nullable for exactly that reason. Returns the
     * committed version. */
   def addColumns(spark: SparkSession, root: String,
-                 fields: Seq[org.apache.spark.sql.types.StructField]): Long = {
-    require(fields.nonEmpty, "addColumns requires at least one column")
-    fields.foreach(f => require(f.nullable,
+                 fields: Seq[org.apache.spark.sql.types.StructField]): Long =
+    alterColumns(spark, root, adds = fields, drops = Nil)
+
+  /** Additive ADD + DROP evolution as ONE commit — the atomic form a
+    * multi-change `ALTER TABLE` needs (per-change commits would leave
+    * the table half-altered when a later change fails): every check
+    * runs against the attempt's base before anything commits. See
+    * [[addColumns]]/[[dropColumns]] for each side's contract. */
+  def alterColumns(spark: SparkSession, root: String,
+                   adds: Seq[org.apache.spark.sql.types.StructField],
+                   drops: Seq[String]): Long = {
+    require(adds.nonEmpty || drops.nonEmpty,
+      "alterColumns requires at least one change")
+    adds.foreach(f => require(f.nullable,
       s"new column ${f.name} must be nullable — existing rows read NULL"))
-    // call-local: retries within one DDL reuse the sweep unless the
-    // base moved (a conflicting commit may have changed the file set)
-    val physicalColsMemo =
-      scala.collection.mutable.Map.empty[Long, Set[String]]
+    require(adds.map(_.name).distinct.length == adds.length,
+      s"duplicate new column names: ${adds.map(_.name).mkString(", ")} — " +
+        "a sidecar with repeated fields would poison every later read")
+    require(adds.map(_.name).toSet.intersect(drops.toSet).isEmpty,
+      "a column cannot be both added and dropped in one change set")
     commitLoopEvolving(spark, root) { base =>
       val schema = tableSchema(spark, root, base)
-      fields.foreach(f => require(!schema.fieldNames.contains(f.name),
+      adds.foreach(f => require(!schema.fieldNames.contains(f.name),
         s"column ${f.name} already exists"))
-      // RESURRECTION GUARD: schema-on-read maps by NAME, so re-adding
-      // a name some LIVE file still physically carries (it was dropped
-      // by [[dropColumns]], which rewrites nothing) would surface the
-      // file's STALE values instead of NULL. One distributed footer
-      // sweep over the manifest's own listing (executor-side footer
-      // reads — no stat-per-file planning, no data I/O, memoized per
-      // base so CAS retries re-sweep only when the base moved) proves
-      // no live file carries any of the new names.
-      val physical = physicalColsMemo.getOrElseUpdate(base,
-        physicalColumns(spark, filesAt(spark, root, base)))
-      fields.foreach(f => require(!physical.contains(f.name),
-        s"column ${f.name} was dropped but live data files still carry " +
-          "it — schema-on-read would resurrect the old values; run " +
-          "optimize() to rewrite those files before re-adding the name"))
-      (manifest(spark, root, base), StructType(schema.fields ++ fields))
+      drops.foreach(n => require(schema.fieldNames.contains(n),
+        s"column $n does not exist"))
+      require(schema.fields.length + adds.length > drops.distinct.length,
+        "cannot drop every column of the table")
+      if (adds.nonEmpty) {
+        // RESURRECTION GUARD: schema-on-read maps by NAME, so
+        // re-adding a name some LIVE file still physically carries (it
+        // was dropped by [[dropColumns]], which rewrites nothing)
+        // would surface the file's STALE values instead of NULL. One
+        // distributed footer sweep over the manifest's own listing
+        // (executor-side footer reads — no stat-per-file planning, no
+        // data I/O; a CAS retry re-sweeps because its base's file set
+        // may differ) proves no live file carries any of the new names.
+        val physical = physicalColumns(spark, filesAt(spark, root, base))
+        adds.foreach(f => require(!physical.contains(f.name),
+          s"column ${f.name} was dropped but live data files still carry " +
+            "it — schema-on-read would resurrect the old values; run " +
+            "optimize() to rewrite those files before re-adding the name"))
+      }
+      val next = StructType(
+        schema.fields.filterNot(f => drops.contains(f.name)) ++ adds)
+      val m = manifest(spark, root, base)
+      val statDrop = drops.flatMap(c =>
+        Seq(s"${c}_min", s"${c}_max", s"${c}_nulls"))
+        .filter(m.columns.contains)
+      (m.drop(statDrop: _*), next)
     }
   }
 
@@ -663,23 +711,8 @@ object ManifestTable {
     * refused while live files still carry it — see [[addColumns]]'s
     * resurrection guard. */
   def dropColumns(spark: SparkSession, root: String,
-                  names: Seq[String]): Long = {
-    require(names.nonEmpty, "dropColumns requires at least one column")
-    commitLoopEvolving(spark, root) { base =>
-      val schema = tableSchema(spark, root, base)
-      names.foreach(n => require(schema.fieldNames.contains(n),
-        s"column $n does not exist"))
-      require(schema.fields.length > names.distinct.length,
-        "cannot drop every column of the table")
-      val keep = StructType(
-        schema.fields.filterNot(f => names.contains(f.name)))
-      val m = manifest(spark, root, base)
-      val statDrop = names.flatMap(c =>
-        Seq(s"${c}_min", s"${c}_max", s"${c}_nulls"))
-        .filter(m.columns.contains)
-      (m.drop(statDrop: _*), keep)
-    }
-  }
+                  names: Seq[String]): Long =
+    alterColumns(spark, root, adds = Nil, drops = names)
 
   // ------------------------------------------------- deletion vectors
 
@@ -1001,8 +1034,7 @@ object ManifestTable {
     val spark = updates.sparkSession
     val v = latestVersion(spark, root)
     require(v >= 0, s"manifest table at $root does not exist — create() first")
-    if (batchId.exists(_ <= VersionedTable.lastAppliedBatch(
-        spark, manifestsRoot(root)))) return None
+    if (batchId.exists(isReplay(spark, root, _))) return None
     val baseSchema = tableSchema(spark, root, v)
     // the batch's GENUINELY new columns — the only fields an attempt
     // may widen a sidecar by (re-adding every entry-schema field would
@@ -1028,8 +1060,7 @@ object ManifestTable {
     commitLoopEvolvingOpt(spark, root, extraStage = batchId
       .map(id => VersionedTable.stampBatch(spark, manifestsRoot(root), id) _)
       .getOrElse((_: String) => ())) { base =>
-      if (batchId.exists(_ <= VersionedTable.lastAppliedBatch(
-          spark, manifestsRoot(root)))) None
+      if (batchId.exists(isReplay(spark, root, _))) None
       else {
         val m = manifest(spark, root, base)
         val states = dvStates(m)

@@ -269,14 +269,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             .getOrElse(Nil)
           require(!declared.contains(c),
             s"column $c is named by the table's '$p' maintenance " +
-              s"property — unset or re-declare '$p' in the same ALTER " +
-              "before dropping the column")
+              s"property — unset or re-declare '$p' first (a prior " +
+              "ALTER TABLE ... SET/UNSET TBLPROPERTIES), then drop " +
+              "the column")
         }
       }
-      if (adds.nonEmpty)
-        graft.sinks.ManifestTable.addColumns(spark, loc, adds.toSeq): Unit
-      if (drops.nonEmpty)
-        graft.sinks.ManifestTable.dropColumns(spark, loc, drops.toSeq): Unit
+      // ONE commit for the whole change set — adds and drops landing
+      // as separate commits would leave the table half-altered when
+      // the second one fails after the first succeeded
+      graft.sinks.ManifestTable.alterColumns(spark, loc,
+        adds.toSeq, drops.toSeq): Unit
     }
     writeDef(ident, props)
     loadTable(ident)

@@ -251,24 +251,29 @@ private[v2] final class GraftStreamSink(root: String, statsCols: Seq[String],
       // Update mode: the batch is the CHANGED aggregate rows — fold
       // them as a merge-on-read upsert (matched keys vector, batch
       // appends, nothing rewrites), EXACTLY-ONCE via the replay
-      // marker committed atomically with the version (a redelivered
-      // batch after restart is a detected no-op, so the change feed
-      // never shows phantom deltas). The keyed contract demands ONE
-      // row per key per batch — true for the aggregate streams Update
-      // mode exists for; a non-aggregate stream carrying duplicates
-      // would silently break the one-row-per-key table, so refuse
-      // loudly (cost: one metadata-scale count over the micro-batch).
-      val dups = batch.groupBy(updateKeys.map(
-          org.apache.spark.sql.functions.col): _*)
-        .count().filter(org.apache.spark.sql.functions.col("count") > 1)
-        .limit(1).count()
-      require(dups == 0L,
-        "graft streaming sink in Update mode requires one row per key " +
-          "per micro-batch (the keyed-aggregate contract); for " +
-          "duplicate-carrying streams use foreachBatch with applyCdcMor " +
-          "and a sequence column")
-      graft.sinks.ManifestTable.mergeMorBatch(batch, root, updateKeys,
-        batchId): Unit
+      // marker committed atomically with the version. A redelivered
+      // batch (id == the table's marker) is detected HERE, before any
+      // job runs over the micro-batch; an id BELOW the marker is a
+      // checkpoint/table mismatch the engine refuses loudly — silent
+      // swallowing would be data loss.
+      if (batchId != graft.sinks.ManifestTable.lastAppliedBatch(spark, root)) {
+        // the keyed contract demands ONE row per key per batch — true
+        // for the aggregate streams Update mode exists for; a
+        // duplicate-carrying stream would silently break the
+        // one-row-per-key table, so refuse loudly (cost: one
+        // aggregation job over the micro-batch)
+        val dups = batch.groupBy(updateKeys.map(
+            org.apache.spark.sql.functions.col): _*)
+          .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+          .limit(1).count()
+        require(dups == 0L,
+          "graft streaming sink in Update mode requires one row per key " +
+            "per micro-batch (the keyed-aggregate contract); for " +
+            "duplicate-carrying streams use foreachBatch with applyCdcMor " +
+            "and a sequence column")
+        graft.sinks.ManifestTable.mergeMorBatch(batch, root, updateKeys,
+          batchId): Unit
+      }
     } else
       graft.sinks.ManifestTable.writeBatch(batch, root, batchId): Unit
   }

@@ -1818,6 +1818,14 @@ class SinksSpec extends AnyFunSuite {
     assert(ManifestTable.mergeMorBatch(
       Seq((6L, 666L)).toDF("k", "v"), root, Seq("k"), batchId = 42L)
       .contains(vB.get + 1))
+    // an id BELOW the marker cannot be a replay of THIS checkpoint
+    // (ids are monotone per checkpoint) — it is a different stream's
+    // checkpoint aimed at this table: refuse loudly, never swallow
+    val mm = intercept[IllegalArgumentException] {
+      ManifestTable.mergeMorBatch(
+        Seq((7L, 777L)).toDF("k", "v"), root, Seq("k"), batchId = 0L)
+    }
+    assert(mm.getMessage.contains("replay marker"))
   }
 
   test("DV scan plan shape: the clean branch still prunes by envelope; vectored files ride as whole-file partitions") {
