@@ -294,7 +294,14 @@ object ManifestTable {
       s"overwrite schema ${df.columns.sorted.mkString(",")} != table " +
         s"schema ${schema.fieldNames.sorted.mkString(",")}")
     val rows = landFiles(conform(df, schema), root, statsCols(spark, root, v))
-    commitLoop(spark, root)(_ => rows)
+    // a full content replace is a stream RESTART: stamp the reset
+    // tombstone so the replay marker does not carry into the table's
+    // new life — the strict-discipline error message tells users to
+    // overwrite() exactly to re-point a fresh-checkpoint stream here
+    commitLoopEvolving(spark, root, extraStage =
+      VersionedTable.stampBatch(spark, manifestsRoot(root), -1L)) { base =>
+      (rows, tableSchema(spark, root, base))
+    }
   }
 
   /** Stream-idempotent append — [[VersionedTable.writeBatch]] for the
@@ -1645,20 +1652,30 @@ object ManifestTable {
     val vs = versions(spark, root)
     val agg: Map[Long, (Long, Long, Long)] =
       if (vs.isEmpty) Map.empty
-      else vs.map { v =>
-        // LIVE rows: a deletion vector's rows are gone from the
-        // reader's view, so they are gone from the version's count
-        manifest(spark, root, v)
-          .select(lit(v).as("version"),
-            (col("row_count") - col("dv_rows")).as("row_count"),
-            col("size"))
-      }.reduce(_ unionByName _)
-        .groupBy(col("version"))
-        .agg(count(lit(1)).as("n_files"),
-          coalesce(sum(col("row_count")), lit(0L)).as("n_rows"),
-          coalesce(sum(col("size")), lit(0L)).as("bytes"))
-        .collect().map(r => r.getLong(0) ->
-          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      else {
+        // ONE spark.read over every retained manifest epoch: the
+        // hive-style `epoch=N` dirs give the version column via
+        // partition discovery, and the explicit schema serves pre-DV
+        // epochs' missing dv_rows as NULL (coalesced to 0). The
+        // alternative — a per-version unionByName fold — builds a
+        // |versions|-deep left-nested plan whose driver-side
+        // analysis/optimization cost exceeds the serial jobs it
+        // replaced at thousands of retained versions.
+        val mroot = manifestsRoot(root)
+        spark.read
+          .schema("size BIGINT, row_count BIGINT, dv_rows BIGINT, epoch BIGINT")
+          .option("basePath", mroot)
+          .parquet(vs.map(v => s"$mroot/epoch=$v"): _*)
+          .groupBy(col("epoch").as("version"))
+          // LIVE rows: a deletion vector's rows are gone from the
+          // reader's view, so they are gone from the version's count
+          .agg(count(lit(1)).as("n_files"),
+            coalesce(sum(col("row_count") -
+              coalesce(col("dv_rows"), lit(0L))), lit(0L)).as("n_rows"),
+            coalesce(sum(col("size")), lit(0L)).as("bytes"))
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      }
     val spk = spark
     import spk.implicits._
     // empty-manifest versions (a created-but-unloaded table) produce

@@ -111,7 +111,18 @@ object VersionedTable {
     * never resolve an epoch whose sidecar is missing or half-written. */
   def writeStaged(df: DataFrame, root: String)(stage: String => Unit): Long = {
     val spark = df.sparkSession
-    var stageDir = stageEpoch(df, root, stage)
+    // a blind full-epoch replace is a stream RESTART: stamp the reset
+    // tombstone (unless the hook stamped its own id) so
+    // [[lastAppliedBatch]]'s newest-stamped-epoch walk does not
+    // resurrect a marker from an earlier life of the table — the
+    // documented "overwrite to restart the stream" path depends on it
+    val resetStage: String => Unit = dir => {
+      stage(dir)
+      if (!fs(spark, root).exists(
+          new org.apache.hadoop.fs.Path(dir, BatchSidecar)))
+        stampBatch(spark, root, -1L)(dir)
+    }
+    var stageDir = stageEpoch(df, root, resetStage)
     var next = latestVersion(spark, root) + 1
     var won = false
     while (!won) {
@@ -121,7 +132,7 @@ object VersionedTable {
         case LostConsumed =>
           // the degenerate-rename loser's stage was consumed (see
           // [[claimEpoch]]) — re-stage and try the next number
-          stageDir = stageEpoch(df, root, stage); next += 1
+          stageDir = stageEpoch(df, root, resetStage); next += 1
       }
     }
     bumpPointer(spark, root, next)
@@ -161,6 +172,18 @@ object VersionedTable {
     df.write.mode("overwrite").parquet(s"$root/$name")
     stage(s"$root/$name")
     val f = fs(df.sparkSession, root)
+    // EXACTLY-ONCE CARRY-FORWARD: a non-stream commit (maintenance
+    // tick, batch merge, optimize) must not reset the stream replay
+    // marker — [[lastAppliedBatch]] reads the newest STAMPED epoch, so
+    // every epoch carries the table's high-water batch id forward
+    // unless the stage hook stamped its own (the writeBatch paths do).
+    // Without this, a crash-redelivered micro-batch landing after an
+    // interleaved non-stream commit would be applied twice.
+    if (!f.exists(
+        new org.apache.hadoop.fs.Path(s"$root/$name", BatchSidecar))) {
+      val carried = lastAppliedBatch(df.sparkSession, root)
+      if (carried >= 0L) stampBatch(df.sparkSession, root, carried)(s"$root/$name")
+    }
     // the claim marker: this stage's own (unique) directory name —
     // [[claimEpoch]] verifies after a "successful" publish rename
     // that the published epoch actually carries OUR marker
@@ -296,22 +319,30 @@ object VersionedTable {
     * topKStream) would double-apply it. */
   private val BatchSidecar = "_graft_stream_batch"
 
-  /** Batch id recorded in the current epoch's sidecar, -1 when the
-    * table is empty or its current epoch was not batch-stamped. */
+  /** The table's high-water stream batch id, -1 when no epoch was ever
+    * batch-stamped. Walks epochs newest→oldest and returns the FIRST
+    * sidecar found: [[stageEpoch]] carries the marker forward into
+    * every commit, so the newest stamped epoch holds the maximum —
+    * and for histories whose interleaved non-stream commits (a
+    * maintenance tick, a batch merge) predate the carry-forward, the
+    * walk still reaches the stamped epoch below them instead of
+    * resetting to -1, which would re-apply a crash-redelivered
+    * micro-batch. Cost: one exists() per epoch until the first hit —
+    * post-carry-forward that is the latest epoch. */
   def lastAppliedBatch(spark: SparkSession, root: String): Long = {
-    val v = latestVersion(spark, root)
-    if (v < 0) -1L
-    else {
+    val f = fs(spark, root)
+    if (!f.exists(new org.apache.hadoop.fs.Path(root))) return -1L
+    versions(spark, root).reverse.foreach { v =>
       val p = new org.apache.hadoop.fs.Path(s"$root/epoch=$v", BatchSidecar)
-      val f = fs(spark, root)
-      if (!f.exists(p)) -1L
-      else {
+      if (f.exists(p)) {
         val in = f.open(p)
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        try return new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
           "UTF-8").trim.toLong
         finally in.close()
       }
     }
+    -1L
   }
 
   /** [[write]] stamped with the producing batch id — and a no-op

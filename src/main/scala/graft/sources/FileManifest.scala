@@ -47,11 +47,21 @@ object FileManifest {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // hidden-ness is decided on every path component BELOW the landing
+    // dir, not just the leaf name: a crashed writer's `.stage-*`
+    // directory copied inside a committed epoch (the degenerate-rename
+    // artifact [[graft.sinks.VersionedTable]] documents) contains
+    // part-*.parquet files a leaf-only filter would list — and
+    // spark.read.parquet correctly ignores — so listing them here
+    // would serve duplicate rows to e.g. the streaming bootstrap.
+    val baseDepth = p.toUri.getPath.split('/').count(_.nonEmpty)
+    def hiddenComponent(f: org.apache.hadoop.fs.Path): Boolean =
+      f.toUri.getPath.split('/').filter(_.nonEmpty).drop(baseDepth)
+        .exists(c => c.startsWith("_") || c.startsWith("."))
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && name.endsWith(suffix) && !name.startsWith("_") &&
-        !name.startsWith("."))
+      if (f.isFile && f.getPath.getName.endsWith(suffix) &&
+        !hiddenComponent(f.getPath))
         rows += ((f.getPath.toUri.getPath, f.getLen))
     }
     val spk = spark

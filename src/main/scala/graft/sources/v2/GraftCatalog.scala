@@ -135,14 +135,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (!graft.sinks.ManifestTable.exists(spark, loc)) None
       else ident.name match {
         case "history" =>
-          val df = graft.sinks.ManifestTable.history(spark, loc)
+          // static schema at resolution; the history aggregation and
+          // its collect run at SCAN time (the [[GraftLocalTable]]
+          // thunk) — EXPLAIN, existence probes, and repeated
+          // references resolve without paying any metadata jobs
           Some(new GraftLocalTable(s"$catalogName.$baseIdent.history",
-            df.schema, df.collect().toSeq))
+            GraftCatalog.HistorySchema,
+            () => graft.sinks.ManifestTable.history(spark, loc)
+              .collect().toSeq))
         case "files" =>
+          // resolution reads only the manifest's SCHEMA (one footer);
+          // the row collect defers to scan time
           val v = graft.sinks.ManifestTable.latestVersion(spark, loc)
           val df = graft.sinks.ManifestTable.manifest(spark, loc, v)
           Some(new GraftLocalTable(s"$catalogName.$baseIdent.files",
-            df.schema, df.collect().toSeq))
+            df.schema, () => df.collect().toSeq))
         case _ => None
       }
     }
@@ -416,4 +423,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"namespace ${namespace.mkString(".")} is not empty")
     else fs.delete(dir, true)
   }
+}
+
+object GraftCatalog {
+  import org.apache.spark.sql.types._
+
+  /** Static schema of the `t.history` metadata table — mirrors
+    * [[graft.sinks.ManifestTable.history]]'s tuple-encoder schema so
+    * resolution never has to build (or run) the history frame. */
+  private[v2] val HistorySchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = true),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
 }

@@ -7,15 +7,22 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Read-only DSv2 table over DRIVER-COLLECTED rows — the carrier for
+/** Read-only DSv2 table over DRIVER-COMPUTED rows — the carrier for
   * the catalog's METADATA TABLES (`graft.db.t.history`,
   * `graft.db.t.files`), whose contents are metadata-scale by
   * construction: |versions| / |files| rows computed from the
-  * manifests alone, never data I/O. One partition; rows serialize as
-  * external Rows and convert to InternalRows executor-side through
-  * the schema's encoder. */
+  * manifests alone, never data I/O. The rows THUNK is evaluated at
+  * scan-planning time (once per executed scan), not at table
+  * resolution: loadTable must stay cheap — EXPLAIN, existence probes,
+  * and repeated references in one query all resolve the identifier
+  * without paying the metadata aggregation. One partition; rows
+  * serialize as external Rows and convert to InternalRows
+  * executor-side through the schema's encoder. */
 final class GraftLocalTable(tblName: String, tblSchema: StructType,
-                            rows: Seq[Row]) extends Table with SupportsRead {
+                            rows: () => Seq[Row]) extends Table with SupportsRead {
+
+  def this(tblName: String, tblSchema: StructType, fixed: Seq[Row]) =
+    this(tblName, tblSchema, () => fixed)
 
   override def name(): String = tblName
   override def schema(): StructType = tblSchema
@@ -26,8 +33,11 @@ final class GraftLocalTable(tblName: String, tblSchema: StructType,
     () => new Scan {
       override def readSchema(): StructType = tblSchema
       override def toBatch: Batch = new Batch {
+        // planInputPartitions can be called more than once per batch;
+        // compute the rows once per executed scan
+        private lazy val computed = rows()
         override def planInputPartitions(): Array[InputPartition] =
-          Array(GraftLocalPartition(tblSchema, rows))
+          Array(GraftLocalPartition(tblSchema, computed))
         override def createReaderFactory(): PartitionReaderFactory =
           GraftLocalReaderFactory
       }

@@ -1481,6 +1481,54 @@ class SinksSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, root).count() == 3)
   }
 
+  test("replay marker survives interleaved non-stream commits; overwrite resets it") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-marker-carry").toString + "/t"
+    ManifestTable.create(Seq((1L, "a")).toDF("k", "v"), root, Seq("k"))
+    assert(ManifestTable.writeBatch(
+      Seq((2L, "b")).toDF("k", "v"), root, batchId = 7L).nonEmpty)
+    // interleaved NON-stream commits — a batch merge and an optimize
+    // tick — must carry the high-water batch id forward: without the
+    // carry, a crash-redelivered micro-batch landing after them would
+    // be applied twice (duplicate rows), breaking exactly-once
+    ManifestTable.merge(Seq((1L, "A")).toDF("k", "v"), root, Seq("k"))
+    assert(ManifestTable.lastAppliedBatch(spark, root) == 7L)
+    ManifestTable.optimize(spark, root, sortCols = Seq("k"), numFiles = 1)
+    assert(ManifestTable.lastAppliedBatch(spark, root) == 7L)
+    // the redelivered batch is still detected as a replay
+    assert(ManifestTable.writeBatch(
+      Seq((2L, "b")).toDF("k", "v"), root, batchId = 7L).isEmpty)
+    assert(ManifestTable.read(spark, root).count() == 2)
+    // and the next id commits normally on top of the optimized layout
+    assert(ManifestTable.writeBatch(
+      Seq((3L, "c")).toDF("k", "v"), root, batchId = 8L).nonEmpty)
+    assert(ManifestTable.lastAppliedBatch(spark, root) == 8L)
+    // overwrite is the documented RESTART path: the marker resets (a
+    // -1 tombstone, not a walk back to the old epochs' stamps), so a
+    // fresh checkpoint's ids starting at 0 are accepted again
+    ManifestTable.overwrite(Seq((9L, "z")).toDF("k", "v"), root)
+    assert(ManifestTable.lastAppliedBatch(spark, root) == -1L)
+    assert(ManifestTable.writeBatch(
+      Seq((10L, "y")).toDF("k", "v"), root, batchId = 0L).nonEmpty)
+    assert(ManifestTable.read(spark, root).count() == 2)
+  }
+
+  test("versioned table replay marker survives an interleaved merge") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vt-carry").toString + "/t"
+    assert(sinks.VersionedTable.writeBatch(
+      Seq((1L, "a")).toDF("k", "v"), root, 3L).contains(0L))
+    // merge commits through the read-modify-write loop — the marker
+    // must carry into its epoch, not reset to -1
+    sinks.VersionedTable.merge(Seq((1L, "A")).toDF("k", "v"), root, Seq("k"))
+    assert(sinks.VersionedTable.lastAppliedBatch(spark, root) == 3L)
+    assert(sinks.VersionedTable.writeBatch(
+      Seq((9L, "z")).toDF("k", "v"), root, 3L).isEmpty)
+    assert(sinks.VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().toSeq.sorted == Seq((1L, "A")))
+  }
+
   test("manifest merge schema evolution: wider sidecar, NO untouched-file rewrites, strict mode refuses") {
     import sinks.ManifestTable
     val root = java.nio.file.Files
