@@ -422,18 +422,26 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
         val dvd = all.collect { case (p, size, Some(dv)) => (p, size, dv) }
         if (dvd.nonEmpty) {
           // deletion vectors present: composite scan — clean files on
-          // the ordinary pruned/delegated path, DV-bearing files as
-          // position-skipping whole-file reads ([[GraftDvScanBuilder]])
+          // the ordinary pruned/delegated path, DV-bearing files on
+          // the SAME delegated vectorized path with the parquet
+          // row-index column appended, deleted positions filtered by
+          // the wrapping readers ([[GraftDvScanBuilder]]). Both
+          // branches prune from envelopes/blooms — sound for the DV
+          // branch too, since stats are a superset of the live rows
+          // and excluded files contribute no survivors.
           val clean = all.collect { case (p, size, None) => (p, size) }
           val cleanIndex = new GraftManifestFileIndex(spark, root, clean,
             ts, dataSchema,
             if (cols.isEmpty) None else Some((m, cols)), bloomEntries)
           val dvIndex = new GraftManifestFileIndex(spark, root,
-            dvd.map(f => (f._1, f._2)), ts, dataSchema, None)
+            dvd.map(f => (f._1, f._2)), ts, dataSchema,
+            if (cols.isEmpty) None else Some((m, cols)), bloomEntries)
+          val dvSchema = org.apache.spark.sql.types.StructType(
+            dataSchema.fields :+ GraftDvScanBuilder.RowIndexField)
           return new GraftDvScanBuilder(spark,
             ParquetScanBuilder(spark, cleanIndex, dataSchema, dataSchema,
               options),
-            ParquetScanBuilder(spark, dvIndex, dataSchema, dataSchema,
+            ParquetScanBuilder(spark, dvIndex, dvSchema, dvSchema,
               options),
             dvd, ts)
         }

@@ -1876,9 +1876,9 @@ class SinksSpec extends AnyFunSuite {
     assert(mm.getMessage.contains("replay marker"))
   }
 
-  test("DV scan plan shape: the clean branch still prunes by envelope; vectored files ride as whole-file partitions") {
+  test("DV scan plan shape: columnar with vectors present; BOTH branches prune and push filters") {
     import sinks.ManifestTable
-    import sources.v2.{GraftDvCleanPartition, GraftDvFilePartition}
+    import sources.v2.{GraftDvCleanPartition, GraftDvFilePartition, GraftDvScan}
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val root = java.nio.file.Files
       .createTempDirectory("graft-dv-plan").toString + "/t"
@@ -1888,31 +1888,88 @@ class SinksSpec extends AnyFunSuite {
         .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
       root, Seq("k"))
     ManifestTable.deleteWhereMor(spark, root, col("k") === 10L)
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[BatchScanExec] =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
     def parts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
-      val all = df.queryExecution.executedPlan.collect {
-        case b: BatchScanExec => b.partitions.flatten }.flatten
+      val all = scans(df).flatMap(_.partitions.flatten)
       (all.count(_.isInstanceOf[GraftDvCleanPartition]),
         all.count(_.isInstanceOf[GraftDvFilePartition]))
     }
-    // a filter inside ONE clean file's envelope: the clean branch must
-    // prune to that file; the single vectored file rides along (its
-    // branch takes no scan-level pruning — re-filtered above)
+    // the scan stays COLUMNAR while vectors are present — one stray
+    // vector must not tax the clean majority with row-based reads
+    val full = spark.read.format("graft").load(root)
+    assert(scans(full).forall(_.supportsColumnar),
+      "a DV-bearing snapshot must still read columnar")
+    assert(full.count() == 99)
+    // a filter OUTSIDE the vectored file's envelope: BOTH branches
+    // prune — the vectored file (ks 0-24) drops from the listing too
     val probe = spark.read.format("graft").load(root)
       .filter(col("k") >= 80L && col("k") <= 85L)
     val (clean, dv) = parts(probe)
-    assert(dv == 1, s"one vectored file must plan as one DV partition, got $dv")
+    assert(dv == 0,
+      s"envelope pruning must drop the out-of-range vectored file, got $dv")
     assert(clean == 1,
       s"envelope pruning must keep ONE clean file for a one-file range, " +
         s"got $clean")
     assert(probe.select("k").collect().map(_.getLong(0)).toSet ==
       (80L to 85L).toSet)
+    // a filter INTO the vectored file: pushed parquet filters reach
+    // the DV branch (the reader-generated row index survives page
+    // skipping), and the deleted key stays deleted
+    val probe2 = spark.read.format("graft").load(root)
+      .filter(col("k") >= 5L && col("k") <= 15L)
+    val (c2, d2) = parts(probe2)
+    assert(d2 == 1 && c2 == 0, s"expected the one vectored file: $c2/$d2")
+    val dvScan = scans(probe2).map(_.scan).collectFirst {
+      case s: GraftDvScan => s }.get
+    assert(dvScan.dvPushedFilters.nonEmpty,
+      "the DV branch must push the probe filters into parquet")
+    assert(probe2.select("k").collect().map(_.getLong(0)).toSet ==
+      ((5L to 15L).toSet - 10L))
     // no vectors → the plain delegated scan (no composite partitions)
     ManifestTable.optimize(spark, root, sortCols = Seq("k"), numFiles = 4)
-    val probe2 = spark.read.format("graft").load(root)
+    val probe3 = spark.read.format("graft").load(root)
       .filter(col("k") >= 80L && col("k") <= 85L)
-    val (c2, d2) = parts(probe2)
-    assert(c2 == 0 && d2 == 0,
+    val (c3, d3) = parts(probe3)
+    assert(c3 == 0 && d3 == 0,
       "a purged table must plan through the ordinary parquet batch again")
+  }
+
+  test("DV files SPLIT: a large vectored file plans as multiple ranged partitions, read correct") {
+    import sinks.ManifestTable
+    import sources.v2.GraftDvFilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dv-split").toString + "/t"
+    // ONE file, large enough to split at a small maxPartitionBytes
+    ManifestTable.create(
+      spark.range(200000).select(col("id").as("k"),
+        concat(lit("padpadpadpad-"), col("id")).as("v"))
+        .coalesce(1), root, Seq("k"))
+    ManifestTable.deleteWhereMor(spark, root, col("k") % 1000L === 0L)
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val df = spark.read.format("graft").load(root)
+      val dvParts = df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.partitions.flatten }.flatten
+        .collect { case p: GraftDvFilePartition => p }
+      assert(dvParts.size > 1,
+        s"a large vectored file must split, got ${dvParts.size} partition(s)")
+      // every split carries exactly one slice of the SAME file
+      assert(dvParts.forall(_.inner.files.length == 1))
+      assert(dvParts.map(_.inner.files.head.start).distinct.size ==
+        dvParts.size, "splits must cover distinct ranges")
+      // and the split read still serves exactly the live rows
+      assert(df.count() == 200000L - 200L)
+      assert(df.filter(col("k") === 1000L).count() == 0L)
+      assert(df.filter(col("k") === 1001L).count() == 1L)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
+    }
   }
 
   test("racing DV ops: concurrent mergeMor and deleteWhereMor both land, no lost update, no resurrection") {
