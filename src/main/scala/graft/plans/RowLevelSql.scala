@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -36,12 +36,14 @@ import org.apache.spark.sql.graft.GraftSqlShims
   *
   * Scope (anything else raises with the supported shape named):
   *   - MERGE: equi-key ON (conjunction of `t.a = s.b` attribute
-  *     pairs), one `WHEN MATCHED THEN UPDATE` + one `WHEN NOT MATCHED
-  *     THEN INSERT` whose aligned assignments agree column-for-column
-  *     (the `SET *` / `INSERT *` upsert — both arms must write the
-  *     same source row, because the engine's merge IS an upsert).
-  *     In-batch duplicate keys remain the caller's contract, as in
-  *     the Scala API.
+  *     pairs), any mix of (conditional) `WHEN MATCHED
+  *     UPDATE/DELETE`, (conditional) `WHEN NOT MATCHED INSERT`, and
+  *     `WHEN NOT MATCHED BY SOURCE UPDATE/DELETE` — provided no
+  *     UPDATE arm reassigns a key column and every INSERT assigns
+  *     the keys the ON clause's source columns (the engine merges BY
+  *     key). The pure `SET * / INSERT *` upsert takes a join-free
+  *     fast path ([[GraftMergeCommand]]); every other shape compiles
+  *     to one keyed CDC batch ([[GraftMergeFullCommand]]).
   *   - UPDATE: top-level column assignments, any row-local predicate.
   *   - DELETE: any row-local predicate (subquery predicates are not
   *     row-local and fail resolution downstream).
@@ -125,52 +127,114 @@ case class GraftRowLevelSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if m.resolved && graftRoot(target).isDefined =>
       val root = graftRoot(target).get
       def unsupported(why: String) = throw new UnsupportedOperationException(
-        s"graft MERGE INTO supports exactly WHEN MATCHED THEN UPDATE + " +
-          s"WHEN NOT MATCHED THEN INSERT with matching assignments " +
-          s"(the SET * / INSERT * upsert); $why")
-      val (updAssigns, updCond) = matched match {
-        case Seq(UpdateAction(c, as, _)) => (assignMap(as, "MERGE"), c)
-        case other => unsupported(s"matched actions were $other")
-      }
-      val (insAssigns, insCond) = notMatched match {
-        case Seq(InsertAction(c, as)) => (assignMap(as, "MERGE"), c)
-        case other => unsupported(s"not-matched actions were $other")
-      }
-      if (updCond.nonEmpty || insCond.nonEmpty)
-        unsupported("conditional action clauses are not supported")
-      if (notMatchedBySource.nonEmpty)
-        unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
+        s"graft MERGE INTO supports an equi-key ON clause with any mix " +
+          s"of (conditional) WHEN MATCHED UPDATE/DELETE, WHEN NOT " +
+          s"MATCHED INSERT, and WHEN NOT MATCHED BY SOURCE " +
+          s"UPDATE/DELETE, provided no UPDATE arm reassigns a key " +
+          s"column (the engine merges BY key); $why")
       val targetCols = EliminateSubqueryAliases(target).output
-      val pairs = keyPairs(mergeCond,
-        AttributeSet(targetCols), AttributeSet(source.output)).distinct
+      val tSet = AttributeSet(targetCols)
+      val sSet = AttributeSet(source.output)
+      val pairs = keyPairs(mergeCond, tSet, sSet).distinct
       val keySrc = pairs.toMap
-      val ins = insAssigns.toMap
-      val upd = updAssigns.toMap
-      targetCols.foreach { a =>
-        val iv = ins.getOrElse(a.name,
-          unsupported(s"INSERT does not assign column ${a.name}"))
-        val uv = upd.getOrElse(a.name,
-          unsupported(s"UPDATE does not assign column ${a.name}"))
-        keySrc.get(a.name) match {
-          // a KEY column must be assigned exactly the ON clause's
-          // source column in BOTH arms — anything else would make the
-          // engine merge on a different key than the statement joins
-          // on (matched rows updated under the wrong identity)
-          case Some(src) =>
-            if (!iv.semanticEquals(src) || !uv.semanticEquals(src))
-              unsupported(s"key column ${a.name} must be assigned the ON " +
-                s"clause's source column ${src.name} in both arms")
-          case None =>
-            if (!iv.semanticEquals(uv))
-              unsupported(s"column ${a.name} is assigned differently by " +
-                "the two arms — the engine's merge writes one source row " +
-                "per key")
+      val mor = graftTable(target).exists(_.morMerge)
+
+      // side-qualified rebasing: matched clauses may reference BOTH
+      // relations (same column names on both sides), so names alone
+      // cannot address them — the command evaluates the expressions
+      // over a join of the two frames aliased __graft_t / __graft_s
+      def bySide(e: Expression): org.apache.spark.sql.Column =
+        GraftSqlShims.column(e.transform {
+          case a: AttributeReference if tSet.contains(a) =>
+            UnresolvedAttribute(Seq(GraftMergeFullCommand.TAlias, a.name))
+          case a: AttributeReference if sSet.contains(a) =>
+            UnresolvedAttribute(Seq(GraftMergeFullCommand.SAlias, a.name))
+        })
+
+      /** An UPDATE arm must PRESERVE key identity: the engine merges
+        * by key, so a key column may only be assigned the ON clause's
+        * source column or the target's own column (equal for matched
+        * rows) — anything else merges under a different identity than
+        * the statement joins on. */
+      def checkKeyPreserved(sets: Seq[(String, Expression)],
+                            arm: String): Unit =
+        sets.foreach { case (n, v) =>
+          keySrc.get(n).foreach { src =>
+            val tAttr = targetCols.find(_.name == n).get
+            if (!v.semanticEquals(src) && !v.semanticEquals(tAttr))
+              unsupported(s"$arm reassigns key column $n")
+          }
         }
+
+      def updateArm(c: Option[Expression], as: Seq[Assignment],
+                    arm: String): GraftMergeArm = {
+        val sets = assignMap(as, "MERGE")
+        checkKeyPreserved(sets, arm)
+        GraftMergeUpdate(c.map(bySide),
+          sets.map { case (n, v) => n -> bySide(v) })
       }
-      GraftMergeCommand(root, source,
-        targetCols.map(a => (a.name, byName(ins(a.name)), a.dataType)),
-        pairs.map(_._1),
-        mor = graftTable(target).exists(_.morMerge))
+      val matchedArms = matched.map {
+        case UpdateAction(c, as, _) => updateArm(c, as, "WHEN MATCHED UPDATE")
+        case DeleteAction(c) => GraftMergeDelete(c.map(bySide))
+        case other => unsupported(s"matched action $other")
+      }
+      val insertArms = notMatched.map {
+        case InsertAction(c, as) =>
+          val sets = assignMap(as, "MERGE").toMap
+          // an inserted row's key must be the ON clause's source
+          // column — the identity the statement just failed to match
+          pairs.foreach { case (tn, src) =>
+            sets.get(tn) match {
+              case Some(v) if v.semanticEquals(src) => ()
+              case Some(_) => unsupported(
+                s"INSERT must assign key column $tn the ON clause's " +
+                  s"source column ${src.name}")
+              case None => unsupported(s"INSERT does not assign key $tn")
+            }
+          }
+          GraftMergeInsert(c.map(bySide),
+            sets.toSeq.map { case (n, v) => n -> bySide(v) })
+        case other => unsupported(s"not-matched action $other")
+      }
+      val bySourceArms = notMatchedBySource.map {
+        case UpdateAction(c, as, _) =>
+          updateArm(c, as, "WHEN NOT MATCHED BY SOURCE UPDATE")
+        case DeleteAction(c) => GraftMergeDelete(c.map(bySide))
+        case other => unsupported(s"not-matched-by-source action $other")
+      }
+
+      // FAST PATH — the SET * / INSERT * upsert (one unconditional
+      // UPDATE + one unconditional INSERT assigning every column the
+      // same source row, no BY SOURCE arms): delegate to the engine's
+      // native upsert, whose cost is touched-files + batch with NO
+      // source-target join at all
+      val fast = (matched, notMatched, notMatchedBySource) match {
+        case (Seq(UpdateAction(None, uas, _)), Seq(InsertAction(None, ias)),
+            Seq()) =>
+          val upd = assignMap(uas, "MERGE").toMap
+          val ins = assignMap(ias, "MERGE").toMap
+          val aligned = targetCols.forall { a =>
+            (ins.get(a.name), upd.get(a.name)) match {
+              case (Some(iv), Some(uv)) => keySrc.get(a.name) match {
+                case Some(src) =>
+                  iv.semanticEquals(src) && uv.semanticEquals(src)
+                case None => iv.semanticEquals(uv)
+              }
+              case _ => false
+            }
+          }
+          if (aligned)
+            Some(GraftMergeCommand(root, source,
+              targetCols.map(a => (a.name, byName(ins(a.name)), a.dataType)),
+              pairs.map(_._1), mor))
+          else None
+        case _ => None
+      }
+      fast.getOrElse(
+        GraftMergeFullCommand(root, source,
+          targetCols.map(a => (a.name, a.dataType)),
+          pairs.map { case (tn, src) => (tn, src.name) },
+          matchedArms, insertArms, bySourceArms, mor))
   }
 }
 
@@ -203,6 +267,141 @@ final case class GraftUpdateCommand(
     else graft.sinks.ManifestTable.updateWhere(session, root, c, sets)
     Nil
   }
+}
+
+/** One WHEN arm of the general MERGE path, carried as opaque Columns
+  * (side-qualified names — see [[GraftMergeFullCommand]]). */
+sealed trait GraftMergeArm
+final case class GraftMergeUpdate(
+    cond: Option[org.apache.spark.sql.Column],
+    sets: Seq[(String, org.apache.spark.sql.Column)]) extends GraftMergeArm
+final case class GraftMergeDelete(
+    cond: Option[org.apache.spark.sql.Column]) extends GraftMergeArm
+final case class GraftMergeInsert(
+    cond: Option[org.apache.spark.sql.Column],
+    sets: Seq[(String, org.apache.spark.sql.Column)])
+
+/** Eager GENERAL MERGE — the full clause surface (conditional
+  * matched UPDATE/DELETE, conditional INSERT, NOT MATCHED BY
+  * SOURCE), compiled to ONE keyed CDC batch and applied by
+  * [[graft.sinks.ManifestTable.applyCdc]] (or its deletion-vector
+  * twin under `mergeMode = 'merge-on-read'`):
+  *
+  *   1. target ⋈ source on the ON keys (right_outer — or full_outer
+  *      only when BY SOURCE arms exist and unmatched target rows
+  *      matter). Without BY SOURCE arms the target side reads ONLY
+  *      the envelope/bloom-touched files ([[graft.sinks.ManifestTable
+  *      .readTouchedRows]]): a matched row can live nowhere else, so
+  *      the join never scans the table.
+  *   2. each row class evaluates its arm chain IN ORDER (SQL MERGE
+  *      semantics: first arm whose condition holds applies; none →
+  *      row untouched): matched → U with the arm's values / D;
+  *      source-only → I; target-only → U/D from target values.
+  *   3. the resulting one-op-per-key CDC batch lands through the
+  *      engine's own touched-file commit — cost ∝ batch + touched
+  *      files, exactly the Scala applyCdc's contract.
+  *
+  * Duplicate ON keys in the source are REFUSED (the SQL multi-match
+  * error, and the keyed fold would silently drop all but one op).
+  * The batch is computed from the snapshot read in step 1 — snapshot
+  * isolation; the commit itself serializes via CAS. Expressions are
+  * carried as Columns over `__graft_t` / `__graft_s` aliases so the
+  * same column name on both relations stays addressable. */
+final case class GraftMergeFullCommand(
+    root: String, source: LogicalPlan,
+    targetSchema: Seq[(String, org.apache.spark.sql.types.DataType)],
+    keys: Seq[(String, String)], // (target col, source col)
+    matched: Seq[GraftMergeArm],
+    inserts: Seq[GraftMergeInsert],
+    bySource: Seq[GraftMergeArm],
+    mor: Boolean)
+  extends LeafRunnableCommand {
+  import GraftMergeFullCommand._
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val s0 = GraftSqlShims.ofRows(session, source)
+    val srcKeyCols = keys.map { case (_, sn) => col(sn) }
+    if (s0.groupBy(srcKeyCols: _*).count()
+        .filter(col("count") > 1).limit(1).count() > 0)
+      throw new IllegalStateException(
+        "MERGE source has duplicate ON-clause keys — each target row " +
+          "may match at most one source row (the SQL multi-match " +
+          "error); de-duplicate the source first")
+    val keyNames = keys.map(_._1)
+    val srcKeys = s0.select(
+      keys.map { case (tn, sn) => col(sn).as(tn) }: _*).distinct()
+    val target0 =
+      if (bySource.isEmpty)
+        graft.sinks.ManifestTable.readTouchedRows(
+          session, root, srcKeys, keyNames)
+      else graft.sinks.ManifestTable.read(session, root)
+    val t = target0.withColumn(TPresent, lit(true)).alias(TAlias)
+    val s = s0.withColumn(SPresent, lit(true)).alias(SAlias)
+    val onCond = keys.map { case (tn, sn) =>
+      col(s"$TAlias.$tn") === col(s"$SAlias.$sn") }.reduce(_ && _)
+    val j = t.join(s, onCond,
+      if (bySource.isEmpty) "right_outer" else "full_outer")
+    val isT = coalesce(col(TPresent), lit(false))
+    val isS = coalesce(col(SPresent), lit(false))
+
+    def tCol(n: String): Column = col(s"$TAlias.$n")
+    // first arm whose condition holds decides — a NULL condition is
+    // not-true (falls through), per SQL CASE/MERGE semantics
+    def chain(arms: Seq[(Option[Column], Column)], default: Column): Column =
+      arms.foldRight(default) { case ((c, v), els) =>
+        when(c.getOrElse(lit(true)), v).otherwise(els) }
+
+    def opOf(a: GraftMergeArm): (Option[Column], Column) = a match {
+      case GraftMergeUpdate(c, _) => (c, lit("U"))
+      case GraftMergeDelete(c)    => (c, lit("D"))
+    }
+    val nullStr = lit(null).cast("string")
+    val op =
+      when(isT && isS, chain(matched.map(opOf), nullStr))
+        .when(!isT && isS,
+          chain(inserts.map(i => (i.cond, lit("I"))), nullStr))
+        .when(isT && !isS, chain(bySource.map(opOf), nullStr))
+
+    def valOf(n: String): Column = {
+      def armVal(a: GraftMergeArm): (Option[Column], Column) = a match {
+        // an unassigned column keeps the target's value; a DELETE
+        // arm's values are unread (only its keys matter — and key
+        // reassignment is refused, so target side is the key)
+        case GraftMergeUpdate(c, sets) =>
+          (c, sets.collectFirst { case (`n`, v) => v }.getOrElse(tCol(n)))
+        case GraftMergeDelete(c) => (c, tCol(n))
+      }
+      val insVal = chain(inserts.map(i => (i.cond,
+        i.sets.collectFirst { case (`n`, v) => v }
+          .getOrElse(lit(null)))), lit(null))
+      when(isT && isS, chain(matched.map(armVal), tCol(n)))
+        .when(!isT && isS, insVal)
+        .otherwise(if (bySource.isEmpty) lit(null)
+          else chain(bySource.map(armVal), tCol(n)))
+    }
+
+    val cdc = j.select(targetSchema.map { case (n, dt) =>
+        valOf(n).cast(dt).as(n) } :+ op.as(OpCol) :+ lit(0L).as(SeqCol): _*)
+      .filter(col(OpCol).isNotNull)
+    if (mor)
+      graft.sinks.ManifestTable.applyCdcMor(cdc, root, keyNames, SeqCol, OpCol)
+    else
+      graft.sinks.ManifestTable.applyCdc(cdc, root, keyNames, SeqCol, OpCol)
+    Nil
+  }
+}
+
+object GraftMergeFullCommand {
+  private[plans] val TAlias = "__graft_t"
+  private[plans] val SAlias = "__graft_s"
+  private val TPresent = "__graft_t_present"
+  private val SPresent = "__graft_s_present"
+  private val OpCol = "__graft_op"
+  private val SeqCol = "__graft_seq"
 }
 
 /** Eager MERGE: project the source through the INSERT arm's (aligned)

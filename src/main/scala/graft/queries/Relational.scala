@@ -950,6 +950,41 @@ object Relational extends QueryModule {
       FROM graft.gate.msql ORDER BY doc_id""")
   }
 
+  /** The FULL MERGE clause surface in one statement — conditional
+    * matched DELETE + matched UPDATE reading both sides, conditional
+    * INSERT, and both NOT MATCHED BY SOURCE arms (in-order
+    * semantics) — compiled to one keyed CDC batch by
+    * [[graft.plans.GraftMergeFullCommand]] and applied through the
+    * engine's touched-file commit. The oracle reconstructs the row
+    * classes relationally. */
+  def qMergeSqlFull(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_sql_merge_full") + "/t"
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.sinks.ManifestTable.create(
+      d.filter(col("doc_id") % 10 =!= 7)
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    ensureGateCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.gate.msqlf")
+    spark.sql(s"CREATE TABLE graft.gate.msqlf USING graft LOCATION '$root'")
+    d.filter(col("doc_id") % 5 === 2)
+      .withColumn("n_chars", col("n_chars") + 10000L)
+      .createOrReplaceTempView("gate_mergef_src")
+    spark.sql("""MERGE INTO graft.gate.msqlf AS t USING gate_mergef_src AS s
+      ON t.doc_id = s.doc_id
+      WHEN MATCHED AND t.n_chars < 300 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + t.n_chars
+      WHEN NOT MATCHED AND s.lang = 'en' THEN
+        INSERT (doc_id, lang, n_chars) VALUES (s.doc_id, s.lang, s.n_chars)
+      WHEN NOT MATCHED BY SOURCE AND t.doc_id % 9 = 0 THEN
+        UPDATE SET lang = concat(t.lang, '!')
+      WHEN NOT MATCHED BY SOURCE AND t.doc_id % 9 = 4 THEN DELETE""")
+    spark.sql("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+      FROM graft.gate.msqlf ORDER BY doc_id""")
+  }
+
   /** SQL `UPDATE` with expression assignments over the pre-update row
     * and a WHERE — delegated to [[graft.sinks.ManifestTable
     * .updateWhere]] (file-granular where the predicate has a range
@@ -1179,6 +1214,7 @@ object Relational extends QueryModule {
     "q_graft_scan"        -> qGraftScan _,
     "q_graft_sql"         -> qGraftSql _,
     "q_merge_sql"         -> qMergeSql _,
+    "q_merge_sql_full"    -> qMergeSqlFull _,
     "q_update_sql"        -> qUpdateSql _,
     "q_delete_sql"        -> qDeleteSql _,
     "q_evolve_sql"        -> qEvolveSql _,
@@ -1308,6 +1344,40 @@ object Relational extends QueryModule {
         |SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_len,
         |  substr(text, 1, 12) AS head
         |FROM merged ORDER BY doc_id""".stripMargin,
+    // the general MERGE's four row classes, reconstructed
+    // relationally: matched rows take the FIRST arm whose condition
+    // holds (delete under 300 chars, else both-sides update);
+    // unmatched source rows insert only under the arm's condition;
+    // unmatched target rows delete on %9=4 unless the earlier %9=0
+    // update arm claimed them first
+    "q_merge_sql_full" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 10 <> 7),
+        |src AS (
+        |  SELECT doc_id, lang, n_chars + 10000 AS n_chars FROM documents
+        |  WHERE doc_id % 5 = 2),
+        |kept_matched AS (
+        |  SELECT b.doc_id, b.lang, s.n_chars + b.n_chars AS n_chars
+        |  FROM base b JOIN src s ON b.doc_id = s.doc_id
+        |  WHERE b.n_chars >= 300),
+        |inserted AS (
+        |  SELECT s.doc_id, s.lang, s.n_chars FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.doc_id = s.doc_id)
+        |    AND s.lang = 'en'),
+        |by_src AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.doc_id % 9 = 0 THEN b.lang || '!' ELSE b.lang END
+        |      AS lang,
+        |    b.n_chars
+        |  FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.doc_id = b.doc_id)
+        |    AND NOT (b.doc_id % 9 <> 0 AND b.doc_id % 9 = 4))
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (SELECT * FROM kept_matched
+        |      UNION ALL SELECT * FROM inserted
+        |      UNION ALL SELECT * FROM by_src)
+        |ORDER BY doc_id""".stripMargin,
     "q_update_sql" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 3 THEN lang || '+' ELSE lang END AS lang,

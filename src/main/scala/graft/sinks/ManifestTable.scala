@@ -563,6 +563,28 @@ object ManifestTable {
     }
   }
 
+  /** LIVE rows of the files a batch of keys can possibly touch — the
+    * same envelope/bloom selection the keyed row-level ops use,
+    * exposed for callers (the SQL MERGE compiler) that must JOIN
+    * against current target values before computing their batch: a
+    * target row matching a source key can only live in a touched
+    * file, so the join scans those instead of the table. Reads the
+    * LATEST version outside any commit loop — callers get snapshot
+    * isolation; the subsequent keyed commit serializes via CAS. */
+  private[graft] def readTouchedRows(spark: SparkSession, root: String,
+                                     keys: DataFrame,
+                                     keyCols: Seq[String]): DataFrame = {
+    val base = latestVersion(spark, root)
+    require(base >= 0, s"manifest table at $root does not exist")
+    val m = manifest(spark, root, base)
+    val schema = tableSchema(spark, root, base)
+    val dvByPath: Map[String, (Option[String], Long)] =
+      dvStates(m).map(s => s._1 -> ((s._2, s._3))).toMap
+    val touched = touchedPaths(spark, root, m, keys, keyCols, schema)
+    readFilesDv(spark, schema, touched.map(p => (p, dvByPath(p)._1)),
+      touched.map(p => dvByPath(p)._2).sum)
+  }
+
   /** Shared core of the keyed row-level ops: pin a base manifest,
     * find the touched files, read ONLY them, apply `rewrite`
     * (touched-rows, batch) → replacement rows, land those as new

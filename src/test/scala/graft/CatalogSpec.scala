@@ -192,14 +192,14 @@ class CatalogSpec extends AnyFunSuite {
     assert(sinks.ManifestTable.read(spark, loc)
       .filter(col("k") < 3).orderBy(col("k"))
       .collect().map(_.getLong(1)).toSeq == Seq(7L, 7L, 7L))
-    // a non-upsert shape names the supported contract instead of
+    // a non-equi ON clause names the supported contract instead of
     // silently doing something else
     val e = intercept[Exception] {
       spark.sql("""MERGE INTO graftc.db.m AS t USING merge_src AS s
-        ON t.k = s.k
+        ON t.k > s.k
         WHEN MATCHED THEN DELETE""")
     }
-    assert(e.getMessage.contains("graft MERGE INTO supports"))
+    assert(e.getMessage.contains("equi-key"))
     // a KEY assigned anything but the ON clause's source column would
     // make the engine merge under a different identity than the
     // statement joins on — refused, not silently mis-merged
@@ -210,6 +210,62 @@ class CatalogSpec extends AnyFunSuite {
         WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k + 1, s.v)""")
     }
     assert(e2.getMessage.contains("key column"))
+  }
+
+  test("SQL MERGE full clause surface: conditional arms, matched DELETE, NOT MATCHED BY SOURCE — CoW and MoR") {
+    warehouse: Unit
+    for ((mor, name) <- Seq((false, "mfc"), (true, "mfm"))) {
+      val loc = java.nio.file.Files
+        .createTempDirectory(s"graft-catalog-mergefull-$name").toString + "/t"
+      sinks.ManifestTable.create(
+        spark.range(0, 50).select(col("id").as("k"), (col("id") * 10).as("v"))
+          .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+        loc, Seq("k"))
+      val props =
+        if (mor) " TBLPROPERTIES ('mergeMode' = 'merge-on-read')" else ""
+      spark.sql(
+        s"CREATE TABLE graftc.db.$name USING graft LOCATION '$loc'$props")
+      spark.range(40, 60).select(col("id").as("k"), lit(-1L).as("v"))
+        .createOrReplaceTempView(s"merge_full_src_$name")
+      // every clause family at once, with in-order arm semantics:
+      // both BY SOURCE arms cover k<5 — the FIRST (DELETE) must win
+      spark.sql(s"""MERGE INTO graftc.db.$name AS t
+        USING merge_full_src_$name AS s
+        ON t.k = s.k
+        WHEN MATCHED AND t.k < 45 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+        WHEN NOT MATCHED AND s.k < 55 THEN INSERT (k, v) VALUES (s.k, s.v)
+        WHEN NOT MATCHED BY SOURCE AND t.k < 5 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE AND t.k < 10 THEN UPDATE SET v = -t.v""")
+      val got = sinks.ManifestTable.read(spark, loc).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want =
+        (5L to 9L).map(k => k -> -(k * 10)) ++      // by-source UPDATE arm
+        (10L to 39L).map(k => k -> k * 10) ++       // untouched
+        (45L to 49L).map(k => k -> (k * 10 - 1)) ++ // matched UPDATE arm
+        (50L to 54L).map(k => k -> -1L)             // conditional INSERT
+      // k<5 by-source-deleted, 40..44 matched-deleted, 55..59 no arm
+      assert(got == want.toMap, s"mor=$mor: ${got.toSeq.sorted}")
+      // duplicate ON keys in the source are the SQL multi-match error
+      spark.range(0, 2).select((col("id") * 0 + 45L).as("k"),
+        col("id").as("v")).createOrReplaceTempView(s"merge_dup_src_$name")
+      val e = intercept[Exception] {
+        spark.sql(s"""MERGE INTO graftc.db.$name AS t
+          USING merge_dup_src_$name AS s
+          ON t.k = s.k
+          WHEN MATCHED AND t.v > 0 THEN UPDATE SET v = s.v
+          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+      }
+      assert(e.getMessage.contains("duplicate"), e.getMessage)
+      // a general-path UPDATE arm reassigning the key is refused
+      val e2 = intercept[Exception] {
+        spark.sql(s"""MERGE INTO graftc.db.$name AS t
+          USING merge_full_src_$name AS s
+          ON t.k = s.k
+          WHEN MATCHED AND s.v < 0 THEN UPDATE SET k = t.k + 1""")
+      }
+      assert(e2.getMessage.contains("key column"), e2.getMessage)
+    }
   }
 
   test("a time-traveled handle is read-only: INSERT INTO ... VERSION AS OF fails fast") {
