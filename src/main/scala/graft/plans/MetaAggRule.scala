@@ -73,8 +73,18 @@ case class MetaAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
     extends MetaSource {
     private lazy val raw =
       graft.sinks.ManifestTable.manifest(spark, root, version)
-    lazy val statsCols: Seq[String] = raw.schema.fieldNames.toSeq
+    // manifest stat triplets are keyed by PHYSICAL column name
+    // (stable under RENAME COLUMN); the aggregate's attributes speak
+    // logical — translate via the version's sidecar (identity for
+    // unmapped tables, and a dropped column's orphan stats map to
+    // nothing)
+    private lazy val physToLogical: Map[String, String] =
+      graft.sinks.ManifestTable.tableSchema(spark, root, version)
+        .fields.map(f =>
+          graft.sinks.ManifestTable.physicalName(f) -> f.name).toMap
+    private lazy val physStats: Seq[String] = raw.schema.fieldNames.toSeq
       .filter(_.endsWith("_min")).map(_.stripSuffix("_min"))
+    lazy val statsCols: Seq[String] = physStats.flatMap(physToLogical.get)
     // merge-on-read deletion vectors: COUNT(*) stays EXACT (live rows
     // = row_count − dv_rows per file), while a DV-bearing file's
     // envelopes and null counts are only CONSERVATIVE (the deleted
@@ -83,13 +93,22 @@ case class MetaAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // routes COUNT(c)/MIN/MAX to the scan instead of guessing
     private lazy val frame = {
       val dv = col("dv_rows") > 0L
-      statsCols.foldLeft(
+      val folded = physStats.foldLeft(
         raw.withColumn("row_count", col("row_count") - col("dv_rows"))) {
         (df, c) =>
           Seq(s"${c}_min", s"${c}_max", s"${c}_nulls").foldLeft(df) {
             (d, f) => d.withColumn(f,
               when(dv, lit(null)).otherwise(col(f)))
           }
+      }
+      // expose the triplets under LOGICAL names (no-op when unmapped)
+      physStats.foldLeft(folded) { (df, pc) =>
+        physToLogical.get(pc) match {
+          case Some(lc) if lc != pc =>
+            Seq("_min", "_max", "_nulls").foldLeft(df)((d, sfx) =>
+              d.withColumnRenamed(pc + sfx, lc + sfx))
+          case _ => df
+        }
       }
     }
     def stats(): org.apache.spark.sql.DataFrame = frame

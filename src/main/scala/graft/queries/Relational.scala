@@ -985,6 +985,37 @@ object Relational extends QueryModule {
       FROM graft.gate.msqlf ORDER BY doc_id""")
   }
 
+  /** `ALTER TABLE RENAME COLUMN` end-to-end: metadata-only name
+    * mapping ([[graft.sinks.ManifestTable.renameColumn]]) — the
+    * renamed column keeps serving reads, keyed merges, and
+    * post-rename appends, with zero data rewrites; the oracle
+    * reconstructs the same content under the new name. */
+  def qRenameSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_sql_rename") + "/t"
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.sinks.ManifestTable.create(
+      d.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    ensureGateCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.gate.rnsql")
+    spark.sql(s"CREATE TABLE graft.gate.rnsql USING graft LOCATION '$root'")
+    spark.sql("ALTER TABLE graft.gate.rnsql RENAME COLUMN n_chars TO chars")
+    // the renamed column keeps working through the keyed engine: a
+    // merge by doc_id updating `chars`, then a filtered read on it
+    d.filter(col("doc_id") % 11 === 3)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") + 100000L).as("chars"))
+      .createOrReplaceTempView("gate_rename_src")
+    spark.sql("""MERGE INTO graft.gate.rnsql AS t USING gate_rename_src AS s
+      ON t.doc_id = s.doc_id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    spark.sql("""SELECT doc_id, lang, CAST(chars AS BIGINT) AS chars
+      FROM graft.gate.rnsql WHERE chars >= 200 ORDER BY doc_id""")
+  }
+
   /** SQL `UPDATE` with expression assignments over the pre-update row
     * and a WHERE — delegated to [[graft.sinks.ManifestTable
     * .updateWhere]] (file-granular where the predicate has a range
@@ -1215,6 +1246,7 @@ object Relational extends QueryModule {
     "q_graft_sql"         -> qGraftSql _,
     "q_merge_sql"         -> qMergeSql _,
     "q_merge_sql_full"    -> qMergeSqlFull _,
+    "q_rename_sql"        -> qRenameSql _,
     "q_update_sql"        -> qUpdateSql _,
     "q_delete_sql"        -> qDeleteSql _,
     "q_evolve_sql"        -> qEvolveSql _,
@@ -1378,6 +1410,16 @@ object Relational extends QueryModule {
         |      UNION ALL SELECT * FROM inserted
         |      UNION ALL SELECT * FROM by_src)
         |ORDER BY doc_id""".stripMargin,
+    // rename is metadata-only: content equals the original column
+    // under the new name, with the merged keys' bump applied
+    "q_rename_sql" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 11 = 3 THEN n_chars + 100000
+        |         ELSE n_chars END AS chars
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(chars AS BIGINT) AS chars
+        |FROM t WHERE chars >= 200 ORDER BY doc_id""".stripMargin,
     "q_update_sql" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 3 THEN lang || '+' ELSE lang END AS lang,

@@ -135,6 +135,61 @@ object ManifestTable {
       .asInstanceOf[StructType]
   }
 
+  // ------------------------------------------------- column mapping
+  //
+  // RENAME COLUMN is metadata-only via Delta-style name mapping: a
+  // field's PHYSICAL name — the name data files and manifest stat
+  // columns actually carry — is frozen at birth and recorded in the
+  // schema sidecar's field metadata under `graft.physical` the first
+  // time it diverges from the logical name. Unmapped tables (no
+  // rename ever) have physical == logical everywhere and every
+  // mapping helper is the identity — existing tables stay readable
+  // with zero behavior change, and their data files remain
+  // plain-parquet readable under their logical names.
+
+  private val PhysicalKey = "graft.physical"
+
+  /** The name this field's data lives under in parquet files and
+    * manifest stat columns. */
+  private[graft] def physicalName(
+      f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  private[graft] def physicalFor(schema: StructType, logical: String): String =
+    schema.fields.find(_.name == logical).map(physicalName).getOrElse(logical)
+
+  /** The schema as data files carry it: fields renamed to their
+    * physical names (types/nullability/metadata unchanged). */
+  private[graft] def toPhysical(schema: StructType): StructType =
+    StructType(schema.fields.map(f => f.copy(name = physicalName(f))))
+
+  private[graft] def hasMapping(schema: StructType): Boolean =
+    schema.fields.exists(f => physicalName(f) != f.name)
+
+  /** Rename a LOGICAL-named frame to physical names for landing —
+    * identity when the table carries no mapping. */
+  private def physSelect(df: DataFrame, schema: StructType): DataFrame =
+    if (!hasMapping(schema)) df
+    else df.select(schema.fields.toIndexedSeq.map(f =>
+      col(f.name).as(physicalName(f))): _*)
+
+  /** Rewrite a resolved row-local expression's attribute names
+    * logical→physical — the form the manifest's stat columns and the
+    * pruning proofs speak. */
+  private def toPhysicalExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      schema: StructType)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    if (!hasMapping(schema)) return e
+    val m = schema.fields.map(f => f.name -> physicalName(f)).toMap
+    e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if m.contains(a.name) && m(a.name) != a.name =>
+        a.withName(m(a.name))
+    }
+  }
+
   /** Data-file paths of one version (driver-side: |files| strings —
     * metadata scale, the same bound every manifest read has). */
   def filesAt(spark: SparkSession, root: String, version: Long): Seq[String] =
@@ -235,15 +290,49 @@ object ManifestTable {
       .withColumn("dv_rows", lit(0L))
   }
 
+  /** Strip the column-mapping metadata off a schema that came from
+    * READING a mapped table — a NEW table built from that schema
+    * (CTAS/RTAS) writes fresh files under the logical names, so a
+    * carried-over mapping would point its sidecar at physical names
+    * its own files never had. */
+  private def freshSchema(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(PhysicalKey)) f
+      else f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(PhysicalKey).build())
+    })
+
+  /** Content replace that may also REPLACE THE SCHEMA — the RTAS /
+    * overwriteSchema shape: land the batch and commit (batch rows,
+    * batch schema) as the next version. Prior versions stay readable
+    * under their own sidecars; tracked stats carry forward for
+    * columns the new schema still names; the stream replay marker
+    * resets exactly like [[overwrite]] (a full replace is a stream
+    * restart). */
+  def overwriteAs(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val v = latestVersion(spark, root)
+    require(v >= 0, s"manifest table at $root does not exist — create() first")
+    val schema = freshSchema(df.schema)
+    val stats = statsCols(spark, root, v).filter(schema.fieldNames.contains)
+    val rows = landFiles(df, root, stats)
+    commitLoopEvolving(spark, root, extraStage =
+      VersionedTable.stampBatch(spark, manifestsRoot(root), -1L)) { _ =>
+      (rows, schema)
+    }
+  }
+
   /** Conform an append batch to the table schema: order by the
-    * sidecar's column order and CAST each column to its declared type
-    * (the Delta-style implicit safe cast) — a same-name/compatible
-    * batch lands with the table's exact physical types, so
-    * schema-on-read can never meet a file whose parquet types drifted
-    * from the sidecar; an incompatible type fails analysis. */
+    * sidecar's column order, CAST each column to its declared type
+    * (the Delta-style implicit safe cast), and RENAME to the field's
+    * physical name — a same-name/compatible batch lands with the
+    * table's exact physical types under the stable physical column
+    * names, so schema-on-read can never meet a file whose parquet
+    * types or names drifted; an incompatible type fails analysis. */
   private def conform(df: DataFrame, schema: StructType): DataFrame =
     df.select(schema.fields.toIndexedSeq.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
+      col(f.name).cast(f.dataType).as(physicalName(f))): _*)
 
   /** Schema sidecar writer for a manifest epoch's staging hook. */
   private def stageSchema(spark: SparkSession, root: String,
@@ -261,8 +350,10 @@ object ManifestTable {
     statsCols.foreach(c => require(df.columns.contains(c),
       s"stats column $c is not a table column"))
     val rows = landFiles(df, root, statsCols)
+    // a fresh table writes fresh files — a column mapping carried in
+    // from READING a renamed table must not leak into this sidecar
     VersionedTable.writeStaged(rows, manifestsRoot(root))(
-      stageSchema(spark, root, df.schema))
+      stageSchema(spark, root, freshSchema(df.schema)))
   }
 
   /** Append commit: land the batch, commit current-manifest ∪ batch.
@@ -426,18 +517,23 @@ object ManifestTable {
                            keyCols: Seq[String],
                            dataSchema: StructType): Seq[String] = {
     // only TRACKED key columns contribute exclusion proofs; with none
-    // tracked every file is (honestly) touched
-    val tracked = keyCols.filter(k => m.columns.contains(s"${k}_min"))
+    // tracked every file is (honestly) touched. Manifest stat columns
+    // are keyed by PHYSICAL name (stable under RENAME COLUMN); the
+    // batch keys frame speaks logical.
+    val phys = keyCols.map(k => k -> physicalFor(dataSchema, k)).toMap
+    val tracked = keyCols.filter(k => m.columns.contains(s"${phys(k)}_min"))
     val byEnvelope: Seq[String] =
       if (tracked.isEmpty)
         m.select(col("path")).collect().map(_.getString(0)).sorted.toSeq
       else {
         val cond = tracked.map { k =>
-          val miss = (col(k) < col(s"${k}_min")) || (col(k) > col(s"${k}_max"))
+          val miss = (col(k) < col(s"${phys(k)}_min")) ||
+            (col(k) > col(s"${phys(k)}_max"))
           !(miss <=> lit(true)) // unknown envelope → possibly contained
         }.reduce(_ && _)
         broadcast(m.select(col("path") +:
-            tracked.flatMap(k => Seq(col(s"${k}_min"), col(s"${k}_max"))): _*))
+            tracked.flatMap(k =>
+              Seq(col(s"${phys(k)}_min"), col(s"${phys(k)}_max"))): _*))
           .join(keys.select(tracked.map(col): _*).distinct(), cond)
           .select(col("path")).distinct()
           .collect().map(_.getString(0)).sorted.toSeq
@@ -464,50 +560,55 @@ object ManifestTable {
                           envelopeTouched: Seq[String], keys: DataFrame,
                           keyCols: Seq[String],
                           dataSchema: StructType): Seq[String] = {
-    val indexed = blooms(spark, root).filter { case (c, _) =>
-      keyCols.contains(c) }
+    // bloom index roots are keyed by PHYSICAL column name (they index
+    // file bytes, which rename never rewrites) — translate before the
+    // lookup, keep the LOGICAL name for probing the keys frame
+    val physToLogical = keyCols.map(k =>
+      physicalFor(dataSchema, k) -> k).toMap
+    val indexed = blooms(spark, root).collect {
+      case (pc, br) if physToLogical.contains(pc) =>
+        (physToLogical(pc), br) }
     if (indexed.isEmpty || envelopeTouched.isEmpty) return envelopeTouched
     graft.functions.VectorExpressions.ensureRegistered(spark)
-    var touched = envelopeTouched.toSet
-    indexed.foreach { case (c, br) =>
-      if (touched.nonEmpty) {
-        // index rows carry input_file_name URIs; the manifest carries
-        // canonical paths — the shared [[canonPathCol]] strip. The
-        // touched-set restriction is a broadcast SEMI JOIN, not an
-        // isin(): at the 100k-file scale this path is designed for,
-        // an In with one literal child per path would blow up the
-        // driver-side expression tree
-        val spk = spark
-        import spk.implicits._
-        val touchedDf = touched.toSeq.toDF("path")
-        val idx = graft.sources.FileBloomIndex.read(spark, br)
-          .withColumn("path", canonPathCol(col("path")))
-          .join(broadcast(touchedDf), Seq("path"), "left_semi")
-        val covered = idx.select(col("path"))
-          .collect().map(_.getString(0)).toSet
-        if (covered.nonEmpty) {
-          // probe with the TABLE's column type — the index hashed the
-          // stored values, and a narrower-typed batch key would hash
-          // differently (NULL keys never match SQL equality, so they
-          // probe nothing). The DISTINCT KEYS broadcast, not the
-          // bloom rows: point-key batches (the case blooms exist for)
-          // have few keys, while the index side carries numBits/8
-          // bytes per file — at 100k touched files that broadcast
-          // would be GBs
-          val probe = col(c).cast(dataSchema(c).dataType)
-          val hit = idx.select(col("path"), col("bloom"))
-            .join(broadcast(keys.select(probe.as(c)).distinct()
-                .filter(col(c).isNotNull)),
-              graft.functions.VectorExpressions.bloomMightContain(
-                col("bloom"), xxhash64(col(c))))
-            .select(col("path")).distinct()
-            .collect().map(_.getString(0)).toSet
-          touched = touched.filterNot(p =>
-            covered.contains(p) && !hit.contains(p))
-        }
-      }
-    }
-    touched.toSeq.sorted
+    // ONE pass for ALL indexed key columns (a composite key used to
+    // pay one serial semi-join + probe-join pair PER column): the
+    // indexes union tagged by column, each column's distinct key
+    // HASHES union likewise, then one semi join restricts to the
+    // touched set, one probe join finds the hits, and one anti join
+    // yields every (column, path) a covering index proves key-free —
+    // those paths drop. Conventions carried over verbatim: index rows
+    // carry input_file_name URIs vs the manifest's canonical paths
+    // (the shared [[canonPathCol]] strip); the touched-set
+    // restriction is a broadcast SEMI JOIN, not an isin() (an In with
+    // 100k literal children would blow up the driver); probes cast to
+    // the TABLE's column type (the index hashed stored values — a
+    // narrower-typed key would hash differently; NULL keys probe
+    // nothing); and the DISTINCT KEYS broadcast, never the bloom rows
+    // (numBits/8 bytes × 100k files would be GBs).
+    val spk = spark
+    import spk.implicits._
+    val touchedDf = envelopeTouched.toDF("path")
+    val idxAll = indexed.map { case (c, br) =>
+      graft.sources.FileBloomIndex.read(spark, br)
+        .withColumn("path", canonPathCol(col("path")))
+        .select(lit(c).as("c"), col("path"), col("bloom"))
+    }.reduce(_ unionByName _)
+      .join(broadcast(touchedDf), Seq("path"), "left_semi")
+    val keyHashes = indexed.map { case (c, _) =>
+      keys.select(col(c).cast(dataSchema(c).dataType).as("k"))
+        .filter(col("k").isNotNull).distinct()
+        .select(lit(c).as("kc"), xxhash64(col("k")).as("h"))
+    }.reduce(_ unionByName _)
+    val hits = idxAll.join(broadcast(keyHashes),
+        col("c") === col("kc") &&
+          graft.functions.VectorExpressions.bloomMightContain(
+            col("bloom"), col("h")))
+      .select(col("c"), col("path")).distinct()
+    val excluded = idxAll.select(col("c"), col("path"))
+      .join(hits, Seq("c", "path"), "left_anti")
+      .select(col("path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    envelopeTouched.filterNot(excluded.contains)
   }
 
   /** Row-level MERGE (upsert by key), file-granular: only the files
@@ -628,7 +729,7 @@ object ManifestTable {
       // rewrite consumes them; the final projection normalizes order
       val replacement = rewrite(touchedRows, batch)
         .select(cols.map(col): _*)
-      val newRows = landFiles(replacement, root, stats)
+      val newRows = landFiles(physSelect(replacement, schema), root, stats)
       (m.filter(!col("path").isin(touched: _*)).unionByName(newRows), schema)
     }
 
@@ -679,27 +780,41 @@ object ManifestTable {
         s"column $n does not exist"))
       require(schema.fields.length + adds.length > drops.distinct.length,
         "cannot drop every column of the table")
-      if (adds.nonEmpty) {
-        // RESURRECTION GUARD: schema-on-read maps by NAME, so
-        // re-adding a name some LIVE file still physically carries (it
-        // was dropped by [[dropColumns]], which rewrites nothing)
-        // would surface the file's STALE values instead of NULL. One
-        // distributed footer sweep over the manifest's own listing
-        // (executor-side footer reads — no stat-per-file planning, no
-        // data I/O; a CAS retry re-sweeps because its base's file set
-        // may differ) proves no live file carries any of the new names.
-        val physical = physicalColumns(spark, filesAt(spark, root, base))
-        adds.foreach(f => require(!physical.contains(f.name),
-          s"column ${f.name} was dropped but live data files still carry " +
-            "it — schema-on-read would resurrect the old values; run " +
-            "optimize() to rewrite those files before re-adding the name"))
-      }
+      val adds2: Seq[org.apache.spark.sql.types.StructField] =
+        if (adds.isEmpty) Nil
+        else {
+          // RESURRECTION GUARD, mapping edition: schema-on-read maps
+          // by PHYSICAL name, so re-adding a name some LIVE file
+          // still physically carries (dropped by [[dropColumns]],
+          // which rewrites nothing), or that another field's mapping
+          // still claims (it was renamed away), must NOT reuse that
+          // physical name — the stale values would resurrect. One
+          // distributed footer sweep over the manifest's own listing
+          // (executor-side footer reads — no data I/O; a CAS retry
+          // re-sweeps because its base's file set may differ) detects
+          // the conflict, and the new column simply maps to a FRESH
+          // physical name: old files' stale bytes stay invisible, no
+          // optimize() required, nothing refused.
+          val liveNames = physicalColumns(spark, filesAt(spark, root, base))
+          val taken = schema.fields.map(physicalName).toSet
+          adds.map { f =>
+            if (!liveNames.contains(f.name) && !taken.contains(f.name)) f
+            else f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString(PhysicalKey, f.name + "_gf" +
+                  java.util.UUID.randomUUID().toString.take(8))
+                .build())
+          }
+        }
       val next = StructType(
-        schema.fields.filterNot(f => drops.contains(f.name)) ++ adds)
+        schema.fields.filterNot(f => drops.contains(f.name)) ++ adds2)
       val m = manifest(spark, root, base)
-      val statDrop = drops.flatMap(c =>
-        Seq(s"${c}_min", s"${c}_max", s"${c}_nulls"))
-        .filter(m.columns.contains)
+      // stat triplets are keyed by the dropped fields' PHYSICAL names
+      val statDrop = drops.flatMap { c =>
+        val pc = physicalFor(schema, c)
+        Seq(s"${pc}_min", s"${pc}_max", s"${pc}_nulls")
+      }.filter(m.columns.contains)
       (m.drop(statDrop: _*), next)
     }
   }
@@ -736,12 +851,45 @@ object ManifestTable {
     * dropped columns' stat triplets leave the manifest rows so no
     * future landing, proof, or maintenance references a column the
     * schema lost. A lingering `_bloom_<col>` index is inert (no valid
-    * predicate can name the column). Re-ADDING a dropped name is
-    * refused while live files still carry it — see [[addColumns]]'s
-    * resurrection guard. */
+    * predicate can name the column). Re-ADDING a dropped name while
+    * live files still carry it maps the new column to a FRESH
+    * physical name — see [[alterColumns]]'s resurrection guard. */
   def dropColumns(spark: SparkSession, root: String,
                   names: Seq[String]): Long =
     alterColumns(spark, root, adds = Nil, drops = names)
+
+  /** `ALTER TABLE RENAME COLUMN` — METADATA-ONLY via the name
+    * mapping: the next version commits the SAME manifest under a
+    * sidecar whose field carries the new logical name and (frozen in
+    * field metadata) its original PHYSICAL name, which is what data
+    * files, manifest stat columns, and bloom index roots keep using.
+    * Zero data I/O, stats and indexes stay valid, time travel reads
+    * pre-rename versions under their own sidecars' old names. A
+    * rename BACK to the physical name drops the mapping entry. */
+  def renameColumn(spark: SparkSession, root: String,
+                   from: String, to: String): Long = {
+    require(from != to, "rename requires two different names")
+    commitLoopEvolving(spark, root) { base =>
+      val schema = tableSchema(spark, root, base)
+      require(schema.fieldNames.contains(from),
+        s"column $from does not exist")
+      require(!schema.fieldNames.contains(to),
+        s"column $to already exists")
+      val next = StructType(schema.fields.map { f =>
+        if (f.name != from) f
+        else {
+          val phys = physicalName(f)
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          val md =
+            if (phys == to) mb.remove(PhysicalKey).build()
+            else mb.putString(PhysicalKey, phys).build()
+          f.copy(name = to, metadata = md)
+        }
+      })
+      (manifest(spark, root, base), next)
+    }
+  }
 
   // ------------------------------------------------- deletion vectors
 
@@ -803,20 +951,24 @@ object ManifestTable {
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val clean = files.collect { case (p, None) => p }
     val dvd = files.collect { case (p, Some(dv)) => (p, dv) }
-    val cols = schema.fieldNames.toIndexedSeq.map(col)
+    // files carry PHYSICAL column names; readers hand back logical
+    val toLogical = schema.fields.toIndexedSeq.map(f =>
+      col(physicalName(f)).as(f.name))
     val cleanDf =
       if (clean.isEmpty) None
-      else Some(spark.read.schema(schema).parquet(clean: _*))
+      else Some(spark.read.schema(toPhysical(schema)).parquet(clean: _*)
+        .select(toLogical: _*))
     val dvDf =
       if (dvd.isEmpty) None
       else {
-        val raw = spark.read.schema(schema).parquet(dvd.map(_._1): _*)
+        val raw = spark.read.schema(toPhysical(schema))
+          .parquet(dvd.map(_._1): _*)
           .withColumn("_dv_file", canonPathCol(col("_metadata.file_path")))
           .withColumn("_dv_idx", col("_metadata.row_index"))
         val dels0 = dvRowsDf(spark, dvd)
         val dels = dvJoinSide(dels0, dvd, totalDvRows)
         Some(raw.join(dels, Seq("_dv_file", "_dv_idx"), "left_anti")
-          .select(cols: _*))
+          .select(toLogical: _*))
       }
     (cleanDf.toSeq ++ dvDf.toSeq).reduce(_ unionByName _)
   }
@@ -871,7 +1023,8 @@ object ManifestTable {
       val m = manifest(spark, root, base)
       val schema = tableSchema(spark, root, base)
       val stats = statsCols(spark, root, base)
-      val resolvedCond = resolveCond(spark, cond, schema)
+      val resolvedCond = toPhysicalExpr(
+        resolveCond(spark, cond, schema), schema)
       val excluded = graft.plans.StatsPruneRule.excludedByEnvelopes(
         spark, resolvedCond, m, stats)
       val states = dvStates(m)
@@ -881,11 +1034,15 @@ object ManifestTable {
         // file positions of the rows the predicate matches — raw read
         // (existing DVs included: re-matching an already-deleted row
         // re-sets an already-set bit, which is what makes the merge
-        // idempotent)
-        val matched = spark.read.schema(schema).parquet(touched.map(_._1): _*)
+        // idempotent); physical names read, logical handed to `cond`
+        val matched = spark.read.schema(toPhysical(schema))
+          .parquet(touched.map(_._1): _*)
+          .select(canonPathCol(col("_metadata.file_path")).as("_p") +:
+            col("_metadata.row_index").as("_i") +:
+            schema.fields.toIndexedSeq.map(f =>
+              col(physicalName(f)).as(f.name)): _*)
           .filter(coalesce(cond, lit(false)))
-          .select(canonPathCol(col("_metadata.file_path")).as("_p"),
-            col("_metadata.row_index").as("_i"))
+          .select(col("_p"), col("_i"))
         vectorPositions(spark, root, m, states, touched, matched)
           .getOrElse(m)
       }
@@ -981,7 +1138,8 @@ object ManifestTable {
       sets.foreach { case (c, _) =>
         require(schema.fieldNames.contains(c),
           s"assignment target $c is not a table column") }
-      val resolvedCond = resolveCond(spark, cond, schema)
+      val resolvedCond = toPhysicalExpr(
+        resolveCond(spark, cond, schema), schema)
       val excluded = graft.plans.StatsPruneRule.excludedByEnvelopes(
         spark, resolvedCond, m, stats)
       val states = dvStates(m)
@@ -1007,7 +1165,8 @@ object ManifestTable {
             matched.select(col("_p"), col("_i"))) match {
             case None       => m // nothing matched — nothing lands either
             case Some(next) =>
-              next.unionByName(landFiles(updated, root, stats))
+              next.unionByName(
+                landFiles(physSelect(updated, schema), root, stats))
           }
         } finally matched.unpersist(): Unit
       }
@@ -1078,12 +1237,14 @@ object ManifestTable {
       } else updates.schema.fields.filterNot(f =>
         baseSchema.fieldNames.contains(f.name)).map(_.copy(nullable = true))
     val schema = StructType(baseSchema.fields ++ batchNewFields)
-    val batch = conform(
+    // keys come off the LOGICAL-named frame (conform renames to the
+    // physical landing names, which the key joins must not see)
+    val padded =
       schema.fieldNames.filterNot(updates.columns.contains).toSeq
         .foldLeft(updates)((df, c) =>
-          df.withColumn(c, lit(null).cast(schema(c).dataType))),
-      schema)
-    val keys = batch.select(keyCols.map(col): _*).distinct()
+          df.withColumn(c, lit(null).cast(schema(c).dataType)))
+    val batch = conform(padded, schema)
+    val keys = padded.select(keyCols.map(col): _*).distinct()
     // immutable landed files are reusable across CAS retry attempts
     lazy val landed = landFiles(batch, root, statsCols(spark, root, v))
     commitLoopEvolvingOpt(spark, root, extraStage = batchId
@@ -1172,9 +1333,12 @@ object ManifestTable {
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         .withColumn("_p", lit(null).cast("string"))
         .withColumn("_i", lit(null).cast("long"))
-    val withPos = spark.read.schema(schema).parquet(files.map(_._1): _*)
-      .withColumn("_p", canonPathCol(col("_metadata.file_path")))
-      .withColumn("_i", col("_metadata.row_index"))
+    val withPos = spark.read.schema(toPhysical(schema))
+      .parquet(files.map(_._1): _*)
+      .select(schema.fields.toIndexedSeq.map(f =>
+        col(physicalName(f)).as(f.name)) :+
+        canonPathCol(col("_metadata.file_path")).as("_p") :+
+        col("_metadata.row_index").as("_i"): _*)
     val dvd = files.collect { case (p, Some(dv)) => (p, dv) }
     if (dvd.isEmpty) withPos
     else {
@@ -1316,7 +1480,8 @@ object ManifestTable {
       val m = manifest(spark, root, base)
       val schema = tableSchema(spark, root, base)
       val stats = statsCols(spark, root, base)
-      val resolvedCond = resolveCond(spark, cond, schema)
+      val resolvedCond = toPhysicalExpr(
+        resolveCond(spark, cond, schema), schema)
       val excluded = graft.plans.StatsPruneRule.excludedByEnvelopes(
         spark, resolvedCond, m, stats)
       val states = dvStates(m)
@@ -1326,8 +1491,9 @@ object ManifestTable {
       // would resurrect deleted rows into the rewrite)
       val touchedRows = readFilesDv(spark, schema,
         touchedStates.map(s => (s._1, s._2)), touchedStates.map(_._3).sum)
-      val newRows = landFiles(
-        transform(touchedRows, coalesce(cond, lit(false))), root, stats)
+      val newRows = landFiles(physSelect(
+        transform(touchedRows, coalesce(cond, lit(false))), schema),
+        root, stats)
       val next = m.filter(!col("path").isin(touched: _*)).unionByName(newRows)
       if (extraRows == null) next else next.unionByName(extraRows())
     }
@@ -1451,7 +1617,8 @@ object ManifestTable {
         else if (sortCols.isEmpty) cur.repartition(numFiles)
         else cur.repartitionByRange(numFiles, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
-      landFiles(laid, root, statsCols(spark, root, base))
+      landFiles(physSelect(laid, tableSchema(spark, root, base)), root,
+        statsCols(spark, root, base))
     }
   }
 
@@ -1599,7 +1766,7 @@ object ManifestTable {
         else rowsIn.repartitionByRange(nFiles, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       mb.filter(!col("path").isin(todo: _*))
-        .unionByName(landFiles(laid, root, curStats))
+        .unionByName(landFiles(physSelect(laid, curSchema), root, curStats))
     })
   }
 
@@ -1623,9 +1790,13 @@ object ManifestTable {
                  numBits: Int = 1 << 17, numHashes: Int = 5): Option[Long] = {
     val v = latestVersion(spark, root)
     require(v >= 0, s"manifest table at $root has no committed version")
-    require(tableSchema(spark, root, v).fieldNames.contains(keyCol),
+    val schemaV = tableSchema(spark, root, v)
+    require(schemaV.fieldNames.contains(keyCol),
       s"$keyCol is not a table column")
-    val br = bloomRootFor(root, keyCol)
+    // the index reads (and is named by) the column's PHYSICAL name —
+    // stable under RENAME COLUMN, matching what data files carry
+    val physCol = physicalFor(schemaV, keyCol)
+    val br = bloomRootFor(root, physCol)
     val live = filesAt(spark, root, v)
     val todo =
       if (VersionedTable.latestVersion(spark, br) < 0) live
@@ -1638,7 +1809,7 @@ object ManifestTable {
         live.filterNot(indexed.contains)
       }
     if (todo.isEmpty) return None
-    val idx = graft.sources.FileBloomIndex.buildFor(spark, todo, keyCol,
+    val idx = graft.sources.FileBloomIndex.buildFor(spark, todo, physCol,
       numBits, numHashes)
     Some(
       if (VersionedTable.latestVersion(spark, br) < 0)

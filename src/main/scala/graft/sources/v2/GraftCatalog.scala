@@ -53,7 +53,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * be purged by deleting that directory.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with ProcedureCatalog {
+  with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -80,7 +80,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** The on-disk descriptor of a table — [[GraftMaintenance]] reads
     * declared maintenance policy (clusterBy, bloomIndex) off it. */
-  private[v2] def tableDef(ident: Identifier): Option[java.util.Properties] =
+  private[graft] def tableDef(ident: Identifier): Option[java.util.Properties] =
     readDef(ident)
 
   private def readDef(ident: Identifier): Option[java.util.Properties] = {
@@ -215,6 +215,87 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  // ------------------------------------------------- atomic CTAS/RTAS
+  //
+  // With StagingTableCatalog implemented, Spark plans CREATE/REPLACE
+  // TABLE ... AS SELECT through the ATOMIC execs: the table is staged
+  // (data written, DESCRIPTOR withheld), then committed in one step —
+  // a failed CTAS leaves no descriptor and no directory, instead of a
+  // registered-but-empty (or half-loaded) table.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): StagedTable = {
+    require(partitions.isEmpty,
+      "graft tables cluster via OPTIMIZE sort columns, not partition transforms")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stageAt(ident, schema, properties, replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: JMap[String, String]): StagedTable = {
+    require(partitions.isEmpty,
+      "graft tables cluster via OPTIMIZE sort columns, not partition transforms")
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stageAt(ident, schema, properties, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: JMap[String, String])
+      : StagedTable = {
+    require(partitions.isEmpty,
+      "graft tables cluster via OPTIMIZE sort columns, not partition transforms")
+    stageAt(ident, schema, properties, replace = tableExists(ident))
+  }
+
+  private def stageAt(ident: Identifier, schema: StructType,
+                      properties: JMap[String, String],
+                      replace: Boolean): StagedTable = {
+    val location = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .orElse(if (replace)
+        readDef(ident).map(_.getProperty("location")) else None)
+      .getOrElse((s"$warehouse/tables" +: ident.namespace.toSeq :+
+        ident.name).mkString("/"))
+    val statsCols = Option(properties.get("statsCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    var createdDir = false
+    if (!replace) {
+      // an existing manifest WITHOUT a descriptor at a managed
+      // location is a prior CRASHED CTAS's orphan (commit never wrote
+      // the descriptor) — clear it so the new stage starts clean
+      if (graft.sinks.ManifestTable.exists(spark, location))
+        new Path(location).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+          .delete(new Path(location), true): Unit
+      graft.sinks.ManifestTable.create(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+        location, statsCols): Unit
+      createdDir = true
+    }
+    val props = new java.util.Properties()
+    properties.asScala
+      .filterNot { case (k, _) =>
+        k == TableCatalog.PROP_LOCATION || k.startsWith("option.") ||
+          k == TableCatalog.PROP_PROVIDER || k == TableCatalog.PROP_OWNER }
+      .foreach { case (k, v) => props.setProperty(k, v) }
+    props.setProperty("location", location)
+    new GraftStagedTable(this, ident, location, schema, props,
+      replace, createdDir)
+  }
+
+  private[v2] def commitStaged(ident: Identifier,
+                               props: java.util.Properties): Unit =
+    writeDef(ident, props)
+
+  private[v2] def abortStaged(location: String, createdDir: Boolean): Unit =
+    if (createdDir)
+      new Path(location).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new Path(location), true): Unit
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val props = readDef(ident).getOrElse(throw new NoSuchTableException(ident))
     // VALIDATE the whole change set, THEN apply: adds as ONE widening
@@ -224,6 +305,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val adds = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.types.StructField]
     val drops = scala.collection.mutable.ArrayBuffer.empty[String]
+    val renames = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     changes.foreach {
       case set: TableChange.SetProperty =>
         props.setProperty(set.property, set.value)
@@ -254,10 +336,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(del.fieldNames.length == 1,
           "graft tables have no nested columns to drop from")
         drops += del.fieldNames()(0)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          "graft tables have no nested columns to rename")
+        renames += ((ren.fieldNames()(0), ren.newName()))
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported table change $other — RENAME and " +
-          "type changes need column mapping, which schema-on-read by " +
-          "NAME deliberately does not carry; rewrite via the table formats")
+        s"graft catalog: unsupported table change $other — type changes " +
+          "would need per-file rewrites; evolve via ADD/DROP/RENAME " +
+          "COLUMN or the table formats")
     }
     require(props.getProperty("location") != null,
       "the location property cannot be removed")
@@ -286,6 +372,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // the second one fails after the first succeeded
       graft.sinks.ManifestTable.alterColumns(spark, loc,
         adds.toSeq, drops.toSeq): Unit
+    }
+    if (renames.nonEmpty) {
+      val loc = props.getProperty("location")
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        "RENAME COLUMN is supported on manifest-format tables only")
+      renames.foreach { case (from, to) =>
+        // metadata-only via the name mapping — data files, manifest
+        // stat columns, and bloom index roots keep the frozen
+        // PHYSICAL name, so nothing rewrites and pruning stays live
+        graft.sinks.ManifestTable.renameColumn(spark, loc, from, to): Unit
+        // the maintenance/stat declarations follow the LOGICAL name
+        Seq("clusterBy", "bloomIndex", "statsCols").foreach { p =>
+          Option(props.getProperty(p)).foreach { v =>
+            props.setProperty(p, v.split(",").map(_.trim)
+              .map(c => if (c == from) to else c).mkString(","))
+          }
+        }
+      }
     }
     writeDef(ident, props)
     loadTable(ident)

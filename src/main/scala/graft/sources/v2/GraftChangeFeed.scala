@@ -328,16 +328,31 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
       if (clean.isEmpty) Array.empty
       else {
         val pairs = clean.map(f => (f._1, f._2))
+        // data files carry PHYSICAL column names (RENAME COLUMN's
+        // name mapping); rows are positional, so reading the feed
+        // columns under version v's physical names — in FEED order —
+        // serves the logical columns unchanged (fields v lacks stay
+        // logical and read NULL, as before)
+        val readSchema =
+          if (isManifest) {
+            val vSchema =
+              graft.sinks.ManifestTable.tableSchema(spark, root, v)
+            StructType(dataSchema.fields.map(f =>
+              vSchema.fields.find(_.name == f.name)
+                .map(vf => f.copy(
+                  name = graft.sinks.ManifestTable.physicalName(vf)))
+                .getOrElse(f)))
+          } else dataSchema
         val index =
           if (isManifest) {
             val ts = graft.sinks.VersionedTable.commitTimestamp(spark,
               graft.sinks.ManifestTable.manifestsRoot(root), v).getOrElse(0L)
             new GraftManifestFileIndex(spark, root, pairs, ts,
-              dataSchema, None)
+              readSchema, None)
           } else
             new InMemoryFileIndex(spark, pairs.map(f => new Path(f._1)),
               Map.empty, Some(dataSchema))
-        val batch = ParquetScanBuilder(spark, index, dataSchema, dataSchema,
+        val batch = ParquetScanBuilder(spark, index, readSchema, readSchema,
           CaseInsensitiveStringMap.empty()).build().toBatch
         val factory = batch.createReaderFactory()
         batch.planInputPartitions().map(p =>

@@ -400,6 +400,21 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // data files carry PHYSICAL column names (stable under RENAME
+    // COLUMN); the delegated builders and the manifest index speak
+    // physical, and the [[GraftMappedScanBuilder]] shim translates at
+    // the boundary. Unmapped tables (physical == logical everywhere)
+    // take the exact pre-mapping path.
+    val physSchema =
+      if (isManifest) graft.sinks.ManifestTable.toPhysical(dataSchema)
+      else dataSchema
+    def mapped(b: ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters)
+        : ScanBuilder =
+      if (isManifest && graft.sinks.ManifestTable.hasMapping(dataSchema))
+        new GraftMappedScanBuilder(b, dataSchema)
+      else b
     val index =
       if (isManifest) {
         // the manifest IS the listing: paths, sizes, and a commit
@@ -431,28 +446,28 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
           // and excluded files contribute no survivors.
           val clean = all.collect { case (p, size, None) => (p, size) }
           val cleanIndex = new GraftManifestFileIndex(spark, root, clean,
-            ts, dataSchema,
+            ts, physSchema,
             if (cols.isEmpty) None else Some((m, cols)), bloomEntries)
           val dvIndex = new GraftManifestFileIndex(spark, root,
-            dvd.map(f => (f._1, f._2)), ts, dataSchema,
+            dvd.map(f => (f._1, f._2)), ts, physSchema,
             if (cols.isEmpty) None else Some((m, cols)), bloomEntries)
           val dvSchema = org.apache.spark.sql.types.StructType(
-            dataSchema.fields :+ GraftDvScanBuilder.RowIndexField)
-          return new GraftDvScanBuilder(spark,
-            ParquetScanBuilder(spark, cleanIndex, dataSchema, dataSchema,
+            physSchema.fields :+ GraftDvScanBuilder.RowIndexField)
+          return mapped(new GraftDvScanBuilder(spark,
+            ParquetScanBuilder(spark, cleanIndex, physSchema, physSchema,
               options),
             ParquetScanBuilder(spark, dvIndex, dvSchema, dvSchema,
               options),
-            dvd, ts)
+            dvd, ts))
         }
         new GraftManifestFileIndex(spark, root,
-          all.map(f => (f._1, f._2)), ts, dataSchema,
+          all.map(f => (f._1, f._2)), ts, physSchema,
           if (cols.isEmpty) None else Some((m, cols)), bloomEntries)
       } else
         new GraftStatsFileIndex(spark,
           Seq(new Path(s"$root/epoch=$version")), dataSchema,
           metadataEntry(options))
-    ParquetScanBuilder(spark, index, dataSchema, dataSchema, options)
+    mapped(ParquetScanBuilder(spark, index, physSchema, physSchema, options))
   }
 
   /** Stats/bloom metadata roots: explicit reader options (mirroring

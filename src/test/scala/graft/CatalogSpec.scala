@@ -268,6 +268,74 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL RENAME COLUMN: metadata-only, queries/writes/maintenance declarations follow the new name") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graftc.db.rn (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k', 'clusterBy' = 'k')")
+    spark.sql("INSERT INTO graftc.db.rn VALUES (1, 10), (2, 20)")
+    val loc = s"$warehouse/tables/db/rn"
+    val filesBefore = sinks.ManifestTable.filesAt(spark,
+      loc, sinks.ManifestTable.latestVersion(spark, loc)).toSet
+    spark.sql("ALTER TABLE graftc.db.rn RENAME COLUMN k TO key")
+    // metadata-only: the data files carry by reference
+    assert(sinks.ManifestTable.filesAt(spark, loc,
+      sinks.ManifestTable.latestVersion(spark, loc)).toSet == filesBefore)
+    // the new name queries; the old one no longer resolves
+    assert(spark.sql(
+      "SELECT v FROM graftc.db.rn WHERE key = 2").head().getLong(0) == 20L)
+    intercept[Exception] {
+      spark.sql("SELECT k FROM graftc.db.rn").collect()
+    }
+    // writes speak the new name too
+    spark.sql("INSERT INTO graftc.db.rn VALUES (3, 30)")
+    assert(spark.sql("SELECT sum(v) FROM graftc.db.rn").head().getLong(0)
+      == 60L)
+    // TIME TRAVEL reads the pre-rename version under its own schema
+    assert(spark.sql("SELECT * FROM graftc.db.rn VERSION AS OF 1")
+      .columns.toSeq == Seq("k", "v"))
+    // the declared maintenance follows the rename
+    val cat = org.apache.spark.sql.graft.GraftSqlShims
+      .catalogManager(spark).catalog("graftc")
+      .asInstanceOf[sources.v2.GraftCatalog]
+    val props = cat.tableDef(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "rn")).get
+    assert(props.getProperty("clusterBy") == "key")
+    assert(props.getProperty("statsCols") == "key")
+  }
+
+  test("atomic CTAS/RTAS: failed CTAS leaves no descriptor and no directory; success is one visible commit") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graftc.db.ctas TBLPROPERTIES " +
+      "('statsCols' = 'k') AS SELECT id AS k, id * 2 AS v FROM range(10)")
+    assert(spark.sql("SELECT sum(v) FROM graftc.db.ctas")
+      .head().getLong(0) == 90L)
+    // the staged write really landed as manifest commits with stats
+    val loc = s"$warehouse/tables/db/ctas"
+    assert(sinks.ManifestTable.statsCols(spark, loc,
+      sinks.ManifestTable.latestVersion(spark, loc)) == Seq("k"))
+    // a CTAS whose query FAILS mid-write must leave neither a
+    // descriptor nor a directory — not a registered-but-empty table
+    val failLoc = s"$warehouse/tables/db/ctasfail"
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graftc.db.ctasfail AS " +
+        "SELECT assert_true(id < 5) AS chk, id FROM range(10)")
+    }
+    assert(!spark.catalog.tableExists("graftc.db.ctasfail"))
+    val p = new org.apache.hadoop.fs.Path(failLoc)
+    assert(!p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(p), "failed CTAS must leave no directory")
+    // RTAS replaces content AND schema in one CAS commit; the prior
+    // life stays time-travelable under its own sidecar
+    spark.sql("REPLACE TABLE graftc.db.ctas AS " +
+      "SELECT id AS a, concat('s', id) AS b FROM range(3)")
+    val re = spark.sql("SELECT * FROM graftc.db.ctas ORDER BY a")
+    assert(re.columns.toSeq == Seq("a", "b"))
+    assert(re.count() == 3)
+    assert(spark.sql("SELECT * FROM graftc.db.ctas VERSION AS OF 1")
+      .columns.toSeq == Seq("k", "v"))
+  }
+
   test("a time-traveled handle is read-only: INSERT INTO ... VERSION AS OF fails fast") {
     warehouse: Unit
     val loc = java.nio.file.Files
@@ -336,12 +404,14 @@ class CatalogSpec extends AnyFunSuite {
     assert(sinks.ManifestTable.filesAt(spark, loc,
       sinks.ManifestTable.latestVersion(spark, loc)) == filesPreDrop)
     assert(!spark.table("graftc.db.evo").columns.contains("note"))
-    // re-adding the name while a live file still carries it is the
-    // documented resurrection refusal
-    val re = intercept[Exception] {
-      spark.sql("ALTER TABLE graftc.db.evo ADD COLUMN note STRING")
-    }
-    assert(re.getMessage.contains("resurrect"))
+    // re-adding the name while a live file still carries it maps the
+    // new column to a FRESH physical name — the dropped 'hi' stays
+    // invisible (NULL everywhere), nothing refused, zero rewrites
+    spark.sql("ALTER TABLE graftc.db.evo ADD COLUMN note STRING")
+    assert(spark.sql("SELECT note FROM graftc.db.evo").collect()
+      .forall(_.isNullAt(0)),
+      "re-added column must read NULL, never the dropped values")
+    spark.sql("ALTER TABLE graftc.db.evo DROP COLUMN note")
     // dropping a column the declared maintenance rides on is refused
     // until the policy is re-declared — a broken scheduled tick is
     // worse than a refused ALTER

@@ -1935,6 +1935,103 @@ class SinksSpec extends AnyFunSuite {
       "a purged table must plan through the ordinary parquet batch again")
   }
 
+  test("RENAME COLUMN: metadata-only name mapping — files untouched, pruning/merge/DV/time-travel follow") {
+    import sinks.ManifestTable
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-rename").toString + "/t"
+    ManifestTable.create(
+      spark.range(100).select(col("id").as("k"), (col("id") * 10).as("v"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      root, Seq("k"))
+    val files0 = ManifestTable.filesAt(spark, root, 0).toSet
+    ManifestTable.renameColumn(spark, root, "k", "key")
+    // METADATA-ONLY: the same data files carry by reference
+    assert(ManifestTable.filesAt(spark, root, 1).toSet == files0)
+    // reads expose the new name; values unchanged
+    val df = spark.read.format("graft").load(root)
+    assert(df.columns.toSeq == Seq("key", "v"))
+    assert(df.filter(col("key") === 7L).select("v").head().getLong(0) == 70L)
+    // envelope pruning still fires ON THE RENAMED NAME (stat columns
+    // kept the frozen physical name; the scan shim translates)
+    val probe = spark.read.format("graft").load(root)
+      .filter(col("key") >= 80L && col("key") <= 85L)
+    val probed = probe.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.partitions.flatten }.flatten.size
+    assert(probed == 1, s"rename must not break envelope pruning: $probed")
+    assert(probe.select("key").collect().map(_.getLong(0)).toSet ==
+      (80L to 85L).toSet)
+    // keyed merge by the renamed key stays file-granular
+    ManifestTable.merge(Seq((7L, 700L)).toDF("key", "v"), root, Seq("key"))
+    val vNow = ManifestTable.latestVersion(spark, root)
+    assert(ManifestTable.filesAt(spark, root, vNow).toSet
+      .intersect(files0).size == 3, "merge must rewrite only touched files")
+    assert(ManifestTable.read(spark, root)
+      .filter(col("key") === 7L).head().getLong(1) == 700L)
+    // metadata aggregates still collapse post-rename (logical name
+    // routed to the physical stat triplet)
+    assert(ManifestTable.read(spark, root)
+      .agg(max(col("key"))).head().getLong(0) == 99L)
+    // MoR delete on the renamed column
+    ManifestTable.deleteWhereMor(spark, root, col("key") === 8L)
+    assert(ManifestTable.read(spark, root).count() == 99)
+    assert(spark.read.format("graft").load(root)
+      .filter(col("key") === 8L).count() == 0L)
+    // TIME TRAVEL reads pre-rename versions under their own sidecars
+    val v0 = spark.read.format("graft").option("versionAsOf", 0).load(root)
+    assert(v0.columns.toSeq == Seq("k", "v"))
+    assert(v0.filter(col("k") === 7L).select("v").head().getLong(0) == 70L)
+    // appends after the rename land under the stable physical name —
+    // visible to old-schema time travel tools and new reads alike
+    ManifestTable.write(Seq((200L, 2000L)).toDF("key", "v"), root)
+    assert(ManifestTable.read(spark, root)
+      .filter(col("key") === 200L).count() == 1L)
+    // renaming BACK drops the mapping entry
+    ManifestTable.renameColumn(spark, root, "key", "k")
+    val schemaBack = ManifestTable.tableSchema(spark, root,
+      ManifestTable.latestVersion(spark, root))
+    assert(schemaBack.fieldNames.toSeq == Seq("k", "v"))
+    assert(!ManifestTable.hasMapping(schemaBack))
+    assert(spark.read.format("graft").load(root)
+      .filter(col("k") === 7L).select("v").head().getLong(0) == 700L)
+  }
+
+  test("re-ADD after DROP needs no optimize: the new column maps to a fresh physical name, stale bytes stay dead") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-readd").toString + "/t"
+    ManifestTable.create(
+      spark.range(10).select(col("id").as("k"), (col("id") * 10).as("v")),
+      root, Seq("k"))
+    ManifestTable.dropColumns(spark, root, Seq("v"))
+    // the re-add used to REFUSE until optimize() rewrote the files;
+    // with the name mapping it commits immediately, mapped to a fresh
+    // physical name — the live files' stale `v` bytes cannot resurrect
+    ManifestTable.addColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val re = ManifestTable.read(spark, root)
+    assert(re.filter(col("v").isNotNull).count() == 0L,
+      "old values must NOT resurrect into the re-added column")
+    // writes to the re-added column round-trip
+    ManifestTable.merge(Seq((3L, 999L)).toDF("k", "v"), root, Seq("k"))
+    val got = ManifestTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got(3L) == 999L && got(4L) == -1L, s"$got")
+    // rename-away then re-use of the NAME also gets a fresh physical:
+    // `w`'s data physically lives under `v2`... add a fresh `v2`
+    ManifestTable.renameColumn(spark, root, "v", "w")
+    ManifestTable.addColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val cols = ManifestTable.read(spark, root)
+    assert(cols.columns.toSeq == Seq("k", "w", "v"))
+    assert(cols.filter(col("w") === 999L).count() == 1L)
+    assert(cols.filter(col("v").isNotNull).count() == 0L,
+      "the re-used name must not alias the renamed column's bytes")
+  }
+
   test("DV files SPLIT: a large vectored file plans as multiple ranged partitions, read correct") {
     import sinks.ManifestTable
     import sources.v2.GraftDvFilePartition
@@ -2055,24 +2152,33 @@ class SinksSpec extends AnyFunSuite {
     assert(ManifestTable.readVersion(spark, root, 0L)
       .select("x").orderBy("x").collect().map(_.getLong(0)).toSeq ==
       Seq(10L, 20L))
-    // the RESURRECTION GUARD: the original files still physically
-    // carry x, so re-adding the name must refuse (schema-on-read
-    // would surface the stale 10/20 instead of NULL)
-    val e = intercept[IllegalArgumentException] {
-      ManifestTable.addColumns(spark, root,
-        Seq(StructField("x", LongType, nullable = true)))
-    }
-    assert(e.getMessage.contains("resurrect"))
-    // after a full re-lay purges the physical column, re-add works
-    // and every row reads NULL
-    ManifestTable.optimize(spark, root, sortCols = Seq("k"), numFiles = 1)
+    // the RESURRECTION GUARD, mapping edition: the original files
+    // still physically carry x, so the re-added column maps to a
+    // FRESH physical name — the stale 10/20 stay invisible, every
+    // row reads NULL, and nothing is refused (no optimize() needed)
     ManifestTable.addColumns(spark, root,
       Seq(StructField("x", LongType, nullable = true)))
+    val reSchema = ManifestTable.tableSchema(spark, root,
+      ManifestTable.latestVersion(spark, root))
+    val xf = reSchema.fields.find(_.name == "x").get
+    assert(ManifestTable.physicalName(xf) != "x",
+      "re-adding a name live files still carry must map it to a " +
+        "fresh physical name, or the dropped values resurrect")
     assert(ManifestTable.read(spark, root).filter(col("x").isNotNull)
-      .count() == 0L)
-    // an unrelated fresh name never trips the guard
+      .count() == 0L,
+      "re-added column must read NULL everywhere, never stale bytes")
+    // new writes land under the mapped physical name and read back
+    ManifestTable.write(Seq((4L, "d", 40L)).toDF("k", "v", "x"), root)
+    assert(ManifestTable.read(spark, root).filter(col("x").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((4L, 40L)))
+    // an unrelated fresh name never needs a mapping
     ManifestTable.addColumns(spark, root,
       Seq(StructField("y", LongType, nullable = true)))
+    val yf = ManifestTable.tableSchema(spark, root,
+      ManifestTable.latestVersion(spark, root)).fields
+      .find(_.name == "y").get
+    assert(ManifestTable.physicalName(yf) == "y")
   }
 
   test("manifest restore: a retained version re-commits by reference — zero data I/O, history intact") {
