@@ -112,7 +112,11 @@ case class MetaAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
     def stats(): org.apache.spark.sql.DataFrame = frame
-    def covered(): Boolean = true // the manifest IS the listing
+    // the manifest IS the listing — but PENDING equality deletes live
+    // outside its row counts (they resolve at scan time), so a version
+    // carrying them must route to the scan, never answer from stats
+    def covered(): Boolean =
+      !graft.sinks.ManifestTable.hasPendingEq(spark, root, version)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =

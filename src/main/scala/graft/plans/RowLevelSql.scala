@@ -137,7 +137,13 @@ case class GraftRowLevelSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val sSet = AttributeSet(source.output)
       val pairs = keyPairs(mergeCond, tSet, sSet).distinct
       val keySrc = pairs.toMap
+      // mergeMode grains: 'merge-on-read' vectors matched positions;
+      // 'equality-delete' commits the keys with ZERO target reads —
+      // expressible only for the pure SET */INSERT * upsert (the fast
+      // path below); general clause shapes must read matched rows, so
+      // an eq-declared table serves them at the vector grain
       val mor = graftTable(target).exists(_.morMerge)
+      val eq = graftTable(target).exists(_.eqMerge)
 
       // side-qualified rebasing: matched clauses may reference BOTH
       // relations (same column names on both sides), so names alone
@@ -226,7 +232,7 @@ case class GraftRowLevelSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if (aligned)
             Some(GraftMergeCommand(root, source,
               targetCols.map(a => (a.name, byName(ins(a.name)), a.dataType)),
-              pairs.map(_._1), mor))
+              pairs.map(_._1), mor, eq))
           else None
         case _ => None
       }
@@ -234,7 +240,7 @@ case class GraftRowLevelSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         GraftMergeFullCommand(root, source,
           targetCols.map(a => (a.name, a.dataType)),
           pairs.map { case (tn, src) => (tn, src.name) },
-          matchedArms, insertArms, bySourceArms, mor))
+          matchedArms, insertArms, bySourceArms, mor || eq))
   }
 }
 
@@ -413,13 +419,15 @@ final case class GraftMergeCommand(
     columns: Seq[(String, org.apache.spark.sql.Column,
       org.apache.spark.sql.types.DataType)],
     keys: Seq[String],
-    mor: Boolean = false)
+    mor: Boolean = false,
+    eq: Boolean = false)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     val src = GraftSqlShims.ofRows(session, source)
       .select(columns.map { case (n, v, dt) => v.cast(dt).as(n) }: _*)
-    if (mor) graft.sinks.ManifestTable.mergeMor(src, root, keys)
+    if (eq) graft.sinks.ManifestTable.mergeEq(src, root, keys)
+    else if (mor) graft.sinks.ManifestTable.mergeMor(src, root, keys)
     else graft.sinks.ManifestTable.merge(src, root, keys)
     Nil
   }

@@ -907,6 +907,42 @@ object LlmOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** [[qMergeDv]]'s algebra at the EQUALITY-DELETE grain
+    * ([[graft.sinks.ManifestTable.mergeEq]] — the streaming keyed
+    * ingest shape: the batch's keys commit as an equality delete,
+    * ZERO target reads at write time), exercising all three of its
+    * read states in one gate: the first eq merge's pending deletes
+    * FOLD into the deleteWhereMor commit (any row-level op
+    * materializes them), and the second eq merge is still PENDING at
+    * the final read — served through the cached read-side resolution
+    * into deletion vectors. The oracle reconstructs the same fold in
+    * plain SQL. */
+  def qMergeEq(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("mt_merge_eq")
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    graft.sinks.ManifestTable.create(
+      d.filter(col("doc_id") % 10 =!= 7)
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    graft.sinks.ManifestTable.mergeEq(
+      d.filter(col("doc_id") % 5 === 2)
+        .withColumn("text", concat(lit("UPDATED: "), col("text"))),
+      root, Seq("doc_id"))
+    graft.sinks.ManifestTable.deleteWhereMor(spark, root,
+      col("doc_id") % 10 === 4)
+    graft.sinks.ManifestTable.mergeEq(
+      d.filter(col("doc_id") % 7 === 3)
+        .withColumn("text", concat(lit("EQ2: "), col("text"))),
+      root, Seq("doc_id"))
+    graft.sinks.ManifestTable.read(spark, root)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("text_len"),
+        substring(col("text"), 1, 12).as("head"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[qCdcApply]]'s exact algebra on the MERGE-ON-READ path
     * ([[graft.sinks.ManifestTable.applyCdcMor]]): both CDC batches
     * fold as vectors + appends, nothing rewritten, same oracle. */
@@ -1245,6 +1281,7 @@ object LlmOps extends QueryModule {
     "q_merge_upsert"    -> qMergeUpsert _,
     "q_cdc_apply"       -> qCdcApply _,
     "q_merge_dv"        -> qMergeDv _,
+    "q_merge_eq"        -> qMergeEq _,
     "q_cdc_dv"          -> qCdcDv _,
     "q_shard_assign"    -> qShardAssign _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
@@ -2485,8 +2522,30 @@ object LlmOps extends QueryModule {
 
   /** The merge-on-read twins run the SAME algebra on the vector path —
     * byte-identical oracles are the point: two engine grains, one
-    * answer. */
+    * answer. The equality-delete gate extends the fold with a second,
+    * still-pending merge, so its oracle models one more step. */
   val oracleSql: Map[String, String] = oracleBase ++ Map(
     "q_merge_dv" -> oracleBase("q_merge_upsert"),
-    "q_cdc_dv"   -> oracleBase("q_cdc_apply"))
+    "q_cdc_dv"   -> oracleBase("q_cdc_apply"),
+    "q_merge_eq" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 7),
+        |upd AS (
+        |  SELECT doc_id, lang, 'UPDATED: ' || text AS text
+        |  FROM documents WHERE doc_id % 5 = 2),
+        |merged AS (
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.doc_id = b.doc_id)
+        |  UNION ALL
+        |  SELECT * FROM upd),
+        |d1 AS (SELECT * FROM merged WHERE doc_id % 10 <> 4),
+        |b2 AS (
+        |  SELECT doc_id, lang, 'EQ2: ' || text AS text
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |final AS (
+        |  SELECT * FROM d1 WHERE doc_id % 7 <> 3
+        |  UNION ALL SELECT * FROM b2)
+        |SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_len,
+        |  substr(text, 1, 12) AS head
+        |FROM final ORDER BY doc_id""".stripMargin)
 }

@@ -66,11 +66,15 @@ object ManifestTable {
 
   private val ManifestsSub = "_manifests"
   private val SchemaSidecar = "_graft_schema.json"
+  private val EqSidecar = "_graft_eqdeletes.tsv"
   private val DvSub = "_dv"
+  private val EqSub = "_eq"
 
   private[graft] def manifestsRoot(root: String): String = s"$root/$ManifestsSub"
 
   private[graft] def dvRoot(root: String): String = s"$root/$DvSub"
+
+  private def eqRoot(root: String): String = s"$root/$EqSub"
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -103,17 +107,72 @@ object ManifestTable {
     VersionedTable.versionAtTimestamp(spark, manifestsRoot(root), tsMs)
 
   /** The manifest of one version: (path, size, row_count, stats…,
-    * dv_path, dv_rows) — normalized so manifests committed before the
-    * deletion-vector columns existed read with `dv_path = NULL,
-    * dv_rows = 0` (each manifest epoch stands alone schema-wise; the
-    * normalization is what lets every consumer handle DVs uniformly). */
+    * dv_path, dv_rows, seq) — normalized so manifests committed before
+    * the deletion-vector / sequence columns existed read with
+    * `dv_path = NULL, dv_rows = 0, seq = 0` (each manifest epoch
+    * stands alone schema-wise; the normalization is what lets every
+    * consumer handle DVs and equality-delete ordering uniformly).
+    * `seq` is the version at which the file was ADDED — the ordering
+    * equality deletes apply by (a delete at seq s kills matching rows
+    * only in files with seq < s); legacy files' seq 0 makes them
+    * subject to every later delete, which is exactly their age. */
   def manifest(spark: SparkSession, root: String, version: Long): DataFrame = {
     var m = VersionedTable.readVersion(spark, manifestsRoot(root), version)
     if (!m.columns.contains("dv_path"))
       m = m.withColumn("dv_path", lit(null).cast("string"))
     if (!m.columns.contains("dv_rows"))
       m = m.withColumn("dv_rows", lit(0L))
+    if (!m.columns.contains("seq")) m = m.withColumn("seq", lit(0L))
+    else m = m.withColumn("seq", coalesce(col("seq"), lit(0L)))
     m
+  }
+
+  // ------------------------------------------------ equality deletes
+  //
+  // The Iceberg-v2 streaming-upsert grain: a keyed merge can commit
+  // the BATCH'S KEYS as an equality-delete file instead of scanning
+  // the target for matched positions — write cost O(batch), zero
+  // target reads. The deletes are applied at read (resolved into
+  // ordinary deletion vectors over the envelope/bloom-touched subset,
+  // cached per version) and materialized durably by [[compactEq]] /
+  // the first row-level op / the maintenance tick.
+
+  /** One pending equality delete: `path` holds the delete's key rows
+    * (a parquet directory under `_eq/`), `seq` the version it
+    * committed at (it applies to files with a SMALLER seq), `keys`
+    * the logical key column names. */
+  private[graft] final case class EqEntry(path: String, seq: Long,
+                                          keys: Seq[String])
+
+  /** The pending equality deletes committed with `version` — read off
+    * the epoch's registry sidecar; absent sidecar = none (every
+    * pre-eq epoch). */
+  private[graft] def eqDeletes(spark: SparkSession, root: String,
+                               version: Long): Seq[EqEntry] = {
+    val p = new Path(s"${manifestsRoot(root)}/epoch=$version", EqSidecar)
+    val f = fs(spark, root)
+    if (!f.exists(p)) return Nil
+    val in = f.open(p)
+    val txt = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    txt.split('\n').filter(_.nonEmpty).toSeq.map { line =>
+      val parts = line.split('\t')
+      EqEntry(parts(1), parts(0).toLong, parts(2).split(',').toSeq)
+    }
+  }
+
+  /** Registry sidecar writer for a manifest epoch's staging hook —
+    * nothing written when empty (absence IS the empty registry). */
+  private def stageEq(spark: SparkSession, root: String,
+                      entries: Seq[EqEntry])(dir: String): Unit = {
+    if (entries.isEmpty) return
+    val f = fs(spark, root)
+    val out = f.create(new Path(dir, EqSidecar), true)
+    try out.write(entries.map(e =>
+      s"${e.seq}\t${e.path}\t${e.keys.mkString(",")}")
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Tracked stats columns, read off the manifest's own schema. */
@@ -242,7 +301,7 @@ object ManifestTable {
         Seq(StructField(s"${c}_min", dt), StructField(s"${c}_max", dt),
           StructField(s"${c}_nulls", LongType))
       }) :+ StructField("dv_path", StringType) :+
-        StructField("dv_rows", LongType))
+        StructField("dv_rows", LongType) :+ StructField("seq", LongType))
   }
 
   private def landFiles(df: DataFrame, root: String,
@@ -288,6 +347,9 @@ object ManifestTable {
     sizes.join(withCanon, Seq("path")).filter(col("row_count") > 0)
       .withColumn("dv_path", lit(null).cast("string"))
       .withColumn("dv_rows", lit(0L))
+      // the ADDED-AT version is the commit's to decide — the commit
+      // loop stamps NULL seq with its own attempt's version
+      .withColumn("seq", lit(null).cast("long"))
   }
 
   /** Strip the column-mapping metadata off a schema that came from
@@ -317,8 +379,11 @@ object ManifestTable {
     val schema = freshSchema(df.schema)
     val stats = statsCols(spark, root, v).filter(schema.fieldNames.contains)
     val rows = landFiles(df, root, stats)
+    // a full content replace retires pending equality deletes with
+    // the content they applied to
     commitLoopEvolving(spark, root, extraStage =
-      VersionedTable.stampBatch(spark, manifestsRoot(root), -1L)) { _ =>
+      VersionedTable.stampBatch(spark, manifestsRoot(root), -1L),
+      eqReg = _ => Nil) { _ =>
       (rows, schema)
     }
   }
@@ -390,7 +455,8 @@ object ManifestTable {
     // new life — the strict-discipline error message tells users to
     // overwrite() exactly to re-point a fresh-checkpoint stream here
     commitLoopEvolving(spark, root, extraStage =
-      VersionedTable.stampBatch(spark, manifestsRoot(root), -1L)) { base =>
+      VersionedTable.stampBatch(spark, manifestsRoot(root), -1L),
+      eqReg = _ => Nil) { base =>
       (rows, tableSchema(spark, root, base))
     }
   }
@@ -462,9 +528,10 @@ object ManifestTable {
     * base version, commit only as base+1; on conflict recompute. The
     * schema sidecar re-stages each attempt. */
   private def commitLoop(spark: SparkSession, root: String,
-                         maxAttempts: Int = 12)
+                         maxAttempts: Int = 12,
+                         eqReg: Long => Seq[EqEntry] = null)
                         (next: Long => DataFrame): Long =
-    commitLoopEvolving(spark, root, maxAttempts)(base =>
+    commitLoopEvolving(spark, root, maxAttempts, eqReg = eqReg)(base =>
       (next(base), tableSchema(spark, root, base)))
 
   /** [[commitLoop]] where the next version may also commit a WIDER
@@ -473,30 +540,49 @@ object ManifestTable {
     * staged sidecars (the batch-id replay marker). */
   private def commitLoopEvolving(spark: SparkSession, root: String,
                                  maxAttempts: Int = 12,
-                                 extraStage: String => Unit = _ => ())
+                                 extraStage: String => Unit = _ => (),
+                                 eqReg: Long => Seq[EqEntry] = null)
                                 (next: Long => (DataFrame, StructType)): Long =
-    commitLoopEvolvingOpt(spark, root, maxAttempts, extraStage)(
+    commitLoopEvolvingOpt(spark, root, maxAttempts, extraStage, eqReg)(
       base => Some(next(base))).get
 
   /** [[commitLoopEvolving]] where an attempt may ABSTAIN (None) after
     * seeing the freshly resolved base — the hook [[writeBatch]]'s
     * per-attempt replay re-check needs: a None from `next` ends the
-    * loop with no commit. */
+    * loop with no commit.
+    *
+    * `eqReg` decides the next version's equality-delete registry from
+    * the attempt's base: null (the default) CARRIES the base's pending
+    * deletes forward — correct for commits that neither read nor
+    * rewrite rows (appends, evolution, renames). Commits that START
+    * FROM THE EFFECTIVE VIEW ([[effectiveManifest]] — every row-level
+    * op, optimize, compaction) pass `_ => Nil`: their manifest already
+    * materialized the deletes as vectors, so carrying the registry
+    * would re-apply them. */
   private def commitLoopEvolvingOpt(spark: SparkSession, root: String,
                                     maxAttempts: Int = 12,
-                                    extraStage: String => Unit = _ => ())
+                                    extraStage: String => Unit = _ => (),
+                                    eqReg: Long => Seq[EqEntry] = null)
                                    (next: Long => Option[(DataFrame, StructType)])
       : Option[Long] = {
+    val eq: Long => Seq[EqEntry] =
+      if (eqReg != null) eqReg else base => eqDeletes(spark, root, base)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(spark, root)
       require(base >= 0, s"manifest table at $root has no committed version")
-      val (rows, schema) = next(base) match {
+      val (rows0, schema) = next(base) match {
         case Some(rs) => rs
         case None     => return None
       }
+      // freshly landed rows carry NULL seq — stamp them with THIS
+      // attempt's target version (carried rows keep their added-at
+      // version; a CAS retry re-stamps against its own base)
+      val rows = rows0.withColumn("seq",
+        coalesce(col("seq"), lit(base + 1)))
       VersionedTable.tryCommitAs(rows, manifestsRoot(root), base,
-        dir => { stageSchema(spark, root, schema)(dir); extraStage(dir) }) match {
+        dir => { stageSchema(spark, root, schema)(dir)
+          stageEq(spark, root, eq(base))(dir); extraStage(dir) }) match {
         case Some(v) => return Some(v)
         case None    => attempt += 1
       }
@@ -677,10 +763,12 @@ object ManifestTable {
                                      keyCols: Seq[String]): DataFrame = {
     val base = latestVersion(spark, root)
     require(base >= 0, s"manifest table at $root does not exist")
-    val m = manifest(spark, root, base)
+    // the EFFECTIVE view — pending equality deletes applied, so a
+    // matched target row a prior mergeEq already replaced never joins
+    val (m, states) = effectiveManifest(spark, root, base)
     val schema = tableSchema(spark, root, base)
     val dvByPath: Map[String, (Option[String], Long)] =
-      dvStates(m).map(s => s._1 -> ((s._2, s._3))).toMap
+      states.map(s => s._1 -> ((s._2, s._3))).toMap
     val touched = touchedPaths(spark, root, m, keys, keyCols, schema)
     readFilesDv(spark, schema, touched.map(p => (p, dvByPath(p)._1)),
       touched.map(p => dvByPath(p)._2).sum)
@@ -696,12 +784,14 @@ object ManifestTable {
                              batch: DataFrame, keyCols: Seq[String],
                              evolve: Boolean = false)
                             (rewrite: (DataFrame, DataFrame) => DataFrame): Long =
-    commitLoopEvolving(spark, root) { base =>
-      val m = manifest(spark, root, base)
+    // starts from the EFFECTIVE view, so the commit also materializes
+    // any pending equality deletes — registry staged empty
+    commitLoopEvolving(spark, root, eqReg = _ => Nil) { base =>
+      val (m, effSt) = effectiveManifest(spark, root, base)
       val baseSchema = tableSchema(spark, root, base)
       val stats = statsCols(spark, root, base)
       val dvByPath: Map[String, (Option[String], Long)] =
-        dvStates(m).map(s => s._1 -> ((s._2, s._3))).toMap
+        effSt.map(s => s._1 -> ((s._2, s._3))).toMap
       // additive evolution: the next version's schema is base-order ++
       // the batch's new columns; touched files read through the NEW
       // schema (absent columns surface as NULL — parquet by-name).
@@ -1019,15 +1109,14 @@ object ManifestTable {
     * half dead; [[optimize]] purges all. Sidecars are attempt-unique
     * and swept by [[vacuum]] once unreferenced. */
   def deleteWhereMor(spark: SparkSession, root: String, cond: Column): Long =
-    commitLoop(spark, root) { base =>
-      val m = manifest(spark, root, base)
+    commitLoop(spark, root, eqReg = _ => Nil) { base =>
+      val (m, states) = effectiveManifest(spark, root, base)
       val schema = tableSchema(spark, root, base)
       val stats = statsCols(spark, root, base)
       val resolvedCond = toPhysicalExpr(
         resolveCond(spark, cond, schema), schema)
       val excluded = graft.plans.StatsPruneRule.excludedByEnvelopes(
         spark, resolvedCond, m, stats)
-      val states = dvStates(m)
       val touched = states.filterNot(s => excluded.contains(s._1))
       if (touched.isEmpty) m
       else {
@@ -1048,56 +1137,68 @@ object ManifestTable {
       }
     }
 
+  /** The deletion-vector bitset writer shared by the merge-on-read
+    * commits ([[vectorPositions]]) and the equality-delete read-side
+    * resolution ([[resolveEq]]): one writer task per hash bucket of
+    * files builds each file's bitset from its (file, position) rows —
+    * existing vectors OR-ed in via `oldDv` — and writes an
+    * ATTEMPT-UNIQUE sidecar under `dvDir` (a killed speculative twin
+    * can never tear the file the winning attempt's returned row
+    * names). The collect is metadata-scale: (file, sidecar, total
+    * deleted bits) per touched file. */
+  private def writeVectors(spark: SparkSession, dvDir: String,
+                           oldDv: Map[String, String],
+                           positions: DataFrame): Seq[(String, String, Long)] = {
+    val conf = new graft.util.SerConf(
+      spark.sparkContext.hadoopConfiguration)
+    val spk = spark
+    import spk.implicits._
+    positions.repartition(col("_p")).as[(String, Long)]
+      .mapPartitions { it =>
+        val byFile = new scala.collection.mutable.HashMap[
+          String, java.util.BitSet]()
+        it.foreach { case (p, i) =>
+          // bitset positions are Int — a >2^31-row parquet file (far
+          // past any sane file size) must fail loudly, never wrap
+          // into a WRONG bit
+          require(i <= Int.MaxValue.toLong,
+            s"row index $i of $p exceeds the deletion-vector range — " +
+              "split the file (OPTIMIZE) before merge-on-read deletes")
+          byFile.getOrElseUpdate(p, new java.util.BitSet())
+            .set(i.toInt)
+        }
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        byFile.iterator.map { case (p, bits) =>
+          oldDv.get(p).foreach(old =>
+            bits.or(readDvBits(conf.value, old)))
+          val out = s"$dvDir/${md5hex(p)}-$attempt.dv"
+          val outPath = new Path(out)
+          val os = outPath.getFileSystem(conf.value)
+            .create(outPath, true)
+          try os.write(bits.toByteArray) finally os.close()
+          (p, out, bits.cardinality().toLong)
+        }
+      }.collect().toSeq
+  }
+
   /** Shared commit core of the merge-on-read ops: given the matched
     * (file, position) rows of one base manifest, write the merged
-    * vectors and return the next manifest — existing vectors OR-ed
-    * in, fully-covered files dropped, untouched rows verbatim. None
-    * when nothing matched (the caller commits the base unchanged).
-    * One writer task per hash bucket of files builds each file's
-    * bitset and writes an ATTEMPT-UNIQUE sidecar (a killed
-    * speculative twin can never tear the file the winning attempt's
-    * returned row names); the collect is metadata-scale —
-    * (file, sidecar, bit count) per touched file. */
+    * vectors ([[writeVectors]]) and return the next manifest —
+    * existing vectors OR-ed in, fully-covered files dropped,
+    * untouched rows verbatim. None when nothing matched (the caller
+    * commits the base unchanged). */
   private def vectorPositions(spark: SparkSession, root: String,
                               m: DataFrame,
                               states: Seq[(String, Option[String], Long, Long)],
                               touched: Seq[(String, Option[String], Long, Long)],
                               positions: DataFrame): Option[DataFrame] = {
+    val spk = spark
+    import spk.implicits._
     val dvDir = s"${dvRoot(root)}/${java.util.UUID.randomUUID().toString}"
     val oldDv: Map[String, String] =
       touched.collect { case (p, Some(dv), _, _) => p -> dv }.toMap
-    val conf = new graft.util.SerConf(
-      spark.sparkContext.hadoopConfiguration)
-    val spk = spark
-    import spk.implicits._
-    val newEntries: Seq[(String, String, Long)] =
-      positions.repartition(col("_p")).as[(String, Long)]
-        .mapPartitions { it =>
-          val byFile = new scala.collection.mutable.HashMap[
-            String, java.util.BitSet]()
-          it.foreach { case (p, i) =>
-            // bitset positions are Int — a >2^31-row parquet file (far
-            // past any sane file size) must fail loudly, never wrap
-            // into a WRONG bit
-            require(i <= Int.MaxValue.toLong,
-              s"row index $i of $p exceeds the deletion-vector range — " +
-                "split the file (OPTIMIZE) before merge-on-read deletes")
-            byFile.getOrElseUpdate(p, new java.util.BitSet())
-              .set(i.toInt)
-          }
-          val attempt = Option(org.apache.spark.TaskContext.get())
-            .map(_.taskAttemptId()).getOrElse(0L)
-          byFile.iterator.map { case (p, bits) =>
-            oldDv.get(p).foreach(old =>
-              bits.or(readDvBits(conf.value, old)))
-            val out = s"$dvDir/${md5hex(p)}-$attempt.dv"
-            val outPath = new Path(out)
-            val os = outPath.getFileSystem(conf.value)
-              .create(outPath, true)
-            try os.write(bits.toByteArray) finally os.close()
-            (p, out, bits.cardinality().toLong)
-          }
-        }.collect().toSeq
+    val newEntries = writeVectors(spark, dvDir, oldDv, positions)
     if (newEntries.isEmpty) None
     else {
       val rowsByPath = states.map(s => s._1 -> s._4).toMap
@@ -1111,6 +1212,243 @@ object ManifestTable {
         .withColumn("dv_rows",
           coalesce(col("_new_rows"), col("dv_rows")))
         .drop("_new_dv", "_new_rows"))
+    }
+  }
+
+  // ------------------------------------- equality-delete resolution
+  //
+  // Read-side materialization of pending equality deletes: the keys a
+  // [[mergeEq]] committed resolve into ORDINARY deletion vectors over
+  // the envelope/bloom-touched file subset, written once per version
+  // into attempt-unique scratch under `_dv` and cached per (root,
+  // version) — so every DV-aware consumer (the DSv2 scan, the
+  // internal readers, the change feed) serves equality deletes with
+  // zero new read machinery. The resolution job is exactly the
+  // matched-positions scan [[mergeMor]] would have run at WRITE time,
+  // deferred to the first read and paid once; [[compactEq]] / the
+  // first row-level op / the maintenance tick make it durable.
+
+  /** Version-keyed cache of resolved equality deletes. Entries are
+    * immutable per version; scratch sidecars are TTL-swept by
+    * [[vacuum]] when no manifest adopted them, so a hit re-validates
+    * one sidecar's existence before being trusted. */
+  private val eqCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Seq[(String, Option[String], Long, Long)]]()
+
+  /** Whether `version` has pending (unmaterialized) equality deletes
+    * — consumers that answer from MANIFEST STATISTICS alone (metadata
+    * aggregates) must route to the scan while true. */
+  private[graft] def hasPendingEq(spark: SparkSession, root: String,
+                                  version: Long): Boolean =
+    eqDeletes(spark, root, version).nonEmpty
+
+  /** Per-file effective DV state of one version: path → (dv sidecar,
+    * deleted rows, file rows) with any pending equality deletes
+    * RESOLVED in (fully-dead files dropped). Without pending deletes
+    * this is exactly the manifest's own [[dvStates]]. */
+  private[graft] def effectiveStates(spark: SparkSession, root: String,
+                                     version: Long)
+      : Seq[(String, Option[String], Long, Long)] = {
+    val entries = eqDeletes(spark, root, version)
+    val m = manifest(spark, root, version)
+    if (entries.isEmpty) return dvStates(m)
+    val key = (canon(root), version)
+    val hit = eqCache.get(key)
+    if (hit != null && hit.collectFirst { case (_, Some(dv), _, _) => dv }
+          .forall(dv => fs(spark, root).exists(new Path(dv))))
+      return hit
+    val resolved = resolveEq(spark, root, version, m, entries)
+    eqCache.put(key, resolved)
+    resolved
+  }
+
+  /** [[effectiveStates]] with each file's size — the DSv2 scan's
+    * listing shape. */
+  private[graft] def effectiveFiles(spark: SparkSession, root: String,
+                                    version: Long)
+      : Seq[(String, Long, Option[String], Long)] = {
+    val sizes = manifest(spark, root, version).select(col("path"), col("size"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    effectiveStates(spark, root, version).map(s =>
+      (s._1, sizes(s._1), s._2, s._3))
+  }
+
+  /** The EFFECTIVE manifest of one version — pending equality deletes
+    * materialized as deletion vectors on its rows (dead files
+    * dropped), plus the states. Row-level ops START FROM THIS VIEW:
+    * their commit then carries the materialized vectors and stages an
+    * EMPTY registry (`_ => Nil`), folding the compaction into their
+    * own CAS commit for free. */
+  private def effectiveManifest(spark: SparkSession, root: String,
+                                version: Long)
+      : (DataFrame, Seq[(String, Option[String], Long, Long)]) = {
+    val m = manifest(spark, root, version)
+    if (eqDeletes(spark, root, version).isEmpty) return (m, dvStates(m))
+    val states = effectiveStates(spark, root, version)
+    val spk = spark
+    import spk.implicits._
+    val stDf = states.map(s => (s._1, s._2.orNull, s._3))
+      .toDF("path", "_e_dv", "_e_rows")
+    // inner join drops fully-dead files; effective vectors replace
+    val em = m.join(broadcast(stDf), Seq("path"), "inner")
+      .withColumn("dv_path", col("_e_dv"))
+      .withColumn("dv_rows", col("_e_rows"))
+      .drop("_e_dv", "_e_rows")
+      .select(m.columns.toIndexedSeq.map(col): _*)
+    (em, states)
+  }
+
+  /** The resolution job itself — cost ∝ the envelope/bloom-TOUCHED
+    * subset of files OLDER than the deletes, never the table: per key
+    * set, the pending delete files union (each key row tagged with
+    * its delete's seq), candidate files (file seq < some delete's
+    * seq) narrow through the shared [[touchedPaths]] proofs, and one
+    * scan of the survivors semi-joins the broadcast keys under the
+    * ORDERING predicate (delete seq > file seq — a delete never kills
+    * rows that landed at or after it). Matched positions OR into the
+    * files' existing vectors via [[writeVectors]]. */
+  private def resolveEq(spark: SparkSession, root: String, version: Long,
+                        m: DataFrame, entries: Seq[EqEntry])
+      : Seq[(String, Option[String], Long, Long)] = {
+    val spk = spark
+    import spk.implicits._
+    val raw = dvStates(m)
+    val schema = tableSchema(spark, root, version)
+    val seqByPath: Map[String, Long] = m.select(col("path"), col("seq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxSeq = entries.map(_.seq).max
+    val cand = raw.filter(s => seqByPath(s._1) < maxSeq)
+    if (cand.isEmpty) return raw
+    val candDf = cand.map(_._1).toDF("path")
+    val mCand = m.join(broadcast(candDf), Seq("path"), "left_semi")
+    val perGroup = entries.groupBy(_.keys).toSeq.flatMap {
+      case (keyCols, es) =>
+        val keysDf = es.map(e =>
+          spark.read.parquet(e.path)
+            .select(keyCols.map(col) :+ lit(e.seq).as("_eq_seq"): _*))
+          .reduce(_ unionByName _)
+        val touched = touchedPaths(spark, root, mCand,
+          keysDf.select(keyCols.map(col): _*).distinct(), keyCols, schema)
+          .toSet
+        val tStates = cand.filter(s => touched.contains(s._1))
+        if (tStates.isEmpty) None
+        else {
+          val live = readFilesDvPos(spark, schema,
+            tStates.map(s => (s._1, s._2)), tStates.map(_._3).sum)
+          val seqDf = tStates.map(s => (s._1, seqByPath(s._1)))
+            .toDF("_p", "_fseq")
+          // delete-side keys renamed — the live side carries the same
+          // logical names; NULL keys never match (SQL equality), the
+          // documented probe-nothing convention
+          val ek = keysDf.select(keyCols.toIndexedSeq
+            .map(c => col(c).as(s"_ek_$c")) :+ col("_eq_seq"): _*)
+          val positions = live.join(broadcast(seqDf), Seq("_p"))
+            .join(broadcast(ek),
+              keyCols.map(c => col(c) === col(s"_ek_$c"))
+                .reduce(_ && _) && col("_eq_seq") > col("_fseq"),
+              "left_semi")
+            .select(col("_p"), col("_i"))
+          Some((positions, tStates))
+        }
+    }
+    if (perGroup.isEmpty) return raw
+    val positions = perGroup.map(_._1).reduce(_ unionByName _)
+    val oldDv: Map[String, String] = perGroup.flatMap(_._2).collect {
+      case (p, Some(dv), _, _) => p -> dv }.toMap
+    val dvDir = s"${dvRoot(root)}/eqres-${java.util.UUID.randomUUID()}"
+    val newEntries = writeVectors(spark, dvDir, oldDv, positions)
+    if (newEntries.isEmpty) return raw
+    val upd = newEntries.map(e => e._1 -> ((e._2, e._3))).toMap
+    raw.flatMap { case s @ (p, _, _, rc) =>
+      upd.get(p) match {
+        case None               => Some(s)
+        case Some((_, n)) if n >= rc => None // fully dead
+        case Some((ndv, n))     => Some((p, Some(ndv), n, rc))
+      }
+    }
+  }
+
+  /** MERGE by key at the EQUALITY-DELETE grain — the streaming keyed
+    * ingest shape (Iceberg v2's upsert): the batch lands as fresh
+    * files and its DISTINCT KEYS commit as an equality-delete file,
+    * with ZERO reads of the target — write cost O(batch), where even
+    * [[mergeMor]] scans the envelope/bloom-touched files per batch.
+    * Matched old rows die AT READ TIME: the delete applies to every
+    * file ADDED BEFORE it (manifest `seq` ordering), resolved into
+    * ordinary deletion vectors over the touched subset on first read
+    * (cached per version) and materialized durably by [[compactEq]],
+    * any row-level op, or the maintenance tick. Same strict-schema
+    * upsert semantics as [[mergeMor]]; in-batch duplicate keys are
+    * the caller's contract (BOTH would survive — same-seq rows are
+    * exempt from the batch's own delete). */
+  def mergeEq(updates: DataFrame, root: String, keyCols: Seq[String]): Long =
+    mergeEqCore(updates, root, keyCols, batchId = None).get
+
+  /** Stream-idempotent [[mergeEq]] — [[mergeMorBatch]]'s exactly-once
+    * contract (the producing micro-batch id commits atomically with
+    * the version; a replayed id is a no-op) at the zero-target-read
+    * grain. */
+  def mergeEqBatch(updates: DataFrame, root: String, keyCols: Seq[String],
+                   batchId: Long): Option[Long] =
+    mergeEqCore(updates, root, keyCols, batchId = Some(batchId))
+
+  private def mergeEqCore(updates: DataFrame, root: String,
+                          keyCols: Seq[String],
+                          batchId: Option[Long]): Option[Long] = {
+    require(keyCols.nonEmpty, "mergeEq requires at least one key column")
+    require(keyCols.forall(updates.columns.contains),
+      s"merge batch is missing key columns: " +
+        keyCols.filterNot(updates.columns.contains).mkString(", "))
+    val spark = updates.sparkSession
+    val v = latestVersion(spark, root)
+    require(v >= 0, s"manifest table at $root does not exist — create() first")
+    if (batchId.exists(isReplay(spark, root, _))) return None
+    val schema = tableSchema(spark, root, v)
+    require(updates.columns.sorted.sameElements(schema.fieldNames.sorted),
+      s"merge batch schema ${updates.columns.sorted.mkString(",")} != " +
+        s"table schema ${schema.fieldNames.sorted.mkString(",")}")
+    // the delete's key file: the batch's distinct keys CAST to the
+    // table's declared types (resolution compares against conformed
+    // stored values — a narrower-typed batch key must not miss),
+    // written once, immutable, reusable across CAS retries
+    val eqDir = s"${eqRoot(root)}/${java.util.UUID.randomUUID()}"
+    updates.select(keyCols.toIndexedSeq.map(c =>
+      col(c).cast(schema(c).dataType).as(c)): _*).distinct()
+      .write.parquet(eqDir)
+    lazy val landed = landFiles(conform(updates, schema), root,
+      statsCols(spark, root, v))
+    commitLoopEvolvingOpt(spark, root,
+      extraStage = batchId
+        .map(id => VersionedTable.stampBatch(spark, manifestsRoot(root), id) _)
+        .getOrElse((_: String) => ()),
+      eqReg = base => eqDeletes(spark, root, base) :+
+        EqEntry(canon(eqDir), base + 1, keyCols)) { base =>
+      if (batchId.exists(isReplay(spark, root, _))) None
+      else {
+        val m = manifest(spark, root, base)
+        Some((m.unionByName(landed, allowMissingColumns = true)
+          .select(m.columns.toIndexedSeq.map(col): _*),
+          tableSchema(spark, root, base)))
+      }
+    }
+  }
+
+  /** Materialize every pending equality delete as deletion vectors in
+    * ONE commit — the maintenance-tick compaction: the next manifest
+    * is the EFFECTIVE view ([[effectiveManifest]]) under an empty
+    * registry, so reads stop paying resolution and the delete key
+    * files become vacuumable. None when nothing is pending. Content
+    * is identical by construction (the same resolution serves reads).
+    * Cost ∝ the touched subset — one read-side resolution adopted
+    * into a metadata commit. */
+  def compactEq(spark: SparkSession, root: String): Option[Long] = {
+    val v = latestVersion(spark, root)
+    require(v >= 0, s"manifest table at $root has no committed version")
+    if (!hasPendingEq(spark, root, v)) return None
+    commitLoopEvolvingOpt(spark, root, eqReg = _ => Nil) { base =>
+      if (!hasPendingEq(spark, root, base)) None
+      else Some((effectiveManifest(spark, root, base)._1,
+        tableSchema(spark, root, base)))
     }
   }
 
@@ -1131,8 +1469,8 @@ object ManifestTable {
   def updateWhereMor(spark: SparkSession, root: String, cond: Column,
                      sets: Seq[(String, Column)]): Long = {
     require(sets.nonEmpty, "updateWhereMor requires at least one assignment")
-    commitLoop(spark, root) { base =>
-      val m = manifest(spark, root, base)
+    commitLoop(spark, root, eqReg = _ => Nil) { base =>
+      val (m, states) = effectiveManifest(spark, root, base)
       val schema = tableSchema(spark, root, base)
       val stats = statsCols(spark, root, base)
       sets.foreach { case (c, _) =>
@@ -1142,7 +1480,6 @@ object ManifestTable {
         resolveCond(spark, cond, schema), schema)
       val excluded = graft.plans.StatsPruneRule.excludedByEnvelopes(
         spark, resolvedCond, m, stats)
-      val states = dvStates(m)
       val touched = states.filterNot(s => excluded.contains(s._1))
       if (touched.isEmpty) m
       else {
@@ -1249,11 +1586,10 @@ object ManifestTable {
     lazy val landed = landFiles(batch, root, statsCols(spark, root, v))
     commitLoopEvolvingOpt(spark, root, extraStage = batchId
       .map(id => VersionedTable.stampBatch(spark, manifestsRoot(root), id) _)
-      .getOrElse((_: String) => ())) { base =>
+      .getOrElse((_: String) => ()), eqReg = _ => Nil) { base =>
       if (batchId.exists(isReplay(spark, root, _))) None
       else {
-        val m = manifest(spark, root, base)
-        val states = dvStates(m)
+        val (m, states) = effectiveManifest(spark, root, base)
         val touched = touchedPaths(spark, root, m, keys, keyCols,
           tableSchema(spark, root, base)).toSet
         val touchedStates = states.filter(s => touched.contains(s._1))
@@ -1303,9 +1639,8 @@ object ManifestTable {
       winners.filter(not(col(opCol) === lit("D"))).drop(opCol, seqCol),
       schema)
     lazy val landed = landFiles(upserts, root, statsCols(spark, root, v))
-    commitLoop(spark, root) { base =>
-      val m = manifest(spark, root, base)
-      val states = dvStates(m)
+    commitLoop(spark, root, eqReg = _ => Nil) { base =>
+      val (m, states) = effectiveManifest(spark, root, base)
       val touched = touchedPaths(spark, root, m, keys, keyCols,
         tableSchema(spark, root, base)).toSet
       val touchedStates = states.filter(s => touched.contains(s._1))
@@ -1369,9 +1704,13 @@ object ManifestTable {
     * CAS-serialized commit — history is never rewritten, and the
     * restored files are re-referenced by a RETAINED manifest, which is
     * exactly what keeps the refcount-aware [[vacuum]] off them. Cost:
-    * one manifest read + one manifest write. */
+    * one manifest read + one manifest write. The equality-delete
+    * registry restored is the TARGET version's: restoring to a
+    * pre-delete version undoes the delete; restoring to a version
+    * with pending deletes restores them pending. */
   def restore(spark: SparkSession, root: String, version: Long): Long = {
-    commitLoopEvolving(spark, root) { base =>
+    commitLoopEvolving(spark, root,
+      eqReg = _ => eqDeletes(spark, root, version)) { base =>
       require(versions(spark, root).contains(version),
         s"manifest table at $root has no retained version $version " +
           "(vacuumed or never committed) — nothing to restore to")
@@ -1402,7 +1741,19 @@ object ManifestTable {
     val v = version.getOrElse(latestVersion(spark, srcRoot))
     require(versions(spark, srcRoot).contains(v),
       s"manifest table at $srcRoot has no retained version $v")
-    VersionedTable.writeStaged(manifest(spark, srcRoot, v),
+    // a clone must not depend on the source's UNCOMMITTED resolution
+    // scratch (pending equality deletes resolve into TTL-swept
+    // sidecars no source manifest references — the clone would dangle
+    // within a day, a sharper hazard than the documented shared-fate
+    // retention one); compaction is content-identical and cheap
+    require(!hasPendingEq(spark, srcRoot, v),
+      s"version $v of $srcRoot has pending equality deletes — run " +
+        "compactEq() (or any row-level op / maintenance tick) on the " +
+        "source before cloning")
+    // the clone starts its own seq timeline: borrowed files reset to
+    // seq 0 so the clone's future deletes order against ITS versions
+    VersionedTable.writeStaged(
+      manifest(spark, srcRoot, v).withColumn("seq", lit(0L)),
       manifestsRoot(dstRoot))(
       stageSchema(spark, dstRoot, tableSchema(spark, srcRoot, v)))
   }
@@ -1476,15 +1827,14 @@ object ManifestTable {
   private def rewriteWhere(spark: SparkSession, root: String, cond: Column,
                            extraRows: () => DataFrame = null)
                           (transform: (DataFrame, Column) => DataFrame): Long =
-    commitLoop(spark, root) { base =>
-      val m = manifest(spark, root, base)
+    commitLoop(spark, root, eqReg = _ => Nil) { base =>
+      val (m, states) = effectiveManifest(spark, root, base)
       val schema = tableSchema(spark, root, base)
       val stats = statsCols(spark, root, base)
       val resolvedCond = toPhysicalExpr(
         resolveCond(spark, cond, schema), schema)
       val excluded = graft.plans.StatsPruneRule.excludedByEnvelopes(
         spark, resolvedCond, m, stats)
-      val states = dvStates(m)
       val touchedStates = states.filterNot(s => excluded.contains(s._1))
       val touched = touchedStates.map(_._1)
       // touched reads apply the files' deletion vectors (a raw read
@@ -1520,8 +1870,12 @@ object ManifestTable {
                                        fromVersion: Long, toVersion: Long)
       : (Seq[(String, Option[String], Long)],
          Seq[(String, Option[String], Long)]) = {
+    // EFFECTIVE states on both sides: a pending equality delete
+    // changes a file's effective rows exactly like a vector commit,
+    // so the feed must see it as remove+add of the file's state (the
+    // cached resolution keeps repeated diffs metadata-cheap)
     def states(v: Long): Set[(String, Option[String], Long)] =
-      dvStates(manifest(spark, root, v)).map(s => (s._1, s._2, s._3)).toSet
+      effectiveStates(spark, root, v).map(s => (s._1, s._2, s._3)).toSet
     val a = states(fromVersion)
     val b = states(toVersion)
     ((a -- b).toSeq.sortBy(_._1), (b -- a).toSeq.sortBy(_._1))
@@ -1607,7 +1961,10 @@ object ManifestTable {
     require(numFiles >= 1, "numFiles must be >= 1")
     require(!hilbert || sortCols.size >= 2,
       "hilbert clustering needs at least two columns")
-    commitLoop(spark, root) { base =>
+    // the re-lay reads the EFFECTIVE rows (readVersion applies pending
+    // equality deletes through the scan), so the replacement commits
+    // under an empty registry
+    commitLoop(spark, root, eqReg = _ => Nil) { base =>
       // re-lay BASE's rows (not a floating `current` — a conflict
       // recomputes against the new base, so no commit is ever lost)
       val cur = readVersion(spark, root, base)
@@ -1739,7 +2096,7 @@ object ManifestTable {
     // (a DV purge, like a wide re-lay, is progress regardless of count)
     if (wide.isEmpty && dvHeavy.isEmpty && nFiles >= selected.size)
       return None
-    Some(commitLoop(spark, root) { b =>
+    Some(commitLoop(spark, root, eqReg = _ => Nil) { b =>
       // recompute against the CURRENT base on conflict: a selected
       // file may have been rewritten away — re-intersect with b's
       // manifest so only still-live files rewrite. Schema and stats
@@ -1748,10 +2105,11 @@ object ManifestTable {
       // touched files with the stale narrower schema would silently
       // drop the evolved column's values from the rewritten files
       // while the commit still stamps the wider sidecar — data loss.
+      // The EFFECTIVE view: a re-lay that read raw would resurrect
+      // pending equality deletes into the fresh files
       val curSchema = tableSchema(spark, root, b)
       val curStats = statsCols(spark, root, b)
-      val mb = manifest(spark, root, b)
-      val liveStates = dvStates(mb)
+      val (mb, liveStates) = effectiveManifest(spark, root, b)
       val live = liveStates.map(_._1).toSet
       val dvAt = liveStates.map(s => s._1 -> ((s._2, s._3))).toMap
       val todo = selectedSeq.filter(live.contains)
@@ -1912,6 +2270,22 @@ object ManifestTable {
       }
     }
     sweep("data", referenced)
+    // equality-delete READ-RESOLUTION scratch (eqres-* under _dv) is
+    // referenced only by the in-JVM cache until a commit adopts it —
+    // the TTL sweep below ages abandoned resolutions out, and
+    // [[effectiveStates]] re-validates a cache hit's sidecar exists
     sweep(DvSub, dvReferenced)
+    // equality-delete KEY files refcount like vectors: live while any
+    // retained version's registry names their directory
+    val eqReferenced = versions(spark, root)
+      .flatMap(v => eqDeletes(spark, root, v).map(e => canon(e.path))).toSet
+    val eqBase = new Path(eqRoot(root))
+    if (f.exists(eqBase)) {
+      f.listStatus(eqBase).filter(_.isDirectory).foreach { d =>
+        if (!eqReferenced.contains(canon(d.getPath.toString)) &&
+            now - d.getModificationTime >= ttlMs)
+          f.delete(d.getPath, true): Unit
+      }
+    }
   }
 }

@@ -217,10 +217,11 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
     bootFilesMemo.getOrElseUpdate(v, {
       val rows =
         if (isManifest)
-          graft.sinks.ManifestTable.manifest(spark, root, v)
-            .select("path", "size", "dv_path", "dv_rows").collect()
-            .map(r => (r.getString(0), r.getLong(1),
-              Option(r.getString(2)), r.getLong(3)))
+          // EFFECTIVE files: pending equality deletes resolve into
+          // vectors (cached per version) so bootstrap slices serve
+          // live rows only
+          graft.sinks.ManifestTable.effectiveFiles(spark, root, v)
+            .toArray
         else
           graft.sources.FileManifest.listFiles(spark, s"$root/epoch=$v")
             .select("path", "size").collect()

@@ -90,10 +90,19 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
       "graft streaming sink in Update mode needs the table's key — " +
         "option(\"keyCols\", ...) — each micro-batch's changed rows " +
         "then fold as a merge-on-read upsert")
+    // Update mode's keyed grain: 'merge-on-read' (default — matched
+    // positions vector per batch) or 'equality-delete' (the batch's
+    // keys commit as an equality delete: ZERO target reads per
+    // micro-batch, resolved at read / compacted by maintenance)
+    val grain = parameters.getOrElse("mergeMode", "merge-on-read")
+      .toLowerCase
+    require(grain == "merge-on-read" || grain == "equality-delete",
+      s"graft streaming sink mergeMode must be merge-on-read or " +
+        s"equality-delete, got $grain")
     val complete =
       outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
     new GraftStreamSink(root, statsCols, complete,
-      if (update) updateKeys else Nil)
+      if (update) updateKeys else Nil, eqGrain = grain == "equality-delete")
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -199,8 +208,10 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
       val modes = Seq("deleteMode", "updateMode", "mergeMode").flatMap(k =>
         Option(options.get(k)).map(v => k.toLowerCase -> v.toLowerCase)).toMap
       modes.foreach { case (k, v) => require(
-        v == "merge-on-read" || v == "copy-on-write",
-        s"$k must be merge-on-read or copy-on-write, got $v") }
+        v == "merge-on-read" || v == "copy-on-write" ||
+          (k == "mergemode" && v == "equality-delete"),
+        s"$k must be merge-on-read or copy-on-write (mergeMode also " +
+          s"accepts equality-delete), got $v") }
       new GraftTable(spark, root, v, schema, isManifest,
         readOnly = timeTraveled(options), writeModes = modes)
     } else new GraftChangeFeedTable(spark, root, keys, schema)
@@ -223,7 +234,8 @@ private[v2] final class GraftMissingTable(root: String) extends Table {
   * metadata-scale manifest swap), never a collect. */
 private[v2] final class GraftStreamSink(root: String, statsCols: Seq[String],
                                         complete: Boolean,
-                                        updateKeys: Seq[String] = Nil)
+                                        updateKeys: Seq[String] = Nil,
+                                        eqGrain: Boolean = false)
   extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def name(): String = s"graft-sink.`$root`"
@@ -271,8 +283,12 @@ private[v2] final class GraftStreamSink(root: String, statsCols: Seq[String],
             "per micro-batch (the keyed-aggregate contract); for " +
             "duplicate-carrying streams use foreachBatch with applyCdcMor " +
             "and a sequence column")
-        graft.sinks.ManifestTable.mergeMorBatch(batch, root, updateKeys,
-          batchId): Unit
+        if (eqGrain)
+          graft.sinks.ManifestTable.mergeEqBatch(batch, root, updateKeys,
+            batchId): Unit
+        else
+          graft.sinks.ManifestTable.mergeMorBatch(batch, root, updateKeys,
+            batchId): Unit
       }
     } else
       graft.sinks.ManifestTable.writeBatch(batch, root, batchId): Unit
@@ -344,6 +360,11 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
     writeModes.get("updatemode").contains("merge-on-read")
   private[graft] def morMerge: Boolean =
     writeModes.get("mergemode").contains("merge-on-read")
+  /** `mergeMode = 'equality-delete'` — the pure-upsert SQL MERGE
+    * commits the source's keys as an equality delete (zero target
+    * reads); general clause shapes fall back to the vector grain. */
+  private[graft] def eqMerge: Boolean =
+    writeModes.get("mergemode").contains("equality-delete")
 
   /** A time-traveled resolution advertises NO write capabilities (and
     * [[newWriteBuilder]] fails fast as defense in depth): the V1
@@ -420,12 +441,15 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
         // the manifest IS the listing: paths, sizes, and a commit
         // timestamp all come from committed metadata, so the scan
         // plans with ZERO filesystem calls (the Delta log-backed-index
-        // shape) — at 100k files an InMemoryFileIndex would stat each
+        // shape) — at 100k files an InMemoryFileIndex would stat each.
+        // Pending equality deletes resolve into deletion vectors here
+        // (effectiveFiles — cached per version), so the scan below
+        // serves them through the ordinary DV machinery.
         val m = graft.sinks.ManifestTable.manifest(spark, root, version)
         val cols = graft.sinks.ManifestTable.statsCols(spark, root, version)
-        val all = m.select("path", "size", "dv_path").collect()
-          .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
-          .toSeq
+        val all = graft.sinks.ManifestTable
+          .effectiveFiles(spark, root, version)
+          .map(f => (f._1, f._2, f._3))
         val ts = graft.sinks.VersionedTable.commitTimestamp(spark,
           graft.sinks.ManifestTable.manifestsRoot(root), version)
           .getOrElse(0L)

@@ -57,6 +57,11 @@ object GraftMaintenance {
     def cols(p: String): Seq[String] = Option(props.getProperty(p))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    // pending equality deletes (streaming keyed ingest batches)
+    // compact FIRST: one commit materializes them as deletion vectors,
+    // so reads stop paying per-version resolution and the optimize
+    // pass below sees honest per-file dv counts
+    graft.sinks.ManifestTable.compactEq(spark, loc): Unit
     val clusterBy = cols("clusterBy")
     // optional tuning knobs ride as properties too, so the tick needs
     // no per-table configuration code

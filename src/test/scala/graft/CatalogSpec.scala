@@ -611,6 +611,46 @@ class CatalogSpec extends AnyFunSuite {
       "default DELETE stays copy-on-write")
   }
 
+  test("mergeMode = equality-delete: the pure-upsert SQL MERGE commits keys only; general shapes fall back to vectors") {
+    warehouse: Unit
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-catalog-eq").toString + "/t"
+    sinks.ManifestTable.create(
+      spark.range(100).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(2, col("k")).sortWithinPartitions(col("k")),
+      loc, Seq("k"))
+    spark.sql(s"CREATE TABLE graftc.db.eqm USING graft LOCATION '$loc' " +
+      "TBLPROPERTIES ('mergeMode' = 'equality-delete')")
+    Seq((5L, 555L), (200L, 200L)).toDF("k", "v")
+      .createOrReplaceTempView("eqm_src")
+    spark.sql("""MERGE INTO graftc.db.eqm AS t USING eqm_src AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    // the upsert landed as keys + batch: pending registry, no vectors
+    // written, no files rewritten — the zero-target-read commit
+    val v1 = sinks.ManifestTable.latestVersion(spark, loc)
+    assert(sinks.ManifestTable.hasPendingEq(spark, loc, v1),
+      "the declared eq grain must commit an equality delete")
+    assert(sinks.ManifestTable.manifest(spark, loc, v1)
+      .filter(col("dv_path").isNotNull).count() == 0L)
+    val got = spark.sql("SELECT k, v FROM graftc.db.eqm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 101 && got(5L) == 555L && got(200L) == 200L)
+    // a general clause shape (conditional matched delete) must still
+    // work — served at the vector grain, which also folds the pending
+    // delete into its commit
+    spark.sql("""MERGE INTO graftc.db.eqm AS t USING eqm_src AS s
+      ON t.k = s.k
+      WHEN MATCHED AND t.k = 200 THEN DELETE""")
+    val v2 = sinks.ManifestTable.latestVersion(spark, loc)
+    assert(!sinks.ManifestTable.hasPendingEq(spark, loc, v2),
+      "the general-shape fallback materializes pending deletes")
+    val got2 = spark.sql("SELECT k, v FROM graftc.db.eqm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.size == 100 && got2(5L) == 555L && !got2.contains(200L))
+  }
+
   test("metadata tables: SELECT over graftc.db.t.history / .files serves the manifests — zero data I/O surface") {
     warehouse: Unit
     val loc = java.nio.file.Files

@@ -2334,4 +2334,190 @@ class SinksSpec extends AnyFunSuite {
       assert(rowsAt(5000L) == Set(1L, 2L), "retained history still resolves")
     } finally sinks.VersionedTable.commitClock = prev
   }
+
+  /** Listener-counted file-input bytes over a block — the
+    * zero-target-read proof the equality-delete grain advertises.
+    * Late async listener events only ever INCREASE the count, so the
+    * barrier (a trailing no-op job + settle loop) makes a
+    * below-threshold assert sound. */
+  private def bytesReadDuring(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          acc.addAndGet(t.taskMetrics.inputMetrics.bytesRead): Unit
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      spark.sparkContext.parallelize(1 to 1, 1).count() // barrier job
+      var last = -1L; var settled = 0
+      while (settled < 3) { // three stable 100 ms polls
+        Thread.sleep(100)
+        val cur = acc.get()
+        if (cur == last) settled += 1 else { settled = 0; last = cur }
+      }
+      acc.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("equality-delete merge: ZERO target reads per batch; reads equal merge-on-read; compaction is content-identical") {
+    import sinks.ManifestTable
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-eq").toString
+    val eqT = s"$base/eq"; val morT = s"$base/mor"
+    // a table big enough that 'read nothing of it' is measurable
+    val data = spark.range(200000).select(col("id").as("k"),
+      concat(lit("payload-padding-padding-"), col("id")).as("v"))
+    ManifestTable.create(
+      data.repartitionByRange(8, col("k")).sortWithinPartitions(col("k")),
+      eqT, Seq("k"))
+    ManifestTable.create(
+      data.repartitionByRange(8, col("k")).sortWithinPartitions(col("k")),
+      morT, Seq("k"))
+    val tableBytes = ManifestTable.manifest(spark, eqT, 0)
+      .agg(sum(col("size"))).head().getLong(0)
+    def batch(lo: Long, hi: Long, tag: String) =
+      spark.range(lo, hi).select(col("id").as("k"),
+        concat(lit(tag), col("id")).as("v"))
+    // three stacked keyed batches, overlapping keys — the streaming
+    // ingest shape. Each eq commit must read (almost) nothing of the
+    // target: only its own landed files' footers
+    val b1 = batch(100, 5000, "b1-"); val b2 = batch(3000, 9000, "b2-")
+    val b3 = batch(100, 200, "b3-")
+    val eqBytes = bytesReadDuring {
+      ManifestTable.mergeEq(b1, eqT, Seq("k"))
+      ManifestTable.mergeEq(b2, eqT, Seq("k"))
+      ManifestTable.mergeEq(b3, eqT, Seq("k"))
+    }
+    assert(eqBytes < tableBytes / 10,
+      s"three eq merges read $eqBytes B — must be a sliver of the " +
+        s"$tableBytes B target (zero target scans is the contract)")
+    // the merge-on-read twin pays touched-file scans per batch —
+    // strictly more; and the two grains must agree exactly
+    val morBytes = bytesReadDuring {
+      ManifestTable.mergeMor(b1, morT, Seq("k"))
+      ManifestTable.mergeMor(b2, morT, Seq("k"))
+      ManifestTable.mergeMor(b3, morT, Seq("k"))
+    }
+    assert(morBytes > eqBytes,
+      s"merge-on-read scans touched files ($morBytes B) — eq ($eqBytes " +
+        "B) must undercut it")
+    val want = ManifestTable.read(spark, morT).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def eqContent() = ManifestTable.read(spark, eqT).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(eqContent() == want, "eq and MoR grains must agree")
+    // pruned point read with pending deletes: served, correct, and
+    // metadata aggregates route honestly to the scan
+    assert(ManifestTable.hasPendingEq(spark, eqT,
+      ManifestTable.latestVersion(spark, eqT)))
+    assert(spark.read.format("graft").load(eqT)
+      .filter(col("k") === 3500L).head().getString(1).startsWith("b2-"))
+    assert(ManifestTable.read(spark, eqT).count() == 200000L)
+    // time travel: the pre-merge snapshot is untouched
+    assert(spark.read.format("graft").option("versionAsOf", 0).load(eqT)
+      .filter(col("k") === 150L).head().getString(1)
+      .startsWith("payload"))
+    // compaction: one commit, same content, registry cleared, second
+    // call proves the no-op
+    val cv = ManifestTable.compactEq(spark, eqT)
+    assert(cv.nonEmpty)
+    assert(!ManifestTable.hasPendingEq(spark, eqT, cv.get))
+    assert(eqContent() == want, "compaction must not change content")
+    assert(ManifestTable.compactEq(spark, eqT).isEmpty)
+    // post-compaction the deletes are ordinary vectors — data files
+    // of v0 carry BY REFERENCE (no rewrite happened anywhere)
+    val files0 = ManifestTable.filesAt(spark, eqT, 0).toSet
+    val filesN = ManifestTable.filesAt(spark, eqT, cv.get).toSet
+    assert(files0.subsetOf(filesN),
+      "eq merges and compaction must never rewrite existing files")
+  }
+
+  test("equality deletes compose with vectors, row-level ops, restore, and the change feed") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-eq2").toString + "/t"
+    val data = spark.range(1000).select(col("id").as("k"),
+      (col("id") * 10).as("v"))
+    ManifestTable.create(
+      data.repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      root, Seq("k"))
+    // a position-delete first: rows the vector killed must NOT come
+    // back through the eq path
+    ManifestTable.deleteWhereMor(spark, root, col("k") === 7L) // v1
+    ManifestTable.mergeEq(
+      Seq((5L, 999L), (7L, 777L)).toDF("k", "v"), root, Seq("k")) // v2
+    val got = ManifestTable.read(spark, root)
+      .filter(col("k").isin(5L, 7L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 999L, 7L -> 777L),
+      s"eq upsert over a vectored row must behave like any merge: $got")
+    assert(ManifestTable.read(spark, root).count() == 1000L)
+    // the change feed across the eq version: exactly the U rows (and
+    // the re-inserted 7) — effective states diff like vector commits
+    val feed = ManifestTable.changesBetween(spark, root, 1, 2, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[String]("op"))).toSet
+    assert(feed == Set((5L, 999L, "U"), (7L, 777L, "I")),
+      s"feed must surface the eq merge's effect: $feed")
+    // a row-level op on a pending table folds the compaction into its
+    // own commit: registry cleared, both effects visible
+    ManifestTable.updateWhereMor(spark, root, col("k") === 5L,
+      Seq("v" -> lit(1001L))) // v3
+    val v3 = ManifestTable.latestVersion(spark, root)
+    assert(!ManifestTable.hasPendingEq(spark, root, v3),
+      "a row-level op must materialize pending eq deletes")
+    assert(ManifestTable.read(spark, root).filter(col("k") === 5L)
+      .head().getLong(1) == 1001L)
+    assert(ManifestTable.read(spark, root).count() == 1000L)
+    // restore to the PENDING version restores the pending registry;
+    // restore to the pre-eq version undoes the delete entirely
+    ManifestTable.restore(spark, root, 2L) // v4 — eq pending again
+    val v4 = ManifestTable.latestVersion(spark, root)
+    assert(ManifestTable.hasPendingEq(spark, root, v4))
+    assert(ManifestTable.read(spark, root).filter(col("k") === 5L)
+      .head().getLong(1) == 999L)
+    ManifestTable.restore(spark, root, 1L) // v5 — before the eq merge
+    assert(!ManifestTable.hasPendingEq(spark, root,
+      ManifestTable.latestVersion(spark, root)))
+    assert(ManifestTable.read(spark, root).filter(col("k") === 5L)
+      .head().getLong(1) == 50L)
+    assert(ManifestTable.read(spark, root).filter(col("k") === 7L)
+      .count() == 0L, "restore(1) re-applies only the position delete")
+    // clone refuses a pending source, names the fix
+    ManifestTable.restore(spark, root, 2L)
+    val ce = intercept[IllegalArgumentException] {
+      ManifestTable.cloneTo(spark, root, s"${root}_clone")
+    }
+    assert(ce.getMessage.contains("compactEq"))
+  }
+
+  test("equality-delete key files refcount through vacuum; resolution scratch ages out") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-eq3").toString + "/t"
+    ManifestTable.create(
+      spark.range(100).select(col("id").as("k"), col("id").as("v")),
+      root, Seq("k"))
+    ManifestTable.mergeEq(Seq((1L, 11L)).toDF("k", "v"), root, Seq("k"))
+    val eqDir = new java.io.File(s"$root/_eq")
+    assert(eqDir.isDirectory && eqDir.listFiles().nonEmpty)
+    // while a retained registry names the key file, even a zero-TTL
+    // vacuum must keep it
+    ManifestTable.vacuum(spark, root, keep = 2, ttlMs = 0L)
+    assert(eqDir.listFiles().nonEmpty,
+      "referenced eq key files must survive vacuum")
+    assert(ManifestTable.read(spark, root).filter(col("k") === 1L)
+      .head().getLong(1) == 11L)
+    // compact, then retire the pending version — the key file is
+    // unreferenced and sweeps
+    ManifestTable.compactEq(spark, root)
+    ManifestTable.vacuum(spark, root, keep = 1, ttlMs = 0L)
+    assert(eqDir.listFiles() == null || eqDir.listFiles().isEmpty,
+      "unreferenced eq key files must sweep")
+    assert(ManifestTable.read(spark, root).filter(col("k") === 1L)
+      .head().getLong(1) == 11L, "content survives the sweep")
+  }
 }

@@ -1074,4 +1074,90 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("keyCols") ||
       Option(e.getCause).exists(_.getMessage.contains("keyCols")))
   }
+
+  test("graft sink Update mode at the equality-delete grain: keyed ingest with NO target scans; maintenance converts, results identical") {
+    import sinks.ManifestTable
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sink-eq").toString
+    val in = s"$base/in"; val dst = s"$base/dst"; val ckpt = s"$base/ckpt"
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    // a BIG pre-existing target — 'no target scans' must be measurable
+    ManifestTable.create(
+      spark.range(300000).select(col("id").as("k"), lit(0L).as("v"))
+        .repartitionByRange(8, col("k")).sortWithinPartitions(col("k")),
+      dst, Seq("k"))
+    val tableBytes = ManifestTable.manifest(spark, dst, 0)
+      .agg(sum(col("size"))).head().getLong(0)
+    def wave(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("append").parquet(in)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .groupBy(col("k")).agg(sum(col("v")).as("v"))
+        .writeStream.outputMode("update").format("graft")
+        .option("path", dst).option("keyCols", "k")
+        .option("mergeMode", "equality-delete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // listener-counted: micro-batch commits must read the SOURCE wave
+    // and their own landed footers, never the 300k-row target
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          acc.addAndGet(t.taskMetrics.inputMetrics.bytesRead): Unit
+    }
+    spark.sparkContext.addSparkListener(l)
+    val ingested = try {
+      wave(spark.range(50).select((col("id") % 40).as("k"),
+        (col("id") + 1).as("v")))
+      drain()
+      wave(spark.range(50, 90).select((col("id") % 40).as("k"),
+        (col("id") + 1).as("v")))
+      drain()
+      wave(spark.range(90, 100).select((col("id") % 40).as("k"),
+        (col("id") + 1).as("v")))
+      drain()
+      spark.sparkContext.parallelize(1 to 1, 1).count() // listener barrier
+      var last = -1L; var settled = 0
+      while (settled < 3) {
+        Thread.sleep(100)
+        val cur = acc.get()
+        if (cur == last) settled += 1 else { settled = 0; last = cur }
+      }
+      acc.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(ingested < tableBytes / 10,
+      s"three keyed micro-batches read $ingested B — the $tableBytes B " +
+        "target must never scan at the equality-delete grain")
+    val vPending = ManifestTable.latestVersion(spark, dst)
+    assert(ManifestTable.hasPendingEq(spark, dst, vPending),
+      "the eq-grain sink commits pending equality deletes")
+    // content: replaced keys carry the latest aggregate, the rest of
+    // the 300k rows untouched
+    val want = spark.read.schema(schema).parquet(in)
+      .groupBy(col("k")).agg(sum(col("v")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def read40() = ManifestTable.read(spark, dst)
+      .filter(col("k") < 40L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(read40() == want,
+      "the eq-grain fold must equal the batch aggregate")
+    assert(ManifestTable.read(spark, dst).count() == 300000L)
+    // an up-to-date restart redelivers nothing (exactly-once marker)
+    drain()
+    assert(ManifestTable.latestVersion(spark, dst) == vPending &&
+      read40() == want, "a replayed batch must be a version no-op")
+    // the maintenance tick converts eq deletes to vectors — identical
+    assert(ManifestTable.compactEq(spark, dst).nonEmpty)
+    assert(!ManifestTable.hasPendingEq(spark, dst,
+      ManifestTable.latestVersion(spark, dst)))
+    assert(read40() == want &&
+      ManifestTable.read(spark, dst).count() == 300000L,
+      "compaction must not change what readers see")
+  }
 }
