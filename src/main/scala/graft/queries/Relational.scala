@@ -985,6 +985,38 @@ object Relational extends QueryModule {
       FROM graft.gate.msqlf ORDER BY doc_id""")
   }
 
+  /** STORAGE-PARTITIONED JOIN end-to-end: two manifest tables created
+    * `bucketBy (doc_id, 8)` equi-join through the catalog with DSv2
+    * bucketing enabled — the scans report `KeyGroupedPartitioning`
+    * (one input partition per hash bucket, [[graft.sources.v2
+    * .GraftBucketedScan]]) and the join runs with NO shuffle on
+    * either side (plan-asserted in CatalogSpec; this gate pins the
+    * VALUES against a plain-join oracle, so the bucket routing,
+    * per-bucket grouping, and partition-key alignment can never
+    * silently drop or duplicate rows). */
+  def qBucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.Scratch.freshDir("graft_spj")
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.sinks.ManifestTable.create(
+      d, s"$base/a", Seq("doc_id"), bucketBy = Some(("doc_id", 8)))
+    graft.sinks.ManifestTable.create(
+      d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("n_chars") * 2).as("x")),
+      s"$base/b", Seq("doc_id"), bucketBy = Some(("doc_id", 8)))
+    ensureGateCatalog(spark)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.v2.bucketing.pushPartValues.enabled", "true")
+    spark.sql("DROP TABLE IF EXISTS graft.gate.spja")
+    spark.sql("DROP TABLE IF EXISTS graft.gate.spjb")
+    spark.sql(s"CREATE TABLE graft.gate.spja USING graft LOCATION '$base/a'")
+    spark.sql(s"CREATE TABLE graft.gate.spjb USING graft LOCATION '$base/b'")
+    spark.sql("""SELECT a.doc_id AS doc_id, a.lang AS lang,
+        CAST(b.x AS BIGINT) AS x
+      FROM graft.gate.spja a JOIN graft.gate.spjb b ON a.doc_id = b.doc_id
+      ORDER BY doc_id""")
+  }
+
   /** `ALTER TABLE RENAME COLUMN` end-to-end: metadata-only name
     * mapping ([[graft.sinks.ManifestTable.renameColumn]]) — the
     * renamed column keeps serving reads, keyed merges, and
@@ -1247,6 +1279,7 @@ object Relational extends QueryModule {
     "q_merge_sql"         -> qMergeSql _,
     "q_merge_sql_full"    -> qMergeSqlFull _,
     "q_rename_sql"        -> qRenameSql _,
+    "q_bucket_join"       -> qBucketJoin _,
     "q_update_sql"        -> qUpdateSql _,
     "q_delete_sql"        -> qDeleteSql _,
     "q_evolve_sql"        -> qEvolveSql _,
@@ -1409,6 +1442,14 @@ object Relational extends QueryModule {
         |FROM (SELECT * FROM kept_matched
         |      UNION ALL SELECT * FROM inserted
         |      UNION ALL SELECT * FROM by_src)
+        |ORDER BY doc_id""".stripMargin,
+    // the storage-partitioned join must return exactly the plain join
+    "q_bucket_join" ->
+      """SELECT d.doc_id AS doc_id, d.lang AS lang,
+        |  CAST(b.n_chars * 2 AS BIGINT) AS x
+        |FROM documents d
+        |JOIN (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0) b
+        |  ON d.doc_id = b.doc_id
         |ORDER BY doc_id""".stripMargin,
     // rename is metadata-only: content equals the original column
     // under the new name, with the merged keys' bump applied

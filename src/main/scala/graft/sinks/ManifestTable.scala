@@ -124,7 +124,69 @@ object ManifestTable {
       m = m.withColumn("dv_rows", lit(0L))
     if (!m.columns.contains("seq")) m = m.withColumn("seq", lit(0L))
     else m = m.withColumn("seq", coalesce(col("seq"), lit(0L)))
+    if (!m.columns.contains("bucket"))
+      m = m.withColumn("bucket", lit(null).cast("long"))
     m
+  }
+
+  // ------------------------------------------------------- bucketing
+  //
+  // Hash-bucketed layout for STORAGE-PARTITIONED JOINS: a table
+  // created with `bucketBy = (key, n)` lands every file inside one of
+  // n hash buckets (`pmod(hash(key), n)` — Spark's Murmur3, seed 42),
+  // the manifest records each file's bucket, and the catalog scan
+  // reports `KeyGroupedPartitioning(bucket(n, key))` with one input
+  // partition per bucket — two tables bucketed the same way equi-join
+  // on the key with NO shuffle on either side (the Iceberg bucket-SPJ
+  // shape). The spec is frozen at create in the key field's schema
+  // metadata, so every landing, rewrite, and maintenance re-lay
+  // preserves the layout automatically.
+
+  private val BucketKey = "graft.bucket"
+
+  /** The table's bucket spec — (PHYSICAL key column, bucket count) —
+    * or None for unbucketed tables. */
+  private[graft] def bucketSpec(schema: StructType): Option[(String, Int)] =
+    schema.fields.collectFirst {
+      case f if f.metadata.contains(BucketKey) =>
+        (physicalName(f), f.metadata.getLong(BucketKey).toInt)
+    }
+
+  /** `bucketSpec` under the LOGICAL name — what the reported
+    * partitioning must reference (join attributes are logical). */
+  private[graft] def bucketSpecLogical(
+      schema: StructType): Option[(String, Int)] =
+    schema.fields.collectFirst {
+      case f if f.metadata.contains(BucketKey) =>
+        (f.name, f.metadata.getLong(BucketKey).toInt)
+    }
+
+  /** Per-file bucket ids of one version — the scan-side grouping for
+    * storage-partitioned joins (metadata-scale, like every manifest
+    * read). */
+  private[graft] def fileBuckets(spark: SparkSession, root: String,
+                                 version: Long): Map[String, Long] =
+    manifest(spark, root, version).select(col("path"), col("bucket"))
+      .filter(col("bucket").isNotNull).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Stamp a bucket declaration into a schema (the [[create]] path). */
+  private def withBucketSpec(schema: StructType, key: String,
+                             n: Int): StructType = {
+    require(n >= 2 && n <= 4096, s"bucket count must be in [2, 4096], got $n")
+    require(schema.fieldNames.contains(key),
+      s"bucket column $key is not a table column")
+    val dt = schema(key).dataType
+    require(dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType ||
+      dt == org.apache.spark.sql.types.StringType,
+      s"bucketBy supports long/int/string keys, got $dt for $key")
+    StructType(schema.fields.map { f =>
+      if (f.name != key) f
+      else f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(BucketKey, n.toLong).build())
+    })
   }
 
   // ------------------------------------------------ equality deletes
@@ -301,14 +363,33 @@ object ManifestTable {
         Seq(StructField(s"${c}_min", dt), StructField(s"${c}_max", dt),
           StructField(s"${c}_nulls", LongType))
       }) :+ StructField("dv_path", StringType) :+
-        StructField("dv_rows", LongType) :+ StructField("seq", LongType))
+        StructField("dv_rows", LongType) :+ StructField("seq", LongType) :+
+        StructField("bucket", LongType))
   }
 
   private def landFiles(df: DataFrame, root: String,
-                        stats: Seq[String]): DataFrame = {
+                        stats: Seq[String],
+                        bucketNew: Option[(String, Int)] = None): DataFrame = {
     val spark = df.sparkSession
     val dir = s"$root/data/${java.util.UUID.randomUUID().toString}"
-    df.write.parquet(dir)
+    // a bucketed table's EVERY landing routes rows to their hash
+    // bucket (the spec is frozen in the schema sidecar, so appends,
+    // rewrites, and re-lays all preserve the layout): bucket ids
+    // become `gb=<b>` partition directories — one repartition by the
+    // bucket id first puts each bucket wholly in one task, so a
+    // landing writes at most n files, and the directory component is
+    // what the manifest's per-file `bucket` column reads back
+    val bucket = bucketNew.orElse(
+      if (exists(spark, root))
+        bucketSpec(tableSchema(spark, root, latestVersion(spark, root)))
+      else None)
+    bucket match {
+      case Some((k, n)) =>
+        df.withColumn("gb", pmod(hash(col(k)), lit(n)))
+          .repartition(n, col("gb"))
+          .write.partitionBy("gb").parquet(dir)
+      case None => df.write.parquet(dir)
+    }
     val sizes = graft.sources.FileManifest.listFiles(spark, dir)
       .select(col("path"), col("size"))
     if (sizes.isEmpty) // an empty frame writes no data files
@@ -350,6 +431,9 @@ object ManifestTable {
       // the ADDED-AT version is the commit's to decide — the commit
       // loop stamps NULL seq with its own attempt's version
       .withColumn("seq", lit(null).cast("long"))
+      .withColumn("bucket",
+        if (bucket.isEmpty) lit(null).cast("long")
+        else regexp_extract(col("path"), "gb=(\\d+)", 1).cast("long"))
   }
 
   /** Strip the column-mapping metadata off a schema that came from
@@ -359,10 +443,12 @@ object ManifestTable {
     * its own files never had. */
   private def freshSchema(schema: StructType): StructType =
     StructType(schema.fields.map { f =>
-      if (!f.metadata.contains(PhysicalKey)) f
+      if (!f.metadata.contains(PhysicalKey) &&
+          !f.metadata.contains(BucketKey)) f
       else f.copy(metadata =
         new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata).remove(PhysicalKey).build())
+          .withMetadata(f.metadata).remove(PhysicalKey)
+          .remove(BucketKey).build()) // a CTAS write is NOT bucketed
     })
 
   /** Content replace that may also REPLACE THE SCHEMA — the RTAS /
@@ -408,17 +494,25 @@ object ManifestTable {
   }
 
   /** Create the table with its first rows and the FIXED set of
-    * tracked stats columns. Fails if the table already exists. */
-  def create(df: DataFrame, root: String, statsCols: Seq[String]): Long = {
+    * tracked stats columns. Fails if the table already exists.
+    * `bucketBy = Some((key, n))` freezes a hash-bucket layout (see
+    * [[bucketSpec]]) that every later landing preserves and the
+    * catalog scan reports for storage-partitioned joins. */
+  def create(df: DataFrame, root: String, statsCols: Seq[String],
+             bucketBy: Option[(String, Int)] = None): Long = {
     val spark = df.sparkSession
     require(!exists(spark, root), s"manifest table at $root already exists")
     statsCols.foreach(c => require(df.columns.contains(c),
       s"stats column $c is not a table column"))
-    val rows = landFiles(df, root, statsCols)
-    // a fresh table writes fresh files — a column mapping carried in
-    // from READING a renamed table must not leak into this sidecar
+    // a fresh table writes fresh files — a column mapping (or bucket
+    // claim) carried in from READING another table must not leak
+    val schema = bucketBy match {
+      case Some((k, n)) => withBucketSpec(freshSchema(df.schema), k, n)
+      case None         => freshSchema(df.schema)
+    }
+    val rows = landFiles(df, root, statsCols, bucketNew = bucketBy)
     VersionedTable.writeStaged(rows, manifestsRoot(root))(
-      stageSchema(spark, root, freshSchema(df.schema)))
+      stageSchema(spark, root, schema))
   }
 
   /** Append commit: land the batch, commit current-manifest ∪ batch.
@@ -870,6 +964,11 @@ object ManifestTable {
         s"column $n does not exist"))
       require(schema.fields.length + adds.length > drops.distinct.length,
         "cannot drop every column of the table")
+      drops.foreach(n => require(!schema.fields.exists(f =>
+        f.name == n && f.metadata.contains(BucketKey)),
+        s"column $n is the table's bucket key — the frozen hash layout " +
+          "and its storage-partitioned joins ride on it; rebuild the " +
+          "table to change the bucketing"))
       val adds2: Seq[org.apache.spark.sql.types.StructField] =
         if (adds.isEmpty) Nil
         else {

@@ -53,7 +53,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * be purged by deleting that directory.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with ProcedureCatalog with StagingTableCatalog {
+  with ProcedureCatalog with StagingTableCatalog with FunctionCatalog {
+
+  /** The catalog serves ONE function, `bucket(n, key)` — what lets
+    * Spark resolve the `KeyGroupedPartitioning` bucketed graft scans
+    * report ([[GraftBucketing]]): storage-partitioned joins check the
+    * two sides' bound functions for canonical-name equality, and
+    * runtime filtering may evaluate it. Served from any namespace
+    * (the transform resolver looks it up unqualified). */
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Array(Identifier.of(namespace, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -178,11 +197,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     provider.getTable(schema, Array.empty, cis)
   }
 
+  /** The single bucket transform a `PARTITIONED BY (bucket(n, k))`
+    * declaration may carry — the storage-partitioned-join layout.
+    * Anything else (identity partitions, multiple transforms) is
+    * refused: graft tables cluster via OPTIMIZE sort columns. */
+  private def bucketOf(partitions: Array[Transform],
+                       properties: JMap[String, String])
+      : Option[(String, Int)] = {
+    val fromTransforms = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "bucket" =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.asInstanceOf[Number].intValue
+        }.getOrElse(throw new IllegalArgumentException(
+          "bucket transform needs a bucket count"))
+        require(t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1,
+          "bucket transform takes exactly one top-level column")
+        Some((t.references.head.fieldNames.head, n))
+      case _ => throw new IllegalArgumentException(
+        "graft tables support PARTITIONED BY (bucket(n, col)) only — " +
+          "clustering is declared via OPTIMIZE sort columns (clusterBy)")
+    }
+    fromTransforms.orElse(
+      Option(properties.get("bucketBy")).map { s =>
+        val parts = s.split(",").map(_.trim)
+        require(parts.length == 2,
+          s"bucketBy must be '<col>,<numBuckets>', got $s")
+        (parts(0), parts(1).toInt)
+      })
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables cluster via OPTIMIZE sort columns, not partition transforms")
+    val bucket = bucketOf(partitions, properties)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val location = Option(properties.get(TableCatalog.PROP_LOCATION))
       .getOrElse((s"$warehouse/tables" +: ident.namespace.toSeq :+
@@ -190,6 +240,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val adopting =
       graft.sinks.ManifestTable.exists(spark, location) ||
         graft.sinks.VersionedTable.latestVersion(spark, location) >= 0
+    require(bucket.isEmpty || !adopting,
+      "bucketBy declares a PHYSICAL layout — it can only be set when " +
+        "creating a fresh table, not when adopting an existing LOCATION")
     if (!adopting) {
       // brand-new managed table: an EMPTY manifest table with the
       // declared schema and tracked columns
@@ -202,7 +255,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       graft.sinks.ManifestTable.create(
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
-        location, statsCols): Unit
+        location, statsCols, bucketBy = bucket): Unit
     }
     val props = new java.util.Properties()
     properties.asScala

@@ -429,13 +429,27 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
     val physSchema =
       if (isManifest) graft.sinks.ManifestTable.toPhysical(dataSchema)
       else dataSchema
-    def mapped(b: ScanBuilder
-        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters)
-        : ScanBuilder =
+    type PushdownBuilder = ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    def mapped(b: PushdownBuilder): PushdownBuilder =
       if (isManifest && graft.sinks.ManifestTable.hasMapping(dataSchema))
         new GraftMappedScanBuilder(b, dataSchema)
       else b
+    // bucketed tables report KeyGroupedPartitioning — one input
+    // partition per hash bucket — so co-bucketed equi-joins run
+    // SHUFFLE-FREE (storage-partitioned joins, gated by
+    // spark.sql.sources.v2.bucketing.enabled). Deletion vectors take
+    // the composite DV scan, which does not regroup by bucket — a
+    // vectored snapshot honestly reports no partitioning until
+    // maintenance purges the vectors.
+    def bucketed(b: PushdownBuilder): ScanBuilder =
+      graft.sinks.ManifestTable.bucketSpecLogical(dataSchema) match {
+        case Some((k, n)) if isManifest =>
+          new GraftBucketedScanBuilder(b, k, n,
+            graft.sinks.ManifestTable.fileBuckets(spark, root, version))
+        case _ => b
+      }
     val index =
       if (isManifest) {
         // the manifest IS the listing: paths, sizes, and a commit
@@ -491,8 +505,20 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
         new GraftStatsFileIndex(spark,
           Seq(new Path(s"$root/epoch=$version")), dataSchema,
           metadataEntry(options))
-    mapped(ParquetScanBuilder(spark, index, physSchema, physSchema, options))
+    bucketed(
+      mapped(ParquetScanBuilder(spark, index, physSchema, physSchema,
+        options)))
   }
+
+  /** Bucketed tables report their layout as the standard transform —
+    * DESCRIBE and catalog tooling see `bucket(n, key)`. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    graft.sinks.ManifestTable.bucketSpecLogical(dataSchema) match {
+      case Some((k, n)) if isManifest => Array(
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, k))
+      case _ => Array.empty
+    }
 
   /** Stats/bloom metadata roots: explicit reader options (mirroring
     * [[GraftTables.register]]'s contract), or — when none are given —

@@ -611,6 +611,64 @@ class CatalogSpec extends AnyFunSuite {
       "default DELETE stays copy-on-write")
   }
 
+  test("storage-partitioned join: co-bucketed tables equi-join with NO shuffle; results match the shuffled plan") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graftc.db.spj_a (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k)) TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql("CREATE TABLE graftc.db.spj_b (k BIGINT, w STRING) " +
+      "PARTITIONED BY (bucket(8, k)) TBLPROPERTIES ('statsCols' = 'k')")
+    spark.range(2000).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .writeTo("graftc.db.spj_a").append()
+    spark.range(500, 1500)
+      .select(col("id").as("k"), concat(lit("w"), col("id")).as("w"))
+      .writeTo("graftc.db.spj_b").append()
+    // the layout is real: every landed file lives in one bucket dir,
+    // at most 8 files per landing, and the manifest records buckets
+    val locA = s"$warehouse/tables/db/spj_a"
+    val vA = sinks.ManifestTable.latestVersion(spark, locA)
+    val files = sinks.ManifestTable.filesAt(spark, locA, vA)
+    assert(files.nonEmpty && files.size <= 8,
+      s"one bucketed landing writes at most n files, got ${files.size}")
+    assert(files.forall(_.contains("gb=")),
+      "bucketed files must land under their bucket directory")
+    val q =
+      """SELECT a.k AS k, a.v AS v, b.w AS w
+        |FROM graftc.db.spj_a a JOIN graftc.db.spj_b b ON a.k = b.k
+        |ORDER BY k""".stripMargin
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      // the control run: bucketing OFF → ordinary shuffled join
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = spark.sql(q)
+      assert(shuffled.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "control run must shuffle — otherwise the proof proves nothing")
+      val want = shuffled.collect().map(_.toString).toSeq
+      // the storage-partitioned run: SAME query, ZERO exchanges on
+      // either join side
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.v2.bucketing.pushPartValues.enabled", "true")
+      val spj = spark.sql(q)
+      val p = spj.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"co-bucketed equi-join must not shuffle:\n$p")
+      assert(spj.collect().map(_.toString).toSeq == want,
+        "the shuffle-free plan must return exactly the shuffled answer")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    // layout governance: the bucket key cannot be dropped
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graftc.db.spj_a DROP COLUMN k")
+    }
+    assert(e.getMessage.contains("bucket key"))
+  }
+
   test("mergeMode = equality-delete: the pure-upsert SQL MERGE commits keys only; general shapes fall back to vectors") {
     warehouse: Unit
     val loc = java.nio.file.Files

@@ -2494,6 +2494,58 @@ class SinksSpec extends AnyFunSuite {
     assert(ce.getMessage.contains("compactEq"))
   }
 
+  test("bucketed layout survives every landing: appends, keyed merges, optimize, and DV interplay keep files in their buckets") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bucketed").toString + "/t"
+    ManifestTable.create(
+      spark.range(1000).select(col("id").as("k"), (col("id") * 10).as("v")),
+      root, Seq("k"), bucketBy = Some(("k", 8)))
+    def allBucketed(v: Long): Boolean =
+      ManifestTable.filesAt(spark, root, v).forall(_.contains("gb="))
+    assert(allBucketed(0L), "create must land bucketed files")
+    // appends route to buckets with no caller involvement
+    ManifestTable.write(
+      spark.range(1000, 1200).select(col("id").as("k"),
+        (col("id") * 10).as("v")), root)
+    assert(allBucketed(1L), "appends must stay bucketed")
+    // a keyed CoW merge's replacement files stay bucketed
+    ManifestTable.merge(Seq((5L, 555L)).toDF("k", "v"), root, Seq("k"))
+    assert(allBucketed(ManifestTable.latestVersion(spark, root)),
+      "merge rewrites must stay bucketed")
+    // the full re-lay stays bucketed too (the layout is frozen in the
+    // schema sidecar — maintenance cannot un-bucket a table)
+    ManifestTable.optimize(spark, root, numFiles = 4)
+    val vOpt = ManifestTable.latestVersion(spark, root)
+    assert(allBucketed(vOpt), "optimize must re-lay INTO the buckets")
+    assert(ManifestTable.read(spark, root).count() == 1200L)
+    assert(ManifestTable.read(spark, root).filter(col("k") === 5L)
+      .head().getLong(1) == 555L)
+    // every file's recorded bucket equals the hash of its keys — the
+    // write-side routing and the manifest column agree
+    val buckets = ManifestTable.manifest(spark, root, vOpt)
+      .select(col("path"), col("bucket")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byFile = spark.read.parquet(buckets.keys.toSeq: _*)
+      .select(col("k"),
+        input_file_name().as("f"),
+        pmod(hash(col("k")), lit(8)).cast("long").as("b"))
+      .collect()
+    byFile.foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(r.getString(1)).toUri.getPath
+      assert(buckets(p) == r.getLong(2),
+        s"row k=${r.getLong(0)} in $p: manifest bucket ${buckets(p)} != " +
+          s"hash bucket ${r.getLong(2)}")
+    }
+    // merge-on-read deletes work on a bucketed table (the vectored
+    // snapshot reports no partitioning — the composite DV scan does
+    // not regroup — but values stay exact)
+    ManifestTable.deleteWhereMor(spark, root, col("k") === 7L)
+    assert(ManifestTable.read(spark, root).count() == 1199L)
+    assert(spark.read.format("graft").load(root)
+      .filter(col("k") === 7L).count() == 0L)
+  }
+
   test("equality-delete key files refcount through vacuum; resolution scratch ages out") {
     import sinks.ManifestTable
     val root = java.nio.file.Files
