@@ -329,7 +329,13 @@ final case class GraftMergeFullCommand(
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(session: SparkSession): Seq[Row] = {
-    val s0 = GraftSqlShims.ofRows(session, source)
+    // the source evaluates THREE times below (multi-match check, key
+    // projection, the join) — pin it, or a non-deterministic /
+    // concurrently-growing source could pass the duplicate-key check
+    // on one evaluation and violate it on another, re-creating the
+    // exact multi-match corruption the refusal exists to prevent
+    val s0 = GraftSqlShims.ofRows(session, source).persist()
+    try {
     val srcKeyCols = keys.map { case (_, sn) => col(sn) }
     if (s0.groupBy(srcKeyCols: _*).count()
         .filter(col("count") > 1).limit(1).count() > 0)
@@ -398,6 +404,7 @@ final case class GraftMergeFullCommand(
     else
       graft.sinks.ManifestTable.applyCdc(cdc, root, keyNames, SeqCol, OpCol)
     Nil
+    } finally s0.unpersist(): Unit
   }
 }
 

@@ -1005,6 +1005,12 @@ object Relational extends QueryModule {
         .select(col("doc_id"), (col("n_chars") * 2).as("x")),
       s"$base/b", Seq("doc_id"), bucketBy = Some(("doc_id", 8)))
     ensureGateCatalog(spark)
+    // deliberately NOT restored: the returned frame plans lazily (the
+    // driver collects it after this function returns), so restoring
+    // would silently flip the gate back to a shuffled join. The confs
+    // only affect scans that REPORT a partitioning — bucketed graft
+    // tables, which only this gate creates — so no other gate's plan
+    // can change.
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.v2.bucketing.pushPartValues.enabled", "true")
     spark.sql("DROP TABLE IF EXISTS graft.gate.spja")

@@ -176,6 +176,11 @@ object ManifestTable {
     require(n >= 2 && n <= 4096, s"bucket count must be in [2, 4096], got $n")
     require(schema.fieldNames.contains(key),
       s"bucket column $key is not a table column")
+    // the landing writes bucket ids through a `gb` partition column —
+    // a real column of that name would be silently consumed by it
+    require(!schema.fieldNames.contains("gb"),
+      "bucketed tables reserve the column name 'gb' for the bucket " +
+        "directory layout — rename that column")
     val dt = schema(key).dataType
     require(dt == org.apache.spark.sql.types.LongType ||
       dt == org.apache.spark.sql.types.IntegerType ||
@@ -369,7 +374,8 @@ object ManifestTable {
 
   private def landFiles(df: DataFrame, root: String,
                         stats: Seq[String],
-                        bucketNew: Option[(String, Int)] = None): DataFrame = {
+                        bucketAs: Option[Option[(String, Int)]] = None)
+      : DataFrame = {
     val spark = df.sparkSession
     val dir = s"$root/data/${java.util.UUID.randomUUID().toString}"
     // a bucketed table's EVERY landing routes rows to their hash
@@ -378,8 +384,11 @@ object ManifestTable {
     // become `gb=<b>` partition directories — one repartition by the
     // bucket id first puts each bucket wholly in one task, so a
     // landing writes at most n files, and the directory component is
-    // what the manifest's per-file `bucket` column reads back
-    val bucket = bucketNew.orElse(
+    // what the manifest's per-file `bucket` column reads back.
+    // `bucketAs` overrides the table lookup EXPLICITLY — Some(None)
+    // means "definitely unbucketed" (the RTAS schema-replace, whose
+    // new schema carries no claim and may lack the old key entirely).
+    val bucket = bucketAs.getOrElse(
       if (exists(spark, root))
         bucketSpec(tableSchema(spark, root, latestVersion(spark, root)))
       else None)
@@ -464,7 +473,10 @@ object ManifestTable {
     require(v >= 0, s"manifest table at $root does not exist — create() first")
     val schema = freshSchema(df.schema)
     val stats = statsCols(spark, root, v).filter(schema.fieldNames.contains)
-    val rows = landFiles(df, root, stats)
+    // the REPLACED schema carries no bucket claim (freshSchema), so
+    // the landing must not inherit the old layout either — its key
+    // may not even exist in the new schema
+    val rows = landFiles(df, root, stats, bucketAs = Some(None))
     // a full content replace retires pending equality deletes with
     // the content they applied to
     commitLoopEvolving(spark, root, extraStage =
@@ -510,7 +522,7 @@ object ManifestTable {
       case Some((k, n)) => withBucketSpec(freshSchema(df.schema), k, n)
       case None         => freshSchema(df.schema)
     }
-    val rows = landFiles(df, root, statsCols, bucketNew = bucketBy)
+    val rows = landFiles(df, root, statsCols, bucketAs = Some(bucketBy))
     VersionedTable.writeStaged(rows, manifestsRoot(root))(
       stageSchema(spark, root, schema))
   }
@@ -969,6 +981,14 @@ object ManifestTable {
         s"column $n is the table's bucket key — the frozen hash layout " +
           "and its storage-partitioned joins ride on it; rebuild the " +
           "table to change the bucketing"))
+      drops.foreach(n =>
+        require(!eqDeletes(spark, root, base).exists(_.keys.contains(n)),
+          s"column $n keys pending equality deletes — run compactEq() " +
+            "(or any row-level op / maintenance tick) before dropping it"))
+      if (bucketSpec(schema).isDefined)
+        adds.foreach(f => require(f.name != "gb",
+          "bucketed tables reserve the column name 'gb' for the bucket " +
+            "directory layout"))
       val adds2: Seq[org.apache.spark.sql.types.StructField] =
         if (adds.isEmpty) Nil
         else {
@@ -1062,6 +1082,12 @@ object ManifestTable {
       val schema = tableSchema(spark, root, base)
       require(schema.fieldNames.contains(from),
         s"column $from does not exist")
+      // pending equality deletes name their key columns LOGICALLY (in
+      // the registry and inside the delete files themselves) — a
+      // rename would orphan them and break every later read
+      require(!eqDeletes(spark, root, base).exists(_.keys.contains(from)),
+        s"column $from keys pending equality deletes — run compactEq() " +
+          "(or any row-level op / maintenance tick) before renaming it")
       require(!schema.fieldNames.contains(to),
         s"column $to already exists")
       val next = StructType(schema.fields.map { f =>
@@ -1353,7 +1379,11 @@ object ManifestTable {
     if (entries.isEmpty) return dvStates(m)
     val key = (canon(root), version)
     val hit = eqCache.get(key)
-    if (hit != null && hit.collectFirst { case (_, Some(dv), _, _) => dv }
+    // re-validate a SCRATCH sidecar specifically: committed vectors
+    // are refcount-durable, but unadopted eqres scratch is what the
+    // vacuum TTL sweeps out from under a long-lived cache entry
+    if (hit != null && hit.collectFirst {
+          case (_, Some(dv), _, _) if dv.contains("/eqres-") => dv }
           .forall(dv => fs(spark, root).exists(new Path(dv))))
       return hit
     val resolved = resolveEq(spark, root, version, m, entries)
@@ -2293,7 +2323,13 @@ object ManifestTable {
     * per retained version with its commit timestamp (running-max
     * normalized, the [[VersionedTable.commitTimestamps]] contract),
     * file count, row count, and bytes — all from the manifests alone,
-    * zero data I/O, |versions| × |files| metadata rows. */
+    * zero data I/O, |versions| × |files| metadata rows. MANIFEST
+    * GRAIN: a version with PENDING equality deletes reports its
+    * pre-delete row count (the deletes live outside the manifest
+    * until compaction — the same reason [[graft.plans.MetaAggRule]]
+    * routes COUNT(*) to the scan for such versions); the zero-I/O
+    * contract is the point of this surface, so the number is
+    * documented rather than resolved. */
   def history(spark: SparkSession, root: String): DataFrame = {
     val ts = VersionedTable.commitTimestamps(spark, manifestsRoot(root)).toMap
     // ONE aggregation job over the union of the retained manifests

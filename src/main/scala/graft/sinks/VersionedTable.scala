@@ -182,7 +182,13 @@ object VersionedTable {
     if (!f.exists(
         new org.apache.hadoop.fs.Path(s"$root/$name", BatchSidecar))) {
       val carried = lastAppliedBatch(df.sparkSession, root)
-      if (carried >= 0L) stampBatch(df.sparkSession, root, carried)(s"$root/$name")
+      // ALWAYS stamp (the -1 "never streamed" answer included):
+      // lastAppliedBatch walks newest→oldest until it finds a stamped
+      // epoch, so a never-streamed table with thousands of retained
+      // versions would otherwise pay that full walk — one exists()
+      // per version — on EVERY commit; the tombstone makes the next
+      // walk O(1) and -1 is already the documented reset value
+      stampBatch(df.sparkSession, root, carried)(s"$root/$name")
     }
     // the claim marker: this stage's own (unique) directory name —
     // [[claimEpoch]] verifies after a "successful" publish rename

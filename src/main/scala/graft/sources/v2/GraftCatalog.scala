@@ -306,7 +306,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def stageAt(ident: Identifier, schema: StructType,
                       properties: JMap[String, String],
                       replace: Boolean): StagedTable = {
-    val location = Option(properties.get(TableCatalog.PROP_LOCATION))
+    val explicitLoc = Option(properties.get(TableCatalog.PROP_LOCATION))
+    val location = explicitLoc
       .orElse(if (replace)
         readDef(ident).map(_.getProperty("location")) else None)
       .getOrElse((s"$warehouse/tables" +: ident.namespace.toSeq :+
@@ -315,13 +316,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     var createdDir = false
     if (!replace) {
-      // an existing manifest WITHOUT a descriptor at a managed
-      // location is a prior CRASHED CTAS's orphan (commit never wrote
-      // the descriptor) — clear it so the new stage starts clean
-      if (graft.sinks.ManifestTable.exists(spark, location))
+      if (graft.sinks.ManifestTable.exists(spark, location)) {
+        // an existing table at an EXPLICIT location is someone's data
+        // (the no-AS CREATE adopts such locations; other identifiers
+        // may reference them) — a CTAS must never wipe it. Only a
+        // table at this identifier's own MANAGED path, with no
+        // descriptor pointing at it (tableExists was false), can be a
+        // prior crashed CTAS's orphan — that one clears.
+        require(explicitLoc.isEmpty,
+          s"CREATE TABLE ... AS SELECT cannot target location " +
+            s"$location — a manifest table already lives there; adopt " +
+            "it with CREATE TABLE ... USING graft LOCATION (no AS), or " +
+            "REPLACE the registered table that owns it")
         new Path(location).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
           .delete(new Path(location), true): Unit
+      }
       graft.sinks.ManifestTable.create(
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema),

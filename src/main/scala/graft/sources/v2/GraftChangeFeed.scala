@@ -331,19 +331,17 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
         val pairs = clean.map(f => (f._1, f._2))
         // data files carry PHYSICAL column names (RENAME COLUMN's
         // name mapping); rows are positional, so reading the feed
-        // columns under version v's physical names — in FEED order —
-        // serves the logical columns unchanged (fields v lacks stay
-        // logical and read NULL, as before)
+        // columns under their OWN frozen physical names — the feed
+        // schema's field metadata, stable across renames — serves the
+        // logical columns unchanged. Never look fields up in version
+        // v's sidecar BY LOGICAL NAME: after a rename that lookup
+        // misses (NULLs for a column v physically carries), and after
+        // a drop + re-add it finds the DROPPED column's stale bytes —
+        // the exact resurrection the mapping exists to prevent.
+        // Fields whose physical name v's files lack read NULL.
         val readSchema =
-          if (isManifest) {
-            val vSchema =
-              graft.sinks.ManifestTable.tableSchema(spark, root, v)
-            StructType(dataSchema.fields.map(f =>
-              vSchema.fields.find(_.name == f.name)
-                .map(vf => f.copy(
-                  name = graft.sinks.ManifestTable.physicalName(vf)))
-                .getOrElse(f)))
-          } else dataSchema
+          if (isManifest) graft.sinks.ManifestTable.toPhysical(dataSchema)
+          else dataSchema
         val index =
           if (isManifest) {
             val ts = graft.sinks.VersionedTable.commitTimestamp(spark,

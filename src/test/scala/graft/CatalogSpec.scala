@@ -325,6 +325,22 @@ class CatalogSpec extends AnyFunSuite {
     val p = new org.apache.hadoop.fs.Path(failLoc)
     assert(!p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(p), "failed CTAS must leave no directory")
+    // a CTAS aimed at an EXPLICIT location already holding a manifest
+    // table must refuse — never wipe someone's data (only the
+    // identifier's own managed path may clear a crashed-CTAS orphan)
+    val occupied = java.nio.file.Files
+      .createTempDirectory("graft-ctas-occupied").toString + "/t"
+    sinks.ManifestTable.create(
+      spark.range(5).select(col("id").as("k")), occupied, Seq("k"))
+    val wipe = intercept[Exception] {
+      spark.sql("CREATE TABLE graftc.db.ctasloc " +
+        s"LOCATION '$occupied' AS SELECT id FROM range(3)")
+    }
+    assert(wipe.getMessage.contains("already lives there") ||
+      Option(wipe.getCause).exists(
+        _.getMessage.contains("already lives there")))
+    assert(sinks.ManifestTable.read(spark, occupied).count() == 5L,
+      "the refused CTAS must leave the existing table intact")
     // RTAS replaces content AND schema in one CAS commit; the prior
     // life stays time-travelable under its own sidecar
     spark.sql("REPLACE TABLE graftc.db.ctas AS " +

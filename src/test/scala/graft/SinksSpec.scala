@@ -2492,6 +2492,26 @@ class SinksSpec extends AnyFunSuite {
       ManifestTable.cloneTo(spark, root, s"${root}_clone")
     }
     assert(ce.getMessage.contains("compactEq"))
+    // renaming or dropping a PENDING delete's key column would orphan
+    // the registry (entries and delete files speak the old logical
+    // name) — both refuse, naming the fix
+    val re = intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, root, "k", "kk")
+    }
+    assert(re.getMessage.contains("compactEq"))
+    val de = intercept[IllegalArgumentException] {
+      ManifestTable.dropColumns(spark, root, Seq("k"))
+    }
+    assert(de.getMessage.contains("compactEq"))
+    // a NON-key rename is fine while pending, and reads stay correct
+    ManifestTable.renameColumn(spark, root, "v", "val")
+    assert(ManifestTable.read(spark, root).filter(col("k") === 5L)
+      .head().getLong(1) == 999L)
+    ManifestTable.compactEq(spark, root)
+    ManifestTable.renameColumn(spark, root, "k", "kk")
+    assert(ManifestTable.read(spark, root).filter(col("kk") === 5L)
+      .head().getLong(1) == 999L,
+      "post-compaction the key rename proceeds and reads follow")
   }
 
   test("bucketed layout survives every landing: appends, keyed merges, optimize, and DV interplay keep files in their buckets") {
@@ -2544,6 +2564,20 @@ class SinksSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, root).count() == 1199L)
     assert(spark.read.format("graft").load(root)
       .filter(col("k") === 7L).count() == 0L)
+    // RTAS-style schema replace on a bucketed table: the new life is
+    // UNBUCKETED (freshSchema strips the claim) and must not try to
+    // hash a key the new schema does not even have
+    ManifestTable.overwriteAs(
+      spark.range(10).select(col("id").as("a"),
+        concat(lit("s"), col("id")).as("b")), root)
+    val vNew = ManifestTable.latestVersion(spark, root)
+    assert(ManifestTable.bucketSpec(
+      ManifestTable.tableSchema(spark, root, vNew)).isEmpty,
+      "a replaced schema carries no bucket claim")
+    assert(ManifestTable.read(spark, root).count() == 10L)
+    assert(ManifestTable.filesAt(spark, root, vNew)
+      .forall(!_.contains("gb=")),
+      "the replaced content must not land in bucket directories")
   }
 
   test("equality-delete key files refcount through vacuum; resolution scratch ages out") {
