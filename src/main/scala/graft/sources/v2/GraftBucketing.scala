@@ -84,58 +84,107 @@ final class GraftBucketedScan(inner: Scan, logicalKey: String,
   override def toBatch: Batch = new Batch {
     private val ib = inner.toBatch
 
-    /** The delegated scan plans (pruned, filtered, split) file
-      * partitions; regroup their files by the manifest's bucket —
-      * splits of one file share its bucket, so regrouping loses
-      * nothing the delegated plan knew. Every bucket emits (empty
-      * ones included) in bucket order. */
-    override def planInputPartitions(): Array[InputPartition] = {
-      val files = ib.planInputPartitions().flatMap {
-        case fp: FilePartition => fp.files
-        case other => sys.error(
-          s"bucketed scan expected file partitions, got $other")
-      }
-      val byBucket = files.groupBy { pf =>
-        val p = new org.apache.hadoop.fs.Path(pf.filePath.toString)
-          .toUri.getPath
-        bucketOfFile.getOrElse(p, sys.error(
-          s"file $p of a bucketed table carries no bucket — " +
-            "the manifest and the layout desynchronized"))
-      }
-      (0 until numBuckets).map(b =>
-        GraftBucketPartition(b,
-          FilePartition(b, byBucket.getOrElse(b.toLong,
-            Array.empty[org.apache.spark.sql.execution.datasources
-              .PartitionedFile])))
-          : InputPartition).toArray
+    private def bucketOf(
+        pf: org.apache.spark.sql.execution.datasources.PartitionedFile)
+        : Long = {
+      val p = new org.apache.hadoop.fs.Path(pf.filePath.toString)
+        .toUri.getPath
+      bucketOfFile.getOrElse(p, sys.error(
+        s"file $p of a bucketed table carries no bucket — " +
+          "the manifest and the layout desynchronized"))
     }
 
+    /** The delegated scan plans (pruned, filtered, split) partitions;
+      * regroup them by the manifest's bucket — splits of one file
+      * share its bucket, so regrouping loses nothing the delegated
+      * plan knew. Handles BOTH delegated shapes: plain parquet
+      * `FilePartition`s (a vector-free snapshot) and the DV scan's
+      * clean/vectored wrappers — so a table with deletion vectors
+      * keeps its storage-partitioned joins between maintenance ticks.
+      * Every bucket emits (empty ones included) in bucket order. One
+      * planning pass, cached (planInputPartitions can be called more
+      * than once per batch); the uniform columnar answer computes
+      * here — an EMPTY bucket must answer like its siblings, or the
+      * scan would mix row and columnar partitions. */
+    private lazy val planned: (Array[InputPartition], Boolean) = {
+      val factory = ib.createReaderFactory()
+      val sub: Array[(Long, InputPartition)] =
+        ib.planInputPartitions().flatMap {
+          case fp: FilePartition =>
+            fp.files.groupBy(bucketOf).map { case (b, fs) =>
+              b -> (FilePartition(b.toInt, fs): InputPartition) }
+          case GraftDvCleanPartition(fp: FilePartition) =>
+            fp.files.groupBy(bucketOf).map { case (b, fs) =>
+              b -> (GraftDvCleanPartition(FilePartition(b.toInt, fs))
+                : InputPartition) }
+          case dv @ GraftDvFilePartition(fp, _) =>
+            Seq(bucketOf(fp.files.head) -> (dv: InputPartition))
+          case other => sys.error(
+            s"bucketed scan cannot regroup partition $other")
+        }
+      val columnar = sub.forall(s => factory.supportColumnarReads(s._2))
+      ((0 until numBuckets).map(b =>
+        GraftBucketPartition(b,
+          sub.collect { case (sb, p) if sb == b.toLong => p })
+          : InputPartition).toArray, columnar)
+    }
+
+    override def planInputPartitions(): Array[InputPartition] = planned._1
+
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftBucketReaderFactory(ib.createReaderFactory())
+      new GraftBucketReaderFactory(ib.createReaderFactory(), planned._2)
   }
 }
 
-/** One bucket's files, keyed by the bucket id — what
-  * `KeyGroupedPartitioning` groups on. */
-final case class GraftBucketPartition(bucket: Int, part: FilePartition)
+/** One bucket's delegated sub-partitions, keyed by the bucket id —
+  * what `KeyGroupedPartitioning` groups on. The reader concatenates
+  * the sub-partitions' delegated readers. */
+final case class GraftBucketPartition(bucket: Int,
+                                      parts: Array[InputPartition])
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucket))
   override def preferredLocations(): Array[String] =
-    part.preferredLocations()
+    parts.flatMap(_.preferredLocations()).distinct
 }
 
-final class GraftBucketReaderFactory(inner: PartitionReaderFactory)
+final class GraftBucketReaderFactory(inner: PartitionReaderFactory,
+                                     columnar: Boolean)
   extends PartitionReaderFactory {
-  private def un(p: InputPartition): InputPartition =
-    p.asInstanceOf[GraftBucketPartition].part
+
+  /** Lazily opened concatenation of the sub-partitions' readers —
+    * one open delegate at a time. */
+  private final class Concat[T](parts: Array[InputPartition],
+                                open: InputPartition => PartitionReader[T])
+    extends PartitionReader[T] {
+    private var i = 0
+    private var cur: PartitionReader[T] = _
+    override def next(): Boolean = {
+      while (true) {
+        if (cur == null) {
+          if (i >= parts.length) return false
+          cur = open(parts(i)); i += 1
+        }
+        if (cur.next()) return true
+        cur.close(); cur = null
+      }
+      false // unreachable
+    }
+    override def get(): T = cur.get()
+    override def close(): Unit = if (cur != null) cur.close()
+  }
+
   override def createReader(p: InputPartition)
-      : PartitionReader[InternalRow] = inner.createReader(un(p))
+      : PartitionReader[InternalRow] =
+    new Concat(p.asInstanceOf[GraftBucketPartition].parts,
+      inner.createReader)
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    inner.createColumnarReader(un(p))
-  override def supportColumnarReads(p: InputPartition): Boolean =
-    inner.supportColumnarReads(un(p))
+    new Concat(p.asInstanceOf[GraftBucketPartition].parts,
+      inner.createColumnarReader)
+  /** Uniform answer decided at planning time — empty buckets must
+    * agree with their siblings. */
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
 }
 
 /** The `bucket(numBuckets, key)` function the catalog serves

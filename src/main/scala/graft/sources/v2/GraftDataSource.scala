@@ -439,10 +439,9 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
     // bucketed tables report KeyGroupedPartitioning — one input
     // partition per hash bucket — so co-bucketed equi-joins run
     // SHUFFLE-FREE (storage-partitioned joins, gated by
-    // spark.sql.sources.v2.bucketing.enabled). Deletion vectors take
-    // the composite DV scan, which does not regroup by bucket — a
-    // vectored snapshot honestly reports no partitioning until
-    // maintenance purges the vectors.
+    // spark.sql.sources.v2.bucketing.enabled). The regrouping handles
+    // the composite DV scan's partitions too, so steady-state deletes
+    // between maintenance ticks never cost a table its joins.
     def bucketed(b: PushdownBuilder): ScanBuilder =
       graft.sinks.ManifestTable.bucketSpecLogical(dataSchema) match {
         case Some((k, n)) if isManifest =>
@@ -491,12 +490,12 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
             if (cols.isEmpty) None else Some((m, cols)), bloomEntries)
           val dvSchema = org.apache.spark.sql.types.StructType(
             physSchema.fields :+ GraftDvScanBuilder.RowIndexField)
-          return mapped(new GraftDvScanBuilder(spark,
+          return bucketed(mapped(new GraftDvScanBuilder(spark,
             ParquetScanBuilder(spark, cleanIndex, physSchema, physSchema,
               options),
             ParquetScanBuilder(spark, dvIndex, dvSchema, dvSchema,
               options),
-            dvd, ts))
+            dvd, ts)))
         }
         new GraftManifestFileIndex(spark, root,
           all.map(f => (f._1, f._2)), ts, physSchema,

@@ -676,11 +676,37 @@ class CatalogSpec extends AnyFunSuite {
         s"co-bucketed equi-join must not shuffle:\n$p")
       assert(spj.collect().map(_.toString).toSeq == want,
         "the shuffle-free plan must return exactly the shuffled answer")
+      // DELETION VECTORS must not cost the table its joins: a MoR
+      // delete on one side, and the composite DV scan's partitions
+      // regroup by bucket — still zero exchanges, values minus the
+      // deleted key
+      sinks.ManifestTable.deleteWhereMor(spark, locA, col("k") === 700L)
+      val spjDv = spark.sql(q)
+      val pDv = spjDv.queryExecution.executedPlan.toString
+      assert(!pDv.contains("Exchange hashpartitioning"),
+        s"a vectored snapshot must keep its storage-partitioned join:\n$pDv")
+      assert(spjDv.collect().map(_.toString).toSeq ==
+        want.filterNot(_.startsWith("[700,")),
+        "the vectored shuffle-free join must serve the post-delete rows")
+      // RENAME of the bucket key is metadata-only and the join (on
+      // the new name) stays shuffle-free — the reported transform
+      // follows the logical name, the layout the frozen physical one
+      spark.sql("ALTER TABLE graftc.db.spj_a RENAME COLUMN k TO key")
+      val spjRn = spark.sql(
+        """SELECT a.key AS k, a.v AS v, b.w AS w
+          |FROM graftc.db.spj_a a JOIN graftc.db.spj_b b ON a.key = b.k
+          |ORDER BY k""".stripMargin)
+      assert(!spjRn.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "the renamed bucket key must keep the storage-partitioned join")
+      assert(spjRn.collect().map(_.toString).toSeq ==
+        want.filterNot(_.startsWith("[700,")))
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
-    // layout governance: the bucket key cannot be dropped
+    // layout governance: the bucket key cannot be dropped (it was
+    // renamed to `key` above — the guard follows the rename)
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE graftc.db.spj_a DROP COLUMN k")
+      spark.sql("ALTER TABLE graftc.db.spj_a DROP COLUMN key")
     }
     assert(e.getMessage.contains("bucket key"))
   }
