@@ -106,7 +106,10 @@ final class GraftBucketedScan(inner: Scan, logicalKey: String,
       * than once per batch); the uniform columnar answer computes
       * here — an EMPTY bucket must answer like its siblings, or the
       * scan would mix row and columnar partitions. */
-    private lazy val planned: (Array[InputPartition], Boolean) = {
+    private lazy val planned
+        : (Array[InputPartition], PartitionReaderFactory, Boolean) = {
+      // built ONCE and reused at read time — a second delegated
+      // factory would re-broadcast the Hadoop conf per query
       val factory = ib.createReaderFactory()
       val sub: Array[(Long, InputPartition)] =
         ib.planInputPartitions().flatMap {
@@ -118,21 +121,29 @@ final class GraftBucketedScan(inner: Scan, logicalKey: String,
               b -> (GraftDvCleanPartition(FilePartition(b.toInt, fs))
                 : InputPartition) }
           case dv @ GraftDvFilePartition(fp, _) =>
-            Seq(bucketOf(fp.files.head) -> (dv: InputPartition))
+            // the DV scan emits SINGLE-file partitions today; assert
+            // it, so a future multi-file packing fails loudly at
+            // planning instead of riding every file to head's bucket
+            val b = bucketOf(fp.files.head)
+            require(fp.files.forall(f => bucketOf(f) == b),
+              "DV partition spans buckets — regrouping assumes " +
+                "single-file DV partitions")
+            Seq(b -> (dv: InputPartition))
           case other => sys.error(
             s"bucketed scan cannot regroup partition $other")
         }
       val columnar = sub.forall(s => factory.supportColumnarReads(s._2))
+      val byBucket = sub.groupBy(_._1)
       ((0 until numBuckets).map(b =>
         GraftBucketPartition(b,
-          sub.collect { case (sb, p) if sb == b.toLong => p })
-          : InputPartition).toArray, columnar)
+          byBucket.getOrElse(b.toLong, Array.empty).map(_._2))
+          : InputPartition).toArray, factory, columnar)
     }
 
     override def planInputPartitions(): Array[InputPartition] = planned._1
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftBucketReaderFactory(ib.createReaderFactory(), planned._2)
+      new GraftBucketReaderFactory(planned._2, planned._3)
   }
 }
 

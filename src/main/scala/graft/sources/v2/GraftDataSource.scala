@@ -438,13 +438,19 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
       else b
     // bucketed tables report KeyGroupedPartitioning — one input
     // partition per hash bucket — so co-bucketed equi-joins run
-    // SHUFFLE-FREE (storage-partitioned joins, gated by
-    // spark.sql.sources.v2.bucketing.enabled). The regrouping handles
-    // the composite DV scan's partitions too, so steady-state deletes
-    // between maintenance ticks never cost a table its joins.
+    // SHUFFLE-FREE (storage-partitioned joins). The regrouping
+    // handles the composite DV scan's partitions too, so steady-state
+    // deletes between maintenance ticks never cost a table its joins.
+    // GATED on the same conf that lets Spark exploit the reported
+    // partitioning: bucket-grained partitions cap a scan at n tasks
+    // (the price of alignment — Iceberg's preserve-data-grouping
+    // trade), so with v2 bucketing disabled the grouping would be
+    // pure parallelism loss and the plain split-parallel plan serves.
     def bucketed(b: PushdownBuilder): ScanBuilder =
       graft.sinks.ManifestTable.bucketSpecLogical(dataSchema) match {
-        case Some((k, n)) if isManifest =>
+        case Some((k, n)) if isManifest &&
+            spark.conf.get("spark.sql.sources.v2.bucketing.enabled",
+              "false").toBoolean =>
           new GraftBucketedScanBuilder(b, k, n,
             graft.sinks.ManifestTable.fileBuckets(spark, root, version))
         case _ => b

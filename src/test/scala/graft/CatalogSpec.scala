@@ -666,6 +666,17 @@ class CatalogSpec extends AnyFunSuite {
         .contains("Exchange hashpartitioning"),
         "control run must shuffle — otherwise the proof proves nothing")
       val want = shuffled.collect().map(_.toString).toSeq
+      // with v2 bucketing DISABLED the grouping would be pure
+      // parallelism loss (Spark ignores reported partitionings), so
+      // the scan must keep ordinary split-parallel file partitions —
+      // a non-join aggregate on a bucketed table is never capped at
+      // n tasks unless the session opted into alignment
+      val ctrlParts = shuffled.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.partitions.flatten }.flatten
+      assert(ctrlParts.nonEmpty && ctrlParts.forall(
+        !_.isInstanceOf[sources.v2.GraftBucketPartition]),
+        "bucketing disabled must plan split-parallel, not bucket-grained")
       // the storage-partitioned run: SAME query, ZERO exchanges on
       // either join side
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
