@@ -494,7 +494,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(Array("system"), "vacuum_table"),
         Identifier.of(Array("system"), "restore_table"),
         Identifier.of(Array("system"), "clone_table"),
-        Identifier.of(Array("system"), "optimize_table"))
+        Identifier.of(Array("system"), "optimize_table"),
+        Identifier.of(Array("system"), "compact_eq"))
     else Array.empty
 
   /** Shallow-clone `src` (a registered manifest table) as `dst`:
@@ -536,10 +537,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "restore_table"  => new GraftProcedures.Restore(this)
       case "clone_table"    => new GraftProcedures.Clone(this)
       case "optimize_table" => new GraftProcedures.Optimize(this)
+      case "compact_eq"     => new GraftProcedures.CompactEq(this)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $catalogName.system.$other (available: " +
           "maintain, vacuum_table, restore_table, clone_table, " +
-          "optimize_table)")
+          "optimize_table, compact_eq)")
     }
   }
 

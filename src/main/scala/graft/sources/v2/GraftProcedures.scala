@@ -86,6 +86,35 @@ private[v2] object GraftProcedures {
     }
   }
 
+  /** `compact_eq(table)` — [[graft.sinks.ManifestTable.compactEq]] by
+    * name: materialize every PENDING equality delete (the streaming
+    * keyed-ingest grain) as ordinary deletion vectors in one commit,
+    * so reads stop paying per-version resolution and the delete key
+    * files become vacuumable. NULL committed_version = nothing was
+    * pending (the no-op a scheduled tick relies on). */
+  final class CompactEq(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "compact_eq"
+    override def description(): String =
+      "materialize pending equality deletes as deletion vectors — " +
+        "one commit, content identical, no-op when none are pending"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("committed_version", LongType, nullable = true)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val tbl = input.getUTF8String(0).toString
+      val loc = catalog.locationOf(tbl)
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        s"compact_eq is for manifest-format tables; $tbl is not one")
+      val v = graft.sinks.ManifestTable.compactEq(spark, loc)
+      oneRowScan(outSchema, InternalRow(v.map(Long.box).orNull))
+    }
+  }
+
   /** `clone_table(src, dst)` — [[graft.sinks.ManifestTable.cloneTo]]
     * by name: a SHALLOW CLONE registered in the catalog (descriptor
     * copied, location re-pointed), data files shared by reference. */

@@ -760,6 +760,22 @@ class CatalogSpec extends AnyFunSuite {
     val got2 = spark.sql("SELECT k, v FROM graftc.db.eqm").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2.size == 100 && got2(5L) == 555L && !got2.contains(200L))
+    // CALL compact_eq materializes a fresh pending delete by name and
+    // reports the committed version; the second CALL is the no-op NULL
+    spark.sql("""MERGE INTO graftc.db.eqm AS t USING eqm_src AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(sinks.ManifestTable.hasPendingEq(spark, loc,
+      sinks.ManifestTable.latestVersion(spark, loc)))
+    val cv = spark.sql("CALL graftc.system.compact_eq('db.eqm')").head()
+    assert(!cv.isNullAt(0), "a pending table compacts and reports")
+    assert(!sinks.ManifestTable.hasPendingEq(spark, loc,
+      sinks.ManifestTable.latestVersion(spark, loc)))
+    assert(spark.sql("SELECT v FROM graftc.db.eqm WHERE k = 200")
+      .head().getLong(0) == 200L)
+    assert(spark.sql("CALL graftc.system.compact_eq('db.eqm')")
+      .head().isNullAt(0), "nothing pending reports the no-op NULL")
   }
 
   test("metadata tables: SELECT over graftc.db.t.history / .files serves the manifests — zero data I/O surface") {
