@@ -1,5 +1,7 @@
 package graft.sinks
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -442,7 +444,19 @@ object ManifestTable {
       .withColumn("seq", lit(null).cast("long"))
       .withColumn("bucket",
         if (bucket.isEmpty) lit(null).cast("long")
-        else regexp_extract(col("path"), "gb=(\\d+)", 1).cast("long"))
+        else {
+          // the bucket id reads off the directory component DIRECTLY
+          // ABOVE the file name (the landing's own partitionBy dir) —
+          // an unanchored match could pick a 'gb=<digits>' in the
+          // table-root path and silently stamp every file with a
+          // wrong bucket. A bucketed landing whose file lacks the
+          // component is a layout bug: fail the commit loudly.
+          val b = regexp_extract(col("path"), "/gb=(\\d+)/[^/]+$", 1)
+          when(b === "", raise_error(concat(
+            lit("bucketed landing produced a file outside a gb=N " +
+              "directory: "), col("path"))))
+            .otherwise(b).cast("long")
+        })
   }
 
   /** Strip the column-mapping metadata off a schema that came from
@@ -1360,6 +1374,14 @@ object ManifestTable {
   private val eqCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), Seq[(String, Option[String], Long, Long)]]()
 
+  /** Cached resolutions retained per table root — newest-N covers the
+    * live readers (the current version plus a few time travelers)
+    * while bounding a long-lived driver that walks many versions. */
+  private val EqCacheVersionsPerRoot = 4
+
+  /** Test hook: simulate a FRESH JVM's empty resolution cache. */
+  private[graft] def clearEqCache(): Unit = eqCache.clear()
+
   /** Whether `version` has pending (unmaterialized) equality deletes
     * — consumers that answer from MANIFEST STATISTICS alone (metadata
     * aggregates) must route to the scan while true. */
@@ -1379,15 +1401,32 @@ object ManifestTable {
     if (entries.isEmpty) return dvStates(m)
     val key = (canon(root), version)
     val hit = eqCache.get(key)
-    // re-validate a SCRATCH sidecar specifically: committed vectors
-    // are refcount-durable, but unadopted eqres scratch is what the
-    // vacuum TTL sweeps out from under a long-lived cache entry
-    if (hit != null && hit.collectFirst {
-          case (_, Some(dv), _, _) if dv.contains("/eqres-") => dv }
-          .forall(dv => fs(spark, root).exists(new Path(dv))))
-      return hit
+    // re-validate EVERY scratch sidecar: committed vectors are
+    // refcount-durable, but unadopted eqres scratch is what the
+    // vacuum TTL sweeps out from under a long-lived cache entry —
+    // and it sweeps file by file, so checking only one sidecar would
+    // let a partially swept resolution serve dangling paths (the
+    // read then fails until the JVM restarts). Scratch sidecars are
+    // few — one per eq-touched file — so each gets its own exists();
+    // any miss evicts and recomputes instead of failing the read.
+    if (hit != null) {
+      val scratch = hit.collect {
+        case (_, Some(dv), _, _) if dv.contains("/eqres-") => dv }
+      if (scratch.forall(dv => fs(spark, root).exists(new Path(dv))))
+        return hit
+      eqCache.remove(key): Unit
+    }
     val resolved = resolveEq(spark, root, version, m, entries)
     eqCache.put(key, resolved)
+    // BOUNDED per root: entries are full file-state lists, so a
+    // long-lived driver walking many versions of a large table would
+    // otherwise accumulate them for the life of the JVM. Old versions
+    // re-resolve on the rare re-read; newest-N covers the live
+    // readers (current version + a few time travelers).
+    val mine = eqCache.keySet.asScala.filter(_._1 == key._1).toSeq
+    if (mine.size > EqCacheVersionsPerRoot)
+      mine.sortBy(_._2).dropRight(EqCacheVersionsPerRoot)
+        .foreach(k => eqCache.remove(k): Unit)
     resolved
   }
 
@@ -2003,11 +2042,32 @@ object ManifestTable {
     // changes a file's effective rows exactly like a vector commit,
     // so the feed must see it as remove+add of the file's state (the
     // cached resolution keeps repeated diffs metadata-cheap)
-    def states(v: Long): Set[(String, Option[String], Long)] =
-      effectiveStates(spark, root, v).map(s => (s._1, s._2, s._3)).toSet
+    def states(v: Long) =
+      effectiveStates(spark, root, v).map(s => (s._1, s._2, s._3))
     val a = states(fromVersion)
     val b = states(toVersion)
-    ((a -- b).toSeq.sortBy(_._1), (b -- a).toSeq.sortBy(_._1))
+    // a file's identity is its EFFECTIVE CONTENT, not its sidecar's
+    // NAME: resolution scratch paths are JVM-unique, so a pending
+    // version resolved here diffed against the same deletes compacted
+    // in another JVM would report spurious remove+add pairs for
+    // content-identical files. Same path + same sidecar is trivially
+    // unchanged; different sidecars with the SAME deleted-row count
+    // compare the bitsets themselves (sidecars are tiny — ≤ rows/8
+    // bytes — and only count-coinciding pairs pay the read), which
+    // stays exact even across restore() discontinuities where two
+    // different position sets could coincide in size.
+    val conf = spark.sparkContext.hadoopConfiguration
+    def bits(dv: Option[String]): java.util.BitSet =
+      dv.map(readDvBits(conf, _)).getOrElse(new java.util.BitSet())
+    def sameContent(x: (String, Option[String], Long),
+                    y: (String, Option[String], Long)): Boolean =
+      x._2 == y._2 || (x._3 == y._3 && bits(x._2) == bits(y._2))
+    val bByPath = b.map(s => s._1 -> s).toMap
+    val aByPath = a.map(s => s._1 -> s).toMap
+    (a.filter(s => !bByPath.get(s._1).exists(sameContent(s, _)))
+        .sortBy(_._1),
+      b.filter(s => !aByPath.get(s._1).exists(sameContent(_, s)))
+        .sortBy(_._1))
   }
 
   /** Change feed between two versions — [[VersionedTable
@@ -2394,15 +2454,24 @@ object ManifestTable {
     def sweep(sub: String, live: Set[String]): Unit = {
       val base = new Path(s"$root/$sub")
       if (!f.exists(base)) return
-      f.listStatus(base).filter(_.isDirectory).foreach { d =>
-        val files = f.listStatus(d.getPath).filter(_.isFile)
-        files.foreach { s =>
-          val p = canon(s.getPath.toString)
-          if (!live.contains(p) && now - s.getModificationTime >= ttlMs)
-            f.delete(s.getPath, false): Unit
+      // RECURSIVE: bucketed landings write one level deeper than
+      // plain ones (data/<uuid>/gb=N/part-*), so the sweep walks the
+      // whole subtree — stale files at any depth reclaim, and empty
+      // directories collapse bottom-up (gb= dirs first, then their
+      // landing dir)
+      def walk(dir: Path): Unit = {
+        f.listStatus(dir).foreach { s =>
+          if (s.isDirectory) walk(s.getPath)
+          else {
+            val p = canon(s.getPath.toString)
+            if (!live.contains(p) && now - s.getModificationTime >= ttlMs)
+              f.delete(s.getPath, false): Unit
+          }
         }
-        if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, true): Unit
+        if (dir != base && f.listStatus(dir).isEmpty)
+          f.delete(dir, true): Unit
       }
+      walk(base)
     }
     sweep("data", referenced)
     // equality-delete READ-RESOLUTION scratch (eqres-* under _dv) is

@@ -79,6 +79,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def spark = SparkSession.active
 
+  /** Session handle for staged-table compensation ([[GraftStagedTable
+    * .abortStagedChanges]]). */
+  private[v2] def session: SparkSession = spark
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = Option(options.get("warehouse")).getOrElse(

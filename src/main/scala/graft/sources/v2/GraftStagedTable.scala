@@ -20,7 +20,17 @@ import org.apache.spark.sql.types.StructType
   *     [[graft.sinks.ManifestTable.overwriteAs]] commit — content and
   *     (possibly different) schema replace together, CAS-serialized,
   *     with prior versions still time-travelable. The descriptor
-  *     already exists; commit refreshes its properties.
+  *     already exists; commit refreshes its properties. Because the
+  *     replacement commits DURING query execution (before
+  *     `commitStagedChanges`), an abort COMPENSATES: it restores the
+  *     pre-RTAS version as a new commit — content-identical to never
+  *     having replaced, with the aborted attempt still visible in
+  *     history/time travel. The compensation only fires while the
+  *     RTAS commit is still the latest (a concurrent writer's commit
+  *     on top is never rolled back), and a crash between the replace
+  *     and the abort leaves the replacement until a manual
+  *     restore() — the documented weaker-than-CTAS guarantee of
+  *     replacing in place on a versioned format.
   */
 final class GraftStagedTable(
     catalog: GraftCatalog, ident: Identifier, location: String,
@@ -34,6 +44,10 @@ final class GraftStagedTable(
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** The version the RTAS replacement committed as — what an abort
+    * must compensate for (None until the write ran). */
+  @volatile private var replacedAs: Option[Long] = None
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       override def truncate(): WriteBuilder = this
@@ -41,7 +55,8 @@ final class GraftStagedTable(
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
             if (replace)
-              graft.sinks.ManifestTable.overwriteAs(data, location): Unit
+              replacedAs =
+                Some(graft.sinks.ManifestTable.overwriteAs(data, location))
             else
               graft.sinks.ManifestTable.write(data, location): Unit
           }
@@ -51,6 +66,17 @@ final class GraftStagedTable(
   override def commitStagedChanges(): Unit =
     catalog.commitStaged(ident, props)
 
-  override def abortStagedChanges(): Unit =
+  override def abortStagedChanges(): Unit = {
+    // a replace that already committed rolls back by COMPENSATION:
+    // restore the pre-RTAS version — but only while this statement's
+    // commit is still the table's latest; a concurrent commit on top
+    // must never be silently discarded by a failing RTAS's cleanup
+    replacedAs.foreach { v =>
+      val spark = catalog.session
+      if (graft.sinks.ManifestTable.latestVersion(spark, location) == v &&
+          v > 0)
+        graft.sinks.ManifestTable.restore(spark, location, v - 1): Unit
+    }
     catalog.abortStaged(location, createdDir)
+  }
 }

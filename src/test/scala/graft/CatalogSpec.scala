@@ -352,6 +352,62 @@ class CatalogSpec extends AnyFunSuite {
       .columns.toSeq == Seq("k", "v"))
   }
 
+  test("an aborted RTAS compensates: the pre-replace content is restored as a new commit") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graftc.db.rtasab AS " +
+      "SELECT id AS k, id * 2 AS v FROM range(10)")
+    val loc = s"$warehouse/tables/db/rtasab"
+    val preV = sinks.ManifestTable.latestVersion(spark, loc)
+    val cat = org.apache.spark.sql.graft.GraftSqlShims
+      .catalogManager(spark).catalog("graftc")
+      .asInstanceOf[sources.v2.GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("db"), "rtasab")
+    // drive the staged surface exactly as AtomicReplaceTableAsSelect
+    // does: stage, write the query result, then ABORT (the shape of a
+    // commit-time failure — the replacement has already committed
+    // during execution, so abort must compensate)
+    val staged = cat.stageReplace(ident,
+      new org.apache.spark.sql.types.StructType()
+        .add("a", org.apache.spark.sql.types.LongType),
+      Array.empty, new java.util.HashMap[String, String]())
+    staged.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(null).build()
+      .asInstanceOf[org.apache.spark.sql.connector.write.V1Write]
+      .toInsertableRelation
+      .insert(spark.range(3).select(col("id").as("a")), true)
+    staged.abortStagedChanges()
+    // content and schema are the pre-RTAS table's again
+    val back = spark.sql("SELECT * FROM graftc.db.rtasab ORDER BY k")
+    assert(back.columns.toSeq == Seq("k", "v"))
+    assert(back.count() == 10)
+    assert(spark.sql("SELECT sum(v) FROM graftc.db.rtasab")
+      .head().getLong(0) == 90L)
+    // the compensation is a NEW commit (history keeps the aborted
+    // attempt time-travelable), never a destructive rollback
+    assert(sinks.ManifestTable.latestVersion(spark, loc) == preV + 2,
+      "abort must restore by compensating commit")
+    // a concurrent commit on top of the replacement is NEVER rolled
+    // back by a failing RTAS's cleanup
+    val staged2 = cat.stageReplace(ident,
+      new org.apache.spark.sql.types.StructType()
+        .add("a", org.apache.spark.sql.types.LongType),
+      Array.empty, new java.util.HashMap[String, String]())
+    staged2.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(null).build()
+      .asInstanceOf[org.apache.spark.sql.connector.write.V1Write]
+      .toInsertableRelation
+      .insert(spark.range(4).select(col("id").as("a")), true)
+    sinks.ManifestTable.write(
+      spark.range(100, 101).select(col("id").as("a")), loc): Unit
+    val topV = sinks.ManifestTable.latestVersion(spark, loc)
+    staged2.abortStagedChanges()
+    assert(sinks.ManifestTable.latestVersion(spark, loc) == topV,
+      "abort under a concurrent commit must leave the table alone")
+    assert(spark.sql("SELECT count(*) FROM graftc.db.rtasab")
+      .head().getLong(0) == 5L)
+  }
+
   test("a time-traveled handle is read-only: INSERT INTO ... VERSION AS OF fails fast") {
     warehouse: Unit
     val loc = java.nio.file.Files

@@ -2606,4 +2606,129 @@ class SinksSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, root).filter(col("k") === 1L)
       .head().getLong(1) == 11L, "content survives the sweep")
   }
+
+  test("bucket ids anchor to the landing's own gb= directory — a gb=<digits> ancestor in the table root cannot mis-stamp files") {
+    import sinks.ManifestTable
+    // the trap: BOTH the temp prefix and an explicit ancestor carry
+    // 'gb=<digits>' — an unanchored extraction would match the
+    // ancestor first and stamp every file with bucket 712... (out of
+    // range → silently dropped by the 0-until-n regrouping)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-gb=71").toString + "/gb=9/t"
+    ManifestTable.create(
+      spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("v")),
+      root, Seq("k"), bucketBy = Some(("k", 4)))
+    val v = ManifestTable.latestVersion(spark, root)
+    val buckets = ManifestTable.fileBuckets(spark, root, v)
+    assert(buckets.nonEmpty)
+    assert(buckets.values.forall(b => b >= 0 && b < 4),
+      s"every recorded bucket must be in [0, 4): ${buckets.values.toSet}")
+    // per-file agreement with the write-side hash — wrong IN-RANGE
+    // ids would misalign storage-partitioned joins silently
+    buckets.foreach { case (p, b) =>
+      val hashed = spark.read.parquet(p)
+        .select(pmod(hash(col("k")), lit(4)).cast("long").as("b"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      assert(hashed == Set(b),
+        s"$p: manifest bucket $b != hash bucket(s) $hashed")
+    }
+    // and the bucket-grained read path (the consumer of those ids)
+    // loses no rows
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try
+      assert(spark.read.format("graft").load(root).count() == 1000L)
+    finally
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+  }
+
+  test("vacuum reclaims bucketed data files one level below the landing dir and collapses the emptied directories") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vac-bucket").toString + "/t"
+    ManifestTable.create(
+      spark.range(100).select(col("id").as("k"), col("id").as("v")),
+      root, Seq("k"), bucketBy = Some(("k", 4)))
+    // replace the content: v0's bucketed files become unreferenced
+    // once only the newest manifest is retained
+    ManifestTable.overwrite(
+      spark.range(100, 150).select(col("id").as("k"), col("id").as("v")),
+      root)
+    val live = ManifestTable.filesAt(spark, root,
+      ManifestTable.latestVersion(spark, root)).toSet
+    ManifestTable.vacuum(spark, root, keep = 1, ttlMs = 0L)
+    val onDisk = graft.sources.FileManifest
+      .listFiles(spark, s"$root/data")
+      .select(col("path")).collect().map(_.getString(0)).toSet
+    assert(onDisk == live,
+      s"vacuum must reclaim the old bucketed files: left ${onDisk -- live}")
+    // the emptied gb= dirs and their landing dir collapse
+    val dataDir = new java.io.File(s"$root/data")
+    val leftDirs = Option(dataDir.listFiles()).toSeq.flatten
+      .filter(_.isDirectory)
+    assert(leftDirs.forall(d =>
+      Option(d.listFiles()).toSeq.flatten.nonEmpty),
+      "vacuum must not leave empty landing directories behind")
+  }
+
+  test("change-feed identity is effective CONTENT: independently resolved equality deletes never re-emit untouched files") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-eq-ident").toString + "/t"
+    ManifestTable.create(
+      spark.range(1000).select(col("id").as("k"), (col("id") * 10).as("v"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      root, Seq("k"))
+    ManifestTable.mergeEq(
+      Seq((5L, 555L), (600L, 666L)).toDF("k", "v"), root, Seq("k")) // v1
+    // resolve v1's pending deletes in THIS session (scratch paths are
+    // JVM-unique)...
+    ManifestTable.effectiveStates(spark, root, 1L): Unit
+    // ...then compact in a simulated OTHER JVM (fresh cache → a fresh,
+    // differently-named resolution gets adopted by v2)
+    ManifestTable.clearEqCache()
+    val v2 = ManifestTable.compactEq(spark, root).get
+    // compaction changes no effective rows, so the file-set delta —
+    // and with it the change feed — must be EMPTY even though the two
+    // sides' resolutions materialized under different scratch names
+    val (removed, added) = ManifestTable.changedFileStates(
+      spark, root, 1L, v2)
+    assert(removed.isEmpty && added.isEmpty,
+      s"content-identical files re-emitted: removed=$removed added=$added")
+    assert(ManifestTable.changesBetween(spark, root, 1L, v2, Seq("k"))
+      .isEmpty, "the feed across a pure compaction must be empty")
+  }
+
+  test("a vacuumed resolution sidecar evicts the cache entry and the next read recomputes — even when a LATER sidecar is the missing one") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-eq-sweep").toString + "/t"
+    // two well-separated files so the eq delete touches BOTH and the
+    // resolution writes (at least) two sidecars
+    ManifestTable.create(
+      spark.range(500).select(col("id").as("k"), col("id").as("v"))
+        .repartitionByRange(2, col("k")).sortWithinPartitions(col("k")),
+      root, Seq("k"))
+    ManifestTable.mergeEq(
+      Seq((5L, 555L), (450L, 444L)).toDF("k", "v"), root, Seq("k"))
+    val v = ManifestTable.latestVersion(spark, root)
+    val st = ManifestTable.effectiveStates(spark, root, v)
+    val scratch = st.collect {
+      case (_, Some(dv), _, _) if dv.contains("/eqres-") => dv }.sorted
+    assert(scratch.size >= 2,
+      s"test needs >= 2 resolution sidecars, got $scratch")
+    // sweep only the LAST sidecar (the partial-sweep hazard: a
+    // first-sidecar-only check would trust the stale entry and every
+    // later read would fail on the dangling path)
+    val f = new org.apache.hadoop.fs.Path(scratch.last).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(f.delete(new org.apache.hadoop.fs.Path(scratch.last), false))
+    val st2 = ManifestTable.effectiveStates(spark, root, v)
+    val scratch2 = st2.collect {
+      case (_, Some(dv), _, _) if dv.contains("/eqres-") => dv }
+    scratch2.foreach(dv =>
+      assert(f.exists(new org.apache.hadoop.fs.Path(dv)),
+        s"recomputed state must not serve the swept path $dv"))
+    assert(ManifestTable.read(spark, root).filter(col("k") === 5L)
+      .head().getLong(1) == 555L, "the read serves fresh resolution")
+  }
 }
