@@ -1379,8 +1379,12 @@ object ManifestTable {
     * while bounding a long-lived driver that walks many versions. */
   private val EqCacheVersionsPerRoot = 4
 
-  /** Test hook: simulate a FRESH JVM's empty resolution cache. */
-  private[graft] def clearEqCache(): Unit = eqCache.clear()
+  /** Test hook: simulate a FRESH JVM's empty resolution/probe
+    * caches. */
+  private[graft] def clearEqCache(): Unit = {
+    eqCache.clear()
+    eqProbeCache.clear()
+  }
 
   /** Whether `version` has pending (unmaterialized) equality deletes
     * — consumers that answer from MANIFEST STATISTICS alone (metadata
@@ -1429,6 +1433,110 @@ object ManifestTable {
         .foreach(k => eqCache.remove(k): Unit)
     resolved
   }
+
+  /** One pending equality delete compiled for PURE-READ application:
+    * its commit seq, logical key columns, the normalized key tuples
+    * (see [[graft.sources.v2.GraftEqProbe.normalize]]), and the
+    * envelope/bloom-touched file subset — only those files pay the
+    * per-task probe; everything else reads the untouched clean
+    * path. */
+  private[graft] final case class EqProbe(seq: Long, keyCols: Seq[String],
+                                          keys: Set[Seq[Any]],
+                                          touched: Set[String])
+
+  /** Probe plans cached per (root, version) — entries are a few key
+    * sets plus touched-path sets, all metadata-scale; key files are
+    * immutable and registry-refcounted (vacuum keeps referenced
+    * ones), so entries never go stale. Bounded like [[eqCache]]. */
+  private val eqProbeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Option[Seq[EqProbe]]]()
+
+  /** Compile `version`'s pending equality deletes into per-task probe
+    * plans — the PURE-READ application path: a SELECT on an
+    * eq-pending table applies the delete keys above the columnar scan
+    * (broadcast with the task closure) and WRITES NOTHING, the
+    * Iceberg v2 reader shape. Returns Some(Nil) when nothing is
+    * pending, and None when this version must fall back to scratch
+    * materialization ([[effectiveStates]]): a key type the probe
+    * cannot represent, or key files past the in-memory guard
+    * (`spark.graft.eq.maxProbeBytes`, default 64 MiB — a delete that
+    * large is not "one micro-batch's keys" and belongs to
+    * [[compactEq]]). */
+  private[graft] def eqProbes(spark: SparkSession, root: String,
+                              version: Long): Option[Seq[EqProbe]] = {
+    val entries = eqDeletes(spark, root, version)
+    if (entries.isEmpty) return Some(Nil)
+    val key = (canon(root), version)
+    val hit = eqProbeCache.get(key)
+    if (hit != null) return hit
+    val schema = tableSchema(spark, root, version)
+    val computed: Option[Seq[EqProbe]] = {
+      val supported = entries.forall(_.keys.forall(k =>
+        graft.sources.v2.GraftEqProbe.supported(schema(k).dataType)))
+      val f = fs(spark, root)
+      lazy val keyBytes = entries.map(e =>
+        f.getContentSummary(new Path(e.path)).getLength).sum
+      val maxBytes = spark.conf
+        .get("spark.graft.eq.maxProbeBytes", (64L << 20).toString).toLong
+      if (!supported || keyBytes > maxBytes) None
+      else {
+        val m = manifest(spark, root, version)
+        // touched subsets per key-column group (entries of one
+        // streaming ingest share keys — one proof serves them all);
+        // per-file applicability then narrows by seq in the planner
+        val touchedByGroup: Map[Seq[String], Set[String]] =
+          entries.groupBy(_.keys).map { case (keyCols, es) =>
+            val keysDf = spark.read.parquet(es.map(_.path): _*)
+              .select(keyCols.map(col): _*).distinct()
+            keyCols -> touchedPaths(spark, root, m, keysDf, keyCols,
+              schema).toSet
+          }
+        Some(entries.map { e =>
+          val types = e.keys.map(k => schema(k).dataType)
+          val rows = spark.read.parquet(e.path)
+            .select(e.keys.map(col): _*)
+            .queryExecution.executedPlan.executeCollect()
+          val tuples: Set[Seq[Any]] = rows.iterator.flatMap { r =>
+            val arr = new Array[Any](types.length)
+            var i = 0
+            var hasNull = false
+            while (i < types.length && !hasNull) {
+              if (r.isNullAt(i)) hasNull = true
+              else arr(i) = graft.sources.v2.GraftEqProbe
+                .normalize(r.get(i, types(i)))
+              i += 1
+            }
+            // a NULL key component matches nothing (SQL equality) —
+            // the tuple can never kill a row, so it never enters
+            if (hasNull) None
+            else Some(scala.collection.immutable.ArraySeq
+              .unsafeWrapArray(arr): Seq[Any])
+          }.toSet
+          EqProbe(e.seq, e.keys, tuples, touchedByGroup(e.keys))
+        })
+      }
+    }
+    eqProbeCache.put(key, computed)
+    val mine = eqProbeCache.keySet.asScala.filter(_._1 == key._1).toSeq
+    if (mine.size > EqCacheVersionsPerRoot)
+      mine.sortBy(_._2).dropRight(EqCacheVersionsPerRoot)
+        .foreach(k => eqProbeCache.remove(k): Unit)
+    computed
+  }
+
+  /** The DSv2 scan's PURE-READ listing of one version: every manifest
+    * file with its size, vector sidecar, per-file `seq`, and row
+    * counts — raw states, no resolution, NOTHING written. The scan
+    * applies pending equality deletes per task from [[eqProbes]]. */
+  private[graft] def rawFiles(spark: SparkSession, root: String,
+                              version: Long)
+      : Seq[(String, Long, Option[String], Long, Long, Long)] =
+    manifest(spark, root, version)
+      .select(col("path"), col("size"), col("dv_path"), col("seq"),
+        col("row_count"), col("dv_rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
 
   /** [[effectiveStates]] with each file's size — the DSv2 scan's
     * listing shape. */

@@ -120,7 +120,7 @@ final class GraftBucketedScan(inner: Scan, logicalKey: String,
             fp.files.groupBy(bucketOf).map { case (b, fs) =>
               b -> (GraftDvCleanPartition(FilePartition(b.toInt, fs))
                 : InputPartition) }
-          case dv @ GraftDvFilePartition(fp, _) =>
+          case dv @ GraftDvFilePartition(fp, _, _) =>
             // the DV scan emits SINGLE-file partitions today; assert
             // it, so a future multi-file packing fails loudly at
             // planning instead of riding every file to head's bucket

@@ -461,14 +461,8 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
         // timestamp all come from committed metadata, so the scan
         // plans with ZERO filesystem calls (the Delta log-backed-index
         // shape) — at 100k files an InMemoryFileIndex would stat each.
-        // Pending equality deletes resolve into deletion vectors here
-        // (effectiveFiles — cached per version), so the scan below
-        // serves them through the ordinary DV machinery.
         val m = graft.sinks.ManifestTable.manifest(spark, root, version)
         val cols = graft.sinks.ManifestTable.statsCols(spark, root, version)
-        val all = graft.sinks.ManifestTable
-          .effectiveFiles(spark, root, version)
-          .map(f => (f._1, f._2, f._3))
         val ts = graft.sinks.VersionedTable.commitTimestamp(spark,
           graft.sinks.ManifestTable.manifestsRoot(root), version)
           .getOrElse(0L)
@@ -477,35 +471,92 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
         val bloomEntries = graft.sinks.ManifestTable.blooms(spark, root)
           .map { case (c, br) =>
             GraftTables.Entry(root, None, Nil, Some(br), Some(c)) }
-        val dvd = all.collect { case (p, size, Some(dv)) => (p, size, dv) }
-        if (dvd.nonEmpty) {
-          // deletion vectors present: composite scan — clean files on
-          // the ordinary pruned/delegated path, DV-bearing files on
-          // the SAME delegated vectorized path with the parquet
-          // row-index column appended, deleted positions filtered by
-          // the wrapping readers ([[GraftDvScanBuilder]]). Both
-          // branches prune from envelopes/blooms — sound for the DV
+        // bucket-transform predicate pruning serves point/IN probes on
+        // a bucketed key from metadata alone — NOT gated on the SPJ
+        // conf (pruning costs nothing; only bucket-grained task
+        // grouping trades parallelism)
+        val bucketPrune = graft.sinks.ManifestTable
+          .bucketSpecLogical(dataSchema).map { case (k, n) =>
+            (graft.sinks.ManifestTable.physicalFor(dataSchema, k), n,
+              graft.sinks.ManifestTable.fileBuckets(spark, root, version))
+          }
+        def subIndex(files: Seq[(String, Long)]) =
+          new GraftManifestFileIndex(spark, root, files, ts, physSchema,
+            if (cols.isEmpty) None else Some((m, cols)), bloomEntries,
+            bucketPrune)
+        def composite(filt: Seq[GraftFiltFile],
+                      clean: Seq[(String, Long)], cleanRows: Option[Long],
+                      probes: Seq[GraftEqProbeGroup]): ScanBuilder = {
+          // row-filtering composite scan — clean files on the
+          // ordinary pruned/delegated path, filtered files on the
+          // SAME delegated vectorized path with the parquet row-index
+          // column (and any missing probe key column) appended;
+          // deleted positions and probed-out keys drop in the
+          // wrapping readers ([[GraftDvScanBuilder]]). Both branches
+          // prune from envelopes/blooms — sound for the filtered
           // branch too, since stats are a superset of the live rows
           // and excluded files contribute no survivors.
-          val clean = all.collect { case (p, size, None) => (p, size) }
-          val cleanIndex = new GraftManifestFileIndex(spark, root, clean,
-            ts, physSchema,
-            if (cols.isEmpty) None else Some((m, cols)), bloomEntries)
-          val dvIndex = new GraftManifestFileIndex(spark, root,
-            dvd.map(f => (f._1, f._2)), ts, physSchema,
-            if (cols.isEmpty) None else Some((m, cols)), bloomEntries)
-          val dvSchema = org.apache.spark.sql.types.StructType(
+          val filtSchema = org.apache.spark.sql.types.StructType(
             physSchema.fields :+ GraftDvScanBuilder.RowIndexField)
-          return bucketed(mapped(new GraftDvScanBuilder(spark,
-            ParquetScanBuilder(spark, cleanIndex, physSchema, physSchema,
-              options),
-            ParquetScanBuilder(spark, dvIndex, dvSchema, dvSchema,
-              options),
-            dvd, ts)))
+          bucketed(mapped(new GraftDvScanBuilder(spark,
+            ParquetScanBuilder(spark, subIndex(clean), physSchema,
+              physSchema, options),
+            ParquetScanBuilder(spark,
+              subIndex(filt.map(f => (f.path, f.size))), filtSchema,
+              filtSchema, options),
+            filt, probes, cleanRows, ts)))
         }
-        new GraftManifestFileIndex(spark, root,
-          all.map(f => (f._1, f._2)), ts, physSchema,
-          if (cols.isEmpty) None else Some((m, cols)), bloomEntries)
+        // pending equality deletes apply PER TASK above the columnar
+        // scan by default (broadcast key sets — a pure SELECT writes
+        // NOTHING; the Iceberg v2 reader shape). The conf forces, and
+        // oversized/exotic-keyed deletes fall back to, the
+        // materializing path below.
+        val materialize = spark.conf
+          .get("spark.graft.eq.materializeOnRead", "false").toBoolean
+        val probesOpt =
+          if (materialize) None
+          else graft.sinks.ManifestTable.eqProbes(spark, root, version)
+        probesOpt match {
+          case Some(probes) =>
+            val files = graft.sinks.ManifestTable
+              .rawFiles(spark, root, version)
+            def appl(p: String, seq: Long): Array[Int] =
+              probes.indices.filter(i =>
+                probes(i).seq > seq && probes(i).touched.contains(p))
+                .toArray
+            val filt = files.flatMap { case (p, s, dv, seq, rc, dvr) =>
+              val a = appl(p, seq)
+              if (dv.isDefined || a.nonEmpty)
+                Some(GraftFiltFile(p, s, dv, a, rc, dvr))
+              else None
+            }
+            if (filt.nonEmpty) {
+              val filtSet = filt.map(_.path).toSet
+              val clean = files.filterNot(f => filtSet(f._1))
+              val groups = probes.map { pr =>
+                GraftEqProbeGroup(pr.keyCols.map(k => physSchema(
+                  graft.sinks.ManifestTable.physicalFor(dataSchema, k))),
+                  pr.keys)
+              }
+              return composite(filt, clean.map(f => (f._1, f._2)),
+                Some(clean.map(_._5).sum), groups)
+            }
+            subIndex(files.map(f => (f._1, f._2)))
+          case None =>
+            // scratch-materializing path: pending equality deletes
+            // resolve into deletion vectors (effectiveFiles — cached
+            // per version) and serve through the DV machinery
+            val states = graft.sinks.ManifestTable
+              .effectiveFiles(spark, root, version)
+            val dvd = states.collect { case (p, sz, Some(dv), dvr) =>
+              GraftFiltFile(p, sz, Some(dv), Array.empty, 0L, dvr) }
+            if (dvd.nonEmpty) {
+              val clean = states.collect { case (p, sz, None, _) =>
+                (p, sz) }
+              return composite(dvd, clean, None, Nil)
+            }
+            subIndex(states.map(f => (f._1, f._2)))
+        }
       } else
         new GraftStatsFileIndex(spark,
           Seq(new Path(s"$root/epoch=$version")), dataSchema,
@@ -615,7 +666,8 @@ final class GraftManifestFileIndex(
     filesAndSizes: Seq[(String, Long)], commitTsMs: Long,
     dataSchema: StructType,
     manifestStats: Option[(org.apache.spark.sql.DataFrame, Seq[String])],
-    bloomEntries: Seq[GraftTables.Entry] = Nil)
+    bloomEntries: Seq[GraftTables.Entry] = Nil,
+    bucketPrune: Option[(String, Int, Map[String, Long])] = None)
   extends org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex(
     sparkSession, Map.empty[String, String], Some(dataSchema),
     org.apache.spark.sql.execution.datasources.FileStatusCache
@@ -648,6 +700,49 @@ final class GraftManifestFileIndex(
   /** Files surviving the last `listFiles` (volatile test hook). */
   @volatile var lastListedFiles: Int = -1
 
+  /** BUCKET-TRANSFORM predicate pruning (the Iceberg shape): a point
+    * or IN predicate on a bucketed table's key hashes its literals
+    * with the WRITE-SIDE function (catalyst Murmur3, seed 42 —
+    * evaluating the same `Murmur3Hash` expression the landing's
+    * `pmod(hash(key), n)` routing uses, so the two can never diverge,
+    * any key type included) and keeps only the matching buckets'
+    * files — free metadata, no bloom build needed, and exactly what
+    * envelopes cannot serve on a hash-distributed key (every file's
+    * [min,max] spans every probe). Conjuncts intersect; any shape but
+    * a top-level =/<=>/IN on the key is conservatively ignored. A
+    * file with no recorded bucket is kept. Sound under deletion
+    * vectors and pending equality deletes: a file outside the
+    * literal's bucket provably holds no row with that key, deleted or
+    * live. */
+  private def allowedBuckets(dataFilters: Seq[Expression])
+      : Option[Set[Long]] = bucketPrune.flatMap { case (key, n, _) =>
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualNullSafe, EqualTo, In, InSet, Literal, Murmur3Hash}
+    def bucketOf(v: Any, dt: org.apache.spark.sql.types.DataType): Long = {
+      val h = Murmur3Hash(Seq(Literal.create(v, dt)), 42)
+        .eval(null).asInstanceOf[Int]
+      ((h.toLong % n) + n) % n
+    }
+    def ofConjunct(e: Expression): Option[Set[Long]] = e match {
+      case EqualTo(a: Attribute, l: Literal) if a.name == key =>
+        Some(Set(bucketOf(l.value, l.dataType)))
+      case EqualTo(l: Literal, a: Attribute) if a.name == key =>
+        Some(Set(bucketOf(l.value, l.dataType)))
+      case EqualNullSafe(a: Attribute, l: Literal) if a.name == key =>
+        Some(Set(bucketOf(l.value, l.dataType)))
+      case EqualNullSafe(l: Literal, a: Attribute) if a.name == key =>
+        Some(Set(bucketOf(l.value, l.dataType)))
+      case In(a: Attribute, vs) if a.name == key &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        Some(vs.map { case l: Literal =>
+          bucketOf(l.value, l.dataType) }.toSet)
+      case InSet(a: Attribute, vs) if a.name == key =>
+        Some(vs.map(v => bucketOf(v, a.dataType)))
+      case _ => None
+    }
+    val perConjunct = dataFilters.flatMap(ofConjunct)
+    if (perConjunct.isEmpty) None else Some(perConjunct.reduce(_ & _))
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
@@ -661,11 +756,20 @@ final class GraftManifestFileIndex(
           bloomEntries.flatMap(e =>
             StatsPruneRule.provablyExcluded(sparkSession, cond, e))
       }
+    val buckets: Option[Set[Long]] =
+      if (dataFilters.isEmpty) None else allowedBuckets(dataFilters)
+    def bucketKeeps(path: String): Boolean = buckets match {
+      case None => true
+      case Some(allowed) =>
+        bucketPrune.get._3.get(path).forall(allowed.contains)
+    }
     val pruned =
-      if (excluded.isEmpty) base
+      if (excluded.isEmpty && buckets.isEmpty) base
       else base.map { pd =>
-        pd.copy(files = pd.files.filterNot(f =>
-          excluded.contains(f.getPath.toUri.getPath)))
+        pd.copy(files = pd.files.filterNot { f =>
+          val p = f.getPath.toUri.getPath
+          excluded.contains(p) || !bucketKeeps(p)
+        })
       }
     lastListedFiles = pruned.map(_.files.length).sum
     pruned

@@ -932,4 +932,110 @@ class PlanSpec extends AnyFunSuite {
         docs.filter(col("doc_id") < 20L).count())
     } finally plans.GraftTables.unregister(lay)
   }
+
+  test("DV-aware statistics: a mostly-deleted small side still broadcasts — live bytes and exact live rows, not raw file size") {
+    import sinks.ManifestTable
+    import org.apache.spark.sql.functions.{col, concat, lit, sum}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-dv-stats").toString
+    val dim = s"$base/dim"; val fact = s"$base/fact"
+    // a padded dim whose RAW bytes exceed the broadcast threshold we
+    // set below, but whose LIVE bytes (after a 95% delete) undercut it
+    ManifestTable.create(
+      spark.range(20000).select(col("id").as("k"),
+        concat(lit("pad-" * 40), col("id")).as("label")).coalesce(1),
+      dim, Seq("k"))
+    ManifestTable.deleteWhereMor(spark, dim, col("k") % 20L =!= 0L)
+    ManifestTable.create(
+      spark.range(200000).select((col("id") % 20000L).as("k"),
+        col("id").as("x")), fact, Seq("k"))
+    val v = ManifestTable.latestVersion(spark, dim)
+    val rawBytes = ManifestTable.manifest(spark, dim, v)
+      .agg(sum(col("size"))).head().getLong(0)
+    // the scan's reported statistics: live-scaled bytes, exact rows
+    val dimDf = spark.read.format("graft").load(dim)
+    val rel = dimDf.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r }
+    assert(rel.nonEmpty, "expected a DSv2 scan relation")
+    val stats = rel.get.computeStats()
+    assert(stats.sizeInBytes.toLong < rawBytes / 10,
+      s"a 95%-deleted file must report ~5% of its $rawBytes raw bytes, " +
+        s"got ${stats.sizeInBytes}")
+    assert(stats.rowCount.contains(BigInt(1000)),
+      s"exact live rows (20000 − 19000) expected, got ${stats.rowCount}")
+    // and the broadcast DECISION follows: threshold between live and
+    // raw bytes → the vectored dim still broadcasts
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (rawBytes / 2).toString)
+      val joined = spark.read.format("graft").load(fact)
+        .join(dimDf, "k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"the live-small DV side must broadcast under a threshold of " +
+          s"${rawBytes / 2}:\n$p")
+      assert(joined.count() == 10000L)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucket-transform pruning: point/IN probes on a bucketed key plan only the matching buckets' files — conf-independent, surviving DV and rename") {
+    import sinks.ManifestTable
+    import sources.v2.{GraftDvCleanPartition, GraftDvFilePartition}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bucket-prune").toString + "/t"
+    ManifestTable.create(
+      spark.range(4000).select(col("id").as("k"), (col("id") * 2).as("v")),
+      root, Seq("k"), bucketBy = Some(("k", 8)))
+    // a second landing over the SAME key range (every file's envelope
+    // spans every probe — the prunes below can only be the bucket
+    // transform's): every bucket now holds 2 files, 16 total
+    ManifestTable.write(
+      spark.range(4000).select(col("id").as("k"),
+        (col("id") * 3).as("v")), root)
+    def filesPlanned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.partitions.flatten }.flatten.flatMap {
+          case fp: FilePartition => fp.files.map(_.filePath.toString)
+          case GraftDvCleanPartition(fp: FilePartition) =>
+            fp.files.map(_.filePath.toString)
+          case p: GraftDvFilePartition =>
+            p.inner.files.map(_.filePath.toString)
+          case _ => Nil
+        }.distinct.size
+    def load() = spark.read.format("graft").load(root)
+    assert(filesPlanned(load()) == 16, "expected 2 files per bucket")
+    // point probe: 1/8 of the files (envelopes are useless on a
+    // hash-distributed key — this prune is the bucket transform's)
+    val point = load().filter(col("k") === 1234L)
+    assert(filesPlanned(point) == 2,
+      s"a point probe must plan one bucket (2 files), " +
+        s"got ${filesPlanned(point)}")
+    assert(point.collect().map(_.getLong(1)).toSet == Set(2468L, 3702L))
+    // IN probe: at most |literals| buckets
+    val inProbe = load().filter(col("k").isin(5L, 2005L, 77L))
+    assert(filesPlanned(inProbe) <= 6,
+      s"an IN(3) probe must plan <= 3 buckets, got ${filesPlanned(inProbe)}")
+    assert(inProbe.collect().map(_.getLong(0)).toSet == Set(5L, 2005L, 77L))
+    // composes with deletion vectors: the probed bucket's file gains a
+    // vector; pruning still applies and the dead key stays dead
+    ManifestTable.deleteWhereMor(spark, root, col("k") === 1234L)
+    val pointDv = load().filter(col("k") === 1234L)
+    assert(filesPlanned(pointDv) <= 2,
+      s"DV must not disable bucket pruning, got ${filesPlanned(pointDv)}")
+    assert(pointDv.count() == 0L)
+    // composes with RENAME COLUMN: the transform speaks the new
+    // logical name, the layout's physical key is frozen
+    ManifestTable.renameColumn(spark, root, "k", "kk")
+    val pointRn = load().filter(col("kk") === 321L)
+    assert(filesPlanned(pointRn) == 2,
+      s"rename must not disable bucket pruning, got ${filesPlanned(pointRn)}")
+    assert(pointRn.collect().map(_.getLong(1)).toSet == Set(642L, 963L))
+    // a non-point predicate keeps every file (conservative)
+    assert(filesPlanned(load().filter(col("kk") > 0L)) >= 16 - 1)
+  }
 }

@@ -2731,4 +2731,77 @@ class SinksSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, root).filter(col("k") === 5L)
       .head().getLong(1) == 555L, "the read serves fresh resolution")
   }
+
+  test("pure-read equality deletes: a SELECT on an eq-pending table writes NOTHING, stays columnar, and pushes filters — across fresh sessions") {
+    import sinks.ManifestTable
+    import sources.v2.GraftDvFilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-eq-pure").toString + "/t"
+    // string-keyed: the probe must compare UTF8String content, not
+    // references; four range-clustered files so envelope proofs keep
+    // the untouched majority on the clean branch
+    ManifestTable.create(
+      spark.range(1000).select(
+        format_string("k%04d", col("id")).as("k"), col("id").as("v"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      root, Seq("k"))
+    ManifestTable.mergeEq(
+      Seq(("k0005", 555L), ("k0600", 666L), ("k9999", 999L))
+        .toDF("k", "v"), root, Seq("k"))
+    val v = ManifestTable.latestVersion(spark, root)
+    assert(ManifestTable.hasPendingEq(spark, root, v))
+    def listing(): Set[String] = {
+      val b = new java.io.File(root)
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f.getPath)
+      walk(b).toSet
+    }
+    val before = listing()
+    def readAll() = spark.read.format("graft").load(root)
+    // full read, point read, aggregate — every shape serves the
+    // pending deletes per task; NOTHING lands under the table root
+    assert(readAll().count() == 1001L) // 1000 − 2 upserted + 3 inserted
+    assert(readAll().filter(col("k") === "k0005").head().getLong(1) == 555L)
+    assert(readAll().filter(col("k") === "k0600").head().getLong(1) == 666L)
+    assert(readAll().filter(col("k") === "k9999").head().getLong(1) == 999L)
+    assert(readAll().agg(sum(col("v"))).head().getLong(0) ==
+      (0L until 1000L).sum - 5L - 600L + 555L + 666L + 999L)
+    assert(listing() == before,
+      "a pure SELECT on an eq-pending table must create no files")
+    // a SECOND fresh session (cold caches) reads the same pending
+    // version — still zero files created
+    ManifestTable.clearEqCache()
+    assert(readAll().filter(col("k") === "k0005").head().getLong(1) == 555L)
+    assert(listing() == before,
+      "a fresh session's read must not re-materialize scratch")
+    // plan shape: columnar, probe partitions only on the TOUCHED
+    // files, pushed filters reach the probed branch
+    val probe = readAll().filter(col("k") >= "k0000" && col("k") <= "k0100")
+    val scans = probe.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }
+    assert(scans.forall(_.supportsColumnar),
+      "eq-pending reads must stay columnar")
+    val parts = scans.flatMap(_.partitions.flatten)
+    val probed = parts.collect {
+      case p: GraftDvFilePartition if p.probes.nonEmpty => p }
+    assert(probed.nonEmpty, "the touched file must carry the probe")
+    val dvScan = scans.map(_.scan).collectFirst {
+      case s: sources.v2.GraftDvScan => s }.get
+    assert(dvScan.dvPushedFilters.nonEmpty,
+      "the probed branch must push the filters into parquet")
+    assert(probe.filter(col("k") === "k0005").head().getLong(1) == 555L)
+    // the conf-forced MATERIALIZING path answers identically (the
+    // compaction-grade fallback stays correct)
+    ManifestTable.clearEqCache()
+    spark.conf.set("spark.graft.eq.materializeOnRead", "true")
+    try {
+      assert(readAll().count() == 1001L)
+      assert(readAll().filter(col("k") === "k0005").head().getLong(1)
+        == 555L)
+      assert(listing() != before,
+        "the forced materializing path is expected to write scratch")
+    } finally spark.conf.unset("spark.graft.eq.materializeOnRead")
+  }
 }
