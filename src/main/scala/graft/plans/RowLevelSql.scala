@@ -236,7 +236,19 @@ case class GraftRowLevelSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           else None
         case _ => None
       }
-      fast.getOrElse(
+      // SECOND FAST PATH — `WHEN MATCHED THEN DELETE` as the only arm
+      // on an equality-delete table: the source's keys commit as a
+      // delete file (zero target reads, cost O(source)); matched rows
+      // die at read time exactly like any eq delete
+      val fastDelete = (matched, notMatched, notMatchedBySource) match {
+        case (Seq(DeleteAction(None)), Seq(), Seq()) if eq =>
+          Some(GraftDeleteByKeyCommand(root, source,
+            pairs.map { case (tn, src) =>
+              (tn, byName(src),
+                targetCols.find(_.name == tn).get.dataType) }))
+        case _ => None
+      }
+      fast.orElse(fastDelete).getOrElse(
         GraftMergeFullCommand(root, source,
           targetCols.map(a => (a.name, a.dataType)),
           pairs.map { case (tn, src) => (tn, src.name) },
@@ -436,6 +448,25 @@ final case class GraftMergeCommand(
     if (eq) graft.sinks.ManifestTable.mergeEq(src, root, keys)
     else if (mor) graft.sinks.ManifestTable.mergeMor(src, root, keys)
     else graft.sinks.ManifestTable.merge(src, root, keys)
+    Nil
+  }
+}
+
+/** Eager keyed DELETE at the equality-delete grain — the `WHEN
+  * MATCHED THEN DELETE`-only MERGE on an eq-declared table: the
+  * source's key columns (projected under the target's names and
+  * types) commit as one delete file via [[graft.sinks.ManifestTable
+  * .deleteByKeyEq]]; nothing reads the target. */
+final case class GraftDeleteByKeyCommand(
+    root: String, source: LogicalPlan,
+    keys: Seq[(String, org.apache.spark.sql.Column,
+      org.apache.spark.sql.types.DataType)])
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = GraftSqlShims.ofRows(session, source)
+      .select(keys.map { case (n, v, dt) => v.cast(dt).as(n) }: _*)
+    graft.sinks.ManifestTable.deleteByKeyEq(src, root, keys.map(_._1))
     Nil
   }
 }

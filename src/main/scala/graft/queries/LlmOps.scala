@@ -981,6 +981,52 @@ object LlmOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** The CDC fold at the EQUALITY-DELETE grain ([[graft.sinks
+    * .ManifestTable.applyCdcEq]]) — [[qCdcApply]]'s exact scenario,
+    * byte-identical oracle, THIRD grain: each batch commits its
+    * winners' keys as a delete file plus the non-D winners as landed
+    * rows, with zero target reads; the final read serves BOTH
+    * batches' deletes still PENDING (per-task key probes above the
+    * columnar scan — nothing compacted, nothing materialized),
+    * stacked correctly across the two batches' seq ordering.
+    * Reference analog: the reference recomputes each report from
+    * re-pulled state (full refresh); the CDC grains replace that with
+    * incremental folds (`src/transform/buildReports.ts:31-58`). */
+  def qCdcEq(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("mt_cdc_eq")
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    graft.sinks.ManifestTable.create(
+      d.filter(col("doc_id") % 10 =!= 9)
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    def ch(rows: DataFrame, op: String, seqOff: Int, prefix: String) =
+      rows.select(col("doc_id"), col("lang"),
+        (if (prefix.isEmpty) col("text")
+         else concat(lit(prefix), col("text"))).as("text"),
+        lit(op).as("op"), (col("doc_id") * 10 + seqOff).as("seq"))
+    val inserts = d.filter(col("doc_id") % 17 === 5).select(
+      (col("doc_id") + 1000000L).as("doc_id"), lit("xx").as("lang"),
+      concat(lit("NEW: "), col("text")).as("text"),
+      lit("I").as("op"), (col("doc_id") * 10 + 1).as("seq"))
+    val batch1 = ch(d.filter(col("doc_id") % 5 === 1), "U", 1, "V1: ")
+      .unionByName(inserts)
+    val batch2 = ch(d.filter(col("doc_id") % 15 === 1), "U", 2, "V2: ")
+      .unionByName(ch(d.filter(col("doc_id") % 10 === 6), "D", 3, ""))
+      .unionByName(ch(d.filter(col("doc_id") % 30 === 26), "U", 4, "BACK: "))
+      .unionByName(d.filter(col("doc_id") % 34 === 5).select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"),
+        lit("D").as("op"), (col("doc_id") * 10 + 5).as("seq")))
+    graft.sinks.ManifestTable.applyCdcEq(batch1, root, Seq("doc_id"))
+    graft.sinks.ManifestTable.applyCdcEq(batch2, root, Seq("doc_id"))
+    graft.sinks.ManifestTable.read(spark, root)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("text_len"),
+        substring(col("text"), 1, 12).as("head"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic training-shard assignment + shuffled order
     * ([[graft.operators.Sampling.shardAssignments]]): every doc lands
     * in one of 16 shards with a seed-salted md5 hash, and `pos` is its
@@ -1283,6 +1329,7 @@ object LlmOps extends QueryModule {
     "q_merge_dv"        -> qMergeDv _,
     "q_merge_eq"        -> qMergeEq _,
     "q_cdc_dv"          -> qCdcDv _,
+    "q_cdc_eq"          -> qCdcEq _,
     "q_shard_assign"    -> qShardAssign _,
     "q_snapshot_diff"   -> qSnapshotDiff _,
     "q_contamination"   -> qContamination _,
@@ -2527,6 +2574,7 @@ object LlmOps extends QueryModule {
   val oracleSql: Map[String, String] = oracleBase ++ Map(
     "q_merge_dv" -> oracleBase("q_merge_upsert"),
     "q_cdc_dv"   -> oracleBase("q_cdc_apply"),
+    "q_cdc_eq"   -> oracleBase("q_cdc_apply"),
     "q_merge_eq" ->
       """WITH base AS (
         |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 7),

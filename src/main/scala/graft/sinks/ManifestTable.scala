@@ -1678,21 +1678,86 @@ object ManifestTable {
     val spark = updates.sparkSession
     val v = latestVersion(spark, root)
     require(v >= 0, s"manifest table at $root does not exist — create() first")
-    if (batchId.exists(isReplay(spark, root, _))) return None
     val schema = tableSchema(spark, root, v)
     require(updates.columns.sorted.sameElements(schema.fieldNames.sorted),
       s"merge batch schema ${updates.columns.sorted.mkString(",")} != " +
         s"table schema ${schema.fieldNames.sorted.mkString(",")}")
+    eqCommit(spark, root, keyCols,
+      updates.select(keyCols.toIndexedSeq.map(col): _*),
+      Some(updates), batchId)
+  }
+
+  /** CDC fold at the EQUALITY-DELETE grain — [[applyCdc]] semantics
+    * (highest-seq change per key wins in-batch; D removes, others
+    * upsert) with ZERO reads of the target: EVERY winner's key
+    * commits as the delete file (a D's row dies outright; an upsert's
+    * old row dies and its replacement lands at the same seq, exempt
+    * from its own delete), and only the non-D winners land as fresh
+    * files — write cost O(batch) where even [[applyCdcMor]] scans the
+    * touched files per batch. The third CDC grain, same answer. */
+  def applyCdcEq(changes: DataFrame, root: String, keyCols: Seq[String],
+                 seqCol: String = "seq", opCol: String = "op"): Long = {
+    require(keyCols.nonEmpty, "applyCdcEq requires at least one key column")
+    val spark = changes.sparkSession
+    val v = latestVersion(spark, root)
+    require(v >= 0, s"manifest table at $root does not exist — create() first")
+    val schema = tableSchema(spark, root, v)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    val winners = changes
+      .withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1).drop("_graft_rn")
+      // evaluated twice below (keys + upserts) — never recompute a
+      // window over the source between them
+      .persist()
+    try {
+      val upserts = conform(
+        winners.filter(not(col(opCol) === lit("D"))).drop(opCol, seqCol),
+        schema)
+      eqCommit(spark, root, keyCols,
+        winners.select(keyCols.toIndexedSeq.map(col): _*),
+        Some(upserts), batchId = None).get
+    } finally winners.unpersist(): Unit
+  }
+
+  /** DELETE BY KEY at the equality-delete grain — every target row
+    * whose key appears in `keys` dies, with ZERO reads of the target
+    * (the `WHEN MATCHED THEN DELETE`-only MERGE, cost O(keys)). */
+  def deleteByKeyEq(keys: DataFrame, root: String,
+                    keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "deleteByKeyEq requires at least one key column")
+    require(keyCols.forall(keys.columns.contains),
+      s"key batch is missing key columns: " +
+        keyCols.filterNot(keys.columns.contains).mkString(", "))
+    val spark = keys.sparkSession
+    require(latestVersion(spark, root) >= 0,
+      s"manifest table at $root does not exist — create() first")
+    eqCommit(spark, root, keyCols,
+      keys.select(keyCols.toIndexedSeq.map(col): _*), None,
+      batchId = None).get
+  }
+
+  /** Shared commit of one equality-delete batch: `keys0` land as the
+    * delete's immutable key file, `rows` (when present) as fresh data
+    * files — nothing reads the target; matched old rows die AT READ
+    * TIME (per-task probes, or resolution on the compaction path). */
+  private def eqCommit(spark: SparkSession, root: String,
+                       keyCols: Seq[String], keys0: DataFrame,
+                       rows: Option[DataFrame],
+                       batchId: Option[Long]): Option[Long] = {
+    val v = latestVersion(spark, root)
+    if (batchId.exists(isReplay(spark, root, _))) return None
+    val schema = tableSchema(spark, root, v)
     // the delete's key file: the batch's distinct keys CAST to the
     // table's declared types (resolution compares against conformed
     // stored values — a narrower-typed batch key must not miss),
     // written once, immutable, reusable across CAS retries
     val eqDir = s"${eqRoot(root)}/${java.util.UUID.randomUUID()}"
-    updates.select(keyCols.toIndexedSeq.map(c =>
+    keys0.select(keyCols.toIndexedSeq.map(c =>
       col(c).cast(schema(c).dataType).as(c)): _*).distinct()
       .write.parquet(eqDir)
-    lazy val landed = landFiles(conform(updates, schema), root,
-      statsCols(spark, root, v))
+    lazy val landed = rows.map(r => landFiles(conform(r, schema), root,
+      statsCols(spark, root, v)))
     commitLoopEvolvingOpt(spark, root,
       extraStage = batchId
         .map(id => VersionedTable.stampBatch(spark, manifestsRoot(root), id) _)
@@ -1702,9 +1767,12 @@ object ManifestTable {
       if (batchId.exists(isReplay(spark, root, _))) None
       else {
         val m = manifest(spark, root, base)
-        Some((m.unionByName(landed, allowMissingColumns = true)
-          .select(m.columns.toIndexedSeq.map(col): _*),
-          tableSchema(spark, root, base)))
+        val next = landed match {
+          case Some(l) => m.unionByName(l, allowMissingColumns = true)
+            .select(m.columns.toIndexedSeq.map(col): _*)
+          case None => m
+        }
+        Some((next, tableSchema(spark, root, base)))
       }
     }
   }

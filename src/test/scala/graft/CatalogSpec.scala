@@ -832,6 +832,23 @@ class CatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 200L)
     assert(spark.sql("CALL graftc.system.compact_eq('db.eqm')")
       .head().isNullAt(0), "nothing pending reports the no-op NULL")
+    // the UNCONDITIONAL matched-DELETE-only MERGE is the second
+    // zero-read shape: it routes as a pure key delete — the pending
+    // registry (and the absence of new vectors) is the proof
+    val vPre = sinks.ManifestTable.latestVersion(spark, loc)
+    spark.sql("""MERGE INTO graftc.db.eqm AS t USING eqm_src AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN DELETE""")
+    val v3 = sinks.ManifestTable.latestVersion(spark, loc)
+    assert(sinks.ManifestTable.hasPendingEq(spark, loc, v3),
+      "a matched-DELETE-only MERGE on an eq table must commit keys")
+    assert(sinks.ManifestTable.filesAt(spark, loc, v3).toSet ==
+      sinks.ManifestTable.filesAt(spark, loc, vPre).toSet,
+      "the keyed delete must land no data files and rewrite none")
+    val got3 = spark.sql("SELECT k, v FROM graftc.db.eqm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3.size == 99 && !got3.contains(5L) && !got3.contains(200L),
+      s"both source keys must be gone, got size ${got3.size}")
   }
 
   test("metadata tables: SELECT over graftc.db.t.history / .files serves the manifests — zero data I/O surface") {

@@ -2804,4 +2804,62 @@ class SinksSpec extends AnyFunSuite {
         "the forced materializing path is expected to write scratch")
     } finally spark.conf.unset("spark.graft.eq.materializeOnRead")
   }
+
+  test("CDC at the equality-delete grain: zero target reads per batch, content identical to the MoR fold; deleteByKeyEq kills keys for O(keys)") {
+    import sinks.ManifestTable
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cdc-eq").toString
+    val eqT = s"$base/eq"; val morT = s"$base/mor"
+    val data = spark.range(400000).select(col("id").as("k"),
+      concat(lit("payload-padding-padding-padding-"), col("id")).as("v"))
+    Seq(eqT, morT).foreach(t => ManifestTable.create(
+      data.repartitionByRange(8, col("k")).sortWithinPartitions(col("k")),
+      t, Seq("k")))
+    val tableBytes = ManifestTable.manifest(spark, eqT, 0)
+      .agg(sum(col("size"))).head().getLong(0)
+    def batch1 = spark.range(500, 2000).select(col("id").as("k"),
+        concat(lit("b1-"), col("id")).as("v"),
+        lit("U").as("op"), (col("id") * 10 + 1).as("seq"))
+    def batch2 = spark.range(1000, 1500).select(col("id").as("k"),
+        lit("dead").as("v"), lit("D").as("op"),
+        (col("id") * 10 + 2).as("seq"))
+      .unionByName(spark.range(100000, 100100).select(col("id").as("k"),
+        concat(lit("new-"), col("id")).as("v"), lit("I").as("op"),
+        (col("id") * 10 + 2).as("seq")))
+      // a key with BOTH a D and a later U in one batch: highest seq
+      // (the U) must win
+      .unionByName(spark.range(1000, 1010).select(col("id").as("k"),
+        concat(lit("rev-"), col("id")).as("v"), lit("U").as("op"),
+        (col("id") * 10 + 3).as("seq")))
+    val eqBytes = bytesReadDuring {
+      ManifestTable.applyCdcEq(batch1, eqT, Seq("k"))
+      ManifestTable.applyCdcEq(batch2, eqT, Seq("k"))
+    }
+    assert(eqBytes < tableBytes / 10,
+      s"two eq CDC folds read $eqBytes B of a $tableBytes B target — " +
+        "zero target scans is the contract")
+    ManifestTable.applyCdcMor(batch1, morT, Seq("k"))
+    ManifestTable.applyCdcMor(batch2, morT, Seq("k"))
+    def content(t: String) = ManifestTable.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = content(morT)
+    assert(content(eqT) == want,
+      "the eq and MoR CDC grains must fold to identical content")
+    assert(want(1005L).startsWith("rev-"),
+      "in-batch D-then-U must resurrect under the higher seq")
+    assert(!want.contains(1200L), "D winners must delete")
+    assert(want(100050L).startsWith("new-"), "I winners must insert")
+    // keyed delete: zero-read, pending, correct
+    val delBytes = bytesReadDuring {
+      ManifestTable.deleteByKeyEq(
+        spark.range(10, 20).select(col("id").as("k")), eqT, Seq("k"))
+    }
+    assert(delBytes < tableBytes / 10,
+      s"deleteByKeyEq read $delBytes B — must not scan the target")
+    assert(ManifestTable.read(spark, eqT)
+      .filter(col("k") >= 10L && col("k") < 20L).count() == 0L)
+    // compaction folds all three pending deletes; content unchanged
+    ManifestTable.compactEq(spark, eqT)
+    assert(content(eqT) == want -- (10L until 20L))
+  }
 }
