@@ -1123,6 +1123,42 @@ object Relational extends QueryModule {
       FROM graft.gate.esql ORDER BY doc_id""")
   }
 
+  /** NESTED schema evolution end-to-end in SQL: struct members
+    * rename and widen through the same frozen-physical-name
+    * machinery as top-level columns (`graft.physical` in the member's
+    * own field metadata) — `RENAME COLUMN s.a` is metadata-only (old
+    * files read through the mapped scan's recursive translation),
+    * `ADD COLUMN s.note` reads NULL for every pre-evolution row, and
+    * the post-evolution insert lands its struct under the frozen
+    * physical names. The final projection flattens, so the oracle is
+    * plain relational SQL over the base table. */
+  def qEvolveNested(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_sql_evnest") + "/t"
+    val d = Tables.documents(spark, dir).select(col("doc_id"),
+      struct(col("lang").as("a"), col("n_chars").as("n")).as("s"))
+    graft.sinks.ManifestTable.create(
+      d.filter(col("doc_id") % 4 =!= 3)
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    ensureGateCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.gate.ensql")
+    spark.sql(s"CREATE TABLE graft.gate.ensql USING graft LOCATION '$root'")
+    spark.sql("ALTER TABLE graft.gate.ensql RENAME COLUMN s.a TO lang2")
+    spark.sql("ALTER TABLE graft.gate.ensql ADD COLUMN s.note STRING")
+    Tables.documents(spark, dir).filter(col("doc_id") % 4 === 3)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("gate_evnest_src")
+    spark.sql(
+      "INSERT INTO graft.gate.ensql SELECT doc_id, " +
+        "named_struct('lang2', lang, 'n', n_chars, " +
+        "'note', 'n-' || lang) FROM gate_evnest_src")
+    spark.sql("""SELECT doc_id, s.lang2 AS lang,
+      CAST(s.n AS BIGINT) AS n_chars, s.note AS note
+      FROM graft.gate.ensql WHERE s.lang2 <> 'zz'
+      ORDER BY doc_id""")
+  }
+
   /** The DECLARATIVE STREAMING PIPE, oracle-gated: change-feed SOURCE
     * (`readStream.format("graft")` with keyCols) piped straight into
     * the native graft SINK (`writeStream.format("graft")`) with zero
@@ -1289,6 +1325,7 @@ object Relational extends QueryModule {
     "q_update_sql"        -> qUpdateSql _,
     "q_delete_sql"        -> qDeleteSql _,
     "q_evolve_sql"        -> qEvolveSql _,
+    "q_evolve_nested"     -> qEvolveNested _,
     "q_stream_pipe"       -> qStreamPipe _,
     "q_replace_where"     -> qReplaceWhere _,
     "q_restore"           -> qRestore _,
@@ -1480,6 +1517,17 @@ object Relational extends QueryModule {
         |FROM documents WHERE doc_id % 4 <> 3
         |UNION ALL
         |SELECT doc_id, lang, 'n-' || lang AS note
+        |FROM documents WHERE doc_id % 4 = 3
+        |ORDER BY doc_id""".stripMargin,
+    // nested rename/widen change no values; pre-evolution rows read
+    // NULL for the added struct member, the insert carries it
+    "q_evolve_nested" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(NULL AS VARCHAR) AS note
+        |FROM documents WHERE doc_id % 4 <> 3
+        |UNION ALL
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  'n-' || lang AS note
         |FROM documents WHERE doc_id % 4 = 3
         |ORDER BY doc_id""".stripMargin,
     // kept-region ∪ replacement: rows under the predicate are swapped

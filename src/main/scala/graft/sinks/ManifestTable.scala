@@ -287,20 +287,74 @@ object ManifestTable {
   private[graft] def physicalFor(schema: StructType, logical: String): String =
     schema.fields.find(_.name == logical).map(physicalName).getOrElse(logical)
 
+  /** A field's TYPE as data files carry it: nested struct fields
+    * renamed to their physical names, recursively (NESTED column
+    * mapping — struct members evolve by the same frozen-physical-name
+    * machinery as top-level columns). Arrays and maps recurse into
+    * their element/value types. */
+  private[graft] def physicalType(
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(name = physicalName(f), dataType = physicalType(f.dataType))))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = physicalType(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = physicalType(m.valueType))
+    case other => other
+  }
+
   /** The schema as data files carry it: fields renamed to their
-    * physical names (types/nullability/metadata unchanged). */
+    * physical names at EVERY nesting level (nullability/metadata
+    * unchanged). */
   private[graft] def toPhysical(schema: StructType): StructType =
-    StructType(schema.fields.map(f => f.copy(name = physicalName(f))))
+    StructType(schema.fields.map(f =>
+      f.copy(name = physicalName(f), dataType = physicalType(f.dataType))))
+
+  /** Nullability-relaxed copy of a type — rename-only struct casts
+    * must not try to narrow to NOT NULL (Cast refuses). */
+  private def relaxedType(
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(nullable = true, dataType = relaxedType(f.dataType))))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = relaxedType(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = relaxedType(m.valueType))
+    case other => other
+  }
+
+  private def typeHasMapping(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case s: StructType => s.fields.exists(f =>
+      physicalName(f) != f.name || typeHasMapping(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      typeHasMapping(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      typeHasMapping(m.valueType)
+    case _ => false
+  }
 
   private[graft] def hasMapping(schema: StructType): Boolean =
-    schema.fields.exists(f => physicalName(f) != f.name)
+    schema.fields.exists(f =>
+      physicalName(f) != f.name || typeHasMapping(f.dataType))
 
   /** Rename a LOGICAL-named frame to physical names for landing —
-    * identity when the table carries no mapping. */
+    * identity when the table carries no mapping. Nested mappings
+    * rename through a CAST to the physical type (struct casts are
+    * positional, so same-shaped types rename losslessly). */
   private def physSelect(df: DataFrame, schema: StructType): DataFrame =
     if (!hasMapping(schema)) df
-    else df.select(schema.fields.toIndexedSeq.map(f =>
-      col(f.name).as(physicalName(f))): _*)
+    else df.select(schema.fields.toIndexedSeq.map { f =>
+      val c =
+        if (typeHasMapping(f.dataType))
+          // rename-only positional cast; relaxed nullability (a cast
+          // may not narrow to NOT NULL)
+          col(f.name).cast(relaxedType(physicalType(f.dataType)))
+        else col(f.name)
+      c.as(physicalName(f))
+    }: _*)
 
   /** Rewrite a resolved row-local expression's attribute names
     * logical→physical — the form the manifest's stat columns and the
@@ -508,8 +562,12 @@ object ManifestTable {
     * names, so schema-on-read can never meet a file whose parquet
     * types or names drifted; an incompatible type fails analysis. */
   private def conform(df: DataFrame, schema: StructType): DataFrame =
+    // casting to the PHYSICAL type routes nested struct members to
+    // their frozen physical names (struct casts rename positionally);
+    // identical for unmapped tables
     df.select(schema.fields.toIndexedSeq.map(f =>
-      col(f.name).cast(f.dataType).as(physicalName(f))): _*)
+      col(f.name).cast(relaxedType(physicalType(f.dataType)))
+        .as(physicalName(f))): _*)
 
   /** Schema sidecar writer for a manifest epoch's staging hook. */
   private def stageSchema(spark: SparkSession, root: String,
@@ -1055,12 +1113,22 @@ object ManifestTable {
     spark.createDataset(files).repartition(math.min(files.size, 32))
       .mapPartitions { it =>
         val out = scala.collection.mutable.Set.empty[String]
+        // emit every physical path the file carries: top-level names
+        // plus dotted nested paths ("s.a") — the nested re-add guard
+        // needs the full tree, not just the roots
+        def walk(prefix: String, t: org.apache.parquet.schema.Type): Unit = {
+          val path = if (prefix.isEmpty) t.getName
+            else s"$prefix.${t.getName}"
+          out += path
+          if (!t.isPrimitive)
+            t.asGroupType().getFields.forEach(c => walk(path, c))
+        }
         it.foreach { p =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new Path(p), conf.value)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try r.getFooter.getFileMetaData.getSchema.getFields
-            .forEach(f => out += f.getName)
+            .forEach(f => walk("", f))
           finally r.close()
         }
         out.iterator
@@ -1116,6 +1184,145 @@ object ManifestTable {
           f.copy(name = to, metadata = md)
         }
       })
+      (manifest(spark, root, base), next)
+    }
+  }
+
+  /** Navigate `parent` (logical names, structs at every step) and
+    * apply `edit` to the struct type there — the shared schema
+    * surgery of the NESTED evolution commits. An empty path edits the
+    * top level; a path through an array/map refuses (element types do
+    * not evolve member-wise). */
+  private def mapStructAt(schema: StructType, parent: Seq[String],
+                          what: String)
+                         (edit: StructType => StructType): StructType = {
+    def go(dt: org.apache.spark.sql.types.DataType,
+           rest: Seq[String]): org.apache.spark.sql.types.DataType =
+      (dt, rest) match {
+        case (st: StructType, Seq()) => edit(st)
+        case (st: StructType, h +: t) =>
+          require(st.fieldNames.contains(h),
+            s"$what: no field $h under ${parent.mkString(".")}")
+          StructType(st.fields.map(f =>
+            if (f.name != h) f else f.copy(dataType = go(f.dataType, t))))
+        case (other, _) => throw new IllegalArgumentException(
+          s"$what: path crosses a non-struct (${other.simpleString}) — " +
+            "array/map element types do not evolve member-wise")
+      }
+    go(schema, parent).asInstanceOf[StructType]
+  }
+
+  /** The PHYSICAL dotted path of a logical field path — what parquet
+    * footers carry ([[physicalColumns]]) and the nested re-add guard
+    * compares against. */
+  private def physicalPath(schema: StructType, path: Seq[String]): String = {
+    var dt: org.apache.spark.sql.types.DataType = schema
+    path.map { n =>
+      val st = dt.asInstanceOf[StructType]
+      val f = st.fields.find(_.name == n).getOrElse(
+        sys.error(s"no field $n in ${st.simpleString}"))
+      dt = f.dataType
+      physicalName(f)
+    }.mkString(".")
+  }
+
+  /** RENAME a NESTED struct field — metadata-only, exactly the
+    * top-level [[renameColumn]] machinery one level down: the
+    * member's physical name freezes in ITS OWN field metadata, data
+    * files never rewrite, prior versions read under their own
+    * sidecars. `path` is the full logical path (e.g. Seq("s", "a")).
+    * A struct that keys pending equality deletes refuses (the delete
+    * files carry its values under the old member names — struct
+    * equality would stop resolving). */
+  def renameColumnPath(spark: SparkSession, root: String,
+                       path: Seq[String], to: String): Long = {
+    require(path.nonEmpty, "rename requires a column path")
+    if (path.length == 1) return renameColumn(spark, root, path.head, to)
+    require(path.last != to, "rename requires two different names")
+    commitLoopEvolving(spark, root) { base =>
+      val schema = tableSchema(spark, root, base)
+      require(!eqDeletes(spark, root, base).exists(
+          _.keys.contains(path.head)),
+        s"column ${path.head} keys pending equality deletes — run " +
+          "compactEq() (or any row-level op / maintenance tick) before " +
+          "renaming inside it")
+      val next = mapStructAt(schema, path.init, "RENAME COLUMN") { st =>
+        require(st.fieldNames.contains(path.last),
+          s"field ${path.mkString(".")} does not exist")
+        require(!st.fieldNames.contains(to),
+          s"field $to already exists in ${path.init.mkString(".")}")
+        StructType(st.fields.map { f =>
+          if (f.name != path.last) f
+          else {
+            val phys = physicalName(f)
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            val md =
+              if (phys == to) mb.remove(PhysicalKey).build()
+              else mb.putString(PhysicalKey, phys).build()
+            f.copy(name = to, metadata = md)
+          }
+        })
+      }
+      (manifest(spark, root, base), next)
+    }
+  }
+
+  /** ADD/DROP members of a NESTED struct column as ONE metadata-only
+    * commit — [[alterColumns]] one level down. Added members must be
+    * nullable (pre-evolution rows read NULL through the missing-field
+    * path); dropped members stop projecting (bytes stay in old files,
+    * invisible by name). Re-adding a member name that live files
+    * still physically carry — or that a sibling's mapping claims —
+    * maps the new member to a FRESH physical name, so stale bytes
+    * never resurrect: the same footer-sweep guard as top level,
+    * comparing DOTTED physical paths. */
+  def alterNestedColumns(spark: SparkSession, root: String,
+                         parent: Seq[String],
+                         adds: Seq[org.apache.spark.sql.types.StructField],
+                         drops: Seq[String]): Long = {
+    require(parent.nonEmpty,
+      "top-level changes go through alterColumns")
+    require(adds.nonEmpty || drops.nonEmpty,
+      "alterNestedColumns requires at least one change")
+    adds.foreach(f => require(f.nullable,
+      s"new field ${f.name} must be nullable — existing rows read NULL"))
+    require(adds.map(_.name).distinct.length == adds.length,
+      s"duplicate new field names: ${adds.map(_.name).mkString(", ")}")
+    require(adds.map(_.name).toSet.intersect(drops.toSet).isEmpty,
+      "a field cannot be both added and dropped in one change set")
+    commitLoopEvolving(spark, root) { base =>
+      val schema = tableSchema(spark, root, base)
+      require(!eqDeletes(spark, root, base).exists(
+          _.keys.contains(parent.head)),
+        s"column ${parent.head} keys pending equality deletes — run " +
+          "compactEq() (or any row-level op / maintenance tick) before " +
+          "altering inside it")
+      val physParent = physicalPath(schema, parent)
+      val liveNames =
+        if (adds.isEmpty) Set.empty[String]
+        else physicalColumns(spark, filesAt(spark, root, base))
+      val next = mapStructAt(schema, parent, "ALTER COLUMN") { st =>
+        drops.foreach(n => require(st.fieldNames.contains(n),
+          s"field ${parent.mkString(".")}.$n does not exist"))
+        adds.foreach(f => require(!st.fieldNames.contains(f.name),
+          s"field ${parent.mkString(".")}.${f.name} already exists"))
+        require(st.fields.length + adds.length > drops.distinct.length,
+          "cannot drop every field of a struct — drop the column instead")
+        val taken = st.fields.map(physicalName).toSet
+        val adds2 = adds.map { f =>
+          if (!liveNames.contains(s"$physParent.${f.name}") &&
+              !taken.contains(f.name)) f
+          else f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString(PhysicalKey, f.name + "_gf" +
+                java.util.UUID.randomUUID().toString.take(8))
+              .build())
+        }
+        StructType(st.fields.filterNot(f => drops.contains(f.name)) ++
+          adds2)
+      }
       (manifest(spark, root, base), next)
     }
   }
@@ -1181,8 +1388,12 @@ object ManifestTable {
     val clean = files.collect { case (p, None) => p }
     val dvd = files.collect { case (p, Some(dv)) => (p, dv) }
     // files carry PHYSICAL column names; readers hand back logical
-    val toLogical = schema.fields.toIndexedSeq.map(f =>
-      col(physicalName(f)).as(f.name))
+    // (nested mappings rename back through a positional struct cast)
+    val toLogical = schema.fields.toIndexedSeq.map { f =>
+      val c = col(physicalName(f))
+      (if (typeHasMapping(f.dataType)) c.cast(relaxedType(f.dataType))
+       else c).as(f.name)
+    }
     val cleanDf =
       if (clean.isEmpty) None
       else Some(spark.read.schema(toPhysical(schema)).parquet(clean: _*)
@@ -2014,8 +2225,11 @@ object ManifestTable {
         .withColumn("_i", lit(null).cast("long"))
     val withPos = spark.read.schema(toPhysical(schema))
       .parquet(files.map(_._1): _*)
-      .select(schema.fields.toIndexedSeq.map(f =>
-        col(physicalName(f)).as(f.name)) :+
+      .select(schema.fields.toIndexedSeq.map { f =>
+        val c = col(physicalName(f))
+        (if (typeHasMapping(f.dataType)) c.cast(relaxedType(f.dataType))
+         else c).as(f.name)
+      } :+
         canonPathCol(col("_metadata.file_path")).as("_p") :+
         col("_metadata.row_index").as("_i"): _*)
     val dvd = files.collect { case (p, Some(dv)) => (p, dv) }

@@ -373,6 +373,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .empty[org.apache.spark.sql.types.StructField]
     val drops = scala.collection.mutable.ArrayBuffer.empty[String]
     val renames = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // nested-struct member changes (path-addressed) — applied through
+    // the same frozen-physical-name machinery one level down
+    val nestedAdds = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[String], org.apache.spark.sql.types.StructField)]
+    val nestedDrops = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[String], String)]
+    val nestedRenames = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[String], String)]
     changes.foreach {
       case set: TableChange.SetProperty =>
         props.setProperty(set.property, set.value)
@@ -381,32 +389,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case add: TableChange.AddColumn =>
         // ALTER TABLE ADD COLUMN: additive evolution is one empty-
         // batch sidecar-widening commit on the manifest format — no
-        // data rewrites, old rows read NULL. Strict-mode surprise
-        // columns in APPENDS stay refused; only this declared DDL
-        // widens the schema.
-        require(add.fieldNames.length == 1,
-          "graft tables have no nested columns to add into")
+        // data rewrites, old rows read NULL (top-level and nested
+        // struct members alike). Strict-mode surprise columns in
+        // APPENDS stay refused; only this declared DDL widens the
+        // schema.
         // refuse rather than silently weaken: every pre-existing row
         // READS NULL for the new column, so honoring NOT NULL is
         // impossible — dropping the constraint behind the user's back
         // would leave them believing it exists
         if (!add.isNullable) throw new UnsupportedOperationException(
-          s"ADD COLUMN ${add.fieldNames()(0)} NOT NULL is not supported: " +
-            "existing rows read NULL for an evolved-in column — declare " +
-            "it nullable")
+          s"ADD COLUMN ${add.fieldNames().mkString(".")} NOT NULL is " +
+            "not supported: existing rows read NULL for an evolved-in " +
+            "column — declare it nullable")
         if (add.position() != null) throw new UnsupportedOperationException(
           "ADD COLUMN ... FIRST/AFTER is not supported: evolved columns " +
-            "append at the end of the schema")
-        adds += org.apache.spark.sql.types.StructField(
-          add.fieldNames()(0), add.dataType, nullable = true)
+            "append at the end of the schema/struct")
+        if (add.fieldNames.length == 1)
+          adds += org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType, nullable = true)
+        else nestedAdds += ((add.fieldNames.init.toSeq,
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames.last, add.dataType, nullable = true)))
       case del: TableChange.DeleteColumn =>
-        require(del.fieldNames.length == 1,
-          "graft tables have no nested columns to drop from")
-        drops += del.fieldNames()(0)
+        if (del.fieldNames.length == 1) drops += del.fieldNames()(0)
+        else nestedDrops += ((del.fieldNames.init.toSeq,
+          del.fieldNames.last))
       case ren: TableChange.RenameColumn =>
-        require(ren.fieldNames.length == 1,
-          "graft tables have no nested columns to rename")
-        renames += ((ren.fieldNames()(0), ren.newName()))
+        if (ren.fieldNames.length == 1)
+          renames += ((ren.fieldNames()(0), ren.newName()))
+        else nestedRenames += ((ren.fieldNames.toSeq, ren.newName()))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other — type changes " +
           "would need per-file rewrites; evolve via ADD/DROP/RENAME " +
@@ -456,6 +467,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               .map(c => if (c == from) to else c).mkString(","))
           }
         }
+      }
+    }
+    if (nestedAdds.nonEmpty || nestedDrops.nonEmpty) {
+      val loc = props.getProperty("location")
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        "nested ADD/DROP COLUMN is supported on manifest-format tables only")
+      // one commit PER PARENT STRUCT (its adds and drops together) —
+      // the same whole-set-validated, single-commit shape as the
+      // top-level alterColumns
+      val byParent = (nestedAdds.map { case (p, f) => (p, Some(f), None) }
+        ++ nestedDrops.map { case (p, n) => (p, None, Some(n)) })
+        .groupBy(_._1)
+      byParent.toSeq.sortBy(_._1.mkString(".")).foreach {
+        case (parent, changes) =>
+          graft.sinks.ManifestTable.alterNestedColumns(spark, loc, parent,
+            changes.flatMap(_._2).toSeq, changes.flatMap(_._3).toSeq): Unit
+      }
+    }
+    if (nestedRenames.nonEmpty) {
+      val loc = props.getProperty("location")
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        "nested RENAME COLUMN is supported on manifest-format tables only")
+      nestedRenames.foreach { case (path, to) =>
+        graft.sinks.ManifestTable.renameColumnPath(spark, loc,
+          path, to): Unit
       }
     }
     writeDef(ident, props)

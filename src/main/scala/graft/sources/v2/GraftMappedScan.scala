@@ -1,23 +1,28 @@
 package graft.sources.v2
 
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, GetStructField}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** LOGICAL↔PHYSICAL name shim over a delegated scan builder — the
   * read side of RENAME COLUMN's name mapping
-  * ([[graft.sinks.ManifestTable.renameColumn]]). Data files carry
-  * each field's stable PHYSICAL name; the table exposes the logical
-  * one. Data itself needs no translation — InternalRows and
-  * ColumnarBatches carry no names — so the shim only rewrites the
+  * ([[graft.sinks.ManifestTable.renameColumn]]), at EVERY nesting
+  * level (nested struct members evolve by the same frozen-physical-
+  * name machinery — [[graft.sinks.ManifestTable.renameColumnPath]]).
+  * Data files carry each field's stable PHYSICAL name; the table
+  * exposes the logical one. Data itself needs no translation —
+  * InternalRows and ColumnarBatches carry no names, and renames never
+  * reorder fields, so ordinals line up — the shim only rewrites the
   * three places names cross the boundary:
   *
-  *   - required columns (logical → physical, into the delegate),
-  *   - pushed filter attribute names (logical → physical — which is
-  *     also what the manifest file index's envelope/bloom proofs and
-  *     the parquet pushdown speak),
+  *   - required columns (logical → physical, into the delegate;
+  *     recursive, so nested schema pruning survives),
+  *   - pushed filter attribute names AND types (logical → physical —
+  *     the physical TYPE matters because nested predicate translation
+  *     resolves `GetStructField` member names from the child schema;
+  *     explicit logical name hints are stripped for the same reason),
   *   - the built scan's read schema (physical → logical, back out).
   *
   * Partitions, reader factories, and batches pass through VERBATIM.
@@ -32,14 +37,48 @@ final class GraftMappedScanBuilder(
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters {
 
-  private val toPhys: Map[String, String] = logicalSchema.fields
-    .map(f => f.name -> graft.sinks.ManifestTable.physicalName(f)).toMap
+  import graft.sinks.ManifestTable.{physicalName, physicalType}
+
+  /** A (possibly nested-pruned) required type translated to physical
+    * names, guided by the logical schema's tree — unmatched names
+    * (generated columns like the row index) pass through. */
+  private def translate(required: DataType, logical: DataType): DataType =
+    (required, logical) match {
+      case (r: StructType, l: StructType) =>
+        StructType(r.fields.map { rf =>
+          l.fields.find(_.name == rf.name) match {
+            case Some(lf) => rf.copy(name = physicalName(lf),
+              dataType = translate(rf.dataType, lf.dataType))
+            case None => rf
+          }
+        })
+      case (r: ArrayType, l: ArrayType) =>
+        r.copy(elementType = translate(r.elementType, l.elementType))
+      case (r: MapType, l: MapType) =>
+        r.copy(valueType = translate(r.valueType, l.valueType))
+      case (r, _) => r
+    }
+
+  private val logicalByName = logicalSchema.fields.map(f => f.name -> f).toMap
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     inner.pushFilters(filters.map(_.transform {
-      case a: AttributeReference
-          if toPhys.getOrElse(a.name, a.name) != a.name =>
-        a.withName(toPhys(a.name))
+      // physical name AND physical dataType: nested predicate
+      // translation (parquet pushdown, the index's proofs) resolves
+      // struct member names from the attribute's type tree
+      case a: AttributeReference if logicalByName.contains(a.name) && {
+          val lf = logicalByName(a.name)
+          physicalName(lf) != a.name ||
+            physicalType(lf.dataType) != lf.dataType
+        } =>
+        val lf = logicalByName(a.name)
+        AttributeReference(physicalName(lf),
+          physicalType(lf.dataType), a.nullable, a.metadata)(
+          a.exprId, a.qualifier)
+      // a logical member-name hint would override the (physical)
+      // child schema during translation — drop it, ordinals suffice
+      case g: GetStructField if g.name.isDefined =>
+        g.copy(name = None)
     })): Unit
     // everything re-applies above the scan (parquet pushdown is
     // best-effort row-group/page skipping, never exact) — and the
@@ -50,8 +89,8 @@ final class GraftMappedScanBuilder(
   override def pushedFilters: Array[Predicate] = inner.pushedFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    inner.pruneColumns(StructType(requiredSchema.fields.map(f =>
-      f.copy(name = toPhys.getOrElse(f.name, f.name)))))
+    inner.pruneColumns(
+      translate(requiredSchema, logicalSchema).asInstanceOf[StructType])
 
   override def build(): Scan =
     new GraftMappedScan(inner.build(), logicalSchema)
@@ -60,12 +99,29 @@ final class GraftMappedScanBuilder(
 final class GraftMappedScan(inner: Scan, logicalSchema: StructType)
   extends Scan with SupportsReportStatistics {
 
-  private val toLogical: Map[String, String] = logicalSchema.fields
-    .map(f => graft.sinks.ManifestTable.physicalName(f) -> f.name).toMap
+  import graft.sinks.ManifestTable.physicalName
+
+  /** Physical → logical, guided by the logical tree keyed by
+    * PHYSICAL name at each level. */
+  private def back(read: DataType, logical: DataType): DataType =
+    (read, logical) match {
+      case (r: StructType, l: StructType) =>
+        StructType(r.fields.map { rf =>
+          l.fields.find(lf => physicalName(lf) == rf.name) match {
+            case Some(lf) => rf.copy(name = lf.name,
+              dataType = back(rf.dataType, lf.dataType))
+            case None => rf
+          }
+        })
+      case (r: ArrayType, l: ArrayType) =>
+        r.copy(elementType = back(r.elementType, l.elementType))
+      case (r: MapType, l: MapType) =>
+        r.copy(valueType = back(r.valueType, l.valueType))
+      case (r, _) => r
+    }
 
   override def readSchema(): StructType =
-    StructType(inner.readSchema().fields.map(f =>
-      f.copy(name = toLogical.getOrElse(f.name, f.name))))
+    back(inner.readSchema(), logicalSchema).asInstanceOf[StructType]
 
   override def description(): String = s"GraftMapped(${inner.description()})"
 

@@ -851,6 +851,69 @@ class CatalogSpec extends AnyFunSuite {
       s"both source keys must be gone, got size ${got3.size}")
   }
 
+  test("nested-column evolution: struct members ADD/RENAME/DROP metadata-only, old versions read under their own sidecars, no resurrection") {
+    warehouse: Unit
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-catalog-nested").toString + "/t"
+    sinks.ManifestTable.create(
+      spark.range(100).select(col("id").as("k"),
+        struct((col("id") % 5).as("a"),
+          concat(lit("t"), col("id")).as("b")).as("s")),
+      loc, Seq("k"))
+    spark.sql(s"CREATE TABLE graftc.db.nested USING graft LOCATION '$loc'")
+    val files0 = sinks.ManifestTable.filesAt(spark, loc, 0)
+    // RENAME a nested member: metadata-only, reads follow, filters
+    // push through the frozen physical name
+    spark.sql("ALTER TABLE graftc.db.nested RENAME COLUMN s.a TO aa")
+    assert(sinks.ManifestTable.filesAt(spark, loc,
+      sinks.ManifestTable.latestVersion(spark, loc)) == files0,
+      "nested rename must rewrite nothing")
+    assert(spark.sql(
+      "SELECT sum(s.aa) FROM graftc.db.nested").head().getLong(0) ==
+      (0L until 100L).map(_ % 5).sum)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftc.db.nested WHERE s.aa = 3").head()
+      .getLong(0) == 20L)
+    // ADD a nested member: old rows read NULL; an insert carries it
+    spark.sql("ALTER TABLE graftc.db.nested ADD COLUMN s.c BIGINT")
+    assert(spark.sql("SELECT count(*) FROM graftc.db.nested " +
+      "WHERE s.c IS NULL").head().getLong(0) == 100L)
+    spark.sql("INSERT INTO graftc.db.nested " +
+      "SELECT 1000L, named_struct('aa', 7L, 'b', 'x', 'c', 9L)")
+    assert(spark.sql("SELECT s.c FROM graftc.db.nested WHERE k = 1000")
+      .head().getLong(0) == 9L)
+    assert(spark.sql("SELECT s.aa FROM graftc.db.nested WHERE k = 1000")
+      .head().getLong(0) == 7L,
+      "the inserted struct must land under the FROZEN physical names")
+    // keyed MERGE through the renamed+widened struct
+    spark.sql("SELECT 3L AS k, named_struct('aa', 99L, 'b', 'm', " +
+      "'c', 33L) AS s").createOrReplaceTempView("nested_src")
+    spark.sql("""MERGE INTO graftc.db.nested AS t USING nested_src AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT s.aa, s.c FROM graftc.db.nested WHERE k = 3")
+      .head().toSeq == Seq(99L, 33L))
+    // DROP then RE-ADD the same member name: live files still carry
+    // the old bytes — the fresh-physical mapping must keep them
+    // invisible (no resurrection)
+    spark.sql("ALTER TABLE graftc.db.nested DROP COLUMN s.b")
+    assert(!spark.sql("SELECT s.* FROM graftc.db.nested")
+      .columns.contains("b"))
+    spark.sql("ALTER TABLE graftc.db.nested ADD COLUMN s.b STRING")
+    assert(spark.sql("SELECT count(*) FROM graftc.db.nested " +
+      "WHERE s.b IS NOT NULL").head().getLong(0) == 0L,
+      "re-added nested member must NOT resurrect dropped bytes")
+    // time travel: the pre-rename version reads its OWN names/values
+    val v0 = spark.sql(
+      "SELECT s.a FROM graftc.db.nested VERSION AS OF 0 WHERE k = 3")
+    assert(v0.head().getLong(0) == 3L,
+      "the old version must serve the old nested name and value")
+    // the full current state is consistent
+    assert(spark.sql("SELECT count(*) FROM graftc.db.nested")
+      .head().getLong(0) == 101L)
+  }
+
   test("metadata tables: SELECT over graftc.db.t.history / .files serves the manifests — zero data I/O surface") {
     warehouse: Unit
     val loc = java.nio.file.Files
