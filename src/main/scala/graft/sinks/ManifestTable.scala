@@ -145,23 +145,34 @@ object ManifestTable {
   // preserves the layout automatically.
 
   private val BucketKey = "graft.bucket"
+  private val BucketPosKey = "graft.bucket.pos"
 
-  /** The table's bucket spec — (PHYSICAL key column, bucket count) —
-    * or None for unbucketed tables. */
-  private[graft] def bucketSpec(schema: StructType): Option[(String, Int)] =
-    schema.fields.collectFirst {
-      case f if f.metadata.contains(BucketKey) =>
-        (physicalName(f), f.metadata.getLong(BucketKey).toInt)
-    }
+  /** The bucket-key fields in declared key order (a single-column key
+    * carries no position; multi-column keys stamp `graft.bucket.pos`
+    * on each participant). */
+  private def bucketFields(schema: StructType)
+      : Seq[org.apache.spark.sql.types.StructField] =
+    schema.fields.filter(_.metadata.contains(BucketKey))
+      .sortBy(f => if (f.metadata.contains(BucketPosKey))
+        f.metadata.getLong(BucketPosKey) else 0L).toSeq
 
-  /** `bucketSpec` under the LOGICAL name — what the reported
+  /** The table's bucket spec — (PHYSICAL key columns in declared
+    * order, bucket count) — or None for unbucketed tables. */
+  private[graft] def bucketSpec(
+      schema: StructType): Option[(Seq[String], Int)] = {
+    val fs = bucketFields(schema)
+    fs.headOption.map(h =>
+      (fs.map(physicalName), h.metadata.getLong(BucketKey).toInt))
+  }
+
+  /** `bucketSpec` under the LOGICAL names — what the reported
     * partitioning must reference (join attributes are logical). */
   private[graft] def bucketSpecLogical(
-      schema: StructType): Option[(String, Int)] =
-    schema.fields.collectFirst {
-      case f if f.metadata.contains(BucketKey) =>
-        (f.name, f.metadata.getLong(BucketKey).toInt)
-    }
+      schema: StructType): Option[(Seq[String], Int)] = {
+    val fs = bucketFields(schema)
+    fs.headOption.map(h =>
+      (fs.map(_.name), h.metadata.getLong(BucketKey).toInt))
+  }
 
   /** Per-file bucket ids of one version — the scan-side grouping for
     * storage-partitioned joins (metadata-scale, like every manifest
@@ -172,27 +183,47 @@ object ManifestTable {
       .filter(col("bucket").isNotNull).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
-  /** Stamp a bucket declaration into a schema (the [[create]] path). */
+  /** Stamp a bucket declaration into a schema (the [[create]] path).
+    * `key` is one column name or a comma-separated list — each column
+    * of a MULTI-COLUMN key hashes into its OWN n buckets and a file's
+    * cell is the tuple (per-column transforms are the one shape
+    * Spark's storage-partitioned joins accept — see
+    * [[graft.sources.v2.GraftBucketing]]); each participant field
+    * records its position so the declared order survives schema
+    * round-trips. The total grid (n^k cells) is capped: every landing
+    * writes up to one file per occupied cell. */
   private def withBucketSpec(schema: StructType, key: String,
                              n: Int): StructType = {
     require(n >= 2 && n <= 4096, s"bucket count must be in [2, 4096], got $n")
-    require(schema.fieldNames.contains(key),
-      s"bucket column $key is not a table column")
+    val keys = key.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, "bucketBy needs at least one key column")
+    require(math.pow(n.toDouble, keys.length.toDouble) <= 4096.0,
+      s"bucket grid too large: $n^${keys.length} cells exceeds 4096 — " +
+        "use a smaller per-column bucket count")
+    require(keys.distinct.length == keys.length,
+      s"duplicate bucket key columns: ${keys.mkString(", ")}")
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"bucket column $k is not a table column"))
     // the landing writes bucket ids through a `gb` partition column —
     // a real column of that name would be silently consumed by it
     require(!schema.fieldNames.contains("gb"),
       "bucketed tables reserve the column name 'gb' for the bucket " +
         "directory layout — rename that column")
-    val dt = schema(key).dataType
-    require(dt == org.apache.spark.sql.types.LongType ||
-      dt == org.apache.spark.sql.types.IntegerType ||
-      dt == org.apache.spark.sql.types.StringType,
-      s"bucketBy supports long/int/string keys, got $dt for $key")
+    keys.foreach { k =>
+      val dt = schema(k).dataType
+      require(graft.sources.v2.GraftBucketFunction.supportedKeyType(dt),
+        s"bucketBy supports integral/string/date/timestamp/decimal " +
+          s"keys, got $dt for $k")
+    }
     StructType(schema.fields.map { f =>
-      if (f.name != key) f
-      else f.copy(metadata =
-        new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata).putLong(BucketKey, n.toLong).build())
+      if (!keys.contains(f.name)) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(BucketKey, n.toLong)
+        if (keys.length > 1)
+          mb.putLong(BucketPosKey, keys.indexOf(f.name).toLong)
+        f.copy(metadata = mb.build())
+      }
     })
   }
 
@@ -444,14 +475,29 @@ object ManifestTable {
     // `bucketAs` overrides the table lookup EXPLICITLY — Some(None)
     // means "definitely unbucketed" (the RTAS schema-replace, whose
     // new schema carries no claim and may lack the old key entirely).
-    val bucket = bucketAs.getOrElse(
-      if (exists(spark, root))
-        bucketSpec(tableSchema(spark, root, latestVersion(spark, root)))
-      else None)
+    // normalize both sources to (key columns, n): an explicit
+    // bucketAs carries the CREATE declaration's comma-joined logical
+    // names (logical == physical on a fresh table); the table lookup
+    // serves physical names, which is what a landing frame speaks
+    val bucket: Option[(Seq[String], Int)] = bucketAs match {
+      case Some(b) => b.map { case (k, n) =>
+        (k.split(",").map(_.trim).filter(_.nonEmpty).toSeq, n) }
+      case None =>
+        if (exists(spark, root))
+          bucketSpec(tableSchema(spark, root, latestVersion(spark, root)))
+        else None
+    }
     bucket match {
-      case Some((k, n)) =>
-        df.withColumn("gb", pmod(hash(col(k)), lit(n)))
-          .repartition(n, col("gb"))
+      case Some((ks, n)) =>
+        // each key hashes INDEPENDENTLY into n buckets; the landed id
+        // is the grid cell's composite (b1·n^(k−1) + … + bk) — the
+        // per-column shape storage-partitioned joins require
+        // ([[graft.sources.v2.GraftBucketing]])
+        val cell = ks.map(k => pmod(hash(col(k)), lit(n)))
+          .reduceLeft((acc, b) => acc * n + b)
+        val cells = math.pow(n.toDouble, ks.length.toDouble).toInt
+        df.withColumn("gb", cell)
+          .repartition(cells, col("gb"))
           .write.partitionBy("gb").parquet(dir)
       case None => df.write.parquet(dir)
     }
@@ -581,7 +627,8 @@ object ManifestTable {
     * tracked stats columns. Fails if the table already exists.
     * `bucketBy = Some((key, n))` freezes a hash-bucket layout (see
     * [[bucketSpec]]) that every later landing preserves and the
-    * catalog scan reports for storage-partitioned joins. */
+    * catalog scan reports for storage-partitioned joins; `key` may be
+    * a comma-separated list for a multi-column bucket key. */
   def create(df: DataFrame, root: String, statsCols: Seq[String],
              bucketBy: Option[(String, Int)] = None): Long = {
     val spark = df.sparkSession

@@ -201,8 +201,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     provider.getTable(schema, Array.empty, cis)
   }
 
-  /** The single bucket transform a `PARTITIONED BY (bucket(n, k))`
-    * declaration may carry — the storage-partitioned-join layout.
+  /** The single bucket transform a `PARTITIONED BY (bucket(n, keys*))`
+    * declaration may carry — the storage-partitioned-join layout
+    * (multi-column keys allowed; the comma-joined key list rides in
+    * [[graft.sinks.ManifestTable.create]]'s bucketBy string).
     * Anything else (identity partitions, multiple transforms) is
     * refused: graft tables cluster via OPTIMIZE sort columns. */
   private def bucketOf(partitions: Array[Transform],
@@ -216,20 +218,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             l.value.asInstanceOf[Number].intValue
         }.getOrElse(throw new IllegalArgumentException(
           "bucket transform needs a bucket count"))
-        require(t.references.length == 1 &&
-          t.references.head.fieldNames.length == 1,
-          "bucket transform takes exactly one top-level column")
-        Some((t.references.head.fieldNames.head, n))
+        require(t.references.nonEmpty &&
+          t.references.forall(_.fieldNames.length == 1),
+          "bucket transform takes top-level columns")
+        Some((t.references.map(_.fieldNames.head).mkString(","), n))
       case _ => throw new IllegalArgumentException(
-        "graft tables support PARTITIONED BY (bucket(n, col)) only — " +
+        "graft tables support PARTITIONED BY (bucket(n, cols*)) only — " +
           "clustering is declared via OPTIMIZE sort columns (clusterBy)")
     }
     fromTransforms.orElse(
       Option(properties.get("bucketBy")).map { s =>
         val parts = s.split(",").map(_.trim)
-        require(parts.length == 2,
-          s"bucketBy must be '<col>,<numBuckets>', got $s")
-        (parts(0), parts(1).toInt)
+        require(parts.length >= 2,
+          s"bucketBy must be '<col>[,<col>...],<numBuckets>', got $s")
+        (parts.init.mkString(","), parts.last.toInt)
       })
   }
 

@@ -448,10 +448,10 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
     // pure parallelism loss and the plain split-parallel plan serves.
     def bucketed(b: PushdownBuilder): ScanBuilder =
       graft.sinks.ManifestTable.bucketSpecLogical(dataSchema) match {
-        case Some((k, n)) if isManifest &&
+        case Some((ks, n)) if isManifest &&
             spark.conf.get("spark.sql.sources.v2.bucketing.enabled",
               "false").toBoolean =>
-          new GraftBucketedScanBuilder(b, k, n,
+          new GraftBucketedScanBuilder(b, ks, n,
             graft.sinks.ManifestTable.fileBuckets(spark, root, version))
         case _ => b
       }
@@ -476,8 +476,9 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
         // conf (pruning costs nothing; only bucket-grained task
         // grouping trades parallelism)
         val bucketPrune = graft.sinks.ManifestTable
-          .bucketSpecLogical(dataSchema).map { case (k, n) =>
-            (graft.sinks.ManifestTable.physicalFor(dataSchema, k), n,
+          .bucketSpecLogical(dataSchema).map { case (ks, n) =>
+            (ks.map(graft.sinks.ManifestTable.physicalFor(dataSchema, _)),
+              n,
               graft.sinks.ManifestTable.fileBuckets(spark, root, version))
           }
         def subIndex(files: Seq[(String, Long)]) =
@@ -571,8 +572,9 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
     graft.sinks.ManifestTable.bucketSpecLogical(dataSchema) match {
-      case Some((k, n)) if isManifest => Array(
-        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, k))
+      case Some((ks, n)) if isManifest =>
+        ks.map(k => org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(n, k)).toArray
       case _ => Array.empty
     }
 
@@ -667,7 +669,7 @@ final class GraftManifestFileIndex(
     dataSchema: StructType,
     manifestStats: Option[(org.apache.spark.sql.DataFrame, Seq[String])],
     bloomEntries: Seq[GraftTables.Entry] = Nil,
-    bucketPrune: Option[(String, Int, Map[String, Long])] = None)
+    bucketPrune: Option[(Seq[String], Int, Map[String, Long])] = None)
   extends org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex(
     sparkSession, Map.empty[String, String], Some(dataSchema),
     org.apache.spark.sql.execution.datasources.FileStatusCache
@@ -715,32 +717,56 @@ final class GraftManifestFileIndex(
     * literal's bucket provably holds no row with that key, deleted or
     * live. */
   private def allowedBuckets(dataFilters: Seq[Expression])
-      : Option[Set[Long]] = bucketPrune.flatMap { case (key, n, _) =>
+      : Option[Set[Long]] = bucketPrune.flatMap { case (keys, n, _) =>
     import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualNullSafe, EqualTo, In, InSet, Literal, Murmur3Hash}
-    def bucketOf(v: Any, dt: org.apache.spark.sql.types.DataType): Long = {
-      val h = Murmur3Hash(Seq(Literal.create(v, dt)), 42)
-        .eval(null).asInstanceOf[Int]
-      ((h.toLong % n) + n) % n
-    }
-    def ofConjunct(e: Expression): Option[Set[Long]] = e match {
-      case EqualTo(a: Attribute, l: Literal) if a.name == key =>
-        Some(Set(bucketOf(l.value, l.dataType)))
-      case EqualTo(l: Literal, a: Attribute) if a.name == key =>
-        Some(Set(bucketOf(l.value, l.dataType)))
-      case EqualNullSafe(a: Attribute, l: Literal) if a.name == key =>
-        Some(Set(bucketOf(l.value, l.dataType)))
-      case EqualNullSafe(l: Literal, a: Attribute) if a.name == key =>
-        Some(Set(bucketOf(l.value, l.dataType)))
-      case In(a: Attribute, vs) if a.name == key &&
+    // per KEY COLUMN, the set of pinned (value, type) candidates from
+    // the conjuncts — each key hashes into its own grid dimension, so
+    // ANY pinned key prunes (unpinned dimensions stay full);
+    // conjuncts on one key intersect
+    def ofConjunct(e: Expression): Option[(String, Set[(Any,
+        org.apache.spark.sql.types.DataType)])] = e match {
+      case EqualTo(a: Attribute, l: Literal) if keys.contains(a.name) =>
+        Some(a.name -> Set((l.value, l.dataType)))
+      case EqualTo(l: Literal, a: Attribute) if keys.contains(a.name) =>
+        Some(a.name -> Set((l.value, l.dataType)))
+      case EqualNullSafe(a: Attribute, l: Literal)
+          if keys.contains(a.name) =>
+        Some(a.name -> Set((l.value, l.dataType)))
+      case EqualNullSafe(l: Literal, a: Attribute)
+          if keys.contains(a.name) =>
+        Some(a.name -> Set((l.value, l.dataType)))
+      case In(a: Attribute, vs) if keys.contains(a.name) &&
           vs.forall(_.isInstanceOf[Literal]) =>
-        Some(vs.map { case l: Literal =>
-          bucketOf(l.value, l.dataType) }.toSet)
-      case InSet(a: Attribute, vs) if a.name == key =>
-        Some(vs.map(v => bucketOf(v, a.dataType)))
+        Some(a.name -> vs.map { case l: Literal =>
+          (l.value, l.dataType) }.toSet)
+      case InSet(a: Attribute, vs) if keys.contains(a.name) =>
+        Some(a.name -> vs.map(v => (v, a.dataType)))
       case _ => None
     }
-    val perConjunct = dataFilters.flatMap(ofConjunct)
-    if (perConjunct.isEmpty) None else Some(perConjunct.reduce(_ & _))
+    val perKey = dataFilters.flatMap(ofConjunct)
+      .groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ & _)).toMap
+    if (!keys.exists(perKey.contains)) None
+    else {
+      // per-dimension allowed buckets: pinned keys hash their
+      // candidate literals (exactly the write side's per-column
+      // pmod(hash(k), n)); unpinned dimensions keep all n. The
+      // composite ids come from the dimensions' cross product — a
+      // large product stops pruning rather than enumerating it
+      def bucketOf(v: Any, dt: org.apache.spark.sql.types.DataType)
+          : Long = {
+        val h = Murmur3Hash(Seq(Literal.create(v, dt)), 42)
+          .eval(null).asInstanceOf[Int]
+        ((h.toLong % n) + n) % n
+      }
+      val dims: Seq[Seq[Long]] = keys.map(k => perKey.get(k) match {
+        case Some(vs) => vs.toSeq.map { case (v, dt) => bucketOf(v, dt) }
+          .distinct
+        case None => (0L until n.toLong).toSeq
+      })
+      if (dims.map(_.size.toLong).product > 1024L) None
+      else Some(dims.reduceLeft((acc, d) =>
+        acc.flatMap(a => d.map(b => a * n + b))).toSet)
+    }
   }
 
   override def listFiles(partitionFilters: Seq[Expression],

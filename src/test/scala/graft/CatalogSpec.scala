@@ -778,6 +778,126 @@ class CatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bucket key"))
   }
 
+  test("SPJ generality: multi-column and date/decimal bucket keys join shuffle-free; partially-clustered distribution keeps a skewed bucket parallel") {
+    warehouse: Unit
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    def noExchange(df: org.apache.spark.sql.DataFrame, what: String)
+        : Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$what must not shuffle:\n$p")
+    }
+    // ---- multi-column key, one column DECIMAL: the bucket is the
+    // seed-chained hash of the whole (k1, k2) tuple
+    spark.sql("CREATE TABLE graftc.db.spjm_a " +
+      "(k1 BIGINT, k2 DECIMAL(10,2), v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k1, k2)) TBLPROPERTIES ('statsCols' = 'k1')")
+    spark.sql("CREATE TABLE graftc.db.spjm_b " +
+      "(k1 BIGINT, k2 DECIMAL(10,2), w STRING) " +
+      "PARTITIONED BY (bucket(4, k1, k2))")
+    spark.range(800).select((col("id") % 40).as("k1"),
+        (col("id") % 25).cast("decimal(10,2)").as("k2"),
+        (col("id") * 3).as("v"))
+      .writeTo("graftc.db.spjm_a").append()
+    spark.range(400).select((col("id") % 40).as("k1"),
+        (col("id") % 25).cast("decimal(10,2)").as("k2"),
+        concat(lit("w"), col("id")).as("w"))
+      .writeTo("graftc.db.spjm_b").append()
+    val qm =
+      """SELECT a.k1 AS k1, a.k2 AS k2, a.v AS v, b.w AS w
+        |FROM graftc.db.spjm_a a JOIN graftc.db.spjm_b b
+        |  ON a.k1 = b.k1 AND a.k2 = b.k2
+        |ORDER BY k1, k2, v, w""".stripMargin
+    // ---- date key (API-declared layout this time)
+    val dloc = s"$warehouse/tables/db/spjd"
+    def dated(n: Int) = spark.range(n).select(
+      org.apache.spark.sql.functions.date_add(
+        org.apache.spark.sql.functions.to_date(lit("2026-01-01")),
+        (col("id") % 60).cast("int")).as("d"),
+      col("id").as("v"))
+    sinks.ManifestTable.create(dated(600), s"$dloc/a", Seq("v"),
+      bucketBy = Some(("d", 4)))
+    sinks.ManifestTable.create(dated(300), s"$dloc/b", Seq("v"),
+      bucketBy = Some(("d", 4)))
+    spark.sql(s"CREATE TABLE graftc.db.spjd_a USING graft LOCATION '$dloc/a'")
+    spark.sql(s"CREATE TABLE graftc.db.spjd_b USING graft LOCATION '$dloc/b'")
+    val qd =
+      """SELECT a.d AS d, a.v AS va, b.v AS vb
+        |FROM graftc.db.spjd_a a JOIN graftc.db.spjd_b b ON a.d = b.d
+        |ORDER BY d, va, vb""".stripMargin
+    // ---- skewed bucket: one hot key dominates; FOUR separate
+    // landings give the hot bucket four files (splits)
+    val sloc = s"$warehouse/tables/db/spjs"
+    def skewed(tag: Long) = spark.range(2000).select(
+      when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+      (col("id") * 10 + tag).as("v"))
+    sinks.ManifestTable.create(skewed(0), s"$sloc/a", Seq("k"),
+      bucketBy = Some(("k", 4)))
+    (1L to 3L).foreach(t =>
+      sinks.ManifestTable.write(skewed(t), s"$sloc/a"))
+    sinks.ManifestTable.create(
+      spark.range(2000).select(col("id").as("k"),
+        concat(lit("n"), col("id")).as("name")),
+      s"$sloc/b", Seq("k"), bucketBy = Some(("k", 4)))
+    spark.sql(s"CREATE TABLE graftc.db.spjs_a USING graft LOCATION '$sloc/a'")
+    spark.sql(s"CREATE TABLE graftc.db.spjs_b USING graft LOCATION '$sloc/b'")
+    val qs =
+      """SELECT a.k AS k, a.v AS v, b.name AS name
+        |FROM graftc.db.spjs_a a JOIN graftc.db.spjs_b b ON a.k = b.k
+        |ORDER BY k, v, name""".stripMargin
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // controls: bucketing off → every join shuffles; capture truth
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val wantM = spark.sql(qm).collect().map(_.toString).toSeq
+      val wantD = spark.sql(qd).collect().map(_.toString).toSeq
+      val wantS = spark.sql(qs).collect().map(_.toString).toSeq
+      assert(spark.sql(qm).queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"), "control must shuffle")
+      // SPJ on: multi-column and date keys both resolve the bucket
+      // transform and join with zero exchanges
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      val spjM = spark.sql(qm)
+      noExchange(spjM, "the multi-column co-bucketed join")
+      assert(spjM.collect().map(_.toString).toSeq == wantM)
+      val spjD = spark.sql(qd)
+      noExchange(spjD, "the date-keyed co-bucketed join")
+      assert(spjD.collect().map(_.toString).toSeq == wantD)
+      // fully-clustered baseline on the skewed pair: n tasks
+      val spjS0 = spark.sql(qs)
+      noExchange(spjS0, "the skewed co-bucketed join")
+      assert(spjS0.collect().map(_.toString).toSeq == wantS)
+      val grouped = spjS0.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.inputRDD.getNumPartitions }.max
+      assert(grouped <= 4,
+        s"fully-clustered groups to <= n tasks, got $grouped")
+      // partially-clustered: the hot bucket's four files stay FOUR
+      // tasks (the small side replicates over them) — still no
+      // exchange, same answer, more parallelism than buckets
+      spark.conf.set("spark.sql.sources.v2.bucketing." +
+        "partiallyClusteredDistribution.enabled", "true")
+      val spjS = spark.sql(qs)
+      noExchange(spjS, "the partially-clustered skewed join")
+      assert(spjS.collect().map(_.toString).toSeq == wantS,
+        "partially-clustered must return exactly the shuffled answer")
+      val parts = spjS.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.inputRDD.getNumPartitions }.max
+      assert(parts > 4,
+        s"a skewed bucket must stay split under partially-clustered " +
+          s"distribution, got $parts partitions")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("mergeMode = equality-delete: the pure-upsert SQL MERGE commits keys only; general shapes fall back to vectors") {
     warehouse: Unit
     val loc = java.nio.file.Files

@@ -997,16 +997,26 @@ class PlanSpec extends AnyFunSuite {
     ManifestTable.write(
       spark.range(4000).select(col("id").as("k"),
         (col("id") * 3).as("v")), root)
-    def filesPlanned(df: org.apache.spark.sql.DataFrame): Int =
+    def filesPlanned(df: org.apache.spark.sql.DataFrame): Int = {
+      // a concurrently-running suite may have v2 bucketing enabled on
+      // the SHARED session while this plans — unwrap the bucket-keyed
+      // partitions too, so the count is conf-independent (pruning
+      // happens below the wrapper either way)
+      def files(p: org.apache.spark.sql.connector.read.InputPartition)
+          : Seq[String] = p match {
+        case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+        case GraftDvCleanPartition(fp: FilePartition) =>
+          fp.files.map(_.filePath.toString).toSeq
+        case p: GraftDvFilePartition =>
+          p.inner.files.map(_.filePath.toString).toSeq
+        case b: sources.v2.GraftBucketPartition =>
+          b.parts.toSeq.flatMap(files)
+        case _ => Nil
+      }
       df.queryExecution.executedPlan.collect {
-        case b: BatchScanExec => b.partitions.flatten }.flatten.flatMap {
-          case fp: FilePartition => fp.files.map(_.filePath.toString)
-          case GraftDvCleanPartition(fp: FilePartition) =>
-            fp.files.map(_.filePath.toString)
-          case p: GraftDvFilePartition =>
-            p.inner.files.map(_.filePath.toString)
-          case _ => Nil
-        }.distinct.size
+        case b: BatchScanExec => b.partitions.flatten }
+        .flatten.flatMap(files).distinct.size
+    }
     def load() = spark.read.format("graft").load(root)
     assert(filesPlanned(load()) == 16, "expected 2 files per bucket")
     // point probe: 1/8 of the files (envelopes are useless on a
@@ -1037,5 +1047,30 @@ class PlanSpec extends AnyFunSuite {
     assert(pointRn.collect().map(_.getLong(1)).toSet == Set(642L, 963L))
     // a non-point predicate keeps every file (conservative)
     assert(filesPlanned(load().filter(col("kk") > 0L)) >= 16 - 1)
+
+    // MULTI-COLUMN grid: each key hashes into its own dimension, so
+    // pinning ONE key prunes that dimension (1/n of the grid) and
+    // pinning both prunes to a single cell
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-bucket-prune2").toString + "/t"
+    ManifestTable.create(
+      spark.range(4000).select((col("id") % 50).as("a"),
+        (col("id") % 39).as("b"), col("id").as("v")),
+      root2, Seq("v"), bucketBy = Some(("a,b", 4)))
+    def load2() = spark.read.format("graft").load(root2)
+    val all2 = filesPlanned(load2())
+    assert(all2 > 8, s"the grid landing should occupy many cells: $all2")
+    val oneKey = load2().filter(col("a") === 7L)
+    assert(filesPlanned(oneKey) <= (all2 + 3) / 4,
+      s"pinning one of two keys must prune a grid dimension: " +
+        s"${filesPlanned(oneKey)} of $all2")
+    assert(oneKey.collect().map(_.getLong(2)).toSet ==
+      (0L until 4000L).filter(_ % 50 == 7).toSet)
+    val bothKeys = load2().filter(col("a") === 7L && col("b") === 7L)
+    assert(filesPlanned(bothKeys) <= (all2 + 15) / 16 + 1,
+      s"pinning both keys must prune to ~one cell: " +
+        s"${filesPlanned(bothKeys)}")
+    assert(bothKeys.collect().map(_.getLong(2)).toSet ==
+      (0L until 4000L).filter(i => i % 50 == 7 && i % 39 == 7).toSet)
   }
 }
