@@ -48,6 +48,15 @@ object CorpusQuality {
     val base = docs.select(col(idCol).as("doc_id"),
       graft.functions.TextAnalysis.tokens(col(textCol)).as("toks"))
       .cache()
+    repetitionStatsFromTokens(base, flagThreshold)
+  }
+
+  /** [[repetitionStats]] over an ALREADY-tokenized (and ideally
+    * cached) `(doc_id, toks)` frame — the seam that lets a composed
+    * pipeline ([[curationReport]]) tokenize the corpus once and feed
+    * every token-grain signal from the same cached scan. */
+  private[graft] def repetitionStatsFromTokens(
+      base: DataFrame, flagThreshold: Double): DataFrame = {
     val tokStats = base.select(col("doc_id"),
       size(col("toks")).as("n_tokens"),
       when(size(col("toks")) > 0,
@@ -80,10 +89,21 @@ object CorpusQuality {
     * hashed key, so no string ever shuffles. The corpus is never
     * collected or broadcast. */
   def contamination(train: DataFrame, bench: DataFrame,
-                    idCol: String, textCol: String): DataFrame = {
+                    idCol: String, textCol: String): DataFrame =
+    contaminationFromWords(
+      train.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("w")),
+      bench, idCol, textCol)
+
+  /** [[contamination]] over an already-split `(doc_id, w)` train
+    * frame (the [[curationReport]] shared-scan seam; the benchmark
+    * side is small and tokenizes on its own). */
+  private[graft] def contaminationFromWords(
+      trainWs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val benchSh = Dedup.hashedShingleSet(bench, idCol, textCol)
       .select(col("sh")).distinct()
-    val docSh = Dedup.hashedShingleSet(train, idCol, textCol)
+    val docSh = Dedup.hashedShingleSetFromWords(trainWs)
     val tot = docSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val hit = docSh.join(benchSh, Seq("sh"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
@@ -148,26 +168,33 @@ object CorpusQuality {
     * bigram carry 0.0 for the LM/contamination signals (nothing to
     * measure ⇒ no evidence to drop on those axes).
     *
-    * Scale shape: each signal is its own aggregation over the (cached,
-    * inside the member operators) corpus, joined back on doc_id — joins
-    * on the high-cardinality id key shuffle; nothing corpus-sized
-    * broadcasts. */
+    * Scale shape: the corpus tokenizes exactly TWICE — one cached
+    * regex-token scan feeds the quality and repetition signals, one
+    * cached whitespace-split scan feeds the LM and contamination
+    * signals (their historical tokenization; values must not move) —
+    * then each signal is its own aggregation joined back on doc_id.
+    * Joins on the high-cardinality id key shuffle; nothing
+    * corpus-sized broadcasts. */
   def curationReport(train: DataFrame, bench: DataFrame,
                      idCol: String, textCol: String,
                      minQuality: Double = 0.65,
                      repetitionFlagThreshold: Double = 0.10,
                      maxContamination: Double = 0.5): DataFrame = {
-    // tokenize once into an array column, then score from the array —
-    // qualityScore(text) would re-run the regex split ~5x per row
-    val qual = train.select(col(idCol).as("doc_id"),
+    // the two shared scans — without them the four signals would scan
+    // and tokenize the corpus four times (no cross-branch CSE)
+    val toks = train.select(col(idCol).as("doc_id"),
         graft.functions.TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"),
-        graft.functions.TextAnalysis.qualityScoreFromTokens(col("toks"))
-          .as("quality"))
-    val rep = repetitionStats(train, idCol, textCol, repetitionFlagThreshold)
-    val lm = bigramLmScores(train, idCol, textCol)
+      .cache()
+    val ws = train.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("w"))
+      .cache()
+    val qual = toks.select(col("doc_id"),
+      graft.functions.TextAnalysis.qualityScoreFromTokens(col("toks"))
+        .as("quality"))
+    val rep = repetitionStatsFromTokens(toks, repetitionFlagThreshold)
+    val lm = bigramLmScoresFromWords(ws)
       .select(col("doc_id"), col("lm_score"))
-    val cont = contamination(train, bench, idCol, textCol)
+    val cont = contaminationFromWords(ws, bench, idCol, textCol)
       .select(col("doc_id"), col("contamination"))
     qual
       .join(rep, Seq("doc_id"))
@@ -254,9 +281,17 @@ object CorpusQuality {
     * bigram — the model is vocabulary-sized, so the join shuffles on the
     * bigram key rather than broadcasting. The instance scan is cached
     * because model building and scoring both read it. */
-  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val inst = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramLmScoresFromWords(
+      docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("w")))
+
+  /** [[bigramLmScores]] over an already-split `(doc_id, w)` frame
+    * (the [[curationReport]] shared-scan seam; the bigram-instance
+    * scan below keeps its OWN cache — model building and scoring both
+    * read it). */
+  private[graft] def bigramLmScoresFromWords(ws: DataFrame): DataFrame = {
+    val inst = ws
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("w")) - 1),

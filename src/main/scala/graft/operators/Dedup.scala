@@ -51,8 +51,13 @@ object Dedup {
     * shingles collide in 64 bits: P ≈ n²/2⁶⁵, ~10⁻⁶ even at 10⁹ distinct
     * shingles — immaterial against a similarity threshold. */
   def hashedShingleSet(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
-      .select(col("doc_id"), explode(shinglesFromTokens(col("w"))).as("s"))
+    hashedShingleSetFromWords(
+      docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w")))
+
+  /** [[hashedShingleSet]] over an already-split `(doc_id, w)` frame —
+    * lets composed pipelines share one split scan across signals. */
+  private[graft] def hashedShingleSetFromWords(ws: DataFrame): DataFrame =
+    ws.select(col("doc_id"), explode(shinglesFromTokens(col("w"))).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("sh"))
       .distinct()
 
