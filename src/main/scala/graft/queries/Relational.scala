@@ -877,6 +877,32 @@ object Relational extends QueryModule {
       .orderBy(col("lang"))
   }
 
+  /** RUNTIME FILE FILTERING end-to-end ([[graft.sources.v2
+    * .GraftRuntimeFilterScanBuilder]]): the dim side's surviving keys
+    * exist only after it executes, so static planning cannot skip any
+    * fact file — the dynamic-pruning planner hands the broadcast keys
+    * to the runtime-filterable scan, which keeps only the files whose
+    * manifest envelopes can hold them. The oracle is the plain
+    * relational join (pruning must never change an answer); the
+    * file-count proof lives in PlanSpec. */
+  def qDppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_dpp") + "/t"
+    graft.sinks.ManifestTable.create(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    val dim = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 25 === 0 && col("doc_id") < 100)
+      .select(col("doc_id"), col("lang").as("dim_lang"))
+    spark.read.format("graft").load(root)
+      .join(broadcast(dim), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("dim_lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The durable SQL surface end-to-end ([[graft.sources.v2
     * .GraftCatalog]]): a manifest table is adopted BY NAME
     * (`CREATE TABLE … USING graft LOCATION …`) and queried through
@@ -1317,6 +1343,7 @@ object Relational extends QueryModule {
     "q_benford"           -> qBenford _,
     "q_meta_count"        -> qMetaCount _,
     "q_graft_scan"        -> qGraftScan _,
+    "q_dpp_join"          -> qDppJoin _,
     "q_graft_sql"         -> qGraftSql _,
     "q_merge_sql"         -> qMergeSql _,
     "q_merge_sql_full"    -> qMergeSqlFull _,
@@ -1430,6 +1457,16 @@ object Relational extends QueryModule {
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE lang <> 'en' AND doc_id < 200
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // pruning must never change an answer: the oracle is the plain
+    // relational join the runtime-filtered scan serves
+    "q_dpp_join" ->
+      """SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars,
+        |  s.lang AS dim_lang
+        |FROM documents d
+        |JOIN (SELECT doc_id, lang FROM documents
+        |      WHERE doc_id % 25 = 0 AND doc_id < 100) s
+        |  ON d.doc_id = s.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_graft_sql" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars

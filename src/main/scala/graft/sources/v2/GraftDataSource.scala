@@ -446,7 +446,7 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
     // (the price of alignment — Iceberg's preserve-data-grouping
     // trade), so with v2 bucketing disabled the grouping would be
     // pure parallelism loss and the plain split-parallel plan serves.
-    def bucketed(b: PushdownBuilder): ScanBuilder =
+    def bucketed(b: PushdownBuilder): PushdownBuilder =
       graft.sinks.ManifestTable.bucketSpecLogical(dataSchema) match {
         case Some((ks, n)) if isManifest &&
             spark.conf.get("spark.sql.sources.v2.bucketing.enabled",
@@ -455,8 +455,7 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
             graft.sinks.ManifestTable.fileBuckets(spark, root, version))
         case _ => b
       }
-    val index =
-      if (isManifest) {
+    if (isManifest) {
         // the manifest IS the listing: paths, sizes, and a commit
         // timestamp all come from committed metadata, so the scan
         // plans with ZERO filesystem calls (the Delta log-backed-index
@@ -485,6 +484,26 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
           new GraftManifestFileIndex(spark, root, files, ts, physSchema,
             if (cols.isEmpty) None else Some((m, cols)), bloomEntries,
             bucketPrune)
+        // runtime file filtering ([[GraftRuntimeFilterScanBuilder]]):
+        // the scan takes the dynamic-pruning planner's join-key values
+        // on every column the manifest can prove things about — the
+        // kept set re-runs the SAME listFiles proof engine (envelopes,
+        // blooms, bucket grid) over the version's full file list
+        def runtimeFilterable(b: PushdownBuilder,
+                              allFiles: Seq[(String, Long)]): ScanBuilder = {
+          val physToLogical = dataSchema.fields.map(f =>
+            (graft.sinks.ManifestTable.physicalFor(dataSchema, f.name),
+              f.name)).toMap
+          val physAttrs = (cols ++ bloomEntries.flatMap(_.bloomKey) ++
+            graft.sinks.ManifestTable.bucketSpec(dataSchema)
+              .map(_._1).getOrElse(Nil)).distinct
+          val attrs = physAttrs.flatMap(physToLogical.get).distinct
+          if (attrs.isEmpty) b
+          else new GraftRuntimeFilterScanBuilder(b, attrs,
+            name => graft.sinks.ManifestTable.physicalFor(dataSchema, name),
+            filters => subIndex(allFiles).listFiles(Nil, filters)
+              .flatMap(_.files).map(_.getPath.toUri.getPath).toSet)
+        }
         def composite(filt: Seq[GraftFiltFile],
                       clean: Seq[(String, Long)], cleanRows: Option[Long],
                       probes: Seq[GraftEqProbeGroup]): ScanBuilder = {
@@ -499,13 +518,14 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
           // and excluded files contribute no survivors.
           val filtSchema = org.apache.spark.sql.types.StructType(
             physSchema.fields :+ GraftDvScanBuilder.RowIndexField)
-          bucketed(mapped(new GraftDvScanBuilder(spark,
+          runtimeFilterable(bucketed(mapped(new GraftDvScanBuilder(spark,
             ParquetScanBuilder(spark, subIndex(clean), physSchema,
               physSchema, options),
             ParquetScanBuilder(spark,
               subIndex(filt.map(f => (f.path, f.size))), filtSchema,
               filtSchema, options),
-            filt, probes, cleanRows, ts)))
+            filt, probes, cleanRows, ts))),
+            clean ++ filt.map(f => (f.path, f.size)))
         }
         // pending equality deletes apply PER TASK above the columnar
         // scan by default (broadcast key sets — a pure SELECT writes
@@ -542,7 +562,10 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
               return composite(filt, clean.map(f => (f._1, f._2)),
                 Some(clean.map(_._5).sum), groups)
             }
-            subIndex(files.map(f => (f._1, f._2)))
+            val list = files.map(f => (f._1, f._2))
+            return runtimeFilterable(bucketed(mapped(
+              ParquetScanBuilder(spark, subIndex(list), physSchema,
+                physSchema, options))), list)
           case None =>
             // scratch-materializing path: pending equality deletes
             // resolve into deletion vectors (effectiveFiles — cached
@@ -556,12 +579,19 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
                 (p, sz) }
               return composite(dvd, clean, None, Nil)
             }
-            subIndex(states.map(f => (f._1, f._2)))
+            val list = states.map(f => (f._1, f._2))
+            return runtimeFilterable(bucketed(mapped(
+              ParquetScanBuilder(spark, subIndex(list), physSchema,
+                physSchema, options))), list)
         }
-      } else
-        new GraftStatsFileIndex(spark,
-          Seq(new Path(s"$root/epoch=$version")), dataSchema,
-          metadataEntry(options))
+    }
+    // epoch-directory table: stats/bloom roots come from reader
+    // options or the per-JVM registry; no runtime file filtering
+    // (the proofs live in registered sidecar tables, consulted at
+    // static pushdown)
+    val index = new GraftStatsFileIndex(spark,
+      Seq(new Path(s"$root/epoch=$version")), dataSchema,
+      metadataEntry(options))
     bucketed(
       mapped(ParquetScanBuilder(spark, index, physSchema, physSchema,
         options)))

@@ -1,0 +1,220 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.Partitioning
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+
+/** RUNTIME FILE FILTERING (dynamic "partition" pruning at the FILE
+  * grain — the Iceberg `SparkBatchQueryScan` shape): the scan declares
+  * the columns the manifest can prove things about (tracked stats
+  * envelopes, bloom indexes, bucket keys), and Spark's dynamic-pruning
+  * planner feeds it the BUILD side's join-key values at runtime —
+  * a `dim.filter(...) ⋈ fact` join then reads only the fact files
+  * whose envelopes/blooms/buckets can hold the surviving keys, files
+  * static planning had no way to skip (the probe values exist only
+  * after the dim side runs).
+  *
+  * The runtime predicates re-run the SAME proof engine the static
+  * pushdown uses ([[GraftManifestFileIndex.listFiles]] — envelope
+  * proofs, bloom exclusion, bucket-grid pruning), so there is exactly
+  * one notion of "provably unmatching" in the source; this wrapper
+  * only drops the delegated plan's files that fall outside the kept
+  * set. Everything survives the drop untouched: deletion-vector and
+  * equality-probe partitions keep their sidecars, bucket partitions
+  * keep their cells (a fully-pruned cell stays as an EMPTY partition,
+  * so storage-partitioned joins keep their aligned partition values —
+  * DPP and SPJ compose), and the reader factory passes through
+  * verbatim.
+  *
+  * Scale shape: the filter evaluation is one driver-side pass over the
+  * |files|-row manifest stats (metadata-scale, like planning itself);
+  * at 100 TB this is the difference between scanning the fact's every
+  * file and scanning the handful a 50-row dim probe can actually
+  * touch.
+  */
+final class GraftRuntimeFilterScanBuilder(
+    inner: ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownCatalystFilters,
+    attrs: Seq[String],
+    toPhysical: String => String,
+    keptPaths: Seq[Expression] => Set[String])
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownCatalystFilters {
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    inner.pushFilters(filters)
+  override def pushedFilters: Array[Predicate] = inner.pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+
+  override def build(): Scan = inner.build() match {
+    // the wrapper must not COST the scan its reported partitioning —
+    // a bucketed inner keeps storage-partitioned joins through the
+    // partitioning-forwarding variant
+    case s: SupportsReportPartitioning =>
+      new GraftRuntimeFilterPartitionedScan(s, attrs, toPhysical,
+        keptPaths)
+    case s =>
+      new GraftRuntimeFilterScan(s, attrs, toPhysical, keptPaths)
+  }
+}
+
+object GraftRuntimeFilterScan {
+  /** Plan-introspection helper: the scan under the wrapper (identity
+    * for unwrapped scans). */
+  def unwrap(s: Scan): Scan = s match {
+    case r: GraftRuntimeFilterScan => r.innerScan
+    case other => other
+  }
+}
+
+sealed class GraftRuntimeFilterScan(
+    inner: Scan, attrs: Seq[String],
+    toPhysical: String => String,
+    keptPaths: Seq[Expression] => Set[String])
+  extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+
+  private[v2] def innerScan: Scan = inner
+
+  /** Canonical paths surviving the runtime predicates — None until
+    * (unless) Spark calls [[filter]]. */
+  @volatile private var kept: Option[Set[String]] = None
+
+  /** Files the LAST build planned after runtime filtering (test
+    * hook; −1 until a filtered plan ran). */
+  @volatile private[graft] var lastPlannedFiles: Int = -1
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String =
+    s"GraftRuntimeFilterable(${inner.description()})"
+
+  override def filterAttributes(): Array[NamedReference] =
+    attrs.map(Expressions.column).toArray
+
+  /** Translate the runtime predicates (the dynamic-pruning planner
+    * sends `IN`/`=` over one column with literal values) to catalyst
+    * conjuncts over PHYSICAL attribute names — the language the
+    * manifest proofs speak — and intersect the kept file set. Shapes
+    * this can't read are ignored (pruning is an optimization; the
+    * filters re-apply above the scan regardless). */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Literal] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        Some(Literal(l.value, l.dataType))
+      case _ => None
+    }
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+    val conjuncts: Seq[Expression] = predicates.toSeq.flatMap { p =>
+      val cs = p.children()
+      (p.name(), cs.headOption.flatMap(ref)) match {
+        case ("IN", Some(name)) if attrs.contains(name) =>
+          val vs = cs.drop(1).map(lit)
+          if (vs.exists(_.isEmpty) || vs.isEmpty) None
+          else Some(In(
+            AttributeReference(toPhysical(name),
+              vs.head.get.dataType)(),
+            vs.map(_.get).toSeq))
+        case ("=", Some(name)) if cs.length == 2 && attrs.contains(name) =>
+          lit(cs(1)).map(v => EqualTo(
+            AttributeReference(toPhysical(name), v.dataType)(), v))
+        case _ => None
+      }
+    }
+    if (conjuncts.nonEmpty) {
+      val k = keptPaths(conjuncts)
+      kept = Some(kept.fold(k)(_ intersect k))
+    }
+  }
+
+  override def estimateStatistics(): Statistics = inner match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  override def toBatch: Batch = {
+    val ib = inner.toBatch
+    val keepNow = kept
+    keepNow match {
+      case None => ib
+      case Some(keep) =>
+        new Batch {
+          private def canon(p: String): String =
+            new org.apache.hadoop.fs.Path(p).toUri.getPath
+          private def keepFile(
+              pf: org.apache.spark.sql.execution.datasources.PartitionedFile)
+              : Boolean = keep.contains(canon(pf.filePath.toString))
+          /** Drop excluded files; partition KINDS survive untouched
+            * (empty bucket cells keep SPJ's value alignment). */
+          private def prune(p: InputPartition): Option[InputPartition] =
+            p match {
+              case fp: FilePartition =>
+                val fs = fp.files.filter(keepFile)
+                if (fs.isEmpty) None
+                else Some(FilePartition(fp.index, fs))
+              case GraftDvCleanPartition(fp: FilePartition) =>
+                val fs = fp.files.filter(keepFile)
+                if (fs.isEmpty) None
+                else Some(GraftDvCleanPartition(FilePartition(fp.index, fs)))
+              case dv: GraftDvFilePartition =>
+                if (dv.inner.files.forall(keepFile)) Some(dv) else None
+              case b: GraftBucketPartition =>
+                // keep the cell itself — partition values must align
+                Some(b.copy(parts = b.parts.flatMap(prune)))
+              case other => Some(other) // unknown shapes pass through
+            }
+          private lazy val planned: Array[InputPartition] = {
+            val ps = ib.planInputPartitions().flatMap(prune)
+            lastPlannedFiles = ps.map {
+              case fp: FilePartition => fp.files.length
+              case GraftDvCleanPartition(fp: FilePartition) =>
+                fp.files.length
+              case dv: GraftDvFilePartition => dv.inner.files.length
+              case b: GraftBucketPartition => b.parts.map {
+                case fp: FilePartition => fp.files.length
+                case GraftDvCleanPartition(fp: FilePartition) =>
+                  fp.files.length
+                case dv: GraftDvFilePartition => dv.inner.files.length
+                case _ => 0
+              }.sum
+              case _ => 0
+            }.sum
+            ps
+          }
+          override def planInputPartitions(): Array[InputPartition] =
+            planned
+          override def createReaderFactory(): PartitionReaderFactory =
+            ib.createReaderFactory()
+        }
+    }
+  }
+}
+
+/** [[GraftRuntimeFilterScan]] over an inner scan that reports a
+  * partitioning (a bucketed table) — forwards the report so dynamic
+  * file pruning and storage-partitioned joins compose. */
+final class GraftRuntimeFilterPartitionedScan(
+    inner: Scan with SupportsReportPartitioning, attrs: Seq[String],
+    toPhysical: String => String,
+    keptPaths: Seq[Expression] => Set[String])
+  extends GraftRuntimeFilterScan(inner, attrs, toPhysical, keptPaths)
+  with SupportsReportPartitioning {
+  override def outputPartitioning(): Partitioning =
+    inner.outputPartitioning()
+}

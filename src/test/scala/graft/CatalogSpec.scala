@@ -898,6 +898,53 @@ class CatalogSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("storage-partitioned shuffle: joining a bucketed table with a plain frame shuffles ONLY the plain side") {
+    warehouse: Unit
+    val loc = s"$warehouse/tables/db/spjsh"
+    sinks.ManifestTable.create(
+      spark.range(4000).select(col("id").as("k"), (col("id") * 7).as("v")),
+      loc, Seq("k"), bucketBy = Some(("k", 4)))
+    spark.sql(s"CREATE TABLE graftc.db.spjsh USING graft LOCATION '$loc'")
+    spark.range(100)
+      .select(col("id").as("k"), concat(lit("p"), col("id")).as("name"))
+      .createOrReplaceTempView("spjsh_plain")
+    val q =
+      """SELECT t.k AS k, t.v AS v, p.name AS name
+        |FROM graftc.db.spjsh t JOIN spjsh_plain p ON t.k = p.k""".stripMargin
+    def exchanges(p: String): Int =
+      "Exchange ".r.findAllIn(p).length
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val ctrl = spark.sql(q)
+      val want = ctrl.collect().map(_.toString).sorted.toSeq
+      assert(exchanges(ctrl.queryExecution.executedPlan.toString) == 2,
+        "control must shuffle BOTH sides")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      val one = spark.sql(q)
+      val p = one.queryExecution.executedPlan.toString
+      // the plain side shuffles INTO the table's bucket layout (the
+      // catalog-served function evaluates write-identically); the
+      // bucketed side reads in place — one exchange total
+      assert(exchanges(p) == 1,
+        s"only the plain side may shuffle:\n$p")
+      assert(one.collect().map(_.toString).sorted.toSeq == want,
+        "the one-sided shuffle must return exactly the control answer")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("mergeMode = equality-delete: the pure-upsert SQL MERGE commits keys only; general shapes fall back to vectors") {
     warehouse: Unit
     val loc = java.nio.file.Files

@@ -1073,4 +1073,55 @@ class PlanSpec extends AnyFunSuite {
     assert(bothKeys.collect().map(_.getLong(2)).toSet ==
       (0L until 4000L).filter(i => i % 50 == 7 && i % 39 == 7).toSet)
   }
+
+  /** RUNTIME file filtering (dynamic pruning at the file grain): the
+    * dim side's surviving join keys exist only at execution, so static
+    * planning reads every fact file — the runtime-filterable scan
+    * must take the keys from the dynamic-pruning subquery and keep
+    * only the files the manifest envelopes can hold them in. */
+  test("runtime file filtering: a dim-filtered broadcast join prunes fact files at execution via the manifest proofs") {
+    import sinks.ManifestTable
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.functions.{broadcast, col, concat, lit}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dpp").toString + "/t"
+    // 8 range-partitioned files → per-file disjoint key envelopes:
+    // a narrow dim probe can only live in one of them
+    ManifestTable.create(
+      spark.range(80000).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .repartitionByRange(8, col("k")).sortWithinPartitions(col("k")),
+      root, Seq("k"))
+    val saved = Seq("spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val dim = spark.range(100)
+        .select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
+        .filter(col("k") < 50)
+      val fact = spark.read.format("graft").load(root)
+      val joined = fact.join(broadcast(dim), "k")
+      // execute THIS plan (count() would build a separate
+      // QueryExecution and the inspected scan would never run)
+      val rows = joined.collect()
+      assert(rows.length == 50)
+      val scans = joined.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b }
+      val factScan = scans.map(_.scan).collectFirst {
+        case s: sources.v2.GraftRuntimeFilterScan => s }
+      assert(factScan.nonEmpty,
+        s"the manifest scan must be runtime-filterable:\n" +
+          joined.queryExecution.executedPlan)
+      assert(scans.exists(_.runtimeFilters.nonEmpty),
+        s"the planner must inject a dynamic-pruning filter:\n" +
+          joined.queryExecution.executedPlan)
+      val planned = factScan.get.lastPlannedFiles
+      assert(planned >= 1 && planned <= 2,
+        s"the 50-key probe lives in 1 range file; runtime filtering " +
+          s"planned $planned of 8")
+      // values correct through the pruned read
+      assert(rows.map(_.getAs[Long]("v")).toSet ==
+        (0L until 50L).map(_ * 2).toSet)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }

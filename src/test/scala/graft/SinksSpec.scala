@@ -1412,7 +1412,8 @@ class SinksSpec extends AnyFunSuite {
         .sortWithinPartitions(col("doc_id")), root, Seq("doc_id"))
     val df = ManifestTable.read(spark, root)
     val indexes = df.queryExecution.sparkPlan.collect {
-      case b: BatchScanExec => b.scan }.collect {
+      case b: BatchScanExec => b.scan }
+      .map(sources.v2.GraftRuntimeFilterScan.unwrap).collect {
       case p: ParquetScan => p.fileIndex }
     assert(indexes.nonEmpty &&
       indexes.forall(_.isInstanceOf[sources.v2.GraftManifestFileIndex]),
@@ -1920,7 +1921,8 @@ class SinksSpec extends AnyFunSuite {
       .filter(col("k") >= 5L && col("k") <= 15L)
     val (c2, d2) = parts(probe2)
     assert(d2 == 1 && c2 == 0, s"expected the one vectored file: $c2/$d2")
-    val dvScan = scans(probe2).map(_.scan).collectFirst {
+    val dvScan = scans(probe2).map(_.scan)
+      .map(sources.v2.GraftRuntimeFilterScan.unwrap).collectFirst {
       case s: GraftDvScan => s }.get
     assert(dvScan.dvPushedFilters.nonEmpty,
       "the DV branch must push the probe filters into parquet")
@@ -2787,7 +2789,8 @@ class SinksSpec extends AnyFunSuite {
     val probed = parts.collect {
       case p: GraftDvFilePartition if p.probes.nonEmpty => p }
     assert(probed.nonEmpty, "the touched file must carry the probe")
-    val dvScan = scans.map(_.scan).collectFirst {
+    val dvScan = scans.map(_.scan)
+      .map(sources.v2.GraftRuntimeFilterScan.unwrap).collectFirst {
       case s: sources.v2.GraftDvScan => s }.get
     assert(dvScan.dvPushedFilters.nonEmpty,
       "the probed branch must push the filters into parquet")
