@@ -490,7 +490,9 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
         // kept set re-runs the SAME listFiles proof engine (envelopes,
         // blooms, bucket grid) over the version's full file list
         def runtimeFilterable(b: PushdownBuilder,
-                              allFiles: Seq[(String, Long)]): ScanBuilder = {
+                              allFiles: Seq[(String, Long)],
+                              exactRows: Option[Long] = None)
+            : ScanBuilder = {
           val physToLogical = dataSchema.fields.map(f =>
             (graft.sinks.ManifestTable.physicalFor(dataSchema, f.name),
               f.name)).toMap
@@ -498,11 +500,57 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
             graft.sinks.ManifestTable.bucketSpec(dataSchema)
               .map(_._1).getOrElse(Nil)).distinct
           val attrs = physAttrs.flatMap(physToLogical.get).distinct
-          if (attrs.isEmpty) b
-          else new GraftRuntimeFilterScanBuilder(b, attrs,
+          // per-column envelope statistics for COST-BASED planning:
+          // one metadata aggregate over the manifest's stat triplets,
+          // run lazily and only when CBO asks ([[GraftRuntimeFilter
+          // Scan.columnStatistics]]); min/max are supersets of the
+          // live rows under pending deletes — the right direction for
+          // an estimate
+          def colStats(): Map[String,
+              org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics] =
+            if (cols.isEmpty) Map.empty
+            else {
+              import org.apache.spark.sql.functions.{max => smax, min => smin, sum => ssum}
+              val aggs = cols.flatMap(c => Seq(
+                smin(org.apache.spark.sql.functions.col(s"${c}_min"))
+                  .as(s"${c}_min"),
+                smax(org.apache.spark.sql.functions.col(s"${c}_max"))
+                  .as(s"${c}_max"),
+                ssum(org.apache.spark.sql.functions.col(s"${c}_nulls"))
+                  .as(s"${c}_nulls")))
+              val row = m.agg(aggs.head, aggs.tail: _*).head()
+              cols.flatMap { c =>
+                physToLogical.get(c).map { logical =>
+                  val dt = physSchema(c).dataType
+                  val conv = org.apache.spark.sql.catalyst
+                    .CatalystTypeConverters.createToCatalystConverter(dt)
+                  val lo = Option(row.getAs[Any](s"${c}_min")).map(conv)
+                  val hi = Option(row.getAs[Any](s"${c}_max")).map(conv)
+                  val nulls = Option(row.getAs[Any](s"${c}_nulls"))
+                    .map(_.asInstanceOf[Long])
+                  logical -> (new org.apache.spark.sql.connector.read
+                      .colstats.ColumnStatistics {
+                    override def min(): java.util.Optional[Object] =
+                      lo.map(v => java.util.Optional.of(
+                        v.asInstanceOf[Object]))
+                        .getOrElse(java.util.Optional.empty())
+                    override def max(): java.util.Optional[Object] =
+                      hi.map(v => java.util.Optional.of(
+                        v.asInstanceOf[Object]))
+                        .getOrElse(java.util.Optional.empty())
+                    override def nullCount(): java.util.OptionalLong =
+                      nulls.map(java.util.OptionalLong.of)
+                        .getOrElse(java.util.OptionalLong.empty())
+                  })
+                }
+              }.toMap
+            }
+          new GraftRuntimeFilterScanBuilder(b, attrs,
             name => graft.sinks.ManifestTable.physicalFor(dataSchema, name),
             filters => subIndex(allFiles).listFiles(Nil, filters)
-              .flatMap(_.files).map(_.getPath.toUri.getPath).toSet)
+              .flatMap(_.files).map(_.getPath.toUri.getPath).toSet,
+            exactRows, () => colStats())
         }
         def composite(filt: Seq[GraftFiltFile],
                       clean: Seq[(String, Long)], cleanRows: Option[Long],
@@ -565,7 +613,8 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
             val list = files.map(f => (f._1, f._2))
             return runtimeFilterable(bucketed(mapped(
               ParquetScanBuilder(spark, subIndex(list), physSchema,
-                physSchema, options))), list)
+                physSchema, options))), list,
+              Some(files.map(f => f._5 - f._6).sum))
           case None =>
             // scratch-materializing path: pending equality deletes
             // resolve into deletion vectors (effectiveFiles — cached

@@ -42,7 +42,11 @@ final class GraftRuntimeFilterScanBuilder(
       with SupportsPushDownCatalystFilters,
     attrs: Seq[String],
     toPhysical: String => String,
-    keptPaths: Seq[Expression] => Set[String])
+    keptPaths: Seq[Expression] => Set[String],
+    exactRows: Option[Long] = None,
+    colStats: () => Map[String,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      () => Map.empty)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters {
@@ -59,9 +63,10 @@ final class GraftRuntimeFilterScanBuilder(
     // partitioning-forwarding variant
     case s: SupportsReportPartitioning =>
       new GraftRuntimeFilterPartitionedScan(s, attrs, toPhysical,
-        keptPaths)
+        keptPaths, exactRows, colStats)
     case s =>
-      new GraftRuntimeFilterScan(s, attrs, toPhysical, keptPaths)
+      new GraftRuntimeFilterScan(s, attrs, toPhysical, keptPaths,
+        exactRows, colStats)
   }
 }
 
@@ -77,7 +82,11 @@ object GraftRuntimeFilterScan {
 sealed class GraftRuntimeFilterScan(
     inner: Scan, attrs: Seq[String],
     toPhysical: String => String,
-    keptPaths: Seq[Expression] => Set[String])
+    keptPaths: Seq[Expression] => Set[String],
+    exactRows: Option[Long] = None,
+    colStats: () => Map[String,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      () => Map.empty)
   extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   private[v2] def innerScan: Scan = inner
@@ -138,13 +147,43 @@ sealed class GraftRuntimeFilterScan(
     }
   }
 
-  override def estimateStatistics(): Statistics = inner match {
-    case s: SupportsReportStatistics => s.estimateStatistics()
-    case _ => new Statistics {
+  /** Per-column envelope statistics — computed at most once per scan
+    * instance, and ONLY when cost-based optimization asks (the
+    * aggregate is one metadata-scale job over the manifest; CBO-off
+    * sessions never pay it). */
+  private lazy val columnStatistics
+      : java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val m = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    colStats().foreach { case (name, cs) =>
+      m.put(Expressions.column(name), cs) }
+    m
+  }
+
+  override def estimateStatistics(): Statistics = {
+    val base = inner match {
+      case s: SupportsReportStatistics => Some(s.estimateStatistics())
+      case _ => None
+    }
+    new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        base.map(_.sizeInBytes()).getOrElse(java.util.OptionalLong.empty())
+      // the manifest's exact row count fills in where the delegated
+      // scan reports nothing (join planning then sees rows, not just
+      // bytes); a DV-aware inner's exact live count always wins
+      override def numRows(): java.util.OptionalLong = {
+        val b = base.map(_.numRows())
+          .getOrElse(java.util.OptionalLong.empty())
+        if (b.isPresent) b
+        else exactRows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+      }
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        if (org.apache.spark.sql.internal.SQLConf.get.cboEnabled)
+          columnStatistics
+        else java.util.Collections.emptyMap()
     }
   }
 
@@ -212,8 +251,13 @@ sealed class GraftRuntimeFilterScan(
 final class GraftRuntimeFilterPartitionedScan(
     inner: Scan with SupportsReportPartitioning, attrs: Seq[String],
     toPhysical: String => String,
-    keptPaths: Seq[Expression] => Set[String])
-  extends GraftRuntimeFilterScan(inner, attrs, toPhysical, keptPaths)
+    keptPaths: Seq[Expression] => Set[String],
+    exactRows: Option[Long] = None,
+    colStats: () => Map[String,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      () => Map.empty)
+  extends GraftRuntimeFilterScan(inner, attrs, toPhysical, keptPaths,
+    exactRows, colStats)
   with SupportsReportPartitioning {
   override def outputPartitioning(): Partitioning =
     inner.outputPartitioning()

@@ -1074,6 +1074,40 @@ class PlanSpec extends AnyFunSuite {
       (0L until 4000L).filter(i => i % 50 == 7 && i % 39 == 7).toSet)
   }
 
+  /** Cost-based planning should see what the manifest already knows:
+    * exact row counts always (free — the file list is in hand), and
+    * per-column envelope min/max + null counts when CBO asks (one
+    * lazy metadata aggregate; CBO-off sessions never pay it). */
+  test("cost-based planning sees manifest statistics: exact rows, envelope min/max, null counts") {
+    import sinks.ManifestTable
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cbo").toString + "/t"
+    ManifestTable.create(
+      spark.range(10000).select(col("id").as("k"), (col("id") % 100).as("v")),
+      root, Seq("k"))
+    // exact rows flow into planning with CBO off
+    val df = spark.read.format("graft").load(root)
+    assert(df.queryExecution.optimizedPlan.stats.rowCount
+      .contains(BigInt(10000)),
+      s"planning must see exact rows: ${df.queryExecution.optimizedPlan.stats}")
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val df2 = spark.read.format("graft").load(root)
+      val plan2 = df2.queryExecution.optimizedPlan
+      val attr = plan2.output.find(_.name == "k").get
+      val cs = plan2.stats.attributeStats.get(attr)
+      assert(cs.nonEmpty,
+        s"CBO must see the tracked column's stats: ${plan2.stats}")
+      assert(cs.get.min.contains(0L) && cs.get.max.contains(9999L),
+        s"envelope min/max expected, got ${cs.get}")
+      assert(cs.get.nullCount.contains(BigInt(0)),
+        s"null count expected, got ${cs.get}")
+    } finally prev.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+      spark.conf.set("spark.sql.cbo.enabled", _))
+  }
+
   /** RUNTIME file filtering (dynamic pruning at the file grain): the
     * dim side's surviving join keys exist only at execution, so static
     * planning reads every fact file — the runtime-filterable scan
