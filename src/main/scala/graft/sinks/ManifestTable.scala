@@ -563,16 +563,35 @@ object ManifestTable {
     * READING a mapped table — a NEW table built from that schema
     * (CTAS/RTAS) writes fresh files under the logical names, so a
     * carried-over mapping would point its sidecar at physical names
-    * its own files never had. */
-  private def freshSchema(schema: StructType): StructType =
-    StructType(schema.fields.map { f =>
-      if (!f.metadata.contains(PhysicalKey) &&
-          !f.metadata.contains(BucketKey)) f
-      else f.copy(metadata =
-        new org.apache.spark.sql.types.MetadataBuilder()
+    * its own files never had. Recurses to EVERY nesting level:
+    * nested-evolved struct members carry their frozen physical names
+    * inside the dataType, and a top-level-only strip would leave the
+    * new table requesting member names its own files never carried
+    * (every such member would silently read NULL). */
+  private def freshSchema(schema: StructType): StructType = {
+    def freshType(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case s: StructType => StructType(s.fields.map(freshField))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = freshType(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(valueType = freshType(m.valueType))
+      case other => other
+    }
+    def freshField(f: org.apache.spark.sql.types.StructField)
+        : org.apache.spark.sql.types.StructField = {
+      val cleaned =
+        if (!f.metadata.contains(PhysicalKey) &&
+            !f.metadata.contains(BucketKey) &&
+            !f.metadata.contains(BucketPosKey)) f.metadata
+        else new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata).remove(PhysicalKey)
-          .remove(BucketKey).build()) // a CTAS write is NOT bucketed
-    })
+          .remove(BucketKey) // a CTAS write is NOT bucketed
+          .remove(BucketPosKey).build()
+      f.copy(metadata = cleaned, dataType = freshType(f.dataType))
+    }
+    StructType(schema.fields.map(freshField))
+  }
 
   /** Content replace that may also REPLACE THE SCHEMA — the RTAS /
     * overwriteSchema shape: land the batch and commit (batch rows,
@@ -1774,11 +1793,18 @@ object ManifestTable {
         })
       }
     }
-    eqProbeCache.put(key, computed)
-    val mine = eqProbeCache.keySet.asScala.filter(_._1 == key._1).toSeq
-    if (mine.size > EqCacheVersionsPerRoot)
-      mine.sortBy(_._2).dropRight(EqCacheVersionsPerRoot)
-        .foreach(k => eqProbeCache.remove(k): Unit)
+    // only POSITIVE plans cache: the fall-back-to-materialization
+    // decision depends on the mutable maxProbeBytes conf, and a
+    // cached None would pin this version to the scratch path for the
+    // JVM's life even after the conf is raised (the None computation
+    // is a registry read + per-entry FS length — cheap to redo)
+    if (computed.isDefined) {
+      eqProbeCache.put(key, computed)
+      val mine = eqProbeCache.keySet.asScala.filter(_._1 == key._1).toSeq
+      if (mine.size > EqCacheVersionsPerRoot)
+        mine.sortBy(_._2).dropRight(EqCacheVersionsPerRoot)
+          .foreach(k => eqProbeCache.remove(k): Unit)
+    }
     computed
   }
 
@@ -2323,6 +2349,28 @@ object ManifestTable {
       (manifest(spark, root, version), tableSchema(spark, root, version))
     }
   }
+
+  private object RestoreAborted extends Exception
+    with scala.util.control.NoStackTrace
+
+  /** [[restore]] that commits ONLY while `expectedCurrent` is still
+    * the latest version — the compensation shape (RTAS abort): the
+    * check runs INSIDE the CAS loop against each attempt's fresh
+    * base, so a concurrent commit landing at any point makes this a
+    * no-op (None) instead of silently burying that writer's version
+    * under the compensating commit. */
+  private[graft] def restoreIfCurrent(spark: SparkSession, root: String,
+                                      version: Long,
+                                      expectedCurrent: Long)
+      : Option[Long] =
+    try Some(commitLoopEvolving(spark, root,
+      eqReg = _ => eqDeletes(spark, root, version)) { base =>
+      if (base != expectedCurrent) throw RestoreAborted
+      require(versions(spark, root).contains(version),
+        s"manifest table at $root has no retained version $version")
+      (manifest(spark, root, version), tableSchema(spark, root, version))
+    })
+    catch { case RestoreAborted => None }
 
   /** SHALLOW CLONE — a new manifest table at `dstRoot` whose first
     * version references the SOURCE's data files by absolute path: zero

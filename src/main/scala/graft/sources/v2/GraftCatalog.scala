@@ -210,18 +210,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def bucketOf(partitions: Array[Transform],
                        properties: JMap[String, String])
       : Option[(String, Int)] = {
+    // both declaration shapes are accepted and equivalent: ONE
+    // multi-column transform `bucket(n, k1, k2)` or the per-column
+    // form `bucket(n, k1), bucket(n, k2)` — which is exactly what
+    // [[GraftTable.partitioning]] reports back, so the catalog can
+    // re-create a table from its own reported partitioning
     val fromTransforms = partitions.toSeq match {
       case Seq() => None
-      case Seq(t) if t.name == "bucket" =>
-        val n = t.arguments.collectFirst {
+      case ts if ts.forall(_.name == "bucket") =>
+        def countOf(t: Transform): Int = t.arguments.collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
             l.value.asInstanceOf[Number].intValue
         }.getOrElse(throw new IllegalArgumentException(
           "bucket transform needs a bucket count"))
-        require(t.references.nonEmpty &&
-          t.references.forall(_.fieldNames.length == 1),
-          "bucket transform takes top-level columns")
-        Some((t.references.map(_.fieldNames.head).mkString(","), n))
+        val ns = ts.map(countOf).distinct
+        require(ns.length == 1,
+          s"every bucket transform must declare the SAME count, " +
+            s"got ${ns.mkString(", ")}")
+        val refs = ts.flatMap(_.references.toSeq)
+        require(refs.nonEmpty && refs.forall(_.fieldNames.length == 1),
+          "bucket transforms take top-level columns")
+        Some((refs.map(_.fieldNames.head).mkString(","), ns.head))
       case _ => throw new IllegalArgumentException(
         "graft tables support PARTITIONED BY (bucket(n, cols*)) only — " +
           "clustering is declared via OPTIMIZE sort columns (clusterBy)")

@@ -446,13 +446,17 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
     // (the price of alignment — Iceberg's preserve-data-grouping
     // trade), so with v2 bucketing disabled the grouping would be
     // pure parallelism loss and the plain split-parallel plan serves.
+    // the (path → bucket) map is one driver collect over the manifest
+    // — computed at most ONCE per scan build (the SPJ grouping and
+    // the bucket pruner both consume it), never for unbucketed tables
+    lazy val bucketsOfVersion: Map[String, Long] =
+      graft.sinks.ManifestTable.fileBuckets(spark, root, version)
     def bucketed(b: PushdownBuilder): PushdownBuilder =
       graft.sinks.ManifestTable.bucketSpecLogical(dataSchema) match {
         case Some((ks, n)) if isManifest &&
             spark.conf.get("spark.sql.sources.v2.bucketing.enabled",
               "false").toBoolean =>
-          new GraftBucketedScanBuilder(b, ks, n,
-            graft.sinks.ManifestTable.fileBuckets(spark, root, version))
+          new GraftBucketedScanBuilder(b, ks, n, bucketsOfVersion)
         case _ => b
       }
     if (isManifest) {
@@ -477,8 +481,7 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
         val bucketPrune = graft.sinks.ManifestTable
           .bucketSpecLogical(dataSchema).map { case (ks, n) =>
             (ks.map(graft.sinks.ManifestTable.physicalFor(dataSchema, _)),
-              n,
-              graft.sinks.ManifestTable.fileBuckets(spark, root, version))
+              n, bucketsOfVersion)
           }
         def subIndex(files: Seq[(String, Long)]) =
           new GraftManifestFileIndex(spark, root, files, ts, physSchema,

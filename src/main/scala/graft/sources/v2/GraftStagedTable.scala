@@ -70,12 +70,14 @@ final class GraftStagedTable(
     // a replace that already committed rolls back by COMPENSATION:
     // restore the pre-RTAS version — but only while this statement's
     // commit is still the table's latest; a concurrent commit on top
-    // must never be silently discarded by a failing RTAS's cleanup
+    // must never be silently discarded by a failing RTAS's cleanup.
+    // The latest-check runs INSIDE the restore's CAS loop
+    // (restoreIfCurrent) — a check-then-restore here would race a
+    // writer landing between the check and the compensating commit
     replacedAs.foreach { v =>
-      val spark = catalog.session
-      if (graft.sinks.ManifestTable.latestVersion(spark, location) == v &&
-          v > 0)
-        graft.sinks.ManifestTable.restore(spark, location, v - 1): Unit
+      if (v > 0)
+        graft.sinks.ManifestTable.restoreIfCurrent(
+          catalog.session, location, v - 1, expectedCurrent = v): Unit
     }
     catalog.abortStaged(location, createdDir)
   }

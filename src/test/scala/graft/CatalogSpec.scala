@@ -898,6 +898,32 @@ class CatalogSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("the per-column bucket declaration the table itself reports round-trips through CREATE TABLE") {
+    warehouse: Unit
+    // PARTITIONED BY (bucket(4, k1), bucket(4, k2)) — exactly the
+    // shape partitioning() reports for a multi-key table, so DDL
+    // regenerated from a table's own metadata re-creates it
+    spark.sql("CREATE TABLE graftc.db.spjrt " +
+      "(k1 BIGINT, k2 BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k1), bucket(4, k2))")
+    spark.range(100).select((col("id") % 10).as("k1"),
+        (col("id") % 7).as("k2"), col("id").as("v"))
+      .writeTo("graftc.db.spjrt").append()
+    val loc = s"$warehouse/tables/db/spjrt"
+    assert(sinks.ManifestTable.bucketSpec(
+      sinks.ManifestTable.tableSchema(spark, loc,
+        sinks.ManifestTable.latestVersion(spark, loc)))
+      .contains((Seq("k1", "k2"), 4)))
+    assert(spark.sql("SELECT sum(v) FROM graftc.db.spjrt")
+      .head().getLong(0) == (0L until 100L).sum)
+    // mismatched per-column counts refuse (one grid, one n)
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graftc.db.spjrt2 (a BIGINT, b BIGINT) " +
+        "PARTITIONED BY (bucket(4, a), bucket(8, b))")
+    }
+    assert(e.getMessage.contains("SAME count"))
+  }
+
   test("storage-partitioned shuffle: joining a bucketed table with a plain frame shuffles ONLY the plain side") {
     warehouse: Unit
     val loc = s"$warehouse/tables/db/spjsh"
@@ -1079,6 +1105,18 @@ class CatalogSpec extends AnyFunSuite {
     // the full current state is consistent
     assert(spark.sql("SELECT count(*) FROM graftc.db.nested")
       .head().getLong(0) == 101L)
+    // CTAS FROM the nested-evolved table: the carried-over schema's
+    // NESTED mapping must strip (the new table's files land under the
+    // logical member names — a surviving mapping would request member
+    // names those files never carried and read NULL for every row)
+    spark.sql("CREATE TABLE graftc.db.nested_ctas AS " +
+      "SELECT * FROM graftc.db.nested")
+    assert(spark.sql("SELECT count(*) FROM graftc.db.nested_ctas " +
+      "WHERE s.aa IS NOT NULL").head().getLong(0) == 101L,
+      "CTAS output must serve the evolved member's values, not NULL")
+    assert(spark.sql(
+      "SELECT s.aa FROM graftc.db.nested_ctas WHERE k = 3")
+      .head().getLong(0) == 99L)
   }
 
   test("metadata tables: SELECT over graftc.db.t.history / .files serves the manifests — zero data I/O surface") {

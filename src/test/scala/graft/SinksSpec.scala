@@ -2609,6 +2609,51 @@ class SinksSpec extends AnyFunSuite {
       .head().getLong(1) == 11L, "content survives the sweep")
   }
 
+  test("compensating restore is conditional INSIDE the CAS loop: a concurrent commit is never buried") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-restore-if").toString + "/t"
+    ManifestTable.create(
+      spark.range(10).select(col("id").as("k"), col("id").as("v")), root,
+      Seq("k"))
+    ManifestTable.overwrite(
+      spark.range(20).select(col("id").as("k"), col("id").as("v")), root)
+    val v1 = ManifestTable.latestVersion(spark, root)
+    // still latest → the compensation commits
+    assert(ManifestTable.restoreIfCurrent(spark, root, v1 - 1, v1).nonEmpty)
+    assert(ManifestTable.read(spark, root).count() == 10L)
+    // stale expectation (a writer landed on top) → strict no-op
+    val top = ManifestTable.latestVersion(spark, root)
+    ManifestTable.write(
+      spark.range(100, 105).select(col("id").as("k"), col("id").as("v")),
+      root)
+    assert(ManifestTable.restoreIfCurrent(spark, root, 0L, top).isEmpty,
+      "a compensation against a superseded version must refuse")
+    assert(ManifestTable.read(spark, root).count() == 15L,
+      "the concurrent writer's commit must survive untouched")
+  }
+
+  test("the probe-vs-materialize decision is not pinned by the cache: raising maxProbeBytes re-enables pure reads") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-eq-conf").toString + "/t"
+    ManifestTable.create(
+      spark.range(100).select(col("id").as("k"), col("id").as("v")), root,
+      Seq("k"))
+    ManifestTable.mergeEq(
+      Seq((5L, 555L)).toDF("k", "v"), root, Seq("k"))
+    val v = ManifestTable.latestVersion(spark, root)
+    spark.conf.set("spark.graft.eq.maxProbeBytes", "1")
+    try
+      assert(ManifestTable.eqProbes(spark, root, v).isEmpty,
+        "an oversized key file must fall back to materialization")
+    finally spark.conf.unset("spark.graft.eq.maxProbeBytes")
+    // the fallback DECISION must not have been cached — with the
+    // guard back at its default the pure-read plan serves
+    assert(ManifestTable.eqProbes(spark, root, v).nonEmpty,
+      "raising the guard must re-enable the probe path in this JVM")
+  }
+
   test("bucket ids anchor to the landing's own gb= directory — a gb=<digits> ancestor in the table root cannot mis-stamp files") {
     import sinks.ManifestTable
     // the trap: BOTH the temp prefix and an explicit ancestor carry
