@@ -1149,6 +1149,35 @@ object Relational extends QueryModule {
       FROM graft.gate.esql ORDER BY doc_id""")
   }
 
+  /** TYPE WIDENING end-to-end in SQL: `ALTER COLUMN n_chars TYPE
+    * BIGINT` on an int-typed column is metadata-only — old files keep
+    * int32 pages (the vectorized reader upcasts per file), the
+    * post-widen insert carries values past the int range, the stat
+    * envelopes cast with the commit so the filter still prunes, and
+    * the mixed-page read hash-matches a plain relational oracle. */
+  def qWidenSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_sql_widen") + "/t"
+    graft.sinks.ManifestTable.create(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("int").as("n_chars"))
+        .filter(col("doc_id") % 4 =!= 3)
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id", "n_chars"))
+    ensureGateCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.gate.wsql")
+    spark.sql(s"CREATE TABLE graft.gate.wsql USING graft LOCATION '$root'")
+    spark.sql("ALTER TABLE graft.gate.wsql ALTER COLUMN n_chars TYPE BIGINT")
+    spark.sql(
+      "INSERT INTO graft.gate.wsql SELECT doc_id, lang, " +
+        "CAST(n_chars AS BIGINT) + 5000000000 FROM " +
+        s"parquet.`$dir/documents.parquet` WHERE doc_id % 4 = 3")
+    spark.sql("""SELECT doc_id, lang, n_chars
+      FROM graft.gate.wsql WHERE n_chars > 500
+      ORDER BY doc_id""")
+  }
+
   /** NESTED schema evolution end-to-end in SQL: struct members
     * rename and widen through the same frozen-physical-name
     * machinery as top-level columns (`graft.physical` in the member's
@@ -1353,6 +1382,7 @@ object Relational extends QueryModule {
     "q_delete_sql"        -> qDeleteSql _,
     "q_evolve_sql"        -> qEvolveSql _,
     "q_evolve_nested"     -> qEvolveNested _,
+    "q_widen_sql"         -> qWidenSql _,
     "q_stream_pipe"       -> qStreamPipe _,
     "q_replace_where"     -> qReplaceWhere _,
     "q_restore"           -> qRestore _,
@@ -1555,6 +1585,16 @@ object Relational extends QueryModule {
         |UNION ALL
         |SELECT doc_id, lang, 'n-' || lang AS note
         |FROM documents WHERE doc_id % 4 = 3
+        |ORDER BY doc_id""".stripMargin,
+    // int→bigint widening changes no retained value; the post-widen
+    // insert carries values past the int range
+    "q_widen_sql" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 4 <> 3 AND n_chars > 500
+        |UNION ALL
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) + 5000000000 AS n_chars
+        |FROM documents WHERE doc_id % 4 = 3
+        |  AND CAST(n_chars AS BIGINT) + 5000000000 > 500
         |ORDER BY doc_id""".stripMargin,
     // nested rename/widen change no values; pre-evolution rows read
     // NULL for the added struct member, the insert carries it

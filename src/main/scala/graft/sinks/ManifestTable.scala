@@ -1393,6 +1393,68 @@ object ManifestTable {
     }
   }
 
+  /** Lossless primitive WIDENINGS the vectorized parquet reader
+    * serves per file (its updater factory upcasts int32→long,
+    * float→double, … at read) — the set `widenColumnType` accepts. */
+  private def widenable(from: org.apache.spark.sql.types.DataType,
+                        to: org.apache.spark.sql.types.DataType)
+      : Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case _ => false
+    }
+  }
+
+  /** ALTER COLUMN TYPE — WIDENING only, metadata-only (the Delta
+    * type-widening shape): the next version reuses the current
+    * manifest's files verbatim under the WIDER sidecar type; old
+    * files keep their narrow parquet pages and the vectorized reader
+    * upcasts per file, new landings conform to the wide type, and the
+    * manifest's stat triplets for the column cast in the same commit
+    * so envelope proofs keep firing. Three guarded seams: a BUCKET
+    * key refuses (the layout's hash is type-sensitive — hash(5: int)
+    * ≠ hash(5L)); a column keying PENDING equality deletes refuses
+    * (the key files carry narrow-typed tuples — compact first); and
+    * the column's bloom index, if any, is DROPPED (xxhash64 of the
+    * wide probe value would never match the narrow-hashed bits —
+    * a stale index would FALSELY exclude files; rebuild with
+    * [[buildBloom]]). Narrowing and non-primitive changes refuse —
+    * they would need per-file rewrites. Top-level columns only. */
+  def widenColumnType(spark: SparkSession, root: String, name: String,
+                      to: org.apache.spark.sql.types.DataType): Long =
+    commitLoopEvolving(spark, root) { base =>
+      val schema = tableSchema(spark, root, base)
+      require(schema.fieldNames.contains(name),
+        s"column $name does not exist")
+      val f = schema(name)
+      require(widenable(f.dataType, to),
+        s"ALTER COLUMN TYPE supports lossless primitive widening only " +
+          s"(got ${f.dataType.simpleString} -> ${to.simpleString}) — " +
+          "other changes need per-file rewrites")
+      require(!f.metadata.contains(BucketKey),
+        s"bucket key $name cannot change type — the frozen layout's " +
+          "hash is type-sensitive; re-create the table to re-bucket")
+      require(!eqDeletes(spark, root, base).exists(_.keys.contains(name)),
+        s"column $name keys pending equality deletes — run compactEq() " +
+          "(or any row-level op / maintenance tick) before widening")
+      val phys = physicalFor(schema, name)
+      // idempotent across CAS retries; readers of the current version
+      // lose the bloom mid-flight at worst (pruning is optional)
+      val bp = new Path(bloomRootFor(root, phys))
+      if (fs(spark, root).exists(bp)) fs(spark, root).delete(bp, true): Unit
+      val m = manifest(spark, root, base)
+      val m2 =
+        if (!m.columns.contains(s"${phys}_min")) m
+        else m.withColumn(s"${phys}_min", col(s"${phys}_min").cast(to))
+          .withColumn(s"${phys}_max", col(s"${phys}_max").cast(to))
+      (m2, StructType(schema.fields.map(x =>
+        if (x.name != name) x else x.copy(dataType = to))))
+    }
+
   // ------------------------------------------------- deletion vectors
 
   private def md5hex(s: String): String =

@@ -429,10 +429,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (ren.fieldNames.length == 1)
           renames += ((ren.fieldNames()(0), ren.newName()))
         else nestedRenames += ((ren.fieldNames.toSeq, ren.newName()))
+      case wide: TableChange.UpdateColumnType =>
+        // ALTER COLUMN ... TYPE: lossless primitive WIDENING is
+        // metadata-only (old files upcast per file at read); anything
+        // else refuses inside widenColumnType with the reason
+        require(wide.fieldNames.length == 1,
+          "type widening applies to top-level columns")
+        val loc = props.getProperty("location")
+        require(graft.sinks.ManifestTable.exists(spark, loc),
+          "ALTER COLUMN TYPE is supported on manifest-format tables only")
+        graft.sinks.ManifestTable.widenColumnType(spark, loc,
+          wide.fieldNames()(0), wide.newDataType()): Unit
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported table change $other — type changes " +
-          "would need per-file rewrites; evolve via ADD/DROP/RENAME " +
-          "COLUMN or the table formats")
+        s"graft catalog: unsupported table change $other — evolve via " +
+          "ADD/DROP/RENAME COLUMN, widening ALTER COLUMN TYPE, or the " +
+          "table formats")
     }
     require(props.getProperty("location") != null,
       "the location property cannot be removed")

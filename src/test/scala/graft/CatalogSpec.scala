@@ -898,6 +898,63 @@ class CatalogSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("type widening: metadata-only, files verbatim; narrowing/bucket keys refuse; a stale bloom index drops") {
+    warehouse: Unit
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-widen").toString + "/t"
+    sinks.ManifestTable.create(
+      spark.range(1000).select(col("id").cast("int").as("k"),
+        (col("id") % 50).cast("float").as("v")),
+      loc, Seq("k"))
+    // a bloom on the to-be-widened column: its bits hash int values —
+    // it must DROP with the widen, or wide probes would falsely
+    // exclude files
+    sinks.ManifestTable.buildBloom(spark, root = loc, keyCol = "k")
+    assert(sinks.ManifestTable.blooms(spark, loc).exists(_._1 == "k"))
+    spark.sql(s"CREATE TABLE graftc.db.widen USING graft LOCATION '$loc'")
+    val files0 = sinks.ManifestTable.filesAt(spark, loc, 0)
+    spark.sql("ALTER TABLE graftc.db.widen ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE graftc.db.widen ALTER COLUMN v TYPE DOUBLE")
+    val v2 = sinks.ManifestTable.latestVersion(spark, loc)
+    assert(sinks.ManifestTable.filesAt(spark, loc, v2) == files0,
+      "widening must rewrite nothing")
+    assert(!sinks.ManifestTable.blooms(spark, loc).exists(_._1 == "k"),
+      "the narrow-hashed bloom index must drop with the widen")
+    // old int32 pages upcast per file; a post-widen insert lands wide
+    spark.sql("INSERT INTO graftc.db.widen " +
+      "SELECT 5000000000, CAST(1.5 AS DOUBLE)")
+    assert(spark.sql("SELECT sum(k) FROM graftc.db.widen")
+      .head().getLong(0) == (0L until 1000L).sum + 5000000000L)
+    // envelope stats cast with the commit: a point probe still prunes
+    assert(spark.sql(
+      "SELECT count(*) FROM graftc.db.widen WHERE k = 5000000000")
+      .head().getLong(0) == 1L)
+    // time travel reads the old version under its own (narrow) type
+    assert(spark.sql("SELECT k FROM graftc.db.widen VERSION AS OF 0 " +
+      "WHERE k = 7").schema("k").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // narrowing refuses (Spark's own up-cast check or the format's
+    // widening guard — either way the type must not move)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftc.db.widen ALTER COLUMN k TYPE INT")
+    }
+    assert(spark.sql("SELECT k FROM graftc.db.widen WHERE k = 7")
+      .schema("k").dataType == org.apache.spark.sql.types.LongType,
+      "a refused narrowing must leave the wide type in place")
+    // a bucket key's type is frozen with the layout
+    val bloc = java.nio.file.Files
+      .createTempDirectory("graft-widen-b").toString + "/t"
+    sinks.ManifestTable.create(
+      spark.range(100).select(col("id").cast("int").as("k"),
+        col("id").as("v")),
+      bloc, Seq("k"), bucketBy = Some(("k", 4)))
+    val e2 = intercept[Exception] {
+      sinks.ManifestTable.widenColumnType(spark, bloc, "k",
+        org.apache.spark.sql.types.LongType)
+    }
+    assert(e2.getMessage.contains("bucket key"))
+  }
+
   test("the per-column bucket declaration the table itself reports round-trips through CREATE TABLE") {
     warehouse: Unit
     // PARTITIONED BY (bucket(4, k1), bucket(4, k2)) — exactly the
