@@ -895,7 +895,7 @@ object ManifestTable {
     // lookup, keep the LOGICAL name for probing the keys frame
     val physToLogical = keyCols.map(k =>
       physicalFor(dataSchema, k) -> k).toMap
-    val indexed = blooms(spark, root).collect {
+    val indexed = bloomsValid(spark, root, dataSchema).collect {
       case (pc, br) if physToLogical.contains(pc) =>
         (physToLogical(pc), br) }
     if (indexed.isEmpty || envelopeTouched.isEmpty) return envelopeTouched
@@ -1409,43 +1409,67 @@ object ManifestTable {
     }
   }
 
+  /** The widen guards shared by [[widenColumnType]]'s commit loop and
+    * the catalog's whole-set pre-validation — validated against ONE
+    * schema snapshot so a refused later widen in a multi-change ALTER
+    * never strands an earlier one half-applied. */
+  private def validateWiden(schema: StructType,
+                            eqKeys: Set[String], name: String,
+                            to: org.apache.spark.sql.types.DataType)
+      : Unit = {
+    require(schema.fieldNames.contains(name),
+      s"column $name does not exist")
+    val f = schema(name)
+    require(widenable(f.dataType, to),
+      s"ALTER COLUMN TYPE supports lossless primitive widening only " +
+        s"(got ${f.dataType.simpleString} -> ${to.simpleString}) — " +
+        "other changes need per-file rewrites")
+    require(!f.metadata.contains(BucketKey),
+      s"bucket key $name cannot change type — the frozen layout's " +
+        "hash is type-sensitive; re-create the table to re-bucket")
+    require(!eqKeys.contains(name),
+      s"column $name keys pending equality deletes — run compactEq() " +
+        "(or any row-level op / maintenance tick) before widening")
+  }
+
+  /** Validate a WHOLE widen set against the current schema without
+    * committing anything (the catalog's multi-change ALTER seam). */
+  private[graft] def validateWidens(spark: SparkSession, root: String,
+      widens: Seq[(String, org.apache.spark.sql.types.DataType)]): Unit = {
+    val base = latestVersion(spark, root)
+    val schema = tableSchema(spark, root, base)
+    val eqKeys = eqDeletes(spark, root, base).flatMap(_.keys).toSet
+    widens.foreach { case (n, t) => validateWiden(schema, eqKeys, n, t) }
+  }
+
   /** ALTER COLUMN TYPE — WIDENING only, metadata-only (the Delta
     * type-widening shape): the next version reuses the current
     * manifest's files verbatim under the WIDER sidecar type; old
     * files keep their narrow parquet pages and the vectorized reader
     * upcasts per file, new landings conform to the wide type, and the
     * manifest's stat triplets for the column cast in the same commit
-    * so envelope proofs keep firing. Three guarded seams: a BUCKET
-    * key refuses (the layout's hash is type-sensitive — hash(5: int)
+    * so envelope proofs keep firing. Guarded seams: a BUCKET key
+    * refuses (the layout's hash is type-sensitive — hash(5: int)
     * ≠ hash(5L)); a column keying PENDING equality deletes refuses
     * (the key files carry narrow-typed tuples — compact first); and
-    * the column's bloom index, if any, is DROPPED (xxhash64 of the
-    * wide probe value would never match the narrow-hashed bits —
-    * a stale index would FALSELY exclude files; rebuild with
-    * [[buildBloom]]). Narrowing and non-primitive changes refuse —
-    * they would need per-file rewrites. Top-level columns only. */
+    * the column's bloom index, if any, stops serving — the index
+    * records its build-time key type and consumers skip a mismatched
+    * one (xxhash64 of the wide probe value would never match the
+    * narrow-hashed bits, so a stale index would FALSELY exclude
+    * files), with the directory swept AFTER the successful commit (a
+    * FAILED widen must not destroy a still-valid index, and a racing
+    * narrow rebuild is neutralized by the type check rather than a
+    * delete-vs-build race). Narrowing and non-primitive changes
+    * refuse — they would need per-file rewrites. Top-level only. */
   def widenColumnType(spark: SparkSession, root: String, name: String,
-                      to: org.apache.spark.sql.types.DataType): Long =
-    commitLoopEvolving(spark, root) { base =>
+                      to: org.apache.spark.sql.types.DataType): Long = {
+    var physName: String = null
+    val v = commitLoopEvolving(spark, root) { base =>
       val schema = tableSchema(spark, root, base)
-      require(schema.fieldNames.contains(name),
-        s"column $name does not exist")
-      val f = schema(name)
-      require(widenable(f.dataType, to),
-        s"ALTER COLUMN TYPE supports lossless primitive widening only " +
-          s"(got ${f.dataType.simpleString} -> ${to.simpleString}) — " +
-          "other changes need per-file rewrites")
-      require(!f.metadata.contains(BucketKey),
-        s"bucket key $name cannot change type — the frozen layout's " +
-          "hash is type-sensitive; re-create the table to re-bucket")
-      require(!eqDeletes(spark, root, base).exists(_.keys.contains(name)),
-        s"column $name keys pending equality deletes — run compactEq() " +
-          "(or any row-level op / maintenance tick) before widening")
+      validateWiden(schema,
+        eqDeletes(spark, root, base).flatMap(_.keys).toSet, name, to)
       val phys = physicalFor(schema, name)
-      // idempotent across CAS retries; readers of the current version
-      // lose the bloom mid-flight at worst (pruning is optional)
-      val bp = new Path(bloomRootFor(root, phys))
-      if (fs(spark, root).exists(bp)) fs(spark, root).delete(bp, true): Unit
+      physName = phys
       val m = manifest(spark, root, base)
       val m2 =
         if (!m.columns.contains(s"${phys}_min")) m
@@ -1454,6 +1478,12 @@ object ManifestTable {
       (m2, StructType(schema.fields.map(x =>
         if (x.name != name) x else x.copy(dataType = to))))
     }
+    // post-commit cleanup only — correctness comes from the read-side
+    // type check ([[blooms]] filters a mismatched build-time type)
+    val bp = new Path(bloomRootFor(root, physName))
+    if (fs(spark, root).exists(bp)) fs(spark, root).delete(bp, true): Unit
+    v
+  }
 
   // ------------------------------------------------- deletion vectors
 
@@ -1787,8 +1817,11 @@ object ManifestTable {
     * sets plus touched-path sets, all metadata-scale; key files are
     * immutable and registry-refcounted (vacuum keeps referenced
     * ones), so entries never go stale. Bounded like [[eqCache]]. */
+  /** Cached probe plans carry the key-file BYTES they hold in memory,
+    * re-checked against the conf on every hit — neither raising nor
+    * lowering `spark.graft.eq.maxProbeBytes` is pinned by the cache. */
   private val eqProbeCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), Option[Seq[EqProbe]]]()
+    (String, Long), (Long, Seq[EqProbe])]()
 
   /** Compile `version`'s pending equality deletes into per-task probe
     * plans — the PURE-READ application path: a SELECT on an
@@ -1806,17 +1839,23 @@ object ManifestTable {
     val entries = eqDeletes(spark, root, version)
     if (entries.isEmpty) return Some(Nil)
     val key = (canon(root), version)
+    val maxBytes = spark.conf
+      .get("spark.graft.eq.maxProbeBytes", (64L << 20).toString).toLong
     val hit = eqProbeCache.get(key)
-    if (hit != null) return hit
+    if (hit != null) {
+      // a LOWERED guard evicts an oversized cached plan (and its
+      // heap-held key tuples) instead of pinning the old decision
+      if (hit._1 <= maxBytes) return Some(hit._2)
+      eqProbeCache.remove(key): Unit
+      return None
+    }
     val schema = tableSchema(spark, root, version)
+    val f = fs(spark, root)
+    val keyBytes = entries.map(e =>
+      f.getContentSummary(new Path(e.path)).getLength).sum
     val computed: Option[Seq[EqProbe]] = {
       val supported = entries.forall(_.keys.forall(k =>
         graft.sources.v2.GraftEqProbe.supported(schema(k).dataType)))
-      val f = fs(spark, root)
-      lazy val keyBytes = entries.map(e =>
-        f.getContentSummary(new Path(e.path)).getLength).sum
-      val maxBytes = spark.conf
-        .get("spark.graft.eq.maxProbeBytes", (64L << 20).toString).toLong
       if (!supported || keyBytes > maxBytes) None
       else {
         val m = manifest(spark, root, version)
@@ -1860,8 +1899,8 @@ object ManifestTable {
     // cached None would pin this version to the scratch path for the
     // JVM's life even after the conf is raised (the None computation
     // is a registry read + per-entry FS length — cheap to redo)
-    if (computed.isDefined) {
-      eqProbeCache.put(key, computed)
+    computed.foreach { plan =>
+      eqProbeCache.put(key, (keyBytes, plan))
       val mine = eqProbeCache.keySet.asScala.filter(_._1 == key._1).toSeq
       if (mine.size > EqCacheVersionsPerRoot)
         mine.sortBy(_._2).dropRight(EqCacheVersionsPerRoot)
@@ -2891,6 +2930,11 @@ object ManifestTable {
     // stable under RENAME COLUMN, matching what data files carry
     val physCol = physicalFor(schemaV, keyCol)
     val br = bloomRootFor(root, physCol)
+    val curType = schemaV(keyCol).dataType.catalogString
+    // a pre-widen index hashes the NARROW type — its bits can never
+    // serve wide probes; rebuild from scratch under the current type
+    if (bloomTypeMarker(spark, br).exists(_ != curType))
+      fs(spark, root).delete(new Path(br), true): Unit
     val live = filesAt(spark, root, v)
     val todo =
       if (VersionedTable.latestVersion(spark, br) < 0) live
@@ -2905,14 +2949,53 @@ object ManifestTable {
     if (todo.isEmpty) return None
     val idx = graft.sources.FileBloomIndex.buildFor(spark, todo, physCol,
       numBits, numHashes)
-    Some(
+    val committed =
       if (VersionedTable.latestVersion(spark, br) < 0)
         graft.sources.FileBloomIndex.commitFull(idx, br)
-      else graft.sources.FileBloomIndex.commitDelta(idx, br))
+      else graft.sources.FileBloomIndex.commitDelta(idx, br)
+    writeBloomTypeMarker(spark, br, curType)
+    Some(committed)
   }
 
   private[graft] def bloomRootFor(root: String, c: String): String =
     s"$root/_bloom_$c"
+
+  /** The key TYPE a bloom index was built against (xxhash64 is
+    * type-sensitive — a wide probe's hash never matches bits built
+    * from narrow values, so a post-widen index would FALSELY exclude
+    * files). Consumers skip a mismatched index ([[bloomsValid]]);
+    * missing marker = pre-widening legacy, necessarily matching. */
+  private def bloomTypeMarker(spark: SparkSession,
+                              bloomRoot: String): Option[String] = {
+    val p = new Path(bloomRoot, "_graft_keytype")
+    val f = fs(spark, bloomRoot)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  private def writeBloomTypeMarker(spark: SparkSession, bloomRoot: String,
+                                   t: String): Unit = {
+    val out = fs(spark, bloomRoot)
+      .create(new Path(bloomRoot, "_graft_keytype"), true)
+    try out.write(t.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** [[blooms]] restricted to indexes whose build-time key type still
+    * matches the schema's — the read-side half of type widening's
+    * bloom contract. */
+  private[graft] def bloomsValid(spark: SparkSession, root: String,
+                                 schema: StructType)
+      : Seq[(String, String)] =
+    blooms(spark, root).filter { case (pc, br) =>
+      schema.fields.find(f => physicalName(f) == pc)
+        .map(_.dataType.catalogString)
+        .exists(t => bloomTypeMarker(spark, br).forall(_ == t))
+    }
 
   /** Committed bloom indexes beside this table: (column, index root). */
   private[graft] def blooms(spark: SparkSession,

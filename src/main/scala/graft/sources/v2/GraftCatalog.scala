@@ -392,6 +392,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .empty[(Seq[String], String)]
     val nestedRenames = scala.collection.mutable.ArrayBuffer
       .empty[(Seq[String], String)]
+    val widens = scala.collection.mutable.ArrayBuffer
+      .empty[(String, org.apache.spark.sql.types.DataType)]
     changes.foreach {
       case set: TableChange.SetProperty =>
         props.setProperty(set.property, set.value)
@@ -432,14 +434,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case wide: TableChange.UpdateColumnType =>
         // ALTER COLUMN ... TYPE: lossless primitive WIDENING is
         // metadata-only (old files upcast per file at read); anything
-        // else refuses inside widenColumnType with the reason
+        // else refuses inside widenColumnType with the reason.
+        // Accumulated like every other change — applied only after
+        // the whole change set validates, so a refused sibling change
+        // never leaves the table half-altered
         require(wide.fieldNames.length == 1,
           "type widening applies to top-level columns")
-        val loc = props.getProperty("location")
-        require(graft.sinks.ManifestTable.exists(spark, loc),
-          "ALTER COLUMN TYPE is supported on manifest-format tables only")
-        graft.sinks.ManifestTable.widenColumnType(spark, loc,
-          wide.fieldNames()(0), wide.newDataType()): Unit
+        widens += ((wide.fieldNames()(0), wide.newDataType()))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other — evolve via " +
           "ADD/DROP/RENAME COLUMN, widening ALTER COLUMN TYPE, or the " +
@@ -514,6 +515,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       nestedRenames.foreach { case (path, to) =>
         graft.sinks.ManifestTable.renameColumnPath(spark, loc,
           path, to): Unit
+      }
+    }
+    if (widens.nonEmpty) {
+      val loc = props.getProperty("location")
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        "ALTER COLUMN TYPE is supported on manifest-format tables only")
+      // validate the WHOLE widen set against the current schema before
+      // the first commit — a refused later widen (bucket key, pending
+      // eq deletes, non-widenable pair) must not strand earlier ones
+      graft.sinks.ManifestTable.validateWidens(spark, loc, widens.toSeq)
+      widens.foreach { case (name, to) =>
+        graft.sinks.ManifestTable.widenColumnType(spark, loc, name,
+          to): Unit
       }
     }
     writeDef(ident, props)

@@ -471,7 +471,8 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
           .getOrElse(0L)
         // auto-discovered per-column bloom indexes serve the
         // equality/IN probes envelopes can't (hash-distributed keys)
-        val bloomEntries = graft.sinks.ManifestTable.blooms(spark, root)
+        val bloomEntries = graft.sinks.ManifestTable
+          .bloomsValid(spark, root, physSchema)
           .map { case (c, br) =>
             GraftTables.Entry(root, None, Nil, Some(br), Some(c)) }
         // bucket-transform predicate pruning serves point/IN probes on

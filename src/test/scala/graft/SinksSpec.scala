@@ -2652,6 +2652,14 @@ class SinksSpec extends AnyFunSuite {
     // guard back at its default the pure-read plan serves
     assert(ManifestTable.eqProbes(spark, root, v).nonEmpty,
       "raising the guard must re-enable the probe path in this JVM")
+    // ...and the POSITIVE plan must not pin against a LOWERED guard
+    // either: tightening the conf evicts the oversized cached plan
+    spark.conf.set("spark.graft.eq.maxProbeBytes", "1")
+    try
+      assert(ManifestTable.eqProbes(spark, root, v).isEmpty,
+        "lowering the guard must evict the cached oversized plan")
+    finally spark.conf.unset("spark.graft.eq.maxProbeBytes")
+    assert(ManifestTable.eqProbes(spark, root, v).nonEmpty)
   }
 
   test("bucket ids anchor to the landing's own gb= directory — a gb=<digits> ancestor in the table root cannot mis-stamp files") {
