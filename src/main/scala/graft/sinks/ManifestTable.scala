@@ -1432,14 +1432,32 @@ object ManifestTable {
         "(or any row-level op / maintenance tick) before widening")
   }
 
-  /** Validate a WHOLE widen set against the current schema without
-    * committing anything (the catalog's multi-change ALTER seam). */
+  /** Validate a WHOLE widen set (dotted paths included) against the
+    * current schema without committing anything (the catalog's
+    * multi-change ALTER seam). */
   private[graft] def validateWidens(spark: SparkSession, root: String,
-      widens: Seq[(String, org.apache.spark.sql.types.DataType)]): Unit = {
+      widens: Seq[(Seq[String], org.apache.spark.sql.types.DataType)])
+      : Unit = {
     val base = latestVersion(spark, root)
     val schema = tableSchema(spark, root, base)
     val eqKeys = eqDeletes(spark, root, base).flatMap(_.keys).toSet
-    widens.foreach { case (n, t) => validateWiden(schema, eqKeys, n, t) }
+    widens.foreach {
+      case (Seq(n), t) => validateWiden(schema, eqKeys, n, t)
+      case (path, t) =>
+        require(!eqKeys.contains(path.head),
+          s"column ${path.head} keys pending equality deletes — run " +
+            "compactEq() before widening inside it")
+        // navigates and type-checks without committing
+        mapStructAt(schema, path.init, "ALTER COLUMN TYPE") { st =>
+          require(st.fieldNames.contains(path.last),
+            s"field ${path.mkString(".")} does not exist")
+          require(widenable(st(path.last).dataType, t),
+            s"ALTER COLUMN TYPE supports lossless primitive widening " +
+              s"only (got ${st(path.last).dataType.simpleString} -> " +
+              s"${t.simpleString})")
+          st
+        }: Unit
+    }
   }
 
   /** ALTER COLUMN TYPE — WIDENING only, metadata-only (the Delta
@@ -1483,6 +1501,45 @@ object ManifestTable {
     val bp = new Path(bloomRootFor(root, physName))
     if (fs(spark, root).exists(bp)) fs(spark, root).delete(bp, true): Unit
     v
+  }
+
+  /** [[widenColumnType]] for a NESTED struct member (dotted path) —
+    * strictly simpler than top level: stat triplets, bloom indexes,
+    * and bucket keys are all top-level concerns, so a nested widen is
+    * pure schema surgery (the vectorized reader upcasts the narrow
+    * leaf pages per file exactly as at top level). A struct keying
+    * pending equality deletes refuses like every nested evolution. */
+  def widenColumnTypePath(spark: SparkSession, root: String,
+                          path: Seq[String],
+                          to: org.apache.spark.sql.types.DataType)
+      : Long = {
+    require(path.nonEmpty, "widen requires a column path")
+    if (path.length == 1)
+      return widenColumnType(spark, root, path.head, to)
+    commitLoopEvolving(spark, root) { base =>
+      val schema = tableSchema(spark, root, base)
+      require(!eqDeletes(spark, root, base).exists(
+          _.keys.contains(path.head)),
+        s"column ${path.head} keys pending equality deletes — run " +
+          "compactEq() (or any row-level op / maintenance tick) before " +
+          "widening inside it")
+      val next = mapStructAt(schema, path.init, "ALTER COLUMN TYPE") {
+        st =>
+          require(st.fieldNames.contains(path.last),
+            s"field ${path.mkString(".")} does not exist")
+          StructType(st.fields.map { f =>
+            if (f.name != path.last) f
+            else {
+              require(widenable(f.dataType, to),
+                s"ALTER COLUMN TYPE supports lossless primitive " +
+                  s"widening only (got ${f.dataType.simpleString} -> " +
+                  s"${to.simpleString})")
+              f.copy(dataType = to)
+            }
+          })
+      }
+      (manifest(spark, root, base), next)
+    }
   }
 
   // ------------------------------------------------- deletion vectors

@@ -393,7 +393,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val nestedRenames = scala.collection.mutable.ArrayBuffer
       .empty[(Seq[String], String)]
     val widens = scala.collection.mutable.ArrayBuffer
-      .empty[(String, org.apache.spark.sql.types.DataType)]
+      .empty[(Seq[String], org.apache.spark.sql.types.DataType)]
     changes.foreach {
       case set: TableChange.SetProperty =>
         props.setProperty(set.property, set.value)
@@ -433,14 +433,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         else nestedRenames += ((ren.fieldNames.toSeq, ren.newName()))
       case wide: TableChange.UpdateColumnType =>
         // ALTER COLUMN ... TYPE: lossless primitive WIDENING is
-        // metadata-only (old files upcast per file at read); anything
-        // else refuses inside widenColumnType with the reason.
-        // Accumulated like every other change — applied only after
-        // the whole change set validates, so a refused sibling change
-        // never leaves the table half-altered
-        require(wide.fieldNames.length == 1,
-          "type widening applies to top-level columns")
-        widens += ((wide.fieldNames()(0), wide.newDataType()))
+        // metadata-only (old files upcast per file at read), top-level
+        // and nested struct members alike; anything else refuses
+        // inside widenColumnType with the reason. Accumulated like
+        // every other change — applied only after the whole change
+        // set validates, so a refused sibling change never leaves the
+        // table half-altered
+        widens += ((wide.fieldNames.toSeq, wide.newDataType()))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other — evolve via " +
           "ADD/DROP/RENAME COLUMN, widening ALTER COLUMN TYPE, or the " +
@@ -525,8 +524,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // the first commit — a refused later widen (bucket key, pending
       // eq deletes, non-widenable pair) must not strand earlier ones
       graft.sinks.ManifestTable.validateWidens(spark, loc, widens.toSeq)
-      widens.foreach { case (name, to) =>
-        graft.sinks.ManifestTable.widenColumnType(spark, loc, name,
+      widens.foreach { case (path, to) =>
+        graft.sinks.ManifestTable.widenColumnTypePath(spark, loc, path,
           to): Unit
       }
     }

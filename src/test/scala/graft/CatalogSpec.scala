@@ -941,6 +941,27 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT k FROM graftc.db.widen WHERE k = 7")
       .schema("k").dataType == org.apache.spark.sql.types.LongType,
       "a refused narrowing must leave the wide type in place")
+    // NESTED member widening: same metadata-only contract one level
+    // down (no stat triplets/blooms/bucket keys live at nested paths)
+    val nloc = java.nio.file.Files
+      .createTempDirectory("graft-widen-n").toString + "/t"
+    sinks.ManifestTable.create(
+      spark.range(100).select(col("id").as("k"),
+        struct(col("id").cast("int").as("n"),
+          concat(lit("t"), col("id")).as("s")).as("m")),
+      nloc, Seq("k"))
+    spark.sql(s"CREATE TABLE graftc.db.widenn USING graft LOCATION '$nloc'")
+    val nfiles0 = sinks.ManifestTable.filesAt(spark, nloc, 0)
+    spark.sql("ALTER TABLE graftc.db.widenn ALTER COLUMN m.n TYPE BIGINT")
+    assert(sinks.ManifestTable.filesAt(spark, nloc,
+      sinks.ManifestTable.latestVersion(spark, nloc)) == nfiles0,
+      "a nested widen must rewrite nothing")
+    spark.sql("INSERT INTO graftc.db.widenn " +
+      "SELECT 1000L, named_struct('n', 6000000000, 's', 'w')")
+    assert(spark.sql("SELECT sum(m.n) FROM graftc.db.widenn")
+      .head().getLong(0) == (0L until 100L).sum + 6000000000L,
+      "narrow pages and the wide insert must read under one type")
+
     // a bucket key's type is frozen with the layout
     val bloc = java.nio.file.Files
       .createTempDirectory("graft-widen-b").toString + "/t"
