@@ -1432,6 +1432,33 @@ object ManifestTable {
         "(or any row-level op / maintenance tick) before widening")
   }
 
+  /** The nested analog of [[validateWiden]]: validates a dotted-path
+    * widen AND returns the widened schema — the catalog's pre-check
+    * and [[widenColumnTypePath]]'s commit body run EXACTLY this, so
+    * the guards can never drift apart. */
+  private def validateNestedWiden(schema: StructType,
+      eqKeys: Set[String], path: Seq[String],
+      to: org.apache.spark.sql.types.DataType): StructType = {
+    require(!eqKeys.contains(path.head),
+      s"column ${path.head} keys pending equality deletes — run " +
+        "compactEq() (or any row-level op / maintenance tick) before " +
+        "widening inside it")
+    mapStructAt(schema, path.init, "ALTER COLUMN TYPE") { st =>
+      require(st.fieldNames.contains(path.last),
+        s"field ${path.mkString(".")} does not exist")
+      StructType(st.fields.map { f =>
+        if (f.name != path.last) f
+        else {
+          require(widenable(f.dataType, to),
+            s"ALTER COLUMN TYPE supports lossless primitive widening " +
+              s"only (got ${f.dataType.simpleString} -> " +
+              s"${to.simpleString})")
+          f.copy(dataType = to)
+        }
+      })
+    }
+  }
+
   /** Validate a WHOLE widen set (dotted paths included) against the
     * current schema without committing anything (the catalog's
     * multi-change ALTER seam). */
@@ -1444,19 +1471,7 @@ object ManifestTable {
     widens.foreach {
       case (Seq(n), t) => validateWiden(schema, eqKeys, n, t)
       case (path, t) =>
-        require(!eqKeys.contains(path.head),
-          s"column ${path.head} keys pending equality deletes — run " +
-            "compactEq() before widening inside it")
-        // navigates and type-checks without committing
-        mapStructAt(schema, path.init, "ALTER COLUMN TYPE") { st =>
-          require(st.fieldNames.contains(path.last),
-            s"field ${path.mkString(".")} does not exist")
-          require(widenable(st(path.last).dataType, t),
-            s"ALTER COLUMN TYPE supports lossless primitive widening " +
-              s"only (got ${st(path.last).dataType.simpleString} -> " +
-              s"${t.simpleString})")
-          st
-        }: Unit
+        validateNestedWiden(schema, eqKeys, path, t): Unit
     }
   }
 
@@ -1518,26 +1533,8 @@ object ManifestTable {
       return widenColumnType(spark, root, path.head, to)
     commitLoopEvolving(spark, root) { base =>
       val schema = tableSchema(spark, root, base)
-      require(!eqDeletes(spark, root, base).exists(
-          _.keys.contains(path.head)),
-        s"column ${path.head} keys pending equality deletes — run " +
-          "compactEq() (or any row-level op / maintenance tick) before " +
-          "widening inside it")
-      val next = mapStructAt(schema, path.init, "ALTER COLUMN TYPE") {
-        st =>
-          require(st.fieldNames.contains(path.last),
-            s"field ${path.mkString(".")} does not exist")
-          StructType(st.fields.map { f =>
-            if (f.name != path.last) f
-            else {
-              require(widenable(f.dataType, to),
-                s"ALTER COLUMN TYPE supports lossless primitive " +
-                  s"widening only (got ${f.dataType.simpleString} -> " +
-                  s"${to.simpleString})")
-              f.copy(dataType = to)
-            }
-          })
-      }
+      val next = validateNestedWiden(schema,
+        eqDeletes(spark, root, base).flatMap(_.keys).toSet, path, to)
       (manifest(spark, root, base), next)
     }
   }
@@ -1873,10 +1870,10 @@ object ManifestTable {
   /** Probe plans cached per (root, version) — entries are a few key
     * sets plus touched-path sets, all metadata-scale; key files are
     * immutable and registry-refcounted (vacuum keeps referenced
-    * ones), so entries never go stale. Bounded like [[eqCache]]. */
-  /** Cached probe plans carry the key-file BYTES they hold in memory,
-    * re-checked against the conf on every hit — neither raising nor
-    * lowering `spark.graft.eq.maxProbeBytes` is pinned by the cache. */
+    * ones), so entries never go stale. Bounded like [[eqCache]]. Each
+    * entry carries the key-file BYTES it holds in memory, re-checked
+    * against the conf on every hit — neither raising nor lowering
+    * `spark.graft.eq.maxProbeBytes` is pinned by the cache. */
   private val eqProbeCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), (Long, Seq[EqProbe])]()
 
@@ -1908,7 +1905,11 @@ object ManifestTable {
     }
     val schema = tableSchema(spark, root, version)
     val f = fs(spark, root)
-    val keyBytes = entries.map(e =>
+    // lazy: an unsupported key type short-circuits WITHOUT the
+    // per-entry FS walk (its None is deliberately never cached, so a
+    // permanently-scratch-path table must not re-pay it every SELECT);
+    // the guard forces it on every path that can cache a plan
+    lazy val keyBytes = entries.map(e =>
       f.getContentSummary(new Path(e.path)).getLength).sum
     val computed: Option[Seq[EqProbe]] = {
       val supported = entries.forall(_.keys.forall(k =>
@@ -2989,8 +2990,12 @@ object ManifestTable {
     val br = bloomRootFor(root, physCol)
     val curType = schemaV(keyCol).dataType.catalogString
     // a pre-widen index hashes the NARROW type — its bits can never
-    // serve wide probes; rebuild from scratch under the current type
-    if (bloomTypeMarker(spark, br).exists(_ != curType))
+    // serve wide probes; rebuild from scratch under the current type.
+    // A MISSING marker counts as a mismatch too: delta-appending
+    // wide-hashed rows onto unknown-typed bits and then stamping the
+    // result would legitimize a poisoned index forever
+    if (VersionedTable.latestVersion(spark, br) >= 0 &&
+        !bloomTypeMarker(spark, br).contains(curType))
       fs(spark, root).delete(new Path(br), true): Unit
     val live = filesAt(spark, root, v)
     val todo =
@@ -3022,6 +3027,13 @@ object ManifestTable {
     * from narrow values, so a post-widen index would FALSELY exclude
     * files). Consumers skip a mismatched index ([[bloomsValid]]);
     * missing marker = pre-widening legacy, necessarily matching. */
+  /** Per-(index root, index version) marker cache: a rebuild bumps
+    * the index's version, so an entry can never serve a different
+    * generation's type — the planning hot path then pays the two
+    * marker round-trips once per index generation, not per scan. */
+  private val bloomTypeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Option[String]]()
+
   private def bloomTypeMarker(spark: SparkSession,
                               bloomRoot: String): Option[String] = {
     val p = new Path(bloomRoot, "_graft_keytype")
@@ -3029,9 +3041,11 @@ object ManifestTable {
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
-      try Some(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
-      finally in.close()
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, "UTF-8").trim)
+      } finally in.close()
     }
   }
 
@@ -3044,14 +3058,21 @@ object ManifestTable {
 
   /** [[blooms]] restricted to indexes whose build-time key type still
     * matches the schema's — the read-side half of type widening's
-    * bloom contract. */
+    * bloom contract. A MISSING marker is treated as a MISMATCH
+    * (fail-safe): an unmarked index may predate a widen whose
+    * post-commit sweep did not land, and consulting it would FALSELY
+    * exclude files — it stops serving until the next [[buildBloom]]
+    * (the maintenance tick) rebuilds and stamps it. */
   private[graft] def bloomsValid(spark: SparkSession, root: String,
                                  schema: StructType)
       : Seq[(String, String)] =
     blooms(spark, root).filter { case (pc, br) =>
+      val v = VersionedTable.latestVersion(spark, br)
+      val marker = bloomTypeCache.computeIfAbsent((canon(br), v),
+        _ => bloomTypeMarker(spark, br))
       schema.fields.find(f => physicalName(f) == pc)
         .map(_.dataType.catalogString)
-        .exists(t => bloomTypeMarker(spark, br).forall(_ == t))
+        .exists(t => marker.contains(t))
     }
 
   /** Committed bloom indexes beside this table: (column, index root). */

@@ -447,6 +447,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     require(props.getProperty("location") != null,
       "the location property cannot be removed")
+    // widen pre-validation runs BEFORE any change kind applies: a
+    // refused widen (narrowing, bucket key, pending eq deletes) must
+    // fail the WHOLE statement with zero changes applied — not strand
+    // an already-committed sibling ADD/DROP/RENAME
+    if (widens.nonEmpty) {
+      val loc = props.getProperty("location")
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        "ALTER COLUMN TYPE is supported on manifest-format tables only")
+      graft.sinks.ManifestTable.validateWidens(spark, loc, widens.toSeq)
+    }
     if (adds.nonEmpty || drops.nonEmpty) {
       val loc = props.getProperty("location")
       require(graft.sinks.ManifestTable.exists(spark, loc),
@@ -517,13 +527,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     if (widens.nonEmpty) {
+      // pre-validated above, before any sibling change applied
       val loc = props.getProperty("location")
-      require(graft.sinks.ManifestTable.exists(spark, loc),
-        "ALTER COLUMN TYPE is supported on manifest-format tables only")
-      // validate the WHOLE widen set against the current schema before
-      // the first commit — a refused later widen (bucket key, pending
-      // eq deletes, non-widenable pair) must not strand earlier ones
-      graft.sinks.ManifestTable.validateWidens(spark, loc, widens.toSeq)
       widens.foreach { case (path, to) =>
         graft.sinks.ManifestTable.widenColumnTypePath(spark, loc, path,
           to): Unit
