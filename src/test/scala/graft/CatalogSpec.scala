@@ -727,7 +727,7 @@ class CatalogSpec extends AnyFunSuite {
       // the scan must keep ordinary split-parallel file partitions —
       // a non-join aggregate on a bucketed table is never capped at
       // n tasks unless the session opted into alignment
-      val ctrlParts = shuffled.queryExecution.executedPlan.collect {
+      val ctrlParts = physicalPlan(shuffled).collect {
         case b: org.apache.spark.sql.execution.datasources.v2
           .BatchScanExec => b.partitions.flatten }.flatten
       assert(ctrlParts.nonEmpty && ctrlParts.forall(
@@ -876,7 +876,7 @@ class CatalogSpec extends AnyFunSuite {
       val spjS0 = spark.sql(qs)
       noExchange(spjS0, "the skewed co-bucketed join")
       assert(spjS0.collect().map(_.toString).toSeq == wantS)
-      val grouped = spjS0.queryExecution.executedPlan.collect {
+      val grouped = physicalPlan(spjS0).collect {
         case b: BatchScanExec => b.inputRDD.getNumPartitions }.max
       assert(grouped <= 4,
         s"fully-clustered groups to <= n tasks, got $grouped")
@@ -889,7 +889,7 @@ class CatalogSpec extends AnyFunSuite {
       noExchange(spjS, "the partially-clustered skewed join")
       assert(spjS.collect().map(_.toString).toSeq == wantS,
         "partially-clustered must return exactly the shuffled answer")
-      val parts = spjS.queryExecution.executedPlan.collect {
+      val parts = physicalPlan(spjS).collect {
         case b: BatchScanExec => b.inputRDD.getNumPartitions }.max
       assert(parts > 4,
         s"a skewed bucket must stay split under partially-clustered " +

@@ -514,7 +514,7 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.FileSourceScanExec
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
       df.collect() // force planning through AQE final plan
-      df.queryExecution.executedPlan.collectLeaves().collect {
+      physicalPlan(df).collectLeaves().collect {
         case s: FileSourceScanExec => s.relation.location.inputFiles.length.toLong
       }.sum
     }
@@ -615,7 +615,7 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.FileSourceScanExec
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
       df.collect()
-      df.queryExecution.executedPlan.collectLeaves().collect {
+      physicalPlan(df).collectLeaves().collect {
         case s: FileSourceScanExec => s.relation.location.inputFiles.length.toLong
       }.sum
     }
@@ -736,7 +736,7 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.FileSourceScanExec
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
       df.collect()
-      df.queryExecution.executedPlan.collectLeaves().collect {
+      physicalPlan(df).collectLeaves().collect {
         case s: FileSourceScanExec => s.relation.location.inputFiles.length.toLong
       }.sum
     }
@@ -1013,7 +1013,7 @@ class PlanSpec extends AnyFunSuite {
           b.parts.toSeq.flatMap(files)
         case _ => Nil
       }
-      df.queryExecution.executedPlan.collect {
+      physicalPlan(df).collect {
         case b: BatchScanExec => b.partitions.flatten }
         .flatten.flatMap(files).distinct.size
     }
@@ -1138,7 +1138,7 @@ class PlanSpec extends AnyFunSuite {
       // QueryExecution and the inspected scan would never run)
       val rows = joined.collect()
       assert(rows.length == 50)
-      val scans = joined.queryExecution.executedPlan.collect {
+      val scans = physicalPlan(joined).collect {
         case b: BatchScanExec => b }
       val factScan = scans.map(_.scan).collectFirst {
         case s: sources.v2.GraftRuntimeFilterScan => s }

@@ -18,6 +18,21 @@ object TestSpark {
     s
   }
   val sf = "/root/testdata/sf0.001"
+
+  /** Suites run in PARALLEL over this one shared session, so another
+    * suite may flip `spark.sql.adaptive.enabled` between a frame's
+    * planning and its assert. With AQE on, `executedPlan` is an
+    * `AdaptiveSparkPlanExec` that keeps the real plan in a FIELD — not
+    * in `children` — so tree-walking asserts (`collect`,
+    * `collectLeaves`) see one opaque leaf and silently match nothing.
+    * Every plan walker in the suites must descend through this. */
+  def physicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
 }
 
 /** Every registered query runs and yields a sane result on sf0.001;

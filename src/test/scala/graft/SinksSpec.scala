@@ -1890,7 +1890,7 @@ class SinksSpec extends AnyFunSuite {
       root, Seq("k"))
     ManifestTable.deleteWhereMor(spark, root, col("k") === 10L)
     def scans(df: org.apache.spark.sql.DataFrame): Seq[BatchScanExec] =
-      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      physicalPlan(df).collect { case b: BatchScanExec => b }
     def parts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
       val all = scans(df).flatMap(_.partitions.flatten)
       (all.count(_.isInstanceOf[GraftDvCleanPartition]),
@@ -1958,7 +1958,7 @@ class SinksSpec extends AnyFunSuite {
     // kept the frozen physical name; the scan shim translates)
     val probe = spark.read.format("graft").load(root)
       .filter(col("key") >= 80L && col("key") <= 85L)
-    val probed = probe.queryExecution.executedPlan.collect {
+    val probed = physicalPlan(probe).collect {
       case b: BatchScanExec => b.partitions.flatten }.flatten.size
     assert(probed == 1, s"rename must not break envelope pruning: $probed")
     assert(probe.select("key").collect().map(_.getLong(0)).toSet ==
@@ -2052,7 +2052,7 @@ class SinksSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")
       spark.conf.set("spark.sql.files.openCostInBytes", "0")
       val df = spark.read.format("graft").load(root)
-      val dvParts = df.queryExecution.executedPlan.collect {
+      val dvParts = physicalPlan(df).collect {
         case b: BatchScanExec => b.partitions.flatten }.flatten
         .collect { case p: GraftDvFilePartition => p }
       assert(dvParts.size > 1,
@@ -2834,7 +2834,7 @@ class SinksSpec extends AnyFunSuite {
     // plan shape: columnar, probe partitions only on the TOUCHED
     // files, pushed filters reach the probed branch
     val probe = readAll().filter(col("k") >= "k0000" && col("k") <= "k0100")
-    val scans = probe.queryExecution.executedPlan.collect {
+    val scans = physicalPlan(probe).collect {
       case b: BatchScanExec => b }
     assert(scans.forall(_.supportsColumnar),
       "eq-pending reads must stay columnar")
