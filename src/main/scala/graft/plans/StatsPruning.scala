@@ -270,6 +270,120 @@ object StatsPruneRule extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** Dual of [[excludedByEnvelopes]]: canonical paths of files whose
+    * envelopes PROVE every row matches `cond` — the whole-file grain
+    * of DELETE / replaceWhere (Iceberg's metadata delete, Delta's
+    * partition-aligned drop, generalized to any clustered layout): a
+    * proven file leaves the manifest BY REFERENCE, zero data I/O —
+    * the retention-delete shape a 100 TB time-clustered table needs.
+    *
+    * Sound under SQL's three-valued DELETE semantics: a row where
+    * `cond` is NULL is KEPT, so a file qualifies only when (a) the
+    * structural subsumption proof below evaluates TRUE on its
+    * envelope and (b) every column `cond` references has ZERO nulls
+    * in the file — with null-free operands these comparison shapes
+    * are two-valued, so "not FALSE anywhere" and "no NULL anywhere"
+    * together give "TRUE everywhere". Subsumption: `a < v` holds for
+    * every row iff `a_max < v`, equality iff the envelope is the
+    * point, And/Or/Not recurse (Or sufficiently: one branch covering
+    * every row covers the disjunction; its dual, every-row-FAILS,
+    * needs both branches). Any unsupported shape, untracked column,
+    * or unknown envelope cell (NULL min/max under the `<=> true`
+    * gate) yields no proof — the file degrades to the rewrite path,
+    * never to a wrong drop. */
+  private[graft] def wholeFileMatched(cond: Expression,
+                                      stats: DataFrame,
+                                      statsCols: Seq[String]): Set[String] = {
+    import org.apache.spark.sql.functions.col
+    // same pre-fold as excludedByEnvelopes: SQL literals arrive as
+    // Cast(Literal); foldable-but-unevaluable stays unfolded (no proof)
+    val folded = cond.transformUp {
+      case e if e.foldable && !e.isInstanceOf[Literal] =>
+        try Literal.create(e.eval(null), e.dataType)
+        catch { case _: RuntimeException => e }
+    }
+    // normalize literal-first comparisons so the proofs below see one
+    // shape (literal-vs-literal no longer exists: folded above)
+    val norm = folded.transformUp {
+      case LessThan(v: Literal, a) => GreaterThan(a, v)
+      case LessThanOrEqual(v: Literal, a) => GreaterThanOrEqual(a, v)
+      case GreaterThan(v: Literal, a) => LessThan(a, v)
+      case GreaterThanOrEqual(v: Literal, a) => LessThanOrEqual(a, v)
+      case EqualTo(v: Literal, a) => EqualTo(a, v)
+    }
+    val refs = norm.collect {
+      case a: AttributeReference => a.name
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.name
+    }.distinct
+    if (refs.isEmpty || !refs.forall(statsCols.contains)) return Set.empty
+    // every-row-MATCHES / every-row-FAILS proofs over one stats row,
+    // mutually recursive through Not; None = not provable. The
+    // IsNull/IsNotNull leaves lean on the null-free gate ANDed into
+    // the final filter (their column is in `refs` by construction).
+    def matches(e: Expression): Option[Column] = e match {
+      case And(l, r) => for (a <- matches(l); b <- matches(r)) yield a && b
+      case Or(l, r) => (matches(l), matches(r)) match {
+        case (None, None) => None
+        case (a, b) => Some(Seq(a, b).flatten.reduce(_ || _))
+      }
+      case Not(x) => fails(x)
+      case LessThan(Attr(a), v: Literal) =>
+        Some(col(s"${a}_max") < scalaLit(v))
+      case LessThanOrEqual(Attr(a), v: Literal) =>
+        Some(col(s"${a}_max") <= scalaLit(v))
+      case GreaterThan(Attr(a), v: Literal) =>
+        Some(col(s"${a}_min") > scalaLit(v))
+      case GreaterThanOrEqual(Attr(a), v: Literal) =>
+        Some(col(s"${a}_min") >= scalaLit(v))
+      case EqualTo(Attr(a), v: Literal) =>
+        Some(col(s"${a}_min") >= scalaLit(v) &&
+          col(s"${a}_max") <= scalaLit(v))
+      case In(ae, Seq(v: Literal)) => matches(EqualTo(ae, v))
+      case IsNotNull(Attr(_)) => Some(lit(true))
+      case Literal(true, org.apache.spark.sql.types.BooleanType) =>
+        Some(lit(true))
+      case _ => None
+    }
+    def fails(e: Expression): Option[Column] = e match {
+      case And(l, r) => (fails(l), fails(r)) match {
+        case (None, None) => None
+        case (a, b) => Some(Seq(a, b).flatten.reduce(_ || _))
+      }
+      case Or(l, r) => for (a <- fails(l); b <- fails(r)) yield a && b
+      case Not(x) => matches(x)
+      case LessThan(Attr(a), v: Literal) =>
+        Some(col(s"${a}_min") >= scalaLit(v))
+      case LessThanOrEqual(Attr(a), v: Literal) =>
+        Some(col(s"${a}_min") > scalaLit(v))
+      case GreaterThan(Attr(a), v: Literal) =>
+        Some(col(s"${a}_max") <= scalaLit(v))
+      case GreaterThanOrEqual(Attr(a), v: Literal) =>
+        Some(col(s"${a}_max") < scalaLit(v))
+      case EqualTo(Attr(a), v: Literal) =>
+        Some(col(s"${a}_max") < scalaLit(v) ||
+          col(s"${a}_min") > scalaLit(v))
+      case In(Attr(a), vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        Some(vs.map { v =>
+          val c = scalaLit(v.asInstanceOf[Literal])
+          col(s"${a}_max") < c || col(s"${a}_min") > c
+        }.reduce(_ && _))
+      case IsNull(Attr(_)) => Some(lit(true))
+      case Literal(false, org.apache.spark.sql.types.BooleanType) =>
+        Some(lit(true))
+      case _ => None
+    }
+    matches(norm) match {
+      case None => Set.empty
+      case Some(proof) =>
+        val nullFree = refs.map(c => col(s"${c}_nulls") === lit(0L))
+          .reduce(_ && _)
+        stats.filter((proof && nullFree) <=> lit(true)).select("path")
+          .collect().map(r => GraftTables.canon(r.getString(0))).toSet
+    }
+  }
+
   /** VERSION-KEYED proof cache: the planning-time metadata queries
     * (two collects per registered scan) are re-issued for every plan
     * of a hot table, so identical proofs memoize. The key carries the

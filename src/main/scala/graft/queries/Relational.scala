@@ -1123,6 +1123,35 @@ object Relational extends QueryModule {
       FROM graft.gate.dsql ORDER BY doc_id""")
   }
 
+  /** METADATA-ONLY DELETE end-to-end: on a range-clustered manifest
+    * table, a retention-shaped `deleteWhere` drops every provably
+    * all-matching file from the manifest BY REFERENCE
+    * ([[graft.plans.StatsPruneRule.wholeFileMatched]] — zero data
+    * I/O; only the boundary file rewrites), then a MERGE-ON-READ
+    * range delete whose aligned span likewise drops whole files with
+    * no vector sidecars. The oracle replays both deletes
+    * relationally — hash-identical rows prove the drop grain changes
+    * COST, never answers. */
+  def qDeleteFiledrop(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_filedrop") + "/t"
+    graft.sinks.ManifestTable.create(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    // lower retention cut: whole files below 150 drop by reference
+    graft.sinks.ManifestTable.deleteWhere(spark, root,
+      col("doc_id") <= lit(150L))
+    // upper MoR cut: aligned files drop, the straddler gets a vector
+    graft.sinks.ManifestTable.deleteWhereMor(spark, root,
+      col("doc_id") > lit(400L))
+    graft.sinks.ManifestTable.read(spark, root)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SQL additive schema evolution end-to-end: `ALTER TABLE ADD
     * COLUMN` widens the sidecar with zero data rewrites, pre-existing
     * rows read NULL for the evolved column, and post-evolution
@@ -1380,6 +1409,7 @@ object Relational extends QueryModule {
     "q_bucket_join"       -> qBucketJoin _,
     "q_update_sql"        -> qUpdateSql _,
     "q_delete_sql"        -> qDeleteSql _,
+    "q_delete_filedrop"   -> qDeleteFiledrop _,
     "q_evolve_sql"        -> qEvolveSql _,
     "q_evolve_nested"     -> qEvolveNested _,
     "q_widen_sql"         -> qWidenSql _,
@@ -1647,6 +1677,11 @@ object Relational extends QueryModule {
       """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents
         |WHERE NOT coalesce(doc_id % 3 = 0 OR lang = 'en', FALSE)
+        |ORDER BY doc_id""".stripMargin,
+    "q_delete_filedrop" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id > 150 AND doc_id <= 400
         |ORDER BY doc_id""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(ts AS DATE) AS bucket_day,

@@ -1070,13 +1070,17 @@ object ManifestTable {
   /** Row-level DELETE, file-granular: the predicate's range conjuncts
     * run through the shared envelope-proof engine against the
     * manifest's own stats — provably-unmatching files carry forward
-    * untouched; the rest are rewritten with SQL DELETE semantics
-    * (NULL predicate keeps the row). A predicate with no provable
-    * range shape degrades to rewriting every file — sound, at the
-    * old whole-table cost. */
+    * untouched, provably ALL-MATCHING files DROP from the manifest by
+    * reference ([[graft.plans.StatsPruneRule.wholeFileMatched]] — the
+    * metadata-only retention-delete grain: `ts < cutoff` on a
+    * time-clustered table removes whole files with ZERO data I/O);
+    * only the boundary files between the two proofs are rewritten,
+    * with SQL DELETE semantics (NULL predicate keeps the row). A
+    * predicate with no provable range shape degrades to rewriting
+    * every file — sound, at the old whole-table cost. */
   def deleteWhere(spark: SparkSession, root: String, cond: Column): Long =
-    rewriteWhere(spark, root, cond)((touchedRows, matched) =>
-      touchedRows.filter(not(matched)))
+    rewriteWhere(spark, root, cond, dropWholeMatches = true)(
+      (touchedRows, matched) => touchedRows.filter(not(matched)))
 
   /** ADDITIVE schema evolution as a standalone commit — `ALTER TABLE
     * ADD COLUMN` for the manifest format: the next version reuses the
@@ -1679,8 +1683,18 @@ object ManifestTable {
         resolveCond(spark, cond, schema), schema)
       val excluded = graft.plans.StatsPruneRule.excludedByEnvelopes(
         spark, resolvedCond, m, stats)
-      val touched = states.filterNot(s => excluded.contains(s._1))
-      if (touched.isEmpty) m
+      // provably ALL-MATCHING files drop from the manifest directly —
+      // no position scan, no vector sidecar (the metadata-only grain,
+      // same proof as [[deleteWhere]]'s; raw envelopes are supersets
+      // of the live rows, so a DV-bearing file's proof still holds)
+      val dropped = graft.plans.StatsPruneRule.wholeFileMatched(
+        resolvedCond, m, stats) -- excluded
+      val kept =
+        if (dropped.isEmpty) m
+        else m.filter(!col("path").isin(dropped.toSeq: _*))
+      val touched = states.filterNot(s =>
+        excluded.contains(s._1) || dropped.contains(s._1))
+      if (touched.isEmpty) kept
       else {
         // file positions of the rows the predicate matches — raw read
         // (existing DVs included: re-matching an already-deleted row
@@ -1694,8 +1708,8 @@ object ManifestTable {
               col(physicalName(f)).as(f.name)): _*)
           .filter(coalesce(cond, lit(false)))
           .select(col("_p"), col("_i"))
-        vectorPositions(spark, root, m, states, touched, matched)
-          .getOrElse(m)
+        vectorPositions(spark, root, kept, states, touched, matched)
+          .getOrElse(kept)
       }
     }
 
@@ -2597,7 +2611,11 @@ object ManifestTable {
     // land the batch ONCE — immutable files are reusable across CAS
     // retry attempts; only the manifest swap recomputes on conflict
     lazy val batchRows = landFiles(batch, root, statsCols(spark, root, v))
-    rewriteWhere(spark, root, cond, extraRows = () => batchRows)(
+    // whole-matched files drop by reference: a replaceWhere whose
+    // predicate aligns with the file layout (the partition-overwrite
+    // shape) is drop + insert — zero reads of the replaced region
+    rewriteWhere(spark, root, cond, extraRows = () => batchRows,
+      dropWholeMatches = true)(
       (touchedRows, matched) => touchedRows.filter(not(matched)))
   }
 
@@ -2637,7 +2655,8 @@ object ManifestTable {
     * already folded in — land the result, and commit the swap.
     * Conflicts recompute from scratch against the new base. */
   private def rewriteWhere(spark: SparkSession, root: String, cond: Column,
-                           extraRows: () => DataFrame = null)
+                           extraRows: () => DataFrame = null,
+                           dropWholeMatches: Boolean = false)
                           (transform: (DataFrame, Column) => DataFrame): Long =
     commitLoop(spark, root, eqReg = _ => Nil) { base =>
       val (m, states) = effectiveManifest(spark, root, base)
@@ -2647,17 +2666,40 @@ object ManifestTable {
         resolveCond(spark, cond, schema), schema)
       val excluded = graft.plans.StatsPruneRule.excludedByEnvelopes(
         spark, resolvedCond, m, stats)
-      val touchedStates = states.filterNot(s => excluded.contains(s._1))
+      // DELETE-shaped callers opt in: a file whose envelope proves
+      // EVERY row matches leaves the manifest BY REFERENCE — no read,
+      // no rewrite (the metadata-only retention-delete / partition-
+      // overwrite grain; vacuum reclaims the bytes on its tick). Raw
+      // envelopes are supersets of the live rows, so the proof holds
+      // under deletion vectors too. UPDATE must never take this path:
+      // its matched rows are transformed, not removed.
+      val dropped =
+        if (!dropWholeMatches) Set.empty[String]
+        else graft.plans.StatsPruneRule.wholeFileMatched(
+          resolvedCond, m, stats) -- excluded
+      val touchedStates = states.filterNot(s =>
+        excluded.contains(s._1) || dropped.contains(s._1))
       val touched = touchedStates.map(_._1)
-      // touched reads apply the files' deletion vectors (a raw read
-      // would resurrect deleted rows into the rewrite)
-      val touchedRows = readFilesDv(spark, schema,
-        touchedStates.map(s => (s._1, s._2)), touchedStates.map(_._3).sum)
-      val newRows = landFiles(physSelect(
-        transform(touchedRows, coalesce(cond, lit(false))), schema),
-        root, stats)
-      val next = m.filter(!col("path").isin(touched: _*)).unionByName(newRows)
-      if (extraRows == null) next else next.unionByName(extraRows())
+      val kept =
+        if (dropped.isEmpty) m
+        else m.filter(!col("path").isin(dropped.toSeq: _*))
+      if (touchedStates.isEmpty)
+        // nothing to rewrite: a fully-aligned op commits metadata (and
+        // the replaceWhere batch) alone — an empty landing would still
+        // write a 0-row parquet file
+        if (extraRows == null) kept else kept.unionByName(extraRows())
+      else {
+        // touched reads apply the files' deletion vectors (a raw read
+        // would resurrect deleted rows into the rewrite)
+        val touchedRows = readFilesDv(spark, schema,
+          touchedStates.map(s => (s._1, s._2)), touchedStates.map(_._3).sum)
+        val newRows = landFiles(physSelect(
+          transform(touchedRows, coalesce(cond, lit(false))), schema),
+          root, stats)
+        val next = kept.filter(!col("path").isin(touched: _*))
+          .unionByName(newRows)
+        if (extraRows == null) next else next.unionByName(extraRows())
+      }
     }
 
   /** File-set delta between two versions — (removed, added) data-file

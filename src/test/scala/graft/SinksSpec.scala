@@ -2918,4 +2918,152 @@ class SinksSpec extends AnyFunSuite {
     ManifestTable.compactEq(spark, eqT)
     assert(content(eqT) == want -- (10L until 20L))
   }
+
+  test("metadata-only DELETE: provably all-matching files drop by reference — no landings on aligned predicates, null/boundary/update rows honest") {
+    import sinks.ManifestTable
+    def dataFiles(root: String): Set[String] = graft.sources.FileManifest
+      .listFiles(spark, s"$root/data")
+      .select(col("path")).collect().map(_.getString(0)).toSet
+    def mk(tag: String): String = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-filedrop-$tag").toString + "/t"
+      // four range-clustered files on k: 0-24 / 25-49 / 50-74 / 75-99
+      ManifestTable.create(
+        spark.range(100).select(col("id").as("k"), (col("id") % 7).as("v"))
+          .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+        root, Seq("k"))
+      root
+    }
+    // ALIGNED retention delete (k <= 49 covers two files wholly; the
+    // closed cutoff also envelope-EXCLUDES the file starting at 50 —
+    // a strict `< 50` would leave that file an honest rewrite
+    // candidate, since exclusion proofs relax strict bounds to
+    // closed): the covered files leave the manifest BY REFERENCE —
+    // no read, no rewrite, no landing (the data dir is untouched)
+    val cow = mk("cow")
+    val files0 = dataFiles(cow)
+    assert(files0.size == 4)
+    ManifestTable.deleteWhere(spark, cow, col("k") <= 49L)
+    assert(dataFiles(cow) == files0,
+      "an aligned whole-file delete must land ZERO new data files")
+    val v1 = ManifestTable.latestVersion(spark, cow)
+    assert(ManifestTable.filesAt(spark, cow, v1).toSet.subsetOf(files0),
+      "survivors must carry by reference")
+    assert(ManifestTable.filesAt(spark, cow, v1).size == 2)
+    assert(ManifestTable.read(spark, cow).agg(min(col("k")), count(lit(1)))
+      .head() == org.apache.spark.sql.Row(50L, 50L))
+    // BOUNDARY delete (k < 60): file 50-74 straddles the cut — it
+    // alone rewrites; 75-99 carries by reference
+    ManifestTable.deleteWhere(spark, cow, col("k") < 60L)
+    val v2 = ManifestTable.latestVersion(spark, cow)
+    val at2 = ManifestTable.filesAt(spark, cow, v2).toSet
+    assert(at2.intersect(files0).size == 1,
+      "the unstraddled file must carry by reference through a boundary delete")
+    assert(ManifestTable.read(spark, cow).select(col("k"))
+      .collect().map(_.getLong(0)).toSet == (60L until 100L).toSet)
+    // UPDATE must never take the drop path: wholly-matched rows are
+    // transformed in place, not removed
+    ManifestTable.updateWhere(spark, cow, col("k") >= 75L,
+      Seq(("v", lit(999L))))
+    assert(ManifestTable.read(spark, cow)
+      .filter(col("v") === 999L).count() == 25L)
+    assert(ManifestTable.read(spark, cow).count() == 40L)
+    // NULLS: a NULL predicate row is a KEEP — a file whose non-null
+    // envelope sits wholly inside the range but carries nulls must
+    // NOT drop (c_nulls == 0 gates the proof)
+    val nulls = java.nio.file.Files
+      .createTempDirectory("graft-filedrop-null").toString + "/t"
+    ManifestTable.create(
+      spark.range(50).select(
+        when(col("id") % 10 === 0L, lit(null)).otherwise(col("id"))
+          .cast("long").as("k"),
+        col("id").as("v")).coalesce(1),
+      nulls, Seq("k"))
+    ManifestTable.deleteWhere(spark, nulls, col("k") < 100L)
+    assert(ManifestTable.read(spark, nulls).count() == 5L,
+      "NULL-k rows must survive a k-range delete (SQL NULL keeps)")
+    // MERGE-ON-READ: the same proof drops files BEFORE the position
+    // scan — no vector sidecars, no landings for the aligned region
+    val mor = mk("mor")
+    val morFiles0 = dataFiles(mor)
+    ManifestTable.deleteWhereMor(spark, mor, col("k") >= 50L)
+    assert(dataFiles(mor) == morFiles0,
+      "an aligned MoR delete must land no files")
+    assert(!new java.io.File(s"$mor/_dv").exists() ||
+      new java.io.File(s"$mor/_dv").listFiles().isEmpty,
+      "an aligned MoR delete must write no vector sidecars")
+    assert(ManifestTable.read(spark, mor).select(col("k"))
+      .collect().map(_.getLong(0)).toSet == (0L until 50L).toSet)
+    // EQUALITY shape (one file per partition-style key value, built
+    // deterministically as three single-key appends): a point delete
+    // drops exactly that file — min == max == v proves the whole file
+    val eq = java.nio.file.Files
+      .createTempDirectory("graft-filedrop-eq").toString + "/t"
+    ManifestTable.create(
+      spark.range(10).select(lit(0L).as("day"), col("id").as("v"))
+        .coalesce(1), eq, Seq("day"))
+    ManifestTable.write(spark.range(10)
+      .select(lit(1L).as("day"), col("id").as("v")).coalesce(1), eq)
+    ManifestTable.write(spark.range(10)
+      .select(lit(2L).as("day"), col("id").as("v")).coalesce(1), eq)
+    val eqFiles0 = dataFiles(eq)
+    assert(eqFiles0.size == 3)
+    ManifestTable.deleteWhere(spark, eq, col("day") === 1L)
+    assert(dataFiles(eq) == eqFiles0,
+      "an equality delete on an isolated key must drop, not rewrite")
+    assert(ManifestTable.filesAt(spark, eq,
+      ManifestTable.latestVersion(spark, eq)).size == 2)
+    assert(ManifestTable.read(spark, eq).select(col("day"))
+      .distinct().collect().map(_.getLong(0)).toSet == Set(0L, 2L))
+    // FULL-TABLE drop: everything provably matches — empty manifest,
+    // zero new files, and the table stays writable
+    ManifestTable.deleteWhere(spark, cow, col("k") >= 0L)
+    assert(ManifestTable.read(spark, cow).count() == 0L)
+    ManifestTable.write(
+      spark.range(5).select(col("id").as("k"), col("id").as("v")), cow)
+    assert(ManifestTable.read(spark, cow).count() == 5L)
+    // replaceWhere on an aligned region is drop + insert: the
+    // replaced files leave by reference, the untouched files carry,
+    // and ONLY the batch lands (one coalesced file)
+    val rw = mk("rw")
+    val rwFiles0 = dataFiles(rw)
+    val batch = spark.range(200, 210)
+      .select(col("id").as("k"), lit(0L).as("v")).coalesce(1)
+    ManifestTable.replaceWhere(batch, rw, col("k") >= 75L)
+    val rwNow = ManifestTable.filesAt(spark, rw,
+      ManifestTable.latestVersion(spark, rw)).toSet
+    assert(rwNow.intersect(rwFiles0).size == 3,
+      "replaceWhere must carry every unmatched file by reference")
+    assert(dataFiles(rw).size == rwFiles0.size + 1,
+      "an aligned replaceWhere lands ONLY the batch — the replaced " +
+        "region is dropped by reference, never read or rewritten")
+    assert(ManifestTable.read(spark, rw).filter(col("k") >= 75L)
+      .count() == 10L)
+    assert(ManifestTable.read(spark, rw).count() == 85L)
+    // SCALE shape, listener-proven: on a table whose data dwarfs its
+    // metadata, an aligned retention delete reads (almost) nothing —
+    // the same op that would rewrite half a 100 TB table as
+    // copy-on-write costs two manifest reads here
+    val big = java.nio.file.Files
+      .createTempDirectory("graft-filedrop-big").toString + "/t"
+    // eight files with EXPLICIT disjoint 50k ranges (a range
+    // partitioner's quantile cuts would let the delete cutoff land
+    // mid-file and force one honest rewrite — this asserts the pure
+    // drop, so the cutoff must sit exactly on a file boundary)
+    def bigSlice(i: Long) = spark.range(i * 50000L, (i + 1) * 50000L)
+      .select(col("id").as("k"),
+        concat(lit("padpadpadpad-"), col("id")).as("v")).coalesce(1)
+    ManifestTable.create(bigSlice(0L), big, Seq("k"))
+    (1L to 7L).foreach(i => ManifestTable.write(bigSlice(i), big))
+    val tableBytes = graft.sources.FileManifest
+      .listFiles(spark, s"$big/data")
+      .agg(sum(col("size"))).head().getLong(0)
+    val io = bytesReadDuring {
+      ManifestTable.deleteWhere(spark, big, col("k") <= 199999L): Unit
+    }
+    assert(io < tableBytes / 20,
+      s"aligned retention delete read $io B of a $tableBytes B table " +
+        "— the drop must be metadata-only")
+    assert(ManifestTable.read(spark, big).count() == 200000L)
+  }
 }
