@@ -1152,6 +1152,30 @@ object Relational extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** CHECK constraints end-to-end: declare table invariants (a range
+    * CHECK and an explicit NOT NULL), then land the corpus in two
+    * halves THROUGH the enforcement seam — every commit validates its
+    * freshly landed files before the CAS ([[graft.sinks.ManifestTable
+    * .addConstraint]]); the oracle is the plain union, proving
+    * enforcement costs a batch read and changes no answers. */
+  def qConstraint(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_constraint") + "/t"
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.sinks.ManifestTable.create(
+      d.filter(col("doc_id") % 2 === 0L), root, Seq("doc_id"))
+    graft.sinks.ManifestTable.addConstraint(spark, root,
+      "chars_nonneg", "n_chars >= 0")
+    graft.sinks.ManifestTable.addConstraint(spark, root,
+      "lang_notnull", "lang IS NOT NULL")
+    graft.sinks.ManifestTable.write(
+      d.filter(col("doc_id") % 2 === 1L), root)
+    graft.sinks.ManifestTable.read(spark, root)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SQL additive schema evolution end-to-end: `ALTER TABLE ADD
     * COLUMN` widens the sidecar with zero data rewrites, pre-existing
     * rows read NULL for the evolved column, and post-evolution
@@ -1410,6 +1434,7 @@ object Relational extends QueryModule {
     "q_update_sql"        -> qUpdateSql _,
     "q_delete_sql"        -> qDeleteSql _,
     "q_delete_filedrop"   -> qDeleteFiledrop _,
+    "q_constraint"        -> qConstraint _,
     "q_evolve_sql"        -> qEvolveSql _,
     "q_evolve_nested"     -> qEvolveNested _,
     "q_widen_sql"         -> qWidenSql _,
@@ -1683,6 +1708,9 @@ object Relational extends QueryModule {
         |FROM documents
         |WHERE doc_id > 150 AND doc_id <= 400
         |ORDER BY doc_id""".stripMargin,
+    "q_constraint" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(ts AS DATE) AS bucket_day,
         |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,

@@ -69,6 +69,7 @@ object ManifestTable {
   private val ManifestsSub = "_manifests"
   private val SchemaSidecar = "_graft_schema.json"
   private val EqSidecar = "_graft_eqdeletes.tsv"
+  private val ConstraintsSidecar = "_graft_constraints.tsv"
   private val DvSub = "_dv"
   private val EqSub = "_eq"
 
@@ -274,6 +275,134 @@ object ManifestTable {
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
+
+  /** The table's CHECK constraints committed with `version` — (name,
+    * boolean SQL expression) pairs off the epoch's sidecar; absent
+    * sidecar = none. Constraints are table INVARIANTS: every landing
+    * of new or transformed rows validates against them before its
+    * commit ([[landFiles]]), so a version's data always satisfies its
+    * version's constraints. */
+  private[graft] def constraintsAt(spark: SparkSession, root: String,
+                                   version: Long): Seq[(String, String)] = {
+    val p = new Path(s"${manifestsRoot(root)}/epoch=$version",
+      ConstraintsSidecar)
+    val f = fs(spark, root)
+    if (!f.exists(p)) return Nil
+    val in = f.open(p)
+    val txt = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    txt.split('\n').filter(_.nonEmpty).toSeq.map { line =>
+      val i = line.indexOf('\t')
+      (line.substring(0, i), line.substring(i + 1))
+    }
+  }
+
+  /** Constraints sidecar writer for the staging hook — absence IS the
+    * empty set. */
+  private def stageConstraints(spark: SparkSession, root: String,
+                               cons: Seq[(String, String)])
+                              (dir: String): Unit = {
+    if (cons.isEmpty) return
+    val f = fs(spark, root)
+    val out = f.create(new Path(dir, ConstraintsSidecar), true)
+    try out.write(cons.map { case (n, e) => s"$n\t$e" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Top-level column names a constraint expression references —
+    * parsed, not analyzed (the check callers guard evolution, where
+    * the expression may no longer resolve). */
+  private def constraintRefs(spark: SparkSession, exprSql: String)
+      : Set[String] =
+    spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.nameParts.head
+    }.toSet
+
+  /** One-pass violation probe over freshly landed files: read them
+    * under the attempt's schema (physical names on disk, logical
+    * names for the expressions), flag every constraint in one scan,
+    * and refuse on the first violating row — SQL CHECK semantics:
+    * only FALSE violates, NULL passes (enforce non-null with an
+    * explicit `c IS NOT NULL` constraint). A refusal commits
+    * NOTHING; the already-landed files stay unreferenced until
+    * vacuum's TTL sweep, the same contract as a failed CTAS. */
+  private def validateConstraints(spark: SparkSession, files: Seq[String],
+                                  schema: StructType,
+                                  cons: Seq[(String, String)]): Unit = {
+    val logical = spark.read.schema(toPhysical(schema))
+      .parquet(files: _*)
+      .select(schema.fields.toIndexedSeq.map(f =>
+        col(physicalName(f)).as(f.name)): _*)
+    val flagged = logical.select(cons.map { case (n, e) =>
+      (expr(e) <=> lit(false)).as(n) }: _*)
+    val bad = flagged
+      .filter(cons.map(c => col(c._1)).reduce(_ || _))
+      .limit(1).collect()
+    bad.headOption.foreach { r =>
+      val broken = cons.filter { case (n, _) => r.getAs[Boolean](n) }
+      sys.error("CHECK constraint violated by the batch — nothing " +
+        "committed: " +
+        broken.map { case (n, e) => s"$n ($e)" }.mkString(", "))
+    }
+  }
+
+  /** ADD CONSTRAINT — a table-level CHECK invariant (`NOT NULL` is
+    * spelled `c IS NOT NULL`): first proves EVERY existing live row
+    * satisfies it (one scan, inside the CAS attempt, so a racing
+    * write re-validates), then commits the widened registry as a
+    * normal metadata-only version. From then on every commit that
+    * lands rows — append, overwrite, MERGE, UPDATE, CDC, streaming
+    * batches — validates them BEFORE committing
+    * ([[commitLoopEvolvingOpt]]): a violating batch refuses with
+    * nothing committed, the Delta CHECK-constraint contract. Cost at
+    * scale: one extra read of each commit's OWN batch (never the
+    * table), and the registry rides the existing sidecar staging. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    exprSql: String): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name '$name' must be an identifier " +
+        "([A-Za-z_][A-Za-z0-9_]*)")
+    require(!exprSql.exists(c => c == '\n' || c == '\t'),
+      "constraint expressions must not contain newlines or tabs")
+    commitLoop(spark, root,
+      consReg = base => constraintsAt(spark, root, base) :+
+        ((name, exprSql))) { base =>
+      val existing = constraintsAt(spark, root, base)
+      require(!existing.exists(_._1 == name),
+        s"constraint $name already exists on $root")
+      val schema = tableSchema(spark, root, base)
+      val resolved = resolveCond(spark, expr(exprSql), schema)
+      require(resolved.deterministic,
+        s"constraint $name must be deterministic — it re-evaluates " +
+          "on every future batch")
+      require(resolved.collectFirst {
+        case s: org.apache.spark.sql.catalyst.expressions
+          .SubqueryExpression => s }.isEmpty,
+        s"constraint $name must not contain subqueries")
+      val bad = readVersion(spark, root, base)
+        .filter(expr(exprSql) <=> lit(false)).limit(1).count()
+      require(bad == 0L,
+        s"cannot add constraint $name ($exprSql): existing rows " +
+          "violate it")
+      manifest(spark, root, base)
+    }
+  }
+
+  /** DROP CONSTRAINT — metadata-only removal of one named invariant;
+    * refuses an unknown name (a silently-ignored typo would leave the
+    * real constraint enforced against the user's belief). */
+  def dropConstraint(spark: SparkSession, root: String,
+                     name: String): Long =
+    commitLoop(spark, root,
+      consReg = base => {
+        val existing = constraintsAt(spark, root, base)
+        require(existing.exists(_._1 == name),
+          s"constraint $name does not exist on $root")
+        existing.filterNot(_._1 == name)
+      })(base => manifest(spark, root, base))
 
   /** Tracked stats columns, read off the manifest's own schema. */
   def statsCols(spark: SparkSession, root: String, version: Long): Seq[String] =
@@ -611,10 +740,12 @@ object ManifestTable {
     // may not even exist in the new schema
     val rows = landFiles(df, root, stats, bucketAs = Some(None))
     // a full content replace retires pending equality deletes with
-    // the content they applied to
+    // the content they applied to; the REPLACED table definition also
+    // starts constraint-free (the old invariants may reference
+    // columns the new schema lacks — RTAS re-declares, not inherits)
     commitLoopEvolving(spark, root, extraStage =
       VersionedTable.stampBatch(spark, manifestsRoot(root), -1L),
-      eqReg = _ => Nil) { _ =>
+      eqReg = _ => Nil, consReg = _ => Nil) { _ =>
       (rows, schema)
     }
   }
@@ -773,9 +904,12 @@ object ManifestTable {
     * schema sidecar re-stages each attempt. */
   private def commitLoop(spark: SparkSession, root: String,
                          maxAttempts: Int = 12,
-                         eqReg: Long => Seq[EqEntry] = null)
+                         eqReg: Long => Seq[EqEntry] = null,
+                         consReg: Long => Seq[(String, String)] = null,
+                         validateCons: Boolean = true)
                         (next: Long => DataFrame): Long =
-    commitLoopEvolving(spark, root, maxAttempts, eqReg = eqReg)(base =>
+    commitLoopEvolving(spark, root, maxAttempts, eqReg = eqReg,
+      consReg = consReg, validateCons = validateCons)(base =>
       (next(base), tableSchema(spark, root, base)))
 
   /** [[commitLoop]] where the next version may also commit a WIDER
@@ -785,10 +919,12 @@ object ManifestTable {
   private def commitLoopEvolving(spark: SparkSession, root: String,
                                  maxAttempts: Int = 12,
                                  extraStage: String => Unit = _ => (),
-                                 eqReg: Long => Seq[EqEntry] = null)
+                                 eqReg: Long => Seq[EqEntry] = null,
+                                 consReg: Long => Seq[(String, String)] = null,
+                                 validateCons: Boolean = true)
                                 (next: Long => (DataFrame, StructType)): Long =
-    commitLoopEvolvingOpt(spark, root, maxAttempts, extraStage, eqReg)(
-      base => Some(next(base))).get
+    commitLoopEvolvingOpt(spark, root, maxAttempts, extraStage, eqReg,
+      consReg, validateCons)(base => Some(next(base))).get
 
   /** [[commitLoopEvolving]] where an attempt may ABSTAIN (None) after
     * seeing the freshly resolved base — the hook [[writeBatch]]'s
@@ -806,11 +942,19 @@ object ManifestTable {
   private def commitLoopEvolvingOpt(spark: SparkSession, root: String,
                                     maxAttempts: Int = 12,
                                     extraStage: String => Unit = _ => (),
-                                    eqReg: Long => Seq[EqEntry] = null)
+                                    eqReg: Long => Seq[EqEntry] = null,
+                                    consReg: Long => Seq[(String, String)] =
+                                      null,
+                                    validateCons: Boolean = true)
                                    (next: Long => Option[(DataFrame, StructType)])
       : Option[Long] = {
     val eq: Long => Seq[EqEntry] =
       if (eqReg != null) eqReg else base => eqDeletes(spark, root, base)
+    // constraints are table invariants: every commit CARRIES them
+    // unless add/drop/restore explicitly decides the next set
+    val cons: Long => Seq[(String, String)] =
+      if (consReg != null) consReg
+      else base => constraintsAt(spark, root, base)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(spark, root)
@@ -819,6 +963,24 @@ object ManifestTable {
         case Some(rs) => rs
         case None     => return None
       }
+      // CHECK-constraint enforcement at the ONE place rows enter a
+      // version: freshly landed files are exactly the NULL-seq
+      // manifest rows (carried rows already satisfied the constraints
+      // of the version that landed them, which every later commit
+      // carries or explicitly re-decides). Validating INSIDE the
+      // attempt closes the race with a concurrent addConstraint —
+      // if this base moves, the retry re-reads the NEW base's set.
+      // `validateCons = false` is reserved for provably
+      // row-preserving relayouts (optimize/compaction), whose extra
+      // full read would double their cost for rows that cannot have
+      // changed.
+      val consNow = if (validateCons) cons(base) else Nil
+      if (consNow.nonEmpty) {
+        val fresh = rows0.filter(col("seq").isNull)
+          .select(col("path")).collect().map(_.getString(0)).toSeq
+        if (fresh.nonEmpty)
+          validateConstraints(spark, fresh, schema, consNow)
+      }
       // freshly landed rows carry NULL seq — stamp them with THIS
       // attempt's target version (carried rows keep their added-at
       // version; a CAS retry re-stamps against its own base)
@@ -826,7 +988,9 @@ object ManifestTable {
         coalesce(col("seq"), lit(base + 1)))
       VersionedTable.tryCommitAs(rows, manifestsRoot(root), base,
         dir => { stageSchema(spark, root, schema)(dir)
-          stageEq(spark, root, eq(base))(dir); extraStage(dir) }) match {
+          stageEq(spark, root, eq(base))(dir)
+          stageConstraints(spark, root, cons(base))(dir)
+          extraStage(dir) }) match {
         case Some(v) => return Some(v)
         case None    => attempt += 1
       }
@@ -1127,6 +1291,10 @@ object ManifestTable {
         require(!eqDeletes(spark, root, base).exists(_.keys.contains(n)),
           s"column $n keys pending equality deletes — run compactEq() " +
             "(or any row-level op / maintenance tick) before dropping it"))
+      drops.foreach(n => constraintsAt(spark, root, base).foreach {
+        case (cn, e) => require(!constraintRefs(spark, e).contains(n),
+          s"column $n is referenced by constraint $cn ($e) — drop the " +
+            "constraint before dropping the column") })
       if (bucketSpec(schema).isDefined)
         adds.foreach(f => require(f.name != "gb",
           "bucketed tables reserve the column name 'gb' for the bucket " +
@@ -1240,6 +1408,12 @@ object ManifestTable {
       require(!eqDeletes(spark, root, base).exists(_.keys.contains(from)),
         s"column $from keys pending equality deletes — run compactEq() " +
           "(or any row-level op / maintenance tick) before renaming it")
+      // constraint expressions are stored as SQL text over LOGICAL
+      // names — a rename would silently break them at the next landing
+      constraintsAt(spark, root, base).foreach { case (n, e) =>
+        require(!constraintRefs(spark, e).contains(from),
+          s"column $from is referenced by constraint $n ($e) — drop " +
+            "the constraint (and re-add it under the new name) first") }
       require(!schema.fieldNames.contains(to),
         s"column $to already exists")
       val next = StructType(schema.fields.map { f =>
@@ -2514,7 +2688,8 @@ object ManifestTable {
     * with pending deletes restores them pending. */
   def restore(spark: SparkSession, root: String, version: Long): Long = {
     commitLoopEvolving(spark, root,
-      eqReg = _ => eqDeletes(spark, root, version)) { base =>
+      eqReg = _ => eqDeletes(spark, root, version),
+      consReg = _ => constraintsAt(spark, root, version)) { base =>
       require(versions(spark, root).contains(version),
         s"manifest table at $root has no retained version $version " +
           "(vacuumed or never committed) — nothing to restore to")
@@ -2537,7 +2712,8 @@ object ManifestTable {
                                       expectedCurrent: Long)
       : Option[Long] =
     try Some(commitLoopEvolving(spark, root,
-      eqReg = _ => eqDeletes(spark, root, version)) { base =>
+      eqReg = _ => eqDeletes(spark, root, version),
+      consReg = _ => constraintsAt(spark, root, version)) { base =>
       if (base != expectedCurrent) throw RestoreAborted
       require(versions(spark, root).contains(version),
         s"manifest table at $root has no retained version $version")
@@ -2580,8 +2756,12 @@ object ManifestTable {
     // seq 0 so the clone's future deletes order against ITS versions
     VersionedTable.writeStaged(
       manifest(spark, srcRoot, v).withColumn("seq", lit(0L)),
-      manifestsRoot(dstRoot))(
-      stageSchema(spark, dstRoot, tableSchema(spark, srcRoot, v)))
+      manifestsRoot(dstRoot))(dir => {
+      stageSchema(spark, dstRoot, tableSchema(spark, srcRoot, v))(dir)
+      // the clone inherits the source's invariants — its future
+      // writes enforce the same contract the source's did
+      stageConstraints(spark, dstRoot, constraintsAt(spark, srcRoot, v))(dir)
+    })
   }
 
   /** Atomic predicate-scoped overwrite — Delta's `replaceWhere`: ONE
@@ -2838,8 +3018,10 @@ object ManifestTable {
       "hilbert clustering needs at least two columns")
     // the re-lay reads the EFFECTIVE rows (readVersion applies pending
     // equality deletes through the scan), so the replacement commits
-    // under an empty registry
-    commitLoop(spark, root, eqReg = _ => Nil) { base =>
+    // under an empty registry; rows are preserved, not introduced —
+    // constraint re-validation would double the re-lay's read cost
+    // for rows that cannot have changed
+    commitLoop(spark, root, eqReg = _ => Nil, validateCons = false) { base =>
       // re-lay BASE's rows (not a floating `current` — a conflict
       // recomputes against the new base, so no commit is ever lost)
       val cur = readVersion(spark, root, base)
@@ -2971,7 +3153,10 @@ object ManifestTable {
     // (a DV purge, like a wide re-lay, is progress regardless of count)
     if (wide.isEmpty && dvHeavy.isEmpty && nFiles >= selected.size)
       return None
-    Some(commitLoop(spark, root, eqReg = _ => Nil) { b =>
+    // row-preserving re-lay: skip constraint re-validation (see
+    // optimize)
+    Some(commitLoop(spark, root, eqReg = _ => Nil,
+      validateCons = false) { b =>
       // recompute against the CURRENT base on conflict: a selected
       // file may have been rewritten away — re-intersect with b's
       // manifest so only still-live files rewrite. Schema and stats

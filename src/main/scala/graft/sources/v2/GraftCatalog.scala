@@ -173,6 +173,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val df = graft.sinks.ManifestTable.manifest(spark, loc, v)
           Some(new GraftLocalTable(s"$catalogName.$baseIdent.files",
             df.schema, () => df.collect().toSeq))
+        case "constraints" =>
+          // the CURRENT version's CHECK-constraint registry — one
+          // sidecar read at scan time, zero data I/O
+          Some(new GraftLocalTable(
+            s"$catalogName.$baseIdent.constraints",
+            GraftCatalog.ConstraintsSchema,
+            () => {
+              val v = graft.sinks.ManifestTable.latestVersion(spark, loc)
+              graft.sinks.ManifestTable.constraintsAt(spark, loc, v)
+                .map { case (n, e) => org.apache.spark.sql.Row(n, e) }
+            }))
         case _ => None
       }
     }
@@ -575,7 +586,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(Array("system"), "restore_table"),
         Identifier.of(Array("system"), "clone_table"),
         Identifier.of(Array("system"), "optimize_table"),
-        Identifier.of(Array("system"), "compact_eq"))
+        Identifier.of(Array("system"), "compact_eq"),
+        Identifier.of(Array("system"), "add_constraint"),
+        Identifier.of(Array("system"), "drop_constraint"))
     else Array.empty
 
   /** Shallow-clone `src` (a registered manifest table) as `dst`:
@@ -618,10 +631,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "clone_table"    => new GraftProcedures.Clone(this)
       case "optimize_table" => new GraftProcedures.Optimize(this)
       case "compact_eq"     => new GraftProcedures.CompactEq(this)
+      case "add_constraint"  => new GraftProcedures.AddConstraint(this)
+      case "drop_constraint" => new GraftProcedures.DropConstraint(this)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $catalogName.system.$other (available: " +
           "maintain, vacuum_table, restore_table, clone_table, " +
-          "optimize_table, compact_eq)")
+          "optimize_table, compact_eq, add_constraint, drop_constraint)")
     }
   }
 
@@ -686,4 +701,8 @@ object GraftCatalog {
     StructField("n_files", LongType, nullable = false),
     StructField("n_rows", LongType, nullable = false),
     StructField("bytes", LongType, nullable = false)))
+
+  private[v2] val ConstraintsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("expr", StringType, nullable = false)))
 }

@@ -115,6 +115,63 @@ private[v2] object GraftProcedures {
     }
   }
 
+  /** `add_constraint(table, name, expr)` — [[graft.sinks
+    * .ManifestTable.addConstraint]] by name: declare a CHECK
+    * invariant (existing rows are validated first; every later
+    * landing validates its own batch before committing). */
+  final class AddConstraint(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "add_constraint"
+    override def description(): String =
+      "add a CHECK constraint: existing rows must satisfy it, and " +
+        "every future batch is validated before its commit"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("expr", StringType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("committed_version", LongType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val tbl = input.getUTF8String(0).toString
+      val loc = catalog.locationOf(tbl)
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        s"add_constraint is for manifest-format tables; $tbl is not one")
+      val v = graft.sinks.ManifestTable.addConstraint(spark, loc,
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+      oneRowScan(outSchema, InternalRow(v))
+    }
+  }
+
+  /** `drop_constraint(table, name)` — [[graft.sinks.ManifestTable
+    * .dropConstraint]] by name (metadata-only; unknown names refuse
+    * instead of silently "succeeding"). */
+  final class DropConstraint(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_constraint"
+    override def description(): String =
+      "drop a named CHECK constraint — metadata-only commit"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("committed_version", LongType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val tbl = input.getUTF8String(0).toString
+      val loc = catalog.locationOf(tbl)
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        s"drop_constraint is for manifest-format tables; $tbl is not one")
+      val v = graft.sinks.ManifestTable.dropConstraint(spark, loc,
+        input.getUTF8String(1).toString)
+      oneRowScan(outSchema, InternalRow(v))
+    }
+  }
+
   /** `clone_table(src, dst)` — [[graft.sinks.ManifestTable.cloneTo]]
     * by name: a SHALLOW CLONE registered in the catalog (descriptor
     * copied, location re-pointed), data files shared by reference. */

@@ -1230,4 +1230,41 @@ class CatalogSpec extends AnyFunSuite {
     // a real table always wins over the metadata suffix
     assert(spark.sql("SELECT * FROM graftc.db.meta").count() == 40L)
   }
+
+  test("CALL add_constraint / drop_constraint: CHECK invariants gate SQL INSERTs by name") {
+    warehouse: Unit
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-catalog-cons").toString + "/t"
+    sinks.ManifestTable.create(
+      Seq((1L, 5L), (2L, 7L)).toDF("k", "v"), loc, Seq("k"))
+    spark.sql(s"CREATE TABLE graftc.db.cons USING graft LOCATION '$loc'")
+    val a = spark.sql(
+      "CALL graftc.system.add_constraint('db.cons', 'v_pos', 'v > 0')")
+      .collect().head
+    assert(a.getLong(0) > 0L)
+    // a violating INSERT refuses with nothing committed
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftc.db.cons VALUES (3, -1)") }
+    assert(spark.sql("SELECT count(*) FROM graftc.db.cons")
+      .head().getLong(0) == 2L)
+    spark.sql("INSERT INTO graftc.db.cons VALUES (3, 9)")
+    assert(spark.sql("SELECT count(*) FROM graftc.db.cons")
+      .head().getLong(0) == 3L)
+    // SQL UPDATE through the row-level command is gated too
+    intercept[Exception] {
+      spark.sql("UPDATE graftc.db.cons SET v = -5 WHERE k = 1") }
+    assert(spark.sql("SELECT v FROM graftc.db.cons WHERE k = 1")
+      .head().getLong(0) == 5L)
+    // the registry reads as a metadata view, zero data I/O
+    assert(spark.sql(
+      "SELECT name, expr FROM graftc.db.cons.constraints").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("v_pos", "v > 0")))
+    // dropped by name: the gate lifts
+    spark.sql(
+      "CALL graftc.system.drop_constraint('db.cons', 'v_pos')").collect()
+    spark.sql("INSERT INTO graftc.db.cons VALUES (4, -1)")
+    assert(spark.sql("SELECT count(*) FROM graftc.db.cons")
+      .head().getLong(0) == 4L)
+  }
 }

@@ -3066,4 +3066,114 @@ class SinksSpec extends AnyFunSuite {
         "— the drop must be metadata-only")
     assert(ManifestTable.read(spark, big).count() == 200000L)
   }
+
+  test("CHECK constraints: table invariants enforced at every commit — violating batches refuse with nothing committed, evolution guarded, restore/clone carry the registry") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-constraints").toString + "/t"
+    ManifestTable.create(
+      spark.range(50).select(col("id").as("k"), (col("id") % 10).as("v"),
+        concat(lit("s"), col("id")).as("s")),
+      root, Seq("k"))
+    def latest() = ManifestTable.latestVersion(spark, root)
+    // existing rows violate → refused, nothing committed
+    val v0 = latest()
+    intercept[Exception] {
+      ManifestTable.addConstraint(spark, root, "v_small", "v < 5")
+    }
+    assert(latest() == v0, "a refused addConstraint must not commit")
+    // a satisfiable invariant + NOT NULL commit as metadata versions
+    ManifestTable.addConstraint(spark, root, "v_range",
+      "v >= 0 AND v < 10")
+    ManifestTable.addConstraint(spark, root, "s_notnull", "s IS NOT NULL")
+    // duplicate name, non-deterministic, subquery: refused
+    intercept[Exception] {
+      ManifestTable.addConstraint(spark, root, "v_range", "v >= 0") }
+    intercept[Exception] {
+      ManifestTable.addConstraint(spark, root, "r", "rand() < 2") }
+    intercept[Exception] { ManifestTable.addConstraint(spark, root, "sq",
+      "k IN (SELECT k FROM range(10))") }
+    // a violating append refuses NAMING the constraint; version intact
+    val v1 = latest()
+    val bad = intercept[Exception] {
+      ManifestTable.write(spark.range(3).select(col("id").as("k"),
+        lit(99L).as("v"), lit("x").as("s")), root)
+    }
+    assert(bad.getMessage.contains("v_range"),
+      s"the refusal must name the broken constraint: ${bad.getMessage}")
+    assert(latest() == v1, "a refused batch must commit NOTHING")
+    assert(ManifestTable.read(spark, root).count() == 50L)
+    // NULL in a NOT NULL column refuses too (CHECK passes NULL — the
+    // explicit IS NOT NULL is what catches it)
+    intercept[Exception] {
+      ManifestTable.write(spark.range(1).select(col("id").as("k"),
+        lit(1L).as("v"), lit(null).cast("string").as("s")), root)
+    }
+    // valid batches land across the write surface
+    ManifestTable.write(spark.range(50, 60).select(col("id").as("k"),
+      (col("id") % 10).as("v"), concat(lit("s"), col("id")).as("s")), root)
+    assert(ManifestTable.read(spark, root).count() == 60L)
+    // UPDATE that would break the invariant refuses; a legal one lands
+    intercept[Exception] {
+      ManifestTable.updateWhere(spark, root, col("k") < 5L,
+        Seq(("v", lit(42L))))
+    }
+    assert(ManifestTable.read(spark, root)
+      .filter(col("v") === 42L).count() == 0L)
+    ManifestTable.updateWhere(spark, root, col("k") < 5L,
+      Seq(("v", lit(9L))))
+    assert(ManifestTable.read(spark, root)
+      .filter(col("v") === 9L).count() >= 5L)
+    // keyed MERGE with a violating row refuses whole
+    intercept[Exception] {
+      ManifestTable.merge(spark.range(2).select(col("id").as("k"),
+        lit(-1L).as("v"), lit("m").as("s")), root, Seq("k"))
+    }
+    ManifestTable.merge(spark.range(2).select(col("id").as("k"),
+      lit(3L).as("v"), lit("m").as("s")), root, Seq("k"))
+    assert(ManifestTable.read(spark, root)
+      .filter(col("s") === "m").count() == 2L)
+    // evolution guards: rename/drop of a referenced column refuses
+    intercept[Exception] {
+      ManifestTable.renameColumn(spark, root, "v", "vv") }
+    intercept[Exception] { ManifestTable.alterColumns(spark, root,
+      adds = Nil, drops = Seq("s")) }
+    // an unreferenced column still renames freely
+    ManifestTable.renameColumn(spark, root, "k", "kk")
+    ManifestTable.renameColumn(spark, root, "kk", "k")
+    // optimize on a constrained table is NOT re-validated (and passes)
+    ManifestTable.optimize(spark, root, sortCols = Seq("k"), numFiles = 2)
+    assert(ManifestTable.read(spark, root).count() == 60L)
+    // drop enforcement: unknown name refuses; a dropped constraint
+    // stops gating
+    intercept[Exception] {
+      ManifestTable.dropConstraint(spark, root, "nope") }
+    ManifestTable.dropConstraint(spark, root, "v_range")
+    ManifestTable.write(spark.range(100, 101).select(col("id").as("k"),
+      lit(99L).as("v"), lit("x").as("s")), root)
+    assert(ManifestTable.read(spark, root)
+      .filter(col("v") === 99L).count() == 1L)
+    // restore to a version where v_range was live RESTORES it
+    val constrained = ManifestTable.constraintsAt(spark, root, v1)
+    assert(constrained.map(_._1).toSet == Set("v_range", "s_notnull"))
+    ManifestTable.restore(spark, root, v1)
+    intercept[Exception] {
+      ManifestTable.write(spark.range(1).select(col("id").as("k"),
+        lit(99L).as("v"), lit("x").as("s")), root)
+    }
+    assert(ManifestTable.constraintsAt(spark, root, latest())
+      .map(_._1).toSet == Set("v_range", "s_notnull"))
+    // a clone inherits the registry
+    val cl = java.nio.file.Files
+      .createTempDirectory("graft-constraints-clone").toString + "/t"
+    ManifestTable.cloneTo(spark, root, cl)
+    intercept[Exception] {
+      ManifestTable.write(spark.range(1).select(col("id").as("k"),
+        lit(99L).as("v"), lit("x").as("s")), cl)
+    }
+    ManifestTable.write(spark.range(200, 201).select(col("id").as("k"),
+      lit(5L).as("v"), lit("c").as("s")), cl)
+    assert(ManifestTable.read(spark, cl)
+      .filter(col("s") === "c").count() == 1L)
+  }
 }
