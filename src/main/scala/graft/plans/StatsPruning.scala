@@ -339,7 +339,16 @@ object StatsPruneRule extends org.apache.spark.internal.Logging {
       case EqualTo(Attr(a), v: Literal) =>
         Some(col(s"${a}_min") >= scalaLit(v) &&
           col(s"${a}_max") <= scalaLit(v))
-      case In(ae, Seq(v: Literal)) => matches(EqualTo(ae, v))
+      case In(ae, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        // every row ∈ {v…} is provable per file when the whole
+        // envelope is ONE of the points (a file mixing two members
+        // honestly rewrites — the common partition-per-value layout
+        // never mixes); sufficient, like the Or case
+        val per = vs.map(v =>
+          matches(EqualTo(ae, v.asInstanceOf[Literal])))
+        if (per.exists(_.isEmpty)) None
+        else Some(per.flatten.reduce(_ || _))
       case IsNotNull(Attr(_)) => Some(lit(true))
       case Literal(true, org.apache.spark.sql.types.BooleanType) =>
         Some(lit(true))

@@ -974,12 +974,12 @@ object ManifestTable {
       // row-preserving relayouts (optimize/compaction), whose extra
       // full read would double their cost for rows that cannot have
       // changed.
-      val consNow = if (validateCons) cons(base) else Nil
-      if (consNow.nonEmpty) {
+      val consSet = cons(base) // once per attempt: validation + staging
+      if (validateCons && consSet.nonEmpty) {
         val fresh = rows0.filter(col("seq").isNull)
           .select(col("path")).collect().map(_.getString(0)).toSeq
         if (fresh.nonEmpty)
-          validateConstraints(spark, fresh, schema, consNow)
+          validateConstraints(spark, fresh, schema, consSet)
       }
       // freshly landed rows carry NULL seq — stamp them with THIS
       // attempt's target version (carried rows keep their added-at
@@ -989,7 +989,7 @@ object ManifestTable {
       VersionedTable.tryCommitAs(rows, manifestsRoot(root), base,
         dir => { stageSchema(spark, root, schema)(dir)
           stageEq(spark, root, eq(base))(dir)
-          stageConstraints(spark, root, cons(base))(dir)
+          stageConstraints(spark, root, consSet)(dir)
           extraStage(dir) }) match {
         case Some(v) => return Some(v)
         case None    => attempt += 1
@@ -1243,7 +1243,11 @@ object ManifestTable {
     * predicate with no provable range shape degrades to rewriting
     * every file — sound, at the old whole-table cost. */
   def deleteWhere(spark: SparkSession, root: String, cond: Column): Long =
-    rewriteWhere(spark, root, cond, dropWholeMatches = true)(
+    // validateCons = false: a pure row filter cannot introduce a
+    // CHECK violation — every surviving row already satisfied the
+    // live set (replaceWhere keeps validation: its batch is new rows)
+    rewriteWhere(spark, root, cond, dropWholeMatches = true,
+      validateCons = false)(
       (touchedRows, matched) => touchedRows.filter(not(matched)))
 
   /** ADDITIVE schema evolution as a standalone commit — `ALTER TABLE
@@ -1490,6 +1494,15 @@ object ManifestTable {
         s"column ${path.head} keys pending equality deletes — run " +
           "compactEq() (or any row-level op / maintenance tick) before " +
           "renaming inside it")
+      // constraints are SQL text over logical names; a constraint
+      // touching ANY part of this top-level column blocks renames
+      // inside it (conservative: refs track the head, the only name
+      // the registry can see without a full analysis)
+      constraintsAt(spark, root, base).foreach { case (n, e) =>
+        require(!constraintRefs(spark, e).contains(path.head),
+          s"column ${path.head} is referenced by constraint $n ($e) — " +
+            "drop the constraint (and re-add it under the new name) " +
+            "before renaming inside it") }
       val next = mapStructAt(schema, path.init, "RENAME COLUMN") { st =>
         require(st.fieldNames.contains(path.last),
           s"field ${path.mkString(".")} does not exist")
@@ -1542,6 +1555,14 @@ object ManifestTable {
         s"column ${parent.head} keys pending equality deletes — run " +
           "compactEq() (or any row-level op / maintenance tick) before " +
           "altering inside it")
+      // a constraint referencing this top-level column blocks nested
+      // drops under it (a dropped member would brick every later
+      // landing's validation with an analysis error, not a refusal)
+      if (drops.nonEmpty)
+        constraintsAt(spark, root, base).foreach { case (n, e) =>
+          require(!constraintRefs(spark, e).contains(parent.head),
+            s"column ${parent.head} is referenced by constraint $n " +
+              s"($e) — drop the constraint before altering inside it") }
       val physParent = physicalPath(schema, parent)
       val liveNames =
         if (adds.isEmpty) Set.empty[String]
@@ -2836,9 +2857,11 @@ object ManifestTable {
     * Conflicts recompute from scratch against the new base. */
   private def rewriteWhere(spark: SparkSession, root: String, cond: Column,
                            extraRows: () => DataFrame = null,
-                           dropWholeMatches: Boolean = false)
+                           dropWholeMatches: Boolean = false,
+                           validateCons: Boolean = true)
                           (transform: (DataFrame, Column) => DataFrame): Long =
-    commitLoop(spark, root, eqReg = _ => Nil) { base =>
+    commitLoop(spark, root, eqReg = _ => Nil,
+      validateCons = validateCons) { base =>
       val (m, states) = effectiveManifest(spark, root, base)
       val schema = tableSchema(spark, root, base)
       val stats = statsCols(spark, root, base)

@@ -31,7 +31,20 @@ private[graft] object FooterStats {
     case LongType    => a.asInstanceOf[Long] < b.asInstanceOf[Long]
     case FloatType   => a.asInstanceOf[Float] < b.asInstanceOf[Float]
     case DoubleType  => a.asInstanceOf[Double] < b.asInstanceOf[Double]
-    case StringType  => a.asInstanceOf[String] < b.asInstanceOf[String]
+    case StringType  =>
+      // UNSIGNED UTF-8 BYTE order — parquet's binary stat ordering and
+      // Spark's own UTF8String comparison. Java String '<' (UTF-16
+      // code-unit order) disagrees for supplementary characters vs
+      // [U+E000, U+FFFF]: a surrogate pair (code point > U+10000)
+      // sorts BELOW '' by code unit but ABOVE it by byte — a
+      // cross-row-group fold under the wrong order understates the
+      // max, and an envelope consumer then proves exclusions (or
+      // whole-file matches) that delete/skip real rows.
+      java.util.Arrays.compareUnsigned(
+        a.asInstanceOf[String].getBytes(
+          java.nio.charset.StandardCharsets.UTF_8),
+        b.asInstanceOf[String].getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)) < 0
     case DateType =>
       a.asInstanceOf[java.sql.Date].toLocalDate
         .isBefore(b.asInstanceOf[java.sql.Date].toLocalDate)

@@ -3015,6 +3015,12 @@ class SinksSpec extends AnyFunSuite {
       ManifestTable.latestVersion(spark, eq)).size == 2)
     assert(ManifestTable.read(spark, eq).select(col("day"))
       .distinct().collect().map(_.getLong(0)).toSet == Set(0L, 2L))
+    // IN-list point deletes drop per member (each file's envelope is
+    // one of the probed points)
+    ManifestTable.deleteWhere(spark, eq, col("day").isin(0L, 2L))
+    assert(dataFiles(eq) == eqFiles0,
+      "an IN-list delete over isolated keys must drop, not rewrite")
+    assert(ManifestTable.read(spark, eq).count() == 0L)
     // FULL-TABLE drop: everything provably matches — empty manifest,
     // zero new files, and the table stays writable
     ManifestTable.deleteWhere(spark, cow, col("k") >= 0L)
@@ -3065,6 +3071,40 @@ class SinksSpec extends AnyFunSuite {
       s"aligned retention delete read $io B of a $tableBytes B table " +
         "— the drop must be metadata-only")
     assert(ManifestTable.read(spark, big).count() == 200000L)
+  }
+
+  test("footer stats fold strings in UTF-8 BYTE order — a multi-row-group max can never understate vs Spark's comparison") {
+    // U+E000 vs U+1F600 (emoji, surrogate pair): UTF-16 code units
+    // say the pair is SMALLER, UTF-8 bytes (parquet's stat order and
+    // Spark's UTF8String order) say it is LARGER. A cross-row-group
+    // fold under the JVM String order understates the max — and the
+    // whole-file-drop proof would then DELETE the emoji rows.
+    val lo = "" + "x" * 120
+    val hi = "😀" + "x" * 120
+    val spk = spark
+    import spk.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-utf8-fold").toString + "/d"
+    (Seq.fill(4000)(lo) ++ Seq.fill(4000)(hi)).toDF("s")
+      .coalesce(1).write
+      .option("parquet.block.size", (64 * 1024).toString)
+      .parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    val nGroups = try reader.getFooter.getBlocks.size finally reader.close()
+    assert(nGroups > 1,
+      s"the fold only fires across row groups — got $nGroups")
+    val row = graft.sources.FooterStats.fileRow(file, conf,
+      Seq(("s", org.apache.spark.sql.types.StringType)))
+    // Row shape: path, row_count, s_min, s_max, s_nulls
+    assert(row.getString(2) == lo, "min must be the U+E000 string")
+    assert(row.getString(3) == hi,
+      "max must be the SURROGATE-PAIR string under byte order — a " +
+        "UTF-16 fold would pick the U+E000 string and understate it")
   }
 
   test("CHECK constraints: table invariants enforced at every commit — violating batches refuse with nothing committed, evolution guarded, restore/clone carry the registry") {
@@ -3175,5 +3215,30 @@ class SinksSpec extends AnyFunSuite {
       lit(5L).as("v"), lit("c").as("s")), cl)
     assert(ManifestTable.read(spark, cl)
       .filter(col("s") === "c").count() == 1L)
+    // NESTED evolution guarded too: a constraint whose reference head
+    // names a struct column blocks member renames and drops under it
+    // (a silently renamed member would brick every later landing's
+    // validation with an analysis error instead of a refusal)
+    val ns = java.nio.file.Files
+      .createTempDirectory("graft-constraints-nested").toString + "/t"
+    ManifestTable.create(spark.range(5).select(col("id").as("k"),
+      struct(col("id").as("a"), (col("id") * 2).as("b")).as("s2")),
+      ns, Seq("k"))
+    ManifestTable.addConstraint(spark, ns, "sa_pos", "s2.a >= 0")
+    intercept[Exception] {
+      ManifestTable.renameColumnPath(spark, ns, Seq("s2", "a"), "z") }
+    intercept[Exception] { ManifestTable.alterNestedColumns(spark, ns,
+      Seq("s2"), adds = Nil, drops = Seq("a")) }
+    // nested ADDs stay free (additive — nothing a constraint reads
+    // can vanish), and a violating batch still refuses through the
+    // nested reference
+    ManifestTable.alterNestedColumns(spark, ns, Seq("s2"),
+      adds = Seq(org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.LongType)), drops = Nil)
+    intercept[Exception] {
+      ManifestTable.write(spark.range(1).select(col("id").as("k"),
+        struct(lit(-1L).as("a"), lit(0L).as("b"),
+          lit(null).cast("long").as("c")).as("s2")), ns)
+    }
   }
 }
