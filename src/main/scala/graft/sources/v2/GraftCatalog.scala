@@ -294,6 +294,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  /** ANSI constraint DDL rides the TableInfo variant — `CREATE TABLE
+    * t (..., CONSTRAINT c CHECK (...))`. The base create runs first;
+    * a refused constraint (non-CHECK kind, unresolvable expression)
+    * then drops the half-created table so the statement stays
+    * atomic: failure registers NOTHING. */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val t = createTable(ident, info.schema, info.partitions,
+      info.properties)
+    if (info.constraints().isEmpty) t
+    else {
+      val loc = locationOf(
+        (ident.namespace :+ ident.name).mkString("."))
+      try {
+        info.constraints().foreach(c =>
+          graft.sinks.ManifestTable.addConstraint(spark, loc,
+            c.name, checkSqlOf(c)): Unit)
+        loadTable(ident)
+      } catch {
+        case e: Throwable =>
+          dropTable(ident): Unit
+          throw e
+      }
+    }
+  }
+
+  /** The CHECK predicate SQL of a declared constraint — the only
+    * constraint KIND the engine enforces (PRIMARY KEY / UNIQUE /
+    * FOREIGN KEY would be silent documentation: nothing validates
+    * them at landing, so accepting them would let users believe in a
+    * guarantee nothing provides). */
+  private def checkSqlOf(
+      c: org.apache.spark.sql.connector.catalog.constraints.Constraint)
+      : String = c match {
+    case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+      Option(ck.predicateSql).getOrElse(throw
+        new UnsupportedOperationException(
+          s"constraint ${c.name} carries no SQL predicate"))
+    case other => throw new UnsupportedOperationException(
+      s"only CHECK constraints are supported — ${other.toDDL} would " +
+        "be unenforced documentation")
+  }
+
   // ------------------------------------------------- atomic CTAS/RTAS
   //
   // With StagingTableCatalog implemented, Spark plans CREATE/REPLACE
@@ -385,6 +427,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         spark.sparkContext.hadoopConfiguration)
         .delete(new Path(location), true): Unit
 
+  /** Declares ANSI constraint DDL support — without it the analyzer
+    * refuses `ADD CONSTRAINT` statements before they reach
+    * [[alterTable]]. */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val props = readDef(ident).getOrElse(throw new NoSuchTableException(ident))
     // VALIDATE the whole change set, THEN apply: adds as ONE widening
@@ -405,6 +453,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .empty[(Seq[String], String)]
     val widens = scala.collection.mutable.ArrayBuffer
       .empty[(Seq[String], org.apache.spark.sql.types.DataType)]
+    val addCons = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    val dropCons = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Boolean)]
     changes.foreach {
       case set: TableChange.SetProperty =>
         props.setProperty(set.property, set.value)
@@ -442,6 +494,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (ren.fieldNames.length == 1)
           renames += ((ren.fieldNames()(0), ren.newName()))
         else nestedRenames += ((ren.fieldNames.toSeq, ren.newName()))
+      case ac: TableChange.AddConstraint =>
+        // ALTER TABLE ... ADD CONSTRAINT name CHECK (expr): the
+        // engine-enforced invariant ([[graft.sinks.ManifestTable
+        // .addConstraint]] — existing rows proven first, every later
+        // landing validated before its commit). Non-CHECK kinds
+        // refuse inside checkSqlOf.
+        addCons += ((ac.constraint().name, checkSqlOf(ac.constraint())))
+      case dc: TableChange.DropConstraint =>
+        dropCons += ((dc.name, dc.ifExists))
       case wide: TableChange.UpdateColumnType =>
         // ALTER COLUMN ... TYPE: lossless primitive WIDENING is
         // metadata-only (old files upcast per file at read), top-level
@@ -543,6 +604,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       widens.foreach { case (path, to) =>
         graft.sinks.ManifestTable.widenColumnTypePath(spark, loc, path,
           to): Unit
+      }
+    }
+    if (addCons.nonEmpty || dropCons.nonEmpty) {
+      val loc = props.getProperty("location")
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        "ADD/DROP CONSTRAINT is supported on manifest-format tables only")
+      addCons.foreach { case (n, e) =>
+        graft.sinks.ManifestTable.addConstraint(spark, loc, n, e): Unit }
+      dropCons.foreach { case (n, ifExists) =>
+        val v = graft.sinks.ManifestTable.latestVersion(spark, loc)
+        if (!ifExists || graft.sinks.ManifestTable
+            .constraintsAt(spark, loc, v).exists(_._1 == n))
+          graft.sinks.ManifestTable.dropConstraint(spark, loc, n): Unit
       }
     }
     writeDef(ident, props)

@@ -341,6 +341,27 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
   private[graft] def manifestInfo: Option[(String, Long)] =
     if (isManifest) Some((root, version)) else None
 
+  /** The version's CHECK-constraint registry, reported through the
+    * DSv2 surface: DESCRIBE shows them, and the analyzer's own
+    * constraint resolution adds write-side row checks on SQL INSERTs
+    * — defense in depth ABOVE the commit-loop validation every
+    * landing already runs ([[graft.sinks.ManifestTable]]). ENFORCED +
+    * VALID + RELY is honest: addConstraint proved the existing rows,
+    * and every later commit re-proves its own batch. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    if (!isManifest) Array.empty
+    else graft.sinks.ManifestTable.constraintsAt(spark, root, version)
+      .map { case (n, e) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(n).predicateSql(e)
+          .enforced(true)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.VALID)
+          .rely(true)
+          .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.toArray
+
   /** The manifest root when SQL row-level commands (MERGE INTO /
     * UPDATE / DELETE — [[graft.plans.GraftRowLevelSqlRule]]) may
     * rewrite through this handle: manifest-format only (epoch tables

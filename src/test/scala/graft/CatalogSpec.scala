@@ -1266,5 +1266,33 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graftc.db.cons VALUES (4, -1)")
     assert(spark.sql("SELECT count(*) FROM graftc.db.cons")
       .head().getLong(0) == 4L)
+    // NATIVE ANSI DDL: ALTER TABLE ... ADD CONSTRAINT ... CHECK rides
+    // Spark 4.1's constraint surface straight into the same registry
+    spark.sql(
+      "ALTER TABLE graftc.db.cons ADD CONSTRAINT v_sane CHECK (v > -100)")
+    assert(spark.sql(
+      "SELECT name FROM graftc.db.cons.constraints").collect()
+      .map(_.getString(0)).toSeq == Seq("v_sane"))
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftc.db.cons VALUES (5, -500)") }
+    assert(spark.sql("SELECT count(*) FROM graftc.db.cons")
+      .head().getLong(0) == 4L)
+    spark.sql("INSERT INTO graftc.db.cons VALUES (5, -50)")
+    spark.sql("ALTER TABLE graftc.db.cons DROP CONSTRAINT v_sane")
+    spark.sql("INSERT INTO graftc.db.cons VALUES (6, -500)")
+    assert(spark.sql("SELECT count(*) FROM graftc.db.cons")
+      .head().getLong(0) == 6L)
+    // IF EXISTS swallows the unknown name; the bare form refuses
+    spark.sql("ALTER TABLE graftc.db.cons DROP CONSTRAINT IF EXISTS nope")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftc.db.cons DROP CONSTRAINT nope") }
+    // CREATE TABLE with an inline CHECK lands the registry atomically
+    spark.sql("CREATE TABLE graftc.db.consc (k BIGINT, v BIGINT, " +
+      "CONSTRAINT v_pos CHECK (v > 0)) USING graft")
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftc.db.consc VALUES (1, -1)") }
+    spark.sql("INSERT INTO graftc.db.consc VALUES (1, 1)")
+    assert(spark.sql("SELECT count(*) FROM graftc.db.consc")
+      .head().getLong(0) == 1L)
   }
 }
