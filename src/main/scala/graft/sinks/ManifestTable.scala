@@ -391,6 +391,48 @@ object ManifestTable {
     }
   }
 
+  /** SET/DROP a column's CURRENT default — metadata-only, affecting
+    * FUTURE inserts only: existing rows keep their EXISTS snapshot
+    * (the value the column was added under, if any), the Spark/Delta
+    * contract. `default = None` drops the current default. The SQL
+    * text must fold to a constant of the column's type — validated by
+    * Spark's own fold before anything commits. */
+  def setColumnDefault(spark: SparkSession, root: String, name: String,
+                       default: Option[String]): Long =
+    commitLoopEvolving(spark, root) { base =>
+      val schema = tableSchema(spark, root, base)
+      require(schema.fieldNames.contains(name),
+        s"column $name does not exist")
+      val keys = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      val next = StructType(schema.fields.map { f =>
+        if (f.name != name) f
+        else {
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          default match {
+            case Some(sql) =>
+              require(sql.nonEmpty, "SET DEFAULT requires an expression")
+              // validation only: the fold throws on a non-constant or
+              // type-incompatible expression; the EXISTS snapshot (if
+              // any) is NOT rewritten — old rows keep reading the
+              // value their evolution declared
+              keys.constantFoldCurrentDefaultsToExistDefaults(
+                StructType(Seq(f.copy(metadata =
+                  new org.apache.spark.sql.types.MetadataBuilder()
+                    .putString(keys.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+                      sql).build()))),
+                "ALTER TABLE ALTER COLUMN"): Unit
+              f.copy(metadata = mb.putString(
+                keys.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql).build())
+            case None =>
+              f.copy(metadata = mb.remove(
+                keys.CURRENT_DEFAULT_COLUMN_METADATA_KEY).build())
+          }
+        }
+      })
+      (manifest(spark, root, base), next)
+    }
+
   /** DROP CONSTRAINT — metadata-only removal of one named invariant;
     * refuses an unknown name (a silently-ignored typo would leave the
     * real constraint enforced against the user's belief). */

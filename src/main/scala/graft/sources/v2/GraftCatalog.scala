@@ -319,6 +319,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** Stamp a new column's DEFAULT into its field metadata: the
+    * CURRENT default (future inserts) is the declared SQL; the EXISTS
+    * default (what pre-evolution rows READ for the absent column,
+    * served by the parquet readers' existence-default fill) is the
+    * expression constant-folded AT DECLARATION TIME — Spark's own
+    * fold, which also validates the expression against the column
+    * type. */
+  private def withColumnDefault(
+      f: org.apache.spark.sql.types.StructField,
+      sql: String): org.apache.spark.sql.types.StructField = {
+    require(sql != null && sql.nonEmpty,
+      s"column ${f.name}: DEFAULT must carry a SQL representation")
+    val keys = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    val seeded = f.copy(metadata =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putString(keys.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+        .build())
+    keys.constantFoldCurrentDefaultsToExistDefaults(
+      StructType(Seq(seeded)), "ALTER TABLE ADD COLUMNS").fields.head
+  }
+
   /** The CHECK predicate SQL of a declared constraint — the only
     * constraint KIND the engine enforces (PRIMARY KEY / UNIQUE /
     * FOREIGN KEY would be silent documentation: nothing validates
@@ -427,11 +449,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         spark.sparkContext.hadoopConfiguration)
         .delete(new Path(location), true): Unit
 
-  /** Declares ANSI constraint DDL support — without it the analyzer
-    * refuses `ADD CONSTRAINT` statements before they reach
-    * [[alterTable]]. */
+  /** Declares ANSI constraint + column DEFAULT DDL support — without
+    * these the analyzer refuses `ADD CONSTRAINT` / `DEFAULT` clauses
+    * before they reach [[createTable]]/[[alterTable]]. */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
-    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val props = readDef(ident).getOrElse(throw new NoSuchTableException(ident))
@@ -457,6 +480,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .empty[(String, String)]
     val dropCons = scala.collection.mutable.ArrayBuffer
       .empty[(String, Boolean)]
+    val setDefaults = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Option[String])]
     changes.foreach {
       case set: TableChange.SetProperty =>
         props.setProperty(set.property, set.value)
@@ -480,12 +505,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (add.position() != null) throw new UnsupportedOperationException(
           "ADD COLUMN ... FIRST/AFTER is not supported: evolved columns " +
             "append at the end of the schema/struct")
-        if (add.fieldNames.length == 1)
-          adds += org.apache.spark.sql.types.StructField(
-            add.fieldNames()(0), add.dataType, nullable = true)
-        else nestedAdds += ((add.fieldNames.init.toSeq,
-          org.apache.spark.sql.types.StructField(
-            add.fieldNames.last, add.dataType, nullable = true)))
+        val field0 = org.apache.spark.sql.types.StructField(
+          add.fieldNames.last, add.dataType, nullable = true)
+        val field =
+          if (add.defaultValue() == null) field0
+          else if (add.fieldNames.length > 1)
+            throw new UnsupportedOperationException(
+              "ADD COLUMN ... DEFAULT on a NESTED struct member is not " +
+                "supported: existence defaults fill top-level columns " +
+                "only — add the member nullable and backfill")
+          else withColumnDefault(field0, add.defaultValue().getSql)
+        if (add.fieldNames.length == 1) adds += field
+        else nestedAdds += ((add.fieldNames.init.toSeq, field))
       case del: TableChange.DeleteColumn =>
         if (del.fieldNames.length == 1) drops += del.fieldNames()(0)
         else nestedDrops += ((del.fieldNames.init.toSeq,
@@ -503,6 +534,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         addCons += ((ac.constraint().name, checkSqlOf(ac.constraint())))
       case dc: TableChange.DropConstraint =>
         dropCons += ((dc.name, dc.ifExists))
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        // ALTER COLUMN ... SET/DROP DEFAULT: future-insert metadata
+        // only — existing rows keep their EXISTS snapshot (the value
+        // the column was ADDED under), the Spark/Delta contract
+        require(ud.fieldNames.length == 1,
+          "SET/DROP DEFAULT on a nested struct member is not supported")
+        setDefaults += ((ud.fieldNames()(0),
+          Option(ud.newCurrentDefault()).map(_.getSql)
+            .filter(s => s != null && s.nonEmpty)))
       case wide: TableChange.UpdateColumnType =>
         // ALTER COLUMN ... TYPE: lossless primitive WIDENING is
         // metadata-only (old files upcast per file at read), top-level
@@ -605,6 +645,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         graft.sinks.ManifestTable.widenColumnTypePath(spark, loc, path,
           to): Unit
       }
+    }
+    if (setDefaults.nonEmpty) {
+      val loc = props.getProperty("location")
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        "SET/DROP DEFAULT is supported on manifest-format tables only")
+      setDefaults.foreach { case (name, dflt) =>
+        graft.sinks.ManifestTable.setColumnDefault(spark, loc, name,
+          dflt): Unit }
     }
     if (addCons.nonEmpty || dropCons.nonEmpty) {
       val loc = props.getProperty("location")

@@ -1295,4 +1295,44 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graftc.db.consc")
       .head().getLong(0) == 1L)
   }
+
+  test("column DEFAULTs: inline CREATE, INSERT fill, ADD COLUMN existence default, SET/DROP DEFAULT") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graftc.db.dflt " +
+      "(k BIGINT, v BIGINT DEFAULT 7) USING graft")
+    spark.sql("INSERT INTO graftc.db.dflt (k) VALUES (1)")
+    spark.sql("INSERT INTO graftc.db.dflt VALUES (2, DEFAULT)")
+    spark.sql("INSERT INTO graftc.db.dflt VALUES (3, 30)")
+    def m() = spark.sql("SELECT k, v FROM graftc.db.dflt").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m() == Map(1L -> 7L, 2L -> 7L, 3L -> 30L))
+    // evolve WITH a default: pre-evolution rows read the EXISTENCE
+    // default for the absent column — served by the parquet readers'
+    // existence-default fill through the delegated vectorized scan,
+    // zero data rewrites — and new inserts fill the CURRENT default
+    spark.sql(
+      "ALTER TABLE graftc.db.dflt ADD COLUMN w STRING DEFAULT 'z'")
+    def w(k: Long) = spark.sql(
+      s"SELECT w FROM graftc.db.dflt WHERE k = $k").head()
+    assert(w(1L).getString(0) == "z",
+      "a pre-evolution row must read the existence default, not NULL")
+    spark.sql("INSERT INTO graftc.db.dflt (k) VALUES (4)")
+    assert(w(4L).getString(0) == "z")
+    assert(m()(4L) == 7L, "the older default fills alongside")
+    // SET DEFAULT changes FUTURE inserts only: the existence snapshot
+    // pre-evolution rows read stays what the ADD declared
+    spark.sql(
+      "ALTER TABLE graftc.db.dflt ALTER COLUMN w SET DEFAULT 'y'")
+    spark.sql("INSERT INTO graftc.db.dflt (k) VALUES (5)")
+    assert(w(5L).getString(0) == "y")
+    assert(w(1L).getString(0) == "z",
+      "SET DEFAULT must not rewrite what existing rows read")
+    // DROP DEFAULT: future short inserts take NULL again
+    spark.sql("ALTER TABLE graftc.db.dflt ALTER COLUMN w DROP DEFAULT")
+    spark.sql("INSERT INTO graftc.db.dflt (k) VALUES (6)")
+    assert(w(6L).isNullAt(0))
+    // time travel: the pre-evolution version has no w at all
+    assert(!spark.sql("SELECT * FROM graftc.db.dflt VERSION AS OF 3")
+      .columns.contains("w"))
+  }
 }
