@@ -361,32 +361,55 @@ object ManifestTable {
     * scale: one extra read of each commit's OWN batch (never the
     * table), and the registry rides the existing sidecar staging. */
   def addConstraint(spark: SparkSession, root: String, name: String,
-                    exprSql: String): Long = {
-    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"constraint name '$name' must be an identifier " +
-        "([A-Za-z_][A-Za-z0-9_]*)")
-    require(!exprSql.exists(c => c == '\n' || c == '\t'),
-      "constraint expressions must not contain newlines or tabs")
+                    exprSql: String): Long =
+    addConstraints(spark, root, Seq((name, exprSql)))
+
+  /** [[addConstraint]] for a whole SET in ONE commit — the atomic
+    * form an inline `CREATE TABLE (…, CONSTRAINT …, CONSTRAINT …)`
+    * needs: every declaration validates against the same base before
+    * anything commits, so a refused later constraint never strands an
+    * earlier one on the table (which matters doubly when the CREATE
+    * adopted a PRE-EXISTING location — a partial landing would gate a
+    * table the failed statement never owned). One scan proves the
+    * whole set over the existing live rows. */
+  def addConstraints(spark: SparkSession, root: String,
+                     cons: Seq[(String, String)]): Long = {
+    require(cons.nonEmpty, "addConstraints requires at least one")
+    cons.foreach { case (name, exprSql) =>
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"constraint name '$name' must be an identifier " +
+          "([A-Za-z_][A-Za-z0-9_]*)")
+      require(!exprSql.exists(c => c == '\n' || c == '\t'),
+        "constraint expressions must not contain newlines or tabs") }
+    require(cons.map(_._1).distinct.length == cons.length,
+      s"duplicate constraint names in one set: " +
+        cons.map(_._1).mkString(", "))
     commitLoop(spark, root,
-      consReg = base => constraintsAt(spark, root, base) :+
-        ((name, exprSql))) { base =>
+      consReg = base => constraintsAt(spark, root, base) ++ cons) { base =>
       val existing = constraintsAt(spark, root, base)
-      require(!existing.exists(_._1 == name),
-        s"constraint $name already exists on $root")
       val schema = tableSchema(spark, root, base)
-      val resolved = resolveCond(spark, expr(exprSql), schema)
-      require(resolved.deterministic,
-        s"constraint $name must be deterministic — it re-evaluates " +
-          "on every future batch")
-      require(resolved.collectFirst {
-        case s: org.apache.spark.sql.catalyst.expressions
-          .SubqueryExpression => s }.isEmpty,
-        s"constraint $name must not contain subqueries")
-      val bad = readVersion(spark, root, base)
-        .filter(expr(exprSql) <=> lit(false)).limit(1).count()
-      require(bad == 0L,
-        s"cannot add constraint $name ($exprSql): existing rows " +
-          "violate it")
+      cons.foreach { case (name, exprSql) =>
+        require(!existing.exists(_._1 == name),
+          s"constraint $name already exists on $root")
+        val resolved = resolveCond(spark, expr(exprSql), schema)
+        require(resolved.deterministic,
+          s"constraint $name must be deterministic — it re-evaluates " +
+            "on every future batch")
+        require(resolved.collectFirst {
+          case s: org.apache.spark.sql.catalyst.expressions
+            .SubqueryExpression => s }.isEmpty,
+          s"constraint $name must not contain subqueries")
+      }
+      val flags = cons.map { case (n, e) => (expr(e) <=> lit(false)).as(n) }
+      val bad = readVersion(spark, root, base).select(flags: _*)
+        .filter(cons.map(c => col(c._1)).reduce(_ || _))
+        .limit(1).collect()
+      bad.headOption.foreach { r =>
+        val broken = cons.filter { case (n, _) => r.getAs[Boolean](n) }
+        sys.error("cannot add constraint(s) " +
+          broken.map { case (n, e) => s"$n ($e)" }.mkString(", ") +
+          ": existing rows violate them")
+      }
       manifest(spark, root, base)
     }
   }
@@ -435,16 +458,21 @@ object ManifestTable {
 
   /** DROP CONSTRAINT — metadata-only removal of one named invariant;
     * refuses an unknown name (a silently-ignored typo would leave the
-    * real constraint enforced against the user's belief). */
-  def dropConstraint(spark: SparkSession, root: String,
-                     name: String): Long =
-    commitLoop(spark, root,
-      consReg = base => {
-        val existing = constraintsAt(spark, root, base)
-        require(existing.exists(_._1 == name),
-          s"constraint $name does not exist on $root")
-        existing.filterNot(_._1 == name)
-      })(base => manifest(spark, root, base))
+    * real constraint enforced against the user's belief) unless
+    * `ifExists`, whose absent-name no-op decision runs INSIDE the CAS
+    * attempt: two racing `IF EXISTS` drops both succeed (the loser
+    * abstains with None) instead of the loser throwing. */
+  def dropConstraint(spark: SparkSession, root: String, name: String,
+                     ifExists: Boolean = false): Option[Long] =
+    commitLoopEvolvingOpt(spark, root,
+      consReg = base => constraintsAt(spark, root, base)
+        .filterNot(_._1 == name)) { base =>
+      if (!constraintsAt(spark, root, base).exists(_._1 == name)) {
+        if (ifExists) None
+        else sys.error(s"constraint $name does not exist on $root")
+      } else Some((manifest(spark, root, base),
+        tableSchema(spark, root, base)))
+    }
 
   /** Tracked stats columns, read off the manifest's own schema. */
   def statsCols(spark: SparkSession, root: String, version: Long): Seq[String] =

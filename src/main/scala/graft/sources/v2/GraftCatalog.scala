@@ -300,22 +300,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * then drops the half-created table so the statement stays
     * atomic: failure registers NOTHING. */
   override def createTable(ident: Identifier, info: TableInfo): Table = {
+    // adoption is decided BEFORE the base create, so the failure path
+    // knows whether the location is this statement's to remove
+    val location = Option(info.properties.get(TableCatalog.PROP_LOCATION))
+      .getOrElse((s"$warehouse/tables" +: ident.namespace.toSeq :+
+        ident.name).mkString("/"))
+    val preExisting =
+      graft.sinks.ManifestTable.exists(spark, location) ||
+        graft.sinks.VersionedTable.latestVersion(spark, location) >= 0
     val t = createTable(ident, info.schema, info.partitions,
       info.properties)
     if (info.constraints().isEmpty) t
-    else {
-      val loc = locationOf(
-        (ident.namespace :+ ident.name).mkString("."))
-      try {
-        info.constraints().foreach(c =>
-          graft.sinks.ManifestTable.addConstraint(spark, loc,
-            c.name, checkSqlOf(c)): Unit)
-        loadTable(ident)
-      } catch {
-        case e: Throwable =>
-          dropTable(ident): Unit
-          throw e
-      }
+    else try {
+      // ONE commit for the whole declared set — a refused later
+      // constraint never strands an earlier one, which matters doubly
+      // when the CREATE adopted a pre-existing location: failure must
+      // leave that table exactly as it was
+      graft.sinks.ManifestTable.addConstraints(spark, location,
+        info.constraints().toSeq.map(c => (c.name, checkSqlOf(c)))): Unit
+      loadTable(ident)
+    } catch {
+      case e: Throwable =>
+        dropTable(ident): Unit
+        // a manifest directory this statement CREATED is its own to
+        // remove — leaving it would make a later CREATE of the same
+        // name silently adopt the stale schema
+        if (!preExisting) {
+          val p = new Path(location)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true): Unit
+        }
+        throw e
     }
   }
 
@@ -350,6 +365,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       c: org.apache.spark.sql.connector.catalog.constraints.Constraint)
       : String = c match {
     case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+      // the engine validates everything it declares — silently
+      // flipping a requested NOT ENFORCED to enforced (add-time scan
+      // + per-batch gating) would be the opposite of what was asked
+      if (!ck.enforced) throw new UnsupportedOperationException(
+        s"constraint ${c.name}: NOT ENFORCED is not supported — " +
+          "every declared constraint is validated at add time and on " +
+          "every landing")
       Option(ck.predicateSql).getOrElse(throw
         new UnsupportedOperationException(
           s"constraint ${c.name} carries no SQL predicate"))
@@ -541,8 +563,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(ud.fieldNames.length == 1,
           "SET/DROP DEFAULT on a nested struct member is not supported")
         setDefaults += ((ud.fieldNames()(0),
-          Option(ud.newCurrentDefault()).map(_.getSql)
-            .filter(s => s != null && s.nonEmpty)))
+          Option(ud.newCurrentDefault()).map(cd =>
+            // an expression-only DefaultValue must refuse, not
+            // silently collapse to DROP DEFAULT
+            Option(cd.getSql).filter(_.nonEmpty).getOrElse(
+              throw new UnsupportedOperationException(
+                s"SET DEFAULT on ${ud.fieldNames()(0)}: the default " +
+                  "must carry a SQL representation")))))
       case wide: TableChange.UpdateColumnType =>
         // ALTER COLUMN ... TYPE: lossless primitive WIDENING is
         // metadata-only (old files upcast per file at read), top-level
@@ -661,11 +688,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       addCons.foreach { case (n, e) =>
         graft.sinks.ManifestTable.addConstraint(spark, loc, n, e): Unit }
       dropCons.foreach { case (n, ifExists) =>
-        val v = graft.sinks.ManifestTable.latestVersion(spark, loc)
-        if (!ifExists || graft.sinks.ManifestTable
-            .constraintsAt(spark, loc, v).exists(_._1 == n))
-          graft.sinks.ManifestTable.dropConstraint(spark, loc, n): Unit
-      }
+        graft.sinks.ManifestTable.dropConstraint(spark, loc, n,
+          ifExists): Unit }
     }
     writeDef(ident, props)
     loadTable(ident)

@@ -348,7 +348,7 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
     * landing already runs ([[graft.sinks.ManifestTable]]). ENFORCED +
     * VALID + RELY is honest: addConstraint proved the existing rows,
     * and every later commit re-proves its own batch. */
-  override def constraints()
+  private lazy val constraintsCached
       : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
     if (!isManifest) Array.empty
     else graft.sinks.ManifestTable.constraintsAt(spark, root, version)
@@ -361,6 +361,13 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
           .rely(true)
           .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
       }.toArray
+
+  // lazy + pinned: this handle is an immutable (root, version)
+  // snapshot and the analyzer may ask several times per statement —
+  // one sidecar read serves them all
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    constraintsCached
 
   /** The manifest root when SQL row-level commands (MERGE INTO /
     * UPDATE / DELETE — [[graft.plans.GraftRowLevelSqlRule]]) may

@@ -159,7 +159,7 @@ private[v2] object GraftProcedures {
         ProcedureParameter.in("name", StringType).build())
     override def isDeterministic: Boolean = false
     private val outSchema = StructType(Seq(
-      StructField("committed_version", LongType, nullable = false)))
+      StructField("committed_version", LongType, nullable = true)))
     override def call(input: InternalRow): JIterator[Scan] = {
       val spark = SparkSession.active
       val tbl = input.getUTF8String(0).toString
@@ -168,7 +168,7 @@ private[v2] object GraftProcedures {
         s"drop_constraint is for manifest-format tables; $tbl is not one")
       val v = graft.sinks.ManifestTable.dropConstraint(spark, loc,
         input.getUTF8String(1).toString)
-      oneRowScan(outSchema, InternalRow(v))
+      oneRowScan(outSchema, InternalRow(v.map(Long.box).orNull))
     }
   }
 

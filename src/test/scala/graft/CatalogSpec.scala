@@ -1286,6 +1286,10 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE graftc.db.cons DROP CONSTRAINT IF EXISTS nope")
     intercept[Exception] {
       spark.sql("ALTER TABLE graftc.db.cons DROP CONSTRAINT nope") }
+    // NOT ENFORCED refuses: silently promoting it to enforced (or
+    // landing it unvalidated) would both betray the declaration
+    intercept[Exception] { spark.sql("ALTER TABLE graftc.db.cons " +
+      "ADD CONSTRAINT ne CHECK (v > 0) NOT ENFORCED") }
     // CREATE TABLE with an inline CHECK lands the registry atomically
     spark.sql("CREATE TABLE graftc.db.consc (k BIGINT, v BIGINT, " +
       "CONSTRAINT v_pos CHECK (v > 0)) USING graft")
