@@ -1341,6 +1341,100 @@ object Relational extends QueryModule {
     graft.sinks.ManifestTable.read(spark, root).orderBy(col("doc_id"))
   }
 
+  /** TAG time travel end-to-end on disk: pin v0 under a name, move
+    * the table past it (append + delete), vacuum aggressively — the
+    * tag holds its version past the keep horizon — then read
+    * `VERSION AS OF '<tag>'`. The oracle is v0's exact content: a
+    * tag is an immutable audit/repro pin at any later point. */
+  def qTagRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_tag") + "/t"
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    graft.sinks.ManifestTable.create(
+      d.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))                                        // v0
+    graft.sinks.ManifestTable.createTag(spark, root, "release_cut")
+    graft.sinks.ManifestTable.write(
+      d.filter(col("doc_id") % 2 === 1), root)                    // v1
+    graft.sinks.ManifestTable.deleteWhere(spark, root,
+      col("doc_id") % 7 === 0)                                    // v2
+    // keep=1 would drop v0 — the tag is what retains it
+    graft.sinks.ManifestTable.vacuum(spark, root, keep = 1, ttlMs = 0L)
+    spark.read.format("graft").option("versionAsOf", "release_cut")
+      .load(root).orderBy(col("doc_id"))
+  }
+
+  /** WRITE-AUDIT-PUBLISH end-to-end on disk: fork a branch (shallow —
+    * zero data copied), run a delete and a keyed upsert ON THE BRANCH
+    * while main stays untouched, audit the branch (the invariant the
+    * writes were meant to establish), then PUBLISH — one fast-forward
+    * CAS adopting the audited state as main's next version. The
+    * oracle is the final relational content; the read is from MAIN
+    * after publish, so the gate proves fork isolation, branch
+    * row-level ops, and the atomic adopt in one pass. */
+  def qBranchWap(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_wap") + "/t"
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.sinks.ManifestTable.create(
+      d.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))                                        // v0
+    graft.sinks.ManifestTable.createBranch(spark, root, "audit")
+    val b = graft.sinks.ManifestTable.branchRoot(root, "audit")
+    graft.sinks.ManifestTable.deleteWhere(spark, b,
+      col("n_chars") < 200)
+    graft.sinks.ManifestTable.merge(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L),
+      b, Seq("doc_id"))
+    // AUDIT on the branch: the publish gate a WAP pipeline runs
+    val bad = graft.sinks.ManifestTable.read(spark, b)
+      .filter(col("n_chars") < 200 && col("doc_id") % 10 =!= 0)
+      .limit(1).count()
+    require(bad == 0L, "branch audit failed — publish must not run")
+    require(graft.sinks.ManifestTable.read(spark, root)
+      .filter(col("n_chars") < 200).limit(1).count() > 0L,
+      "fork isolation broken: main saw branch writes before publish")
+    graft.sinks.ManifestTable.publishBranch(spark, root, "audit")
+    graft.sinks.ManifestTable.read(spark, root).orderBy(col("doc_id"))
+  }
+
+  /** INCREMENTAL MATERIALIZED VIEW end-to-end on disk: build the view
+    * (count/sum/min/max per language over a filtered base — min and
+    * max are exactly the aggregates delta-folding cannot maintain
+    * under deletes, which the affected-key recompute keeps exact),
+    * mutate the base through all three row-level grains (predicate
+    * delete, keyed upsert, append), refresh incrementally, and read
+    * the VIEW. The oracle recomputes the aggregate over the base's
+    * final relational state — the refresh must land exactly there. */
+  def qMvRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.Scratch.freshDir("graft_mv") + "/base"
+    val mv = graft.util.Scratch.freshDir("graft_mv") + "/mv"
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.sinks.ManifestTable.create(
+      d.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      base, Seq("doc_id", "lang"))
+    graft.sinks.MaterializedView.create(spark, mv, base,
+      "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars, " +
+        "min(doc_id) AS first_doc, max(n_chars) AS max_chars " +
+        "FROM __BASE__ WHERE n_chars >= 100 GROUP BY lang", Seq("lang"))
+    graft.sinks.ManifestTable.deleteWhere(spark, base,
+      col("doc_id") % 7 === 0)
+    graft.sinks.ManifestTable.merge(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L),
+      base, Seq("doc_id"))
+    graft.sinks.ManifestTable.write(
+      d.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L), base)
+    graft.sinks.MaterializedView.refresh(spark, mv)
+    graft.sinks.ManifestTable.read(spark, mv).orderBy(col("lang"))
+  }
+
   /** MERGE-ON-READ DELETE ([[graft.sinks.ManifestTable
     * .deleteWhereMor]]) end-to-end on disk: two deletes commit
     * deletion-vector sidecars (zero data files rewritten — the second
@@ -1441,6 +1535,9 @@ object Relational extends QueryModule {
     "q_stream_pipe"       -> qStreamPipe _,
     "q_replace_where"     -> qReplaceWhere _,
     "q_restore"           -> qRestore _,
+    "q_tag_read"          -> qTagRead _,
+    "q_branch_wap"        -> qBranchWap _,
+    "q_mv_refresh"        -> qMvRefresh _,
     "q_delete_dv"         -> qDeleteDv _,
     "q_update_dv"         -> qUpdateDv _,
     "q_jaro_rank"         -> qJaroRank _,
@@ -1688,6 +1785,49 @@ object Relational extends QueryModule {
     // restore(v0) after an append and a delete reads exactly v0
     "q_restore" ->
       """SELECT doc_id, lang FROM documents WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
+    // the tag pins v0 (the even docs) through the later append,
+    // delete, and an aggressive vacuum
+    "q_tag_read" ->
+      """SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+        |ORDER BY doc_id""".stripMargin,
+    // the MV after the incremental refresh == the aggregate over the
+    // base's final state: delete (doc_id%7), keyed upsert (doc_id%10
+    // boosted — re-inserting deleted keys, upsert semantics), append
+    // of shifted clones (doc_id%3), then the filtered group-by
+    "q_mv_refresh" ->
+      """WITH s1 AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |boosted AS (
+        |  SELECT doc_id, lang, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |s2 AS (
+        |  SELECT * FROM boosted
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM s1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM boosted)),
+        |s3 AS (
+        |  SELECT * FROM s2
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS first_doc, max(n_chars) AS max_chars
+        |FROM s3 WHERE n_chars >= 100
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // write-audit-publish: main after publish == branch's delete
+    // (n_chars < 200) then keyed upsert (doc_id % 10 = 0 boosted)
+    "q_branch_wap" ->
+      """WITH boosted AS (
+        |  SELECT doc_id, lang, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id, lang, n_chars FROM boosted
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars >= 200
+        |  AND doc_id NOT IN (SELECT doc_id FROM boosted)
         |ORDER BY doc_id""".stripMargin,
     // the streaming bootstrap is the whole table as inserts at the
     // stream's starting version

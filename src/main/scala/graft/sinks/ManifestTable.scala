@@ -70,6 +70,7 @@ object ManifestTable {
   private val SchemaSidecar = "_graft_schema.json"
   private val EqSidecar = "_graft_eqdeletes.tsv"
   private val ConstraintsSidecar = "_graft_constraints.tsv"
+  private val NdvSidecar = "_graft_ndv.tsv"
   private val DvSub = "_dv"
   private val EqSub = "_eq"
 
@@ -309,6 +310,74 @@ object ManifestTable {
     try out.write(cons.map { case (n, e) => s"$n\t$e" }
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Approximate per-column DISTINCT counts from the last
+    * [[analyzeTable]] pass — PHYSICAL-keyed (stable under RENAME
+    * COLUMN), carried forward commit to commit like any ANALYZE
+    * statistic (they go stale as the table moves; re-run on the
+    * maintenance tick). Absence is the empty map: the planner falls
+    * back to its own defaults, never to a wrong number. */
+  private[graft] def ndvAt(spark: SparkSession, root: String,
+                           version: Long): Map[String, Long] = {
+    val p = new Path(s"${manifestsRoot(root)}/epoch=$version", NdvSidecar)
+    val f = fs(spark, root)
+    if (!f.exists(p)) return Map.empty
+    val in = f.open(p)
+    val txt = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    txt.split('\n').filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      (line.substring(0, i), line.substring(i + 1).toLong)
+    }.toMap
+  }
+
+  private def stageNdv(spark: SparkSession, root: String,
+                       ndv: Map[String, Long])(dir: String): Unit = {
+    if (ndv.isEmpty) return
+    val f = fs(spark, root)
+    val out = f.create(new Path(dir, NdvSidecar), true)
+    try out.write(ndv.toSeq.sortBy(_._1)
+      .map { case (c, n) => s"$c\t$n" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** ANALYZE: one distributed pass computing approximate distinct
+    * counts (HLL, `approx_count_distinct`) for `columns` (default:
+    * every atomic-typed column), committed as a metadata-only version
+    * whose sidecar every later commit carries forward. This is the
+    * number COST-BASED join planning runs on (min/max/nullCount
+    * already come exact from the manifest's own envelopes — NDV is
+    * the one statistic that needs a data pass): with
+    * `spark.sql.cbo.enabled` the scan reports it through the DSv2
+    * column-statistics surface and join reorder/strategy sees real
+    * cardinalities instead of defaults. Cost: ONE scan of the live
+    * rows, all columns folded in the same pass. */
+  def analyzeTable(spark: SparkSession, root: String,
+                   columns: Seq[String] = Nil): Long = {
+    val v = latestVersion(spark, root)
+    require(v >= 0, s"manifest table at $root does not exist")
+    val schema = tableSchema(spark, root, v)
+    val atomic = schema.fields.filter { f =>
+      import org.apache.spark.sql.types._
+      f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => false
+        case _ => true
+      }
+    }.map(_.name).toSeq
+    val cols = if (columns.nonEmpty) columns else atomic
+    cols.foreach(c => require(atomic.contains(c),
+      s"analyzeTable: $c is not an atomic-typed table column"))
+    val row = readVersion(spark, root, v)
+      .agg(approx_count_distinct(col(cols.head)).as(cols.head),
+        cols.tail.map(c => approx_count_distinct(col(c)).as(c)): _*)
+      .head()
+    val ndv = cols.map(c =>
+      physicalFor(schema, c) -> row.getAs[Long](c)).toMap
+    commitLoopEvolving(spark, root, ndvReg = _ => ndv) { base =>
+      (manifest(spark, root, base), tableSchema(spark, root, base))
+    }
   }
 
   /** Top-level column names a constraint expression references —
@@ -991,10 +1060,11 @@ object ManifestTable {
                                  extraStage: String => Unit = _ => (),
                                  eqReg: Long => Seq[EqEntry] = null,
                                  consReg: Long => Seq[(String, String)] = null,
-                                 validateCons: Boolean = true)
+                                 validateCons: Boolean = true,
+                                 ndvReg: Long => Map[String, Long] = null)
                                 (next: Long => (DataFrame, StructType)): Long =
     commitLoopEvolvingOpt(spark, root, maxAttempts, extraStage, eqReg,
-      consReg, validateCons)(base => Some(next(base))).get
+      consReg, validateCons, ndvReg)(base => Some(next(base))).get
 
   /** [[commitLoopEvolving]] where an attempt may ABSTAIN (None) after
     * seeing the freshly resolved base — the hook [[writeBatch]]'s
@@ -1015,7 +1085,8 @@ object ManifestTable {
                                     eqReg: Long => Seq[EqEntry] = null,
                                     consReg: Long => Seq[(String, String)] =
                                       null,
-                                    validateCons: Boolean = true)
+                                    validateCons: Boolean = true,
+                                    ndvReg: Long => Map[String, Long] = null)
                                    (next: Long => Option[(DataFrame, StructType)])
       : Option[Long] = {
     val eq: Long => Seq[EqEntry] =
@@ -1025,6 +1096,10 @@ object ManifestTable {
     val cons: Long => Seq[(String, String)] =
       if (consReg != null) consReg
       else base => constraintsAt(spark, root, base)
+    // ANALYZE statistics carry like constraints (stale-but-useful is
+    // the ANALYZE contract); only analyzeTable re-decides the set
+    val ndv: Long => Map[String, Long] =
+      if (ndvReg != null) ndvReg else base => ndvAt(spark, root, base)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(spark, root)
@@ -1060,6 +1135,7 @@ object ManifestTable {
         dir => { stageSchema(spark, root, schema)(dir)
           stageEq(spark, root, eq(base))(dir)
           stageConstraints(spark, root, consSet)(dir)
+          stageNdv(spark, root, ndv(base))(dir)
           extraStage(dir) }) match {
         case Some(v) => return Some(v)
         case None    => attempt += 1
@@ -2780,7 +2856,8 @@ object ManifestTable {
   def restore(spark: SparkSession, root: String, version: Long): Long = {
     commitLoopEvolving(spark, root,
       eqReg = _ => eqDeletes(spark, root, version),
-      consReg = _ => constraintsAt(spark, root, version)) { base =>
+      consReg = _ => constraintsAt(spark, root, version),
+      ndvReg = _ => ndvAt(spark, root, version)) { base =>
       require(versions(spark, root).contains(version),
         s"manifest table at $root has no retained version $version " +
           "(vacuumed or never committed) — nothing to restore to")
@@ -2804,7 +2881,8 @@ object ManifestTable {
       : Option[Long] =
     try Some(commitLoopEvolving(spark, root,
       eqReg = _ => eqDeletes(spark, root, version),
-      consReg = _ => constraintsAt(spark, root, version)) { base =>
+      consReg = _ => constraintsAt(spark, root, version),
+      ndvReg = _ => ndvAt(spark, root, version)) { base =>
       if (base != expectedCurrent) throw RestoreAborted
       require(versions(spark, root).contains(version),
         s"manifest table at $root has no retained version $version")
@@ -2852,7 +2930,233 @@ object ManifestTable {
       // the clone inherits the source's invariants — its future
       // writes enforce the same contract the source's did
       stageConstraints(spark, dstRoot, constraintsAt(spark, srcRoot, v))(dir)
+      // ANALYZE stats transfer: the clone's content IS the source's,
+      // so the source's NDV pass is exactly right for it
+      stageNdv(spark, dstRoot, ndvAt(spark, srcRoot, v))(dir)
     })
+  }
+
+  // ------------------------------------------------- refs: branches & tags
+
+  private val RefsSub = "_refs"
+  private val BranchesSub = "_branches"
+
+  private def refsRoot(root: String): String = s"$root/$RefsSub"
+
+  /** Root of branch `name`'s own manifest table. Underscore-prefixed
+    * so no flat listing ever surfaces branch data as the main
+    * table's; manifest reads address files explicitly (only leaf
+    * BASENAMES are hidden-filtered) and are unaffected. */
+  def branchRoot(root: String, name: String): String =
+    s"$root/$BranchesSub/$name"
+
+  /** A named ref over the table's history — the Iceberg refs model
+    * re-expressed on the linear epoch log: a [[TagRef]] pins one MAIN
+    * version immutably (vacuum retains it until the ref drops); a
+    * [[BranchRef]] is a writable fork — a full manifest table at
+    * [[branchRoot]], shallow-cloned at creation (zero data copied), so
+    * the ENTIRE op surface (append/MERGE/DELETE/SQL through the
+    * catalog's `db.t.<branch>` identifier) works on it — recording the
+    * main version it forked from, the fast-forward base
+    * [[publishBranch]] checks. This is write-audit-publish: write to
+    * the branch, audit the branch, publish atomically. */
+  sealed trait Ref
+  final case class TagRef(version: Long) extends Ref
+  final case class BranchRef(base: Long) extends Ref
+
+  /** Ref names must be identifiers that can NEVER parse as a version
+    * number — `versionAsOf` dispatches on exactly that distinction. */
+  private def requireRefName(name: String): Unit =
+    require(name.matches("[A-Za-z_][A-Za-z0-9_-]*"),
+      s"ref name '$name' must match [A-Za-z_][A-Za-z0-9_-]* — names " +
+        "share the VERSION AS OF surface with numeric versions")
+
+  private def refFile(root: String, name: String): Path =
+    new Path(refsRoot(root), name)
+
+  /** Read one ref, None when absent. */
+  def readRef(spark: SparkSession, root: String, name: String): Option[Ref] = {
+    val f = fs(spark, root)
+    val p = refFile(root, name)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val line =
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim
+        finally in.close()
+      line.split(' ') match {
+        case Array("tag", v)    => Some(TagRef(v.toLong))
+        case Array("branch", b) => Some(BranchRef(b.toLong))
+        case _ => sys.error(s"unreadable ref $name on $root: '$line'")
+      }
+    }
+  }
+
+  /** All refs, name-sorted. */
+  def listRefs(spark: SparkSession, root: String): Seq[(String, Ref)] = {
+    val f = fs(spark, root)
+    val base = new Path(refsRoot(root))
+    if (!f.exists(base)) Nil
+    else f.listStatus(base).filter(_.isFile).map(_.getPath.getName)
+      .sorted.toSeq
+      .flatMap(n => readRef(spark, root, n).map(n -> _))
+  }
+
+  /** Claim the ref NAME atomically: `create(overwrite = false)` is the
+    * CAS — a second creator of the same name loses with
+    * FileAlreadyExists instead of silently stealing the ref. */
+  private def writeRefExclusive(spark: SparkSession, root: String,
+                                name: String, line: String): Unit = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(refsRoot(root))): Unit
+    val out = f.create(refFile(root, name), false)
+    try out.write(line.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Move an EXISTING ref (publish advancing a branch's base) — tmp +
+    * atomic overwrite rename, the pointer-bump pattern. */
+  private def rewriteRef(spark: SparkSession, root: String,
+                         name: String, line: String): Unit = {
+    val f = fs(spark, root)
+    val tmp = new Path(refsRoot(root),
+      s".${name}.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(line.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      refFile(root, name).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, refFile(root, name),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** TAG `version` (default: the head) as `name` — immutable, metadata
+    * only (one tiny file). [[vacuum]] retains tagged versions past the
+    * `keep` horizon, so a tag is a durable audit/repro pin:
+    * `VERSION AS OF 'name'` reads it forever until [[dropRef]]. */
+  def createTag(spark: SparkSession, root: String, name: String,
+                version: Option[Long] = None): Long = {
+    requireRefName(name)
+    val v = version.getOrElse(latestVersion(spark, root))
+    require(versions(spark, root).contains(v),
+      s"manifest table at $root has no retained version $v")
+    writeRefExclusive(spark, root, name, s"tag $v")
+    v
+  }
+
+  /** BRANCH the table at `version` (default: the head) as `name`: the
+    * ref file claims the name FIRST (so a concurrent [[vacuum]] never
+    * sweeps the clone mid-creation), then a shallow clone materializes
+    * the branch's own manifest table — zero data copied, cost one
+    * manifest write. Returns the fork base (the main version the
+    * branch diverges from, which [[publishBranch]] fast-forwards). */
+  def createBranch(spark: SparkSession, root: String, name: String,
+                   version: Option[Long] = None): Long = {
+    requireRefName(name)
+    val v = version.getOrElse(latestVersion(spark, root))
+    require(versions(spark, root).contains(v),
+      s"manifest table at $root has no retained version $v")
+    writeRefExclusive(spark, root, name, s"branch $v")
+    try cloneTo(spark, root, branchRoot(root, name), Some(v))
+    catch { case e: Throwable =>
+      fs(spark, root).delete(refFile(root, name), false): Unit
+      throw e }
+    v
+  }
+
+  /** PUBLISH branch `name` onto main — the write-audit-publish commit:
+    * ONE CAS that adopts the branch's current manifest, schema,
+    * and constraint registry as main's next version, REFUSED unless
+    * main still sits at the branch's fork base (fast-forward only — a
+    * moved main means the audit validated a state that no longer
+    * composes; re-branch from the new head and re-apply). Data files
+    * adopt BY REFERENCE (absolute paths into the branch dir — zero
+    * copies at any scale); `seq` resets to 0 exactly as [[cloneTo]]'s
+    * borrow does, sound because publish requires the branch's
+    * equality-delete registry empty (compactEq first), so no pending
+    * delete orders against file seqs. On success the ref's base
+    * advances to the published version: continued branch work can
+    * publish again as long as main only moves through this branch. */
+  def publishBranch(spark: SparkSession, root: String,
+                    name: String): Long = {
+    val base0 = readRef(spark, root, name) match {
+      case Some(BranchRef(b)) => b
+      case Some(TagRef(_)) =>
+        sys.error(s"ref $name on $root is a tag — tags are immutable " +
+          "pins, only branches publish")
+      case None => sys.error(s"no ref $name on $root")
+    }
+    val bRoot = branchRoot(root, name)
+    require(exists(spark, bRoot),
+      s"branch $name of $root has no manifest table — creation failed " +
+        "midway; dropRef and re-create")
+    val bv = latestVersion(spark, bRoot)
+    require(!hasPendingEq(spark, bRoot, bv),
+      s"branch $name has pending equality deletes — run compactEq() " +
+        "(or any row-level op / maintenance tick) on the branch " +
+        "before publishing")
+    val published = commitLoopEvolving(spark, root,
+      eqReg = _ => Nil,
+      consReg = _ => constraintsAt(spark, bRoot, bv),
+      ndvReg = _ => ndvAt(spark, bRoot, bv)) { base =>
+      require(base == base0,
+        s"main moved from $base0 to $base since branch $name forked — " +
+          "non-fast-forward publish refused: re-create the branch " +
+          "from the current head and re-apply its changes")
+      (manifest(spark, bRoot, bv).withColumn("seq", lit(0L)),
+        tableSchema(spark, bRoot, bv))
+    }
+    rewriteRef(spark, root, name, s"branch $published")
+    published
+  }
+
+  /** Drop ref `name`. A tag drop releases its version to the normal
+    * retention horizon. A branch drop deletes the branch's directory
+    * EXCEPT files main's retained manifests still reference (published
+    * files adopted by reference live under the branch dir until main's
+    * own history stops naming them — [[vacuum]] re-sweeps orphaned
+    * branch remnants once it does). */
+  def dropRef(spark: SparkSession, root: String, name: String): Unit = {
+    val ref = readRef(spark, root, name).getOrElse(
+      sys.error(s"no ref $name on $root"))
+    ref match {
+      case TagRef(_)    => ()
+      case BranchRef(_) =>
+        sweepBranchDir(spark, root, branchRoot(root, name), ttlMs = 0L)
+    }
+    fs(spark, root).delete(refFile(root, name), false): Unit
+  }
+
+  /** Delete a branch directory bottom-up, keeping ONLY files main's
+    * retained manifests reference (data files and deletion-vector
+    * sidecars a publish adopted). `ttlMs` guards the vacuum-time
+    * orphan sweep against a creator racing between ref write and
+    * clone commit; an explicit [[dropRef]] passes 0. */
+  private def sweepBranchDir(spark: SparkSession, root: String,
+                             bDir: String, ttlMs: Long): Unit = {
+    val f = fs(spark, root)
+    val p = new Path(bDir)
+    if (!f.exists(p)) return
+    val prefix = canon(bDir) + "/"
+    val live: Set[String] = versions(spark, root).flatMap { v =>
+      val m = manifest(spark, root, v)
+      m.select(col("path")).collect().map(r => canon(r.getString(0))) ++
+        m.select(col("dv_path")).filter(col("dv_path").isNotNull)
+          .collect().map(r => canon(r.getString(0)))
+    }.filter(_.startsWith(prefix)).toSet
+    val now = System.currentTimeMillis()
+    def walk(dir: Path): Boolean = { // true = dir fully reclaimed
+      var kept = false
+      f.listStatus(dir).foreach { s =>
+        if (s.isDirectory) { if (!walk(s.getPath)) kept = true }
+        else if (live.contains(canon(s.getPath.toString)) ||
+                 now - s.getModificationTime < ttlMs) kept = true
+        else f.delete(s.getPath, false): Unit
+      }
+      if (!kept) f.delete(dir, true): Unit
+      !kept
+    }
+    walk(p): Unit
   }
 
   /** Atomic predicate-scoped overwrite — Delta's `replaceWhere`: ONE
@@ -3467,7 +3771,13 @@ object ManifestTable {
     * resolves). Also sweeps empty data/<uuid> directories. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2,
              ttlMs: Long = 24L * 3600 * 1000): Unit = {
-    VersionedTable.vacuum(spark, manifestsRoot(root), keep, ttlMs)
+    // TAGGED versions are pinned past the keep horizon — a tag is a
+    // durable pin by contract; everything downstream (file/dv/eq
+    // refcounts) follows automatically because it iterates the
+    // RETAINED version list, which now includes the tagged epochs
+    val refs = listRefs(spark, root)
+    VersionedTable.vacuum(spark, manifestsRoot(root), keep, ttlMs,
+      pinned = refs.collect { case (_, TagRef(v)) => v }.toSet)
     val referenced = versions(spark, root)
       .flatMap(v => filesAt(spark, root, v)).toSet
     // deletion-vector sidecars refcount exactly like data files: live
@@ -3517,6 +3827,19 @@ object ManifestTable {
         if (!eqReferenced.contains(canon(d.getPath.toString)) &&
             now - d.getModificationTime >= ttlMs)
           f.delete(d.getPath, true): Unit
+      }
+    }
+    // ORPHANED branch remnants: a dropped branch's directory can keep
+    // files main still referenced at drop time; once main's own
+    // history stops naming them, this sweep reclaims what remains.
+    // Dirs WITH a live ref are the branch's own manifest table — its
+    // own vacuum manages it; never touched from here.
+    val bBase = new Path(s"$root/$BranchesSub")
+    if (f.exists(bBase)) {
+      val named = refs.collect { case (n, BranchRef(_)) => n }.toSet
+      f.listStatus(bBase).filter(_.isDirectory).foreach { d =>
+        if (!named.contains(d.getPath.getName))
+          sweepBranchDir(spark, root, d.getPath.toString, ttlMs)
       }
     }
   }

@@ -735,14 +735,19 @@ object VersionedTable {
     * pointer names). Also sweeps `.stage-*` directories orphaned by
     * crashed writers — but only ones older than `stageTtlMs`, so a
     * LIVE concurrent writer mid-stage (its CAS rename not yet
-    * attempted) cannot have its data deleted out from under it. */
+    * attempted) cannot have its data deleted out from under it.
+    * `pinned` versions survive regardless of age — the retention
+    * hook named TAGS ride ([[graft.sinks.ManifestTable.createTag]]):
+    * a pinned epoch stays readable until its ref is dropped. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2,
-             stageTtlMs: Long = 24L * 3600 * 1000): Unit = {
+             stageTtlMs: Long = 24L * 3600 * 1000,
+             pinned: Set[Long] = Set.empty): Unit = {
     require(keep >= 1, "must keep at least one epoch")
     val cur = latestVersion(spark, root)
     val f = fs(spark, root)
     versions(spark, root).sorted.dropRight(keep)
       .filter(_ != cur)
+      .filterNot(pinned)
       .foreach { v =>
         f.delete(new org.apache.hadoop.fs.Path(root, s"epoch=$v"), true): Unit
       }

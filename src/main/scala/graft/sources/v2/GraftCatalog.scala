@@ -184,6 +184,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               graft.sinks.ManifestTable.constraintsAt(spark, loc, v)
                 .map { case (n, e) => org.apache.spark.sql.Row(n, e) }
             }))
+        case "refs" =>
+          // the ref registry: (name, type, version) — a tag's version
+          // is its pin, a branch's its fast-forward base
+          Some(new GraftLocalTable(
+            s"$catalogName.$baseIdent.refs",
+            GraftCatalog.RefsSchema,
+            () => graft.sinks.ManifestTable.listRefs(spark, loc).map {
+              case (n, graft.sinks.ManifestTable.TagRef(v)) =>
+                org.apache.spark.sql.Row(n, "tag", v)
+              case (n, graft.sinks.ManifestTable.BranchRef(b)) =>
+                org.apache.spark.sql.Row(n, "branch", b)
+            }))
+        case branch if graft.sinks.ManifestTable
+            .readRef(spark, loc, branch)
+            .exists(_.isInstanceOf[graft.sinks.ManifestTable.BranchRef]) =>
+          // a BRANCH identifier (`db.t.audit`) resolves to the
+          // branch's own manifest table — full READ-WRITE surface
+          // (INSERT/UPDATE/DELETE/MERGE all land on the branch), the
+          // write-audit-publish write side
+          val opts = new java.util.HashMap[String, String]()
+          props.stringPropertyNames().asScala
+            .foreach(k => opts.put(k, props.getProperty(k)))
+          opts.put("path",
+            graft.sinks.ManifestTable.branchRoot(loc, branch))
+          val provider = new GraftTableProvider
+          val cis = new CaseInsensitiveStringMap(opts)
+          Some(provider.getTable(provider.inferSchema(cis),
+            Array.empty, cis))
         case _ => None
       }
     }
@@ -734,7 +762,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(Array("system"), "optimize_table"),
         Identifier.of(Array("system"), "compact_eq"),
         Identifier.of(Array("system"), "add_constraint"),
-        Identifier.of(Array("system"), "drop_constraint"))
+        Identifier.of(Array("system"), "drop_constraint"),
+        Identifier.of(Array("system"), "create_branch"),
+        Identifier.of(Array("system"), "create_tag"),
+        Identifier.of(Array("system"), "publish_branch"),
+        Identifier.of(Array("system"), "drop_ref"),
+        Identifier.of(Array("system"), "create_mv"),
+        Identifier.of(Array("system"), "refresh_mv"),
+        Identifier.of(Array("system"), "analyze_table"))
     else Array.empty
 
   /** Shallow-clone `src` (a registered manifest table) as `dst`:
@@ -766,6 +801,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     dstLoc
   }
 
+  /** Create a REGISTERED incremental materialized view over a
+    * registered base table: the view is an ordinary named manifest
+    * table (SELECT it, time-travel it) at a managed location, plus
+    * the definition/offset state [[graft.sinks.MaterializedView]]
+    * maintains. Returns the view's location. */
+  private[v2] def createMvRegistered(mvName: String, baseName: String,
+                                     defSql: String,
+                                     keyCols: Seq[String]): String = {
+    val baseLoc = locationOf(baseName)
+    require(graft.sinks.ManifestTable.exists(spark, baseLoc),
+      s"create_mv is for manifest-format tables; $baseName is not one")
+    val parts = mvName.split('.')
+    require(parts.length >= 2, s"expected namespace.table, got $mvName")
+    val mvIdent = Identifier.of(parts.init, parts.last)
+    if (tableExists(mvIdent)) throw new TableAlreadyExistsException(mvIdent)
+    val mvLoc = (s"$warehouse/tables" +: mvIdent.namespace.toSeq :+
+      mvIdent.name).mkString("/")
+    graft.sinks.MaterializedView.create(spark, mvLoc, baseLoc,
+      defSql, keyCols): Unit
+    val out = new java.util.Properties()
+    out.setProperty("location", mvLoc)
+    out.setProperty("statsCols", keyCols.mkString(","))
+    writeDef(mvIdent, out)
+    mvLoc
+  }
+
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -779,10 +840,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "compact_eq"     => new GraftProcedures.CompactEq(this)
       case "add_constraint"  => new GraftProcedures.AddConstraint(this)
       case "drop_constraint" => new GraftProcedures.DropConstraint(this)
+      case "create_branch"   => new GraftProcedures.CreateBranch(this)
+      case "create_tag"      => new GraftProcedures.CreateTag(this)
+      case "publish_branch"  => new GraftProcedures.PublishBranch(this)
+      case "drop_ref"        => new GraftProcedures.DropRef(this)
+      case "create_mv"       => new GraftProcedures.CreateMv(this)
+      case "refresh_mv"      => new GraftProcedures.RefreshMv(this)
+      case "analyze_table"   => new GraftProcedures.AnalyzeTable(this)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $catalogName.system.$other (available: " +
           "maintain, vacuum_table, restore_table, clone_table, " +
-          "optimize_table, compact_eq, add_constraint, drop_constraint)")
+          "optimize_table, compact_eq, add_constraint, drop_constraint, " +
+          "create_branch, create_tag, publish_branch, drop_ref, " +
+          "create_mv, refresh_mv)")
     }
   }
 
@@ -851,4 +921,11 @@ object GraftCatalog {
   private[v2] val ConstraintsSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
     StructField("expr", StringType, nullable = false)))
+
+  /** Schema of the `t.refs` metadata table: a tag's `version` is its
+    * immutable pin, a branch's its current fast-forward base. */
+  private[v2] val RefsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
 }

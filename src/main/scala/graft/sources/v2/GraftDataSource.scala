@@ -121,12 +121,32 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
   private def resolve(options: CaseInsensitiveStringMap)
       : (SparkSession, String, Long, Boolean) = {
     val spark = SparkSession.active
-    val root = Option(options.get("path")).getOrElse(
+    val root0 = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft source requires a path: spark.read.format(\"graft\").load(root)"))
     require(options.get("versionAsOf") == null ||
       options.get("timestampAsOf") == null,
       "give versionAsOf or timestampAsOf, not both")
+    // a NON-NUMERIC versionAsOf names a REF — Iceberg's
+    // `VERSION AS OF 'name'` surface (ref names can never parse as a
+    // version, enforced at creation): a TAG resolves to its pinned
+    // main version; a BRANCH redirects the whole read to the branch's
+    // own manifest table at its head
+    val namedRef = Option(options.get("versionAsOf"))
+      .filter(v => !v.matches("-?\\d+"))
+    val (root, pinnedByRef) = namedRef match {
+      case None => (root0, None)
+      case Some(name) =>
+        graft.sinks.ManifestTable.readRef(spark, root0, name) match {
+          case Some(graft.sinks.ManifestTable.TagRef(v)) =>
+            (root0, Some(v))
+          case Some(graft.sinks.ManifestTable.BranchRef(_)) =>
+            (graft.sinks.ManifestTable.branchRoot(root0, name), None)
+          case None => throw new IllegalArgumentException(
+            s"no ref '$name' on $root0 — VERSION AS OF takes a " +
+              "version number, a tag, or a branch name")
+        }
+    }
     // (resolution continues below; whether the caller PINNED the
     // version explicitly is what decides the table's write surface —
     // see [[timeTraveled]])
@@ -136,7 +156,9 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     val isManifest = graft.sinks.ManifestTable.exists(spark, root)
     val vtRoot =
       if (isManifest) graft.sinks.ManifestTable.manifestsRoot(root) else root
-    val version = Option(options.get("versionAsOf")).map(_.toLong)
+    val version = pinnedByRef
+      .orElse(Option(options.get("versionAsOf"))
+        .filter(_ => namedRef.isEmpty).map(_.toLong))
       .orElse(GraftTimeTravel.resolveTimestampAsOf(spark, vtRoot, options))
       .orElse(resolvedAt.get().collect { case (r, v) if r == root => v })
       .getOrElse(graft.sinks.VersionedTable.latestVersion(spark, vtRoot))
@@ -540,27 +562,48 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
           // an estimate
           def colStats(): Map[String,
               org.apache.spark.sql.connector.read.colstats
-                .ColumnStatistics] =
-            if (cols.isEmpty) Map.empty
+                .ColumnStatistics] = {
+            // ANALYZE-pass NDV ([[graft.sinks.ManifestTable
+            // .analyzeTable]]): the join-cardinality driver CBO has no
+            // other source for; physical-keyed, may cover columns the
+            // envelopes don't track (and vice versa)
+            val ndvMap = graft.sinks.ManifestTable.ndvAt(
+              spark, root, version)
+            val statCols = (cols ++ ndvMap.keys.filter(
+              physToLogical.contains)).distinct
+            if (statCols.isEmpty) Map.empty
             else {
               import org.apache.spark.sql.functions.{max => smax, min => smin, sum => ssum}
-              val aggs = cols.flatMap(c => Seq(
-                smin(org.apache.spark.sql.functions.col(s"${c}_min"))
-                  .as(s"${c}_min"),
-                smax(org.apache.spark.sql.functions.col(s"${c}_max"))
-                  .as(s"${c}_max"),
-                ssum(org.apache.spark.sql.functions.col(s"${c}_nulls"))
-                  .as(s"${c}_nulls")))
-              val row = m.agg(aggs.head, aggs.tail: _*).head()
-              cols.flatMap { c =>
+              val envCols = statCols.filter(cols.contains)
+              val row =
+                if (envCols.isEmpty) null
+                else {
+                  val aggs = envCols.flatMap(c => Seq(
+                    smin(org.apache.spark.sql.functions.col(s"${c}_min"))
+                      .as(s"${c}_min"),
+                    smax(org.apache.spark.sql.functions.col(s"${c}_max"))
+                      .as(s"${c}_max"),
+                    ssum(org.apache.spark.sql.functions.col(s"${c}_nulls"))
+                      .as(s"${c}_nulls")))
+                  m.agg(aggs.head, aggs.tail: _*).head()
+                }
+              statCols.flatMap { c =>
                 physToLogical.get(c).map { logical =>
                   val dt = physSchema(c).dataType
                   val conv = org.apache.spark.sql.catalyst
                     .CatalystTypeConverters.createToCatalystConverter(dt)
-                  val lo = Option(row.getAs[Any](s"${c}_min")).map(conv)
-                  val hi = Option(row.getAs[Any](s"${c}_max")).map(conv)
-                  val nulls = Option(row.getAs[Any](s"${c}_nulls"))
-                    .map(_.asInstanceOf[Long])
+                  val hasEnv = row != null && envCols.contains(c)
+                  val lo =
+                    if (!hasEnv) None
+                    else Option(row.getAs[Any](s"${c}_min")).map(conv)
+                  val hi =
+                    if (!hasEnv) None
+                    else Option(row.getAs[Any](s"${c}_max")).map(conv)
+                  val nulls =
+                    if (!hasEnv) None
+                    else Option(row.getAs[Any](s"${c}_nulls"))
+                      .map(_.asInstanceOf[Long])
+                  val ndv = ndvMap.get(c)
                   logical -> (new org.apache.spark.sql.connector.read
                       .colstats.ColumnStatistics {
                     override def min(): java.util.Optional[Object] =
@@ -574,10 +617,14 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
                     override def nullCount(): java.util.OptionalLong =
                       nulls.map(java.util.OptionalLong.of)
                         .getOrElse(java.util.OptionalLong.empty())
+                    override def distinctCount(): java.util.OptionalLong =
+                      ndv.map(java.util.OptionalLong.of)
+                        .getOrElse(java.util.OptionalLong.empty())
                   })
                 }
               }.toMap
             }
+          }
           new GraftRuntimeFilterScanBuilder(b, attrs,
             name => graft.sinks.ManifestTable.physicalFor(dataSchema, name),
             filters => subIndex(allFiles).listFiles(Nil, filters)

@@ -172,6 +172,209 @@ private[v2] object GraftProcedures {
     }
   }
 
+  /** `create_branch(table, name)` — fork the table's head as a
+    * writable branch ([[graft.sinks.ManifestTable.createBranch]]):
+    * zero data copied; write through the `db.t.<name>` identifier,
+    * audit, then `publish_branch`. */
+  final class CreateBranch(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "create_branch"
+    override def description(): String =
+      "fork the table head as a writable branch (write-audit-publish): " +
+        "INSERT/MERGE/DELETE via the db.t.<branch> identifier, then " +
+        "publish_branch fast-forwards main"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("forked_at_version", LongType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val tbl = input.getUTF8String(0).toString
+      val loc = catalog.locationOf(tbl)
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        s"create_branch is for manifest-format tables; $tbl is not one")
+      val base = graft.sinks.ManifestTable.createBranch(spark, loc,
+        input.getUTF8String(1).toString)
+      oneRowScan(outSchema, InternalRow(base))
+    }
+  }
+
+  /** `create_tag(table, name)` — pin the table's head immutably
+    * ([[graft.sinks.ManifestTable.createTag]]); vacuum retains the
+    * tagged version until the ref drops; read via
+    * `VERSION AS OF '<name>'`. */
+  final class CreateTag(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "create_tag"
+    override def description(): String =
+      "pin the table's current version under an immutable name — " +
+        "vacuum retains it; read it with VERSION AS OF '<name>'"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("tagged_version", LongType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val tbl = input.getUTF8String(0).toString
+      val loc = catalog.locationOf(tbl)
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        s"create_tag is for manifest-format tables; $tbl is not one")
+      val v = graft.sinks.ManifestTable.createTag(spark, loc,
+        input.getUTF8String(1).toString)
+      oneRowScan(outSchema, InternalRow(v))
+    }
+  }
+
+  /** `publish_branch(table, name)` — the write-audit-publish commit
+    * ([[graft.sinks.ManifestTable.publishBranch]]): ONE fast-forward
+    * CAS adopts the branch's state as main's next version; refused if
+    * main moved since the fork. */
+  final class PublishBranch(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "publish_branch"
+    override def description(): String =
+      "atomically fast-forward main to the branch's audited state; " +
+        "refused when main moved since the fork"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("published_version", LongType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val tbl = input.getUTF8String(0).toString
+      val loc = catalog.locationOf(tbl)
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        s"publish_branch is for manifest-format tables; $tbl is not one")
+      val v = graft.sinks.ManifestTable.publishBranch(spark, loc,
+        input.getUTF8String(1).toString)
+      oneRowScan(outSchema, InternalRow(v))
+    }
+  }
+
+  /** `drop_ref(table, name)` — drop a tag (releasing its retention
+    * pin) or a branch (reclaiming its unpublished files; published
+    * files survive by main's refcount). */
+  final class DropRef(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_ref"
+    override def description(): String =
+      "drop a tag or branch ref; branch data not referenced by main " +
+        "is reclaimed"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("dropped", StringType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val tbl = input.getUTF8String(0).toString
+      val loc = catalog.locationOf(tbl)
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        s"drop_ref is for manifest-format tables; $tbl is not one")
+      val name = input.getUTF8String(1).toString
+      graft.sinks.ManifestTable.dropRef(spark, loc, name)
+      oneRowScan(outSchema, InternalRow(UTF8String.fromString(name)))
+    }
+  }
+
+  /** `analyze_table(table, cols)` — [[graft.sinks.ManifestTable
+    * .analyzeTable]]: one distributed HLL pass computing approximate
+    * per-column distinct counts, committed as carried metadata;
+    * cost-based join planning reads them through the scan's column
+    * statistics. `cols` is comma-separated; '' analyzes every
+    * atomic-typed column. */
+  final class AnalyzeTable(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "analyze_table"
+    override def description(): String =
+      "compute approximate per-column distinct counts (one HLL pass) " +
+        "for cost-based join planning; '' analyzes all atomic columns"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("cols", StringType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("committed_version", LongType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val tbl = input.getUTF8String(0).toString
+      val loc = catalog.locationOf(tbl)
+      require(graft.sinks.ManifestTable.exists(spark, loc),
+        s"analyze_table is for manifest-format tables; $tbl is not one")
+      val cols = input.getUTF8String(1).toString.split(",")
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      val v = graft.sinks.ManifestTable.analyzeTable(spark, loc, cols)
+      oneRowScan(outSchema, InternalRow(v))
+    }
+  }
+
+  /** `create_mv(view, base, def_sql, keys)` — a registered INCREMENTAL
+    * materialized view ([[graft.sinks.MaterializedView]]): `def_sql`
+    * references the base as `__BASE__`; `refresh_mv` maintains it at
+    * cost ∝ changed groups. */
+  final class CreateMv(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "create_mv"
+    override def description(): String =
+      "create an incremental materialized view: def_sql over __BASE__ " +
+        "with GROUP-key columns; refresh_mv recomputes only changed groups"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("view", StringType).build(),
+        ProcedureParameter.in("base", StringType).build(),
+        ProcedureParameter.in("def_sql", StringType).build(),
+        ProcedureParameter.in("keys", StringType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("location", StringType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val loc = catalog.createMvRegistered(
+        input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+        input.getUTF8String(2).toString,
+        input.getUTF8String(3).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq)
+      oneRowScan(outSchema, InternalRow(UTF8String.fromString(loc)))
+    }
+  }
+
+  /** `refresh_mv(view)` — incremental refresh; returns the view's new
+    * version and the recomputed group count (NULLs when the base has
+    * not moved). */
+  final class RefreshMv(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "refresh_mv"
+    override def description(): String =
+      "incrementally refresh a materialized view: recompute ONLY the " +
+        "groups the base's changes touched, fold as one keyed commit"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("view", StringType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("view_version", LongType, nullable = true),
+      StructField("groups_recomputed", LongType, nullable = true)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val loc = catalog.locationOf(input.getUTF8String(0).toString)
+      val out = graft.sinks.MaterializedView.refresh(spark, loc)
+      oneRowScan(outSchema, InternalRow(
+        out.map(o => Long.box(o._1)).orNull,
+        out.map(o => Long.box(o._2)).orNull))
+    }
+  }
+
   /** `clone_table(src, dst)` — [[graft.sinks.ManifestTable.cloneTo]]
     * by name: a SHALLOW CLONE registered in the catalog (descriptor
     * copied, location re-pointed), data files shared by reference. */

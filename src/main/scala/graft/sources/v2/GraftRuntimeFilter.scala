@@ -103,8 +103,14 @@ sealed class GraftRuntimeFilterScan(
   override def description(): String =
     s"GraftRuntimeFilterable(${inner.description()})"
 
-  override def filterAttributes(): Array[NamedReference] =
-    attrs.map(Expressions.column).toArray
+  override def filterAttributes(): Array[NamedReference] = {
+    // only columns the scan still OUTPUTS: Spark's dynamic-pruning
+    // planner resolves these against the scan's post-pruning output
+    // and THROWS on a miss (V2ExpressionUtils.resolveRef) — a provable
+    // column the projection dropped must simply not be offered
+    val out = inner.readSchema().fieldNames.toSet
+    attrs.filter(out.contains).map(Expressions.column).toArray
+  }
 
   /** Translate the runtime predicates (the dynamic-pruning planner
     * sends `IN`/`=` over one column with literal values) to catalyst

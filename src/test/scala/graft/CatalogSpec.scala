@@ -1339,4 +1339,101 @@ class CatalogSpec extends AnyFunSuite {
     assert(!spark.sql("SELECT * FROM graftc.db.dflt VERSION AS OF 3")
       .columns.contains("w"))
   }
+
+  test("write-audit-publish in pure SQL: CALL create_branch, DML on db.t.<branch>, VERSION AS OF refs, publish, refs table") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graftc.db.wap (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql("INSERT INTO graftc.db.wap VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("CALL graftc.system.create_tag('db.wap', 'before_fix')")
+    spark.sql("CALL graftc.system.create_branch('db.wap', 'fix')")
+
+    // the branch identifier takes the FULL DML surface
+    spark.sql("INSERT INTO graftc.db.wap.fix VALUES (4, 'd')")
+    spark.sql("DELETE FROM graftc.db.wap.fix WHERE k = 1")
+    spark.sql("UPDATE graftc.db.wap.fix SET v = 'B' WHERE k = 2")
+
+    // audit isolation: main unchanged; both ref-read surfaces agree
+    assert(spark.sql("SELECT * FROM graftc.db.wap").count() == 3)
+    val branchRows = spark.sql(
+      "SELECT * FROM graftc.db.wap VERSION AS OF 'fix' ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(branchRows == Seq((2L, "B"), (3L, "c"), (4L, "d")))
+    assert(spark.sql("SELECT * FROM graftc.db.wap.fix ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      branchRows)
+
+    // the refs metadata table lists both refs
+    val refs = spark.sql(
+      "SELECT name, type FROM graftc.db.wap.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(refs == Seq(("before_fix", "tag"), ("fix", "branch")))
+
+    // PUBLISH: main fast-forwards to the audited state in ONE commit
+    spark.sql("CALL graftc.system.publish_branch('db.wap', 'fix')")
+    assert(spark.sql("SELECT * FROM graftc.db.wap ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      branchRows)
+    // the tag still reads the pre-fix state
+    assert(spark.sql(
+      "SELECT * FROM graftc.db.wap VERSION AS OF 'before_fix'")
+      .count() == 3)
+
+    // drop_ref reclaims; an unknown ref read fails with the contract
+    spark.sql("CALL graftc.system.drop_ref('db.wap', 'fix')")
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graftc.db.wap VERSION AS OF 'fix'")
+        .collect()
+    }
+    assert(err.getMessage.contains("no ref"))
+  }
+
+  test("materialized views in SQL: CALL create_mv builds a SELECTable table, refresh_mv folds only the changed groups") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graftc.db.mvbase (k BIGINT, g STRING, " +
+      "v BIGINT) TBLPROPERTIES ('statsCols' = 'k,g')")
+    // one INSERT (→ its own files) per group: the changed-file delta
+    // stays group-aligned, making the recomputed count deterministic
+    spark.sql("INSERT INTO graftc.db.mvbase VALUES (1, 'a', 10), (2, 'a', 20)")
+    spark.sql("INSERT INTO graftc.db.mvbase VALUES (3, 'b', 30)")
+    spark.sql("CALL graftc.system.create_mv('db.mv_byg', 'db.mvbase', " +
+      "'SELECT g, count(*) AS n, sum(v) AS total, max(v) AS top " +
+      "FROM __BASE__ GROUP BY g', 'g')")
+    def mv() = spark.sql("SELECT * FROM graftc.db.mv_byg ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(mv() == Seq(("a", 2L, 30L, 20L), ("b", 1L, 30L, 30L)))
+
+    // mutate ONE group; the refresh reports exactly one recomputed
+    spark.sql("DELETE FROM graftc.db.mvbase WHERE k = 2")
+    val out = spark.sql("CALL graftc.system.refresh_mv('db.mv_byg')")
+      .collect().head
+    assert(out.getLong(1) == 1L, s"expected 1 recomputed group: $out")
+    assert(mv() == Seq(("a", 1L, 10L, 10L), ("b", 1L, 30L, 30L)))
+
+    // a no-move refresh reports NULLs (nothing committed)
+    val idle = spark.sql("CALL graftc.system.refresh_mv('db.mv_byg')")
+      .collect().head
+    assert(idle.isNullAt(0) && idle.isNullAt(1))
+  }
+
+  test("CALL analyze_table: one HLL pass feeds NDV into cost-based planning by name") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graftc.db.anlz (k BIGINT, g STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql("INSERT INTO graftc.db.anlz SELECT id, " +
+      "CAST(id % 7 AS STRING) FROM range(1000)")
+    spark.sql("CALL graftc.system.analyze_table('db.anlz', '')")
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val plan = spark.sql("SELECT * FROM graftc.db.anlz")
+        .queryExecution.optimizedPlan
+      def ndv(name: String) = plan.stats.attributeStats
+        .find(_._1.name == name).flatMap(_._2.distinctCount)
+      assert(ndv("k").exists(n => n > 950 && n < 1050), s"k: ${ndv("k")}")
+      assert(ndv("g").contains(BigInt(7)), s"g: ${ndv("g")}")
+    } finally prev.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+      spark.conf.set("spark.sql.cbo.enabled", _))
+  }
 }

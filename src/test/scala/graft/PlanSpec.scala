@@ -1104,6 +1104,25 @@ class PlanSpec extends AnyFunSuite {
         s"envelope min/max expected, got ${cs.get}")
       assert(cs.get.nullCount.contains(BigInt(0)),
         s"null count expected, got ${cs.get}")
+      // before ANALYZE: no NDV anywhere (the planner falls back to
+      // defaults, never to a wrong number)
+      assert(cs.get.distinctCount.isEmpty)
+      // one HLL pass; the sidecar carries into later commits, and the
+      // join-cardinality driver appears — INCLUDING on v, a column
+      // the envelopes don't track (the NDV-only statistics path)
+      ManifestTable.analyzeTable(spark, root)
+      ManifestTable.write(
+        spark.range(1).select(col("id").as("k"), col("id").as("v")), root)
+      val df3 = spark.read.format("graft").load(root)
+      val plan3 = df3.queryExecution.optimizedPlan
+      def ndvOf(name: String): Option[BigInt] =
+        plan3.stats.attributeStats
+          .find(_._1.name == name).flatMap(_._2.distinctCount)
+      // approx_count_distinct is within ~2% at these cardinalities
+      assert(ndvOf("k").exists(n => n > 9500 && n < 10500),
+        s"k NDV expected ~10000: ${ndvOf("k")}")
+      assert(ndvOf("v").exists(n => n > 95 && n < 105),
+        s"v NDV expected ~100 (untracked column, NDV-only): ${ndvOf("v")}")
     } finally prev.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
       spark.conf.set("spark.sql.cbo.enabled", _))
   }

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Branches, tags, and write-audit-publish over the manifest format
+  * ([[graft.sinks.ManifestTable]] refs). */
+class RefsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.sinks.ManifestTable
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString + "/t"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.orderBy("id").collect().toSeq.map(_.toSeq)
+
+  test("tags: pin, read by name, survive vacuum, release on drop") {
+    val root = freshRoot("tag")
+    ManifestTable.create(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Seq("id")) // v0
+    ManifestTable.write(Seq((3L, "c")).toDF("id", "v"), root)     // v1
+    val tagged = ManifestTable.createTag(spark, root, "audit_cut")
+    assert(tagged == 1L)
+    ManifestTable.deleteWhere(spark, root, col("id") === 1L)      // v2
+    ManifestTable.write(Seq((4L, "d")).toDF("id", "v"), root)     // v3
+
+    // read by name == read by pinned version, through BOTH surfaces
+    val byName = spark.read.format("graft")
+      .option("versionAsOf", "audit_cut").load(root)
+    assert(rows(byName) == rows(ManifestTable.readVersion(spark, root, 1L)))
+    assert(rows(byName) ==
+      Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+
+    // vacuum far past the tag: the tagged version AND its files survive
+    ManifestTable.vacuum(spark, root, keep = 1, ttlMs = 0L)
+    assert(ManifestTable.versions(spark, root).contains(1L),
+      "tagged version must be pinned past the keep horizon")
+    assert(rows(spark.read.format("graft")
+      .option("versionAsOf", "audit_cut").load(root)) ==
+      Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")),
+      "tagged version must stay exactly readable after vacuum")
+    // current head untouched by the pin
+    assert(rows(ManifestTable.read(spark, root)) ==
+      Seq(Seq(2L, "b"), Seq(3L, "c"), Seq(4L, "d")))
+
+    // drop releases the pin: the next vacuum reclaims the version
+    ManifestTable.dropRef(spark, root, "audit_cut")
+    ManifestTable.vacuum(spark, root, keep = 1, ttlMs = 0L)
+    assert(!ManifestTable.versions(spark, root).contains(1L))
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("versionAsOf", "audit_cut").load(root).collect()
+    }
+    assert(err.getMessage.contains("no ref"))
+  }
+
+  test("ref names: numeric refused (versionAsOf dispatch), duplicates refused") {
+    val root = freshRoot("refname")
+    ManifestTable.create(Seq((1L, "a")).toDF("id", "v"), root, Seq("id"))
+    assert(intercept[IllegalArgumentException] {
+      ManifestTable.createTag(spark, root, "123")
+    }.getMessage.contains("ref name"))
+    ManifestTable.createTag(spark, root, "v1_cut")
+    intercept[Exception] { ManifestTable.createTag(spark, root, "v1_cut") }
+    // tag and branch share ONE namespace: the claimed name refuses both
+    intercept[Exception] { ManifestTable.createBranch(spark, root, "v1_cut") }
+  }
+
+  test("branch WAP: fork, write, audit isolation, publish, continue, non-FF refusal") {
+    val root = freshRoot("wap")
+    ManifestTable.create(
+      (1L to 10L).map(i => (i, i * 10)).toDF("id", "v"), root, Seq("id"))
+    val base = ManifestTable.createBranch(spark, root, "audit")
+    assert(base == 0L)
+    val bRoot = ManifestTable.branchRoot(root, "audit")
+
+    // WRITE: the branch takes the full op surface — append + delete
+    ManifestTable.write(Seq((11L, 110L)).toDF("id", "v"), bRoot)
+    ManifestTable.deleteWhere(spark, bRoot, col("id") <= 2L)
+
+    // AUDIT ISOLATION: main unchanged; the branch reads its own state
+    // both directly and via VERSION AS OF '<branch>' on the MAIN root
+    assert(ManifestTable.read(spark, root).count() == 10L)
+    val want = ((3L to 11L).map(i => Seq(i, i * 10))).toSeq
+    assert(rows(ManifestTable.read(spark, bRoot)) == want)
+    assert(rows(spark.read.format("graft")
+      .option("versionAsOf", "audit").load(root)) == want)
+
+    // PUBLISH: one fast-forward commit; main == audited branch state
+    val published = ManifestTable.publishBranch(spark, root, "audit")
+    assert(published == 1L)
+    assert(rows(ManifestTable.read(spark, root)) == want)
+
+    // CONTINUE: the ref advanced to the published version, so further
+    // branch work publishes again as long as main only moves through
+    // this branch
+    ManifestTable.write(Seq((12L, 120L)).toDF("id", "v"), bRoot)
+    val published2 = ManifestTable.publishBranch(spark, root, "audit")
+    assert(published2 == 2L)
+    assert(ManifestTable.read(spark, root).count() == 10L)
+
+    // NON-FAST-FORWARD: main moves on its own → publish refuses
+    ManifestTable.write(Seq((13L, 130L)).toDF("id", "v"), root)
+    ManifestTable.write(Seq((14L, 140L)).toDF("id", "v"), bRoot)
+    val err = intercept[Exception] {
+      ManifestTable.publishBranch(spark, root, "audit")
+    }
+    assert(err.getMessage.contains("non-fast-forward"))
+  }
+
+  test("branch publish carries the branch's schema evolution and constraints") {
+    val root = freshRoot("wapevolve")
+    ManifestTable.create(Seq((1L, "a")).toDF("id", "v"), root, Seq("id"))
+    ManifestTable.createBranch(spark, root, "dev")
+    val bRoot = ManifestTable.branchRoot(root, "dev")
+    ManifestTable.addConstraint(spark, bRoot, "pos_id", "id > 0")
+    ManifestTable.merge(Seq((2L, "b", 7L)).toDF("id", "v", "extra"),
+      bRoot, Seq("id"), evolveSchema = true)
+    val published = ManifestTable.publishBranch(spark, root, "dev")
+    val sch = ManifestTable.tableSchema(spark, root, published)
+    assert(sch.fieldNames.contains("extra"))
+    assert(ManifestTable.constraintsAt(spark, root, published)
+      .contains(("pos_id", "id > 0")))
+    // the carried constraint GATES main's future writes
+    intercept[Exception] {
+      ManifestTable.write(Seq((-5L, "x", 0L)).toDF("id", "v", "extra"), root)
+    }
+    // pre-publish main versions keep their narrower schema
+    assert(!ManifestTable.tableSchema(spark, root, 0L)
+      .fieldNames.contains("extra"))
+  }
+
+  test("branch drop: unpublished branch reclaims fully; published files survive by main's refcount") {
+    val root = freshRoot("bdrop")
+    ManifestTable.create(
+      (1L to 6L).map(i => (i, i)).toDF("id", "v"), root, Seq("id"))
+
+    // unpublished: the whole branch dir goes
+    ManifestTable.createBranch(spark, root, "scratch")
+    ManifestTable.write(Seq((7L, 7L)).toDF("id", "v"),
+      ManifestTable.branchRoot(root, "scratch"))
+    ManifestTable.dropRef(spark, root, "scratch")
+    assert(!new java.io.File(
+      ManifestTable.branchRoot(root, "scratch")).exists())
+
+    // published: data files main adopted BY REFERENCE survive the drop
+    ManifestTable.createBranch(spark, root, "audit")
+    val bRoot = ManifestTable.branchRoot(root, "audit")
+    ManifestTable.write(Seq((8L, 8L)).toDF("id", "v"), bRoot)
+    ManifestTable.publishBranch(spark, root, "audit")
+    ManifestTable.dropRef(spark, root, "audit")
+    // branch manifests are gone, but main reads the published rows
+    assert(!new java.io.File(s"$bRoot/_manifests").exists())
+    assert(rows(ManifestTable.read(spark, root)) ==
+      ((1L to 6L) :+ 8L).map(i => Seq(i, i)))
+    // once main's own history stops naming the leftovers, vacuum's
+    // orphan sweep reclaims the branch remnants bottom-up
+    ManifestTable.optimize(spark, root) // rewrites all files into main
+    ManifestTable.vacuum(spark, root, keep = 1, ttlMs = 0L)
+    assert(!new java.io.File(s"$root/_branches/audit").exists(),
+      "orphaned branch remnants must reclaim once unreferenced")
+    assert(rows(ManifestTable.read(spark, root)) ==
+      ((1L to 6L) :+ 8L).map(i => Seq(i, i)))
+  }
+
+  test("refs listing and publish-time eq hygiene") {
+    val root = freshRoot("reflist")
+    ManifestTable.create(Seq((1L, "a")).toDF("id", "v"), root, Seq("id"))
+    ManifestTable.createTag(spark, root, "t0")
+    ManifestTable.createBranch(spark, root, "b0")
+    assert(ManifestTable.listRefs(spark, root).map(_._1) == Seq("b0", "t0"))
+
+    // a branch holding PENDING equality deletes refuses to publish —
+    // seq reset would otherwise disorder the delete
+    val bRoot = ManifestTable.branchRoot(root, "b0")
+    ManifestTable.mergeEq(Seq((1L, "z")).toDF("id", "v"), bRoot, Seq("id"))
+    val err = intercept[Exception] {
+      ManifestTable.publishBranch(spark, root, "b0")
+    }
+    assert(err.getMessage.contains("pending equality deletes"))
+    ManifestTable.compactEq(spark, bRoot)
+    val v = ManifestTable.publishBranch(spark, root, "b0")
+    assert(rows(ManifestTable.readVersion(spark, root, v)) ==
+      Seq(Seq(1L, "z")))
+  }
+}
