@@ -43,6 +43,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // that delegate to the manifest engine's file-granular operations
     ext.injectPostHocResolutionRule(session =>
       graft.plans.GraftRowLevelSqlRule(session))
+    // write-side schema auto-merge (mergeSchema option / the
+    // spark.graft.schema.autoMerge conf): a by-name append carrying
+    // new columns evolves the table instead of failing resolution.
+    // Injected into the HINTS batch — the one analyzer batch that
+    // runs BEFORE Resolution, whose output resolver would reject the
+    // extra columns in the same iteration any resolution-stage rule
+    // first saw them
+    ext.injectHintResolutionRule(session =>
+      graft.plans.GraftSchemaMergeRule(session))
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),

@@ -1267,6 +1267,47 @@ object Relational extends QueryModule {
       ORDER BY doc_id""")
   }
 
+  /** WRITE-SIDE SCHEMA AUTO-MERGE end-to-end, all three surfaces in
+    * one gate: the table starts (doc_id, lang); `MERGE WITH SCHEMA
+    * EVOLUTION` (the ANSI statement — the table's
+    * AUTOMATIC_SCHEMA_EVOLUTION capability routes the source's new
+    * n_chars column through catalog.alterTable before the merge
+    * compiles) both updates matched rows and brings the column in;
+    * then a `writeMergeSchema` API append adds a second new column
+    * while DROPPING lang from its batch — the absent column fills
+    * NULL and the sidecar's nullability relaxes in the same
+    * evolution. Every evolution is metadata-only; the oracle
+    * reconstructs all four row classes relationally. */
+  def qAutoMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_sql_automerge") + "/t"
+    graft.sinks.ManifestTable.create(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"))
+        .filter(col("doc_id") % 4 =!= 3)
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    ensureGateCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.gate.amsql")
+    spark.sql(s"CREATE TABLE graft.gate.amsql USING graft LOCATION '$root'")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") % 3 === 0)
+      .createOrReplaceTempView("gate_automerge_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.gate.amsql t
+      USING gate_automerge_src s ON t.doc_id = s.doc_id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    graft.sinks.ManifestTable.writeMergeSchema(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"),
+          (col("n_chars") * 2).as("score"))
+        .filter(col("doc_id") % 4 === 3 && col("doc_id") % 3 =!= 0),
+      root)
+    spark.sql("""SELECT doc_id, lang, n_chars, score
+      FROM graft.gate.amsql ORDER BY doc_id""")
+  }
+
   /** The DECLARATIVE STREAMING PIPE, oracle-gated: change-feed SOURCE
     * (`readStream.format("graft")` with keyCols) piped straight into
     * the native graft SINK (`writeStream.format("graft")`) with zero
@@ -1531,6 +1572,7 @@ object Relational extends QueryModule {
     "q_constraint"        -> qConstraint _,
     "q_evolve_sql"        -> qEvolveSql _,
     "q_evolve_nested"     -> qEvolveNested _,
+    "q_automerge"         -> qAutoMerge _,
     "q_widen_sql"         -> qWidenSql _,
     "q_stream_pipe"       -> qStreamPipe _,
     "q_replace_where"     -> qReplaceWhere _,
@@ -1758,6 +1800,25 @@ object Relational extends QueryModule {
         |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
         |  'n-' || lang AS note
         |FROM documents WHERE doc_id % 4 = 3
+        |ORDER BY doc_id""".stripMargin,
+    // four row classes of the auto-merged table: kept originals read
+    // NULL for both evolved columns, merge-updated rows carry
+    // n_chars, merge-inserted rows likewise, and the mergeSchema
+    // append's rows carry n_chars + score with lang filled NULL
+    "q_automerge" ->
+      """SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS score
+        |FROM documents WHERE doc_id % 4 <> 3 AND doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars,
+        |  CAST(NULL AS BIGINT) AS score
+        |FROM documents WHERE doc_id % 4 <> 3 AND doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS score
+        |FROM documents WHERE doc_id % 4 = 3 AND doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, n_chars,
+        |  n_chars * 2 AS score
+        |FROM documents WHERE doc_id % 4 = 3 AND doc_id % 3 <> 0
         |ORDER BY doc_id""".stripMargin,
     // kept-region ∪ replacement: rows under the predicate are swapped
     // for the batch, rows outside it survive verbatim

@@ -952,6 +952,215 @@ object ManifestTable {
     }
   }
 
+  /** WRITE-SIDE SCHEMA EVOLUTION — the Delta `mergeSchema` shape: one
+    * append both EVOLVES the table and lands the batch. The incoming
+    * frame may carry new top-level columns, new STRUCT members (one
+    * level — the grain the nested-evolution machinery serves), and
+    * losslessly WIDER primitive types; each becomes the matching
+    * metadata-only evolution commit (fresh physical names so stale
+    * bytes in live files can never resurrect; narrow stat triplets
+    * cast — see [[alterColumns]] / [[alterNestedColumns]] /
+    * [[widenColumnType]]) and the batch then lands under the evolved
+    * schema with the table's absent columns and members filled NULL.
+    * A batch column NARROWER than the table's upcasts at landing (no
+    * schema change); anything else — incompatible primitives,
+    * type-kind changes, array/map element evolution — refuses with
+    * the conflict named: lossy evolution must be an explicit rewrite,
+    * never an append side effect. */
+  def writeMergeSchema(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    evolveSchemaFor(spark, root, df.schema)
+    val schema = tableSchema(spark, root, latestVersion(spark, root))
+    write(fillForSchema(df, schema), root)
+  }
+
+  /** The evolution half of [[writeMergeSchema]], shared by the
+    * streaming sink's `mergeSchema` option and the AppendData
+    * auto-merge rule: diff `incoming` against the table schema and
+    * commit the additive changes (a no-op when nothing differs). The
+    * WHOLE change set validates against one schema snapshot before
+    * the first commit — widen validation first, the strictest guard
+    * — so a refused later change never strands an earlier one. */
+  def evolveSchemaFor(spark: SparkSession, root: String,
+                      incoming: StructType): Unit = {
+    val v = latestVersion(spark, root)
+    require(v >= 0, s"manifest table at $root does not exist — create() first")
+    val schema = tableSchema(spark, root, v)
+    val (adds, widens, nestedAdds) = mergeDelta(schema, incoming)
+    // metadata carried in from READING another table (frozen physical
+    // names, bucket claims) must not leak into this table's sidecar
+    val addList = freshSchema(StructType(adds)).fields.toSeq
+    if (widens.nonEmpty) validateWidens(spark, root, widens)
+    widens.foreach { case (path, to) =>
+      widenColumnTypePath(spark, root, path, to): Unit }
+    if (addList.nonEmpty) addColumns(spark, root, addList): Unit
+    nestedAdds.groupBy(_._1).foreach { case (parent, fields) =>
+      alterNestedColumns(spark, root, Seq(parent),
+        freshSchema(StructType(fields.map(_._2))).fields.toSeq, Nil): Unit
+    }
+    // a NON-NULLABLE column (or struct member) the batch does not
+    // carry is about to be filled NULL — the sidecar's nullability
+    // must RELAX in the same evolution, or every later read plans
+    // non-null slots over null bytes. Nullable→nullable is the only
+    // legal direction, and it commits metadata-only.
+    val relaxes = nullRelaxes(schema, incoming)
+    if (relaxes.nonEmpty) commitLoopEvolving(spark, root) { base =>
+      (manifest(spark, root, base),
+        relaxNullability(tableSchema(spark, root, base), relaxes))
+    }: Unit
+  }
+
+  /** Dotted paths of non-nullable schema columns/struct members the
+    * merged batch may land NULLs into: slots the batch LACKS (filled
+    * NULL by [[fillForSchema]]) and slots the batch carries NULLABLE
+    * (the Delta nullability-merge: merged nullability is the OR of
+    * the two sides). */
+  private def nullRelaxes(schema: StructType, incoming: StructType)
+      : Seq[Seq[String]] = {
+    val have = incoming.fields.map(f => f.name -> f).toMap
+    schema.fields.toSeq.flatMap { f =>
+      have.get(f.name) match {
+        case None =>
+          if (f.nullable) Nil else Seq(Seq(f.name))
+        case Some(in) =>
+          val top = if (!f.nullable && in.nullable) Seq(Seq(f.name)) else Nil
+          val nested = (f.dataType, in.dataType) match {
+            case (t: StructType, b: StructType) =>
+              t.fields.toSeq.flatMap { m =>
+                if (m.nullable) Nil
+                else b.fields.find(_.name == m.name) match {
+                  case None => Seq(Seq(f.name, m.name))
+                  case Some(bm) if bm.nullable => Seq(Seq(f.name, m.name))
+                  case _ => Nil
+                }
+              }
+            case _ => Nil
+          }
+          top ++ nested
+      }
+    }
+  }
+
+  private def relaxNullability(s: StructType, paths: Seq[Seq[String]])
+      : StructType = {
+    val tops = paths.collect { case Seq(n) => n }.toSet
+    val members = paths.collect { case Seq(p, m) => (p, m) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    StructType(s.fields.map { f =>
+      val f2 = if (tops(f.name)) f.copy(nullable = true) else f
+      (members.get(f.name), f2.dataType) match {
+        case (Some(ms), st: StructType) =>
+          f2.copy(dataType = StructType(st.fields.map(m =>
+            if (ms(m.name)) m.copy(nullable = true) else m)))
+        case _ => f2
+      }
+    })
+  }
+
+  /** Whether [[evolveSchemaFor]] would change anything — the pure
+    * guard the analyzer-side auto-merge rule fires on. Throws the
+    * same refusal on a LOSSY conflict: with auto-merge requested, the
+    * named-conflict message beats the generic assignment error. */
+  private[graft] def needsMergeEvolution(schema: StructType,
+                                         incoming: StructType): Boolean = {
+    val (a, w, n) = mergeDelta(schema, incoming)
+    a.nonEmpty || w.nonEmpty || n.nonEmpty
+  }
+
+  /** The additive difference `incoming` demands of `schema`: (new
+    * top-level columns, lossless widens by dotted path, new struct
+    * members by parent). Refuses any conflict outside that language. */
+  private def mergeDelta(schema: StructType, incoming: StructType)
+      : (Seq[org.apache.spark.sql.types.StructField],
+         Seq[(Seq[String], org.apache.spark.sql.types.DataType)],
+         Seq[(String, org.apache.spark.sql.types.StructField)]) = {
+    def refuse(name: String, have: org.apache.spark.sql.types.DataType,
+               got: org.apache.spark.sql.types.DataType): Nothing =
+      throw new IllegalArgumentException(
+        s"mergeSchema cannot evolve column $name: table has " +
+          s"${have.simpleString}, batch has ${got.simpleString} — only " +
+          "new columns, new struct members, and lossless primitive " +
+          "widenings evolve on write; a lossy change needs an explicit " +
+          "rewrite")
+    // compare types with field METADATA (frozen physical names on
+    // mapped tables) and nullability stripped — neither is a schema
+    // difference a batch can or should evolve
+    def bare(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, bare(f.dataType))))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        org.apache.spark.sql.types.ArrayType(bare(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        org.apache.spark.sql.types.MapType(bare(m.keyType), bare(m.valueType))
+      case other => other
+    }
+    val adds = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    val widens =
+      Seq.newBuilder[(Seq[String], org.apache.spark.sql.types.DataType)]
+    val nestedAdds =
+      Seq.newBuilder[(String, org.apache.spark.sql.types.StructField)]
+    incoming.fields.foreach { in =>
+      schema.fields.find(_.name == in.name) match {
+        case None =>
+          adds += org.apache.spark.sql.types.StructField(
+            in.name, in.dataType, nullable = true)
+        case Some(cur) => (bare(cur.dataType), bare(in.dataType)) match {
+          case (a, b) if a == b => ()
+          case (a: StructType, b: StructType) =>
+            b.fields.foreach { m =>
+              a.fields.find(_.name == m.name) match {
+                case None => nestedAdds += in.name ->
+                  org.apache.spark.sql.types.StructField(
+                    m.name, m.dataType, nullable = true)
+                case Some(am) if am.dataType == m.dataType => ()
+                case Some(am) if widenable(am.dataType, m.dataType) =>
+                  widens += ((Seq(in.name, m.name), m.dataType))
+                case Some(am) if widenable(m.dataType, am.dataType) => ()
+                case Some(am) =>
+                  refuse(s"${in.name}.${m.name}", am.dataType, m.dataType)
+              }
+            }
+          case (a, b) if widenable(a, b) => widens += ((Seq(in.name), b))
+          case (a, b) if widenable(b, a) => ()
+          case (a, b) => refuse(in.name, a, b)
+        }
+      }
+    }
+    (adds.result(), widens.result(), nestedAdds.result())
+  }
+
+  /** Conform a batch to the table's LOGICAL schema for landing under
+    * [[writeMergeSchema]]: absent columns fill typed NULL, struct
+    * columns rebuild BY NAME in table member order (absent members
+    * NULL, a NULL struct stays NULL — never a struct of NULLs), and
+    * present columns pass through for the landing's own cast to
+    * upcast narrower primitives. */
+  private[graft] def fillForSchema(df: DataFrame,
+                                   schema: StructType): DataFrame = {
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.select(schema.fields.toIndexedSeq.map { f =>
+      (have.get(f.name), f.dataType) match {
+        case (None, _) =>
+          lit(null).cast(relaxedType(f.dataType)).as(f.name)
+        case (Some(b: StructType), t: StructType)
+            if b.fields.map(x => x.name -> x.dataType).toSeq !=
+               t.fields.map(x => x.name -> x.dataType).toSeq =>
+          val members = t.fields.toIndexedSeq.map { m =>
+            if (b.fieldNames.contains(m.name))
+              col(f.name).getField(m.name)
+                .cast(relaxedType(m.dataType)).as(m.name)
+            else lit(null).cast(relaxedType(m.dataType)).as(m.name)
+          }
+          org.apache.spark.sql.functions
+            .when(col(f.name).isNull, lit(null))
+            .otherwise(org.apache.spark.sql.functions.struct(members: _*))
+            .as(f.name)
+        case _ => col(f.name)
+      }
+    }: _*)
+  }
+
   /** OVERWRITE commit (SQL TRUNCATE + INSERT, `writeTo(...).replace`):
     * the next manifest references ONLY `df`'s freshly landed files;
     * prior versions stay time-travelable until vacuum. */

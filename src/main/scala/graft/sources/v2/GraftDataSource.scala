@@ -102,7 +102,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     val complete =
       outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
     new GraftStreamSink(root, statsCols, complete,
-      if (update) updateKeys else Nil, eqGrain = grain == "equality-delete")
+      if (update) updateKeys else Nil, eqGrain = grain == "equality-delete",
+      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -257,7 +258,8 @@ private[v2] final class GraftMissingTable(root: String) extends Table {
 private[v2] final class GraftStreamSink(root: String, statsCols: Seq[String],
                                         complete: Boolean,
                                         updateKeys: Seq[String] = Nil,
-                                        eqGrain: Boolean = false)
+                                        eqGrain: Boolean = false,
+                                        mergeSchema: Boolean = false)
   extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def name(): String = s"graft-sink.`$root`"
@@ -268,7 +270,21 @@ private[v2] final class GraftStreamSink(root: String, statsCols: Seq[String],
     // the micro-batch frame arrives flagged streaming, which forbids
     // every batch write API — re-wrap it (same rows and plan), the
     // standard V1-sink move
-    val batch = org.apache.spark.sql.graft.GraftSqlShims.toBatchDF(data.toDF())
+    val batch0 = org.apache.spark.sql.graft.GraftSqlShims.toBatchDF(data.toDF())
+    // mergeSchema option: a restarted stream whose upstream grew new
+    // columns EVOLVES the table on its first differing batch (the
+    // additive metadata-only commits), then lands under the evolved
+    // schema with absent table columns filled NULL — instead of
+    // refusing the append until a manual ALTER
+    val batch =
+      if (!mergeSchema || !graft.sinks.ManifestTable.exists(spark, root))
+        batch0
+      else {
+        graft.sinks.ManifestTable.evolveSchemaFor(spark, root, batch0.schema)
+        graft.sinks.ManifestTable.fillForSchema(batch0,
+          graft.sinks.ManifestTable.tableSchema(spark, root,
+            graft.sinks.ManifestTable.latestVersion(spark, root)))
+      }
     if (!graft.sinks.ManifestTable.exists(spark, root)) {
       statsCols.foreach(c => require(data.columns.contains(c),
         s"statsCols column $c is not a stream column"))
@@ -357,6 +373,12 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
 
   override def schema(): StructType = dataSchema
 
+  /** The table root and manifest-ness — what the write-side
+    * auto-merge rule ([[graft.plans.GraftSchemaMergeRule]]) needs to
+    * evolve the table and rebuild a fresh handle. */
+  private[graft] def tableRoot: String = root
+  private[graft] def manifestBacked: Boolean = isManifest && !readOnly
+
   /** (root, resolved version) when this is a manifest-table snapshot —
     * [[graft.plans.MetaAggRule]] answers whole-table aggregates from
     * that manifest with zero data I/O. */
@@ -423,6 +445,16 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
     * than the one this table's name claims. */
   override def capabilities(): java.util.Set[TableCapability] =
     if (readOnly) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else if (isManifest)
+      // AUTOMATIC_SCHEMA_EVOLUTION is what lets the analyzer's own
+      // `MERGE WITH SCHEMA EVOLUTION` rule route the source's new
+      // columns through catalog.alterTable (the additive evolution
+      // commits) before the merge compiles — see also
+      // [[graft.plans.GraftSchemaMergeRule]] for the append surface
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE,
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -453,8 +485,21 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean) => {
               val replace = truncateRequested || overwriteFlag
+              // mergeSchema option / spark.graft.schema.autoMerge: an
+              // append carrying new columns (or lacking old ones)
+              // EVOLVES the table and fills — the writer-path half of
+              // write-side schema auto-merge (the catalog-identifier
+              // half is [[graft.plans.GraftSchemaMergeRule]]; this
+              // path's relation reports the batch's own schema via
+              // external metadata, so the commit gate is here)
+              val autoMerge =
+                Option(info.options.get("mergeSchema")).map(_.toBoolean)
+                  .getOrElse(spark.conf
+                    .get("spark.graft.schema.autoMerge", "false").toBoolean)
               if (isManifest) {
                 if (replace) graft.sinks.ManifestTable.overwrite(data, root)
+                else if (autoMerge)
+                  graft.sinks.ManifestTable.writeMergeSchema(data, root): Unit
                 else graft.sinks.ManifestTable.write(data, root): Unit
               } else {
                 // append must go through the SERIALIZED CAS loop — a
@@ -534,10 +579,36 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
             (ks.map(graft.sinks.ManifestTable.physicalFor(dataSchema, _)),
               n, bucketsOfVersion)
           }
-        def subIndex(files: Seq[(String, Long)]) =
+        // LIMIT / TOP-N pushdown: the outermost builder parks the
+        // pushed limit (or order+limit) here; indexes built with a
+        // full exact live-row map consult them at listing time (see
+        // [[GraftManifestFileIndex.limitFiles]]/[[topNFiles]])
+        val limitCell =
+          new java.util.concurrent.atomic.AtomicReference[Option[Int]](None)
+        val topNCell = new java.util.concurrent.atomic
+          .AtomicReference[Option[GraftTopN]](None)
+        // per-file envelope triplets for ONE column — collected lazily
+        // (only when a top-N was actually pushed), metadata-scale
+        def envStats(physCol: String)
+            : Map[String, (Option[Any], Option[Any], Option[Long])] =
+          if (!cols.contains(physCol)) Map.empty
+          else m.select(org.apache.spark.sql.functions.col("path"),
+              org.apache.spark.sql.functions.col(s"${physCol}_min"),
+              org.apache.spark.sql.functions.col(s"${physCol}_max"),
+              org.apache.spark.sql.functions.col(s"${physCol}_nulls"))
+            .collect().map { r =>
+              r.getString(0) -> ((Option(r.get(1)), Option(r.get(2)),
+                if (r.isNullAt(3)) None else Some(r.getLong(3))))
+            }.toMap
+        def subIndex(files: Seq[(String, Long)],
+                     exactRowsByPath: Map[String, Long] = Map.empty) =
           new GraftManifestFileIndex(spark, root, files, ts, physSchema,
             if (cols.isEmpty) None else Some((m, cols)), bloomEntries,
-            bucketPrune)
+            bucketPrune,
+            if (exactRowsByPath.isEmpty) None
+            else Some((() => limitCell.get, exactRowsByPath)),
+            if (exactRowsByPath.isEmpty) None
+            else Some((() => topNCell.get, envStats _)))
         // runtime file filtering ([[GraftRuntimeFilterScanBuilder]]):
         // the scan takes the dynamic-pruning planner's join-key values
         // on every column the manifest can prove things about — the
@@ -629,11 +700,15 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
             name => graft.sinks.ManifestTable.physicalFor(dataSchema, name),
             filters => subIndex(allFiles).listFiles(Nil, filters)
               .flatMap(_.files).map(_.getPath.toUri.getPath).toSet,
-            exactRows, () => colStats())
+            exactRows, () => colStats(),
+            limitSink = Some(n => limitCell.set(Some(n))),
+            topNSink = Some(tn => topNCell.set(Some(tn))))
         }
         def composite(filt: Seq[GraftFiltFile],
                       clean: Seq[(String, Long)], cleanRows: Option[Long],
-                      probes: Seq[GraftEqProbeGroup]): ScanBuilder = {
+                      probes: Seq[GraftEqProbeGroup],
+                      cleanExact: Map[String, Long] = Map.empty)
+            : ScanBuilder = {
           // row-filtering composite scan — clean files on the
           // ordinary pruned/delegated path, filtered files on the
           // SAME delegated vectorized path with the parquet row-index
@@ -646,8 +721,8 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
           val filtSchema = org.apache.spark.sql.types.StructType(
             physSchema.fields :+ GraftDvScanBuilder.RowIndexField)
           runtimeFilterable(bucketed(mapped(new GraftDvScanBuilder(spark,
-            ParquetScanBuilder(spark, subIndex(clean), physSchema,
-              physSchema, options),
+            ParquetScanBuilder(spark, subIndex(clean, cleanExact),
+              physSchema, physSchema, options),
             ParquetScanBuilder(spark,
               subIndex(filt.map(f => (f.path, f.size))), filtSchema,
               filtSchema, options),
@@ -687,12 +762,16 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
                   pr.keys)
               }
               return composite(filt, clean.map(f => (f._1, f._2)),
-                Some(clean.map(_._5).sum), groups)
+                Some(clean.map(_._5).sum), groups,
+                // clean files carry no vectors and no applicable
+                // probes — footer row counts are their exact live rows
+                clean.map(f => (f._1, f._5)).toMap)
             }
             val list = files.map(f => (f._1, f._2))
             return runtimeFilterable(bucketed(mapped(
-              ParquetScanBuilder(spark, subIndex(list), physSchema,
-                physSchema, options))), list,
+              ParquetScanBuilder(spark,
+                subIndex(list, files.map(f => (f._1, f._5 - f._6)).toMap),
+                physSchema, physSchema, options))), list,
               Some(files.map(f => f._5 - f._6).sum))
           case None =>
             // scratch-materializing path: pending equality deletes
@@ -812,6 +891,12 @@ private[v2] object GraftManifestProofs {
   }
 }
 
+/** A pushed `ORDER BY <col> LIMIT n`: physical sort column, direction,
+  * null placement, and the row target — see
+  * [[GraftManifestFileIndex.topNFiles]]. */
+final case class GraftTopN(physCol: String, ascending: Boolean,
+                           nullsFirst: Boolean, limit: Int)
+
 /** MANIFEST-BACKED file index — the scan's listing materialized from
   * committed metadata with ZERO filesystem calls at planning time
   * (the Delta TahoeFileIndex shape): paths and sizes come from the
@@ -827,7 +912,11 @@ final class GraftManifestFileIndex(
     dataSchema: StructType,
     manifestStats: Option[(org.apache.spark.sql.DataFrame, Seq[String])],
     bloomEntries: Seq[GraftTables.Entry] = Nil,
-    bucketPrune: Option[(Seq[String], Int, Map[String, Long])] = None)
+    bucketPrune: Option[(Seq[String], Int, Map[String, Long])] = None,
+    limitPrune: Option[(() => Option[Int], Map[String, Long])] = None,
+    topNPrune: Option[(() => Option[GraftTopN],
+      String => Map[String, (Option[Any], Option[Any], Option[Long])])] =
+      None)
   extends org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex(
     sparkSession, Map.empty[String, String], Some(dataSchema),
     org.apache.spark.sql.execution.datasources.FileStatusCache
@@ -955,8 +1044,158 @@ final class GraftManifestFileIndex(
           excluded.contains(p) || !bucketKeeps(p)
         })
       }
-    lastListedFiles = pruned.map(_.files.length).sum
-    pruned
+    val limited = limitFiles(partitionFilters, dataFilters, pruned)
+    lastListedFiles = limited.map(_.files.length).sum
+    limited
+  }
+
+  /** LIMIT pushdown at the FILE grain (the Iceberg shape): an
+    * unfiltered `LIMIT n` keeps only the shortest listing-order
+    * PREFIX of files whose manifest-exact live row counts sum to ≥ n
+    * — the rest of a 100k-file table never plans a task. Sound
+    * because Spark pushes a limit only below filter-free plans (any
+    * subset with ≥ n live rows serves an unordered LIMIT), the kept
+    * counts are exact (clean files' footer rows, or rows − dv_rows;
+    * files with rows an equality probe might still drop are never
+    * offered in the map), and the pruning fires only when EVERY
+    * listed file's count is known — a single unknown keeps the full
+    * listing. The limit operator stays in the plan (partial push), so
+    * the slice itself is always Spark's. */
+  private def limitFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression],
+                         base: Seq[PartitionDirectory])
+      : Seq[PartitionDirectory] = {
+    val unfiltered = partitionFilters.isEmpty && dataFilters.isEmpty
+    topNPrune.flatMap { case (get, statsFor) =>
+      if (unfiltered) get().map(tn => (tn, statsFor)) else None
+    } match {
+      case Some((tn, statsFor)) => return topNFiles(tn, statsFor, base)
+      case None => ()
+    }
+    val limit = limitPrune.flatMap { case (get, _) =>
+      if (unfiltered) get() else None
+    }
+    limit match {
+      case Some(n) =>
+        val exact = limitPrune.get._2
+        val listed = base.flatMap(_.files.map(f => f.getPath.toUri.getPath))
+        val counts = listed.map(exact.get)
+        if (counts.exists(_.isEmpty)) base   // unknown must keep, never guess
+        else if (counts.flatten.sum <= n.toLong) base
+        else {
+          var cum = 0L
+          val keep = scala.collection.mutable.HashSet.empty[String]
+          listed.iterator.zip(counts.iterator.flatten).foreach {
+            case (p, rows) =>
+              if (cum < n) { keep += p; cum += rows }
+          }
+          base.map(pd => pd.copy(files =
+            pd.files.filter(f => keep(f.getPath.toUri.getPath))))
+        }
+      case None => base
+    }
+  }
+
+  /** TOP-N pushdown at the FILE grain — beyond what envelope pruning
+    * or a plain limit can do: `ORDER BY k LIMIT n` (no filter) keeps
+    * only the files that can PROVABLY hold one of the n first rows
+    * under the sort. The proof runs on manifest-exact metadata alone:
+    * with files ordered by their envelope's leading bound, the
+    * shortest prefix whose non-null live rows cover the needed count
+    * bounds the n-th value by its largest trailing bound (`cutoff`) —
+    * any file whose whole envelope sits strictly beyond it holds only
+    * rows that provably lose to the prefix's. NULLS FIRST counts every
+    * file's exact null count against n before values; NULLS LAST
+    * needs no null reasoning once the prefix proves n non-null values
+    * exist. Fires only when every listed file has exact live counts
+    * and envelopes (the clean-files-only indexes — vectored/probed
+    * files ride a sibling index that never prunes), on key types with
+    * an unambiguous order (numerics, date, timestamp — strings skip:
+    * envelope folds are UTF-8-byte-ordered, and proving that matches
+    * the session's collation is not worth the file savings). On a
+    * range-clustered 100 TB table this plans ONE file for a top-10.
+    * Always a superset of the answer: Spark's retained Sort + Limit
+    * do the exact slice. */
+  private def topNFiles(tn: GraftTopN,
+      statsFor: String => Map[String, (Option[Any], Option[Any],
+        Option[Long])],
+      base: Seq[PartitionDirectory]): Seq[PartitionDirectory] = {
+    final case class FS(path: String, rows: Long, nulls: Long,
+                        lo: Option[Any], hi: Option[Any])
+    def kept(): Option[Set[String]] = {
+      val exact = limitPrune.map(_._2).getOrElse(return None)
+      val ord0 = GraftTopNOrder.orderingFor(
+        if (dataSchema.fieldNames.contains(tn.physCol))
+          dataSchema(tn.physCol).dataType
+        else return None).getOrElse(return None)
+      val stats = statsFor(tn.physCol)
+      val listed = base.flatMap(_.files.map(_.getPath.toUri.getPath))
+      val fss = listed.map { p =>
+        val rows = exact.getOrElse(p, return None)
+        val (mn, mx, nl) = stats.getOrElse(p, return None)
+        val nulls = nl.getOrElse(return None)
+        // a missing envelope is sound ONLY as the all-NULL file;
+        // anything else is unknown — unknown must keep, never guess
+        if (mn.isEmpty != mx.isEmpty) return None
+        if (mn.isEmpty && nulls < rows) return None
+        FS(p, rows, nulls, mn, mx)
+      }
+      val n = tn.limit.toLong
+      if (fss.map(_.rows).sum <= n) return None
+      // orient so "lo" leads the sort: ASC walks envelope minima
+      // upward, DESC walks maxima downward under the reversed order
+      val ord = if (tn.ascending) ord0 else ord0.reverse
+      def lo(f: FS) = if (tn.ascending) f.lo else f.hi
+      def hi(f: FS) = if (tn.ascending) f.hi else f.lo
+      def values(f: FS) = f.rows - f.nulls
+      val m = if (tn.nullsFirst) math.max(0L, n - fss.map(_.nulls).sum)
+              else n
+      if (m == 0L)
+        // NULLS FIRST and the exact null counts alone cover n: only
+        // null-bearing files can contribute
+        return Some(fss.filter(_.nulls > 0).map(_.path).toSet)
+      val valueFiles = fss.filter(values(_) > 0L)
+        .sortBy(f => lo(f).get)(ord.asInstanceOf[Ordering[Any]])
+      if (valueFiles.map(values).sum < m) return None
+      var cum = 0L
+      var cutoff: Option[Any] = None
+      valueFiles.foreach { f =>
+        if (cum < m) {
+          cum += values(f)
+          cutoff = Some(cutoff.fold(hi(f).get)(c =>
+            if (ord.gteq(hi(f).get, c)) hi(f).get else c))
+        }
+      }
+      val co = cutoff.get
+      Some(fss.filter { f =>
+        (tn.nullsFirst && f.nulls > 0) || lo(f).exists(v => ord.lteq(v, co))
+      }.map(_.path).toSet)
+    }
+    kept() match {
+      case Some(keep) => base.map(pd => pd.copy(files =
+        pd.files.filter(f => keep(f.getPath.toUri.getPath))))
+      case None => base
+    }
+  }
+}
+
+/** Driver-side ordering over COLLECTED envelope bounds, for the key
+  * types whose external representation orders exactly like the
+  * engine's sort: fixed-size numerics, decimal, date, timestamps.
+  * Strings are deliberately absent (UTF-8-byte envelope folds vs
+  * session collation). */
+private[v2] object GraftTopNOrder {
+  def orderingFor(dt: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | DateType | TimestampType | TimestampNTZType |
+           _: DecimalType =>
+        Some(Ordering.fromLessThan((a: Any, b: Any) =>
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0))
+      case _ => None
+    }
   }
 }
 

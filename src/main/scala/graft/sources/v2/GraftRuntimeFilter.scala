@@ -46,16 +46,60 @@ final class GraftRuntimeFilterScanBuilder(
     exactRows: Option[Long] = None,
     colStats: () => Map[String,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
-      () => Map.empty)
+      () => Map.empty,
+    limitSink: Option[Int => Unit] = None,
+    topNSink: Option[GraftTopN => Unit] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownCatalystFilters {
+  with SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
     inner.pushFilters(filters)
   override def pushedFilters: Array[Predicate] = inner.pushedFilters
   override def pruneColumns(requiredSchema: StructType): Unit =
     inner.pruneColumns(requiredSchema)
+
+  /** LIMIT pushdown — Spark offers a limit only below filter-free
+    * plans; the sink parks it where the manifest file index trims the
+    * listing to the shortest exact-count prefix covering it
+    * ([[GraftManifestFileIndex.limitFiles]]). Always PARTIAL: the
+    * scan guarantees AT LEAST `limit` live rows survive (all of them
+    * when counts can't prove coverage), and the retained limit
+    * operator does the exact slice. */
+  override def pushLimit(limit: Int): Boolean = limitSink match {
+    case Some(sink) => sink(limit); true
+    case None => false
+  }
+
+  /** TOP-N pushdown (`ORDER BY k LIMIT n` with no filter): a single
+    * top-level sort key parks as a [[GraftTopN]] for the index's
+    * envelope-ordered file pruning ([[GraftManifestFileIndex]]) — on
+    * a range-clustered key the n smallest/largest rows provably live
+    * in the leading/trailing files alone. Always PARTIAL: Spark keeps
+    * the Sort + Limit, so the scan only ever needs to prove which
+    * files CANNOT hold a top-n row, never the order itself. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = topNSink match {
+    case Some(sink) if orders.length == 1 =>
+      orders(0).expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          sink(GraftTopN(toPhysical(nr.fieldNames()(0)),
+            orders(0).direction() ==
+              org.apache.spark.sql.connector.expressions.SortDirection
+                .ASCENDING,
+            orders(0).nullOrdering() ==
+              org.apache.spark.sql.connector.expressions.NullOrdering
+                .NULLS_FIRST,
+            limit))
+          true
+        case _ => false
+      }
+    case _ => false
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan = inner.build() match {
     // the wrapper must not COST the scan its reported partitioning —

@@ -1436,4 +1436,69 @@ class CatalogSpec extends AnyFunSuite {
     } finally prev.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
       spark.conf.set("spark.sql.cbo.enabled", _))
   }
+
+  test("schema auto-merge: MERGE WITH SCHEMA EVOLUTION evolves through the catalog; mergeSchema appends evolve by name; no opt-in still refuses") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graftc.db.automerge (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql("INSERT INTO graftc.db.automerge VALUES (1, 10), (2, 20)")
+    // the ANSI statement surface: WITH SCHEMA EVOLUTION routes the
+    // source's new column through catalog.alterTable (the table's
+    // AUTOMATIC_SCHEMA_EVOLUTION capability) before the merge compiles
+    spark.range(2, 4)
+      .selectExpr("id as k", "id * 10 as v", "concat('w', id) as w")
+      .createOrReplaceTempView("automerge_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graftc.db.automerge t
+      USING automerge_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val afterMerge = spark.table("graftc.db.automerge")
+      .orderBy("k").collect()
+    assert(afterMerge.map(_.getAs[Long]("k")).toSeq == Seq(1L, 2L, 3L))
+    assert(afterMerge(0).isNullAt(afterMerge(0).fieldIndex("w")),
+      "the untouched row reads NULL for the evolved column")
+    assert(afterMerge.drop(1).map(_.getAs[String]("w")).toSeq ==
+      Seq("w2", "w3"))
+    // by-name append through the catalog identifier with the per-write
+    // option: a second new column lands without a manual ALTER
+    spark.range(4, 5)
+      .selectExpr("id as k", "id * 10 as v", "concat('w', id) as w",
+        "id * 2 as z")
+      .writeTo("graftc.db.automerge").option("mergeSchema", "true")
+      .append()
+    val afterAppend = spark.table("graftc.db.automerge")
+      .orderBy("k").collect()
+    assert(afterAppend.length == 4 &&
+      afterAppend(3).getAs[Long]("z") == 8L)
+    assert(afterAppend.take(3).forall(r => r.isNullAt(r.fieldIndex("z"))))
+    // the eager-relation path (DataFrameWriter.save on the path
+    // source) under the SESSION conf
+    val root = s"$warehouse/automerge_path"
+    sinks.ManifestTable.create(
+      spark.range(2).selectExpr("id as k", "id * 10 as v"), root, Seq("k"))
+    val prev = spark.conf.getOption("spark.graft.schema.autoMerge")
+    try {
+      spark.conf.set("spark.graft.schema.autoMerge", "true")
+      spark.range(2, 3).selectExpr("id as k", "id * 10 as v", "id as extra")
+        .write.format("graft").mode("append").save(root)
+    } finally prev.fold(spark.conf.unset("spark.graft.schema.autoMerge"))(
+      spark.conf.set("spark.graft.schema.autoMerge", _))
+    val pathRows = spark.read.format("graft").load(root)
+      .orderBy("k").collect()
+    assert(pathRows.map(_.getAs[Long]("k")).toSeq == Seq(0L, 1L, 2L))
+    assert(pathRows(2).getAs[Long]("extra") == 2L &&
+      pathRows.take(2).forall(r => r.isNullAt(r.fieldIndex("extra"))))
+    // WITHOUT opt-in, an extra column still refuses — auto-merge must
+    // never be ambient
+    intercept[Exception] {
+      spark.range(3, 4).selectExpr("id as k", "id * 10 as v", "id as oops")
+        .write.format("graft").mode("append").save(root)
+    }
+    intercept[Exception] {
+      spark.range(5, 6)
+        .selectExpr("id as k", "id * 10 as v", "concat('w', id) as w",
+          "id * 2 as z", "id as oops")
+        .writeTo("graftc.db.automerge").append()
+    }
+  }
 }

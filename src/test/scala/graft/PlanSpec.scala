@@ -1132,6 +1132,139 @@ class PlanSpec extends AnyFunSuite {
     * planning reads every fact file — the runtime-filterable scan
     * must take the keys from the dynamic-pruning subquery and keep
     * only the files the manifest envelopes can hold them in. */
+  test("limit pushdown: an unfiltered LIMIT plans only the file prefix that covers it — manifest-exact counts, DV-aware, always a partial push") {
+    import sinks.ManifestTable
+    import sources.v2.{GraftDvCleanPartition, GraftDvFilePartition}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-limit").toString + "/t"
+    // 8 range files × 1000 rows, footer-exact counts in the manifest
+    ManifestTable.create(
+      spark.range(8000).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .repartitionByRange(8, col("k")).sortWithinPartitions(col("k")),
+      root, Seq("k"))
+    def filesPlanned(df: org.apache.spark.sql.DataFrame): Int = {
+      def files(p: org.apache.spark.sql.connector.read.InputPartition)
+          : Seq[String] = p match {
+        case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+        case GraftDvCleanPartition(fp: FilePartition) =>
+          fp.files.map(_.filePath.toString).toSeq
+        case p: GraftDvFilePartition =>
+          p.inner.files.map(_.filePath.toString).toSeq
+        case b: sources.v2.GraftBucketPartition =>
+          b.parts.toSeq.flatMap(files)
+        case _ => Nil
+      }
+      physicalPlan(df).collect {
+        case b: BatchScanExec => b.partitions.flatten }
+        .flatten.flatMap(files).distinct.size
+    }
+    def load() = spark.read.format("graft").load(root)
+    // LIMIT 10 needs one 1000-row file — 7 of 8 never plan a task
+    val lim = load().limit(10)
+    assert(lim.collect().length == 10)
+    assert(filesPlanned(lim) == 1,
+      s"LIMIT 10 over 8×1000-row files must plan 1 file, " +
+        s"got ${filesPlanned(lim)}")
+    // a limit crossing file edges keeps exactly enough files
+    val mid = load().limit(2500)
+    assert(mid.collect().length == 2500)
+    assert(filesPlanned(mid) == 3,
+      s"LIMIT 2500 needs 3×1000-row files, got ${filesPlanned(mid)}")
+    // limit ≥ table: nothing prunes, the full answer serves
+    val all = load().limit(10000)
+    assert(all.collect().length == 8000)
+    assert(filesPlanned(all) == 8,
+      "an uncoverable limit must keep the full listing")
+    // a filter above the scan keeps Spark from offering the limit at
+    // all — every matching row must survive; values stay exact
+    val filt = load().filter(col("k") >= 7900L).limit(5).collect()
+    assert(filt.length == 5 && filt.forall(_.getAs[Long]("k") >= 7900L))
+    // DV composition: vector out most of one file — its rows leave
+    // the exact-count map (it rides the filtered branch), the CLEAN
+    // prefix still covers the limit, and no deleted row resurrects
+    ManifestTable.deleteWhereMor(spark, root, col("k") < 990L)
+    val limDv = load().limit(1000)
+    val rows = limDv.collect()
+    assert(rows.length == 1000)
+    assert(rows.forall(_.getAs[Long]("k") >= 990L),
+      "a limit-pruned read must never serve vectored-out rows")
+    assert(filesPlanned(limDv) <= 3,
+      s"LIMIT 1000 under one vectored file needs ≤ 1 clean file + the " +
+        s"DV file, got ${filesPlanned(limDv)}")
+  }
+
+  test("top-n pushdown: ORDER BY k LIMIT n plans only the provably-winning files — both directions, null placement exact, uncoverable keeps all") {
+    import sinks.ManifestTable
+    import sources.v2.{GraftDvCleanPartition, GraftDvFilePartition}
+    import org.apache.spark.sql.functions.{col, when}
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-topn").toString + "/t"
+    // 8 range-clustered files; ids < 100 carry NULL k and range-sort
+    // into the first file, so null handling is observable per file
+    ManifestTable.create(
+      spark.range(8000).select(
+        when(col("id") < 100, null).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+        .repartitionByRange(8, col("k")).sortWithinPartitions(col("k")),
+      root, Seq("k"))
+    def filesPlanned(df: org.apache.spark.sql.DataFrame): Int = {
+      def files(p: org.apache.spark.sql.connector.read.InputPartition)
+          : Seq[String] = p match {
+        case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+        case GraftDvCleanPartition(fp: FilePartition) =>
+          fp.files.map(_.filePath.toString).toSeq
+        case p: GraftDvFilePartition =>
+          p.inner.files.map(_.filePath.toString).toSeq
+        case b: sources.v2.GraftBucketPartition =>
+          b.parts.toSeq.flatMap(files)
+        case _ => Nil
+      }
+      physicalPlan(df).collect {
+        case b: BatchScanExec => b.partitions.flatten }
+        .flatten.flatMap(files).distinct.size
+    }
+    def load() = spark.read.format("graft").load(root)
+    // ASC default = NULLS FIRST: the 100 exact nulls alone cover a
+    // top-10, so ONLY the null-bearing file plans
+    val ascNf = load().orderBy("k").limit(10)
+    assert(ascNf.collect().forall(r => r.isNullAt(0)),
+      "ASC NULLS FIRST top-10 must be all NULLs")
+    assert(filesPlanned(ascNf) == 1,
+      s"nulls cover the limit — 1 file, got ${filesPlanned(ascNf)}")
+    // crossing from nulls into values stays within the leading file
+    val cross = load().orderBy("k").limit(150).collect()
+    assert(cross.count(_.isNullAt(0)) == 100 &&
+      cross.filter(!_.isNullAt(0)).map(_.getLong(0)).toSeq.sorted ==
+        (100L until 150L).toSeq)
+    assert(filesPlanned(load().orderBy("k").limit(150)) == 1)
+    // NULLS LAST: values lead — the 50 smallest ks, exactly ordered
+    val ascNl = load().orderBy(col("k").asc_nulls_last).limit(50)
+    assert(ascNl.collect().map(_.getLong(0)).toSeq ==
+      (100L until 150L).toSeq)
+    assert(filesPlanned(ascNl) == 1,
+      s"50 smallest values live in the first file, " +
+        s"got ${filesPlanned(ascNl)}")
+    // DESC default = NULLS LAST: the 10 largest ks from the last file
+    val desc = load().orderBy(col("k").desc).limit(10)
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      (7999L to 7990L by -1L).toSeq)
+    assert(filesPlanned(desc) == 1,
+      s"DESC top-10 lives in the trailing file, got ${filesPlanned(desc)}")
+    // DESC NULLS FIRST: back to the null-bearing file alone
+    val descNf = load().orderBy(col("k").desc_nulls_first).limit(50)
+    assert(descNf.collect().forall(r => r.isNullAt(0)))
+    assert(filesPlanned(descNf) == 1)
+    // an uncoverable top-n keeps the full listing and the full answer
+    val all = load().orderBy("k").limit(9000)
+    assert(all.collect().length == 8000)
+    assert(filesPlanned(all) == 8)
+  }
+
   test("runtime file filtering: a dim-filtered broadcast join prunes fact files at execution via the manifest proofs") {
     import sinks.ManifestTable
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec

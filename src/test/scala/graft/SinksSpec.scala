@@ -3241,4 +3241,85 @@ class SinksSpec extends AnyFunSuite {
           lit(null).cast("long").as("c")).as("s2")), ns)
     }
   }
+
+  test("writeMergeSchema: one append evolves the table — new columns, new struct members, lossless widens — and fills what either side lacks") {
+    import sinks.ManifestTable
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mergeschema").toString + "/t"
+    ManifestTable.create(
+      spark.range(2).selectExpr("id as k", "cast(id * 10 as int) as n",
+        "concat('a', id) as s",
+        "named_struct('x', cast(id as int), 'y', concat('y', id)) as m"),
+      root, Seq("k"))
+    val filesBefore = ManifestTable.manifest(spark, root,
+      ManifestTable.latestVersion(spark, root))
+      .select("path").collect().map(_.getString(0)).toSet
+    // the batch: n WIDER (int→long), new struct member m.z, new
+    // top-level column extra — and no column s at all
+    ManifestTable.writeMergeSchema(
+      spark.range(2, 4).selectExpr("id as k", "id * 10 as n",
+        "named_struct('x', cast(id as int), 'y', concat('y', id), " +
+          "'z', id * 2) as m",
+        "id * 100 as extra"), root)
+    val out = spark.read.format("graft").load(root)
+    assert(out.schema("n").dataType == LongType, "int→long widen")
+    assert(out.schema("extra").dataType == LongType, "new column")
+    assert(out.schema("m").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("x", "y", "z"), "new struct member")
+    val rows = out.orderBy("k").collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.map(_.getAs[Long]("n")).toSeq == Seq(0L, 10L, 20L, 30L),
+      "values exact across the widen (old narrow pages upcast per file)")
+    assert(rows.take(2).forall(r => r.isNullAt(r.fieldIndex("extra"))),
+      "pre-evolution rows read NULL for the new column")
+    assert(rows.drop(2).map(_.getAs[Long]("extra")).toSeq ==
+      Seq(200L, 300L))
+    assert(rows.drop(2).forall(r => r.isNullAt(r.fieldIndex("s"))),
+      "the batch's absent column fills NULL")
+    assert(rows.take(2).map(_.getAs[String]("s")).toSeq == Seq("a0", "a1"))
+    assert(rows.take(2).forall(r =>
+      r.getAs[org.apache.spark.sql.Row]("m").isNullAt(2)),
+      "pre-evolution rows read NULL for the new member")
+    assert(rows.drop(2).map(r =>
+      r.getAs[org.apache.spark.sql.Row]("m").getAs[Long]("z")).toSeq ==
+      Seq(4L, 6L))
+    // evolution was METADATA-ONLY for the existing files: every
+    // pre-merge file is still referenced verbatim
+    val filesAfter = ManifestTable.manifest(spark, root,
+      ManifestTable.latestVersion(spark, root))
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(filesBefore.subsetOf(filesAfter),
+      "mergeSchema must never rewrite existing files")
+    // a batch struct MISSING members (and a NULL struct) fills by
+    // name: absent members NULL, a NULL struct stays NULL
+    ManifestTable.writeMergeSchema(
+      spark.sql("SELECT 4L as k, 40L as n, 'a4' as s, " +
+        "named_struct('y', 'y4') as m, 400L as extra UNION ALL " +
+        "SELECT 5L, 50L, 'a5', cast(null as struct<y:string>), 500L"),
+      root)
+    val tail = spark.read.format("graft").load(root)
+      .filter(col("k") >= 4L).orderBy("k").collect()
+    val m4 = tail(0).getAs[org.apache.spark.sql.Row]("m")
+    assert(m4.isNullAt(0) && m4.getAs[String]("y") == "y4" && m4.isNullAt(2),
+      "absent members fill NULL by name")
+    assert(tail(1).isNullAt(tail(1).fieldIndex("m")),
+      "a NULL struct stays NULL — never a struct of NULLs")
+    // a LOSSY conflict refuses with the column named — nothing commits
+    val vBefore = ManifestTable.latestVersion(spark, root)
+    val err = intercept[IllegalArgumentException] {
+      ManifestTable.writeMergeSchema(
+        spark.range(1).selectExpr("id as k", "concat('s', id) as n"), root)
+    }
+    assert(err.getMessage.contains("n") &&
+      err.getMessage.contains("mergeSchema"))
+    assert(ManifestTable.latestVersion(spark, root) == vBefore,
+      "a refused mergeSchema write must commit nothing")
+    // identical schema: plain append semantics, no evolution commits
+    ManifestTable.writeMergeSchema(
+      spark.sql("SELECT 6L as k, 60L as n, 'a6' as s, " +
+        "named_struct('x', 6, 'y', 'y6', 'z', 12L) as m, 600L as extra"),
+      root)
+    assert(spark.read.format("graft").load(root).count() == 7L)
+  }
 }

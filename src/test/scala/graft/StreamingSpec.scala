@@ -892,6 +892,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(root).count() == docs.count())
   }
 
+  test("graft streaming sink mergeSchema: a restarted stream with new columns evolves the table; absent columns fill NULL; no opt-in refuses") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sink-ms").toString
+    val root = s"$base/t"
+    // ONE source dir and ONE checkpoint throughout: each wave is a
+    // RESTART of the same stream whose upstream schema changed — the
+    // exactly-once replay marker stays valid (batch ids keep
+    // increasing), which is exactly the deployment shape mergeSchema
+    // exists for
+    val src = s"$base/in"
+    def wave(df: org.apache.spark.sql.DataFrame,
+             mergeSchema: Boolean): Unit = {
+      df.write.mode("append").parquet(src)
+      val w = spark.readStream.schema(df.schema).parquet(src)
+        .writeStream.format("graft")
+        .option("path", root).option("statsCols", "k")
+        .option("checkpointLocation", s"$base/ckpt")
+      val q = (if (mergeSchema) w.option("mergeSchema", "true") else w)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // wave 1 creates (k, v); wave 2's upstream grew a column AND
+    // stopped carrying v — one restarted stream exercises both sides
+    wave(spark.range(5).selectExpr("id as k", "id * 10 as v"),
+      mergeSchema = false)
+    wave(spark.range(5, 10).selectExpr("id as k", "id as extra"),
+      mergeSchema = true)
+    val out = spark.read.format("graft").load(root).orderBy("k").collect()
+    assert(out.length == 10)
+    assert(out.take(5).forall(r => r.isNullAt(r.fieldIndex("extra"))),
+      "pre-evolution rows read NULL for the new column")
+    assert(out.drop(5).forall(r => r.isNullAt(r.fieldIndex("v"))),
+      "the stream's absent column fills NULL")
+    assert(out.drop(5).map(_.getAs[Long]("extra")).toSeq ==
+      (5L until 10L).toSeq)
+    // WITHOUT the option a schema change still refuses — auto-merge
+    // must never be ambient in a long-lived ingest
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      wave(spark.range(10, 11).selectExpr("id as k", "id as oops"),
+        mergeSchema = false)
+    }
+    assert(err.getMessage.contains("schema") ||
+      err.getMessage.contains("oops"))
+  }
+
   test("declarative medallion pipe: change-feed source into the graft sink, no user code between") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-pipe").toString
