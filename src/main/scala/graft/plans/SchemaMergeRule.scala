@@ -63,12 +63,17 @@ case class GraftSchemaMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * so an unresolved query analyzes as its own self-contained
     * subtree (it references nothing of the target). Unanalyzable
     * (genuinely unresolvable) queries return None and the append
-    * proceeds to fail with the analyzer's own error. */
+    * proceeds to fail with the analyzer's own error. Memoized by plan
+    * identity: the Hints batch iterates to fixed point, and the same
+    * subtree must not pay a second full analysis per iteration. */
+  private val schemaCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[LogicalPlan,
+      Option[org.apache.spark.sql.types.StructType]]())
   private def querySchema(q: LogicalPlan)
       : Option[org.apache.spark.sql.types.StructType] =
     if (q.resolved) Some(q.schema)
-    else scala.util.Try(
-      spark.sessionState.executePlan(q).analyzed.schema).toOption
+    else schemaCache.computeIfAbsent(q, _ => scala.util.Try(
+      spark.sessionState.executePlan(q).analyzed.schema).toOption)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     // unresolved catalog identifier (`df.writeTo("cat.db.t")`): evolve
@@ -85,7 +90,9 @@ case class GraftSchemaMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       } {
         val schema = graft.sinks.ManifestTable.tableSchema(spark, root,
           graft.sinks.ManifestTable.latestVersion(spark, root))
-        if (graft.sinks.ManifestTable.needsMergeEvolution(schema, qs))
+        val cs = spark.conf
+          .get("spark.sql.caseSensitive", "false").toBoolean
+        if (graft.sinks.ManifestTable.needsMergeEvolution(schema, qs, cs))
           graft.sinks.ManifestTable.evolveSchemaFor(spark, root, qs)
       }
       a

@@ -1308,6 +1308,26 @@ object Relational extends QueryModule {
       FROM graft.gate.amsql ORDER BY doc_id""")
   }
 
+  /** TOP-N PUSHDOWN end-to-end: an `ORDER BY doc_id LIMIT 500` over a
+    * range-clustered manifest table — the scan's envelope-ordered
+    * file pruning ([[graft.sources.v2.GraftManifestFileIndex]]) plans
+    * only the leading files, and the unique key makes the statement
+    * deterministic, so the slice itself is oracle-gatable. A second
+    * DESC top over the same table rides the same read. */
+  def qTopN(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_sql_topn") + "/t"
+    graft.sinks.ManifestTable.create(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      root, Seq("doc_id"))
+    val t = spark.read.format("graft").load(root)
+    t.orderBy(col("doc_id")).limit(500)
+      .unionAll(t.orderBy(col("doc_id").desc).limit(500))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   /** The DECLARATIVE STREAMING PIPE, oracle-gated: change-feed SOURCE
     * (`readStream.format("graft")` with keyCols) piped straight into
     * the native graft SINK (`writeStream.format("graft")`) with zero
@@ -1573,6 +1593,7 @@ object Relational extends QueryModule {
     "q_evolve_sql"        -> qEvolveSql _,
     "q_evolve_nested"     -> qEvolveNested _,
     "q_automerge"         -> qAutoMerge _,
+    "q_topn"              -> qTopN _,
     "q_widen_sql"         -> qWidenSql _,
     "q_stream_pipe"       -> qStreamPipe _,
     "q_replace_where"     -> qReplaceWhere _,
@@ -1820,6 +1841,17 @@ object Relational extends QueryModule {
         |  n_chars * 2 AS score
         |FROM documents WHERE doc_id % 4 = 3 AND doc_id % 3 <> 0
         |ORDER BY doc_id""".stripMargin,
+    // the two deterministic top-500 slices (unique key) — the engine
+    // side plans only the leading/trailing files via top-n pushdown,
+    // which must never change the answer
+    "q_topn" ->
+      """SELECT doc_id, lang, n_chars FROM
+        |  (SELECT doc_id, lang, n_chars FROM documents
+        |   ORDER BY doc_id LIMIT 500)
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars FROM
+        |  (SELECT doc_id, lang, n_chars FROM documents
+        |   ORDER BY doc_id DESC LIMIT 500)""".stripMargin,
     // kept-region ∪ replacement: rows under the predicate are swapped
     // for the batch, rows outside it survive verbatim
     "q_replace_where" ->

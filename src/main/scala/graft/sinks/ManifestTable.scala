@@ -978,36 +978,65 @@ object ManifestTable {
     * streaming sink's `mergeSchema` option and the AppendData
     * auto-merge rule: diff `incoming` against the table schema and
     * commit the additive changes (a no-op when nothing differs). The
-    * WHOLE change set validates against one schema snapshot before
-    * the first commit — widen validation first, the strictest guard
-    * — so a refused later change never strands an earlier one. */
+    * change set pre-validates against one schema snapshot — widen
+    * validation first (the strictest guard), then the nested parents'
+    * pending-equality-delete guard — so an apply-phase refusal can
+    * only come from a RACING writer moving the base, and the loop
+    * then re-derives the delta fresh: changes a concurrent evolution
+    * already made (the two-streams-add-the-same-column case) drop out
+    * instead of spuriously failing on "already exists". */
   def evolveSchemaFor(spark: SparkSession, root: String,
                       incoming: StructType): Unit = {
-    val v = latestVersion(spark, root)
-    require(v >= 0, s"manifest table at $root does not exist — create() first")
-    val schema = tableSchema(spark, root, v)
-    val (adds, widens, nestedAdds) = mergeDelta(schema, incoming)
-    // metadata carried in from READING another table (frozen physical
-    // names, bucket claims) must not leak into this table's sidecar
-    val addList = freshSchema(StructType(adds)).fields.toSeq
-    if (widens.nonEmpty) validateWidens(spark, root, widens)
-    widens.foreach { case (path, to) =>
-      widenColumnTypePath(spark, root, path, to): Unit }
-    if (addList.nonEmpty) addColumns(spark, root, addList): Unit
-    nestedAdds.groupBy(_._1).foreach { case (parent, fields) =>
-      alterNestedColumns(spark, root, Seq(parent),
-        freshSchema(StructType(fields.map(_._2))).fields.toSeq, Nil): Unit
+    val cs = spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    var attempt = 0
+    while (true) {
+      val v = latestVersion(spark, root)
+      require(v >= 0,
+        s"manifest table at $root does not exist — create() first")
+      val schema = tableSchema(spark, root, v)
+      val (adds, widens, nestedAdds) = mergeDelta(schema, incoming, cs)
+      // a NON-NULLABLE column (or struct member) the batch does not
+      // carry (or carries nullable) may land NULLs — the sidecar's
+      // nullability must RELAX in the same evolution, or every later
+      // read plans non-null slots over null bytes
+      val relaxes = nullRelaxes(schema, incoming, cs)
+      if (adds.isEmpty && widens.isEmpty && nestedAdds.isEmpty &&
+          relaxes.isEmpty) return
+      // metadata carried in from READING another table (frozen
+      // physical names, bucket claims) must not leak into this
+      // table's sidecar
+      val addList = freshSchema(StructType(adds)).fields.toSeq
+      try {
+        if (widens.nonEmpty) validateWidens(spark, root, widens)
+        if (nestedAdds.nonEmpty) {
+          val eqKeys = eqDeletes(spark, root, v).flatMap(_.keys).toSet
+          nestedAdds.map(_._1).distinct.foreach(p =>
+            require(!eqKeys.contains(p),
+              s"column $p keys pending equality deletes — run compactEq() " +
+                "(or any row-level op / maintenance tick) before evolving " +
+                "inside it"))
+        }
+        widens.foreach { case (path, to) =>
+          widenColumnTypePath(spark, root, path, to): Unit }
+        if (addList.nonEmpty) addColumns(spark, root, addList): Unit
+        nestedAdds.groupBy(_._1).foreach { case (parent, fields) =>
+          alterNestedColumns(spark, root, Seq(parent),
+            freshSchema(StructType(fields.map(_._2))).fields.toSeq,
+            Nil): Unit
+        }
+        if (relaxes.nonEmpty) commitLoopEvolving(spark, root) { base =>
+          (manifest(spark, root, base),
+            relaxNullability(tableSchema(spark, root, base), relaxes))
+        }: Unit
+        return
+      } catch {
+        case _: IllegalArgumentException if attempt < 3 =>
+          // racing evolution (or a genuinely refused change — the
+          // re-derived delta then repeats the refusal and the final
+          // attempt rethrows it)
+          attempt += 1
+      }
     }
-    // a NON-NULLABLE column (or struct member) the batch does not
-    // carry is about to be filled NULL — the sidecar's nullability
-    // must RELAX in the same evolution, or every later read plans
-    // non-null slots over null bytes. Nullable→nullable is the only
-    // legal direction, and it commits metadata-only.
-    val relaxes = nullRelaxes(schema, incoming)
-    if (relaxes.nonEmpty) commitLoopEvolving(spark, root) { base =>
-      (manifest(spark, root, base),
-        relaxNullability(tableSchema(spark, root, base), relaxes))
-    }: Unit
   }
 
   /** Dotted paths of non-nullable schema columns/struct members the
@@ -1015,11 +1044,12 @@ object ManifestTable {
     * NULL by [[fillForSchema]]) and slots the batch carries NULLABLE
     * (the Delta nullability-merge: merged nullability is the OR of
     * the two sides). */
-  private def nullRelaxes(schema: StructType, incoming: StructType)
-      : Seq[Seq[String]] = {
-    val have = incoming.fields.map(f => f.name -> f).toMap
+  private def nullRelaxes(schema: StructType, incoming: StructType,
+                          caseSensitive: Boolean): Seq[Seq[String]] = {
+    def key(n: String): String = if (caseSensitive) n else n.toLowerCase
+    val have = incoming.fields.map(f => key(f.name) -> f).toMap
     schema.fields.toSeq.flatMap { f =>
-      have.get(f.name) match {
+      have.get(key(f.name)) match {
         case None =>
           if (f.nullable) Nil else Seq(Seq(f.name))
         case Some(in) =>
@@ -1028,7 +1058,7 @@ object ManifestTable {
             case (t: StructType, b: StructType) =>
               t.fields.toSeq.flatMap { m =>
                 if (m.nullable) Nil
-                else b.fields.find(_.name == m.name) match {
+                else b.fields.find(x => key(x.name) == key(m.name)) match {
                   case None => Seq(Seq(f.name, m.name))
                   case Some(bm) if bm.nullable => Seq(Seq(f.name, m.name))
                   case _ => Nil
@@ -1062,15 +1092,24 @@ object ManifestTable {
     * same refusal on a LOSSY conflict: with auto-merge requested, the
     * named-conflict message beats the generic assignment error. */
   private[graft] def needsMergeEvolution(schema: StructType,
-                                         incoming: StructType): Boolean = {
-    val (a, w, n) = mergeDelta(schema, incoming)
-    a.nonEmpty || w.nonEmpty || n.nonEmpty
+                                         incoming: StructType,
+                                         caseSensitive: Boolean): Boolean = {
+    val (a, w, n) = mergeDelta(schema, incoming, caseSensitive)
+    a.nonEmpty || w.nonEmpty || n.nonEmpty ||
+      nullRelaxes(schema, incoming, caseSensitive).nonEmpty
   }
 
   /** The additive difference `incoming` demands of `schema`: (new
     * top-level columns, lossless widens by dotted path, new struct
-    * members by parent). Refuses any conflict outside that language. */
-  private def mergeDelta(schema: StructType, incoming: StructType)
+    * members by parent). Names match under the session's resolution
+    * (case-insensitive by default — a batch column differing only in
+    * case must NOT become a duplicate the resolver then finds
+    * ambiguous). Refuses any conflict outside that language, and
+    * refuses a NEW column/member of (or containing) the untyped-NULL
+    * VoidType — parquet cannot land it, and committing it first would
+    * strand the table. */
+  private def mergeDelta(schema: StructType, incoming: StructType,
+                         caseSensitive: Boolean)
       : (Seq[org.apache.spark.sql.types.StructField],
          Seq[(Seq[String], org.apache.spark.sql.types.DataType)],
          Seq[(String, org.apache.spark.sql.types.StructField)]) = {
@@ -1095,33 +1134,62 @@ object ManifestTable {
         org.apache.spark.sql.types.MapType(bare(m.keyType), bare(m.valueType))
       case other => other
     }
+    import org.apache.spark.sql.types.NullType
+    def sameName(a: String, b: String): Boolean =
+      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
+    def hasNullType(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case NullType => true
+        case s: StructType => s.fields.exists(f => hasNullType(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          hasNullType(a.elementType)
+        case mp: org.apache.spark.sql.types.MapType =>
+          hasNullType(mp.keyType) || hasNullType(mp.valueType)
+        case _ => false
+      }
+    def refuseVoid(name: String): Nothing =
+      throw new IllegalArgumentException(
+        s"mergeSchema cannot add column $name: its type carries the " +
+          "untyped NULL (VOID) — cast the batch column to a concrete " +
+          "type first (parquet cannot land VOID, and committing the " +
+          "column before the landing fails would strand the table)")
     val adds = Seq.newBuilder[org.apache.spark.sql.types.StructField]
     val widens =
       Seq.newBuilder[(Seq[String], org.apache.spark.sql.types.DataType)]
     val nestedAdds =
       Seq.newBuilder[(String, org.apache.spark.sql.types.StructField)]
     incoming.fields.foreach { in =>
-      schema.fields.find(_.name == in.name) match {
+      schema.fields.find(f => sameName(f.name, in.name)) match {
         case None =>
+          if (hasNullType(in.dataType)) refuseVoid(in.name)
           adds += org.apache.spark.sql.types.StructField(
             in.name, in.dataType, nullable = true)
         case Some(cur) => (bare(cur.dataType), bare(in.dataType)) match {
           case (a, b) if a == b => ()
+          // an untyped-NULL batch column against an EXISTING column is
+          // just NULL values — the landing casts them to the table type
+          case (_, NullType) => ()
+          // evolution paths speak the TABLE's casing — the batch's
+          // only matters for brand-new names
           case (a: StructType, b: StructType) =>
             b.fields.foreach { m =>
-              a.fields.find(_.name == m.name) match {
-                case None => nestedAdds += in.name ->
-                  org.apache.spark.sql.types.StructField(
-                    m.name, m.dataType, nullable = true)
+              a.fields.find(f => sameName(f.name, m.name)) match {
+                case None =>
+                  if (hasNullType(m.dataType))
+                    refuseVoid(s"${cur.name}.${m.name}")
+                  nestedAdds += cur.name ->
+                    org.apache.spark.sql.types.StructField(
+                      m.name, m.dataType, nullable = true)
                 case Some(am) if am.dataType == m.dataType => ()
+                case Some(_) if m.dataType == NullType => ()
                 case Some(am) if widenable(am.dataType, m.dataType) =>
-                  widens += ((Seq(in.name, m.name), m.dataType))
+                  widens += ((Seq(cur.name, am.name), m.dataType))
                 case Some(am) if widenable(m.dataType, am.dataType) => ()
                 case Some(am) =>
-                  refuse(s"${in.name}.${m.name}", am.dataType, m.dataType)
+                  refuse(s"${cur.name}.${am.name}", am.dataType, m.dataType)
               }
             }
-          case (a, b) if widenable(a, b) => widens += ((Seq(in.name), b))
+          case (a, b) if widenable(a, b) => widens += ((Seq(cur.name), b))
           case (a, b) if widenable(b, a) => ()
           case (a, b) => refuse(in.name, a, b)
         }
@@ -1138,16 +1206,23 @@ object ManifestTable {
     * upcast narrower primitives. */
   private[graft] def fillForSchema(df: DataFrame,
                                    schema: StructType): DataFrame = {
-    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // name matching follows the session's resolution (the same rule
+    // mergeDelta diffs under) — a batch column differing only in case
+    // must fill the table column, not be silently NULLed
+    val cs = df.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    def key(n: String): String = if (cs) n else n.toLowerCase
+    val have = df.schema.fields.map(f => key(f.name) -> f.dataType).toMap
     df.select(schema.fields.toIndexedSeq.map { f =>
-      (have.get(f.name), f.dataType) match {
+      (have.get(key(f.name)), f.dataType) match {
         case (None, _) =>
           lit(null).cast(relaxedType(f.dataType)).as(f.name)
         case (Some(b: StructType), t: StructType)
-            if b.fields.map(x => x.name -> x.dataType).toSeq !=
-               t.fields.map(x => x.name -> x.dataType).toSeq =>
+            if b.fields.map(x => key(x.name) -> x.dataType).toSeq !=
+               t.fields.map(x => key(x.name) -> x.dataType).toSeq =>
+          val bKeys = b.fields.map(x => key(x.name)).toSet
           val members = t.fields.toIndexedSeq.map { m =>
-            if (b.fieldNames.contains(m.name))
+            if (bKeys.contains(key(m.name)))
               col(f.name).getField(m.name)
                 .cast(relaxedType(m.dataType)).as(m.name)
             else lit(null).cast(relaxedType(m.dataType)).as(m.name)
@@ -1156,7 +1231,7 @@ object ManifestTable {
             .when(col(f.name).isNull, lit(null))
             .otherwise(org.apache.spark.sql.functions.struct(members: _*))
             .as(f.name)
-        case _ => col(f.name)
+        case _ => col(f.name).cast(relaxedType(f.dataType)).as(f.name)
       }
     }: _*)
   }

@@ -280,10 +280,23 @@ private[v2] final class GraftStreamSink(root: String, statsCols: Seq[String],
       if (!mergeSchema || !graft.sinks.ManifestTable.exists(spark, root))
         batch0
       else {
-        graft.sinks.ManifestTable.evolveSchemaFor(spark, root, batch0.schema)
-        graft.sinks.ManifestTable.fillForSchema(batch0,
-          graft.sinks.ManifestTable.tableSchema(spark, root,
-            graft.sinks.ManifestTable.latestVersion(spark, root)))
+        // steady-state fast path: one schema read per batch, and a
+        // batch matching the table verbatim skips evolve AND fill
+        val ts = graft.sinks.ManifestTable.tableSchema(spark, root,
+          graft.sinks.ManifestTable.latestVersion(spark, root))
+        val cs = spark.conf
+          .get("spark.sql.caseSensitive", "false").toBoolean
+        if (!graft.sinks.ManifestTable.needsMergeEvolution(ts,
+            batch0.schema, cs)) {
+          if (batch0.schema == ts) batch0
+          else graft.sinks.ManifestTable.fillForSchema(batch0, ts)
+        } else {
+          graft.sinks.ManifestTable.evolveSchemaFor(spark, root,
+            batch0.schema)
+          graft.sinks.ManifestTable.fillForSchema(batch0,
+            graft.sinks.ManifestTable.tableSchema(spark, root,
+              graft.sinks.ManifestTable.latestVersion(spark, root)))
+        }
       }
     if (!graft.sinks.ManifestTable.exists(spark, root)) {
       statsCols.foreach(c => require(data.columns.contains(c),

@@ -14,6 +14,30 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Distinct data files the physical plan's batch scans would read —
+    * unwraps every partition shape the source can emit (plain splits,
+    * DV composite branches, bucket-grouped cells), so counts are
+    * conf-independent under parallel suites flipping v2 bucketing. */
+  private def plannedDataFiles(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import sources.v2.{GraftDvCleanPartition, GraftDvFilePartition}
+    def files(p: org.apache.spark.sql.connector.read.InputPartition)
+        : Seq[String] = p match {
+      case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+      case GraftDvCleanPartition(fp: FilePartition) =>
+        fp.files.map(_.filePath.toString).toSeq
+      case p: GraftDvFilePartition =>
+        p.inner.files.map(_.filePath.toString).toSeq
+      case b: sources.v2.GraftBucketPartition =>
+        b.parts.toSeq.flatMap(files)
+      case _ => Nil
+    }
+    physicalPlan(df).collect {
+      case b: BatchScanExec => b.partitions.flatten }
+      .flatten.flatMap(files).distinct.size
+  }
+
   test("q1_agg pushes the discount filter into the parquet scan and prunes columns") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_discount), GreaterThan(l_discount,0.01)]"),
@@ -997,26 +1021,7 @@ class PlanSpec extends AnyFunSuite {
     ManifestTable.write(
       spark.range(4000).select(col("id").as("k"),
         (col("id") * 3).as("v")), root)
-    def filesPlanned(df: org.apache.spark.sql.DataFrame): Int = {
-      // a concurrently-running suite may have v2 bucketing enabled on
-      // the SHARED session while this plans — unwrap the bucket-keyed
-      // partitions too, so the count is conf-independent (pruning
-      // happens below the wrapper either way)
-      def files(p: org.apache.spark.sql.connector.read.InputPartition)
-          : Seq[String] = p match {
-        case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
-        case GraftDvCleanPartition(fp: FilePartition) =>
-          fp.files.map(_.filePath.toString).toSeq
-        case p: GraftDvFilePartition =>
-          p.inner.files.map(_.filePath.toString).toSeq
-        case b: sources.v2.GraftBucketPartition =>
-          b.parts.toSeq.flatMap(files)
-        case _ => Nil
-      }
-      physicalPlan(df).collect {
-        case b: BatchScanExec => b.partitions.flatten }
-        .flatten.flatMap(files).distinct.size
-    }
+    def filesPlanned(df: org.apache.spark.sql.DataFrame): Int = plannedDataFiles(df)
     def load() = spark.read.format("graft").load(root)
     assert(filesPlanned(load()) == 16, "expected 2 files per bucket")
     // point probe: 1/8 of the files (envelopes are useless on a
@@ -1145,22 +1150,7 @@ class PlanSpec extends AnyFunSuite {
       spark.range(8000).select(col("id").as("k"), (col("id") * 2).as("v"))
         .repartitionByRange(8, col("k")).sortWithinPartitions(col("k")),
       root, Seq("k"))
-    def filesPlanned(df: org.apache.spark.sql.DataFrame): Int = {
-      def files(p: org.apache.spark.sql.connector.read.InputPartition)
-          : Seq[String] = p match {
-        case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
-        case GraftDvCleanPartition(fp: FilePartition) =>
-          fp.files.map(_.filePath.toString).toSeq
-        case p: GraftDvFilePartition =>
-          p.inner.files.map(_.filePath.toString).toSeq
-        case b: sources.v2.GraftBucketPartition =>
-          b.parts.toSeq.flatMap(files)
-        case _ => Nil
-      }
-      physicalPlan(df).collect {
-        case b: BatchScanExec => b.partitions.flatten }
-        .flatten.flatMap(files).distinct.size
-    }
+    def filesPlanned(df: org.apache.spark.sql.DataFrame): Int = plannedDataFiles(df)
     def load() = spark.read.format("graft").load(root)
     // LIMIT 10 needs one 1000-row file — 7 of 8 never plan a task
     val lim = load().limit(10)
@@ -1212,22 +1202,7 @@ class PlanSpec extends AnyFunSuite {
         col("id").as("v"))
         .repartitionByRange(8, col("k")).sortWithinPartitions(col("k")),
       root, Seq("k"))
-    def filesPlanned(df: org.apache.spark.sql.DataFrame): Int = {
-      def files(p: org.apache.spark.sql.connector.read.InputPartition)
-          : Seq[String] = p match {
-        case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
-        case GraftDvCleanPartition(fp: FilePartition) =>
-          fp.files.map(_.filePath.toString).toSeq
-        case p: GraftDvFilePartition =>
-          p.inner.files.map(_.filePath.toString).toSeq
-        case b: sources.v2.GraftBucketPartition =>
-          b.parts.toSeq.flatMap(files)
-        case _ => Nil
-      }
-      physicalPlan(df).collect {
-        case b: BatchScanExec => b.partitions.flatten }
-        .flatten.flatMap(files).distinct.size
-    }
+    def filesPlanned(df: org.apache.spark.sql.DataFrame): Int = plannedDataFiles(df)
     def load() = spark.read.format("graft").load(root)
     // ASC default = NULLS FIRST: the 100 exact nulls alone cover a
     // top-10, so ONLY the null-bearing file plans

@@ -3321,5 +3321,33 @@ class SinksSpec extends AnyFunSuite {
         "named_struct('x', 6, 'y', 'y6', 'z', 12L) as m, 600L as extra"),
       root)
     assert(spark.read.format("graft").load(root).count() == 7L)
+    // an untyped-NULL (VOID) NEW column refuses BEFORE any commit —
+    // parquet cannot land it and a committed void column would strand
+    // the table; the same untyped NULL against an EXISTING column is
+    // just null values
+    val vBefore2 = ManifestTable.latestVersion(spark, root)
+    val voidErr = intercept[IllegalArgumentException] {
+      ManifestTable.writeMergeSchema(
+        spark.sql("SELECT 7L as k, null as surprise"), root)
+    }
+    assert(voidErr.getMessage.contains("surprise") &&
+      ManifestTable.latestVersion(spark, root) == vBefore2)
+    ManifestTable.writeMergeSchema(
+      spark.sql("SELECT 7L as k, null as extra"), root)
+    val r7 = spark.read.format("graft").load(root)
+      .filter(col("k") === 7L).collect()(0)
+    assert(r7.isNullAt(r7.fieldIndex("extra")))
+    // a batch column differing only in CASE matches under the
+    // session's (case-insensitive) resolution — it must fill the
+    // existing column, never become a duplicate the resolver then
+    // finds ambiguous
+    val colsBefore = spark.read.format("graft").load(root).columns.length
+    ManifestTable.writeMergeSchema(
+      spark.sql("SELECT 8L as k, 800L as EXTRA"), root)
+    val out8 = spark.read.format("graft").load(root)
+    assert(out8.columns.length == colsBefore,
+      "a case-differing batch column must not add a duplicate")
+    assert(out8.filter(col("k") === 8L).collect()(0)
+      .getAs[Long]("extra") == 800L)
   }
 }
