@@ -1359,6 +1359,40 @@ object Relational extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** APPEND-ONLY streaming source, oracle-gated: the plain
+    * `readStream` shape (`streamMode = append`, no key) — bootstrap
+    * serves the starting version's files verbatim, the second run's
+    * catch-up serves exactly the files the append commit added (zero
+    * copy, no diff job) — piped into the graft sink and read back
+    * from disk. The downstream table must equal the full source. */
+  def qStreamAppend(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.Scratch.freshDir("graft_stream_append")
+    val src = s"$base/src"; val dst = s"$base/dst"; val ckpt = s"$base/ckpt"
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.sinks.ManifestTable.create(
+      d.filter(col("doc_id") % 4 =!= 3)
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      src, Seq("doc_id"))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("streamMode", "append").load(src)
+        .writeStream.format("graft")
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run() // bootstrap: the source's files, verbatim
+    graft.sinks.ManifestTable.write(
+      d.filter(col("doc_id") % 4 === 3), src): Unit
+    run() // catch-up: exactly the appended files
+    graft.sinks.ManifestTable.read(spark, dst)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Atomic predicate-region swap ([[graft.sinks.ManifestTable
     * .replaceWhere]]) end-to-end on disk: one commit deletes the
     * region and inserts its replacement — the idempotent-backfill
@@ -1596,6 +1630,7 @@ object Relational extends QueryModule {
     "q_topn"              -> qTopN _,
     "q_widen_sql"         -> qWidenSql _,
     "q_stream_pipe"       -> qStreamPipe _,
+    "q_stream_append"     -> qStreamAppend _,
     "q_replace_where"     -> qReplaceWhere _,
     "q_restore"           -> qRestore _,
     "q_tag_read"          -> qTagRead _,
@@ -1927,6 +1962,11 @@ object Relational extends QueryModule {
     "q_stream_pipe" ->
       """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
         |  'I' AS op, CAST(0 AS BIGINT) AS seq
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // bootstrap ∪ the appended files' rows — the append-only stream
+    // must reassemble the source exactly
+    "q_stream_append" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     // coalesce pins DELETE's NULL-keeps semantics (a NULL predicate
     // KEEPS the row): plain NOT (...) would silently drop NULL-cond

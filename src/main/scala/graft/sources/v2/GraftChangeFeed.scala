@@ -85,6 +85,49 @@ object GraftChangeFeedTable {
       StructField("seq", LongType, nullable = false))
 }
 
+/** APPEND-ONLY streaming source — the plain `readStream` shape for
+  * unkeyed ingest tables (Delta's most common streaming read):
+  *
+  * {{{
+  *   spark.readStream.format("graft")
+  *     .option("streamMode", "append")   // no key needed
+  *     .load(root)
+  * }}}
+  *
+  * Rows arrive VERBATIM (no op/seq control columns): the bootstrap
+  * serves the starting version's own files zero-copy under
+  * `maxFilesPerTrigger` admission, and every catch-up batch serves
+  * exactly the files its versions APPENDED — no diff job, no scratch,
+  * cost ∝ appended data. A commit that removed or changed rows
+  * (row-level op, keyed upsert, compaction) fails the stream fast
+  * with the version named — `skipChangeCommits = true` skips such
+  * commits instead. Manifest tables only (epoch tables rewrite whole
+  * epochs). Same offsets, admission control, and replay idempotence
+  * as the change feed ([[GraftChangeFeedStream]] — this is the same
+  * stream in append mode). */
+final class GraftAppendStreamTable(spark: SparkSession, root: String,
+                                   dataSchema: StructType)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft-appends.`$root`"
+  override def schema(): StructType = dataSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = dataSchema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new GraftChangeFeedStream(spark, root, Nil, dataSchema,
+          checkpointLocation,
+          Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+          Option(options.get("maxFilesPerTrigger")).map(_.toLong),
+          appendMode = true,
+          skipChangeCommits =
+            Option(options.get("skipChangeCommits")).exists(_.toBoolean))
+    }
+}
+
 /** A table version as a streaming offset. `boot = Some(k)` marks a
   * PARTIAL BOOTSTRAP: the first k files (path-sorted) of `version`
   * have been delivered as 'I' rows and the rest are still owed — the
@@ -166,7 +209,9 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
                                   feedSchema: StructType,
                                   checkpointLocation: String,
                                   maxVersionsPerTrigger: Option[Long] = None,
-                                  maxFilesPerTrigger: Option[Long] = None)
+                                  maxFilesPerTrigger: Option[Long] = None,
+                                  appendMode: Boolean = false,
+                                  skipChangeCommits: Boolean = false)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
   with org.apache.spark.internal.Logging {
@@ -184,6 +229,12 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
 
   private val isManifest = graft.sinks.ManifestTable.exists(spark, root)
 
+  require(!appendMode || isManifest,
+    s"append-only streaming needs the manifest format at $root — " +
+      "epoch-directory tables rewrite whole epochs (their documented " +
+      "append grain), so per-version added-file serving has no meaning " +
+      "there")
+
   private def currentVersion: Long =
     if (isManifest) graft.sinks.ManifestTable.latestVersion(spark, root)
     else graft.sinks.VersionedTable.latestVersion(spark, root)
@@ -199,10 +250,12 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
     else
       graft.sinks.VersionedTable.changesBetween(spark, root, from, to, keyCols)
 
-  /** The table columns of the feed (feed schema minus op/seq) — the
-    * read schema of a bootstrap slice. */
+  /** The table columns of the feed (feed schema minus op/seq; in
+    * append mode the feed IS the table) — the read schema of a
+    * bootstrap slice. */
   private val dataSchema: StructType =
-    StructType(feedSchema.fields.dropRight(2))
+    if (appendMode) feedSchema
+    else StructType(feedSchema.fields.dropRight(2))
 
   /** Path-sorted (path, size, dv sidecar, dv rows) of one version's
     * data files — the bootstrap's deterministic file order, from
@@ -304,7 +357,9 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
         // whole-version bootstrap in one batch (no file admission set)
         planBootstrapSlice(ev, 0L, bootstrapFiles(ev).size.toLong)
       case (GraftVersionOffset(sv, None), GraftVersionOffset(ev, None)) =>
-        if (ev <= sv) Array.empty else planDiff(sv, ev)
+        if (ev <= sv) Array.empty
+        else if (appendMode) planAppended(sv, ev)
+        else planDiff(sv, ev)
     }
   }
 
@@ -319,6 +374,12 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
                                  toIdx: Long): Array[InputPartition] = {
     val slice = bootstrapFiles(v).slice(fromIdx.toInt, toIdx.toInt)
     if (slice.isEmpty) return Array.empty
+    // the change feed stamps 'I'/seq constants per row; the
+    // append-only mode serves the rows VERBATIM
+    def wrap(p: InputPartition,
+             factory: PartitionReaderFactory): InputPartition =
+      if (appendMode) GraftDelegatingPartition(p, factory)
+      else GraftBootstrapPartition(p, factory, v)
     // a DV-bearing file cannot serve its raw parquet as 'I' rows (the
     // vector's rows would resurrect) — its SURVIVORS materialize once
     // under the checkpoint scratch and serve from there; clean files
@@ -355,7 +416,7 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
           CaseInsensitiveStringMap.empty()).build().toBatch
         val factory = batch.createReaderFactory()
         batch.planInputPartitions().map(p =>
-          GraftBootstrapPartition(p, factory, v): InputPartition)
+          wrap(p, factory): InputPartition)
       }
     val dvParts: Array[InputPartition] =
       if (dvd.isEmpty) Array.empty
@@ -375,7 +436,7 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
           CaseInsensitiveStringMap.empty()).build().toBatch
         val factory = batch.createReaderFactory()
         batch.planInputPartitions().map(p =>
-          GraftBootstrapPartition(p, factory, v): InputPartition)
+          wrap(p, factory): InputPartition)
       }
     cleanParts ++ dvParts
   }
@@ -397,6 +458,59 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
     val index = new InMemoryFileIndex(spark, Seq(new Path(dir)),
       Map.empty, Some(feedSchema))
     val batch = ParquetScanBuilder(spark, index, feedSchema, feedSchema,
+      CaseInsensitiveStringMap.empty()).build().toBatch
+    val factory = batch.createReaderFactory()
+    batch.planInputPartitions().map(p =>
+      GraftDelegatingPartition(p, factory): InputPartition)
+  }
+
+  /** APPEND-ONLY catch-up: serve the files each version in (from, to]
+    * ADDED, verbatim and zero-copy — no diff job, no scratch. Every
+    * version is CLASSIFIED first (one manifest read per version,
+    * bounded by `maxVersionsPerTrigger`): a commit that removed a
+    * file, changed a deletion vector, or touched the equality-delete
+    * registry is NOT an append — its rows changed, and serving its
+    * added files would duplicate or lose rows — so the stream fails
+    * fast naming the version (`skipChangeCommits = true` skips such
+    * commits instead, the Delta escape hatch). Metadata-only commits
+    * (evolution, constraints, ANALYZE, renames) add nothing and pass
+    * through silently. Files added by a pure append are clean by
+    * construction (vectors and key files only ride change commits). */
+  private def planAppended(from: Long, to: Long): Array[InputPartition] = {
+    def state(v: Long): Map[String, (Long, Option[String])] =
+      graft.sinks.ManifestTable.rawFiles(spark, root, v)
+        .map(f => f._1 -> ((f._2, f._3))).toMap
+    var prev = state(from)
+    var prevEq = graft.sinks.ManifestTable.eqDeletes(spark, root, from)
+    val added = Seq.newBuilder[(String, Long)]
+    (from + 1L to to).foreach { v =>
+      val cur = state(v)
+      val curEq = graft.sinks.ManifestTable.eqDeletes(spark, root, v)
+      val removed = prev.keySet.diff(cur.keySet)
+      val dvChanged = cur.exists { case (p, (_, dv)) =>
+        prev.get(p).exists(_._2 != dv) }
+      if (removed.nonEmpty || dvChanged || curEq != prevEq) {
+        if (!skipChangeCommits) throw new IllegalStateException(
+          s"append-only stream of $root hit a NON-APPEND commit at " +
+            s"version $v (rows were removed or changed: a row-level " +
+            "op, keyed upsert, or compaction). Streams that need " +
+            "update/delete semantics take the change feed " +
+            "(option(\"keyCols\", ...)); to ignore such commits and " +
+            "stream only the appends, set " +
+            "option(\"skipChangeCommits\", \"true\")")
+      } else added ++= cur.collect {
+        case (p, (size, _)) if !prev.contains(p) => (p, size) }
+      prev = cur
+      prevEq = curEq
+    }
+    val files = added.result()
+    if (files.isEmpty) return Array.empty
+    val readSchema = graft.sinks.ManifestTable.toPhysical(dataSchema)
+    val ts = graft.sinks.VersionedTable.commitTimestamp(spark,
+      graft.sinks.ManifestTable.manifestsRoot(root), to).getOrElse(0L)
+    val index = new GraftManifestFileIndex(spark, root, files, ts,
+      readSchema, None)
+    val batch = ParquetScanBuilder(spark, index, readSchema, readSchema,
       CaseInsensitiveStringMap.empty()).build().toBatch
     val factory = batch.createReaderFactory()
     batch.planInputPartitions().map(p =>

@@ -227,6 +227,17 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     val (spark, root, v, isManifest) = resolve(options)
     resolvedAt.remove()
     val keys = feedKeys(options)
+    // append-only streaming mode (no key — rows verbatim, appends
+    // only): `option("streamMode", "append")`
+    Option(options.get("streamMode")).map(_.toLowerCase).foreach { m =>
+      require(m == "append",
+        s"graft streamMode must be 'append' (the keyed change feed is " +
+          s"the keyCols option), got $m")
+      require(keys.isEmpty,
+        "streamMode=append and keyCols are mutually exclusive — the " +
+          "keyed change feed already streams updates and deletes")
+      return new GraftAppendStreamTable(spark, root, schema)
+    }
     if (keys.isEmpty) {
       val modes = Seq("deleteMode", "updateMode", "mergeMode").flatMap(k =>
         Option(options.get(k)).map(v => k.toLowerCase -> v.toLowerCase)).toMap

@@ -892,6 +892,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(root).count() == docs.count())
   }
 
+  test("append-only streaming source: bootstrap + per-version added files verbatim; a change commit fails fast naming the version; skipChangeCommits skips it") {
+    import sinks.ManifestTable
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-append-stream").toString
+    val src = s"$base/src"; val dst = s"$base/dst"; val ckpt = s"$base/ckpt"
+    ManifestTable.create(
+      spark.range(10).selectExpr("id as k", "id * 10 as v")
+        .repartition(2), src, Seq("k"))
+    def run(skip: Boolean = false): Unit = {
+      val r = spark.readStream.format("graft")
+        .option("streamMode", "append")
+      val q = (if (skip) r.option("skipChangeCommits", "true") else r)
+        .load(src)
+        .writeStream.format("graft")
+        .option("path", dst).option("statsCols", "k")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // bootstrap: the snapshot's own files, verbatim — no op/seq
+    run()
+    val got1 = spark.read.format("graft").load(dst)
+    assert(got1.columns.toSeq == Seq("k", "v"),
+      "append mode must serve rows verbatim, no control columns")
+    assert(got1.count() == 10)
+    // catch-up: exactly the appended rows
+    ManifestTable.write(
+      spark.range(10, 20).selectExpr("id as k", "id * 10 as v"), src)
+    run()
+    assert(spark.read.format("graft").load(dst)
+      .collect().map(_.getAs[Long]("k")).sorted.toSeq ==
+      (0L until 20L).toSeq)
+    // a row-level op is NOT an append: the stream fails fast naming
+    // the version instead of duplicating or losing rows
+    ManifestTable.deleteWhere(spark, src,
+      org.apache.spark.sql.functions.col("k") < 2L)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run()
+    }
+    assert(err.getMessage.contains("NON-APPEND") ||
+      Option(err.getCause).exists(_.getMessage.contains("NON-APPEND")),
+      s"expected the non-append refusal, got: ${err.getMessage}")
+    // skipChangeCommits: the delete commit skips, later appends flow;
+    // already-delivered rows are never retracted (append semantics)
+    ManifestTable.write(
+      spark.range(20, 25).selectExpr("id as k", "id * 10 as v"), src)
+    run(skip = true)
+    val finalKs = spark.read.format("graft").load(dst)
+      .collect().map(_.getAs[Long]("k")).sorted.toSeq
+    assert(finalKs == (0L until 25L).toSeq,
+      s"skip must pass over the change commit and keep appending: $finalKs")
+  }
+
   test("graft streaming sink mergeSchema: a restarted stream with new columns evolves the table; absent columns fill NULL; no opt-in refuses") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-sink-ms").toString
