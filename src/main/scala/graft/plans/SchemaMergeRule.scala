@@ -63,17 +63,37 @@ case class GraftSchemaMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * so an unresolved query analyzes as its own self-contained
     * subtree (it references nothing of the target). Unanalyzable
     * (genuinely unresolvable) queries return None and the append
-    * proceeds to fail with the analyzer's own error. Memoized by plan
-    * identity: the Hints batch iterates to fixed point, and the same
-    * subtree must not pay a second full analysis per iteration. */
-  private val schemaCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[LogicalPlan,
-      Option[org.apache.spark.sql.types.StructType]]())
+    * proceeds to fail with the analyzer's own error.
+    *
+    * Memoized by plan IDENTITY, not structural equality: the Hints
+    * batch iterates to fixed point over the same plan INSTANCE (that
+    * repeat is what the memo saves), while a structurally-identical
+    * plan from a LATER statement may resolve differently — a temp
+    * view redefined in between must re-analyze, never serve a stale
+    * schema. The value carries a weak ref to its exact key instance
+    * for the identity check (WeakHashMap itself compares by equals),
+    * and the analysis runs OUTSIDE the map's monitor so concurrent
+    * appends never serialize behind each other's analyzer pass. */
+  private val schemaCache = new java.util.WeakHashMap[LogicalPlan,
+    (java.lang.ref.WeakReference[LogicalPlan],
+      Option[org.apache.spark.sql.types.StructType])]()
   private def querySchema(q: LogicalPlan)
       : Option[org.apache.spark.sql.types.StructType] =
     if (q.resolved) Some(q.schema)
-    else schemaCache.computeIfAbsent(q, _ => scala.util.Try(
-      spark.sessionState.executePlan(q).analyzed.schema).toOption)
+    else {
+      val hit = schemaCache.synchronized(Option(schemaCache.get(q)))
+      hit match {
+        case Some((ref, s)) if ref.get() != null && (ref.get() eq q) => s
+        case _ =>
+          val s = scala.util.Try(
+            spark.sessionState.executePlan(q).analyzed.schema).toOption
+          schemaCache.synchronized {
+            schemaCache.put(q,
+              (new java.lang.ref.WeakReference(q), s)): Unit
+          }
+          s
+      }
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     // unresolved catalog identifier (`df.writeTo("cat.db.t")`): evolve

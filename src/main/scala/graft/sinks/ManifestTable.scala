@@ -1008,6 +1008,13 @@ object ManifestTable {
       val addList = freshSchema(StructType(adds)).fields.toSeq
       try {
         if (widens.nonEmpty) validateWidens(spark, root, widens)
+        // every STATIC refusal addColumns/alterNestedColumns could
+        // raise is pre-checked here against the same snapshot as the
+        // widens, so nothing commits before a doomed change is caught
+        if (bucketSpec(schema).isDefined)
+          addList.foreach(f => require(f.name != "gb",
+            "bucketed tables reserve the column name 'gb' for the " +
+              "bucket directory layout"))
         if (nestedAdds.nonEmpty) {
           val eqKeys = eqDeletes(spark, root, v).flatMap(_.keys).toSet
           nestedAdds.map(_._1).distinct.foreach(p =>
@@ -1195,7 +1202,27 @@ object ManifestTable {
         }
       }
     }
-    (adds.result(), widens.result(), nestedAdds.result())
+    // INTRA-batch conflicts: two new columns (or two new members of
+    // one struct) differing only in case would both pass the
+    // against-the-table diff and commit — poisoning every later
+    // lookup under case-insensitive resolution with AMBIGUOUS_REFERENCE
+    val addList = adds.result()
+    val nestedList = nestedAdds.result()
+    if (!caseSensitive) {
+      addList.groupBy(_.name.toLowerCase).foreach { case (_, fs) =>
+        require(fs.length == 1,
+          s"mergeSchema batch carries new columns differing only in " +
+            s"case: ${fs.map(_.name).mkString(", ")} — the session's " +
+            "case-insensitive resolution could never tell them apart")
+      }
+      nestedList.groupBy(x => (x._1, x._2.name.toLowerCase)).foreach {
+        case (_, fs) => require(fs.length == 1,
+          s"mergeSchema batch carries new struct members differing " +
+            s"only in case under ${fs.head._1}: " +
+            s"${fs.map(_._2.name).mkString(", ")}")
+      }
+    }
+    (addList, widens.result(), nestedList)
   }
 
   /** Conform a batch to the table's LOGICAL schema for landing under

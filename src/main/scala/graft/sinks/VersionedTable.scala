@@ -313,7 +313,19 @@ object VersionedTable {
       try out.write(version.toString.getBytes("UTF-8")) finally out.close()
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         ptr.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      try fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          // local ChecksumFs renames the pointer and its `.crc`
+          // sidecar as TWO operations, so a racing bump can land its
+          // sidecar between this rename's pair and the overwrite
+          // throws. The pointer is a monotonic CACHE — latestVersion
+          // takes max(pointer, committed listing) — so the losing
+          // bump ABSTAINS instead of failing its commit: the racer's
+          // value serves, and the next successful bump re-converges.
+          try f.delete(tmp, false): Unit
+          catch { case _: Exception => () }
+      }
     }
   }
 

@@ -489,7 +489,13 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
       val removed = prev.keySet.diff(cur.keySet)
       val dvChanged = cur.exists { case (p, (_, dv)) =>
         prev.get(p).exists(_._2 != dv) }
-      if (removed.nonEmpty || dvChanged || curEq != prevEq) {
+      // an ADDED file can itself carry a vector (a branch publish
+      // adopts the branch's net append+delete by reference) — serving
+      // its raw parquet would resurrect the vector's deleted rows
+      val addedWithDv = cur.exists { case (p, (_, dv)) =>
+        !prev.contains(p) && dv.isDefined }
+      if (removed.nonEmpty || dvChanged || addedWithDv ||
+          curEq != prevEq) {
         if (!skipChangeCommits) throw new IllegalStateException(
           s"append-only stream of $root hit a NON-APPEND commit at " +
             s"version $v (rows were removed or changed: a row-level " +

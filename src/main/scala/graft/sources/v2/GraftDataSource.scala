@@ -236,6 +236,13 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
       require(keys.isEmpty,
         "streamMode=append and keyCols are mutually exclusive — the " +
           "keyed change feed already streams updates and deletes")
+      // a pinned snapshot cannot stream: the bootstrap resolves its
+      // own start version, so silently honoring the pin for schema
+      // inference alone would stream a DIFFERENT version than asked
+      require(!timeTraveled(options),
+        "streamMode=append cannot combine with versionAsOf/" +
+          "timestampAsOf — the stream bootstraps from the latest " +
+          "retained version; pin a snapshot with a batch read instead")
       return new GraftAppendStreamTable(spark, root, schema)
     }
     if (keys.isEmpty) {

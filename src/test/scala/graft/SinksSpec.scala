@@ -3349,5 +3349,14 @@ class SinksSpec extends AnyFunSuite {
       "a case-differing batch column must not add a duplicate")
     assert(out8.filter(col("k") === 8L).collect()(0)
       .getAs[Long]("extra") == 800L)
+    // two NEW columns differing only in case refuse up front — both
+    // would miss the table diff and poison case-insensitive resolution
+    val dupErr = intercept[IllegalArgumentException] {
+      ManifestTable.writeMergeSchema(
+        spark.sql("SELECT 9L as k, 1L as dup, 2L as DUP"), root)
+    }
+    assert(dupErr.getMessage.contains("case"))
+    assert(!spark.read.format("graft").load(root).columns
+      .exists(_.equalsIgnoreCase("dup")))
   }
 }

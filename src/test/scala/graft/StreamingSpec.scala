@@ -944,6 +944,27 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("k")).sorted.toSeq
     assert(finalKs == (0L until 25L).toSeq,
       s"skip must pass over the change commit and keep appending: $finalKs")
+    // a branch PUBLISH can adopt an ADDED file that carries its own
+    // vector (the branch appended then MoR-deleted inside the new
+    // file) — serving that file raw would resurrect deleted rows, so
+    // the classifier must call it a change commit, not an append
+    ManifestTable.createBranch(spark, src, "wip")
+    val br = ManifestTable.branchRoot(src, "wip")
+    // ONE multi-row file, so the MoR delete leaves survivors and a
+    // real vector (a single-row file would drop whole, by reference)
+    ManifestTable.write(
+      spark.range(25, 30).selectExpr("id as k", "id * 10 as v")
+        .repartition(1), br)
+    ManifestTable.deleteWhereMor(spark, br,
+      org.apache.spark.sql.functions.col("k") === 27L)
+    ManifestTable.publishBranch(spark, src, "wip")
+    run(skip = true) // the publish version must SKIP, not serve raw
+    val afterPublish = spark.read.format("graft").load(dst)
+      .collect().map(_.getAs[Long]("k")).sorted.toSeq
+    assert(!afterPublish.contains(27L),
+      "a skipped publish commit must never resurrect vectored-out rows")
+    assert(afterPublish == (0L until 25L).toSeq,
+      s"the publish (a change commit) must skip wholesale: $afterPublish")
   }
 
   test("graft streaming sink mergeSchema: a restarted stream with new columns evolves the table; absent columns fill NULL; no opt-in refuses") {
