@@ -77,15 +77,57 @@ object Bench {
     // untrustworthy for cross-round comparison.
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "3.0").toDouble
     val maxWaitMs = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MS", "300000").toLong
+    // Per-core throughput probe (round-12 lesson: host vCPU contention
+    // halved parallel throughput while loadavg AND steal% read
+    // near-idle — untouched operators measured ~1.8-2× their committed
+    // times from "idle" starts). One burn thread per core spins a
+    // fixed ~300 ms window; the min/max ratio of completed work
+    // exposes unequal effective cores — dedicated cores land ≥ ~0.8,
+    // the degraded r12 host measured 0.54. Below the threshold the
+    // guard keeps waiting exactly like a high loadavg.
+    def coreRatio(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val counts = new java.util.concurrent.atomic.AtomicLongArray(n)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val threads = (0 until n).map { i =>
+        val t = new Thread(() => {
+          var x = i.toLong + 1L
+          var c = 0L
+          while (!stop.get()) {
+            var j = 0
+            while (j < 10000) {
+              x = x * 6364136223846793005L + 1442695040888963407L
+              j += 1
+            }
+            c += 1L
+          }
+          counts.set(i, math.max(1L, c + (x & 1L)))
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      Thread.sleep(300L)
+      stop.set(true)
+      threads.foreach(_.join(2000L))
+      val vals = (0 until n).map(counts.get)
+      if (vals.exists(_ <= 0L)) 0.0
+      else vals.min.toDouble / vals.max.toDouble
+    }
+    val minCoreRatio =
+      sys.env.getOrElse("SPARK_GRAFT_MIN_CORE_RATIO", "0.70").toDouble
     var waitedMs = 0L
-    while (loadAvg() > maxLoad && waitedMs < maxWaitMs) {
+    var ratio = coreRatio()
+    while ((loadAvg() > maxLoad || ratio < minCoreRatio) &&
+        waitedMs < maxWaitMs) {
       System.err.println(
-        s"[bench] loadavg ${loadAvg()} > $maxLoad — waiting for idle " +
-          s"(${waitedMs / 1000}s/${maxWaitMs / 1000}s)")
+        s"[bench] loadavg ${loadAvg()} (max $maxLoad), core ratio " +
+          s"${"%.2f".format(ratio)} (min $minCoreRatio) — waiting for " +
+          s"idle (${waitedMs / 1000}s/${maxWaitMs / 1000}s)")
       Thread.sleep(15000L)
       waitedMs += 15000L
+      ratio = coreRatio()
     }
-    val hotMachine = loadAvg() > maxLoad
+    val hotMachine = loadAvg() > maxLoad || ratio < minCoreRatio
+    val coreRatioStart = ratio
     // optional comma-separated name filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // strip quotes, backslashes and ALL control chars (incl. \r \t) so a
@@ -200,6 +242,8 @@ object Bench {
         .mkString(""","observed":{""", ",", "}")
     val anyHot = hotMachine || hotQueries.nonEmpty
     val loadJson = s""","loadavg":{"start":$loadStart,"end":${loadAvg()}}""" +
+      s""","core_ratio":${"%.2f".formatLocal(java.util.Locale.ROOT,
+        coreRatioStart)}""" +
       (if (anyHot) ""","hot_machine":true""" else "") +
       (if (hotQueries.nonEmpty)
         hotQueries.map("\"" + _ + "\"")

@@ -4,14 +4,14 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.plans.logical.{AppendData, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 /** WRITE-SIDE SCHEMA AUTO-MERGE for appends — the Delta `mergeSchema`
   * ergonomics: a by-name append whose frame carries new columns, new
   * struct members, or losslessly wider primitives EVOLVES the table
-  * (the same additive metadata-only commits `ALTER TABLE` would make —
-  * [[graft.sinks.ManifestTable.evolveSchemaFor]]) and then lands,
-  * instead of failing resolution. Opt-in per write
+  * (the same additive metadata-only commits `ALTER TABLE` would make)
+  * and then lands, instead of failing resolution. Opt-in per write
   * (`.option("mergeSchema", "true")`) or per session
   * (`spark.graft.schema.autoMerge = true`); lossy conflicts refuse
   * with the column and types named — auto-merge is additive only.
@@ -20,9 +20,22 @@ import org.apache.spark.sql.connector.catalog.Identifier
   * Resolution — because the built-in output resolver fails a
   * too-many-columns append in the same fixed-point iteration that
   * would first reach an injected resolution rule. ONE shape lives
-  * here: the unresolved catalog identifier (`df.writeTo("cat.db.t")`),
-  * whose relation would otherwise resolve to the pre-evolution
-  * schema. The sibling surfaces route elsewhere: path-source appends
+  * here: the unresolved catalog identifier (`df.writeTo("cat.db.t")`
+  * or, under a current graft catalog, `df.writeTo("db.t")` — the
+  * lookup follows Spark's own catalog-first-then-current rule).
+  *
+  * The rule COMMITS NOTHING. It resolves the append's target itself,
+  * against the UNCOMMITTED merged schema
+  * ([[graft.sinks.ManifestTable.mergedSchemaPreview]]): resolution
+  * then conforms the query to the merged shape, and the evolution
+  * commits INSIDE the write — the V1 bridge's auto-merge path routes
+  * to [[graft.sinks.ManifestTable.writeMergeSchema]], whose failed
+  * landing COMPENSATES the evolution away. An append plan that is
+  * analyzed but never executed therefore leaves the table untouched
+  * (the old rule's evolve-during-analysis window is gone), and a
+  * failed append leaves the schema unchanged.
+  *
+  * The sibling surfaces route elsewhere: path-source appends
   * (`df.write.format("graft").save(root)`) report the batch's own
   * schema via external metadata, so their gate is the V1 write bridge
   * itself (routed to `writeMergeSchema`); SQL `MERGE INTO ... WITH
@@ -38,24 +51,38 @@ case class GraftSchemaMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }.getOrElse(spark.conf
       .get("spark.graft.schema.autoMerge", "false").toBoolean)
 
-  /** The manifest root behind a catalog identifier when (and only
-    * when) it names a graft-catalog manifest table — anything else
-    * (other catalogs, missing tables, metadata suffixes) is None. */
-  private def catalogRoot(parts: Seq[String]): Option[String] = {
-    if (parts.length < 2) return None
-    val plugin =
-      try spark.sessionState.catalogManager.catalog(parts.head)
-      catch { case _: Exception => return None }
-    plugin match {
-      case c: graft.sources.v2.GraftCatalog =>
-        val ident = Identifier.of(parts.tail.init.toArray, parts.last)
-        try c.loadTable(ident) match {
+  /** The graft-catalog manifest table behind a (possibly partial)
+    * identifier, under Spark's own lookup rule: a first part naming a
+    * catalog wins; otherwise the CURRENT catalog resolves the parts
+    * as namespace + name (a bare 1-part name resolves in the current
+    * namespace) — so `writeTo("db.t")` under `USE graft` auto-merges
+    * without a catalog prefix. Anything that is not a graft-catalog
+    * manifest table is None and the append proceeds to resolve (or
+    * fail) on its own. */
+  private def resolveGraftTable(parts: Seq[String])
+      : Option[(CatalogPlugin, Identifier,
+                graft.sources.v2.GraftTable)] = {
+    if (parts.isEmpty) return None
+    val cm = spark.sessionState.catalogManager
+    val candidates: Seq[(CatalogPlugin, Array[String], String)] =
+      (if (parts.length > 1)
+         (try Some(cm.catalog(parts.head))
+          catch { case _: Exception => None })
+           .map(c => (c, parts.tail.init.toArray, parts.last)).toSeq
+       else Nil) :+ ((cm.currentCatalog,
+        if (parts.length == 1) cm.currentNamespace
+        else parts.init.toArray,
+        parts.last))
+    candidates.iterator.flatMap {
+      case (plugin: graft.sources.v2.GraftCatalog, ns, name) =>
+        val ident = Identifier.of(ns, name)
+        try plugin.loadTable(ident) match {
           case t: graft.sources.v2.GraftTable if t.manifestBacked =>
-            Some(t.tableRoot)
+            Some((plugin: CatalogPlugin, ident, t))
           case _ => None
         } catch { case _: Exception => None }
-      case _ => None
-    }
+      case _ => Iterator.empty
+    }.nextOption()
   }
 
   /** The append query's schema — the rule runs in the HINTS batch,
@@ -96,25 +123,34 @@ case class GraftSchemaMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
-    // unresolved catalog identifier (`df.writeTo("cat.db.t")`): evolve
-    // through the catalog — the analyzer's resolution then loads the
-    // already-evolved table itself, so the plan passes through
+    // unresolved catalog identifier (`df.writeTo("cat.db.t")`): when
+    // the batch demands evolution, resolve the relation HERE with the
+    // merged schema reported (uncommitted) — by-name output
+    // resolution then conforms the query against it, and the write
+    // itself commits the evolution (compensated on failure). A batch
+    // matching the table passes through for normal resolution
     // untouched. (Path-source appends never come through here: their
     // relation reports the batch's own schema via external metadata,
     // and the write bridge itself routes to writeMergeSchema.)
     case a @ AppendData(u: UnresolvedRelation, query, opts, true, _, _)
         if autoMergeOn(opts) =>
-      for {
-        root <- catalogRoot(u.multipartIdentifier)
+      (for {
+        (cat, ident, table) <- resolveGraftTable(u.multipartIdentifier)
         qs <- querySchema(query)
-      } {
-        val schema = graft.sinks.ManifestTable.tableSchema(spark, root,
-          graft.sinks.ManifestTable.latestVersion(spark, root))
+      } yield {
         val cs = spark.conf
           .get("spark.sql.caseSensitive", "false").toBoolean
-        if (graft.sinks.ManifestTable.needsMergeEvolution(schema, qs, cs))
-          graft.sinks.ManifestTable.evolveSchemaFor(spark, root, qs)
-      }
-      a
+        if (!graft.sinks.ManifestTable
+            .needsMergeEvolution(table.schema(), qs, cs)) a
+        else {
+          val merged = graft.sinks.ManifestTable
+            .mergedSchemaPreview(table.schema(), qs, cs)
+          // the relation carries NO options — the append's own write
+          // options live on the AppendData node, and V2Writes asserts
+          // the two are never both present
+          a.copy(table = DataSourceV2Relation.create(
+            table.withDataSchema(merged), Some(cat), Some(ident)))
+        }
+      }).getOrElse(a)
   }
 }

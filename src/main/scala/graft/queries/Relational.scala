@@ -1530,6 +1530,48 @@ object Relational extends QueryModule {
     graft.sinks.ManifestTable.read(spark, mv).orderBy(col("lang"))
   }
 
+  /** MATERIALIZED VIEW OVER A JOIN DEFINITION end-to-end on disk —
+    * the star-schema MV (`fact ⋈ dim GROUP BY dim.attr`): build the
+    * view over documents joined to a language dimension, then fold a
+    * DIM-side relabel AND a fact append through ONE incremental
+    * refresh. The dim change must remap every fact row of the
+    * relabeled languages to the new groups (old labels vanish, new
+    * labels appear) purely through the declared join keys; the oracle
+    * recomputes the definition over both tables' final states. */
+  def qMvJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.util.Scratch.freshDir("graft_mvj") + "/fact"
+    val dim = graft.util.Scratch.freshDir("graft_mvj") + "/dim"
+    val mv = graft.util.Scratch.freshDir("graft_mvj") + "/mv"
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.sinks.ManifestTable.create(
+      d.repartition(4, col("lang"))
+        .sortWithinPartitions(col("lang"), col("doc_id")),
+      base, Seq("doc_id", "lang"))
+    graft.sinks.ManifestTable.create(
+      d.select(col("lang")).distinct()
+        .withColumn("lang_label", concat(lit("L-"), col("lang"))),
+      dim, Seq("lang"))
+    graft.sinks.MaterializedView.create(spark, mv, base,
+      "SELECT lang_label, count(*) AS n_docs, " +
+        "sum(n_chars) AS total_chars " +
+        "FROM __BASE__ f JOIN __DIM_langs__ s ON f.lang = s.lang " +
+        "GROUP BY lang_label",
+      Seq("lang_label"), dims = Seq(graft.sinks.MaterializedView.JoinDim(
+        "langs", dim, Seq("lang"), Seq("lang"))))
+    // dim-side relabel: languages below 'f' move to X- groups
+    graft.sinks.ManifestTable.deleteWhere(spark, dim, col("lang") < "f")
+    graft.sinks.ManifestTable.write(
+      d.select(col("lang")).distinct().filter(col("lang") < "f")
+        .withColumn("lang_label", concat(lit("X-"), col("lang"))), dim)
+    // fact append in the same refresh window
+    graft.sinks.ManifestTable.write(
+      d.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L), base)
+    graft.sinks.MaterializedView.refresh(spark, mv)
+    graft.sinks.ManifestTable.read(spark, mv).orderBy(col("lang_label"))
+  }
+
   /** MERGE-ON-READ DELETE ([[graft.sinks.ManifestTable
     * .deleteWhereMor]]) end-to-end on disk: two deletes commit
     * deletion-vector sidecars (zero data files rewritten — the second
@@ -1636,6 +1678,7 @@ object Relational extends QueryModule {
     "q_tag_read"          -> qTagRead _,
     "q_branch_wap"        -> qBranchWap _,
     "q_mv_refresh"        -> qMvRefresh _,
+    "q_mv_join"           -> qMvJoin _,
     "q_delete_dv"         -> qDeleteDv _,
     "q_update_dv"         -> qUpdateDv _,
     "q_jaro_rank"         -> qJaroRank _,
@@ -1945,6 +1988,24 @@ object Relational extends QueryModule {
         |  min(doc_id) AS first_doc, max(n_chars) AS max_chars
         |FROM s3 WHERE n_chars >= 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the join-definition MV after one refresh == the definition over
+    // both tables' FINAL states: the dim relabeled langs below 'f'
+    // (X- groups replace L- groups), the fact gained shifted clones
+    "q_mv_join" ->
+      """WITH dim AS (
+        |  SELECT lang,
+        |    CASE WHEN lang < 'f' THEN 'X-' || lang
+        |         ELSE 'L-' || lang END AS lang_label
+        |  FROM (SELECT DISTINCT lang FROM documents)),
+        |fact AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT lang_label, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM fact f JOIN dim s ON f.lang = s.lang
+        |GROUP BY lang_label ORDER BY lang_label""".stripMargin,
     // write-audit-publish: main after publish == branch's delete
     // (n_chars < 200) then keyed upsert (doc_id % 10 = 0 boosted)
     "q_branch_wap" ->

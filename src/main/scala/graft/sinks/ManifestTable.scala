@@ -969,15 +969,41 @@ object ManifestTable {
     * never an append side effect. */
   def writeMergeSchema(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
-    evolveSchemaFor(spark, root, df.schema)
-    val schema = tableSchema(spark, root, latestVersion(spark, root))
-    write(fillForSchema(df, schema), root)
+    val preV = latestVersion(spark, root)
+    require(preV >= 0,
+      s"manifest table at $root does not exist — create() first")
+    val evolved = evolveSchemaFor(spark, root, df.schema)
+    val postV = latestVersion(spark, root)
+    val schema = tableSchema(spark, root, postV)
+    try write(fillForSchema(df, schema), root)
+    catch {
+      case e: Throwable =>
+        // the evolution above is this statement's own side effect —
+        // a landing that fails must not leave it behind. COMPENSATE
+        // (the RTAS-abort shape): restore the pre-evolution version
+        // as a new commit, but only when every commit since preV is
+        // provably ours (contiguous evolution versions) AND still the
+        // latest (restoreIfCurrent's CAS guard) — a concurrent
+        // writer's commit is never rolled back by this append's
+        // failure. A crash between the evolution and this handler
+        // leaves the (additive, reader-safe) evolution behind — the
+        // documented weaker-than-atomic residue of compensation.
+        if (evolved.nonEmpty &&
+            evolved.sorted == ((preV + 1) to postV).toSeq)
+          try restoreIfCurrent(spark, root, preV,
+            expectedCurrent = postV): Unit
+          catch {
+            case c: Throwable if scala.util.control.NonFatal(c) =>
+              e.addSuppressed(c)
+          }
+        throw e
+    }
   }
 
   /** The evolution half of [[writeMergeSchema]], shared by the
-    * streaming sink's `mergeSchema` option and the AppendData
-    * auto-merge rule: diff `incoming` against the table schema and
-    * commit the additive changes (a no-op when nothing differs). The
+    * streaming sink's `mergeSchema` option: diff `incoming` against
+    * the table schema and commit the additive changes (a no-op when
+    * nothing differs); returns the versions it committed. The
     * change set pre-validates against one schema snapshot — widen
     * validation first (the strictest guard), then the nested parents'
     * pending-equality-delete guard — so an apply-phase refusal can
@@ -986,22 +1012,31 @@ object ManifestTable {
     * already made (the two-streams-add-the-same-column case) drop out
     * instead of spuriously failing on "already exists". */
   def evolveSchemaFor(spark: SparkSession, root: String,
-                      incoming: StructType): Unit = {
+                      incoming: StructType): Seq[Long] = {
     val cs = spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
     var attempt = 0
+    // the versions THIS call committed, across retries — the caller's
+    // compensation evidence ([[writeMergeSchema]]): a failed landing
+    // rolls the evolution back only when these are contiguous from
+    // its pre-evolution snapshot (no foreign commit interleaved)
+    val committed = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (true) {
       val v = latestVersion(spark, root)
       require(v >= 0,
         s"manifest table at $root does not exist — create() first")
       val schema = tableSchema(spark, root, v)
       val (adds, widens, nestedAdds) = mergeDelta(schema, incoming, cs)
-      // a NON-NULLABLE column (or struct member) the batch does not
-      // carry (or carries nullable) may land NULLs — the sidecar's
-      // nullability must RELAX in the same evolution, or every later
-      // read plans non-null slots over null bytes
+      // a batch LACKING a non-nullable column (or member) outright
+      // refuses — relaxing the constraint so NULLs could land would
+      // drop a declared invariant as an append side effect
+      refuseMissingNonNullable(missingNonNullable(schema, incoming, cs))
+      // a non-nullable slot the batch carries NULLABLE may land NULLs
+      // — the sidecar's nullability RELAXES in the same evolution
+      // (the present-on-both-sides OR-merge), or every later read
+      // plans non-null slots over null bytes
       val relaxes = nullRelaxes(schema, incoming, cs)
       if (adds.isEmpty && widens.isEmpty && nestedAdds.isEmpty &&
-          relaxes.isEmpty) return
+          relaxes.isEmpty) return committed.toSeq
       // metadata carried in from READING another table (frozen
       // physical names, bucket claims) must not leak into this
       // table's sidecar
@@ -1024,18 +1059,19 @@ object ManifestTable {
                 "inside it"))
         }
         widens.foreach { case (path, to) =>
-          widenColumnTypePath(spark, root, path, to): Unit }
-        if (addList.nonEmpty) addColumns(spark, root, addList): Unit
+          committed += widenColumnTypePath(spark, root, path, to) }
+        if (addList.nonEmpty) committed += addColumns(spark, root, addList)
         nestedAdds.groupBy(_._1).foreach { case (parent, fields) =>
-          alterNestedColumns(spark, root, Seq(parent),
+          committed += alterNestedColumns(spark, root, Seq(parent),
             freshSchema(StructType(fields.map(_._2))).fields.toSeq,
-            Nil): Unit
+            Nil)
         }
-        if (relaxes.nonEmpty) commitLoopEvolving(spark, root) { base =>
-          (manifest(spark, root, base),
-            relaxNullability(tableSchema(spark, root, base), relaxes))
-        }: Unit
-        return
+        if (relaxes.nonEmpty)
+          committed += commitLoopEvolving(spark, root) { base =>
+            (manifest(spark, root, base),
+              relaxNullability(tableSchema(spark, root, base), relaxes))
+          }
+        return committed.toSeq
       } catch {
         case _: IllegalArgumentException if attempt < 3 =>
           // racing evolution (or a genuinely refused change — the
@@ -1044,21 +1080,23 @@ object ManifestTable {
           attempt += 1
       }
     }
+    committed.toSeq // unreachable — the loop exits by return/throw
   }
 
   /** Dotted paths of non-nullable schema columns/struct members the
-    * merged batch may land NULLs into: slots the batch LACKS (filled
-    * NULL by [[fillForSchema]]) and slots the batch carries NULLABLE
-    * (the Delta nullability-merge: merged nullability is the OR of
-    * the two sides). */
+    * merged batch carries NULLABLE — the Delta nullability-merge for
+    * slots PRESENT on both sides: merged nullability is the OR of the
+    * two. Slots the batch LACKS entirely are NOT relaxed — they
+    * refuse ([[missingNonNullable]]): an opt-in append must never
+    * permanently weaken a NOT NULL constraint as a side effect of
+    * omitting the column. */
   private def nullRelaxes(schema: StructType, incoming: StructType,
                           caseSensitive: Boolean): Seq[Seq[String]] = {
     def key(n: String): String = if (caseSensitive) n else n.toLowerCase
     val have = incoming.fields.map(f => key(f.name) -> f).toMap
     schema.fields.toSeq.flatMap { f =>
       have.get(key(f.name)) match {
-        case None =>
-          if (f.nullable) Nil else Seq(Seq(f.name))
+        case None => Nil
         case Some(in) =>
           val top = if (!f.nullable && in.nullable) Seq(Seq(f.name)) else Nil
           val nested = (f.dataType, in.dataType) match {
@@ -1066,7 +1104,7 @@ object ManifestTable {
               t.fields.toSeq.flatMap { m =>
                 if (m.nullable) Nil
                 else b.fields.find(x => key(x.name) == key(m.name)) match {
-                  case None => Seq(Seq(f.name, m.name))
+                  case None => Nil
                   case Some(bm) if bm.nullable => Seq(Seq(f.name, m.name))
                   case _ => Nil
                 }
@@ -1077,6 +1115,45 @@ object ManifestTable {
       }
     }
   }
+
+  /** Dotted paths of NON-NULLABLE schema columns/struct members the
+    * merged batch does not carry at all — [[fillForSchema]] would
+    * fill NULL into a declared non-null slot. [[evolveSchemaFor]]
+    * REFUSES these (the Delta rule: a write missing a non-nullable
+    * column fails; the nullability OR-merge applies only to slots
+    * present on both sides). The caller supplies the column or
+    * relaxes nullability with an explicit ALTER first. A batch
+    * carrying the parent struct NULLABLE is the present-side relax
+    * ([[nullRelaxes]]); this check is only for absent slots. */
+  private def missingNonNullable(schema: StructType, incoming: StructType,
+                                 caseSensitive: Boolean): Seq[Seq[String]] = {
+    def key(n: String): String = if (caseSensitive) n else n.toLowerCase
+    val have = incoming.fields.map(f => key(f.name) -> f).toMap
+    schema.fields.toSeq.flatMap { f =>
+      have.get(key(f.name)) match {
+        case None =>
+          if (f.nullable) Nil else Seq(Seq(f.name))
+        case Some(in) =>
+          (f.dataType, in.dataType) match {
+            case (t: StructType, b: StructType) =>
+              t.fields.toSeq.flatMap { m =>
+                if (m.nullable ||
+                    b.fields.exists(x => key(x.name) == key(m.name))) Nil
+                else Seq(Seq(f.name, m.name))
+              }
+            case _ => Nil
+          }
+      }
+    }
+  }
+
+  private def refuseMissingNonNullable(paths: Seq[Seq[String]]): Unit =
+    require(paths.isEmpty,
+      s"mergeSchema cannot land a batch missing non-nullable " +
+        s"column(s) ${paths.map(_.mkString(".")).mkString(", ")} — " +
+        "supply the column(s), or relax nullability first with an " +
+        "explicit ALTER; an append must never drop a NOT NULL " +
+        "constraint as a side effect of omitting the column")
 
   private def relaxNullability(s: StructType, paths: Seq[Seq[String]])
       : StructType = {
@@ -1102,8 +1179,53 @@ object ManifestTable {
                                          incoming: StructType,
                                          caseSensitive: Boolean): Boolean = {
     val (a, w, n) = mergeDelta(schema, incoming, caseSensitive)
+    refuseMissingNonNullable(
+      missingNonNullable(schema, incoming, caseSensitive))
     a.nonEmpty || w.nonEmpty || n.nonEmpty ||
       nullRelaxes(schema, incoming, caseSensitive).nonEmpty
+  }
+
+  /** The post-evolution LOGICAL schema [[evolveSchemaFor]] would
+    * commit for `incoming` — computed WITHOUT committing anything.
+    * This is what the analyzer-side auto-merge rule
+    * ([[graft.plans.GraftSchemaMergeRule]]) resolves the append
+    * against: the relation REPORTS the merged schema so resolution
+    * succeeds, and the evolution itself commits inside the write
+    * ([[writeMergeSchema]]) where a failed landing compensates it
+    * away — an analyzed-but-never-executed plan commits nothing.
+    * Refuses exactly what evolveSchemaFor refuses (lossy conflicts,
+    * missing non-nullable slots). Field metadata (frozen physical
+    * names) is resolution-irrelevant here; the write re-derives the
+    * real evolution against the committed schema. */
+  private[graft] def mergedSchemaPreview(schema: StructType,
+                                         incoming: StructType,
+                                         caseSensitive: Boolean)
+      : StructType = {
+    refuseMissingNonNullable(
+      missingNonNullable(schema, incoming, caseSensitive))
+    val (adds, widens, nestedAdds) = mergeDelta(schema, incoming,
+      caseSensitive)
+    def setType(s: StructType, path: Seq[String],
+                to: org.apache.spark.sql.types.DataType): StructType =
+      StructType(s.fields.map { f =>
+        if (f.name != path.head) f
+        else if (path.length == 1) f.copy(dataType = to)
+        else f.copy(dataType =
+          setType(f.dataType.asInstanceOf[StructType], path.tail, to))
+      })
+    var out = schema
+    widens.foreach { case (p, t) => out = setType(out, p, t) }
+    // evolution adds are always nullable — existing rows read NULL
+    out = StructType(out.fields ++ adds.map(_.copy(nullable = true)))
+    nestedAdds.groupBy(_._1).foreach { case (parent, fs) =>
+      out = StructType(out.fields.map { f =>
+        if (f.name != parent) f
+        else f.copy(dataType = StructType(
+          f.dataType.asInstanceOf[StructType].fields ++
+            fs.map(_._2.copy(nullable = true))))
+      })
+    }
+    relaxNullability(out, nullRelaxes(schema, incoming, caseSensitive))
   }
 
   /** The additive difference `incoming` demands of `schema`: (new
@@ -1746,8 +1868,9 @@ object ManifestTable {
       drops.foreach(n => require(!schema.fields.exists(f =>
         f.name == n && f.metadata.contains(BucketKey)),
         s"column $n is the table's bucket key — the frozen hash layout " +
-          "and its storage-partitioned joins ride on it; rebuild the " +
-          "table to change the bucketing"))
+          "and its storage-partitioned joins ride on it; rebucket() " +
+          "(CALL optimize_table with buckets) to change the layout " +
+          "first"))
       drops.foreach(n =>
         require(!eqDeletes(spark, root, base).exists(_.keys.contains(n)),
           s"column $n keys pending equality deletes — run compactEq() " +
@@ -2082,7 +2205,8 @@ object ManifestTable {
         "other changes need per-file rewrites")
     require(!f.metadata.contains(BucketKey),
       s"bucket key $name cannot change type — the frozen layout's " +
-        "hash is type-sensitive; re-create the table to re-bucket")
+        "hash is type-sensitive; rebucket() (CALL optimize_table " +
+        "with buckets) off the key first, then widen")
     require(!eqKeys.contains(name),
       s"column $name keys pending equality deletes — run compactEq() " +
         "(or any row-level op / maintenance tick) before widening")
@@ -3718,6 +3842,52 @@ object ManifestTable {
   /** OPTIMIZE: re-lay the CURRENT rows as a fresh file set (compaction
     * or re-clustering); content identical, all files replaced — the
     * one operation that is legitimately cost ∝ table. */
+  /** Strip a bucket claim from every field — the inverse of
+    * [[withBucketSpec]], preserving all other metadata (frozen
+    * physical names in particular: the re-lay's files are new, but
+    * the TABLE's column mapping must survive a rebucket). */
+  private def clearBucketSpec(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(BucketKey)) f
+      else f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .remove(BucketKey).remove(BucketPosKey).build())
+    })
+
+  /** REBUCKET — bucket-layout evolution: [[optimize]]'s full re-lay
+    * committed TOGETHER with the new bucket claim. One shuffle of the
+    * current rows by the new grid (landed as `gb=` directories),
+    * committed with the re-stamped schema in the SAME commit — a
+    * reader resolves either wholly-old or wholly-new layout, and
+    * storage-partitioned joins plan on whichever version they
+    * pinned. `bucketBy = None` DROPS the claim (the table becomes
+    * plain — the escape hatch the frozen-layout refusals point at:
+    * rebucket away, then widen/drop the former key); `Some((key, n))`
+    * re-clusters by the new key/count, `key` a comma-separated list
+    * for a multi-column grid. Like [[optimize]]: cost ∝ table (the
+    * one legitimate full rewrite), pending equality deletes resolve
+    * into the re-lay, deletion vectors purge, history stays
+    * time-travelable under the old layout's own manifests. */
+  def rebucket(spark: SparkSession, root: String,
+               bucketBy: Option[(String, Int)]): Long =
+    commitLoopEvolving(spark, root, eqReg = _ => Nil,
+      validateCons = false) { base =>
+      val schema = tableSchema(spark, root, base)
+      val next = bucketBy match {
+        case Some((k, n)) => withBucketSpec(clearBucketSpec(schema), k, n)
+        case None         => clearBucketSpec(schema)
+      }
+      // the landing hashes PHYSICAL columns (what the re-laid frame
+      // speaks); the declaration above stamped logical names
+      val physKeys = bucketSpec(next).map { case (ks, n) =>
+        (ks.mkString(","), n) }
+      val rows = landFiles(
+        physSelect(readVersion(spark, root, base), schema), root,
+        statsCols(spark, root, base), bucketAs = Some(physKeys))
+      (rows, next)
+    }
+
   def optimize(spark: SparkSession, root: String,
                sortCols: Seq[String] = Nil, numFiles: Int = 16,
                hilbert: Boolean = false): Long = {

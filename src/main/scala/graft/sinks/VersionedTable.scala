@@ -735,7 +735,87 @@ object VersionedTable {
   }
 
   /** All committed-or-orphaned epoch numbers present on disk. */
+  /** The retained-version CHECKPOINT — what bounds [[versions]] on a
+    * long-lived table: `_VCKPT` records the versions retained at its
+    * write time plus the version it was written AT; everything
+    * committed after is CONTIGUOUS (every commit is prior-latest + 1
+    * through the CAS), so the live set is `recorded ∪ (at, latest]`
+    * and latest resolves by probing upward from max(pointer, at) —
+    * O(commits since the last pointer bump) existence checks, never a
+    * directory listing. [[vacuum]] — the ONLY remover of versions —
+    * writes the checkpoint BEFORE it deletes, so a crashed vacuum
+    * leaves a checkpoint that UNDER-reports (its victims, still on
+    * disk, read as already-vacuumed): retention validation then fails
+    * fast conservatively, never resurrects a half-deleted version.
+    * Tables never vacuumed have no checkpoint and fall back to the
+    * exact listing. Concurrent vacuums of one table are operator
+    * error (each would re-record the other's victims). */
+  private val Ckpt = "_VCKPT"
+
+  private def writeCkpt(spark: SparkSession, root: String,
+                        at: Long, kept: Seq[Long]): Unit = {
+    val f = fs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root, Ckpt)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".$Ckpt.tmp-${java.util.UUID.randomUUID()}")
+    // compact range encoding: 100k retained contiguous versions are
+    // one "a-b" token, not 100k lines
+    val ranges = kept.sorted.foldLeft(List.empty[(Long, Long)]) {
+      case ((a, b) :: tail, v) if v == b + 1 => (a, v) :: tail
+      case (acc, v) => (v, v) :: acc
+    }.reverse.map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }
+    val out = f.create(tmp, true)
+    try out.write(s"$at\n${ranges.mkString(",")}\n".getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readCkpt(spark: SparkSession, root: String)
+      : Option[(Long, Seq[Long])] = {
+    val f = fs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root, Ckpt)
+    try {
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val lines = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          .split('\n')
+        finally in.close()
+        val kept = lines(1).split(',').filter(_.nonEmpty).toSeq.flatMap {
+          tok =>
+            tok.split('-') match {
+              case Array(a, b) => a.toLong to b.toLong
+              case Array(a)    => Seq(a.toLong)
+            }
+        }
+        Some((lines(0).toLong, kept))
+      }
+    } catch {
+      // a torn/unreadable checkpoint degrades to the exact listing
+      case _: java.io.IOException | _: NumberFormatException |
+          _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
   def versions(spark: SparkSession, root: String): Seq[Long] =
+    readCkpt(spark, root) match {
+      case Some((at, kept)) =>
+        val f = fs(spark, root)
+        var v = math.max(at, readPointer(spark, root))
+        while (f.exists(
+            new org.apache.hadoop.fs.Path(root, s"epoch=${v + 1}")))
+          v += 1
+        (kept.filter(_ <= at) ++ ((at + 1) to v)).distinct.sorted
+      case None => listVersions(spark, root)
+    }
+
+  /** The exact `epoch=` directory listing — the no-checkpoint
+    * fallback, and [[vacuum]]'s own authoritative read (a vacuum must
+    * see its predecessor's crash leftovers to finish sweeping them). */
+  private def listVersions(spark: SparkSession, root: String): Seq[Long] =
     fs(spark, root).listStatus(new org.apache.hadoop.fs.Path(root))
       .filter(_.isDirectory)
       .map(_.getPath.getName)
@@ -757,12 +837,21 @@ object VersionedTable {
     require(keep >= 1, "must keep at least one epoch")
     val cur = latestVersion(spark, root)
     val f = fs(spark, root)
-    versions(spark, root).sorted.dropRight(keep)
+    // the AUTHORITATIVE listing, not the checkpoint view: a prior
+    // vacuum that crashed between its checkpoint write and its
+    // deletes left victims on disk the checkpoint no longer names —
+    // this pass must still see and finish them
+    val live = listVersions(spark, root)
+    val victims = live.dropRight(keep)
       .filter(_ != cur)
       .filterNot(pinned)
-      .foreach { v =>
-        f.delete(new org.apache.hadoop.fs.Path(root, s"epoch=$v"), true): Unit
-      }
+    // checkpoint FIRST, then delete: a crash mid-delete leaves the
+    // checkpoint under-reporting (conservative fail-fast), never
+    // naming versions that are half-gone
+    writeCkpt(spark, root, cur, live.filterNot(victims.toSet))
+    victims.foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(root, s"epoch=$v"), true): Unit
+    }
     val now = System.currentTimeMillis()
     f.listStatus(new org.apache.hadoop.fs.Path(root))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-"))

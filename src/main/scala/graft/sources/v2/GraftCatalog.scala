@@ -494,10 +494,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     writeDef(ident, props)
 
   private[v2] def abortStaged(location: String, createdDir: Boolean): Unit =
-    if (createdDir)
-      new Path(location).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-        .delete(new Path(location), true): Unit
+    if (createdDir) {
+      val p = new Path(location)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // Spark signals abortStagedChanges while the failed job's
+      // CANCELLED write tasks may still be aborting — a zombie task's
+      // temp-attempt file can recreate the staged directory AFTER a
+      // single delete, leaving a descriptor-less orphan until the
+      // next CTAS at this identifier clears it. Verify-and-redelete
+      // until the path stays absent across a short quiescence window
+      // (three consecutive clean checks), bounded — the "failed CTAS
+      // leaves no directory" contract holds at abort RETURN, not just
+      // eventually
+      f.delete(p, true): Unit
+      var quiet = 0
+      var waitedMs = 0L
+      while (quiet < 3 && waitedMs < 10000) {
+        Thread.sleep(100)
+        waitedMs += 100
+        if (f.exists(p)) { f.delete(p, true): Unit; quiet = 0 }
+        else quiet += 1
+      }
+    }
 
   /** Declares ANSI constraint + column DEFAULT DDL support — without
     * these the analyzer refuses `ADD CONSTRAINT` / `DEFAULT` clauses

@@ -58,7 +58,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 final class GraftChangeFeedTable(spark: SparkSession, root: String,
                                  keyCols: Seq[String],
-                                 feedSchema: StructType)
+                                 feedSchema: StructType,
+                                 startingVersion: Option[String] = None,
+                                 startingTimestamp: Option[String] = None)
   extends Table with SupportsRead {
 
   override def name(): String = s"graft-changes.`$root`"
@@ -73,7 +75,9 @@ final class GraftChangeFeedTable(spark: SparkSession, root: String,
         new GraftChangeFeedStream(spark, root, keyCols, feedSchema,
           checkpointLocation,
           Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
-          Option(options.get("maxFilesPerTrigger")).map(_.toLong))
+          Option(options.get("maxFilesPerTrigger")).map(_.toLong),
+          startingVersion = startingVersion,
+          startingTimestamp = startingTimestamp)
     }
 }
 
@@ -106,7 +110,9 @@ object GraftChangeFeedTable {
   * as the change feed ([[GraftChangeFeedStream]] — this is the same
   * stream in append mode). */
 final class GraftAppendStreamTable(spark: SparkSession, root: String,
-                                   dataSchema: StructType)
+                                   dataSchema: StructType,
+                                   startingVersion: Option[String] = None,
+                                   startingTimestamp: Option[String] = None)
   extends Table with SupportsRead {
 
   override def name(): String = s"graft-appends.`$root`"
@@ -124,7 +130,9 @@ final class GraftAppendStreamTable(spark: SparkSession, root: String,
           Option(options.get("maxFilesPerTrigger")).map(_.toLong),
           appendMode = true,
           skipChangeCommits =
-            Option(options.get("skipChangeCommits")).exists(_.toBoolean))
+            Option(options.get("skipChangeCommits")).exists(_.toBoolean),
+          startingVersion = startingVersion,
+          startingTimestamp = startingTimestamp)
     }
 }
 
@@ -211,7 +219,9 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
                                   maxVersionsPerTrigger: Option[Long] = None,
                                   maxFilesPerTrigger: Option[Long] = None,
                                   appendMode: Boolean = false,
-                                  skipChangeCommits: Boolean = false)
+                                  skipChangeCommits: Boolean = false,
+                                  startingVersion: Option[String] = None,
+                                  startingTimestamp: Option[String] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
   with org.apache.spark.internal.Logging {
@@ -283,7 +293,57 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
       rows.sortBy(_._1).toIndexedSeq
     })
 
-  override def initialOffset(): Offset = GraftVersionOffset(-1L)
+  /** `startingVersion` / `startingTimestamp` — the Delta streaming
+    * options that SKIP the snapshot bootstrap: the stream begins at
+    * the named version's own changes (a 100 TB table whose consumer
+    * only wants "changes from v / from time t" never pays a 100 TB
+    * bootstrap). `startingVersion = v` serves every commit ≥ v;
+    * `"latest"` serves only commits after stream start;
+    * `startingTimestamp = t` resolves to the EARLIEST commit stamped
+    * at-or-after t. Fresh checkpoints only — a restart resumes from
+    * its checkpoint and the options are inert (the Delta contract).
+    * The diff of (v-1, v] reads version v-1's state, so v-1 must
+    * still be RETAINED: a start version vacuumed away fails fast with
+    * the re-bootstrap contract named, never a silently partial feed. */
+  private def resolveStart(): Option[Long] = {
+    require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+      "give startingVersion or startingTimestamp, not both")
+    val sv = startingVersion.map {
+      case s if s.equalsIgnoreCase("latest") => currentVersion + 1L
+      case s => s.toLong
+    }.orElse(startingTimestamp.map { s =>
+      val tsMs = GraftTimeTravel.parseTs(s)
+      val stamped = graft.sinks.VersionedTable.commitTimestamps(spark,
+        if (isManifest) graft.sinks.ManifestTable.manifestsRoot(root)
+        else root)
+      stamped.find(_._2 >= tsMs).map(_._1).getOrElse(
+        throw new IllegalArgumentException(
+          s"startingTimestamp $s is after the latest commit of $root " +
+            s"(${stamped.lastOption.map(_._2).getOrElse(-1L)} ms) — " +
+            "nothing would ever stream; start from 'latest' instead"))
+    })
+    sv.foreach { v =>
+      require(v >= 1L,
+        s"startingVersion must be >= 1 (got $v) — to stream the whole " +
+          "table, drop the option and let the stream bootstrap")
+      require(v <= currentVersion + 1L,
+        s"startingVersion $v names an uncommitted future version of " +
+          s"$root (latest is $currentVersion)")
+      require((if (isManifest) graft.sinks.ManifestTable.versions(spark, root)
+               else graft.sinks.VersionedTable.versions(spark, root))
+          .contains(v - 1L),
+        s"startingVersion $v of $root needs version ${v - 1L} retained " +
+          "(the diff reads its state) but it was vacuumed — " +
+          "re-bootstrap without the option, or start later")
+    }
+    sv
+  }
+
+  override def initialOffset(): Offset =
+    resolveStart() match {
+      case Some(v) => GraftVersionOffset(v - 1L)
+      case None    => GraftVersionOffset(-1L)
+    }
 
   override def latestOffset(): Offset = GraftVersionOffset(currentVersion)
 
@@ -480,10 +540,53 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
     def state(v: Long): Map[String, (Long, Option[String])] =
       graft.sinks.ManifestTable.rawFiles(spark, root, v)
         .map(f => f._1 -> ((f._2, f._3))).toMap
+    // a version that changed a streamed column's TYPE (a widen) is a
+    // read-schema-incompatible evolution: files appended after it
+    // carry the wider physical type while this stream's read schema
+    // stays pinned at bootstrap — serving them would fail mid-batch
+    // with a raw parquet column-conversion error. Fail fast HERE,
+    // naming the version and asking for a restart (the Delta
+    // contract; skipChangeCommits does NOT skip schema changes —
+    // every later file carries the new type). Leaf types compare by
+    // frozen PHYSICAL name with nullability stripped, so renames,
+    // column/member adds and drops pass through as the additive
+    // evolutions they are.
+    def leafTypes(s: StructType, prefix: Seq[String] = Nil)
+        : Map[Seq[String], org.apache.spark.sql.types.DataType] =
+      s.fields.flatMap { f =>
+        f.dataType match {
+          case st: StructType => leafTypes(st, prefix :+ f.name)
+          case a: org.apache.spark.sql.types.ArrayType =>
+            Map((prefix :+ f.name) ->
+              (org.apache.spark.sql.types.ArrayType(a.elementType)
+                : org.apache.spark.sql.types.DataType))
+          case m: org.apache.spark.sql.types.MapType =>
+            Map((prefix :+ f.name) ->
+              (org.apache.spark.sql.types.MapType(m.keyType, m.valueType)
+                : org.apache.spark.sql.types.DataType))
+          case dt => Map((prefix :+ f.name) -> dt)
+        }
+      }.toMap
+    val pinnedLeaves =
+      leafTypes(graft.sinks.ManifestTable.toPhysical(dataSchema))
+    def checkReadCompatible(v: Long): Unit = {
+      val vLeaves = leafTypes(graft.sinks.ManifestTable.toPhysical(
+        graft.sinks.ManifestTable.tableSchema(spark, root, v)))
+      val changed = pinnedLeaves.keySet.intersect(vLeaves.keySet)
+        .filter(p => pinnedLeaves(p) != vLeaves(p))
+      if (changed.nonEmpty) throw new IllegalStateException(
+        s"schema changed at version $v of $root: column type(s) " +
+          changed.toSeq.sortBy(_.mkString(".")).map(p =>
+            s"${p.mkString(".")} (${pinnedLeaves(p).simpleString} -> " +
+              s"${vLeaves(p).simpleString})").mkString(", ") +
+          " no longer read under this stream's bootstrap schema — " +
+          "restart the stream to pick up the evolved schema")
+    }
     var prev = state(from)
     var prevEq = graft.sinks.ManifestTable.eqDeletes(spark, root, from)
     val added = Seq.newBuilder[(String, Long)]
     (from + 1L to to).foreach { v =>
+      checkReadCompatible(v)
       val cur = state(v)
       val curEq = graft.sinks.ManifestTable.eqDeletes(spark, root, v)
       val removed = prev.keySet.diff(cur.keySet)

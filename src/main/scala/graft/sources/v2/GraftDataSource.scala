@@ -227,6 +227,12 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     val (spark, root, v, isManifest) = resolve(options)
     resolvedAt.remove()
     val keys = feedKeys(options)
+    // streaming start options (Delta's startingVersion /
+    // startingTimestamp): skip the snapshot bootstrap and begin at
+    // the named version's own changes — validated when the stream
+    // resolves its initial offset (fresh checkpoints only)
+    val startV = Option(options.get("startingVersion"))
+    val startT = Option(options.get("startingTimestamp"))
     // append-only streaming mode (no key — rows verbatim, appends
     // only): `option("streamMode", "append")`
     Option(options.get("streamMode")).map(_.toLowerCase).foreach { m =>
@@ -243,9 +249,13 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
         "streamMode=append cannot combine with versionAsOf/" +
           "timestampAsOf — the stream bootstraps from the latest " +
           "retained version; pin a snapshot with a batch read instead")
-      return new GraftAppendStreamTable(spark, root, schema)
+      return new GraftAppendStreamTable(spark, root, schema,
+        startingVersion = startV, startingTimestamp = startT)
     }
     if (keys.isEmpty) {
+      require(startV.isEmpty && startT.isEmpty,
+        "startingVersion/startingTimestamp are streaming options — a " +
+          "batch read pins a snapshot with versionAsOf/timestampAsOf")
       val modes = Seq("deleteMode", "updateMode", "mergeMode").flatMap(k =>
         Option(options.get(k)).map(v => k.toLowerCase -> v.toLowerCase)).toMap
       modes.foreach { case (k, v) => require(
@@ -255,7 +265,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
           s"accepts equality-delete), got $v") }
       new GraftTable(spark, root, v, schema, isManifest,
         readOnly = timeTraveled(options), writeModes = modes)
-    } else new GraftChangeFeedTable(spark, root, keys, schema)
+    } else new GraftChangeFeedTable(spark, root, keys, schema,
+      startingVersion = startV, startingTimestamp = startT)
   }
 }
 
@@ -409,6 +420,14 @@ final class GraftTable(spark: SparkSession, root: String, version: Long,
     * evolve the table and rebuild a fresh handle. */
   private[graft] def tableRoot: String = root
   private[graft] def manifestBacked: Boolean = isManifest && !readOnly
+
+  /** This handle reporting a DIFFERENT schema — the auto-merge rule
+    * resolves an evolving append against the UNCOMMITTED merged
+    * schema so the evolution commits inside the write itself
+    * (compensated on a failed landing), never during analysis. */
+  private[graft] def withDataSchema(s: StructType): GraftTable =
+    new GraftTable(spark, root, version, s, isManifest, readOnly,
+      writeModes)
 
   /** (root, resolved version) when this is a manifest-table snapshot —
     * [[graft.plans.MetaAggRule]] answers whole-table aggregates from
@@ -1140,11 +1159,12 @@ final class GraftManifestFileIndex(
     * needs no null reasoning once the prefix proves n non-null values
     * exist. Fires only when every listed file has exact live counts
     * and envelopes (the clean-files-only indexes — vectored/probed
-    * files ride a sibling index that never prunes), on key types with
-    * an unambiguous order (numerics, date, timestamp — strings skip:
-    * envelope folds are UTF-8-byte-ordered, and proving that matches
-    * the session's collation is not worth the file savings). On a
-    * range-clustered 100 TB table this plans ONE file for a top-10.
+    * files ride a sibling index that never prunes), on key types
+    * whose order provably matches the envelope folds
+    * ([[GraftTopNOrder]]: numerics, date, timestamp, and
+    * UTF8_BINARY-collated strings — any other collation abstains).
+    * On a range-clustered 100 TB table this plans ONE file for a
+    * top-10.
     * Always a superset of the answer: Spark's retained Sort + Limit
     * do the exact slice. */
   private def topNFiles(tn: GraftTopN,
@@ -1212,9 +1232,14 @@ final class GraftManifestFileIndex(
 
 /** Driver-side ordering over COLLECTED envelope bounds, for the key
   * types whose external representation orders exactly like the
-  * engine's sort: fixed-size numerics, decimal, date, timestamps.
-  * Strings are deliberately absent (UTF-8-byte envelope folds vs
-  * session collation). */
+  * engine's sort: fixed-size numerics, decimal, date, timestamps —
+  * and strings under the default `UTF8_BINARY` collation, whose sort
+  * IS the unsigned UTF-8 byte order the envelope folds were built
+  * under ([[graft.sources.FooterStats]] folds binary stats that way
+  * for exactly this reason). A column typed with any OTHER collation
+  * returns None — its sort order has no relation to the byte-ordered
+  * envelopes — and a sort over a collate() EXPRESSION never reaches
+  * here (pushTopN only accepts bare column references). */
 private[v2] object GraftTopNOrder {
   def orderingFor(dt: org.apache.spark.sql.types.DataType)
       : Option[Ordering[Any]] = {
@@ -1225,6 +1250,14 @@ private[v2] object GraftTopNOrder {
            _: DecimalType =>
         Some(Ordering.fromLessThan((a: Any, b: Any) =>
           a.asInstanceOf[Comparable[Any]].compareTo(b) < 0))
+      case st: StringType
+          if org.apache.spark.sql.graft.GraftSqlShims.isUtf8Binary(st) =>
+        Some(Ordering.fromLessThan((a: Any, b: Any) =>
+          java.util.Arrays.compareUnsigned(
+            a.asInstanceOf[String].getBytes(
+              java.nio.charset.StandardCharsets.UTF_8),
+            b.asInstanceOf[String].getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)) < 0))
       case _ => None
     }
   }

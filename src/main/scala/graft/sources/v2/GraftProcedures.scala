@@ -404,23 +404,37 @@ private[v2] object GraftProcedures {
     }
   }
 
-  /** `optimize_table(table, sort_cols, num_files)` — the explicit FULL
-    * re-lay by name ([[graft.sinks.ManifestTable.optimize]]: content
-    * identical, all files replaced, vectors purged — the one
-    * legitimately cost-∝-table operation; [[GraftMaintenance]]'s
-    * `maintain` stays the incremental tick). Empty `sort_cols`
-    * compacts without re-clustering. */
+  /** `optimize_table(table, sort_cols, num_files[, bucket_by,
+    * buckets])` — the explicit FULL re-lay by name
+    * ([[graft.sinks.ManifestTable.optimize]]: content identical, all
+    * files replaced, vectors purged — the one legitimately
+    * cost-∝-table operation; [[GraftMaintenance]]'s `maintain` stays
+    * the incremental tick). Empty `sort_cols` compacts without
+    * re-clustering. The optional bucket arguments REBUCKET instead
+    * ([[graft.sinks.ManifestTable.rebucket]] — the same full re-lay,
+    * committed together with the new bucket claim):
+    * `buckets => n` re-clusters (by `bucket_by`'s comma-separated
+    * keys, or the CURRENT key when omitted — the grown-cardinality
+    * case), `buckets => 0` drops the layout, unlocking bucket-key
+    * widen/drop. */
   final class Optimize(catalog: GraftCatalog)
     extends UnboundProcedure with BoundProcedure {
     override def name(): String = "optimize_table"
     override def description(): String =
       "re-lay the table's current rows as a fresh clustered file set " +
-        "(full optimize: all files replaced, deletion vectors purged)"
+        "(full optimize: all files replaced, deletion vectors " +
+        "purged); buckets => n rebuckets, buckets => 0 drops the layout"
     override def bind(inputType: StructType): BoundProcedure = this
     override def parameters(): Array[ProcedureParameter] =
       Array(ProcedureParameter.in("table", StringType).build(),
-        ProcedureParameter.in("sort_cols", StringType).build(),
-        ProcedureParameter.in("num_files", IntegerType).build())
+        ProcedureParameter.in("sort_cols", StringType)
+          .defaultValue("''").build(),
+        ProcedureParameter.in("num_files", IntegerType)
+          .defaultValue("16").build(),
+        ProcedureParameter.in("bucket_by", StringType)
+          .defaultValue("''").build(),
+        ProcedureParameter.in("buckets", IntegerType)
+          .defaultValue("-1").build())
     override def isDeterministic: Boolean = false
     private val outSchema = StructType(Seq(
       StructField("committed_version", LongType, nullable = false),
@@ -431,11 +445,40 @@ private[v2] object GraftProcedures {
       val sortCols = input.getUTF8String(1).toString
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val nFiles = input.getInt(2)
+      val bucketBy = input.getUTF8String(3).toString.trim
+      val buckets = input.getInt(4)
       val loc = catalog.locationOf(tbl)
       require(graft.sinks.ManifestTable.exists(spark, loc),
         s"optimize_table is for manifest-format tables; $tbl is not one")
-      val v = graft.sinks.ManifestTable.optimize(spark, loc,
-        sortCols = sortCols, numFiles = nFiles)
+      val v =
+        if (buckets >= 0) {
+          require(sortCols.isEmpty,
+            "a rebucket re-lays by the bucket grid — sort_cols do " +
+              "not compose with it; run a second optimize_table for " +
+              "in-bucket clustering")
+          if (buckets == 0) {
+            require(bucketBy.isEmpty,
+              "buckets => 0 drops the layout; bucket_by names nothing")
+            graft.sinks.ManifestTable.rebucket(spark, loc, None)
+          } else {
+            val key =
+              if (bucketBy.nonEmpty) bucketBy
+              else graft.sinks.ManifestTable.bucketSpecLogical(
+                graft.sinks.ManifestTable.tableSchema(spark, loc,
+                  graft.sinks.ManifestTable.latestVersion(spark, loc)))
+                .map(_._1.mkString(","))
+                .getOrElse(throw new IllegalArgumentException(
+                  s"$tbl is not bucketed — name the key with " +
+                    "bucket_by => 'col[,col]'"))
+            graft.sinks.ManifestTable.rebucket(spark, loc,
+              Some((key, buckets)))
+          }
+        } else {
+          require(bucketBy.isEmpty,
+            "bucket_by needs buckets => n (or 0 to drop the layout)")
+          graft.sinks.ManifestTable.optimize(spark, loc,
+            sortCols = sortCols, numFiles = nFiles)
+        }
       val n = graft.sinks.ManifestTable.filesAt(spark, loc, v).size.toLong
       oneRowScan(outSchema, InternalRow(v, n))
     }

@@ -73,17 +73,23 @@ final class GraftRuntimeFilterScanBuilder(
     case None => false
   }
 
-  /** TOP-N pushdown (`ORDER BY k LIMIT n` with no filter): a single
-    * top-level sort key parks as a [[GraftTopN]] for the index's
+  /** TOP-N pushdown (`ORDER BY k[, ...] LIMIT n` with no filter): the
+    * LEADING sort key parks as a [[GraftTopN]] for the index's
     * envelope-ordered file pruning ([[GraftManifestFileIndex]]) — on
     * a range-clustered key the n smallest/largest rows provably live
-    * in the leading/trailing files alone. Always PARTIAL: Spark keeps
-    * the Sort + Limit, so the scan only ever needs to prove which
-    * files CANNOT hold a top-n row, never the order itself. */
+    * in the leading/trailing files alone. A MULTI-KEY sort needs no
+    * tuple bound: a file excluded on the first key alone is sound,
+    * because ≥ n rows carry a strictly smaller (or, NULLS FIRST,
+    * NULL) leading key and every one of them precedes the file's
+    * every row LEXICOGRAPHICALLY regardless of tie-breaker columns —
+    * so the proof runs on the leading key and the trailing keys ride
+    * free. Always PARTIAL: Spark keeps the full Sort + Limit, so the
+    * scan only ever needs to prove which files CANNOT hold a top-n
+    * row, never the order itself. */
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = topNSink match {
-    case Some(sink) if orders.length == 1 =>
+    case Some(sink) if orders.nonEmpty =>
       orders(0).expression() match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
           sink(GraftTopN(toPhysical(nr.fieldNames()(0)),

@@ -27,6 +27,13 @@ object GraftSqlShims {
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** Whether a string column's collation is the default UTF8_BINARY —
+    * the one whose sort IS the unsigned UTF-8 byte order parquet
+    * envelope stats fold under (`isUTF8BinaryCollation` is
+    * private[sql]; this is the supported crossing point). */
+  def isUtf8Binary(st: org.apache.spark.sql.types.StringType): Boolean =
+    st.isUTF8BinaryCollation
+
   /** DataFrame over an already-analyzed logical plan. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(

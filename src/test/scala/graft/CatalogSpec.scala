@@ -1501,4 +1501,120 @@ class CatalogSpec extends AnyFunSuite {
         .writeTo("graftc.db.automerge").append()
     }
   }
+
+  test("rebucket: optimize_table(buckets => n) re-clusters in ONE commit — SPJ plans on the new grid; buckets => 0 drops the layout and unlocks key widen") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graftc.db.rb_a (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql("CREATE TABLE graftc.db.rb_b (k BIGINT, w STRING) " +
+      "PARTITIONED BY (bucket(8, k)) TBLPROPERTIES ('statsCols' = 'k')")
+    spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .writeTo("graftc.db.rb_a").append()
+    spark.range(200, 800)
+      .select(col("id").as("k"), concat(lit("w"), col("id")).as("w"))
+      .writeTo("graftc.db.rb_b").append()
+    val locA = s"$warehouse/tables/db/rb_a"
+    val want = spark.sql(
+      "SELECT a.k, a.v, b.w FROM graftc.db.rb_a a " +
+        "JOIN graftc.db.rb_b b ON a.k = b.k ORDER BY a.k")
+      .collect().map(_.toString).toSeq
+    // the table outgrew n=4: ONE procedure call re-lays onto the
+    // 8-bucket grid (key kept — the grown-cardinality case), as one
+    // commit carrying both the re-laid files and the new claim
+    spark.sql("CALL graftc.system.optimize_table(" +
+      "table => 'db.rb_a', buckets => 8)")
+    val vA = sinks.ManifestTable.latestVersion(spark, locA)
+    assert(sinks.ManifestTable.bucketSpecLogical(
+      sinks.ManifestTable.tableSchema(spark, locA, vA))
+      .contains((Seq("k"), 8)), "the new claim is committed")
+    assert(sinks.ManifestTable.filesAt(spark, locA, vA)
+      .forall(_.contains("gb=")), "re-laid files live in bucket dirs")
+    // time travel still serves the OLD layout's version
+    assert(spark.read.format("graft").option("versionAsOf", vA - 1)
+      .load(locA).count() == 1000L)
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.v2.bucketing.pushPartValues.enabled",
+        "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val spj = spark.sql(
+        "SELECT a.k, a.v, b.w FROM graftc.db.rb_a a " +
+          "JOIN graftc.db.rb_b b ON a.k = b.k ORDER BY a.k")
+      val p = spj.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"the rebucketed table must join co-grid with NO shuffle:\n$p")
+      assert(spj.collect().map(_.toString).toSeq == want,
+        "rebucket is content-identical")
+    } finally saved.foreach { case (k, ov) =>
+      ov.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    // dropping the layout unlocks the frozen-key refusals: widen of a
+    // bucket key refuses, buckets => 0 clears the claim, widen lands
+    spark.sql("CREATE TABLE graftc.db.rb_c (k INT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql("INSERT INTO graftc.db.rb_c VALUES (1, 10), (2, 20)")
+    val widenErr = intercept[Exception] {
+      spark.sql("ALTER TABLE graftc.db.rb_c ALTER COLUMN k TYPE BIGINT")
+    }
+    assert(widenErr.getMessage.contains("bucket"))
+    spark.sql("CALL graftc.system.optimize_table(" +
+      "table => 'db.rb_c', buckets => 0)")
+    val locC = s"$warehouse/tables/db/rb_c"
+    assert(sinks.ManifestTable.bucketSpecLogical(
+      sinks.ManifestTable.tableSchema(spark, locC,
+        sinks.ManifestTable.latestVersion(spark, locC))).isEmpty)
+    spark.sql("ALTER TABLE graftc.db.rb_c ALTER COLUMN k TYPE BIGINT")
+    assert(spark.table("graftc.db.rb_c").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+  }
+
+  test("schema auto-merge is write-atomic: a failed append leaves the schema unchanged, and 2-part identifiers resolve against the current catalog") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graftc.db.amatomic (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql("INSERT INTO graftc.db.amatomic VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE graftc.db.amatomic " +
+      "ADD CONSTRAINT v_small CHECK (v < 100)")
+    val loc = s"$warehouse/tables/db/amatomic"
+    val v0 = sinks.ManifestTable.latestVersion(spark, loc)
+    // the batch carries a NEW column (evolution) AND violates the
+    // constraint (the landing fails at commit validation): the
+    // auto-merge rule resolves the append against the merged schema
+    // WITHOUT committing it, the write evolves-then-fails, and the
+    // compensation restores the pre-evolution schema — analysis-time
+    // evolution would have left `extra` behind forever
+    val err = intercept[Exception] {
+      spark.sql("SELECT 9L as k, 900L as v, 1L as extra")
+        .writeTo("graftc.db.amatomic").option("mergeSchema", "true")
+        .append()
+    }
+    assert(err.getMessage.contains("v_small"))
+    assert(!spark.table("graftc.db.amatomic").columns.contains("extra"),
+      "a failed auto-merge append must leave the table schema unchanged")
+    assert(sinks.ManifestTable
+      .tableSchema(spark, loc, sinks.ManifestTable.latestVersion(spark, loc))
+      .fieldNames.toSeq ==
+      sinks.ManifestTable.tableSchema(spark, loc, v0).fieldNames.toSeq)
+    assert(spark.table("graftc.db.amatomic").count() == 2L)
+    // 2-part identifier under the CURRENT catalog: mergeSchema works
+    // without a catalog prefix (the rule follows Spark's own
+    // catalog-first-then-current lookup)
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name()
+    try {
+      spark.sql("USE graftc")
+      spark.sql("SELECT 3L as k, 30L as v, 'w3' as w")
+        .writeTo("db.amatomic").option("mergeSchema", "true")
+        .append()
+    } finally spark.sql(s"USE $prevCat")
+    val rows = spark.table("graftc.db.amatomic").orderBy("k").collect()
+    assert(rows.length == 3 && rows(2).getAs[String]("w") == "w3")
+    assert(rows.take(2).forall(r => r.isNullAt(r.fieldIndex("w"))),
+      "pre-evolution rows read NULL for the evolved column")
+  }
 }

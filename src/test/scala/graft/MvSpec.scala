@@ -129,6 +129,128 @@ class MvSpec extends AnyFunSuite {
     assert(err.getMessage.contains("re-create"))
   }
 
+  private val JoinDefSql =
+    "SELECT region_name, count(*) AS n, sum(amount) AS total " +
+      "FROM __BASE__ f JOIN __DIM_regions__ r " +
+      "ON f.region_id = r.region_id GROUP BY region_name"
+
+  private def joinMvRows(mv: String): Seq[(String, Long, Long)] =
+    ManifestTable.read(spark, mv).orderBy("region_name").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+  test("join definitions: a dim-side-only change remaps fact rows to their new groups exactly") {
+    val d = java.nio.file.Files.createTempDirectory("graft-mvj").toString
+    val (fact, dim, mv) = (s"$d/fact", s"$d/dim", s"$d/mv")
+    ManifestTable.create(
+      Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 20L, 30L))
+        .toDF("doc", "region_id", "amount"), fact, Seq("region_id"))
+    ManifestTable.create(
+      Seq((10L, "west"), (20L, "east")).toDF("region_id", "region_name"),
+      dim, Seq("region_id"))
+    MaterializedView.create(spark, mv, fact, JoinDefSql,
+      Seq("region_name"), dims = Seq(MaterializedView.JoinDim(
+        "regions", dim, Seq("region_id"), Seq("region_id"))))
+    assert(joinMvRows(mv) == Seq(("east", 1L, 30L), ("west", 2L, 150L)))
+    // dim-side-only change: region 10 renames west→coast. The fact
+    // never moved — the refresh must mark the OLD group (west, via
+    // the removed dim row) and the NEW group (coast) through the join
+    // keys, recompute both, and delete the vanished west
+    ManifestTable.deleteWhere(spark, dim, col("region_id") === 10L)
+    ManifestTable.write(
+      Seq((10L, "coast")).toDF("region_id", "region_name"), dim)
+    val Some((_, touched1)) = MaterializedView.refresh(spark, mv)
+    assert(joinMvRows(mv) == Seq(("coast", 2L, 150L), ("east", 1L, 30L)))
+    assert(touched1 == 2L, s"exactly west+coast recompute: $touched1")
+    assert(MaterializedView.refresh(spark, mv).isEmpty,
+      "both offsets advanced")
+    // ONE refresh folding a dim update AND a fact append (the gate
+    // shape): east renames north while a new fact row joins region 20
+    ManifestTable.write(
+      Seq((4L, 20L, 70L)).toDF("doc", "region_id", "amount"), fact)
+    ManifestTable.deleteWhere(spark, dim, col("region_id") === 20L)
+    ManifestTable.write(
+      Seq((20L, "north")).toDF("region_id", "region_name"), dim)
+    val Some((_, touched2)) = MaterializedView.refresh(spark, mv)
+    assert(joinMvRows(mv) == Seq(("coast", 2L, 150L), ("north", 2L, 100L)))
+    assert(touched2 == 2L, s"east+north, coast untouched: $touched2")
+    // exactness against a full recompute of the definition
+    val full = Seq((10L, "coast"), (20L, "north"))
+      .toDF("region_id", "region_name")
+      .join(Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 20L, 30L),
+        (4L, 20L, 70L)).toDF("doc", "region_id", "amount"), "region_id")
+      .groupBy("region_name")
+      .agg(count("*").as("n"), sum("amount").as("total"))
+      .orderBy("region_name").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(joinMvRows(mv) == full)
+  }
+
+  test("join definitions: fact-resident group keys with a dim FILTER — a dim flip recomputes the right fact groups") {
+    val d = java.nio.file.Files.createTempDirectory("graft-mvjf").toString
+    val (fact, dim, mv) = (s"$d/fact", s"$d/dim", s"$d/mv")
+    // groups live on the FACT (lang); the dim only gates rows — a
+    // dim-side flip must still find the affected groups THROUGH the
+    // join keys (fact rows joining the changed dim rows)
+    ManifestTable.create(
+      Seq((1L, "en", 10L, 5L), (2L, "en", 20L, 3L), (3L, "de", 10L, 7L))
+        .toDF("doc", "lang", "src_id", "words"), fact, Seq("src_id"))
+    ManifestTable.create(
+      Seq((10L, true), (20L, true)).toDF("src_id", "active"),
+      dim, Seq("src_id"))
+    MaterializedView.create(spark, mv, fact,
+      "SELECT lang, sum(words) AS w FROM __BASE__ f " +
+        "JOIN __DIM_srcs__ s ON f.src_id = s.src_id " +
+        "WHERE s.active GROUP BY lang",
+      Seq("lang"), dims = Seq(MaterializedView.JoinDim(
+        "srcs", dim, Seq("src_id"), Seq("src_id"))))
+    def rows() = ManifestTable.read(spark, mv).orderBy("lang")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    assert(rows() == Seq(("de", 7L), ("en", 8L)))
+    // deactivate source 10: en loses doc 1 (5 words), de loses doc 3
+    // entirely — the de GROUP must vanish from the view
+    ManifestTable.deleteWhere(spark, dim, col("src_id") === 10L)
+    ManifestTable.write(Seq((10L, false)).toDF("src_id", "active"), dim)
+    val Some((_, t)) = MaterializedView.refresh(spark, mv)
+    assert(rows() == Seq(("en", 3L)))
+    assert(t == 2L, s"en and de recompute (both join src 10): $t")
+  }
+
+  test("join definitions: contracts — ambiguous and non-column group keys refuse at create") {
+    val d = java.nio.file.Files.createTempDirectory("graft-mvjc").toString
+    val (fact, dim) = (s"$d/fact", s"$d/dim")
+    ManifestTable.create(
+      Seq((1L, 10L, "en")).toDF("doc", "rid", "name"), fact, Seq("rid"))
+    ManifestTable.create(
+      Seq((10L, "west")).toDF("rid", "name"), dim, Seq("rid"))
+    // `name` lives on BOTH sides — the refresh could not derive or
+    // restrict by it unqualified
+    val amb = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, s"$d/mv1", fact,
+        "SELECT f.name, count(*) AS n FROM __BASE__ f " +
+          "JOIN __DIM_r__ r ON f.rid = r.rid GROUP BY f.name",
+        Seq("name"), dims = Seq(MaterializedView.JoinDim(
+          "r", dim, Seq("rid"), Seq("rid"))))
+    }
+    assert(amb.getMessage.contains("ambiguous"))
+    // a computed key is not a column of either side
+    val expr = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, s"$d/mv2", fact,
+        "SELECT upper(f.name) AS label, count(*) AS n FROM __BASE__ f " +
+          "JOIN __DIM_r__ r ON f.rid = r.rid GROUP BY upper(f.name)",
+        Seq("label"), dims = Seq(MaterializedView.JoinDim(
+          "r", dim, Seq("rid"), Seq("rid"))))
+    }
+    assert(expr.getMessage.contains("not a column"))
+    // an undeclared placeholder refuses with the dim named
+    val ref = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, s"$d/mv3", fact,
+        "SELECT doc, count(*) AS n FROM __BASE__ GROUP BY doc",
+        Seq("doc"), dims = Seq(MaterializedView.JoinDim(
+          "r", dim, Seq("rid"), Seq("rid"))))
+    }
+    assert(ref.getMessage.contains("never referenced"))
+  }
+
   test("metadata-only base commits advance the offset without touching any group") {
     val (base, mv) = fresh("mv6")
     ManifestTable.create(baseRows(Seq((1L, "en", 100L))),

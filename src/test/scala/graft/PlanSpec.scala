@@ -1240,6 +1240,59 @@ class PlanSpec extends AnyFunSuite {
     assert(filesPlanned(all) == 8)
   }
 
+  test("top-n pushdown: UTF8_BINARY string keys prune; a two-key sort proves on the leading key; a non-binary collation abstains") {
+    import sinks.ManifestTable
+    import org.apache.spark.sql.functions.{col, expr}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-topn-str").toString + "/t"
+    // 8 range-clustered files on a NON-UNIQUE string key (500
+    // distinct values × 16 rows) — the two-key sort's tie-breaks are
+    // real, and the leading-key proof must still hold
+    ManifestTable.create(
+      spark.range(8000).selectExpr(
+        "format_string('s%03d', id % 500) as s", "id as v"),
+      root, Seq("s"))
+    ManifestTable.optimize(spark, root, sortCols = Seq("s"), numFiles = 8)
+    def load() = spark.read.format("graft").load(root)
+    def filesPlanned(df: org.apache.spark.sql.DataFrame): Int =
+      plannedDataFiles(df)
+    val full = load().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // string key, both directions: the default collation's sort IS
+    // the unsigned UTF-8 byte order the envelopes fold under
+    val asc = load().orderBy("s").limit(20)
+    assert(asc.collect().map(_.getString(0)).toSeq ==
+      full.map(_._1).sorted.take(20))
+    assert(filesPlanned(asc) == 1,
+      s"string ASC top-20 lives in the leading file, " +
+        s"got ${filesPlanned(asc)}")
+    val desc = load().orderBy(col("s").desc).limit(20)
+    assert(desc.collect().map(_.getString(0)).toSeq ==
+      full.map(_._1).sorted.reverse.take(20))
+    assert(filesPlanned(desc) == 1)
+    // TWO-KEY lexicographic sort: the leading key's envelope proof
+    // covers it (any row excluded on s strictly follows >= 20 rows
+    // regardless of v); the retained Sort does the v tie-breaks
+    val two = load().orderBy(col("s").asc, col("v").desc).limit(20)
+    assert(two.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      full.sortBy { case (s, v) => (s, -v) }.take(20),
+      "tie-broken values must hash-match the unpruned sort")
+    assert(filesPlanned(two) == 1,
+      s"two-key top-20 proves on the leading key, " +
+        s"got ${filesPlanned(two)}")
+    // numeric leading key with a string tie-break rides the same proof
+    val twoNum = load().orderBy(col("v").desc, col("s").asc).limit(10)
+    assert(twoNum.collect().map(_.getLong(1)).toSeq ==
+      full.map(_._2).sorted.reverse.take(10))
+    // a NON-BINARY collation sorts differently than the byte-ordered
+    // envelopes — the proof must abstain and keep every file
+    val coll = load()
+      .orderBy(expr("collate(s, 'UTF8_LCASE')")).limit(20)
+    assert(coll.collect().length == 20)
+    assert(filesPlanned(coll) == 8,
+      s"non-binary collation must not prune, got ${filesPlanned(coll)}")
+  }
+
   test("runtime file filtering: a dim-filtered broadcast join prunes fact files at execution via the manifest proofs") {
     import sinks.ManifestTable
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec

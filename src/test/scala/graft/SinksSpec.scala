@@ -3247,10 +3247,14 @@ class SinksSpec extends AnyFunSuite {
     import org.apache.spark.sql.types.{LongType, StructType}
     val root = java.nio.file.Files
       .createTempDirectory("graft-mergeschema").toString + "/t"
+    // n, s and m.x are NULLABLE (nullif) — a batch may omit them and
+    // fill NULL; omitting a NON-nullable slot refuses (own test)
     ManifestTable.create(
-      spark.range(2).selectExpr("id as k", "cast(id * 10 as int) as n",
-        "concat('a', id) as s",
-        "named_struct('x', cast(id as int), 'y', concat('y', id)) as m"),
+      spark.range(2).selectExpr("id as k",
+        "nullif(cast(id * 10 as int), -1) as n",
+        "nullif(concat('a', id), '') as s",
+        "named_struct('x', nullif(cast(id as int), -1), " +
+          "'y', concat('y', id)) as m"),
       root, Seq("k"))
     val filesBefore = ManifestTable.manifest(spark, root,
       ManifestTable.latestVersion(spark, root))
@@ -3358,5 +3362,131 @@ class SinksSpec extends AnyFunSuite {
     assert(dupErr.getMessage.contains("case"))
     assert(!spark.read.format("graft").load(root).columns
       .exists(_.equalsIgnoreCase("dup")))
+  }
+
+  test("writeMergeSchema: a batch missing a NON-NULLABLE column or member refuses — NOT NULL never drops as an append side effect; present-but-nullable still OR-merges") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mergenull").toString + "/t"
+    // k, req non-nullable; m.x non-nullable inside the struct
+    ManifestTable.create(
+      spark.range(2).selectExpr("id as k", "id * 10 as req",
+        "named_struct('x', id, 'y', concat('y', id)) as m"),
+      root, Seq("k"))
+    val v0 = ManifestTable.latestVersion(spark, root)
+    // batch omits non-nullable req entirely → named refusal, nothing
+    // commits (the old behavior relaxed the constraint and landed
+    // NULLs — a silent invariant drop)
+    val err = intercept[IllegalArgumentException] {
+      ManifestTable.writeMergeSchema(
+        spark.sql("SELECT 2L as k, named_struct('x', 2L, 'y', 'y2') as m, " +
+          "7L as extra"), root)
+    }
+    assert(err.getMessage.contains("req") &&
+      err.getMessage.contains("non-nullable"))
+    assert(ManifestTable.latestVersion(spark, root) == v0 &&
+      !ManifestTable.tableSchema(spark, root, v0).fieldNames
+        .contains("extra"),
+      "a refused merge commits nothing — not even the additive half")
+    // batch carries the struct but omits its non-nullable member →
+    // same refusal at member grain
+    val errM = intercept[IllegalArgumentException] {
+      ManifestTable.writeMergeSchema(
+        spark.sql("SELECT 2L as k, 20L as req, " +
+          "named_struct('y', 'y2') as m"), root)
+    }
+    assert(errM.getMessage.contains("m.x") &&
+      ManifestTable.latestVersion(spark, root) == v0)
+    // present on BOTH sides but nullable on the batch side: the Delta
+    // OR-merge — nullability relaxes and the batch lands
+    ManifestTable.writeMergeSchema(
+      spark.sql("SELECT 2L as k, cast(null as bigint) as req, " +
+        "named_struct('x', 2L, 'y', 'y2') as m"), root)
+    val vR = ManifestTable.latestVersion(spark, root)
+    assert(ManifestTable.tableSchema(spark, root, vR)("req").nullable)
+    val r2 = spark.read.format("graft").load(root)
+      .filter(col("k") === 2L).collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("req")))
+  }
+
+  test("writeMergeSchema: a landing that FAILS compensates the evolution away — the table schema ends unchanged") {
+    import sinks.ManifestTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mergecomp").toString + "/t"
+    ManifestTable.create(
+      spark.range(2).selectExpr("id as k", "id * 10 as v"),
+      root, Seq("k"))
+    // a CHECK constraint the batch violates: evolution (new column)
+    // commits first, the landing then fails commit validation, and
+    // the compensation restores the pre-evolution schema
+    ManifestTable.addConstraint(spark, root, "v_small", "v < 100")
+    val v0 = ManifestTable.latestVersion(spark, root)
+    val s0 = ManifestTable.tableSchema(spark, root, v0)
+    val err = intercept[Exception] {
+      ManifestTable.writeMergeSchema(
+        spark.sql("SELECT 9L as k, 900L as v, 1L as extra"), root)
+    }
+    assert(err.getMessage.contains("v_small"))
+    val vEnd = ManifestTable.latestVersion(spark, root)
+    val sEnd = ManifestTable.tableSchema(spark, root, vEnd)
+    assert(!sEnd.fieldNames.contains("extra"),
+      "a failed auto-merge append leaves the schema unchanged")
+    assert(sEnd.fieldNames.toSeq == s0.fieldNames.toSeq)
+    assert(spark.read.format("graft").load(root).count() == 2L,
+      "and no rows landed")
+    // the compensating restore carries the constraint registry
+    // forward — the invariant survives the rollback
+    val again = intercept[Exception] {
+      ManifestTable.write(
+        spark.sql("SELECT 8L as k, 800L as v"), root)
+    }
+    assert(again.getMessage.contains("v_small"))
+  }
+
+  test("version-list checkpointing: after a vacuum, versions() and latestVersion never LIST the directory — pointer + contiguity probe bound them at 100k-commit scale") {
+    import sinks.VersionedTable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vckpt").toString
+    val root = s"$dir/t"
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root): Unit
+    VersionedTable.write(Seq((2L, "b")).toDF("k", "v"), root): Unit
+    VersionedTable.write(Seq((3L, "c")).toDF("k", "v"), root): Unit
+    // the vacuum (the only remover) installs the checkpoint
+    VersionedTable.vacuum(spark, root, keep = 2, stageTtlMs = 0L)
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L))
+    // simulate 118 further commits: every commit is prior-latest + 1
+    // by the CAS, so bare contiguous epoch dirs stand in for them
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    (3L to 120L).foreach(v => f.mkdirs(
+      new org.apache.hadoop.fs.Path(root, s"epoch=$v")): Unit)
+    // reach the same on-disk table through the counting scheme
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.counting.impl", classOf[CountingFs].getName)
+    val cRoot = s"counting://$root"
+    CountingFs.listCalls.set(0L)
+    val vs = VersionedTable.versions(spark, cRoot)
+    assert(vs == (1L to 120L),
+      s"checkpoint ∪ contiguous probe must serve the live set: $vs")
+    assert(CountingFs.listCalls.get() == 0L,
+      s"versions() after a vacuum must not list the directory " +
+        s"(probes existence instead), got ${CountingFs.listCalls.get()} " +
+        "list calls")
+    CountingFs.listCalls.set(0L)
+    assert(VersionedTable.latestVersion(spark, cRoot) == 120L)
+    assert(CountingFs.listCalls.get() == 0L,
+      "latestVersion rides the same bounded path")
+    // a NEVER-vacuumed table has no checkpoint and keeps the exact
+    // listing (the conservative fallback)
+    val root2 = s"$dir/u"
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root2): Unit
+    CountingFs.listCalls.set(0L)
+    assert(VersionedTable.versions(spark, s"counting://$root2") ==
+      Seq(0L))
+    assert(CountingFs.listCalls.get() > 0L,
+      "no checkpoint — the exact listing is the authority")
+    // the vacuumed version is GONE from the checkpoint view — the
+    // retention fail-fast contract stays conservative
+    assert(!VersionedTable.versions(spark, root).contains(0L))
   }
 }

@@ -967,6 +967,149 @@ class StreamingSpec extends AnyFunSuite {
       s"the publish (a change commit) must skip wholesale: $afterPublish")
   }
 
+  test("startingVersion skips the bootstrap: stream-from-v ∪ batch-read-of-v-1 == full-bootstrap stream; vacuumed start fails fast; change feed and timestamps too") {
+    import sinks.ManifestTable
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-startver").toString
+    val src = s"$base/src"
+    // v0: 10 rows; v1: +5; v2: +5
+    ManifestTable.create(
+      spark.range(10).selectExpr("id as k", "id * 10 as v"), src, Seq("k"))
+    ManifestTable.write(
+      spark.range(10, 15).selectExpr("id as k", "id * 10 as v"), src)
+    ManifestTable.write(
+      spark.range(15, 20).selectExpr("id as k", "id * 10 as v"), src)
+    def drain(dst: String, ckpt: String,
+              opts: Map[String, String]): Unit = {
+      val r0 = spark.readStream.format("graft")
+        .option("streamMode", "append")
+      val q = opts.foldLeft(r0) { case (r, (k, v)) => r.option(k, v) }
+        .load(src)
+        .writeStream.format("graft")
+        .option("path", dst).option("statsCols", "k")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def ks(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getAs[Long]("k")).sorted.toSeq
+    // full bootstrap = the whole table
+    drain(s"$base/full", s"$base/ckpt-full", Map.empty)
+    // startingVersion=1: ONLY versions >= 1 stream (no bootstrap);
+    // union with a batch read of the start snapshot (v0) must equal
+    // the full-bootstrap stream's content
+    drain(s"$base/sv", s"$base/ckpt-sv", Map("startingVersion" -> "1"))
+    val svRows = spark.read.format("graft").load(s"$base/sv")
+    assert(ks(svRows) == (10L until 20L).toSeq,
+      "startingVersion=1 must serve exactly v1+v2's appends")
+    val snapshot = spark.read.format("graft")
+      .option("versionAsOf", "0").load(src)
+    assert(ks(svRows.unionByName(snapshot)) ==
+      ks(spark.read.format("graft").load(s"$base/full")))
+    // 'latest' streams nothing until a NEW commit lands
+    drain(s"$base/lat", s"$base/ckpt-lat",
+      Map("startingVersion" -> "latest"))
+    assert(!graft.sinks.ManifestTable.exists(spark, s"$base/lat") ||
+      spark.read.format("graft").load(s"$base/lat").count() == 0L)
+    ManifestTable.write(
+      spark.range(20, 22).selectExpr("id as k", "id * 10 as v"), src)
+    drain(s"$base/lat", s"$base/ckpt-lat", Map.empty) // restart: option inert
+    assert(ks(spark.read.format("graft").load(s"$base/lat")) ==
+      Seq(20L, 21L))
+    // startingTimestamp: resolve to the earliest commit at-or-after
+    // v2's stamp — stream v2 and the later append only
+    val ts2 = graft.sinks.VersionedTable.commitTimestamp(spark,
+      ManifestTable.manifestsRoot(src), 2L).get
+    drain(s"$base/ts", s"$base/ckpt-ts",
+      Map("startingTimestamp" -> ts2.toString))
+    assert(ks(spark.read.format("graft").load(s"$base/ts")) ==
+      (15L until 22L).toSeq)
+    // the keyed CHANGE FEED honors the same option: versions >= 3 as
+    // keyed changes, no bootstrap
+    val qcf = spark.readStream.format("graft")
+      .option("keyCols", "k").option("startingVersion", "3")
+      .load(src)
+      .writeStream.format("memory").queryName("sv_feed")
+      .option("checkpointLocation", s"$base/ckpt-cf2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    qcf.awaitTermination()
+    assert(ks(spark.table("sv_feed")) == Seq(20L, 21L),
+      "the change feed from v3 serves exactly v3's changes")
+    // retention fail-fast: the diff from v-1 needs v-1 retained
+    ManifestTable.vacuum(spark, src, keep = 1, ttlMs = 0L)
+    val err = intercept[Exception] {
+      drain(s"$base/gone", s"$base/ckpt-gone",
+        Map("startingVersion" -> "2"))
+    }
+    def msg(e: Throwable): String =
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg(err).contains("vacuumed") ||
+      msg(err).contains("retained"), s"got: ${msg(err)}")
+    // and a future version refuses up front
+    val err2 = intercept[Exception] {
+      drain(s"$base/fut", s"$base/ckpt-fut",
+        Map("startingVersion" -> "99"))
+    }
+    assert(msg(err2).contains("future"))
+  }
+
+  test("append-only streaming source: a type widen fails fast naming the version — files appended after it carry the wider type the bootstrap schema cannot read") {
+    import sinks.ManifestTable
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-append-widen").toString
+    val src = s"$base/src"; val dst = s"$base/dst"; val ckpt = s"$base/ckpt"
+    ManifestTable.create(
+      spark.range(5).selectExpr("id as k", "cast(id * 10 as int) as v"),
+      src, Seq("k"))
+    def start(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft")
+        .option("streamMode", "append")
+        .load(src)
+        .writeStream.format("graft")
+        .option("path", dst).option("statsCols", "k")
+        .option("mergeSchema", "true")
+        .option("checkpointLocation", ckpt)
+        .start()
+    def msg(e: Throwable): String =
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    // the stream resolves its read schema ONCE (v int), bootstraps,
+    // and keeps running while the widen + post-widen append land —
+    // the exact long-running-ingest shape the pinned schema breaks
+    val q = start()
+    var widenV = -1L
+    try {
+      q.processAllAvailable()
+      assert(spark.read.format("graft").load(dst).count() == 5)
+      widenV = ManifestTable.widenColumnType(spark, src, "v",
+        org.apache.spark.sql.types.LongType)
+      ManifestTable.write(
+        spark.range(5, 10).selectExpr("id as k", "id * 10 as v"), src)
+      // the next micro-batch must fail NAMING the version — not let
+      // the vectorized parquet reader throw a raw column-conversion
+      // error mid-batch on the wider physical type
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(30000): Unit
+      }
+      assert(msg(err).contains(s"schema changed at version $widenV") &&
+        msg(err).contains("restart the stream"),
+        s"expected the named schema-change refusal, got: ${msg(err)}")
+    } finally q.stop()
+    // the error's own remedy: a RESTART re-resolves the evolved
+    // schema and catches up (the sink's mergeSchema widens the
+    // downstream table to match)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.format("graft").load(dst)
+    assert(out.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(out.collect().map(_.getAs[Long]("k")).sorted.toSeq ==
+      (0L until 10L).toSeq,
+      "the restarted stream serves exactly the post-widen appends")
+  }
+
   test("graft streaming sink mergeSchema: a restarted stream with new columns evolves the table; absent columns fill NULL; no opt-in refuses") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-sink-ms").toString
