@@ -729,7 +729,8 @@ object ManifestTable {
 
   private def landFiles(df: DataFrame, root: String,
                         stats: Seq[String],
-                        bucketAs: Option[Option[(String, Int)]] = None)
+                        bucketAs: Option[Option[(String, Int)]] = None,
+                        sortWithin: Seq[String] = Nil)
       : DataFrame = {
     val spark = df.sparkSession
     val dir = s"$root/data/${java.util.UUID.randomUUID().toString}"
@@ -764,8 +765,15 @@ object ManifestTable {
         val cell = ks.map(k => pmod(hash(col(k)), lit(n)))
           .reduceLeft((acc, b) => acc * n + b)
         val cells = math.pow(n.toDouble, ks.length.toDouble).toInt
-        df.withColumn("gb", cell)
+        // the cell shuffle would DESTROY any clustering the caller
+        // laid (optimize's range-sort) — a re-lay's in-bucket order
+        // re-establishes inside each cell's task, so the bucket
+        // file's row groups stay page-prunable on the sort columns
+        val routed = df.withColumn("gb", cell)
           .repartition(cells, col("gb"))
+        (if (sortWithin.isEmpty) routed
+         else routed.sortWithinPartitions(
+           (col("gb") +: sortWithin.map(col)): _*))
           .write.partitionBy("gb").parquet(dir)
       case None => df.write.parquet(dir)
     }
@@ -3870,7 +3878,8 @@ object ManifestTable {
     * into the re-lay, deletion vectors purge, history stays
     * time-travelable under the old layout's own manifests. */
   def rebucket(spark: SparkSession, root: String,
-               bucketBy: Option[(String, Int)]): Long =
+               bucketBy: Option[(String, Int)],
+               sortCols: Seq[String] = Nil): Long =
     commitLoopEvolving(spark, root, eqReg = _ => Nil,
       validateCons = false) { base =>
       val schema = tableSchema(spark, root, base)
@@ -3882,9 +3891,21 @@ object ManifestTable {
       // speaks); the declaration above stamped logical names
       val physKeys = bucketSpec(next).map { case (ks, n) =>
         (ks.mkString(","), n) }
-      val rows = landFiles(
-        physSelect(readVersion(spark, root, base), schema), root,
-        statsCols(spark, root, base), bucketAs = Some(physKeys))
+      sortCols.foreach(c => require(schema.fieldNames.contains(c),
+        s"sort column $c is not a table column"))
+      val cur = readVersion(spark, root, base)
+      // optional IN-BUCKET clustering in the same pass: the grid
+      // shuffle routes rows to cells, the per-cell sort lays them —
+      // one rewrite instead of rebucket-then-optimize twice. A
+      // dropped layout (bucketBy = None) clusters like optimize.
+      val laid =
+        if (physKeys.isEmpty && sortCols.nonEmpty)
+          cur.repartitionByRange(16, sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*)
+        else cur
+      val rows = landFiles(physSelect(laid, schema), root,
+        statsCols(spark, root, base), bucketAs = Some(physKeys),
+        sortWithin = sortCols.map(c => physicalName(schema(c))))
       (rows, next)
     }
 
@@ -3909,8 +3930,15 @@ object ManifestTable {
         else if (sortCols.isEmpty) cur.repartition(numFiles)
         else cur.repartitionByRange(numFiles, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
-      landFiles(physSelect(laid, tableSchema(spark, root, base)), root,
-        statsCols(spark, root, base))
+      val schema = tableSchema(spark, root, base)
+      // a BUCKETED table's landing reshuffles by cell — the in-bucket
+      // sort re-establishes the clustering inside each bucket file
+      // (physical names: that's what the landed frame speaks)
+      landFiles(physSelect(laid, schema), root,
+        statsCols(spark, root, base),
+        sortWithin =
+          if (hilbert) Nil
+          else sortCols.map(c => physicalName(schema(c))))
     }
   }
 

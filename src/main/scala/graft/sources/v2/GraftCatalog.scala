@@ -826,10 +826,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * maintains. Returns the view's location. */
   private[v2] def createMvRegistered(mvName: String, baseName: String,
                                      defSql: String,
-                                     keyCols: Seq[String]): String = {
+                                     keyCols: Seq[String],
+                                     dims: Seq[graft.sinks
+                                       .MaterializedView.JoinDim] = Nil)
+      : String = {
     val baseLoc = locationOf(baseName)
     require(graft.sinks.ManifestTable.exists(spark, baseLoc),
       s"create_mv is for manifest-format tables; $baseName is not one")
+    dims.foreach(d =>
+      require(graft.sinks.ManifestTable.exists(spark, d.root),
+        s"create_mv dim ${d.name} is not a manifest-format table"))
     val parts = mvName.split('.')
     require(parts.length >= 2, s"expected namespace.table, got $mvName")
     val mvIdent = Identifier.of(parts.init, parts.last)
@@ -837,7 +843,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val mvLoc = (s"$warehouse/tables" +: mvIdent.namespace.toSeq :+
       mvIdent.name).mkString("/")
     graft.sinks.MaterializedView.create(spark, mvLoc, baseLoc,
-      defSql, keyCols): Unit
+      defSql, keyCols, dims): Unit
     val out = new java.util.Properties()
     out.setProperty("location", mvLoc)
     out.setProperty("statsCols", keyCols.mkString(","))

@@ -329,22 +329,47 @@ private[v2] object GraftProcedures {
     override def name(): String = "create_mv"
     override def description(): String =
       "create an incremental materialized view: def_sql over __BASE__ " +
-        "with GROUP-key columns; refresh_mv recomputes only changed groups"
+        "(+ __DIM_<name>__ placeholders declared via dims) with " +
+        "GROUP-key columns; refresh_mv recomputes only changed groups"
     override def bind(inputType: StructType): BoundProcedure = this
     override def parameters(): Array[ProcedureParameter] =
       Array(ProcedureParameter.in("view", StringType).build(),
         ProcedureParameter.in("base", StringType).build(),
         ProcedureParameter.in("def_sql", StringType).build(),
-        ProcedureParameter.in("keys", StringType).build())
+        ProcedureParameter.in("keys", StringType).build(),
+        ProcedureParameter.in("dims", StringType)
+          .defaultValue("''").build())
     override def isDeterministic: Boolean = false
     private val outSchema = StructType(Seq(
       StructField("location", StringType, nullable = false)))
+    /** `dims` syntax, one entry per declared dimension:
+      * `name=ns.table ON factCol=dimCol[,factCol2=dimCol2][; ...]` —
+      * `name` binds `__DIM_name__` in def_sql, the table resolves in
+      * this catalog, the pairs are the equi-join keys. */
+    private val DimRe =
+      """(?i)^(\w+)\s*=\s*([\w.]+)\s+ON\s+(.+)$""".r
     override def call(input: InternalRow): JIterator[Scan] = {
+      val dims = input.getUTF8String(4).toString
+        .split(';').map(_.trim).filter(_.nonEmpty).toSeq.map {
+          case DimRe(name, tbl, pairs) =>
+            val (fks, dks) = pairs.split(',').map(_.trim).map { p =>
+              val kv = p.split('=')
+              require(kv.length == 2,
+                s"bad join pair '$p' in dims — expected factCol=dimCol")
+              (kv(0).trim, kv(1).trim)
+            }.toSeq.unzip
+            graft.sinks.MaterializedView.JoinDim(
+              name, catalog.locationOf(tbl), fks, dks)
+          case tok => throw new IllegalArgumentException(
+            s"bad dims entry '$tok' — expected " +
+              "name=ns.table ON factCol=dimCol[,factCol2=dimCol2]")
+        }
       val loc = catalog.createMvRegistered(
         input.getUTF8String(0).toString, input.getUTF8String(1).toString,
         input.getUTF8String(2).toString,
         input.getUTF8String(3).toString.split(",").map(_.trim)
-          .filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty).toSeq,
+        dims)
       oneRowScan(outSchema, InternalRow(UTF8String.fromString(loc)))
     }
   }
@@ -452,14 +477,11 @@ private[v2] object GraftProcedures {
         s"optimize_table is for manifest-format tables; $tbl is not one")
       val v =
         if (buckets >= 0) {
-          require(sortCols.isEmpty,
-            "a rebucket re-lays by the bucket grid — sort_cols do " +
-              "not compose with it; run a second optimize_table for " +
-              "in-bucket clustering")
           if (buckets == 0) {
             require(bucketBy.isEmpty,
               "buckets => 0 drops the layout; bucket_by names nothing")
-            graft.sinks.ManifestTable.rebucket(spark, loc, None)
+            graft.sinks.ManifestTable.rebucket(spark, loc, None,
+              sortCols = sortCols)
           } else {
             val key =
               if (bucketBy.nonEmpty) bucketBy
@@ -471,7 +493,7 @@ private[v2] object GraftProcedures {
                   s"$tbl is not bucketed — name the key with " +
                     "bucket_by => 'col[,col]'"))
             graft.sinks.ManifestTable.rebucket(spark, loc,
-              Some((key, buckets)))
+              Some((key, buckets)), sortCols = sortCols)
           }
         } else {
           require(bucketBy.isEmpty,

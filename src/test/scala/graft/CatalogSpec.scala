@@ -1415,6 +1415,27 @@ class CatalogSpec extends AnyFunSuite {
     val idle = spark.sql("CALL graftc.system.refresh_mv('db.mv_byg')")
       .collect().head
     assert(idle.isNullAt(0) && idle.isNullAt(1))
+
+    // JOIN definition by name: the dims argument declares the
+    // placeholder + equi-join keys; a dim-side change refreshes
+    // through the same procedure
+    spark.sql("CREATE TABLE graftc.db.mvdim (g STRING, label STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'g')")
+    spark.sql("INSERT INTO graftc.db.mvdim VALUES ('a', 'L-a'), ('b', 'L-b')")
+    spark.sql("CALL graftc.system.create_mv('db.mv_joined', 'db.mvbase', " +
+      "'SELECT label, sum(v) AS total FROM __BASE__ f " +
+      "JOIN __DIM_d__ s ON f.g = s.g GROUP BY label', 'label', " +
+      "dims => 'd=db.mvdim ON g=g')")
+    def mvj() = spark.sql("SELECT * FROM graftc.db.mv_joined ORDER BY label")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(mvj() == Seq(("L-a", 10L), ("L-b", 30L)))
+    spark.sql("DELETE FROM graftc.db.mvdim WHERE g = 'b'")
+    spark.sql("INSERT INTO graftc.db.mvdim VALUES ('b', 'X-b')")
+    val outJ = spark.sql("CALL graftc.system.refresh_mv('db.mv_joined')")
+      .collect().head
+    assert(outJ.getLong(1) == 2L,
+      s"L-b vanishes and X-b appears — 2 recomputed groups: $outJ")
+    assert(mvj() == Seq(("L-a", 10L), ("X-b", 30L)))
   }
 
   test("CALL analyze_table: one HLL pass feeds NDV into cost-based planning by name") {
@@ -1553,6 +1574,19 @@ class CatalogSpec extends AnyFunSuite {
         "rebucket is content-identical")
     } finally saved.foreach { case (k, ov) =>
       ov.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    // sort_cols compose with buckets: ONE pass routes rows to their
+    // cells AND lays them sorted inside each bucket file (the cell
+    // shuffle would otherwise destroy the clustering) — row groups
+    // stay page-prunable on the sort column at 100 TB bucket sizes
+    spark.sql("CALL graftc.system.optimize_table(" +
+      "table => 'db.rb_a', sort_cols => 'v', buckets => 8)")
+    val vAs = sinks.ManifestTable.latestVersion(spark, locA)
+    sinks.ManifestTable.filesAt(spark, locA, vAs).foreach { f =>
+      val vs = spark.read.parquet(f).select("v").collect()
+        .map(_.getLong(0)).toSeq
+      assert(vs == vs.sorted, s"in-bucket rows must land sorted: $f")
+    }
+    assert(spark.table("graftc.db.rb_a").count() == 1000L)
     // dropping the layout unlocks the frozen-key refusals: widen of a
     // bucket key refuses, buckets => 0 clears the claim, widen lands
     spark.sql("CREATE TABLE graftc.db.rb_c (k INT, v BIGINT) " +
