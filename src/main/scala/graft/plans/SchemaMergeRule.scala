@@ -64,25 +64,39 @@ case class GraftSchemaMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 graft.sources.v2.GraftTable)] = {
     if (parts.isEmpty) return None
     val cm = spark.sessionState.catalogManager
-    val candidates: Seq[(CatalogPlugin, Array[String], String)] =
-      (if (parts.length > 1)
-         (try Some(cm.catalog(parts.head))
-          catch { case _: Exception => None })
-           .map(c => (c, parts.tail.init.toArray, parts.last)).toSeq
-       else Nil) :+ ((cm.currentCatalog,
+    // Spark's own lookup order, faithfully — a rewrite that resolves
+    // a DIFFERENT table than vanilla resolution would silently move
+    // the rows: a temp view (or the global-temp database) shadows
+    // everything, and a first part that NAMES A CATALOG owns the
+    // identifier even when that catalog is not graft's (no fallback
+    // to the current catalog — Spark would not fall back either).
+    if (parts.length == 1 && spark.sessionState.catalog
+        .getRawTempView(parts.head).isDefined) return None
+    if (parts.length > 1 && parts.head.equalsIgnoreCase(
+        spark.conf.get("spark.sql.globalTempDatabase", "global_temp")))
+      return None
+    val headCatalog: Option[CatalogPlugin] =
+      if (parts.length > 1)
+        try Some(cm.catalog(parts.head))
+        catch { case _: Exception => None }
+      else None
+    val (plugin, ns, name) = headCatalog match {
+      case Some(c) => (c, parts.tail.init.toArray, parts.last)
+      case None => (cm.currentCatalog,
         if (parts.length == 1) cm.currentNamespace
         else parts.init.toArray,
-        parts.last))
-    candidates.iterator.flatMap {
-      case (plugin: graft.sources.v2.GraftCatalog, ns, name) =>
+        parts.last)
+    }
+    plugin match {
+      case g: graft.sources.v2.GraftCatalog =>
         val ident = Identifier.of(ns, name)
-        try plugin.loadTable(ident) match {
+        try g.loadTable(ident) match {
           case t: graft.sources.v2.GraftTable if t.manifestBacked =>
-            Some((plugin: CatalogPlugin, ident, t))
+            Some((plugin, ident, t))
           case _ => None
         } catch { case _: Exception => None }
-      case _ => Iterator.empty
-    }.nextOption()
+      case _ => None
+    }
   }
 
   /** The append query's schema — the rule runs in the HINTS batch,

@@ -993,10 +993,12 @@ object ManifestTable {
         // provably ours (contiguous evolution versions) AND still the
         // latest (restoreIfCurrent's CAS guard) — a concurrent
         // writer's commit is never rolled back by this append's
-        // failure. A crash between the evolution and this handler
-        // leaves the (additive, reader-safe) evolution behind — the
-        // documented weaker-than-atomic residue of compensation.
-        if (evolved.nonEmpty &&
+        // failure. Fatal errors (interrupt, OOM) propagate without
+        // scheduling more driver work. A crash between the evolution
+        // and this handler leaves the (additive, reader-safe)
+        // evolution behind — the documented weaker-than-atomic
+        // residue of compensation.
+        if (scala.util.control.NonFatal(e) && evolved.nonEmpty &&
             evolved.sorted == ((preV + 1) to postV).toSeq)
           try restoreIfCurrent(spark, root, preV,
             expectedCurrent = postV): Unit
@@ -2183,8 +2185,8 @@ object ManifestTable {
   /** Lossless primitive WIDENINGS the vectorized parquet reader
     * serves per file (its updater factory upcasts int32→long,
     * float→double, … at read) — the set `widenColumnType` accepts. */
-  private def widenable(from: org.apache.spark.sql.types.DataType,
-                        to: org.apache.spark.sql.types.DataType)
+  private[graft] def widenable(from: org.apache.spark.sql.types.DataType,
+                               to: org.apache.spark.sql.types.DataType)
       : Boolean = {
     import org.apache.spark.sql.types._
     (from, to) match {
@@ -3879,7 +3881,9 @@ object ManifestTable {
     * time-travelable under the old layout's own manifests. */
   def rebucket(spark: SparkSession, root: String,
                bucketBy: Option[(String, Int)],
-               sortCols: Seq[String] = Nil): Long =
+               sortCols: Seq[String] = Nil,
+               numFiles: Int = 16): Long = {
+    require(numFiles >= 1, "numFiles must be >= 1")
     commitLoopEvolving(spark, root, eqReg = _ => Nil,
       validateCons = false) { base =>
       val schema = tableSchema(spark, root, base)
@@ -3897,17 +3901,22 @@ object ManifestTable {
       // optional IN-BUCKET clustering in the same pass: the grid
       // shuffle routes rows to cells, the per-cell sort lays them —
       // one rewrite instead of rebucket-then-optimize twice. A
-      // dropped layout (bucketBy = None) clusters like optimize.
+      // dropped layout (bucketBy = None) re-lays like optimize:
+      // `numFiles` range-clustered files (or a plain numFiles
+      // compaction when no sort is named); a bucketed target's file
+      // count is its cell count, so numFiles does not apply there.
       val laid =
-        if (physKeys.isEmpty && sortCols.nonEmpty)
-          cur.repartitionByRange(16, sortCols.map(col): _*)
+        if (physKeys.nonEmpty) cur
+        else if (sortCols.nonEmpty)
+          cur.repartitionByRange(numFiles, sortCols.map(col): _*)
             .sortWithinPartitions(sortCols.map(col): _*)
-        else cur
+        else cur.repartition(numFiles)
       val rows = landFiles(physSelect(laid, schema), root,
         statsCols(spark, root, base), bucketAs = Some(physKeys),
         sortWithin = sortCols.map(c => physicalName(schema(c))))
       (rows, next)
     }
+  }
 
   def optimize(spark: SparkSession, root: String,
                sortCols: Seq[String] = Nil, numFiles: Int = 16,
@@ -3924,16 +3933,19 @@ object ManifestTable {
       // re-lay BASE's rows (not a floating `current` — a conflict
       // recomputes against the new base, so no commit is ever lost)
       val cur = readVersion(spark, root, base)
+      val schema = tableSchema(spark, root, base)
+      val bucketed = bucketSpec(schema).isDefined
+      // a BUCKETED table's landing reshuffles by cell, so a range
+      // pre-pass would be a wasted whole-table shuffle+sort — skip
+      // it and let the landing's in-bucket sort lay the rows
+      // (physical names: that's what the landed frame speaks)
       val laid =
         if (hilbert) // N-dim skipping: the shared equi-depth Hilbert layout
           ParquetSink.clusterByCurve(cur, sortCols, numFiles)
+        else if (bucketed) cur
         else if (sortCols.isEmpty) cur.repartition(numFiles)
         else cur.repartitionByRange(numFiles, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
-      val schema = tableSchema(spark, root, base)
-      // a BUCKETED table's landing reshuffles by cell — the in-bucket
-      // sort re-establishes the clustering inside each bucket file
-      // (physical names: that's what the landed frame speaks)
       landFiles(physSelect(laid, schema), root,
         statsCols(spark, root, base),
         sortWithin =

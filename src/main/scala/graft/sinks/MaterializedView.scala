@@ -364,9 +364,14 @@ object MaterializedView {
         writeSpec(spark, mvRoot, advanced)
         return Some((ManifestTable.latestVersion(spark, mvRoot), 0L))
       case Some(rows) =>
-        if (spec.dims.isEmpty)
-          requireKeysNonNull(rows, spec.keyCols, "a changed base row")
-        rows.na.drop("any", spec.keyCols).distinct().cache()
+        // join definitions: NULL derivations are the LEFT
+        // reconstruction's padding for rows an inner definition
+        // contributes nothing for — dropped here; the definition's
+        // OWN output is null-checked below. Plain definitions keep
+        // the loud refusal (checked on the cached frame, one job
+        // with the count).
+        (if (spec.dims.isEmpty) rows
+         else rows.na.drop("any", spec.keyCols)).distinct().cache()
     }
     // 2. RECOMPUTE exactly those groups from the heads. The fact scan
     //    restricts to a SUPERSET of the touched groups' membership —
@@ -394,11 +399,23 @@ object MaterializedView {
     }
     val recomputedAll = runDef(spark, spec.defSql, factR,
       spec.dims.map(d =>
-        d.dim.name -> dimDf(d, dimNow(d.dim.name))))
+        d.dim.name -> dimDf(d, dimNow(d.dim.name)))).cache()
     val recomputed = recomputedAll
-      .join(broadcast(touched), spec.keyCols, "left_semi").cache()
+      .join(broadcast(touched), spec.keyCols, "left_semi")
     try {
       val nTouched = touched.count()
+      if (spec.dims.isEmpty)
+        requireKeysNonNull(touched, spec.keyCols, "a changed base row")
+      else
+        // the definition itself produced a NULL group over the
+        // restricted inputs — out of the non-null-key contract; a
+        // silent skip here would let the view diverge forever. (A
+        // NULL group whose member rows the restriction cannot see —
+        // an outer-join definition padding unmatched rows — stays
+        // the documented create()-time contract: filter NULL groups
+        // in the definition's WHERE.)
+        requireKeysNonNull(recomputedAll, spec.keyCols,
+          "the definition's recomputed output")
       // 3. ONE keyed CDC fold into the view: recomputed groups upsert,
       //    groups with no surviving rows delete. seq = the sum of the
       //    table versions this refresh reflects — strictly monotone
@@ -420,6 +437,6 @@ object MaterializedView {
       //    against the same base/dim versions — idempotent by value
       writeSpec(spark, mvRoot, advanced)
       Some((v, nTouched))
-    } finally { touched.unpersist(); recomputed.unpersist(): Unit }
+    } finally { touched.unpersist(); recomputedAll.unpersist(): Unit }
   }
 }

@@ -789,6 +789,8 @@ object VersionedTable {
             tok.split('-') match {
               case Array(a, b) => a.toLong to b.toLong
               case Array(a)    => Seq(a.toLong)
+              case _ => throw new NumberFormatException(
+                s"bad checkpoint range token '$tok'")
             }
         }
         Some((lines(0).toLong, kept))

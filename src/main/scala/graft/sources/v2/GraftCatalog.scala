@@ -515,6 +515,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (f.exists(p)) { f.delete(p, true): Unit; quiet = 0 }
         else quiet += 1
       }
+      // a straggler that outlives the bound leaves the orphan —
+      // self-clearing on the next CTAS here, but say so: an
+      // unexplained directory after a "no directory" contract is
+      // undebuggable without the breadcrumb
+      if (quiet < 3 && f.exists(p))
+        System.err.println(
+          s"[graft] aborted CTAS at $location: a cancelled write " +
+            "task kept recreating the staged directory past the " +
+            "10s quiescence bound — the descriptor-less orphan " +
+            "will be cleared by the next CTAS at this identifier")
     }
 
   /** Declares ANSI constraint + column DEFAULT DDL support — without

@@ -572,8 +572,19 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
     def checkReadCompatible(v: Long): Unit = {
       val vLeaves = leafTypes(graft.sinks.ManifestTable.toPhysical(
         graft.sinks.ManifestTable.tableSchema(spark, root, v)))
+      // a version whose leaf is NARROWER than the pinned type stays
+      // readable (the vectorized reader's lossless widening
+      // promotion — the same per-file upcast batch reads of a
+      // widened table use), so a RESTARTED stream, whose re-pinned
+      // schema is the post-widen one, replays pre-widen history
+      // instead of wedging on it forever; only a version whose files
+      // carry a type the pinned schema cannot hold fails
       val changed = pinnedLeaves.keySet.intersect(vLeaves.keySet)
-        .filter(p => pinnedLeaves(p) != vLeaves(p))
+        .filter { p =>
+          pinnedLeaves(p) != vLeaves(p) &&
+            !graft.sinks.ManifestTable.widenable(vLeaves(p),
+              pinnedLeaves(p))
+        }
       if (changed.nonEmpty) throw new IllegalStateException(
         s"schema changed at version $v of $root: column type(s) " +
           changed.toSeq.sortBy(_.mkString(".")).map(p =>

@@ -481,7 +481,7 @@ private[v2] object GraftProcedures {
             require(bucketBy.isEmpty,
               "buckets => 0 drops the layout; bucket_by names nothing")
             graft.sinks.ManifestTable.rebucket(spark, loc, None,
-              sortCols = sortCols)
+              sortCols = sortCols, numFiles = nFiles)
           } else {
             val key =
               if (bucketBy.nonEmpty) bucketBy
@@ -493,7 +493,8 @@ private[v2] object GraftProcedures {
                   s"$tbl is not bucketed — name the key with " +
                     "bucket_by => 'col[,col]'"))
             graft.sinks.ManifestTable.rebucket(spark, loc,
-              Some((key, buckets)), sortCols = sortCols)
+              Some((key, buckets)), sortCols = sortCols,
+              numFiles = nFiles)
           }
         } else {
           require(bucketBy.isEmpty,

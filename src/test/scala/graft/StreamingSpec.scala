@@ -1108,6 +1108,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.collect().map(_.getAs[Long]("k")).sorted.toSeq ==
       (0L until 10L).toSeq,
       "the restarted stream serves exactly the post-widen appends")
+    // a checkpoint that LAGS the widen (pre-widen appends unserved):
+    // the restart pins the POST-widen schema and must REPLAY the
+    // narrow history under it (the vectorized reader's lossless
+    // upcast) — failing on the narrower old versions would wedge the
+    // stream permanently, with its own "restart" advice useless
+    val src2 = s"$base/src2"; val dst2 = s"$base/dst2"
+    val ckpt2 = s"$base/ckpt2"
+    ManifestTable.create(
+      spark.range(5).selectExpr("id as k", "cast(id * 10 as int) as v"),
+      src2, Seq("k"))
+    def start2(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft")
+        .option("streamMode", "append")
+        .load(src2)
+        .writeStream.format("graft")
+        .option("path", dst2).option("statsCols", "k")
+        .option("mergeSchema", "true")
+        .option("checkpointLocation", ckpt2)
+        .start()
+    val qa = start2()
+    try qa.processAllAvailable() finally qa.stop()
+    // while the stream is DOWN: narrow append, widen, wide append
+    ManifestTable.write(
+      spark.range(5, 8).selectExpr("id as k", "cast(id * 10 as int) as v"),
+      src2)
+    ManifestTable.widenColumnType(spark, src2, "v",
+      org.apache.spark.sql.types.LongType): Unit
+    ManifestTable.write(
+      spark.range(8, 10).selectExpr("id as k", "id * 10 as v"), src2)
+    val qb = start2()
+    try qb.processAllAvailable() finally qb.stop()
+    val out2 = spark.read.format("graft").load(dst2)
+    assert(out2.collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[Long]("v"))).sorted.toSeq ==
+      (0L until 10L).map(i => (i, i * 10L)),
+      "the lagging restart must replay the pre-widen appends (narrow " +
+        "files upcast under the re-pinned wide schema), values exact")
   }
 
   test("graft streaming sink mergeSchema: a restarted stream with new columns evolves the table; absent columns fill NULL; no opt-in refuses") {
