@@ -85,7 +85,7 @@ object Bench {
     // exposes unequal effective cores — dedicated cores land ≥ ~0.8,
     // the degraded r12 host measured 0.54. Below the threshold the
     // guard keeps waiting exactly like a high loadavg.
-    def coreRatio(): Double = {
+    def coreRatio(): (Double, Long) = {
       val n = Runtime.getRuntime.availableProcessors()
       val counts = new java.util.concurrent.atomic.AtomicLongArray(n)
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -109,13 +109,18 @@ object Bench {
       stop.set(true)
       threads.foreach(_.join(2000L))
       val vals = (0 until n).map(counts.get)
-      if (vals.exists(_ <= 0L)) 0.0
-      else vals.min.toDouble / vals.max.toDouble
+      // the absolute max-core rate rides along: UNIFORM throttling
+      // (every vCPU slowed equally — the round-13 residual-smear
+      // signature) keeps the ratio near 1.0 while the rate drops, so
+      // the artifact records both and future rounds can compare
+      // against a known-healthy rate
+      if (vals.exists(_ <= 0L)) (0.0, 0L)
+      else (vals.min.toDouble / vals.max.toDouble, vals.max)
     }
     val minCoreRatio =
       sys.env.getOrElse("SPARK_GRAFT_MIN_CORE_RATIO", "0.70").toDouble
     var waitedMs = 0L
-    var ratio = coreRatio()
+    var (ratio, rate) = coreRatio()
     while ((loadAvg() > maxLoad || ratio < minCoreRatio) &&
         waitedMs < maxWaitMs) {
       System.err.println(
@@ -124,10 +129,12 @@ object Bench {
           s"idle (${waitedMs / 1000}s/${maxWaitMs / 1000}s)")
       Thread.sleep(15000L)
       waitedMs += 15000L
-      ratio = coreRatio()
+      val (r2, m2) = coreRatio()
+      ratio = r2; rate = m2
     }
     val hotMachine = loadAvg() > maxLoad || ratio < minCoreRatio
     val coreRatioStart = ratio
+    val coreRateStart = rate
     // optional comma-separated name filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // strip quotes, backslashes and ALL control chars (incl. \r \t) so a
@@ -243,7 +250,7 @@ object Bench {
     val anyHot = hotMachine || hotQueries.nonEmpty
     val loadJson = s""","loadavg":{"start":$loadStart,"end":${loadAvg()}}""" +
       s""","core_ratio":${"%.2f".formatLocal(java.util.Locale.ROOT,
-        coreRatioStart)}""" +
+        coreRatioStart)},"core_rate":$coreRateStart""" +
       (if (anyHot) ""","hot_machine":true""" else "") +
       (if (hotQueries.nonEmpty)
         hotQueries.map("\"" + _ + "\"")
