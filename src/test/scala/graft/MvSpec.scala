@@ -215,6 +215,57 @@ class MvSpec extends AnyFunSuite {
     assert(t == 2L, s"en and de recompute (both join src 10): $t")
   }
 
+  test("join definitions: crash idempotence and dim retention — rewound offsets converge; a vacuumed dim version refuses with re-create named") {
+    val d = java.nio.file.Files.createTempDirectory("graft-mvjx").toString
+    val (fact, dim, mv) = (s"$d/fact", s"$d/dim", s"$d/mv")
+    ManifestTable.create(
+      Seq((1L, 10L, 100L), (2L, 20L, 50L))
+        .toDF("doc", "rid", "amount"), fact, Seq("rid"))
+    ManifestTable.create(
+      Seq((10L, "west"), (20L, "east")).toDF("rid", "rname"),
+      dim, Seq("rid"))
+    MaterializedView.create(spark, mv, fact,
+      "SELECT rname, sum(amount) AS total FROM __BASE__ f " +
+        "JOIN __DIM_r__ s ON f.rid = s.rid GROUP BY rname",
+      Seq("rname"), dims = Seq(MaterializedView.JoinDim(
+        "r", dim, Seq("rid"), Seq("rid"))))
+    ManifestTable.deleteWhere(spark, dim, col("rid") === 10L)
+    ManifestTable.write(Seq((10L, "coast")).toDF("rid", "rname"), dim)
+    ManifestTable.write(Seq((3L, 20L, 25L)).toDF("doc", "rid", "amount"),
+      fact)
+    MaterializedView.refresh(spark, mv): Unit
+    def rows() = ManifestTable.read(spark, mv).orderBy("rname")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val settled = rows()
+    assert(settled == Seq(("coast", 100L), ("east", 75L)))
+    // crash between the view commit and the offset write: rewind BOTH
+    // offsets (base line + the dim's) and refresh again — the same
+    // recompute against the same versions lands the same values
+    val st = java.nio.file.Paths.get(s"$mv/_mvdef/spec")
+    val lines = java.nio.file.Files.readAllLines(st)
+    lines.set(2, "0") // base offset
+    val dimLine = lines.get(4).split('\t')
+    dimLine(4) = "0" // dim offset
+    lines.set(4, dimLine.mkString("\t"))
+    java.nio.file.Files.write(st, lines)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$mv/_mvdef/.spec.crc")): Unit
+    MaterializedView.refresh(spark, mv): Unit
+    assert(rows() == settled,
+      "a replayed refresh must converge to identical content")
+    // a DIM vacuumed past the view's offset refuses like a lagged base
+    java.nio.file.Files.write(st, lines) // rewind again
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$mv/_mvdef/.spec.crc")): Unit
+    ManifestTable.write(Seq((30L, "north")).toDF("rid", "rname"), dim)
+    ManifestTable.vacuum(spark, dim, keep = 1, ttlMs = 0L)
+    val err = intercept[IllegalArgumentException] {
+      MaterializedView.refresh(spark, mv)
+    }
+    assert(err.getMessage.contains("re-create") &&
+      err.getMessage.contains("dim"))
+  }
+
   test("join definitions: contracts — ambiguous and non-column group keys refuse at create") {
     val d = java.nio.file.Files.createTempDirectory("graft-mvjc").toString
     val (fact, dim) = (s"$d/fact", s"$d/dim")
