@@ -75,10 +75,17 @@ case class GraftSchemaMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (parts.length > 1 && parts.head.equalsIgnoreCase(
         spark.conf.get("spark.sql.globalTempDatabase", "global_temp")))
       return None
+    // only a MISSING catalog falls back to the current one (Spark's
+    // rule); a registered catalog that fails to load must surface its
+    // own error through normal resolution, never silently reroute the
+    // append to a same-named table in the current catalog
     val headCatalog: Option[CatalogPlugin] =
       if (parts.length > 1)
         try Some(cm.catalog(parts.head))
-        catch { case _: Exception => None }
+        catch {
+          case _: org.apache.spark.sql.connector.catalog
+            .CatalogNotFoundException => None
+        }
       else None
     val (plugin, ns, name) = headCatalog match {
       case Some(c) => (c, parts.tail.init.toArray, parts.last)

@@ -3935,6 +3935,13 @@ object ManifestTable {
       val cur = readVersion(spark, root, base)
       val schema = tableSchema(spark, root, base)
       val bucketed = bucketSpec(schema).isDefined
+      // a curve layout cannot survive the bucketed landing's cell
+      // shuffle (and no in-bucket order re-establishes it) — a silent
+      // full-cost no-op must refuse instead
+      require(!hilbert || !bucketed,
+        "hilbert clustering cannot survive a bucketed landing's cell " +
+          "shuffle — rebucket() off the layout first, or cluster " +
+          "in-bucket with plain sortCols")
       // a BUCKETED table's landing reshuffles by cell, so a range
       // pre-pass would be a wasted whole-table shuffle+sort — skip
       // it and let the landing's in-bucket sort lay the rows
@@ -4095,14 +4102,27 @@ object ManifestTable {
       // rewrite is also the purge (output files carry no vector)
       val rowsIn = readFilesDv(spark, curSchema,
         todo.map(p => (p, dvAt(p)._1)), todo.map(p => dvAt(p)._2).sum)
+      // a BUCKETED table's landing reshuffles by cell: skip the
+      // pre-sort it would destroy and re-lay inside each cell via
+      // sortWithin instead (the same fix optimize/rebucket carry);
+      // a curve layout has no in-bucket re-establishment — refuse
+      val curBucketed = bucketSpec(curSchema).isDefined
+      require(!hilbert || !curBucketed,
+        "hilbert clustering cannot survive a bucketed landing's cell " +
+          "shuffle — rebucket() off the layout first, or cluster " +
+          "in-bucket with plain sortCols")
       val laid =
         if (hilbert) // the degraded subset re-lays on the shared curve
           ParquetSink.clusterByCurve(rowsIn, sortCols, nFiles)
+        else if (curBucketed) rowsIn
         else if (sortCols.isEmpty) rowsIn.repartition(nFiles)
         else rowsIn.repartitionByRange(nFiles, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       mb.filter(!col("path").isin(todo: _*))
-        .unionByName(landFiles(physSelect(laid, curSchema), root, curStats))
+        .unionByName(landFiles(physSelect(laid, curSchema), root, curStats,
+          sortWithin =
+            if (hilbert) Nil
+            else sortCols.map(c => physicalName(curSchema(c)))))
     })
   }
 

@@ -159,13 +159,15 @@ object MaterializedView {
   }
 
   private def requireKeysNonNull(df: DataFrame, keyCols: Seq[String],
-                                 what: String): Unit = {
+                                 what: String,
+                                 advice: String = "coalesce the key in " +
+                                   "the base or filter NULL groups in " +
+                                   "the definition's WHERE"): Unit = {
     val bad = df.filter(keyCols.map(col(_).isNull).reduce(_ || _))
       .limit(1).count()
     require(bad == 0L,
       s"materialized-view group keys must be non-null ($what carries " +
-        s"a NULL in ${keyCols.mkString(",")}) — coalesce the key in " +
-        "the base or filter NULL groups in the definition's WHERE")
+        s"a NULL in ${keyCols.mkString(",")}) — $advice")
   }
 
   /** Where each group key lives: None = the fact, Some(name) = that
@@ -409,13 +411,19 @@ object MaterializedView {
       else
         // the definition itself produced a NULL group over the
         // restricted inputs — out of the non-null-key contract; a
-        // silent skip here would let the view diverge forever. (A
-        // NULL group whose member rows the restriction cannot see —
-        // an outer-join definition padding unmatched rows — stays
-        // the documented create()-time contract: filter NULL groups
-        // in the definition's WHERE.)
+        // silent skip here would let the view diverge forever. The
+        // definition is frozen in the spec sidecar, so the remedy is
+        // re-creation, named. (A NULL group whose member rows the
+        // restriction cannot see — an outer-join definition padding
+        // unmatched rows — stays the documented create()-time
+        // contract: filter NULL groups in the definition's WHERE.)
         requireKeysNonNull(recomputedAll, spec.keyCols,
-          "the definition's recomputed output")
+          "the definition's recomputed output",
+          advice = "new base/dim rows fall outside the definition's " +
+            "join (an outer definition padding NULL groups?) — " +
+            "re-create the view with a definition that keeps keys " +
+            "non-null (inner join on the declared keys, or a WHERE " +
+            "filtering NULL groups)")
       // 3. ONE keyed CDC fold into the view: recomputed groups upsert,
       //    groups with no surviving rows delete. seq = the sum of the
       //    table versions this refresh reflects — strictly monotone
