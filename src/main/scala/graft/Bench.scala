@@ -63,7 +63,15 @@ object Bench {
     // JSON (rounds 4 and 5 each lost 17-18 query timings). Silence just
     // those two loggers; real warnings elsewhere still print.
     Seq("org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry",
-        "org.apache.spark.sql.execution.CacheManager").foreach { l =>
+        "org.apache.spark.sql.execution.CacheManager",
+        // the "No Partition Defined for Window" warnings are all
+        // aggregate-bounded windows (audited site by site in round 13:
+        // Sampling/Drift/Retrieval run windows over counted/bucketed
+        // frames, never the corpus) — at sf0.1 they emit hundreds of
+        // lines that exhaust the driver's BOUNDED output capture
+        // before the artifact prints (every BENCH_r*.json through r13
+        // has parsed:null for exactly this reason)
+        "org.apache.spark.sql.execution.window.WindowExec").foreach { l =>
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         l, org.apache.logging.log4j.Level.ERROR)
     }
@@ -224,6 +232,16 @@ object Bench {
         val external = (busy1 - busy0) - (self1 - self0)
         if (external / (wallSec * nCpus) > maxExtCpu) hotQueries += name
       } else if (loadAvg() > maxLoad) hotQueries += name // no /proc: fall back
+      // incremental flush (round-13 lesson: the driver's run timed out
+      // and the artifact — emitted only at the END — was lost wholesale;
+      // rc:124, parsed:null). One compact line per completed query means
+      // a timeout still leaves every finished timing parseable in the
+      // capture, at ~30 bytes/query instead of re-printing the whole
+      // growing artifact (the capture is byte-bounded — total output
+      // size is part of the contract).
+      println(s"""{"q":"$name","sec":${"%.3f".formatLocal(
+        java.util.Locale.ROOT, dt)}}""")
+      Console.out.flush()
       name -> dt
     }
     // 3-decimal fixed-point rendering: 9-digit mantissas tripled the
@@ -257,7 +275,6 @@ object Bench {
           .mkString(""","hot_queries":[""", ",", "]")
       else "")
     val artifact = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson$obsJson$loadJson}"""
-    println(artifact)
     // Committed twin of the artifact: the driver's bounded tail capture
     // truncated the printed JSON three rounds running (r4: 17 timings
     // lost, r5: 17, r6: 23) — the full per-query record must not depend
@@ -325,6 +342,11 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e")
     }
+    // the full artifact prints LAST so a parser that takes the final
+    // stdout line always lands on the complete record (the per-query
+    // progress lines above cover the timeout case)
+    println(artifact)
+    Console.out.flush()
     spark.stop()
   }
 }
