@@ -661,7 +661,8 @@ object VersionedTable {
       } else {
         require(versions(spark, root).contains(last),
           s"consumer lagged past retention: epoch $last of $root was " +
-            "vacuumed — re-bootstrap the consumer (drop its offset table)")
+            "vacuumed — re-bootstrap the consumer (drop its offset " +
+            "table)" + CrashedSweepHint)
         changesBetween(spark, root, last, cur, keyCols)
       }
     Some(ChangeBatch(changes, last, cur, () => {
@@ -730,7 +731,8 @@ object VersionedTable {
     require(eligible.nonEmpty,
       s"no retained epoch of $root is as old as $tsMs (oldest retained: " +
         s"v${stamped.head._1} @ ${stamped.head._2}) — the epoch current " +
-        "at that time was vacuumed, or the table did not exist yet")
+        "at that time was vacuumed, or the table did not exist yet" +
+        CrashedSweepHint)
     eligible.last._1
   }
 
@@ -751,6 +753,17 @@ object VersionedTable {
     * exact listing. Concurrent vacuums of one table are operator
     * error (each would re-record the other's victims). */
   private val Ckpt = "_VCKPT"
+
+  /** Appended to retention refusals that consult [[versions]]: the
+    * checkpoint's conservative under-report after a crashed sweep is
+    * RECONCILABLE (vacuum always re-reads the authoritative listing),
+    * and "was vacuumed" alone sent operators to re-create/re-bootstrap
+    * when a re-run would have restored the surviving version. */
+  val CrashedSweepHint: String =
+    " (if a recent vacuum crashed mid-sweep the version may still " +
+      "exist on disk while the retained-version checkpoint " +
+      "under-reports it — re-run vacuum on the table to reconcile, " +
+      "then retry)"
 
   private def writeCkpt(spark: SparkSession, root: String,
                         at: Long, kept: Seq[Long]): Unit = {

@@ -322,6 +322,15 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
             s"(${stamped.lastOption.map(_._2).getOrElse(-1L)} ms) — " +
             "nothing would ever stream; start from 'latest' instead"))
     })
+    // a timestamp at-or-before the FIRST commit resolves to version 0 —
+    // "everything from the beginning", which is exactly the snapshot
+    // bootstrap (Delta streams from the start here too; for the change
+    // feed the head snapshot is the keyed-compaction equivalent of the
+    // full event history). Map it rather than tripping the
+    // startingVersion >= 1 require with an option-mismatched message.
+    // An EXPLICIT startingVersion 0 still refuses below: that option's
+    // contract is "skip the bootstrap", which version 0 cannot honor.
+    if (startingTimestamp.nonEmpty && sv.contains(0L)) return None
     sv.foreach { v =>
       require(v >= 1L,
         s"startingVersion must be >= 1 (got $v) — to stream the whole " +
@@ -334,7 +343,8 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
           .contains(v - 1L),
         s"startingVersion $v of $root needs version ${v - 1L} retained " +
           "(the diff reads its state) but it was vacuumed — " +
-          "re-bootstrap without the option, or start later")
+          "re-bootstrap without the option, or start later" +
+          graft.sinks.VersionedTable.CrashedSweepHint)
     }
     sv
   }
@@ -501,7 +511,79 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
     cleanParts ++ dvParts
   }
 
+  /** The read-schema compatibility gate both catch-up paths share —
+    * see [[checkReadCompatible]]. Leaf types compare by frozen
+    * PHYSICAL name with nullability (and field metadata) stripped
+    * RECURSIVELY — an element-struct nullability relax inside an
+    * array/map must not read as a type change (it would wedge the
+    * stream permanently: the restart re-pins and fails on the same
+    * old versions). Renames, column/member adds and drops pass
+    * through as the additive evolutions they are. */
+  private def stripNull(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        f.name, stripNull(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(
+        stripNull(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(
+        stripNull(m.keyType), stripNull(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  private def leafTypes(s: StructType, prefix: Seq[String] = Nil)
+      : Map[Seq[String], org.apache.spark.sql.types.DataType] =
+    s.fields.flatMap { f =>
+      f.dataType match {
+        case st: StructType => leafTypes(st, prefix :+ f.name)
+        case other => Map((prefix :+ f.name) -> stripNull(other))
+      }
+    }.toMap
+
+  private lazy val pinnedLeaves =
+    leafTypes(graft.sinks.ManifestTable.toPhysical(dataSchema))
+
+  /** A version that changed a streamed column's TYPE (a widen) is a
+    * read-schema-incompatible evolution: rows from it (appended files
+    * in append mode, the materialized diff in change-feed mode) carry
+    * the wider physical type while this stream's read schema stays
+    * pinned at bootstrap — serving them would fail mid-batch with a
+    * raw parquet/scan conversion error. Fail fast HERE, naming the
+    * version and asking for a restart: a restart re-infers the
+    * table's HEAD schema (adoption is automatic — no Delta
+    * schemaTrackingLocation sidecar needed) and REPLAYS the narrower
+    * history under it via the vectorized reader's lossless upcast, so
+    * only a version whose files carry a type the pinned schema cannot
+    * hold fails. */
+  private def checkReadCompatible(v: Long): Unit = {
+    val vLeaves = leafTypes(graft.sinks.ManifestTable.toPhysical(
+      graft.sinks.ManifestTable.tableSchema(spark, root, v)))
+    val changed = pinnedLeaves.keySet.intersect(vLeaves.keySet)
+      .filter { p =>
+        pinnedLeaves(p) != vLeaves(p) &&
+          !graft.sinks.ManifestTable.widenable(vLeaves(p),
+            pinnedLeaves(p))
+      }
+    if (changed.nonEmpty) throw new IllegalStateException(
+      s"schema changed at version $v of $root: column type(s) " +
+        changed.toSeq.sortBy(_.mkString(".")).map(p =>
+          s"${p.mkString(".")} (${pinnedLeaves(p).simpleString} -> " +
+            s"${vLeaves(p).simpleString})").mkString(", ") +
+        " no longer read under this stream's bootstrap schema — " +
+        "restart the stream to pick up the evolved schema")
+  }
+
   private def planDiff(from: Long, to: Long): Array[InputPartition] = {
+    // the same widen fail-fast the append path runs (the diff
+    // materializes under the checkpoint scratch and reads back under
+    // the PINNED feed schema — a mid-stream widen would otherwise
+    // surface as a raw parquet conversion error there); a restart
+    // re-infers the head schema and the set-operation type widening
+    // inside the diff serves the narrow history upcast
+    if (isManifest) (from + 1L to to).foreach(checkReadCompatible)
     // materialize the delta under the stream's checkpoint scratch —
     // ONCE per range: Spark may re-plan the same batch (retries,
     // restarts) while earlier-planned tasks still hold the files, so
@@ -540,59 +622,9 @@ final class GraftChangeFeedStream(spark: SparkSession, root: String,
     def state(v: Long): Map[String, (Long, Option[String])] =
       graft.sinks.ManifestTable.rawFiles(spark, root, v)
         .map(f => f._1 -> ((f._2, f._3))).toMap
-    // a version that changed a streamed column's TYPE (a widen) is a
-    // read-schema-incompatible evolution: files appended after it
-    // carry the wider physical type while this stream's read schema
-    // stays pinned at bootstrap — serving them would fail mid-batch
-    // with a raw parquet column-conversion error. Fail fast HERE,
-    // naming the version and asking for a restart (the Delta
-    // contract; skipChangeCommits does NOT skip schema changes —
-    // every later file carries the new type). Leaf types compare by
-    // frozen PHYSICAL name with nullability stripped, so renames,
-    // column/member adds and drops pass through as the additive
-    // evolutions they are.
-    def leafTypes(s: StructType, prefix: Seq[String] = Nil)
-        : Map[Seq[String], org.apache.spark.sql.types.DataType] =
-      s.fields.flatMap { f =>
-        f.dataType match {
-          case st: StructType => leafTypes(st, prefix :+ f.name)
-          case a: org.apache.spark.sql.types.ArrayType =>
-            Map((prefix :+ f.name) ->
-              (org.apache.spark.sql.types.ArrayType(a.elementType)
-                : org.apache.spark.sql.types.DataType))
-          case m: org.apache.spark.sql.types.MapType =>
-            Map((prefix :+ f.name) ->
-              (org.apache.spark.sql.types.MapType(m.keyType, m.valueType)
-                : org.apache.spark.sql.types.DataType))
-          case dt => Map((prefix :+ f.name) -> dt)
-        }
-      }.toMap
-    val pinnedLeaves =
-      leafTypes(graft.sinks.ManifestTable.toPhysical(dataSchema))
-    def checkReadCompatible(v: Long): Unit = {
-      val vLeaves = leafTypes(graft.sinks.ManifestTable.toPhysical(
-        graft.sinks.ManifestTable.tableSchema(spark, root, v)))
-      // a version whose leaf is NARROWER than the pinned type stays
-      // readable (the vectorized reader's lossless widening
-      // promotion — the same per-file upcast batch reads of a
-      // widened table use), so a RESTARTED stream, whose re-pinned
-      // schema is the post-widen one, replays pre-widen history
-      // instead of wedging on it forever; only a version whose files
-      // carry a type the pinned schema cannot hold fails
-      val changed = pinnedLeaves.keySet.intersect(vLeaves.keySet)
-        .filter { p =>
-          pinnedLeaves(p) != vLeaves(p) &&
-            !graft.sinks.ManifestTable.widenable(vLeaves(p),
-              pinnedLeaves(p))
-        }
-      if (changed.nonEmpty) throw new IllegalStateException(
-        s"schema changed at version $v of $root: column type(s) " +
-          changed.toSeq.sortBy(_.mkString(".")).map(p =>
-            s"${p.mkString(".")} (${pinnedLeaves(p).simpleString} -> " +
-              s"${vLeaves(p).simpleString})").mkString(", ") +
-          " no longer read under this stream's bootstrap schema — " +
-          "restart the stream to pick up the evolved schema")
-    }
+    // widen fail-fast per classified version (shared with the diff
+    // path — [[checkReadCompatible]]); skipChangeCommits does NOT
+    // skip schema changes: every later file carries the new type
     var prev = state(from)
     var prevEq = graft.sinks.ManifestTable.eqDeletes(spark, root, from)
     val added = Seq.newBuilder[(String, Long)]

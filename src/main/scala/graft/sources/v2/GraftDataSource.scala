@@ -166,7 +166,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     require(version >= 0, s"versioned table at $root has no committed epoch")
     require(graft.sinks.VersionedTable.versions(spark, vtRoot).contains(version),
       s"versioned table at $root has no epoch $version " +
-        "(vacuumed or never committed)")
+        "(vacuumed or never committed)" +
+        graft.sinks.VersionedTable.CrashedSweepHint)
     (spark, root, version, isManifest)
   }
 

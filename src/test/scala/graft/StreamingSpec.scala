@@ -1147,6 +1147,69 @@ class StreamingSpec extends AnyFunSuite {
         "files upcast under the re-pinned wide schema), values exact")
   }
 
+  test("change-feed stream: a mid-stream type widen fails fast naming the version; a restart adopts the head schema and RESUMES from the checkpoint (no re-bootstrap)") {
+    import sinks.ManifestTable
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cf-widen").toString
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    ManifestTable.create(
+      spark.range(5).selectExpr("id as k", "cast(id * 10 as int) as v"),
+      src, Seq("k"))
+    // every delivered (k, v-as-long, op) across all batches — the
+    // dedup-free record that proves the restart REPLAYED nothing
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String)]
+    def start(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft")
+        .option("keyCols", "k").load(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen ++= df.collect().map(r => (
+            r.getAs[Long]("k"),
+            r.getAs[Number]("v").longValue(),
+            r.getAs[String]("op"))): Unit
+        }
+        .start()
+    def msg(e: Throwable): String =
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    // the stream pins its read schema ONCE (v int), bootstraps, and
+    // KEEPS RUNNING while the widen + a wide-valued upsert land — the
+    // long-running-consumer shape the pinned schema breaks
+    val q = start()
+    var widenV = -1L
+    try {
+      q.processAllAvailable()
+      assert(seen.size == 5 && seen.forall(_._3 == "I"))
+      widenV = ManifestTable.widenColumnType(spark, src, "v",
+        org.apache.spark.sql.types.LongType)
+      ManifestTable.merge(
+        spark.range(2).selectExpr("id as k", "id * 10 + 7000000000 as v"),
+        src, Seq("k"))
+      // the catch-up batch plans THROUGH the widen commit → the diff
+      // path must fail fast naming the version, not let the scratch
+      // read throw a raw parquet conversion error
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(30000): Unit
+      }
+      assert(msg(err).contains(s"schema changed at version $widenV") &&
+        msg(err).contains("restart the stream"),
+        s"expected the named schema-change refusal, got: ${msg(err)}")
+    } finally q.stop()
+    // the refusal's own remedy: a restart re-infers the HEAD (wide)
+    // schema and resumes from the checkpointed offset — the two
+    // updated keys arrive as a diff with their long values; the five
+    // bootstrap rows are NOT re-delivered
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen.size == 7,
+      s"restart must resume, not re-bootstrap: $seen")
+    assert(seen.drop(5).toSet ==
+      Set((0L, 7000000000L, "U"), (1L, 7000000010L, "U")),
+      s"the widened diff rows, exact: ${seen.drop(5)}")
+  }
+
   test("graft streaming sink mergeSchema: a restarted stream with new columns evolves the table; absent columns fill NULL; no opt-in refuses") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-sink-ms").toString
