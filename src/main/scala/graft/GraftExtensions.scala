@@ -43,6 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // that delegate to the manifest engine's file-granular operations
     ext.injectPostHocResolutionRule(session =>
       graft.plans.GraftRowLevelSqlRule(session))
+    // transparent materialized-view rewrite: an aggregate query whose
+    // analyzed plan IS a registered fresh MV's definition (over the
+    // snapshots the view reflects — freshness is part of the match)
+    // reads the view's files instead of re-scanning the base
+    ext.injectPostHocResolutionRule(session =>
+      graft.plans.GraftMvRewriteRule(session))
     // write-side schema auto-merge (mergeSchema option / the
     // spark.graft.schema.autoMerge conf): a by-name append carrying
     // new columns evolves the table instead of failing resolution.

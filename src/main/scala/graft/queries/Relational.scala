@@ -1572,6 +1572,119 @@ object Relational extends QueryModule {
     graft.sinks.ManifestTable.read(spark, mv).orderBy(col("lang_label"))
   }
 
+  /** TRANSPARENT MV REWRITE end-to-end on disk: create the join MV,
+    * move the base (append) and REFRESH, register the view for
+    * rewrite, then run the definition-shaped aggregate AS A PLAIN
+    * QUERY over the base tables. The analyzer must substitute the
+    * fresh view — the gate REQUIRES the substituted plan reads the
+    * view and not the fact (a silently-not-rewritten plan fails loud,
+    * not just slow) — and the served rows must hash-match the oracle's
+    * recompute over the final states. */
+  def qMvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_mvrw")
+    val (base, dim, mv) = (s"$root/fact", s"$root/dim", s"$root/mv")
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.sinks.ManifestTable.create(
+      d.repartition(4, col("lang"))
+        .sortWithinPartitions(col("lang"), col("doc_id")),
+      base, Seq("doc_id", "lang"))
+    graft.sinks.ManifestTable.create(
+      d.select(col("lang")).distinct()
+        .withColumn("lang_label", concat(lit("L-"), col("lang"))),
+      dim, Seq("lang"))
+    graft.sinks.MaterializedView.create(spark, mv, base,
+      "SELECT lang_label, count(*) AS n_docs, " +
+        "sum(n_chars) AS total_chars " +
+        "FROM __BASE__ f JOIN __DIM_langs__ s ON f.lang = s.lang " +
+        "GROUP BY lang_label",
+      Seq("lang_label"), dims = Seq(graft.sinks.MaterializedView.JoinDim(
+        "langs", dim, Seq("lang"), Seq("lang"))))
+    // move the base, then catch the view up — the rewrite must track
+    // freshness through the refresh, not just create-time parity
+    graft.sinks.ManifestTable.write(
+      d.filter(col("doc_id") % 4 === 1)
+        .withColumn("doc_id", col("doc_id") + 2000000L), base)
+    graft.sinks.MaterializedView.refresh(spark, mv)
+    graft.sinks.MaterializedView.enableRewrite(spark, mv)
+    try {
+      graft.sinks.ManifestTable.read(spark, base)
+        .createOrReplaceTempView("mvrw_f")
+      graft.sinks.ManifestTable.read(spark, dim)
+        .createOrReplaceTempView("mvrw_d")
+      val out = spark.sql(
+        "SELECT lang_label, count(*) AS n_docs, " +
+          "sum(n_chars) AS total_chars " +
+          "FROM mvrw_f f JOIN mvrw_d s ON f.lang = s.lang " +
+          "GROUP BY lang_label")
+      val rels = out.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table.name
+      }
+      require(rels.exists(_.contains("/mv")) &&
+        !rels.exists(_.contains("/fact")),
+        s"transparent rewrite did not serve the view: $rels")
+      out.orderBy(col("lang_label"))
+    } finally graft.sinks.MaterializedView.disableRewrite(spark, mv)
+  }
+
+  /** SNOWFLAKE MATERIALIZED VIEW end-to-end on disk — the second MV a
+    * real user writes: `fact ⋈ dim ⋈ dim-of-dim GROUP BY
+    * dim-of-dim.attr, date_trunc bucket`. Events join an account dim
+    * which joins a team dim-of-dim; the group keys are the team label
+    * (two hops from the fact) and a month bucket DECLARED as an
+    * expression key. One incremental refresh folds a dim-of-dim
+    * relabel (must lift teams→accounts→fact through the declared
+    * chain) AND a fact append; the oracle recomputes the definition
+    * over the final states. */
+  def qMvSnowflake(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_mvsf")
+    val (fact, accts, teams, mv) =
+      (s"$root/fact", s"$root/accts", s"$root/teams", s"$root/mv")
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    graft.sinks.ManifestTable.create(
+      e.repartition(4, col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("event_id")),
+      fact, Seq("event_id", "user_id"))
+    graft.sinks.ManifestTable.create(
+      e.select(col("user_id")).distinct()
+        .withColumn("team_id", col("user_id") % 7),
+      accts, Seq("user_id"))
+    graft.sinks.ManifestTable.create(
+      spark.range(0, 7).select(col("id").as("team_id"))
+        .withColumn("team_label", concat(lit("T-"), col("team_id"))),
+      teams, Seq("team_id"))
+    graft.sinks.MaterializedView.create(spark, mv, fact,
+      "SELECT team_label, date_trunc('month', ts) AS month, " +
+        "count(*) AS n_events, sum(event_id) AS id_sum " +
+        "FROM __BASE__ e JOIN __DIM_accts__ a ON e.user_id = a.user_id " +
+        "JOIN __DIM_teams__ t ON a.team_id = t.team_id " +
+        "GROUP BY team_label, date_trunc('month', ts)",
+      Seq("team_label", "month"),
+      dims = Seq(
+        graft.sinks.MaterializedView.JoinDim(
+          "accts", accts, Seq("user_id"), Seq("user_id")),
+        graft.sinks.MaterializedView.JoinDim(
+          "teams", teams, Seq("team_id"), Seq("team_id"),
+          parent = Some("accts"))),
+      keyExprs = Map("month" -> "date_trunc('month', ts)"))
+    // dim-of-dim relabel: teams below 3 move to X- labels
+    graft.sinks.ManifestTable.deleteWhere(spark, teams,
+      col("team_id") < 3)
+    graft.sinks.ManifestTable.write(
+      spark.range(0, 3).select(col("id").as("team_id"))
+        .withColumn("team_label", concat(lit("X-"), col("team_id"))),
+      teams)
+    // fact append in the same refresh window
+    graft.sinks.ManifestTable.write(
+      e.filter(col("event_id") % 5 === 0)
+        .withColumn("event_id", col("event_id") + 10000000L), fact)
+    graft.sinks.MaterializedView.refresh(spark, mv)
+    graft.sinks.ManifestTable.read(spark, mv)
+      .orderBy(col("team_label"), col("month"))
+  }
+
   /** MERGE-ON-READ DELETE ([[graft.sinks.ManifestTable
     * .deleteWhereMor]]) end-to-end on disk: two deletes commit
     * deletion-vector sidecars (zero data files rewritten — the second
@@ -1679,6 +1792,8 @@ object Relational extends QueryModule {
     "q_branch_wap"        -> qBranchWap _,
     "q_mv_refresh"        -> qMvRefresh _,
     "q_mv_join"           -> qMvJoin _,
+    "q_mv_snowflake"      -> qMvSnowflake _,
+    "q_mv_rewrite"        -> qMvRewrite _,
     "q_delete_dv"         -> qDeleteDv _,
     "q_update_dv"         -> qUpdateDv _,
     "q_jaro_rank"         -> qJaroRank _,
@@ -2006,6 +2121,47 @@ object Relational extends QueryModule {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM fact f JOIN dim s ON f.lang = s.lang
         |GROUP BY lang_label ORDER BY lang_label""".stripMargin,
+    // the transparently-served MV == the definition over the final
+    // states: the base gained shifted clones of doc_id % 4 = 1 and
+    // the view was refreshed before the rewritten query ran
+    "q_mv_rewrite" ->
+      """WITH dim AS (
+        |  SELECT lang, 'L-' || lang AS lang_label
+        |  FROM (SELECT DISTINCT lang FROM documents)),
+        |fact AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id % 4 = 1)
+        |SELECT lang_label, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM fact f JOIN dim s ON f.lang = s.lang
+        |GROUP BY lang_label ORDER BY lang_label""".stripMargin,
+    // the snowflake MV after one refresh == the definition over the
+    // final states: teams 0-2 relabeled X- (dim-of-dim), the fact
+    // gained shifted clones of event_id % 5 = 0; month is the
+    // date_trunc expression key
+    "q_mv_snowflake" ->
+      """WITH accts AS (
+        |  SELECT DISTINCT user_id, user_id % 7 AS team_id FROM events),
+        |teams AS (
+        |  SELECT team_id,
+        |    CASE WHEN team_id < 3 THEN 'X-' || team_id
+        |         ELSE 'T-' || team_id END AS team_label
+        |  FROM range(0, 7) t(team_id)),
+        |fact AS (
+        |  SELECT event_id, ts, user_id FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000 AS event_id, ts, user_id
+        |  FROM events WHERE event_id % 5 = 0)
+        |SELECT team_label,
+        |  CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+        |  count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM fact e
+        |JOIN accts a ON e.user_id = a.user_id
+        |JOIN teams t ON a.team_id = t.team_id
+        |GROUP BY team_label, date_trunc('month', ts)
+        |ORDER BY team_label, month""".stripMargin,
     // write-audit-publish: main after publish == branch's delete
     // (n_chars < 200) then keyed upsert (doc_id % 10 = 0 boosted)
     "q_branch_wap" ->

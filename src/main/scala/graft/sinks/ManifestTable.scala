@@ -3523,7 +3523,7 @@ object ManifestTable {
     * advances to the published version: continued branch work can
     * publish again as long as main only moves through this branch. */
   def publishBranch(spark: SparkSession, root: String,
-                    name: String): Long = {
+                    name: String, merge: Boolean = false): Long = {
     val base0 = readRef(spark, root, name) match {
       case Some(BranchRef(b)) => b
       case Some(TagRef(_)) =>
@@ -3540,16 +3540,133 @@ object ManifestTable {
       s"branch $name has pending equality deletes — run compactEq() " +
         "(or any row-level op / maintenance tick) on the branch " +
         "before publishing")
-    val published = commitLoopEvolving(spark, root,
-      eqReg = _ => Nil,
-      consReg = _ => constraintsAt(spark, bRoot, bv),
-      ndvReg = _ => ndvAt(spark, bRoot, bv)) { base =>
-      require(base == base0,
+    // three-way merge support: when main moved since the fork and
+    // `merge = true`, a METADATA merge lands both lines in one commit
+    // — sound at file granularity because every logical row lives in
+    // exactly one file at the fork, so any row-level change on either
+    // side touches that file's manifest state and overlapping-row
+    // edits surface as both-sides-touched files (refused, both
+    // commits named); disjoint appends/deletes/DV changes compose by
+    // reference, zero data copied.
+    def threeWay(base: Long): (DataFrame, StructType) = {
+      require(merge,
         s"main moved from $base0 to $base since branch $name forked — " +
           "non-fast-forward publish refused: re-create the branch " +
-          "from the current head and re-apply its changes")
-      (manifest(spark, bRoot, bv).withColumn("seq", lit(0L)),
-        tableSchema(spark, bRoot, bv))
+          "from the current head and re-apply its changes, or " +
+          "publish with merge = true to three-way merge disjoint " +
+          "file changes")
+      require(!hasPendingEq(spark, root, base),
+        s"main at $root has pending equality deletes — run " +
+          "compactEq() (or any row-level op / maintenance tick) on " +
+          "main before a merge publish")
+      // schema: at most ONE side may have evolved since the fork
+      val s0 = tableSchema(spark, root, base0)
+      val sB = tableSchema(spark, bRoot, bv)
+      val sM = tableSchema(spark, root, base)
+      val mergedSchema =
+        if (sB == s0) sM
+        else if (sM == s0 || sB == sM) sB
+        else sys.error(
+          s"both main (v$base0 -> v$base) and branch $name (at " +
+            s"v$bv) evolved the schema since the fork — align one " +
+            "side before a merge publish")
+      // per-path state: presence + (size, dv sidecar) — any row-level
+      // change to a file changes exactly this
+      def sideify(m: DataFrame, st: String, rw: String) =
+        m.select(col("path"),
+          struct(col("size"), col("dv_path")).as(st),
+          struct(m.columns.map(col): _*).as(rw))
+      val j = sideify(manifest(spark, root, base), "sm", "rm")
+        .join(sideify(manifest(spark, bRoot, bv), "sb", "rb"),
+          Seq("path"), "full_outer")
+        .join(manifest(spark, root, base0).select(col("path"),
+          struct(col("size"), col("dv_path")).as("s0")),
+          Seq("path"), "full_outer")
+      val branchTouched = !(col("sb") <=> col("s0"))
+      val mainTouched = !(col("sm") <=> col("s0"))
+      // CRASH REPLAY first: a merge publish that committed on main
+      // but crashed before the branch sync / ref rewrite leaves main
+      // ALREADY reflecting every branch change (the commit is atomic
+      // — all of the branch's state landed or none did). Re-running
+      // then recommits main's own state idempotently. This check must
+      // precede conflict detection: a replay's both-removed paths are
+      // indistinguishable per-path from two INDEPENDENT rewrites of
+      // the same file (which would duplicate the file's surviving
+      // rows through both replacements — the hazard refused below).
+      val unabsorbed = j
+        .filter(branchTouched && !(col("sb") <=> col("sm")))
+        .limit(1).count() > 0
+      if (!unabsorbed)
+        (manifest(spark, root, base).withColumn("seq", lit(0L)),
+          mergedSchema)
+      else {
+        // any path BOTH sides touched is a conflict — equal present
+        // states cannot arise outside a replay (fresh file paths
+        // carry UUIDs), and both-removed means two divergent rewrites
+        val conflicts = j
+          .filter(branchTouched && mainTouched)
+          .select(col("path")).limit(5).collect().map(_.getString(0))
+        require(conflicts.isEmpty,
+          s"merge publish of branch $name refused: main (v$base0 -> " +
+            s"v$base) and the branch (forked at v$base0, now v$bv) " +
+            "both changed file(s) " + conflicts.mkString(", ") +
+            " — overlapping row changes cannot compose at metadata " +
+            s"granularity; re-create the branch from v$base and " +
+            "re-apply its changes")
+        val merged = j.select(
+          when(branchTouched, col("rb")).otherwise(col("rm")).as("r"))
+          .filter(col("r").isNotNull).select(col("r.*"))
+          .withColumn("seq", lit(0L))
+        (merged, mergedSchema)
+      }
+    }
+    def pick[T](what: String, c0: T, cB: T, cM: T, base: Long): T =
+      if (cB == c0) cM
+      else if (cM == c0 || cB == cM) cB
+      else sys.error(
+        s"both main (v$base0 -> v$base) and branch $name changed " +
+          s"the $what registry since the fork — align one side " +
+          "before a merge publish")
+    val published = commitLoopEvolving(spark, root,
+      eqReg = _ => Nil,
+      consReg = base =>
+        if (base == base0) constraintsAt(spark, bRoot, bv)
+        else pick("constraint", constraintsAt(spark, root, base0),
+          constraintsAt(spark, bRoot, bv),
+          constraintsAt(spark, root, base), base),
+      ndvReg = base =>
+        if (base == base0) ndvAt(spark, bRoot, bv)
+        else {
+          // advisory statistics: prefer whichever side re-analyzed,
+          // main winning when both did — never a refusal
+          val n0 = ndvAt(spark, root, base0)
+          val nM = ndvAt(spark, root, base)
+          if (nM == n0) ndvAt(spark, bRoot, bv) else nM
+        }) { base =>
+      if (base == base0)
+        (manifest(spark, bRoot, bv).withColumn("seq", lit(0L)),
+          tableSchema(spark, bRoot, bv))
+      else threeWay(base)
+    }
+    // after a MERGE publish the branch must REBASE onto the merged
+    // result before its ref advances: leaving the branch manifest at
+    // its pre-merge state while the ref says "forked at published"
+    // would let the NEXT (fast-forward) publish adopt the branch
+    // wholesale and silently drop main's merged-in files. A crash
+    // between the main commit and this sync re-runs as an idempotent
+    // re-merge (every branch-touched path then reads identical on
+    // both sides — no conflict, same merged content).
+    if (latestVersion(spark, root) == published &&
+        readRef(spark, root, name).contains(BranchRef(base0)) &&
+        base0 != published) {
+      val pm = manifest(spark, root, published)
+      val ps = tableSchema(spark, root, published)
+      commitLoopEvolving(spark, bRoot,
+        eqReg = _ => Nil,
+        consReg = _ => constraintsAt(spark, root, published),
+        ndvReg = _ => ndvAt(spark, root, published)) { _ =>
+        (pm, ps)
+      }: Unit
     }
     rewriteRef(spark, root, name, s"branch $published")
     published
@@ -3839,7 +3956,8 @@ object ManifestTable {
       } else {
         require(versions(spark, root).contains(last),
           s"consumer lagged past retention: version $last of $root was " +
-            "vacuumed — re-bootstrap the consumer (drop its offset table)")
+            "vacuumed — re-bootstrap the consumer (drop its offset " +
+            "table)" + VersionedTable.CrashedSweepHint)
         changesBetween(spark, root, last, cur, keyCols)
       }
     Some(VersionedTable.ChangeBatch(changes, last, cur, () => {

@@ -33,22 +33,42 @@ import org.apache.spark.sql.functions._
   *       factKeys = Seq("region_id"), dimKeys = Seq("region_id"))))
   * }}}
   *
+  * SNOWFLAKE definitions chain one hop further: a dim whose `parent`
+  * names another declared dim joins THAT dim instead of the fact
+  * (`factKeys` are then the PARENT dim's columns), so
+  * `fact ⋈ accounts ⋈ teams GROUP BY team_label` maintains
+  * incrementally — a relabel in the dim-of-dim lifts through the
+  * chain to the fact rows it governs. EXPRESSION group keys (the time
+  * bucket every second MV wants) declare the computing SQL once:
+  * `keyExprs = Map("month" -> "date_trunc('month', ts)")` — the
+  * expression must be deterministic and resolve against the BASE
+  * alone, and the definition must select it under the same name.
+  *
+  * create() VALIDATES the declared joins against the definition's
+  * analyzed plan: each declared dim must appear as a direct relation
+  * equi-joined to its declared parent on AT LEAST the declared key
+  * pairs (extra equalities or residual predicates only shrink the
+  * real join, so the declared-key derivation stays a superset; a
+  * join on DIFFERENT columns than declared would silently derive the
+  * wrong touched groups — that is exactly what is refused here).
+  *
   * Refresh is AFFECTED-KEY RECOMPUTE (the shape that keeps EVERY
   * aggregate exact — min/max/count-distinct included — where
   * delta-folding breaks on deletes): diff the base's (and each dim's)
   * changed FILES between the view's last-refreshed versions and the
   * heads (metadata + changed-file reads only), derive the distinct
   * group keys those changes could have touched, re-run the definition
-  * over ONLY those groups' base rows (a broadcast semi join the
-  * runtime file filter prunes the base scan by — on a key-clustered
-  * base the recompute reads the touched groups' files, not the
-  * table), and fold the result into the view as one keyed CDC batch:
+  * over ONLY those groups' base rows (a semi join — broadcast while
+  * the key set is provably small, shuffle past the size gate — which
+  * the runtime file filter prunes the base scan by on a key-clustered
+  * base), and fold the result into the view as one keyed CDC batch:
   * recomputed groups upsert, vanished groups delete. Groups the
   * changes never touched are never read, never rewritten.
   *
   * For join definitions the touched-group derivation goes THROUGH the
   * declared joins: a changed dim row marks the groups its old and new
-  * attribute values name, and the fact rows joining its keys; group
+  * attribute values name, and the fact rows joining its keys (lifted
+  * hop by hop through the declared chain for snowflake dims); group
   * keys may live on the fact or on any declared dim (each key name
   * must be unique across the joined relations and selected through
   * unchanged). The derivation reconstructs the join as LEFT joins — a
@@ -58,11 +78,10 @@ import org.apache.spark.sql.functions._
   * NULL-keyed derivations are dropped (the definition's own output
   * keys are non-null by the create() contract). The recompute itself
   * restricts the FACT by the touched groups' fact-side keys and the
-  * touched dim attributes' join keys (again a superset of the touched
-  * groups' membership — every member row of a touched group is
-  * included), then keeps exactly the touched groups' recomputed rows.
-  * Multi-hop (dim-of-dim) definitions and group keys computed through
-  * expressions are out of scope — the create() checks name both.
+  * touched dim attributes' join keys lifted to the fact (again a
+  * superset of the touched groups' membership — every member row of a
+  * touched group is included), then keeps exactly the touched groups'
+  * recomputed rows.
   *
   * Exactly-once by idempotence: the view commit lands BEFORE the
   * offsets advance, and a crash between the two re-runs the same
@@ -74,11 +93,156 @@ object MaterializedView {
 
   private val StateSub = "_mvdef"
 
+  // ------------------------------------------------ transparent rewrite
+
+  /** Session conf listing the MV roots the analyzer rule
+    * ([[graft.plans.GraftMvRewriteRule]]) may substitute for matching
+    * aggregate queries over their bases. */
+  val RewriteRootsConf = "spark.graft.mv.rewrite.roots"
+
+  /** Opt a view into transparent rewrite for this session: any query
+    * whose analyzed plan matches the view's definition over the
+    * snapshots the view reflects reads the VIEW's files instead of
+    * re-scanning the base. Freshness is implicit — a stale view never
+    * matches (the version is part of the match), so enable-then-lag
+    * degrades to the direct scan, never to a stale answer. */
+  def enableRewrite(spark: SparkSession, mvRoot: String): Unit = {
+    val cur = spark.conf.getOption(RewriteRootsConf).getOrElse("")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (!cur.contains(mvRoot))
+      spark.conf.set(RewriteRootsConf, (cur :+ mvRoot).mkString(","))
+  }
+
+  /** Remove a view from the session's rewrite set. */
+  def disableRewrite(spark: SparkSession, mvRoot: String): Unit = {
+    val cur = spark.conf.getOption(RewriteRootsConf).getOrElse("")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    spark.conf.set(RewriteRootsConf,
+      cur.filterNot(_ == mvRoot).mkString(","))
+  }
+
+  /** Guards the rule against recursing into the analyses IT runs
+    * (candidate re-analysis, view reads). */
+  private[graft] val buildingRewrite: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** The root of a graft manifest relation, if `r` is one. */
+  private[graft] def graftRootOf(
+      r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation)
+      : Option[String] =
+    r.table match {
+      case g: graft.sources.v2.GraftTable => g.manifestInfo.map(_._1)
+      case _ => None
+    }
+
+  /** Subquery aliases eliminated, graft relations replaced by
+    * (root, version) placeholders — the normalization under which two
+    * independent reads of the same snapshot compare equal. */
+  private[graft] def normalizeForRewrite(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(p)
+      .transform {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table match {
+            case g: graft.sources.v2.GraftTable
+                if g.manifestInfo.isDefined =>
+              val (root, v) = g.manifestInfo.get
+              graft.plans.GraftRelPlaceholder(root, v, r.output)
+            case _ => r
+          }
+      }
+
+  private[graft] final case class RewriteCandidate(
+      mvRoot: String, baseRoot: String,
+      canonicalDef: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      defTypes: Seq[org.apache.spark.sql.types.DataType])
+
+  // keyed by mvRoot; validity = the spec sidecar's exact content
+  // (offsets advance on every refresh, so staleness self-invalidates)
+  private val rewriteCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Option[RewriteCandidate])]()
+
+  /** The view's definition re-analyzed against the snapshots its
+    * offsets name, in canonical normalized form — rebuilt only when
+    * the sidecar changes (i.e., per refresh). None when the view is
+    * gone, its definition is not a plain aggregate, or a named
+    * snapshot is no longer readable (vacuumed mid-lag): the rewrite
+    * just stands down, the direct scan stays correct. */
+  private[graft] def rewriteCandidate(spark: SparkSession,
+                                      mvRoot: String)
+      : Option[RewriteCandidate] =
+    try {
+      val f = fs(spark, mvRoot)
+      val p = statePath(mvRoot)
+      if (!f.exists(p)) return None
+      val in = f.open(p)
+      val specTxt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      val hit = rewriteCache.get(mvRoot)
+      if (hit != null && hit._1 == specTxt) return hit._2
+      buildingRewrite.set(true)
+      val built =
+        try {
+          val spec = readSpec(spark, mvRoot)
+          val base = ManifestTable.readVersion(spark, spec.baseRoot,
+            spec.lastVersion)
+          val dims = spec.dims.map(d => d.dim.name ->
+            ManifestTable.readVersion(spark, d.dim.root, d.lastVersion))
+          val df = runDef(spark, spec.defSql, base, dims)
+          normalizeForRewrite(df.queryExecution.analyzed) match {
+            case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+              Some(RewriteCandidate(mvRoot, spec.baseRoot,
+                agg.canonicalized, df.schema.map(_.dataType).toSeq))
+            case _ => None
+          }
+        } finally buildingRewrite.set(false)
+      rewriteCache.put(mvRoot, (specTxt, built))
+      built
+    } catch { case _: Throwable => None }
+
+  /** Replace a matched aggregate with a read of the view, projected
+    * positionally under the matched node's own output attributes
+    * (canonical equality fixes the positional correspondence; name +
+    * exprId preservation keeps every parent operator resolving
+    * unchanged). None — keep the original — on any arity/type
+    * mismatch, which a canonical match should preclude but must
+    * never be assumed. */
+  private[graft] def substituteRewrite(
+      spark: SparkSession, c: RewriteCandidate,
+      matched: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    buildingRewrite.set(true)
+    try {
+      val rel = org.apache.spark.sql.catalyst.analysis
+        .EliminateSubqueryAliases(
+          ManifestTable.read(spark, c.mvRoot).queryExecution.analyzed)
+      if (matched.output.length != rel.output.length ||
+          matched.output.zip(rel.output)
+            .exists { case (a, b) => a.dataType != b.dataType })
+        None
+      else Some(org.apache.spark.sql.catalyst.plans.logical.Project(
+        matched.output.zip(rel.output).map { case (o, m) =>
+          org.apache.spark.sql.catalyst.expressions.Alias(m, o.name)(
+            exprId = o.exprId)
+        }, rel))
+    } catch { case _: Throwable => None }
+    finally buildingRewrite.set(false)
+  }
+
+  // --------------------------------------------------------- definition
+
   /** A declared dimension of a join definition: the placeholder name
     * (`__DIM_<name>__` in the SQL), its manifest root, and the
-    * equi-join key columns on each side (positionally paired). */
+    * equi-join key columns on each side (positionally paired).
+    * `parent = None` joins the FACT (`factKeys` are base columns);
+    * `parent = Some(p)` joins declared dim `p` one hop up the
+    * snowflake (`factKeys` are then columns of `p`). */
   final case class JoinDim(name: String, root: String,
-                           factKeys: Seq[String], dimKeys: Seq[String])
+                           factKeys: Seq[String], dimKeys: Seq[String],
+                           parent: Option[String] = None)
 
   private final case class DimState(dim: JoinDim, lastVersion: Long)
 
@@ -87,7 +251,8 @@ object MaterializedView {
     * write; the crash contract is idempotence, not the CAS). */
   private final case class Spec(baseRoot: String, defSql: String,
                                 keyCols: Seq[String], lastVersion: Long,
-                                dims: Seq[DimState])
+                                dims: Seq[DimState],
+                                keyExprs: Seq[(String, String)])
 
   private def statePath(mvRoot: String) =
     new org.apache.hadoop.fs.Path(s"$mvRoot/$StateSub/spec")
@@ -95,6 +260,12 @@ object MaterializedView {
   private def fs(spark: SparkSession, mvRoot: String) =
     new org.apache.hadoop.fs.Path(mvRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // sidecar line prefixes after the 4 fixed lines: a dim is bare
+  // tab-separated fields, an expression key rides a marked line (the
+  // marker keeps old line positions stable — crash-idempotence tests
+  // rewrite offsets by index)
+  private val ExprMark = "#expr\t"
 
   private def readSpec(spark: SparkSession, mvRoot: String): Spec = {
     val f = fs(spark, mvRoot)
@@ -108,14 +279,21 @@ object MaterializedView {
     finally in.close()
     // defSql on line 3 (it may be long but never multi-line:
     // temp-view SQL with newlines is normalized at create); declared
-    // dims follow, one per line, tab-separated
-    val dims = lines.drop(4).filter(_.nonEmpty).toSeq.map { l =>
+    // dims follow, one per line, tab-separated; expression keys ride
+    // `#expr` lines after them
+    val tail = lines.drop(4).filter(_.nonEmpty).toSeq
+    val dims = tail.filterNot(_.startsWith(ExprMark)).map { l =>
       val f = l.split('\t')
       DimState(JoinDim(f(0), f(1), f(2).split(",").toSeq,
-        f(3).split(",").toSeq), f(4).toLong)
+        f(3).split(",").toSeq,
+        f.lift(5).filter(_ != "-")), f(4).toLong)
+    }
+    val keyExprs = tail.filter(_.startsWith(ExprMark)).map { l =>
+      val f = l.stripPrefix(ExprMark).split('\t')
+      (f(0), f(1))
     }
     Spec(lines(0), lines(3), lines(1).split(",").toSeq,
-      lines(2).toLong, dims)
+      lines(2).toLong, dims, keyExprs)
   }
 
   private def writeSpec(spark: SparkSession, mvRoot: String,
@@ -130,8 +308,10 @@ object MaterializedView {
       spec.lastVersion.toString, spec.defSql) ++
       spec.dims.map(d => Seq(d.dim.name, d.dim.root,
         d.dim.factKeys.mkString(","), d.dim.dimKeys.mkString(","),
-        d.lastVersion.toString).mkString("\t"))).mkString("\n")
-      .getBytes("UTF-8"))
+        d.lastVersion.toString, d.dim.parent.getOrElse("-"))
+        .mkString("\t")) ++
+      spec.keyExprs.map { case (k, e) => s"$ExprMark$k\t$e" })
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       p.toUri, spark.sparkContext.hadoopConfiguration)
@@ -142,21 +322,31 @@ object MaterializedView {
 
   /** Run the definition over `base` (and dim) rows through
     * collision-free temp views; the placeholders keep the definition
-    * free of any catalog/session coupling. */
-  private def runDef(spark: SparkSession, defSql: String,
-                     base: DataFrame,
-                     dims: Seq[(String, DataFrame)] = Nil): DataFrame = {
+    * free of any catalog/session coupling. Returns the bound frame
+    * plus the placeholder→view-name map (create() validates the
+    * analyzed plan's joins against the declared keys through it). */
+  private def runDefBound(spark: SparkSession, defSql: String,
+                          base: DataFrame,
+                          dims: Seq[(String, DataFrame)])
+      : (DataFrame, Map[String, String]) = {
     def fresh() = s"__graft_mv_${java.util.UUID.randomUUID().toString
       .replace("-", "")}"
     val bound = (("__BASE__", base) +:
       dims.map { case (n, df) => (dimPlaceholder(n), df) })
       .map { case (ph, df) => (ph, fresh(), df) }
     bound.foreach { case (_, v, df) => df.createOrReplaceTempView(v) }
-    try spark.sql(bound.foldLeft(defSql) { case (sql, (ph, v, _)) =>
-      sql.replace(ph, v) })
-    finally bound.foreach { case (_, v, _) =>
-      spark.catalog.dropTempView(v): Unit }
+    val df =
+      try spark.sql(bound.foldLeft(defSql) { case (sql, (ph, v, _)) =>
+        sql.replace(ph, v) })
+      finally bound.foreach { case (_, v, _) =>
+        spark.catalog.dropTempView(v): Unit }
+    (df, bound.map { case (ph, v, _) => ph -> v }.toMap)
   }
+
+  private def runDef(spark: SparkSession, defSql: String,
+                     base: DataFrame,
+                     dims: Seq[(String, DataFrame)] = Nil): DataFrame =
+    runDefBound(spark, defSql, base, dims)._1
 
   private def requireKeysNonNull(df: DataFrame, keyCols: Seq[String],
                                  what: String,
@@ -170,9 +360,11 @@ object MaterializedView {
         s"a NULL in ${keyCols.mkString(",")}) — $advice")
   }
 
-  /** Where each group key lives: None = the fact, Some(name) = that
-    * declared dim. Each key must resolve to exactly ONE relation —
-    * the refresh derives and restricts by these columns unqualified. */
+  /** Where each non-expression group key lives: None = the fact,
+    * Some(name) = that declared dim. Each key must resolve to exactly
+    * ONE relation — the refresh derives and restricts by these
+    * columns unqualified. Expression keys (declared in `keyExprs`)
+    * are fact-computed and validated separately. */
   private def keyResidence(spark: SparkSession, spec: Spec)
       : Map[String, Option[String]] = {
     val factCols = ManifestTable.tableSchema(spark, spec.baseRoot,
@@ -181,18 +373,97 @@ object MaterializedView {
       ManifestTable.tableSchema(spark, d.dim.root,
         ManifestTable.latestVersion(spark, d.dim.root))
         .fieldNames.toSet).toMap
-    spec.keyCols.map { k =>
+    val exprKeys = spec.keyExprs.map(_._1).toSet
+    spec.keyCols.filterNot(exprKeys.contains).map { k =>
       val homes = (if (factCols.contains(k)) Seq(None) else Nil) ++
         dimCols.collect { case (n, cs) if cs.contains(k) => Some(n) }
       require(homes.nonEmpty,
         s"group key $k is not a column of the base or any declared " +
-          "dim — keys must be table columns selected through unchanged")
+          "dim — keys must be table columns selected through " +
+          "unchanged, or declared in keyExprs as a deterministic " +
+          "expression over the base")
       require(homes.length == 1,
         s"group key $k is ambiguous (lives on " +
           s"${homes.map(_.getOrElse("the base")).mkString(" and ")}) — " +
           "key names must be unique across the joined relations")
       k -> homes.head
     }.toMap
+  }
+
+  /** Validate the DECLARED equi-joins against the definition's
+    * analyzed plan: each dim must be read as a direct relation and
+    * equi-joined to its declared parent on at least the declared key
+    * pairs (casts unwrapped; equalities read from JOIN conditions and
+    * WHERE conjuncts alike). A definition that joins on different
+    * columns — or reads the dim non-join-wise, e.g. a scalar
+    * subquery — would make the refresh derive touched groups through
+    * the WRONG keys and go permanently stale with no error; that is
+    * refused here, at create(). Extra equalities/predicates beyond
+    * the declared pairs are fine: they only shrink the real join, so
+    * the declared-key derivation remains a superset. */
+  private def validateDeclaredJoins(built: DataFrame,
+                                    views: Map[String, String],
+                                    dims: Seq[JoinDim]): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, ExprId, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, SubqueryAlias}
+    val plan = built.queryExecution.analyzed
+    def occs(view: String): Seq[Map[ExprId, String]] =
+      plan.collect { case s: SubqueryAlias if s.alias == view =>
+        s.output.map(a => a.exprId -> a.name).toMap }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def unwrap(e: Expression): Expression = e match {
+      case c: Cast => unwrap(c.child)
+      case other => other
+    }
+    val eqPairs: Seq[(AttributeReference, AttributeReference)] =
+      plan.collect {
+        case j: Join => j.condition.toSeq
+        case f: Filter => Seq(f.condition)
+      }.flatten.flatMap(conjuncts).flatMap {
+        case EqualTo(l, r) => (unwrap(l), unwrap(r)) match {
+          case (a: AttributeReference, b: AttributeReference) =>
+            Seq((a, b), (b, a))
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+    val baseOccs = occs(views("__BASE__"))
+    dims.foreach { d =>
+      val parentOccs = d.parent match {
+        case None    => baseOccs
+        case Some(p) => occs(views(dimPlaceholder(p)))
+      }
+      val dimOccs = occs(views(dimPlaceholder(d.name)))
+      require(dimOccs.nonEmpty,
+        s"dim ${d.name} is not read as a direct relation in the " +
+          "definition (a subquery expression?) — the refresh cannot " +
+          "prove the declared join; join the dim as a plain relation " +
+          s"on ${d.factKeys.zip(d.dimKeys).map { case (a, b) =>
+            s"$a = $b" }.mkString(" AND ")}")
+      val declared = d.factKeys.zip(d.dimKeys)
+      dimOccs.foreach { docc =>
+        val observed = eqPairs.flatMap { case (a, b) =>
+          parentOccs.collect {
+            case pocc if pocc.contains(a.exprId) &&
+                docc.contains(b.exprId) =>
+              (pocc(a.exprId), docc(b.exprId))
+          }
+        }.toSet
+        val missing = declared.filterNot(observed.contains)
+        require(missing.isEmpty,
+          s"dim ${d.name} is declared to join " +
+            s"${d.parent.getOrElse("the base")} on " +
+            declared.map { case (a, b) => s"$a = $b" }.mkString(", ") +
+            " but the definition's analyzed plan carries no such " +
+            s"equality for ${missing.map { case (a, b) =>
+              s"$a = $b" }.mkString(", ")} — a refresh would derive " +
+            "touched groups through the wrong keys and go silently " +
+            "stale; declare the keys the definition actually joins on")
+      }
+    }
   }
 
   /** Create the view: validate the definition, run the INITIAL full
@@ -202,7 +473,8 @@ object MaterializedView {
     * the view side too). Returns the view's version 0. */
   def create(spark: SparkSession, mvRoot: String, baseRoot: String,
              defSql0: String, keyCols: Seq[String],
-             dims: Seq[JoinDim] = Nil): Long = {
+             dims: Seq[JoinDim] = Nil,
+             keyExprs: Map[String, String] = Map.empty): Long = {
     // whitespace-normalized so the sidecar stays line-oriented (a
     // string literal carrying a LITERAL newline/tab would be altered —
     // write it as char(10)/char(9) in SQL instead)
@@ -218,6 +490,24 @@ object MaterializedView {
     val vB = ManifestTable.latestVersion(spark, baseRoot)
     require(vB >= 0, s"no manifest table at $baseRoot")
     val baseSchema = ManifestTable.tableSchema(spark, baseRoot, vB)
+    val byName = dims.map(d => d.name -> d).toMap
+    // snowflake chains: parents declared, acyclic, one schema home
+    // per join column
+    dims.foreach { d =>
+      d.parent.foreach { p =>
+        require(byName.contains(p),
+          s"dim ${d.name} names undeclared parent $p")
+        var cur = p
+        val seen = scala.collection.mutable.Set(d.name)
+        while (byName(cur).parent.isDefined) {
+          require(seen.add(cur),
+            s"dim parent chain of ${d.name} cycles at $cur")
+          cur = byName(cur).parent.get
+        }
+        require(seen.add(cur),
+          s"dim parent chain of ${d.name} cycles at $cur")
+      }
+    }
     val dimStates = dims.map { d =>
       require(defSql.contains(dimPlaceholder(d.name)),
         s"declared dim ${d.name} is never referenced — the definition " +
@@ -228,19 +518,52 @@ object MaterializedView {
       val vD = ManifestTable.latestVersion(spark, d.root)
       require(vD >= 0, s"no manifest table at ${d.root}")
       val dimSchema = ManifestTable.tableSchema(spark, d.root, vD)
-      d.factKeys.foreach(k => require(baseSchema.fieldNames.contains(k),
-        s"dim ${d.name} join key $k is not a base column"))
+      val parentSchema = d.parent match {
+        case None    => baseSchema
+        case Some(p) => ManifestTable.tableSchema(spark, byName(p).root,
+          ManifestTable.latestVersion(spark, byName(p).root))
+      }
+      d.factKeys.foreach(k => require(
+        parentSchema.fieldNames.contains(k),
+        s"dim ${d.name} join key $k is not a column of " +
+          s"${d.parent.getOrElse("the base")}"))
       d.dimKeys.foreach(k => require(dimSchema.fieldNames.contains(k),
         s"dim ${d.name} join key $k is not a dim column"))
       DimState(d, vD)
     }
-    val spec = Spec(baseRoot, defSql, keyCols, vB, dimStates)
+    // expression keys: must be among the group keys, must not shadow
+    // a physical column anywhere (the fold and derivation use the
+    // name unqualified), and must resolve DETERMINISTICALLY against
+    // the base alone — the derivation computes them on fact rows
+    // before any dim joins
+    val baseDf = ManifestTable.readVersion(spark, baseRoot, vB)
+    keyExprs.foreach { case (k, e) =>
+      require(keyCols.contains(k),
+        s"keyExprs entry $k is not a declared group key")
+      require(!baseSchema.fieldNames.contains(k) &&
+        dimStates.forall(d => !ManifestTable.tableSchema(spark,
+          d.dim.root, d.lastVersion).fieldNames.contains(k)),
+        s"expression key $k shadows a physical column — pick a name " +
+          "no joined relation carries")
+      val probe =
+        try baseDf.select(expr(e).as(k))
+        catch { case ex: Throwable => throw new IllegalArgumentException(
+          s"expression key $k = `$e` does not resolve against the " +
+            s"base alone: ${ex.getMessage}") }
+      require(probe.queryExecution.analyzed.expressions
+        .forall(_.deterministic),
+        s"expression key $k = `$e` is non-deterministic — the " +
+          "recompute must re-derive identical bucket values")
+    }
+    val spec = Spec(baseRoot, defSql, keyCols, vB, dimStates,
+      keyExprs.toSeq.sortBy(_._1))
     keyResidence(spark, spec): Unit // refuses missing/ambiguous keys
-    val built = runDef(spark, defSql,
+    val (built, views) = runDefBound(spark, defSql,
       ManifestTable.readVersion(spark, baseRoot, vB),
       dimStates.map(d =>
         d.dim.name -> ManifestTable.readVersion(spark, d.dim.root,
           d.lastVersion)))
+    if (dims.nonEmpty) validateDeclaredJoins(built, views, dims)
     keyCols.foreach(k => require(built.columns.contains(k),
       s"the definition's output must carry group key $k"))
     requireKeysNonNull(built, keyCols, "the initial build")
@@ -265,7 +588,8 @@ object MaterializedView {
           "table was restored/vacuumed under the view; re-create it")
       require(ManifestTable.versions(spark, root).contains(last),
         s"view lagged past retention: version $last of $what $root " +
-          "was vacuumed — re-create the view")
+          "was vacuumed — re-create the view" +
+          VersionedTable.CrashedSweepHint)
       vNow
     }
     val vNow = headOf(spec.baseRoot, spec.lastVersion, "base")
@@ -276,7 +600,10 @@ object MaterializedView {
         spec.dims.forall(d => dimNow(d.dim.name) == d.lastVersion))
       return None
     val residence = keyResidence(spark, spec)
-    val factKeyCols = spec.keyCols.filter(k => residence(k).isEmpty)
+    val factKeyCols = spec.keyCols.filter(k =>
+      residence.get(k).exists(_.isEmpty))
+    val exprKeys = spec.keyExprs
+    val dimByName = spec.dims.map(d => d.dim.name -> d).toMap
     def dimDf(d: DimState, v: Long): DataFrame =
       ManifestTable.readVersion(spark, d.dim.root, v)
 
@@ -296,6 +623,23 @@ object MaterializedView {
       (rowsOf(removed, from), rowsOf(added, to))
     }
     val (remF, addF) = changedRows(spec.baseRoot, spec.lastVersion, vNow)
+    // BROADCAST SIZE GATE: every key-set join below is broadcast ONLY
+    // while the set is provably small — bounded-by-changed-groups is
+    // the intended incremental regime, but a degenerate full-churn
+    // refresh (bulk rewrite, high-cardinality group key) must not pump
+    // a table-sized key set through the driver. Past the threshold the
+    // hint drops and Spark plans a shuffle semi join: the refresh
+    // degrades toward the full-recompute cost such a churn needs
+    // anyway, never toward a driver OOM. Counts ride on frames that
+    // are cached and re-used by the very joins they gate.
+    val maxBroadcastKeys = spark.conf.getOption(
+      "spark.graft.mv.maxBroadcastKeys").map(_.toLong).getOrElse(1000000L)
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def sized(df: DataFrame): (DataFrame, Long) = {
+      val c = df.cache(); cached += c; (c, c.count())
+    }
+    def keyed(df: DataFrame, n: Long): DataFrame =
+      if (n <= maxBroadcastKeys) broadcast(df) else df
     // per dim: the changed rows and the distinct JOIN-KEY values they
     // carry (old ∪ new) — every fact row joining one of these keys
     // may have changed its group or its contribution
@@ -304,109 +648,180 @@ object MaterializedView {
         dimNow(d.dim.name))
       val changedKeys = (remD.map(_.select(d.dim.dimKeys.map(col): _*)) ++
         addD.map(_.select(d.dim.dimKeys.map(col): _*)))
-        .reduceOption(_ unionByName _).map(_.distinct())
+        .reduceOption(_ unionByName _).map(df => sized(df.distinct()))
       (d, remD, addD, changedKeys)
     }
 
-    // 1b. TOUCHED FACT ROWS on each side: the fact's own changed rows
-    //     plus fact rows joining a changed dim key — the dim-key semi
-    //     join is broadcast, so the runtime file filter prunes a
-    //     join-key-clustered fact to the matching files
-    def factSide(factRows: Option[DataFrame], v: Long): Option[DataFrame] = {
-      val viaDims = dimDeltas.flatMap { case (d, _, _, ck) =>
-        ck.map { keys =>
-          ManifestTable.readVersion(spark, spec.baseRoot, v)
-            .join(broadcast(keys.toDF(d.dim.factKeys: _*)),
+    /** Lift a set of `d`-dimKeys values hop by hop up the declared
+      * chain to the FACT's join-key values (identity for fact-level
+      * dims): each hop is a semi join against the parent dim at the
+      * side-appropriate version, key sets size-gated like every other
+      * broadcast here. Returns the fact-key frame, its count, and the
+      * fact-level columns it carries. */
+    def liftToFact(d: DimState, keys: DataFrame, nKeys: Long,
+                   at: DimState => Long): (DataFrame, Long, Seq[String]) =
+      d.dim.parent match {
+        case None =>
+          (keys.toDF(d.dim.factKeys: _*), nKeys, d.dim.factKeys)
+        case Some(pName) =>
+          val p = dimByName(pName)
+          val (pk, nPk) = sized(dimDf(p, at(p))
+            .join(keyed(keys.toDF(d.dim.factKeys: _*), nKeys),
               d.dim.factKeys, "left_semi")
+            .select(p.dim.dimKeys.map(col): _*).distinct())
+          liftToFact(p, pk, nPk, at)
+      }
+
+    // 1b. TOUCHED FACT ROWS on each side: the fact's own changed rows
+    //     plus fact rows joining a changed dim key (lifted through
+    //     the chain for snowflake dims) — each semi join broadcasts
+    //     while small (the runtime file filter then prunes a
+    //     join-key-clustered fact to the matching files) and falls
+    //     back to a shuffle semi join past the gate
+    def factSide(factRows: Option[DataFrame], v: Long,
+                 at: DimState => Long): Option[DataFrame] = {
+      val viaDims = dimDeltas.flatMap { case (d, _, _, ck) =>
+        ck.map { case (keys, nKeys) =>
+          val (fk, nFk, fkCols) = liftToFact(d, keys, nKeys, at)
+          ManifestTable.readVersion(spark, spec.baseRoot, v)
+            .join(keyed(fk, nFk), fkCols, "left_semi")
         }
       }
       (factRows.toSeq ++ viaDims).reduceOption(_ unionByName _)
     }
     // 1c. TOUCHED GROUP KEYS: project the group keys of each side's
     //     touched fact rows — through the declared joins at that
-    //     side's versions when keys live on a dim. LEFT joins make
-    //     the derivation a superset of the definition's own join
-    //     (extra groups recompute to their unchanged values or fold
-    //     as no-op deletes — never a wrong answer); NULL-keyed
+    //     side's versions when keys live on a dim (including each
+    //     hosting dim's ancestor chain), computed on the fact rows
+    //     when declared as expressions. LEFT joins make the
+    //     derivation a superset of the definition's own join (extra
+    //     groups recompute to their unchanged values or fold as
+    //     no-op deletes — never a wrong answer); NULL-keyed
     //     derivations drop (join definitions) or refuse (plain).
+    def chainOf(d: DimState): Seq[DimState] = d.dim.parent match {
+      case None    => Seq(d)
+      case Some(p) => chainOf(dimByName(p)) :+ d
+    }
     def keysOfSide(rows: Option[DataFrame],
                    dimAt: DimState => Long): Option[DataFrame] =
       rows.map { r =>
-        val neededDims = spec.dims.filter(d =>
-          spec.keyCols.exists(k => residence(k).contains(d.dim.name)))
-        val joined = neededDims.foldLeft(r.as("__f")) { (acc, d) =>
-          val keptCols = (d.dim.dimKeys ++ spec.keyCols.filter(k =>
-            residence(k).contains(d.dim.name))).distinct
+        val hosts = spec.dims.filter(d =>
+          spec.keyCols.exists(k => residence.get(k)
+            .exists(_.contains(d.dim.name))))
+        // parent-first, deduped: every hosting dim plus its ancestors
+        val needed = hosts.flatMap(chainOf).distinct
+        val childKeys = needed.map { d =>
+          d.dim.name -> needed.filter(_.dim.parent.contains(d.dim.name))
+            .flatMap(_.dim.factKeys)
+        }.toMap
+        // expression keys compute on the RAW fact row before any
+        // joins (they resolve against the base alone by contract)
+        val withExprs = exprKeys.foldLeft(r) { case (acc, (k, e)) =>
+          acc.withColumn(k, expr(e))
+        }
+        val joined = needed.foldLeft(withExprs.as("__f")) { (acc, d) =>
+          val keptCols = (d.dim.dimKeys ++ childKeys(d.dim.name) ++
+            spec.keyCols.filter(k => residence.get(k)
+              .exists(_.contains(d.dim.name)))).distinct
+          val parentAlias = d.dim.parent match {
+            case None    => "__f"
+            case Some(p) => s"__d_$p"
+          }
           val cond = d.dim.factKeys.zip(d.dim.dimKeys).map {
             case (fk, dk) =>
-              col(s"__f.$fk") === col(s"__d_${d.dim.name}.$dk")
+              col(s"$parentAlias.$fk") === col(s"__d_${d.dim.name}.$dk")
           }.reduce(_ && _)
           acc.join(
             dimDf(d, dimAt(d)).select(keptCols.map(col): _*)
               .as(s"__d_${d.dim.name}"), cond, "left")
         }
         joined.select(spec.keyCols.map { k =>
-          residence(k) match {
-            case None      => col(s"__f.$k")
+          residence.get(k).flatten match {
+            case None      => col(s"__f.$k") // fact column or expr key
             case Some(dim) => col(s"__d_$dim.$k")
           }
         }: _*)
       }
-    val touchedRaw = (keysOfSide(factSide(remF, spec.lastVersion),
+    val touchedRaw = (keysOfSide(
+        factSide(remF, spec.lastVersion, d => d.lastVersion),
         d => d.lastVersion) ++
-      keysOfSide(factSide(addF, vNow), d => dimNow(d.dim.name)))
+      keysOfSide(factSide(addF, vNow, d => dimNow(d.dim.name)),
+        d => dimNow(d.dim.name)))
       .reduceOption(_ unionByName _)
     val advanced = spec.copy(lastVersion = vNow,
       dims = spec.dims.map(d =>
         d.copy(lastVersion = dimNow(d.dim.name))))
-    val touched = touchedRaw match {
+    val (touched, nTouched) = touchedRaw match {
       case None =>
         // metadata-only commits (evolution, rename, constraint):
         // no group can have changed — advance the offsets and stop
+        cached.foreach(_.unpersist(): Unit)
         writeSpec(spark, mvRoot, advanced)
         return Some((ManifestTable.latestVersion(spark, mvRoot), 0L))
       case Some(rows) =>
+        // expression keys are computed on the FACT row (never join
+        // padding), so a NULL there is a contract breach, not a LEFT
+        // reconstruction artifact: dropping it would silently exclude
+        // the row from the recompute restriction forever. Refuse
+        // loudly, like the plain-definition key check.
+        if (exprKeys.nonEmpty)
+          requireKeysNonNull(
+            rows.select(exprKeys.map(e => col(e._1)): _*),
+            exprKeys.map(_._1), "a changed base row's expression key",
+            advice = "the declared key expression must be non-null " +
+              "over base rows — coalesce it in keyExprs or filter " +
+              "the rows in the definition's WHERE, then re-create")
         // join definitions: NULL derivations are the LEFT
         // reconstruction's padding for rows an inner definition
         // contributes nothing for — dropped here; the definition's
         // OWN output is null-checked below. Plain definitions keep
         // the loud refusal (checked on the cached frame, one job
-        // with the count).
-        (if (spec.dims.isEmpty) rows
-         else rows.na.drop("any", spec.keyCols)).distinct().cache()
+        // with the count). The count doubles as the broadcast gate
+        // for every touched-key join below.
+        sized((if (spec.dims.isEmpty && exprKeys.isEmpty) rows
+          else rows.na.drop("any", spec.keyCols)).distinct())
     }
     // 2. RECOMPUTE exactly those groups from the heads. The fact scan
     //    restricts to a SUPERSET of the touched groups' membership —
-    //    fact-resident keys semi-join directly; dim-resident keys map
-    //    to the dims' join keys first — so every member row of every
-    //    touched group is read (broadcast semi joins the runtime file
-    //    filter prunes a clustered fact by), then exactly the touched
-    //    groups' recomputed rows are kept.
+    //    fact-resident keys semi-join directly; expression keys
+    //    semi-join on the recomputed expression; dim-resident keys
+    //    map to the dims' join keys and lift through the chain —
+    //    so every member row of every touched group is read (semi
+    //    joins the runtime file filter prunes a clustered fact by),
+    //    then exactly the touched groups' recomputed rows are kept.
     var factR = ManifestTable.readVersion(spark, spec.baseRoot, vNow)
     if (factKeyCols.nonEmpty)
       factR = factR.join(
-        broadcast(touched.select(factKeyCols.map(col): _*).distinct()),
+        keyed(touched.select(factKeyCols.map(col): _*).distinct(),
+          nTouched),
         factKeyCols, "left_semi")
+    exprKeys.foreach { case (k, e) =>
+      val tk = touched.select(col(k).as(s"__mv_tk_$k")).distinct()
+      factR = factR.join(keyed(tk, nTouched),
+        expr(e) === col(s"__mv_tk_$k"), "left_semi")
+    }
     spec.dims.foreach { d =>
       val resident = spec.keyCols.filter(k =>
-        residence(k).contains(d.dim.name))
+        residence.get(k).exists(_.contains(d.dim.name)))
       if (resident.nonEmpty) {
-        val pks = dimDf(d, dimNow(d.dim.name))
-          .join(broadcast(touched.select(resident.map(col): _*).distinct()),
-            resident, "left_semi")
-          .select(d.dim.dimKeys.map(col): _*).distinct()
-        factR = factR.join(broadcast(pks.toDF(d.dim.factKeys: _*)),
-          d.dim.factKeys, "left_semi")
+        // pks can outnumber touched groups (one touched attribute may
+        // name many dim keys), so it carries its OWN counted gate
+        val (pks, nPks) = sized(dimDf(d, dimNow(d.dim.name))
+          .join(keyed(touched.select(resident.map(col): _*).distinct(),
+            nTouched), resident, "left_semi")
+          .select(d.dim.dimKeys.map(col): _*).distinct())
+        val (fk, nFk, fkCols) = liftToFact(d, pks, nPks,
+          dd => dimNow(dd.dim.name))
+        factR = factR.join(keyed(fk, nFk), fkCols, "left_semi")
       }
     }
     val recomputedAll = runDef(spark, spec.defSql, factR,
       spec.dims.map(d =>
         d.dim.name -> dimDf(d, dimNow(d.dim.name)))).cache()
     val recomputed = recomputedAll
-      .join(broadcast(touched), spec.keyCols, "left_semi")
+      .join(keyed(touched, nTouched), spec.keyCols, "left_semi")
     try {
-      val nTouched = touched.count()
-      if (spec.dims.isEmpty)
+      if (spec.dims.isEmpty && exprKeys.isEmpty)
         requireKeysNonNull(touched, spec.keyCols, "a changed base row")
       else
         // the definition itself produced a NULL group over the
@@ -445,6 +860,9 @@ object MaterializedView {
       //    against the same base/dim versions — idempotent by value
       writeSpec(spark, mvRoot, advanced)
       Some((v, nTouched))
-    } finally { touched.unpersist(); recomputedAll.unpersist(): Unit }
+    } finally {
+      cached.foreach(_.unpersist(): Unit)
+      recomputedAll.unpersist(): Unit
+    }
   }
 }

@@ -838,7 +838,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                                      defSql: String,
                                      keyCols: Seq[String],
                                      dims: Seq[graft.sinks
-                                       .MaterializedView.JoinDim] = Nil)
+                                       .MaterializedView.JoinDim] = Nil,
+                                     keyExprs: Map[String, String] =
+                                       Map.empty)
       : String = {
     val baseLoc = locationOf(baseName)
     require(graft.sinks.ManifestTable.exists(spark, baseLoc),
@@ -853,7 +855,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val mvLoc = (s"$warehouse/tables" +: mvIdent.namespace.toSeq :+
       mvIdent.name).mkString("/")
     graft.sinks.MaterializedView.create(spark, mvLoc, baseLoc,
-      defSql, keyCols, dims): Unit
+      defSql, keyCols, dims, keyExprs): Unit
     val out = new java.util.Properties()
     out.setProperty("location", mvLoc)
     out.setProperty("statsCols", keyCols.mkString(","))

@@ -244,7 +244,13 @@ private[v2] object GraftProcedures {
     override def bind(inputType: StructType): BoundProcedure = this
     override def parameters(): Array[ProcedureParameter] =
       Array(ProcedureParameter.in("table", StringType).build(),
-        ProcedureParameter.in("name", StringType).build())
+        ProcedureParameter.in("name", StringType).build(),
+        // merge => true: when main moved since the fork, three-way
+        // merge disjoint FILE changes in one commit (overlapping
+        // files refuse, both commit ranges named)
+        ProcedureParameter.in("merge",
+          org.apache.spark.sql.types.BooleanType)
+          .defaultValue("false").build())
     override def isDeterministic: Boolean = false
     private val outSchema = StructType(Seq(
       StructField("published_version", LongType, nullable = false)))
@@ -255,7 +261,8 @@ private[v2] object GraftProcedures {
       require(graft.sinks.ManifestTable.exists(spark, loc),
         s"publish_branch is for manifest-format tables; $tbl is not one")
       val v = graft.sinks.ManifestTable.publishBranch(spark, loc,
-        input.getUTF8String(1).toString)
+        input.getUTF8String(1).toString,
+        merge = !input.isNullAt(2) && input.getBoolean(2))
       oneRowScan(outSchema, InternalRow(v))
     }
   }
@@ -338,20 +345,27 @@ private[v2] object GraftProcedures {
         ProcedureParameter.in("def_sql", StringType).build(),
         ProcedureParameter.in("keys", StringType).build(),
         ProcedureParameter.in("dims", StringType)
+          .defaultValue("''").build(),
+        // expression group keys: `name=sql_expr[; ...]`, e.g.
+        // `month=date_trunc('month', ts)` — deterministic over the
+        // base alone, selected in def_sql under the same name
+        ProcedureParameter.in("key_exprs", StringType)
           .defaultValue("''").build())
     override def isDeterministic: Boolean = false
     private val outSchema = StructType(Seq(
       StructField("location", StringType, nullable = false)))
     /** `dims` syntax, one entry per declared dimension:
-      * `name=ns.table ON factCol=dimCol[,factCol2=dimCol2][; ...]` —
-      * `name` binds `__DIM_name__` in def_sql, the table resolves in
-      * this catalog, the pairs are the equi-join keys. */
+      * `name=ns.table [FROM parent] ON factCol=dimCol[,fk2=dk2][; …]`
+      * — `name` binds `__DIM_name__` in def_sql, the table resolves
+      * in this catalog, the pairs are the equi-join keys; `FROM p`
+      * chains a snowflake dim off declared dim `p` (the left columns
+      * are then p's). */
     private val DimRe =
-      """(?i)^(\w+)\s*=\s*([\w.]+)\s+ON\s+(.+)$""".r
+      """(?i)^(\w+)\s*=\s*([\w.]+)(?:\s+FROM\s+(\w+))?\s+ON\s+(.+)$""".r
     override def call(input: InternalRow): JIterator[Scan] = {
       val dims = input.getUTF8String(4).toString
         .split(';').map(_.trim).filter(_.nonEmpty).toSeq.map {
-          case DimRe(name, tbl, pairs) =>
+          case DimRe(name, tbl, parent, pairs) =>
             val (fks, dks) = pairs.split(',').map(_.trim).map { p =>
               val kv = p.split('=')
               require(kv.length == 2,
@@ -359,17 +373,25 @@ private[v2] object GraftProcedures {
               (kv(0).trim, kv(1).trim)
             }.toSeq.unzip
             graft.sinks.MaterializedView.JoinDim(
-              name, catalog.locationOf(tbl), fks, dks)
+              name, catalog.locationOf(tbl), fks, dks,
+              parent = Option(parent))
           case tok => throw new IllegalArgumentException(
             s"bad dims entry '$tok' — expected " +
-              "name=ns.table ON factCol=dimCol[,factCol2=dimCol2]")
+              "name=ns.table [FROM parent] ON factCol=dimCol[,fk2=dk2]")
         }
+      val keyExprs = input.getUTF8String(5).toString
+        .split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { tok =>
+          val i = tok.indexOf('=')
+          require(i > 0,
+            s"bad key_exprs entry '$tok' — expected name=sql_expr")
+          (tok.take(i).trim, tok.drop(i + 1).trim)
+        }.toMap
       val loc = catalog.createMvRegistered(
         input.getUTF8String(0).toString, input.getUTF8String(1).toString,
         input.getUTF8String(2).toString,
         input.getUTF8String(3).toString.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq,
-        dims)
+        dims, keyExprs)
       oneRowScan(outSchema, InternalRow(UTF8String.fromString(loc)))
     }
   }

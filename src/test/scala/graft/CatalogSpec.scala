@@ -1436,6 +1436,52 @@ class CatalogSpec extends AnyFunSuite {
     assert(outJ.getLong(1) == 2L,
       s"L-b vanishes and X-b appears — 2 recomputed groups: $outJ")
     assert(mvj() == Seq(("L-a", 10L), ("X-b", 30L)))
+
+    // SNOWFLAKE definition by name (`FROM parent` in dims) with an
+    // EXPRESSION key (`key_exprs`): group by a dim-of-dim label and
+    // an abs() bucket of the fact value; a dim-of-dim relabel folds
+    // through one refresh_mv
+    spark.sql("CREATE TABLE graftc.db.mvdim2 (label STRING, fam STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'label')")
+    // labels as of NOW: 'a' -> 'L-a', 'b' -> 'X-b' (relabeled above)
+    spark.sql(
+      "INSERT INTO graftc.db.mvdim2 VALUES ('L-a', 'F1'), ('X-b', 'F2')")
+    spark.sql("CALL graftc.system.create_mv('db.mv_snow', 'db.mvbase', " +
+      "'SELECT fam, v % 20 AS bucket, count(*) AS n FROM __BASE__ f " +
+      "JOIN __DIM_d__ s ON f.g = s.g " +
+      "JOIN __DIM_e__ t ON s.label = t.label " +
+      "GROUP BY fam, v % 20', 'fam,bucket', " +
+      "dims => 'd=db.mvdim ON g=g; e=db.mvdim2 FROM d ON label=label', " +
+      "key_exprs => 'bucket=v % 20')")
+    def mvs() = spark.sql(
+      "SELECT * FROM graftc.db.mv_snow ORDER BY fam, bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(mvs() == Seq(("F1", 10L, 1L), ("F2", 10L, 1L)))
+    spark.sql("DELETE FROM graftc.db.mvdim2 WHERE label = 'X-b'")
+    spark.sql("INSERT INTO graftc.db.mvdim2 VALUES ('X-b', 'F9')")
+    spark.sql("CALL graftc.system.refresh_mv('db.mv_snow')").collect(): Unit
+    assert(mvs() == Seq(("F1", 10L, 1L), ("F9", 10L, 1L)))
+  }
+
+  test("merge publish in SQL: publish_branch(merge => true) lands disjoint branch and main changes in one commit") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graftc.db.wap3 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql("INSERT INTO graftc.db.wap3 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CALL graftc.system.create_branch('db.wap3', 'feat')")
+    spark.sql("INSERT INTO graftc.db.wap3.feat VALUES (3, 'c')")
+    // main moves underneath with its own disjoint append
+    spark.sql("INSERT INTO graftc.db.wap3 VALUES (4, 'd')")
+    val noMerge = intercept[Exception] {
+      spark.sql("CALL graftc.system.publish_branch('db.wap3', 'feat')")
+    }
+    assert(noMerge.getMessage.contains("non-fast-forward"))
+    spark.sql(
+      "CALL graftc.system.publish_branch('db.wap3', 'feat', merge => true)")
+    assert(spark.sql("SELECT * FROM graftc.db.wap3 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
   test("CALL analyze_table: one HLL pass feeds NDV into cost-based planning by name") {

@@ -215,6 +215,44 @@ class MvSpec extends AnyFunSuite {
     assert(t == 2L, s"en and de recompute (both join src 10): $t")
   }
 
+  test("broadcast size gate: a full-churn refresh past the key threshold falls back to shuffle semi joins and still lands exact") {
+    // lower the gate to 0 so EVERY touched-key join takes the
+    // shuffle-semi fallback — the degenerate regime where
+    // broadcast(touched)/broadcast(pks) would otherwise pump a
+    // table-sized key set through the driver. The refresh must
+    // produce byte-identical content either way.
+    val d = java.nio.file.Files.createTempDirectory("graft-mvgate").toString
+    val (fact, dim, mv) = (s"$d/fact", s"$d/dim", s"$d/mv")
+    ManifestTable.create(
+      (1L to 200L).map(i => (i, i % 20, i * 3))
+        .toDF("doc", "region_id", "amount"), fact, Seq("region_id"))
+    ManifestTable.create(
+      (0L until 20L).map(i => (i, s"r$i")).toDF("region_id", "region_name"),
+      dim, Seq("region_id"))
+    MaterializedView.create(spark, mv, fact, JoinDefSql,
+      Seq("region_name"), dims = Seq(MaterializedView.JoinDim(
+        "regions", dim, Seq("region_id"), Seq("region_id"))))
+    spark.conf.set("spark.graft.mv.maxBroadcastKeys", "0")
+    try {
+      // full-table churn: every dim row relabels AND the fact doubles —
+      // every group is touched, the worst case the gate exists for
+      ManifestTable.deleteWhere(spark, dim, lit(true))
+      ManifestTable.write(
+        (0L until 20L).map(i => (i, s"R$i")).toDF("region_id", "region_name"),
+        dim)
+      ManifestTable.write(
+        (201L to 400L).map(i => (i, i % 20, i * 3))
+          .toDF("doc", "region_id", "amount"), fact)
+      val Some((_, touched)) = MaterializedView.refresh(spark, mv)
+      assert(touched == 40L, s"old 20 + new 20 labels touched: $touched")
+      val expect = (0L until 20L).map { r =>
+        val docs = (1L to 400L).filter(_ % 20 == r)
+        (s"R$r", docs.size.toLong, docs.map(_ * 3).sum)
+      }.sortBy(_._1)
+      assert(joinMvRows(mv) == expect)
+    } finally spark.conf.unset("spark.graft.mv.maxBroadcastKeys")
+  }
+
   test("join definitions: crash idempotence and dim retention — rewound offsets converge; a vacuumed dim version refuses with re-create named") {
     val d = java.nio.file.Files.createTempDirectory("graft-mvjx").toString
     val (fact, dim, mv) = (s"$d/fact", s"$d/dim", s"$d/mv")
@@ -300,6 +338,247 @@ class MvSpec extends AnyFunSuite {
           "r", dim, Seq("rid"), Seq("rid"))))
     }
     assert(ref.getMessage.contains("never referenced"))
+  }
+
+  test("snowflake: a dim-of-dim relabel lifts through the chain — one refresh, exact vs full recompute") {
+    val d = java.nio.file.Files.createTempDirectory("graft-mvsf").toString
+    val (fact, accts, teams, mv) =
+      (s"$d/fact", s"$d/accts", s"$d/teams", s"$d/mv")
+    // fact(doc, acct) → accts(acct, team) → teams(team, label)
+    ManifestTable.create(
+      Seq((1L, 10L, 5L), (2L, 10L, 3L), (3L, 11L, 7L), (4L, 12L, 2L))
+        .toDF("doc", "acct", "words"), fact, Seq("acct"))
+    ManifestTable.create(
+      Seq((10L, 100L), (11L, 100L), (12L, 200L)).toDF("acct", "team"),
+      accts, Seq("acct"))
+    ManifestTable.create(
+      Seq((100L, "alpha"), (200L, "beta")).toDF("team", "label"),
+      teams, Seq("team"))
+    MaterializedView.create(spark, mv, fact,
+      "SELECT label, count(*) AS n, sum(words) AS w FROM __BASE__ f " +
+        "JOIN __DIM_accts__ a ON f.acct = a.acct " +
+        "JOIN __DIM_teams__ t ON a.team = t.team GROUP BY label",
+      Seq("label"),
+      dims = Seq(
+        MaterializedView.JoinDim("accts", accts, Seq("acct"), Seq("acct")),
+        MaterializedView.JoinDim("teams", teams, Seq("team"), Seq("team"),
+          parent = Some("accts"))))
+    def rows() = ManifestTable.read(spark, mv).orderBy("label")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows() == Seq(("alpha", 3L, 15L), ("beta", 1L, 2L)))
+    // ONE refresh folding: team 100 relabels alpha→gamma (dim-of-dim
+    // only — must lift teams.team → accts.acct → fact rows), an acct
+    // MOVES teams (11 → 200: its fact rows change groups), and the
+    // fact appends
+    ManifestTable.deleteWhere(spark, teams, col("team") === 100L)
+    ManifestTable.write(Seq((100L, "gamma")).toDF("team", "label"), teams)
+    ManifestTable.merge(Seq((11L, 200L)).toDF("acct", "team"),
+      accts, Seq("acct"))
+    ManifestTable.write(Seq((5L, 12L, 9L)).toDF("doc", "acct", "words"),
+      fact)
+    val Some((_, touched)) = MaterializedView.refresh(spark, mv)
+    // full recompute over the three final states is the truth
+    assert(rows() == Seq(("beta", 3L, 18L), ("gamma", 2L, 8L)),
+      s"touched=$touched")
+    assert(MaterializedView.refresh(spark, mv).isEmpty)
+  }
+
+  test("expression keys: a date_trunc month bucket maintains incrementally as rows move across buckets") {
+    val d = java.nio.file.Files.createTempDirectory("graft-mvek").toString
+    val (base, mv) = (s"$d/base", s"$d/mv")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    ManifestTable.create(
+      Seq((1L, t("2024-01-05 10:00:00"), 5L),
+        (2L, t("2024-01-20 10:00:00"), 3L),
+        (3L, t("2024-02-02 10:00:00"), 7L))
+        .toDF("id", "ts", "v"), base, Seq("id"))
+    MaterializedView.create(spark, mv, base,
+      "SELECT date_trunc('month', ts) AS month, count(*) AS n, " +
+        "sum(v) AS total FROM __BASE__ GROUP BY date_trunc('month', ts)",
+      Seq("month"), keyExprs = Map("month" -> "date_trunc('month', ts)"))
+    def rows() = ManifestTable.read(spark, mv).orderBy("month")
+      .collect().toSeq
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+    assert(rows() == Seq(("2024-01-01 00:00:00.0", 2L, 8L),
+      ("2024-02-01 00:00:00.0", 1L, 7L)))
+    // row 2 MOVES from January to March (old bucket shrinks, new
+    // bucket appears), February gains a row — one refresh
+    ManifestTable.merge(
+      Seq((2L, t("2024-03-15 10:00:00"), 3L)).toDF("id", "ts", "v"),
+      base, Seq("id"))
+    ManifestTable.write(
+      Seq((4L, t("2024-02-28 10:00:00"), 1L)).toDF("id", "ts", "v"), base)
+    val Some((_, touched)) = MaterializedView.refresh(spark, mv)
+    assert(touched == 3L, s"jan, feb, mar touched: $touched")
+    assert(rows() == Seq(("2024-01-01 00:00:00.0", 1L, 5L),
+      ("2024-02-01 00:00:00.0", 2L, 8L),
+      ("2024-03-01 00:00:00.0", 1L, 3L)))
+    // January 2024 empties entirely → the bucket leaves the view
+    ManifestTable.deleteWhere(spark, base, col("id") === 1L)
+    MaterializedView.refresh(spark, mv): Unit
+    assert(rows().map(_._1) ==
+      Seq("2024-02-01 00:00:00.0", "2024-03-01 00:00:00.0"))
+  }
+
+  test("expression-key contracts: non-deterministic, unresolvable, shadowing and undeclared expressions refuse at create") {
+    val d = java.nio.file.Files.createTempDirectory("graft-mvec").toString
+    val base = s"$d/base"
+    ManifestTable.create(
+      Seq((1L, 10L)).toDF("id", "v"), base, Seq("id"))
+    val nondet = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, s"$d/mv1", base,
+        "SELECT rand() AS b, count(*) AS n FROM __BASE__ GROUP BY rand()",
+        Seq("b"), keyExprs = Map("b" -> "rand()"))
+    }
+    assert(nondet.getMessage.contains("non-deterministic"))
+    val unres = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, s"$d/mv2", base,
+        "SELECT nope + 1 AS b, count(*) AS n FROM __BASE__ GROUP BY nope + 1",
+        Seq("b"), keyExprs = Map("b" -> "nope + 1"))
+    }
+    assert(unres.getMessage.contains("does not resolve"))
+    val shadow = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, s"$d/mv3", base,
+        "SELECT v, count(*) AS n FROM __BASE__ GROUP BY v",
+        Seq("v"), keyExprs = Map("v" -> "v"))
+    }
+    assert(shadow.getMessage.contains("shadows"))
+    val undeclared = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, s"$d/mv4", base,
+        "SELECT id, count(*) AS n FROM __BASE__ GROUP BY id",
+        Seq("id"), keyExprs = Map("other" -> "v + 1"))
+    }
+    assert(undeclared.getMessage.contains("not a declared group key"))
+  }
+
+  test("declared-join validation: a definition joining on DIFFERENT columns than declared refuses at create, naming the missing equality") {
+    val d = java.nio.file.Files.createTempDirectory("graft-mvjv").toString
+    val (fact, dim) = (s"$d/fact", s"$d/dim")
+    ManifestTable.create(
+      Seq((1L, 10L, 20L)).toDF("doc", "rid", "nid"), fact, Seq("rid"))
+    ManifestTable.create(
+      Seq((10L, 20L, "west")).toDF("rid", "nid", "rname"),
+      dim, Seq("rid"))
+    // declared on rid but the SQL joins on nid — refresh would derive
+    // touched groups through the wrong keys; must refuse at create
+    val wrong = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, s"$d/mv1", fact,
+        "SELECT rname, count(*) AS n FROM __BASE__ f " +
+          "JOIN __DIM_r__ s ON f.nid = s.nid GROUP BY rname",
+        Seq("rname"), dims = Seq(MaterializedView.JoinDim(
+          "r", dim, Seq("rid"), Seq("rid"))))
+    }
+    assert(wrong.getMessage.contains("rid = rid") &&
+      wrong.getMessage.contains("no such equality"))
+    // a dim read only through a scalar subquery is not a provable
+    // equi-join — refuse naming the contract
+    val sub = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, s"$d/mv2", fact,
+        "SELECT doc, (SELECT max(rname) FROM __DIM_r__) AS top, " +
+          "count(*) AS n FROM __BASE__ GROUP BY doc, " +
+          "(SELECT max(rname) FROM __DIM_r__)",
+        Seq("doc"), dims = Seq(MaterializedView.JoinDim(
+          "r", dim, Seq("rid"), Seq("rid"))))
+    }
+    assert(sub.getMessage.contains("direct relation"))
+    // EXTRA equalities beyond the declared pair are fine (they only
+    // shrink the real join — the declared derivation stays a superset)
+    MaterializedView.create(spark, s"$d/mv3", fact,
+      "SELECT rname, count(*) AS n FROM __BASE__ f " +
+        "JOIN __DIM_r__ s ON f.rid = s.rid AND f.nid = s.nid " +
+        "GROUP BY rname",
+      Seq("rname"), dims = Seq(MaterializedView.JoinDim(
+        "r", dim, Seq("rid"), Seq("rid")))): Unit
+  }
+
+  private def scanRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.name
+    }
+
+  test("transparent rewrite: a matching aggregate over the base reads the FRESH view, stands down when stale, resumes after refresh") {
+    val d = java.nio.file.Files.createTempDirectory("graft-mvrw").toString
+    val (fact, dim, mv) = (s"$d/fact", s"$d/dim", s"$d/mv")
+    ManifestTable.create(
+      Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 20L, 30L))
+        .toDF("doc", "region_id", "amount"), fact, Seq("region_id"))
+    ManifestTable.create(
+      Seq((10L, "west"), (20L, "east")).toDF("region_id", "region_name"),
+      dim, Seq("region_id"))
+    MaterializedView.create(spark, mv, fact, JoinDefSql,
+      Seq("region_name"), dims = Seq(MaterializedView.JoinDim(
+        "regions", dim, Seq("region_id"), Seq("region_id"))))
+    MaterializedView.enableRewrite(spark, mv)
+    try {
+      def userQuery(): org.apache.spark.sql.DataFrame = {
+        ManifestTable.read(spark, fact).createOrReplaceTempView("rw_f")
+        ManifestTable.read(spark, dim).createOrReplaceTempView("rw_d")
+        spark.sql(
+          "SELECT region_name, count(*) AS n, sum(amount) AS total " +
+            "FROM rw_f f JOIN rw_d r ON f.region_id = r.region_id " +
+            "GROUP BY region_name")
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("region_name").collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // fresh at create: the plan must read the VIEW, not the base —
+      // and the executed scan must touch no base file
+      val q1 = userQuery()
+      assert(scanRoots(q1).exists(_.contains("/mv")),
+        s"expected the view to serve: ${scanRoots(q1)}")
+      assert(!scanRoots(q1).exists(_.contains("/fact")))
+      assert(q1.queryExecution.executedPlan.toString.contains("/mv"))
+      assert(rows(q1) == Seq(("east", 1L, 30L), ("west", 2L, 150L)))
+      // base moves → the view is STALE → the match fails by version
+      // and the direct scan answers (never a stale view)
+      ManifestTable.write(
+        Seq((4L, 20L, 70L)).toDF("doc", "region_id", "amount"), fact)
+      val q2 = userQuery()
+      assert(!scanRoots(q2).exists(_.contains("/mv")),
+        s"a stale view must not serve: ${scanRoots(q2)}")
+      assert(rows(q2) == Seq(("east", 2L, 100L), ("west", 2L, 150L)))
+      // refresh catches the view up → the rewrite resumes
+      MaterializedView.refresh(spark, mv): Unit
+      val q3 = userQuery()
+      assert(scanRoots(q3).exists(_.contains("/mv")))
+      assert(rows(q3) == Seq(("east", 2L, 100L), ("west", 2L, 150L)))
+      // a DIFFERENT aggregate over the same base must not match
+      ManifestTable.read(spark, fact).createOrReplaceTempView("rw_f")
+      val other = spark.sql(
+        "SELECT region_id, count(*) AS n FROM rw_f GROUP BY region_id")
+      assert(!scanRoots(other).exists(_.contains("/mv")))
+      // disable → the same matching query scans the base again
+      MaterializedView.disableRewrite(spark, mv)
+      assert(!scanRoots(userQuery()).exists(_.contains("/mv")))
+    } finally {
+      MaterializedView.disableRewrite(spark, mv)
+      spark.catalog.dropTempView("rw_f"): Unit
+      spark.catalog.dropTempView("rw_d"): Unit
+    }
+  }
+
+  test("transparent rewrite: plain (non-join) definitions with a WHERE match too, and an ORDER BY above the aggregate survives") {
+    val (base, mv) = fresh("mvrw2")
+    ManifestTable.create(baseRows(Seq(
+      (1L, "en", 100L), (2L, "en", 50L), (3L, "de", 5L), (4L, "de", 30L))),
+      base, Seq("doc", "lang"))
+    MaterializedView.create(spark, mv, base, DefSql, Seq("lang"))
+    MaterializedView.enableRewrite(spark, mv)
+    try {
+      ManifestTable.read(spark, base).createOrReplaceTempView("rw_b")
+      val q = spark.sql(
+        "SELECT lang, count(*) AS n, sum(chars) AS total, " +
+          "min(doc) AS first_doc, max(chars) AS max_chars " +
+          "FROM rw_b WHERE chars >= 10 GROUP BY lang ORDER BY lang")
+      assert(scanRoots(q).exists(_.contains("/mv")),
+        s"rewrite under ORDER BY: ${scanRoots(q)}")
+      assert(q.collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+        == Seq(("de", 1L), ("en", 2L)))
+    } finally {
+      MaterializedView.disableRewrite(spark, mv)
+      spark.catalog.dropTempView("rw_b"): Unit
+    }
   }
 
   test("metadata-only base commits advance the offset without touching any group") {

@@ -110,6 +110,55 @@ class RefsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("non-fast-forward"))
   }
 
+  test("merge publish: disjoint branch and main changes land in ONE commit; the branch rebases onto the merge; overlapping file changes refuse naming both commits") {
+    val root = freshRoot("wap3w")
+    ManifestTable.create(
+      (1L to 10L).map(i => (i, i * 10)).toDF("id", "v"), root, Seq("id"))
+    ManifestTable.createBranch(spark, root, "feature")
+    val bRoot = ManifestTable.branchRoot(root, "feature")
+    // branch line: an append AND a row-level delete (rewrites a fork
+    // file — the state change the merge must adopt)
+    ManifestTable.write(Seq((11L, 110L)).toDF("id", "v"), bRoot)
+    ManifestTable.deleteWhere(spark, bRoot, col("id") === 7L)
+    // main line moves underneath with its own disjoint append
+    ManifestTable.write(Seq((21L, 210L)).toDF("id", "v"), root)
+    // without the flag: the fast-forward refusal names the escape
+    val ff = intercept[Exception] {
+      ManifestTable.publishBranch(spark, root, "feature")
+    }
+    assert(ff.getMessage.contains("non-fast-forward") &&
+      ff.getMessage.contains("merge = true"))
+    // with it: ONE commit carrying the branch delete + both appends
+    ManifestTable.publishBranch(spark, root, "feature", merge = true)
+    val want = ((1L to 10L).filterNot(_ == 7L) ++ Seq(11L, 21L)).sorted
+      .map(i => Seq[Any](i, i * 10))
+    assert(rows(ManifestTable.read(spark, root)) == want)
+    // REBASE: the branch adopted the merged state, so continued
+    // branch work fast-forwards WITHOUT dropping main's merged-in
+    // rows (the silent-loss hazard a ref-only advance would create)
+    ManifestTable.write(Seq((12L, 120L)).toDF("id", "v"), bRoot)
+    ManifestTable.publishBranch(spark, root, "feature")
+    val want2 = ((1L to 10L).filterNot(_ == 7L) ++ Seq(11L, 12L, 21L))
+      .sorted.map(i => Seq[Any](i, i * 10))
+    assert(rows(ManifestTable.read(spark, root)) == want2,
+      "a post-merge fast-forward must retain main's merged-in files")
+    // CONFLICT: both sides change the same row's FILE — refused with
+    // both commit ranges named; main keeps its state
+    ManifestTable.deleteWhere(spark, bRoot, col("id") === 1L)
+    ManifestTable.merge(Seq((1L, 999L)).toDF("id", "v"), root, Seq("id"))
+    val err = intercept[Exception] {
+      ManifestTable.publishBranch(spark, root, "feature", merge = true)
+    }
+    assert(err.getMessage.contains("both changed file"),
+      s"got: ${err.getMessage}")
+    assert("""v\d+ -> v\d+""".r.findFirstIn(err.getMessage).nonEmpty &&
+      err.getMessage.contains("now v"),
+      s"both commits named: ${err.getMessage}")
+    assert(ManifestTable.read(spark, root)
+      .filter(col("id") === 1L).head().getLong(1) == 999L,
+      "a refused merge must leave main untouched")
+  }
+
   test("branch publish carries the branch's schema evolution and constraints") {
     val root = freshRoot("wapevolve")
     ManifestTable.create(Seq((1L, "a")).toDF("id", "v"), root, Seq("id"))
