@@ -882,13 +882,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "drop_ref"        => new GraftProcedures.DropRef(this)
       case "create_mv"       => new GraftProcedures.CreateMv(this)
       case "refresh_mv"      => new GraftProcedures.RefreshMv(this)
+      case "enable_mv_rewrite" =>
+        new GraftProcedures.MvRewriteSwitch(this, enable = true)
+      case "disable_mv_rewrite" =>
+        new GraftProcedures.MvRewriteSwitch(this, enable = false)
       case "analyze_table"   => new GraftProcedures.AnalyzeTable(this)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $catalogName.system.$other (available: " +
           "maintain, vacuum_table, restore_table, clone_table, " +
           "optimize_table, compact_eq, add_constraint, drop_constraint, " +
           "create_branch, create_tag, publish_branch, drop_ref, " +
-          "create_mv, refresh_mv)")
+          "create_mv, refresh_mv, enable_mv_rewrite, disable_mv_rewrite)")
     }
   }
 

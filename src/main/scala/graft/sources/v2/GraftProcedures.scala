@@ -396,6 +396,36 @@ private[v2] object GraftProcedures {
     }
   }
 
+  /** `enable_mv_rewrite(view)` / `disable_mv_rewrite(view)` — opt a
+    * registered view in/out of TRANSPARENT REWRITE for this session:
+    * while enabled (and the view FRESH — staleness stands down to the
+    * direct scan automatically), any aggregate whose analyzed plan
+    * matches the view's definition reads the view's files instead of
+    * re-scanning the base ([[graft.plans.GraftMvRewriteRule]]). */
+  final class MvRewriteSwitch(catalog: GraftCatalog, enable: Boolean)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String =
+      if (enable) "enable_mv_rewrite" else "disable_mv_rewrite"
+    override def description(): String =
+      if (enable)
+        "serve matching aggregates from this materialized view while " +
+          "it is fresh (stale views stand down to the direct scan)"
+      else "stop serving matching aggregates from this view"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("view", StringType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("location", StringType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val loc = catalog.locationOf(input.getUTF8String(0).toString)
+      if (enable) graft.sinks.MaterializedView.enableRewrite(spark, loc)
+      else graft.sinks.MaterializedView.disableRewrite(spark, loc)
+      oneRowScan(outSchema, InternalRow(UTF8String.fromString(loc)))
+    }
+  }
+
   /** `refresh_mv(view)` — incremental refresh; returns the view's new
     * version and the recomputed group count (NULLs when the base has
     * not moved). */

@@ -1484,6 +1484,48 @@ class CatalogSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("transparent rewrite in SQL: enable_mv_rewrite serves a matching aggregate over the CATALOG table from the view; stale stands down; refresh + disable round-trip") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graftc.db.rwbase (k BIGINT, g STRING, " +
+      "v BIGINT) TBLPROPERTIES ('statsCols' = 'k,g')")
+    spark.sql(
+      "INSERT INTO graftc.db.rwbase VALUES (1, 'a', 10), (2, 'a', 20)")
+    spark.sql("INSERT INTO graftc.db.rwbase VALUES (3, 'b', 30)")
+    spark.sql("CALL graftc.system.create_mv('db.mv_rw', 'db.rwbase', " +
+      "'SELECT g, count(*) AS n, sum(v) AS total FROM __BASE__ " +
+      "GROUP BY g', 'g')")
+    spark.sql("CALL graftc.system.enable_mv_rewrite('db.mv_rw')")
+    try {
+      def q() = spark.sql("SELECT g, count(*) AS n, sum(v) AS total " +
+        "FROM graftc.db.rwbase GROUP BY g")
+      def served(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.analyzed.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+            r.table.name
+        }.exists(_.contains("mv_rw"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("g").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val fresh = q()
+      assert(served(fresh), "the fresh view must serve the catalog query")
+      assert(rows(fresh) == Seq(("a", 2L, 30L), ("b", 1L, 30L)))
+      // base moves: the view is stale, the direct scan answers
+      spark.sql("INSERT INTO graftc.db.rwbase VALUES (4, 'b', 40)")
+      val stale = q()
+      assert(!served(stale), "a stale view must stand down")
+      assert(rows(stale) == Seq(("a", 2L, 30L), ("b", 2L, 70L)))
+      // refresh catches up: served again, with the new totals
+      spark.sql("CALL graftc.system.refresh_mv('db.mv_rw')").collect(): Unit
+      val again = q()
+      assert(served(again) &&
+        rows(again) == Seq(("a", 2L, 30L), ("b", 2L, 70L)))
+      spark.sql("CALL graftc.system.disable_mv_rewrite('db.mv_rw')")
+      assert(!served(q()))
+    } finally
+      spark.sql("CALL graftc.system.disable_mv_rewrite('db.mv_rw')")
+        .collect(): Unit
+  }
+
   test("CALL analyze_table: one HLL pass feeds NDV into cost-based planning by name") {
     warehouse: Unit
     spark.sql("CREATE TABLE graftc.db.anlz (k BIGINT, g STRING) " +
