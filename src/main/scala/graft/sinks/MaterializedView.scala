@@ -609,67 +609,79 @@ object MaterializedView {
 
     // 1a. CHANGED ROWS of each table, old and new state — reads are
     //     bounded by each delta's files, with each side's deletion
-    //     vectors applied
+    //     vectors applied. Each side also carries its manifest-known
+    //     ROW BOUND (the delta files' effective row counts): the
+    //     broadcast gates below decide on these bounds with ZERO
+    //     extra jobs — at 100 TB, counting a frame to decide whether
+    //     to broadcast it would cost the very scan the gate exists
+    //     to avoid.
     def changedRows(root: String, from: Long, to: Long)
-        : (Option[DataFrame], Option[DataFrame]) = {
+        : (Option[(DataFrame, Long)], Option[(DataFrame, Long)]) = {
       if (from == to) return (None, None)
       val (removed, added) = ManifestTable.changedFileStates(
         spark, root, from, to)
       def rowsOf(states: Seq[(String, Option[String], Long)], v: Long) =
         if (states.isEmpty) None
-        else Some(ManifestTable.readFilesDv(spark,
+        else Some((ManifestTable.readFilesDv(spark,
           ManifestTable.tableSchema(spark, root, v),
-          states.map(s => (s._1, s._2)), states.map(_._3).sum))
+          states.map(s => (s._1, s._2)), states.map(_._3).sum),
+          states.map(_._3).sum))
       (rowsOf(removed, from), rowsOf(added, to))
     }
     val (remF, addF) = changedRows(spec.baseRoot, spec.lastVersion, vNow)
     // BROADCAST SIZE GATE: every key-set join below is broadcast ONLY
-    // while the set is provably small — bounded-by-changed-groups is
+    // while the set is PROVABLY small — bounded-by-changed-groups is
     // the intended incremental regime, but a degenerate full-churn
     // refresh (bulk rewrite, high-cardinality group key) must not pump
     // a table-sized key set through the driver. Past the threshold the
     // hint drops and Spark plans a shuffle semi join: the refresh
     // degrades toward the full-recompute cost such a churn needs
-    // anyway, never toward a driver OOM. Counts ride on frames that
-    // are cached and re-used by the very joins they gate.
+    // anyway, never toward a driver OOM. Proof is by MANIFEST ROW
+    // BOUNDS (delta row counts, dim effective row counts), never by a
+    // counting job — a conservative miss (many rows, few distinct
+    // keys) merely skips a broadcast opportunity.
     val maxBroadcastKeys = spark.conf.getOption(
       "spark.graft.mv.maxBroadcastKeys").map(_.toLong).getOrElse(1000000L)
-    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def sized(df: DataFrame): (DataFrame, Long) = {
-      val c = df.cache(); cached += c; (c, c.count())
-    }
-    def keyed(df: DataFrame, n: Long): DataFrame =
-      if (n <= maxBroadcastKeys) broadcast(df) else df
+    def keyed(df: DataFrame, bound: Long): DataFrame =
+      if (bound <= maxBroadcastKeys) broadcast(df) else df
+    /** A dim's total effective rows at `v` — the manifest-metadata
+      * bound for any key set derived from that dim. */
+    def dimRowBound(d: DimState, v: Long): Long =
+      ManifestTable.effectiveStates(spark, d.dim.root, v).map(_._3).sum
     // per dim: the changed rows and the distinct JOIN-KEY values they
     // carry (old ∪ new) — every fact row joining one of these keys
-    // may have changed its group or its contribution
+    // may have changed its group or its contribution; the bound is
+    // the delta's row count
     val dimDeltas = spec.dims.map { d =>
       val (remD, addD) = changedRows(d.dim.root, d.lastVersion,
         dimNow(d.dim.name))
-      val changedKeys = (remD.map(_.select(d.dim.dimKeys.map(col): _*)) ++
-        addD.map(_.select(d.dim.dimKeys.map(col): _*)))
-        .reduceOption(_ unionByName _).map(df => sized(df.distinct()))
-      (d, remD, addD, changedKeys)
+      val changedKeys =
+        (remD.map(r => (r._1.select(d.dim.dimKeys.map(col): _*), r._2)) ++
+          addD.map(r => (r._1.select(d.dim.dimKeys.map(col): _*), r._2)))
+          .reduceOption((a, b) => (a._1 unionByName b._1, a._2 + b._2))
+          .map { case (df, bound) => (df.distinct(), bound) }
+      (d, remD.map(_._1), addD.map(_._1), changedKeys)
     }
 
     /** Lift a set of `d`-dimKeys values hop by hop up the declared
       * chain to the FACT's join-key values (identity for fact-level
       * dims): each hop is a semi join against the parent dim at the
-      * side-appropriate version, key sets size-gated like every other
-      * broadcast here. Returns the fact-key frame, its count, and the
-      * fact-level columns it carries. */
-    def liftToFact(d: DimState, keys: DataFrame, nKeys: Long,
+      * side-appropriate version, gated by the parent's manifest row
+      * bound (a hop's output can never exceed the parent's rows).
+      * Returns the fact-key frame, its bound, and the fact-level
+      * columns it carries. */
+    def liftToFact(d: DimState, keys: DataFrame, bound: Long,
                    at: DimState => Long): (DataFrame, Long, Seq[String]) =
       d.dim.parent match {
         case None =>
-          (keys.toDF(d.dim.factKeys: _*), nKeys, d.dim.factKeys)
+          (keys.toDF(d.dim.factKeys: _*), bound, d.dim.factKeys)
         case Some(pName) =>
           val p = dimByName(pName)
-          val (pk, nPk) = sized(dimDf(p, at(p))
-            .join(keyed(keys.toDF(d.dim.factKeys: _*), nKeys),
+          val pk = dimDf(p, at(p))
+            .join(keyed(keys.toDF(d.dim.factKeys: _*), bound),
               d.dim.factKeys, "left_semi")
-            .select(p.dim.dimKeys.map(col): _*).distinct())
-          liftToFact(p, pk, nPk, at)
+            .select(p.dim.dimKeys.map(col): _*).distinct()
+          liftToFact(p, pk, dimRowBound(p, at(p)), at)
       }
 
     // 1b. TOUCHED FACT ROWS on each side: the fact's own changed rows
@@ -743,9 +755,9 @@ object MaterializedView {
         }: _*)
       }
     val touchedRaw = (keysOfSide(
-        factSide(remF, spec.lastVersion, d => d.lastVersion),
+        factSide(remF.map(_._1), spec.lastVersion, d => d.lastVersion),
         d => d.lastVersion) ++
-      keysOfSide(factSide(addF, vNow, d => dimNow(d.dim.name)),
+      keysOfSide(factSide(addF.map(_._1), vNow, d => dimNow(d.dim.name)),
         d => dimNow(d.dim.name)))
       .reduceOption(_ unionByName _)
     val advanced = spec.copy(lastVersion = vNow,
@@ -755,7 +767,6 @@ object MaterializedView {
       case None =>
         // metadata-only commits (evolution, rename, constraint):
         // no group can have changed — advance the offsets and stop
-        cached.foreach(_.unpersist(): Unit)
         writeSpec(spark, mvRoot, advanced)
         return Some((ManifestTable.latestVersion(spark, mvRoot), 0L))
       case Some(rows) =>
@@ -776,10 +787,12 @@ object MaterializedView {
         // contributes nothing for — dropped here; the definition's
         // OWN output is null-checked below. Plain definitions keep
         // the loud refusal (checked on the cached frame, one job
-        // with the count). The count doubles as the broadcast gate
-        // for every touched-key join below.
-        sized((if (spec.dims.isEmpty && exprKeys.isEmpty) rows
-          else rows.na.drop("any", spec.keyCols)).distinct())
+        // with the count). Touched is the ONE frame whose exact
+        // count is paid for — it is re-used by four joins, returned
+        // to the caller, and doubles as its own broadcast gate.
+        val c = (if (spec.dims.isEmpty && exprKeys.isEmpty) rows
+          else rows.na.drop("any", spec.keyCols)).distinct().cache()
+        (c, c.count())
     }
     // 2. RECOMPUTE exactly those groups from the heads. The fact scan
     //    restricts to a SUPERSET of the touched groups' membership —
@@ -805,13 +818,14 @@ object MaterializedView {
         residence.get(k).exists(_.contains(d.dim.name)))
       if (resident.nonEmpty) {
         // pks can outnumber touched groups (one touched attribute may
-        // name many dim keys), so it carries its OWN counted gate
-        val (pks, nPks) = sized(dimDf(d, dimNow(d.dim.name))
+        // name many dim keys) — its gate is the dim's manifest row
+        // bound, not a counting job
+        val pks = dimDf(d, dimNow(d.dim.name))
           .join(keyed(touched.select(resident.map(col): _*).distinct(),
             nTouched), resident, "left_semi")
-          .select(d.dim.dimKeys.map(col): _*).distinct())
-        val (fk, nFk, fkCols) = liftToFact(d, pks, nPks,
-          dd => dimNow(dd.dim.name))
+          .select(d.dim.dimKeys.map(col): _*).distinct()
+        val (fk, nFk, fkCols) = liftToFact(d, pks,
+          dimRowBound(d, dimNow(d.dim.name)), dd => dimNow(dd.dim.name))
         factR = factR.join(keyed(fk, nFk), fkCols, "left_semi")
       }
     }
@@ -861,7 +875,7 @@ object MaterializedView {
       writeSpec(spark, mvRoot, advanced)
       Some((v, nTouched))
     } finally {
-      cached.foreach(_.unpersist(): Unit)
+      touched.unpersist()
       recomputedAll.unpersist(): Unit
     }
   }
