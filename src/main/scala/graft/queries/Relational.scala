@@ -1572,6 +1572,59 @@ object Relational extends QueryModule {
     graft.sinks.ManifestTable.read(spark, mv).orderBy(col("lang_label"))
   }
 
+  /** MULTI-TABLE TRANSACTION end-to-end on disk ([[graft.sinks
+    * .TableGroup]]): a fact and a dim in one group; a PAIRED change
+    * (fact append + dim relabel) lands on per-table branches and
+    * publishes through ONE group-tuple commit. The returned frame
+    * reads BOTH tables through the group snapshot — and a direct
+    * post-publish append to the fact's own head is deliberately left
+    * OUT of the oracle, so the hash only matches if group reads
+    * really pin the tuple (a leak to the member head would surface
+    * the extra rows). */
+  def qTxnGroup(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.freshDir("graft_txn")
+    val (fact, dim, grp) = (s"$root/fact", s"$root/dim", s"$root/grp")
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.sinks.ManifestTable.create(
+      d.repartition(4, col("lang"))
+        .sortWithinPartitions(col("lang"), col("doc_id")),
+      fact, Seq("doc_id", "lang"))
+    graft.sinks.ManifestTable.create(
+      d.select(col("lang")).distinct()
+        .withColumn("lang_label", concat(lit("L-"), col("lang"))),
+      dim, Seq("lang"))
+    graft.sinks.TableGroup.create(spark, grp,
+      Map("fact" -> fact, "dims" -> dim))
+    // the paired write, on branches: new fact rows AND the dim
+    // relabel they will group under — all-or-nothing for group readers
+    graft.sinks.ManifestTable.createBranch(spark, fact, "load")
+    graft.sinks.ManifestTable.createBranch(spark, dim, "load")
+    graft.sinks.ManifestTable.write(
+      d.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L),
+      graft.sinks.ManifestTable.branchRoot(fact, "load"))
+    graft.sinks.ManifestTable.deleteWhere(spark,
+      graft.sinks.ManifestTable.branchRoot(dim, "load"),
+      col("lang") < "f")
+    graft.sinks.ManifestTable.write(
+      d.select(col("lang")).distinct().filter(col("lang") < "f")
+        .withColumn("lang_label", concat(lit("X-"), col("lang"))),
+      graft.sinks.ManifestTable.branchRoot(dim, "load"))
+    graft.sinks.TableGroup.publishBranches(spark, grp, "load")
+    // the member's OWN head moves past the tuple: these rows must not
+    // appear in the group read (they are absent from the oracle)
+    graft.sinks.ManifestTable.write(
+      d.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 9000000L), fact)
+    graft.sinks.TableGroup.read(spark, grp, "fact")
+      .join(graft.sinks.TableGroup.read(spark, grp, "dims"), "lang")
+      .groupBy(col("lang_label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang_label"))
+  }
+
   /** TRANSPARENT MV REWRITE end-to-end on disk: create the join MV,
     * move the base (append) and REFRESH, register the view for
     * rewrite, then run the definition-shaped aggregate AS A PLAIN
@@ -1794,6 +1847,7 @@ object Relational extends QueryModule {
     "q_mv_join"           -> qMvJoin _,
     "q_mv_snowflake"      -> qMvSnowflake _,
     "q_mv_rewrite"        -> qMvRewrite _,
+    "q_txn_group"         -> qTxnGroup _,
     "q_delete_dv"         -> qDeleteDv _,
     "q_update_dv"         -> qUpdateDv _,
     "q_jaro_rank"         -> qJaroRank _,
@@ -2107,6 +2161,26 @@ object Relational extends QueryModule {
     // both tables' FINAL states: the dim relabeled langs below 'f'
     // (X- groups replace L- groups), the fact gained shifted clones
     "q_mv_join" ->
+      """WITH dim AS (
+        |  SELECT lang,
+        |    CASE WHEN lang < 'f' THEN 'X-' || lang
+        |         ELSE 'L-' || lang END AS lang_label
+        |  FROM (SELECT DISTINCT lang FROM documents)),
+        |fact AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT lang_label, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM fact f JOIN dim s ON f.lang = s.lang
+        |GROUP BY lang_label ORDER BY lang_label""".stripMargin,
+    // the group-snapshot join == the atomically-published pair: the
+    // fact gained the %3 clones and the dim relabeled langs below 'f'
+    // IN ONE TUPLE; the later direct %5 append to the fact's head is
+    // deliberately absent — the hash matches only if group reads pin
+    // the tuple
+    "q_txn_group" ->
       """WITH dim AS (
         |  SELECT lang,
         |    CASE WHEN lang < 'f' THEN 'X-' || lang

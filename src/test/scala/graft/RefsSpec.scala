@@ -159,6 +159,72 @@ class RefsSpec extends AnyFunSuite {
       "a refused merge must leave main untouched")
   }
 
+  test("table group: an atomic fact+dim publish — group readers see both-or-neither; per-table heads move independently; crash replay converges") {
+    import graft.sinks.TableGroup
+    val d = java.nio.file.Files.createTempDirectory("graft-txn").toString
+    val (fact, dim, grp) = (s"$d/fact", s"$d/dim", s"$d/grp")
+    ManifestTable.create(
+      Seq((1L, 10L, 100L), (2L, 20L, 50L)).toDF("id", "rid", "amount"),
+      fact, Seq("id"))
+    ManifestTable.create(
+      Seq((10L, "west"), (20L, "east")).toDF("rid", "rname"),
+      dim, Seq("rid"))
+    TableGroup.create(spark, grp, Map("fact" -> fact, "dim" -> dim))
+    def groupJoin() = TableGroup.read(spark, grp, "fact")
+      .join(TableGroup.read(spark, grp, "dim"), "rid")
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("rname"))).toSeq
+    assert(groupJoin() == Seq((1L, "west"), (2L, "east")))
+    // the paired write: a fact row joining a NEW dim row — visible
+    // together or not at all
+    ManifestTable.createBranch(spark, fact, "load")
+    ManifestTable.createBranch(spark, dim, "load")
+    ManifestTable.write(Seq((3L, 30L, 70L)).toDF("id", "rid", "amount"),
+      ManifestTable.branchRoot(fact, "load"))
+    ManifestTable.write(Seq((30L, "north")).toDF("rid", "rname"),
+      ManifestTable.branchRoot(dim, "load"))
+    // both branches written, NOTHING published: group readers (and
+    // per-table readers) see the old pair
+    assert(groupJoin() == Seq((1L, "west"), (2L, "east")))
+    // CRASH SIMULATION: one member's branch published, the tuple NOT
+    // advanced — a group reader must still see the consistent OLD
+    // pair, never fact-with-a-danging-rid
+    ManifestTable.publishBranch(spark, fact, "load")
+    assert(ManifestTable.read(spark, fact).count() == 3,
+      "per-table head moves the moment its own CAS lands")
+    assert(groupJoin() == Seq((1L, "west"), (2L, "east")),
+      "the group tuple is the consistency boundary")
+    // the re-run converges: publishes the remaining member (the
+    // already-published fact re-publishes idempotently by value) and
+    // advances the tuple ONCE
+    val gv = TableGroup.publishBranches(spark, grp, "load")
+    assert(gv == 1L)
+    assert(groupJoin() ==
+      Seq((1L, "west"), (2L, "east"), (3L, "north")))
+    // isolation going forward: a direct write to a member's head does
+    // NOT leak into group reads until the next tuple commit
+    ManifestTable.write(Seq((4L, 10L, 5L)).toDF("id", "rid", "amount"),
+      fact)
+    assert(groupJoin() ==
+      Seq((1L, "west"), (2L, "east"), (3L, "north")))
+    TableGroup.commit(spark, grp, Map("fact" ->
+      ManifestTable.latestVersion(spark, fact))): Unit
+    assert(groupJoin() ==
+      Seq((1L, "west"), (2L, "east"), (3L, "north"), (4L, "west")))
+    // contracts: unknown member, backward move, unknown branch
+    intercept[Exception] {
+      TableGroup.commit(spark, grp, Map("nope" -> 1L))
+    }
+    val back = intercept[Exception] {
+      TableGroup.commit(spark, grp, Map("fact" -> 0L))
+    }
+    assert(back.getMessage.contains("backward"))
+    val nob = intercept[Exception] {
+      TableGroup.publishBranches(spark, grp, "ghost")
+    }
+    assert(nob.getMessage.contains("no member"))
+  }
+
   test("branch publish carries the branch's schema evolution and constraints") {
     val root = freshRoot("wapevolve")
     ManifestTable.create(Seq((1L, "a")).toDF("id", "v"), root, Seq("id"))
