@@ -32,11 +32,14 @@ private[graft] final case class GraftRelPlaceholder(
   *   // reads the view's files instead of re-scanning the base
   * }}}
   *
-  * Matching is EXACT-PLAN, by canonical form: the definition is
+  * Matching is canonical-plan CONTAINMENT: the definition is
   * re-analyzed against the snapshots the view's offsets name, both
   * sides normalize (subquery aliases eliminated, graft relations
   * replaced by (root, version) placeholders) and compare
-  * canonicalized. That shape makes the substitution sound by
+  * canonicalized — the child subtree and grouping set exactly, the
+  * output columns as (name, expression) containment, so a query
+  * selecting a SUBSET of the view's columns (or a different order)
+  * is served too. That shape makes the substitution sound by
   * construction:
   *
   *  - FRESHNESS is the version match. The candidate's base relation
@@ -79,12 +82,28 @@ final case class GraftMvRewriteRule(spark: SparkSession)
     if (candidates.isEmpty) return plan
     plan.transformDown {
       case agg: Aggregate if agg.resolved =>
-        val norm = MaterializedView.normalizeForRewrite(agg).canonicalized
-        candidates.find(_.canonicalDef == norm) match {
-          case Some(c) =>
-            MaterializedView.substituteRewrite(spark, c, agg)
-              .getOrElse(agg)
-          case None => agg
+        MaterializedView.normalizeForRewrite(agg).canonicalized match {
+          case cAgg: Aggregate =>
+            // a match needs: the same canonical child (join/filter
+            // subtree over the same version-pinned snapshots), the
+            // same grouping SET, and every output (name, canonical
+            // expression) present among the view's columns — so a
+            // query selecting a SUBSET of the view's columns, or a
+            // different order, is served too; anything the view
+            // cannot answer by name+expression stands down
+            val userOut = agg.output.map(_.name)
+              .zip(cAgg.aggregateExpressions
+                .map(MaterializedView.bareExpr))
+            candidates.find(c =>
+              c.cChild == cAgg.child &&
+                c.cGrouping == cAgg.groupingExpressions.toSet &&
+                userOut.forall(c.cOutputs.contains)) match {
+              case Some(c) =>
+                MaterializedView.substituteRewrite(spark, c, agg)
+                  .getOrElse(agg)
+              case None => agg
+            }
+          case _ => agg
         }
     }
   }

@@ -3548,7 +3548,13 @@ object ManifestTable {
     // edits surface as both-sides-touched files (refused, both
     // commits named); disjoint appends/deletes/DV changes compose by
     // reference, zero data copied.
+    // set iff the commit actually went through the three-way path —
+    // ONLY then must the branch rebase onto the merged result (a
+    // fast-forward already leaves main == branch content; syncing
+    // after every FF would add a pointless branch commit per publish)
+    @volatile var mergedCommit = false
     def threeWay(base: Long): (DataFrame, StructType) = {
+      mergedCommit = true
       require(merge,
         s"main moved from $base0 to $base since branch $name forked — " +
           "non-fast-forward publish refused: re-create the branch " +
@@ -3656,9 +3662,8 @@ object ManifestTable {
     // between the main commit and this sync re-runs as an idempotent
     // re-merge (every branch-touched path then reads identical on
     // both sides — no conflict, same merged content).
-    if (latestVersion(spark, root) == published &&
-        readRef(spark, root, name).contains(BranchRef(base0)) &&
-        base0 != published) {
+    if (mergedCommit && latestVersion(spark, root) == published &&
+        readRef(spark, root, name).contains(BranchRef(base0))) {
       val pm = manifest(spark, root, published)
       val ps = tableSchema(spark, root, published)
       commitLoopEvolving(spark, bRoot,

@@ -153,10 +153,36 @@ object MaterializedView {
           }
       }
 
+  /** A registered view's definition in matchable form: the canonical
+    * child (join/filter subtree over version-pinned placeholder
+    * relations), the canonical grouping set, and each output column
+    * as (name, canonical aggregate expression with its alias
+    * stripped). Name+expression pairs — not whole-plan equality —
+    * let a query that selects a SUBSET of the view's columns, or the
+    * same columns in a different order, still be served: per-output
+    * comparison is sound because both sides' expressions canonicalize
+    * against structurally identical children (attribute references
+    * normalize to child-output positions), while alias exprIds —
+    * which are numbered by position in the select list and so differ
+    * between a subset and the full list — are stripped before the
+    * compare. */
   private[graft] final case class RewriteCandidate(
       mvRoot: String, baseRoot: String,
-      canonicalDef: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      defTypes: Seq[org.apache.spark.sql.types.DataType])
+      cChild: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      cGrouping: Set[org.apache.spark.sql.catalyst.expressions.Expression],
+      cOutputs: Set[(String,
+        org.apache.spark.sql.catalyst.expressions.Expression)],
+      typesByName: Map[String, org.apache.spark.sql.types.DataType])
+
+  /** An output expression with its alias stripped — the comparable
+    * core (alias exprIds are select-list-positional, names ride
+    * separately). */
+  private[graft] def bareExpr(
+      e: org.apache.spark.sql.catalyst.expressions.NamedExpression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = e match {
+    case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+    case other => other
+  }
 
   // keyed by mvRoot; validity = the spec sidecar's exact content
   // (offsets advance on every refresh, so staleness self-invalidates)
@@ -194,8 +220,15 @@ object MaterializedView {
           val df = runDef(spark, spec.defSql, base, dims)
           normalizeForRewrite(df.queryExecution.analyzed) match {
             case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+              val c = agg.canonicalized
+                .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]
+              // output NAMES come from the pre-canonical schema (in
+              // order), zipped positionally with the canonical exprs
               Some(RewriteCandidate(mvRoot, spec.baseRoot,
-                agg.canonicalized, df.schema.map(_.dataType).toSeq))
+                c.child, c.groupingExpressions.toSet,
+                df.schema.fieldNames.toSeq
+                  .zip(c.aggregateExpressions.map(bareExpr)).toSet,
+                df.schema.map(f => f.name -> f.dataType).toMap))
             case _ => None
           }
         } finally buildingRewrite.set(false)
@@ -203,12 +236,13 @@ object MaterializedView {
       built
     } catch { case _: Throwable => None }
 
-  /** Replace a matched aggregate with a read of the view, projected
-    * positionally under the matched node's own output attributes
-    * (canonical equality fixes the positional correspondence; name +
-    * exprId preservation keeps every parent operator resolving
-    * unchanged). None — keep the original — on any arity/type
-    * mismatch, which a canonical match should preclude but must
+  /** Replace a matched aggregate with a read of the view, projecting
+    * the view's columns BY NAME under the matched node's own output
+    * attributes (the name+expression containment check fixed the
+    * correspondence; name + exprId preservation keeps every parent
+    * operator resolving unchanged — a subset match simply projects
+    * fewer view columns). None — keep the original — on any
+    * name/type mismatch, which the match should preclude but must
     * never be assumed. */
   private[graft] def substituteRewrite(
       spark: SparkSession, c: RewriteCandidate,
@@ -219,14 +253,14 @@ object MaterializedView {
       val rel = org.apache.spark.sql.catalyst.analysis
         .EliminateSubqueryAliases(
           ManifestTable.read(spark, c.mvRoot).queryExecution.analyzed)
-      if (matched.output.length != rel.output.length ||
-          matched.output.zip(rel.output)
-            .exists { case (a, b) => a.dataType != b.dataType })
+      val byName = rel.output.map(a => a.name -> a).toMap
+      if (matched.output.exists(o => !byName.contains(o.name) ||
+          byName(o.name).dataType != o.dataType))
         None
       else Some(org.apache.spark.sql.catalyst.plans.logical.Project(
-        matched.output.zip(rel.output).map { case (o, m) =>
-          org.apache.spark.sql.catalyst.expressions.Alias(m, o.name)(
-            exprId = o.exprId)
+        matched.output.map { o =>
+          org.apache.spark.sql.catalyst.expressions.Alias(
+            byName(o.name), o.name)(exprId = o.exprId)
         }, rel))
     } catch { case _: Throwable => None }
     finally buildingRewrite.set(false)

@@ -581,6 +581,44 @@ class MvSpec extends AnyFunSuite {
     }
   }
 
+  test("transparent rewrite: column SUBSETS and reorders of the definition are served; foreign aliases and foreign aggregates stand down") {
+    val (base, mv) = fresh("mvrw3")
+    ManifestTable.create(baseRows(Seq(
+      (1L, "en", 100L), (2L, "en", 50L), (3L, "de", 30L))),
+      base, Seq("doc", "lang"))
+    MaterializedView.create(spark, mv, base, DefSql, Seq("lang"))
+    MaterializedView.enableRewrite(spark, mv)
+    try {
+      ManifestTable.read(spark, base).createOrReplaceTempView("rw_s")
+      // a SUBSET of the view's columns, in a DIFFERENT order
+      val sub = spark.sql(
+        "SELECT sum(chars) AS total, lang FROM rw_s " +
+          "WHERE chars >= 10 GROUP BY lang")
+      assert(scanRoots(sub).exists(_.contains("/mv")),
+        s"subset+reorder must serve: ${scanRoots(sub)}")
+      assert(sub.orderBy("lang").collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1))) ==
+        Seq((30L, "de"), (150L, "en")))
+      // same expression under a FOREIGN alias: the view's column
+      // names are the contract — stands down, answers directly
+      val alias = spark.sql(
+        "SELECT lang, count(*) AS how_many FROM rw_s " +
+          "WHERE chars >= 10 GROUP BY lang")
+      assert(!scanRoots(alias).exists(_.contains("/mv")))
+      assert(alias.orderBy("lang").collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1))) ==
+        Seq(("de", 1L), ("en", 2L)))
+      // an aggregate the view does not carry: stands down
+      val foreign = spark.sql(
+        "SELECT lang, avg(chars) AS n FROM rw_s " +
+          "WHERE chars >= 10 GROUP BY lang")
+      assert(!scanRoots(foreign).exists(_.contains("/mv")))
+    } finally {
+      MaterializedView.disableRewrite(spark, mv)
+      spark.catalog.dropTempView("rw_s"): Unit
+    }
+  }
+
   test("metadata-only base commits advance the offset without touching any group") {
     val (base, mv) = fresh("mv6")
     ManifestTable.create(baseRows(Seq((1L, "en", 100L))),
