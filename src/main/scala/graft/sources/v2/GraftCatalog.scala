@@ -834,6 +834,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * table (SELECT it, time-travel it) at a managed location, plus
     * the definition/offset state [[graft.sinks.MaterializedView]]
     * maintains. Returns the view's location. */
+  /** Where a named table group's metadata lives — groups are catalog
+    * constructs (not tables), keyed by a simple name. */
+  private[v2] def groupRoot(name: String): String = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_-]*"),
+      s"group name '$name' must be an identifier")
+    s"$warehouse/_groups/$name"
+  }
+
   private[v2] def createMvRegistered(mvName: String, baseName: String,
                                      defSql: String,
                                      keyCols: Seq[String],
@@ -886,6 +894,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         new GraftProcedures.MvRewriteSwitch(this, enable = true)
       case "disable_mv_rewrite" =>
         new GraftProcedures.MvRewriteSwitch(this, enable = false)
+      case "create_group"    => new GraftProcedures.CreateGroup(this)
+      case "publish_group"   => new GraftProcedures.PublishGroup(this)
+      case "group_snapshot"  => new GraftProcedures.GroupSnapshot(this)
       case "analyze_table"   => new GraftProcedures.AnalyzeTable(this)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $catalogName.system.$other (available: " +

@@ -452,6 +452,102 @@ private[v2] object GraftProcedures {
     }
   }
 
+  /** `create_group(group, members)` — a MULTI-TABLE TRANSACTION group
+    * ([[graft.sinks.TableGroup]]): `members` is
+    * `name=ns.table[; ...]`; tuple 0 pins the members' current
+    * heads. Group snapshots are the cross-table consistency
+    * boundary — see `group_snapshot` for the SQL-side consistent
+    * read recipe. */
+  final class CreateGroup(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "create_group"
+    override def description(): String =
+      "register a multi-table transaction group; tuple 0 pins the " +
+        "members' current heads"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("group", StringType).build(),
+        ProcedureParameter.in("members", StringType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("location", StringType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val loc = catalog.groupRoot(input.getUTF8String(0).toString)
+      val members = input.getUTF8String(1).toString
+        .split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { tok =>
+          val i = tok.indexOf('=')
+          require(i > 0,
+            s"bad members entry '$tok' — expected name=ns.table")
+          (tok.take(i).trim, catalog.locationOf(tok.drop(i + 1).trim))
+        }.toMap
+      graft.sinks.TableGroup.create(spark, loc, members): Unit
+      oneRowScan(outSchema, InternalRow(UTF8String.fromString(loc)))
+    }
+  }
+
+  /** `publish_group(group, branch [, merge])` — publish branch
+    * `branch` on every member that has it, then advance the group
+    * tuple ONCE: group readers see the whole publish or none of it. */
+  final class PublishGroup(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "publish_group"
+    override def description(): String =
+      "publish each member's branch then advance the group tuple " +
+        "once — the atomic multi-table publish"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("group", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build(),
+        ProcedureParameter.in("merge",
+          org.apache.spark.sql.types.BooleanType)
+          .defaultValue("false").build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("group_version", LongType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val v = graft.sinks.TableGroup.publishBranches(spark,
+        catalog.groupRoot(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString,
+        merge = !input.isNullAt(2) && input.getBoolean(2))
+      oneRowScan(outSchema, InternalRow(v))
+    }
+  }
+
+  /** `group_snapshot(group)` — the current consistent tuple, one row
+    * per member: read each member with
+    * `SELECT … FROM ns.table VERSION AS OF <version>` to get the
+    * cross-table-consistent pair in pure SQL. */
+  final class GroupSnapshot(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "group_snapshot"
+    override def description(): String =
+      "the group's current consistent tuple (member, pinned version) " +
+        "— VERSION AS OF each pinned version for a consistent SQL read"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("group", StringType).build())
+    override def isDeterministic: Boolean = false
+    private val outSchema = StructType(Seq(
+      StructField("group_version", LongType, nullable = false),
+      StructField("member", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val snap = graft.sinks.TableGroup.snapshot(spark,
+        catalog.groupRoot(input.getUTF8String(0).toString))
+      val tupleRows = snap.members.toSeq.sortBy(_._1).map { case (n, v) =>
+        InternalRow(snap.version, UTF8String.fromString(n), v)
+          : InternalRow
+      }.toArray
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = outSchema
+        override def rows(): Array[InternalRow] = tupleRows
+      }).iterator()
+    }
+  }
+
   /** `clone_table(src, dst)` — [[graft.sinks.ManifestTable.cloneTo]]
     * by name: a SHALLOW CLONE registered in the catalog (descriptor
     * copied, location re-pointed), data files shared by reference. */

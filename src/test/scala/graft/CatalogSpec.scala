@@ -1484,6 +1484,43 @@ class CatalogSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("table groups in SQL: create_group, branch DML, publish_group lands both members atomically, group_snapshot pins the consistent VERSION AS OF read") {
+    warehouse: Unit
+    spark.sql("CREATE TABLE graftc.db.gfact (id BIGINT, rid BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'id')")
+    spark.sql("CREATE TABLE graftc.db.gdim (rid BIGINT, rname STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'rid')")
+    spark.sql("INSERT INTO graftc.db.gfact VALUES (1, 10)")
+    spark.sql("INSERT INTO graftc.db.gdim VALUES (10, 'west')")
+    spark.sql("CALL graftc.system.create_group('grp1', " +
+      "'fact=db.gfact; dims=db.gdim')")
+    spark.sql("CALL graftc.system.create_branch('db.gfact', 'load')")
+    spark.sql("CALL graftc.system.create_branch('db.gdim', 'load')")
+    // the PAIRED write on branches: a fact row joining a NEW dim row
+    spark.sql("INSERT INTO graftc.db.gfact.load VALUES (2, 20)")
+    spark.sql("INSERT INTO graftc.db.gdim.load VALUES (20, 'east')")
+    def consistentJoin(): Seq[(Long, String)] = {
+      val snap = spark.sql(
+        "CALL graftc.system.group_snapshot('grp1')").collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      spark.sql(
+        s"SELECT f.id, d.rname FROM " +
+          s"graftc.db.gfact VERSION AS OF ${snap("fact")} f JOIN " +
+          s"graftc.db.gdim VERSION AS OF ${snap("dims")} d " +
+          "ON f.rid = d.rid ORDER BY f.id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    }
+    assert(consistentJoin() == Seq((1L, "west")))
+    val gv = spark.sql(
+      "CALL graftc.system.publish_group('grp1', 'load')")
+      .collect().head.getLong(0)
+    assert(gv == 1L)
+    assert(consistentJoin() == Seq((1L, "west"), (2L, "east")))
+    // a direct head write does not leak into the group snapshot
+    spark.sql("INSERT INTO graftc.db.gfact VALUES (3, 10)")
+    assert(consistentJoin() == Seq((1L, "west"), (2L, "east")))
+  }
+
   test("transparent rewrite in SQL: enable_mv_rewrite serves a matching aggregate over the CATALOG table from the view; stale stands down; refresh + disable round-trip") {
     warehouse: Unit
     spark.sql("CREATE TABLE graftc.db.rwbase (k BIGINT, g STRING, " +
