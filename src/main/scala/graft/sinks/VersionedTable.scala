@@ -678,9 +678,41 @@ object VersionedTable {
     readVersion(spark, root, v)
   }
 
+  /** Epoch-schema cache: a committed `epoch=N` directory is immutable
+    * (the publishing rename is the commit; only vacuum removes it), so
+    * its parquet schema can be inferred ONCE and reused — every
+    * further [[readVersion]] of the same epoch then skips the
+    * footer-reading Spark job schema inference launches (measured: the
+    * single largest job population in the table-format query family —
+    * 118 one-task jobs in one MV-refresh query). Keyed by (path,
+    * directory mtime): a root that is deleted and re-created restarts
+    * version numbering, and the fresh epoch directory's mtime differs,
+    * so a stale entry can never serve the wrong schema. The cached
+    * schema is exactly the previously inferred one, so the returned
+    * frame is identical to an uncached read. */
+  private val epochSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), org.apache.spark.sql.types.StructType]()
+
   /** As-of read of a retained epoch. */
-  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
-    spark.read.parquet(s"$root/epoch=$version")
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val dir = s"$root/epoch=$version"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val key =
+      try {
+        val st = fs(spark, root).getFileStatus(p)
+        Some((p.toUri.toString, st.getModificationTime))
+      } catch { case _: java.io.IOException => None }
+    key.flatMap(k => Option(epochSchemaCache.get(k))) match {
+      case Some(s) => spark.read.schema(s).parquet(dir)
+      case None =>
+        val df = spark.read.parquet(dir)
+        key.foreach { k =>
+          if (epochSchemaCache.size > 8192) epochSchemaCache.clear()
+          epochSchemaCache.put(k, df.schema)
+        }
+        df
+    }
+  }
 
   /** Raw commit stamp of one epoch (ms), None for epochs committed
     * before stamping existed. */
