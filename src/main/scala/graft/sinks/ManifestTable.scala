@@ -133,6 +133,49 @@ object ManifestTable {
     m
   }
 
+  /** Collected-manifest cache: a committed manifest epoch is immutable,
+    * so its [[manifest]] rows can be collected ONCE and every further
+    * metadata accessor ([[filesAt]], [[rawFiles]], [[effectiveFiles]],
+    * [[fileBuckets]], the DV-state reads) served driver-side — each of
+    * those otherwise re-runs a Spark job over the same tiny parquet
+    * (measured: 56 such jobs in one MV-refresh query). Keyed by (epoch
+    * dir, mtime) like [[VersionedTable]]'s schema cache, so a deleted-
+    * and-re-created root can never serve stale rows. Entries above
+    * `LocalizeMaxRows` are NOT cached (a 100k-file manifest's stats
+    * rows are real memory); past the bound behavior is exactly the
+    * uncached read. */
+  private val LocalizeMaxRows = 65536
+  private val manifestRowsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long),
+        (StructType, Seq[org.apache.spark.sql.Row])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long),
+            (StructType, Seq[org.apache.spark.sql.Row])]): Boolean =
+        size > 64
+    })
+
+  /** The full normalized manifest of one version, collected once per
+    * immutable epoch (see [[manifestRowsCache]]). */
+  private[graft] def manifestCollected(spark: SparkSession, root: String,
+                                       version: Long)
+      : (StructType, Seq[org.apache.spark.sql.Row]) = {
+    val dir = new Path(s"${manifestsRoot(root)}/epoch=$version")
+    val key =
+      try {
+        val st = fs(spark, root).getFileStatus(dir)
+        Some((dir.toUri.toString, st.getModificationTime))
+      } catch { case _: java.io.IOException => None }
+    key.flatMap(k => Option(manifestRowsCache.get(k))) match {
+      case Some(v) => v
+      case None =>
+        val m = manifest(spark, root, version)
+        val v = (m.schema, m.collect().toSeq)
+        if (v._2.length <= LocalizeMaxRows)
+          key.foreach(k => manifestRowsCache.put(k, v): Unit)
+        v
+    }
+  }
+
   // ------------------------------------------------------- bucketing
   //
   // Hash-bucketed layout for STORAGE-PARTITIONED JOINS: a table
@@ -180,10 +223,12 @@ object ManifestTable {
     * storage-partitioned joins (metadata-scale, like every manifest
     * read). */
   private[graft] def fileBuckets(spark: SparkSession, root: String,
-                                 version: Long): Map[String, Long] =
-    manifest(spark, root, version).select(col("path"), col("bucket"))
-      .filter(col("bucket").isNotNull).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+                                 version: Long): Map[String, Long] = {
+    val (schema, rows) = manifestCollected(spark, root, version)
+    val (ip, ib) = (schema.fieldIndex("path"), schema.fieldIndex("bucket"))
+    rows.filterNot(_.isNullAt(ib))
+      .map(r => r.getString(ip) -> r.getLong(ib)).toMap
+  }
 
   /** Stamp a bucket declaration into a schema (the [[create]] path).
     * `key` is one column name or a comma-separated list — each column
@@ -673,9 +718,11 @@ object ManifestTable {
 
   /** Data-file paths of one version (driver-side: |files| strings —
     * metadata scale, the same bound every manifest read has). */
-  def filesAt(spark: SparkSession, root: String, version: Long): Seq[String] =
-    manifest(spark, root, version).select(col("path"))
-      .collect().map(_.getString(0)).sorted.toSeq
+  def filesAt(spark: SparkSession, root: String, version: Long): Seq[String] = {
+    val (schema, rows) = manifestCollected(spark, root, version)
+    val i = schema.fieldIndex("path")
+    rows.map(_.getString(i)).sorted
+  }
 
   /** Read one version: the manifest's files, with the committed
     * schema. An empty manifest reads as an empty frame.
@@ -793,6 +840,46 @@ object ManifestTable {
     // rewrites) — sound either way.
     val footersOk = stats.nonEmpty &&
       stats.forall(c => graft.sources.FooterStats.supported(df.schema(c).dataType))
+    // DRIVER-SIDE landing-row assembly for small landings: under the
+    // (conf'able) file-count bound the footer reads are a few KB each —
+    // far below the scheduling cost of the footer job + the broadcast
+    // join of the distributed path (measured: one job + one broadcast
+    // build per commit, across every table-format query). The result is
+    // a LocalRelation, value-identical to the joined frame below: same
+    // FooterStats.fileRow fold, same row_count>0 filter, same
+    // manifestSchema shape (the empty-landing return already commits
+    // through it). Above the bound — a real cluster commit landing
+    // thousands of files — the distributed path is untouched.
+    val localFooterMax = spark.conf.getOption(
+      "spark.graft.landing.localFooterMaxFiles").map(_.toInt).getOrElse(64)
+    if (footersOk) {
+      val files = sizes.select(col("path")).collect().map(_.getString(0)).toSeq
+      if (files.size <= localFooterMax) {
+        val sizeByPath = sizes.collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val colTypes = stats.map(c => c -> df.schema(c).dataType)
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val bucketOf: String => Any = bucket match {
+          case None => _ => null
+          case Some(_) => p =>
+            "/gb=(\\d+)/[^/]+$".r.findFirstMatchIn(p)
+              .map(m => java.lang.Long.valueOf(m.group(1).toLong))
+              .getOrElse(sys.error(
+                "bucketed landing produced a file outside a gb=N " +
+                  s"directory: $p"))
+        }
+        val outRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        files.foreach { p =>
+          val fr = graft.sources.FooterStats.fileRow(p, hconf, colTypes)
+          if (fr.getLong(1) > 0L)
+            outRows.add(org.apache.spark.sql.Row.fromSeq(
+              Seq[Any](p, sizeByPath(p), fr.getLong(1)) ++
+                (2 until fr.length).map(fr.get) ++
+                Seq[Any](null, 0L, null, bucketOf(p))))
+        }
+        return spark.createDataFrame(outRows, manifestSchema(df.schema, stats))
+      }
+    }
     val collected =
       if (footersOk) {
         val files = sizes.select(col("path")).collect().map(_.getString(0)).toSeq
@@ -2429,12 +2516,14 @@ object ManifestTable {
 
   /** Per-file DV state of one manifest: path → (dv sidecar, dv rows,
     * file rows) — one metadata-scale collect. */
-  private def dvStates(m: DataFrame)
-      : Seq[(String, Option[String], Long, Long)] =
-    m.select(col("path"), col("dv_path"), col("dv_rows"), col("row_count"))
-      .collect()
-      .map(r => (r.getString(0), Option(r.getString(1)),
-        r.getLong(2), r.getLong(3))).toSeq.sortBy(_._1)
+  private def dvStates(spark: SparkSession, root: String, version: Long)
+      : Seq[(String, Option[String], Long, Long)] = {
+    val (schema, rows) = manifestCollected(spark, root, version)
+    val Seq(ip, id, iv, ir) = Seq("path", "dv_path", "dv_rows",
+      "row_count").map(schema.fieldIndex)
+    rows.map(r => (r.getString(ip), Option(r.getString(id)),
+      r.getLong(iv), r.getLong(ir))).sortBy(_._1)
+  }
 
   /** MERGE-ON-READ row-level DELETE — the point-delete grain a 100 TB
     * table needs: instead of REWRITING every touched file (the
@@ -2624,8 +2713,7 @@ object ManifestTable {
                                      version: Long)
       : Seq[(String, Option[String], Long, Long)] = {
     val entries = eqDeletes(spark, root, version)
-    val m = manifest(spark, root, version)
-    if (entries.isEmpty) return dvStates(m)
+    if (entries.isEmpty) return dvStates(spark, root, version)
     val key = (canon(root), version)
     val hit = eqCache.get(key)
     // re-validate EVERY scratch sidecar: committed vectors are
@@ -2643,7 +2731,8 @@ object ManifestTable {
         return hit
       eqCache.remove(key): Unit
     }
-    val resolved = resolveEq(spark, root, version, m, entries)
+    val resolved = resolveEq(spark, root, version,
+      manifest(spark, root, version), entries)
     eqCache.put(key, resolved)
     // BOUNDED per root: entries are full file-state lists, so a
     // long-lived driver walking many versions of a large table would
@@ -2773,21 +2862,23 @@ object ManifestTable {
     * applies pending equality deletes per task from [[eqProbes]]. */
   private[graft] def rawFiles(spark: SparkSession, root: String,
                               version: Long)
-      : Seq[(String, Long, Option[String], Long, Long, Long)] =
-    manifest(spark, root, version)
-      .select(col("path"), col("size"), col("dv_path"), col("seq"),
-        col("row_count"), col("dv_rows"))
-      .collect().map(r => (r.getString(0), r.getLong(1),
-        Option(r.getString(2)), r.getLong(3), r.getLong(4),
-        r.getLong(5))).toSeq
+      : Seq[(String, Long, Option[String], Long, Long, Long)] = {
+    val (schema, rows) = manifestCollected(spark, root, version)
+    val Seq(ip, is, id, iq, ir, iv) = Seq("path", "size", "dv_path",
+      "seq", "row_count", "dv_rows").map(schema.fieldIndex)
+    rows.map(r => (r.getString(ip), r.getLong(is),
+      Option(r.getString(id)), r.getLong(iq), r.getLong(ir),
+      r.getLong(iv)))
+  }
 
   /** [[effectiveStates]] with each file's size — the DSv2 scan's
     * listing shape. */
   private[graft] def effectiveFiles(spark: SparkSession, root: String,
                                     version: Long)
       : Seq[(String, Long, Option[String], Long)] = {
-    val sizes = manifest(spark, root, version).select(col("path"), col("size"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (schema, rows) = manifestCollected(spark, root, version)
+    val (ip, is) = (schema.fieldIndex("path"), schema.fieldIndex("size"))
+    val sizes = rows.map(r => r.getString(ip) -> r.getLong(is)).toMap
     effectiveStates(spark, root, version).map(s =>
       (s._1, sizes(s._1), s._2, s._3))
   }
@@ -2802,7 +2893,8 @@ object ManifestTable {
                                 version: Long)
       : (DataFrame, Seq[(String, Option[String], Long, Long)]) = {
     val m = manifest(spark, root, version)
-    if (eqDeletes(spark, root, version).isEmpty) return (m, dvStates(m))
+    if (eqDeletes(spark, root, version).isEmpty)
+      return (m, dvStates(spark, root, version))
     val states = effectiveStates(spark, root, version)
     val spk = spark
     import spk.implicits._
@@ -2831,10 +2923,13 @@ object ManifestTable {
       : Seq[(String, Option[String], Long, Long)] = {
     val spk = spark
     import spk.implicits._
-    val raw = dvStates(m)
+    val raw = dvStates(spark, root, version)
     val schema = tableSchema(spark, root, version)
-    val seqByPath: Map[String, Long] = m.select(col("path"), col("seq"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seqByPath: Map[String, Long] = {
+      val (ms, rows) = manifestCollected(spark, root, version)
+      val (ip, iq) = (ms.fieldIndex("path"), ms.fieldIndex("seq"))
+      rows.map(r => r.getString(ip) -> r.getLong(iq)).toMap
+    }
     val maxSeq = entries.map(_.seq).max
     val cand = raw.filter(s => seqByPath(s._1) < maxSeq)
     if (cand.isEmpty) return raw
